@@ -1,0 +1,115 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Core data model for the graft engine — the Spark-native re-expression of
+  * the reference's broker/storage data model.
+  *
+  * Reference: `nisshi-storage/src/lib.rs:505-521` (`Topition`),
+  * `nisshi-sans-io/src/record.rs:172` (`Record`),
+  * `nisshi-storage/src/lib.rs:836-852` (`OffsetStage`).
+  *
+  * The record log is a single partitioned table with this schema; every
+  * operator in [[graft.operators.LogOps]] is a DataFrame transformation over
+  * it. At 100 TB the table is partitioned by (topic, partition) and
+  * append-ordered by offset, so offset-range scans prune to a single
+  * partition directory and min/max parquet stats skip files.
+  */
+object Model {
+
+  /** Topic + partition identity (reference `Topition`). */
+  final case class Topition(topic: String, partition: Int)
+
+  /** One record in the log. Tombstone = null value
+    * (reference `nisshi-sans-io/src/record.rs:293`).
+    */
+  final case class LogRecord(
+      topic: String,
+      partition: Int,
+      offset: Long,
+      timestamp: java.sql.Timestamp,
+      key: Array[Byte],
+      value: Array[Byte],
+      headers: Map[String, Array[Byte]],
+      producerId: Long,
+      producerEpoch: Int,
+      baseSequence: Int,
+      isControl: Boolean
+  )
+
+  /** Offset stage per partition (reference `OffsetStage`):
+    * log_start <= last_stable <= high_watermark.
+    */
+  final case class OffsetStage(logStart: Long, lastStable: Long, highWatermark: Long)
+
+  /** Consumer-group committed offset (reference `ddl/040-consumer-offset.sql`). */
+  final case class ConsumerOffset(
+      group: String,
+      topic: String,
+      partition: Int,
+      committedOffset: Long,
+      leaderEpoch: Int,
+      metadata: String
+  )
+
+  /** Transaction state machine states
+    * (reference `nisshi-storage/src/lib.rs:1288-1341`).
+    */
+  object TxnState extends Enumeration {
+    val Begin, PrepareCommit, PrepareAbort, Committed, Aborted = Value
+  }
+
+  /** An open/closed transaction's offset range in one partition — used for
+    * read_committed filtering and aborted-transaction reporting
+    * (reference `sql/txn_produce_offset_select_overlapping_txn.sql`).
+    */
+  final case class TxnRange(
+      producerId: Long,
+      topic: String,
+      partition: Int,
+      offsetStart: Long,
+      offsetEnd: Long,
+      state: TxnState.Value
+  )
+
+  /** Canonical record-log schema (SURVEY §1.4). */
+  val logSchema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("headers", MapType(StringType, BinaryType), nullable = true),
+    StructField("producer_id", LongType, nullable = false),
+    StructField("producer_epoch", IntegerType, nullable = false),
+    StructField("base_sequence", IntegerType, nullable = false),
+    StructField("is_control", BooleanType, nullable = false)
+  ))
+
+  /** Kafka error codes used by the storage layer (subset; reference
+    * `nisshi-sans-io` error enum).
+    */
+  object ErrorCode {
+    val None = 0
+    val OffsetOutOfRange = 1
+    val InvalidRecord = 87
+    val ProducerFenced = 90
+    val OutOfOrderSequenceNumber = 45
+    val DuplicateSequenceNumber = 46
+    val UnknownTopicOrPartition = 3
+  }
+
+  /** Topic configuration keys honoured by the engine (reference
+    * `nisshi-schema/src/lake/delta.rs:210-291` `tansu.lake.*`).
+    */
+  object ConfigKey {
+    val CleanupPolicy = "cleanup.policy"       // delete | compact | compact,delete
+    val RetentionMs = "retention.ms"
+    val LakePartition = "lake.partition"       // comma-separated partition cols
+    val LakeZOrder = "lake.z_order"
+    val LakeNormalize = "lake.normalize"       // flatten nested structs
+    val LakeSink = "lake.sink"                 // lake-only topic (no log objects)
+    val GeneratedPrefix = "lake.param.generated." // generated-column SQL exprs
+  }
+}

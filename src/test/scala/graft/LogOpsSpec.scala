@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LogOps
+
+class LogOpsSpec extends SparkSpec {
+
+  private lazy val log = Tables.log(spark, sf).cache()
+
+  test("watermarks: low <= high, counts sum to table size") {
+    val wm = LogOps.watermarks(log).collect()
+    assert(wm.length === Tables.LogPartitions)
+    wm.foreach { r =>
+      assert(r.getAs[Long]("low_watermark") < r.getAs[Long]("high_watermark"))
+    }
+    assert(wm.map(_.getAs[Long]("record_count")).sum === log.count())
+  }
+
+  test("fetchRange honours [fetchOffset, hw)") {
+    val out = LogOps.fetchRange(log, 10, 20)
+    val offs = out.select("offset").as[Long](spark.implicits.newLongEncoder).collect()
+    assert(offs.forall(o => o >= 10 && o < 20))
+    assert(offs.length === 10)
+  }
+
+  test("fetchWithByteBudget always returns at least one record per partition") {
+    val out = LogOps.fetchWithByteBudget(log, 0, 1)
+    val perPart = out.groupBy("partition").count().collect()
+    assert(perPart.length === Tables.LogPartitions)
+    perPart.foreach(r => assert(r.getAs[Long]("count") === 1))
+  }
+
+  test("compact keeps exactly one record per (partition,key), the latest") {
+    val out = LogOps.compact(log).cache()
+    val dupKeys = out.groupBy("partition", "key").count().filter(col("count") > 1)
+    assert(dupKeys.count() === 0)
+    // the kept offset is the max offset for that key
+    val expect = log.groupBy("partition", "key").agg(max("offset").as("offset"))
+    assert(out.select("partition", "key", "offset")
+      .exceptAll(expect).count() === 0)
+  }
+
+  test("duplicateSequences flags only repeats") {
+    val withProducer = log
+      .withColumn("producer_id", col("key") % 4)
+      .withColumn("producer_epoch", lit(0))
+      .withColumn("base_sequence", (col("offset") % 97).cast("int"))
+    val dups = LogOps.duplicateSequences(withProducer)
+    assert(dups.filter(col("dup_rank") <= 1).count() === 0)
+  }
+
+  test("readCommitted filters aborted ranges") {
+    import spark.implicits._
+    val txns = Seq(("events", 0, 0L, 100L, "Aborted"), ("events", 1, 0L, 50L, "Committed"))
+      .toDF("topic", "partition", "offset_start", "offset_end", "state")
+    val out = LogOps.readCommitted(log, txns)
+    // partition 0 offsets <= 100 removed; partition 1 untouched
+    assert(out.filter(col("partition") === 0 && col("offset") <= 100).count() === 0)
+    assert(out.filter(col("partition") === 1).count() ===
+      log.filter(col("partition") === 1).count())
+  }
+}
