@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries (dedup / similarity / text analysis)
+  * with DuckDB oracle SQL. Hashing is the shared 60-bit truncated md5 so
+  * both engines compute identical integers; vector math is fixed-point
+  * (see [[Similarity]]).
+  */
+object TrainingQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Exact dedup groups by content hash. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir))
+      .select("content_hash", "n_copies", "canonical_id")
+
+  /** MinHash(8 hashes, 3-shingles) + LSH (4 bands of 2) candidate pairs. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(docs(s, dir), numHashes = 8, shingleN = 3)
+    Dedup.lshCandidatePairs(sig, numHashes = 8, rowsPerBand = 2)
+  }
+
+  /** SimHash(32-bit) near-dup pairs: Hamming <= 2, blocked on the top 4
+    * sketch bits so the candidate join is an equi-join (the scale path).
+    */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(docs(s, dir)), maxHamming = 2, blockBits = 4)
+
+  /** Word-bigram Jaccard pairs >= 0.3 via inverted-index join. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), n = 2, minJaccard = 0.3)
+
+  /** Brute-force cosine top-10 against vec_id=0. */
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(embs(s, dir), queryId = 0L, k = 10)
+
+  /** IVF-style bucketed ANN: top-5 within the query's sign-bit cell. */
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.annBucketed(embs(s, dir), queryId = 0L, k = 5, bits = 3)
+
+  /** Per-document statistics. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(docs(s, dir))
+      .select("doc_id", "n_chars_m", "n_tokens", "n_punct", "n_stopwords",
+        "avg_token_len_e2")
+
+  /** Language-ID by marker voting. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(s, dir))
+      .select("doc_id", "lang", "score_en", "score_de", "predicted_lang")
+
+  /** Quality scoring + keep decision. */
+  def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("keep").cast("int").as("keep"))
+
+  /** Min-hash fingerprints over 3-shingles. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(s, dir))
+      .select("doc_id", "fp_min", "fp_max", "fp_first", "n_shingles")
+
+  /** Subword (BPE-proxy) token counts. */
+  def qSubwordTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.subwordTokenCount(docs(s, dir))
+      .select("doc_id", "n_subword_tokens")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_knn_brute" -> (qKnnBrute _),
+    "q_knn_ivf" -> (qKnnIvf _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_subword_tokens" -> (qSubwordTokens _)
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB 60-bit md5 hash of a SQL string expression. */
+  private def dh(e: String) =
+    s"CAST(('0x' || substring(md5($e),1,15)) AS BIGINT)"
+
+  /** Shared CTE: word tokens and 3-shingles per doc. */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM toks)
+      |""".stripMargin
+
+  private val minhashOracle: String = {
+    val mins = (0 until 8)
+      .map(k => s"min(${dh(s"'$k|' || sh")}) AS mh$k").mkString(",\n    ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_idx, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""${shingleCte.trim},
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |WHERE a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val votes = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h32 >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val sketch = (0 until 32)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${dh("w")} % 4294967296 AS h32 FROM words),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |sk AS (
+       |  SELECT doc_id, CAST($sketch AS BIGINT) AS simhash,
+       |    CAST($sketch AS BIGINT) >> 28 AS blk
+       |  FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sk a JOIN sk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+  }
+
+  private val ngramOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM toks),
+      |sizes AS (
+      |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common, sa.n_grams AS size_a, sb.n_grams AS size_b,
+      |  (n_common * 10000) // (sa.n_grams + sb.n_grams - n_common) AS jaccard1e4
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE (n_common * 10000) // (sa.n_grams + sb.n_grams - n_common) >= 3000""".stripMargin
+
+  /** Quantized-vector CTE for the knn oracles. */
+  private val quantCte =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qe
+      |  FROM embeddings)
+      |""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1])) AS BIGINT)"
+
+  private val knnBruteOracle: String =
+    s"""${quantCte.trim},
+       |q AS (SELECT qe AS query_qe FROM e WHERE vec_id = 0),
+       |d AS (
+       |  SELECT vec_id, label,
+       |    ${dotSql("qe", "query_qe")} AS dot,
+       |    ${dotSql("qe", "qe")} AS na,
+       |    ${dotSql("query_qe", "query_qe")} AS nb
+       |  FROM e CROSS JOIN q WHERE vec_id != 0)
+       |SELECT vec_id, label,
+       |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r
+       |FROM d ORDER BY cosine_r DESC, vec_id LIMIT 10""".stripMargin
+
+  private val knnIvfOracle: String = {
+    val cell = (0 until 3)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qe,
+       |    CAST($cell AS BIGINT) AS cell
+       |  FROM embeddings),
+       |q AS (SELECT qe AS query_qe, cell AS q_cell FROM e WHERE vec_id = 0),
+       |d AS (
+       |  SELECT vec_id, cell,
+       |    ${dotSql("qe", "query_qe")} AS dot,
+       |    ${dotSql("qe", "qe")} AS na,
+       |    ${dotSql("query_qe", "query_qe")} AS nb
+       |  FROM e CROSS JOIN q WHERE vec_id != 0 AND cell = q_cell)
+       |SELECT vec_id, cell,
+       |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r
+       |FROM d ORDER BY cosine_r DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  private val langIdOracle: String = {
+    val markers = TextAnalysis.langMarkers
+    val scores = markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseChain = langs.map { lang =>
+      val geAll = langs.filter(_ != lang)
+        .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"WHEN score_$lang > 0 AND $geAll THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id, lang, score_en, score_de,
+       |  CASE
+       |    $caseChain
+       |    ELSE 'und' END AS predicted_lang
+       |FROM scored""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_ngram" -> ngramOracle,
+    "q_knn_brute" -> knnBruteOracle,
+    "q_knn_ivf" -> knnIvfOracle,
+    "q_lang_id" -> langIdOracle,
+
+    "q_text_stats" ->
+      """SELECT doc_id, strlen(text) AS n_chars_m,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords,
+        |  (strlen(text) - len(string_split(text, ' ')) + 1) * 100
+        |    // len(string_split(text, ' ')) AS avg_token_len_e2
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, strlen(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    (CASE WHEN n_chars_m BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) AS quality
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality,
+        |  CASE WHEN quality >= 3 THEN 1 ELSE 0 END AS keep
+        |FROM q""".stripMargin,
+
+    "q_fingerprint" -> (shingleCte +
+      s"""SELECT doc_id,
+         |  min(${dh("sh")}) AS fp_min,
+         |  max(${dh("sh")}) AS fp_max,
+         |  arg_min(${dh("sh")}, sh) AS fp_first,
+         |  count(*) AS n_shingles
+         |FROM sh GROUP BY doc_id""".stripMargin),
+
+    "q_subword_tokens" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> 1 + strlen(w) // 4)) AS BIGINT) AS n_subword_tokens
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * All hashing is built on a 60-bit truncated md5 (`h60`) so results are
+  * deterministic, engine-independent, and reproducible in the DuckDB
+  * oracle. At 100 TB each stage is a narrow shuffle on (hash/band) keys:
+  * - exact: one hash-aggregate on the content hash
+  * - MinHash LSH: explode shingles → per-doc signature aggregate →
+  *   band-key self-join (the join key is the band hash, so co-occurring
+  *   docs land in the same shuffle partition; no all-pairs blow-up)
+  * - SimHash: per-doc 32-bit sketch, candidate pairs via band-prefix join
+  * - n-gram Jaccard: explode distinct n-grams → equi-join on the n-gram
+  *   (inverted-index join, linear in posting-list sizes)
+  */
+object Dedup {
+
+  /** 60-bit hash of a string column: lower 15 hex chars of md5. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Salted hash family for MinHash: h_k(s) = h60(k || '|' || s). */
+  def h60Salted(k: Int, c: Column): Column =
+    h60(concat(lit(k.toString), lit("|"), c))
+
+  /** Word tokens (single-space split — documents are pre-normalized). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word w-shingles as strings ("w1 w2 w3" for n=3). Empty array when the
+    * doc has fewer than n words (sequence(0,-1) would count *down* in Spark,
+    * so that case is explicit).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Exact dedup via content hash-groupBy: one row per distinct content,
+    * canonical id = min doc id. A single hash aggregate — at 100 TB this
+    * is the cheapest possible dedup (map-side partial agg on the hash).
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("canonical_id"))
+
+  /** MinHash signature: k independent min-hashes over word n-shingles.
+    * One explode + one aggregate; signature is k columns `mh0..mh{k-1}`.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int, shingleN: Int,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val aggs = (0 until numHashes).map(k => min(h60Salted(k, col("sh"))).as(s"mh$k"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (rowsPerBand hashes per band),
+    * self-join docs sharing any band bucket. Returns distinct (doc_a, doc_b)
+    * with doc_a < doc_b. The join is an equi-join on (band_idx, band_key) —
+    * shuffle-partitionable, no cartesian product.
+    */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandKey = (b: Int) =>
+      concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    val bands = signatures.select(
+      col(idCol),
+      posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("band_idx", "band_key")))
+    val a = bands.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 32-bit SimHash over the word multiset: bit j of the sketch is set iff
+    * the sum over words of (bit j of h32(word) ? +1 : -1) is positive.
+    * Single explode + 32-column aggregate — one shuffle on doc id.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .withColumn("h32", pmod(h60(col("w")), lit(4294967296L)))
+    val bitVotes = (0 until 32).map { j =>
+      sum(when(shiftright(col("h32"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val votes = words.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val sketch = (0 until 32)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxHamming.
+    * Candidate generation uses band-prefix blocking (the top `blockBits`
+    * bits must agree) so the join is an equi-join, not a cross-join —
+    * this is what survives 100×: only same-block pairs shuffle together.
+    * With blockBits=0 it degrades to the exact all-pairs comparison.
+    */
+  def simhashPairs(sketches: DataFrame, maxHamming: Int, blockBits: Int = 0,
+                   idCol: String = "doc_id"): DataFrame = {
+    val a = sketches.select(col(idCol).as("doc_a"), col("simhash").as("sim_a"))
+    val b = sketches.select(col(idCol).as("doc_b"), col("simhash").as("sim_b"))
+    val joined =
+      if (blockBits > 0) {
+        val block = (c: Column) => shiftright(c, 32 - blockBits)
+        a.withColumn("blk", block(col("sim_a")))
+          .join(b.withColumn("blk", block(col("sim_b"))), "blk")
+      } else a.crossJoin(b)
+    joined
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** N-gram Jaccard similarity via inverted-index join: explode distinct
+    * word n-grams, equi-join on the n-gram, jaccard = |A∩B|/(|A|+|B|-|A∩B|).
+    * Emits pairs with jaccard >= minJaccard (scaled by 10^4 as an exact
+    * integer to stay engine-deterministic).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col(idCol).as("doc_a"), col("g"))
+    val b = grams.select(col(idCol).as("doc_b"), col("g"))
+    val inter = a.join(b, "g").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "size_b"), "doc_b")
+      .withColumn("jaccard1e4",
+        // long DIV long: exact integer arithmetic, identical in DuckDB (//)
+        expr("(n_common * 10000) DIV (size_a + size_b - n_common)"))
+      .filter(col("jaccard1e4") >= (minJaccard * 10000).toLong)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard1e4")
+  }
+}

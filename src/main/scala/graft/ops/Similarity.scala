@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Numeric determinism: embeddings are quantized to fixed-point longs
+  * (floor(x * 1e7)) before the dot product, so the sum is exact integer
+  * arithmetic — identical across engines and across partition orders.
+  * The final cosine is one double division/sqrt over exact integers,
+  * which IEEE-754 rounds identically everywhere.
+  *
+  * Scale path: brute force is O(N) per query with a single pass and no
+  * shuffle (the query vector broadcasts); the bucketed variant prunes to
+  * one coarse cell, which is the IVF pattern — at 100 TB the cell id is a
+  * partition column so the scan prunes to one directory.
+  */
+object Similarity {
+
+  /** Quantize a float-array column to fixed-point longs (1e7 scale). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 10000000d).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity between quantized vectors, as double. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      sqrt(dotQ(a, a).cast("double") * dotQ(b, b).cast("double"))
+
+  /** Brute-force top-k by cosine against the vector of `queryId`.
+    * The 1-row query side broadcasts; one scan, no shuffle until the
+    * final top-k (which is a TakeOrdered, not a sort).
+    */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(quantize(col(embCol)).as("q_emb"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineQ(quantize(col(embCol)), col("q_emb")))
+      .select(col(idCol), col("label"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("cosine_r").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Coarse cell id for IVF-style bucketing: sign bits of the first
+    * `bits` dimensions (a deterministic stand-in for trained centroids —
+    * the plumbing, partition pruning and join shape are identical).
+    */
+  def signBucket(emb: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** IVF-style ANN: restrict the scan to the query's coarse cell, then
+    * exact cosine within the cell. At scale the cell id is a partition
+    * column → the scan reads 1/2^bits of the data.
+    */
+  def annBucketed(embeddings: DataFrame, queryId: Long, k: Int, bits: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val withCell = embeddings.withColumn("cell", signBucket(col(embCol), bits))
+    val q = withCell.filter(col(idCol) === queryId)
+      .select(quantize(col(embCol)).as("q_emb"), col("cell").as("q_cell"))
+    withCell.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(col("cell") === col("q_cell"))
+      .withColumn("cosine", cosineQ(quantize(col(embCol)), col("q_emb")))
+      .select(col(idCol), col("cell"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("cosine_r").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine >= minCosine,
+    * blocked by coarse cell (equi-join, not cartesian).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double, bits: Int,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val withCell = embeddings
+      .select(col(idCol), quantize(col(embCol)).as("qe"),
+        signBucket(col(embCol), bits).as("cell"))
+    val a = withCell.select(col(idCol).as("id_a"), col("qe").as("qe_a"), col("cell"))
+    val b = withCell.select(col(idCol).as("id_b"), col("qe").as("qe_b"), col("cell"))
+    a.join(b, "cell").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineQ(col("qe_a"), col("qe_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cell"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * All are narrow per-row transforms (no shuffle) — at 100 TB they run
+  * entirely map-side inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Language marker words (tiny stopword profiles). Deterministic
+    * argmax with fixed precedence order on ties.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  private def markerHits(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => w.isin(markers.map(_.asInstanceOf[Any]): _*)))
+
+  /** Per-document statistics: char/token counts, punctuation count,
+    * stopword count, average token length (scaled integer).
+    */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = toks(t)
+    docs
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(words))
+      .withColumn("n_punct",
+        length(t) - length(regexp_replace(t, "[.,;:!?]", "")))
+      .withColumn("n_stopwords", markerHits(words, langMarkers.head._2))
+      .withColumn("avg_token_len_e2",
+        expr(s"(length($textCol) - size(split($textCol, ' ')) + 1) * 100 DIV size(split($textCol, ' '))"))
+  }
+
+  /** Quality score 0..4: one point each for length in range, token count
+    * in range, low punctuation, stopword presence (exact integer rules —
+    * reproducible and cheap; mirrors ratio-based quality filters).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    stats(docs, textCol)
+      .withColumn("quality",
+        when(col("n_chars_m").between(100, 2000), 1).otherwise(0) +
+        when(col("n_tokens").between(20, 500), 1).otherwise(0) +
+        when(col("n_punct") * 10 <= col("n_tokens"), 1).otherwise(0) +
+        when(col("n_stopwords") > 0, 1).otherwise(0))
+      .withColumn("keep", col("quality") >= 3)
+
+  /** Language-ID by marker-word voting: per-language hit counts,
+    * deterministic argmax (strict > chain, earlier language wins ties).
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = toks(col(textCol))
+    val scored = langMarkers.foldLeft(docs) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", markerHits(words, markers))
+    }
+    val best = langMarkers.map(_._1).foldRight(lit("und")) { case (lang, rest) =>
+      val isMax = langMarkers.map(_._1).filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", best)
+  }
+
+  /** Document fingerprints: 60-bit content min-hash over word 3-shingles
+    * (rolling-hash-style) + first/last shingle hashes. Groupable for
+    * near-dup clustering; one explode + aggregate.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol), explode(Dedup.shingles(col(textCol), 3)).as("sh"))
+      .withColumn("h", Dedup.h60(col("sh")))
+    sh.groupBy(col(idCol)).agg(
+      min(col("h")).as("fp_min"),
+      max(col("h")).as("fp_max"),
+      min_by(col("h"), col("sh")).as("fp_first"),
+      count(lit(1)).as("n_shingles"))
+  }
+
+  /** BPE-ish subword token count: whitespace tokens plus an extra token
+    * per 4 chars of long words (cheap deterministic proxy for subword
+    * tokenizers — counts how a BPE vocab would split rare long words).
+    */
+  def subwordTokenCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("n_subword_tokens",
+      expr(s"""aggregate(split($textCol, ' '),
+              |0L,
+              |(acc, w) -> acc + 1L + CAST(length(w) DIV 4 AS LONG))""".stripMargin))
+}
