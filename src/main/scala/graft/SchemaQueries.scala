@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.Lake
+import graft.operators.LogOps
+import graft.schema.JsonSchema
+
+/** Schema-validation, lake-materialization and window/streaming-analog
+  * queries with DuckDB oracles (SURVEY §2: P6, F4, F5, F6, W-series,
+  * J5/J6, T7 analog).
+  */
+object SchemaQueries {
+
+  /** Inline JSON Schema for events.props ({"k": int}), with max 90 so a
+    * fraction of records fails (exercises the reject path).
+    */
+  private val propsSchema =
+    """{"type":"object","properties":{
+      |  "k":{"type":"integer","minimum":0,"maximum":90}},
+      |"required":["k"]}""".stripMargin
+
+  /** P6 — schema-validation predicate over the value column, counts per
+    * event_type (reference `nisshi-schema/src/json.rs:59-128`).
+    */
+  def qValidateJson(s: SparkSession, dir: String): DataFrame = {
+    val compiled = JsonSchema.compile(propsSchema)
+    Tables.log(s, dir)
+      .withColumn("ok", compiled.isValid(col("value")))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_invalid"))
+  }
+
+  /** F4 — meta columns (partition/year/month/day) + per-day counts. */
+  def qMetaColumns(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.log(s, dir)
+    Lake.withMeta(log, col("partition"), col("timestamp"))
+      .groupBy(col("meta.year").as("y"), col("meta.month").as("m"),
+        col("meta.day").as("d"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F5 — generated columns from SQL exprs (struct dot access included). */
+  def qGeneratedCols(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.log(s, dir)
+    val withMeta = Lake.withMeta(log, col("partition"), col("timestamp"))
+    Lake.withGenerated(withMeta, Map(
+      "event_date" -> "cast(cast(meta.timestamp as date) as string)",
+      "metric_bucket" -> "cast(floor(metric / 50) as long)"))
+      .groupBy(col("event_date"), col("metric_bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F6 — normalize/flatten: JSON value -> struct -> flat columns. */
+  def qFlatten(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.log(s, dir)
+    val parsed = log.select(col("offset"),
+      from_json(col("value"), StructType(Seq(StructField("k", LongType)))).as("v"))
+    Lake.normalize(parsed, "_")
+      .select(col("offset"), col("v_k"))
+  }
+
+  /** W — rank/dense_rank/lag over suppliers per nation (total order on
+    * (acctbal desc, suppkey) so lag is deterministic).
+    */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(s, dir, "supplier")
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    sup.select(
+      col("s_suppkey"), col("s_nationkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      lag(col("s_suppkey"), 1).over(w).as("prev_suppkey"))
+  }
+
+  /** T-analog — tumbling 1-hour event-time windows per event_type (the
+    * batch shape of the streaming windowed aggregation).
+    */
+  def qTumblingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.log(s, dir)
+      .groupBy(date_trunc("hour", col("timestamp")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("metric").cast("decimal(18,2)")).cast("double").as("sum_metric"))
+      .select(unix_micros(col("h")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_metric"))
+
+  /** J5/T7 — retention sweep vs per-"topic" config (event_type plays the
+    * topic role; fixed `now` for determinism).
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = Seq(
+      ("click", 30L * 24 * 3600 * 1000, "delete"),
+      ("purchase", 365L * 24 * 3600 * 1000, "delete"),
+      ("signup", 365L * 24 * 3600 * 1000, "compact"),
+      ("error", 7L * 24 * 3600 * 1000, "delete"),
+      ("view", 14L * 24 * 3600 * 1000, "delete"))
+      .toDF("topic", "retention_ms", "cleanup_policy")
+    val log = Tables.log(s, dir).withColumn("topic", col("event_type"))
+    val now = lit("2024-03-01 00:00:00").cast("timestamp")
+    LogOps.applyRetention(log, cfg, now)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_kept"), max(col("offset")).as("max_offset"))
+  }
+
+  /** J6 — consumer lag: committed offsets joined with live watermarks. */
+  def qGroupLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val offsets = (0 until Tables.LogPartitions)
+      .map(p => ("events", p, 500L + p * 100L)).toDF("topic", "partition", "committed_offset")
+    LogOps.groupLag(Tables.log(s, dir), offsets)
+      .select(col("partition"), col("committed_offset"),
+        col("high_watermark"), col("lag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validate_json" -> (qValidateJson _),
+    "q_meta_columns" -> (qMetaColumns _),
+    "q_generated_cols" -> (qGeneratedCols _),
+    "q_flatten" -> (qFlatten _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_tumbling_hourly" -> (qTumblingHourly _),
+    "q_retention" -> (qRetention _),
+    "q_group_lag" -> (qGroupLag _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_validate_json" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    (json_extract_string(props, '$.k') IS NOT NULL
+        |     AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+        |     AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 0
+        |     AND CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 90) AS ok
+        |  FROM events)
+        |SELECT event_type,
+        |  SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
+        |  SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS n_invalid
+        |FROM v GROUP BY event_type""".stripMargin,
+
+    "q_meta_columns" ->
+      """SELECT year(CAST(ts AS TIMESTAMP)) AS y,
+        |  month(CAST(ts AS TIMESTAMP)) AS m,
+        |  day(CAST(ts AS TIMESTAMP)) AS d, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_generated_cols" ->
+      """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS event_date,
+        |  CAST(floor("value" / 50) AS BIGINT) AS metric_bucket, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_flatten" ->
+      """SELECT event_id AS "offset",
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS v_k
+        |FROM events""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  lag(s_suppkey, 1) OVER w AS prev_suppkey
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey)""".stripMargin,
+
+    "q_tumbling_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_retention" ->
+      """WITH cfg AS (
+        |  SELECT * FROM (VALUES
+        |    ('click', 2592000000, 'delete'),
+        |    ('purchase', 31536000000, 'delete'),
+        |    ('signup', 31536000000, 'compact'),
+        |    ('error', 604800000, 'delete'),
+        |    ('view', 1209600000, 'delete'))
+        |    AS t(topic, retention_ms, cleanup_policy)),
+        |log AS (
+        |  SELECT event_type AS topic, event_id AS "offset",
+        |    CAST(ts AS TIMESTAMP) AS "timestamp" FROM events)
+        |SELECT l.topic, count(*) AS n_kept, max("offset") AS max_offset
+        |FROM log l JOIN cfg c ON l.topic = c.topic
+        |WHERE NOT contains(c.cleanup_policy, 'delete')
+        |   OR epoch_us("timestamp") >= epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+        |      - c.retention_ms * 1000
+        |GROUP BY l.topic""".stripMargin,
+
+    "q_group_lag" ->
+      """WITH offs AS (
+        |  SELECT * FROM (VALUES (0, 500), (1, 600), (2, 700), (3, 800),
+        |    (4, 900), (5, 1000), (6, 1100), (7, 1200))
+        |    AS t("partition", committed_offset)),
+        |wm AS (
+        |  SELECT event_id % 8 AS "partition",
+        |    max(event_id) + 1 AS high_watermark
+        |  FROM events GROUP BY 1)
+        |SELECT wm."partition", CAST(committed_offset AS BIGINT) AS committed_offset,
+        |  high_watermark, high_watermark - committed_offset AS lag
+        |FROM wm JOIN offs ON wm."partition" = offs."partition"""".stripMargin
+  )
+}

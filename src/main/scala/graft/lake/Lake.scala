@@ -1,0 +1,130 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Lake materialization: schema-backed topic records → typed analytic
+  * tables, Spark-first.
+  *
+  * Reference: `nisshi-schema/src/lake.rs:135-150` (`LakeHouse` trait with
+  * Delta/Iceberg/Parquet impls). Here the Parquet path is fully native;
+  * Delta/Iceberg become `df.write.format(...)` plugs when those jars are
+  * on the classpath (format is a parameter, nothing else changes).
+  *
+  * Scale notes: tables are written `partitionBy(partitionCols)` so scans
+  * prune directories; `zorderBy` gives multi-column data clustering via
+  * bit-interleaving so min/max row-group stats skip files on either key;
+  * maintenance compaction bin-packs small files (the OPTIMIZE Compact
+  * analog, reference `lake/delta.rs:577-622`).
+  */
+object Lake {
+
+  /** Meta struct injected next to key/value (reference
+    * `nisshi-schema/src/meta.avsc`, injected `avro.rs:83-104`): partition,
+    * timestamp, year, month, day.
+    */
+  def withMeta(df: DataFrame, partition: Column, ts: Column): DataFrame =
+    df.withColumn("meta", struct(
+      partition.cast("int").as("partition"),
+      ts.as("timestamp"),
+      year(ts).as("year"),
+      month(ts).as("month"),
+      dayofmonth(ts).as("day")))
+
+  /** Struct flatten ("normalize", reference Arrow
+    * `RecordBatch::normalize` via `tansu.lake.normalize=true`,
+    * `lake/delta.rs:274-291`): `a.b.c` → `a<sep>b<sep>c`, recursive.
+    */
+  def normalize(df: DataFrame, sep: String = "."): DataFrame = {
+    def expand(schema: StructType, prefix: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val path = prefix :+ f.name
+        f.dataType match {
+          case s: StructType => expand(s, path)
+          case _ =>
+            Seq(col(path.map(p => s"`$p`").mkString(".")).as(path.mkString(sep)))
+        }
+      }
+    df.select(expand(df.schema, Nil): _*)
+  }
+
+  /** Generated columns from SQL expressions (reference
+    * `tansu.lake.param.generated.<col>` evaluated by DataFusion,
+    * `lake/delta.rs:385-455`). Catalyst parses the same expressions
+    * natively — `expr(sql)` — including struct dot-access, so the
+    * reference's dot→bracket rewrite (`delta.rs:393-401`) is unneeded.
+    */
+  def withGenerated(df: DataFrame, generated: Map[String, String]): DataFrame =
+    generated.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      d.withColumn(name, expr(sql))
+    }
+
+  /** Additive schema migration (reference `migrate_schema`,
+    * `lake/delta.rs:624-668` and SO3 column diff): columns the table has
+    * but the batch lacks are added as nulls; brand-new batch columns are
+    * kept (parquet mergeSchema reconciles on read). Returns the aligned
+    * batch.
+    */
+  def alignSchema(batch: DataFrame, tableSchema: StructType): DataFrame = {
+    val have = batch.schema.fieldNames.toSet
+    val missing: Seq[StructField] = tableSchema.fields.toSeq.filterNot(f => have.contains(f.name))
+    missing.foldLeft(batch) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+  }
+
+  /** Z-order clustering key: interleave the bits of each column's
+    * rank (computed via ntile over 2^bitsPerCol buckets). Sorting by the
+    * interleaved key co-locates rows close in ALL dimensions, so parquet
+    * min/max stats prune on any of the z-order columns — the
+    * OPTIMIZE ZORDER analog (reference `lake/delta.rs:577-622`,
+    * `tansu.lake.z_order`).
+    */
+  def zorderKey(cols: Seq[Column], bitsPerCol: Int = 8): Column = {
+    val buckets = 1 << bitsPerCol
+    val ranked = cols.map(c => ntile(buckets).over(Window.orderBy(c)) - 1)
+    // interleave: bit j of column i goes to position j*numCols+i
+    val n = cols.length
+    ranked.zipWithIndex.map { case (r, i) =>
+      (0 until bitsPerCol).map { j =>
+        (shiftright(r, j).bitwiseAND(lit(1))).cast("long") * lit(1L << (j * n + i))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
+  /** Write a typed table partitioned by `partitionCols`
+    * (reference `tansu.lake.partition`, `delta.rs:228-230,315-340`).
+    */
+  def writeTable(df: DataFrame, path: String, partitionCols: Seq[String],
+                 format: String = "parquet", mode: String = "append"): Unit = {
+    val w = df.write.format(format).mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+  }
+
+  /** Maintenance: OPTIMIZE-compact analog — rewrite a table directory
+    * bin-packing to ~targetFileMB files, optionally Z-ordering within
+    * partitions (reference `maintain`, `lake.rs:228-253`).
+    */
+  def optimize(spark: SparkSession, path: String, partitionCols: Seq[String],
+               zorderCols: Seq[String] = Nil, targetFileMB: Int = 128): Unit = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    val sized = {
+      val bytes = df.inputFiles.length.toLong * 32L * 1024 * 1024 // rough est.
+      math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    }
+    val clustered =
+      if (zorderCols.nonEmpty)
+        df.withColumn("__z", zorderKey(zorderCols.map(col)))
+          .repartitionByRange(sized, col("__z")).drop("__z")
+      else df.repartition(sized)
+    val tmp = path + "__optimizing"
+    writeTable(clustered, tmp, partitionCols, mode = "overwrite")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.schema
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON Schema subset: structural mapping to Spark types plus a
+  * constraint validator compiled to a Catalyst predicate Column.
+  *
+  * Reference behavior: `nisshi-schema/src/json.rs:59-128` validates each
+  * record against the registry schema and rejects the batch with
+  * INVALID_RECORD; `nisshi-schema/src/json/arrow.rs:87-121` infers Arrow
+  * types from instance values. Here the schema itself drives the Spark
+  * type (declarative > instance-driven where the schema declares types),
+  * and the constraint subset (type / required / pattern / minimum /
+  * maximum / enum) compiles to a single boolean expression evaluated
+  * inside codegen — no per-row UDF interpreter at 100 TB.
+  */
+object JsonSchema {
+
+  final case class Compiled(schema: StructType, isValid: Column => Column)
+
+  /** Parse a JSON Schema document (subset) into Spark StructType +
+    * validator over a JSON-string column.
+    */
+  def compile(schemaJson: String): Compiled = {
+    val ast = JsonMethods.parse(schemaJson)
+    Compiled(toStruct(ast), c => validate(ast, c, "$"))
+  }
+
+  private def str(v: JValue): Option[String] = v match {
+    case JString(s) => Some(s)
+    case _ => None
+  }
+
+  /** Structural mapping (SURVEY §1.3 JSON table). */
+  def toDataType(ast: JValue): DataType = {
+    val tpe = str(ast \ "type").getOrElse("object")
+    tpe match {
+      case "null" => NullType
+      case "boolean" => BooleanType
+      case "integer" => LongType
+      case "number" => DoubleType
+      case "string" => StringType
+      case "array" => ArrayType(toDataType(ast \ "items"))
+      case "object" => toStruct(ast)
+      case _ => StringType
+    }
+  }
+
+  def toStruct(ast: JValue): StructType = {
+    val required: Set[String] = (ast \ "required") match {
+      case JArray(vs) => vs.flatMap(str).toSet
+      case _ => Set.empty
+    }
+    val fields = (ast \ "properties") match {
+      case JObject(props) =>
+        props.map { case (name, sub) =>
+          StructField(name, toDataType(sub), nullable = !required.contains(name))
+        }
+      case _ => Nil
+    }
+    StructType(fields)
+  }
+
+  /** Compile constraints to one predicate over a JSON string column.
+    * `path` is the JsonPath of the current node.
+    */
+  private def validate(ast: JValue, json: Column, path: String): Column = {
+    val tpe = str(ast \ "type").getOrElse("object")
+    val raw = get_json_object(json, path)
+    val typeOk: Column = tpe match {
+      case "integer" =>
+        raw.isNotNull && raw.rlike("^-?[0-9]+$")
+      case "number" =>
+        raw.isNotNull && raw.cast("double").isNotNull
+      case "string" => raw.isNotNull
+      case "boolean" => raw.isin("true", "false")
+      case "object" => raw.isNotNull
+      case _ => lit(true)
+    }
+    val constraints = Seq(
+      (ast \ "pattern") match {
+        case JString(p) => Some(raw.rlike(p))
+        case _ => None
+      },
+      (ast \ "minimum") match {
+        case JInt(m) => Some(raw.cast("double") >= m.toDouble)
+        case JDouble(m) => Some(raw.cast("double") >= m)
+        case _ => None
+      },
+      (ast \ "maximum") match {
+        case JInt(m) => Some(raw.cast("double") <= m.toDouble)
+        case JDouble(m) => Some(raw.cast("double") <= m)
+        case _ => None
+      },
+      (ast \ "enum") match {
+        case JArray(vs) =>
+          val opts = vs.flatMap(str)
+          if (opts.nonEmpty) Some(raw.isin(opts.map(_.asInstanceOf[Any]): _*)) else None
+        case _ => None
+      }
+    ).flatten
+    val childChecks: Seq[Column] = (ast \ "properties") match {
+      case JObject(props) =>
+        val required: Set[String] = (ast \ "required") match {
+          case JArray(vs) => vs.flatMap(str).toSet
+          case _ => Set.empty
+        }
+        props.map { case (name, sub) =>
+          val childPath = s"$path.$name"
+          val childRaw = get_json_object(json, childPath)
+          val present = childRaw.isNotNull
+          val requiredOk = if (required.contains(name)) present else lit(true)
+          requiredOk && (!present || validate(sub, json, childPath))
+        }
+      case _ => Nil
+    }
+    (Seq(typeOk) ++ constraints ++ childChecks).reduce(_ && _)
+  }
+}

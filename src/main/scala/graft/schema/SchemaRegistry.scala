@@ -1,0 +1,68 @@
+package graft.schema
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+
+/** Schema registry: per-topic schema files `<topic>.{avsc,json,proto}`
+  * looked up in a directory, with a TTL cache.
+  *
+  * Reference: `nisshi-schema/src/lib.rs:491-570` (file/S3 registry with
+  * TTL cache); `docs/schema-registry.md:14-18`. Every schema exposes
+  * optional top-level `key` and `value` fields; the broker injects a
+  * `meta` struct (see [[graft.lake.Lake.withMeta]]).
+  *
+  * Proto support is declared but stubbed (no protobuf runtime in the
+  * build): the registry recognises `.proto` files and reports them as
+  * unsupported rather than silently ignoring the topic.
+  */
+final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
+                           clock: () => Long = () => System.currentTimeMillis()) {
+
+  sealed trait TopicSchema {
+    def valueType: StructType
+    /** Validation predicate over a JSON-string value column. */
+    def isValid(value: Column): Column
+  }
+  final case class JsonTopic(compiled: JsonSchema.Compiled) extends TopicSchema {
+    def valueType: StructType = compiled.schema
+    def isValid(value: Column): Column = compiled.isValid(value)
+  }
+  final case class AvroTopic(struct: StructType) extends TopicSchema {
+    def valueType: StructType = struct
+    def isValid(value: Column): Column = lit(true) // structural check at decode
+  }
+
+  private case class Entry(schema: Option[TopicSchema], loadedAt: Long)
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Entry]
+
+  /** Look up `<topic>.{json,avsc,proto}` (same precedence as the
+    * reference's registry scan). None = schemaless topic.
+    */
+  def lookup(topic: String): Option[TopicSchema] = {
+    cache.get(topic).filter(e => clock() - e.loadedAt < ttlMillis) match {
+      case Some(e) => e.schema
+      case None =>
+        val loaded = load(topic)
+        cache.put(topic, Entry(loaded, clock()))
+        loaded
+    }
+  }
+
+  private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
+
+  private def load(topic: String): Option[TopicSchema] = {
+    val json = Paths.get(root, s"$topic.json")
+    val avsc = Paths.get(root, s"$topic.avsc")
+    val proto = Paths.get(root, s"$topic.proto")
+    if (Files.exists(json)) Some(JsonTopic(JsonSchema.compile(read(json))))
+    else if (Files.exists(avsc)) Some(AvroTopic(AvroSchemas.toStructType(read(avsc))))
+    else if (Files.exists(proto))
+      throw new UnsupportedOperationException(
+        s"protobuf schema for topic '$topic' found but protobuf runtime is not available")
+    else None
+  }
+
+  def invalidate(topic: String): Unit = cache.remove(topic)
+}

@@ -1,0 +1,68 @@
+package graft.storage
+
+import org.apache.spark.sql.DataFrame
+import graft.model.Model._
+
+/** The engine's storage contract — Spark re-expression of the reference's
+  * `Storage` trait (36 async methods, `nisshi-storage/src/lib.rs:1344-1546`).
+  *
+  * Data-plane methods speak DataFrames; control-plane methods are
+  * driver-side. Semantics preserved:
+  *  - produce assigns contiguous offsets per topition via a watermark CAS
+  *    (`dynostore.rs:766-791`), rejects duplicate/out-of-order producer
+  *    sequences (`dynostore.rs:826-880`), validates against the schema
+  *    registry (`dynostore.rs:885-898`), and materializes schema-backed
+  *    topics to the lake
+  *  - fetch honours offset range, byte budget, and isolation level
+  *  - group state updates are CAS-versioned (`lib.rs:1472-1478`)
+  */
+trait Storage {
+
+  // -- topic lifecycle (reference lib.rs:1349-1368)
+  def createTopic(topic: String, partitions: Int,
+                  config: Map[String, String] = Map.empty): Unit
+  def deleteTopic(topic: String): Unit
+  def topics: Seq[String]
+  def topicConfig(topic: String): Map[String, String]
+
+  // -- produce / fetch (reference lib.rs:1370-1388)
+  /** Append a batch of records to one topition; returns the assigned base
+    * offset, or an ErrorCode on validation/sequence failure.
+    */
+  def produce(tp: Topition, batch: DataFrame,
+              producerId: Long = -1L, producerEpoch: Int = -1,
+              baseSequence: Int = -1): Either[Int, Long]
+
+  /** Records in [fetchOffset, visibility end) up to maxBytes, where the
+    * end is the high watermark (read_uncommitted) or last stable offset
+    * (read_committed) — reference `dynostore.rs:1037-1043`.
+    */
+  def fetch(tp: Topition, fetchOffset: Long, maxBytes: Long,
+            readCommitted: Boolean = false): DataFrame
+
+  // -- offsets (reference lib.rs:1390-1415)
+  def offsetStage(tp: Topition): OffsetStage
+  def listEarliestOffset(tp: Topition): Long
+  def listLatestOffset(tp: Topition): Long
+  def offsetForTimestamp(tp: Topition, tsMillis: Long): Option[Long]
+
+  // -- consumer groups (reference lib.rs:1399-1478)
+  def offsetCommit(group: String, tp: Topition, offset: Long): Unit
+  def offsetFetch(group: String, tp: Topition): Option[Long]
+  /** CAS update: succeeds only when expectedVersion matches; returns the
+    * new version, or None on conflict (caller refetches and retries) —
+    * the stateless-broker coordination primitive.
+    */
+  def updateGroup(group: String, state: String, expectedVersion: Long): Option[Long]
+  def groupState(group: String): Option[(String, Long)]
+
+  // -- transactions (reference lib.rs:1480-1517)
+  def initProducer(txnId: String): (Long, Int) // producer id, epoch
+  def txnBegin(producerId: Long, tp: Topition): Unit
+  def txnEnd(producerId: Long, commit: Boolean): Unit
+  def abortedTxns(tp: Topition, fromOffset: Long, toOffset: Long): Seq[TxnRange]
+
+  // -- maintenance (reference lib.rs maintain_* + policy SQL)
+  /** Apply retention + compaction per topic config; abort expired txns. */
+  def maintain(): Unit
+}

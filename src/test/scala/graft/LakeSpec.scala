@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.Lake
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withMeta injects partition/timestamp/year/month/day (F4)") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-03-05 10:00:00")))
+      .toDF("k", "ts")
+    val out = Lake.withMeta(df, lit(3), col("ts")).select("meta.*").head()
+    assert(out.getAs[Int]("partition") === 3)
+    assert(out.getAs[Int]("year") === 2024)
+    assert(out.getAs[Int]("month") === 3)
+    assert(out.getAs[Int]("day") === 5)
+  }
+
+  test("normalize flattens nested structs with separator (F6)") {
+    val df = Seq((1L, ("x", (2.5, "y")))).toDF("id", "a")
+      .select(col("id"), col("a._1").as("s"),
+        struct(col("a._2._1").as("f"), col("a._2._2").as("g")).as("n"))
+    val out = Lake.normalize(df.select(col("id"), struct(col("s"), col("n")).as("v")), "_")
+    assert(out.columns.toSeq === Seq("id", "v_s", "v_n_f", "v_n_g"))
+  }
+
+  test("withGenerated evaluates SQL exprs incl. struct dot access (F5)") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-03-05 10:00:00"), 12.3))
+      .toDF("ts", "v")
+      .select(struct(col("ts").as("timestamp")).as("meta"), col("v"))
+    val out = Lake.withGenerated(df, Map(
+      "date" -> "cast(meta.timestamp as date)",
+      "bucket" -> "cast(floor(v / 10) as int)"))
+    val r = out.head()
+    assert(r.getAs[java.sql.Date]("date").toString === "2024-03-05")
+    assert(r.getAs[Int]("bucket") === 1)
+  }
+
+  test("alignSchema adds missing table columns as nulls (SO3)") {
+    val batch = Seq((1L, "a")).toDF("id", "x")
+    val tableSchema = StructType(Seq(
+      StructField("id", LongType), StructField("x", StringType),
+      StructField("added_later", DoubleType)))
+    val out = Lake.alignSchema(batch, tableSchema)
+    assert(out.columns.contains("added_later"))
+    assert(out.head().isNullAt(out.columns.indexOf("added_later")))
+  }
+
+  test("zorderKey clusters both dimensions (T9)") {
+    val df = spark.range(256).select(
+      (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+    val keyed = df.withColumn("z", Lake.zorderKey(Seq(col("x"), col("y")), 4))
+      .orderBy("z").collect()
+    // points adjacent in z-order should be near in (x, y): max step bounded
+    val steps = keyed.sliding(2).map { w =>
+      math.abs(w(1).getAs[Long]("x") - w(0).getAs[Long]("x")) +
+        math.abs(w(1).getAs[Long]("y") - w(0).getAs[Long]("y"))
+    }.toSeq
+    // average step in manhattan distance stays small vs random ordering (~10)
+    assert(steps.sum.toDouble / steps.size < 4.0)
+  }
+}

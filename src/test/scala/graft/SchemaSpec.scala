@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema.{AvroSchemas, JsonSchema, SchemaRegistry}
+
+/** Mirrors the reference's schema golden tests
+  * (`nisshi-schema/src/avro.rs:702` key_only_invalid_record,
+  * `avro/arrow.rs:1364+` type-mapping assertions, `json.rs:59-128`
+  * constraint validation).
+  */
+class SchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    scala.io.Source.fromResource(s"schema/$name").mkString
+
+  test("JSON Schema: person value constraints accept/reject (P6)") {
+    val compiled = JsonSchema.compile(fixture("person.json"))
+    val rows = Seq(
+      // valid
+      """{"key":"ABC-123","value":{"firstName":"Ada","lastName":"L","age":36}}""",
+      // bad key pattern
+      """{"key":"nope","value":{"firstName":"Ada","lastName":"L"}}""",
+      // negative age (minimum 0)
+      """{"key":"ABC-123","value":{"firstName":"Ada","lastName":"L","age":-1}}""",
+      // missing required lastName
+      """{"key":"ABC-123","value":{"firstName":"Ada"}}""",
+      // missing required value entirely
+      """{"key":"ABC-123"}"""
+    ).toDF("json")
+    val out = rows.withColumn("ok", compiled.isValid(col("json")))
+      .collect().map(_.getAs[Boolean]("ok"))
+    assert(out === Array(true, false, false, false, false))
+  }
+
+  test("JSON Schema: structural mapping integer->Long, number->Double") {
+    val c = JsonSchema.compile(
+      """{"type":"object","properties":{"a":{"type":"integer"},
+        |"b":{"type":"number"},"c":{"type":"string"},
+        |"d":{"type":"array","items":{"type":"integer"}}}}""".stripMargin)
+    val f = c.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(f("a") === LongType)
+    assert(f("b") === DoubleType)
+    assert(f("c") === StringType)
+    assert(f("d") === ArrayType(LongType))
+  }
+
+  test("Avro: observation.avsc maps per reference avro/arrow.rs tables") {
+    val st = AvroSchemas.toStructType(fixture("observation.avsc"))
+    val value = st("value").dataType.asInstanceOf[StructType]
+    assert(st("key").dataType === StringType)            // uuid -> Utf8
+    assert(value("amount").dataType === DoubleType)
+    assert(value("unit").dataType === StringType)        // enum -> Utf8
+    assert(value("note").dataType === StringType)        // [null,string] -> nullable
+    assert(value("note").nullable)
+    assert(value("tags").dataType === ArrayType(StringType))
+    assert(value("attrs").dataType === MapType(StringType, LongType))
+    assert(value("when").dataType === TimestampType)
+    assert(value("day").dataType === DateType)
+    assert(value("amount_dec").dataType === DecimalType(10, 2))
+  }
+
+  test("Avro: general union becomes tagged struct of variants") {
+    val st = AvroSchemas.toStructType(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"u","type":["int","string"]}]}""".stripMargin)
+    val u = st("u").dataType.asInstanceOf[StructType]
+    assert(u.fieldNames.toSeq === Seq("tag", "member0", "member1"))
+    assert(u("member0").dataType === IntegerType)
+    assert(u("member1").dataType === StringType)
+  }
+
+  test("registry: lookup by extension precedence, TTL cache, proto stub") {
+    val dir = Files.createTempDir()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "person.json"), fixture("person.json"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "taxi.proto"), "syntax = \"proto3\";")
+    var now = 0L
+    val reg = new SchemaRegistry(dir.getPath, ttlMillis = 100, clock = () => now)
+    assert(reg.lookup("person").isDefined)
+    assert(reg.lookup("nosuch").isEmpty)
+    intercept[UnsupportedOperationException] { reg.lookup("taxi") }
+    // cache: delete file, still served until TTL expiry
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir.getPath, "person.json"))
+    assert(reg.lookup("person").isDefined)
+    now = 200L
+    assert(reg.lookup("person").isEmpty)
+  }
+
+  private object Files {
+    def createTempDir(): java.io.File = {
+      val f = java.nio.file.Files.createTempDirectory("graft-registry").toFile
+      f.deleteOnExit(); f
+    }
+  }
+}

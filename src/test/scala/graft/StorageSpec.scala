@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Model._
+import graft.storage.ParquetStorage
+import graft.schema.SchemaRegistry
+
+/** Mirrors the reference's per-API integration tests
+  * (the `nisshi-storage/tests` suite; idempotence cases
+  * `service/produce.rs:356-760`).
+  */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStorage(withRegistry: Boolean = false): (ParquetStorage, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-storage").toString
+    val reg = if (withRegistry) {
+      val rdir = java.nio.file.Files.createTempDirectory("graft-reg")
+      java.nio.file.Files.writeString(rdir.resolve("person.json"),
+        scala.io.Source.fromResource("schema/person.json").mkString)
+      Some(new SchemaRegistry(rdir.toString))
+    } else None
+    (new ParquetStorage(spark, root, reg), root)
+  }
+
+  private def batch(n: Int, from: Int = 0) =
+    (from until from + n).map(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0${i % 10}"),
+        s"k$i", s"""{"v":$i}""")).toSeq
+      .toDF("timestamp", "key", "value")
+
+  private val tp = Topition("t1", 0)
+
+  test("produce assigns contiguous offsets; fetch round-trips") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 2)
+    assert(st.produce(tp, batch(5)) === Right(0L))
+    assert(st.produce(tp, batch(3, 5)) === Right(5L))
+    assert(st.offsetStage(tp).highWatermark === 8L)
+    val rows = st.fetch(tp, 2, Long.MaxValue).orderBy("offset").collect()
+    assert(rows.map(_.getAs[Long]("offset")).toSeq === (2L to 7L))
+    // fetch respects byte budget: min one record
+    assert(st.fetch(tp, 0, 1).count() === 1)
+  }
+
+  test("idempotent producer: duplicate and out-of-order sequences rejected") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    assert(st.produce(tp, batch(5), producerId = 7, producerEpoch = 0,
+      baseSequence = 0).isRight)
+    // duplicate (same sequence again)
+    assert(st.produce(tp, batch(5), producerId = 7, producerEpoch = 0,
+      baseSequence = 0) === Left(ErrorCode.DuplicateSequenceNumber))
+    // gap (skipped ahead)
+    assert(st.produce(tp, batch(5), producerId = 7, producerEpoch = 0,
+      baseSequence = 99) === Left(ErrorCode.OutOfOrderSequenceNumber))
+    // correct next sequence accepted
+    assert(st.produce(tp, batch(5), producerId = 7, producerEpoch = 0,
+      baseSequence = 5).isRight)
+  }
+
+  test("schema-backed topic: invalid batch rejected, valid lands in lake") {
+    val (st, root) = newStorage(withRegistry = true)
+    st.createTopic("person", 1,
+      Map(ConfigKey.GeneratedPrefix + "day" -> "cast(meta.timestamp as date)"))
+    val ptp = Topition("person", 0)
+    val bad = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k",
+      """{"key":"ABC-123","value":{"firstName":"Ada"}}"""))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(ptp, bad) === Left(ErrorCode.InvalidRecord))
+    val good = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k",
+      """{"key":"ABC-123","value":{"firstName":"Ada","lastName":"L","age":3}}"""))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(ptp, good).isRight)
+    val lake = spark.read.parquet(s"$root/lake/person")
+    assert(lake.count() === 1)
+    assert(lake.columns.contains("meta"))
+    assert(lake.columns.contains("day")) // generated column
+    assert(lake.select("value_struct.value.firstName").head().getString(0) === "Ada")
+  }
+
+  test("group state CAS: stale version rejected (T11 substrate)") {
+    val (st, _) = newStorage()
+    assert(st.updateGroup("g", "Forming", -1) === Some(0L))
+    assert(st.updateGroup("g", "Formed", 0) === Some(1L))
+    // retry with stale version fails
+    assert(st.updateGroup("g", "Forming", 0) === None)
+    assert(st.groupState("g").map(_._2) === Some(1L))
+  }
+
+  test("offset commit/fetch per group") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    st.offsetCommit("g1", tp, 42)
+    assert(st.offsetFetch("g1", tp) === Some(42L))
+    assert(st.offsetFetch("g2", tp) === None)
+  }
+
+  test("transactions: aborted ranges filtered under read_committed (T5/J3/P8)") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    val (pid, _) = st.initProducer("tx-1")
+    assert(st.produce(tp, batch(3)).isRight) // committed data 0..2
+    st.txnBegin(pid, tp)
+    assert(st.produce(tp, batch(4), producerId = pid, producerEpoch = 0,
+      baseSequence = 0).isRight) // txn data 3..6
+    // open txn pins last stable at 3
+    assert(st.offsetStage(tp).lastStable === 3L)
+    assert(st.fetch(tp, 0, Long.MaxValue, readCommitted = true).count() === 3)
+    st.txnEnd(pid, commit = false)
+    val aborted = st.abortedTxns(tp, 0, Long.MaxValue)
+    assert(aborted.map(r => (r.offsetStart, r.offsetEnd)) === Seq((3L, 6L)))
+    // after abort: stable advances, aborted range reported to readers
+    assert(st.offsetStage(tp).lastStable === 7L)
+  }
+
+  test("maintain applies compaction: latest per key survives (T7/T8)") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1, Map(ConfigKey.CleanupPolicy -> "compact"))
+    val dupKeys = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", "v1"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "b", "v2"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "a", "v3"))
+      .toDF("timestamp", "key", "value")
+    st.produce(tp, dupKeys)
+    st.maintain()
+    val after = st.fetch(tp, 0, Long.MaxValue).collect()
+    assert(after.length === 2)
+    val aRow = after.find(_.getAs[String]("key") == "a").get
+    assert(aRow.getAs[String]("value") === "v3") // latest kept, offset preserved
+    assert(aRow.getAs[Long]("offset") === 2L)
+  }
+}
