@@ -1,0 +1,51 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+/** Zig-zag varint/varlong codec (Kafka wire encoding; reference
+  * `nisshi-sans-io/src/primitive/varint.rs`). Wire-facade only — the
+  * analytic path never sees varints (Parquet encodings replace them).
+  */
+object Varint {
+
+  def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  def writeVarlong(v: Long, buf: ByteBuffer): Unit = {
+    var u = zigzag(v)
+    while ((u & ~0x7fL) != 0) {
+      buf.put(((u & 0x7f) | 0x80).toByte)
+      u >>>= 7
+    }
+    buf.put(u.toByte)
+  }
+
+  def readVarlong(buf: ByteBuffer): Long = {
+    var value = 0L
+    var shift = 0
+    var b = buf.get()
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7fL) << shift
+      shift += 7
+      require(shift < 64, "varlong too long")
+      b = buf.get()
+    }
+    value |= (b & 0x7fL) << shift
+    unzigzag(value)
+  }
+
+  def writeVarint(v: Int, buf: ByteBuffer): Unit = writeVarlong(v.toLong, buf)
+  def readVarint(buf: ByteBuffer): Int = {
+    val v = readVarlong(buf)
+    require(v >= Int.MinValue && v <= Int.MaxValue, "varint out of range")
+    v.toInt
+  }
+
+  def sizeOfVarlong(v: Long): Int = {
+    var u = zigzag(v)
+    var n = 1
+    while ((u & ~0x7fL) != 0) { u >>>= 7; n += 1 }
+    n
+  }
+  def sizeOfVarint(v: Int): Int = sizeOfVarlong(v.toLong)
+}

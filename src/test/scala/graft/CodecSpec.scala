@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.Arbitrary.arbitrary
+import graft.functions.{RecordBatchCodec, Varint}
+import graft.functions.RecordBatchCodec.{Batch, Header, Record}
+
+/** Mirrors the reference's property tests
+  * (`nisshi-sans-io/tests/proptest.rs:79-190`: varint/zigzag round-trips,
+  * batch serde with compression) and the CRC golden behavior
+  * (`deflated.rs:155-165`).
+  */
+class CodecSpec extends AnyFunSuite with PropSupport {
+
+  test("zigzag round-trips and maps small magnitudes to small codes") {
+    forAllGen(arbitrary[Long]) { v => assert(Varint.unzigzag(Varint.zigzag(v)) === v) }
+    assert(Varint.zigzag(0L) === 0L)
+    assert(Varint.zigzag(-1L) === 1L)
+    assert(Varint.zigzag(1L) === 2L)
+  }
+
+  test("varlong round-trips arbitrary values") {
+    forAllGen(arbitrary[Long]) { v =>
+      val buf = java.nio.ByteBuffer.allocate(10)
+      Varint.writeVarlong(v, buf)
+      assert(buf.position() === Varint.sizeOfVarlong(v))
+      buf.flip()
+      assert(Varint.readVarlong(buf) === v)
+    }
+  }
+
+  private val genRecord: Gen[Record] = for {
+    od <- Gen.choose(0, 100)
+    td <- Gen.choose(0L, 1000000L)
+    key <- Gen.option(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    value <- Gen.option(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    hs <- Gen.listOfN(2, Gen.alphaStr.map(k => Header(k, Array[Byte](1, 2))))
+  } yield Record(od, td, key.orNull, value.orNull, hs)
+
+  private val genBatch: Gen[Batch] = for {
+    base <- Gen.choose(0L, 1L << 40)
+    n <- Gen.choose(0, 20)
+    recs <- Gen.listOfN(n, genRecord)
+    gzip <- Gen.oneOf(0, 1)
+  } yield Batch(base, 0, gzip.toShort, 1704067200000L, 1704067300000L,
+    -1L, -1, -1, recs.zipWithIndex.map { case (r, i) => r.copy(offsetDelta = i) })
+
+  test("record batch encode/decode round-trips (none + gzip)") {
+    forAllGen(genBatch, cases = 40) { b =>
+      val decoded = RecordBatchCodec.decode(RecordBatchCodec.encode(b))
+      assert(decoded.baseOffset === b.baseOffset)
+      assert(decoded.records.size === b.records.size)
+      decoded.records.zip(b.records).foreach { case (d, o) =>
+        assert(d.offsetDelta === o.offsetDelta)
+        assert(d.timestampDelta === o.timestampDelta)
+        assert(java.util.Arrays.equals(
+          Option(d.key).getOrElse(Array.empty[Byte]),
+          Option(o.key).getOrElse(Array.empty[Byte])))
+        assert(java.util.Arrays.equals(
+          Option(d.value).getOrElse(Array.empty[Byte]),
+          Option(o.value).getOrElse(Array.empty[Byte])))
+      }
+    }
+  }
+
+  test("corrupted batch fails CRC check") {
+    val b = Batch(0L, 0, 0, 0L, 0L, -1L, -1, -1,
+      Seq(Record(0, 0L, "k".getBytes, "v".getBytes, Nil)))
+    val wire = RecordBatchCodec.encode(b)
+    wire(wire.length - 1) = (wire(wire.length - 1) ^ 0xff).toByte
+    val e = intercept[IllegalArgumentException] { RecordBatchCodec.decode(wire) }
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("tombstone (null value) round-trips as null") {
+    val b = Batch(5L, 0, 0, 0L, 0L, -1L, -1, -1,
+      Seq(Record(0, 0L, "k".getBytes, null, Nil)))
+    val d = RecordBatchCodec.decode(RecordBatchCodec.encode(b))
+    assert(d.records.head.value === null)
+    assert(d.records.head.key !== null)
+  }
+}
+
+/** CRC-32C Catalyst expression: correctness + codegen survival. */
+class Crc32CSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.Crc32C
+
+  test("crc32c matches java.util.zip.CRC32C and differs from IEEE crc32") {
+    val df = Seq("hello", "", "graft").toDF("s")
+      .withColumn("b", col("s").cast("binary"))
+      .withColumn("ours", Crc32C.crc32c(col("b")))
+      .withColumn("ieee", crc32(col("b")))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val expected = Crc32C.compute(r.getAs[Array[Byte]]("b"))
+      assert(r.getAs[Long]("ours") === expected)
+    }
+    // Castagnoli poly != IEEE poly on non-empty input
+    assert(rows.filter(_.getAs[String]("s").nonEmpty)
+      .forall(r => r.getAs[Long]("ours") != r.getAs[Long]("ieee")))
+  }
+
+  test("crc32c works over 10k rows through codegen") {
+    val out = spark.range(10000)
+      .withColumn("b", col("id").cast("string").cast("binary"))
+      .withColumn("c", Crc32C.crc32c(col("b")))
+      .agg(countDistinct("c")).head().getLong(0)
+    assert(out === 10000L)
+  }
+}

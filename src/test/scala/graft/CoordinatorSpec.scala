@@ -1,0 +1,68 @@
+package graft
+
+import graft.coordinator.{Assignors, GroupCoordinator}
+import graft.storage.ParquetStorage
+
+/** Consumer-group lifecycle per reference
+  * `nisshi-broker/src/coordinator/group/administrator.rs` (join/sync/
+  * heartbeat/leave, generations, CAS persistence).
+  */
+class CoordinatorSpec extends SparkSpec {
+
+  private def newCoordinator(clock: () => Long = () => 0L) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-coord").toString
+    new GroupCoordinator(new ParquetStorage(spark, root),
+      sessionTimeoutMs = 1000, clock = clock)
+  }
+
+  private val meta: Assignors.TopicMeta = Map("t0" -> 4)
+
+  test("join/sync lifecycle: leader computes, members receive") {
+    val c = newCoordinator()
+    val (m1, gen1, lead1) = c.join("g", None, Set("t0"))
+    assert(lead1)
+    val (m2, gen2, lead2) = c.join("g", None, Set("t0"))
+    assert(!lead2 && gen2 === gen1 + 1)
+    // sync before leader computes -> rebalance in progress
+    assert(c.sync("g", m2, gen2, meta) === Left("REBALANCE_IN_PROGRESS"))
+    // leader sync forms the group
+    val a1 = c.sync("g", m1, gen2, meta)
+    assert(a1.isRight && a1.toOption.get.size === 2)
+    val a2 = c.sync("g", m2, gen2, meta)
+    assert(a2.isRight && a2.toOption.get.size === 2)
+    // all 4 partitions covered exactly once
+    assert((a1.toOption.get ++ a2.toOption.get).sorted ===
+      (0 until 4).map(Assignors.Topition("t0", _)))
+  }
+
+  test("stale generation rejected; unknown member rejected") {
+    val c = newCoordinator()
+    val (m1, _, _) = c.join("g", None, Set("t0"))
+    val (_, gen2, _) = c.join("g", None, Set("t0"))
+    assert(c.sync("g", m1, gen2 - 1, meta) === Left("ILLEGAL_GENERATION"))
+    assert(c.sync("g", "ghost", gen2, meta) === Left("UNKNOWN_MEMBER_ID"))
+    assert(c.heartbeat("g", "ghost", gen2) === Left("UNKNOWN_MEMBER_ID"))
+  }
+
+  test("leave bumps generation and re-forms; leadership moves") {
+    val c = newCoordinator()
+    val (m1, _, _) = c.join("g", None, Set("t0"))
+    val (m2, gen2, _) = c.join("g", None, Set("t0"))
+    c.sync("g", m1, gen2, meta)
+    c.leave("g", m1)
+    val Some((state, gen3, n)) = c.describe("g")
+    assert(state === "Forming" && gen3 === gen2 + 1 && n === 1)
+    // m2 is now leader and can form alone
+    val a = c.sync("g", m2, gen3, meta)
+    assert(a === Left("REBALANCE_IN_PROGRESS") || a.isRight) // must rejoin first
+  }
+
+  test("heartbeat expiry evicts members") {
+    var now = 0L
+    val c = newCoordinator(() => now)
+    val (m1, _, _) = c.join("g", None, Set("t0"))
+    now = 5000L
+    c.expireMembers()
+    assert(c.describe("g").map(_._3) === Some(0))
+  }
+}
