@@ -131,8 +131,13 @@ final class ParquetStorage(spark: SparkSession, root: String,
       .withColumn("topic", lit(tp.topic))
       .withColumn("partition", lit(tp.partition))
 
-    withOffsets.coalesce(1).write.mode("overwrite")
-      .parquet(f"${partDir(tp)}/$base%020d.parquet")
+    // write to a temp dir, then atomic-rename to publish — readers never
+    // see a half-written batch (the PutMode::Create analog,
+    // dynostore.rs:992-1014)
+    val tmpDir = f"${partDir(tp)}/.tmp_$base%020d"
+    withOffsets.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    Files.move(Paths.get(tmpDir), Paths.get(f"${partDir(tp)}/$base%020d.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
 
     // track open-txn range for read_committed (reference txn_produce_offset)
     if (producerId >= 0 && txnStates.get(producerId).contains(TxnState.Begin)) {
@@ -169,7 +174,9 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val dir = partDir(tp)
     import scala.jdk.CollectionConverters._
     val files = Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.model.Model.logSchema)

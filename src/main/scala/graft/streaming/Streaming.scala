@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.Model.Topition
+import graft.storage.Storage
+
+/** Structured-Streaming ingest and stateful operators.
+  *
+  * Reference mapping (SURVEY §2.7):
+  *  - T1 micro-batch coalescer (`nisshi-storage/src/batch.rs:210-300`,
+  *    flush at minimum_size/maximum_delay) → `Trigger.ProcessingTime`
+  *    micro-batches; maxFilesPerTrigger bounds batch size
+  *  - T2 long-poll fetch (`dynostore.rs:1027-1035` deadline loop) →
+  *    [[longPollFetch]]
+  *  - T13 lake-sink-only topics (`dynostore.rs:747-825`) → a streaming
+  *    query whose only sink is the typed table
+  *  - event-time windows + state (our extension; the reference has no
+  *    event-time semantics — offsets are arrival-ordered)
+  *
+  * Scale: ingest parallelism is the source's file/partition parallelism;
+  * the only stateful shuffle is keyed by (topic, partition) or group key,
+  * which matches the log's physical partitioning.
+  */
+object Streaming {
+
+  /** T1/T13 — streaming produce: micro-batches from a file source are
+    * appended through Storage.produce per topition (offset assignment,
+    * validation, and lake materialization all apply per batch).
+    */
+  def logIngest(spark: SparkSession, sourceDir: String,
+                schema: org.apache.spark.sql.types.StructType,
+                storage: Storage, topic: String, partitions: Int,
+                checkpoint: String,
+                trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // route rows to partitions by key hash (P5 fan-out) and produce
+        // per topition so each gets contiguous offsets
+        val routed = batch
+          .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
+          .cache()
+        try {
+          (0 until partitions).foreach { p =>
+            val part = routed.filter(col("partition") === p).drop("partition")
+            if (!part.isEmpty)
+              storage.produce(Topition(topic, p), part)
+          }
+        } finally routed.unpersist()
+        ()
+      }
+      .start()
+
+  /** T2 — long-poll fetch: block up to maxWaitMs until at least minBytes
+    * of new data is visible past fetchOffset, then return it (reference
+    * `Storage::fetch` semantics, `nisshi-storage/src/lib.rs:1378-1388`).
+    */
+  def longPollFetch(storage: Storage, tp: Topition, fetchOffset: Long,
+                    minBytes: Long, maxBytes: Long, maxWaitMs: Long,
+                    pollMs: Long = 50): DataFrame = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var out = storage.fetch(tp, fetchOffset, maxBytes)
+    var have = approxBytes(out)
+    while (have < minBytes && System.currentTimeMillis() < deadline) {
+      Thread.sleep(pollMs)
+      out = storage.fetch(tp, fetchOffset, maxBytes)
+      have = approxBytes(out)
+    }
+    out
+  }
+
+  private def approxBytes(df: DataFrame): Long = {
+    val r = df.agg(sum(octet_length(col("value").cast("binary")))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Event-time tumbling-window aggregation with watermark (streaming
+    * extension; late data beyond the watermark is dropped).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("metric")).as("sum_metric"))
+
+  final case class SessionInput(userId: Long, ts: Long, metric: Double)
+  final case class SessionState(nEvents: Long, sumMetric: Double, lastTs: Long)
+  final case class SessionOutput(userId: Long, nEvents: Long,
+                                 sumMetric: Double, closed: Boolean)
+
+  /** Custom keyed state via mapGroupsWithState: per-user session rollup
+    * with idle timeout (the `KeyValueGroupedDataset` extension point —
+    * (c)-tier from the build rules, used where windows can't express
+    * "session closes after idle gap").
+    */
+  def sessionize(input: Dataset[SessionInput], idleGapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionOutput] = {
+    import input.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    input
+      .groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, SessionOutput](timeout) {
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOutput(userId, s.nEvents, s.sumMetric, closed = true)
+          } else {
+            val events = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0d, 0L))
+            val next = SessionState(
+              prev.nEvents + events.size,
+              prev.sumMetric + events.map(_.metric).sum,
+              math.max(prev.lastTs, if (events.isEmpty) 0L else events.map(_.ts).max))
+            state.update(next)
+            if (useTimeout) state.setTimeoutDuration(idleGapMs)
+            SessionOutput(userId, next.nEvents, next.sumMetric, closed = false)
+          }
+      }
+  }
+}

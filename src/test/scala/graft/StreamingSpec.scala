@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.Model.Topition
+import graft.storage.ParquetStorage
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logIngest: file-source micro-batches land in the log with offsets (T1/T13)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-log").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("s1", 2)
+
+    val data = (0 until 20).map(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${10 + i % 40}"), s"k$i", s"v$i"))
+      .toDF("timestamp", "key", "value")
+    data.write.parquet(s"$src/batch0")
+
+    val q = Streaming.logIngest(spark, s"$src/*", data.schema, storage,
+      "s1", 2, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val total = (0 until 2).map { p =>
+      storage.fetch(Topition("s1", p), 0, Long.MaxValue).count()
+    }.sum
+    assert(total === 20)
+    // offsets contiguous per partition
+    (0 until 2).foreach { p =>
+      val offs = storage.fetch(Topition("s1", p), 0, Long.MaxValue)
+        .select("offset").as[Long].collect().sorted
+      assert(offs.toSeq === (0L until offs.length))
+    }
+  }
+
+  test("longPollFetch returns early once minBytes arrive (T2)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-poll").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("p1", 1)
+    val tp = Topition("p1", 0)
+    // empty: times out fast, returns empty
+    val t0 = System.currentTimeMillis()
+    val empty = Streaming.longPollFetch(storage, tp, 0, 1, 1 << 20, maxWaitMs = 300)
+    assert(System.currentTimeMillis() - t0 >= 300)
+    assert(empty.count() === 0)
+    // produce in background; poll should return before the 10s deadline
+    val producer = new Thread(() => {
+      Thread.sleep(200)
+      storage.produce(tp,
+        Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k", "hello"))
+          .toDF("timestamp", "key", "value"))
+      ()
+    })
+    producer.start()
+    val t1 = System.currentTimeMillis()
+    val got = Streaming.longPollFetch(storage, tp, 0, 1, 1 << 20, maxWaitMs = 10000)
+    val waited = System.currentTimeMillis() - t1
+    producer.join()
+    assert(got.count() === 1)
+    assert(waited < 9000, s"long poll should return early, waited ${waited}ms")
+  }
+
+  test("windowedCounts drops late data beyond the watermark") {
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val agg = Streaming.windowedCounts(
+      input.toDF().toDF("ts", "key", "metric").withColumn("metric", col("metric")),
+      "ts", "key", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 10:01:00"), "a", 1.0),
+      (ts("2024-01-01 10:22:00"), "a", 2.0)) // advances watermark to 10:17
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:02:00"), "a", 100.0)) // late beyond watermark
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select(col("window.start").cast("string"), col("n"), col("sum_metric"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    // the late row must NOT have bumped the 10:00 window to n=2
+    assert(rows.contains(("2024-01-01 10:00:00", 1L, 1.0)))
+    assert(rows.contains(("2024-01-01 10:20:00", 1L, 2.0)))
+  }
+
+  test("sessionize maintains per-user state across batches (mapGroupsWithState)") {
+    val input = MemoryStream[Streaming.SessionInput](spark)
+    val q = Streaming.sessionize(input.toDS(), idleGapMs = 60000,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    input.addData(Streaming.SessionInput(1L, 1000L, 2.0),
+      Streaming.SessionInput(1L, 2000L, 3.0),
+      Streaming.SessionInput(2L, 1000L, 1.0))
+    q.processAllAvailable()
+    input.addData(Streaming.SessionInput(1L, 3000L, 5.0))
+    q.processAllAvailable()
+    val byUser = spark.table("sess").groupBy("userId")
+      .agg(max("nEvents").as("n"), max("sumMetric").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    assert(byUser(1L) === ((3L, 10.0))) // state accumulated across batches
+    assert(byUser(2L) === ((1L, 1.0)))
+  }
+}
