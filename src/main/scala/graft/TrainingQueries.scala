@@ -31,9 +31,13 @@ object TrainingQueries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Dedup.simhash(docs(s, dir)), maxHamming = 2, blockBits = 4)
 
-  /** Word-bigram Jaccard pairs >= 0.3 via inverted-index join. */
+  /** Word-trigram Jaccard pairs >= 0.3 via inverted-index join with
+    * stop-gram pruning (df <= 2% of corpus): only discriminative shingles
+    * join, keeping posting lists bounded at corpus scale.
+    */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), n = 2, minJaccard = 0.3)
+    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.3,
+      maxDocFreqFraction = 0.02)
 
   /** Brute-force cosine top-10 against vec_id=0. */
   def qKnnBrute(s: SparkSession, dir: String): DataFrame =
@@ -101,8 +105,12 @@ object TrainingQueries {
       |""".stripMargin
 
   private val minhashOracle: String = {
-    val mins = (0 until 8)
-      .map(k => s"min(${dh(s"'$k|' || sh")}) AS mh$k").mkString(",\n    ")
+    val P = graft.ops.Dedup.MinhashP
+    val mins = (0 until 8).map { k =>
+      val a = 1103515245L * (k + 1) % P
+      val b = 12345L * (2 * k + 1) % P
+      s"min(($a * (${dh("sh")} % $P) + $b) % $P) AS mh$k"
+    }.mkString(",\n    ")
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band_idx, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig")
       .mkString("\n  UNION ALL ")
@@ -147,10 +155,15 @@ object TrainingQueries {
   private val ngramOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |grams AS (
-      |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
-      |    i -> w[i+1] || ' ' || w[i+2])) AS g
+      |grams0 AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
       |  FROM toks),
+      |rare AS (
+      |  SELECT g FROM grams0 GROUP BY g
+      |  HAVING count(*) <= (SELECT count(*) * 0.02 FROM documents)),
+      |grams AS (
+      |  SELECT grams0.doc_id, grams0.g FROM grams0 JOIN rare USING (g)),
       |sizes AS (
       |  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
       |inter AS (

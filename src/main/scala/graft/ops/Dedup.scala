@@ -23,9 +23,20 @@ object Dedup {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Salted hash family for MinHash: h_k(s) = h60(k || '|' || s). */
-  def h60Salted(k: Int, c: Column): Column =
-    h60(concat(lit(k.toString), lit("|"), c))
+  /** MinHash prime modulus (2^31 - 1). */
+  val MinhashP = 2147483647L
+
+  /** Linear hash family over a base 31-bit hash: h_k(x) = (a_k*x + b_k)
+    * mod P. One md5 per shingle total — the per-k hashes are pure
+    * arithmetic (a_k < 2^31, x < 2^31, so a_k*x fits a long), which is
+    * ~8x cheaper than salted cryptographic hashing per signature row and
+    * identical in any engine.
+    */
+  def minhashFamily(k: Int, base31: Column): Column = {
+    val a = 1103515245L * (k + 1) % MinhashP
+    val b = 12345L * (2 * k + 1) % MinhashP
+    (lit(a) * base31 + lit(b)) % lit(MinhashP)
+  }
 
   /** Word tokens (single-space split — documents are pre-normalized). */
   def tokens(text: Column): Column = split(text, " ")
@@ -59,7 +70,8 @@ object Dedup {
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
-    val aggs = (0 until numHashes).map(k => min(h60Salted(k, col("sh"))).as(s"mh$k"))
+      .withColumn("h31", pmod(h60(col("sh")), lit(MinhashP)))
+    val aggs = (0 until numHashes).map(k => min(minhashFamily(k, col("h31"))).as(s"mh$k"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -128,11 +140,28 @@ object Dedup {
     * Emits pairs with jaccard >= minJaccard (scaled by 10^4 as an exact
     * integer to stay engine-deterministic).
     */
+  /** maxDocFreqFraction: grams present in more than this fraction of the
+    * corpus are dropped before the join (stop-gram pruning). Ultra-common
+    * grams carry no similarity signal but dominate posting-list join cost
+    * quadratically — this bound is what keeps the inverted-index join
+    * linear at corpus scale. Set to 1.0 to disable.
+    */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        maxDocFreqFraction: Double = 0.25,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
+    val nDocs = docs.count()
+    val allGrams = docs
       .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
       .distinct()
+    val grams =
+      if (maxDocFreqFraction >= 1.0) allGrams
+      else {
+        val maxDf = (nDocs * maxDocFreqFraction).toLong
+        val rare = allGrams.groupBy(col("g"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+          .select("g")
+        allGrams.join(rare, "g")
+      }
     val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col(idCol).as("doc_a"), col("g"))
     val b = grams.select(col(idCol).as("doc_b"), col("g"))
