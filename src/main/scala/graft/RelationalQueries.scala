@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Set-operation / join-breadth / offset-semantics queries
+  * (SURVEY §2.3 J-series edge shapes, §2.5 O/SO-series, A2).
+  */
+object RelationalQueries {
+
+  /** Semi-join (EXISTS): customers having at least one open order. */
+  def qExists(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Anti-join (NOT EXISTS): customers with no high-value order. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+  }
+
+  /** SO1 — distinct key-set per partition (compaction head cardinality). */
+  def qDistinctKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.log(s, dir)
+      .groupBy(col("partition"))
+      .agg(countDistinct(col("key")).as("n_keys"),
+        count(lit(1)).as("n_records"))
+
+  /** O1 — global order-by-offset limit (earliest-100 scan). */
+  def qOrderLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.log(s, dir)
+      .orderBy(col("offset"))
+      .select(col("offset"), col("partition"), col("event_type"))
+      .limit(100)
+
+  /** SO2/SO3 — set difference over per-partition offset residues (the
+    * key-set diff shape used by schema-evolution column diffs and
+    * subscription unions).
+    */
+  def qSetDiff(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.log(s, dir)
+    val p0 = log.filter(col("partition") === 0)
+      .select((col("offset") % 1000).as("residue")).distinct()
+    val p1 = log.filter(col("partition") === 1)
+      .select((col("offset") % 1000).as("residue")).distinct()
+    p0.exceptAll(p1)
+  }
+
+  /** A2 — last stable offset: min open-txn start caps the high watermark
+    * per partition (reference `sql/watermark_select_stable.sql:16-40`).
+    */
+  def qLastStable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txns = Seq(
+      (0, 100L, 900L, "Begin"), (0, 400L, 800L, "Committed"),
+      (1, 2000L, 2500L, "Begin"), (2, 3000L, 3100L, "Aborted"),
+      (3, 50L, 60L, "Begin"), (3, 40L, 45L, "Begin"))
+      .toDF("partition", "offset_start", "offset_end", "state")
+    val wm = Tables.log(s, dir).groupBy(col("partition"))
+      .agg((max(col("offset")) + 1).as("high_watermark"))
+    val open = txns.filter(col("state") === "Begin")
+      .groupBy(col("partition"))
+      .agg(min(col("offset_start")).as("min_open_start"))
+    wm.join(open, Seq("partition"), "left")
+      .withColumn("last_stable",
+        least(coalesce(col("min_open_start"), col("high_watermark")),
+          col("high_watermark")))
+      .select("partition", "high_watermark", "last_stable")
+  }
+
+  /** Embedding near-dup pairs: cosine >= 0.4 within sign-bit cells
+    * (the corpus has no true duplicates; 0.4 selects the ~0.1% closest
+    * pairs, exercising the full blocked-join + threshold path).
+    */
+  def qNearDupVectors(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+      minCosine = 0.4, bits = 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists" -> (qExists _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_distinct_keys" -> (qDistinctKeys _),
+    "q_order_limit" -> (qOrderLimit _),
+    "q_set_diff" -> (qSetDiff _),
+    "q_last_stable" -> (qLastStable _),
+    "q_near_dup_vectors" -> (qNearDupVectors _)
+  )
+
+  private val quantQ =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
+
+    "q_distinct_keys" ->
+      """SELECT event_id % 8 AS "partition",
+        |  count(DISTINCT user_id) AS n_keys, count(*) AS n_records
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_order_limit" ->
+      """SELECT event_id AS "offset", event_id % 8 AS "partition", event_type
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "q_set_diff" ->
+      """SELECT DISTINCT event_id % 1000 AS residue FROM events
+        |  WHERE event_id % 8 = 0
+        |EXCEPT
+        |SELECT DISTINCT event_id % 1000 AS residue FROM events
+        |  WHERE event_id % 8 = 1""".stripMargin,
+
+    "q_last_stable" ->
+      """WITH txns AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 100, 900, 'Begin'), (0, 400, 800, 'Committed'),
+        |    (1, 2000, 2500, 'Begin'), (2, 3000, 3100, 'Aborted'),
+        |    (3, 50, 60, 'Begin'), (3, 40, 45, 'Begin'))
+        |    AS t("partition", offset_start, offset_end, state)),
+        |wm AS (
+        |  SELECT event_id % 8 AS "partition", max(event_id) + 1 AS high_watermark
+        |  FROM events GROUP BY 1),
+        |open AS (
+        |  SELECT "partition", CAST(min(offset_start) AS BIGINT) AS min_open_start
+        |  FROM txns WHERE state = 'Begin' GROUP BY "partition")
+        |SELECT wm."partition", high_watermark,
+        |  least(coalesce(min_open_start, high_watermark), high_watermark) AS last_stable
+        |FROM wm LEFT JOIN open ON wm."partition" = open."partition"""".stripMargin,
+
+    "q_near_dup_vectors" -> {
+      val cell = (0 until 2)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      def dot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1])) AS BIGINT)"
+      s"""WITH e AS (
+         |  SELECT vec_id, $quantQ AS qe, CAST($cell AS BIGINT) AS cell
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         |    ${dot("a.qe", "b.qe")} AS dot,
+         |    ${dot("a.qe", "a.qe")} AS na,
+         |    ${dot("b.qe", "b.qe")} AS nb
+         |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cell,
+         |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r
+         |FROM p
+         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4""".stripMargin
+    }
+  )
+}
