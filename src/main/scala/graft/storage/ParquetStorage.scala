@@ -29,7 +29,10 @@ import graft.lake.Lake
   * offset-range fetches prunable by filename without reading data.
   */
 final class ParquetStorage(spark: SparkSession, root: String,
-                           registry: Option[SchemaRegistry] = None) extends Storage {
+                           registry: Option[SchemaRegistry] = None,
+                           txnTimeoutMs: Long = 60000,
+                           clock: () => Long = () => System.currentTimeMillis())
+    extends Storage {
 
   private val topicsMap = TrieMap.empty[String, (Int, Map[String, String])]
   private val watermarks = TrieMap.empty[Topition, AtomicLong]
@@ -38,6 +41,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
   private val producerIds = new AtomicLong(1000)
   private val txns = TrieMap.empty[Long, TrieMap[Topition, (Long, Long)]] // pid -> tp -> (start, lastEnd)
   private val txnStates = TrieMap.empty[Long, TxnState.Value]
+  private val txnStartTimes = TrieMap.empty[Long, Long]
   private val abortedRanges = TrieMap.empty[Topition, Vector[TxnRange]]
 
   private def partDir(tp: Topition) =
@@ -249,6 +253,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   override def txnBegin(producerId: Long, tp: Topition): Unit = {
     txnStates.put(producerId, TxnState.Begin)
+    txnStartTimes.putIfAbsent(producerId, clock())
     txns.getOrElseUpdate(producerId, TrieMap.empty)
   }
 
@@ -275,10 +280,29 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   // ------------------------------------------------------------- maintenance
 
+  /** T6 — abort transactions whose timeout elapsed, releasing the pinned
+    * last-stable offset (reference `Storage::maintain_transactions`,
+    * `pg.rs:3662`).
+    */
+  def maintainTransactions(): Seq[Long] = {
+    val now = clock()
+    val expired = txnStartTimes.collect {
+      case (pid, t0) if txnStates.get(pid).contains(TxnState.Begin) &&
+        now - t0 > txnTimeoutMs => pid
+    }.toSeq
+    expired.foreach { pid =>
+      txnEnd(pid, commit = false)
+      txnStartTimes.remove(pid)
+    }
+    expired
+  }
+
   /** Retention (policy_delete.sql) + compaction (policy_compact.sql):
-    * rewrite each partition dir applying the topic's cleanup policy.
+    * rewrite each partition dir applying the topic's cleanup policy;
+    * then abort expired transactions (T6).
     */
   override def maintain(): Unit = {
+    maintainTransactions()
     topicsMap.foreach { case (topic, (partitions, cfg)) =>
       val policy = cfg.getOrElse(ConfigKey.CleanupPolicy, "delete")
       val retentionMs = cfg.get(ConfigKey.RetentionMs).map(_.toLong)
