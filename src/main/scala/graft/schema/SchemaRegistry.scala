@@ -5,6 +5,24 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
 
+object SchemaRegistry {
+  sealed trait TopicSchema {
+    def valueType: StructType
+    /** Validation predicate over a JSON-string value column. */
+    def isValid(value: Column): Column
+  }
+  final case class JsonTopic(compiled: JsonSchema.Compiled) extends TopicSchema {
+    def valueType: StructType = compiled.schema
+    def isValid(value: Column): Column = compiled.isValid(value)
+  }
+  final case class AvroTopic(avsc: String, struct: StructType) extends TopicSchema {
+    def valueType: StructType = struct
+    // structural validation happens at decode (AvroDecoder yields null for
+    // undecodable payloads; the produce path counts those as INVALID_RECORD)
+    def isValid(value: Column): Column = lit(true)
+  }
+}
+
 /** Schema registry: per-topic schema files `<topic>.{avsc,json,proto}`
   * looked up in a directory, with a TTL cache.
   *
@@ -19,20 +37,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
                            clock: () => Long = () => System.currentTimeMillis()) {
-
-  sealed trait TopicSchema {
-    def valueType: StructType
-    /** Validation predicate over a JSON-string value column. */
-    def isValid(value: Column): Column
-  }
-  final case class JsonTopic(compiled: JsonSchema.Compiled) extends TopicSchema {
-    def valueType: StructType = compiled.schema
-    def isValid(value: Column): Column = compiled.isValid(value)
-  }
-  final case class AvroTopic(struct: StructType) extends TopicSchema {
-    def valueType: StructType = struct
-    def isValid(value: Column): Column = lit(true) // structural check at decode
-  }
+  import SchemaRegistry._
 
   private case class Entry(schema: Option[TopicSchema], loadedAt: Long)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Entry]
@@ -57,7 +62,10 @@ final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
     val avsc = Paths.get(root, s"$topic.avsc")
     val proto = Paths.get(root, s"$topic.proto")
     if (Files.exists(json)) Some(JsonTopic(JsonSchema.compile(read(json))))
-    else if (Files.exists(avsc)) Some(AvroTopic(AvroSchemas.toStructType(read(avsc))))
+    else if (Files.exists(avsc)) {
+      val text = read(avsc)
+      Some(AvroTopic(text, AvroSchemas.toStructType(text)))
+    }
     else if (Files.exists(proto))
       throw new UnsupportedOperationException(
         s"protobuf schema for topic '$topic' found but protobuf runtime is not available")

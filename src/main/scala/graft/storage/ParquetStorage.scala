@@ -120,9 +120,17 @@ final class ParquetStorage(spark: SparkSession, root: String,
     // schema validation (reference dynostore.rs:885-898): reject the whole
     // batch with INVALID_RECORD if any record fails
     val schema = registry.flatMap(_.lookup(tp.topic))
-    schema.foreach { ts =>
-      val invalid = batch.filter(!ts.isValid(col("value"))).limit(1).count()
-      if (invalid > 0) return Left(ErrorCode.InvalidRecord)
+    schema.foreach {
+      case a: SchemaRegistry.AvroTopic =>
+        // binary Avro payloads: undecodable -> null -> INVALID_RECORD
+        val decoded = graft.schema.AvroDecoder.decodeColumn(
+          batch.withColumn("__bin", col("value").cast("binary")),
+          "__bin", a.avsc, "__decoded")
+        if (decoded.filter(col("__decoded").isNull).limit(1).count() > 0)
+          return Left(ErrorCode.InvalidRecord)
+      case ts =>
+        val invalid = batch.filter(!ts.isValid(col("value"))).limit(1).count()
+        if (invalid > 0) return Left(ErrorCode.InvalidRecord)
     }
 
     val n = batch.count()
@@ -155,10 +163,16 @@ final class ParquetStorage(spark: SparkSession, root: String,
     // lake sink for schema-backed topics (reference dynostore.rs:805-822)
     schema.foreach { ts =>
       val cfg = topicConfig(tp.topic)
-      val typed = Lake.withMeta(
-        withOffsets.withColumn("value_struct",
-          from_json(col("value").cast("string"), ts.valueType)),
-        col("partition"), col("timestamp"))
+      val structed = ts match {
+        case a: SchemaRegistry.AvroTopic =>
+          graft.schema.AvroDecoder.decodeColumn(
+            withOffsets.withColumn("__bin", col("value").cast("binary")),
+            "__bin", a.avsc, "value_struct").drop("__bin")
+        case _ =>
+          withOffsets.withColumn("value_struct",
+            from_json(col("value").cast("string"), ts.valueType))
+      }
+      val typed = Lake.withMeta(structed, col("partition"), col("timestamp"))
       val generated = cfg.collect {
         case (k, v) if k.startsWith(ConfigKey.GeneratedPrefix) =>
           k.stripPrefix(ConfigKey.GeneratedPrefix) -> v

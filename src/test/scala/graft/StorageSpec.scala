@@ -79,6 +79,31 @@ class StorageSpec extends SparkSpec {
     assert(lake.select("value_struct.value.firstName").head().getString(0) === "Ada")
   }
 
+  test("Avro topic: binary payloads validated and landed typed in lake") {
+    val root = java.nio.file.Files.createTempDirectory("graft-avro-topic").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-avro-reg")
+    val avsc =
+      """{"type":"record","name":"m","fields":[
+        |{"name":"amount","type":"double"},{"name":"tag","type":"string"}]}""".stripMargin
+    java.nio.file.Files.writeString(rdir.resolve("metrics.avsc"), avsc)
+    val st = new graft.storage.ParquetStorage(spark, root,
+      Some(new graft.schema.SchemaRegistry(rdir.toString)))
+    st.createTopic("metrics", 1)
+    val mtp = Topition("metrics", 0)
+    val good = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k",
+      graft.schema.AvroDecoder.encode(avsc, Map("amount" -> 2.5, "tag" -> "x"))))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(mtp, good).isRight)
+    val bad = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k",
+      Array[Byte](9, 9, 9)))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(mtp, bad) === Left(ErrorCode.InvalidRecord))
+    val lake = spark.read.parquet(s"$root/lake/metrics")
+    assert(lake.count() === 1)
+    assert(lake.select("value_struct.amount").head().getDouble(0) === 2.5)
+    assert(lake.select("value_struct.tag").head().getString(0) === "x")
+  }
+
   test("group state CAS: stale version rejected (T11 substrate)") {
     val (st, _) = newStorage()
     assert(st.updateGroup("g", "Forming", -1) === Some(0L))
