@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.Crc32C
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * functions so they're usable from SQL text as well as the Column API.
+  *
+  * Usage:
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * This is the (c)-tier extension point from the build rules — the same
+  * registration path a custom LogicalPlan/Strategy would use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("crc32c"),
+      new ExpressionInfo(classOf[Crc32C].getName, "crc32c"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "crc32c takes exactly one argument")
+        Crc32C(children.head)
+      }))
+  }
+}

@@ -118,7 +118,27 @@ object SchemaQueries {
         col("high_watermark"), col("lag"))
   }
 
+  /** Gap-based sessionization in batch (30-min idle gap): the window
+    * lag/cumulative-sum rewrite of the streaming mapGroupsWithState
+    * sessionizer — one shuffle on user, two window passes.
+    */
+  def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("key")).orderBy(col("offset"))
+    Tables.log(s, dir)
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key").as("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessions" -> (qSessions _),
     "q_validate_json" -> (qValidateJson _),
     "q_meta_columns" -> (qMetaColumns _),
     "q_generated_cols" -> (qGeneratedCols _),
@@ -130,6 +150,26 @@ object SchemaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sessions" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id AS "offset",
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, "offset", ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM log
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY "offset")),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY "offset"
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sess GROUP BY 1, 2""".stripMargin,
     "q_validate_json" ->
       """WITH v AS (
         |  SELECT event_type,

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Verifies the SparkSessionExtensions registration path. The shared test
+  * session already exists, so rather than building a second session (and
+  * risking getOrCreate returning the shared one), the extension's
+  * injection list is applied to the live session's function registry —
+  * the same wiring `--conf spark.sql.extensions` performs at startup.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("crc32c callable from SQL text after extension registration") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // replay the injected functions into the live session's registry
+    val m = classOf[SparkSessionExtensions].getDeclaredMethods
+      .find(_.getName == "registerFunctions").get
+    m.setAccessible(true)
+    m.invoke(ext, spark.sessionState.functionRegistry)
+    val v = spark.sql("SELECT crc32c(cast('hello' as binary)) AS c").head().getLong(0)
+    assert(v === graft.functions.Crc32C.compute("hello".getBytes("UTF-8")))
+    // and the expression itself matches the builtin-free compute
+    assert(spark.sql("SELECT crc32c(cast('' as binary))").head().getLong(0) === 0L)
+  }
+}
