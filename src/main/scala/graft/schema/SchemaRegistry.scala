@@ -21,6 +21,11 @@ object SchemaRegistry {
     // undecodable payloads; the produce path counts those as INVALID_RECORD)
     def isValid(value: Column): Column = lit(true)
   }
+  final case class ProtoTopic(parsed: ProtoSchema.Parsed, valueMessage: String)
+      extends TopicSchema {
+    def valueType: StructType = parsed.toStructType(valueMessage)
+    def isValid(value: Column): Column = lit(true) // structural at decode
+  }
 }
 
 /** Schema registry: per-topic schema files `<topic>.{avsc,json,proto}`
@@ -66,9 +71,17 @@ final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
       val text = read(avsc)
       Some(AvroTopic(text, AvroSchemas.toStructType(text)))
     }
-    else if (Files.exists(proto))
-      throw new UnsupportedOperationException(
-        s"protobuf schema for topic '$topic' found but protobuf runtime is not available")
+    else if (Files.exists(proto)) {
+      val parsed = ProtoSchema.parse(read(proto))
+      // reference convention: the analytic payload is the `Value` message
+      // (`etc/schema/taxi.proto`); fall back to the sole message
+      val valueMsg =
+        if (parsed.messages.contains("Value")) "Value"
+        else if (parsed.messages.size == 1) parsed.messages.keys.head
+        else throw new IllegalArgumentException(
+          s"proto schema for '$topic' has no Value message")
+      Some(ProtoTopic(parsed, valueMsg))
+    }
     else None
   }
 

@@ -71,17 +71,20 @@ class SchemaSpec extends SparkSpec {
     assert(u("member1").dataType === StringType)
   }
 
-  test("registry: lookup by extension precedence, TTL cache, proto stub") {
+  test("registry: lookup by extension precedence, TTL cache, proto Value") {
     val dir = Files.createTempDir()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir.getPath, "person.json"), fixture("person.json"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir.getPath, "taxi.proto"), "syntax = \"proto3\";")
+      java.nio.file.Paths.get(dir.getPath, "taxi.proto"),
+      """syntax = "proto3";
+        |message Value { int64 vendor_id = 1; double fare_amount = 2; }""".stripMargin)
     var now = 0L
     val reg = new SchemaRegistry(dir.getPath, ttlMillis = 100, clock = () => now)
     assert(reg.lookup("person").isDefined)
     assert(reg.lookup("nosuch").isEmpty)
-    intercept[UnsupportedOperationException] { reg.lookup("taxi") }
+    val taxi = reg.lookup("taxi").get
+    assert(taxi.valueType.fieldNames.toSeq === Seq("vendor_id", "fare_amount"))
     // cache: delete file, still served until TTL expiry
     java.nio.file.Files.delete(java.nio.file.Paths.get(dir.getPath, "person.json"))
     assert(reg.lookup("person").isDefined)
