@@ -49,6 +49,59 @@ class LogOpsSpec extends SparkSpec {
     assert(dups.filter(col("dup_rank") <= 1).count() === 0)
   }
 
+  test("straddleStart finds the greatest batch start <= fetch offset (P3)") {
+    val out = LogOps.straddleStart(log, 100).collect()
+    out.foreach { r =>
+      val p = r.getAs[Int]("partition")
+      val start = r.getAs[Long]("batch_start")
+      assert(start <= 100)
+      // no offset in this partition lies strictly between start and 100
+      assert(log.filter(col("partition") === p &&
+        col("offset") > start && col("offset") <= 100).count() === 0)
+    }
+  }
+
+  test("offsetForTimestamp returns the first offset at/after ts (J4)") {
+    val ts = lit("2024-01-03 00:00:00").cast("timestamp")
+    val out = LogOps.offsetForTimestamp(log, ts).collect()
+    out.foreach { r =>
+      val p = r.getAs[Int]("partition")
+      val off = r.getAs[Long]("offset_for_ts")
+      val row = log.filter(col("partition") === p && col("offset") === off).head()
+      assert(!row.getAs[java.sql.Timestamp]("timestamp").before(
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      assert(log.filter(col("partition") === p && col("offset") < off &&
+        col("timestamp") >= ts).count() === 0)
+    }
+  }
+
+  test("applyRetention keeps compact topics whole, trims delete topics (J5/T7)") {
+    import spark.implicits._
+    val cfg = Seq(("events", 1000L * 3600 * 24, "delete")) // 1 day retention
+      .toDF("topic", "retention_ms", "cleanup_policy")
+    val now = lit("2024-01-05 00:00:00").cast("timestamp")
+    val kept = LogOps.applyRetention(log, cfg, now)
+    assert(kept.count() < log.count()) // something was trimmed
+    assert(kept.filter(col("timestamp") <
+      lit("2024-01-04 00:00:00").cast("timestamp")).count() === 0)
+    val cfgCompact = Seq(("events", 1000L, "compact"))
+      .toDF("topic", "retention_ms", "cleanup_policy")
+    assert(LogOps.applyRetention(log, cfgCompact, now).count() === log.count())
+  }
+
+  test("overlappingTxns selects aborted ranges intersecting the fetch window (J3)") {
+    import spark.implicits._
+    val txns = Seq(
+      ("events", 0, 10L, 20L, "Aborted"),   // inside
+      ("events", 0, 90L, 120L, "Aborted"),  // straddles end
+      ("events", 0, 150L, 160L, "Aborted"), // beyond
+      ("events", 0, 10L, 20L, "Committed")) // wrong state
+      .toDF("topic", "partition", "offset_start", "offset_end", "state")
+    val out = LogOps.overlappingTxns(txns, fetchOffset = 0L, lastStable = 100L)
+      .select("offset_start").as[Long].collect().sorted
+    assert(out.toSeq === Seq(10L, 90L))
+  }
+
   test("readCommitted filters aborted ranges") {
     import spark.implicits._
     val txns = Seq(("events", 0, 0L, 100L, "Aborted"), ("events", 1, 0L, 50L, "Committed"))
