@@ -82,7 +82,34 @@ object RelationalQueries {
     Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
       minCosine = 0.4, bits = 2)
 
+  /** Hierarchical rollup over document corpus stats (lang -> source):
+    * one pass, Spark expands grouping sets without re-scanning.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** Top-3 most expensive orders per market segment (window top-k —
+    * partial TakeOrdered per group, no global sort).
+    */
+  def qTopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (qRollup _),
+    "q_topk_per_group" -> (qTopKPerGroup _),
     "q_exists" -> (qExists _),
     "q_anti_join" -> (qAntiJoin _),
     "q_distinct_keys" -> (qDistinctKeys _),
@@ -96,6 +123,19 @@ object RelationalQueries {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey, price FROM (
+        |  SELECT c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3""".stripMargin,
     "q_exists" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
