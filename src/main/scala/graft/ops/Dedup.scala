@@ -44,14 +44,27 @@ object Dedup {
   /** Word w-shingles as strings ("w1 w2 w3" for n=3). Empty array when the
     * doc has fewer than n words (sequence(0,-1) would count *down* in Spark,
     * so that case is explicit).
+    *
+    * IMPORTANT: expressions inside higher-order-function lambdas get no
+    * common-subexpression elimination, so `split(text)` would re-run for
+    * every element_at — callers that care about throughput should pass an
+    * already-materialized token array via [[shinglesOfTokens]]. This
+    * overload exists for one-off use.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  /** Shingles over a pre-materialized token-array column. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+
+  /** Project (id, exploded shingle) with tokens materialized once per row. */
+  def explodedShingles(docs: DataFrame, n: Int,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shinglesOfTokens(col("__toks"), n)).as("sh"))
 
   /** Exact dedup via content hash-groupBy: one row per distinct content,
     * canonical id = min doc id. A single hash aggregate — at 100 TB this
@@ -68,8 +81,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int, shingleN: Int,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val sh = explodedShingles(docs, shingleN, textCol, idCol)
       .withColumn("h31", pmod(h60(col("sh")), lit(MinhashP)))
     val aggs = (0 until numHashes).map(k => min(minhashFamily(k, col("h31"))).as(s"mh$k"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -150,8 +162,8 @@ object Dedup {
                         maxDocFreqFraction: Double = 0.25,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nDocs = docs.count()
-    val allGrams = docs
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+    val allGrams = explodedShingles(docs, n, textCol, idCol)
+      .withColumnRenamed("sh", "g")
       .distinct()
     val grams =
       if (maxDocFreqFraction >= 1.0) allGrams

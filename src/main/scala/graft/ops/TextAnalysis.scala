@@ -78,7 +78,7 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    val sh = docs.select(col(idCol), explode(Dedup.shingles(col(textCol), 3)).as("sh"))
+    val sh = Dedup.explodedShingles(docs, 3, textCol, idCol)
       .withColumn("h", Dedup.h60(col("sh")))
     sh.groupBy(col(idCol)).agg(
       min(col("h")).as("fp_min"),
