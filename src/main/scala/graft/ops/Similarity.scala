@@ -79,21 +79,26 @@ object Similarity {
     * blocked by coarse cell (equi-join, not cartesian).
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double, bits: Int,
+                         dims: Int = 64,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // norms are computed ONCE per vector, not per pair — with ~n²/cells
-    // pairs this cuts the dominant lambda evaluation cost 3x
+    // Two pair-count optimizations: norms are computed ONCE per vector,
+    // and the per-pair dot product is unrolled into `dims` scalar-column
+    // multiply-adds. Higher-order-function lambdas (zip_with/aggregate)
+    // are interpreted, not codegen'd — the unrolled form stays inside
+    // whole-stage codegen, which is what matters when pairs >> vectors.
     val withCell = embeddings
       .select(col(idCol), quantize(col(embCol)).as("qe"),
         signBucket(col(embCol), bits).as("cell"))
       .withColumn("norm", dotQ(col("qe"), col("qe")).cast("double"))
-    val a = withCell.select(col(idCol).as("id_a"), col("qe").as("qe_a"),
-      col("norm").as("norm_a"), col("cell"))
-    val b = withCell.select(col(idCol).as("id_b"), col("qe").as("qe_b"),
-      col("norm").as("norm_b"), col("cell"))
-    a.join(b, "cell").filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        dotQ(col("qe_a"), col("qe_b")).cast("double") /
-          sqrt(col("norm_a") * col("norm_b")))
+    val aCols = col(idCol).as("id_a") +: col("norm").as("norm_a") +: col("cell") +:
+      (0 until dims).map(i => element_at(col("qe"), i + 1).as(s"a$i"))
+    val bCols = col(idCol).as("id_b") +: col("norm").as("norm_b") +: col("cell") +:
+      (0 until dims).map(i => element_at(col("qe"), i + 1).as(s"b$i"))
+    val dot = (0 until dims).map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+    withCell.select(aCols: _*)
+      .join(withCell.select(bCols: _*), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot.cast("double") / sqrt(col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cell"),
         round(col("cosine"), 6).as("cosine_r"))
