@@ -74,7 +74,26 @@ object TrainingQueries {
     TextAnalysis.subwordTokenCount(docs(s, dir))
       .select("doc_id", "n_subword_tokens")
 
+  /** Pairs -> clusters: connected components over the MinHash candidate
+    * pairs, canonical doc = min cluster member.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(qDedupMinhash(s, dir))
+
+  /** Integer-exact TF-IDF top-3 terms per document. */
+  def qTfIdf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)
+
+  /** Deterministic hash-threshold stratified sample by language. */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(s, dir), "lang",
+      rates = Map("en" -> 0.2, "de" -> 0.5), defaultRate = 0.8)
+      .select("doc_id", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_tfidf_top_terms" -> (qTfIdf _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -245,7 +264,48 @@ object TrainingQueries {
        |FROM scored""".stripMargin
   }
 
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$minhashOracle
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(min(b), a) AS cluster
+       |FROM reach GROUP BY a""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" -> clustersOracle,
+
+    "q_tfidf_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * ((n.n * 1000000) // df) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_stratified_sample" ->
+      ("""SELECT doc_id, lang FROM documents
+        |WHERE """ +
+        "CAST(('0x' || substring(md5('sample|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000 < " +
+        """CASE WHEN lang = 'de' THEN 500 WHEN lang = 'en' THEN 200 ELSE 800 END""").stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS canonical_id

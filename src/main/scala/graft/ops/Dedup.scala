@@ -147,6 +147,42 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over candidate pairs: iterative min-label
+    * propagation to a fixpoint. Each iteration is one distributed
+    * join+aggregate; component diameter bounds the iteration count (near-
+    * dup clusters are shallow, so this converges in a few rounds). The
+    * driver only checks the convergence counter — all data stays
+    * distributed. Returns (doc_id, cluster) with cluster = min member id,
+    * covering every node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("cluster", "n_cluster"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_cluster")).as("min_neighbor"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("min_neighbor"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** N-gram Jaccard similarity via inverted-index join: explode distinct
     * word n-grams, equi-join on the n-gram, jaccard = |A∩B|/(|A|+|B|-|A∩B|).
     * Emits pairs with jaccard >= minJaccard (scaled by 10^4 as an exact

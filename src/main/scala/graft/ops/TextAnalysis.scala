@@ -87,6 +87,48 @@ object TextAnalysis {
       count(lit(1)).as("n_shingles"))
   }
 
+  /** TF-IDF top-k terms per document, in exact integer arithmetic so the
+    * result is engine-deterministic: score = tf * ((N * 1e6) DIV df).
+    * One explode, one df aggregate (broadcastable), one window top-k.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("idf1e6", expr(s"($n * 1000000) DIV df"))
+      .withColumn("score", col("tf") * col("idf1e6"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Deterministic stratified sampling: keep a document iff
+    * h60(salt || id) mod 1000 < rate(stratum) * 1000. Hash-threshold
+    * sampling is reproducible, join-free, and stable under reruns —
+    * exactly what a training-data pipeline needs (no rand()).
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       idCol: String = "doc_id"): DataFrame = {
+    val bucket = pmod(
+      Dedup.h60(concat(lit("sample|"), col(idCol).cast("string"))), lit(1000L))
+    val rateCol = rates.toSeq.sortBy(_._1).foldRight(
+      lit((defaultRate * 1000).toLong)) { case ((s, r), rest) =>
+      when(col(strataCol) === s, lit((r * 1000).toLong)).otherwise(rest)
+    }
+    docs.withColumn("__bucket", bucket)
+      .filter(col("__bucket") < rateCol)
+      .drop("__bucket")
+  }
+
   /** BPE-ish subword token count: whitespace tokens plus an extra token
     * per 4 chars of long words (cheap deterministic proxy for subword
     * tokenizers — counts how a BPE vocab would split rare long words).

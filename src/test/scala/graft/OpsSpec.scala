@@ -67,6 +67,40 @@ class OpsSpec extends SparkSpec {
     assert(cells.length === 1) // all hits in the query's cell
   }
 
+  test("connectedComponents labels chains and keeps components separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L)) // chain collapses to min
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
+  test("tfIdfTopTerms: k rows per doc, ranked by score then term") {
+    val top = TextAnalysis.tfIdfTopTerms(docs.limit(20), k = 3).cache()
+    val counts = top.groupBy("doc_id").count().collect()
+    assert(counts.forall(_.getAs[Long]("count") <= 3))
+    top.collect().groupBy(_.getAs[Long]("doc_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      val scores = sorted.map(_.getAs[Long]("score"))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("en" -> 0.2), defaultRate = 0.8)
+    val s2 = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("en" -> 0.2), defaultRate = 0.8)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).count() === 0)
+    val enRate = s1.filter(col("lang") === "en").count().toDouble /
+      docs.filter(col("lang") === "en").count()
+    val otherRate = s1.filter(col("lang") =!= "en").count().toDouble /
+      docs.filter(col("lang") =!= "en").count()
+    assert(enRate < 0.35 && otherRate > 0.6) // near 0.2 / 0.8 given 500 docs
+  }
+
   test("text stats: counts are consistent") {
     val st = TextAnalysis.stats(docs).select("doc_id", "n_tokens", "n_chars_m").collect()
     st.foreach { r => assert(r.getAs[Int]("n_tokens") > 0) }
