@@ -137,7 +137,19 @@ object SchemaQueries {
         min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
   }
 
+  /** A7 — exact percentile metrics per event type (linear interpolation,
+    * identical in both engines; rounded to 6dp for float-repr safety).
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.log(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(metric, 0.5)"), 6).as("p50"),
+        round(expr("percentile(metric, 0.95)"), 6).as("p95"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (qPercentiles _),
     "q_sessions" -> (qSessions _),
     "q_validate_json" -> (qValidateJson _),
     "q_meta_columns" -> (qMetaColumns _),
@@ -150,6 +162,12 @@ object SchemaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont("value", 0.5), 6) AS p50,
+        |  round(quantile_cont("value", 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_sessions" ->
       """WITH log AS (
         |  SELECT user_id, event_id AS "offset",

@@ -1,0 +1,61 @@
+package graft.facade
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Model.Topition
+import graft.storage.Storage
+
+/** S10/S11 — the `cat` CLI equivalents (reference `nisshi-cat/src/
+  * produce.rs`, `consume.rs`): produce JSON documents into a topic and
+  * consume a topic back out as JSON lines.
+  *
+  * Library-level API (a thin `main` can wrap these): everything flows
+  * through the same validated Storage produce/fetch path the broker
+  * uses.
+  */
+object Cat {
+
+  /** Produce: read a JSON-lines file, route rows to partitions by key
+    * hash, append through Storage.produce (validation + offsets apply).
+    * Returns per-partition base offsets.
+    */
+  def produce(spark: SparkSession, storage: Storage, topic: String,
+              partitions: Int, jsonPath: String,
+              keyField: String = "key"): Seq[(Int, Either[Int, Long])] = {
+    val docs = spark.read.json(jsonPath)
+    val withKey =
+      if (docs.columns.contains(keyField)) docs.withColumn("key", col(keyField).cast("string"))
+      else docs.withColumn("key", lit(null).cast("string"))
+    val routed = withKey
+      .withColumn("value", to_json(struct(docs.columns.map(col): _*)))
+      .withColumn("timestamp", current_timestamp())
+      .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
+      .select("timestamp", "key", "value", "partition")
+      .cache()
+    try {
+      (0 until partitions).map { p =>
+        val part = routed.filter(col("partition") === p).drop("partition")
+        p -> (if (part.isEmpty) Right(-1L)
+              else storage.produce(Topition(topic, p), part))
+      }
+    } finally { routed.unpersist(); () }
+  }
+
+  /** Consume: fetch [fromOffset, end) across partitions, emit JSON lines
+    * (offset/key/value envelope like the reference's AsJsonValue).
+    */
+  def consume(storage: Storage, topic: String, partitions: Int,
+              fromOffset: Long = 0L, maxBytes: Long = Long.MaxValue): DataFrame = {
+    val frames = (0 until partitions).map { p =>
+      storage.fetch(Topition(topic, p), fromOffset, maxBytes)
+        .select(lit(p).as("partition"), col("offset"),
+          col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  def consumeJson(storage: Storage, topic: String, partitions: Int): Seq[String] =
+    consume(storage, topic, partitions)
+      .orderBy("partition", "offset").toJSON.collect().toSeq
+}
