@@ -156,9 +156,17 @@ object Dedup {
     * covering every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // size the iteration shuffles to the candidate graph, not the corpus:
+    // the pair graph is orders of magnitude smaller than the input (only
+    // near-dup candidates), so per-iteration jobs should not pay
+    // corpus-scale partition counts
+    val nEdges = edges0.count()
+    val parts = math.max(1, math.min(200, (nEdges / 50000L).toInt))
+    val edges = edges0.repartition(parts, col("dst")).cache()
+    edges0.unpersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     var changed = 1L
@@ -169,11 +177,14 @@ object Dedup {
           .withColumnRenamed("cluster", "n_cluster"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_cluster")).as("min_neighbor"))
+      // localCheckpoint truncates lineage: without it every iteration's
+      // logical plan embeds all previous ones and Catalyst re-optimizes a
+      // growing tree (planning time, not execution, dominated the loop)
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("min_neighbor"), col("cluster")))
             .as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
       labels = next
