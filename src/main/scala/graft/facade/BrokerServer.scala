@@ -87,6 +87,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         writeMetadataResponse(out, host, boundPort, topics)
       case 0 => handleProduce(buf, out)
       case 1 => handleFetch(buf, out)
+      case 2 => handleListOffsets(buf, out)
       case other =>
         throw new UnsupportedOperationException(s"api_key $other not served")
     }
@@ -134,6 +135,23 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       t.topic -> parts
     }
     writeProduceResponse(out, results)
+  }
+
+  private def handleListOffsets(buf: ByteBuffer, out: ByteBuffer): Unit = {
+    val req = readListOffsets(buf)
+    val results = req.topics.map { t =>
+      val parts = t.partitions.map { p =>
+        val tp = Topition(t.topic, p.partition)
+        val offset = p.timestamp match {
+          case -2L => storage.listEarliestOffset(tp)
+          case -1L => storage.listLatestOffset(tp)
+          case ts => storage.offsetForTimestamp(tp, ts).getOrElse(-1L)
+        }
+        (p.partition, 0.toShort, p.timestamp, offset)
+      }
+      t.topic -> parts
+    }
+    writeListOffsetsResponse(out, results)
   }
 
   private def handleFetch(buf: ByteBuffer, out: ByteBuffer): Unit = {

@@ -143,10 +143,59 @@ object WireProtocol {
 
   // ------------------------------------------------------------- responses
 
+  final case class ListOffsetsPartition(partition: Int, timestamp: Long)
+  final case class ListOffsetsTopic(topic: String, partitions: Seq[ListOffsetsPartition])
+  final case class ListOffsetsRequest(isolation: Byte, topics: Seq[ListOffsetsTopic])
+
+  /** ListOffsets v1: replica_id [topic [partition timestamp]] —
+    * timestamp -1 = latest, -2 = earliest, else first offset with
+    * ts >= timestamp (the A5/J4 operators on the wire).
+    */
+  def readListOffsets(buf: ByteBuffer): ListOffsetsRequest = {
+    buf.getInt // replica_id
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        ListOffsetsPartition(buf.getInt, buf.getLong)
+      }
+      ListOffsetsTopic(t, parts)
+    }
+    ListOffsetsRequest(0, topics)
+  }
+
+  def writeListOffsets(buf: ByteBuffer, r: ListOffsetsRequest): Unit = {
+    buf.putInt(-1)
+    buf.putInt(r.topics.size)
+    r.topics.foreach { t =>
+      writeString(buf, t.topic)
+      buf.putInt(t.partitions.size)
+      t.partitions.foreach { p =>
+        buf.putInt(p.partition)
+        buf.putLong(p.timestamp)
+      }
+    }
+  }
+
+  /** ListOffsets v1 response: [topic [partition error timestamp offset]]. */
+  def writeListOffsetsResponse(buf: ByteBuffer,
+                               results: Seq[(String, Seq[(Int, Short, Long, Long)])]): Unit = {
+    buf.putInt(results.size)
+    results.foreach { case (topic, parts) =>
+      writeString(buf, topic)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, err, ts, off) =>
+        buf.putInt(p)
+        buf.putShort(err)
+        buf.putLong(ts)
+        buf.putLong(off)
+      }
+    }
+  }
+
   /** ApiVersions v0 response: error [api_key min max] */
   def writeApiVersionsResponse(buf: ByteBuffer): Unit = {
     buf.putShort(0)
-    val supported = Seq((0, 3, 3), (1, 4, 4), (3, 1, 1), (18, 0, 0))
+    val supported = Seq((0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1), (18, 0, 0))
     buf.putInt(supported.size)
     supported.foreach { case (k, lo, hi) =>
       buf.putShort(k.toShort)

@@ -48,7 +48,7 @@ class BrokerServerSpec extends SparkSpec {
       // ApiVersions
       val av = request(sock, 18, 0, 1)(_ => ())
       assert(av.getShort === 0)
-      assert(av.getInt === 4) // four supported APIs
+      assert(av.getInt === 5) // five supported APIs
 
       // Produce one batch of 3 records
       val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
@@ -84,6 +84,20 @@ class BrokerServerSpec extends SparkSpec {
       val decoded = RecordBatchCodec.decode(records)
       assert(decoded.records.size === 3)
       assert(new String(decoded.records.head.value) === "v0")
+
+      // ListOffsets: latest (-1), earliest (-2), by-timestamp
+      val lo = request(sock, 2, 1, 7) { b =>
+        W.writeListOffsets(b, W.ListOffsetsRequest(0, Seq(
+          W.ListOffsetsTopic("wire", Seq(
+            W.ListOffsetsPartition(0, -1L))))))
+      }
+      assert(lo.getInt === 1)
+      assert(W.readString(lo) === "wire")
+      assert(lo.getInt === 1)
+      assert(lo.getInt === 0) // partition
+      assert(lo.getShort === 0) // error
+      lo.getLong // echoed timestamp
+      assert(lo.getLong === 3L) // latest offset = high watermark
 
       // Metadata sees the topic
       val md = request(sock, 3, 1, 4)(b => b.putInt(-1))
