@@ -88,6 +88,23 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       case 0 => handleProduce(buf, out)
       case 1 => handleFetch(buf, out)
       case 2 => handleListOffsets(buf, out)
+      case 8 =>
+        val req = readOffsetCommit(buf)
+        val results = req.topics.map { t =>
+          t.topic -> t.partitions.map { p =>
+            storage.offsetCommit(req.group, Topition(t.topic, p.partition), p.offset)
+            (p.partition, 0.toShort)
+          }
+        }
+        writeOffsetCommitResponse(out, results)
+      case 9 =>
+        val req = readOffsetFetch(buf)
+        val results = req.topics.map { case (t, parts) =>
+          t -> parts.map { p =>
+            p -> storage.offsetFetch(req.group, Topition(t, p)).getOrElse(-1L)
+          }
+        }
+        writeOffsetFetchResponse(out, results)
       case other =>
         throw new UnsupportedOperationException(s"api_key $other not served")
     }

@@ -192,10 +192,101 @@ object WireProtocol {
     }
   }
 
+  final case class CommitPartition(partition: Int, offset: Long, metadata: String)
+  final case class CommitTopic(topic: String, partitions: Seq[CommitPartition])
+  final case class OffsetCommitRequest(group: String, topics: Seq[CommitTopic])
+
+  /** OffsetCommit v2: group generation member retention [topic [partition
+    * offset metadata]].
+    */
+  def readOffsetCommit(buf: ByteBuffer): OffsetCommitRequest = {
+    val group = readString(buf)
+    buf.getInt // generation
+    readString(buf) // member
+    buf.getLong // retention_time
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        CommitPartition(buf.getInt, buf.getLong, readString(buf))
+      }
+      CommitTopic(t, parts)
+    }
+    OffsetCommitRequest(group, topics)
+  }
+
+  def writeOffsetCommit(buf: ByteBuffer, r: OffsetCommitRequest): Unit = {
+    writeString(buf, r.group)
+    buf.putInt(-1)
+    writeString(buf, "")
+    buf.putLong(-1L)
+    buf.putInt(r.topics.size)
+    r.topics.foreach { t =>
+      writeString(buf, t.topic)
+      buf.putInt(t.partitions.size)
+      t.partitions.foreach { p =>
+        buf.putInt(p.partition)
+        buf.putLong(p.offset)
+        writeString(buf, p.metadata)
+      }
+    }
+  }
+
+  /** OffsetCommit v2 response: [topic [partition error]]. */
+  def writeOffsetCommitResponse(buf: ByteBuffer,
+                                results: Seq[(String, Seq[(Int, Short)])]): Unit = {
+    buf.putInt(results.size)
+    results.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, err) => buf.putInt(p); buf.putShort(err) }
+    }
+  }
+
+  final case class OffsetFetchRequest(group: String,
+                                      topics: Seq[(String, Seq[Int])])
+
+  /** OffsetFetch v1: group [topic [partition]]. */
+  def readOffsetFetch(buf: ByteBuffer): OffsetFetchRequest = {
+    val group = readString(buf)
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      val parts = (0 until buf.getInt).map(_ => buf.getInt)
+      t -> parts
+    }
+    OffsetFetchRequest(group, topics)
+  }
+
+  def writeOffsetFetch(buf: ByteBuffer, r: OffsetFetchRequest): Unit = {
+    writeString(buf, r.group)
+    buf.putInt(r.topics.size)
+    r.topics.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach(buf.putInt)
+    }
+  }
+
+  /** OffsetFetch v1 response: [topic [partition offset metadata error]]. */
+  def writeOffsetFetchResponse(buf: ByteBuffer,
+                               results: Seq[(String, Seq[(Int, Long)])]): Unit = {
+    buf.putInt(results.size)
+    results.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, off) =>
+        buf.putInt(p)
+        buf.putLong(off)
+        writeString(buf, "")
+        buf.putShort(0)
+      }
+    }
+  }
+
   /** ApiVersions v0 response: error [api_key min max] */
   def writeApiVersionsResponse(buf: ByteBuffer): Unit = {
     buf.putShort(0)
-    val supported = Seq((0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1), (18, 0, 0))
+    val supported = Seq((0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1),
+      (8, 2, 2), (9, 1, 1), (18, 0, 0))
     buf.putInt(supported.size)
     supported.foreach { case (k, lo, hi) =>
       buf.putShort(k.toShort)

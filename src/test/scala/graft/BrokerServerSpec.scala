@@ -48,7 +48,7 @@ class BrokerServerSpec extends SparkSpec {
       // ApiVersions
       val av = request(sock, 18, 0, 1)(_ => ())
       assert(av.getShort === 0)
-      assert(av.getInt === 5) // five supported APIs
+      assert(av.getInt === 7) // seven supported APIs
 
       // Produce one batch of 3 records
       val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
@@ -98,6 +98,19 @@ class BrokerServerSpec extends SparkSpec {
       assert(lo.getShort === 0) // error
       lo.getLong // echoed timestamp
       assert(lo.getLong === 3L) // latest offset = high watermark
+
+      // OffsetCommit then OffsetFetch round-trip (consumer progress)
+      val oc = request(sock, 8, 2, 10) { b =>
+        W.writeOffsetCommit(b, W.OffsetCommitRequest("g1", Seq(
+          W.CommitTopic("wire", Seq(W.CommitPartition(0, 2L, ""))))))
+      }
+      oc.getInt; W.readString(oc); oc.getInt; oc.getInt
+      assert(oc.getShort === 0)
+      val of = request(sock, 9, 1, 11) { b =>
+        W.writeOffsetFetch(b, W.OffsetFetchRequest("g1", Seq("wire" -> Seq(0))))
+      }
+      of.getInt; W.readString(of); of.getInt; of.getInt
+      assert(of.getLong === 2L) // committed offset round-trips
 
       // Metadata sees the topic
       val md = request(sock, 3, 1, 4)(b => b.putInt(-1))
