@@ -124,7 +124,8 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_rollup" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
     "q_topk_per_group" ->

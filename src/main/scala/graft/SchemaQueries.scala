@@ -182,8 +182,8 @@ object SchemaQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY "offset")),
         |sess AS (
         |  SELECT user_id, ts_us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY "offset"
-        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY "offset"
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
         |  FROM marked)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -197,8 +197,8 @@ object SchemaQueries {
         |     AND CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 90) AS ok
         |  FROM events)
         |SELECT event_type,
-        |  SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
-        |  SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS n_invalid
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
         |FROM v GROUP BY event_type""".stripMargin,
 
     "q_meta_columns" ->

@@ -164,8 +164,8 @@ object SparkEntry {
     "q_fetch_budget" -> (logCte +
       """SELECT "partition", "offset", val_len, running_bytes FROM (
         |  SELECT "partition", "offset", val_len,
-        |    SUM(val_len) OVER (PARTITION BY "partition" ORDER BY "offset"
-        |      ROWS UNBOUNDED PRECEDING) AS running_bytes
+        |    CAST(SUM(val_len) OVER (PARTITION BY "partition" ORDER BY "offset"
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_bytes
         |  FROM log WHERE "offset" >= 100)
         |WHERE running_bytes - val_len < 200""".stripMargin),
 

@@ -44,6 +44,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(actual.columns)} != {list(expect.columns)}")
             n_fail += 1
             continue
+        # The driver hashes stringified values, so an int-vs-float dtype
+        # mismatch (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64 "123.0"
+        # vs Spark int64 "123") fails there even when values are equal.
+        dtype_bad = [c for c in expect.columns
+                     if pd.api.types.is_float_dtype(expect[c]) != pd.api.types.is_float_dtype(actual[c])]
+        if dtype_bad:
+            print(f"FAIL {name}: int/float dtype mismatch on {dtype_bad} "
+                  f"(oracle {[str(expect[c].dtype) for c in dtype_bad]} vs "
+                  f"spark {[str(actual[c].dtype) for c in dtype_bad]}) — "
+                  f"CAST the oracle aggregate to BIGINT or both sides to DOUBLE")
+            n_fail += 1
+            continue
         if len(expect) != len(actual):
             print(f"FAIL {name}: rows {len(actual)} != {len(expect)}")
             n_fail += 1
