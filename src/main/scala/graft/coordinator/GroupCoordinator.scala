@@ -120,6 +120,16 @@ final class GroupCoordinator(storage: Storage,
     groups.get(groupId).map(g =>
       (g.state.toString, g.generation, g.members.size))
 
+  def leaderOf(groupId: String): Option[String] =
+    groups.get(groupId).flatMap(_.leader)
+
+  /** Member roster with subscriptions (member-id sorted) — the wire
+    * facade's JoinGroup response echoes this to the leader.
+    */
+  def membersOf(groupId: String): Seq[(String, Set[String])] =
+    groups.get(groupId).toSeq.flatMap(_.members.toSeq.sortBy(_._1)
+      .map { case (m, v) => m -> v.topics })
+
   /** Persist through the Storage CAS (stateless-broker safety: a stale
     * coordinator's write loses and it refetches).
     */

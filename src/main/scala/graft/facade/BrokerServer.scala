@@ -16,11 +16,14 @@ import graft.storage.Storage
   * `nisshi-service/src/stream.rs:41-133` per-conn service,
   * `nisshi-broker/src/service.rs:36-60` route).
   *
-  * Serves ApiVersions v0, Metadata v1, Produce v3, Fetch v4 — enough for
-  * a produce/fetch round-trip through the wire with real magic-v2 record
-  * batches. Consumer-group and txn APIs stay engine-level
-  * ([[graft.coordinator.GroupCoordinator]]); wiring their wire forms is
-  * facade-breadth work for later rounds.
+  * Serves 17 APIs: the produce/fetch/offsets data plane, the full
+  * consumer-group membership flow (FindCoordinator → JoinGroup →
+  * SyncGroup → Heartbeat → LeaveGroup, backed by
+  * [[graft.coordinator.GroupCoordinator]] — assignments are computed by
+  * the coordinator's negotiated assignor, so the leader's SyncGroup
+  * assignment payload is accepted but not required), topic lifecycle
+  * (CreateTopics/DeleteTopics), and the transactional produce flow
+  * (InitProducerId → AddPartitionsToTxn → Produce → EndTxn).
   *
   * This layer is deliberately thin and non-Spark: the storage engine
   * behind it does all data processing.
@@ -28,6 +31,8 @@ import graft.storage.Storage
 final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
                          port: Int = 0) {
   import WireProtocol._
+
+  private val coordinator = new graft.coordinator.GroupCoordinator(storage)
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
@@ -105,6 +110,56 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           }
         }
         writeOffsetFetchResponse(out, results)
+      case 10 =>
+        readFindCoordinator(buf) // group key — single-broker: always us
+        writeFindCoordinatorResponse(out, 0, 0, host, boundPort)
+      case 11 => handleJoinGroup(buf, out)
+      case 12 =>
+        val (group, gen, member) = readHeartbeat(buf)
+        out.putShort(coordinator.heartbeat(group, member, gen)
+          .fold(groupError, _ => 0.toShort))
+      case 13 =>
+        val (group, member) = readLeaveGroup(buf)
+        coordinator.leave(group, member)
+        out.putShort(0)
+      case 14 => handleSyncGroup(buf, out)
+      case 19 =>
+        val reqTopics = readCreateTopics(buf)
+        val results = reqTopics.map { t =>
+          if (storage.topics.contains(t.name)) t.name -> 36.toShort // TOPIC_ALREADY_EXISTS
+          else {
+            storage.createTopic(t.name, math.max(t.numPartitions, 1), t.configs)
+            t.name -> 0.toShort
+          }
+        }
+        writeTopicErrorsResponse(out, results)
+      case 20 =>
+        val names = readDeleteTopics(buf)
+        val results = names.map { n =>
+          if (!storage.topics.contains(n)) n -> 3.toShort // UNKNOWN_TOPIC_OR_PARTITION
+          else {
+            storage.deleteTopic(n)
+            n -> 0.toShort
+          }
+        }
+        writeTopicErrorsResponse(out, results)
+      case 22 =>
+        val (txnId, _) = readInitProducerId(buf)
+        val (pid, epoch) = storage.initProducer(txnId)
+        writeInitProducerIdResponse(out, 0, pid, epoch.toShort)
+      case 24 =>
+        val req = readAddPartitionsToTxn(buf)
+        val results = req.topics.map { case (t, parts) =>
+          t -> parts.map { p =>
+            storage.txnBegin(req.producerId, Topition(t, p))
+            (p, 0.toShort)
+          }
+        }
+        writeAddPartitionsToTxnResponse(out, results)
+      case 26 =>
+        val (_, pid, _, committed) = readEndTxn(buf)
+        storage.txnEnd(pid, committed)
+        writeEndTxnResponse(out, 0)
       case other =>
         throw new UnsupportedOperationException(s"api_key $other not served")
     }
@@ -112,6 +167,47 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     val a = new Array[Byte](out.remaining())
     out.get(a)
     a
+  }
+
+  /** Coordinator error string → Kafka error code. */
+  private def groupError(e: String): Short = e match {
+    case "UNKNOWN_GROUP" => 69         // GROUP_ID_NOT_FOUND
+    case "ILLEGAL_GENERATION" => 22
+    case "UNKNOWN_MEMBER_ID" => 25
+    case "REBALANCE_IN_PROGRESS" => 27
+    case _ => -1
+  }
+
+  private def handleJoinGroup(buf: ByteBuffer, out: ByteBuffer): Unit = {
+    val req = readJoinGroup(buf)
+    val protocol = req.protocols.headOption.map(_.name).getOrElse("range")
+    val topics = req.protocols.headOption
+      .map(p => decodeSubscriptionTopics(p.metadata).toSet)
+      .getOrElse(Set.empty[String])
+    val (memberId, generation, isLeader) = coordinator.join(
+      req.group, Option(req.memberId).filter(_.nonEmpty), topics, protocol)
+    val leaderId = coordinator.leaderOf(req.group).getOrElse(memberId)
+    val members =
+      if (isLeader)
+        coordinator.membersOf(req.group).map { case (m, ts) =>
+          m -> encodeSubscription(ts.toSeq.sorted)
+        }
+      else Seq.empty
+    writeJoinGroupResponse(out, 0, generation, protocol, leaderId, memberId, members)
+  }
+
+  private def handleSyncGroup(buf: ByteBuffer, out: ByteBuffer): Unit = {
+    val req = readSyncGroup(buf)
+    val topicMeta: Map[String, Int] =
+      storage.topics.map(t => t -> partitionsOf(t)).toMap
+    coordinator.sync(req.group, req.memberId, req.generation, topicMeta) match {
+      case Right(tps) =>
+        val byTopic = tps.groupBy(_.topic).toSeq.sortBy(_._1)
+          .map { case (t, ps) => t -> ps.map(_.partition).sorted }
+        writeSyncGroupResponse(out, 0, encodeAssignment(byTopic))
+      case Left(err) =>
+        writeSyncGroupResponse(out, groupError(err), Array.empty[Byte])
+    }
   }
 
   private def partitionsOf(topic: String): Int = {

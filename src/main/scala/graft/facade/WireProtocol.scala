@@ -14,6 +14,12 @@ import java.nio.charset.StandardCharsets
   *  - Metadata    v1 (api_key 3)
   *  - Produce     v3 (api_key 0)  — record batches as magic-v2 bytes
   *  - Fetch       v4 (api_key 1)
+  *  - ListOffsets v1 (2), OffsetCommit v2 (8), OffsetFetch v1 (9)
+  *  - FindCoordinator v0 (10), JoinGroup v0 (11), Heartbeat v0 (12),
+  *    LeaveGroup v0 (13), SyncGroup v0 (14) — with ConsumerProtocol
+  *    Subscription/Assignment v0 payload codecs
+  *  - CreateTopics v0 (19), DeleteTopics v0 (20)
+  *  - InitProducerId v0 (22), AddPartitionsToTxn v0 (24), EndTxn v0 (26)
   *
   * Frames are INT32 length-prefixed; request header v1
   * (api_key, api_version, correlation_id, client_id).
@@ -282,11 +288,316 @@ object WireProtocol {
     }
   }
 
+  // ------------------------------------------- consumer protocol payloads
+
+  /** ConsumerProtocol Subscription v0: version [topics] user_data —
+    * the opaque `metadata` bytes inside JoinGroup protocols.
+    */
+  def encodeSubscription(topics: Seq[String]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(64 + topics.map(_.length + 8).sum)
+    buf.putShort(0)
+    buf.putInt(topics.size)
+    topics.foreach(writeString(buf, _))
+    buf.putInt(-1) // user_data
+    buf.flip()
+    val a = new Array[Byte](buf.remaining()); buf.get(a); a
+  }
+
+  def decodeSubscriptionTopics(metadata: Array[Byte]): Seq[String] = {
+    val buf = ByteBuffer.wrap(metadata)
+    buf.getShort // version
+    (0 until buf.getInt).map(_ => readString(buf))
+  }
+
+  /** ConsumerProtocol Assignment v0: version [topic [partition]] user_data. */
+  def encodeAssignment(parts: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(64 + parts.map { case (t, ps) => t.length + 8 + 4 * ps.size }.sum)
+    buf.putShort(0)
+    buf.putInt(parts.size)
+    parts.foreach { case (t, ps) =>
+      writeString(buf, t)
+      buf.putInt(ps.size)
+      ps.foreach(buf.putInt)
+    }
+    buf.putInt(-1) // user_data
+    buf.flip()
+    val a = new Array[Byte](buf.remaining()); buf.get(a); a
+  }
+
+  def decodeAssignment(bytes: Array[Byte]): Seq[(String, Seq[Int])] = {
+    val buf = ByteBuffer.wrap(bytes)
+    buf.getShort
+    (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      t -> (0 until buf.getInt).map(_ => buf.getInt)
+    }
+  }
+
+  // ------------------------------------------------ group membership APIs
+
+  final case class JoinProtocol(name: String, metadata: Array[Byte])
+  final case class JoinGroupRequest(group: String, sessionTimeoutMs: Int,
+                                    memberId: String, protocolType: String,
+                                    protocols: Seq[JoinProtocol])
+
+  /** JoinGroup v0: group session_timeout member_id protocol_type
+    * [protocol_name metadata].
+    */
+  def readJoinGroup(buf: ByteBuffer): JoinGroupRequest = {
+    val group = readString(buf)
+    val timeout = buf.getInt
+    val member = readString(buf)
+    val ptype = readString(buf)
+    val protocols = (0 until buf.getInt).map { _ =>
+      JoinProtocol(readString(buf), readBytes(buf))
+    }
+    JoinGroupRequest(group, timeout, member, ptype, protocols)
+  }
+
+  def writeJoinGroup(buf: ByteBuffer, r: JoinGroupRequest): Unit = {
+    writeString(buf, r.group)
+    buf.putInt(r.sessionTimeoutMs)
+    writeString(buf, r.memberId)
+    writeString(buf, r.protocolType)
+    buf.putInt(r.protocols.size)
+    r.protocols.foreach { p =>
+      writeString(buf, p.name)
+      writeBytes(buf, p.metadata)
+    }
+  }
+
+  /** JoinGroup v0 response: error generation protocol leader member_id
+    * [member_id metadata] (members only populated for the leader).
+    */
+  def writeJoinGroupResponse(buf: ByteBuffer, error: Short, generation: Int,
+                             protocol: String, leader: String, memberId: String,
+                             members: Seq[(String, Array[Byte])]): Unit = {
+    buf.putShort(error)
+    buf.putInt(generation)
+    writeString(buf, protocol)
+    writeString(buf, leader)
+    writeString(buf, memberId)
+    buf.putInt(members.size)
+    members.foreach { case (m, meta) =>
+      writeString(buf, m)
+      writeBytes(buf, meta)
+    }
+  }
+
+  final case class SyncGroupRequest(group: String, generation: Int,
+                                    memberId: String,
+                                    assignments: Seq[(String, Array[Byte])])
+
+  /** SyncGroup v0: group generation member [member_id assignment]. */
+  def readSyncGroup(buf: ByteBuffer): SyncGroupRequest = {
+    val group = readString(buf)
+    val gen = buf.getInt
+    val member = readString(buf)
+    val assignments = (0 until buf.getInt).map { _ =>
+      readString(buf) -> readBytes(buf)
+    }
+    SyncGroupRequest(group, gen, member, assignments)
+  }
+
+  def writeSyncGroup(buf: ByteBuffer, r: SyncGroupRequest): Unit = {
+    writeString(buf, r.group)
+    buf.putInt(r.generation)
+    writeString(buf, r.memberId)
+    buf.putInt(r.assignments.size)
+    r.assignments.foreach { case (m, a) =>
+      writeString(buf, m)
+      writeBytes(buf, a)
+    }
+  }
+
+  /** SyncGroup v0 response: error assignment_bytes. */
+  def writeSyncGroupResponse(buf: ByteBuffer, error: Short,
+                             assignment: Array[Byte]): Unit = {
+    buf.putShort(error)
+    writeBytes(buf, assignment)
+  }
+
+  /** Heartbeat v0: group generation member → error. */
+  def readHeartbeat(buf: ByteBuffer): (String, Int, String) =
+    (readString(buf), buf.getInt, readString(buf))
+
+  def writeHeartbeat(buf: ByteBuffer, group: String, generation: Int,
+                     memberId: String): Unit = {
+    writeString(buf, group)
+    buf.putInt(generation)
+    writeString(buf, memberId)
+  }
+
+  /** LeaveGroup v0: group member → error. */
+  def readLeaveGroup(buf: ByteBuffer): (String, String) =
+    (readString(buf), readString(buf))
+
+  def writeLeaveGroup(buf: ByteBuffer, group: String, memberId: String): Unit = {
+    writeString(buf, group)
+    writeString(buf, memberId)
+  }
+
+  /** FindCoordinator v0: group → error node_id host port. */
+  def readFindCoordinator(buf: ByteBuffer): String = readString(buf)
+
+  def writeFindCoordinatorResponse(buf: ByteBuffer, error: Short, nodeId: Int,
+                                   host: String, port: Int): Unit = {
+    buf.putShort(error)
+    buf.putInt(nodeId)
+    writeString(buf, host)
+    buf.putInt(port)
+  }
+
+  // ------------------------------------------------- topic lifecycle APIs
+
+  final case class CreateTopic(name: String, numPartitions: Int,
+                               replicationFactor: Short,
+                               configs: Map[String, String])
+
+  /** CreateTopics v0: [name num_partitions replication_factor
+    * [partition [broker]] [config_key config_value]] timeout.
+    */
+  def readCreateTopics(buf: ByteBuffer): Seq[CreateTopic] = {
+    val topics = (0 until buf.getInt).map { _ =>
+      val name = readString(buf)
+      val nParts = buf.getInt
+      val rf = buf.getShort
+      (0 until buf.getInt).foreach { _ =>
+        buf.getInt // partition
+        (0 until buf.getInt).foreach(_ => buf.getInt) // replicas
+      }
+      val configs = (0 until buf.getInt).map { _ =>
+        readString(buf) -> readString(buf)
+      }.toMap
+      CreateTopic(name, nParts, rf, configs)
+    }
+    buf.getInt // timeout_ms
+    topics
+  }
+
+  def writeCreateTopics(buf: ByteBuffer, topics: Seq[CreateTopic],
+                        timeoutMs: Int): Unit = {
+    buf.putInt(topics.size)
+    topics.foreach { t =>
+      writeString(buf, t.name)
+      buf.putInt(t.numPartitions)
+      buf.putShort(t.replicationFactor)
+      buf.putInt(0) // no manual replica assignments
+      buf.putInt(t.configs.size)
+      t.configs.foreach { case (k, v) =>
+        writeString(buf, k)
+        writeString(buf, v)
+      }
+    }
+    buf.putInt(timeoutMs)
+  }
+
+  /** DeleteTopics v0: [name] timeout. */
+  def readDeleteTopics(buf: ByteBuffer): Seq[String] = {
+    val names = (0 until buf.getInt).map(_ => readString(buf))
+    buf.getInt // timeout_ms
+    names
+  }
+
+  def writeDeleteTopics(buf: ByteBuffer, names: Seq[String], timeoutMs: Int): Unit = {
+    buf.putInt(names.size)
+    names.foreach(writeString(buf, _))
+    buf.putInt(timeoutMs)
+  }
+
+  /** CreateTopics/DeleteTopics v0 response: [name error]. */
+  def writeTopicErrorsResponse(buf: ByteBuffer, results: Seq[(String, Short)]): Unit = {
+    buf.putInt(results.size)
+    results.foreach { case (n, e) =>
+      writeString(buf, n)
+      buf.putShort(e)
+    }
+  }
+
+  // -------------------------------------------------------- txn wire APIs
+
+  /** InitProducerId v0: transactional_id transaction_timeout →
+    * throttle error producer_id producer_epoch.
+    */
+  def readInitProducerId(buf: ByteBuffer): (String, Int) =
+    (readString(buf), buf.getInt)
+
+  def writeInitProducerId(buf: ByteBuffer, txnId: String, timeoutMs: Int): Unit = {
+    writeString(buf, txnId)
+    buf.putInt(timeoutMs)
+  }
+
+  def writeInitProducerIdResponse(buf: ByteBuffer, error: Short,
+                                  producerId: Long, epoch: Short): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(error)
+    buf.putLong(producerId)
+    buf.putShort(epoch)
+  }
+
+  final case class AddPartitionsToTxnRequest(txnId: String, producerId: Long,
+                                             epoch: Short,
+                                             topics: Seq[(String, Seq[Int])])
+
+  /** AddPartitionsToTxn v0: txn_id producer_id epoch [topic [partition]]. */
+  def readAddPartitionsToTxn(buf: ByteBuffer): AddPartitionsToTxnRequest = {
+    val txn = readString(buf)
+    val pid = buf.getLong
+    val epoch = buf.getShort
+    val topics = (0 until buf.getInt).map { _ =>
+      readString(buf) -> (0 until buf.getInt).map(_ => buf.getInt)
+    }
+    AddPartitionsToTxnRequest(txn, pid, epoch, topics)
+  }
+
+  def writeAddPartitionsToTxn(buf: ByteBuffer, r: AddPartitionsToTxnRequest): Unit = {
+    writeString(buf, r.txnId)
+    buf.putLong(r.producerId)
+    buf.putShort(r.epoch)
+    buf.putInt(r.topics.size)
+    r.topics.foreach { case (t, ps) =>
+      writeString(buf, t)
+      buf.putInt(ps.size)
+      ps.foreach(buf.putInt)
+    }
+  }
+
+  /** AddPartitionsToTxn v0 response: throttle [topic [partition error]]. */
+  def writeAddPartitionsToTxnResponse(buf: ByteBuffer,
+                                      results: Seq[(String, Seq[(Int, Short)])]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putInt(results.size)
+    results.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, e) => buf.putInt(p); buf.putShort(e) }
+    }
+  }
+
+  /** EndTxn v0: txn_id producer_id epoch committed → throttle error. */
+  def readEndTxn(buf: ByteBuffer): (String, Long, Short, Boolean) =
+    (readString(buf), buf.getLong, buf.getShort, buf.get() != 0)
+
+  def writeEndTxn(buf: ByteBuffer, txnId: String, producerId: Long,
+                  epoch: Short, committed: Boolean): Unit = {
+    writeString(buf, txnId)
+    buf.putLong(producerId)
+    buf.putShort(epoch)
+    buf.put(if (committed) 1: Byte else 0: Byte)
+  }
+
+  def writeEndTxnResponse(buf: ByteBuffer, error: Short): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(error)
+  }
+
   /** ApiVersions v0 response: error [api_key min max] */
   def writeApiVersionsResponse(buf: ByteBuffer): Unit = {
     buf.putShort(0)
     val supported = Seq((0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1),
-      (8, 2, 2), (9, 1, 1), (18, 0, 0))
+      (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
+      (14, 0, 0), (18, 0, 0), (19, 0, 0), (20, 0, 0), (22, 0, 0),
+      (24, 0, 0), (26, 0, 0))
     buf.putInt(supported.size)
     supported.foreach { case (k, lo, hi) =>
       buf.putShort(k.toShort)

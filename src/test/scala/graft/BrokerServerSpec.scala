@@ -48,7 +48,7 @@ class BrokerServerSpec extends SparkSpec {
       // ApiVersions
       val av = request(sock, 18, 0, 1)(_ => ())
       assert(av.getShort === 0)
-      assert(av.getInt === 7) // seven supported APIs
+      assert(av.getInt === 17) // supported API count
 
       // Produce one batch of 3 records
       val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
@@ -117,6 +117,191 @@ class BrokerServerSpec extends SparkSpec {
       md.getInt // broker count
       md.getInt // node id
       assert(W.readString(md) === "127.0.0.1")
+
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("consumer-group membership flow over the wire (T11/T12 + S2)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker3").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("gt", 1)
+    // seed 4 partitions so range assignment has something to split: the
+    // facade's partition probe counts dirs with data, so produce a row each
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+
+      // FindCoordinator: single broker — always ourselves
+      val fc = request(sock, 10, 0, 20)(b => W.writeString(b, "wg"))
+      assert(fc.getShort === 0)
+      fc.getInt // node id
+      assert(W.readString(fc) === "127.0.0.1")
+      assert(fc.getInt === broker.boundPort)
+
+      // Member A joins (new member: empty member_id)
+      val ja = request(sock, 11, 0, 21) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("wg", 30000, "", "consumer",
+          Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("gt"))))))
+      }
+      assert(ja.getShort === 0)
+      val genA = ja.getInt
+      assert(W.readString(ja) === "range")
+      val leaderA = W.readString(ja)
+      val memberA = W.readString(ja)
+      assert(leaderA === memberA) // first joiner leads
+      assert(ja.getInt === 1)     // roster visible to the leader
+      assert(W.readString(ja) === memberA)
+      assert(W.decodeSubscriptionTopics(W.readBytes(ja)) === Seq("gt"))
+
+      // Member B joins — generation bumps, A's sync with old gen must fail
+      val jb = request(sock, 11, 0, 22) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("wg", 30000, "", "consumer",
+          Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("gt"))))))
+      }
+      assert(jb.getShort === 0)
+      val genB = jb.getInt
+      assert(genB === genA + 1)
+      assert(W.readString(jb) === "range") // negotiated protocol
+      assert(W.readString(jb) === memberA) // still A-led
+      val memberBId = W.readString(jb)
+      assert(jb.getInt === 0) // non-leader gets no roster
+
+      val staleSync = request(sock, 14, 0, 23) { b =>
+        W.writeSyncGroup(b, W.SyncGroupRequest("wg", genA, memberA, Seq.empty))
+      }
+      assert(staleSync.getShort === 22) // ILLEGAL_GENERATION
+
+      // Leader syncs at the current generation → gets its assignment
+      val sa = request(sock, 14, 0, 24) { b =>
+        W.writeSyncGroup(b, W.SyncGroupRequest("wg", genB, memberA, Seq.empty))
+      }
+      assert(sa.getShort === 0)
+      val aAssign = W.decodeAssignment(W.readBytes(sa))
+      val sb = request(sock, 14, 0, 25) { b =>
+        W.writeSyncGroup(b, W.SyncGroupRequest("wg", genB, memberBId, Seq.empty))
+      }
+      assert(sb.getShort === 0)
+      val bAssign = W.decodeAssignment(W.readBytes(sb))
+      val all = (aAssign ++ bAssign).flatMap { case (t, ps) => ps.map(t -> _) }
+      assert(all.toSet === Set("gt" -> 0)) // one partition, assigned once
+
+      // Heartbeats: current gen ok, stale gen → REBALANCE_IN_PROGRESS
+      val hb = request(sock, 12, 0, 26) { b =>
+        W.writeHeartbeat(b, "wg", genB, memberA)
+      }
+      assert(hb.getShort === 0)
+      val hbStale = request(sock, 12, 0, 27) { b =>
+        W.writeHeartbeat(b, "wg", genA, memberA)
+      }
+      assert(hbStale.getShort === 27)
+
+      // Leave: B departs, group re-forms
+      val lv = request(sock, 13, 0, 28) { b =>
+        W.writeLeaveGroup(b, "wg", memberBId)
+      }
+      assert(lv.getShort === 0)
+      val hbAfterLeave = request(sock, 12, 0, 29) { b =>
+        W.writeHeartbeat(b, "wg", genB, memberA)
+      }
+      assert(hbAfterLeave.getShort === 27) // generation bumped by the leave
+
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("topic lifecycle + transactional produce over the wire (S1/T5)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker4").toString
+    val storage = new ParquetStorage(spark, root)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+
+      // CreateTopics: new topic ok, duplicate → TOPIC_ALREADY_EXISTS
+      val ct = request(sock, 19, 0, 30) { b =>
+        W.writeCreateTopics(b, Seq(W.CreateTopic("tx", 1, 1,
+          Map("cleanup.policy" -> "delete"))), 30000)
+      }
+      assert(ct.getInt === 1)
+      assert(W.readString(ct) === "tx")
+      assert(ct.getShort === 0)
+      val ctDup = request(sock, 19, 0, 31) { b =>
+        W.writeCreateTopics(b, Seq(W.CreateTopic("tx", 1, 1, Map.empty)), 30000)
+      }
+      ctDup.getInt; W.readString(ctDup)
+      assert(ctDup.getShort === 36)
+
+      // InitProducerId → AddPartitionsToTxn → Produce → EndTxn(commit)
+      val ip = request(sock, 22, 0, 32) { b =>
+        W.writeInitProducerId(b, "txn-1", 60000)
+      }
+      ip.getInt // throttle
+      assert(ip.getShort === 0)
+      val pid = ip.getLong
+      val epoch = ip.getShort
+      assert(pid >= 0)
+
+      val ap = request(sock, 24, 0, 33) { b =>
+        W.writeAddPartitionsToTxn(b, W.AddPartitionsToTxnRequest(
+          "txn-1", pid, epoch, Seq("tx" -> Seq(0))))
+      }
+      ap.getInt // throttle
+      assert(ap.getInt === 1)
+      assert(W.readString(ap) === "tx")
+      ap.getInt
+      assert(ap.getInt === 0)
+      assert(ap.getShort === 0)
+
+      val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+        0L, 0, 0, 1704067200000L, 1704067200000L, pid, epoch, 0,
+        Seq(RecordBatchCodec.Record(0, 0L, "k".getBytes, "v".getBytes, Nil))))
+      val pr = request(sock, 0, 3, 34) { b =>
+        W.writeProduce(b, W.ProduceRequest(1, 30000, Seq(
+          W.ProduceTopic("tx", Seq(W.ProducePartition(0, batch))))))
+      }
+      pr.getInt; W.readString(pr); pr.getInt; pr.getInt
+      assert(pr.getShort === 0)
+
+      // Before commit: read_committed fetch sees nothing
+      val frUncommitted = request(sock, 1, 4, 35) { b =>
+        W.writeFetch(b, W.FetchRequest(500, 1, 1 << 20, 1, Seq(
+          W.FetchTopic("tx", Seq(W.FetchPartition(0, 0L, 1 << 20))))))
+      }
+      frUncommitted.getInt; frUncommitted.getInt; W.readString(frUncommitted)
+      frUncommitted.getInt; frUncommitted.getInt; frUncommitted.getShort
+      frUncommitted.getLong // hw
+      val lsoBefore = frUncommitted.getLong
+      assert(lsoBefore === 0L) // open txn pins the last stable offset
+
+      val et = request(sock, 26, 0, 36) { b =>
+        W.writeEndTxn(b, "txn-1", pid, epoch, committed = true)
+      }
+      et.getInt // throttle
+      assert(et.getShort === 0)
+
+      // After commit the record is stable and fetchable at read_committed
+      val fr = request(sock, 1, 4, 37) { b =>
+        W.writeFetch(b, W.FetchRequest(500, 1, 1 << 20, 1, Seq(
+          W.FetchTopic("tx", Seq(W.FetchPartition(0, 0L, 1 << 20))))))
+      }
+      fr.getInt; fr.getInt; W.readString(fr); fr.getInt
+      fr.getInt; fr.getShort
+      fr.getLong; fr.getLong; fr.getInt
+      val records = W.readBytes(fr)
+      assert(records.nonEmpty)
+      assert(new String(RecordBatchCodec.decode(records).records.head.value) === "v")
+
+      // DeleteTopics: drops it; unknown topic errors
+      val dt = request(sock, 20, 0, 38) { b =>
+        W.writeDeleteTopics(b, Seq("tx"), 30000)
+      }
+      dt.getInt; W.readString(dt)
+      assert(dt.getShort === 0)
+      val dtMissing = request(sock, 20, 0, 39) { b =>
+        W.writeDeleteTopics(b, Seq("nope"), 30000)
+      }
+      dtMissing.getInt; W.readString(dtMissing)
+      assert(dtMissing.getShort === 3)
 
       sock.close()
     } finally broker.close()
