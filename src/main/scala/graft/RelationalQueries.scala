@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.LogOps
 import graft.ops.Similarity
 
 /** Set-operation / join-breadth / offset-semantics queries
@@ -74,6 +75,29 @@ object RelationalQueries {
       .select("partition", "high_watermark", "last_stable")
   }
 
+  /** P4+P8/T5 — read-committed visibility replayed purely from the log:
+    * synthesize transactional producers and commit/abort control markers
+    * over the event log (pid = key%4, every 50th offset per the raw
+    * stream is a marker, every third marker aborts), then a record is
+    * visible iff its producer's NEXT marker in the partition is a commit
+    * — exactly [[LogOps.readCommittedFromLog]], the operator the storage
+    * engine uses to recover aborted ranges after restart.
+    */
+  def qReadCommitted(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.log(s, dir)
+      .withColumn("producer_id", col("key") % 4)
+      .withColumn("is_control", col("offset") % 50 === 49)
+      .withColumn("control_type",
+        when(col("offset") % 50 === 49,
+          when(expr("(offset DIV 50) % 3 = 0"), "abort").otherwise("commit")))
+    LogOps.readCommittedFromLog(log, col("control_type") === "commit")
+      .groupBy(col("partition"), col("producer_id"))
+      .agg(count(lit(1)).as("n_visible"),
+        min(col("offset")).as("min_off"),
+        max(col("offset")).as("max_off"),
+        expr("bit_xor(offset)").as("xor_off"))
+  }
+
   /** Embedding near-dup pairs: cosine >= 0.4 within sign-bit cells
     * (the corpus has no true duplicates; 0.4 selects the ~0.1% closest
     * pairs, exercising the full blocked-join + threshold path).
@@ -116,6 +140,7 @@ object RelationalQueries {
     "q_order_limit" -> (qOrderLimit _),
     "q_set_diff" -> (qSetDiff _),
     "q_last_stable" -> (qLastStable _),
+    "q_read_committed" -> (qReadCommitted _),
     "q_near_dup_vectors" -> (qNearDupVectors _)
   )
 
@@ -179,6 +204,31 @@ object RelationalQueries {
         |SELECT wm."partition", high_watermark,
         |  least(coalesce(min_open_start, high_watermark), high_watermark) AS last_stable
         |FROM wm LEFT JOIN open ON wm."partition" = open."partition"""".stripMargin,
+
+    "q_read_committed" ->
+      """WITH log AS (
+        |  SELECT event_id % 8 AS "partition", event_id AS "offset",
+        |         user_id AS "key"
+        |  FROM events),
+        |t AS (
+        |  SELECT "partition", "offset", "key" % 4 AS producer_id,
+        |    ("offset" % 50 = 49) AS is_control,
+        |    CASE WHEN "offset" % 50 = 49 THEN
+        |      CASE WHEN ("offset" // 50) % 3 = 0 THEN 'abort' ELSE 'commit' END
+        |    END AS control_type
+        |  FROM log),
+        |v AS (
+        |  SELECT *,
+        |    FIRST_VALUE(CASE WHEN is_control THEN control_type = 'commit' END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY "partition", producer_id ORDER BY "offset"
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_commit
+        |  FROM t)
+        |SELECT "partition", producer_id, COUNT(*) AS n_visible,
+        |  MIN("offset") AS min_off, MAX("offset") AS max_off,
+        |  bit_xor("offset") AS xor_off
+        |FROM v WHERE NOT is_control AND next_commit
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_near_dup_vectors" -> {
       val cell = (0 until 2)

@@ -151,15 +151,23 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         val req = readAddPartitionsToTxn(buf)
         val results = req.topics.map { case (t, parts) =>
           t -> parts.map { p =>
-            storage.txnBegin(req.producerId, Topition(t, p))
-            (p, 0.toShort)
+            (p, storage.txnBegin(req.producerId, Topition(t, p),
+              req.epoch.toInt).toShort)
           }
         }
         writeAddPartitionsToTxnResponse(out, results)
       case 26 =>
-        val (_, pid, _, committed) = readEndTxn(buf)
-        storage.txnEnd(pid, committed)
-        writeEndTxnResponse(out, 0)
+        val (_, pid, epoch, committed) = readEndTxn(buf)
+        writeEndTxnResponse(out, storage.txnEnd(pid, committed, epoch.toInt).toShort)
+      case 28 =>
+        val req = readTxnOffsetCommit(buf)
+        val results = req.topics.map { case (t, parts) =>
+          t -> parts.map { case (p, off) =>
+            (p, storage.txnOffsetCommit(req.producerId, req.group,
+              Topition(t, p), off, req.epoch.toInt).toShort)
+          }
+        }
+        writeTxnOffsetCommitResponse(out, results)
       case other =>
         throw new UnsupportedOperationException(s"api_key $other not served")
     }
@@ -211,15 +219,20 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   }
 
   private def partitionsOf(topic: String): Int = {
-    // probe partition dirs via offsetStage until an empty one (facade-
-    // level heuristic; topic metadata lives with createTopic's caller)
-    var p = 0
-    while (storage.offsetStage(Topition(topic, p)).highWatermark > 0 ||
-           p == 0) {
-      p += 1
-      if (p > 64) return p
+    // declared count from createTopic is the source of truth — empty
+    // partitions included, so consumers get assigned all of them; the
+    // data probe only covers topics produced to without createTopic
+    val declared = storage.partitionCount(topic)
+    if (declared > 0) declared
+    else {
+      var p = 0
+      while (storage.offsetStage(Topition(topic, p)).highWatermark > 0 ||
+             p == 0) {
+        p += 1
+        if (p > 64) return p
+      }
+      math.max(p, 1)
     }
-    math.max(p, 1)
   }
 
   private def handleProduce(buf: ByteBuffer, out: ByteBuffer): Unit = {

@@ -591,13 +591,68 @@ object WireProtocol {
     buf.putShort(error)
   }
 
+  final case class TxnOffsetCommitRequest(txnId: String, group: String,
+                                          producerId: Long, epoch: Short,
+                                          topics: Seq[(String, Seq[(Int, Long)])])
+
+  /** TxnOffsetCommit v0: txn_id group producer_id epoch
+    * [topic [partition offset metadata]] — consumer offsets staged inside
+    * the transaction (EOS consume-transform-produce).
+    */
+  def readTxnOffsetCommit(buf: ByteBuffer): TxnOffsetCommitRequest = {
+    val txn = readString(buf)
+    val group = readString(buf)
+    val pid = buf.getLong
+    val epoch = buf.getShort
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      val parts = (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val off = buf.getLong
+        readString(buf) // metadata
+        p -> off
+      }
+      t -> parts
+    }
+    TxnOffsetCommitRequest(txn, group, pid, epoch, topics)
+  }
+
+  def writeTxnOffsetCommit(buf: ByteBuffer, r: TxnOffsetCommitRequest): Unit = {
+    writeString(buf, r.txnId)
+    writeString(buf, r.group)
+    buf.putLong(r.producerId)
+    buf.putShort(r.epoch)
+    buf.putInt(r.topics.size)
+    r.topics.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, off) =>
+        buf.putInt(p)
+        buf.putLong(off)
+        writeString(buf, null)
+      }
+    }
+  }
+
+  /** TxnOffsetCommit v0 response: throttle [topic [partition error]]. */
+  def writeTxnOffsetCommitResponse(buf: ByteBuffer,
+                                   results: Seq[(String, Seq[(Int, Short)])]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putInt(results.size)
+    results.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, e) => buf.putInt(p); buf.putShort(e) }
+    }
+  }
+
   /** ApiVersions v0 response: error [api_key min max] */
   def writeApiVersionsResponse(buf: ByteBuffer): Unit = {
     buf.putShort(0)
     val supported = Seq((0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1),
       (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
       (14, 0, 0), (18, 0, 0), (19, 0, 0), (20, 0, 0), (22, 0, 0),
-      (24, 0, 0), (26, 0, 0))
+      (24, 0, 0), (26, 0, 0), (28, 0, 0))
     buf.putInt(supported.size)
     supported.foreach { case (k, lo, hi) =>
       buf.putShort(k.toShort)

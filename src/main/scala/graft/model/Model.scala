@@ -84,7 +84,12 @@ object Model {
     StructField("producer_id", LongType, nullable = false),
     StructField("producer_epoch", IntegerType, nullable = false),
     StructField("base_sequence", IntegerType, nullable = false),
-    StructField("is_control", BooleanType, nullable = false)
+    StructField("is_control", BooleanType, nullable = false),
+    // commit|abort for control marker rows, null for data rows (the
+    // Kafka control-record key's marker type, reference
+    // `nisshi-sans-io/src/record.rs` control batch encoding; stored as a
+    // column so aborted-range recovery is a pure log scan)
+    StructField("control_type", StringType, nullable = true)
   ))
 
   /** Kafka error codes used by the storage layer (subset; reference
@@ -98,6 +103,9 @@ object Model {
     val OutOfOrderSequenceNumber = 45
     val DuplicateSequenceNumber = 46
     val UnknownTopicOrPartition = 3
+    val InvalidProducerEpoch = 47
+    val InvalidTxnState = 48
+    val UnknownProducerId = 59
   }
 
   /** Topic configuration keys honoured by the engine (reference

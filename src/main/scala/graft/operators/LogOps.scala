@@ -137,6 +137,60 @@ object LogOps {
         "left_anti")
   }
 
+  /** P4+P8 — read-committed visibility derived purely from the log
+    * stream, Kafka-replay style: a transactional data record is visible
+    * iff the NEXT control marker from the same producer in the same
+    * partition is a commit (reference `pg.rs:1027-1042` writes the
+    * markers; consumers replay exactly this rule). One window per
+    * (topic, partition, producer) — no join, no driver state; control
+    * rows themselves are filtered out (the P4 control-batch filter).
+    *
+    * `isCommit` evaluates on control rows only (e.g.
+    * `col("control_type") === "commit"`). Records with no following
+    * marker belong to an open transaction and are invisible.
+    */
+  def readCommittedFromLog(log: DataFrame, isCommit: Column): DataFrame = {
+    // "nearest FOLLOWING marker" expressed as a running frame over
+    // descending offsets: an UnboundedPreceding..CurrentRow frame is
+    // evaluated incrementally (O(rows)), whereas the literal
+    // CurrentRow..UnboundedFollowing frame re-scans the remainder per row
+    // (O(rows²) per producer — measured 4s vs 0.3s at sf0.1).
+    val w = Window.partitionBy(col("topic"), col("partition"), col("producer_id"))
+      .orderBy(col("offset").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    log.withColumn("__next_marker",
+        last(when(col("is_control"), isCommit), ignoreNulls = true).over(w))
+      .filter(!col("is_control") && col("__next_marker") === true)
+      .drop("__next_marker")
+  }
+
+  /** T5 recovery — aborted transaction ranges recomputed from the log
+    * alone: group each producer's records into transactions by counting
+    * preceding control markers, keep groups terminated by an abort
+    * marker, emit (producer_id, offset_start, offset_end). This is what
+    * makes aborted-range state restart-safe: no driver-side map needed,
+    * the markers ARE the durable state (reference `pg.rs:1027-1042`).
+    */
+  def abortedRangesFromLog(log: DataFrame): DataFrame = {
+    val ctrl = when(col("is_control"), 1).otherwise(0)
+    val w = Window.partitionBy(col("topic"), col("partition"), col("producer_id"))
+      .orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = log.filter(col("producer_id") >= 0)
+      .withColumn("txn_seq", sum(ctrl).over(w) - ctrl)
+    val aborts = marked
+      .filter(col("is_control") && col("control_type") === "abort")
+      .select(col("topic").as("a_topic"), col("partition").as("a_partition"),
+        col("producer_id").as("a_pid"), col("txn_seq").as("a_seq"))
+    marked.filter(!col("is_control"))
+      .join(broadcast(aborts),
+        col("topic") === col("a_topic") && col("partition") === col("a_partition") &&
+        col("producer_id") === col("a_pid") && col("txn_seq") === col("a_seq"))
+      .groupBy(col("topic"), col("partition"), col("producer_id"), col("txn_seq"))
+      .agg(min(col("offset")).as("offset_start"),
+        max(col("offset")).as("offset_end"))
+  }
+
   /** A6/T4 — idempotent-producer duplicate detection: records whose
     * (producer_id, producer_epoch, base_sequence) repeats within a partition
     * (reference `dynostore.rs:826-880`). Returns offending rows.

@@ -43,6 +43,14 @@ final class ParquetStorage(spark: SparkSession, root: String,
   private val txnStates = TrieMap.empty[Long, TxnState.Value]
   private val txnStartTimes = TrieMap.empty[Long, Long]
   private val abortedRanges = TrieMap.empty[Topition, Vector[TxnRange]]
+  private val txnIds = TrieMap.empty[String, Long]           // txn id -> pid
+  private val currentEpochs = TrieMap.empty[Long, Int]       // pid -> fenced epoch
+  // offsets staged inside a txn, applied on commit (txn_offset_commit,
+  // reference lib.rs:1480-1517)
+  private val pendingTxnOffsets =
+    TrieMap.empty[Long, Vector[(String, Topition, Long)]]
+  // partitions whose aborted ranges were already recovered from the log
+  private val recoveredAborted = TrieMap.empty[Topition, Boolean]
 
   private def partDir(tp: Topition) =
     f"$root/log/${tp.topic}/${tp.partition}%010d"
@@ -70,6 +78,18 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def topics: Seq[String] = topicsMap.keys.toSeq.sorted
   override def topicConfig(topic: String): Map[String, String] =
     topicsMap.get(topic).map(_._2).getOrElse(Map.empty)
+
+  /** Declared count from createTopic; on a fresh process over an existing
+    * root, recovered from the partition directories on disk.
+    */
+  override def partitionCount(topic: String): Int =
+    topicsMap.get(topic).map(_._1).getOrElse {
+      val dir = Paths.get(s"$root/log/$topic")
+      if (Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(dir).iterator().asScala.count(p => Files.isDirectory(p))
+      } else 0
+    }
 
   // -------------------------------------------------------------- watermark
 
@@ -103,6 +123,15 @@ final class ParquetStorage(spark: SparkSession, root: String,
                        baseSequence: Int): Either[Int, Long] = {
     if (!topicsMap.contains(tp.topic)) return Left(ErrorCode.UnknownTopicOrPartition)
 
+    // producer-epoch fencing (reference dynostore.rs:826-880): re-init
+    // under the same transactional id bumps the epoch; produce from the
+    // old epoch is a zombie instance and is rejected.
+    if (producerId >= 0)
+      currentEpochs.get(producerId).foreach { cur =>
+        if (producerEpoch >= 0 && producerEpoch < cur)
+          return Left(ErrorCode.ProducerFenced)
+      }
+
     // idempotence: per (producer, epoch, topition) sequence check
     // (reference dynostore.rs:826-880)
     if (producerId >= 0) {
@@ -117,31 +146,52 @@ final class ParquetStorage(spark: SparkSession, root: String,
       }
     }
 
-    // schema validation (reference dynostore.rs:885-898): reject the whole
-    // batch with INVALID_RECORD if any record fails
+    // ONE validation+sizing job (reference dynostore.rs:885-898 validates,
+    // then sizes): per-input-partition row counts and invalid counts in a
+    // single aggregate. The per-partition counts let the write job assign
+    // offsets map-side below — no global sort, no extra count jobs.
     val schema = registry.flatMap(_.lookup(tp.topic))
-    schema.foreach {
-      case a: SchemaRegistry.AvroTopic =>
+    val probe = schema match {
+      case Some(a: SchemaRegistry.AvroTopic) =>
         // binary Avro payloads: undecodable -> null -> INVALID_RECORD
-        val decoded = graft.schema.AvroDecoder.decodeColumn(
+        graft.schema.AvroDecoder.decodeColumn(
           batch.withColumn("__bin", col("value").cast("binary")),
           "__bin", a.avsc, "__decoded")
-        if (decoded.filter(col("__decoded").isNull).limit(1).count() > 0)
-          return Left(ErrorCode.InvalidRecord)
-      case ts =>
-        val invalid = batch.filter(!ts.isValid(col("value"))).limit(1).count()
-        if (invalid > 0) return Left(ErrorCode.InvalidRecord)
+          .withColumn("__invalid", col("__decoded").isNull)
+      case Some(ts) => batch.withColumn("__invalid", !ts.isValid(col("value")))
+      case None => batch.withColumn("__invalid", lit(false))
     }
-
-    val n = batch.count()
+    val stats = probe
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__cnt"), count_if(col("__invalid")).as("__bad"))
+      .collect()
+    if (stats.map(_.getAs[Long]("__bad")).sum > 0)
+      return Left(ErrorCode.InvalidRecord)
+    val n = stats.map(_.getAs[Long]("__cnt")).sum
     val base = reserveOffsets(tp, n)
+    if (n == 0) return Right(base)
 
-    // assign offsets: row_number within the batch (single partition write)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
+    // offsets are pure map-side arithmetic: cumulative start per input
+    // partition (a tiny driver-built literal map) plus the row index
+    // within the partition (low 33 bits of monotonically_increasing_id).
+    // Requires `batch` to re-evaluate deterministically between the stats
+    // job and this one — true for scans and local relations; callers with
+    // non-deterministic inputs should cache() first.
+    val byPid = stats.sortBy(_.getAs[Int]("__pid"))
+    val cums = byPid.scanLeft(base) { (acc, r) => acc + r.getAs[Long]("__cnt") }
+    val pidBase = map(byPid.zip(cums).flatMap { case (r, b) =>
+      Seq(lit(r.getAs[Int]("__pid")), lit(b)) }.toSeq: _*)
     val withOffsets = batch
-      .withColumn("offset", row_number().over(w).cast("long") + base - 1)
+      .withColumn("offset",
+        element_at(pidBase, spark_partition_id()) +
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .withColumn("topic", lit(tp.topic))
       .withColumn("partition", lit(tp.partition))
+      .withColumn("producer_id", lit(producerId))
+      .withColumn("producer_epoch", lit(producerEpoch))
+      .withColumn("base_sequence", lit(baseSequence))
+      .withColumn("is_control", lit(false))
+      .withColumn("control_type", lit(null).cast("string"))
 
     // write to a temp dir, then atomic-rename to publish — readers never
     // see a half-written batch (the PutMode::Create analog,
@@ -160,16 +210,20 @@ final class ParquetStorage(spark: SparkSession, root: String,
     if (producerId >= 0)
       producerSeqs.put((producerId, producerEpoch, tp), math.max(baseSequence, 0) + n.toInt)
 
-    // lake sink for schema-backed topics (reference dynostore.rs:805-822)
+    // lake sink for schema-backed topics (reference dynostore.rs:805-822);
+    // wire-only bookkeeping columns stay out of the analytic table
     schema.foreach { ts =>
       val cfg = topicConfig(tp.topic)
+      val lakeRows = withOffsets.drop(
+        "producer_id", "producer_epoch", "base_sequence",
+        "is_control", "control_type")
       val structed = ts match {
         case a: SchemaRegistry.AvroTopic =>
           graft.schema.AvroDecoder.decodeColumn(
-            withOffsets.withColumn("__bin", col("value").cast("binary")),
+            lakeRows.withColumn("__bin", col("value").cast("binary")),
             "__bin", a.avsc, "value_struct").drop("__bin")
         case _ =>
-          withOffsets.withColumn("value_struct",
+          lakeRows.withColumn("value_struct",
             from_json(col("value").cast("string"), ts.valueType))
       }
       val typed = Lake.withMeta(structed, col("partition"), col("timestamp"))
@@ -205,7 +259,13 @@ final class ParquetStorage(spark: SparkSession, root: String,
                      readCommitted: Boolean): DataFrame = {
     val stage = offsetStage(tp)
     val end = if (readCommitted) stage.lastStable else stage.highWatermark
-    val ranged = logDf(tp)
+    val df0 = logDf(tp)
+    // P4 — control-batch filter: txn commit/abort markers occupy offsets
+    // but are never handed to consumers (reference record_fetch semantics)
+    val dataOnly =
+      if (df0.columns.contains("is_control")) df0.filter(!col("is_control"))
+      else df0
+    val ranged = dataOnly
       .filter(col("offset") >= fetchOffset && col("offset") < end)
       .withColumn("val_len",
         coalesce(octet_length(col("value").cast("binary")), lit(0)))
@@ -262,35 +322,153 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   // ------------------------------------------------------------ transactions
 
-  override def initProducer(txnId: String): (Long, Int) =
-    (producerIds.incrementAndGet(), 0)
+  /** Re-initialising an existing transactional id bumps the epoch and
+    * fences the previous producer instance, aborting any in-flight txn it
+    * left open (reference dynostore.rs:826-880 epoch semantics).
+    */
+  override def initProducer(txnId: String): (Long, Int) = {
+    if (txnId == null || txnId.isEmpty) {
+      val pid = producerIds.incrementAndGet()
+      currentEpochs.put(pid, 0)
+      (pid, 0)
+    } else {
+      val pid = txnIds.getOrElseUpdate(txnId, producerIds.incrementAndGet())
+      val epoch = currentEpochs.updateWith(pid) {
+        case Some(e) => Some(e + 1)
+        case None => Some(0)
+      }.get
+      // zombie cleanup: the fenced instance's open txn is aborted now so
+      // its records never become visible under read_committed
+      if (epoch > 0 && txnStates.get(pid).contains(TxnState.Begin))
+        endTxnInternal(pid, commit = false)
+      (pid, epoch)
+    }
+  }
 
-  override def txnBegin(producerId: Long, tp: Topition): Unit = {
+  private def fenced(producerId: Long, producerEpoch: Int): Boolean =
+    producerEpoch >= 0 && currentEpochs.get(producerId).exists(producerEpoch < _)
+
+  override def txnBegin(producerId: Long, tp: Topition,
+                        producerEpoch: Int): Int = {
+    if (fenced(producerId, producerEpoch)) return ErrorCode.ProducerFenced
     txnStates.put(producerId, TxnState.Begin)
     txnStartTimes.putIfAbsent(producerId, clock())
     txns.getOrElseUpdate(producerId, TrieMap.empty)
+    ErrorCode.None
   }
 
-  override def txnEnd(producerId: Long, commit: Boolean): Unit = {
+  /** Stage a consumer offset inside the txn; becomes visible to
+    * offsetFetch only when the txn commits (reference lib.rs:1480-1517 —
+    * the consume-transform-produce half of EOS).
+    */
+  override def txnOffsetCommit(producerId: Long, group: String, tp: Topition,
+                               offset: Long, producerEpoch: Int): Int = {
+    if (fenced(producerId, producerEpoch)) return ErrorCode.ProducerFenced
+    if (!txnStates.get(producerId).contains(TxnState.Begin))
+      return ErrorCode.InvalidTxnState
+    pendingTxnOffsets.updateWith(producerId) {
+      case Some(v) => Some(v :+ ((group, tp, offset)))
+      case None => Some(Vector((group, tp, offset)))
+    }
+    ErrorCode.None
+  }
+
+  override def txnEnd(producerId: Long, commit: Boolean,
+                      producerEpoch: Int): Int = {
+    if (fenced(producerId, producerEpoch)) return ErrorCode.ProducerFenced
+    if (!txnStates.contains(producerId) && !currentEpochs.contains(producerId))
+      return ErrorCode.UnknownProducerId
+    if (!txnStates.get(producerId).contains(TxnState.Begin))
+      return ErrorCode.InvalidTxnState
+    endTxnInternal(producerId, commit)
+    ErrorCode.None
+  }
+
+  private def endTxnInternal(producerId: Long, commit: Boolean): Unit = {
     val next = if (commit) TxnState.Committed else TxnState.Aborted
     txnStates.put(producerId, next)
-    if (!commit) {
-      txns.get(producerId).foreach(_.foreach { case (tp, (start, end)) =>
+    // durable state: one control marker row per touched partition — the
+    // Kafka commit/abort marker (reference pg.rs:1027-1042). Aborted
+    // ranges are recomputable from the log alone (abortedRangesFromLog),
+    // so a restarted process loses nothing.
+    txns.get(producerId).foreach(_.foreach { case (tp, (start, end)) =>
+      writeControlMarker(tp, producerId, commit)
+      if (!commit) {
         abortedRanges.updateWith(tp) {
           case Some(v) => Some(v :+ TxnRange(producerId, tp.topic, tp.partition,
             start, end, TxnState.Aborted))
           case None => Some(Vector(TxnRange(producerId, tp.topic, tp.partition,
             start, end, TxnState.Aborted)))
         }
-      })
-    }
+      }
+    })
+    // staged consumer offsets: applied on commit, dropped on abort
+    val staged = pendingTxnOffsets.remove(producerId).getOrElse(Vector.empty)
+    if (commit) staged.foreach { case (g, tp, off) => offsetCommit(g, tp, off) }
     txns.remove(producerId)
+    txnStartTimes.remove(producerId)
+    ()
+  }
+
+  /** Append a commit/abort control marker: reserves a real offset (Kafka
+    * semantics — markers occupy log positions) and writes a one-row batch
+    * with is_control=true, nulls for the topic's payload columns.
+    */
+  private def writeControlMarker(tp: Topition, producerId: Long,
+                                 commit: Boolean): Unit = {
+    val schema = logDf(tp).schema
+    val offset = reserveOffsets(tp, 1)
+    val vals: Array[Any] = schema.fields.map { f =>
+      f.name match {
+        case "offset" => offset
+        case "topic" => tp.topic
+        case "partition" => tp.partition
+        case "timestamp" => new java.sql.Timestamp(clock())
+        case "producer_id" => producerId
+        case "producer_epoch" => currentEpochs.getOrElse(producerId, 0)
+        case "base_sequence" => -1
+        case "is_control" => true
+        case "control_type" => if (commit) "commit" else "abort"
+        case _ => null
+      }
+    }
+    val row: org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+    val tmpDir = f"${partDir(tp)}/.tmp_$offset%020d"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    Files.move(Paths.get(tmpDir), Paths.get(f"${partDir(tp)}/$offset%020d.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   override def abortedTxns(tp: Topition, fromOffset: Long,
-                           toOffset: Long): Seq[TxnRange] =
+                           toOffset: Long): Seq[TxnRange] = {
+    // first touch after (re)start: rebuild this partition's aborted ranges
+    // from the control markers in the log — the restart-safety path
+    if (recoveredAborted.putIfAbsent(tp, true).isEmpty) recoverAbortedRanges(tp)
     abortedRanges.getOrElse(tp, Vector.empty)
       .filter(r => r.offsetStart < toOffset && r.offsetEnd >= fromOffset)
+  }
+
+  private def recoverAbortedRanges(tp: Topition): Unit = {
+    val df = logDf(tp)
+    if (!df.columns.contains("is_control")) return
+    val known = abortedRanges.getOrElse(tp, Vector.empty)
+      .map(r => (r.producerId, r.offsetStart, r.offsetEnd)).toSet
+    val fromLog = LogOps.abortedRangesFromLog(df).collect().toSeq
+      .map(r => TxnRange(r.getAs[Long]("producer_id"), tp.topic, tp.partition,
+        r.getAs[Long]("offset_start"), r.getAs[Long]("offset_end"),
+        TxnState.Aborted))
+      .filterNot(r => known.contains((r.producerId, r.offsetStart, r.offsetEnd)))
+    if (fromLog.nonEmpty)
+      abortedRanges.updateWith(tp) {
+        case Some(v) => Some(v ++ fromLog)
+        case None => Some(fromLog.toVector)
+      }
+    ()
+  }
 
   // ------------------------------------------------------------- maintenance
 
@@ -304,10 +482,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
       case (pid, t0) if txnStates.get(pid).contains(TxnState.Begin) &&
         now - t0 > txnTimeoutMs => pid
     }.toSeq
-    expired.foreach { pid =>
-      txnEnd(pid, commit = false)
-      txnStartTimes.remove(pid)
-    }
+    expired.foreach(pid => endTxnInternal(pid, commit = false))
     expired
   }
 
@@ -325,9 +500,11 @@ final class ParquetStorage(spark: SparkSession, root: String,
         val df0 = logDf(tp)
         if (!df0.isEmpty) {
           var df = df0
+          // injected clock, not wall time — retention is deterministic
+          // under test and replayable in maintenance backfills
           if (policy.contains("delete")) retentionMs.foreach { r =>
             df = df.filter(col("timestamp") >=
-              timestamp_millis(lit(System.currentTimeMillis() - r)))
+              timestamp_millis(lit(clock() - r)))
           }
           if (policy.contains("compact")) df = LogOps.compact(df)
           val tmp = partDir(tp) + "__compacting"

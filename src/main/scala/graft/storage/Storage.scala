@@ -24,6 +24,10 @@ trait Storage {
   def deleteTopic(topic: String): Unit
   def topics: Seq[String]
   def topicConfig(topic: String): Map[String, String]
+  /** Declared partition count from createTopic — the source of truth for
+    * Metadata/assignment (empty partitions included), not a data probe.
+    */
+  def partitionCount(topic: String): Int
 
   // -- produce / fetch (reference lib.rs:1370-1388)
   /** Append a batch of records to one topition; returns the assigned base
@@ -57,9 +61,30 @@ trait Storage {
   def groupState(group: String): Option[(String, Long)]
 
   // -- transactions (reference lib.rs:1480-1517)
+  /** Allocate (or re-init) a producer for `txnId`. Re-initialising an
+    * existing transactional id bumps the epoch, fencing the previous
+    * producer instance and aborting its in-flight transaction
+    * (reference `dynostore.rs:826-880` epoch check semantics).
+    */
   def initProducer(txnId: String): (Long, Int) // producer id, epoch
-  def txnBegin(producerId: Long, tp: Topition): Unit
-  def txnEnd(producerId: Long, commit: Boolean): Unit
+  /** Returns an ErrorCode (0 = ok). producerEpoch -1 skips the fence
+    * check (non-wire callers).
+    */
+  def txnBegin(producerId: Long, tp: Topition, producerEpoch: Int = -1): Int
+  /** Commit/abort. On commit, offsets staged via [[txnOffsetCommit]]
+    * become visible; either way a control marker row (is_control=true)
+    * is appended to every partition the txn touched, so aborted ranges
+    * are recoverable from the log alone (reference `pg.rs:1027-1042`).
+    * Returns an ErrorCode (0 = ok).
+    */
+  def txnEnd(producerId: Long, commit: Boolean, producerEpoch: Int = -1): Int
+  /** Stage a consumer-group offset inside the transaction: visible to
+    * offsetFetch only after txnEnd(commit=true) — the EOS
+    * consume-transform-produce half (reference `lib.rs:1480-1517`).
+    * Returns an ErrorCode (0 = ok).
+    */
+  def txnOffsetCommit(producerId: Long, group: String, tp: Topition,
+                      offset: Long, producerEpoch: Int = -1): Int
   def abortedTxns(tp: Topition, fromOffset: Long, toOffset: Long): Seq[TxnRange]
 
   // -- maintenance (reference lib.rs maintain_* + policy SQL)

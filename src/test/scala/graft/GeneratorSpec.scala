@@ -52,7 +52,8 @@ class GeneratorSpec extends SparkSpec {
     assert(st.offsetStage(tp).lastStable === 0L) // pinned by open txn
     now = 5000L
     assert(st.maintainTransactions() === Seq(pid))
-    assert(st.offsetStage(tp).lastStable === 1L) // released
+    // released: data row 0 + abort control marker at offset 1 → LSO 2
+    assert(st.offsetStage(tp).lastStable === 2L)
     assert(st.abortedTxns(tp, 0, Long.MaxValue).nonEmpty)
   }
 }

@@ -122,7 +122,7 @@ class StorageSpec extends SparkSpec {
   }
 
   test("transactions: aborted ranges filtered under read_committed (T5/J3/P8)") {
-    val (st, _) = newStorage()
+    val (st, root) = newStorage()
     st.createTopic("t1", 1)
     val (pid, _) = st.initProducer("tx-1")
     assert(st.produce(tp, batch(3)).isRight) // committed data 0..2
@@ -132,11 +132,63 @@ class StorageSpec extends SparkSpec {
     // open txn pins last stable at 3
     assert(st.offsetStage(tp).lastStable === 3L)
     assert(st.fetch(tp, 0, Long.MaxValue, readCommitted = true).count() === 3)
-    st.txnEnd(pid, commit = false)
+    assert(st.txnEnd(pid, commit = false) === ErrorCode.None)
     val aborted = st.abortedTxns(tp, 0, Long.MaxValue)
     assert(aborted.map(r => (r.offsetStart, r.offsetEnd)) === Seq((3L, 6L)))
-    // after abort: stable advances, aborted range reported to readers
-    assert(st.offsetStage(tp).lastStable === 7L)
+    // abort marker occupies offset 7 (control batch in the log); stable
+    // advances past it and consumers never see the marker row
+    assert(st.offsetStage(tp).lastStable === 8L)
+    assert(st.fetch(tp, 0, Long.MaxValue).count() === 7) // 0..6, marker hidden
+
+    // restart safety (P4/T5): a brand-new process over the same root
+    // recovers the aborted range from the control markers alone
+    val st2 = new ParquetStorage(spark, root)
+    val recovered = st2.abortedTxns(tp, 0, Long.MaxValue)
+    assert(recovered.map(r => (r.offsetStart, r.offsetEnd)) === Seq((3L, 6L)))
+  }
+
+  test("producer-epoch fencing: stale instance rejected (T4)") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    val (pid, e0) = st.initProducer("app-1")
+    assert(e0 === 0)
+    st.txnBegin(pid, tp, e0)
+    assert(st.produce(tp, batch(2), producerId = pid, producerEpoch = e0,
+      baseSequence = 0).isRight)
+    // same transactional id re-initialised: epoch bumps, zombie fenced
+    val (pid2, e1) = st.initProducer("app-1")
+    assert(pid2 === pid && e1 === 1)
+    assert(st.produce(tp, batch(2), producerId = pid, producerEpoch = e0,
+      baseSequence = 2) === Left(ErrorCode.ProducerFenced))
+    assert(st.txnEnd(pid, commit = true, producerEpoch = e0) ===
+      ErrorCode.ProducerFenced)
+    // the fenced instance's open txn was aborted by the re-init
+    assert(st.abortedTxns(tp, 0, Long.MaxValue).nonEmpty)
+    // the new epoch proceeds normally
+    assert(st.txnBegin(pid, tp, e1) === ErrorCode.None)
+    assert(st.produce(tp, batch(1), producerId = pid, producerEpoch = e1,
+      baseSequence = 0).isRight)
+    assert(st.txnEnd(pid, commit = true, producerEpoch = e1) === ErrorCode.None)
+  }
+
+  test("txn offset commit: staged offsets visible only after commit (T5)") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    val (pid, e) = st.initProducer("etl-1")
+    st.txnBegin(pid, tp, e)
+    assert(st.txnOffsetCommit(pid, "g1", tp, 10, e) === ErrorCode.None)
+    assert(st.offsetFetch("g1", tp) === None) // not visible inside the txn
+    assert(st.txnEnd(pid, commit = true, producerEpoch = e) === ErrorCode.None)
+    assert(st.offsetFetch("g1", tp) === Some(10L)) // visible after commit
+
+    // aborted txn drops its staged offsets
+    st.txnBegin(pid, tp, e)
+    assert(st.txnOffsetCommit(pid, "g1", tp, 20, e) === ErrorCode.None)
+    assert(st.txnEnd(pid, commit = false, producerEpoch = e) === ErrorCode.None)
+    assert(st.offsetFetch("g1", tp) === Some(10L)) // unchanged
+    // txnEnd without an open txn is an explicit error, not silent success
+    assert(st.txnEnd(pid, commit = true, producerEpoch = e) ===
+      ErrorCode.InvalidTxnState)
   }
 
   test("maintain applies compaction: latest per key survives (T7/T8)") {
