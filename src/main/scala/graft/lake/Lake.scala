@@ -1,7 +1,6 @@
 package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -75,21 +74,45 @@ object Lake {
     }
   }
 
-  /** Z-order clustering key: interleave the bits of each column's
-    * rank (computed via ntile over 2^bitsPerCol buckets). Sorting by the
-    * interleaved key co-locates rows close in ALL dimensions, so parquet
-    * min/max stats prune on any of the z-order columns — the
-    * OPTIMIZE ZORDER analog (reference `lake/delta.rs:577-622`,
-    * `tansu.lake.z_order`).
+  /** Quantile-bucket assignment as a pure map-side expression: a balanced
+    * when-tree over the (tiny, driver-computed) bin edges. Evaluation
+    * walks one root-to-leaf path — O(log buckets) comparisons per row —
+    * with no window, no shuffle, no single-partition funnel.
     */
-  def zorderKey(cols: Seq[Column], bitsPerCol: Int = 8): Column = {
+  private def bucketOf(c: Column, edges: Array[Double]): Column = {
+    // edges are ascending; bucket = number of edges <= value, in [0, len]
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2 // first bucket of the upper half
+        when(c >= lit(edges(mid - 1)), go(mid, hi)).otherwise(go(lo, mid - 1))
+      }
+    go(0, edges.length)
+  }
+
+  /** Z-order clustering key: interleave the bits of each column's
+    * quantile-bucket index. Sorting by the interleaved key co-locates
+    * rows close in ALL dimensions, so parquet min/max stats prune on any
+    * of the z-order columns — the OPTIMIZE ZORDER analog (reference
+    * `lake/delta.rs:577-622`, `tansu.lake.z_order`).
+    *
+    * Bin edges come from one driver-side approxQuantile pass (2^bits - 1
+    * doubles per column); bucket assignment is then map-side arithmetic.
+    * The previous form — `ntile().over(Window.orderBy(c))` — funnelled
+    * the whole table through a single partition to rank it, which is
+    * exactly the job OPTIMIZE runs over the full table; this one keeps
+    * every stage parallel at any scale.
+    */
+  def zorderKey(df: DataFrame, colNames: Seq[String], bitsPerCol: Int = 8): Column = {
     val buckets = 1 << bitsPerCol
-    val ranked = cols.map(c => ntile(buckets).over(Window.orderBy(c)) - 1)
-    // interleave: bit j of column i goes to position j*numCols+i
-    val n = cols.length
-    ranked.zipWithIndex.map { case (r, i) =>
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val n = colNames.length
+    colNames.zipWithIndex.map { case (name, i) =>
+      val edges = df.select(col(name).cast("double").as("__q"))
+        .stat.approxQuantile("__q", probs, 1.0 / (4 * buckets))
+      val b = bucketOf(col(name).cast("double"), edges)
       (0 until bitsPerCol).map { j =>
-        (shiftright(r, j).bitwiseAND(lit(1))).cast("long") * lit(1L << (j * n + i))
+        (shiftright(b, j).bitwiseAND(lit(1))).cast("long") * lit(1L << (j * n + i))
       }.reduce(_ + _)
     }.reduce(_ + _)
   }
@@ -116,7 +139,7 @@ object Lake {
     }
     val clustered =
       if (zorderCols.nonEmpty)
-        df.withColumn("__z", zorderKey(zorderCols.map(col)))
+        df.withColumn("__z", zorderKey(df, zorderCols))
           .repartitionByRange(sized, col("__z")).drop("__z")
       else df.repartition(sized)
     val tmp = path + "__optimizing"

@@ -124,11 +124,31 @@ object Dedup {
     votes.select(col(idCol), sketch.as("simhash"))
   }
 
+  /** [[simhashPairs]] with the blocking prefix derived from the corpus
+    * size (one count job): blockBits ≈ log2(n / targetCellSize), capped
+    * at 16 of the 32 sketch bits so the un-blocked suffix still absorbs
+    * `maxHamming` bit flips with useful recall. Within-block cost is
+    * quadratic in block cardinality — the cap on cell size, not the row
+    * count, is what keeps this linear as the corpus grows.
+    */
+  def simhashPairsAuto(sketches: DataFrame, maxHamming: Int,
+                       targetCellSize: Long = 1024L,
+                       idCol: String = "doc_id"): DataFrame = {
+    val blockBits = graft.ops.Similarity.blockBitsFor(
+      sketches.count(), targetCellSize, maxBits = 16)
+    simhashPairs(sketches, maxHamming, blockBits, idCol)
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= maxHamming.
     * Candidate generation uses band-prefix blocking (the top `blockBits`
     * bits must agree) so the join is an equi-join, not a cross-join —
     * this is what survives 100×: only same-block pairs shuffle together.
     * With blockBits=0 it degrades to the exact all-pairs comparison.
+    * Within-block pair cost is quadratic in block cardinality, so size
+    * blockBits with the corpus ([[simhashPairsAuto]]); a prefix match is
+    * exact blocking, so near-dups differing in a blocked bit are missed —
+    * the standard recall/cost trade, tightened by raising maxHamming or
+    * multi-probing.
     */
   def simhashPairs(sketches: DataFrame, maxHamming: Int, blockBits: Int = 0,
                    idCol: String = "doc_id"): DataFrame = {
@@ -179,15 +199,19 @@ object Dedup {
         .agg(min(col("n_cluster")).as("min_neighbor"))
       // localCheckpoint truncates lineage: without it every iteration's
       // logical plan embeds all previous ones and Catalyst re-optimizes a
-      // growing tree (planning time, not execution, dominated the loop)
+      // growing tree (planning time, not execution, dominated the loop).
+      // The convergence flag is derived in the SAME projection
+      // (min_neighbor < cluster), so counting `changed` is a scan of the
+      // checkpointed result — not a second join per iteration.
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("min_neighbor"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (coalesce(col("min_neighbor"), col("cluster")) < col("cluster"))
+            .as("__changed"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
       iter += 1
     }
     edges.unpersist()

@@ -75,8 +75,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Blocking width sized to the corpus: the smallest `bits` such that the
+    * expected cell cardinality n / 2^bits stays at or under
+    * `targetCellSize`. Within-cell pair cost is QUADRATIC (~c²/2 per
+    * cell), so holding c constant as the corpus grows keeps total pair
+    * work linear in n — a fixed `bits` would grow it quadratically.
+    */
+  def blockBitsFor(n: Long, targetCellSize: Long = 1024L, maxBits: Int = 24): Int = {
+    if (n <= targetCellSize) 0
+    else {
+      val cells = (n + targetCellSize - 1) / targetCellSize
+      math.min(maxBits, 64 - java.lang.Long.numberOfLeadingZeros(cells - 1))
+    }
+  }
+
+  /** [[cosineNearDupPairs]] with the blocking factor derived from the
+    * corpus size (one count job) instead of caller-pinned — the form to
+    * use at scale, where a fixed cell count is the quadratic trap.
+    */
+  def cosineNearDupPairsAuto(embeddings: DataFrame, minCosine: Double,
+                             targetCellSize: Long = 1024L, dims: Int = 64,
+                             idCol: String = "vec_id",
+                             embCol: String = "embedding"): DataFrame = {
+    val bits = math.min(dims, blockBitsFor(embeddings.count(), targetCellSize))
+    cosineNearDupPairs(embeddings, minCosine, bits, dims, idCol, embCol)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine >= minCosine,
     * blocked by coarse cell (equi-join, not cartesian).
+    *
+    * Scale note: within-cell cost is quadratic in cell cardinality, so
+    * `bits` MUST grow with the corpus (bits ≈ log2(n / targetCellSize));
+    * use [[cosineNearDupPairsAuto]] unless pinning cells for a known n.
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double, bits: Int,
                          dims: Int = 64,

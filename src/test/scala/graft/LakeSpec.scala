@@ -50,8 +50,14 @@ class LakeSpec extends SparkSpec {
   test("zorderKey clusters both dimensions (T9)") {
     val df = spark.range(256).select(
       (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
-    val keyed = df.withColumn("z", Lake.zorderKey(Seq(col("x"), col("y")), 4))
-      .orderBy("z").collect()
+    val keyedDf = df.withColumn("z", Lake.zorderKey(df, Seq("x", "y"), 4))
+    // the key must be pure map-side arithmetic: no window, no
+    // single-partition funnel in the plan (the old ntile-over-global-
+    // window form moved the whole table through one partition)
+    val plan = keyedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("SinglePartition"))
+    val keyed = keyedDf.orderBy("z").collect()
     // points adjacent in z-order should be near in (x, y): max step bounded
     val steps = keyed.sliding(2).map { w =>
       math.abs(w(1).getAs[Long]("x") - w(0).getAs[Long]("x")) +

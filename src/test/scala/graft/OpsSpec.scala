@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
-class OpsSpec extends SparkSpec {
+class OpsSpec extends SparkSpec with PropSupport {
   import spark.implicits._
 
   private lazy val docs = Tables.load(spark, sf, "documents").cache()
@@ -115,5 +115,24 @@ class OpsSpec extends SparkSpec {
   test("languageId picks a language with marker hits or 'und'") {
     val l = TextAnalysis.languageId(docs)
     assert(l.filter(col("predicted_lang") === "und" && col("score_en") > 0).count() === 0)
+  }
+
+  test("blockBitsFor keeps expected cell size bounded under 10x corpus growth") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(1L, 1000000000000L) // up to 1e12 rows
+      t <- Gen.choose(64L, 65536L)
+    } yield (n, t)
+    forAllGen(gen) { case (n, t) =>
+      val bits = Similarity.blockBitsFor(n, t, maxBits = 62)
+      // expected cell cardinality never exceeds the target...
+      assert(n.toDouble / (1L << bits) <= t.toDouble)
+      // ...and blocking is minimal: one fewer bit would break the bound
+      if (bits > 0) assert(n.toDouble / (1L << (bits - 1)) > t.toDouble)
+      // 10x the rows: the SAME target still bounds the cell size, so
+      // within-cell (quadratic) pair work stays linear in corpus size
+      val bits10 = Similarity.blockBitsFor(10 * n, t, maxBits = 62)
+      assert(10.0 * n / (1L << bits10) <= t.toDouble)
+    }
   }
 }
