@@ -1,6 +1,7 @@
 package graft.coordinator
 
 import scala.collection.concurrent.TrieMap
+import com.fasterxml.jackson.databind.ObjectMapper
 import graft.storage.Storage
 
 /** Consumer-group rebalance state machine (T11), the Spark-side analog of
@@ -10,9 +11,24 @@ import graft.storage.Storage
   * leader-computed assignments distributed on sync, heartbeat expiry, and
   * CAS-guarded persistence so multiple stateless coordinators can share
   * one storage.
+  *
+  * The FULL group state — roster, subscriptions, assignment, generation,
+  * protocol — is serialized to storage on every transition
+  * (reference `lib.rs:867,1472-1478` persists `GroupDetail` by CAS), so a
+  * second stateless coordinator over the same storage can serve
+  * Heartbeat/SyncGroup for a group formed by the first. A lost CAS means
+  * another coordinator moved the group: the local cache is dropped and the
+  * caller is told to rejoin (REBALANCE_IN_PROGRESS).
+  *
+  * Rebalance barrier: a join against a stable (Formed) group opens ONE
+  * rebalance cohort — the generation bumps once, and every member joining
+  * while the group is still Forming is admitted into that same
+  * generation. (Per-join bumps would livelock two concurrent joiners:
+  * each join invalidates the other's generation, reference JoinGroup v0
+  * blocks the whole cohort for exactly this reason.)
   */
 final class GroupCoordinator(storage: Storage,
-                             sessionTimeoutMs: Long = 30000,
+                             defaultSessionTimeoutMs: Long = 30000,
                              clock: () => Long = () => System.currentTimeMillis()) {
 
   sealed trait State
@@ -23,31 +39,64 @@ final class GroupCoordinator(storage: Storage,
                           lastHeartbeat: Long)
   final case class Group(state: State, generation: Int, leader: Option[String],
                          members: Map[String, Member], protocol: String,
-                         assignment: Assignors.Assignment, version: Long)
+                         assignment: Assignors.Assignment, version: Long,
+                         sessionTimeoutMs: Long)
 
   private val groups = TrieMap.empty[String, Group]
   private val memberSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val mapper = new ObjectMapper()
 
-  /** JoinGroup (administrator.rs:562-614): admit the member, bump the
-    * generation, move to Forming. First joiner becomes leader. Returns
+  /** Local cache validated against the persisted version: when another
+    * stateless coordinator has moved the group (version advanced), the
+    * cache is refreshed before serving — reads are never stale, and a
+    * coordinator that has never seen the group (takeover) loads it here.
+    * In steady state (this coordinator did the last write) the version
+    * matches and no reload happens.
+    */
+  private def current(groupId: String): Option[Group] = {
+    val cached = groups.get(groupId)
+    val storedVersion = storage.groupState(groupId).map(_._2)
+    (cached, storedVersion) match {
+      case (Some(g), Some(v)) if g.version == v => Some(g)
+      case (_, Some(_)) =>
+        val loaded = loadGroup(groupId)
+        loaded.foreach(groups.put(groupId, _))
+        loaded
+      case (Some(_), None) => groups.remove(groupId); None // deleted elsewhere
+      case (None, None) => None
+    }
+  }
+
+  /** JoinGroup (administrator.rs:562-614): admit the member into the
+    * current rebalance cohort. A join against a stable group opens a new
+    * cohort (one generation bump); joins while Forming share it. First
+    * joiner (or surviving leader) leads. Returns
     * (memberId, generation, isLeader).
     */
   def join(groupId: String, memberId: Option[String], topics: Set[String],
-           protocol: String = "range"): (String, Int, Boolean) = synchronized {
+           protocol: String = "range",
+           sessionTimeoutMs: Long = -1L): (String, Int, Boolean) = synchronized {
     val id = memberId.getOrElse(s"member-${memberSeq.incrementAndGet()}")
-    val g = groups.getOrElse(groupId,
-      Group(Forming, 0, None, Map.empty, protocol, Map.empty, -1L))
+    val g = current(groupId).getOrElse(
+      Group(Forming, 0, None, Map.empty, protocol, Map.empty, -1L,
+        if (sessionTimeoutMs > 0) sessionTimeoutMs else defaultSessionTimeoutMs))
     val member = Member(id, topics, clock())
-    val leader = g.leader.orElse(Some(id))
+    // one bump per cohort, not per joiner
+    val generation =
+      if (g.state == Formed || g.members.isEmpty) g.generation + 1
+      else g.generation
+    val leader = g.leader.filter(g.members.contains).orElse(Some(id))
     val next = g.copy(
       state = Forming,
-      generation = g.generation + 1,
+      generation = generation,
       leader = leader,
       members = g.members + (id -> member),
       protocol = protocol,
-      assignment = Map.empty)
-    persist(groupId, next)
-    (id, next.generation, leader.contains(id))
+      assignment = Map.empty,
+      sessionTimeoutMs =
+        if (sessionTimeoutMs > 0) sessionTimeoutMs else g.sessionTimeoutMs)
+    persistOrReload(groupId, next)
+    (id, generation, leader.contains(id))
   }
 
   /** SyncGroup (administrator.rs:615-660): the leader computes assignments
@@ -57,7 +106,7 @@ final class GroupCoordinator(storage: Storage,
   def sync(groupId: String, memberId: String, generation: Int,
            topicMeta: Assignors.TopicMeta): Either[String, Seq[Assignors.Topition]] =
     synchronized {
-      val g = groups.getOrElse(groupId, return Left("UNKNOWN_GROUP"))
+      val g = current(groupId).getOrElse(return Left("UNKNOWN_GROUP"))
       if (generation != g.generation) return Left("ILLEGAL_GENERATION")
       if (!g.members.contains(memberId)) return Left("UNKNOWN_MEMBER_ID")
       val formed = if (g.state == Forming && g.leader.contains(memberId)) {
@@ -71,17 +120,20 @@ final class GroupCoordinator(storage: Storage,
           case _ => Assignors.range(subs, topicMeta)
         }
         val next = g.copy(state = Formed, assignment = assignment)
-        persist(groupId, next)
+        if (!persistOrReload(groupId, next))
+          return Left("REBALANCE_IN_PROGRESS") // lost CAS: group moved on
         next
       } else g
       if (formed.state != Formed) Left("REBALANCE_IN_PROGRESS")
       else Right(formed.assignment.getOrElse(memberId, Seq.empty))
     }
 
-  /** Heartbeat: refresh liveness; error if a rebalance is pending. */
+  /** Heartbeat: refresh liveness; error if a rebalance is pending.
+    * Liveness is per-coordinator soft state — not persisted (as in Kafka).
+    */
   def heartbeat(groupId: String, memberId: String, generation: Int): Either[String, Unit] =
     synchronized {
-      val g = groups.getOrElse(groupId, return Left("UNKNOWN_GROUP"))
+      val g = current(groupId).getOrElse(return Left("UNKNOWN_GROUP"))
       if (!g.members.contains(memberId)) return Left("UNKNOWN_MEMBER_ID")
       if (generation != g.generation) return Left("REBALANCE_IN_PROGRESS")
       val m = g.members(memberId).copy(lastHeartbeat = clock())
@@ -89,58 +141,131 @@ final class GroupCoordinator(storage: Storage,
       Right(())
     }
 
-  /** LeaveGroup (administrator.rs:661-700): drop the member, re-Form. */
-  def leave(groupId: String, memberId: String): Unit = synchronized {
-    groups.get(groupId).foreach { g =>
-      val remaining = g.members - memberId
-      val next = g.copy(
-        state = if (remaining.isEmpty) Forming else Forming,
-        generation = g.generation + 1,
-        leader = if (g.leader.contains(memberId)) remaining.keys.toSeq.sorted.headOption
-                 else g.leader,
-        members = remaining,
-        assignment = Map.empty)
-      persist(groupId, next)
-    }
+  /** LeaveGroup (administrator.rs:661-700): drop the member, open a new
+    * rebalance cohort for the survivors. Unknown group/member is a real
+    * error — clients use it to detect zombie sessions.
+    */
+  def leave(groupId: String, memberId: String): Either[String, Unit] = synchronized {
+    val g = current(groupId).getOrElse(return Left("UNKNOWN_GROUP"))
+    if (!g.members.contains(memberId)) return Left("UNKNOWN_MEMBER_ID")
+    val remaining = g.members - memberId
+    val next = g.copy(
+      state = Forming,
+      generation = g.generation + 1,
+      leader = if (g.leader.contains(memberId)) remaining.keys.toSeq.sorted.headOption
+               else g.leader,
+      members = remaining,
+      assignment = Map.empty)
+    persistOrReload(groupId, next)
+    Right(())
   }
 
-  /** Expire members whose heartbeat lapsed (maintenance tick). */
+  /** Expire members whose heartbeat lapsed (maintenance tick), honouring
+    * each group's negotiated session timeout.
+    */
   def expireMembers(): Unit = synchronized {
     val now = clock()
     groups.keys.toSeq.foreach { gid =>
       groups.get(gid).foreach { g =>
         val dead = g.members.values
-          .filter(m => now - m.lastHeartbeat > sessionTimeoutMs).map(_.memberId)
+          .filter(m => now - m.lastHeartbeat > g.sessionTimeoutMs).map(_.memberId)
         dead.foreach(leave(gid, _))
       }
     }
   }
 
   def describe(groupId: String): Option[(String, Int, Int)] =
-    groups.get(groupId).map(g =>
+    current(groupId).map(g =>
       (g.state.toString, g.generation, g.members.size))
 
   def leaderOf(groupId: String): Option[String] =
-    groups.get(groupId).flatMap(_.leader)
+    current(groupId).flatMap(_.leader)
+
+  /** Group ids known to this coordinator (cached or not yet expired). */
+  def listGroups(): Seq[String] = groups.keys.toSeq.sorted
 
   /** Member roster with subscriptions (member-id sorted) — the wire
     * facade's JoinGroup response echoes this to the leader.
     */
   def membersOf(groupId: String): Seq[(String, Set[String])] =
-    groups.get(groupId).toSeq.flatMap(_.members.toSeq.sortBy(_._1)
+    current(groupId).toSeq.flatMap(_.members.toSeq.sortBy(_._1)
       .map { case (m, v) => m -> v.topics })
 
-  /** Persist through the Storage CAS (stateless-broker safety: a stale
-    * coordinator's write loses and it refetches).
+  /** Current assignment per member (for DescribeGroups). */
+  def assignmentOf(groupId: String): Assignors.Assignment =
+    current(groupId).map(_.assignment).getOrElse(Map.empty)
+
+  /** Persist through the Storage CAS. Returns false when the CAS is lost —
+    * another stateless coordinator moved the group; the local cache is
+    * invalidated so the next touch reloads the winner's state.
     */
-  private def persist(groupId: String, g: Group): Unit = {
-    val serialized = s"${g.state}:${g.generation}:${g.members.size}"
-    storage.updateGroup(groupId, serialized, g.version) match {
-      case Some(v) => groups.put(groupId, g.copy(version = v))
-      case None =>
-        val fresh = storage.groupState(groupId).map(_._2).getOrElse(-1L)
-        storage.updateGroup(groupId, serialized, fresh)
-          .foreach(v => groups.put(groupId, g.copy(version = v)))
+  private def persistOrReload(groupId: String, g: Group): Boolean =
+    storage.updateGroup(groupId, serialize(g), g.version) match {
+      case Some(v) => groups.put(groupId, g.copy(version = v)); true
+      case None => groups.remove(groupId); false
     }
+
+  // ------------------------------------------------------- state ser/de
+
+  private def serialize(g: Group): String = {
+    val root = mapper.createObjectNode()
+    root.put("state", g.state.toString)
+    root.put("generation", g.generation)
+    g.leader.foreach(root.put("leader", _))
+    root.put("protocol", g.protocol)
+    root.put("sessionTimeoutMs", g.sessionTimeoutMs)
+    val ms = root.putArray("members")
+    g.members.toSeq.sortBy(_._1).foreach { case (id, m) =>
+      val o = ms.addObject()
+      o.put("id", id)
+      val ts = o.putArray("topics")
+      m.topics.toSeq.sorted.foreach(ts.add)
+    }
+    val as = root.putArray("assignment")
+    g.assignment.toSeq.sortBy(_._1).foreach { case (id, tps) =>
+      val o = as.addObject()
+      o.put("id", id)
+      val arr = o.putArray("tps")
+      tps.foreach { tp =>
+        val t = arr.addObject()
+        t.put("t", tp.topic)
+        t.put("p", tp.partition)
+        ()
+      }
+    }
+    mapper.writeValueAsString(root)
   }
+
+  private def loadGroup(groupId: String): Option[Group] =
+    storage.groupState(groupId).flatMap { case (json, version) =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = mapper.readTree(json)
+        if (root == null || !root.has("generation")) None
+        else {
+          val now = clock() // fresh grace window on takeover, not instant expiry
+          val members = root.path("members").elements().asScala.map { m =>
+            val id = m.path("id").asText()
+            val topics = m.path("topics").elements().asScala.map(_.asText()).toSet
+            id -> Member(id, topics, now)
+          }.toMap
+          val assignment: Assignors.Assignment =
+            root.path("assignment").elements().asScala.map { a =>
+              a.path("id").asText() -> a.path("tps").elements().asScala.map { t =>
+                Assignors.Topition(t.path("t").asText(), t.path("p").asInt())
+              }.toSeq
+            }.toMap
+          Some(Group(
+            state = if (root.path("state").asText() == "Formed") Formed else Forming,
+            generation = root.path("generation").asInt(),
+            leader = Option(root.get("leader")).map(_.asText()),
+            members = members,
+            protocol = root.path("protocol").asText("range"),
+            assignment = assignment,
+            version = version,
+            sessionTimeoutMs =
+              root.path("sessionTimeoutMs").asLong(defaultSessionTimeoutMs)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 }

@@ -39,6 +39,16 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   @volatile private var running = true
   private val pool = Executors.newCachedThreadPool()
 
+  // maintenance tick: expire members whose session lapsed, so a consumer
+  // that crashed without LeaveGroup releases its partitions
+  private val maintenance =
+    Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-broker-maintenance"); t.setDaemon(true); t
+    }
+  maintenance.scheduleWithFixedDelay(
+    () => try coordinator.expireMembers() catch { case NonFatal(_) => },
+    1, 1, java.util.concurrent.TimeUnit.SECONDS)
+
   val boundPort: Int = server.getLocalPort
 
   private val acceptor = new Thread(() => {
@@ -57,6 +67,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     running = false
     server.close()
     pool.shutdownNow()
+    maintenance.shutdownNow()
     ()
   }
 
@@ -120,9 +131,41 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           .fold(groupError, _ => 0.toShort))
       case 13 =>
         val (group, member) = readLeaveGroup(buf)
-        coordinator.leave(group, member)
-        out.putShort(0)
+        out.putShort(coordinator.leave(group, member)
+          .fold(groupError, _ => 0.toShort))
       case 14 => handleSyncGroup(buf, out)
+      case 15 =>
+        val names = readDescribeGroups(buf)
+        val described = names.map { g =>
+          coordinator.describe(g) match {
+            case Some((state, _, _)) =>
+              val kafkaState =
+                if (state == "Formed") "Stable" else "PreparingRebalance"
+              val assignment = coordinator.assignmentOf(g)
+              val members = coordinator.membersOf(g).map { case (m, topics) =>
+                val byTopic = assignment.getOrElse(m, Seq.empty)
+                  .groupBy(_.topic).toSeq.sortBy(_._1)
+                  .map { case (t, ps) => t -> ps.map(_.partition).sorted }
+                DescribedMember(m, encodeSubscription(topics.toSeq.sorted),
+                  encodeAssignment(byTopic))
+              }
+              DescribedGroup(0, g, kafkaState, "consumer", "range", members)
+            case None =>
+              DescribedGroup(69, g, "Dead", "", "", Seq.empty) // GROUP_ID_NOT_FOUND
+          }
+        }
+        writeDescribeGroupsResponse(out, described)
+      case 16 =>
+        writeListGroupsResponse(out, coordinator.listGroups())
+      case 21 =>
+        val req = readDeleteRecords(buf)
+        val results = req.map { case (t, parts) =>
+          t -> parts.map { case (p, off) =>
+            if (!storage.topics.contains(t)) (p, -1L, 3.toShort)
+            else (p, storage.deleteRecords(Topition(t, p), off), 0.toShort)
+          }
+        }
+        writeDeleteRecordsResponse(out, results)
       case 19 =>
         val reqTopics = readCreateTopics(buf)
         val results = reqTopics.map { t =>
@@ -193,7 +236,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       .map(p => decodeSubscriptionTopics(p.metadata).toSet)
       .getOrElse(Set.empty[String])
     val (memberId, generation, isLeader) = coordinator.join(
-      req.group, Option(req.memberId).filter(_.nonEmpty), topics, protocol)
+      req.group, Option(req.memberId).filter(_.nonEmpty), topics, protocol,
+      sessionTimeoutMs = req.sessionTimeoutMs.toLong)
     val leaderId = coordinator.leaderOf(req.group).getOrElse(memberId)
     val members =
       if (isLeader)

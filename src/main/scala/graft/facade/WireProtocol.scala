@@ -292,9 +292,12 @@ object WireProtocol {
 
   /** ConsumerProtocol Subscription v0: version [topics] user_data —
     * the opaque `metadata` bytes inside JoinGroup protocols.
+    * Sizing uses UTF-8 byte length, not char count (multi-byte topic
+    * names would otherwise overflow the buffer).
     */
   def encodeSubscription(topics: Seq[String]): Array[Byte] = {
-    val buf = ByteBuffer.allocate(64 + topics.map(_.length + 8).sum)
+    val buf = ByteBuffer.allocate(
+      64 + topics.map(_.getBytes(StandardCharsets.UTF_8).length + 8).sum)
     buf.putShort(0)
     buf.putInt(topics.size)
     topics.foreach(writeString(buf, _))
@@ -311,7 +314,8 @@ object WireProtocol {
 
   /** ConsumerProtocol Assignment v0: version [topic [partition]] user_data. */
   def encodeAssignment(parts: Seq[(String, Seq[Int])]): Array[Byte] = {
-    val buf = ByteBuffer.allocate(64 + parts.map { case (t, ps) => t.length + 8 + 4 * ps.size }.sum)
+    val buf = ByteBuffer.allocate(64 + parts.map { case (t, ps) =>
+      t.getBytes(StandardCharsets.UTF_8).length + 8 + 4 * ps.size }.sum)
     buf.putShort(0)
     buf.putInt(parts.size)
     parts.foreach { case (t, ps) =>
@@ -646,13 +650,129 @@ object WireProtocol {
     }
   }
 
+  // ------------------------------------------------ admin/introspection
+
+  /** DescribeGroups v0: [group_id] → [error group state protocol_type
+    * protocol [member_id client_id client_host metadata assignment]].
+    */
+  def readDescribeGroups(buf: ByteBuffer): Seq[String] =
+    (0 until buf.getInt).map(_ => readString(buf))
+
+  def writeDescribeGroups(buf: ByteBuffer, groups: Seq[String]): Unit = {
+    buf.putInt(groups.size)
+    groups.foreach(writeString(buf, _))
+  }
+
+  final case class DescribedMember(memberId: String, metadata: Array[Byte],
+                                   assignment: Array[Byte])
+  final case class DescribedGroup(error: Short, group: String, state: String,
+                                  protocolType: String, protocol: String,
+                                  members: Seq[DescribedMember])
+
+  def writeDescribeGroupsResponse(buf: ByteBuffer, groups: Seq[DescribedGroup]): Unit = {
+    buf.putInt(groups.size)
+    groups.foreach { g =>
+      buf.putShort(g.error)
+      writeString(buf, g.group)
+      writeString(buf, g.state)
+      writeString(buf, g.protocolType)
+      writeString(buf, g.protocol)
+      buf.putInt(g.members.size)
+      g.members.foreach { m =>
+        writeString(buf, m.memberId)
+        writeString(buf, "") // client_id
+        writeString(buf, "") // client_host
+        writeBytes(buf, m.metadata)
+        writeBytes(buf, m.assignment)
+      }
+    }
+  }
+
+  def readDescribeGroupsResponse(buf: ByteBuffer): Seq[DescribedGroup] =
+    (0 until buf.getInt).map { _ =>
+      val err = buf.getShort
+      val group = readString(buf)
+      val state = readString(buf)
+      val ptype = readString(buf)
+      val proto = readString(buf)
+      val members = (0 until buf.getInt).map { _ =>
+        val id = readString(buf)
+        readString(buf); readString(buf)
+        DescribedMember(id, readBytes(buf), readBytes(buf))
+      }
+      DescribedGroup(err, group, state, ptype, proto, members)
+    }
+
+  /** ListGroups v0: (empty) → error [group_id protocol_type]. */
+  def writeListGroupsResponse(buf: ByteBuffer, groups: Seq[String]): Unit = {
+    buf.putShort(0)
+    buf.putInt(groups.size)
+    groups.foreach { g =>
+      writeString(buf, g)
+      writeString(buf, "consumer")
+    }
+  }
+
+  def readListGroupsResponse(buf: ByteBuffer): Seq[String] = {
+    buf.getShort
+    (0 until buf.getInt).map { _ =>
+      val g = readString(buf)
+      readString(buf) // protocol_type
+      g
+    }
+  }
+
+  /** DeleteRecords v0: [topic [partition offset]] timeout →
+    * throttle [topic [partition low_watermark error]].
+    */
+  def readDeleteRecords(buf: ByteBuffer): Seq[(String, Seq[(Int, Long)])] = {
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      t -> (0 until buf.getInt).map(_ => (buf.getInt, buf.getLong))
+    }
+    buf.getInt // timeout_ms
+    topics
+  }
+
+  def writeDeleteRecords(buf: ByteBuffer, topics: Seq[(String, Seq[(Int, Long)])],
+                         timeoutMs: Int): Unit = {
+    buf.putInt(topics.size)
+    topics.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, off) => buf.putInt(p); buf.putLong(off) }
+    }
+    buf.putInt(timeoutMs)
+  }
+
+  def writeDeleteRecordsResponse(buf: ByteBuffer,
+                                 results: Seq[(String, Seq[(Int, Long, Short)])]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putInt(results.size)
+    results.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, lw, e) =>
+        buf.putInt(p); buf.putLong(lw); buf.putShort(e)
+      }
+    }
+  }
+
+  def readDeleteRecordsResponse(buf: ByteBuffer): Seq[(String, Seq[(Int, Long, Short)])] = {
+    buf.getInt // throttle
+    (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      t -> (0 until buf.getInt).map(_ => (buf.getInt, buf.getLong, buf.getShort))
+    }
+  }
+
   /** ApiVersions v0 response: error [api_key min max] */
   def writeApiVersionsResponse(buf: ByteBuffer): Unit = {
     buf.putShort(0)
     val supported = Seq((0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1),
       (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-      (14, 0, 0), (18, 0, 0), (19, 0, 0), (20, 0, 0), (22, 0, 0),
-      (24, 0, 0), (26, 0, 0), (28, 0, 0))
+      (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (19, 0, 0), (20, 0, 0),
+      (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0))
     buf.putInt(supported.size)
     supported.foreach { case (k, lo, hi) =>
       buf.putShort(k.toShort)

@@ -51,6 +51,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     TrieMap.empty[Long, Vector[(String, Topition, Long)]]
   // partitions whose aborted ranges were already recovered from the log
   private val recoveredAborted = TrieMap.empty[Topition, Boolean]
+  private val logStarts = TrieMap.empty[Topition, Long]
 
   private def partDir(tp: Topition) =
     f"$root/log/${tp.topic}/${tp.partition}%010d"
@@ -266,7 +267,8 @@ final class ParquetStorage(spark: SparkSession, root: String,
       if (df0.columns.contains("is_control")) df0.filter(!col("is_control"))
       else df0
     val ranged = dataOnly
-      .filter(col("offset") >= fetchOffset && col("offset") < end)
+      .filter(col("offset") >= math.max(fetchOffset, logStart(tp)) &&
+        col("offset") < end)
       .withColumn("val_len",
         coalesce(octet_length(col("value").cast("binary")), lit(0)))
     LogOps.fetchWithByteBudget(
@@ -285,11 +287,48 @@ final class ParquetStorage(spark: SparkSession, root: String,
         m(tp)._1
     }
     val lastStable = if (openStarts.isEmpty) high else openStarts.min
-    OffsetStage(logStart = 0L, lastStable = lastStable, highWatermark = high)
+    OffsetStage(logStart = logStart(tp), lastStable = lastStable,
+      highWatermark = high)
   }
 
-  override def listEarliestOffset(tp: Topition): Long = 0L
+  override def listEarliestOffset(tp: Topition): Long = logStart(tp)
   override def listLatestOffset(tp: Topition): Long = offsetStage(tp).highWatermark
+
+  private def logStart(tp: Topition): Long =
+    logStarts.getOrElseUpdate(tp, {
+      val p = Paths.get(partDir(tp), "logstart.json")
+      if (Files.exists(p))
+        """"start":(\d+)""".r.findFirstMatchIn(Files.readString(p))
+          .map(_.group(1).toLong).getOrElse(0L)
+      else 0L
+    })
+
+  /** Advance log-start (logical truncation) and drop batch objects that
+    * lie entirely below it — file bases are the offsets in the name, so
+    * no data is read (the filename-prunable layout paying off).
+    */
+  override def deleteRecords(tp: Topition, beforeOffset: Long): Long = {
+    val cut = math.min(beforeOffset, offsetStage(tp).highWatermark)
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(Paths.get(partDir(tp))).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("\\d{20}\\.parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val bases = files.map(_.getFileName.toString.stripSuffix(".parquet").toLong)
+    files.zip(bases).zipWithIndex.foreach { case ((f, _), i) =>
+      val end = if (i + 1 < bases.length) bases(i + 1)
+                else offsetStage(tp).highWatermark
+      if (end <= cut)
+        Files.walk(f).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val next = math.max(cut, logStart(tp))
+    logStarts.put(tp, next)
+    val p = Paths.get(partDir(tp), "logstart.json")
+    val tmp = Paths.get(partDir(tp), s"logstart.json.tmp$next")
+    Files.writeString(tmp, s"""{"start":$next}""")
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
 
   override def offsetForTimestamp(tp: Topition, tsMillis: Long): Option[Long] = {
     val r = logDf(tp)

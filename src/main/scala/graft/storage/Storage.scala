@@ -90,4 +90,12 @@ trait Storage {
   // -- maintenance (reference lib.rs maintain_* + policy SQL)
   /** Apply retention + compaction per topic config; abort expired txns. */
   def maintain(): Unit
+
+  /** DeleteRecords: advance the partition's log-start offset to
+    * `beforeOffset` (capped at the high watermark), physically dropping
+    * batch objects that fall entirely below it. Returns the new low
+    * watermark (the admin DeleteRecords API; reference per-API service +
+    * `nisshi-storage/tests`).
+    */
+  def deleteRecords(tp: Topition, beforeOffset: Long): Long
 }

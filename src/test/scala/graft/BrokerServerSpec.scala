@@ -48,7 +48,7 @@ class BrokerServerSpec extends SparkSpec {
       // ApiVersions
       val av = request(sock, 18, 0, 1)(_ => ())
       assert(av.getShort === 0)
-      assert(av.getInt === 17) // supported API count
+      assert(av.getInt === 21) // supported API count
 
       // Produce one batch of 3 records
       val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
@@ -154,21 +154,22 @@ class BrokerServerSpec extends SparkSpec {
       assert(W.readString(ja) === memberA)
       assert(W.decodeSubscriptionTopics(W.readBytes(ja)) === Seq("gt"))
 
-      // Member B joins — generation bumps, A's sync with old gen must fail
+      // Member B joins the SAME rebalance cohort — one generation for the
+      // whole cohort (per-join bumps would livelock concurrent joiners)
       val jb = request(sock, 11, 0, 22) { b =>
         W.writeJoinGroup(b, W.JoinGroupRequest("wg", 30000, "", "consumer",
           Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("gt"))))))
       }
       assert(jb.getShort === 0)
       val genB = jb.getInt
-      assert(genB === genA + 1)
+      assert(genB === genA)
       assert(W.readString(jb) === "range") // negotiated protocol
       assert(W.readString(jb) === memberA) // still A-led
       val memberBId = W.readString(jb)
       assert(jb.getInt === 0) // non-leader gets no roster
 
       val staleSync = request(sock, 14, 0, 23) { b =>
-        W.writeSyncGroup(b, W.SyncGroupRequest("wg", genA, memberA, Seq.empty))
+        W.writeSyncGroup(b, W.SyncGroupRequest("wg", genA - 1, memberA, Seq.empty))
       }
       assert(staleSync.getShort === 22) // ILLEGAL_GENERATION
 
@@ -192,7 +193,7 @@ class BrokerServerSpec extends SparkSpec {
       }
       assert(hb.getShort === 0)
       val hbStale = request(sock, 12, 0, 27) { b =>
-        W.writeHeartbeat(b, "wg", genA, memberA)
+        W.writeHeartbeat(b, "wg", genA - 1, memberA)
       }
       assert(hbStale.getShort === 27)
 
@@ -302,6 +303,83 @@ class BrokerServerSpec extends SparkSpec {
       }
       dtMissing.getInt; W.readString(dtMissing)
       assert(dtMissing.getShort === 3)
+
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("admin + txn-offset APIs over the wire (DescribeGroups/ListGroups/DeleteRecords/TxnOffsetCommit)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker5").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("adm", 2)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+
+      // form a group so Describe/List have something to show
+      val ja = request(sock, 11, 0, 50) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("ag", 30000, "", "consumer",
+          Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("adm"))))))
+      }
+      assert(ja.getShort === 0)
+      val gen = ja.getInt
+      W.readString(ja); W.readString(ja)
+      val member = W.readString(ja)
+      val sg = request(sock, 14, 0, 51) { b =>
+        W.writeSyncGroup(b, W.SyncGroupRequest("ag", gen, member, Seq.empty))
+      }
+      assert(sg.getShort === 0)
+      // declared partition count flows into the assignment: both
+      // partitions of the EMPTY topic are assigned (no data probe)
+      assert(W.decodeAssignment(W.readBytes(sg)) === Seq("adm" -> Seq(0, 1)))
+
+      val lg = request(sock, 16, 0, 52)(_ => ())
+      assert(W.readListGroupsResponse(lg) === Seq("ag"))
+
+      val dg = request(sock, 15, 0, 53)(b => W.writeDescribeGroups(b, Seq("ag", "nope")))
+      val described = W.readDescribeGroupsResponse(dg)
+      assert(described.head.error === 0 && described.head.state === "Stable")
+      assert(described.head.members.map(_.memberId) === Seq(member))
+      assert(W.decodeAssignment(described.head.members.head.assignment) ===
+        Seq("adm" -> Seq(0, 1)))
+      assert(described(1).error === 69) // GROUP_ID_NOT_FOUND
+
+      // DeleteRecords advances the low watermark
+      import spark.implicits._
+      val tp0 = graft.model.Model.Topition("adm", 0)
+      storage.produce(tp0, (0 until 6).map(i =>
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"k$i", s"v$i"))
+        .toSeq.toDF("timestamp", "key", "value"))
+      val dr = request(sock, 21, 0, 54) { b =>
+        W.writeDeleteRecords(b, Seq("adm" -> Seq((0, 4L))), 30000)
+      }
+      assert(W.readDeleteRecordsResponse(dr) === Seq("adm" -> Seq((0, 4L, 0.toShort))))
+      assert(storage.listEarliestOffset(tp0) === 4L)
+      assert(storage.fetch(tp0, 0, Long.MaxValue).count() === 2) // 4..5 remain
+
+      // TxnOffsetCommit: staged under the txn, applied on EndTxn(commit)
+      val ip = request(sock, 22, 0, 55)(b => W.writeInitProducerId(b, "etl", 60000))
+      ip.getInt; assert(ip.getShort === 0)
+      val pid = ip.getLong; val epoch = ip.getShort
+      val ap = request(sock, 24, 0, 56) { b =>
+        W.writeAddPartitionsToTxn(b, W.AddPartitionsToTxnRequest(
+          "etl", pid, epoch, Seq("adm" -> Seq(0))))
+      }
+      ap.getInt
+      val toc = request(sock, 28, 0, 57) { b =>
+        W.writeTxnOffsetCommit(b, W.TxnOffsetCommitRequest(
+          "etl", "ag", pid, epoch, Seq("adm" -> Seq(0 -> 5L))))
+      }
+      toc.getInt // throttle
+      assert(toc.getInt === 1); assert(W.readString(toc) === "adm")
+      assert(toc.getInt === 1); assert(toc.getInt === 0)
+      assert(toc.getShort === 0)
+      assert(storage.offsetFetch("ag", tp0) === None) // invisible pre-commit
+      val et = request(sock, 26, 0, 58) { b =>
+        W.writeEndTxn(b, "etl", pid, epoch, committed = true)
+      }
+      et.getInt; assert(et.getShort === 0)
+      assert(storage.offsetFetch("ag", tp0) === Some(5L))
 
       sock.close()
     } finally broker.close()

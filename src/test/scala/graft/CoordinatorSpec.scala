@@ -12,7 +12,7 @@ class CoordinatorSpec extends SparkSpec {
   private def newCoordinator(clock: () => Long = () => 0L) = {
     val root = java.nio.file.Files.createTempDirectory("graft-coord").toString
     new GroupCoordinator(new ParquetStorage(spark, root),
-      sessionTimeoutMs = 1000, clock = clock)
+      defaultSessionTimeoutMs = 1000, clock = clock)
   }
 
   private val meta: Assignors.TopicMeta = Map("t0" -> 4)
@@ -21,8 +21,10 @@ class CoordinatorSpec extends SparkSpec {
     val c = newCoordinator()
     val (m1, gen1, lead1) = c.join("g", None, Set("t0"))
     assert(lead1)
+    // second joiner enters the SAME rebalance cohort: one generation for
+    // the whole cohort, so concurrent joiners cannot livelock each other
     val (m2, gen2, lead2) = c.join("g", None, Set("t0"))
-    assert(!lead2 && gen2 === gen1 + 1)
+    assert(!lead2 && gen2 === gen1)
     // sync before leader computes -> rebalance in progress
     assert(c.sync("g", m2, gen2, meta) === Left("REBALANCE_IN_PROGRESS"))
     // leader sync forms the group
@@ -64,5 +66,36 @@ class CoordinatorSpec extends SparkSpec {
     now = 5000L
     c.expireMembers()
     assert(c.describe("g").map(_._3) === Some(0))
+  }
+
+  test("stateless takeover: a second coordinator serves a group formed by the first") {
+    // the stateless-broker property (reference administrator.rs:562-700,
+    // lib.rs:1472-1478): full group state lives in storage, so ANY
+    // coordinator over the same storage can serve the group
+    val root = java.nio.file.Files.createTempDirectory("graft-coord2").toString
+    val storage = new ParquetStorage(spark, root)
+    val c1 = new GroupCoordinator(storage, defaultSessionTimeoutMs = 1000,
+      clock = () => 0L)
+    val (m1, gen, _) = c1.join("g", None, Set("t0"))
+    val (m2, _, _) = c1.join("g", None, Set("t0"))
+    assert(c1.sync("g", m1, gen, meta).isRight)
+
+    val c2 = new GroupCoordinator(storage, defaultSessionTimeoutMs = 1000,
+      clock = () => 0L)
+    // heartbeat + sync for a member c2 has never seen
+    assert(c2.heartbeat("g", m2, gen) === Right(()))
+    val a = c2.sync("g", m2, gen, meta)
+    assert(a.isRight && a.toOption.get.nonEmpty)
+    // same assignment the first coordinator handed out
+    assert(a === c1.sync("g", m2, gen, meta))
+
+    // CAS safety: c2 moves the group (member leaves → new generation);
+    // c1's stale cache loses the race and tells the caller to rejoin
+    assert(c2.leave("g", m2) === Right(()))
+    assert(c1.sync("g", m1, gen, meta) === Left("ILLEGAL_GENERATION") ||
+      c1.sync("g", m1, gen, meta) === Left("REBALANCE_IN_PROGRESS"))
+    // unknown member/group are real errors (zombie detection)
+    assert(c2.leave("g", "ghost") === Left("UNKNOWN_MEMBER_ID"))
+    assert(c2.leave("nope", m1) === Left("UNKNOWN_GROUP"))
   }
 }
