@@ -96,7 +96,22 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   private def route(header: RequestHeader, buf: ByteBuffer): Array[Byte] = {
     val out = ByteBuffer.allocate(1 << 22)
     header.apiKey match {
-      case 18 => writeApiVersionsResponse(out)
+      case 18 =>
+        // modern clients bootstrap with v3 (flexible). Above our max:
+        // UNSUPPORTED_VERSION with the v0 body listing what we serve, so
+        // the client can downgrade (the standard ApiVersions dance).
+        if (header.apiVersion > 3) writeApiVersionsResponse(out, error = 35)
+        else if (header.apiVersion >= 3) {
+          readApiVersionsV3(buf)
+          writeApiVersionsResponseV3(out)
+        } else writeApiVersionsResponse(out)
+      case 3 if header.apiVersion >= 9 =>
+        // flexible Metadata: response header v1 carries tagged fields
+        val requested = readMetadataV9(buf)
+        val names = requested.getOrElse(storage.topics)
+        writeEmptyTaggedFields(out)
+        writeMetadataResponseV9(out, host, boundPort,
+          names.map(t => t -> partitionsOf(t)))
       case 3 =>
         // v1 request body: [topics] (null array = all)
         val topics = storage.topics.map(t => t -> partitionsOf(t))

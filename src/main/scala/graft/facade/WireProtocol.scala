@@ -66,8 +66,70 @@ object WireProtocol {
       buf.put(a)
     }
 
-  def readHeader(buf: ByteBuffer): RequestHeader =
-    RequestHeader(buf.getShort, buf.getShort, buf.getInt, readString(buf))
+  // ------------------------------------------- flexible-version primitives
+
+  import graft.functions.Varint.{readUnsignedVarint, writeUnsignedVarint}
+
+  /** Compact (nullable) string: uvarint of length+1, 0 = null. */
+  def readCompactString(buf: ByteBuffer): String = {
+    val n = readUnsignedVarint(buf) - 1
+    if (n < 0) null
+    else {
+      val a = new Array[Byte](n)
+      buf.get(a)
+      new String(a, StandardCharsets.UTF_8)
+    }
+  }
+
+  def writeCompactString(buf: ByteBuffer, s: String): Unit =
+    if (s == null) writeUnsignedVarint(0, buf)
+    else {
+      val a = s.getBytes(StandardCharsets.UTF_8)
+      writeUnsignedVarint(a.length + 1, buf)
+      buf.put(a)
+      ()
+    }
+
+  /** Compact array length: uvarint of count+1, 0 = null array. */
+  def readCompactArrayLen(buf: ByteBuffer): Int = readUnsignedVarint(buf) - 1
+  def writeCompactArrayLen(buf: ByteBuffer, n: Int): Unit =
+    writeUnsignedVarint(n + 1, buf)
+
+  /** Tagged fields: skip unknown tags (forward compatibility — the whole
+    * point of the flexible encoding). Count, then per field tag + size +
+    * payload, all uvarints.
+    */
+  def skipTaggedFields(buf: ByteBuffer): Unit = {
+    val n = readUnsignedVarint(buf)
+    (0 until n).foreach { _ =>
+      readUnsignedVarint(buf) // tag
+      val size = readUnsignedVarint(buf)
+      buf.position(buf.position() + size)
+    }
+  }
+
+  def writeEmptyTaggedFields(buf: ByteBuffer): Unit =
+    writeUnsignedVarint(0, buf)
+
+  /** Which (api, version) pairs this facade serves with the flexible
+    * encoding (compact strings/arrays, tagged fields, request header v2).
+    */
+  def isFlexible(apiKey: Short, apiVersion: Short): Boolean =
+    (apiKey.toInt, apiVersion.toInt) match {
+      case (18, v) => v >= 3 // ApiVersions
+      case (3, v) => v >= 9  // Metadata
+      case _ => false
+    }
+
+  /** Request header: v1 (classic) or v2 (flexible — same fields, then
+    * tagged fields; client_id stays a classic nullable string, a protocol
+    * quirk). The api key/version decide which one the client sent.
+    */
+  def readHeader(buf: ByteBuffer): RequestHeader = {
+    val h = RequestHeader(buf.getShort, buf.getShort, buf.getInt, readString(buf))
+    if (isFlexible(h.apiKey, h.apiVersion)) skipTaggedFields(buf)
+    h
+  }
 
   // ------------------------------------------------------------- requests
 
@@ -766,19 +828,181 @@ object WireProtocol {
     }
   }
 
+  /** (api_key, min_version, max_version) triples this facade serves. */
+  val SupportedApis: Seq[(Int, Int, Int)] = Seq(
+    (0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 9),
+    (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
+    (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 3), (19, 0, 0), (20, 0, 0),
+    (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0))
+
   /** ApiVersions v0 response: error [api_key min max] */
-  def writeApiVersionsResponse(buf: ByteBuffer): Unit = {
-    buf.putShort(0)
-    val supported = Seq((0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 1),
-      (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-      (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 0), (19, 0, 0), (20, 0, 0),
-      (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0))
-    buf.putInt(supported.size)
-    supported.foreach { case (k, lo, hi) =>
+  def writeApiVersionsResponse(buf: ByteBuffer, error: Short = 0): Unit = {
+    buf.putShort(error)
+    buf.putInt(SupportedApis.size)
+    SupportedApis.foreach { case (k, lo, hi) =>
       buf.putShort(k.toShort)
       buf.putShort(lo.toShort)
       buf.putShort(hi.toShort)
     }
+  }
+
+  /** ApiVersions v3 request body: client software name/version (compact
+    * strings) + tagged fields — identification only, read and skipped.
+    */
+  def readApiVersionsV3(buf: ByteBuffer): Unit =
+    if (buf.hasRemaining) {
+      readCompactString(buf)
+      readCompactString(buf)
+      skipTaggedFields(buf)
+    }
+
+  def writeApiVersionsV3(buf: ByteBuffer, name: String, version: String): Unit = {
+    writeCompactString(buf, name)
+    writeCompactString(buf, version)
+    writeEmptyTaggedFields(buf)
+  }
+
+  /** ApiVersions v3 response (flexible): error, compact api array with
+    * per-entry tagged fields, throttle, tagged fields. NOTE the protocol
+    * quirk: the ApiVersions RESPONSE always uses header v0 (no header
+    * tagged fields) so that clients can parse the error path before
+    * versions are negotiated.
+    */
+  def writeApiVersionsResponseV3(buf: ByteBuffer): Unit = {
+    buf.putShort(0)
+    writeCompactArrayLen(buf, SupportedApis.size)
+    SupportedApis.foreach { case (k, lo, hi) =>
+      buf.putShort(k.toShort)
+      buf.putShort(lo.toShort)
+      buf.putShort(hi.toShort)
+      writeEmptyTaggedFields(buf)
+    }
+    buf.putInt(0) // throttle_time_ms
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readApiVersionsResponseV3(buf: ByteBuffer): Seq[(Int, Int, Int)] = {
+    val err = buf.getShort
+    require(err == 0, s"ApiVersions error $err")
+    val apis = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = (buf.getShort.toInt, buf.getShort.toInt, buf.getShort.toInt)
+      skipTaggedFields(buf)
+      t
+    }
+    buf.getInt // throttle
+    skipTaggedFields(buf)
+    apis
+  }
+
+  /** Metadata v9 request: compact topic array (null = all), three bools
+    * (auto-create, cluster/topic authorized-operations), tagged fields.
+    * Returns the requested topic names, None = all.
+    */
+  def readMetadataV9(buf: ByteBuffer): Option[Seq[String]] = {
+    val n = readCompactArrayLen(buf)
+    val topics =
+      if (n < 0) None
+      else Some((0 until n).map { _ =>
+        val t = readCompactString(buf)
+        skipTaggedFields(buf)
+        t
+      })
+    buf.get() // allow_auto_topic_creation
+    buf.get() // include_cluster_authorized_operations
+    buf.get() // include_topic_authorized_operations
+    skipTaggedFields(buf)
+    topics
+  }
+
+  def writeMetadataV9(buf: ByteBuffer, topics: Option[Seq[String]]): Unit = {
+    topics match {
+      case None => writeUnsignedVarint(0, buf)
+      case Some(ts) =>
+        writeCompactArrayLen(buf, ts.size)
+        ts.foreach { t =>
+          writeCompactString(buf, t)
+          writeEmptyTaggedFields(buf)
+        }
+    }
+    buf.put(0: Byte); buf.put(0: Byte); buf.put(0: Byte)
+    writeEmptyTaggedFields(buf)
+  }
+
+  /** Metadata v9 response (flexible): throttle, compact broker array,
+    * cluster_id, controller, compact topic array with leader epochs and
+    * authorized-operations, tagged fields throughout.
+    */
+  def writeMetadataResponseV9(buf: ByteBuffer, host: String, port: Int,
+                              topics: Seq[(String, Int)]): Unit = {
+    buf.putInt(0) // throttle
+    writeCompactArrayLen(buf, 1)
+    buf.putInt(0) // node_id
+    writeCompactString(buf, host)
+    buf.putInt(port)
+    writeCompactString(buf, null) // rack
+    writeEmptyTaggedFields(buf)
+    writeCompactString(buf, "graft") // cluster_id
+    buf.putInt(0) // controller_id
+    writeCompactArrayLen(buf, topics.size)
+    topics.foreach { case (t, nParts) =>
+      buf.putShort(0) // error
+      writeCompactString(buf, t)
+      buf.put(0: Byte) // is_internal
+      writeCompactArrayLen(buf, nParts)
+      (0 until nParts).foreach { p =>
+        buf.putShort(0) // error
+        buf.putInt(p)
+        buf.putInt(0) // leader
+        buf.putInt(0) // leader_epoch
+        writeCompactArrayLen(buf, 1); buf.putInt(0) // replicas
+        writeCompactArrayLen(buf, 1); buf.putInt(0) // isr
+        writeCompactArrayLen(buf, 0)                // offline replicas
+        writeEmptyTaggedFields(buf)
+      }
+      buf.putInt(Int.MinValue) // topic_authorized_operations: null
+      writeEmptyTaggedFields(buf)
+    }
+    buf.putInt(Int.MinValue) // cluster_authorized_operations: null
+    writeEmptyTaggedFields(buf)
+  }
+
+  final case class MetadataV9Topic(name: String, partitions: Seq[Int])
+
+  def readMetadataResponseV9(buf: ByteBuffer): (String, Int, Seq[MetadataV9Topic]) = {
+    buf.getInt // throttle
+    val nBrokers = readCompactArrayLen(buf)
+    var host: String = null
+    var port = 0
+    (0 until nBrokers).foreach { _ =>
+      buf.getInt
+      host = readCompactString(buf)
+      port = buf.getInt
+      readCompactString(buf) // rack
+      skipTaggedFields(buf)
+    }
+    readCompactString(buf) // cluster id
+    buf.getInt // controller
+    val topics = (0 until readCompactArrayLen(buf)).map { _ =>
+      buf.getShort
+      val name = readCompactString(buf)
+      buf.get()
+      val parts = (0 until readCompactArrayLen(buf)).map { _ =>
+        buf.getShort
+        val p = buf.getInt
+        buf.getInt; buf.getInt
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        skipTaggedFields(buf)
+        p
+      }
+      buf.getInt // topic_authorized_operations
+      skipTaggedFields(buf)
+      MetadataV9Topic(name, parts)
+    }
+    buf.getInt // cluster_authorized_operations
+    skipTaggedFields(buf)
+    (host, port, topics)
   }
 
   /** Metadata v1 response: [broker] controller_id [topic]. */

@@ -4,14 +4,15 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.{CRC32C, GZIPInputStream, GZIPOutputStream}
 
 /** Kafka record-batch (magic v2) wire codec — decode/encode with CRC-32C
-  * verification and gzip compression (reference
+  * verification and gzip/snappy/lz4/zstd compression (reference
   * `nisshi-sans-io/src/record/deflated.rs:116-199`, crc at 158-165,
   * codecs 341-380; layout per the public Kafka protocol spec).
   *
-  * Snappy/LZ4/Zstd are recognized attribute codes but unsupported in this
-  * build (no codec jars) — decode raises rather than mis-parsing. The
-  * analytic path stores batches as Parquet; this codec exists for the
-  * wire facade and for ingesting captured Kafka batches.
+  * Codec streams match what Kafka clients produce: snappy-java's xerial
+  * stream framing, the LZ4 Frame format, and zstd frames — all via the
+  * libraries Spark itself ships. The analytic path stores batches as
+  * Parquet; this codec exists for the wire facade and for ingesting
+  * captured Kafka batches.
   */
 object RecordBatchCodec {
 
@@ -30,6 +31,9 @@ object RecordBatchCodec {
 
   val CodecNone = 0
   val CodecGzip = 1
+  val CodecSnappy = 2
+  val CodecLz4 = 3
+  val CodecZstd = 4
 
   def crc32c(bytes: Array[Byte], from: Int, len: Int): Long = {
     val c = new CRC32C()
@@ -61,11 +65,7 @@ object RecordBatchCodec {
     val recordCount = buf.getInt
     val payload = new Array[Byte](buf.remaining())
     buf.get(payload)
-    val recordsBytes = (attributes & 0x07) match {
-      case CodecNone => payload
-      case CodecGzip => gunzip(payload)
-      case c => throw new UnsupportedOperationException(s"codec $c not available")
-    }
+    val recordsBytes = decompress(attributes & 0x07, payload)
     val rbuf = ByteBuffer.wrap(recordsBytes).order(ByteOrder.BIG_ENDIAN)
     val records = (0 until recordCount).map(_ => readRecord(rbuf))
     require(records.isEmpty || records.map(_.offsetDelta).max == lastOffsetDelta,
@@ -107,7 +107,7 @@ object RecordBatchCodec {
     recBuf.flip()
     var records = new Array[Byte](recBuf.remaining())
     recBuf.get(records)
-    if ((batch.attributes & 0x07) == CodecGzip) records = gzip(records)
+    records = compress(batch.attributes & 0x07, records)
 
     val lastOffsetDelta =
       if (batch.records.isEmpty) 0 else batch.records.map(_.offsetDelta).max
@@ -158,15 +158,36 @@ object RecordBatchCodec {
     if (a == null) Varint.writeVarint(-1, buf)
     else { Varint.writeVarint(a.length, buf); buf.put(a) }
 
-  private def gzip(a: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val g = new GZIPOutputStream(bos)
-    g.write(a); g.close()
-    bos.toByteArray
+  /** Compress per the batch attribute codec (reference
+    * deflated.rs:341-380). Streams are the same framings Kafka clients
+    * use: gzip, xerial snappy stream, LZ4 frame, zstd frame.
+    */
+  def compress(codec: Int, a: Array[Byte]): Array[Byte] = codec match {
+    case CodecNone => a
+    case _ =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = codec match {
+        case CodecGzip => new GZIPOutputStream(bos)
+        case CodecSnappy => new org.xerial.snappy.SnappyOutputStream(bos)
+        case CodecLz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        case CodecZstd => new com.github.luben.zstd.ZstdOutputStream(bos)
+        case c => throw new UnsupportedOperationException(s"codec $c unknown")
+      }
+      out.write(a); out.close()
+      bos.toByteArray
   }
 
-  private def gunzip(a: Array[Byte]): Array[Byte] = {
-    val g = new GZIPInputStream(new java.io.ByteArrayInputStream(a))
-    g.readAllBytes()
+  def decompress(codec: Int, a: Array[Byte]): Array[Byte] = codec match {
+    case CodecNone => a
+    case _ =>
+      val bis = new java.io.ByteArrayInputStream(a)
+      val in = codec match {
+        case CodecGzip => new GZIPInputStream(bis)
+        case CodecSnappy => new org.xerial.snappy.SnappyInputStream(bis)
+        case CodecLz4 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+        case CodecZstd => new com.github.luben.zstd.ZstdInputStream(bis)
+        case c => throw new UnsupportedOperationException(s"codec $c unknown")
+      }
+      try in.readAllBytes() finally in.close()
   }
 }

@@ -48,4 +48,29 @@ object Varint {
     n
   }
   def sizeOfVarint(v: Int): Int = sizeOfVarlong(v.toLong)
+
+  /** UNSIGNED varints — the flexible-protocol length/tag encoding
+    * (compact strings/arrays and tagged fields use these, NOT zig-zag).
+    */
+  def writeUnsignedVarint(v: Int, buf: ByteBuffer): Unit = {
+    var u = v
+    while ((u & ~0x7f) != 0) {
+      buf.put(((u & 0x7f) | 0x80).toByte)
+      u >>>= 7
+    }
+    buf.put(u.toByte)
+  }
+
+  def readUnsignedVarint(buf: ByteBuffer): Int = {
+    var value = 0
+    var shift = 0
+    var b = buf.get()
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7f) << shift
+      shift += 7
+      require(shift < 32, "uvarint too long")
+      b = buf.get()
+    }
+    value | ((b & 0x7f) << shift)
+  }
 }

@@ -37,6 +37,84 @@ class BrokerServerSpec extends SparkSpec {
     rbuf
   }
 
+  /** Flexible-header request (header v2): same classic fields, then a
+    * tagged-field section — deliberately carrying an UNKNOWN tag the
+    * broker must skip (the forward-compat contract of the encoding).
+    */
+  private def flexRequest(sock: Socket, apiKey: Short, version: Short,
+                          correlationId: Int)(body: ByteBuffer => Unit): ByteBuffer = {
+    val buf = ByteBuffer.allocate(1 << 20)
+    buf.putShort(apiKey)
+    buf.putShort(version)
+    buf.putInt(correlationId)
+    W.writeString(buf, "graft-test")
+    graft.functions.Varint.writeUnsignedVarint(1, buf) // one tagged field
+    graft.functions.Varint.writeUnsignedVarint(7, buf) // unknown tag
+    graft.functions.Varint.writeUnsignedVarint(3, buf) // 3 payload bytes
+    buf.put(Array[Byte](1, 2, 3))
+    body(buf)
+    buf.flip()
+    val out = new DataOutputStream(sock.getOutputStream)
+    out.writeInt(buf.remaining())
+    val frame = new Array[Byte](buf.remaining())
+    buf.get(frame)
+    out.write(frame)
+    out.flush()
+    val in = new DataInputStream(sock.getInputStream)
+    val len = in.readInt()
+    val resp = new Array[Byte](len)
+    in.readFully(resp)
+    val rbuf = ByteBuffer.wrap(resp)
+    assert(rbuf.getInt === correlationId)
+    rbuf
+  }
+
+  test("flexible bootstrap: ApiVersions v3 + Metadata v9, tagged fields skipped") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker6").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("flex", 3)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+
+      // a modern client's first frame: ApiVersions v3, flexible header
+      // with an unknown tagged field the broker has to skip
+      val av = flexRequest(sock, 18, 3, 70) { b =>
+        W.writeApiVersionsV3(b, "test-client", "1.0")
+      }
+      val apis = W.readApiVersionsResponseV3(av)
+      assert(apis.contains((18, 0, 3)))
+      assert(apis.contains((3, 1, 9)))
+
+      // above our max: UNSUPPORTED_VERSION + v0 body so the client can
+      // downgrade (the standard ApiVersions dance)
+      val avHigh = flexRequest(sock, 18, 9, 71)(_ => ())
+      assert(avHigh.getShort === 35)
+      assert(avHigh.getInt === W.SupportedApis.size)
+
+      // Metadata v9, all topics (null compact array); response header v1
+      // carries tagged fields before the flexible body
+      val md = flexRequest(sock, 3, 9, 72)(b => W.writeMetadataV9(b, None))
+      W.skipTaggedFields(md)
+      val (mdHost, mdPort, topics) = W.readMetadataResponseV9(md)
+      assert(mdHost === "127.0.0.1" && mdPort === broker.boundPort)
+      assert(topics.map(t => t.name -> t.partitions.size) === Seq("flex" -> 3))
+
+      // Metadata v9 with an explicit compact topic list
+      val md2 = flexRequest(sock, 3, 9, 73)(b => W.writeMetadataV9(b, Some(Seq("flex"))))
+      W.skipTaggedFields(md2)
+      val (_, _, topics2) = W.readMetadataResponseV9(md2)
+      assert(topics2.map(_.name) === Seq("flex"))
+
+      // the same connection still speaks classic frames afterwards
+      val avOld = request(sock, 18, 0, 74)(_ => ())
+      assert(avOld.getShort === 0)
+      assert(avOld.getInt === W.SupportedApis.size)
+
+      sock.close()
+    } finally broker.close()
+  }
+
   test("produce/fetch round-trip over the wire (S1/S2/S3 end-to-end)") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
     val storage = new ParquetStorage(spark, root)

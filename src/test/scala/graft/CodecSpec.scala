@@ -43,12 +43,14 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     base <- Gen.choose(0L, 1L << 40)
     n <- Gen.choose(0, 20)
     recs <- Gen.listOfN(n, genRecord)
-    gzip <- Gen.oneOf(0, 1)
-  } yield Batch(base, 0, gzip.toShort, 1704067200000L, 1704067300000L,
+    codec <- Gen.oneOf(RecordBatchCodec.CodecNone, RecordBatchCodec.CodecGzip,
+      RecordBatchCodec.CodecSnappy, RecordBatchCodec.CodecLz4,
+      RecordBatchCodec.CodecZstd)
+  } yield Batch(base, 0, codec.toShort, 1704067200000L, 1704067300000L,
     -1L, -1, -1, recs.zipWithIndex.map { case (r, i) => r.copy(offsetDelta = i) })
 
-  test("record batch encode/decode round-trips (none + gzip)") {
-    forAllGen(genBatch, cases = 40) { b =>
+  test("record batch encode/decode round-trips (none/gzip/snappy/lz4/zstd)") {
+    forAllGen(genBatch, cases = 60) { b =>
       val decoded = RecordBatchCodec.decode(RecordBatchCodec.encode(b))
       assert(decoded.baseOffset === b.baseOffset)
       assert(decoded.records.size === b.records.size)
@@ -65,13 +67,37 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     }
   }
 
-  test("corrupted batch fails CRC check") {
-    val b = Batch(0L, 0, 0, 0L, 0L, -1L, -1, -1,
-      Seq(Record(0, 0L, "k".getBytes, "v".getBytes, Nil)))
-    val wire = RecordBatchCodec.encode(b)
-    wire(wire.length - 1) = (wire(wire.length - 1) ^ 0xff).toByte
-    val e = intercept[IllegalArgumentException] { RecordBatchCodec.decode(wire) }
-    assert(e.getMessage.contains("CRC"))
+  test("corrupted batch fails CRC check (every codec)") {
+    Seq(RecordBatchCodec.CodecNone, RecordBatchCodec.CodecGzip,
+      RecordBatchCodec.CodecSnappy, RecordBatchCodec.CodecLz4,
+      RecordBatchCodec.CodecZstd).foreach { codec =>
+      val b = Batch(0L, 0, codec.toShort, 0L, 0L, -1L, -1, -1,
+        Seq(Record(0, 0L, "k".getBytes, "v".getBytes, Nil)))
+      val wire = RecordBatchCodec.encode(b)
+      wire(wire.length - 1) = (wire(wire.length - 1) ^ 0xff).toByte
+      val e = intercept[IllegalArgumentException] { RecordBatchCodec.decode(wire) }
+      assert(e.getMessage.contains("CRC"))
+    }
+  }
+
+  test("compressed frames really are the advertised codec framing") {
+    val payload = Array.fill[Byte](256)(7)
+    // magic bytes: gzip 1f 8b, xerial snappy stream (-126 'S' 'N' 'A'),
+    // LZ4 frame 04 22 4d 18, zstd 28 b5 2f fd
+    assert(RecordBatchCodec.compress(RecordBatchCodec.CodecGzip, payload)
+      .take(2).toSeq === Seq(0x1f.toByte, 0x8b.toByte))
+    assert(RecordBatchCodec.compress(RecordBatchCodec.CodecSnappy, payload)
+      .slice(1, 4).map(_.toChar).mkString === "SNA")
+    assert(RecordBatchCodec.compress(RecordBatchCodec.CodecLz4, payload)
+      .take(4).toSeq === Seq(0x04.toByte, 0x22.toByte, 0x4d.toByte, 0x18.toByte))
+    assert(RecordBatchCodec.compress(RecordBatchCodec.CodecZstd, payload)
+      .take(4).toSeq === Seq(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte))
+    // and each round-trips through its decompressor
+    Seq(RecordBatchCodec.CodecGzip, RecordBatchCodec.CodecSnappy,
+      RecordBatchCodec.CodecLz4, RecordBatchCodec.CodecZstd).foreach { c =>
+      assert(RecordBatchCodec.decompress(c,
+        RecordBatchCodec.compress(c, payload)).toSeq === payload.toSeq)
+    }
   }
 
   test("tombstone (null value) round-trips as null") {
