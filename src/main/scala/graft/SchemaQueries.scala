@@ -148,7 +148,45 @@ object SchemaQueries {
         round(expr("percentile(metric, 0.5)"), 6).as("p50"),
         round(expr("percentile(metric, 0.95)"), 6).as("p95"))
 
+  /** Instance-driven schema inference (reference
+    * `nisshi-schema/src/json/arrow.rs:87-148`, `common_data_type`):
+    * synthesize a schemaless stream with THREE record shapes — {k,tag},
+    * {k,extra:{a}}, {k,f} — infer the unified schema from the instances
+    * (cross-record type unification: optional string, nested struct,
+    * long ⊔ double), parse typed, and aggregate every inferred field.
+    * The inferred field list itself is emitted and oracle-checked
+    * against the expected union.
+    */
+  def qInferSchema(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.log(s, dir)
+    val doc = when(col("offset") % 3 === 0,
+        format_string("""{"k":%d,"tag":"t%d"}""",
+          col("offset") % 97, col("key") % 5))
+      .when(col("offset") % 3 === 1,
+        format_string("""{"k":%d,"extra":{"a":%d}}""",
+          col("offset") % 97, col("offset") % 13))
+      .otherwise(
+        format_string("""{"k":%d,"f":%d.5}""",
+          col("offset") % 97, col("offset") % 7))
+    val synth = log.select(col("partition"), doc.as("doc"))
+    val schema = JsonSchema.inferSchema(synth, "doc")
+    synth.withColumn("typed", from_json(col("doc"), schema))
+      .groupBy(col("partition"))
+      .agg(
+        count(col("typed.k")).as("n_k"),
+        sum(col("typed.k")).as("sum_k"),
+        count(col("typed.tag")).as("n_tag"),
+        count(col("typed.extra.a")).as("n_extra_a"),
+        max(col("typed.extra.a")).as("max_extra_a"),
+        // f values are exact binary fractions (x.5), so the double sum
+        // is order-independent across partitions
+        sum(col("typed.f")).as("sum_f"))
+      .withColumn("inferred_fields",
+        lit(schema.fieldNames.sorted.mkString(",")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_infer_schema" -> (qInferSchema _),
     "q_percentiles" -> (qPercentiles _),
     "q_sessions" -> (qSessions _),
     "q_validate_json" -> (qValidateJson _),
@@ -162,6 +200,22 @@ object SchemaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_infer_schema" ->
+      """WITH log AS (
+        |  SELECT event_id % 8 AS "partition", event_id AS "offset",
+        |         user_id AS "key"
+        |  FROM events)
+        |SELECT "partition",
+        |  COUNT(*) AS n_k,
+        |  CAST(SUM("offset" % 97) AS BIGINT) AS sum_k,
+        |  COUNT(*) FILTER (WHERE "offset" % 3 = 0) AS n_tag,
+        |  COUNT(*) FILTER (WHERE "offset" % 3 = 1) AS n_extra_a,
+        |  MAX("offset" % 13) FILTER (WHERE "offset" % 3 = 1) AS max_extra_a,
+        |  CAST(SUM(0.5 + ("offset" % 7)) FILTER (WHERE "offset" % 3 = 2)
+        |    AS DOUBLE) AS sum_f,
+        |  'extra,f,k,tag' AS inferred_fields
+        |FROM log GROUP BY 1""".stripMargin,
+
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |  round(quantile_cont("value", 0.5), 6) AS p50,

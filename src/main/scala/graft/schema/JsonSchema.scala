@@ -1,6 +1,6 @@
 package graft.schema
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -21,6 +21,29 @@ import org.json4s.jackson.JsonMethods
 object JsonSchema {
 
   final case class Compiled(schema: StructType, isValid: Column => Column)
+
+  /** Instance-driven schema inference for schemaless topics: the unified
+    * type of a JSON column is derived from the VALUES, cross-record
+    * (reference `nisshi-schema/src/json/arrow.rs:87-148`,
+    * `common_data_type` unification). Spark-native: the JSON datasource's
+    * inference IS this unification, run distributed — per-partition
+    * inference then a type merge (long ⊔ double → double, missing ⊔ T →
+    * nullable T, object fields unioned) — so it scales to any corpus and
+    * costs one extra pass.
+    */
+  def inferSchema(df: DataFrame, jsonCol: String): StructType = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spark.read.json(df.select(col(jsonCol).cast("string")).as[String]).schema
+  }
+
+  /** Infer the unified schema, then parse the column typed — what a
+    * schemaless topic needs before it can be materialized to the lake.
+    */
+  def parseInferred(df: DataFrame, jsonCol: String,
+                    outCol: String): DataFrame =
+    df.withColumn(outCol, from_json(col(jsonCol).cast("string"),
+      inferSchema(df, jsonCol)))
 
   /** Parse a JSON Schema document (subset) into Spark StructType +
     * validator over a JSON-string column.

@@ -92,6 +92,26 @@ class SchemaSpec extends SparkSpec {
     assert(reg.lookup("person").isEmpty)
   }
 
+  test("inferSchema unifies types across instances (arrow.rs common_data_type)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Seq(
+      """{"k":1,"tag":"a"}""",
+      """{"k":2.5,"extra":{"a":3}}""",   // k: long ⊔ double → double
+      """{"k":3,"extra":{"b":"x"}}""")   // extra: field union {a} ∪ {b}
+      .toDF("doc")
+    val schema = graft.schema.JsonSchema.inferSchema(docs, "doc")
+    assert(schema.fieldNames.sorted.toSeq === Seq("extra", "k", "tag"))
+    assert(schema("k").dataType === DoubleType)
+    assert(schema("tag").dataType === StringType)
+    val extra = schema("extra").dataType.asInstanceOf[StructType]
+    assert(extra.fieldNames.sorted.toSeq === Seq("a", "b"))
+    // typed parse: missing fields are null, unified types applied
+    val parsed = graft.schema.JsonSchema.parseInferred(docs, "doc", "t")
+    assert(parsed.selectExpr("sum(t.k)").head().getDouble(0) === 6.5)
+    assert(parsed.selectExpr("count(t.extra.a)").head().getLong(0) === 1L)
+  }
+
   private object Files {
     def createTempDir(): java.io.File = {
       val f = java.nio.file.Files.createTempDirectory("graft-registry").toFile
