@@ -29,10 +29,27 @@ import graft.storage.Storage
   * behind it does all data processing.
   */
 final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
-                         port: Int = 0) {
+                         port: Int = 0,
+                         scramUsers: Map[String, String] = Map.empty) {
   import WireProtocol._
 
   private val coordinator = new graft.coordinator.GroupCoordinator(storage)
+
+  // SCRAM credential store: StoredKey/ServerKey per user, never the
+  // password (F9). Salt is derived deterministically so a restarted
+  // broker serves the same credentials; production would random-salt at
+  // user-upsert time and persist through Storage.
+  private val scramCreds: Map[String, Scram.Credential] =
+    scramUsers.map { case (u, pw) =>
+      u -> Scram.credential(pw, Scram.h(s"graft-scram-salt:$u".getBytes("UTF-8")).take(16))
+    }
+
+  /** Per-connection authentication + in-flight SCRAM exchange. */
+  private final class ConnState {
+    var scram: Option[Scram.ServerSession] = None
+    var firstDone = false
+    def authenticated: Boolean = scram.exists(_.authenticatedUser.isDefined)
+  }
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
@@ -74,6 +91,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    val conn = new ConnState
     try {
       while (running) {
         val len = in.readInt()
@@ -81,7 +99,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         in.readFully(frame)
         val buf = ByteBuffer.wrap(frame)
         val header = readHeader(buf)
-        val resp = route(header, buf)
+        val resp = route(header, buf, conn)
         out.writeInt(resp.length + 4)
         out.writeInt(header.correlationId)
         out.write(resp)
@@ -93,9 +111,42 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     } finally sock.close()
   }
 
-  private def route(header: RequestHeader, buf: ByteBuffer): Array[Byte] = {
+  private def route(header: RequestHeader, buf: ByteBuffer,
+                    conn: ConnState): Array[Byte] = {
+    // SASL gate: with users configured, only ApiVersions and the SASL
+    // exchange are served pre-auth; anything else drops the connection
+    // (the standard broker behavior on an authenticated listener)
+    if (scramUsers.nonEmpty && !conn.authenticated &&
+        header.apiKey != 18 && header.apiKey != 17 && header.apiKey != 36)
+      throw new IllegalStateException("unauthenticated")
     val out = ByteBuffer.allocate(1 << 22)
     header.apiKey match {
+      case 17 =>
+        val mech = readSaslHandshake(buf)
+        if (mech == Scram.Mechanism && scramUsers.nonEmpty) {
+          conn.scram = Some(new Scram.ServerSession(scramCreds.get))
+          conn.firstDone = false
+          writeSaslHandshakeResponse(out, 0, Seq(Scram.Mechanism))
+        } else
+          writeSaslHandshakeResponse(out, 33, // UNSUPPORTED_SASL_MECHANISM
+            if (scramUsers.isEmpty) Seq.empty else Seq(Scram.Mechanism))
+      case 36 =>
+        val bytes = Option(readSaslAuthenticate(buf)).getOrElse(Array.empty[Byte])
+        val msg = new String(bytes, "UTF-8")
+        conn.scram match {
+          case None =>
+            writeSaslAuthenticateResponse(out, 58, "handshake first", Array.empty)
+          case Some(session) =>
+            val result =
+              if (!conn.firstDone) { conn.firstDone = true; session.handleClientFirst(msg) }
+              else session.handleClientFinal(msg)
+            result match {
+              case Right(reply) =>
+                writeSaslAuthenticateResponse(out, 0, null, reply.getBytes("UTF-8"))
+              case Left(err) => // SASL_AUTHENTICATION_FAILED
+                writeSaslAuthenticateResponse(out, 58, err, Array.empty)
+            }
+        }
       case 18 =>
         // modern clients bootstrap with v3 (flexible). Above our max:
         // UNSUPPORTED_VERSION with the v0 body listing what we serve, so

@@ -712,6 +712,32 @@ object WireProtocol {
     }
   }
 
+  // ---------------------------------------------------------- SASL (F9)
+
+  /** SaslHandshake v1 (17): mechanism → error [enabled mechanisms]. */
+  def readSaslHandshake(buf: ByteBuffer): String = readString(buf)
+  def writeSaslHandshake(buf: ByteBuffer, mechanism: String): Unit =
+    writeString(buf, mechanism)
+
+  def writeSaslHandshakeResponse(buf: ByteBuffer, error: Short,
+                                 mechanisms: Seq[String]): Unit = {
+    buf.putShort(error)
+    buf.putInt(mechanisms.size)
+    mechanisms.foreach(writeString(buf, _))
+  }
+
+  /** SaslAuthenticate v0 (36): auth bytes → error, message, auth bytes. */
+  def readSaslAuthenticate(buf: ByteBuffer): Array[Byte] = readBytes(buf)
+  def writeSaslAuthenticate(buf: ByteBuffer, bytes: Array[Byte]): Unit =
+    writeBytes(buf, bytes)
+
+  def writeSaslAuthenticateResponse(buf: ByteBuffer, error: Short,
+                                    message: String, bytes: Array[Byte]): Unit = {
+    buf.putShort(error)
+    writeString(buf, message)
+    writeBytes(buf, bytes)
+  }
+
   // ------------------------------------------------ admin/introspection
 
   /** DescribeGroups v0: [group_id] → [error group state protocol_type
@@ -832,8 +858,9 @@ object WireProtocol {
   val SupportedApis: Seq[(Int, Int, Int)] = Seq(
     (0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 9),
     (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-    (14, 0, 0), (15, 0, 0), (16, 0, 0), (18, 0, 3), (19, 0, 0), (20, 0, 0),
-    (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0))
+    (14, 0, 0), (15, 0, 0), (16, 0, 0), (17, 1, 1), (18, 0, 3), (19, 0, 0),
+    (20, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0),
+    (36, 0, 0))
 
   /** ApiVersions v0 response: error [api_key min max] */
   def writeApiVersionsResponse(buf: ByteBuffer, error: Short = 0): Unit = {

@@ -126,7 +126,7 @@ class BrokerServerSpec extends SparkSpec {
       // ApiVersions
       val av = request(sock, 18, 0, 1)(_ => ())
       assert(av.getShort === 0)
-      assert(av.getInt === 21) // supported API count
+      assert(av.getInt === W.SupportedApis.size)
 
       // Produce one batch of 3 records
       val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
@@ -460,6 +460,70 @@ class BrokerServerSpec extends SparkSpec {
       assert(storage.offsetFetch("ag", tp0) === Some(5L))
 
       sock.close()
+    } finally broker.close()
+  }
+
+  test("SASL SCRAM-SHA-256 over the wire: gate, handshake, mutual auth (F9)") {
+    import graft.facade.Scram
+    val root = java.nio.file.Files.createTempDirectory("graft-broker7").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("sec", 1)
+    val broker = new BrokerServer(storage, scramUsers = Map("alice" -> "secret"))
+    try {
+      // pre-auth: ApiVersions is allowed, anything else drops the conn
+      val gated = new Socket("127.0.0.1", broker.boundPort)
+      val av = request(gated, 18, 0, 80)(_ => ())
+      assert(av.getShort === 0)
+      val out = new DataOutputStream(gated.getOutputStream)
+      val md = ByteBuffer.allocate(64)
+      md.putShort(3); md.putShort(1); md.putInt(81); W.writeString(md, "c"); md.putInt(-1)
+      md.flip()
+      out.writeInt(md.remaining())
+      val f = new Array[Byte](md.remaining()); md.get(f); out.write(f); out.flush()
+      assert(new DataInputStream(gated.getInputStream).read() === -1) // closed
+      gated.close()
+
+      // full exchange with the right password → mutual auth
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      val hs = request(sock, 17, 1, 82)(b => W.writeSaslHandshake(b, Scram.Mechanism))
+      assert(hs.getShort === 0)
+      assert((0 until hs.getInt).map(_ => W.readString(hs)) === Seq(Scram.Mechanism))
+      val cFirst = Scram.clientFirst("alice", "cnonce123")
+      val sFirstResp = request(sock, 36, 0, 83) { b =>
+        W.writeSaslAuthenticate(b, cFirst.getBytes("UTF-8"))
+      }
+      assert(sFirstResp.getShort === 0)
+      W.readString(sFirstResp) // error message (null)
+      val sFirst = new String(W.readBytes(sFirstResp), "UTF-8")
+      val (cFinal, expectedServerFinal) = Scram.clientFinal("secret", cFirst, sFirst)
+      val sFinalResp = request(sock, 36, 0, 84) { b =>
+        W.writeSaslAuthenticate(b, cFinal.getBytes("UTF-8"))
+      }
+      assert(sFinalResp.getShort === 0)
+      W.readString(sFinalResp)
+      // server proves knowledge of the credential too (mutual auth)
+      assert(new String(W.readBytes(sFinalResp), "UTF-8") === expectedServerFinal)
+      // authenticated: normal APIs now served on this connection
+      val md2 = request(sock, 3, 1, 85)(b => b.putInt(-1))
+      md2.getInt; md2.getInt
+      assert(W.readString(md2) === "127.0.0.1")
+      sock.close()
+
+      // wrong password → SASL_AUTHENTICATION_FAILED
+      val bad = new Socket("127.0.0.1", broker.boundPort)
+      request(bad, 17, 1, 86)(b => W.writeSaslHandshake(b, Scram.Mechanism))
+      val bFirst = Scram.clientFirst("alice", "cnonce456")
+      val bFirstResp = request(bad, 36, 0, 87) { b =>
+        W.writeSaslAuthenticate(b, bFirst.getBytes("UTF-8"))
+      }
+      bFirstResp.getShort; W.readString(bFirstResp)
+      val bsFirst = new String(W.readBytes(bFirstResp), "UTF-8")
+      val (bFinal, _) = Scram.clientFinal("wrong", bFirst, bsFirst)
+      val bFinalResp = request(bad, 36, 0, 88) { b =>
+        W.writeSaslAuthenticate(b, bFinal.getBytes("UTF-8"))
+      }
+      assert(bFinalResp.getShort === 58)
+      bad.close()
     } finally broker.close()
   }
 
