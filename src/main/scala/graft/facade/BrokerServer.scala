@@ -223,6 +223,21 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         writeDescribeGroupsResponse(out, described)
       case 16 =>
         writeListGroupsResponse(out, coordinator.listGroups())
+      case 32 =>
+        val req = readDescribeConfigs(buf)
+        val results = req.map { case (rt, name, keys) =>
+          if (rt != 2 || !storage.topics.contains(name)) // topic resources only
+            (3.toShort, rt, name, Seq.empty[(String, String)])
+          else {
+            val cfg = storage.topicConfig(name).toSeq.sortBy(_._1)
+            val selected = keys match {
+              case None => cfg
+              case Some(ks) => cfg.filter { case (k, _) => ks.contains(k) }
+            }
+            (0.toShort, rt, name, selected)
+          }
+        }
+        writeDescribeConfigsResponse(out, results)
       case 21 =>
         val req = readDeleteRecords(buf)
         val results = req.map { case (t, parts) =>
@@ -396,6 +411,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       val parts = t.partitions.map { fp =>
         val tp = Topition(t.topic, fp.partition)
         val stage = storage.offsetStage(tp)
+        // collect() is safe here by construction: the fetch result is
+        // maxBytes-bounded (byte-budget operator), never a full scan
         val rows = storage.fetch(tp, fp.fetchOffset, fp.maxBytes.toLong,
           readCommitted = req.isolation == 1)
           .select(col("offset"), col("timestamp"), col("key").cast("string"),

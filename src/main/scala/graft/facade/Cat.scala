@@ -55,6 +55,9 @@ object Cat {
     frames.reduce(_ unionByName _)
   }
 
+  // collect() is safe by construction: each per-partition fetch is
+  // maxBytes-bounded by the byte-budget operator, so the union is too —
+  // this is a CLI tail, not an analytic path
   def consumeJson(storage: Storage, topic: String, partitions: Int): Seq[String] =
     consume(storage, topic, partitions)
       .orderBy("partition", "offset").toJSON.collect().toSeq

@@ -860,7 +860,72 @@ object WireProtocol {
     (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
     (14, 0, 0), (15, 0, 0), (16, 0, 0), (17, 1, 1), (18, 0, 3), (19, 0, 0),
     (20, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0),
-    (36, 0, 0))
+    (32, 0, 0), (36, 0, 0))
+
+  /** DescribeConfigs v0 (32): [resource_type resource_name [config_name]]
+    * → throttle [error error_msg resource_type resource_name
+    * [name value read_only is_default is_sensitive]].
+    */
+  def readDescribeConfigs(buf: ByteBuffer): Seq[(Byte, String, Option[Seq[String]])] =
+    (0 until buf.getInt).map { _ =>
+      val rt = buf.get()
+      val name = readString(buf)
+      val n = buf.getInt
+      val keys = if (n < 0) None else Some((0 until n).map(_ => readString(buf)))
+      (rt, name, keys)
+    }
+
+  def writeDescribeConfigs(buf: ByteBuffer,
+                           resources: Seq[(Byte, String, Option[Seq[String]])]): Unit = {
+    buf.putInt(resources.size)
+    resources.foreach { case (rt, name, keys) =>
+      buf.put(rt)
+      writeString(buf, name)
+      keys match {
+        case None => buf.putInt(-1)
+        case Some(ks) => buf.putInt(ks.size); ks.foreach(writeString(buf, _))
+      }
+    }
+  }
+
+  def writeDescribeConfigsResponse(
+      buf: ByteBuffer,
+      results: Seq[(Short, Byte, String, Seq[(String, String)])]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putInt(results.size)
+    results.foreach { case (err, rt, name, configs) =>
+      buf.putShort(err)
+      writeString(buf, null) // error_message
+      buf.put(rt)
+      writeString(buf, name)
+      buf.putInt(configs.size)
+      configs.foreach { case (k, v) =>
+        writeString(buf, k)
+        writeString(buf, v)
+        buf.put(0: Byte) // read_only
+        buf.put(0: Byte) // is_default
+        buf.put(0: Byte) // is_sensitive
+      }
+    }
+  }
+
+  def readDescribeConfigsResponse(
+      buf: ByteBuffer): Seq[(Short, Byte, String, Seq[(String, String)])] = {
+    buf.getInt // throttle
+    (0 until buf.getInt).map { _ =>
+      val err = buf.getShort
+      readString(buf)
+      val rt = buf.get()
+      val name = readString(buf)
+      val configs = (0 until buf.getInt).map { _ =>
+        val k = readString(buf)
+        val v = readString(buf)
+        buf.get(); buf.get(); buf.get()
+        k -> v
+      }
+      (err, rt, name, configs)
+    }
+  }
 
   /** ApiVersions v0 response: error [api_key min max] */
   def writeApiVersionsResponse(buf: ByteBuffer, error: Short = 0): Unit = {

@@ -435,6 +435,21 @@ class BrokerServerSpec extends SparkSpec {
       assert(storage.listEarliestOffset(tp0) === 4L)
       assert(storage.fetch(tp0, 0, Long.MaxValue).count() === 2) // 4..5 remain
 
+      // DescribeConfigs: topic configs from storage; unknown topic errors
+      storage.createTopic("cfgd", 1, Map("cleanup.policy" -> "compact",
+        "retention.ms" -> "1000"))
+      val dc = request(sock, 32, 0, 59) { b =>
+        W.writeDescribeConfigs(b, Seq(
+          (2: Byte, "cfgd", None),
+          (2: Byte, "cfgd", Some(Seq("cleanup.policy"))),
+          (2: Byte, "nope", None)))
+      }
+      val cfgs = W.readDescribeConfigsResponse(dc)
+      assert(cfgs(0)._1 === 0)
+      assert(cfgs(0)._4 === Seq("cleanup.policy" -> "compact", "retention.ms" -> "1000"))
+      assert(cfgs(1)._4 === Seq("cleanup.policy" -> "compact"))
+      assert(cfgs(2)._1 === 3) // UNKNOWN_TOPIC_OR_PARTITION
+
       // TxnOffsetCommit: staged under the txn, applied on EndTxn(commit)
       val ip = request(sock, 22, 0, 55)(b => W.writeInitProducerId(b, "etl", 60000))
       ip.getInt; assert(ip.getShort === 0)
