@@ -203,13 +203,17 @@ object Dedup {
       // The convergence flag is derived in the SAME projection
       // (min_neighbor < cluster), so counting `changed` is a scan of the
       // checkpointed result — not a second join per iteration.
+      // LAZY checkpoint: the convergence count below is the one
+      // materializing job per iteration — it computes, caches and
+      // checkpoints next's partitions while counting, instead of an
+      // eager-checkpoint job followed by a count job.
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("min_neighbor"), col("cluster")))
             .as("cluster"),
           (coalesce(col("min_neighbor"), col("cluster")) < col("cluster"))
             .as("__changed"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("__changed")).count()
       labels = next.drop("__changed")
       iter += 1
