@@ -30,7 +30,8 @@ import graft.storage.Storage
   */
 final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
                          port: Int = 0,
-                         scramUsers: Map[String, String] = Map.empty) {
+                         scramUsers: Map[String, String] = Map.empty,
+                         produceQuotaBytesPerSec: Long = Long.MaxValue) {
   import WireProtocol._
 
   private val coordinator = new graft.coordinator.GroupCoordinator(storage)
@@ -360,8 +361,32 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     }
   }
 
+  // T10 — produce byte quota (the Kafka client-quota mechanism): bytes
+  // are counted over a sliding 1-second window; past the quota the
+  // response carries throttle_time_ms telling the client to back off.
+  private val quotaWindowStart =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  private val quotaWindowBytes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def produceThrottleMs(bytes: Long): Int = {
+    if (produceQuotaBytesPerSec == Long.MaxValue) return 0
+    val now = System.currentTimeMillis()
+    if (now - quotaWindowStart.get() >= 1000) {
+      quotaWindowStart.set(now)
+      quotaWindowBytes.set(0)
+    }
+    val total = quotaWindowBytes.addAndGet(bytes)
+    if (total <= produceQuotaBytesPerSec) 0
+    else (((total - produceQuotaBytesPerSec) * 1000) /
+      math.max(produceQuotaBytesPerSec, 1L)).toInt
+  }
+
   private def handleProduce(buf: ByteBuffer, out: ByteBuffer): Unit = {
     val req = readProduce(buf)
+    val wireBytes = req.topics.iterator
+      .flatMap(_.partitions.iterator.map(p =>
+        Option(p.records).map(_.length.toLong).getOrElse(0L))).sum
+    val throttle = produceThrottleMs(wireBytes)
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val results = req.topics.map { t =>
@@ -385,7 +410,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       }
       t.topic -> parts
     }
-    writeProduceResponse(out, results)
+    writeProduceResponse(out, results, throttle)
   }
 
   private def handleListOffsets(buf: ByteBuffer, out: ByteBuffer): Unit = {

@@ -1124,9 +1124,13 @@ object WireProtocol {
     }
   }
 
-  /** Produce v3 response: [topic [partition error base_offset log_append_time]] throttle. */
+  /** Produce v3 response: [topic [partition error base_offset log_append_time]] throttle.
+    * throttleMs > 0 tells the client to back off — the client-quota
+    * mechanism (T10 rate limiting).
+    */
   def writeProduceResponse(buf: ByteBuffer,
-                           results: Seq[(String, Seq[(Int, Short, Long)])]): Unit = {
+                           results: Seq[(String, Seq[(Int, Short, Long)])],
+                           throttleMs: Int = 0): Unit = {
     buf.putInt(results.size)
     results.foreach { case (topic, parts) =>
       writeString(buf, topic)
@@ -1138,7 +1142,22 @@ object WireProtocol {
         buf.putLong(-1L) // log_append_time
       }
     }
-    buf.putInt(0) // throttle
+    buf.putInt(throttleMs)
+  }
+
+  /** Reads a Produce v3 response including the trailing throttle. */
+  def readProduceResponse(buf: ByteBuffer): (Seq[(String, Seq[(Int, Short, Long)])], Int) = {
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      t -> (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        val off = buf.getLong
+        buf.getLong // log_append_time
+        (p, err, off)
+      }
+    }
+    (topics, buf.getInt)
   }
 
   final case class FetchPartResult(partition: Int, error: Short,

@@ -542,6 +542,33 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("produce quota: past the byte budget the response carries throttle_time_ms (T10)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker8").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("q", 1)
+    val broker = new BrokerServer(storage, produceQuotaBytesPerSec = 64)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      def produceOnce(corr: Int): Int = {
+        val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+          0L, 0, 0, 1704067200000L, 1704067200000L, -1L, -1, -1,
+          Seq(RecordBatchCodec.Record(0, 0L, "k".getBytes,
+            Array.fill[Byte](100)(65), Nil))))
+        val pr = request(sock, 0, 3, corr) { b =>
+          W.writeProduce(b, W.ProduceRequest(1, 30000, Seq(
+            W.ProduceTopic("q", Seq(W.ProducePartition(0, batch))))))
+        }
+        val (results, throttle) = W.readProduceResponse(pr)
+        assert(results.head._2.head._2 === 0) // still accepted
+        throttle
+      }
+      // one ~170 B batch blows the 64 B/s window: the response itself
+      // carries a positive throttle (bytes are counted at request time)
+      assert(produceOnce(90) > 0)
+      sock.close()
+    } finally broker.close()
+  }
+
   test("produce with invalid batch returns INVALID_RECORD, not a hang") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker2").toString
     val storage = new ParquetStorage(spark, root)
