@@ -168,8 +168,16 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         // v1 request body: [topics] (null array = all)
         val topics = storage.topics.map(t => t -> partitionsOf(t))
         writeMetadataResponse(out, host, boundPort, topics)
-      case 0 => handleProduce(buf, out)
-      case 1 => handleFetch(buf, out)
+      case 0 =>
+        if (header.apiVersion >= 9) { // flexible: response header v1
+          writeEmptyTaggedFields(out)
+          handleProduce(buf, out, v9 = true)
+        } else handleProduce(buf, out, v9 = false)
+      case 1 =>
+        if (header.apiVersion >= 12) {
+          writeEmptyTaggedFields(out)
+          handleFetchV12(buf, out)
+        } else handleFetch(buf, out)
       case 2 => handleListOffsets(buf, out)
       case 8 =>
         val req = readOffsetCommit(buf)
@@ -381,8 +389,9 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       math.max(produceQuotaBytesPerSec, 1L)).toInt
   }
 
-  private def handleProduce(buf: ByteBuffer, out: ByteBuffer): Unit = {
-    val req = readProduce(buf)
+  private def handleProduce(buf: ByteBuffer, out: ByteBuffer,
+                            v9: Boolean): Unit = {
+    val req = if (v9) readProduceV9(buf) else readProduce(buf)
     val wireBytes = req.topics.iterator
       .flatMap(_.partitions.iterator.map(p =>
         Option(p.records).map(_.length.toLong).getOrElse(0L))).sum
@@ -410,7 +419,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       }
       t.topic -> parts
     }
-    writeProduceResponse(out, results, throttle)
+    if (v9) writeProduceResponseV9(out, results, throttle)
+    else writeProduceResponse(out, results, throttle)
   }
 
   private def handleListOffsets(buf: ByteBuffer, out: ByteBuffer): Unit = {
@@ -430,41 +440,69 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     writeListOffsetsResponse(out, results)
   }
 
+  /** One partition's records (maxBytes-bounded by the byte-budget
+    * operator — collect() is safe by construction) re-encoded as a
+    * magic-v2 wire batch.
+    */
+  private def fetchRecords(tp: Topition, fetchOffset: Long, maxBytes: Long,
+                           readCommitted: Boolean): Array[Byte] = {
+    val rows = storage.fetch(tp, fetchOffset, maxBytes, readCommitted)
+      .select(col("offset"), col("timestamp"), col("key").cast("string"),
+        col("value").cast("string"))
+      .orderBy("offset").collect()
+    if (rows.isEmpty) Array.empty[Byte]
+    else {
+      val base = rows.head.getLong(0)
+      val baseTs = rows.head.getTimestamp(1).getTime
+      RecordBatchCodec.encode(RecordBatchCodec.Batch(
+        base, 0, 0, baseTs,
+        rows.last.getTimestamp(1).getTime, -1L, -1, -1,
+        rows.map { r =>
+          RecordBatchCodec.Record(
+            (r.getLong(0) - base).toInt,
+            r.getTimestamp(1).getTime - baseTs,
+            Option(r.getString(2)).map(_.getBytes("UTF-8")).orNull,
+            Option(r.getString(3)).map(_.getBytes("UTF-8")).orNull,
+            Nil)
+        }.toSeq))
+    }
+  }
+
   private def handleFetch(buf: ByteBuffer, out: ByteBuffer): Unit = {
     val req = readFetch(buf)
     val results = req.topics.map { t =>
       val parts = t.partitions.map { fp =>
         val tp = Topition(t.topic, fp.partition)
         val stage = storage.offsetStage(tp)
-        // collect() is safe here by construction: the fetch result is
-        // maxBytes-bounded (byte-budget operator), never a full scan
-        val rows = storage.fetch(tp, fp.fetchOffset, fp.maxBytes.toLong,
+        val records = fetchRecords(tp, fp.fetchOffset, fp.maxBytes.toLong,
           readCommitted = req.isolation == 1)
-          .select(col("offset"), col("timestamp"), col("key").cast("string"),
-            col("value").cast("string"))
-          .orderBy("offset").collect()
-        val records =
-          if (rows.isEmpty) Array.empty[Byte]
-          else {
-            val base = rows.head.getLong(0)
-            val baseTs = rows.head.getTimestamp(1).getTime
-            RecordBatchCodec.encode(RecordBatchCodec.Batch(
-              base, 0, 0, baseTs,
-              rows.last.getTimestamp(1).getTime, -1L, -1, -1,
-              rows.map { r =>
-                RecordBatchCodec.Record(
-                  (r.getLong(0) - base).toInt,
-                  r.getTimestamp(1).getTime - baseTs,
-                  Option(r.getString(2)).map(_.getBytes("UTF-8")).orNull,
-                  Option(r.getString(3)).map(_.getBytes("UTF-8")).orNull,
-                  Nil)
-              }.toSeq))
-          }
         WireProtocol.FetchPartResult(fp.partition, 0,
           stage.highWatermark, stage.lastStable, records)
       }
       t.topic -> parts
     }
     writeFetchResponse(out, results)
+  }
+
+  private def handleFetchV12(buf: ByteBuffer, out: ByteBuffer): Unit = {
+    val req = readFetchV12(buf)
+    val results = req.topics.map { t =>
+      val parts = t.partitions.map { fp =>
+        val tp = Topition(t.topic, fp.partition)
+        val stage = storage.offsetStage(tp)
+        val records = fetchRecords(tp, fp.fetchOffset, fp.maxBytes.toLong,
+          readCommitted = req.isolation == 1)
+        // read_committed consumers drop aborted records client-side from
+        // this list (J3 interval overlap on the wire)
+        val aborted = storage
+          .abortedTxns(tp, fp.fetchOffset, stage.highWatermark)
+          .map(r => (r.producerId, r.offsetStart))
+        WireProtocol.FetchV12PartResult(fp.partition, 0,
+          stage.highWatermark, stage.lastStable, stage.logStart,
+          aborted, records)
+      }
+      t.topic -> parts
+    }
+    writeFetchResponseV12(out, results)
   }
 }

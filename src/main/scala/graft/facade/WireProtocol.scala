@@ -118,6 +118,8 @@ object WireProtocol {
     (apiKey.toInt, apiVersion.toInt) match {
       case (18, v) => v >= 3 // ApiVersions
       case (3, v) => v >= 9  // Metadata
+      case (0, v) => v >= 9  // Produce
+      case (1, v) => v >= 12 // Fetch
       case _ => false
     }
 
@@ -856,7 +858,7 @@ object WireProtocol {
 
   /** (api_key, min_version, max_version) triples this facade serves. */
   val SupportedApis: Seq[(Int, Int, Int)] = Seq(
-    (0, 3, 3), (1, 4, 4), (2, 1, 1), (3, 1, 9),
+    (0, 3, 9), (1, 4, 12), (2, 1, 1), (3, 1, 9),
     (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
     (14, 0, 0), (15, 0, 0), (16, 0, 0), (17, 1, 1), (18, 0, 3), (19, 0, 0),
     (20, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0),
@@ -1056,6 +1058,246 @@ object WireProtocol {
     }
     buf.putInt(Int.MinValue) // cluster_authorized_operations: null
     writeEmptyTaggedFields(buf)
+  }
+
+  /** Compact (nullable) bytes: uvarint of length+1, 0 = null. */
+  def readCompactBytes(buf: ByteBuffer): Array[Byte] = {
+    val n = readUnsignedVarint(buf) - 1
+    if (n < 0) null
+    else {
+      val a = new Array[Byte](n)
+      buf.get(a)
+      a
+    }
+  }
+
+  def writeCompactBytes(buf: ByteBuffer, a: Array[Byte]): Unit =
+    if (a == null) writeUnsignedVarint(0, buf)
+    else {
+      writeUnsignedVarint(a.length + 1, buf)
+      buf.put(a)
+      ()
+    }
+
+  /** Produce v9 (flexible) request: txn_id, acks, timeout, compact topic
+    * array of compact partition arrays with compact-bytes record sets.
+    */
+  def readProduceV9(buf: ByteBuffer): ProduceRequest = {
+    readCompactString(buf) // transactional_id
+    val acks = buf.getShort
+    val timeout = buf.getInt
+    val topics = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val parts = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        val records = readCompactBytes(buf)
+        skipTaggedFields(buf)
+        ProducePartition(p, records)
+      }
+      skipTaggedFields(buf)
+      ProduceTopic(t, parts)
+    }
+    skipTaggedFields(buf)
+    ProduceRequest(acks, timeout, topics)
+  }
+
+  def writeProduceV9(buf: ByteBuffer, r: ProduceRequest): Unit = {
+    writeCompactString(buf, null)
+    buf.putShort(r.acks)
+    buf.putInt(r.timeoutMs)
+    writeCompactArrayLen(buf, r.topics.size)
+    r.topics.foreach { t =>
+      writeCompactString(buf, t.topic)
+      writeCompactArrayLen(buf, t.partitions.size)
+      t.partitions.foreach { p =>
+        buf.putInt(p.partition)
+        writeCompactBytes(buf, p.records)
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  /** Produce v9 response: per-partition error/base_offset plus
+    * log_append_time, log_start_offset, record_errors, error_message.
+    */
+  def writeProduceResponseV9(buf: ByteBuffer,
+                             results: Seq[(String, Seq[(Int, Short, Long)])],
+                             throttleMs: Int = 0): Unit = {
+    writeCompactArrayLen(buf, results.size)
+    results.foreach { case (topic, parts) =>
+      writeCompactString(buf, topic)
+      writeCompactArrayLen(buf, parts.size)
+      parts.foreach { case (p, err, baseOffset) =>
+        buf.putInt(p)
+        buf.putShort(err)
+        buf.putLong(baseOffset)
+        buf.putLong(-1L) // log_append_time
+        buf.putLong(0L)  // log_start_offset
+        writeCompactArrayLen(buf, 0) // record_errors
+        writeCompactString(buf, null) // error_message
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    buf.putInt(throttleMs)
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readProduceResponseV9(buf: ByteBuffer): (Seq[(String, Seq[(Int, Short, Long)])], Int) = {
+    val topics = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val parts = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        val off = buf.getLong
+        buf.getLong // log_append_time
+        buf.getLong // log_start_offset
+        (0 until readCompactArrayLen(buf)).foreach { _ =>
+          buf.getInt; readCompactString(buf); skipTaggedFields(buf)
+        }
+        readCompactString(buf) // error_message
+        skipTaggedFields(buf)
+        (p, err, off)
+      }
+      skipTaggedFields(buf)
+      t -> parts
+    }
+    val throttle = buf.getInt
+    skipTaggedFields(buf)
+    (topics, throttle)
+  }
+
+  /** Fetch v12 (flexible) request — session fields and epochs are read
+    * and ignored (no incremental fetch sessions in this slice).
+    */
+  def readFetchV12(buf: ByteBuffer): FetchRequest = {
+    buf.getInt // replica_id
+    val maxWait = buf.getInt
+    val minBytes = buf.getInt
+    val maxBytes = buf.getInt
+    val isolation = buf.get()
+    buf.getInt // session_id
+    buf.getInt // session_epoch
+    val topics = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val parts = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        buf.getInt // current_leader_epoch
+        val off = buf.getLong
+        buf.getInt // last_fetched_epoch
+        buf.getLong // log_start_offset
+        val pmax = buf.getInt
+        skipTaggedFields(buf)
+        FetchPartition(p, off, pmax)
+      }
+      skipTaggedFields(buf)
+      FetchTopic(t, parts)
+    }
+    (0 until readCompactArrayLen(buf)).foreach { _ => // forgotten topics
+      readCompactString(buf)
+      (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+      skipTaggedFields(buf)
+    }
+    readCompactString(buf) // rack_id
+    skipTaggedFields(buf)
+    FetchRequest(maxWait, minBytes, maxBytes, isolation, topics)
+  }
+
+  def writeFetchV12(buf: ByteBuffer, r: FetchRequest): Unit = {
+    buf.putInt(-1)
+    buf.putInt(r.maxWaitMs)
+    buf.putInt(r.minBytes)
+    buf.putInt(r.maxBytes)
+    buf.put(r.isolation)
+    buf.putInt(0) // session_id
+    buf.putInt(-1) // session_epoch
+    writeCompactArrayLen(buf, r.topics.size)
+    r.topics.foreach { t =>
+      writeCompactString(buf, t.topic)
+      writeCompactArrayLen(buf, t.partitions.size)
+      t.partitions.foreach { p =>
+        buf.putInt(p.partition)
+        buf.putInt(-1)
+        buf.putLong(p.fetchOffset)
+        buf.putInt(-1)
+        buf.putLong(-1L)
+        buf.putInt(p.maxBytes)
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeCompactArrayLen(buf, 0) // forgotten
+    writeCompactString(buf, "")  // rack
+    writeEmptyTaggedFields(buf)
+  }
+
+  final case class FetchV12PartResult(partition: Int, error: Short,
+                                      highWatermark: Long, lastStable: Long,
+                                      logStart: Long,
+                                      aborted: Seq[(Long, Long)],
+                                      records: Array[Byte])
+
+  /** Fetch v12 response — includes the aborted-transaction list that
+    * read_committed consumers use to drop aborted records client-side.
+    */
+  def writeFetchResponseV12(buf: ByteBuffer,
+                            results: Seq[(String, Seq[FetchV12PartResult])]): Unit = {
+    buf.putInt(0)  // throttle
+    buf.putShort(0) // top-level error
+    buf.putInt(0)  // session_id
+    writeCompactArrayLen(buf, results.size)
+    results.foreach { case (topic, parts) =>
+      writeCompactString(buf, topic)
+      writeCompactArrayLen(buf, parts.size)
+      parts.foreach { r =>
+        buf.putInt(r.partition)
+        buf.putShort(r.error)
+        buf.putLong(r.highWatermark)
+        buf.putLong(r.lastStable)
+        buf.putLong(r.logStart)
+        writeCompactArrayLen(buf, r.aborted.size)
+        r.aborted.foreach { case (pid, first) =>
+          buf.putLong(pid)
+          buf.putLong(first)
+          writeEmptyTaggedFields(buf)
+        }
+        buf.putInt(-1) // preferred_read_replica
+        writeCompactBytes(buf, r.records)
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readFetchResponseV12(buf: ByteBuffer): Seq[(String, Seq[FetchV12PartResult])] = {
+    buf.getInt; buf.getShort; buf.getInt
+    val out = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val parts = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        val hw = buf.getLong
+        val lso = buf.getLong
+        val ls = buf.getLong
+        val aborted = (0 until readCompactArrayLen(buf)).map { _ =>
+          val pid = buf.getLong
+          val first = buf.getLong
+          skipTaggedFields(buf)
+          (pid, first)
+        }
+        buf.getInt // preferred replica
+        val records = readCompactBytes(buf)
+        skipTaggedFields(buf)
+        FetchV12PartResult(p, err, hw, lso, ls, aborted, records)
+      }
+      skipTaggedFields(buf)
+      t -> parts
+    }
+    skipTaggedFields(buf)
+    out
   }
 
   final case class MetadataV9Topic(name: String, partitions: Seq[Int])

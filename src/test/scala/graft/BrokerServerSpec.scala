@@ -111,6 +111,31 @@ class BrokerServerSpec extends SparkSpec {
       assert(avOld.getShort === 0)
       assert(avOld.getInt === W.SupportedApis.size)
 
+      // full modern data plane: Produce v9 then Fetch v12 (both flexible)
+      val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+        0L, 0, 0, 1704067200000L, 1704067200001L, -1L, -1, -1,
+        (0 until 2).map(i => RecordBatchCodec.Record(
+          i, i.toLong, s"k$i".getBytes, s"v$i".getBytes, Nil))))
+      val pr = flexRequest(sock, 0, 9, 75) { b =>
+        W.writeProduceV9(b, W.ProduceRequest(1, 30000, Seq(
+          W.ProduceTopic("flex", Seq(W.ProducePartition(0, batch))))))
+      }
+      W.skipTaggedFields(pr) // response header v1
+      val (pResults, _) = W.readProduceResponseV9(pr)
+      assert(pResults === Seq("flex" -> Seq((0, 0.toShort, 0L))))
+
+      val fr = flexRequest(sock, 1, 12, 76) { b =>
+        W.writeFetchV12(b, W.FetchRequest(500, 1, 1 << 20, 0, Seq(
+          W.FetchTopic("flex", Seq(W.FetchPartition(0, 0L, 1 << 20))))))
+      }
+      W.skipTaggedFields(fr)
+      val fParts = W.readFetchResponseV12(fr)
+      assert(fParts.head._1 === "flex")
+      val part0 = fParts.head._2.head
+      assert(part0.highWatermark === 2L)
+      val decoded = RecordBatchCodec.decode(part0.records)
+      assert(decoded.records.map(r => new String(r.value)) === Seq("v0", "v1"))
+
       sock.close()
     } finally broker.close()
   }
