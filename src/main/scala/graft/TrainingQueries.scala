@@ -90,7 +90,29 @@ object TrainingQueries {
       rates = Map("en" -> 0.2, "de" -> 0.5), defaultRate = 0.8)
       .select("doc_id", "lang")
 
+  /** PII redaction over the corpus: plant one email + one IPv4 per doc
+    * (synthetic corpus has none), redact, and verify counts AND the
+    * redacted text itself (xor of 60-bit hashes) per source — the
+    * replacement semantics are oracle-checked, not just the counts.
+    */
+  def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text2",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+        col("doc_id") % 256, lit(".7")))
+    TextAnalysis.redactPii(planted, "text2")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails_sum"),
+        sum(col("n_ips")).as("n_ips_sum"),
+        expr("bit_xor(cast(" +
+          "conv(substring(md5(cast(redacted as binary)),1,15),16,10)" +
+          " as bigint))").as("xor_redacted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_redact" -> (qRedact _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf_top_terms" -> (qTfIdf _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -280,6 +302,29 @@ object TrainingQueries {
        |FROM reach GROUP BY a""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_redact" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text2
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_em,
+        |    len(regexp_extract_all(text2,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |    regexp_replace(regexp_replace(text2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_em) AS BIGINT) AS n_emails_sum,
+        |  CAST(SUM(n_ip) AS BIGINT) AS n_ips_sum,
+        |  bit_xor(CAST(('0x' || substring(md5(redacted),1,15)) AS BIGINT))
+        |    AS xor_redacted
+        |FROM r GROUP BY 1""".stripMargin,
     "q_dedup_clusters" -> clustersOracle,
 
     "q_tfidf_top_terms" ->

@@ -129,6 +129,27 @@ object TextAnalysis {
       .drop("__bucket")
   }
 
+  /** PII patterns shared with the oracle: kept RE2-and-Java compatible
+    * (no backrefs, no lookaround, ASCII classes) so DuckDB replays them
+    * byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction for training corpora: emails and IPv4 addresses
+    * replaced with typed placeholder tokens, with per-doc match counts.
+    * regexp_count/regexp_replace are codegen'd builtins — the whole
+    * redaction pass stays inside whole-stage codegen, no UDF, so it runs
+    * at scan speed over 100 TB of text.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"))
+
   /** BPE-ish subword token count: whitespace tokens plus an extra token
     * per 4 chars of long words (cheap deterministic proxy for subword
     * tokenizers — counts how a BPE vocab would split rare long words).
