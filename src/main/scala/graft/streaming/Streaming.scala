@@ -92,6 +92,20 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         sum(col("metric")).as("sum_metric"))
 
+  /** Streaming exact dedup for continuous ingestion: drop records whose
+    * content hash was already seen within the watermark horizon — the
+    * streaming form of the exact-dedup operator. State is BOUNDED by the
+    * watermark: Spark evicts seen hashes older than the horizon, so
+    * state size tracks the duplicate window, not the corpus — the only
+    * shape that survives an unbounded stream.
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, contentCol: String,
+                     watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col(contentCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class SessionInput(userId: Long, ts: Long, metric: Double)
   final case class SessionState(nEvents: Long, sumMetric: Double, lastTs: Long)
   final case class SessionOutput(userId: Long, nEvents: Long,

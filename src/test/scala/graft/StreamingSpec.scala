@@ -87,6 +87,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:20:00", 1L, 2.0)))
   }
 
+  test("streamingDedup drops duplicate content within the watermark horizon") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val deduped = Streaming.streamingDedup(
+      input.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "doc A"),
+      (ts("2024-01-01 10:01:00"), "doc A"), // duplicate content, same batch
+      (ts("2024-01-01 10:02:00"), "doc B"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:03:00"), "doc A")) // duplicate, later batch
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:30:00"), "doc C")) // advances watermark
+    q.processAllAvailable()
+    val texts = spark.table("sd").select("text").as[String].collect().sorted.toSeq
+    q.stop()
+    // each distinct content survives exactly once within the horizon
+    assert(texts === Seq("doc A", "doc B", "doc C"))
+  }
+
   test("sessionize maintains per-user state across batches (mapGroupsWithState)") {
     val input = MemoryStream[Streaming.SessionInput](spark)
     val q = Streaming.sessionize(input.toDS(), idleGapMs = 60000,
