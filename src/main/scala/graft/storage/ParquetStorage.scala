@@ -339,25 +339,69 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   // ----------------------------------------------------------------- groups
 
-  override def offsetCommit(group: String, tp: Topition, offset: Long): Unit =
-    groups.put(s"$group/${tp.topic}/${tp.partition}", (offset.toString, 0L))
+  // Group state and committed offsets are DURABLE: every CAS-accepted
+  // write lands as an atomically-renamed file under root/groups (version
+  // on line 1, payload after), and point lookups lazily seed the
+  // in-process cache from disk — a restarted stateless broker serves the
+  // same groups and offsets (the full "all state lives in storage"
+  // property; reference lib.rs:867,1472-1478).
+
+  private def groupFile(key: String) =
+    Paths.get(s"$root/groups", java.net.URLEncoder.encode(key, "UTF-8"))
+
+  private def persistGroupFile(key: String, state: String, version: Long): Unit = {
+    Files.createDirectories(Paths.get(s"$root/groups"))
+    val p = groupFile(key)
+    val tmp = Paths.get(p.toString + s".tmp$version")
+    Files.writeString(tmp, s"$version\n$state")
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def loadGroupFile(key: String): Option[(String, Long)] = {
+    val p = groupFile(key)
+    if (!Files.exists(p)) None
+    else {
+      val s = Files.readString(p)
+      val i = s.indexOf('\n')
+      if (i < 0) None else Some((s.substring(i + 1), s.substring(0, i).toLong))
+    }
+  }
+
+  /** Cache lookup seeded from disk on miss (restart recovery). */
+  private def groupEntry(key: String): Option[(String, Long)] =
+    groups.get(key).orElse {
+      val loaded = loadGroupFile(key)
+      loaded.foreach(groups.putIfAbsent(key, _))
+      groups.get(key)
+    }
+
+  override def offsetCommit(group: String, tp: Topition, offset: Long): Unit = {
+    val key = s"$group/${tp.topic}/${tp.partition}"
+    groups.put(key, (offset.toString, 0L))
+    persistGroupFile(key, offset.toString, 0L)
+  }
 
   override def offsetFetch(group: String, tp: Topition): Option[Long] =
-    groups.get(s"$group/${tp.topic}/${tp.partition}").map(_._1.toLong)
+    groupEntry(s"$group/${tp.topic}/${tp.partition}").map(_._1.toLong)
 
   override def updateGroup(group: String, state: String,
                            expectedVersion: Long): Option[Long] = {
-    val cur = groups.get(group)
-    cur match {
+    val cur = groupEntry(group)
+    val accepted = cur match {
       case None if expectedVersion == -1 =>
         if (groups.putIfAbsent(group, (state, 0L)).isEmpty) Some(0L) else None
       case Some((old, v)) if v == expectedVersion =>
         if (groups.replace(group, (old, v), (state, v + 1))) Some(v + 1) else None
       case _ => None
     }
+    accepted.foreach(v => persistGroupFile(group, state, v))
+    accepted
   }
 
-  override def groupState(group: String): Option[(String, Long)] = groups.get(group)
+  override def groupState(group: String): Option[(String, Long)] =
+    groupEntry(group)
 
   // ------------------------------------------------------------ transactions
 

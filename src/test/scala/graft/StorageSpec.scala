@@ -121,6 +121,22 @@ class StorageSpec extends SparkSpec {
     assert(st.offsetFetch("g2", tp) === None)
   }
 
+  test("group state and committed offsets survive a storage restart") {
+    val (st, root) = newStorage()
+    st.createTopic("t1", 1)
+    st.offsetCommit("g1", tp, 42)
+    assert(st.updateGroup("grp", """{"generation":3}""", -1) === Some(0L))
+    assert(st.updateGroup("grp", """{"generation":4}""", 0) === Some(1L))
+
+    // brand-new process over the same root: all group state recovers
+    val st2 = new ParquetStorage(spark, root)
+    assert(st2.offsetFetch("g1", tp) === Some(42L))
+    assert(st2.groupState("grp") === Some(("""{"generation":4}""", 1L)))
+    // CAS continues from the recovered version
+    assert(st2.updateGroup("grp", """{"generation":5}""", 0) === None)
+    assert(st2.updateGroup("grp", """{"generation":5}""", 1) === Some(2L))
+  }
+
   test("transactions: aborted ranges filtered under read_committed (T5/J3/P8)") {
     val (st, root) = newStorage()
     st.createTopic("t1", 1)
