@@ -58,14 +58,52 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   // ---------------------------------------------------------------- topics
 
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   override def createTopic(topic: String, partitions: Int,
                            config: Map[String, String]): Unit = {
-    require(!topicsMap.contains(topic), s"topic exists: $topic")
+    require(topicMeta(topic).isEmpty, s"topic exists: $topic")
     topicsMap.put(topic, (partitions, config))
     (0 until partitions).foreach { p =>
       Files.createDirectories(Paths.get(partDir(Topition(topic, p))))
     }
+    // durable topic registry: partitions + config survive restart
+    val root0 = jsonMapper.createObjectNode()
+    root0.put("partitions", partitions)
+    val cfg = root0.putObject("config")
+    config.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+    val p = Paths.get(s"$root/log/$topic/topic.json")
+    val tmp = Paths.get(s"$root/log/$topic/topic.json.tmp")
+    Files.writeString(tmp, jsonMapper.writeValueAsString(root0))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
+
+  /** Topic metadata with restart recovery: cache, then topic.json, then
+    * (for topics produced to without createTopic) the partition dirs.
+    */
+  private def topicMeta(topic: String): Option[(Int, Map[String, String])] =
+    topicsMap.get(topic).orElse {
+      val metaFile = Paths.get(s"$root/log/$topic/topic.json")
+      val dir = Paths.get(s"$root/log/$topic")
+      val loaded: Option[(Int, Map[String, String])] =
+        if (Files.exists(metaFile)) {
+          try {
+            import scala.jdk.CollectionConverters._
+            val node = jsonMapper.readTree(Files.readString(metaFile))
+            val cfg = node.path("config").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+            Some((node.path("partitions").asInt(1), cfg))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        } else if (Files.isDirectory(dir)) {
+          import scala.jdk.CollectionConverters._
+          val n = Files.list(dir).iterator().asScala.count(Files.isDirectory(_))
+          if (n > 0) Some((n, Map.empty[String, String])) else None
+        } else None
+      loaded.foreach(topicsMap.putIfAbsent(topic, _))
+      topicsMap.get(topic)
+    }
 
   override def deleteTopic(topic: String): Unit = {
     topicsMap.remove(topic)
@@ -76,21 +114,25 @@ final class ParquetStorage(spark: SparkSession, root: String,
     }
   }
 
-  override def topics: Seq[String] = topicsMap.keys.toSeq.sorted
-  override def topicConfig(topic: String): Map[String, String] =
-    topicsMap.get(topic).map(_._2).getOrElse(Map.empty)
+  override def topics: Seq[String] = {
+    val logRoot = Paths.get(s"$root/log")
+    val onDisk =
+      if (Files.isDirectory(logRoot)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(logRoot).iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).toSeq
+      } else Nil
+    (topicsMap.keys ++ onDisk).toSeq.distinct.sorted
+  }
 
-  /** Declared count from createTopic; on a fresh process over an existing
-    * root, recovered from the partition directories on disk.
+  override def topicConfig(topic: String): Map[String, String] =
+    topicMeta(topic).map(_._2).getOrElse(Map.empty)
+
+  /** Declared count from createTopic, recovered from topic.json (or the
+    * partition directories) on a fresh process over an existing root.
     */
   override def partitionCount(topic: String): Int =
-    topicsMap.get(topic).map(_._1).getOrElse {
-      val dir = Paths.get(s"$root/log/$topic")
-      if (Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        Files.list(dir).iterator().asScala.count(p => Files.isDirectory(p))
-      } else 0
-    }
+    topicMeta(topic).map(_._1).getOrElse(0)
 
   // -------------------------------------------------------------- watermark
 
@@ -122,7 +164,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def produce(tp: Topition, batch: DataFrame,
                        producerId: Long, producerEpoch: Int,
                        baseSequence: Int): Either[Int, Long] = {
-    if (!topicsMap.contains(tp.topic)) return Left(ErrorCode.UnknownTopicOrPartition)
+    if (topicMeta(tp.topic).isEmpty) return Left(ErrorCode.UnknownTopicOrPartition)
 
     // producer-epoch fencing (reference dynostore.rs:826-880): re-init
     // under the same transactional id bumps the epoch; produce from the
@@ -134,9 +176,14 @@ final class ParquetStorage(spark: SparkSession, root: String,
       }
 
     // idempotence: per (producer, epoch, topition) sequence check
-    // (reference dynostore.rs:826-880)
+    // (reference dynostore.rs:826-880). On the first transactional
+    // produce after a restart the expected sequences are rebuilt from
+    // the log's producer columns, so a resumed producer isn't rejected.
     if (producerId >= 0) {
       val k = (producerId, producerEpoch, tp)
+      if (!producerSeqs.contains(k) &&
+          recoveredSeqs.putIfAbsent(tp, true).isEmpty)
+        recoverProducerSeqs(tp)
       val expected = producerSeqs.get(k)
       expected match {
         case Some(e) if baseSequence == e => // ok, next in order
@@ -534,6 +581,36 @@ final class ParquetStorage(spark: SparkSession, root: String,
     abortedRanges.getOrElse(tp, Vector.empty)
       .filter(r => r.offsetStart < toOffset && r.offsetEnd >= fromOffset)
   }
+
+  /** Rebuild per-(producer, epoch) expected sequences from the log: the
+    * batch with the highest offset per producer determines the next
+    * expected base sequence (its base + row count). Also re-seeds the
+    * producer's highest seen epoch so fencing survives restart. Runs at
+    * most once per partition per process, only on the idempotent path.
+    */
+  private def recoverProducerSeqs(tp: Topition): Unit = {
+    val df = logDf(tp)
+    if (!df.columns.contains("producer_id")) return
+    val rows = df
+      .filter(col("producer_id") >= 0 && !col("is_control") &&
+        col("base_sequence") >= 0)
+      .groupBy(col("producer_id"), col("producer_epoch"), col("base_sequence"))
+      .agg(count(lit(1)).as("n"), max(col("offset")).as("max_off"))
+      .collect()
+    rows.groupBy(r => (r.getLong(0), r.getInt(1))).foreach {
+      case ((pid, epoch), batches) =>
+        val last = batches.maxBy(_.getAs[Long]("max_off"))
+        producerSeqs.putIfAbsent((pid, epoch, tp),
+          last.getAs[Int]("base_sequence") + last.getAs[Long]("n").toInt)
+        currentEpochs.updateWith(pid) {
+          case Some(e) => Some(math.max(e, epoch))
+          case None => Some(epoch)
+        }
+        ()
+    }
+  }
+
+  private val recoveredSeqs = TrieMap.empty[Topition, Boolean]
 
   private def recoverAbortedRanges(tp: Topition): Unit = {
     val df = logDf(tp)

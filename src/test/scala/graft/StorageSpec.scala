@@ -121,6 +121,26 @@ class StorageSpec extends SparkSpec {
     assert(st.offsetFetch("g2", tp) === None)
   }
 
+  test("idempotent-producer sequences recover from the log after restart") {
+    val (st, root) = newStorage()
+    st.createTopic("t1", 1)
+    assert(st.produce(tp, batch(5), producerId = 9, producerEpoch = 1,
+      baseSequence = 0).isRight)
+    assert(st.produce(tp, batch(3, 5), producerId = 9, producerEpoch = 1,
+      baseSequence = 5).isRight)
+
+    // new process over the same root: the resumed producer's next
+    // in-order batch is accepted, a replayed old batch is rejected
+    val st2 = new ParquetStorage(spark, root)
+    assert(st2.produce(tp, batch(2, 8), producerId = 9, producerEpoch = 1,
+      baseSequence = 8).isRight)
+    assert(st2.produce(tp, batch(5), producerId = 9, producerEpoch = 1,
+      baseSequence = 0) === Left(ErrorCode.DuplicateSequenceNumber))
+    // and a lower-epoch zombie is still fenced after restart
+    assert(st2.produce(tp, batch(1), producerId = 9, producerEpoch = 0,
+      baseSequence = 0) === Left(ErrorCode.ProducerFenced))
+  }
+
   test("group state and committed offsets survive a storage restart") {
     val (st, root) = newStorage()
     st.createTopic("t1", 1)
