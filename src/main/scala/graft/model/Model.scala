@@ -114,6 +114,7 @@ object Model {
   object ConfigKey {
     val CleanupPolicy = "cleanup.policy"       // delete | compact | compact,delete
     val RetentionMs = "retention.ms"
+    val SegmentRows = "segment.rows"           // max rows per rewritten segment
     val LakePartition = "lake.partition"       // comma-separated partition cols
     val LakeZOrder = "lake.z_order"
     val LakeNormalize = "lake.normalize"       // flatten nested structs

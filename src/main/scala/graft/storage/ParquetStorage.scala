@@ -56,6 +56,11 @@ final class ParquetStorage(spark: SparkSession, root: String,
   private def partDir(tp: Topition) =
     f"$root/log/${tp.topic}/${tp.partition}%010d"
 
+  /** Partition-dir path, exposed for specs that assert the on-disk
+    * segment layout (filename base = offset invariant).
+    */
+  private[graft] def fetchLogDir(tp: Topition): String = partDir(tp)
+
   // ---------------------------------------------------------------- topics
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -646,38 +651,107 @@ final class ParquetStorage(spark: SparkSession, root: String,
     expired
   }
 
-  /** Retention (policy_delete.sql) + compaction (policy_compact.sql):
-    * rewrite each partition dir applying the topic's cleanup policy;
+  /** Retention (policy_delete.sql) + compaction (policy_compact.sql),
     * then abort expired transactions (T6).
+    *
+    * Restart-aware: topics are enumerated from STORAGE (the disk listing
+    * + topic.json config), not the in-process cache — a fresh process
+    * over an existing root maintains every topic, matching the
+    * stateless-broker story. Scale-safe: each topic is rewritten by ONE
+    * Spark job spanning all its partitions (plus one tiny metadata
+    * aggregate), not a serial per-partition driver loop, and topics run
+    * concurrently. Oversized partitions split into multiple segment
+    * files of at most `segment.rows` rows; every output file is named by
+    * the minimum offset it contains, preserving the
+    * filename-base-=-offset invariant that deleteRecords and fetch
+    * pruning rely on.
     */
   override def maintain(): Unit = {
     maintainTransactions()
-    topicsMap.foreach { case (topic, (partitions, cfg)) =>
-      val policy = cfg.getOrElse(ConfigKey.CleanupPolicy, "delete")
-      val retentionMs = cfg.get(ConfigKey.RetentionMs).map(_.toLong)
-      (0 until partitions).foreach { p =>
-        val tp = Topition(topic, p)
-        val df0 = logDf(tp)
-        if (!df0.isEmpty) {
-          var df = df0
-          // injected clock, not wall time — retention is deterministic
-          // under test and replayable in maintenance backfills
-          if (policy.contains("delete")) retentionMs.foreach { r =>
-            df = df.filter(col("timestamp") >=
-              timestamp_millis(lit(clock() - r)))
-          }
-          if (policy.contains("compact")) df = LogOps.compact(df)
-          val tmp = partDir(tp) + "__compacting"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          import scala.jdk.CollectionConverters._
-          Files.list(Paths.get(partDir(tp))).iterator().asScala
-            .filter(_.toString.endsWith(".parquet")).foreach { f =>
-              Files.walk(f).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-            }
-          Files.move(Paths.get(tmp), Paths.get(partDir(tp),
-            f"${0L}%020d.parquet"))
-        }
+    val work = topics.flatMap { t => topicMeta(t).map { case (n, cfg) => (t, n, cfg) } }
+      .filter { case (_, _, cfg) =>
+        // plain-delete topics with no retention are a no-op: skip the scan
+        cfg.contains(ConfigKey.RetentionMs) ||
+          cfg.getOrElse(ConfigKey.CleanupPolicy, "delete").contains("compact")
+      }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(work.map { case (t, n, cfg) => Future(maintainTopic(t, n, cfg)) }),
+      Duration.Inf)
+    ()
+  }
+
+  private def batchFiles(tp: Topition): Seq[java.nio.file.Path] = {
+    val dir = Paths.get(partDir(tp))
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.matches("\\d{20}\\.parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** One maintenance pass over one topic: read all partitions' batch
+    * objects, apply the cleanup policy, and rewrite as offset-named
+    * segment files — a single distributed write job for the whole topic
+    * (the Spark form of the reference's one-statement
+    * `policy_delete.sql`/`policy_compact.sql` sweep).
+    */
+  private def maintainTopic(topic: String, partitions: Int,
+                            cfg: Map[String, String]): Unit = {
+    val policy = cfg.getOrElse(ConfigKey.CleanupPolicy, "delete")
+    val retentionMs = cfg.get(ConfigKey.RetentionMs).map(_.toLong)
+    val segmentRows = cfg.get(ConfigKey.SegmentRows).map(_.toLong)
+      .getOrElse(4000000L)
+    val filesByTp = (0 until partitions).map(p => Topition(topic, p))
+      .map(tp => tp -> batchFiles(tp)).filter(_._2.nonEmpty)
+    if (filesByTp.isEmpty) return
+    var df = spark.read.parquet(filesByTp.flatMap(_._2).map(_.toString): _*)
+    // injected clock, not wall time — retention is deterministic under
+    // test and replayable in maintenance backfills
+    if (policy.contains("delete")) retentionMs.foreach { r =>
+      df = df.filter(col("timestamp") >= timestamp_millis(lit(clock() - r)))
+    }
+    if (policy.contains("compact")) df = LogOps.compact(df)
+    // segment assignment: offsets are unique per partition, so row_number
+    // over (partition, offset) is deterministic across the two jobs below
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(col("offset"))
+    val chunked = df.withColumn("__seg",
+      floor((row_number().over(w) - 1) / lit(segmentRows)))
+    // job 1 (tiny): base offset per output segment = its minimum offset
+    val bases = chunked.groupBy(col("partition"), col("__seg"))
+      .agg(min(col("offset")).as("base")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // job 2: ONE distributed write across all partitions; __p duplicates
+    // the partition column because partitionBy drops it from data files
+    val tmpRoot = Paths.get(s"$root/.maintain/$topic")
+    deleteRecursive(tmpRoot)
+    chunked.withColumn("__p", col("partition"))
+      .repartition(col("__p"), col("__seg"))
+      .sortWithinPartitions(col("__p"), col("__seg"), col("offset"))
+      .write.partitionBy("__p", "__seg").mode("overwrite")
+      .parquet(tmpRoot.toString)
+    // swap per partition: drop the old batch objects, move in the new
+    // offset-named segments
+    val byPartition = bases.groupBy(_._1)
+    filesByTp.foreach { case (tp, oldFiles) =>
+      oldFiles.foreach(deleteRecursive)
+      byPartition.getOrElse(tp.partition, Array.empty).foreach {
+        case (p, seg, base) =>
+          Files.move(tmpRoot.resolve(s"__p=$p").resolve(s"__seg=$seg"),
+            Paths.get(partDir(tp), f"$base%020d.parquet"))
       }
     }
+    deleteRecursive(tmpRoot)
   }
 }

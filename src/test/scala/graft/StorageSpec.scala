@@ -243,4 +243,54 @@ class StorageSpec extends SparkSpec {
     assert(aRow.getAs[String]("value") === "v3") // latest kept, offset preserved
     assert(aRow.getAs[Long]("offset") === 2L)
   }
+
+  test("maintain is restart-aware: a fresh process compacts topics it never touched") {
+    val (st, root) = newStorage()
+    st.createTopic("t1", 2, Map(ConfigKey.CleanupPolicy -> "compact"))
+    val dupKeys = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", "v1"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a", "v2"))
+      .toDF("timestamp", "key", "value")
+    st.produce(tp, dupKeys)
+    st.produce(Topition("t1", 1), dupKeys)
+
+    // brand-new process over the same root, no topic access before maintain
+    val st2 = new ParquetStorage(spark, root)
+    st2.maintain()
+    Seq(0, 1).foreach { p =>
+      val after = st2.fetch(Topition("t1", p), 0, Long.MaxValue).collect()
+      assert(after.length === 1)
+      assert(after.head.getAs[String]("value") === "v2")
+      assert(after.head.getAs[Long]("offset") === 1L)
+    }
+  }
+
+  test("maintain splits an oversized partition into offset-named segments") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1, Map(
+      ConfigKey.CleanupPolicy -> "compact",
+      ConfigKey.SegmentRows -> "4"))
+    // 10 distinct keys across two batches -> all survive compaction
+    st.produce(tp, batch(6))
+    st.produce(tp, batch(4, 6))
+    st.maintain()
+    // ceil(10/4) = 3 segments, each named by the min offset it contains
+    val segs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(st.fetchLogDir(tp))).iterator()
+    import scala.jdk.CollectionConverters._
+    val names = segs.asScala.map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.parquet")).toSeq.sorted
+    assert(names.map(_.stripSuffix(".parquet").toLong) === Seq(0L, 4L, 8L))
+    // data intact, offsets preserved, and deleteRecords' filename pruning
+    // still works against the rewritten segments
+    val rows = st.fetch(tp, 0, Long.MaxValue).orderBy("offset").collect()
+    assert(rows.map(_.getAs[Long]("offset")).toSeq === (0L to 9L))
+    st.deleteRecords(tp, 5)
+    val left = java.nio.file.Files.list(
+      java.nio.file.Paths.get(st.fetchLogDir(tp))).iterator()
+    val after = left.asScala.map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.parquet")).toSeq.sorted
+    assert(after.map(_.stripSuffix(".parquet").toLong) === Seq(4L, 8L))
+    assert(st.fetch(tp, 0, Long.MaxValue).agg(min("offset")).head().getLong(0) === 5L)
+  }
 }
