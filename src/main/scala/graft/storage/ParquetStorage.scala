@@ -204,17 +204,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     // single aggregate. The per-partition counts let the write job assign
     // offsets map-side below — no global sort, no extra count jobs.
     val schema = registry.flatMap(_.lookup(tp.topic))
-    val probe = schema match {
-      case Some(a: SchemaRegistry.AvroTopic) =>
-        // binary Avro payloads: undecodable -> null -> INVALID_RECORD
-        graft.schema.AvroDecoder.decodeColumn(
-          batch.withColumn("__bin", col("value").cast("binary")),
-          "__bin", a.avsc, "__decoded")
-          .withColumn("__invalid", col("__decoded").isNull)
-      case Some(ts) => batch.withColumn("__invalid", !ts.isValid(col("value")))
-      case None => batch.withColumn("__invalid", lit(false))
-    }
-    val stats = probe
+    val stats = validityProbe(batch, schema)
       .groupBy(spark_partition_id().as("__pid"))
       .agg(count(lit(1)).as("__cnt"), count_if(col("__invalid")).as("__bad"))
       .collect()
@@ -263,34 +253,119 @@ final class ParquetStorage(spark: SparkSession, root: String,
     if (producerId >= 0)
       producerSeqs.put((producerId, producerEpoch, tp), math.max(baseSequence, 0) + n.toInt)
 
-    // lake sink for schema-backed topics (reference dynostore.rs:805-822);
-    // wire-only bookkeeping columns stay out of the analytic table
-    schema.foreach { ts =>
-      val cfg = topicConfig(tp.topic)
-      val lakeRows = withOffsets.drop(
-        "producer_id", "producer_epoch", "base_sequence",
-        "is_control", "control_type")
-      val structed = ts match {
-        case a: SchemaRegistry.AvroTopic =>
-          graft.schema.AvroDecoder.decodeColumn(
-            lakeRows.withColumn("__bin", col("value").cast("binary")),
-            "__bin", a.avsc, "value_struct").drop("__bin")
-        case _ =>
-          lakeRows.withColumn("value_struct",
-            from_json(col("value").cast("string"), ts.valueType))
-      }
-      val typed = Lake.withMeta(structed, col("partition"), col("timestamp"))
-      val generated = cfg.collect {
-        case (k, v) if k.startsWith(ConfigKey.GeneratedPrefix) =>
-          k.stripPrefix(ConfigKey.GeneratedPrefix) -> v
-      }
-      val withGen = Lake.withGenerated(typed, generated)
-      val partitionCols = cfg.get(ConfigKey.LakePartition)
-        .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
-      Lake.writeTable(withGen, s"$root/lake/${tp.topic}", partitionCols)
-    }
+    // lake sink for schema-backed topics (reference dynostore.rs:805-822)
+    schema.foreach(lakeSink(tp.topic, _, withOffsets))
 
     Right(base)
+  }
+
+  /** Annotate a batch with an `__invalid` flag from the topic's schema
+    * (reference dynostore.rs:885-898): undecodable Avro payloads and
+    * JSON-schema violations both surface as one aggregate-able column,
+    * so validation costs no extra job.
+    */
+  private def validityProbe(batch: DataFrame,
+                            schema: Option[SchemaRegistry.TopicSchema]): DataFrame =
+    schema match {
+      case Some(a: SchemaRegistry.AvroTopic) =>
+        // binary Avro payloads: undecodable -> null -> INVALID_RECORD
+        graft.schema.AvroDecoder.decodeColumn(
+          batch.withColumn("__bin", col("value").cast("binary")),
+          "__bin", a.avsc, "__decoded")
+          .withColumn("__invalid", col("__decoded").isNull)
+      case Some(ts) => batch.withColumn("__invalid", !ts.isValid(col("value")))
+      case None => batch.withColumn("__invalid", lit(false))
+    }
+
+  /** Materialize a produced batch to the typed lake table; wire-only
+    * bookkeeping columns stay out of the analytic table.
+    */
+  private def lakeSink(topic: String, ts: SchemaRegistry.TopicSchema,
+                       withOffsets: DataFrame): Unit = {
+    val cfg = topicConfig(topic)
+    val lakeRows = withOffsets.drop(
+      "producer_id", "producer_epoch", "base_sequence",
+      "is_control", "control_type")
+    val structed = ts match {
+      case a: SchemaRegistry.AvroTopic =>
+        graft.schema.AvroDecoder.decodeColumn(
+          lakeRows.withColumn("__bin", col("value").cast("binary")),
+          "__bin", a.avsc, "value_struct").drop("__bin")
+      case _ =>
+        lakeRows.withColumn("value_struct",
+          from_json(col("value").cast("string"), ts.valueType))
+    }
+    val typed = Lake.withMeta(structed, col("partition"), col("timestamp"))
+    val generated = cfg.collect {
+      case (k, v) if k.startsWith(ConfigKey.GeneratedPrefix) =>
+        k.stripPrefix(ConfigKey.GeneratedPrefix) -> v
+    }
+    val withGen = Lake.withGenerated(typed, generated)
+    val partitionCols = cfg.get(ConfigKey.LakePartition)
+      .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+    Lake.writeTable(withGen, s"$root/lake/$topic", partitionCols)
+  }
+
+  /** Multi-partition produce: append one routed batch (its `partition`
+    * column selects the target partition) across a whole topic with ONE
+    * validation/sizing job and ONE distributed write, instead of two
+    * jobs per partition — the streaming micro-batch fast path. Offsets
+    * are contiguous per partition from the same watermark CAS as
+    * [[produce]]. Returns the assigned base offset per partition.
+    *
+    * The write shuffles once on the target partition (which both orders
+    * the offset assignment and co-locates each partition's rows into a
+    * single output file), so jobs-per-micro-batch is constant in the
+    * partition count — at 1000 partitions and 1 s triggers the scheduler
+    * sees 2 jobs, not 2000.
+    */
+  override def produceAll(topic: String,
+                          batch: DataFrame): Either[Int, Map[Int, Long]] = {
+    val meta = topicMeta(topic)
+    if (meta.isEmpty) return Left(ErrorCode.UnknownTopicOrPartition)
+    val declared = meta.get._1
+    val schema = registry.flatMap(_.lookup(topic))
+    val stats = validityProbe(batch, schema)
+      .groupBy(col("partition").as("__tp"))
+      .agg(count(lit(1)).as("__cnt"), count_if(col("__invalid")).as("__bad"))
+      .collect()
+    if (stats.map(_.getAs[Long]("__bad")).sum > 0)
+      return Left(ErrorCode.InvalidRecord)
+    val counts = stats.map(r => r.getAs[Int]("__tp") -> r.getAs[Long]("__cnt"))
+      .filter(_._2 > 0).toMap
+    if (counts.keys.exists(p => p < 0 || p >= declared))
+      return Left(ErrorCode.UnknownTopicOrPartition)
+    if (counts.isEmpty) return Right(Map.empty)
+    val bases = counts.map { case (p, n) =>
+      p -> reserveOffsets(Topition(topic, p), n)
+    }
+    val baseMap = map(bases.toSeq.flatMap { case (p, b) =>
+      Seq(lit(p), lit(b)) }: _*)
+    // offset = partition base + rank within the partition; the rank's
+    // window shuffle is the same exchange the partitioned write needs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(monotonically_increasing_id())
+    val withOffsets = batch
+      .withColumn("offset",
+        element_at(baseMap, col("partition")) + row_number().over(w) - 1)
+      .withColumn("topic", lit(topic))
+      .withColumn("producer_id", lit(-1L))
+      .withColumn("producer_epoch", lit(-1))
+      .withColumn("base_sequence", lit(-1))
+      .withColumn("is_control", lit(false))
+      .withColumn("control_type", lit(null).cast("string"))
+    val tmpRoot = Paths.get(
+      s"$root/.produce/$topic-${java.util.UUID.randomUUID()}")
+    withOffsets.withColumn("__p", col("partition"))
+      .repartition(col("__p"))
+      .write.partitionBy("__p").mode("overwrite").parquet(tmpRoot.toString)
+    bases.foreach { case (p, base) =>
+      Files.move(tmpRoot.resolve(s"__p=$p"),
+        Paths.get(partDir(Topition(topic, p)), f"$base%020d.parquet"))
+    }
+    deleteRecursive(tmpRoot)
+    schema.foreach(lakeSink(topic, _, withOffsets))
+    Right(bases)
   }
 
   // ------------------------------------------------------------------ fetch

@@ -37,6 +37,14 @@ trait Storage {
               producerId: Long = -1L, producerEpoch: Int = -1,
               baseSequence: Int = -1): Either[Int, Long]
 
+  /** Append one routed batch (its `partition` column selects the target
+    * partition) across a whole topic in a constant number of jobs —
+    * one validation/sizing aggregate + one distributed write — instead
+    * of two jobs per partition. The streaming micro-batch fast path.
+    * Returns the assigned base offset per non-empty partition.
+    */
+  def produceAll(topic: String, batch: DataFrame): Either[Int, Map[Int, Long]]
+
   /** Records in [fetchOffset, visibility end) up to maxBytes, where the
     * end is the high watermark (read_uncommitted) or last stable offset
     * (read_committed) — reference `dynostore.rs:1037-1043`.

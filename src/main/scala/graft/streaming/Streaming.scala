@@ -42,18 +42,16 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // route rows to partitions by key hash (P5 fan-out) and produce
-        // per topition so each gets contiguous offsets
+        // route rows to partitions by key hash (P5 fan-out); produceAll
+        // assigns contiguous offsets for every partition of the batch in
+        // one stats job + one write — jobs per micro-batch stay constant
+        // in the partition count (the cache makes the batch re-evaluate
+        // deterministically between the two)
         val routed = batch
           .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
           .cache()
-        try {
-          (0 until partitions).foreach { p =>
-            val part = routed.filter(col("partition") === p).drop("partition")
-            if (!part.isEmpty)
-              storage.produce(Topition(topic, p), part)
-          }
-        } finally routed.unpersist()
+        try storage.produceAll(topic, routed)
+        finally routed.unpersist()
         ()
       }
       .start()

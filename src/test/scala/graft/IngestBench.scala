@@ -37,11 +37,20 @@ object IngestBench {
       bytes = st.fetch(Topition("plain", 0), 0, Long.MaxValue)
         .agg(sum(octet_length(col("value").cast("binary")))).head().getLong(0)
     }
+    // multi-partition routed produce (the streaming micro-batch path):
+    // constant job count regardless of fan-out
+    st.createTopic("fan8", 8)
+    val routed = events
+      .withColumn("partition", pmod(hash(col("key")), lit(8))).cache()
+    routed.count()
+    val tFan = time(st.produceAll("fan8", routed))
+    routed.unpersist()
     // maintenance: compact the schema topic
     st.createTopic("compact_t", 1, Map(ConfigKey.CleanupPolicy -> "compact"))
     st.produce(Topition("compact_t", 0), events)
     val tMaint = time(st.maintain())
     println(f"INGEST n=$n produce_rows_s=${n / tProd}%.0f lake_rows_s=${n / tLake}%.0f " +
+      f"fan8_rows_s=${n / tFan}%.0f " +
       f"fetch_MB_s=${bytes / 1e6 / tFetch}%.1f fetch_rows_s=${n / tFetch}%.0f maintain_s=$tMaint%.1f")
     s.stop()
   }

@@ -244,6 +244,28 @@ class StorageSpec extends SparkSpec {
     assert(aRow.getAs[Long]("offset") === 2L)
   }
 
+  test("produceAll: one routed batch lands across all partitions with contiguous offsets") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 3)
+    val routed = (0 until 30).map(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0${i % 10}"),
+        s"k$i", s"v$i", i % 3)).toSeq
+      .toDF("timestamp", "key", "value", "partition")
+    assert(st.produceAll("t1", routed) === Right(Map(0 -> 0L, 1 -> 0L, 2 -> 0L)))
+    (0 until 3).foreach { p =>
+      val offs = st.fetch(Topition("t1", p), 0, Long.MaxValue)
+        .select("offset").as[Long].collect().sorted
+      assert(offs.toSeq === (0L until 10L))
+    }
+    // a second batch continues from each partition's watermark, and
+    // single-partition produce interoperates with the same offsets
+    assert(st.produceAll("t1", routed) === Right(Map(0 -> 10L, 1 -> 10L, 2 -> 10L)))
+    assert(st.produce(Topition("t1", 0), batch(2)) === Right(20L))
+    // routing outside the declared partition set is rejected
+    assert(st.produceAll("t1", routed.withColumn("partition", lit(7))) ===
+      Left(ErrorCode.UnknownTopicOrPartition))
+  }
+
   test("maintain is restart-aware: a fresh process compacts topics it never touched") {
     val (st, root) = newStorage()
     st.createTopic("t1", 2, Map(ConfigKey.CleanupPolicy -> "compact"))

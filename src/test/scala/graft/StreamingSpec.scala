@@ -38,6 +38,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("logIngest schedules a constant number of jobs per micro-batch") {
+    val src = java.nio.file.Files.createTempDirectory("graft-jobs-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jobs-ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-jobs-log").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("s8", 8)
+
+    val data = (0 until 64).map(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${10 + i % 40}"), s"k$i", s"v$i"))
+      .toDF("timestamp", "key", "value")
+    data.coalesce(1).write.parquet(s"$src/batch0") // one file -> one micro-batch
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = Streaming.logIngest(spark, s"$src/*", data.schema, storage,
+        "s8", 8, ckpt, Trigger.AvailableNow())
+      q.awaitTermination(60000)
+      Thread.sleep(500) // let listener events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // the old per-partition loop cost ~2 jobs per partition (16+ here);
+    // the single-pass path is 1 stats job + 1 write per micro-batch
+    // (AQE materializes each shuffle stage as its own job, so the
+    // scheduler count is a little higher — what matters is that it is
+    // CONSTANT in the partition count)
+    assert(jobs.get() <= 6, s"expected <=6 jobs per micro-batch, saw ${jobs.get()}")
+    val total = (0 until 8).map { p =>
+      storage.fetch(Topition("s8", p), 0, Long.MaxValue).count()
+    }.sum
+    assert(total === 64)
+  }
+
   test("longPollFetch returns early once minBytes arrive (T2)") {
     val root = java.nio.file.Files.createTempDirectory("graft-poll").toString
     val storage = new ParquetStorage(spark, root)
