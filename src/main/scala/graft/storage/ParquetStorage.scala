@@ -249,6 +249,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
       val m = txns.getOrElseUpdate(producerId, TrieMap.empty)
       val (start, _) = m.getOrElse(tp, (base, base))
       m.put(tp, (start, base + n - 1))
+      persistTxn(producerId) // open-txn range survives restart
     }
     if (producerId >= 0)
       producerSeqs.put((producerId, producerEpoch, tp), math.max(baseSequence, 0) + n.toInt)
@@ -407,6 +408,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
   // ---------------------------------------------------------------- offsets
 
   override def offsetStage(tp: Topition): OffsetStage = {
+    ensureProducersLoaded() // open txns recovered before computing LSO
     val high = watermarks.getOrElseUpdate(tp,
       new AtomicLong(readWatermarkFile(tp))).get()
     val openStarts = txns.collect {
@@ -532,14 +534,127 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   // ------------------------------------------------------------ transactions
 
+  // Transactional identity and open-txn state are DURABLE (reference
+  // `nisshi-storage` keeps producer/txn rows in storage,
+  // lib.rs:1480-1517): producers.json holds the pid high-water mark and
+  // the txnId -> (pid, epoch) map; each open transaction additionally
+  // keeps txns/<pid>.json (state, produced ranges, staged offsets, start
+  // time). A restarted broker therefore fences pre-restart zombies under
+  // the same transactional id, never re-issues a colliding pid, keeps
+  // the last-stable offset pinned by transactions left open across the
+  // restart, and still times them out on its own clock.
+
+  private val producersLoaded = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def ensureProducersLoaded(): Unit =
+    if (producersLoaded.compareAndSet(false, true)) {
+      import scala.jdk.CollectionConverters._
+      val pf = Paths.get(s"$root/producers.json")
+      if (Files.exists(pf)) {
+        val node = jsonMapper.readTree(Files.readString(pf))
+        var hw = producerIds.get()
+        while (hw < node.path("next").asLong(1000) &&
+          !producerIds.compareAndSet(hw, node.path("next").asLong(1000)))
+          hw = producerIds.get()
+        node.path("txns").properties().asScala.foreach { e =>
+          val pid = e.getValue.path("pid").asLong()
+          txnIds.putIfAbsent(e.getKey, pid)
+          val ep = e.getValue.path("epoch").asInt()
+          currentEpochs.updateWith(pid) {
+            case Some(x) => Some(math.max(x, ep))
+            case None => Some(ep)
+          }
+          ()
+        }
+      }
+      val tdir = Paths.get(s"$root/txns")
+      if (Files.isDirectory(tdir))
+        Files.list(tdir).iterator().asScala
+          .filter(_.getFileName.toString.matches("\\d+\\.json")).foreach { f =>
+            val pid = f.getFileName.toString.stripSuffix(".json").toLong
+            val n = jsonMapper.readTree(Files.readString(f))
+            txnStates.putIfAbsent(pid, TxnState.Begin)
+            txnStartTimes.putIfAbsent(pid, n.path("t0").asLong(clock()))
+            val m = txns.getOrElseUpdate(pid, TrieMap.empty)
+            n.path("ranges").forEach { r =>
+              m.putIfAbsent(
+                Topition(r.path("topic").asText(), r.path("partition").asInt()),
+                (r.path("start").asLong(), r.path("end").asLong()))
+              ()
+            }
+            val staged = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Topition, Long)]
+            n.path("staged").forEach { s =>
+              staged += ((s.path("group").asText(),
+                Topition(s.path("topic").asText(), s.path("partition").asInt()),
+                s.path("offset").asLong()))
+            }
+            if (staged.nonEmpty)
+              pendingTxnOffsets.putIfAbsent(pid, staged.toVector)
+            ()
+          }
+    }
+
+  private def persistProducers(): Unit = synchronized {
+    val node = jsonMapper.createObjectNode()
+    node.put("next", producerIds.get())
+    val t = node.putObject("txns")
+    txnIds.toSeq.sortBy(_._1).foreach { case (id, pid) =>
+      val e = t.putObject(id)
+      e.put("pid", pid)
+      e.put("epoch", currentEpochs.getOrElse(pid, 0))
+      ()
+    }
+    val p = Paths.get(s"$root/producers.json")
+    val tmp = Paths.get(s"$root/producers.json.tmp")
+    Files.writeString(tmp, jsonMapper.writeValueAsString(node))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def persistTxn(pid: Long): Unit = synchronized {
+    Files.createDirectories(Paths.get(s"$root/txns"))
+    val node = jsonMapper.createObjectNode()
+    node.put("t0", txnStartTimes.getOrElse(pid, clock()))
+    val ranges = node.putArray("ranges")
+    txns.get(pid).foreach(_.foreach { case (tp, (s0, e0)) =>
+      val r = ranges.addObject()
+      r.put("topic", tp.topic); r.put("partition", tp.partition)
+      r.put("start", s0); r.put("end", e0)
+      ()
+    })
+    val staged = node.putArray("staged")
+    pendingTxnOffsets.getOrElse(pid, Vector.empty).foreach { case (g, tp, off) =>
+      val s = staged.addObject()
+      s.put("group", g); s.put("topic", tp.topic)
+      s.put("partition", tp.partition); s.put("offset", off)
+      ()
+    }
+    val p = Paths.get(s"$root/txns/$pid.json")
+    val tmp = Paths.get(s"$root/txns/$pid.json.tmp")
+    Files.writeString(tmp, jsonMapper.writeValueAsString(node))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def dropTxnFile(pid: Long): Unit = {
+    Files.deleteIfExists(Paths.get(s"$root/txns/$pid.json")); ()
+  }
+
   /** Re-initialising an existing transactional id bumps the epoch and
     * fences the previous producer instance, aborting any in-flight txn it
-    * left open (reference dynostore.rs:826-880 epoch semantics).
+    * left open (reference dynostore.rs:826-880 epoch semantics) — across
+    * process restarts, because identity and open-txn state are recovered
+    * from producers.json / txns/ first.
     */
   override def initProducer(txnId: String): (Long, Int) = {
+    ensureProducersLoaded()
     if (txnId == null || txnId.isEmpty) {
       val pid = producerIds.incrementAndGet()
       currentEpochs.put(pid, 0)
+      persistProducers()
       (pid, 0)
     } else {
       val pid = txnIds.getOrElseUpdate(txnId, producerIds.incrementAndGet())
@@ -547,6 +662,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
         case Some(e) => Some(e + 1)
         case None => Some(0)
       }.get
+      persistProducers()
       // zombie cleanup: the fenced instance's open txn is aborted now so
       // its records never become visible under read_committed
       if (epoch > 0 && txnStates.get(pid).contains(TxnState.Begin))
@@ -555,8 +671,10 @@ final class ParquetStorage(spark: SparkSession, root: String,
     }
   }
 
-  private def fenced(producerId: Long, producerEpoch: Int): Boolean =
+  private def fenced(producerId: Long, producerEpoch: Int): Boolean = {
+    ensureProducersLoaded()
     producerEpoch >= 0 && currentEpochs.get(producerId).exists(producerEpoch < _)
+  }
 
   override def txnBegin(producerId: Long, tp: Topition,
                         producerEpoch: Int): Int = {
@@ -564,6 +682,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     txnStates.put(producerId, TxnState.Begin)
     txnStartTimes.putIfAbsent(producerId, clock())
     txns.getOrElseUpdate(producerId, TrieMap.empty)
+    persistTxn(producerId)
     ErrorCode.None
   }
 
@@ -580,6 +699,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
       case Some(v) => Some(v :+ ((group, tp, offset)))
       case None => Some(Vector((group, tp, offset)))
     }
+    persistTxn(producerId) // staged offsets survive restart until txnEnd
     ErrorCode.None
   }
 
@@ -617,6 +737,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     if (commit) staged.foreach { case (g, tp, off) => offsetCommit(g, tp, off) }
     txns.remove(producerId)
     txnStartTimes.remove(producerId)
+    dropTxnFile(producerId)
     ()
   }
 
@@ -717,6 +838,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     * `pg.rs:3662`).
     */
   def maintainTransactions(): Seq[Long] = {
+    ensureProducersLoaded() // txns left open across a restart still time out
     val now = clock()
     val expired = txnStartTimes.collect {
       case (pid, t0) if txnStates.get(pid).contains(TxnState.Begin) &&

@@ -227,6 +227,36 @@ class StorageSpec extends SparkSpec {
       ErrorCode.InvalidTxnState)
   }
 
+  test("transactional identity survives restart: zombie fenced, txn state recovered") {
+    val (st, root) = newStorage()
+    st.createTopic("t1", 1)
+    val (pid, e0) = st.initProducer("app-1")
+    assert(st.txnBegin(pid, tp, e0) === ErrorCode.None)
+    assert(st.produce(tp, batch(2), producerId = pid, producerEpoch = e0,
+      baseSequence = 0).isRight) // txn data 0..1
+    assert(st.txnOffsetCommit(pid, "g1", tp, 5, e0) === ErrorCode.None)
+
+    // crash before txnEnd: a brand-new process over the same root
+    val st2 = new ParquetStorage(spark, root)
+    // the open txn still pins the last-stable offset (no visibility leak)
+    assert(st2.offsetStage(tp).lastStable === 0L)
+    // same transactional id resolves to the SAME pid with a bumped epoch
+    val (pid2, e1) = st2.initProducer("app-1")
+    assert(pid2 === pid)
+    assert(e1 === e0 + 1)
+    // the zombie's open txn was aborted durably (marker in the log) and
+    // its staged consumer offsets were dropped
+    assert(st2.abortedTxns(tp, 0, Long.MaxValue)
+      .map(r => (r.offsetStart, r.offsetEnd)) === Seq((0L, 1L)))
+    assert(st2.offsetFetch("g1", tp) === None)
+    // the pre-restart instance is fenced
+    assert(st2.produce(tp, batch(1), producerId = pid, producerEpoch = e0,
+      baseSequence = 2) === Left(ErrorCode.ProducerFenced))
+    // and fresh pids never collide with pre-restart pids
+    val (pid3, _) = st2.initProducer("")
+    assert(pid3 > pid)
+  }
+
   test("maintain applies compaction: latest per key survives (T7/T8)") {
     val (st, _) = newStorage()
     st.createTopic("t1", 1, Map(ConfigKey.CleanupPolicy -> "compact"))
