@@ -173,12 +173,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
     // producer-epoch fencing (reference dynostore.rs:826-880): re-init
     // under the same transactional id bumps the epoch; produce from the
-    // old epoch is a zombie instance and is rejected.
-    if (producerId >= 0)
-      currentEpochs.get(producerId).foreach { cur =>
-        if (producerEpoch >= 0 && producerEpoch < cur)
-          return Left(ErrorCode.ProducerFenced)
-      }
+    // old epoch is a zombie instance and is rejected. fenced() loads
+    // producers.json first, so a pre-restart zombie whose produce is the
+    // FIRST call into a fresh process is still fenced (the bumped epoch
+    // lives only in that file until the log is re-read).
+    if (producerId >= 0 && fenced(producerId, producerEpoch))
+      return Left(ErrorCode.ProducerFenced)
 
     // idempotence: per (producer, epoch, topition) sequence check
     // (reference dynostore.rs:826-880). On the first transactional
@@ -372,6 +372,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
   // ------------------------------------------------------------------ fetch
 
   private def logDf(tp: Topition): DataFrame = {
+    ensureSwapRecovered(tp) // finish any interrupted maintenance swap first
     val dir = partDir(tp)
     import scala.jdk.CollectionConverters._
     val files = Files.list(Paths.get(dir)).iterator().asScala
@@ -437,6 +438,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     * no data is read (the filename-prunable layout paying off).
     */
   override def deleteRecords(tp: Topition, beforeOffset: Long): Long = {
+    ensureSwapRecovered(tp)
     val cut = math.min(beforeOffset, offsetStage(tp).highWatermark)
     import scala.jdk.CollectionConverters._
     val files = Files.list(Paths.get(partDir(tp))).iterator().asScala
@@ -449,14 +451,25 @@ final class ParquetStorage(spark: SparkSession, root: String,
       if (end <= cut)
         Files.walk(f).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
-    val next = math.max(cut, logStart(tp))
+    advanceLogStart(tp, cut)
+    logStart(tp)
+  }
+
+  /** Durably advance log-start (never regresses); the in-memory cache and
+    * logstart.json move together so listEarliestOffset always names an
+    * offset that still exists (reference watermark `low`,
+    * dynostore.rs:348-352).
+    */
+  private def advanceLogStart(tp: Topition, to: Long): Unit = {
+    val next = math.max(to, logStart(tp))
+    if (next <= logStart(tp)) return
     logStarts.put(tp, next)
     val p = Paths.get(partDir(tp), "logstart.json")
     val tmp = Paths.get(partDir(tp), s"logstart.json.tmp$next")
     Files.writeString(tmp, s"""{"start":$next}""")
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    next
+    ()
   }
 
   override def offsetForTimestamp(tp: Topition, tsMillis: Long): Option[Long] = {
@@ -909,8 +922,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val retentionMs = cfg.get(ConfigKey.RetentionMs).map(_.toLong)
     val segmentRows = cfg.get(ConfigKey.SegmentRows).map(_.toLong)
       .getOrElse(4000000L)
-    val filesByTp = (0 until partitions).map(p => Topition(topic, p))
-      .map(tp => tp -> batchFiles(tp)).filter(_._2.nonEmpty)
+    val allTps = (0 until partitions).map(p => Topition(topic, p))
+    // finish (or discard) any swap a previous crash interrupted BEFORE
+    // listing the live file set — stale staged segments must never be
+    // mistaken for garbage while a commit marker says they are the data
+    allTps.foreach { tp => swapRecovered.put(tp, true); recoverMaintainSwap(tp) }
+    val filesByTp = allTps.map(tp => tp -> batchFiles(tp)).filter(_._2.nonEmpty)
     if (filesByTp.isEmpty) return
     var df = spark.read.parquet(filesByTp.flatMap(_._2).map(_.toString): _*)
     // injected clock, not wall time — retention is deterministic under
@@ -938,17 +955,103 @@ final class ParquetStorage(spark: SparkSession, root: String,
       .sortWithinPartitions(col("__p"), col("__seg"), col("offset"))
       .write.partitionBy("__p", "__seg").mode("overwrite")
       .parquet(tmpRoot.toString)
-    // swap per partition: drop the old batch objects, move in the new
-    // offset-named segments
+    // crash-safe swap per partition (round-4 verdict #1): stage the new
+    // segments INSIDE the partition dir under dot-names (invisible to
+    // logDf/batchFiles), land a commit marker naming the dead files, then
+    // delete-old + unveil-staged. Every crash point leaves a complete
+    // copy on disk: before the marker the old set is live and recovery
+    // discards the stage; after it, recovery finishes the swap.
     val byPartition = bases.groupBy(_._1)
     filesByTp.foreach { case (tp, oldFiles) =>
-      oldFiles.foreach(deleteRecursive)
-      byPartition.getOrElse(tp.partition, Array.empty).foreach {
-        case (p, seg, base) =>
-          Files.move(tmpRoot.resolve(s"__p=$p").resolve(s"__seg=$seg"),
-            Paths.get(partDir(tp), f"$base%020d.parquet"))
+      val dir = Paths.get(partDir(tp))
+      val segs = byPartition.getOrElse(tp.partition, Array.empty[(Int, Long, Long)])
+      segs.foreach { case (p, seg, base) =>
+        Files.move(tmpRoot.resolve(s"__p=$p").resolve(s"__seg=$seg"),
+          dir.resolve(f".$base%020d.parquet"))
       }
+      maybeCrash("staged")
+      commitSwap(tp, oldFiles.map(_.getFileName.toString))
+      // rows below the new minimum are gone for good: advance the durable
+      // log-start so listEarliestOffset never names a deleted offset
+      if (policy.contains("delete") && retentionMs.nonEmpty)
+        advanceLogStart(tp,
+          if (segs.nonEmpty) segs.map(_._3).min
+          else offsetStage(tp).highWatermark)
     }
     deleteRecursive(tmpRoot)
   }
+
+  // ----------------------------------------------------- crash-safe swap
+
+  // partitions whose interrupted-swap recovery already ran this process
+  private val swapRecovered = TrieMap.empty[Topition, Boolean]
+  // serializes swap commit/recovery per partition: a reader's first-touch
+  // recovery must not interleave with an in-flight maintenance swap
+  private val swapLocks = TrieMap.empty[Topition, Object]
+  private def swapLock(tp: Topition): Object =
+    swapLocks.getOrElseUpdate(tp, new Object)
+
+  private def ensureSwapRecovered(tp: Topition): Unit =
+    if (swapRecovered.putIfAbsent(tp, true).isEmpty) recoverMaintainSwap(tp)
+
+  /** Test-only crash injection for StorageSpec's swap-atomicity suite:
+    * set to "staged" | "committed" | "deleted" to die at that point.
+    */
+  private[graft] var swapCrashPoint: Option[String] = None
+  private def maybeCrash(point: String): Unit =
+    if (swapCrashPoint.contains(point))
+      throw new IllegalStateException(s"injected crash: $point")
+
+  private def swapMarker(tp: Topition) =
+    Paths.get(partDir(tp), ".maintain_swap")
+
+  private def stagedSegs(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\.\\d{20}\\.parquet")).toSeq
+  }
+
+  /** Durable commit point of a maintenance swap: once the marker (which
+    * lists the files the rewrite replaced) lands via atomic rename, the
+    * staged dot-named segments are the partition's truth. finishSwap is
+    * idempotent, so the swap replays to completion from any crash point.
+    */
+  private def commitSwap(tp: Topition, dead: Seq[String]): Unit =
+    swapLock(tp).synchronized {
+      val m = swapMarker(tp)
+      val tmp = Paths.get(m.toString + ".tmp")
+      Files.writeString(tmp, dead.mkString("\n"))
+      Files.move(tmp, m, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      maybeCrash("committed")
+      finishSwap(tp)
+    }
+
+  private def finishSwap(tp: Topition): Unit = {
+    val dir = Paths.get(partDir(tp))
+    val m = swapMarker(tp)
+    Files.readString(m).split("\n").filter(_.nonEmpty)
+      .foreach(f => deleteRecursive(dir.resolve(f)))
+    maybeCrash("deleted")
+    stagedSegs(dir).foreach { p =>
+      val dst = dir.resolve(p.getFileName.toString.stripPrefix("."))
+      deleteRecursive(dst) // replaced file with the same base, not yet dropped
+      Files.move(p, dst)
+    }
+    Files.delete(m)
+  }
+
+  /** First touch of a partition after a restart: a committed-but-
+    * interrupted swap is finished; staged segments with no marker never
+    * reached the commit point and are discarded (the old set is live).
+    */
+  private def recoverMaintainSwap(tp: Topition): Unit =
+    swapLock(tp).synchronized {
+      val dir = Paths.get(partDir(tp))
+      if (Files.isDirectory(dir)) {
+        if (Files.exists(swapMarker(tp))) finishSwap(tp)
+        else stagedSegs(dir).foreach(deleteRecursive)
+      }
+    }
 }
