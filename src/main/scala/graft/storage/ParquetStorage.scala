@@ -314,11 +314,18 @@ final class ParquetStorage(spark: SparkSession, root: String,
     * are contiguous per partition from the same watermark CAS as
     * [[produce]]. Returns the assigned base offset per partition.
     *
-    * The write shuffles once on the target partition (which both orders
-    * the offset assignment and co-locates each partition's rows into a
-    * single output file), so jobs-per-micro-batch is constant in the
-    * partition count — at 1000 partitions and 1 s triggers the scheduler
-    * sees 2 jobs, not 2000.
+    * The write shuffles ONCE, on the target partition: the rank's window
+    * exchange both orders the offset assignment and co-locates each
+    * partition's rows for the partitioned write (no separate repartition
+    * — the writer only needs a task-local sort on `__p`, which V1Writes
+    * inserts). Jobs-per-micro-batch is constant in the partition count —
+    * at 1000 partitions and 1 s triggers the scheduler sees 2 jobs, not
+    * 2000.
+    *
+    * Like [[produce]], `batch` must re-evaluate deterministically between
+    * the stats job and the write (true for scans and local relations);
+    * callers with non-deterministic inputs must cache() first, as the
+    * streaming ingest path does.
     */
   override def produceAll(topic: String,
                           batch: DataFrame): Either[Int, Map[Int, Long]] = {
@@ -358,7 +365,6 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val tmpRoot = Paths.get(
       s"$root/.produce/$topic-${java.util.UUID.randomUUID()}")
     withOffsets.withColumn("__p", col("partition"))
-      .repartition(col("__p"))
       .write.partitionBy("__p").mode("overwrite").parquet(tmpRoot.toString)
     bases.foreach { case (p, base) =>
       Files.move(tmpRoot.resolve(s"__p=$p"),

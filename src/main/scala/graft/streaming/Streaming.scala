@@ -50,8 +50,14 @@ object Streaming {
         val routed = batch
           .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
           .cache()
-        try storage.produceAll(topic, routed)
-        finally routed.unpersist()
+        // a rejected batch must FAIL the micro-batch (so the trigger
+        // retries and the checkpoint does not advance past dropped data),
+        // not vanish into a discarded Either
+        try storage.produceAll(topic, routed) match {
+          case Left(err) => throw new IllegalStateException(
+            s"produceAll($topic) rejected micro-batch: error code $err")
+          case Right(_) => ()
+        } finally routed.unpersist()
         ()
       }
       .start()

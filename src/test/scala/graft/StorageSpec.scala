@@ -296,6 +296,27 @@ class StorageSpec extends SparkSpec {
       Left(ErrorCode.UnknownTopicOrPartition))
   }
 
+  test("produceAll's offset/write plan shuffles once (window exchange reused)") {
+    // the rank's window exchange on `partition` already co-locates each
+    // partition's rows for the partitionBy("__p") write; a separate
+    // repartition would double the shuffle on the hot streaming path
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val routed = (0 until 30).map(i => (s"k$i", s"v$i", i % 3))
+        .toDF("key", "value", "partition")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("partition")).orderBy(monotonically_increasing_id())
+      val planned = routed
+        .withColumn("offset", row_number().over(w) - 1)
+        .withColumn("__p", col("partition"))
+      val exchanges = planned.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size === 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("maintain is restart-aware: a fresh process compacts topics it never touched") {
     val (st, root) = newStorage()
     st.createTopic("t1", 2, Map(ConfigKey.CleanupPolicy -> "compact"))
