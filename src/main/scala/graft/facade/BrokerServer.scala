@@ -120,6 +120,15 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     if (scramUsers.nonEmpty && !conn.authenticated &&
         header.apiKey != 18 && header.apiKey != 17 && header.apiKey != 36)
       throw new IllegalStateException("unauthenticated")
+    // never parse a version we don't serve: outside the advertised range
+    // the body layout is unknown, so drop the connection rather than
+    // misparse (ApiVersions has its own downgrade dance and is exempt)
+    if (header.apiKey != 18)
+      SupportedApis.find(_._1 == header.apiKey).foreach { case (_, lo, hi) =>
+        if (header.apiVersion < lo || header.apiVersion > hi)
+          throw new UnsupportedOperationException(
+            s"api ${header.apiKey} v${header.apiVersion} not served")
+      }
     val out = ByteBuffer.allocate(1 << 22)
     header.apiKey match {
       case 17 =>
@@ -160,24 +169,20 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       case 3 if header.apiVersion >= 9 =>
         // flexible Metadata: response header v1 carries tagged fields
         val requested = readMetadataV9(buf)
-        val names = requested.getOrElse(storage.topics)
         writeEmptyTaggedFields(out)
-        writeMetadataResponseV9(out, host, boundPort,
-          names.map(t => t -> partitionsOf(t)))
+        writeMetadataResponseV9(out, host, boundPort, metadataTopics(requested))
       case 3 =>
-        // v1 request body: [topics] (null array = all)
-        val topics = storage.topics.map(t => t -> partitionsOf(t))
-        writeMetadataResponse(out, host, boundPort, topics)
+        val requested = readMetadataClassic(buf, header.apiVersion)
+        writeMetadataResponse(out, host, boundPort, metadataTopics(requested),
+          header.apiVersion)
       case 0 =>
-        if (header.apiVersion >= 9) { // flexible: response header v1
+        if (header.apiVersion >= 9) // flexible: response header v1
           writeEmptyTaggedFields(out)
-          handleProduce(buf, out, v9 = true)
-        } else handleProduce(buf, out, v9 = false)
+        handleProduce(buf, out, header.apiVersion)
       case 1 =>
-        if (header.apiVersion >= 12) {
+        if (header.apiVersion >= 12)
           writeEmptyTaggedFields(out)
-          handleFetchV12(buf, out)
-        } else handleFetch(buf, out)
+        handleFetch(buf, out, header.apiVersion)
       case 2 => handleListOffsets(buf, out)
       case 8 =>
         val req = readOffsetCommit(buf)
@@ -389,8 +394,24 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       math.max(produceQuotaBytesPerSec, 1L)).toInt
   }
 
+  /** Per-topic metadata rows: explicitly requested topics that don't
+    * exist come back as UNKNOWN_TOPIC_OR_PARTITION (3) with no
+    * partitions, never as a fabricated healthy topic.
+    */
+  private def metadataTopics(requested: Option[Seq[String]]): Seq[(String, Int, Short)] =
+    requested match {
+      case None => storage.topics.map(t => (t, partitionsOf(t), 0.toShort))
+      case Some(names) =>
+        val known = storage.topics.toSet
+        names.map { t =>
+          if (known.contains(t)) (t, partitionsOf(t), 0.toShort)
+          else (t, 0, 3.toShort)
+        }
+    }
+
   private def handleProduce(buf: ByteBuffer, out: ByteBuffer,
-                            v9: Boolean): Unit = {
+                            version: Int): Unit = {
+    val v9 = version >= 9
     val req = if (v9) readProduceV9(buf) else readProduce(buf)
     val wireBytes = req.topics.iterator
       .flatMap(_.partitions.iterator.map(p =>
@@ -408,19 +429,21 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
               Option(r.value).map(new String(_, "UTF-8")).orNull)
           }
           val df = rows.toDF("timestamp", "key", "value")
-          storage.produce(Topition(t.topic, p.partition), df,
+          val tp = Topition(t.topic, p.partition)
+          storage.produce(tp, df,
             batch.producerId, batch.producerEpoch.toInt, batch.baseSequence) match {
-            case Right(base) => (p.partition, 0.toShort, base)
-            case Left(err) => (p.partition, err.toShort, -1L)
+            case Right(base) =>
+              (p.partition, 0.toShort, base, storage.offsetStage(tp).logStart)
+            case Left(err) => (p.partition, err.toShort, -1L, -1L)
           }
         } catch {
-          case NonFatal(_) => (p.partition, 87.toShort, -1L) // INVALID_RECORD
+          case NonFatal(_) => (p.partition, 87.toShort, -1L, -1L) // INVALID_RECORD
         }
       }
       t.topic -> parts
     }
     if (v9) writeProduceResponseV9(out, results, throttle)
-    else writeProduceResponse(out, results, throttle)
+    else writeProduceResponse(out, results, throttle, version)
   }
 
   private def handleListOffsets(buf: ByteBuffer, out: ByteBuffer): Unit = {
@@ -468,32 +491,20 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     }
   }
 
-  private def handleFetch(buf: ByteBuffer, out: ByteBuffer): Unit = {
-    val req = readFetch(buf)
+  /** One handler for every served Fetch version: classic v4-v11 and
+    * flexible v12 differ only in codec, not semantics. The per-partition
+    * result carries the aborted-transaction list that read_committed
+    * consumers use to drop aborted records client-side (J3 interval
+    * overlap on the wire) — real on every version that can encode it.
+    */
+  private def handleFetch(buf: ByteBuffer, out: ByteBuffer, version: Int): Unit = {
+    val req = if (version >= 12) readFetchV12(buf) else readFetch(buf, version)
     val results = req.topics.map { t =>
       val parts = t.partitions.map { fp =>
         val tp = Topition(t.topic, fp.partition)
         val stage = storage.offsetStage(tp)
         val records = fetchRecords(tp, fp.fetchOffset, fp.maxBytes.toLong,
           readCommitted = req.isolation == 1)
-        WireProtocol.FetchPartResult(fp.partition, 0,
-          stage.highWatermark, stage.lastStable, records)
-      }
-      t.topic -> parts
-    }
-    writeFetchResponse(out, results)
-  }
-
-  private def handleFetchV12(buf: ByteBuffer, out: ByteBuffer): Unit = {
-    val req = readFetchV12(buf)
-    val results = req.topics.map { t =>
-      val parts = t.partitions.map { fp =>
-        val tp = Topition(t.topic, fp.partition)
-        val stage = storage.offsetStage(tp)
-        val records = fetchRecords(tp, fp.fetchOffset, fp.maxBytes.toLong,
-          readCommitted = req.isolation == 1)
-        // read_committed consumers drop aborted records client-side from
-        // this list (J3 interval overlap on the wire)
         val aborted = storage
           .abortedTxns(tp, fp.fetchOffset, stage.highWatermark)
           .map(r => (r.producerId, r.offsetStart))
@@ -503,6 +514,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       }
       t.topic -> parts
     }
-    writeFetchResponseV12(out, results)
+    if (version >= 12) writeFetchResponseV12(out, results)
+    else writeFetchResponseClassic(out, results, version)
   }
 }

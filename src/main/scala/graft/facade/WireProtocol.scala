@@ -3,26 +3,33 @@ package graft.facade
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Minimal Kafka wire-protocol codec for the facade's fixed API versions
-  * (non-flexible encodings: INT16/INT32 sizes, nullable strings as
-  * INT16 -1). Hand-written subset of the reference's codegen'd ser/de
+/** Kafka wire-protocol codec for the 24 APIs the facade serves —
+  * hand-written counterpart of the reference's codegen'd ser/de
   * (`nisshi-sans-io/src/ser.rs`, `de.rs`, driven by the 185 protocol
-  * JSONs in `nisshi-sans-io/message/`); this slice covers the four APIs
-  * the facade serves:
+  * JSONs in `nisshi-sans-io/message/`). Every version ApiVersions
+  * advertises ([[SupportedApis]]) is actually encoded/decoded:
   *
-  *  - ApiVersions v0 (api_key 18)
-  *  - Metadata    v1 (api_key 3)
-  *  - Produce     v3 (api_key 0)  — record batches as magic-v2 bytes
-  *  - Fetch       v4 (api_key 1)
+  *  - Produce v3-v9 (api_key 0) — v3-v8 classic, v9 flexible; record
+  *    batches as magic-v2 bytes; log_start_offset (v5+) and
+  *    record_errors (v8+) response fields
+  *  - Fetch v4-v12 (1) — v4-v11 classic (session fields v7+, leader
+  *    epochs v9+, rack v11), v12 flexible; aborted-txn lists on all
+  *  - Metadata v1-v9 (3) — cluster_id (v2+), throttle (v3+), offline
+  *    replicas (v5+), leader epoch (v7+), authorized-ops (v8+), v9
+  *    flexible; per-topic error codes
+  *  - ApiVersions v0-v3 (18) — v3 flexible, >max downgrade dance
   *  - ListOffsets v1 (2), OffsetCommit v2 (8), OffsetFetch v1 (9)
   *  - FindCoordinator v0 (10), JoinGroup v0 (11), Heartbeat v0 (12),
   *    LeaveGroup v0 (13), SyncGroup v0 (14) — with ConsumerProtocol
   *    Subscription/Assignment v0 payload codecs
-  *  - CreateTopics v0 (19), DeleteTopics v0 (20)
-  *  - InitProducerId v0 (22), AddPartitionsToTxn v0 (24), EndTxn v0 (26)
+  *  - DescribeGroups v0 (15), ListGroups v0 (16), SaslHandshake v1 (17),
+  *    CreateTopics v0 (19), DeleteTopics v0 (20), DeleteRecords v0 (21)
+  *  - InitProducerId v0 (22), AddPartitionsToTxn v0 (24), EndTxn v0
+  *    (26), TxnOffsetCommit v0 (28), DescribeConfigs v0 (32),
+  *    SaslAuthenticate v0 (36)
   *
-  * Frames are INT32 length-prefixed; request header v1
-  * (api_key, api_version, correlation_id, client_id).
+  * Frames are INT32 length-prefixed; request header v1 classic, v2
+  * (tagged fields) for flexible versions — see [[isFlexible]].
   */
 object WireProtocol {
 
@@ -174,41 +181,59 @@ object WireProtocol {
   final case class FetchRequest(maxWaitMs: Int, minBytes: Int, maxBytes: Int,
                                 isolation: Byte, topics: Seq[FetchTopic])
 
-  /** Fetch v4: replica_id max_wait min_bytes max_bytes isolation
-    * [topic [partition fetch_offset partition_max_bytes]]
+  /** Classic Fetch request, v4-v11 (FetchRequest.json layout): replica_id
+    * max_wait min_bytes max_bytes isolation session(v7+) [topic
+    * [partition current_leader_epoch(v9+) fetch_offset log_start(v5+)
+    * partition_max_bytes]] forgotten(v7+) rack_id(v11).
     */
-  def readFetch(buf: ByteBuffer): FetchRequest = {
+  def readFetch(buf: ByteBuffer, version: Int = 4): FetchRequest = {
     buf.getInt // replica_id
     val maxWait = buf.getInt
     val minBytes = buf.getInt
     val maxBytes = buf.getInt
     val isolation = buf.get()
+    if (version >= 7) { buf.getInt; buf.getInt } // session_id, session_epoch
     val topics = (0 until buf.getInt).map { _ =>
       val t = readString(buf)
       val parts = (0 until buf.getInt).map { _ =>
-        FetchPartition(buf.getInt, buf.getLong, buf.getInt)
+        val p = buf.getInt
+        if (version >= 9) buf.getInt // current_leader_epoch
+        val off = buf.getLong
+        if (version >= 5) buf.getLong // log_start_offset (follower-only)
+        FetchPartition(p, off, buf.getInt)
       }
       FetchTopic(t, parts)
     }
+    if (version >= 7)
+      (0 until buf.getInt).foreach { _ => // forgotten_topics_data
+        readString(buf)
+        (0 until buf.getInt).foreach(_ => buf.getInt)
+      }
+    if (version >= 11) readString(buf) // rack_id
     FetchRequest(maxWait, minBytes, maxBytes, isolation, topics)
   }
 
-  def writeFetch(buf: ByteBuffer, r: FetchRequest): Unit = {
+  def writeFetch(buf: ByteBuffer, r: FetchRequest, version: Int = 4): Unit = {
     buf.putInt(-1)
     buf.putInt(r.maxWaitMs)
     buf.putInt(r.minBytes)
     buf.putInt(r.maxBytes)
     buf.put(r.isolation)
+    if (version >= 7) { buf.putInt(0); buf.putInt(-1) } // sessionless
     buf.putInt(r.topics.size)
     r.topics.foreach { t =>
       writeString(buf, t.topic)
       buf.putInt(t.partitions.size)
       t.partitions.foreach { p =>
         buf.putInt(p.partition)
+        if (version >= 9) buf.putInt(-1) // current_leader_epoch
         buf.putLong(p.fetchOffset)
+        if (version >= 5) buf.putLong(-1L) // log_start_offset
         buf.putInt(p.maxBytes)
       }
     }
+    if (version >= 7) buf.putInt(0) // forgotten_topics_data
+    if (version >= 11) writeString(buf, "") // rack_id
   }
 
   // ------------------------------------------------------------- responses
@@ -1027,7 +1052,7 @@ object WireProtocol {
     * authorized-operations, tagged fields throughout.
     */
   def writeMetadataResponseV9(buf: ByteBuffer, host: String, port: Int,
-                              topics: Seq[(String, Int)]): Unit = {
+                              topics: Seq[(String, Int, Short)]): Unit = {
     buf.putInt(0) // throttle
     writeCompactArrayLen(buf, 1)
     buf.putInt(0) // node_id
@@ -1038,8 +1063,8 @@ object WireProtocol {
     writeCompactString(buf, "graft") // cluster_id
     buf.putInt(0) // controller_id
     writeCompactArrayLen(buf, topics.size)
-    topics.foreach { case (t, nParts) =>
-      buf.putShort(0) // error
+    topics.foreach { case (t, nParts, err) =>
+      buf.putShort(err)
       writeCompactString(buf, t)
       buf.put(0: Byte) // is_internal
       writeCompactArrayLen(buf, nParts)
@@ -1123,18 +1148,18 @@ object WireProtocol {
     * log_append_time, log_start_offset, record_errors, error_message.
     */
   def writeProduceResponseV9(buf: ByteBuffer,
-                             results: Seq[(String, Seq[(Int, Short, Long)])],
+                             results: Seq[(String, Seq[(Int, Short, Long, Long)])],
                              throttleMs: Int = 0): Unit = {
     writeCompactArrayLen(buf, results.size)
     results.foreach { case (topic, parts) =>
       writeCompactString(buf, topic)
       writeCompactArrayLen(buf, parts.size)
-      parts.foreach { case (p, err, baseOffset) =>
+      parts.foreach { case (p, err, baseOffset, logStart) =>
         buf.putInt(p)
         buf.putShort(err)
         buf.putLong(baseOffset)
         buf.putLong(-1L) // log_append_time
-        buf.putLong(0L)  // log_start_offset
+        buf.putLong(logStart)
         writeCompactArrayLen(buf, 0) // record_errors
         writeCompactString(buf, null) // error_message
         writeEmptyTaggedFields(buf)
@@ -1300,7 +1325,8 @@ object WireProtocol {
     out
   }
 
-  final case class MetadataV9Topic(name: String, partitions: Seq[Int])
+  final case class MetadataV9Topic(name: String, partitions: Seq[Int],
+                                   error: Short = 0)
 
   def readMetadataResponseV9(buf: ByteBuffer): (String, Int, Seq[MetadataV9Topic]) = {
     buf.getInt // throttle
@@ -1317,7 +1343,7 @@ object WireProtocol {
     readCompactString(buf) // cluster id
     buf.getInt // controller
     val topics = (0 until readCompactArrayLen(buf)).map { _ =>
-      buf.getShort
+      val err = buf.getShort
       val name = readCompactString(buf)
       buf.get()
       val parts = (0 until readCompactArrayLen(buf)).map { _ =>
@@ -1332,25 +1358,56 @@ object WireProtocol {
       }
       buf.getInt // topic_authorized_operations
       skipTaggedFields(buf)
-      MetadataV9Topic(name, parts)
+      MetadataV9Topic(name, parts, err)
     }
     buf.getInt // cluster_authorized_operations
     skipTaggedFields(buf)
     (host, port, topics)
   }
 
-  /** Metadata v1 response: [broker] controller_id [topic]. */
+  /** Classic Metadata request, v1-v8: [topics] (null array = all),
+    * allow_auto_topic_creation(v4+), include-authorized-ops flags(v8+).
+    */
+  def readMetadataClassic(buf: ByteBuffer, version: Int = 1): Option[Seq[String]] = {
+    val n = buf.getInt
+    val topics = if (n < 0) None else Some((0 until n).map(_ => readString(buf)))
+    if (version >= 4) buf.get() // allow_auto_topic_creation
+    if (version >= 8) { buf.get(); buf.get() } // include_*_authorized_operations
+    topics
+  }
+
+  def writeMetadataClassic(buf: ByteBuffer, topics: Option[Seq[String]],
+                           version: Int = 1): Unit = {
+    topics match {
+      case None => buf.putInt(-1)
+      case Some(ts) => buf.putInt(ts.size); ts.foreach(writeString(buf, _))
+    }
+    if (version >= 4) buf.put(1: Byte)
+    if (version >= 8) { buf.put(0: Byte); buf.put(0: Byte) }
+    ()
+  }
+
+  /** Classic Metadata response, v1-v8 (MetadataResponse.json layout):
+    * throttle(v3+) [broker] cluster_id(v2+) controller_id [topic: error
+    * name is_internal [partition: error idx leader leader_epoch(v7+)
+    * replicas isr offline(v5+)] topic_authorized_operations(v8+)]
+    * cluster_authorized_operations(v8). Topics carry a per-topic error
+    * (3 = UNKNOWN_TOPIC_OR_PARTITION for explicitly requested absentees).
+    */
   def writeMetadataResponse(buf: ByteBuffer, host: String, port: Int,
-                            topics: Seq[(String, Int)]): Unit = {
+                            topics: Seq[(String, Int, Short)],
+                            version: Int = 1): Unit = {
+    if (version >= 3) buf.putInt(0) // throttle
     buf.putInt(1) // one broker
     buf.putInt(0) // node_id
     writeString(buf, host)
     buf.putInt(port)
     writeString(buf, null) // rack
+    if (version >= 2) writeString(buf, "graft") // cluster_id
     buf.putInt(0) // controller id
     buf.putInt(topics.size)
-    topics.foreach { case (t, nParts) =>
-      buf.putShort(0) // error
+    topics.foreach { case (t, nParts, err) =>
+      buf.putShort(err)
       writeString(buf, t)
       buf.put(0: Byte) // is_internal
       buf.putInt(nParts)
@@ -1358,37 +1415,82 @@ object WireProtocol {
         buf.putShort(0) // error
         buf.putInt(p)   // partition
         buf.putInt(0)   // leader
+        if (version >= 7) buf.putInt(0) // leader_epoch
         buf.putInt(1)   // replicas
         buf.putInt(0)
         buf.putInt(1)   // isr
         buf.putInt(0)
+        if (version >= 5) buf.putInt(0) // offline_replicas
       }
+      if (version >= 8) buf.putInt(Int.MinValue) // topic_authorized_operations
     }
+    if (version >= 8) buf.putInt(Int.MinValue) // cluster_authorized_operations
   }
 
-  /** Produce v3 response: [topic [partition error base_offset log_append_time]] throttle.
-    * throttleMs > 0 tells the client to back off — the client-quota
-    * mechanism (T10 rate limiting).
+  def readMetadataResponse(buf: ByteBuffer,
+                           version: Int = 1): (String, Int, Seq[(String, Int, Short)]) = {
+    if (version >= 3) buf.getInt // throttle
+    var host: String = null
+    var port = 0
+    (0 until buf.getInt).foreach { _ =>
+      buf.getInt // node_id
+      host = readString(buf)
+      port = buf.getInt
+      readString(buf) // rack
+    }
+    if (version >= 2) readString(buf) // cluster_id
+    buf.getInt // controller
+    val topics = (0 until buf.getInt).map { _ =>
+      val err = buf.getShort
+      val name = readString(buf)
+      buf.get() // is_internal
+      val nParts = buf.getInt
+      (0 until nParts).foreach { _ =>
+        buf.getShort; buf.getInt; buf.getInt
+        if (version >= 7) buf.getInt
+        (0 until buf.getInt).foreach(_ => buf.getInt) // replicas
+        (0 until buf.getInt).foreach(_ => buf.getInt) // isr
+        if (version >= 5) (0 until buf.getInt).foreach(_ => buf.getInt)
+      }
+      if (version >= 8) buf.getInt
+      (name, nParts, err)
+    }
+    if (version >= 8) buf.getInt
+    (host, port, topics)
+  }
+
+  /** Classic Produce response, v3-v8 (ProduceResponse.json layout):
+    * [topic [partition error base_offset log_append_time
+    * log_start_offset(v5+) record_errors(v8+) error_message(v8+)]]
+    * throttle. The 4-tuple's last element is the partition's log-start
+    * offset. throttleMs > 0 tells the client to back off — the
+    * client-quota mechanism (T10 rate limiting).
     */
   def writeProduceResponse(buf: ByteBuffer,
-                           results: Seq[(String, Seq[(Int, Short, Long)])],
-                           throttleMs: Int = 0): Unit = {
+                           results: Seq[(String, Seq[(Int, Short, Long, Long)])],
+                           throttleMs: Int = 0, version: Int = 3): Unit = {
     buf.putInt(results.size)
     results.foreach { case (topic, parts) =>
       writeString(buf, topic)
       buf.putInt(parts.size)
-      parts.foreach { case (p, err, baseOffset) =>
+      parts.foreach { case (p, err, baseOffset, logStart) =>
         buf.putInt(p)
         buf.putShort(err)
         buf.putLong(baseOffset)
         buf.putLong(-1L) // log_append_time
+        if (version >= 5) buf.putLong(logStart)
+        if (version >= 8) {
+          buf.putInt(0) // record_errors: none (whole batch accepted/rejected)
+          writeString(buf, null) // error_message
+        }
       }
     }
     buf.putInt(throttleMs)
   }
 
-  /** Reads a Produce v3 response including the trailing throttle. */
-  def readProduceResponse(buf: ByteBuffer): (Seq[(String, Seq[(Int, Short, Long)])], Int) = {
+  /** Reads a classic Produce response (v3-v8) incl. the trailing throttle. */
+  def readProduceResponse(buf: ByteBuffer,
+                          version: Int = 3): (Seq[(String, Seq[(Int, Short, Long)])], Int) = {
     val topics = (0 until buf.getInt).map { _ =>
       val t = readString(buf)
       t -> (0 until buf.getInt).map { _ =>
@@ -1396,22 +1498,30 @@ object WireProtocol {
         val err = buf.getShort
         val off = buf.getLong
         buf.getLong // log_append_time
+        if (version >= 5) buf.getLong // log_start_offset
+        if (version >= 8) {
+          (0 until buf.getInt).foreach { _ => buf.getInt; readString(buf) }
+          readString(buf) // error_message
+        }
         (p, err, off)
       }
     }
     (topics, buf.getInt)
   }
 
-  final case class FetchPartResult(partition: Int, error: Short,
-                                   highWatermark: Long, lastStable: Long,
-                                   records: Array[Byte])
-
-  /** Fetch v4 response: throttle [topic [partition error hw lso
-    * [aborted] records]].
+  /** Classic Fetch response, v4-v11 (FetchResponse.json layout):
+    * throttle error+session(v7+) [topic [partition error hw lso
+    * log_start(v5+) [aborted: pid first_offset]
+    * preferred_read_replica(v11+) records]].
     */
-  def writeFetchResponse(buf: ByteBuffer,
-                         results: Seq[(String, Seq[FetchPartResult])]): Unit = {
+  def writeFetchResponseClassic(buf: ByteBuffer,
+                                results: Seq[(String, Seq[FetchV12PartResult])],
+                                version: Int = 4): Unit = {
     buf.putInt(0) // throttle
+    if (version >= 7) {
+      buf.putShort(0) // top-level error
+      buf.putInt(0)   // session_id (no incremental session on classic path)
+    }
     buf.putInt(results.size)
     results.foreach { case (topic, parts) =>
       writeString(buf, topic)
@@ -1421,8 +1531,32 @@ object WireProtocol {
         buf.putShort(r.error)
         buf.putLong(r.highWatermark)
         buf.putLong(r.lastStable)
-        buf.putInt(0) // aborted transactions: none in this slice
+        if (version >= 5) buf.putLong(r.logStart)
+        buf.putInt(r.aborted.size)
+        r.aborted.foreach { case (pid, first) =>
+          buf.putLong(pid); buf.putLong(first)
+        }
+        if (version >= 11) buf.putInt(-1) // preferred_read_replica
         writeBytes(buf, r.records)
+      }
+    }
+  }
+
+  def readFetchResponseClassic(buf: ByteBuffer,
+                               version: Int = 4): Seq[(String, Seq[FetchV12PartResult])] = {
+    buf.getInt // throttle
+    if (version >= 7) { buf.getShort; buf.getInt } // error, session_id
+    (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      t -> (0 until buf.getInt).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        val hw = buf.getLong
+        val lso = buf.getLong
+        val ls = if (version >= 5) buf.getLong else -1L
+        val aborted = (0 until buf.getInt).map(_ => (buf.getLong, buf.getLong))
+        if (version >= 11) buf.getInt // preferred_read_replica
+        FetchV12PartResult(p, err, hw, lso, ls, aborted, readBytes(buf))
       }
     }
   }

@@ -140,6 +140,77 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("every advertised classic version of Produce/Fetch/Metadata round-trips") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-vm").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("vm", 2)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+
+      // Metadata v1-v8: explicit topic list; an absent topic comes back
+      // as UNKNOWN_TOPIC_OR_PARTITION (3), never as a fabricated topic
+      (1 to 8).foreach { v =>
+        val md = request(sock, 3, v.toShort, 100 + v) { b =>
+          W.writeMetadataClassic(b, Some(Seq("vm", "ghost")), v)
+        }
+        val (h, p, topics) = W.readMetadataResponse(md, v)
+        assert(h === "127.0.0.1" && p === broker.boundPort, s"metadata v$v")
+        assert(topics.toSet ===
+          Set(("vm", 2, 0.toShort), ("ghost", 0, 3.toShort)), s"metadata v$v")
+      }
+      // ... and the all-topics (null array) form
+      val mdAll = request(sock, 3, 5, 120)(b => W.writeMetadataClassic(b, None, 5))
+      assert(W.readMetadataResponse(mdAll, 5)._3 === Seq(("vm", 2, 0.toShort)))
+
+      // Produce v3-v8: the request layout is constant, the response grows
+      // log_start_offset (v5+) and record_errors (v8); offsets advance
+      // across versions on one log
+      (3 to 8).foreach { v =>
+        val i = v - 3
+        val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+          0L, 0, 0, 1704067200000L, 1704067200000L, -1L, -1, -1,
+          Seq(RecordBatchCodec.Record(0, 0L, s"k$v".getBytes, s"v$v".getBytes, Nil))))
+        val pr = request(sock, 0, v.toShort, 200 + v) { b =>
+          W.writeProduce(b, W.ProduceRequest(1, 30000, Seq(
+            W.ProduceTopic("vm", Seq(W.ProducePartition(0, batch))))))
+        }
+        val (results, throttle) = W.readProduceResponse(pr, v)
+        assert(results === Seq("vm" -> Seq((0, 0.toShort, i.toLong))), s"produce v$v")
+        assert(throttle === 0)
+      }
+
+      // Fetch v4-v11: every version returns all six records and the
+      // version-appropriate partition header fields
+      (4 to 11).foreach { v =>
+        val fr = request(sock, 1, v.toShort, 300 + v) { b =>
+          W.writeFetch(b, W.FetchRequest(500, 1, 1 << 20, 0, Seq(
+            W.FetchTopic("vm", Seq(W.FetchPartition(0, 0L, 1 << 20))))), v)
+        }
+        val parts = W.readFetchResponseClassic(fr, v)
+        assert(parts.head._1 === "vm", s"fetch v$v")
+        val p0 = parts.head._2.head
+        assert(p0.error === 0 && p0.highWatermark === 6L, s"fetch v$v")
+        if (v >= 5) assert(p0.logStart === 0L, s"fetch v$v")
+        val decoded = RecordBatchCodec.decode(p0.records)
+        assert(decoded.records.map(r => new String(r.key)) ===
+          (3 to 8).map(i => s"k$i"), s"fetch v$v")
+      }
+      sock.close()
+
+      // an UNADVERTISED version is never misparsed: the broker drops the
+      // connection instead of decoding the body with the wrong layout
+      val sock2 = new Socket("127.0.0.1", broker.boundPort)
+      intercept[java.io.IOException] {
+        request(sock2, 1, 3, 999) { b =>
+          W.writeFetch(b, W.FetchRequest(500, 1, 1 << 20, 0, Seq(
+            W.FetchTopic("vm", Seq(W.FetchPartition(0, 0L, 1 << 20))))), 4)
+        }
+      }
+      sock2.close()
+    } finally broker.close()
+  }
+
   test("produce/fetch round-trip over the wire (S1/S2/S3 end-to-end)") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
     val storage = new ParquetStorage(spark, root)
