@@ -129,7 +129,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           throw new UnsupportedOperationException(
             s"api ${header.apiKey} v${header.apiVersion} not served")
       }
-    val out = ByteBuffer.allocate(1 << 22)
+    val out = ByteBuffer.allocate(responseCapacity(header, buf))
     header.apiKey match {
       case 17 =>
         val mech = readSaslHandshake(buf)
@@ -315,6 +315,20 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     a
   }
 
+  /** Fetch responses scale with the request's max_bytes — a fixed buffer
+    * caps every consumer at its size. Peek max_bytes at its fixed body
+    * offset (replica_id, max_wait, min_bytes precede it in every served
+    * version, classic and flexible alike — int fields are not compact)
+    * and size the buffer from it, with slack for headers and the
+    * min-one-record overshoot. Everything else fits the 4 MiB default.
+    */
+  private def responseCapacity(header: RequestHeader, buf: ByteBuffer): Int =
+    if (header.apiKey == 1 && buf.remaining() >= 16) {
+      val maxBytes = buf.getInt(buf.position() + 12)
+      val want = math.max(maxBytes.toLong, 0L) + (1 << 16)
+      math.max(1 << 22, math.min(want, 512L << 20)).toInt
+    } else 1 << 22
+
   /** Coordinator error string → Kafka error code. */
   private def groupError(e: String): Short = e match {
     case "UNKNOWN_GROUP" => 69         // GROUP_ID_NOT_FOUND
@@ -491,6 +505,30 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     }
   }
 
+  // ------------------------------------------- incremental fetch sessions
+
+  /** KIP-227 fetch-session state: what the client last asked for per
+    * partition and what we last told it, so incremental requests can
+    * omit unchanged partitions in both directions. The no-news check is
+    * an in-memory watermark compare — the expensive per-partition fetch
+    * query only runs when there is something to say, which is what makes
+    * high-fan-in long-polling affordable (reference
+    * `nisshi-sans-io/message/FetchRequest.json` session fields).
+    */
+  private final class FetchPartState(var fetchOffset: Long, var maxBytes: Int) {
+    var lastHwm: Long = Long.MinValue
+    var lastLso: Long = Long.MinValue
+    var lastLogStart: Long = Long.MinValue
+  }
+  private final class FetchSession {
+    var epoch: Int = 0
+    val parts =
+      scala.collection.mutable.LinkedHashMap.empty[Topition, FetchPartState]
+  }
+  private val fetchSessions =
+    scala.collection.concurrent.TrieMap.empty[Int, FetchSession]
+  private val fetchSessionIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** One handler for every served Fetch version: classic v4-v11 and
     * flexible v12 differ only in codec, not semantics. The per-partition
     * result carries the aborted-transaction list that read_committed
@@ -499,22 +537,106 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     */
   private def handleFetch(buf: ByteBuffer, out: ByteBuffer, version: Int): Unit = {
     val req = if (version >= 12) readFetchV12(buf) else readFetch(buf, version)
-    val results = req.topics.map { t =>
-      val parts = t.partitions.map { fp =>
-        val tp = Topition(t.topic, fp.partition)
-        val stage = storage.offsetStage(tp)
-        val records = fetchRecords(tp, fp.fetchOffset, fp.maxBytes.toLong,
-          readCommitted = req.isolation == 1)
-        val aborted = storage
-          .abortedTxns(tp, fp.fetchOffset, stage.highWatermark)
-          .map(r => (r.producerId, r.offsetStart))
-        WireProtocol.FetchV12PartResult(fp.partition, 0,
-          stage.highWatermark, stage.lastStable, stage.logStart,
-          aborted, records)
-      }
-      t.topic -> parts
+    val readCommitted = req.isolation == 1
+    // request-level max_bytes caps the WHOLE response across partitions
+    // (the first partition may overshoot by one batch, as in Kafka)
+    var budget = math.max(req.maxBytes.toLong, 1L)
+
+    def partResult(tp: Topition, fetchOffset: Long,
+                   maxBytes: Int): WireProtocol.FetchV12PartResult = {
+      val stage = storage.offsetStage(tp)
+      val records =
+        if (budget <= 0) Array.empty[Byte]
+        else fetchRecords(tp, fetchOffset,
+          math.min(maxBytes.toLong, budget), readCommitted)
+      budget -= records.length.toLong
+      val aborted = storage
+        .abortedTxns(tp, fetchOffset, stage.highWatermark)
+        .map(r => (r.producerId, r.offsetStart))
+      WireProtocol.FetchV12PartResult(tp.partition, 0,
+        stage.highWatermark, stage.lastStable, stage.logStart,
+        aborted, records)
     }
-    if (version >= 12) writeFetchResponseV12(out, results)
-    else writeFetchResponseClassic(out, results, version)
+
+    def fullResults: Seq[(String, Seq[WireProtocol.FetchV12PartResult])] =
+      req.topics.map { t =>
+        t.topic -> t.partitions.map(fp =>
+          partResult(Topition(t.topic, fp.partition), fp.fetchOffset, fp.maxBytes))
+      }
+
+    var error: Short = 0
+    var sessionId = 0
+    var results: Seq[(String, Seq[WireProtocol.FetchV12PartResult])] = Nil
+
+    if (version < 7 || req.sessionEpoch == -1) {
+      // sessionless: full request, full response; id != 0 closes a session
+      if (version >= 7 && req.sessionId != 0) fetchSessions.remove(req.sessionId)
+      results = fullResults
+    } else if (req.sessionEpoch == 0) {
+      // full fetch establishing a fresh session
+      if (req.sessionId != 0) fetchSessions.remove(req.sessionId)
+      val s = new FetchSession
+      s.epoch = 1
+      req.topics.foreach(t => t.partitions.foreach { fp =>
+        s.parts.put(Topition(t.topic, fp.partition),
+          new FetchPartState(fp.fetchOffset, fp.maxBytes))
+        ()
+      })
+      sessionId = fetchSessionIds.incrementAndGet()
+      fetchSessions.put(sessionId, s)
+      results = fullResults
+      results.foreach { case (t, ps) => ps.foreach { r =>
+        s.parts.get(Topition(t, r.partition)).foreach { st =>
+          st.lastHwm = r.highWatermark; st.lastLso = r.lastStable
+          st.lastLogStart = r.logStart
+        }
+      } }
+    } else fetchSessions.get(req.sessionId) match {
+      case None => error = 70 // FETCH_SESSION_ID_NOT_FOUND
+      case Some(s) => s.synchronized {
+        if (req.sessionEpoch != s.epoch + 1) {
+          error = 71 // INVALID_FETCH_SESSION_EPOCH
+          sessionId = req.sessionId
+        } else {
+          s.epoch = req.sessionEpoch
+          sessionId = req.sessionId
+          req.topics.foreach(t => t.partitions.foreach { fp =>
+            val tp = Topition(t.topic, fp.partition)
+            s.parts.get(tp) match {
+              case Some(st) =>
+                st.fetchOffset = fp.fetchOffset; st.maxBytes = fp.maxBytes
+              case None =>
+                s.parts.put(tp, new FetchPartState(fp.fetchOffset, fp.maxBytes))
+                ()
+            }
+          })
+          req.forgotten.foreach { case (t, ps) =>
+            ps.foreach(p => s.parts.remove(Topition(t, p)))
+          }
+          // incremental response: only partitions with news — new data
+          // past the session's fetch offset or a moved watermark. The
+          // skip path costs zero Spark jobs.
+          val changed = s.parts.toSeq.flatMap { case (tp, st) =>
+            val stage = storage.offsetStage(tp)
+            val end = if (readCommitted) stage.lastStable else stage.highWatermark
+            if (end > st.fetchOffset || stage.highWatermark != st.lastHwm ||
+                stage.lastStable != st.lastLso || stage.logStart != st.lastLogStart) {
+              val r = partResult(tp, st.fetchOffset, st.maxBytes)
+              // only advance the sent-state when the pending data was
+              // actually delivered — an empty result with data pending
+              // (budget exhausted, publish in flight) must be retried
+              if (r.records.nonEmpty || end <= st.fetchOffset) {
+                st.lastHwm = r.highWatermark; st.lastLso = r.lastStable
+                st.lastLogStart = r.logStart
+              }
+              Some(tp.topic -> r)
+            } else None
+          }
+          results = changed.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        }
+      }
+    }
+    if (version >= 12) writeFetchResponseV12(out, results, error, sessionId)
+    else writeFetchResponseClassic(out, results, version, error, sessionId)
   }
 }

@@ -178,8 +178,15 @@ object WireProtocol {
 
   final case class FetchPartition(partition: Int, fetchOffset: Long, maxBytes: Int)
   final case class FetchTopic(topic: String, partitions: Seq[FetchPartition])
+  /** sessionEpoch -1 = sessionless (the pre-KIP-227 behavior); 0 = full
+    * fetch that establishes a session; n+1 = incremental fetch on
+    * sessionId where `topics` carries only adds/updates and `forgotten`
+    * carries removals.
+    */
   final case class FetchRequest(maxWaitMs: Int, minBytes: Int, maxBytes: Int,
-                                isolation: Byte, topics: Seq[FetchTopic])
+                                isolation: Byte, topics: Seq[FetchTopic],
+                                sessionId: Int = 0, sessionEpoch: Int = -1,
+                                forgotten: Seq[(String, Seq[Int])] = Nil)
 
   /** Classic Fetch request, v4-v11 (FetchRequest.json layout): replica_id
     * max_wait min_bytes max_bytes isolation session(v7+) [topic
@@ -192,7 +199,8 @@ object WireProtocol {
     val minBytes = buf.getInt
     val maxBytes = buf.getInt
     val isolation = buf.get()
-    if (version >= 7) { buf.getInt; buf.getInt } // session_id, session_epoch
+    val (sid, sep) =
+      if (version >= 7) (buf.getInt, buf.getInt) else (0, -1)
     val topics = (0 until buf.getInt).map { _ =>
       val t = readString(buf)
       val parts = (0 until buf.getInt).map { _ =>
@@ -204,13 +212,15 @@ object WireProtocol {
       }
       FetchTopic(t, parts)
     }
-    if (version >= 7)
-      (0 until buf.getInt).foreach { _ => // forgotten_topics_data
-        readString(buf)
-        (0 until buf.getInt).foreach(_ => buf.getInt)
-      }
+    val forgotten =
+      if (version >= 7)
+        (0 until buf.getInt).map { _ =>
+          readString(buf) -> (0 until buf.getInt).map(_ => buf.getInt).toSeq
+        }
+      else Seq.empty
     if (version >= 11) readString(buf) // rack_id
-    FetchRequest(maxWait, minBytes, maxBytes, isolation, topics)
+    FetchRequest(maxWait, minBytes, maxBytes, isolation, topics,
+      sid, sep, forgotten)
   }
 
   def writeFetch(buf: ByteBuffer, r: FetchRequest, version: Int = 4): Unit = {
@@ -219,7 +229,7 @@ object WireProtocol {
     buf.putInt(r.minBytes)
     buf.putInt(r.maxBytes)
     buf.put(r.isolation)
-    if (version >= 7) { buf.putInt(0); buf.putInt(-1) } // sessionless
+    if (version >= 7) { buf.putInt(r.sessionId); buf.putInt(r.sessionEpoch) }
     buf.putInt(r.topics.size)
     r.topics.foreach { t =>
       writeString(buf, t.topic)
@@ -232,7 +242,13 @@ object WireProtocol {
         buf.putInt(p.maxBytes)
       }
     }
-    if (version >= 7) buf.putInt(0) // forgotten_topics_data
+    if (version >= 7) {
+      buf.putInt(r.forgotten.size)
+      r.forgotten.foreach { case (t, ps) =>
+        writeString(buf, t)
+        buf.putInt(ps.size); ps.foreach(buf.putInt)
+      }
+    }
     if (version >= 11) writeString(buf, "") // rack_id
   }
 
@@ -1194,8 +1210,8 @@ object WireProtocol {
     (topics, throttle)
   }
 
-  /** Fetch v12 (flexible) request — session fields and epochs are read
-    * and ignored (no incremental fetch sessions in this slice).
+  /** Fetch v12 (flexible) request — session fields drive the
+    * incremental fetch-session machinery in the broker.
     */
   def readFetchV12(buf: ByteBuffer): FetchRequest = {
     buf.getInt // replica_id
@@ -1203,8 +1219,8 @@ object WireProtocol {
     val minBytes = buf.getInt
     val maxBytes = buf.getInt
     val isolation = buf.get()
-    buf.getInt // session_id
-    buf.getInt // session_epoch
+    val sid = buf.getInt
+    val sep = buf.getInt
     val topics = (0 until readCompactArrayLen(buf)).map { _ =>
       val t = readCompactString(buf)
       val parts = (0 until readCompactArrayLen(buf)).map { _ =>
@@ -1220,14 +1236,16 @@ object WireProtocol {
       skipTaggedFields(buf)
       FetchTopic(t, parts)
     }
-    (0 until readCompactArrayLen(buf)).foreach { _ => // forgotten topics
-      readCompactString(buf)
-      (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+    val forgotten = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val ps = (0 until readCompactArrayLen(buf)).map(_ => buf.getInt).toSeq
       skipTaggedFields(buf)
+      t -> ps
     }
     readCompactString(buf) // rack_id
     skipTaggedFields(buf)
-    FetchRequest(maxWait, minBytes, maxBytes, isolation, topics)
+    FetchRequest(maxWait, minBytes, maxBytes, isolation, topics,
+      sid, sep, forgotten)
   }
 
   def writeFetchV12(buf: ByteBuffer, r: FetchRequest): Unit = {
@@ -1236,8 +1254,8 @@ object WireProtocol {
     buf.putInt(r.minBytes)
     buf.putInt(r.maxBytes)
     buf.put(r.isolation)
-    buf.putInt(0) // session_id
-    buf.putInt(-1) // session_epoch
+    buf.putInt(r.sessionId)
+    buf.putInt(r.sessionEpoch)
     writeCompactArrayLen(buf, r.topics.size)
     r.topics.foreach { t =>
       writeCompactString(buf, t.topic)
@@ -1253,7 +1271,12 @@ object WireProtocol {
       }
       writeEmptyTaggedFields(buf)
     }
-    writeCompactArrayLen(buf, 0) // forgotten
+    writeCompactArrayLen(buf, r.forgotten.size)
+    r.forgotten.foreach { case (t, ps) =>
+      writeCompactString(buf, t)
+      writeCompactArrayLen(buf, ps.size); ps.foreach(buf.putInt)
+      writeEmptyTaggedFields(buf)
+    }
     writeCompactString(buf, "")  // rack
     writeEmptyTaggedFields(buf)
   }
@@ -1268,10 +1291,11 @@ object WireProtocol {
     * read_committed consumers use to drop aborted records client-side.
     */
   def writeFetchResponseV12(buf: ByteBuffer,
-                            results: Seq[(String, Seq[FetchV12PartResult])]): Unit = {
+                            results: Seq[(String, Seq[FetchV12PartResult])],
+                            error: Short = 0, sessionId: Int = 0): Unit = {
     buf.putInt(0)  // throttle
-    buf.putShort(0) // top-level error
-    buf.putInt(0)  // session_id
+    buf.putShort(error)
+    buf.putInt(sessionId)
     writeCompactArrayLen(buf, results.size)
     results.foreach { case (topic, parts) =>
       writeCompactString(buf, topic)
@@ -1297,8 +1321,17 @@ object WireProtocol {
     writeEmptyTaggedFields(buf)
   }
 
-  def readFetchResponseV12(buf: ByteBuffer): Seq[(String, Seq[FetchV12PartResult])] = {
-    buf.getInt; buf.getShort; buf.getInt
+  def readFetchResponseV12(buf: ByteBuffer): Seq[(String, Seq[FetchV12PartResult])] =
+    readFetchResponseV12Full(buf)._3
+
+  /** Like [[readFetchResponseV12]] but surfacing the session header
+    * (top-level error code, session id).
+    */
+  def readFetchResponseV12Full(buf: ByteBuffer)
+      : (Short, Int, Seq[(String, Seq[FetchV12PartResult])]) = {
+    buf.getInt // throttle
+    val error = buf.getShort
+    val sessionId = buf.getInt
     val out = (0 until readCompactArrayLen(buf)).map { _ =>
       val t = readCompactString(buf)
       val parts = (0 until readCompactArrayLen(buf)).map { _ =>
@@ -1322,7 +1355,7 @@ object WireProtocol {
       t -> parts
     }
     skipTaggedFields(buf)
-    out
+    (error, sessionId, out)
   }
 
   final case class MetadataV9Topic(name: String, partitions: Seq[Int],
@@ -1516,11 +1549,12 @@ object WireProtocol {
     */
   def writeFetchResponseClassic(buf: ByteBuffer,
                                 results: Seq[(String, Seq[FetchV12PartResult])],
-                                version: Int = 4): Unit = {
+                                version: Int = 4, error: Short = 0,
+                                sessionId: Int = 0): Unit = {
     buf.putInt(0) // throttle
     if (version >= 7) {
-      buf.putShort(0) // top-level error
-      buf.putInt(0)   // session_id (no incremental session on classic path)
+      buf.putShort(error)
+      buf.putInt(sessionId)
     }
     buf.putInt(results.size)
     results.foreach { case (topic, parts) =>
@@ -1543,10 +1577,15 @@ object WireProtocol {
   }
 
   def readFetchResponseClassic(buf: ByteBuffer,
-                               version: Int = 4): Seq[(String, Seq[FetchV12PartResult])] = {
+                               version: Int = 4): Seq[(String, Seq[FetchV12PartResult])] =
+    readFetchResponseClassicFull(buf, version)._3
+
+  def readFetchResponseClassicFull(buf: ByteBuffer, version: Int = 4)
+      : (Short, Int, Seq[(String, Seq[FetchV12PartResult])]) = {
     buf.getInt // throttle
-    if (version >= 7) { buf.getShort; buf.getInt } // error, session_id
-    (0 until buf.getInt).map { _ =>
+    val (error, sessionId) =
+      if (version >= 7) (buf.getShort, buf.getInt) else (0.toShort, 0)
+    val topics = (0 until buf.getInt).map { _ =>
       val t = readString(buf)
       t -> (0 until buf.getInt).map { _ =>
         val p = buf.getInt
@@ -1559,5 +1598,6 @@ object WireProtocol {
         FetchV12PartResult(p, err, hw, lso, ls, aborted, readBytes(buf))
       }
     }
+    (error, sessionId, topics)
   }
 }

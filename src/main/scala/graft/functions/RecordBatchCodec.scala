@@ -101,8 +101,16 @@ object RecordBatchCodec {
     }
   }
 
+  /** Upper bound on one record's encoded size (varints + payloads). */
+  private def recordSizeBound(r: Record): Int =
+    64 + (if (r.key == null) 0 else r.key.length) +
+      (if (r.value == null) 0 else r.value.length) +
+      r.headers.map(h => 16 + h.key.length + h.value.length).sum
+
   def encode(batch: Batch): Array[Byte] = {
-    val recBuf = ByteBuffer.allocate(1 << 20).order(ByteOrder.BIG_ENDIAN)
+    val recBuf = ByteBuffer
+      .allocate(math.max(1 << 10, batch.records.map(recordSizeBound).sum))
+      .order(ByteOrder.BIG_ENDIAN)
     batch.records.foreach(r => writeRecord(recBuf, r))
     recBuf.flip()
     var records = new Array[Byte](recBuf.remaining())
@@ -138,7 +146,7 @@ object RecordBatchCodec {
   }
 
   private def writeRecord(buf: ByteBuffer, r: Record): Unit = {
-    val tmp = ByteBuffer.allocate(1 << 16).order(ByteOrder.BIG_ENDIAN)
+    val tmp = ByteBuffer.allocate(recordSizeBound(r)).order(ByteOrder.BIG_ENDIAN)
     tmp.put(0.toByte)
     Varint.writeVarlong(r.timestampDelta, tmp)
     Varint.writeVarint(r.offsetDelta, tmp)

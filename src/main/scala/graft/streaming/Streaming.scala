@@ -65,17 +65,31 @@ object Streaming {
   /** T2 — long-poll fetch: block up to maxWaitMs until at least minBytes
     * of new data is visible past fetchOffset, then return it (reference
     * `Storage::fetch` semantics, `nisshi-storage/src/lib.rs:1378-1388`).
+    *
+    * A waiting tick costs ZERO Spark jobs: the poll loop watches the
+    * in-memory high watermark and only re-runs the fetch query when it
+    * actually advanced — the same has-news discipline as the broker's
+    * incremental fetch sessions, and the thing that keeps per-consumer
+    * cost flat at high fan-in.
     */
   def longPollFetch(storage: Storage, tp: Topition, fetchOffset: Long,
                     minBytes: Long, maxBytes: Long, maxWaitMs: Long,
                     pollMs: Long = 50): DataFrame = {
     val deadline = System.currentTimeMillis() + maxWaitMs
+    var coveredHwm = storage.offsetStage(tp).highWatermark
     var out = storage.fetch(tp, fetchOffset, maxBytes)
     var have = approxBytes(out)
     while (have < minBytes && System.currentTimeMillis() < deadline) {
       Thread.sleep(pollMs)
-      out = storage.fetch(tp, fetchOffset, maxBytes)
-      have = approxBytes(out)
+      val hwm = storage.offsetStage(tp).highWatermark
+      if (hwm > coveredHwm) { // news — requery; otherwise sleep again
+        out = storage.fetch(tp, fetchOffset, maxBytes)
+        val fresh = approxBytes(out)
+        // offsets are reserved before the batch file is published, so an
+        // advanced watermark with no new bytes means a publish is still
+        // in flight — keep the marker put and requery next tick
+        if (fresh > have) { have = fresh; coveredHwm = hwm }
+      }
     }
     out
   }

@@ -140,6 +140,121 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("incremental fetch sessions: unchanged partitions omitted, epochs enforced") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-fs").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("sess", 2)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      def produceOne(corr: Int, k: String, v: String): Unit = {
+        val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+          0L, 0, 0, 1704067200000L, 1704067200000L, -1L, -1, -1,
+          Seq(RecordBatchCodec.Record(0, 0L, k.getBytes, v.getBytes, Nil))))
+        val pr = flexRequest(sock, 0, 9, corr) { b =>
+          W.writeProduceV9(b, W.ProduceRequest(1, 30000, Seq(
+            W.ProduceTopic("sess", Seq(W.ProducePartition(0, batch))))))
+        }
+        W.skipTaggedFields(pr)
+        val (res, _) = W.readProduceResponseV9(pr)
+        assert(res.head._2.head._2 === 0)
+      }
+      produceOne(80, "k1", "v1")
+
+      // 1. full fetch (epoch 0) establishes a session; every requested
+      // partition is answered, data or not
+      val fr1 = flexRequest(sock, 1, 12, 81) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Seq(
+          W.FetchTopic("sess", Seq(
+            W.FetchPartition(0, 0L, 1 << 20), W.FetchPartition(1, 0L, 1 << 20)))),
+          sessionId = 0, sessionEpoch = 0))
+      }
+      W.skipTaggedFields(fr1)
+      val (e1, sid, parts1) = W.readFetchResponseV12Full(fr1)
+      assert(e1 === 0 && sid > 0)
+      assert(parts1.head._2.map(_.partition).sorted === Seq(0, 1))
+
+      // 2. incremental: client consumed to offset 1 on p0; nothing new
+      // anywhere -> the response omits BOTH partitions
+      val fr2 = flexRequest(sock, 1, 12, 82) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Seq(
+          W.FetchTopic("sess", Seq(W.FetchPartition(0, 1L, 1 << 20)))),
+          sessionId = sid, sessionEpoch = 2))
+      }
+      W.skipTaggedFields(fr2)
+      val (e2, sid2, parts2) = W.readFetchResponseV12Full(fr2)
+      assert(e2 === 0 && sid2 === sid)
+      assert(parts2.isEmpty)
+
+      // 3. new data lands on p0; an EMPTY incremental request serves it
+      // from the session's remembered offset, p1 stays omitted
+      produceOne(83, "k2", "v2")
+      val fr3 = flexRequest(sock, 1, 12, 84) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Nil,
+          sessionId = sid, sessionEpoch = 3))
+      }
+      W.skipTaggedFields(fr3)
+      val (e3, _, parts3) = W.readFetchResponseV12Full(fr3)
+      assert(e3 === 0)
+      assert(parts3.map(_._1) === Seq("sess"))
+      assert(parts3.head._2.map(_.partition) === Seq(0))
+      val rec3 = RecordBatchCodec.decode(parts3.head._2.head.records)
+      assert(rec3.records.map(r => new String(r.value)) === Seq("v2"))
+
+      // 4. a skipped epoch is rejected (INVALID_FETCH_SESSION_EPOCH)...
+      val frBad = flexRequest(sock, 1, 12, 85) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Nil,
+          sessionId = sid, sessionEpoch = 10))
+      }
+      W.skipTaggedFields(frBad)
+      assert(W.readFetchResponseV12Full(frBad)._1 === 71)
+      // ...and an unknown session id too (FETCH_SESSION_ID_NOT_FOUND)
+      val frNone = flexRequest(sock, 1, 12, 86) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Nil,
+          sessionId = 999999, sessionEpoch = 5))
+      }
+      W.skipTaggedFields(frNone)
+      assert(W.readFetchResponseV12Full(frNone)._1 === 70)
+
+      // 5. forgotten_topics_data drops a partition from the session: new
+      // data on p0 no longer comes back once p0 is forgotten
+      produceOne(87, "k3", "v3")
+      val fr4 = flexRequest(sock, 1, 12, 88) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Nil,
+          sessionId = sid, sessionEpoch = 4, forgotten = Seq("sess" -> Seq(0))))
+      }
+      W.skipTaggedFields(fr4)
+      assert(W.readFetchResponseV12Full(fr4)._3.isEmpty)
+
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("fetch responses above 4 MiB succeed: buffer sized from the request's max_bytes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-big").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("big", 1)
+    // a 5 MiB record — bigger than the old fixed 4 MiB response buffer
+    val payload = "x" * (5 << 20)
+    storage.produce(graft.model.Model.Topition("big", 0),
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k", payload))
+        .toDF("timestamp", "key", "value"))
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      val fr = flexRequest(sock, 1, 12, 90) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 8 << 20, 0, Seq(
+          W.FetchTopic("big", Seq(W.FetchPartition(0, 0L, 8 << 20))))))
+      }
+      W.skipTaggedFields(fr)
+      val parts = W.readFetchResponseV12(fr)
+      val decoded = RecordBatchCodec.decode(parts.head._2.head.records)
+      assert(new String(decoded.records.head.value).length === (5 << 20))
+      sock.close()
+    } finally broker.close()
+  }
+
   test("every advertised classic version of Produce/Fetch/Metadata round-trips") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker-vm").toString
     val storage = new ParquetStorage(spark, root)
