@@ -44,6 +44,10 @@ final class GroupCoordinator(storage: Storage,
 
   private val groups = TrieMap.empty[String, Group]
   private val memberSeq = new java.util.concurrent.atomic.AtomicLong()
+  // distinguishes ids minted by different stateless coordinators sharing
+  // one storage — two coordinators must never hand out the same memberId
+  private val instanceTag =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
   private val mapper = new ObjectMapper()
 
   /** Local cache validated against the persisted version: when another
@@ -76,27 +80,37 @@ final class GroupCoordinator(storage: Storage,
   def join(groupId: String, memberId: Option[String], topics: Set[String],
            protocol: String = "range",
            sessionTimeoutMs: Long = -1L): (String, Int, Boolean) = synchronized {
-    val id = memberId.getOrElse(s"member-${memberSeq.incrementAndGet()}")
-    val g = current(groupId).getOrElse(
-      Group(Forming, 0, None, Map.empty, protocol, Map.empty, -1L,
-        if (sessionTimeoutMs > 0) sessionTimeoutMs else defaultSessionTimeoutMs))
-    val member = Member(id, topics, clock())
-    // one bump per cohort, not per joiner
-    val generation =
-      if (g.state == Formed || g.members.isEmpty) g.generation + 1
-      else g.generation
-    val leader = g.leader.filter(g.members.contains).orElse(Some(id))
-    val next = g.copy(
-      state = Forming,
-      generation = generation,
-      leader = leader,
-      members = g.members + (id -> member),
-      protocol = protocol,
-      assignment = Map.empty,
-      sessionTimeoutMs =
-        if (sessionTimeoutMs > 0) sessionTimeoutMs else g.sessionTimeoutMs)
-    persistOrReload(groupId, next)
-    (id, generation, leader.contains(id))
+    val id = memberId.getOrElse(
+      s"member-$instanceTag-${memberSeq.incrementAndGet()}")
+    // a lost CAS means another coordinator admitted someone concurrently;
+    // the admission MUST be retried against the winner's state — the
+    // returned memberId/generation are only valid once they are in the
+    // persisted roster
+    var attempt = 0
+    while (attempt < 32) {
+      val g = current(groupId).getOrElse(
+        Group(Forming, 0, None, Map.empty, protocol, Map.empty, -1L,
+          if (sessionTimeoutMs > 0) sessionTimeoutMs else defaultSessionTimeoutMs))
+      val member = Member(id, topics, clock())
+      // one bump per cohort, not per joiner
+      val generation =
+        if (g.state == Formed || g.members.isEmpty) g.generation + 1
+        else g.generation
+      val leader = g.leader.filter(g.members.contains).orElse(Some(id))
+      val next = g.copy(
+        state = Forming,
+        generation = generation,
+        leader = leader,
+        members = g.members + (id -> member),
+        protocol = protocol,
+        assignment = Map.empty,
+        sessionTimeoutMs =
+          if (sessionTimeoutMs > 0) sessionTimeoutMs else g.sessionTimeoutMs)
+      if (persistOrReload(groupId, next))
+        return (id, generation, leader.contains(id))
+      attempt += 1
+    }
+    throw new IllegalStateException(s"join($groupId): persistent CAS contention")
   }
 
   /** SyncGroup (administrator.rs:615-660): the leader computes assignments
@@ -146,18 +160,22 @@ final class GroupCoordinator(storage: Storage,
     * error — clients use it to detect zombie sessions.
     */
   def leave(groupId: String, memberId: String): Either[String, Unit] = synchronized {
-    val g = current(groupId).getOrElse(return Left("UNKNOWN_GROUP"))
-    if (!g.members.contains(memberId)) return Left("UNKNOWN_MEMBER_ID")
-    val remaining = g.members - memberId
-    val next = g.copy(
-      state = Forming,
-      generation = g.generation + 1,
-      leader = if (g.leader.contains(memberId)) remaining.keys.toSeq.sorted.headOption
-               else g.leader,
-      members = remaining,
-      assignment = Map.empty)
-    persistOrReload(groupId, next)
-    Right(())
+    var attempt = 0
+    while (attempt < 32) {
+      val g = current(groupId).getOrElse(return Left("UNKNOWN_GROUP"))
+      if (!g.members.contains(memberId)) return Left("UNKNOWN_MEMBER_ID")
+      val remaining = g.members - memberId
+      val next = g.copy(
+        state = Forming,
+        generation = g.generation + 1,
+        leader = if (g.leader.contains(memberId)) remaining.keys.toSeq.sorted.headOption
+                 else g.leader,
+        members = remaining,
+        assignment = Map.empty)
+      if (persistOrReload(groupId, next)) return Right(())
+      attempt += 1 // lost CAS: reload the winner's state and re-apply
+    }
+    Left("REBALANCE_IN_PROGRESS")
   }
 
   /** Expire members whose heartbeat lapsed (maintenance tick), honouring

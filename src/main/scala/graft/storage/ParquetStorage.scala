@@ -525,28 +525,37 @@ final class ParquetStorage(spark: SparkSession, root: String,
       groups.get(key)
     }
 
+  // serializes the memory-update + file-write pair per group key, so two
+  // racing writers can never persist versions out of order
+  private val groupLocks = TrieMap.empty[String, Object]
+  private def groupLock(key: String): Object =
+    groupLocks.getOrElseUpdate(key, new Object)
+
   override def offsetCommit(group: String, tp: Topition, offset: Long): Unit = {
     val key = s"$group/${tp.topic}/${tp.partition}"
-    groups.put(key, (offset.toString, 0L))
-    persistGroupFile(key, offset.toString, 0L)
+    groupLock(key).synchronized {
+      groups.put(key, (offset.toString, 0L))
+      persistGroupFile(key, offset.toString, 0L)
+    }
   }
 
   override def offsetFetch(group: String, tp: Topition): Option[Long] =
     groupEntry(s"$group/${tp.topic}/${tp.partition}").map(_._1.toLong)
 
   override def updateGroup(group: String, state: String,
-                           expectedVersion: Long): Option[Long] = {
-    val cur = groupEntry(group)
-    val accepted = cur match {
-      case None if expectedVersion == -1 =>
-        if (groups.putIfAbsent(group, (state, 0L)).isEmpty) Some(0L) else None
-      case Some((old, v)) if v == expectedVersion =>
-        if (groups.replace(group, (old, v), (state, v + 1))) Some(v + 1) else None
-      case _ => None
+                           expectedVersion: Long): Option[Long] =
+    groupLock(group).synchronized {
+      val cur = groupEntry(group)
+      val accepted = cur match {
+        case None if expectedVersion == -1 =>
+          if (groups.putIfAbsent(group, (state, 0L)).isEmpty) Some(0L) else None
+        case Some((old, v)) if v == expectedVersion =>
+          if (groups.replace(group, (old, v), (state, v + 1))) Some(v + 1) else None
+        case _ => None
+      }
+      accepted.foreach(v => persistGroupFile(group, state, v))
+      accepted
     }
-    accepted.foreach(v => persistGroupFile(group, state, v))
-    accepted
-  }
 
   override def groupState(group: String): Option[(String, Long)] =
     groupEntry(group)

@@ -98,4 +98,34 @@ class CoordinatorSpec extends SparkSpec {
     assert(c2.leave("g", "ghost") === Left("UNKNOWN_MEMBER_ID"))
     assert(c2.leave("nope", m1) === Left("UNKNOWN_GROUP"))
   }
+
+  test("concurrent joins across two stateless coordinators: every admitted member persisted") {
+    // the round-4 CAS-race defect: a join whose persistOrReload lost the
+    // CAS used to hand out a memberId that was NOT in the persisted
+    // roster. With admission retried against the winner's state, every
+    // returned memberId must be visible to a FRESH coordinator.
+    val root = java.nio.file.Files.createTempDirectory("graft-coord3").toString
+    val storage = new ParquetStorage(spark, root)
+    val c1 = new GroupCoordinator(storage, defaultSessionTimeoutMs = 1000,
+      clock = () => 0L)
+    val c2 = new GroupCoordinator(storage, defaultSessionTimeoutMs = 1000,
+      clock = () => 0L)
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        val c = if (i % 2 == 0) c1 else c2
+        admitted.add(c.join("g", None, Set("t0"))._1)
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val fresh = new GroupCoordinator(storage, defaultSessionTimeoutMs = 1000,
+      clock = () => 0L)
+    val roster = fresh.membersOf("g").map(_._1).toSet
+    import scala.jdk.CollectionConverters._
+    assert(admitted.asScala.toSet.size === 8) // no id collisions
+    admitted.asScala.foreach(id => assert(roster.contains(id), s"$id lost"))
+    assert(roster.size === 8)
+  }
 }
