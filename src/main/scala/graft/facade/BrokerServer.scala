@@ -36,14 +36,25 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
 
   private val coordinator = new graft.coordinator.GroupCoordinator(storage)
 
-  // SCRAM credential store: StoredKey/ServerKey per user, never the
-  // password (F9). Salt is derived deterministically so a restarted
-  // broker serves the same credentials; production would random-salt at
-  // user-upsert time and persist through Storage.
-  private val scramCreds: Map[String, Scram.Credential] =
-    scramUsers.map { case (u, pw) =>
-      u -> Scram.credential(pw, Scram.h(s"graft-scram-salt:$u".getBytes("UTF-8")).take(16))
+  // SCRAM credentials live in Storage (reference
+  // Storage::upsert_user_scram_credential, lib.rs:1420-1432):
+  // constructor-supplied users are registered once per mechanism with a
+  // random salt; a restarted broker over the same root authenticates
+  // them — and any users upserted out of band — with no config at all.
+  scramUsers.foreach { case (u, pw) =>
+    Scram.Mechanisms.foreach { m =>
+      if (storage.scramCredential(u, m.name).isEmpty) {
+        val salt = new Array[Byte](16)
+        new java.security.SecureRandom().nextBytes(salt)
+        val c = Scram.credential(pw, salt, Scram.DefaultIterations, m)
+        storage.upsertScramCredential(u,
+          graft.model.Model.ScramCredential(m.name, c.salt, c.iterations,
+            c.storedKey, c.serverKey))
+      }
     }
+  }
+  private val authRequired =
+    scramUsers.nonEmpty || storage.listScramCredentials().nonEmpty
 
   /** Per-connection authentication + in-flight SCRAM exchange. */
   private final class ConnState {
@@ -117,7 +128,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     // SASL gate: with users configured, only ApiVersions and the SASL
     // exchange are served pre-auth; anything else drops the connection
     // (the standard broker behavior on an authenticated listener)
-    if (scramUsers.nonEmpty && !conn.authenticated &&
+    if (authRequired && !conn.authenticated &&
         header.apiKey != 18 && header.apiKey != 17 && header.apiKey != 36)
       throw new IllegalStateException("unauthenticated")
     // never parse a version we don't serve: outside the advertised range
@@ -132,14 +143,19 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     val out = ByteBuffer.allocate(responseCapacity(header, buf))
     header.apiKey match {
       case 17 =>
-        val mech = readSaslHandshake(buf)
-        if (mech == Scram.Mechanism && scramUsers.nonEmpty) {
-          conn.scram = Some(new Scram.ServerSession(scramCreds.get))
-          conn.firstDone = false
-          writeSaslHandshakeResponse(out, 0, Seq(Scram.Mechanism))
-        } else
-          writeSaslHandshakeResponse(out, 33, // UNSUPPORTED_SASL_MECHANISM
-            if (scramUsers.isEmpty) Seq.empty else Seq(Scram.Mechanism))
+        val mechName = readSaslHandshake(buf)
+        Scram.mechanism(mechName) match {
+          case Some(m) if authRequired =>
+            conn.scram = Some(new Scram.ServerSession(
+              u => storage.scramCredential(u, m.name).map(c =>
+                Scram.Credential(c.salt, c.iterations, c.storedKey, c.serverKey)),
+              mech = m))
+            conn.firstDone = false
+            writeSaslHandshakeResponse(out, 0, Scram.Mechanisms.map(_.name))
+          case _ =>
+            writeSaslHandshakeResponse(out, 33, // UNSUPPORTED_SASL_MECHANISM
+              if (!authRequired) Seq.empty else Scram.Mechanisms.map(_.name))
+        }
       case 36 =>
         val bytes = Option(readSaslAuthenticate(buf)).getOrElse(Array.empty[Byte])
         val msg = new String(bytes, "UTF-8")

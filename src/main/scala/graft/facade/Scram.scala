@@ -6,35 +6,51 @@ import java.util.Base64
 import javax.crypto.Mac
 import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
-/** SCRAM-SHA-256 authentication (RFC 5802/7677) — F9, the reference's
-  * SASL SCRAM support (`nisshi-broker` sasl scram; credential shape per
-  * the standard Kafka SCRAM credential store: salt, iteration count,
-  * StoredKey, ServerKey — the server never holds the password).
+/** SCRAM authentication (RFC 5802/7677), SHA-256 and SHA-512 — F9, the
+  * reference's SASL SCRAM support (`nisshi-broker` sasl scram; credential
+  * shape per the standard Kafka SCRAM credential store: salt, iteration
+  * count, StoredKey, ServerKey — the server never holds the password;
+  * persisted through `Storage::upsert_user_scram_credential`,
+  * `nisshi-storage/src/lib.rs:1420-1432`).
   *
-  * Pure JDK crypto (PBKDF2-HMAC-SHA256 is RFC 5802's Hi(), HMAC/SHA-256
-  * from javax.crypto) — no external dependency. Both halves of the
-  * exchange are implemented: the broker-side [[ServerSession]] state
-  * machine and the client-side proof computation (used by tests and any
-  * CLI client).
+  * Pure JDK crypto (PBKDF2-HMAC-SHA-2 is RFC 5802's Hi(), HMAC from
+  * javax.crypto) — no external dependency. Both halves of the exchange
+  * are implemented: the broker-side [[ServerSession]] state machine and
+  * the client-side proof computation (used by tests and any CLI client).
   */
 object Scram {
+
+  /** One SCRAM mechanism = a hash family: the SASL name plus the JDK
+    * algorithm names RFC 5802's H/HMAC/Hi map onto.
+    */
+  final case class Mech(name: String, mdAlg: String, macAlg: String,
+                        pbkdfAlg: String, keyBits: Int)
+  val Sha256: Mech =
+    Mech("SCRAM-SHA-256", "SHA-256", "HmacSHA256", "PBKDF2WithHmacSHA256", 256)
+  val Sha512: Mech =
+    Mech("SCRAM-SHA-512", "SHA-512", "HmacSHA512", "PBKDF2WithHmacSHA512", 512)
+  val Mechanisms: Seq[Mech] = Seq(Sha256, Sha512)
+  def mechanism(name: String): Option[Mech] = Mechanisms.find(_.name == name)
 
   val Mechanism = "SCRAM-SHA-256"
   val DefaultIterations = 4096
 
-  def h(data: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("SHA-256").digest(data)
+  def h(data: Array[Byte], mech: Mech = Sha256): Array[Byte] =
+    MessageDigest.getInstance(mech.mdAlg).digest(data)
 
-  def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val m = Mac.getInstance("HmacSHA256")
-    m.init(new SecretKeySpec(key, "HmacSHA256"))
+  def hmac(key: Array[Byte], data: Array[Byte],
+           mech: Mech = Sha256): Array[Byte] = {
+    val m = Mac.getInstance(mech.macAlg)
+    m.init(new SecretKeySpec(key, mech.macAlg))
     m.doFinal(data)
   }
 
-  /** RFC 5802 Hi(password, salt, i) = PBKDF2-HMAC-SHA256. */
-  def saltedPassword(password: String, salt: Array[Byte], iterations: Int): Array[Byte] =
-    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
-      .generateSecret(new PBEKeySpec(password.toCharArray, salt, iterations, 256))
+  /** RFC 5802 Hi(password, salt, i) = PBKDF2-HMAC-SHA-2. */
+  def saltedPassword(password: String, salt: Array[Byte], iterations: Int,
+                     mech: Mech = Sha256): Array[Byte] =
+    javax.crypto.SecretKeyFactory.getInstance(mech.pbkdfAlg)
+      .generateSecret(
+        new PBEKeySpec(password.toCharArray, salt, iterations, mech.keyBits))
       .getEncoded
 
   private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
@@ -48,10 +64,12 @@ object Scram {
                               storedKey: Array[Byte], serverKey: Array[Byte])
 
   def credential(password: String, salt: Array[Byte],
-                 iterations: Int = DefaultIterations): Credential = {
-    val sp = saltedPassword(password, salt, iterations)
-    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8))
-    Credential(salt, iterations, h(clientKey), hmac(sp, "Server Key".getBytes(UTF_8)))
+                 iterations: Int = DefaultIterations,
+                 mech: Mech = Sha256): Credential = {
+    val sp = saltedPassword(password, salt, iterations, mech)
+    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8), mech)
+    Credential(salt, iterations, h(clientKey, mech),
+      hmac(sp, "Server Key".getBytes(UTF_8), mech))
   }
 
   private def attrs(msg: String): Map[Char, String] =
@@ -64,7 +82,8 @@ object Scram {
     */
   final class ServerSession(lookup: String => Option[Credential],
                             serverNonce: () => String =
-                              () => java.util.UUID.randomUUID().toString) {
+                              () => java.util.UUID.randomUUID().toString,
+                            mech: Mech = Sha256) {
     private var user: String = _
     private var cred: Credential = _
     private var clientFirstBare: String = _
@@ -97,13 +116,13 @@ object Scram {
       val withoutProof = msg.substring(0, msg.lastIndexOf(",p="))
       val authMessage =
         s"$clientFirstBare,$serverFirst,$withoutProof".getBytes(UTF_8)
-      val clientSignature = hmac(cred.storedKey, authMessage)
+      val clientSignature = hmac(cred.storedKey, authMessage, mech)
       val clientKey = xor(proof, clientSignature)
-      if (!MessageDigest.isEqual(h(clientKey), cred.storedKey))
+      if (!MessageDigest.isEqual(h(clientKey, mech), cred.storedKey))
         Left("authentication failed")
       else {
         authenticatedUser = Some(user)
-        Right("v=" + b64e.encodeToString(hmac(cred.serverKey, authMessage)))
+        Right("v=" + b64e.encodeToString(hmac(cred.serverKey, authMessage, mech)))
       }
     }
   }
@@ -117,18 +136,19 @@ object Scram {
     * verify the server too (mutual authentication).
     */
   def clientFinal(password: String, clientFirstMsg: String,
-                  serverFirstMsg: String): (String, String) = {
+                  serverFirstMsg: String,
+                  mech: Mech = Sha256): (String, String) = {
     val sf = attrs(serverFirstMsg)
     val salt = b64d.decode(sf('s'))
     val iterations = sf('i').toInt
     val combinedNonce = sf('r')
-    val sp = saltedPassword(password, salt, iterations)
-    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8))
+    val sp = saltedPassword(password, salt, iterations, mech)
+    val clientKey = hmac(sp, "Client Key".getBytes(UTF_8), mech)
     val withoutProof = s"c=${b64e.encodeToString("n,,".getBytes(UTF_8))},r=$combinedNonce"
     val authMessage = (clientFirstMsg.substring(3) + "," + serverFirstMsg +
       "," + withoutProof).getBytes(UTF_8)
-    val proof = xor(clientKey, hmac(h(clientKey), authMessage))
-    val serverSig = hmac(hmac(sp, "Server Key".getBytes(UTF_8)), authMessage)
+    val proof = xor(clientKey, hmac(h(clientKey, mech), authMessage, mech))
+    val serverSig = hmac(hmac(sp, "Server Key".getBytes(UTF_8), mech), authMessage, mech)
     (s"$withoutProof,p=${b64e.encodeToString(proof)}",
       "v=" + b64e.encodeToString(serverSig))
   }

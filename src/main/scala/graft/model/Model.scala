@@ -72,6 +72,18 @@ object Model {
       state: TxnState.Value
   )
 
+  /** What the broker stores per SASL SCRAM user and mechanism — never
+    * the password (reference `Storage::upsert_user_scram_credential`,
+    * `nisshi-storage/src/lib.rs:1420-1432`).
+    */
+  final case class ScramCredential(
+      mechanism: String,
+      salt: Array[Byte],
+      iterations: Int,
+      storedKey: Array[Byte],
+      serverKey: Array[Byte]
+  )
+
   /** Canonical record-log schema (SURVEY §1.4). */
   val logSchema: StructType = StructType(Seq(
     StructField("topic", StringType, nullable = false),

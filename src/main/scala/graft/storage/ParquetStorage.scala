@@ -560,6 +560,72 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def groupState(group: String): Option[(String, Long)] =
     groupEntry(group)
 
+  // ------------------------------------------------------ SASL credentials
+
+  // SCRAM credentials are DURABLE (reference
+  // Storage::upsert_user_scram_credential, lib.rs:1420-1432): one
+  // atomically-renamed JSON per (user, mechanism) under root/scram, read
+  // through a lazy cache — a restarted broker authenticates the same
+  // users with no re-supplied passwords.
+
+  private val scramCache = TrieMap.empty[(String, String), ScramCredential]
+
+  private def scramFile(user: String, mechanism: String) =
+    Paths.get(s"$root/scram",
+      java.net.URLEncoder.encode(user, "UTF-8") + "__" + mechanism + ".json")
+
+  override def upsertScramCredential(user: String, cred: ScramCredential): Unit = {
+    Files.createDirectories(Paths.get(s"$root/scram"))
+    val b64 = java.util.Base64.getEncoder
+    val node = jsonMapper.createObjectNode()
+    node.put("salt", b64.encodeToString(cred.salt))
+    node.put("iterations", cred.iterations)
+    node.put("storedKey", b64.encodeToString(cred.storedKey))
+    node.put("serverKey", b64.encodeToString(cred.serverKey))
+    val p = scramFile(user, cred.mechanism)
+    val tmp = Paths.get(p.toString + ".tmp")
+    Files.writeString(tmp, jsonMapper.writeValueAsString(node))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    scramCache.put((user, cred.mechanism), cred)
+    ()
+  }
+
+  override def scramCredential(user: String,
+                               mechanism: String): Option[ScramCredential] =
+    scramCache.get((user, mechanism)).orElse {
+      val p = scramFile(user, mechanism)
+      if (!Files.exists(p)) None
+      else try {
+        val n = jsonMapper.readTree(Files.readString(p))
+        val b64 = java.util.Base64.getDecoder
+        val c = ScramCredential(mechanism,
+          b64.decode(n.path("salt").asText()),
+          n.path("iterations").asInt(),
+          b64.decode(n.path("storedKey").asText()),
+          b64.decode(n.path("serverKey").asText()))
+        scramCache.putIfAbsent((user, mechanism), c)
+        Some(c)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  override def listScramCredentials(): Seq[(String, String)] = {
+    val dir = Paths.get(s"$root/scram")
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .flatMap { name =>
+          name.stripSuffix(".json").split("__", 2) match {
+            case Array(u, m) => Some(java.net.URLDecoder.decode(u, "UTF-8") -> m)
+            case _ => None
+          }
+        }.toSeq.sorted
+    }
+  }
+
   // ------------------------------------------------------------ transactions
 
   // Transactional identity and open-txn state are DURABLE (reference

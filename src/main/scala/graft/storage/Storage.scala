@@ -68,6 +68,17 @@ trait Storage {
   def updateGroup(group: String, state: String, expectedVersion: Long): Option[Long]
   def groupState(group: String): Option[(String, Long)]
 
+  // -- SASL credentials (reference lib.rs:1420-1432)
+  /** Durably store one user's SCRAM credential for one mechanism (the
+    * server-side keys, never the password).
+    */
+  def upsertScramCredential(user: String, cred: ScramCredential): Unit
+  def scramCredential(user: String, mechanism: String): Option[ScramCredential]
+  /** (user, mechanism) pairs with stored credentials — lets a restarted
+    * broker know authentication is required without any config.
+    */
+  def listScramCredentials(): Seq[(String, String)]
+
   // -- transactions (reference lib.rs:1480-1517)
   /** Allocate (or re-init) a producer for `txnId`. Re-initialising an
     * existing transactional id bumps the epoch, fencing the previous

@@ -713,7 +713,8 @@ class BrokerServerSpec extends SparkSpec {
       val sock = new Socket("127.0.0.1", broker.boundPort)
       val hs = request(sock, 17, 1, 82)(b => W.writeSaslHandshake(b, Scram.Mechanism))
       assert(hs.getShort === 0)
-      assert((0 until hs.getInt).map(_ => W.readString(hs)) === Seq(Scram.Mechanism))
+      assert((0 until hs.getInt).map(_ => W.readString(hs)) ===
+        Scram.Mechanisms.map(_.name))
       val cFirst = Scram.clientFirst("alice", "cnonce123")
       val sFirstResp = request(sock, 36, 0, 83) { b =>
         W.writeSaslAuthenticate(b, cFirst.getBytes("UTF-8"))
@@ -750,6 +751,60 @@ class BrokerServerSpec extends SparkSpec {
       }
       assert(bFinalResp.getShort === 58)
       bad.close()
+    } finally broker.close()
+  }
+
+  test("SCRAM-SHA-512 credentials persist: a restarted broker authenticates with no config") {
+    import graft.facade.Scram
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-512").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("sec2", 1)
+    // first broker registers the user's credentials (both mechanisms)
+    new BrokerServer(storage, scramUsers = Map("bob" -> "hunter2")).close()
+
+    // fresh process over the same root: NO passwords supplied — the
+    // credential store on disk both enables the auth gate and serves the
+    // SHA-512 exchange
+    val storage2 = new ParquetStorage(spark, root)
+    assert(storage2.listScramCredentials() ===
+      Seq("bob" -> "SCRAM-SHA-256", "bob" -> "SCRAM-SHA-512"))
+    val broker = new BrokerServer(storage2)
+    try {
+      // the gate is active purely from persisted credentials
+      val gated = new Socket("127.0.0.1", broker.boundPort)
+      val out = new DataOutputStream(gated.getOutputStream)
+      val md = ByteBuffer.allocate(64)
+      md.putShort(3); md.putShort(1); md.putInt(70); W.writeString(md, "c"); md.putInt(-1)
+      md.flip()
+      out.writeInt(md.remaining())
+      val f = new Array[Byte](md.remaining()); md.get(f); out.write(f); out.flush()
+      assert(new DataInputStream(gated.getInputStream).read() === -1)
+      gated.close()
+
+      // SHA-512 mutual auth end to end
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      val hs = request(sock, 17, 1, 71)(b => W.writeSaslHandshake(b, "SCRAM-SHA-512"))
+      assert(hs.getShort === 0)
+      val cFirst = Scram.clientFirst("bob", "nonce512")
+      val sFirstResp = request(sock, 36, 0, 72) { b =>
+        W.writeSaslAuthenticate(b, cFirst.getBytes("UTF-8"))
+      }
+      assert(sFirstResp.getShort === 0)
+      W.readString(sFirstResp)
+      val sFirst = new String(W.readBytes(sFirstResp), "UTF-8")
+      val (cFinal, expectedServerFinal) =
+        Scram.clientFinal("hunter2", cFirst, sFirst, Scram.Sha512)
+      val sFinalResp = request(sock, 36, 0, 73) { b =>
+        W.writeSaslAuthenticate(b, cFinal.getBytes("UTF-8"))
+      }
+      assert(sFinalResp.getShort === 0)
+      W.readString(sFinalResp)
+      assert(new String(W.readBytes(sFinalResp), "UTF-8") === expectedServerFinal)
+      // authenticated connection serves normal APIs
+      val md2 = request(sock, 3, 1, 74)(b => b.putInt(-1))
+      md2.getInt; md2.getInt
+      assert(W.readString(md2) === "127.0.0.1")
+      sock.close()
     } finally broker.close()
   }
 
