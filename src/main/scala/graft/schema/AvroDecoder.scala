@@ -71,25 +71,62 @@ object AvroDecoder {
     case s: org.apache.avro.util.Utf8 => s.toString
     case e: org.apache.avro.generic.GenericData.EnumSymbol => e.toString
     case b: java.nio.ByteBuffer =>
-      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-    case f: org.apache.avro.generic.GenericData.Fixed => f.bytes()
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      schema.getLogicalType match {
+        // unscaled big-endian two's-complement per the Avro spec
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          new java.math.BigDecimal(new java.math.BigInteger(a), d.getScale)
+        case _ => a
+      }
+    case f: org.apache.avro.generic.GenericData.Fixed =>
+      schema.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          new java.math.BigDecimal(
+            new java.math.BigInteger(f.bytes()), d.getScale)
+        case _ if schema.getName == "duration" || schema.getFixedSize == 12 =>
+          // three little-endian uint32s: months, days, milliseconds
+          val bb = java.nio.ByteBuffer.wrap(f.bytes())
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          Row(bb.getInt, bb.getInt, bb.getInt)
+        case _ => f.bytes()
+      }
     case l: java.util.Collection[_] =>
       l.asScala.toSeq.map(toSpark(_, schema.getElementType))
     case m: java.util.Map[_, _] =>
       m.asScala.map { case (k, vv) =>
         k.toString -> toSpark(vv, schema.getValueType)
       }.toMap
-    case l: Long if isTimestamp(schema) => new java.sql.Timestamp(
-      if (schema.getLogicalType.getName.endsWith("micros")) l / 1000 else l)
+    case l: Long if isTimestamp(schema) =>
+      // full sub-millisecond fidelity (reference avro/arrow.rs:205-247
+      // keeps micros/nanos) — no truncation through the millis ctor
+      val micros = schema.getLogicalType.getName match {
+        case n if n.endsWith("-nanos") => Math.floorDiv(l, 1000L)
+        case n if n.endsWith("-micros") => l
+        case _ => Math.multiplyExact(l, 1000L)
+      }
+      if (schema.getLogicalType.getName.startsWith("local-")) {
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      } else {
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      }
     case i: Int if schema.getLogicalType != null &&
       schema.getLogicalType.getName == "date" =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+    case i: Int if schema.getLogicalType != null &&
+      schema.getLogicalType.getName == "time-millis" =>
+      i.toLong // schema maps time-millis to LongType
     case other => other
   }
 
   private def isTimestamp(s: ASchema): Boolean =
     s.getType == ASchema.Type.LONG && s.getLogicalType != null &&
-      s.getLogicalType.getName.startsWith("timestamp-")
+      (s.getLogicalType.getName.startsWith("timestamp-") ||
+        s.getLogicalType.getName.startsWith("local-timestamp-"))
 
   /** Test/ingest helper: encode a map of field values as Avro binary. */
   def encode(avsc: String, values: Map[String, Any]): Array[Byte] = {

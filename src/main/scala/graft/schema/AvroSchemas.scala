@@ -41,9 +41,10 @@ object AvroSchemas {
       }
     case ASchema.Type.LONG =>
       s.getLogicalType match {
-        case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => TimestampType
-        case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros =>
-          TimestampNTZType
+        case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros |
+             _: LogicalTypes.TimestampNanos => TimestampType
+        case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros |
+             _: LogicalTypes.LocalTimestampNanos => TimestampNTZType
         case _: LogicalTypes.TimeMicros => LongType
         case _ => LongType
       }

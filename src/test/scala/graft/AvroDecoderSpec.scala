@@ -56,4 +56,83 @@ class AvroDecoderSpec extends SparkSpec {
     val out = AvroDecoder.decodeColumn(big, "bin", avsc, "v")
     assert(out.filter(col("v.amount") === 1.0).count() === 5000)
   }
+
+  private val logicalAvsc =
+    """{"type":"record","name":"pay","fields":[
+      |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+      |{"name":"fprice","type":{"type":"fixed","name":"d8","size":8,"logicalType":"decimal","precision":12,"scale":3}},
+      |{"name":"day","type":{"type":"int","logicalType":"date"}},
+      |{"name":"tmillis","type":{"type":"int","logicalType":"time-millis"}},
+      |{"name":"tmicros","type":{"type":"long","logicalType":"time-micros"}},
+      |{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+      |{"name":"lts","type":{"type":"long","logicalType":"local-timestamp-millis"}},
+      |{"name":"dur","type":{"type":"fixed","name":"duration","size":12,"logicalType":"duration"}}]}""".stripMargin
+
+  test("Avro logical types decode with full fidelity (arrow.rs:205-247 matrix)") {
+    val schema = new org.apache.avro.Schema.Parser().parse(logicalAvsc)
+    val fixedPad = {
+      // fixed decimals are big-endian two's complement padded to the size
+      val unscaled = java.math.BigInteger.valueOf(1234567).toByteArray
+      val out = new Array[Byte](8)
+      System.arraycopy(unscaled, 0, out, 8 - unscaled.length, unscaled.length)
+      new org.apache.avro.generic.GenericData.Fixed(
+        schema.getField("fprice").schema(), out)
+    }
+    val dur = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1); bb.putInt(2); bb.putInt(3000)
+      new org.apache.avro.generic.GenericData.Fixed(
+        schema.getField("dur").schema(), bb.array())
+    }
+    val bin = AvroDecoder.encode(logicalAvsc, Map(
+      "price" -> java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(12345).toByteArray),
+      "fprice" -> fixedPad,
+      "day" -> java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt,
+      "tmillis" -> 3600000,
+      "tmicros" -> 7200000000L,
+      "ts" -> 1704067200123456L,
+      "lts" -> 1704067200123L,
+      "dur" -> dur))
+    val out = AvroDecoder.decodeColumn(
+      Seq((1L, bin)).toDF("id", "bin"), "bin", logicalAvsc, "v")
+    val r = out.select("v.price", "v.fprice", "v.day", "v.tmillis",
+      "v.tmicros", "v.ts", "v.lts", "v.dur.months", "v.dur.days",
+      "v.dur.milliseconds").head()
+    assert(r.getDecimal(0).toPlainString === "123.45")
+    assert(r.getDecimal(1).toPlainString === "1234.567")
+    assert(r.getDate(2).toString === "2024-01-01")
+    assert(r.getLong(3) === 3600000L)
+    assert(r.getLong(4) === 7200000000L)
+    val ts = r.getTimestamp(5)
+    assert(ts.getTime === 1704067200123L) // micros kept, not truncated
+    assert(ts.getNanos === 123456000)
+    assert(r.getAs[java.time.LocalDateTime](6).toString === "2024-01-01T00:00:00.123")
+    assert((r.getInt(7), r.getInt(8), r.getInt(9)) === ((1, 2, 3000)))
+  }
+
+  test("decimal survives the lake round-trip as a typed DECIMAL column") {
+    import org.apache.spark.sql.types.{DecimalType, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-avro-dec").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-avro-dec-reg")
+    val avsc =
+      """{"type":"record","name":"m","fields":[
+        |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}}]}""".stripMargin
+    java.nio.file.Files.writeString(rdir.resolve("money.avsc"), avsc)
+    val st = new graft.storage.ParquetStorage(spark, root,
+      Some(new graft.schema.SchemaRegistry(rdir.toString)))
+    st.createTopic("money", 1)
+    val bin = AvroDecoder.encode(avsc, Map(
+      "price" -> java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(99995).toByteArray)))
+    assert(st.produce(graft.model.Model.Topition("money", 0),
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k", bin))
+        .toDF("timestamp", "key", "value")).isRight)
+    val lake = spark.read.parquet(s"$root/lake/money")
+    val vs = lake.schema("value_struct").dataType.asInstanceOf[StructType]
+    assert(vs("price").dataType === DecimalType(10, 2))
+    assert(lake.select("value_struct.price").head()
+      .getDecimal(0).toPlainString === "999.95")
+  }
 }
