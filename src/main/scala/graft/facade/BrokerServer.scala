@@ -38,12 +38,17 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
 
   // SCRAM credentials live in Storage (reference
   // Storage::upsert_user_scram_credential, lib.rs:1420-1432):
-  // constructor-supplied users are registered once per mechanism with a
-  // random salt; a restarted broker over the same root authenticates
-  // them — and any users upserted out of band — with no config at all.
+  // constructor-supplied users are (re-)registered per mechanism — a
+  // fresh credential is derived when none exists OR when the stored one
+  // no longer verifies the configured password, so a password rotated in
+  // config takes effect on restart instead of being silently ignored.
   scramUsers.foreach { case (u, pw) =>
     Scram.Mechanisms.foreach { m =>
-      if (storage.scramCredential(u, m.name).isEmpty) {
+      val matches = storage.scramCredential(u, m.name).exists { c =>
+        java.security.MessageDigest.isEqual(
+          Scram.credential(pw, c.salt, c.iterations, m).storedKey, c.storedKey)
+      }
+      if (!matches) {
         val salt = new Array[Byte](16)
         new java.security.SecureRandom().nextBytes(salt)
         val c = Scram.credential(pw, salt, Scram.DefaultIterations, m)
@@ -53,11 +58,15 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       }
     }
   }
-  private val authRequired =
+  // evaluated per connection, not snapshotted at construction: a user
+  // upserted out of band activates the gate for every later connection
+  private def authRequired: Boolean =
     scramUsers.nonEmpty || storage.listScramCredentials().nonEmpty
 
-  /** Per-connection authentication + in-flight SCRAM exchange. */
-  private final class ConnState {
+  /** Per-connection authentication + in-flight SCRAM exchange. The auth
+    * gate is latched at connect time from the credential store.
+    */
+  private final class ConnState(val gate: Boolean) {
     var scram: Option[Scram.ServerSession] = None
     var firstDone = false
     def authenticated: Boolean = scram.exists(_.authenticatedUser.isDefined)
@@ -75,7 +84,10 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       val t = new Thread(r, "graft-broker-maintenance"); t.setDaemon(true); t
     }
   maintenance.scheduleWithFixedDelay(
-    () => try coordinator.expireMembers() catch { case NonFatal(_) => },
+    () => try {
+      coordinator.expireMembers()
+      evictFetchSessions()
+    } catch { case NonFatal(_) => },
     1, 1, java.util.concurrent.TimeUnit.SECONDS)
 
   val boundPort: Int = server.getLocalPort
@@ -103,7 +115,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
-    val conn = new ConnState
+    val conn = new ConnState(authRequired)
     try {
       while (running) {
         val len = in.readInt()
@@ -128,7 +140,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     // SASL gate: with users configured, only ApiVersions and the SASL
     // exchange are served pre-auth; anything else drops the connection
     // (the standard broker behavior on an authenticated listener)
-    if (authRequired && !conn.authenticated &&
+    if (conn.gate && !conn.authenticated &&
         header.apiKey != 18 && header.apiKey != 17 && header.apiKey != 36)
       throw new IllegalStateException("unauthenticated")
     // never parse a version we don't serve: outside the advertised range
@@ -141,11 +153,14 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
             s"api ${header.apiKey} v${header.apiVersion} not served")
       }
     val out = ByteBuffer.allocate(responseCapacity(header, buf))
+    // fetch may swap in a bigger buffer sized from the materialized
+    // records (the min-one-record overshoot can exceed any pre-size)
+    var used = out
     header.apiKey match {
       case 17 =>
         val mechName = readSaslHandshake(buf)
         Scram.mechanism(mechName) match {
-          case Some(m) if authRequired =>
+          case Some(m) if conn.gate =>
             conn.scram = Some(new Scram.ServerSession(
               u => storage.scramCredential(u, m.name).map(c =>
                 Scram.Credential(c.salt, c.iterations, c.storedKey, c.serverKey)),
@@ -154,7 +169,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
             writeSaslHandshakeResponse(out, 0, Scram.Mechanisms.map(_.name))
           case _ =>
             writeSaslHandshakeResponse(out, 33, // UNSUPPORTED_SASL_MECHANISM
-              if (!authRequired) Seq.empty else Scram.Mechanisms.map(_.name))
+              if (!conn.gate) Seq.empty else Scram.Mechanisms.map(_.name))
         }
       case 36 =>
         val bytes = Option(readSaslAuthenticate(buf)).getOrElse(Array.empty[Byte])
@@ -196,9 +211,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           writeEmptyTaggedFields(out)
         handleProduce(buf, out, header.apiVersion)
       case 1 =>
-        if (header.apiVersion >= 12)
-          writeEmptyTaggedFields(out)
-        handleFetch(buf, out, header.apiVersion)
+        used = handleFetch(buf, out, header.apiVersion)
       case 2 => handleListOffsets(buf, out)
       case 8 =>
         val req = readOffsetCommit(buf)
@@ -325,9 +338,9 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       case other =>
         throw new UnsupportedOperationException(s"api_key $other not served")
     }
-    out.flip()
-    val a = new Array[Byte](out.remaining())
-    out.get(a)
+    used.flip()
+    val a = new Array[Byte](used.remaining())
+    used.get(a)
     a
   }
 
@@ -537,13 +550,46 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     var lastLogStart: Long = Long.MinValue
   }
   private final class FetchSession {
-    var epoch: Int = 0
+    // next epoch an incremental request must carry (KIP-227: the
+    // establishing full fetch is epoch 0, the first incremental is 1)
+    var epoch: Int = 1
+    @volatile var lastUsed: Long = System.currentTimeMillis()
     val parts =
       scala.collection.mutable.LinkedHashMap.empty[Topition, FetchPartState]
   }
   private val fetchSessions =
     scala.collection.concurrent.TrieMap.empty[Int, FetchSession]
-  private val fetchSessionIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  // ids are random, not sequential — a client can't guess (and close or
+  // poison) another client's session
+  private val fetchSessionRng = new java.security.SecureRandom()
+  private val MaxFetchSessions = 1024
+  private val FetchSessionTtlMs = 120000L
+
+  private def newFetchSession(): (Int, FetchSession) = {
+    val s = new FetchSession
+    var id = 0
+    while (id == 0 || fetchSessions.putIfAbsent(id, s).isDefined)
+      id = fetchSessionRng.nextInt() & 0x7fffffff
+    if (fetchSessions.size > MaxFetchSessions) evictFetchSessions()
+    (id, s)
+  }
+
+  /** Bound the session cache (Kafka's FetchSessionCache): drop sessions
+    * idle past the TTL — crashed consumers never LeaveGroup their fetch
+    * session — then, if still over the cap, the least-recently-used.
+    */
+  private def evictFetchSessions(): Unit = {
+    val now = System.currentTimeMillis()
+    fetchSessions.foreach { case (id, s) =>
+      if (now - s.lastUsed > FetchSessionTtlMs) fetchSessions.remove(id)
+    }
+    var over = fetchSessions.size - MaxFetchSessions
+    while (over > 0) {
+      fetchSessions.toSeq.sortBy(_._2.lastUsed).take(over)
+        .foreach { case (id, _) => fetchSessions.remove(id) }
+      over = fetchSessions.size - MaxFetchSessions
+    }
+  }
 
   /** One handler for every served Fetch version: classic v4-v11 and
     * flexible v12 differ only in codec, not semantics. The per-partition
@@ -551,7 +597,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     * consumers use to drop aborted records client-side (J3 interval
     * overlap on the wire) — real on every version that can encode it.
     */
-  private def handleFetch(buf: ByteBuffer, out: ByteBuffer, version: Int): Unit = {
+  private def handleFetch(buf: ByteBuffer, out: ByteBuffer,
+                          version: Int): ByteBuffer = {
     val req = if (version >= 12) readFetchV12(buf) else readFetch(buf, version)
     val readCommitted = req.isolation == 1
     // request-level max_bytes caps the WHOLE response across partitions
@@ -591,15 +638,13 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     } else if (req.sessionEpoch == 0) {
       // full fetch establishing a fresh session
       if (req.sessionId != 0) fetchSessions.remove(req.sessionId)
-      val s = new FetchSession
-      s.epoch = 1
+      val (sid, s) = newFetchSession()
       req.topics.foreach(t => t.partitions.foreach { fp =>
         s.parts.put(Topition(t.topic, fp.partition),
           new FetchPartState(fp.fetchOffset, fp.maxBytes))
         ()
       })
-      sessionId = fetchSessionIds.incrementAndGet()
-      fetchSessions.put(sessionId, s)
+      sessionId = sid
       results = fullResults
       results.foreach { case (t, ps) => ps.foreach { r =>
         s.parts.get(Topition(t, r.partition)).foreach { st =>
@@ -610,11 +655,14 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     } else fetchSessions.get(req.sessionId) match {
       case None => error = 70 // FETCH_SESSION_ID_NOT_FOUND
       case Some(s) => s.synchronized {
-        if (req.sessionEpoch != s.epoch + 1) {
+        s.lastUsed = System.currentTimeMillis()
+        if (req.sessionEpoch != s.epoch) {
           error = 71 // INVALID_FETCH_SESSION_EPOCH
           sessionId = req.sessionId
         } else {
-          s.epoch = req.sessionEpoch
+          // wraps past Int.MaxValue back to 1, as FetchSessionCache does
+          s.epoch = if (req.sessionEpoch == Int.MaxValue) 1
+                    else req.sessionEpoch + 1
           sessionId = req.sessionId
           req.topics.foreach(t => t.partitions.foreach { fp =>
             val tp = Topition(t.topic, fp.partition)
@@ -652,7 +700,21 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         }
       }
     }
-    if (version >= 12) writeFetchResponseV12(out, results, error, sessionId)
-    else writeFetchResponseClassic(out, results, version, error, sessionId)
+    // size the response buffer from the materialized records, not the
+    // request: fetchRecords always returns at least one batch (KIP-74),
+    // so a single record bigger than max_bytes must still be delivered —
+    // never BufferOverflow-and-drop, which would wedge the consumer
+    val bound = 256 + results.iterator.map { case (t, ps) =>
+      64 + t.length + ps.iterator.map { p =>
+        128 + 16 * p.aborted.size +
+          Option(p.records).map(_.length).getOrElse(0)
+      }.sum
+    }.sum
+    val b = if (bound <= out.remaining()) out else ByteBuffer.allocate(bound)
+    if (version >= 12) {
+      writeEmptyTaggedFields(b)
+      writeFetchResponseV12(b, results, error, sessionId)
+    } else writeFetchResponseClassic(b, results, version, error, sessionId)
+    b
   }
 }

@@ -83,7 +83,9 @@ object AvroDecoder {
         case d: org.apache.avro.LogicalTypes.Decimal =>
           new java.math.BigDecimal(
             new java.math.BigInteger(f.bytes()), d.getScale)
-        case _ if schema.getName == "duration" || schema.getFixedSize == 12 =>
+        // only the declared logical type makes a fixed(12) a duration —
+        // a plain 12-byte fixed (a 96-bit hash, say) stays binary
+        case _ if schema.getProp("logicalType") == "duration" =>
           // three little-endian uint32s: months, days, milliseconds
           val bb = java.nio.ByteBuffer.wrap(f.bytes())
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)

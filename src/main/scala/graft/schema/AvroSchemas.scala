@@ -58,7 +58,9 @@ object AvroSchemas {
     case ASchema.Type.FIXED =>
       s.getLogicalType match {
         case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
-        case _ if s.getName == "duration" || s.getFixedSize == 12 =>
+        // gate on the declared logical type, not the size — a plain
+        // fixed(12) with no annotation is ordinary binary
+        case _ if s.getProp("logicalType") == "duration" =>
           StructType(Seq(
             StructField("months", IntegerType),
             StructField("days", IntegerType),

@@ -112,6 +112,24 @@ class AvroDecoderSpec extends SparkSpec {
     assert((r.getInt(7), r.getInt(8), r.getInt(9)) === ((1, 2, 3000)))
   }
 
+  test("a plain fixed(12) with no logical type stays binary, not duration") {
+    import org.apache.spark.sql.types.BinaryType
+    val avsc =
+      """{"type":"record","name":"h","fields":[
+        |{"name":"hash96","type":{"type":"fixed","name":"hash96","size":12}}]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(avsc)
+    assert(graft.schema.AvroSchemas.toDataType(schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("hash96")
+      .dataType === BinaryType)
+    val bytes = Array.tabulate[Byte](12)(_.toByte)
+    val bin = AvroDecoder.encode(avsc, Map(
+      "hash96" -> new org.apache.avro.generic.GenericData.Fixed(
+        schema.getField("hash96").schema(), bytes)))
+    val out = AvroDecoder.decodeColumn(
+      Seq((1L, bin)).toDF("id", "bin"), "bin", avsc, "v")
+    assert(out.select("v.hash96").head().getAs[Array[Byte]](0).toSeq === bytes.toSeq)
+  }
+
   test("decimal survives the lake round-trip as a typed DECIMAL column") {
     import org.apache.spark.sql.types.{DecimalType, StructType}
     val root = java.nio.file.Files.createTempDirectory("graft-avro-dec").toString

@@ -174,12 +174,13 @@ class BrokerServerSpec extends SparkSpec {
       assert(e1 === 0 && sid > 0)
       assert(parts1.head._2.map(_.partition).sorted === Seq(0, 1))
 
-      // 2. incremental: client consumed to offset 1 on p0; nothing new
-      // anywhere -> the response omits BOTH partitions
+      // 2. incremental (epoch 1, the real-client convention per KIP-227):
+      // client consumed to offset 1 on p0; nothing new anywhere -> the
+      // response omits BOTH partitions
       val fr2 = flexRequest(sock, 1, 12, 82) { b =>
         W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Seq(
           W.FetchTopic("sess", Seq(W.FetchPartition(0, 1L, 1 << 20)))),
-          sessionId = sid, sessionEpoch = 2))
+          sessionId = sid, sessionEpoch = 1))
       }
       W.skipTaggedFields(fr2)
       val (e2, sid2, parts2) = W.readFetchResponseV12Full(fr2)
@@ -191,7 +192,7 @@ class BrokerServerSpec extends SparkSpec {
       produceOne(83, "k2", "v2")
       val fr3 = flexRequest(sock, 1, 12, 84) { b =>
         W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Nil,
-          sessionId = sid, sessionEpoch = 3))
+          sessionId = sid, sessionEpoch = 2))
       }
       W.skipTaggedFields(fr3)
       val (e3, _, parts3) = W.readFetchResponseV12Full(fr3)
@@ -221,7 +222,7 @@ class BrokerServerSpec extends SparkSpec {
       produceOne(87, "k3", "v3")
       val fr4 = flexRequest(sock, 1, 12, 88) { b =>
         W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Nil,
-          sessionId = sid, sessionEpoch = 4, forgotten = Seq("sess" -> Seq(0))))
+          sessionId = sid, sessionEpoch = 3, forgotten = Seq("sess" -> Seq(0))))
       }
       W.skipTaggedFields(fr4)
       assert(W.readFetchResponseV12Full(fr4)._3.isEmpty)
@@ -251,6 +252,18 @@ class BrokerServerSpec extends SparkSpec {
       val parts = W.readFetchResponseV12(fr)
       val decoded = RecordBatchCodec.decode(parts.head._2.head.records)
       assert(new String(decoded.records.head.value).length === (5 << 20))
+
+      // KIP-74: a record BIGGER than max_bytes is still delivered (the
+      // min-one-record overshoot) — the response outgrows every
+      // request-derived pre-size and must not BufferOverflow-and-drop
+      val frSmall = flexRequest(sock, 1, 12, 91) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Seq(
+          W.FetchTopic("big", Seq(W.FetchPartition(0, 0L, 1 << 20))))))
+      }
+      W.skipTaggedFields(frSmall)
+      val partsSmall = W.readFetchResponseV12(frSmall)
+      val decodedSmall = RecordBatchCodec.decode(partsSmall.head._2.head.records)
+      assert(new String(decodedSmall.records.head.value).length === (5 << 20))
       sock.close()
     } finally broker.close()
   }
@@ -805,6 +818,39 @@ class BrokerServerSpec extends SparkSpec {
       md2.getInt; md2.getInt
       assert(W.readString(md2) === "127.0.0.1")
       sock.close()
+    } finally broker.close()
+  }
+
+  test("SCRAM password rotation: a changed config password replaces the stored credential") {
+    import graft.facade.Scram
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-rot").toString
+    new BrokerServer(new ParquetStorage(spark, root),
+      scramUsers = Map("carol" -> "oldpass")).close()
+    // restart with a ROTATED password: the stored credential no longer
+    // verifies it, so the broker re-derives and upserts — the old
+    // password must stop working and the new one must authenticate
+    val broker = new BrokerServer(new ParquetStorage(spark, root),
+      scramUsers = Map("carol" -> "newpass"))
+    try {
+      def tryAuth(pw: String): Short = {
+        val sock = new Socket("127.0.0.1", broker.boundPort)
+        try {
+          request(sock, 17, 1, 75)(b => W.writeSaslHandshake(b, Scram.Mechanism))
+          val cFirst = Scram.clientFirst("carol", "noncerot")
+          val r1 = request(sock, 36, 0, 76) { b =>
+            W.writeSaslAuthenticate(b, cFirst.getBytes("UTF-8"))
+          }
+          r1.getShort; W.readString(r1)
+          val sFirst = new String(W.readBytes(r1), "UTF-8")
+          val (cFinal, _) = Scram.clientFinal(pw, cFirst, sFirst)
+          val r2 = request(sock, 36, 0, 77) { b =>
+            W.writeSaslAuthenticate(b, cFinal.getBytes("UTF-8"))
+          }
+          r2.getShort
+        } finally sock.close()
+      }
+      assert(tryAuth("newpass") === 0)
+      assert(tryAuth("oldpass") === 58) // SASL_AUTHENTICATION_FAILED
     } finally broker.close()
   }
 
