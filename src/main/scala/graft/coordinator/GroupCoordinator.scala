@@ -213,6 +213,17 @@ final class GroupCoordinator(storage: Storage,
   def assignmentOf(groupId: String): Assignors.Assignment =
     current(groupId).map(_.assignment).getOrElse(Map.empty)
 
+  /** Any live member present — guards DeleteGroups and offset expiry. */
+  def hasMembers(groupId: String): Boolean =
+    current(groupId).exists(_.members.nonEmpty)
+
+  /** Union of live-member subscriptions (the OffsetDelete guard: offsets
+    * of a topic the group still consumes must not be deleted).
+    */
+  def subscribedTopics(groupId: String): Set[String] =
+    current(groupId).toSet.flatMap((g: Group) =>
+      g.members.values.flatMap(_.topics).toSet)
+
   /** Persist through the Storage CAS. Returns false when the CAS is lost —
     * another stateless coordinator moved the group; the local cache is
     * invalidated so the next touch reloads the winner's state.

@@ -31,7 +31,8 @@ import graft.storage.Storage
 final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
                          port: Int = 0,
                          scramUsers: Map[String, String] = Map.empty,
-                         produceQuotaBytesPerSec: Long = Long.MaxValue) {
+                         produceQuotaBytesPerSec: Long = Long.MaxValue,
+                         offsetsRetentionMs: Long = 7L * 24 * 60 * 60 * 1000) {
   import WireProtocol._
 
   private val coordinator = new graft.coordinator.GroupCoordinator(storage)
@@ -87,6 +88,10 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     () => try {
       coordinator.expireMembers()
       evictFetchSessions()
+      // offsets.retention sweep: committed offsets of memberless groups
+      // expire after the retention window (storage clock), as in Kafka
+      storage.expireOffsets(offsetsRetentionMs, coordinator.hasMembers)
+      ()
     } catch { case NonFatal(_) => },
     1, 1, java.util.concurrent.TimeUnit.SECONDS)
 
@@ -266,6 +271,29 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         writeDescribeGroupsResponse(out, described)
       case 16 =>
         writeListGroupsResponse(out, coordinator.listGroups())
+      case 42 =>
+        val names = readDeleteGroups(buf)
+        val results = names.map { g =>
+          if (coordinator.hasMembers(g)) g -> 68.toShort // NON_EMPTY_GROUP
+          else if (storage.groupState(g).isEmpty && storage.groupOffsets(g).isEmpty)
+            g -> 69.toShort // GROUP_ID_NOT_FOUND
+          else { storage.deleteGroup(g); g -> 0.toShort }
+        }
+        writeDeleteGroupsResponse(out, results)
+      case 47 =>
+        val (group, reqTopics) = readOffsetDelete(buf)
+        if (storage.groupState(group).isEmpty && storage.groupOffsets(group).isEmpty)
+          writeOffsetDeleteResponse(out, 69, Seq.empty) // GROUP_ID_NOT_FOUND
+        else {
+          val subscribed = coordinator.subscribedTopics(group)
+          val results = reqTopics.map { case (t, parts) =>
+            t -> parts.map { p =>
+              if (subscribed.contains(t)) (p, 86.toShort) // GROUP_SUBSCRIBED_TO_TOPIC
+              else { storage.deleteOffset(group, Topition(t, p)); (p, 0.toShort) }
+            }
+          }
+          writeOffsetDeleteResponse(out, 0, results)
+        }
       case 32 =>
         val req = readDescribeConfigs(buf)
         val results = req.map { case (rt, name, keys) =>

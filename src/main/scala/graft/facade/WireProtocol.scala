@@ -3,7 +3,7 @@ package graft.facade
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Kafka wire-protocol codec for the 24 APIs the facade serves —
+/** Kafka wire-protocol codec for the 26 APIs the facade serves —
   * hand-written counterpart of the reference's codegen'd ser/de
   * (`nisshi-sans-io/src/ser.rs`, `de.rs`, driven by the 185 protocol
   * JSONs in `nisshi-sans-io/message/`). Every version ApiVersions
@@ -26,7 +26,8 @@ import java.nio.charset.StandardCharsets
   *    CreateTopics v0 (19), DeleteTopics v0 (20), DeleteRecords v0 (21)
   *  - InitProducerId v0 (22), AddPartitionsToTxn v0 (24), EndTxn v0
   *    (26), TxnOffsetCommit v0 (28), DescribeConfigs v0 (32),
-  *    SaslAuthenticate v0 (36)
+  *    SaslAuthenticate v0 (36), DeleteGroups v0 (42), OffsetDelete v0
+  *    (47)
   *
   * Frames are INT32 length-prefixed; request header v1 classic, v2
   * (tagged fields) for flexible versions — see [[isFlexible]].
@@ -903,7 +904,76 @@ object WireProtocol {
     (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
     (14, 0, 0), (15, 0, 0), (16, 0, 0), (17, 1, 1), (18, 0, 3), (19, 0, 0),
     (20, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0),
-    (32, 0, 0), (36, 0, 0))
+    (32, 0, 0), (36, 0, 0), (42, 0, 0), (47, 0, 0))
+
+  /** DeleteGroups v0 (42): [group] → throttle [group error]
+    * (reference `nisshi-sans-io/message/DeleteGroupsRequest.json`).
+    */
+  def readDeleteGroups(buf: ByteBuffer): Seq[String] =
+    (0 until buf.getInt).map(_ => readString(buf))
+
+  def writeDeleteGroups(buf: ByteBuffer, groups: Seq[String]): Unit = {
+    buf.putInt(groups.size)
+    groups.foreach(writeString(buf, _))
+  }
+
+  def writeDeleteGroupsResponse(buf: ByteBuffer,
+                                results: Seq[(String, Short)]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putInt(results.size)
+    results.foreach { case (g, e) => writeString(buf, g); buf.putShort(e) }
+  }
+
+  def readDeleteGroupsResponse(buf: ByteBuffer): Seq[(String, Short)] = {
+    buf.getInt // throttle
+    (0 until buf.getInt).map(_ => (readString(buf), buf.getShort))
+  }
+
+  /** OffsetDelete v0 (47): group [topic [partition]] →
+    * error throttle [topic [partition error]] (reference
+    * `nisshi-sans-io/message/OffsetDeleteRequest.json`).
+    */
+  def readOffsetDelete(buf: ByteBuffer): (String, Seq[(String, Seq[Int])]) = {
+    val g = readString(buf)
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      t -> (0 until buf.getInt).map(_ => buf.getInt)
+    }
+    (g, topics)
+  }
+
+  def writeOffsetDelete(buf: ByteBuffer, group: String,
+                        topics: Seq[(String, Seq[Int])]): Unit = {
+    writeString(buf, group)
+    buf.putInt(topics.size)
+    topics.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach(buf.putInt)
+    }
+  }
+
+  def writeOffsetDeleteResponse(buf: ByteBuffer, error: Short,
+                                results: Seq[(String, Seq[(Int, Short)])]): Unit = {
+    buf.putShort(error)
+    buf.putInt(0) // throttle
+    buf.putInt(results.size)
+    results.foreach { case (t, parts) =>
+      writeString(buf, t)
+      buf.putInt(parts.size)
+      parts.foreach { case (p, e) => buf.putInt(p); buf.putShort(e) }
+    }
+  }
+
+  def readOffsetDeleteResponse(buf: ByteBuffer): (Short, Seq[(String, Seq[(Int, Short)])]) = {
+    val error = buf.getShort
+    buf.getInt // throttle
+    val topics = (0 until buf.getInt).map { _ =>
+      val t = readString(buf)
+      t -> (0 until buf.getInt).map(_ => (buf.getInt, buf.getShort))
+    }
+    (error, topics)
+  }
 
   /** DescribeConfigs v0 (32): [resource_type resource_name [config_name]]
     * → throttle [error error_msg resource_type resource_name

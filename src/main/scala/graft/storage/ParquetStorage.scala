@@ -533,14 +533,89 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   override def offsetCommit(group: String, tp: Topition, offset: Long): Unit = {
     val key = s"$group/${tp.topic}/${tp.partition}"
+    // payload = "<offset> <commitTsMillis>" — the timestamp drives the
+    // offsets.retention sweep (expireOffsets)
+    val payload = s"$offset ${clock()}"
     groupLock(key).synchronized {
-      groups.put(key, (offset.toString, 0L))
-      persistGroupFile(key, offset.toString, 0L)
+      groups.put(key, (payload, 0L))
+      persistGroupFile(key, payload, 0L)
     }
   }
 
+  /** "<offset> <ts>" (ts 0 when absent — pre-timestamp files). */
+  private def parseOffsetPayload(s: String): (Long, Long) = {
+    val i = s.indexOf(' ')
+    if (i < 0) (s.trim.toLong, 0L)
+    else (s.substring(0, i).toLong, s.substring(i + 1).trim.toLong)
+  }
+
   override def offsetFetch(group: String, tp: Topition): Option[Long] =
-    groupEntry(s"$group/${tp.topic}/${tp.partition}").map(_._1.toLong)
+    groupEntry(s"$group/${tp.topic}/${tp.partition}")
+      .map(e => parseOffsetPayload(e._1)._1)
+
+  /** Keys present under root/groups (decoded), unioned with the cache —
+    * offset keys are "group/topic/partition", state keys are the bare
+    * group id.
+    */
+  private def listGroupKeys(): Seq[String] = {
+    val dir = Paths.get(s"$root/groups")
+    val onDisk =
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(dir).iterator().asScala
+          .map(_.getFileName.toString)
+          .filterNot(_.contains(".tmp"))
+          .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+      }
+    (onDisk ++ groups.keys).distinct
+  }
+
+  override def groupOffsets(group: String): Seq[(Topition, Long, Long)] =
+    listGroupKeys().sorted.flatMap { key =>
+      key.split("/", 3) match {
+        case Array(g, t, p) if g == group =>
+          groupEntry(key).map { case (payload, _) =>
+            val (off, ts) = parseOffsetPayload(payload)
+            (Topition(t, p.toInt), off, ts)
+          }
+        case _ => None
+      }
+    }
+
+  override def deleteOffset(group: String, tp: Topition): Boolean = {
+    val key = s"$group/${tp.topic}/${tp.partition}"
+    groupLock(key).synchronized {
+      val existed = groupEntry(key).isDefined
+      groups.remove(key)
+      Files.deleteIfExists(groupFile(key))
+      existed
+    }
+  }
+
+  override def deleteGroup(group: String): Unit = {
+    groupOffsets(group).foreach { case (tp, _, _) => deleteOffset(group, tp) }
+    groupLock(group).synchronized {
+      groups.remove(group)
+      Files.deleteIfExists(groupFile(group))
+    }
+    ()
+  }
+
+  override def storedGroups(): Seq[String] =
+    listGroupKeys().map(_.split("/", 2)(0)).distinct.sorted
+
+  override def expireOffsets(retentionMs: Long,
+                             groupIsActive: String => Boolean): Seq[(String, Topition)] = {
+    val now = clock()
+    storedGroups().filterNot(groupIsActive).flatMap { g =>
+      groupOffsets(g).collect {
+        // ts==0 means unknown commit time (legacy payload) — never expire
+        case (tp, _, ts) if ts > 0 && now - ts > retentionMs &&
+          deleteOffset(g, tp) => (g, tp)
+      }
+    }
+  }
 
   override def updateGroup(group: String, state: String,
                            expectedVersion: Long): Option[Long] =

@@ -67,6 +67,24 @@ trait Storage {
     */
   def updateGroup(group: String, state: String, expectedVersion: Long): Option[Long]
   def groupState(group: String): Option[(String, Long)]
+  /** Committed offsets of one group: (tp, offset, commit-time millis;
+    * 0 when unknown). Reference `sql/consumer_offset_select_by_group.sql`.
+    */
+  def groupOffsets(group: String): Seq[(Topition, Long, Long)]
+  /** Remove one committed offset (OffsetDelete); true when one existed. */
+  def deleteOffset(group: String, tp: Topition): Boolean
+  /** Remove a group's coordinator state and every committed offset
+    * (DeleteGroups; reference `sql/consumer_offset_delete_by_group.sql`).
+    */
+  def deleteGroup(group: String): Unit
+  /** Groups present in storage — coordinator state or committed offsets. */
+  def storedGroups(): Seq[String]
+  /** Expire committed offsets older than retentionMs (per the storage
+    * clock) for groups the caller reports inactive — Kafka's
+    * offsets.retention.minutes sweep. Returns what was deleted.
+    */
+  def expireOffsets(retentionMs: Long,
+                    groupIsActive: String => Boolean): Seq[(String, Topition)]
 
   // -- SASL credentials (reference lib.rs:1420-1432)
   /** Durably store one user's SCRAM credential for one mechanism (the

@@ -821,6 +821,73 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("DeleteGroups / OffsetDelete: admin removal of groups and committed offsets") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-og").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("odel", 2)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      def fetchOffset(group: String, p: Int): Long = {
+        val of = request(sock, 9, 1, 60) { b =>
+          W.writeOffsetFetch(b, W.OffsetFetchRequest(group, Seq("odel" -> Seq(p))))
+        }
+        of.getInt; W.readString(of); of.getInt; of.getInt
+        of.getLong
+      }
+
+      // commit offsets on both partitions for a memberless group
+      val oc = request(sock, 8, 2, 61) { b =>
+        W.writeOffsetCommit(b, W.OffsetCommitRequest("gone", Seq(
+          W.CommitTopic("odel", Seq(
+            W.CommitPartition(0, 11L, ""), W.CommitPartition(1, 22L, ""))))))
+      }
+      oc.getInt; W.readString(oc); oc.getInt; oc.getInt
+      assert(oc.getShort === 0)
+      assert(fetchOffset("gone", 0) === 11L)
+
+      // OffsetDelete removes one partition's offset, keeps the other
+      val od = request(sock, 47, 0, 62) { b =>
+        W.writeOffsetDelete(b, "gone", Seq("odel" -> Seq(1)))
+      }
+      val (oe, ops) = W.readOffsetDeleteResponse(od)
+      assert(oe === 0 && ops === Seq("odel" -> Seq((1, 0.toShort))))
+      assert(fetchOffset("gone", 0) === 11L)
+      assert(fetchOffset("gone", 1) === -1L)
+
+      // DeleteGroups: unknown group errors, known group is removed whole
+      val dg = request(sock, 42, 0, 63) { b =>
+        W.writeDeleteGroups(b, Seq("gone", "never-was"))
+      }
+      assert(W.readDeleteGroupsResponse(dg).toSet ===
+        Set("gone" -> 0.toShort, "never-was" -> 69.toShort))
+      assert(fetchOffset("gone", 0) === -1L)
+
+      // a group with a live member refuses deletion (NON_EMPTY_GROUP),
+      // and offsets of a topic it subscribes stay (GROUP_SUBSCRIBED_TO_TOPIC)
+      val ja = request(sock, 11, 0, 64) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("live", 30000, "", "consumer",
+          Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("odel"))))))
+      }
+      assert(ja.getShort === 0)
+      val oc2 = request(sock, 8, 2, 65) { b =>
+        W.writeOffsetCommit(b, W.OffsetCommitRequest("live", Seq(
+          W.CommitTopic("odel", Seq(W.CommitPartition(0, 3L, ""))))))
+      }
+      oc2.getInt; W.readString(oc2); oc2.getInt; oc2.getInt
+      assert(oc2.getShort === 0)
+      val dg2 = request(sock, 42, 0, 66)(b => W.writeDeleteGroups(b, Seq("live")))
+      assert(W.readDeleteGroupsResponse(dg2) === Seq("live" -> 68.toShort))
+      val od2 = request(sock, 47, 0, 67) { b =>
+        W.writeOffsetDelete(b, "live", Seq("odel" -> Seq(0)))
+      }
+      val (oe2, ops2) = W.readOffsetDeleteResponse(od2)
+      assert(oe2 === 0 && ops2 === Seq("odel" -> Seq((0, 86.toShort))))
+      assert(fetchOffset("live", 0) === 3L)
+      sock.close()
+    } finally broker.close()
+  }
+
   test("SCRAM password rotation: a changed config password replaces the stored credential") {
     import graft.facade.Scram
     val root = java.nio.file.Files.createTempDirectory("graft-broker-rot").toString

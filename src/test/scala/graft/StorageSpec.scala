@@ -418,4 +418,36 @@ class StorageSpec extends SparkSpec {
     assert(st.listEarliestOffset(tp) === 5L)
     assert(st.fetch(tp, 0, Long.MaxValue).count() === 0L)
   }
+
+  test("committed offsets of inactive groups expire after retention; active groups keep theirs") {
+    var now = 1704067200000L
+    val root = java.nio.file.Files.createTempDirectory("graft-oexp").toString
+    val st = new ParquetStorage(spark, root, clock = () => now)
+    val t0 = Topition("t", 0)
+    st.offsetCommit("dead", t0, 5L)
+    st.offsetCommit("alive", t0, 7L)
+    assert(st.storedGroups() === Seq("alive", "dead"))
+    assert(st.groupOffsets("dead").map(o => (o._1, o._2)) === Seq((t0, 5L)))
+
+    // inside the retention window: nothing expires
+    now += 1000
+    assert(st.expireOffsets(5000, _ == "alive").isEmpty)
+    assert(st.offsetFetch("dead", t0) === Some(5L))
+
+    // past the window: only the inactive group's offsets go
+    now += 10000
+    assert(st.expireOffsets(5000, _ == "alive") === Seq(("dead", t0)))
+    assert(st.offsetFetch("dead", t0) === None)
+    assert(st.offsetFetch("alive", t0) === Some(7L))
+
+    // expiry is durable: a fresh process sees the same state
+    val st2 = new ParquetStorage(spark, root)
+    assert(st2.offsetFetch("dead", t0) === None)
+    assert(st2.offsetFetch("alive", t0) === Some(7L))
+
+    // deleteGroup removes the remaining group wholesale
+    st.deleteGroup("alive")
+    assert(st.offsetFetch("alive", t0) === None)
+    assert(st.storedGroups() === Nil)
+  }
 }
