@@ -158,6 +158,13 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
             s"api ${header.apiKey} v${header.apiVersion} not served")
       }
     val out = ByteBuffer.allocate(responseCapacity(header, buf))
+    // flexible versions use response header v1 (correlation id + tagged
+    // fields); ApiVersions is the protocol-mandated exception (always
+    // header v0 so a confused client can still parse the downgrade), and
+    // fetch writes its own header into its self-sized buffer
+    if (header.apiKey != 18 && header.apiKey != 1 &&
+        isFlexible(header.apiKey, header.apiVersion))
+      writeEmptyTaggedFields(out)
     // fetch may swap in a bigger buffer sized from the materialized
     // records (the min-one-record overshoot can exceed any pre-size)
     var used = out
@@ -203,51 +210,61 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           writeApiVersionsResponseV3(out)
         } else writeApiVersionsResponse(out)
       case 3 if header.apiVersion >= 9 =>
-        // flexible Metadata: response header v1 carries tagged fields
         val requested = readMetadataV9(buf)
-        writeEmptyTaggedFields(out)
         writeMetadataResponseV9(out, host, boundPort, metadataTopics(requested))
       case 3 =>
         val requested = readMetadataClassic(buf, header.apiVersion)
         writeMetadataResponse(out, host, boundPort, metadataTopics(requested),
           header.apiVersion)
       case 0 =>
-        if (header.apiVersion >= 9) // flexible: response header v1
-          writeEmptyTaggedFields(out)
         handleProduce(buf, out, header.apiVersion)
       case 1 =>
         used = handleFetch(buf, out, header.apiVersion)
       case 2 => handleListOffsets(buf, out)
       case 8 =>
-        val req = readOffsetCommit(buf)
+        val v = header.apiVersion.toInt
+        val req = readOffsetCommit(buf, v)
         val results = req.topics.map { t =>
           t.topic -> t.partitions.map { p =>
             storage.offsetCommit(req.group, Topition(t.topic, p.partition), p.offset)
             (p.partition, 0.toShort)
           }
         }
-        writeOffsetCommitResponse(out, results)
+        writeOffsetCommitResponse(out, results, v)
       case 9 =>
-        val req = readOffsetFetch(buf)
-        val results = req.topics.map { case (t, parts) =>
+        val v = header.apiVersion.toInt
+        val req = readOffsetFetch(buf, v)
+        // a null topic array (v2+) asks for every offset the group has
+        val requested = Option(req.topics).getOrElse {
+          storage.groupOffsets(req.group)
+            .groupBy(_._1.topic).toSeq.sortBy(_._1)
+            .map { case (t, os) => t -> os.map(_._1.partition).sorted }
+        }
+        val results = requested.map { case (t, parts) =>
           t -> parts.map { p =>
             p -> storage.offsetFetch(req.group, Topition(t, p)).getOrElse(-1L)
           }
         }
-        writeOffsetFetchResponse(out, results)
+        writeOffsetFetchResponse(out, results, v)
       case 10 =>
-        readFindCoordinator(buf) // group key — single-broker: always us
-        writeFindCoordinatorResponse(out, 0, 0, host, boundPort)
-      case 11 => handleJoinGroup(buf, out)
+        // group key — single-broker: always us
+        readFindCoordinator(buf, header.apiVersion.toInt)
+        writeFindCoordinatorResponse(out, 0, 0, host, boundPort,
+          header.apiVersion.toInt)
+      case 11 => handleJoinGroup(buf, out, header.apiVersion.toInt)
       case 12 =>
-        val (group, gen, member) = readHeartbeat(buf)
-        out.putShort(coordinator.heartbeat(group, member, gen)
-          .fold(groupError, _ => 0.toShort))
+        val v = header.apiVersion.toInt
+        val (group, gen, member) = readHeartbeat(buf, v)
+        writeErrorResponse(out, coordinator.heartbeat(group, member, gen)
+          .fold(groupError, _ => 0.toShort), v, v >= 4)
       case 13 =>
-        val (group, member) = readLeaveGroup(buf)
-        out.putShort(coordinator.leave(group, member)
-          .fold(groupError, _ => 0.toShort))
-      case 14 => handleSyncGroup(buf, out)
+        val v = header.apiVersion.toInt
+        val (group, members) = readLeaveGroup(buf, v)
+        val results = members.map { m =>
+          m -> coordinator.leave(group, m).fold(groupError, _ => 0.toShort)
+        }
+        writeLeaveGroupResponse(out, results, v)
+      case 14 => handleSyncGroup(buf, out, header.apiVersion.toInt)
       case 15 =>
         val names = readDescribeGroups(buf)
         val described = names.map { g =>
@@ -395,8 +412,9 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     case _ => -1
   }
 
-  private def handleJoinGroup(buf: ByteBuffer, out: ByteBuffer): Unit = {
-    val req = readJoinGroup(buf)
+  private def handleJoinGroup(buf: ByteBuffer, out: ByteBuffer,
+                              version: Int = 0): Unit = {
+    val req = readJoinGroup(buf, version)
     val protocol = req.protocols.headOption.map(_.name).getOrElse("range")
     val topics = req.protocols.headOption
       .map(p => decodeSubscriptionTopics(p.metadata).toSet)
@@ -411,20 +429,22 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           m -> encodeSubscription(ts.toSeq.sorted)
         }
       else Seq.empty
-    writeJoinGroupResponse(out, 0, generation, protocol, leaderId, memberId, members)
+    writeJoinGroupResponse(out, 0, generation, protocol, leaderId, memberId,
+      members, version)
   }
 
-  private def handleSyncGroup(buf: ByteBuffer, out: ByteBuffer): Unit = {
-    val req = readSyncGroup(buf)
+  private def handleSyncGroup(buf: ByteBuffer, out: ByteBuffer,
+                              version: Int = 0): Unit = {
+    val req = readSyncGroup(buf, version)
     val topicMeta: Map[String, Int] =
       storage.topics.map(t => t -> partitionsOf(t)).toMap
     coordinator.sync(req.group, req.memberId, req.generation, topicMeta) match {
       case Right(tps) =>
         val byTopic = tps.groupBy(_.topic).toSeq.sortBy(_._1)
           .map { case (t, ps) => t -> ps.map(_.partition).sorted }
-        writeSyncGroupResponse(out, 0, encodeAssignment(byTopic))
+        writeSyncGroupResponse(out, 0, encodeAssignment(byTopic), version)
       case Left(err) =>
-        writeSyncGroupResponse(out, groupError(err), Array.empty[Byte])
+        writeSyncGroupResponse(out, groupError(err), Array.empty[Byte], version)
     }
   }
 

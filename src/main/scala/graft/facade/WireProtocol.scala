@@ -18,10 +18,12 @@ import java.nio.charset.StandardCharsets
   *    replicas (v5+), leader epoch (v7+), authorized-ops (v8+), v9
   *    flexible; per-topic error codes
   *  - ApiVersions v0-v3 (18) — v3 flexible, >max downgrade dance
-  *  - ListOffsets v1 (2), OffsetCommit v2 (8), OffsetFetch v1 (9)
-  *  - FindCoordinator v0 (10), JoinGroup v0 (11), Heartbeat v0 (12),
-  *    LeaveGroup v0 (13), SyncGroup v0 (14) — with ConsumerProtocol
-  *    Subscription/Assignment v0 payload codecs
+  *  - ListOffsets v1 (2); OffsetCommit v0-v8 (8) and OffsetFetch v0-v7
+  *    (9) — flexible at v8/v6+, null topic array = all group offsets
+  *  - FindCoordinator v0-v3 (10), JoinGroup v0-v6 (11), Heartbeat v0-v4
+  *    (12), LeaveGroup v0-v4 (13, batched v3+), SyncGroup v0-v4 (14) —
+  *    flexible endpoints, group_instance_id fields parsed, with
+  *    ConsumerProtocol Subscription/Assignment v0 payload codecs
   *  - DescribeGroups v0 (15), ListGroups v0 (16), SaslHandshake v1 (17),
   *    CreateTopics v0 (19), DeleteTopics v0 (20), DeleteRecords v0 (21)
   *  - InitProducerId v0 (22), AddPartitionsToTxn v0 (24), EndTxn v0
@@ -119,6 +121,30 @@ object WireProtocol {
   def writeEmptyTaggedFields(buf: ByteBuffer): Unit =
     writeUnsignedVarint(0, buf)
 
+  /** Per-version primitive selector: one codec body serves a whole
+    * version range — flexible versions use the compact encodings and
+    * carry tagged-field blocks, classic versions the fixed-width ones
+    * (the same split the reference's codegen derives per version from
+    * each protocol JSON, `nisshi-sans-io/build.rs:1336`).
+    */
+  private[facade] final class Codec(val flexible: Boolean) {
+    def str(buf: ByteBuffer): String =
+      if (flexible) readCompactString(buf) else readString(buf)
+    def putStr(buf: ByteBuffer, s: String): Unit =
+      if (flexible) writeCompactString(buf, s) else writeString(buf, s)
+    def bytes(buf: ByteBuffer): Array[Byte] =
+      if (flexible) readCompactBytes(buf) else readBytes(buf)
+    def putBytes(buf: ByteBuffer, a: Array[Byte]): Unit =
+      if (flexible) writeCompactBytes(buf, a) else writeBytes(buf, a)
+    def len(buf: ByteBuffer): Int =
+      if (flexible) readCompactArrayLen(buf) else buf.getInt
+    def putLen(buf: ByteBuffer, n: Int): Unit =
+      if (flexible) writeCompactArrayLen(buf, n) else { buf.putInt(n); () }
+    def tags(buf: ByteBuffer): Unit = if (flexible) skipTaggedFields(buf)
+    def putTags(buf: ByteBuffer): Unit =
+      if (flexible) writeEmptyTaggedFields(buf)
+  }
+
   /** Which (api, version) pairs this facade serves with the flexible
     * encoding (compact strings/arrays, tagged fields, request header v2).
     */
@@ -128,6 +154,13 @@ object WireProtocol {
       case (3, v) => v >= 9  // Metadata
       case (0, v) => v >= 9  // Produce
       case (1, v) => v >= 12 // Fetch
+      case (8, v) => v >= 8  // OffsetCommit
+      case (9, v) => v >= 6  // OffsetFetch
+      case (10, v) => v >= 3 // FindCoordinator
+      case (11, v) => v >= 6 // JoinGroup
+      case (12, v) => v >= 4 // Heartbeat
+      case (13, v) => v >= 4 // LeaveGroup
+      case (14, v) => v >= 4 // SyncGroup
       case _ => false
     }
 
@@ -308,90 +341,182 @@ object WireProtocol {
   final case class CommitTopic(topic: String, partitions: Seq[CommitPartition])
   final case class OffsetCommitRequest(group: String, topics: Seq[CommitTopic])
 
-  /** OffsetCommit v2: group generation member retention [topic [partition
-    * offset metadata]].
+  /** OffsetCommit v0-v8 (OffsetCommitRequest.json): group
+    * generation+member (v1+) group_instance_id (v7+) retention_time
+    * (v2-v4 only) [topic [partition offset commit_timestamp (v1 only)
+    * leader_epoch (v6+) metadata]]; flexible v8.
     */
-  def readOffsetCommit(buf: ByteBuffer): OffsetCommitRequest = {
-    val group = readString(buf)
-    buf.getInt // generation
-    readString(buf) // member
-    buf.getLong // retention_time
-    val topics = (0 until buf.getInt).map { _ =>
-      val t = readString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        CommitPartition(buf.getInt, buf.getLong, readString(buf))
+  def readOffsetCommit(buf: ByteBuffer, version: Int = 2): OffsetCommitRequest = {
+    val c = new Codec(version >= 8)
+    val group = c.str(buf)
+    if (version >= 1) { buf.getInt; c.str(buf) } // generation, member
+    if (version >= 7) c.str(buf) // group_instance_id
+    if (version >= 2 && version <= 4) buf.getLong // retention_time
+    val topics = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val p = buf.getInt
+        val off = buf.getLong
+        if (version == 1) buf.getLong // commit_timestamp
+        if (version >= 6) buf.getInt // committed_leader_epoch
+        val meta = c.str(buf)
+        c.tags(buf)
+        CommitPartition(p, off, meta)
       }
+      c.tags(buf)
       CommitTopic(t, parts)
     }
+    c.tags(buf)
     OffsetCommitRequest(group, topics)
   }
 
-  def writeOffsetCommit(buf: ByteBuffer, r: OffsetCommitRequest): Unit = {
-    writeString(buf, r.group)
-    buf.putInt(-1)
-    writeString(buf, "")
-    buf.putLong(-1L)
-    buf.putInt(r.topics.size)
+  def writeOffsetCommit(buf: ByteBuffer, r: OffsetCommitRequest,
+                        version: Int = 2): Unit = {
+    val c = new Codec(version >= 8)
+    c.putStr(buf, r.group)
+    if (version >= 1) { buf.putInt(-1); c.putStr(buf, "") }
+    if (version >= 7) c.putStr(buf, null)
+    if (version >= 2 && version <= 4) buf.putLong(-1L)
+    c.putLen(buf, r.topics.size)
     r.topics.foreach { t =>
-      writeString(buf, t.topic)
-      buf.putInt(t.partitions.size)
+      c.putStr(buf, t.topic)
+      c.putLen(buf, t.partitions.size)
       t.partitions.foreach { p =>
         buf.putInt(p.partition)
         buf.putLong(p.offset)
-        writeString(buf, p.metadata)
+        if (version == 1) buf.putLong(-1L)
+        if (version >= 6) buf.putInt(-1)
+        c.putStr(buf, p.metadata)
+        c.putTags(buf)
       }
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  /** OffsetCommit v2 response: [topic [partition error]]. */
+  /** OffsetCommit response: throttle (v3+) [topic [partition error]]. */
   def writeOffsetCommitResponse(buf: ByteBuffer,
-                                results: Seq[(String, Seq[(Int, Short)])]): Unit = {
-    buf.putInt(results.size)
+                                results: Seq[(String, Seq[(Int, Short)])],
+                                version: Int = 2): Unit = {
+    val c = new Codec(version >= 8)
+    if (version >= 3) buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
     results.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
-      parts.foreach { case (p, err) => buf.putInt(p); buf.putShort(err) }
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
+      parts.foreach { case (p, err) =>
+        buf.putInt(p); buf.putShort(err); c.putTags(buf)
+      }
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
+  def readOffsetCommitResponse(buf: ByteBuffer,
+                               version: Int = 2): Seq[(String, Seq[(Int, Short)])] = {
+    val c = new Codec(version >= 8)
+    if (version >= 3) buf.getInt // throttle
+    val r = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val p = (buf.getInt, buf.getShort); c.tags(buf); p
+      }
+      c.tags(buf)
+      t -> parts
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** topics == null means "all topics the group has offsets for" (v2+). */
   final case class OffsetFetchRequest(group: String,
                                       topics: Seq[(String, Seq[Int])])
 
-  /** OffsetFetch v1: group [topic [partition]]. */
-  def readOffsetFetch(buf: ByteBuffer): OffsetFetchRequest = {
-    val group = readString(buf)
-    val topics = (0 until buf.getInt).map { _ =>
-      val t = readString(buf)
-      val parts = (0 until buf.getInt).map(_ => buf.getInt)
-      t -> parts
-    }
+  /** OffsetFetch v0-v7 (OffsetFetchRequest.json): group [topic
+    * [partition]] (array nullable v2+) require_stable (v7); flexible v6+.
+    */
+  def readOffsetFetch(buf: ByteBuffer, version: Int = 1): OffsetFetchRequest = {
+    val c = new Codec(version >= 6)
+    val group = c.str(buf)
+    val n = c.len(buf)
+    val topics =
+      if (n < 0) null
+      else (0 until n).map { _ =>
+        val t = c.str(buf)
+        val parts = (0 until c.len(buf)).map(_ => buf.getInt)
+        c.tags(buf)
+        t -> parts
+      }
+    if (version >= 7) buf.get // require_stable
+    c.tags(buf)
     OffsetFetchRequest(group, topics)
   }
 
-  def writeOffsetFetch(buf: ByteBuffer, r: OffsetFetchRequest): Unit = {
-    writeString(buf, r.group)
-    buf.putInt(r.topics.size)
-    r.topics.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
-      parts.foreach(buf.putInt)
+  def writeOffsetFetch(buf: ByteBuffer, r: OffsetFetchRequest,
+                       version: Int = 1): Unit = {
+    val c = new Codec(version >= 6)
+    c.putStr(buf, r.group)
+    if (r.topics == null) c.putLen(buf, -1)
+    else {
+      c.putLen(buf, r.topics.size)
+      r.topics.foreach { case (t, parts) =>
+        c.putStr(buf, t)
+        c.putLen(buf, parts.size)
+        parts.foreach(buf.putInt)
+        c.putTags(buf)
+      }
     }
+    if (version >= 7) buf.put(0.toByte)
+    c.putTags(buf)
   }
 
-  /** OffsetFetch v1 response: [topic [partition offset metadata error]]. */
+  /** OffsetFetch response: throttle (v3+) [topic [partition offset
+    * leader_epoch (v5+) metadata error]] error (v2+).
+    */
   def writeOffsetFetchResponse(buf: ByteBuffer,
-                               results: Seq[(String, Seq[(Int, Long)])]): Unit = {
-    buf.putInt(results.size)
+                               results: Seq[(String, Seq[(Int, Long)])],
+                               version: Int = 1): Unit = {
+    val c = new Codec(version >= 6)
+    if (version >= 3) buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
     results.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
       parts.foreach { case (p, off) =>
         buf.putInt(p)
         buf.putLong(off)
-        writeString(buf, "")
+        if (version >= 5) buf.putInt(-1) // leader_epoch
+        c.putStr(buf, "")
         buf.putShort(0)
+        c.putTags(buf)
       }
+      c.putTags(buf)
     }
+    if (version >= 2) buf.putShort(0) // top-level error
+    c.putTags(buf)
+  }
+
+  def readOffsetFetchResponse(buf: ByteBuffer,
+                              version: Int = 1): Seq[(String, Seq[(Int, Long)])] = {
+    val c = new Codec(version >= 6)
+    if (version >= 3) buf.getInt // throttle
+    val r = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val p = buf.getInt
+        val off = buf.getLong
+        if (version >= 5) buf.getInt
+        c.str(buf) // metadata
+        buf.getShort // error
+        c.tags(buf)
+        (p, off)
+      }
+      c.tags(buf)
+      t -> parts
+    }
+    if (version >= 2) buf.getShort
+    c.tags(buf)
+    r
   }
 
   // ------------------------------------------- consumer protocol payloads
@@ -450,112 +575,307 @@ object WireProtocol {
                                     memberId: String, protocolType: String,
                                     protocols: Seq[JoinProtocol])
 
-  /** JoinGroup v0: group session_timeout member_id protocol_type
-    * [protocol_name metadata].
+  /** JoinGroup v0-v6 (JoinGroupRequest.json): group session_timeout
+    * rebalance_timeout (v1+) member_id group_instance_id (v5+)
+    * protocol_type [protocol_name metadata]; flexible v6.
     */
-  def readJoinGroup(buf: ByteBuffer): JoinGroupRequest = {
-    val group = readString(buf)
+  def readJoinGroup(buf: ByteBuffer, version: Int = 0): JoinGroupRequest = {
+    val c = new Codec(version >= 6)
+    val group = c.str(buf)
     val timeout = buf.getInt
-    val member = readString(buf)
-    val ptype = readString(buf)
-    val protocols = (0 until buf.getInt).map { _ =>
-      JoinProtocol(readString(buf), readBytes(buf))
+    if (version >= 1) buf.getInt // rebalance_timeout
+    val member = c.str(buf)
+    if (version >= 5) c.str(buf) // group_instance_id
+    val ptype = c.str(buf)
+    val protocols = (0 until c.len(buf)).map { _ =>
+      val p = JoinProtocol(c.str(buf), c.bytes(buf))
+      c.tags(buf)
+      p
     }
+    c.tags(buf)
     JoinGroupRequest(group, timeout, member, ptype, protocols)
   }
 
-  def writeJoinGroup(buf: ByteBuffer, r: JoinGroupRequest): Unit = {
-    writeString(buf, r.group)
+  def writeJoinGroup(buf: ByteBuffer, r: JoinGroupRequest,
+                     version: Int = 0): Unit = {
+    val c = new Codec(version >= 6)
+    c.putStr(buf, r.group)
     buf.putInt(r.sessionTimeoutMs)
-    writeString(buf, r.memberId)
-    writeString(buf, r.protocolType)
-    buf.putInt(r.protocols.size)
+    if (version >= 1) buf.putInt(r.sessionTimeoutMs * 2)
+    c.putStr(buf, r.memberId)
+    if (version >= 5) c.putStr(buf, null)
+    c.putStr(buf, r.protocolType)
+    c.putLen(buf, r.protocols.size)
     r.protocols.foreach { p =>
-      writeString(buf, p.name)
-      writeBytes(buf, p.metadata)
+      c.putStr(buf, p.name)
+      c.putBytes(buf, p.metadata)
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  /** JoinGroup v0 response: error generation protocol leader member_id
-    * [member_id metadata] (members only populated for the leader).
+  /** JoinGroup response: throttle (v2+) error generation protocol leader
+    * member_id [member_id group_instance_id (v5+) metadata] (members only
+    * populated for the leader).
     */
   def writeJoinGroupResponse(buf: ByteBuffer, error: Short, generation: Int,
                              protocol: String, leader: String, memberId: String,
-                             members: Seq[(String, Array[Byte])]): Unit = {
+                             members: Seq[(String, Array[Byte])],
+                             version: Int = 0): Unit = {
+    val c = new Codec(version >= 6)
+    if (version >= 2) buf.putInt(0) // throttle
     buf.putShort(error)
     buf.putInt(generation)
-    writeString(buf, protocol)
-    writeString(buf, leader)
-    writeString(buf, memberId)
-    buf.putInt(members.size)
+    c.putStr(buf, protocol)
+    c.putStr(buf, leader)
+    c.putStr(buf, memberId)
+    c.putLen(buf, members.size)
     members.foreach { case (m, meta) =>
-      writeString(buf, m)
-      writeBytes(buf, meta)
+      c.putStr(buf, m)
+      if (version >= 5) c.putStr(buf, null) // group_instance_id
+      c.putBytes(buf, meta)
+      c.putTags(buf)
     }
+    c.putTags(buf)
+  }
+
+  final case class JoinGroupResult(error: Short, generation: Int,
+                                   protocol: String, leader: String,
+                                   memberId: String,
+                                   members: Seq[(String, Array[Byte])])
+
+  def readJoinGroupResponse(buf: ByteBuffer, version: Int = 0): JoinGroupResult = {
+    val c = new Codec(version >= 6)
+    if (version >= 2) buf.getInt // throttle
+    val error = buf.getShort
+    val gen = buf.getInt
+    val protocol = c.str(buf)
+    val leader = c.str(buf)
+    val member = c.str(buf)
+    val members = (0 until c.len(buf)).map { _ =>
+      val m = c.str(buf)
+      if (version >= 5) c.str(buf)
+      val meta = c.bytes(buf)
+      c.tags(buf)
+      m -> meta
+    }
+    c.tags(buf)
+    JoinGroupResult(error, gen, protocol, leader, member, members)
   }
 
   final case class SyncGroupRequest(group: String, generation: Int,
                                     memberId: String,
                                     assignments: Seq[(String, Array[Byte])])
 
-  /** SyncGroup v0: group generation member [member_id assignment]. */
-  def readSyncGroup(buf: ByteBuffer): SyncGroupRequest = {
-    val group = readString(buf)
+  /** SyncGroup v0-v4 (SyncGroupRequest.json): group generation member
+    * group_instance_id (v3+) [member_id assignment]; flexible v4.
+    */
+  def readSyncGroup(buf: ByteBuffer, version: Int = 0): SyncGroupRequest = {
+    val c = new Codec(version >= 4)
+    val group = c.str(buf)
     val gen = buf.getInt
-    val member = readString(buf)
-    val assignments = (0 until buf.getInt).map { _ =>
-      readString(buf) -> readBytes(buf)
+    val member = c.str(buf)
+    if (version >= 3) c.str(buf) // group_instance_id
+    val assignments = (0 until c.len(buf)).map { _ =>
+      val a = c.str(buf) -> c.bytes(buf)
+      c.tags(buf)
+      a
     }
+    c.tags(buf)
     SyncGroupRequest(group, gen, member, assignments)
   }
 
-  def writeSyncGroup(buf: ByteBuffer, r: SyncGroupRequest): Unit = {
-    writeString(buf, r.group)
+  def writeSyncGroup(buf: ByteBuffer, r: SyncGroupRequest,
+                     version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    c.putStr(buf, r.group)
     buf.putInt(r.generation)
-    writeString(buf, r.memberId)
-    buf.putInt(r.assignments.size)
+    c.putStr(buf, r.memberId)
+    if (version >= 3) c.putStr(buf, null)
+    c.putLen(buf, r.assignments.size)
     r.assignments.foreach { case (m, a) =>
-      writeString(buf, m)
-      writeBytes(buf, a)
+      c.putStr(buf, m)
+      c.putBytes(buf, a)
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  /** SyncGroup v0 response: error assignment_bytes. */
+  /** SyncGroup response: throttle (v1+) error assignment_bytes. */
   def writeSyncGroupResponse(buf: ByteBuffer, error: Short,
-                             assignment: Array[Byte]): Unit = {
+                             assignment: Array[Byte],
+                             version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    if (version >= 1) buf.putInt(0) // throttle
     buf.putShort(error)
-    writeBytes(buf, assignment)
+    c.putBytes(buf, assignment)
+    c.putTags(buf)
   }
 
-  /** Heartbeat v0: group generation member → error. */
-  def readHeartbeat(buf: ByteBuffer): (String, Int, String) =
-    (readString(buf), buf.getInt, readString(buf))
+  def readSyncGroupResponse(buf: ByteBuffer,
+                            version: Int = 0): (Short, Array[Byte]) = {
+    val c = new Codec(version >= 4)
+    if (version >= 1) buf.getInt
+    val r = (buf.getShort, c.bytes(buf))
+    c.tags(buf)
+    r
+  }
+
+  /** Heartbeat v0-v4 (HeartbeatRequest.json): group generation member
+    * group_instance_id (v3+) → throttle (v1+) error; flexible v4.
+    */
+  def readHeartbeat(buf: ByteBuffer, version: Int = 0): (String, Int, String) = {
+    val c = new Codec(version >= 4)
+    val r = (c.str(buf), buf.getInt, c.str(buf))
+    if (version >= 3) c.str(buf)
+    c.tags(buf)
+    r
+  }
 
   def writeHeartbeat(buf: ByteBuffer, group: String, generation: Int,
-                     memberId: String): Unit = {
-    writeString(buf, group)
+                     memberId: String, version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    c.putStr(buf, group)
     buf.putInt(generation)
-    writeString(buf, memberId)
+    c.putStr(buf, memberId)
+    if (version >= 3) c.putStr(buf, null)
+    c.putTags(buf)
   }
 
-  /** LeaveGroup v0: group member → error. */
-  def readLeaveGroup(buf: ByteBuffer): (String, String) =
-    (readString(buf), readString(buf))
-
-  def writeLeaveGroup(buf: ByteBuffer, group: String, memberId: String): Unit = {
-    writeString(buf, group)
-    writeString(buf, memberId)
+  /** Error-only response body (Heartbeat, LeaveGroup ≤v2). */
+  def writeErrorResponse(buf: ByteBuffer, error: Short, version: Int,
+                         flexible: Boolean, throttleFrom: Int = 1): Unit = {
+    if (version >= throttleFrom) buf.putInt(0) // throttle
+    buf.putShort(error)
+    if (flexible) writeEmptyTaggedFields(buf)
   }
 
-  /** FindCoordinator v0: group → error node_id host port. */
-  def readFindCoordinator(buf: ByteBuffer): String = readString(buf)
+  def readErrorResponse(buf: ByteBuffer, version: Int, flexible: Boolean,
+                        throttleFrom: Int = 1): Short = {
+    if (version >= throttleFrom) buf.getInt
+    val e = buf.getShort
+    if (flexible) skipTaggedFields(buf)
+    e
+  }
+
+  /** LeaveGroup v0-v4 (LeaveGroupRequest.json): group member (≤v2) /
+    * [member_id group_instance_id] (v3+, batched); flexible v4.
+    */
+  def readLeaveGroup(buf: ByteBuffer, version: Int = 0): (String, Seq[String]) = {
+    val c = new Codec(version >= 4)
+    val group = c.str(buf)
+    val members =
+      if (version < 3) Seq(c.str(buf))
+      else (0 until c.len(buf)).map { _ =>
+        val m = c.str(buf)
+        c.str(buf) // group_instance_id
+        c.tags(buf)
+        m
+      }
+    c.tags(buf)
+    (group, members)
+  }
+
+  def writeLeaveGroup(buf: ByteBuffer, group: String, memberId: String,
+                      version: Int = 0): Unit =
+    writeLeaveGroupBatch(buf, group, Seq(memberId), version)
+
+  def writeLeaveGroupBatch(buf: ByteBuffer, group: String,
+                           members: Seq[String], version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    c.putStr(buf, group)
+    if (version < 3) c.putStr(buf, members.head)
+    else {
+      c.putLen(buf, members.size)
+      members.foreach { m =>
+        c.putStr(buf, m)
+        c.putStr(buf, null)
+        c.putTags(buf)
+      }
+    }
+    c.putTags(buf)
+  }
+
+  /** LeaveGroup response: throttle (v1+) error [member_id
+    * group_instance_id error] (v3+).
+    */
+  def writeLeaveGroupResponse(buf: ByteBuffer,
+                              results: Seq[(String, Short)],
+                              version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    if (version >= 1) buf.putInt(0)
+    buf.putShort(results.collectFirst { case (_, e) if e != 0 => e }.getOrElse(0))
+    if (version >= 3) {
+      c.putLen(buf, results.size)
+      results.foreach { case (m, e) =>
+        c.putStr(buf, m)
+        c.putStr(buf, null)
+        buf.putShort(e)
+        c.putTags(buf)
+      }
+    }
+    c.putTags(buf)
+  }
+
+  def readLeaveGroupResponse(buf: ByteBuffer,
+                             version: Int = 0): (Short, Seq[(String, Short)]) = {
+    val c = new Codec(version >= 4)
+    if (version >= 1) buf.getInt
+    val top = buf.getShort
+    val members =
+      if (version < 3) Nil
+      else (0 until c.len(buf)).map { _ =>
+        val m = c.str(buf); c.str(buf)
+        val e = buf.getShort
+        c.tags(buf)
+        m -> e
+      }
+    c.tags(buf)
+    (top, members)
+  }
+
+  /** FindCoordinator v0-v3 (FindCoordinatorRequest.json): key key_type
+    * (v1+) → throttle (v1+) error error_message (v1+) node_id host port;
+    * flexible v3.
+    */
+  def readFindCoordinator(buf: ByteBuffer, version: Int = 0): String = {
+    val c = new Codec(version >= 3)
+    val key = c.str(buf)
+    if (version >= 1) buf.get // key_type
+    c.tags(buf)
+    key
+  }
+
+  def writeFindCoordinator(buf: ByteBuffer, key: String,
+                           version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    c.putStr(buf, key)
+    if (version >= 1) buf.put(0.toByte)
+    c.putTags(buf)
+  }
 
   def writeFindCoordinatorResponse(buf: ByteBuffer, error: Short, nodeId: Int,
-                                   host: String, port: Int): Unit = {
+                                   host: String, port: Int,
+                                   version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    if (version >= 1) buf.putInt(0) // throttle
     buf.putShort(error)
+    if (version >= 1) c.putStr(buf, null) // error_message
     buf.putInt(nodeId)
-    writeString(buf, host)
+    c.putStr(buf, host)
     buf.putInt(port)
+    c.putTags(buf)
+  }
+
+  def readFindCoordinatorResponse(buf: ByteBuffer,
+                                  version: Int = 0): (Short, Int, String, Int) = {
+    val c = new Codec(version >= 3)
+    if (version >= 1) buf.getInt
+    val e = buf.getShort
+    if (version >= 1) c.str(buf)
+    val r = (e, buf.getInt, c.str(buf), buf.getInt)
+    c.tags(buf)
+    r
   }
 
   // ------------------------------------------------- topic lifecycle APIs
@@ -901,8 +1221,8 @@ object WireProtocol {
   /** (api_key, min_version, max_version) triples this facade serves. */
   val SupportedApis: Seq[(Int, Int, Int)] = Seq(
     (0, 3, 9), (1, 4, 12), (2, 1, 1), (3, 1, 9),
-    (8, 2, 2), (9, 1, 1), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0),
-    (14, 0, 0), (15, 0, 0), (16, 0, 0), (17, 1, 1), (18, 0, 3), (19, 0, 0),
+    (8, 0, 8), (9, 0, 7), (10, 0, 3), (11, 0, 6), (12, 0, 4), (13, 0, 4),
+    (14, 0, 4), (15, 0, 0), (16, 0, 0), (17, 1, 1), (18, 0, 3), (19, 0, 0),
     (20, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0),
     (32, 0, 0), (36, 0, 0), (42, 0, 0), (47, 0, 0))
 

@@ -339,6 +339,89 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("every advertised version of the coordinator/offset plane round-trips") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-cp").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("cp", 2)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      var corr = 400
+      // one call shape for the whole matrix: flexible versions get a
+      // header-v2 request and their response tagged-fields skipped
+      def call(api: Short, v: Int)(w: ByteBuffer => Unit): ByteBuffer = {
+        corr += 1
+        val flex = W.isFlexible(api, v.toShort)
+        val r = if (flex) flexRequest(sock, api, v.toShort, corr)(w)
+                else request(sock, api, v.toShort, corr)(w)
+        if (flex) W.skipTaggedFields(r)
+        r
+      }
+
+      // FindCoordinator v0-v3
+      (0 to 3).foreach { v =>
+        val r = call(10, v)(b => W.writeFindCoordinator(b, "cg", v))
+        val (e, _, h, p) = W.readFindCoordinatorResponse(r, v)
+        assert(e === 0 && h === "127.0.0.1" && p === broker.boundPort, s"findCoord v$v")
+      }
+
+      // the full membership flow at every JoinGroup version, a fresh
+      // group per version (Sync/Heartbeat/Leave at their capped maxes)
+      (0 to 6).foreach { v =>
+        val g = s"cg$v"
+        val jr0 = call(11, v) { b =>
+          W.writeJoinGroup(b, W.JoinGroupRequest(g, 30000, "", "consumer",
+            Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("cp"))))), v)
+        }
+        val jr = W.readJoinGroupResponse(jr0, v)
+        assert(jr.error === 0 && jr.leader === jr.memberId, s"join v$v")
+        assert(jr.members.map(_._1) === Seq(jr.memberId), s"join v$v members")
+
+        val sv = math.min(v, 4)
+        val sr0 = call(14, sv) { b =>
+          W.writeSyncGroup(b,
+            W.SyncGroupRequest(g, jr.generation, jr.memberId, Seq.empty), sv)
+        }
+        val (se, assign) = W.readSyncGroupResponse(sr0, sv)
+        assert(se === 0, s"sync v$sv")
+        assert(W.decodeAssignment(assign) === Seq("cp" -> Seq(0, 1)), s"sync v$sv")
+
+        val hv = math.min(v, 4)
+        val hr = call(12, hv)(b =>
+          W.writeHeartbeat(b, g, jr.generation, jr.memberId, hv))
+        assert(W.readErrorResponse(hr, hv, hv >= 4) === 0, s"heartbeat v$hv")
+
+        val lv = math.min(v, 4)
+        val lr0 = call(13, lv)(b =>
+          W.writeLeaveGroupBatch(b, g, Seq(jr.memberId), lv))
+        val (le, lm) = W.readLeaveGroupResponse(lr0, lv)
+        assert(le === 0, s"leave v$lv")
+        if (lv >= 3) assert(lm === Seq(jr.memberId -> 0.toShort), s"leave v$lv")
+      }
+
+      // OffsetCommit v0-v8 / OffsetFetch v0-v7 on one group
+      (0 to 8).foreach { v =>
+        val r = call(8, v) { b =>
+          W.writeOffsetCommit(b, W.OffsetCommitRequest("og", Seq(
+            W.CommitTopic("cp", Seq(W.CommitPartition(0, 100L + v, ""))))), v)
+        }
+        assert(W.readOffsetCommitResponse(r, v) ===
+          Seq("cp" -> Seq((0, 0.toShort))), s"offsetCommit v$v")
+      }
+      (0 to 7).foreach { v =>
+        val r = call(9, v)(b =>
+          W.writeOffsetFetch(b, W.OffsetFetchRequest("og", Seq("cp" -> Seq(0))), v))
+        assert(W.readOffsetFetchResponse(r, v) ===
+          Seq("cp" -> Seq((0, 108L))), s"offsetFetch v$v")
+      }
+      // a null topic array (v2+) returns every offset the group holds
+      val all = call(9, 7)(b =>
+        W.writeOffsetFetch(b, W.OffsetFetchRequest("og", null), 7))
+      assert(W.readOffsetFetchResponse(all, 7) === Seq("cp" -> Seq((0, 108L))))
+      sock.close()
+    } finally broker.close()
+  }
+
   test("produce/fetch round-trip over the wire (S1/S2/S3 end-to-end)") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
     val storage = new ParquetStorage(spark, root)
