@@ -16,14 +16,19 @@ import graft.storage.Storage
   * `nisshi-service/src/stream.rs:41-133` per-conn service,
   * `nisshi-broker/src/service.rs:36-60` route).
   *
-  * Serves 17 APIs: the produce/fetch/offsets data plane, the full
-  * consumer-group membership flow (FindCoordinator → JoinGroup →
-  * SyncGroup → Heartbeat → LeaveGroup, backed by
-  * [[graft.coordinator.GroupCoordinator]] — assignments are computed by
-  * the coordinator's negotiated assignor, so the leader's SyncGroup
-  * assignment payload is accepted but not required), topic lifecycle
-  * (CreateTopics/DeleteTopics), and the transactional produce flow
-  * (InitProducerId → AddPartitionsToTxn → Produce → EndTxn).
+  * Serves 37 APIs (see [[WireProtocol.SupportedApis]]): the
+  * produce/fetch/offsets data plane, the full consumer-group membership
+  * flow (FindCoordinator → JoinGroup → SyncGroup → Heartbeat →
+  * LeaveGroup, backed by [[graft.coordinator.GroupCoordinator]] —
+  * assignments are computed by the coordinator's negotiated assignor, so
+  * the leader's SyncGroup assignment payload is accepted but not
+  * required), topic lifecycle + dynamic config
+  * (CreateTopics/DeleteTopics/DescribeConfigs/IncrementalAlterConfigs),
+  * the transactional flows (InitProducerId → AddPartitionsToTxn /
+  * AddOffsetsToTxn → Produce/TxnOffsetCommit → EndTxn), ACL and SCRAM
+  * credential admin, and the cluster-introspection set (DescribeCluster,
+  * DescribeTopicPartitions, ConsumerGroupDescribe,
+  * ListPartitionReassignments, GetTelemetrySubscriptions).
   *
   * This layer is deliberately thin and non-Spark: the storage engine
   * behind it does all data processing.
@@ -70,6 +75,11 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   private final class ConnState(val gate: Boolean) {
     var scram: Option[Scram.ServerSession] = None
     var firstDone = false
+    /** SaslHandshake v0 negotiated: the frames that follow are BARE SASL
+      * tokens (no Kafka header, no correlation id) until auth completes —
+      * the pre-KIP-152 exchange legacy clients still use.
+      */
+    var legacyTokens = false
     def authenticated: Boolean = scram.exists(_.authenticatedUser.isDefined)
   }
 
@@ -126,18 +136,45 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         val len = in.readInt()
         val frame = new Array[Byte](len)
         in.readFully(frame)
-        val buf = ByteBuffer.wrap(frame)
-        val header = readHeader(buf)
-        val resp = route(header, buf, conn)
-        out.writeInt(resp.length + 4)
-        out.writeInt(header.correlationId)
-        out.write(resp)
-        out.flush()
+        if (conn.legacyTokens && !conn.authenticated) {
+          // SaslHandshake v0 exchange: the frame IS the SASL token and
+          // the reply frame carries the raw server token, headerless
+          val reply = legacySaslToken(frame, conn)
+          out.writeInt(reply.length)
+          out.write(reply)
+          out.flush()
+          if (conn.authenticated) conn.legacyTokens = false
+        } else {
+          val buf = ByteBuffer.wrap(frame)
+          val header = readHeader(buf)
+          val resp = route(header, buf, conn)
+          out.writeInt(resp.length + 4)
+          out.writeInt(header.correlationId)
+          out.write(resp)
+          out.flush()
+        }
       }
     } catch {
       case _: java.io.EOFException => // client closed
       case NonFatal(_) =>
     } finally sock.close()
+  }
+
+  /** One step of the headerless SASL exchange behind SaslHandshake v0;
+    * an auth failure throws, dropping the connection (the legacy
+    * protocol has no error frame to send).
+    */
+  private def legacySaslToken(frame: Array[Byte], conn: ConnState): Array[Byte] = {
+    val session = conn.scram.getOrElse(
+      throw new IllegalStateException("no SASL session"))
+    val msg = new String(frame, "UTF-8")
+    val result =
+      if (!conn.firstDone) { conn.firstDone = true; session.handleClientFirst(msg) }
+      else session.handleClientFinal(msg)
+    result match {
+      case Right(reply) => reply.getBytes("UTF-8")
+      case Left(err) => throw new IllegalStateException(s"SASL failed: $err")
+    }
   }
 
   private def route(header: RequestHeader, buf: ByteBuffer,
@@ -178,26 +215,31 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
                 Scram.Credential(c.salt, c.iterations, c.storedKey, c.serverKey)),
               mech = m))
             conn.firstDone = false
+            // v0: the SASL tokens that follow arrive as bare frames
+            conn.legacyTokens = header.apiVersion == 0
             writeSaslHandshakeResponse(out, 0, Scram.Mechanisms.map(_.name))
           case _ =>
             writeSaslHandshakeResponse(out, 33, // UNSUPPORTED_SASL_MECHANISM
               if (!conn.gate) Seq.empty else Scram.Mechanisms.map(_.name))
         }
       case 36 =>
-        val bytes = Option(readSaslAuthenticate(buf)).getOrElse(Array.empty[Byte])
+        val v = header.apiVersion.toInt
+        val bytes = Option(readSaslAuthenticate(buf, v)).getOrElse(Array.empty[Byte])
         val msg = new String(bytes, "UTF-8")
         conn.scram match {
           case None =>
-            writeSaslAuthenticateResponse(out, 58, "handshake first", Array.empty)
+            writeSaslAuthenticateResponse(out, 58, "handshake first",
+              Array.empty, v)
           case Some(session) =>
             val result =
               if (!conn.firstDone) { conn.firstDone = true; session.handleClientFirst(msg) }
               else session.handleClientFinal(msg)
             result match {
               case Right(reply) =>
-                writeSaslAuthenticateResponse(out, 0, null, reply.getBytes("UTF-8"))
+                writeSaslAuthenticateResponse(out, 0, null,
+                  reply.getBytes("UTF-8"), v)
               case Left(err) => // SASL_AUTHENTICATION_FAILED
-                writeSaslAuthenticateResponse(out, 58, err, Array.empty)
+                writeSaslAuthenticateResponse(out, 58, err, Array.empty, v)
             }
         }
       case 18 =>
@@ -220,7 +262,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         handleProduce(buf, out, header.apiVersion)
       case 1 =>
         used = handleFetch(buf, out, header.apiVersion)
-      case 2 => handleListOffsets(buf, out)
+      case 2 => handleListOffsets(buf, out, header.apiVersion.toInt)
       case 8 =>
         val v = header.apiVersion.toInt
         val req = readOffsetCommit(buf, v)
@@ -247,10 +289,10 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         }
         writeOffsetFetchResponse(out, results, v)
       case 10 =>
-        // group key — single-broker: always us
-        readFindCoordinator(buf, header.apiVersion.toInt)
+        // group key — single-broker: always us (v4 batches keys)
+        val keys = readFindCoordinator(buf, header.apiVersion.toInt)
         writeFindCoordinatorResponse(out, 0, 0, host, boundPort,
-          header.apiVersion.toInt)
+          header.apiVersion.toInt, keys)
       case 11 => handleJoinGroup(buf, out, header.apiVersion.toInt)
       case 12 =>
         val v = header.apiVersion.toInt
@@ -266,37 +308,28 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         writeLeaveGroupResponse(out, results, v)
       case 14 => handleSyncGroup(buf, out, header.apiVersion.toInt)
       case 15 =>
-        val names = readDescribeGroups(buf)
-        val described = names.map { g =>
-          coordinator.describe(g) match {
-            case Some((state, _, _)) =>
-              val kafkaState =
-                if (state == "Formed") "Stable" else "PreparingRebalance"
-              val assignment = coordinator.assignmentOf(g)
-              val members = coordinator.membersOf(g).map { case (m, topics) =>
-                val byTopic = assignment.getOrElse(m, Seq.empty)
-                  .groupBy(_.topic).toSeq.sortBy(_._1)
-                  .map { case (t, ps) => t -> ps.map(_.partition).sorted }
-                DescribedMember(m, encodeSubscription(topics.toSeq.sorted),
-                  encodeAssignment(byTopic))
-              }
-              DescribedGroup(0, g, kafkaState, "consumer", "range", members)
-            case None =>
-              DescribedGroup(69, g, "Dead", "", "", Seq.empty) // GROUP_ID_NOT_FOUND
-          }
-        }
-        writeDescribeGroupsResponse(out, described)
+        val v = header.apiVersion.toInt
+        val names = readDescribeGroups(buf, v)
+        writeDescribeGroupsResponse(out, names.map(describeGroup), v)
       case 16 =>
-        writeListGroupsResponse(out, coordinator.listGroups())
+        val v = header.apiVersion.toInt
+        val statesFilter = readListGroups(buf, v).toSet
+        val groups = coordinator.listGroups()
+          .map(g => g -> groupKafkaState(g))
+          .filter { case (_, st) =>
+            statesFilter.isEmpty || statesFilter.contains(st)
+          }
+        writeListGroupsResponse(out, groups, v)
       case 42 =>
-        val names = readDeleteGroups(buf)
+        val v = header.apiVersion.toInt
+        val names = readDeleteGroups(buf, v)
         val results = names.map { g =>
           if (coordinator.hasMembers(g)) g -> 68.toShort // NON_EMPTY_GROUP
           else if (storage.groupState(g).isEmpty && storage.groupOffsets(g).isEmpty)
             g -> 69.toShort // GROUP_ID_NOT_FOUND
           else { storage.deleteGroup(g); g -> 0.toShort }
         }
-        writeDeleteGroupsResponse(out, results)
+        writeDeleteGroupsResponse(out, results, v)
       case 47 =>
         val (group, reqTopics) = readOffsetDelete(buf)
         if (storage.groupState(group).isEmpty && storage.groupOffsets(group).isEmpty)
@@ -312,7 +345,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           writeOffsetDeleteResponse(out, 0, results)
         }
       case 32 =>
-        val req = readDescribeConfigs(buf)
+        val v = header.apiVersion.toInt
+        val req = readDescribeConfigs(buf, v)
         val results = req.map { case (rt, name, keys) =>
           if (rt != 2 || !storage.topics.contains(name)) // topic resources only
             (3.toShort, rt, name, Seq.empty[(String, String)])
@@ -325,61 +359,195 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
             (0.toShort, rt, name, selected)
           }
         }
-        writeDescribeConfigsResponse(out, results)
+        writeDescribeConfigsResponse(out, results, v)
       case 21 =>
-        val req = readDeleteRecords(buf)
+        val v = header.apiVersion.toInt
+        val req = readDeleteRecords(buf, v)
         val results = req.map { case (t, parts) =>
           t -> parts.map { case (p, off) =>
             if (!storage.topics.contains(t)) (p, -1L, 3.toShort)
             else (p, storage.deleteRecords(Topition(t, p), off), 0.toShort)
           }
         }
-        writeDeleteRecordsResponse(out, results)
+        writeDeleteRecordsResponse(out, results, v)
       case 19 =>
-        val reqTopics = readCreateTopics(buf)
+        val v = header.apiVersion.toInt
+        val reqTopics = readCreateTopics(buf, v)
         val results = reqTopics.map { t =>
-          if (storage.topics.contains(t.name)) t.name -> 36.toShort // TOPIC_ALREADY_EXISTS
+          if (storage.topics.contains(t.name))
+            (t.name, 36.toShort, -1, Map.empty[String, String]) // TOPIC_ALREADY_EXISTS
           else {
-            storage.createTopic(t.name, math.max(t.numPartitions, 1), t.configs)
-            t.name -> 0.toShort
+            val nParts = math.max(t.numPartitions, 1)
+            storage.createTopic(t.name, nParts, t.configs)
+            (t.name, 0.toShort, nParts, t.configs)
           }
         }
-        writeTopicErrorsResponse(out, results)
+        writeCreateTopicsResponse(out, results, v)
       case 20 =>
-        val names = readDeleteTopics(buf)
-        val results = names.map { n =>
-          if (!storage.topics.contains(n)) n -> 3.toShort // UNKNOWN_TOPIC_OR_PARTITION
+        val v = header.apiVersion.toInt
+        val reqTopics = readDeleteTopics(buf, v)
+        val known = storage.topics
+        val results = reqTopics.map { case (name, id) =>
+          // v6 may address by topic id alone — resolve via the
+          // name-derived uuid scheme
+          val n = Option(name).getOrElse(
+            known.find(t => topicUuid(t) == id).orNull)
+          if (n == null || !known.contains(n))
+            Option(n).getOrElse("") -> 3.toShort // UNKNOWN_TOPIC_OR_PARTITION
           else {
             storage.deleteTopic(n)
             n -> 0.toShort
           }
         }
-        writeTopicErrorsResponse(out, results)
+        writeDeleteTopicsResponse(out, results, v)
       case 22 =>
-        val (txnId, _) = readInitProducerId(buf)
+        val v = header.apiVersion.toInt
+        val (txnId, _) = readInitProducerId(buf, v)
         val (pid, epoch) = storage.initProducer(txnId)
-        writeInitProducerIdResponse(out, 0, pid, epoch.toShort)
+        writeInitProducerIdResponse(out, 0, pid, epoch.toShort, v)
       case 24 =>
-        val req = readAddPartitionsToTxn(buf)
+        val v = header.apiVersion.toInt
+        val req = readAddPartitionsToTxn(buf, v)
         val results = req.topics.map { case (t, parts) =>
           t -> parts.map { p =>
             (p, storage.txnBegin(req.producerId, Topition(t, p),
               req.epoch.toInt).toShort)
           }
         }
-        writeAddPartitionsToTxnResponse(out, results)
+        writeAddPartitionsToTxnResponse(out, results, v)
+      case 25 =>
+        val v = header.apiVersion.toInt
+        val (_, pid, epoch, group) = readAddOffsetsToTxn(buf, v)
+        writeEndTxnResponse(out,
+          storage.txnAddOffsets(pid, group, epoch.toInt).toShort, v)
       case 26 =>
-        val (_, pid, epoch, committed) = readEndTxn(buf)
-        writeEndTxnResponse(out, storage.txnEnd(pid, committed, epoch.toInt).toShort)
+        val v = header.apiVersion.toInt
+        val (_, pid, epoch, committed) = readEndTxn(buf, v)
+        writeEndTxnResponse(out,
+          storage.txnEnd(pid, committed, epoch.toInt).toShort, v)
       case 28 =>
-        val req = readTxnOffsetCommit(buf)
+        val v = header.apiVersion.toInt
+        val req = readTxnOffsetCommit(buf, v)
         val results = req.topics.map { case (t, parts) =>
           t -> parts.map { case (p, off) =>
             (p, storage.txnOffsetCommit(req.producerId, req.group,
               Topition(t, p), off, req.epoch.toInt).toShort)
           }
         }
-        writeTxnOffsetCommitResponse(out, results)
+        writeTxnOffsetCommitResponse(out, results, v)
+      case 29 =>
+        val v = header.apiVersion.toInt
+        val f = readDescribeAcls(buf, v)
+        def matches(filter: String, value: String): Boolean =
+          filter == null || filter == value
+        val acls = storage.listAcls().filter { a =>
+          (f.resourceType == 1 || f.resourceType.toInt == a.resourceType) &&
+            matches(f.resourceName, a.resourceName) &&
+            // pattern_type_filter: 0 UNKNOWN / 1 ANY / 2 MATCH are
+            // wildcard-ish here (single-broker, no prefix hierarchy)
+            (f.patternType <= 2 || f.patternType.toInt == a.patternType) &&
+            matches(f.principal, a.principal) &&
+            matches(f.host, a.host) &&
+            (f.operation == 1 || f.operation.toInt == a.operation) &&
+            (f.permissionType == 1 || f.permissionType.toInt == a.permissionType)
+        }.map(a => AclBinding(a.resourceType.toByte, a.resourceName,
+          a.patternType.toByte, a.principal, a.host, a.operation.toByte,
+          a.permissionType.toByte))
+        writeDescribeAclsResponse(out, acls, v)
+      case 30 =>
+        val v = header.apiVersion.toInt
+        val creations = readCreateAcls(buf, v)
+        storage.createAcls(creations.map(a =>
+          graft.model.Model.AclEntry(a.resourceType.toInt, a.resourceName,
+            a.patternType.toInt, a.principal, a.host, a.operation.toInt,
+            a.permissionType.toInt)))
+        writeCreateAclsResponse(out, creations.map(_ => 0.toShort), v)
+      case 44 =>
+        val v = header.apiVersion.toInt
+        val (resources, validateOnly) = readIncrementalAlterConfigs(buf, v)
+        val results = resources.map { case (rt, rn, ops) =>
+          if (rt != 2) (42.toShort, rt, rn) // INVALID_REQUEST: topics only
+          else if (!storage.topics.contains(rn)) (3.toShort, rt, rn)
+          else if (ops.exists(o => o.op != 0 && o.op != 1))
+            (42.toShort, rt, rn) // APPEND/SUBTRACT: list configs unsupported
+          else {
+            if (!validateOnly) {
+              val sets = ops.filter(_.op == 0).map(o => o.name -> o.value).toMap
+              val dels = ops.filter(_.op == 1).map(_.name)
+              storage.alterTopicConfig(rn, sets, dels)
+            }
+            (0.toShort, rt, rn)
+          }
+        }
+        writeIncrementalAlterConfigsResponse(out, results, v)
+      case 46 =>
+        val requested = readListPartitionReassignments(buf)
+        val topics = requested.getOrElse(
+          storage.topics.map(t => t -> (0 until partitionsOf(t))))
+          .map { case (t, ps) =>
+            t -> (if (ps.isEmpty) 0 until partitionsOf(t) else ps).toSeq
+          }
+        // no reassignments ever in flight on a single-node broker: echo
+        // the static replica sets so admin tooling sees "none pending"
+        writeListPartitionReassignmentsResponse(out,
+          topics.filter { case (t, _) => storage.topics.contains(t) })
+      case 50 =>
+        val requested = readDescribeUserScram(buf)
+        val byUser = storage.listScramCredentials()
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val users = requested.getOrElse(byUser.keys.toSeq.sorted)
+        val results = users.map { u =>
+          byUser.get(u) match {
+            case Some(mechs) =>
+              val infos = mechs.sorted.flatMap { m =>
+                storage.scramCredential(u, m).map(c =>
+                  (scramMechanismCode(m), c.iterations))
+              }
+              (u, 0.toShort, infos)
+            case None => (u, 91.toShort, Nil) // RESOURCE_NOT_FOUND
+          }
+        }
+        writeDescribeUserScramResponse(out, results)
+      case 51 =>
+        val (deletions, upsertions) = readAlterUserScram(buf)
+        val delResults = deletions.map { case (u, mech) =>
+          scramMechanismName(mech) match {
+            case None => u -> 33.toShort // UNSUPPORTED_SASL_MECHANISM
+            case Some(m) =>
+              if (storage.deleteScramCredential(u, m)) u -> 0.toShort
+              else u -> 91.toShort // RESOURCE_NOT_FOUND
+          }
+        }
+        val upResults = upsertions.map { up =>
+          (scramMechanismName(up.mechanism), Scram.mechanism(
+            scramMechanismName(up.mechanism).getOrElse(""))) match {
+            case (Some(name), Some(mech)) =>
+              val c = Scram.credentialFromSaltedPassword(
+                up.saltedPassword, up.salt, up.iterations, mech)
+              storage.upsertScramCredential(up.user,
+                graft.model.Model.ScramCredential(name, c.salt, c.iterations,
+                  c.storedKey, c.serverKey))
+              up.user -> 0.toShort
+            case _ => up.user -> 33.toShort
+          }
+        }
+        writeAlterUserScramResponse(out, delResults ++ upResults)
+      case 60 =>
+        val v = header.apiVersion.toInt
+        readDescribeCluster(buf, v)
+        writeDescribeClusterResponse(out, "graft", host, boundPort, v)
+      case 69 =>
+        val groups = readConsumerGroupDescribe(buf)
+        writeConsumerGroupDescribeResponse(out, groups.map(cgDescribe))
+      case 71 =>
+        val clientId = readGetTelemetrySubscriptions(buf)
+        writeGetTelemetrySubscriptionsResponse(out, clientId)
+      case 75 =>
+        val requested = readDescribeTopicPartitions(buf)
+        val topics =
+          if (requested.isEmpty) metadataTopics(None).sortBy(_._1)
+          else metadataTopics(Some(requested))
+        writeDescribeTopicPartitionsResponse(out, topics)
       case other =>
         throw new UnsupportedOperationException(s"api_key $other not served")
     }
@@ -402,6 +570,52 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       val want = math.max(maxBytes.toLong, 0L) + (1 << 16)
       math.max(1 << 22, math.min(want, 512L << 20)).toInt
     } else 1 << 22
+
+  /** Coordinator state → the Kafka group-state string of the admin APIs. */
+  private def groupKafkaState(g: String): String =
+    coordinator.describe(g) match {
+      case Some((state, _, _)) =>
+        if (state == "Formed") "Stable" else "PreparingRebalance"
+      case None => "Dead"
+    }
+
+  /** One group's DescribeGroups row (classic admin view). */
+  private def describeGroup(g: String): DescribedGroup =
+    coordinator.describe(g) match {
+      case Some(_) =>
+        val assignment = coordinator.assignmentOf(g)
+        val members = coordinator.membersOf(g).map { case (m, topics) =>
+          val byTopic = assignment.getOrElse(m, Seq.empty)
+            .groupBy(_.topic).toSeq.sortBy(_._1)
+            .map { case (t, ps) => t -> ps.map(_.partition).sorted }
+          DescribedMember(m, encodeSubscription(topics.toSeq.sorted),
+            encodeAssignment(byTopic))
+        }
+        DescribedGroup(0, g, groupKafkaState(g), "consumer", "range", members)
+      case None =>
+        DescribedGroup(69, g, "Dead", "", "", Seq.empty) // GROUP_ID_NOT_FOUND
+    }
+
+  /** One group's ConsumerGroupDescribe row — the KIP-848 admin view
+    * mapped onto the classic coordinator: generation = group/assignment
+    * epoch, negotiated assignor name, per-member subscriptions and
+    * current assignment (assignment == target: rebalances are atomic
+    * here).
+    */
+  private def cgDescribe(g: String): CgDescribedGroup =
+    coordinator.describe(g) match {
+      case Some((_, generation, _)) =>
+        val assignment = coordinator.assignmentOf(g)
+        val members = coordinator.membersOf(g).map { case (m, topics) =>
+          val byTopic = assignment.getOrElse(m, Seq.empty)
+            .groupBy(_.topic).toSeq.sortBy(_._1)
+            .map { case (t, ps) => t -> ps.map(_.partition).sorted }
+          CgDescribeMember(m, generation, topics.toSeq.sorted, byTopic)
+        }
+        CgDescribedGroup(0, g, groupKafkaState(g), generation, "range", members)
+      case None =>
+        CgDescribedGroup(69, g, "Dead", -1, "", Seq.empty)
+    }
 
   /** Coordinator error string → Kafka error code. */
   private def groupError(e: String): Short = e match {
@@ -537,21 +751,27 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     else writeProduceResponse(out, results, throttle, version)
   }
 
-  private def handleListOffsets(buf: ByteBuffer, out: ByteBuffer): Unit = {
-    val req = readListOffsets(buf)
+  private def handleListOffsets(buf: ByteBuffer, out: ByteBuffer,
+                                version: Int): Unit = {
+    val req = readListOffsets(buf, version)
+    val readCommitted = req.isolation == 1
     val results = req.topics.map { t =>
       val parts = t.partitions.map { p =>
         val tp = Topition(t.topic, p.partition)
         val offset = p.timestamp match {
           case -2L => storage.listEarliestOffset(tp)
-          case -1L => storage.listLatestOffset(tp)
+          case -1L => // latest visible under the isolation level
+            val stage = storage.offsetStage(tp)
+            if (readCommitted) stage.lastStable else stage.highWatermark
+          case -3L if version >= 7 => // KIP-734 max-timestamp offset
+            storage.maxTimestampOffset(tp).getOrElse(-1L)
           case ts => storage.offsetForTimestamp(tp, ts).getOrElse(-1L)
         }
         (p.partition, 0.toShort, p.timestamp, offset)
       }
       t.topic -> parts
     }
-    writeListOffsetsResponse(out, results)
+    writeListOffsetsResponse(out, results, version)
   }
 
   /** One partition's records (maxBytes-bounded by the byte-budget

@@ -65,8 +65,17 @@ object Scram {
 
   def credential(password: String, salt: Array[Byte],
                  iterations: Int = DefaultIterations,
-                 mech: Mech = Sha256): Credential = {
-    val sp = saltedPassword(password, salt, iterations, mech)
+                 mech: Mech = Sha256): Credential =
+    credentialFromSaltedPassword(
+      saltedPassword(password, salt, iterations, mech), salt, iterations, mech)
+
+  /** KIP-554 upsert path (AlterUserScramCredentials): the admin client
+    * sends Hi(password) — the server derives StoredKey/ServerKey from the
+    * salted password and never sees the cleartext.
+    */
+  def credentialFromSaltedPassword(sp: Array[Byte], salt: Array[Byte],
+                                   iterations: Int,
+                                   mech: Mech = Sha256): Credential = {
     val clientKey = hmac(sp, "Client Key".getBytes(UTF_8), mech)
     Credential(salt, iterations, h(clientKey, mech),
       hmac(sp, "Server Key".getBytes(UTF_8), mech))

@@ -3,7 +3,7 @@ package graft.facade
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Kafka wire-protocol codec for the 26 APIs the facade serves —
+/** Kafka wire-protocol codec for the 37 APIs the facade serves —
   * hand-written counterpart of the reference's codegen'd ser/de
   * (`nisshi-sans-io/src/ser.rs`, `de.rs`, driven by the 185 protocol
   * JSONs in `nisshi-sans-io/message/`). Every version ApiVersions
@@ -14,22 +14,35 @@ import java.nio.charset.StandardCharsets
   *    record_errors (v8+) response fields
   *  - Fetch v4-v12 (1) — v4-v11 classic (session fields v7+, leader
   *    epochs v9+, rack v11), v12 flexible; aborted-txn lists on all
+  *  - ListOffsets v0-v8 (2) — isolation (v2+), leader epochs (v4+),
+  *    flexible v6+, max-timestamp lookups (v7+, KIP-734)
   *  - Metadata v1-v9 (3) — cluster_id (v2+), throttle (v3+), offline
   *    replicas (v5+), leader epoch (v7+), authorized-ops (v8+), v9
   *    flexible; per-topic error codes
   *  - ApiVersions v0-v3 (18) — v3 flexible, >max downgrade dance
-  *  - ListOffsets v1 (2); OffsetCommit v0-v8 (8) and OffsetFetch v0-v7
-  *    (9) — flexible at v8/v6+, null topic array = all group offsets
-  *  - FindCoordinator v0-v3 (10), JoinGroup v0-v6 (11), Heartbeat v0-v4
-  *    (12), LeaveGroup v0-v4 (13, batched v3+), SyncGroup v0-v4 (14) —
-  *    flexible endpoints, group_instance_id fields parsed, with
-  *    ConsumerProtocol Subscription/Assignment v0 payload codecs
-  *  - DescribeGroups v0 (15), ListGroups v0 (16), SaslHandshake v1 (17),
-  *    CreateTopics v0 (19), DeleteTopics v0 (20), DeleteRecords v0 (21)
-  *  - InitProducerId v0 (22), AddPartitionsToTxn v0 (24), EndTxn v0
-  *    (26), TxnOffsetCommit v0 (28), DescribeConfigs v0 (32),
-  *    SaslAuthenticate v0 (36), DeleteGroups v0 (42), OffsetDelete v0
-  *    (47)
+  *  - OffsetCommit v0-v8 (8) and OffsetFetch v0-v7 (9) — flexible at
+  *    v8/v6+, null topic array = all group offsets
+  *  - FindCoordinator v0-v4 (10, batched keys v4), JoinGroup v0-v6 (11),
+  *    Heartbeat v0-v4 (12), LeaveGroup v0-v4 (13, batched v3+),
+  *    SyncGroup v0-v4 (14) — flexible endpoints, group_instance_id
+  *    fields parsed, with ConsumerProtocol Subscription/Assignment v0
+  *    payload codecs
+  *  - DescribeGroups v0-v5 (15), ListGroups v0-v4 (16, states filter
+  *    v4), SaslHandshake v0-v1 (17; v0 = legacy bare-token exchange),
+  *    CreateTopics v0-v7 (19), DeleteTopics v0-v6 (20, topic ids v6),
+  *    DeleteRecords v0-v2 (21), SaslAuthenticate v0-v2 (36),
+  *    DeleteGroups v0-v2 (42), OffsetDelete v0 (47)
+  *  - txn plane: InitProducerId v0-v4 (22), AddPartitionsToTxn v0-v3
+  *    (24), AddOffsetsToTxn v0-v3 (25), EndTxn v0-v3 (26),
+  *    TxnOffsetCommit v0-v3 (28)
+  *  - config/ACL admin: DescribeConfigs v0-v4 (32),
+  *    IncrementalAlterConfigs v0-v1 (44), DescribeAcls v0-v3 (29),
+  *    CreateAcls v0-v3 (30)
+  *  - introspection (flexible-only APIs): ListPartitionReassignments v0
+  *    (46), DescribeUserScramCredentials v0 (50),
+  *    AlterUserScramCredentials v0 (51), DescribeCluster v0-v1 (60),
+  *    ConsumerGroupDescribe v0 (69), GetTelemetrySubscriptions v0 (71),
+  *    DescribeTopicPartitions v0 (75)
   *
   * Frames are INT32 length-prefixed; request header v1 classic, v2
   * (tagged fields) for flexible versions — see [[isFlexible]].
@@ -154,6 +167,7 @@ object WireProtocol {
       case (3, v) => v >= 9  // Metadata
       case (0, v) => v >= 9  // Produce
       case (1, v) => v >= 12 // Fetch
+      case (2, v) => v >= 6  // ListOffsets
       case (8, v) => v >= 8  // OffsetCommit
       case (9, v) => v >= 6  // OffsetFetch
       case (10, v) => v >= 3 // FindCoordinator
@@ -161,6 +175,29 @@ object WireProtocol {
       case (12, v) => v >= 4 // Heartbeat
       case (13, v) => v >= 4 // LeaveGroup
       case (14, v) => v >= 4 // SyncGroup
+      case (15, v) => v >= 5 // DescribeGroups
+      case (16, v) => v >= 3 // ListGroups
+      case (19, v) => v >= 5 // CreateTopics
+      case (20, v) => v >= 4 // DeleteTopics
+      case (21, v) => v >= 2 // DeleteRecords
+      case (22, v) => v >= 2 // InitProducerId
+      case (24, v) => v >= 3 // AddPartitionsToTxn
+      case (25, v) => v >= 3 // AddOffsetsToTxn
+      case (26, v) => v >= 3 // EndTxn
+      case (28, v) => v >= 3 // TxnOffsetCommit
+      case (29, v) => v >= 2 // DescribeAcls
+      case (30, v) => v >= 2 // CreateAcls
+      case (32, v) => v >= 4 // DescribeConfigs
+      case (36, v) => v >= 2 // SaslAuthenticate
+      case (42, v) => v >= 2 // DeleteGroups
+      case (44, v) => v >= 1 // IncrementalAlterConfigs
+      case (46, _) => true   // ListPartitionReassignments
+      case (50, _) => true   // DescribeUserScramCredentials
+      case (51, _) => true   // AlterUserScramCredentials
+      case (60, _) => true   // DescribeCluster
+      case (69, _) => true   // ConsumerGroupDescribe
+      case (71, _) => true   // GetTelemetrySubscriptions
+      case (75, _) => true   // DescribeTopicPartitions
       case _ => false
     }
 
@@ -292,49 +329,112 @@ object WireProtocol {
   final case class ListOffsetsTopic(topic: String, partitions: Seq[ListOffsetsPartition])
   final case class ListOffsetsRequest(isolation: Byte, topics: Seq[ListOffsetsTopic])
 
-  /** ListOffsets v1: replica_id [topic [partition timestamp]] —
-    * timestamp -1 = latest, -2 = earliest, else first offset with
-    * ts >= timestamp (the A5/J4 operators on the wire).
+  /** ListOffsets v0-v8 (ListOffsetsRequest.json): replica_id
+    * isolation_level (v2+) [topic [partition current_leader_epoch (v4+)
+    * timestamp max_num_offsets (v0 only)]]; flexible v6+. Timestamp -1 =
+    * latest, -2 = earliest, -3 = max-timestamp offset (v7+) — the A5/J4
+    * operators on the wire.
     */
-  def readListOffsets(buf: ByteBuffer): ListOffsetsRequest = {
+  def readListOffsets(buf: ByteBuffer, version: Int = 1): ListOffsetsRequest = {
+    val c = new Codec(version >= 6)
     buf.getInt // replica_id
-    val topics = (0 until buf.getInt).map { _ =>
-      val t = readString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
-        ListOffsetsPartition(buf.getInt, buf.getLong)
+    val isolation = if (version >= 2) buf.get() else 0: Byte
+    val topics = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val p = buf.getInt
+        if (version >= 4) buf.getInt // current_leader_epoch
+        val ts = buf.getLong
+        if (version == 0) buf.getInt // max_num_offsets
+        c.tags(buf)
+        ListOffsetsPartition(p, ts)
       }
+      c.tags(buf)
       ListOffsetsTopic(t, parts)
     }
-    ListOffsetsRequest(0, topics)
+    c.tags(buf)
+    ListOffsetsRequest(isolation, topics)
   }
 
-  def writeListOffsets(buf: ByteBuffer, r: ListOffsetsRequest): Unit = {
+  def writeListOffsets(buf: ByteBuffer, r: ListOffsetsRequest,
+                       version: Int = 1): Unit = {
+    val c = new Codec(version >= 6)
     buf.putInt(-1)
-    buf.putInt(r.topics.size)
+    if (version >= 2) buf.put(r.isolation)
+    c.putLen(buf, r.topics.size)
     r.topics.foreach { t =>
-      writeString(buf, t.topic)
-      buf.putInt(t.partitions.size)
+      c.putStr(buf, t.topic)
+      c.putLen(buf, t.partitions.size)
       t.partitions.foreach { p =>
         buf.putInt(p.partition)
+        if (version >= 4) buf.putInt(-1)
         buf.putLong(p.timestamp)
+        if (version == 0) buf.putInt(1)
+        c.putTags(buf)
       }
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  /** ListOffsets v1 response: [topic [partition error timestamp offset]]. */
+  /** ListOffsets response: throttle (v2+) [topic [partition error
+    * [offsets] (v0) / timestamp offset (v1+) leader_epoch (v4+)]].
+    */
   def writeListOffsetsResponse(buf: ByteBuffer,
-                               results: Seq[(String, Seq[(Int, Short, Long, Long)])]): Unit = {
-    buf.putInt(results.size)
+                               results: Seq[(String, Seq[(Int, Short, Long, Long)])],
+                               version: Int = 1): Unit = {
+    val c = new Codec(version >= 6)
+    if (version >= 2) buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
     results.foreach { case (topic, parts) =>
-      writeString(buf, topic)
-      buf.putInt(parts.size)
+      c.putStr(buf, topic)
+      c.putLen(buf, parts.size)
       parts.foreach { case (p, err, ts, off) =>
         buf.putInt(p)
         buf.putShort(err)
-        buf.putLong(ts)
-        buf.putLong(off)
+        if (version == 0) {
+          // old-style offsets array: one entry per request
+          buf.putInt(if (off < 0) 0 else 1)
+          if (off >= 0) buf.putLong(off)
+        } else {
+          buf.putLong(ts)
+          buf.putLong(off)
+          if (version >= 4) buf.putInt(-1) // leader_epoch
+        }
+        c.putTags(buf)
       }
+      c.putTags(buf)
     }
+    c.putTags(buf)
+  }
+
+  def readListOffsetsResponse(buf: ByteBuffer,
+                              version: Int = 1): Seq[(String, Seq[(Int, Short, Long)])] = {
+    val c = new Codec(version >= 6)
+    if (version >= 2) buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        val off =
+          if (version == 0) {
+            val offs = (0 until buf.getInt).map(_ => buf.getLong)
+            offs.headOption.getOrElse(-1L)
+          } else {
+            buf.getLong // timestamp
+            val o = buf.getLong
+            if (version >= 4) buf.getInt
+            o
+          }
+        c.tags(buf)
+        (p, err, off)
+      }
+      c.tags(buf)
+      t -> parts
+    }
+    c.tags(buf)
+    r
   }
 
   final case class CommitPartition(partition: Int, offset: Long, metadata: String)
@@ -834,36 +934,64 @@ object WireProtocol {
     (top, members)
   }
 
-  /** FindCoordinator v0-v3 (FindCoordinatorRequest.json): key key_type
+  /** FindCoordinator v0-v4 (FindCoordinatorRequest.json): key key_type
     * (v1+) → throttle (v1+) error error_message (v1+) node_id host port;
-    * flexible v3.
+    * flexible v3. v4 (KIP-699) batches: key_type [coordinator_keys] →
+    * throttle [key node_id host port error error_message].
     */
-  def readFindCoordinator(buf: ByteBuffer, version: Int = 0): String = {
+  def readFindCoordinator(buf: ByteBuffer, version: Int = 0): Seq[String] = {
     val c = new Codec(version >= 3)
-    val key = c.str(buf)
-    if (version >= 1) buf.get // key_type
+    val keys =
+      if (version >= 4) {
+        buf.get // key_type
+        (0 until c.len(buf)).map(_ => c.str(buf))
+      } else {
+        val k = c.str(buf)
+        if (version >= 1) buf.get // key_type
+        Seq(k)
+      }
     c.tags(buf)
-    key
+    keys
   }
 
   def writeFindCoordinator(buf: ByteBuffer, key: String,
                            version: Int = 0): Unit = {
     val c = new Codec(version >= 3)
-    c.putStr(buf, key)
-    if (version >= 1) buf.put(0.toByte)
+    if (version >= 4) {
+      buf.put(0.toByte)
+      c.putLen(buf, 1)
+      c.putStr(buf, key)
+    } else {
+      c.putStr(buf, key)
+      if (version >= 1) buf.put(0.toByte)
+    }
     c.putTags(buf)
   }
 
   def writeFindCoordinatorResponse(buf: ByteBuffer, error: Short, nodeId: Int,
                                    host: String, port: Int,
-                                   version: Int = 0): Unit = {
+                                   version: Int = 0,
+                                   keys: Seq[String] = Nil): Unit = {
     val c = new Codec(version >= 3)
     if (version >= 1) buf.putInt(0) // throttle
-    buf.putShort(error)
-    if (version >= 1) c.putStr(buf, null) // error_message
-    buf.putInt(nodeId)
-    c.putStr(buf, host)
-    buf.putInt(port)
+    if (version >= 4) {
+      c.putLen(buf, keys.size)
+      keys.foreach { k =>
+        c.putStr(buf, k)
+        buf.putInt(nodeId)
+        c.putStr(buf, host)
+        buf.putInt(port)
+        buf.putShort(error)
+        c.putStr(buf, null) // error_message
+        c.putTags(buf)
+      }
+    } else {
+      buf.putShort(error)
+      if (version >= 1) c.putStr(buf, null) // error_message
+      buf.putInt(nodeId)
+      c.putStr(buf, host)
+      buf.putInt(port)
+    }
     c.putTags(buf)
   }
 
@@ -871,9 +999,30 @@ object WireProtocol {
                                   version: Int = 0): (Short, Int, String, Int) = {
     val c = new Codec(version >= 3)
     if (version >= 1) buf.getInt
-    val e = buf.getShort
-    if (version >= 1) c.str(buf)
-    val r = (e, buf.getInt, c.str(buf), buf.getInt)
+    val r =
+      if (version >= 4) {
+        val n = c.len(buf)
+        require(n >= 1, "empty coordinators array")
+        val first = {
+          c.str(buf)
+          val node = buf.getInt
+          val host = c.str(buf)
+          val port = buf.getInt
+          val e = buf.getShort
+          c.str(buf)
+          c.tags(buf)
+          (e, node, host, port)
+        }
+        (1 until n).foreach { _ =>
+          c.str(buf); buf.getInt; c.str(buf); buf.getInt; buf.getShort
+          c.str(buf); c.tags(buf)
+        }
+        first
+      } else {
+        val e = buf.getShort
+        if (version >= 1) c.str(buf)
+        (e, buf.getInt, c.str(buf), buf.getInt)
+      }
     c.tags(buf)
     r
   }
@@ -884,201 +1033,454 @@ object WireProtocol {
                                replicationFactor: Short,
                                configs: Map[String, String])
 
-  /** CreateTopics v0: [name num_partitions replication_factor
-    * [partition [broker]] [config_key config_value]] timeout.
+  /** Name-derived topic UUID: stable across calls and restarts without a
+    * persisted id registry (single-broker — no cross-broker id exchange).
     */
-  def readCreateTopics(buf: ByteBuffer): Seq[CreateTopic] = {
-    val topics = (0 until buf.getInt).map { _ =>
-      val name = readString(buf)
+  def topicUuid(name: String): java.util.UUID =
+    java.util.UUID.nameUUIDFromBytes(("graft-topic:" + name).getBytes(StandardCharsets.UTF_8))
+
+  def putUuid(buf: ByteBuffer, u: java.util.UUID): Unit = {
+    buf.putLong(u.getMostSignificantBits)
+    buf.putLong(u.getLeastSignificantBits)
+    ()
+  }
+
+  def getUuid(buf: ByteBuffer): java.util.UUID =
+    new java.util.UUID(buf.getLong, buf.getLong)
+
+  /** CreateTopics v0-v7 (CreateTopicsRequest.json): [name num_partitions
+    * replication_factor [partition [broker]] [config_key config_value]]
+    * timeout validate_only (v1+); flexible v5+.
+    */
+  def readCreateTopics(buf: ByteBuffer, version: Int = 0): Seq[CreateTopic] = {
+    val c = new Codec(version >= 5)
+    val topics = (0 until c.len(buf)).map { _ =>
+      val name = c.str(buf)
       val nParts = buf.getInt
       val rf = buf.getShort
-      (0 until buf.getInt).foreach { _ =>
+      (0 until c.len(buf)).foreach { _ =>
         buf.getInt // partition
-        (0 until buf.getInt).foreach(_ => buf.getInt) // replicas
+        (0 until c.len(buf)).foreach(_ => buf.getInt) // replicas
+        c.tags(buf)
       }
-      val configs = (0 until buf.getInt).map { _ =>
-        readString(buf) -> readString(buf)
+      val configs = (0 until c.len(buf)).map { _ =>
+        val kv = c.str(buf) -> c.str(buf)
+        c.tags(buf)
+        kv
       }.toMap
+      c.tags(buf)
       CreateTopic(name, nParts, rf, configs)
     }
     buf.getInt // timeout_ms
+    if (version >= 1) buf.get() // validate_only
+    c.tags(buf)
     topics
   }
 
   def writeCreateTopics(buf: ByteBuffer, topics: Seq[CreateTopic],
-                        timeoutMs: Int): Unit = {
-    buf.putInt(topics.size)
+                        timeoutMs: Int, version: Int = 0): Unit = {
+    val c = new Codec(version >= 5)
+    c.putLen(buf, topics.size)
     topics.foreach { t =>
-      writeString(buf, t.name)
+      c.putStr(buf, t.name)
       buf.putInt(t.numPartitions)
       buf.putShort(t.replicationFactor)
-      buf.putInt(0) // no manual replica assignments
-      buf.putInt(t.configs.size)
+      c.putLen(buf, 0) // no manual replica assignments
+      c.putLen(buf, t.configs.size)
       t.configs.foreach { case (k, v) =>
-        writeString(buf, k)
-        writeString(buf, v)
+        c.putStr(buf, k)
+        c.putStr(buf, v)
+        c.putTags(buf)
       }
+      c.putTags(buf)
     }
     buf.putInt(timeoutMs)
+    if (version >= 1) buf.put(0: Byte)
+    c.putTags(buf)
   }
 
-  /** DeleteTopics v0: [name] timeout. */
-  def readDeleteTopics(buf: ByteBuffer): Seq[String] = {
-    val names = (0 until buf.getInt).map(_ => readString(buf))
+  /** CreateTopics response: throttle (v2+) [name topic_id (v7+) error
+    * error_message (v1+) num_partitions+replication_factor+configs (v5+)].
+    * The v5+ echo carries the created topic's effective settings.
+    */
+  def writeCreateTopicsResponse(buf: ByteBuffer,
+                                results: Seq[(String, Short, Int, Map[String, String])],
+                                version: Int = 0): Unit = {
+    val c = new Codec(version >= 5)
+    if (version >= 2) buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
+    results.foreach { case (n, e, nParts, configs) =>
+      c.putStr(buf, n)
+      if (version >= 7) putUuid(buf, topicUuid(n))
+      buf.putShort(e)
+      if (version >= 1) c.putStr(buf, null) // error_message
+      if (version >= 5) {
+        buf.putInt(nParts)
+        buf.putShort(1) // replication_factor
+        c.putLen(buf, configs.size)
+        configs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          c.putStr(buf, k)
+          c.putStr(buf, v)
+          buf.put(0: Byte)  // read_only
+          buf.put(1: Byte)  // config_source: DYNAMIC_TOPIC_CONFIG
+          buf.put(0: Byte)  // is_sensitive
+          c.putTags(buf)
+        }
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readCreateTopicsResponse(buf: ByteBuffer,
+                               version: Int = 0): Seq[(String, Short)] = {
+    val c = new Codec(version >= 5)
+    if (version >= 2) buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val n = c.str(buf)
+      if (version >= 7) getUuid(buf)
+      val e = buf.getShort
+      if (version >= 1) c.str(buf)
+      if (version >= 5) {
+        buf.getInt; buf.getShort
+        (0 until c.len(buf)).foreach { _ =>
+          c.str(buf); c.str(buf); buf.get(); buf.get(); buf.get(); c.tags(buf)
+        }
+      }
+      c.tags(buf)
+      n -> e
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** DeleteTopics v0-v6 (DeleteTopicsRequest.json): [name] timeout — v6
+    * restructures to [struct name topic_id] (topic addressable by either);
+    * flexible v4+. Returns (name, topicId) pairs; a null name means
+    * resolve by id.
+    */
+  def readDeleteTopics(buf: ByteBuffer,
+                       version: Int = 0): Seq[(String, java.util.UUID)] = {
+    val c = new Codec(version >= 4)
+    val names =
+      if (version >= 6)
+        (0 until c.len(buf)).map { _ =>
+          val n = c.str(buf)
+          val id = getUuid(buf)
+          c.tags(buf)
+          (n, id)
+        }
+      else (0 until c.len(buf)).map { _ =>
+        val n = c.str(buf)
+        (n, new java.util.UUID(0L, 0L))
+      }
     buf.getInt // timeout_ms
+    c.tags(buf)
     names
   }
 
-  def writeDeleteTopics(buf: ByteBuffer, names: Seq[String], timeoutMs: Int): Unit = {
-    buf.putInt(names.size)
-    names.foreach(writeString(buf, _))
+  def writeDeleteTopics(buf: ByteBuffer, names: Seq[String], timeoutMs: Int,
+                        version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    c.putLen(buf, names.size)
+    names.foreach { n =>
+      if (version >= 6) {
+        c.putStr(buf, n)
+        putUuid(buf, new java.util.UUID(0L, 0L))
+        c.putTags(buf)
+      } else c.putStr(buf, n)
+    }
     buf.putInt(timeoutMs)
+    c.putTags(buf)
   }
 
-  /** CreateTopics/DeleteTopics v0 response: [name error]. */
-  def writeTopicErrorsResponse(buf: ByteBuffer, results: Seq[(String, Short)]): Unit = {
-    buf.putInt(results.size)
+  /** DeleteTopics response: throttle (v1+) [name topic_id (v6+) error
+    * error_message (v5+)].
+    */
+  def writeDeleteTopicsResponse(buf: ByteBuffer, results: Seq[(String, Short)],
+                                version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    if (version >= 1) buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
     results.foreach { case (n, e) =>
-      writeString(buf, n)
+      c.putStr(buf, n)
+      if (version >= 6) putUuid(buf, topicUuid(n))
       buf.putShort(e)
+      if (version >= 5) c.putStr(buf, null) // error_message
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
+
+  def readTopicErrorsResponse(buf: ByteBuffer, apiKey: Int,
+                              version: Int = 0): Seq[(String, Short)] =
+    if (apiKey == 19) readCreateTopicsResponse(buf, version)
+    else {
+      val c = new Codec(version >= 4)
+      if (version >= 1) buf.getInt
+      val r = (0 until c.len(buf)).map { _ =>
+        val n = c.str(buf)
+        if (version >= 6) getUuid(buf)
+        val e = buf.getShort
+        if (version >= 5) c.str(buf)
+        c.tags(buf)
+        n -> e
+      }
+      c.tags(buf)
+      r
+    }
 
   // -------------------------------------------------------- txn wire APIs
 
-  /** InitProducerId v0: transactional_id transaction_timeout →
-    * throttle error producer_id producer_epoch.
+  /** InitProducerId v0-v4 (InitProducerIdRequest.json): transactional_id
+    * transaction_timeout producer_id+producer_epoch (v3+, KIP-360 epoch
+    * bump) → throttle error producer_id producer_epoch; flexible v2+.
     */
-  def readInitProducerId(buf: ByteBuffer): (String, Int) =
-    (readString(buf), buf.getInt)
+  def readInitProducerId(buf: ByteBuffer, version: Int = 0): (String, Int) = {
+    val c = new Codec(version >= 2)
+    val r = (c.str(buf), buf.getInt)
+    if (version >= 3) { buf.getLong; buf.getShort } // current pid/epoch
+    c.tags(buf)
+    r
+  }
 
-  def writeInitProducerId(buf: ByteBuffer, txnId: String, timeoutMs: Int): Unit = {
-    writeString(buf, txnId)
+  def writeInitProducerId(buf: ByteBuffer, txnId: String, timeoutMs: Int,
+                          version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    c.putStr(buf, txnId)
     buf.putInt(timeoutMs)
+    if (version >= 3) { buf.putLong(-1L); buf.putShort(-1) }
+    c.putTags(buf)
   }
 
   def writeInitProducerIdResponse(buf: ByteBuffer, error: Short,
-                                  producerId: Long, epoch: Short): Unit = {
+                                  producerId: Long, epoch: Short,
+                                  version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
     buf.putInt(0) // throttle
     buf.putShort(error)
     buf.putLong(producerId)
     buf.putShort(epoch)
+    c.putTags(buf)
+  }
+
+  def readInitProducerIdResponse(buf: ByteBuffer,
+                                 version: Int = 0): (Short, Long, Short) = {
+    val c = new Codec(version >= 2)
+    buf.getInt
+    val r = (buf.getShort, buf.getLong, buf.getShort)
+    c.tags(buf)
+    r
   }
 
   final case class AddPartitionsToTxnRequest(txnId: String, producerId: Long,
                                              epoch: Short,
                                              topics: Seq[(String, Seq[Int])])
 
-  /** AddPartitionsToTxn v0: txn_id producer_id epoch [topic [partition]]. */
-  def readAddPartitionsToTxn(buf: ByteBuffer): AddPartitionsToTxnRequest = {
-    val txn = readString(buf)
+  /** AddPartitionsToTxn v0-v3: txn_id producer_id epoch
+    * [topic [partition]]; flexible v3.
+    */
+  def readAddPartitionsToTxn(buf: ByteBuffer,
+                             version: Int = 0): AddPartitionsToTxnRequest = {
+    val c = new Codec(version >= 3)
+    val txn = c.str(buf)
     val pid = buf.getLong
     val epoch = buf.getShort
-    val topics = (0 until buf.getInt).map { _ =>
-      readString(buf) -> (0 until buf.getInt).map(_ => buf.getInt)
+    val topics = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val ps = (0 until c.len(buf)).map(_ => buf.getInt)
+      c.tags(buf)
+      t -> ps
     }
+    c.tags(buf)
     AddPartitionsToTxnRequest(txn, pid, epoch, topics)
   }
 
-  def writeAddPartitionsToTxn(buf: ByteBuffer, r: AddPartitionsToTxnRequest): Unit = {
-    writeString(buf, r.txnId)
+  def writeAddPartitionsToTxn(buf: ByteBuffer, r: AddPartitionsToTxnRequest,
+                              version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    c.putStr(buf, r.txnId)
     buf.putLong(r.producerId)
     buf.putShort(r.epoch)
-    buf.putInt(r.topics.size)
+    c.putLen(buf, r.topics.size)
     r.topics.foreach { case (t, ps) =>
-      writeString(buf, t)
-      buf.putInt(ps.size)
+      c.putStr(buf, t)
+      c.putLen(buf, ps.size)
       ps.foreach(buf.putInt)
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  /** AddPartitionsToTxn v0 response: throttle [topic [partition error]]. */
+  /** AddPartitionsToTxn response: throttle [topic [partition error]]. */
   def writeAddPartitionsToTxnResponse(buf: ByteBuffer,
-                                      results: Seq[(String, Seq[(Int, Short)])]): Unit = {
+                                      results: Seq[(String, Seq[(Int, Short)])],
+                                      version: Int = 0): Unit =
+    writePartitionErrorsResponse(buf, results, new Codec(version >= 3))
+
+  def readAddPartitionsToTxnResponse(buf: ByteBuffer,
+                                     version: Int = 0): Seq[(String, Seq[(Int, Short)])] =
+    readPartitionErrorsResponse(buf, new Codec(version >= 3))
+
+  private def writePartitionErrorsResponse(buf: ByteBuffer,
+                                           results: Seq[(String, Seq[(Int, Short)])],
+                                           c: Codec): Unit = {
     buf.putInt(0) // throttle
-    buf.putInt(results.size)
+    c.putLen(buf, results.size)
     results.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
-      parts.foreach { case (p, e) => buf.putInt(p); buf.putShort(e) }
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
+      parts.foreach { case (p, e) =>
+        buf.putInt(p); buf.putShort(e); c.putTags(buf)
+      }
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  /** EndTxn v0: txn_id producer_id epoch committed → throttle error. */
-  def readEndTxn(buf: ByteBuffer): (String, Long, Short, Boolean) =
-    (readString(buf), buf.getLong, buf.getShort, buf.get() != 0)
+  private def readPartitionErrorsResponse(
+      buf: ByteBuffer, c: Codec): Seq[(String, Seq[(Int, Short)])] = {
+    buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val pe = (buf.getInt, buf.getShort); c.tags(buf); pe
+      }
+      c.tags(buf)
+      t -> parts
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** EndTxn v0-v3: txn_id producer_id epoch committed → throttle error;
+    * flexible v3.
+    */
+  def readEndTxn(buf: ByteBuffer, version: Int = 0): (String, Long, Short, Boolean) = {
+    val c = new Codec(version >= 3)
+    val r = (c.str(buf), buf.getLong, buf.getShort, buf.get() != 0)
+    c.tags(buf)
+    r
+  }
 
   def writeEndTxn(buf: ByteBuffer, txnId: String, producerId: Long,
-                  epoch: Short, committed: Boolean): Unit = {
-    writeString(buf, txnId)
+                  epoch: Short, committed: Boolean, version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    c.putStr(buf, txnId)
     buf.putLong(producerId)
     buf.putShort(epoch)
     buf.put(if (committed) 1: Byte else 0: Byte)
+    c.putTags(buf)
   }
 
-  def writeEndTxnResponse(buf: ByteBuffer, error: Short): Unit = {
+  def writeEndTxnResponse(buf: ByteBuffer, error: Short,
+                          version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
     buf.putInt(0) // throttle
     buf.putShort(error)
+    c.putTags(buf)
   }
 
   final case class TxnOffsetCommitRequest(txnId: String, group: String,
                                           producerId: Long, epoch: Short,
                                           topics: Seq[(String, Seq[(Int, Long)])])
 
-  /** TxnOffsetCommit v0: txn_id group producer_id epoch
-    * [topic [partition offset metadata]] — consumer offsets staged inside
-    * the transaction (EOS consume-transform-produce).
+  /** TxnOffsetCommit v0-v3 (TxnOffsetCommitRequest.json): txn_id group
+    * producer_id epoch generation+member+group_instance_id (v3+)
+    * [topic [partition offset leader_epoch (v2+) metadata]] — consumer
+    * offsets staged inside the transaction (EOS consume-transform-
+    * produce); flexible v3.
     */
-  def readTxnOffsetCommit(buf: ByteBuffer): TxnOffsetCommitRequest = {
-    val txn = readString(buf)
-    val group = readString(buf)
+  def readTxnOffsetCommit(buf: ByteBuffer,
+                          version: Int = 0): TxnOffsetCommitRequest = {
+    val c = new Codec(version >= 3)
+    val txn = c.str(buf)
+    val group = c.str(buf)
     val pid = buf.getLong
     val epoch = buf.getShort
-    val topics = (0 until buf.getInt).map { _ =>
-      val t = readString(buf)
-      val parts = (0 until buf.getInt).map { _ =>
+    if (version >= 3) { buf.getInt; c.str(buf); c.str(buf) }
+    val topics = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
         val p = buf.getInt
         val off = buf.getLong
-        readString(buf) // metadata
+        if (version >= 2) buf.getInt // committed_leader_epoch
+        c.str(buf) // metadata
+        c.tags(buf)
         p -> off
       }
+      c.tags(buf)
       t -> parts
     }
+    c.tags(buf)
     TxnOffsetCommitRequest(txn, group, pid, epoch, topics)
   }
 
-  def writeTxnOffsetCommit(buf: ByteBuffer, r: TxnOffsetCommitRequest): Unit = {
-    writeString(buf, r.txnId)
-    writeString(buf, r.group)
+  def writeTxnOffsetCommit(buf: ByteBuffer, r: TxnOffsetCommitRequest,
+                           version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    c.putStr(buf, r.txnId)
+    c.putStr(buf, r.group)
     buf.putLong(r.producerId)
     buf.putShort(r.epoch)
-    buf.putInt(r.topics.size)
+    if (version >= 3) { buf.putInt(-1); c.putStr(buf, ""); c.putStr(buf, null) }
+    c.putLen(buf, r.topics.size)
     r.topics.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
       parts.foreach { case (p, off) =>
         buf.putInt(p)
         buf.putLong(off)
-        writeString(buf, null)
+        if (version >= 2) buf.putInt(-1)
+        c.putStr(buf, null)
+        c.putTags(buf)
       }
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  /** TxnOffsetCommit v0 response: throttle [topic [partition error]]. */
+  /** TxnOffsetCommit response: throttle [topic [partition error]]. */
   def writeTxnOffsetCommitResponse(buf: ByteBuffer,
-                                   results: Seq[(String, Seq[(Int, Short)])]): Unit = {
-    buf.putInt(0) // throttle
-    buf.putInt(results.size)
-    results.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
-      parts.foreach { case (p, e) => buf.putInt(p); buf.putShort(e) }
-    }
+                                   results: Seq[(String, Seq[(Int, Short)])],
+                                   version: Int = 0): Unit =
+    writePartitionErrorsResponse(buf, results, new Codec(version >= 3))
+
+  def readTxnOffsetCommitResponse(buf: ByteBuffer,
+                                  version: Int = 0): Seq[(String, Seq[(Int, Short)])] =
+    readPartitionErrorsResponse(buf, new Codec(version >= 3))
+
+  /** AddOffsetsToTxn v0-v3 (25): txn_id producer_id epoch group_id →
+    * throttle error — registers the group's offsets as txn participants
+    * ahead of TxnOffsetCommit (reference TxnAddOffsetsService,
+    * `nisshi-broker/src/service/storage.rs:583`); flexible v3.
+    */
+  def readAddOffsetsToTxn(buf: ByteBuffer,
+                          version: Int = 0): (String, Long, Short, String) = {
+    val c = new Codec(version >= 3)
+    val r = (c.str(buf), buf.getLong, buf.getShort, c.str(buf))
+    c.tags(buf)
+    r
+  }
+
+  def writeAddOffsetsToTxn(buf: ByteBuffer, txnId: String, producerId: Long,
+                           epoch: Short, group: String,
+                           version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    c.putStr(buf, txnId)
+    buf.putLong(producerId)
+    buf.putShort(epoch)
+    c.putStr(buf, group)
+    c.putTags(buf)
   }
 
   // ---------------------------------------------------------- SASL (F9)
 
-  /** SaslHandshake v1 (17): mechanism → error [enabled mechanisms]. */
+  /** SaslHandshake v0-v1 (17): mechanism → error [enabled mechanisms].
+    * Identical layout both versions; the difference is the exchange that
+    * follows — v0 clients send SASL tokens as BARE length-prefixed frames
+    * (no Kafka header), v1 wraps them in SaslAuthenticate. Never flexible.
+    */
   def readSaslHandshake(buf: ByteBuffer): String = readString(buf)
   def writeSaslHandshake(buf: ByteBuffer, mechanism: String): Unit =
     writeString(buf, mechanism)
@@ -1090,29 +1492,65 @@ object WireProtocol {
     mechanisms.foreach(writeString(buf, _))
   }
 
-  /** SaslAuthenticate v0 (36): auth bytes → error, message, auth bytes. */
-  def readSaslAuthenticate(buf: ByteBuffer): Array[Byte] = readBytes(buf)
-  def writeSaslAuthenticate(buf: ByteBuffer, bytes: Array[Byte]): Unit =
-    writeBytes(buf, bytes)
+  /** SaslAuthenticate v0-v2 (36): auth bytes → error, message, auth
+    * bytes, session_lifetime_ms (v1+); flexible v2.
+    */
+  def readSaslAuthenticate(buf: ByteBuffer, version: Int = 0): Array[Byte] = {
+    val c = new Codec(version >= 2)
+    val b = c.bytes(buf)
+    c.tags(buf)
+    b
+  }
+
+  def writeSaslAuthenticate(buf: ByteBuffer, bytes: Array[Byte],
+                            version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    c.putBytes(buf, bytes)
+    c.putTags(buf)
+  }
 
   def writeSaslAuthenticateResponse(buf: ByteBuffer, error: Short,
-                                    message: String, bytes: Array[Byte]): Unit = {
+                                    message: String, bytes: Array[Byte],
+                                    version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
     buf.putShort(error)
-    writeString(buf, message)
-    writeBytes(buf, bytes)
+    c.putStr(buf, message)
+    c.putBytes(buf, bytes)
+    if (version >= 1) buf.putLong(0L) // session_lifetime_ms: no expiry
+    c.putTags(buf)
+  }
+
+  def readSaslAuthenticateResponse(buf: ByteBuffer,
+                                   version: Int = 0): (Short, String, Array[Byte]) = {
+    val c = new Codec(version >= 2)
+    val r = (buf.getShort, c.str(buf), c.bytes(buf))
+    if (version >= 1) buf.getLong
+    c.tags(buf)
+    r
   }
 
   // ------------------------------------------------ admin/introspection
 
-  /** DescribeGroups v0: [group_id] → [error group state protocol_type
-    * protocol [member_id client_id client_host metadata assignment]].
+  /** DescribeGroups v0-v5: [group_id] include_authorized_operations
+    * (v3+) → throttle (v1+) [error group state protocol_type protocol
+    * [member_id group_instance_id (v4+) client_id client_host metadata
+    * assignment] authorized_operations (v3+)]; flexible v5.
     */
-  def readDescribeGroups(buf: ByteBuffer): Seq[String] =
-    (0 until buf.getInt).map(_ => readString(buf))
+  def readDescribeGroups(buf: ByteBuffer, version: Int = 0): Seq[String] = {
+    val c = new Codec(version >= 5)
+    val groups = (0 until c.len(buf)).map(_ => c.str(buf))
+    if (version >= 3) buf.get() // include_authorized_operations
+    c.tags(buf)
+    groups
+  }
 
-  def writeDescribeGroups(buf: ByteBuffer, groups: Seq[String]): Unit = {
-    buf.putInt(groups.size)
-    groups.foreach(writeString(buf, _))
+  def writeDescribeGroups(buf: ByteBuffer, groups: Seq[String],
+                          version: Int = 0): Unit = {
+    val c = new Codec(version >= 5)
+    c.putLen(buf, groups.size)
+    groups.foreach(c.putStr(buf, _))
+    if (version >= 3) buf.put(0: Byte)
+    c.putTags(buf)
   }
 
   final case class DescribedMember(memberId: String, metadata: Array[Byte],
@@ -1121,132 +1559,229 @@ object WireProtocol {
                                   protocolType: String, protocol: String,
                                   members: Seq[DescribedMember])
 
-  def writeDescribeGroupsResponse(buf: ByteBuffer, groups: Seq[DescribedGroup]): Unit = {
-    buf.putInt(groups.size)
+  def writeDescribeGroupsResponse(buf: ByteBuffer, groups: Seq[DescribedGroup],
+                                  version: Int = 0): Unit = {
+    val c = new Codec(version >= 5)
+    if (version >= 1) buf.putInt(0) // throttle
+    c.putLen(buf, groups.size)
     groups.foreach { g =>
       buf.putShort(g.error)
-      writeString(buf, g.group)
-      writeString(buf, g.state)
-      writeString(buf, g.protocolType)
-      writeString(buf, g.protocol)
-      buf.putInt(g.members.size)
+      c.putStr(buf, g.group)
+      c.putStr(buf, g.state)
+      c.putStr(buf, g.protocolType)
+      c.putStr(buf, g.protocol)
+      c.putLen(buf, g.members.size)
       g.members.foreach { m =>
-        writeString(buf, m.memberId)
-        writeString(buf, "") // client_id
-        writeString(buf, "") // client_host
-        writeBytes(buf, m.metadata)
-        writeBytes(buf, m.assignment)
+        c.putStr(buf, m.memberId)
+        if (version >= 4) c.putStr(buf, null) // group_instance_id
+        c.putStr(buf, "") // client_id
+        c.putStr(buf, "") // client_host
+        c.putBytes(buf, m.metadata)
+        c.putBytes(buf, m.assignment)
+        c.putTags(buf)
       }
+      if (version >= 3) buf.putInt(Int.MinValue) // authorized_operations
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  def readDescribeGroupsResponse(buf: ByteBuffer): Seq[DescribedGroup] =
-    (0 until buf.getInt).map { _ =>
+  def readDescribeGroupsResponse(buf: ByteBuffer,
+                                 version: Int = 0): Seq[DescribedGroup] = {
+    val c = new Codec(version >= 5)
+    if (version >= 1) buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
       val err = buf.getShort
-      val group = readString(buf)
-      val state = readString(buf)
-      val ptype = readString(buf)
-      val proto = readString(buf)
-      val members = (0 until buf.getInt).map { _ =>
-        val id = readString(buf)
-        readString(buf); readString(buf)
-        DescribedMember(id, readBytes(buf), readBytes(buf))
+      val group = c.str(buf)
+      val state = c.str(buf)
+      val ptype = c.str(buf)
+      val proto = c.str(buf)
+      val members = (0 until c.len(buf)).map { _ =>
+        val id = c.str(buf)
+        if (version >= 4) c.str(buf)
+        c.str(buf); c.str(buf)
+        val m = DescribedMember(id, c.bytes(buf), c.bytes(buf))
+        c.tags(buf)
+        m
       }
+      if (version >= 3) buf.getInt
+      c.tags(buf)
       DescribedGroup(err, group, state, ptype, proto, members)
     }
-
-  /** ListGroups v0: (empty) → error [group_id protocol_type]. */
-  def writeListGroupsResponse(buf: ByteBuffer, groups: Seq[String]): Unit = {
-    buf.putShort(0)
-    buf.putInt(groups.size)
-    groups.foreach { g =>
-      writeString(buf, g)
-      writeString(buf, "consumer")
-    }
+    c.tags(buf)
+    r
   }
 
-  def readListGroupsResponse(buf: ByteBuffer): Seq[String] = {
+  /** ListGroups v0-v4: states_filter (v4+) → throttle (v1+) error
+    * [group_id protocol_type group_state (v4+)]; flexible v3+.
+    */
+  def readListGroups(buf: ByteBuffer, version: Int = 0): Seq[String] = {
+    val c = new Codec(version >= 3)
+    val states =
+      if (version >= 4) (0 until c.len(buf)).map(_ => c.str(buf))
+      else Seq.empty
+    c.tags(buf)
+    states
+  }
+
+  def writeListGroups(buf: ByteBuffer, statesFilter: Seq[String] = Nil,
+                      version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    if (version >= 4) {
+      c.putLen(buf, statesFilter.size)
+      statesFilter.foreach(c.putStr(buf, _))
+    }
+    c.putTags(buf)
+  }
+
+  def writeListGroupsResponse(buf: ByteBuffer, groups: Seq[(String, String)],
+                              version: Int = 0): Unit = {
+    val c = new Codec(version >= 3)
+    if (version >= 1) buf.putInt(0) // throttle
+    buf.putShort(0) // error
+    c.putLen(buf, groups.size)
+    groups.foreach { case (g, state) =>
+      c.putStr(buf, g)
+      c.putStr(buf, "consumer")
+      if (version >= 4) c.putStr(buf, state)
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readListGroupsResponse(buf: ByteBuffer, version: Int = 0): Seq[String] = {
+    val c = new Codec(version >= 3)
+    if (version >= 1) buf.getInt
     buf.getShort
-    (0 until buf.getInt).map { _ =>
-      val g = readString(buf)
-      readString(buf) // protocol_type
+    val r = (0 until c.len(buf)).map { _ =>
+      val g = c.str(buf)
+      c.str(buf) // protocol_type
+      if (version >= 4) c.str(buf) // group_state
+      c.tags(buf)
       g
     }
+    c.tags(buf)
+    r
   }
 
-  /** DeleteRecords v0: [topic [partition offset]] timeout →
-    * throttle [topic [partition low_watermark error]].
+  /** DeleteRecords v0-v2: [topic [partition offset]] timeout →
+    * throttle [topic [partition low_watermark error]]; flexible v2.
     */
-  def readDeleteRecords(buf: ByteBuffer): Seq[(String, Seq[(Int, Long)])] = {
-    val topics = (0 until buf.getInt).map { _ =>
-      val t = readString(buf)
-      t -> (0 until buf.getInt).map(_ => (buf.getInt, buf.getLong))
+  def readDeleteRecords(buf: ByteBuffer,
+                        version: Int = 0): Seq[(String, Seq[(Int, Long)])] = {
+    val c = new Codec(version >= 2)
+    val topics = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val po = (buf.getInt, buf.getLong); c.tags(buf); po
+      }
+      c.tags(buf)
+      t -> parts
     }
     buf.getInt // timeout_ms
+    c.tags(buf)
     topics
   }
 
   def writeDeleteRecords(buf: ByteBuffer, topics: Seq[(String, Seq[(Int, Long)])],
-                         timeoutMs: Int): Unit = {
-    buf.putInt(topics.size)
+                         timeoutMs: Int, version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    c.putLen(buf, topics.size)
     topics.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
-      parts.foreach { case (p, off) => buf.putInt(p); buf.putLong(off) }
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
+      parts.foreach { case (p, off) =>
+        buf.putInt(p); buf.putLong(off); c.putTags(buf)
+      }
+      c.putTags(buf)
     }
     buf.putInt(timeoutMs)
+    c.putTags(buf)
   }
 
   def writeDeleteRecordsResponse(buf: ByteBuffer,
-                                 results: Seq[(String, Seq[(Int, Long, Short)])]): Unit = {
+                                 results: Seq[(String, Seq[(Int, Long, Short)])],
+                                 version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
     buf.putInt(0) // throttle
-    buf.putInt(results.size)
+    c.putLen(buf, results.size)
     results.foreach { case (t, parts) =>
-      writeString(buf, t)
-      buf.putInt(parts.size)
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
       parts.foreach { case (p, lw, e) =>
-        buf.putInt(p); buf.putLong(lw); buf.putShort(e)
+        buf.putInt(p); buf.putLong(lw); buf.putShort(e); c.putTags(buf)
       }
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
-  def readDeleteRecordsResponse(buf: ByteBuffer): Seq[(String, Seq[(Int, Long, Short)])] = {
+  def readDeleteRecordsResponse(buf: ByteBuffer,
+                                version: Int = 0): Seq[(String, Seq[(Int, Long, Short)])] = {
+    val c = new Codec(version >= 2)
     buf.getInt // throttle
-    (0 until buf.getInt).map { _ =>
-      val t = readString(buf)
-      t -> (0 until buf.getInt).map(_ => (buf.getInt, buf.getLong, buf.getShort))
+    val r = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val x = (buf.getInt, buf.getLong, buf.getShort); c.tags(buf); x
+      }
+      c.tags(buf)
+      t -> parts
     }
+    c.tags(buf)
+    r
   }
 
   /** (api_key, min_version, max_version) triples this facade serves. */
   val SupportedApis: Seq[(Int, Int, Int)] = Seq(
-    (0, 3, 9), (1, 4, 12), (2, 1, 1), (3, 1, 9),
-    (8, 0, 8), (9, 0, 7), (10, 0, 3), (11, 0, 6), (12, 0, 4), (13, 0, 4),
-    (14, 0, 4), (15, 0, 0), (16, 0, 0), (17, 1, 1), (18, 0, 3), (19, 0, 0),
-    (20, 0, 0), (21, 0, 0), (22, 0, 0), (24, 0, 0), (26, 0, 0), (28, 0, 0),
-    (32, 0, 0), (36, 0, 0), (42, 0, 0), (47, 0, 0))
+    (0, 3, 9), (1, 4, 12), (2, 0, 8), (3, 1, 9),
+    (8, 0, 8), (9, 0, 7), (10, 0, 4), (11, 0, 6), (12, 0, 4), (13, 0, 4),
+    (14, 0, 4), (15, 0, 5), (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7),
+    (20, 0, 6), (21, 0, 2), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
+    (28, 0, 3), (29, 0, 3), (30, 0, 3), (32, 0, 4), (36, 0, 2), (42, 0, 2),
+    (44, 0, 1), (46, 0, 0), (47, 0, 0), (50, 0, 0), (51, 0, 0), (60, 0, 1),
+    (69, 0, 0), (71, 0, 0), (75, 0, 0))
 
-  /** DeleteGroups v0 (42): [group] → throttle [group error]
-    * (reference `nisshi-sans-io/message/DeleteGroupsRequest.json`).
+  /** DeleteGroups v0-v2 (42): [group] → throttle [group error]
+    * (reference `nisshi-sans-io/message/DeleteGroupsRequest.json`);
+    * flexible v2.
     */
-  def readDeleteGroups(buf: ByteBuffer): Seq[String] =
-    (0 until buf.getInt).map(_ => readString(buf))
+  def readDeleteGroups(buf: ByteBuffer, version: Int = 0): Seq[String] = {
+    val c = new Codec(version >= 2)
+    val r = (0 until c.len(buf)).map(_ => c.str(buf))
+    c.tags(buf)
+    r
+  }
 
-  def writeDeleteGroups(buf: ByteBuffer, groups: Seq[String]): Unit = {
-    buf.putInt(groups.size)
-    groups.foreach(writeString(buf, _))
+  def writeDeleteGroups(buf: ByteBuffer, groups: Seq[String],
+                        version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    c.putLen(buf, groups.size)
+    groups.foreach(c.putStr(buf, _))
+    c.putTags(buf)
   }
 
   def writeDeleteGroupsResponse(buf: ByteBuffer,
-                                results: Seq[(String, Short)]): Unit = {
+                                results: Seq[(String, Short)],
+                                version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
     buf.putInt(0) // throttle
-    buf.putInt(results.size)
-    results.foreach { case (g, e) => writeString(buf, g); buf.putShort(e) }
+    c.putLen(buf, results.size)
+    results.foreach { case (g, e) =>
+      c.putStr(buf, g); buf.putShort(e); c.putTags(buf)
+    }
+    c.putTags(buf)
   }
 
-  def readDeleteGroupsResponse(buf: ByteBuffer): Seq[(String, Short)] = {
+  def readDeleteGroupsResponse(buf: ByteBuffer,
+                               version: Int = 0): Seq[(String, Short)] = {
+    val c = new Codec(version >= 2)
     buf.getInt // throttle
-    (0 until buf.getInt).map(_ => (readString(buf), buf.getShort))
+    val r = (0 until c.len(buf)).map { _ =>
+      val ge = (c.str(buf), buf.getShort); c.tags(buf); ge
+    }
+    c.tags(buf)
+    r
   }
 
   /** OffsetDelete v0 (47): group [topic [partition]] →
@@ -1295,69 +1830,108 @@ object WireProtocol {
     (error, topics)
   }
 
-  /** DescribeConfigs v0 (32): [resource_type resource_name [config_name]]
+  /** DescribeConfigs v0-v4 (32): [resource_type resource_name
+    * [config_name]] include_synonyms (v1+) include_documentation (v3+)
     * → throttle [error error_msg resource_type resource_name
-    * [name value read_only is_default is_sensitive]].
+    * [name value read_only is_default (v0) / config_source (v1+)
+    * is_sensitive synonyms (v1+) config_type+documentation (v3+)]];
+    * flexible v4.
     */
-  def readDescribeConfigs(buf: ByteBuffer): Seq[(Byte, String, Option[Seq[String]])] =
-    (0 until buf.getInt).map { _ =>
+  def readDescribeConfigs(buf: ByteBuffer,
+                          version: Int = 0): Seq[(Byte, String, Option[Seq[String]])] = {
+    val c = new Codec(version >= 4)
+    val r = (0 until c.len(buf)).map { _ =>
       val rt = buf.get()
-      val name = readString(buf)
-      val n = buf.getInt
-      val keys = if (n < 0) None else Some((0 until n).map(_ => readString(buf)))
+      val name = c.str(buf)
+      val n = c.len(buf)
+      val keys = if (n < 0) None else Some((0 until n).map(_ => c.str(buf)))
+      c.tags(buf)
       (rt, name, keys)
     }
+    if (version >= 1) buf.get() // include_synonyms
+    if (version >= 3) buf.get() // include_documentation
+    c.tags(buf)
+    r
+  }
 
   def writeDescribeConfigs(buf: ByteBuffer,
-                           resources: Seq[(Byte, String, Option[Seq[String]])]): Unit = {
-    buf.putInt(resources.size)
+                           resources: Seq[(Byte, String, Option[Seq[String]])],
+                           version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    c.putLen(buf, resources.size)
     resources.foreach { case (rt, name, keys) =>
       buf.put(rt)
-      writeString(buf, name)
+      c.putStr(buf, name)
       keys match {
-        case None => buf.putInt(-1)
-        case Some(ks) => buf.putInt(ks.size); ks.foreach(writeString(buf, _))
+        case None => c.putLen(buf, -1)
+        case Some(ks) => c.putLen(buf, ks.size); ks.foreach(c.putStr(buf, _))
       }
+      c.putTags(buf)
     }
+    if (version >= 1) buf.put(0: Byte)
+    if (version >= 3) buf.put(0: Byte)
+    c.putTags(buf)
   }
 
   def writeDescribeConfigsResponse(
       buf: ByteBuffer,
-      results: Seq[(Short, Byte, String, Seq[(String, String)])]): Unit = {
+      results: Seq[(Short, Byte, String, Seq[(String, String)])],
+      version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
     buf.putInt(0) // throttle
-    buf.putInt(results.size)
+    c.putLen(buf, results.size)
     results.foreach { case (err, rt, name, configs) =>
       buf.putShort(err)
-      writeString(buf, null) // error_message
+      c.putStr(buf, null) // error_message
       buf.put(rt)
-      writeString(buf, name)
-      buf.putInt(configs.size)
+      c.putStr(buf, name)
+      c.putLen(buf, configs.size)
       configs.foreach { case (k, v) =>
-        writeString(buf, k)
-        writeString(buf, v)
+        c.putStr(buf, k)
+        c.putStr(buf, v)
         buf.put(0: Byte) // read_only
-        buf.put(0: Byte) // is_default
+        if (version == 0) buf.put(0: Byte) // is_default
+        else buf.put(1: Byte) // config_source: DYNAMIC_TOPIC_CONFIG
         buf.put(0: Byte) // is_sensitive
+        if (version >= 1) c.putLen(buf, 0) // synonyms
+        if (version >= 3) {
+          buf.put(0: Byte) // config_type: UNKNOWN
+          c.putStr(buf, null) // documentation
+        }
+        c.putTags(buf)
       }
+      c.putTags(buf)
     }
+    c.putTags(buf)
   }
 
   def readDescribeConfigsResponse(
-      buf: ByteBuffer): Seq[(Short, Byte, String, Seq[(String, String)])] = {
+      buf: ByteBuffer,
+      version: Int = 0): Seq[(Short, Byte, String, Seq[(String, String)])] = {
+    val c = new Codec(version >= 4)
     buf.getInt // throttle
-    (0 until buf.getInt).map { _ =>
+    val r = (0 until c.len(buf)).map { _ =>
       val err = buf.getShort
-      readString(buf)
+      c.str(buf)
       val rt = buf.get()
-      val name = readString(buf)
-      val configs = (0 until buf.getInt).map { _ =>
-        val k = readString(buf)
-        val v = readString(buf)
+      val name = c.str(buf)
+      val configs = (0 until c.len(buf)).map { _ =>
+        val k = c.str(buf)
+        val v = c.str(buf)
         buf.get(); buf.get(); buf.get()
+        if (version >= 1)
+          (0 until c.len(buf)).foreach { _ =>
+            c.str(buf); c.str(buf); buf.get(); c.tags(buf)
+          }
+        if (version >= 3) { buf.get(); c.str(buf) }
+        c.tags(buf)
         k -> v
       }
+      c.tags(buf)
       (err, rt, name, configs)
     }
+    c.tags(buf)
+    r
   }
 
   /** ApiVersions v0 response: error [api_key min max] */
@@ -1989,5 +2563,809 @@ object WireProtocol {
       }
     }
     (error, sessionId, topics)
+  }
+
+  // ------------------------------------------------ ACL admin (29/30)
+
+  /** One ACL binding (reference CreateAclsService/DescribeAclsService,
+    * `nisshi-broker/src/service/storage.rs:142,163`). Operation and
+    * permission_type use the Kafka AclOperation/AclPermissionType int8
+    * enums; pattern_type 3 = LITERAL, 4 = PREFIXED.
+    */
+  final case class AclBinding(resourceType: Byte, resourceName: String,
+                              patternType: Byte, principal: String,
+                              host: String, operation: Byte,
+                              permissionType: Byte)
+
+  /** DescribeAcls v0-v3 (29): resource_type name_filter pattern_type
+    * (v1+) principal_filter host_filter operation permission_type →
+    * throttle error error_message [resource_type resource_name
+    * pattern_type (v1+) [principal host operation permission_type]];
+    * flexible v2+. A null filter field matches anything.
+    */
+  final case class AclFilter(resourceType: Byte, resourceName: String,
+                             patternType: Byte, principal: String,
+                             host: String, operation: Byte,
+                             permissionType: Byte)
+
+  def readDescribeAcls(buf: ByteBuffer, version: Int = 0): AclFilter = {
+    val c = new Codec(version >= 2)
+    val rt = buf.get()
+    val rn = c.str(buf)
+    val pt = if (version >= 1) buf.get() else 3: Byte
+    val f = AclFilter(rt, rn, pt, c.str(buf), c.str(buf), buf.get(), buf.get())
+    c.tags(buf)
+    f
+  }
+
+  def writeDescribeAcls(buf: ByteBuffer, f: AclFilter, version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    buf.put(f.resourceType)
+    c.putStr(buf, f.resourceName)
+    if (version >= 1) buf.put(f.patternType)
+    c.putStr(buf, f.principal)
+    c.putStr(buf, f.host)
+    buf.put(f.operation)
+    buf.put(f.permissionType)
+    c.putTags(buf)
+  }
+
+  def writeDescribeAclsResponse(buf: ByteBuffer, acls: Seq[AclBinding],
+                                version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    buf.putInt(0) // throttle
+    buf.putShort(0) // error
+    c.putStr(buf, null) // error_message
+    val byResource = acls.groupBy(a => (a.resourceType, a.resourceName, a.patternType))
+      .toSeq.sortBy { case ((rt, rn, pt), _) => (rt.toInt, rn, pt.toInt) }
+    c.putLen(buf, byResource.size)
+    byResource.foreach { case ((rt, rn, pt), as) =>
+      buf.put(rt)
+      c.putStr(buf, rn)
+      if (version >= 1) buf.put(pt)
+      c.putLen(buf, as.size)
+      as.foreach { a =>
+        c.putStr(buf, a.principal)
+        c.putStr(buf, a.host)
+        buf.put(a.operation)
+        buf.put(a.permissionType)
+        c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readDescribeAclsResponse(buf: ByteBuffer,
+                               version: Int = 0): Seq[AclBinding] = {
+    val c = new Codec(version >= 2)
+    buf.getInt; buf.getShort; c.str(buf)
+    val r = (0 until c.len(buf)).flatMap { _ =>
+      val rt = buf.get()
+      val rn = c.str(buf)
+      val pt = if (version >= 1) buf.get() else 3: Byte
+      val as = (0 until c.len(buf)).map { _ =>
+        val a = AclBinding(rt, rn, pt, c.str(buf), c.str(buf), buf.get(), buf.get())
+        c.tags(buf)
+        a
+      }
+      c.tags(buf)
+      as
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** CreateAcls v0-v3 (30): [resource_type resource_name pattern_type
+    * (v1+) principal host operation permission_type] → throttle
+    * [error error_message]; flexible v2+.
+    */
+  def readCreateAcls(buf: ByteBuffer, version: Int = 0): Seq[AclBinding] = {
+    val c = new Codec(version >= 2)
+    val r = (0 until c.len(buf)).map { _ =>
+      val rt = buf.get()
+      val rn = c.str(buf)
+      val pt = if (version >= 1) buf.get() else 3: Byte
+      val a = AclBinding(rt, rn, pt, c.str(buf), c.str(buf), buf.get(), buf.get())
+      c.tags(buf)
+      a
+    }
+    c.tags(buf)
+    r
+  }
+
+  def writeCreateAcls(buf: ByteBuffer, acls: Seq[AclBinding],
+                      version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    c.putLen(buf, acls.size)
+    acls.foreach { a =>
+      buf.put(a.resourceType)
+      c.putStr(buf, a.resourceName)
+      if (version >= 1) buf.put(a.patternType)
+      c.putStr(buf, a.principal)
+      c.putStr(buf, a.host)
+      buf.put(a.operation)
+      buf.put(a.permissionType)
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def writeCreateAclsResponse(buf: ByteBuffer, errors: Seq[Short],
+                              version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    buf.putInt(0) // throttle
+    c.putLen(buf, errors.size)
+    errors.foreach { e =>
+      buf.putShort(e)
+      c.putStr(buf, null)
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readCreateAclsResponse(buf: ByteBuffer, version: Int = 0): Seq[Short] = {
+    val c = new Codec(version >= 2)
+    buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val e = buf.getShort; c.str(buf); c.tags(buf); e
+    }
+    c.tags(buf)
+    r
+  }
+
+  // -------------------------------- IncrementalAlterConfigs (44, KIP-339)
+
+  /** IncrementalAlterConfigs v0-v1: [resource_type resource_name
+    * [config_name operation value]] validate_only → throttle
+    * [error error_message resource_type resource_name]; flexible v1.
+    * Operations: 0 SET, 1 DELETE, 2 APPEND, 3 SUBTRACT.
+    */
+  final case class AlterConfigOp(name: String, op: Byte, value: String)
+
+  def readIncrementalAlterConfigs(buf: ByteBuffer, version: Int = 0)
+      : (Seq[(Byte, String, Seq[AlterConfigOp])], Boolean) = {
+    val c = new Codec(version >= 1)
+    val resources = (0 until c.len(buf)).map { _ =>
+      val rt = buf.get()
+      val rn = c.str(buf)
+      val ops = (0 until c.len(buf)).map { _ =>
+        val o = AlterConfigOp(c.str(buf), buf.get(), c.str(buf))
+        c.tags(buf)
+        o
+      }
+      c.tags(buf)
+      (rt, rn, ops)
+    }
+    val validateOnly = buf.get() != 0
+    c.tags(buf)
+    (resources, validateOnly)
+  }
+
+  def writeIncrementalAlterConfigs(buf: ByteBuffer,
+                                   resources: Seq[(Byte, String, Seq[AlterConfigOp])],
+                                   validateOnly: Boolean = false,
+                                   version: Int = 0): Unit = {
+    val c = new Codec(version >= 1)
+    c.putLen(buf, resources.size)
+    resources.foreach { case (rt, rn, ops) =>
+      buf.put(rt)
+      c.putStr(buf, rn)
+      c.putLen(buf, ops.size)
+      ops.foreach { o =>
+        c.putStr(buf, o.name)
+        buf.put(o.op)
+        c.putStr(buf, o.value)
+        c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    buf.put(if (validateOnly) 1: Byte else 0: Byte)
+    c.putTags(buf)
+  }
+
+  def writeIncrementalAlterConfigsResponse(buf: ByteBuffer,
+                                           results: Seq[(Short, Byte, String)],
+                                           version: Int = 0): Unit = {
+    val c = new Codec(version >= 1)
+    buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
+    results.foreach { case (e, rt, rn) =>
+      buf.putShort(e)
+      c.putStr(buf, null)
+      buf.put(rt)
+      c.putStr(buf, rn)
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readIncrementalAlterConfigsResponse(buf: ByteBuffer,
+                                          version: Int = 0): Seq[(Short, Byte, String)] = {
+    val c = new Codec(version >= 1)
+    buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val e = buf.getShort
+      c.str(buf)
+      val x = (e, buf.get(), c.str(buf))
+      c.tags(buf)
+      x
+    }
+    c.tags(buf)
+    r
+  }
+
+  // ---------------------------- ListPartitionReassignments (46, KIP-455)
+
+  /** ListPartitionReassignments v0 (flexible): timeout [topic
+    * [partition]] (null = all) → throttle error error_message [topic
+    * [partition [replicas] [adding] [removing]]]. This broker never has
+    * reassignments in flight, so every partition reports its static
+    * replica set with empty adding/removing lists.
+    */
+  def readListPartitionReassignments(buf: ByteBuffer)
+      : Option[Seq[(String, Seq[Int])]] = {
+    buf.getInt // timeout_ms
+    val n = readCompactArrayLen(buf)
+    val topics =
+      if (n < 0) None
+      else Some((0 until n).map { _ =>
+        val t = readCompactString(buf)
+        val ps = (0 until readCompactArrayLen(buf)).map(_ => buf.getInt)
+        skipTaggedFields(buf)
+        t -> ps
+      })
+    skipTaggedFields(buf)
+    topics
+  }
+
+  def writeListPartitionReassignments(buf: ByteBuffer,
+                                      topics: Option[Seq[(String, Seq[Int])]]): Unit = {
+    buf.putInt(30000)
+    topics match {
+      case None => writeUnsignedVarint(0, buf)
+      case Some(ts) =>
+        writeCompactArrayLen(buf, ts.size)
+        ts.foreach { case (t, ps) =>
+          writeCompactString(buf, t)
+          writeCompactArrayLen(buf, ps.size)
+          ps.foreach(buf.putInt)
+          writeEmptyTaggedFields(buf)
+        }
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeListPartitionReassignmentsResponse(
+      buf: ByteBuffer, topics: Seq[(String, Seq[Int])]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(0) // error
+    writeCompactString(buf, null)
+    writeCompactArrayLen(buf, topics.size)
+    topics.foreach { case (t, ps) =>
+      writeCompactString(buf, t)
+      writeCompactArrayLen(buf, ps.size)
+      ps.foreach { p =>
+        buf.putInt(p)
+        writeCompactArrayLen(buf, 1); buf.putInt(0) // replicas
+        writeCompactArrayLen(buf, 0)                // adding
+        writeCompactArrayLen(buf, 0)                // removing
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readListPartitionReassignmentsResponse(
+      buf: ByteBuffer): Seq[(String, Seq[Int])] = {
+    buf.getInt; buf.getShort; readCompactString(buf)
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val ps = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        skipTaggedFields(buf)
+        p
+      }
+      skipTaggedFields(buf)
+      t -> ps
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  // ------------------------------------ SCRAM credential admin (50/51)
+
+  /** Mechanism int8 enum of the SCRAM admin APIs (KIP-554):
+    * 1 = SCRAM-SHA-256, 2 = SCRAM-SHA-512.
+    */
+  def scramMechanismCode(name: String): Byte = name match {
+    case "SCRAM-SHA-256" => 1
+    case "SCRAM-SHA-512" => 2
+    case _ => 0
+  }
+
+  def scramMechanismName(code: Byte): Option[String] = code match {
+    case 1 => Some("SCRAM-SHA-256")
+    case 2 => Some("SCRAM-SHA-512")
+    case _ => None
+  }
+
+  /** DescribeUserScramCredentials v0 (50, flexible): [user] (null = all)
+    * → throttle error error_message [user error error_message
+    * [mechanism iterations]].
+    */
+  def readDescribeUserScram(buf: ByteBuffer): Option[Seq[String]] = {
+    val n = readCompactArrayLen(buf)
+    val users =
+      if (n < 0) None
+      else Some((0 until n).map { _ =>
+        val u = readCompactString(buf)
+        skipTaggedFields(buf)
+        u
+      })
+    skipTaggedFields(buf)
+    users
+  }
+
+  def writeDescribeUserScram(buf: ByteBuffer, users: Option[Seq[String]]): Unit = {
+    users match {
+      case None => writeUnsignedVarint(0, buf)
+      case Some(us) =>
+        writeCompactArrayLen(buf, us.size)
+        us.foreach { u =>
+          writeCompactString(buf, u)
+          writeEmptyTaggedFields(buf)
+        }
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeDescribeUserScramResponse(
+      buf: ByteBuffer,
+      results: Seq[(String, Short, Seq[(Byte, Int)])]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(0) // error
+    writeCompactString(buf, null)
+    writeCompactArrayLen(buf, results.size)
+    results.foreach { case (user, err, infos) =>
+      writeCompactString(buf, user)
+      buf.putShort(err)
+      writeCompactString(buf, null)
+      writeCompactArrayLen(buf, infos.size)
+      infos.foreach { case (mech, iters) =>
+        buf.put(mech)
+        buf.putInt(iters)
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readDescribeUserScramResponse(
+      buf: ByteBuffer): Seq[(String, Short, Seq[(Byte, Int)])] = {
+    buf.getInt; buf.getShort; readCompactString(buf)
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val u = readCompactString(buf)
+      val e = buf.getShort
+      readCompactString(buf)
+      val infos = (0 until readCompactArrayLen(buf)).map { _ =>
+        val mi = (buf.get(), buf.getInt)
+        skipTaggedFields(buf)
+        mi
+      }
+      skipTaggedFields(buf)
+      (u, e, infos)
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  final case class ScramUpsertion(user: String, mechanism: Byte,
+                                  iterations: Int, salt: Array[Byte],
+                                  saltedPassword: Array[Byte])
+
+  /** AlterUserScramCredentials v0 (51, flexible): [deletion: user
+    * mechanism] [upsertion: user mechanism iterations salt
+    * salted_password] → throttle [user error error_message]. The client
+    * sends the SALTED password (KIP-554) — the server derives
+    * StoredKey/ServerKey and never sees the cleartext.
+    */
+  def readAlterUserScram(buf: ByteBuffer)
+      : (Seq[(String, Byte)], Seq[ScramUpsertion]) = {
+    val deletions = (0 until readCompactArrayLen(buf)).map { _ =>
+      val u = readCompactString(buf)
+      val m = buf.get()
+      skipTaggedFields(buf)
+      (u, m)
+    }
+    val upsertions = (0 until readCompactArrayLen(buf)).map { _ =>
+      val u = readCompactString(buf)
+      val m = buf.get()
+      val iters = buf.getInt
+      val salt = readCompactBytes(buf)
+      val sp = readCompactBytes(buf)
+      skipTaggedFields(buf)
+      ScramUpsertion(u, m, iters, salt, sp)
+    }
+    skipTaggedFields(buf)
+    (deletions, upsertions)
+  }
+
+  def writeAlterUserScram(buf: ByteBuffer, deletions: Seq[(String, Byte)],
+                          upsertions: Seq[ScramUpsertion]): Unit = {
+    writeCompactArrayLen(buf, deletions.size)
+    deletions.foreach { case (u, m) =>
+      writeCompactString(buf, u)
+      buf.put(m)
+      writeEmptyTaggedFields(buf)
+    }
+    writeCompactArrayLen(buf, upsertions.size)
+    upsertions.foreach { up =>
+      writeCompactString(buf, up.user)
+      buf.put(up.mechanism)
+      buf.putInt(up.iterations)
+      writeCompactBytes(buf, up.salt)
+      writeCompactBytes(buf, up.saltedPassword)
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeAlterUserScramResponse(buf: ByteBuffer,
+                                  results: Seq[(String, Short)]): Unit = {
+    buf.putInt(0) // throttle
+    writeCompactArrayLen(buf, results.size)
+    results.foreach { case (u, e) =>
+      writeCompactString(buf, u)
+      buf.putShort(e)
+      writeCompactString(buf, null)
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readAlterUserScramResponse(buf: ByteBuffer): Seq[(String, Short)] = {
+    buf.getInt
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val u = readCompactString(buf)
+      val e = buf.getShort
+      readCompactString(buf)
+      skipTaggedFields(buf)
+      (u, e)
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  // ---------------------------------------------- DescribeCluster (60)
+
+  /** DescribeCluster v0-v1 (flexible): include_authorized_operations
+    * endpoint_type (v1+) → throttle error error_message endpoint_type
+    * (v1+) cluster_id controller_id [broker_id host port rack]
+    * cluster_authorized_operations (reference DescribeClusterService,
+    * `nisshi-broker/src/service/storage.rs:289`).
+    */
+  def readDescribeCluster(buf: ByteBuffer, version: Int = 0): Unit = {
+    buf.get() // include_cluster_authorized_operations
+    if (version >= 1) buf.get() // endpoint_type
+    skipTaggedFields(buf)
+  }
+
+  def writeDescribeCluster(buf: ByteBuffer, version: Int = 0): Unit = {
+    buf.put(0: Byte)
+    if (version >= 1) buf.put(1: Byte)
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeDescribeClusterResponse(buf: ByteBuffer, clusterId: String,
+                                   host: String, port: Int,
+                                   version: Int = 0): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(0) // error
+    writeCompactString(buf, null) // error_message
+    if (version >= 1) buf.put(1: Byte) // endpoint_type: brokers
+    writeCompactString(buf, clusterId)
+    buf.putInt(0) // controller_id
+    writeCompactArrayLen(buf, 1)
+    buf.putInt(0) // broker_id
+    writeCompactString(buf, host)
+    buf.putInt(port)
+    writeCompactString(buf, null) // rack
+    writeEmptyTaggedFields(buf)
+    buf.putInt(Int.MinValue) // cluster_authorized_operations
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readDescribeClusterResponse(buf: ByteBuffer,
+                                  version: Int = 0): (String, String, Int) = {
+    buf.getInt; buf.getShort; readCompactString(buf)
+    if (version >= 1) buf.get()
+    val clusterId = readCompactString(buf)
+    buf.getInt
+    val n = readCompactArrayLen(buf)
+    require(n >= 1)
+    buf.getInt
+    val host = readCompactString(buf)
+    val port = buf.getInt
+    readCompactString(buf)
+    skipTaggedFields(buf)
+    (1 until n).foreach { _ =>
+      buf.getInt; readCompactString(buf); buf.getInt; readCompactString(buf)
+      skipTaggedFields(buf)
+    }
+    buf.getInt
+    skipTaggedFields(buf)
+    (clusterId, host, port)
+  }
+
+  // ------------------------------------- ConsumerGroupDescribe (69)
+
+  final case class CgDescribeMember(memberId: String, epoch: Int,
+                                    subscribed: Seq[String],
+                                    assignment: Seq[(String, Seq[Int])])
+  final case class CgDescribedGroup(error: Short, group: String,
+                                    state: String, epoch: Int,
+                                    assignor: String,
+                                    members: Seq[CgDescribeMember])
+
+  /** ConsumerGroupDescribe v0 (69, flexible, KIP-848 admin view over the
+    * classic-protocol coordinator): [group_id]
+    * include_authorized_operations → throttle [error error_message
+    * group_id state epoch assignment_epoch assignor [member: id
+    * instance_id rack_id epoch client_id client_host [subscribed_topic]
+    * regex assignment target_assignment] authorized_operations].
+    */
+  def readConsumerGroupDescribe(buf: ByteBuffer): Seq[String] = {
+    val groups = (0 until readCompactArrayLen(buf)).map(_ => readCompactString(buf))
+    buf.get() // include_authorized_operations
+    skipTaggedFields(buf)
+    groups
+  }
+
+  def writeConsumerGroupDescribe(buf: ByteBuffer, groups: Seq[String]): Unit = {
+    writeCompactArrayLen(buf, groups.size)
+    groups.foreach(writeCompactString(buf, _))
+    buf.put(0: Byte)
+    writeEmptyTaggedFields(buf)
+  }
+
+  private def writeCgAssignment(buf: ByteBuffer,
+                                assignment: Seq[(String, Seq[Int])]): Unit = {
+    writeCompactArrayLen(buf, assignment.size)
+    assignment.foreach { case (t, ps) =>
+      putUuid(buf, topicUuid(t))
+      writeCompactString(buf, t)
+      writeCompactArrayLen(buf, ps.size)
+      ps.foreach(buf.putInt)
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeConsumerGroupDescribeResponse(buf: ByteBuffer,
+                                         groups: Seq[CgDescribedGroup]): Unit = {
+    buf.putInt(0) // throttle
+    writeCompactArrayLen(buf, groups.size)
+    groups.foreach { g =>
+      buf.putShort(g.error)
+      writeCompactString(buf, null) // error_message
+      writeCompactString(buf, g.group)
+      writeCompactString(buf, g.state)
+      buf.putInt(g.epoch)            // group_epoch
+      buf.putInt(g.epoch)            // assignment_epoch
+      writeCompactString(buf, g.assignor)
+      writeCompactArrayLen(buf, g.members.size)
+      g.members.foreach { m =>
+        writeCompactString(buf, m.memberId)
+        writeCompactString(buf, null) // instance_id
+        writeCompactString(buf, null) // rack_id
+        buf.putInt(m.epoch)
+        writeCompactString(buf, "")   // client_id
+        writeCompactString(buf, "")   // client_host
+        writeCompactArrayLen(buf, m.subscribed.size)
+        m.subscribed.foreach(writeCompactString(buf, _))
+        writeCompactString(buf, null) // subscribed_topic_regex
+        writeCgAssignment(buf, m.assignment)        // assignment
+        writeCgAssignment(buf, m.assignment)        // target_assignment
+        writeEmptyTaggedFields(buf)
+      }
+      buf.putInt(Int.MinValue) // authorized_operations
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  private def readCgAssignment(buf: ByteBuffer): Seq[(String, Seq[Int])] = {
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      getUuid(buf)
+      val t = readCompactString(buf)
+      val ps = (0 until readCompactArrayLen(buf)).map(_ => buf.getInt)
+      skipTaggedFields(buf)
+      t -> ps
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  def readConsumerGroupDescribeResponse(buf: ByteBuffer): Seq[CgDescribedGroup] = {
+    buf.getInt
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val err = buf.getShort
+      readCompactString(buf)
+      val group = readCompactString(buf)
+      val state = readCompactString(buf)
+      val epoch = buf.getInt
+      buf.getInt
+      val assignor = readCompactString(buf)
+      val members = (0 until readCompactArrayLen(buf)).map { _ =>
+        val id = readCompactString(buf)
+        readCompactString(buf); readCompactString(buf)
+        val me = buf.getInt
+        readCompactString(buf); readCompactString(buf)
+        val subscribed =
+          (0 until readCompactArrayLen(buf)).map(_ => readCompactString(buf))
+        readCompactString(buf)
+        val assignment = readCgAssignment(buf)
+        readCgAssignment(buf)
+        skipTaggedFields(buf)
+        CgDescribeMember(id, me, subscribed, assignment)
+      }
+      buf.getInt
+      skipTaggedFields(buf)
+      CgDescribedGroup(err, group, state, epoch, assignor, members)
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  // ------------------------------- GetTelemetrySubscriptions (71)
+
+  /** GetTelemetrySubscriptions v0 (71, flexible, KIP-714): the broker
+    * collects no client telemetry, so the response carries an empty
+    * requested-metrics set and a long push interval — the spec'd way to
+    * say "nothing subscribed" (reference GetTelemetrySubscriptionsService,
+    * `nisshi-broker/src/service/storage.rs:562`).
+    */
+  def readGetTelemetrySubscriptions(buf: ByteBuffer): java.util.UUID = {
+    val u = getUuid(buf)
+    skipTaggedFields(buf)
+    u
+  }
+
+  def writeGetTelemetrySubscriptions(buf: ByteBuffer,
+                                     clientInstanceId: java.util.UUID): Unit = {
+    putUuid(buf, clientInstanceId)
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeGetTelemetrySubscriptionsResponse(
+      buf: ByteBuffer, clientInstanceId: java.util.UUID): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(0) // error
+    putUuid(buf,
+      if (clientInstanceId.getMostSignificantBits == 0 &&
+          clientInstanceId.getLeastSignificantBits == 0)
+        java.util.UUID.nameUUIDFromBytes("graft-client".getBytes(StandardCharsets.UTF_8))
+      else clientInstanceId)
+    buf.putInt(0) // subscription_id
+    writeCompactArrayLen(buf, 0) // accepted_compression_types
+    buf.putInt(300000) // push_interval_ms
+    buf.putInt(1024 * 1024) // telemetry_max_bytes
+    buf.put(0: Byte) // delta_temporality
+    writeCompactArrayLen(buf, 0) // requested_metrics: none
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readGetTelemetrySubscriptionsResponse(buf: ByteBuffer): java.util.UUID = {
+    buf.getInt; buf.getShort
+    val u = getUuid(buf)
+    buf.getInt
+    (0 until readCompactArrayLen(buf)).foreach(_ => buf.get())
+    buf.getInt; buf.getInt; buf.get()
+    (0 until readCompactArrayLen(buf)).foreach(_ => readCompactString(buf))
+    skipTaggedFields(buf)
+    u
+  }
+
+  // ------------------------------- DescribeTopicPartitions (75)
+
+  /** DescribeTopicPartitions v0 (75, flexible, KIP-966 era metadata):
+    * [topic_name] response_partition_limit cursor? → throttle
+    * [error name topic_id is_internal [partition: error index leader
+    * leader_epoch [replicas] [isr] elr? last_known_elr? [offline]]
+    * authorized_operations] next_cursor? (reference
+    * DescribeTopicPartitionsService, storage.rs:352). Nullable structs
+    * encode as int8 -1 (absent) / 1 (present, fields follow).
+    */
+  def readDescribeTopicPartitions(buf: ByteBuffer): Seq[String] = {
+    val topics = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      skipTaggedFields(buf)
+      t
+    }
+    buf.getInt // response_partition_limit
+    if (buf.get() >= 0) { // cursor present
+      readCompactString(buf)
+      buf.getInt
+      skipTaggedFields(buf)
+    }
+    skipTaggedFields(buf)
+    topics
+  }
+
+  def writeDescribeTopicPartitions(buf: ByteBuffer, topics: Seq[String]): Unit = {
+    writeCompactArrayLen(buf, topics.size)
+    topics.foreach { t =>
+      writeCompactString(buf, t)
+      writeEmptyTaggedFields(buf)
+    }
+    buf.putInt(2000)
+    buf.put(-1: Byte) // no cursor
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeDescribeTopicPartitionsResponse(
+      buf: ByteBuffer, topics: Seq[(String, Int, Short)]): Unit = {
+    buf.putInt(0) // throttle
+    writeCompactArrayLen(buf, topics.size)
+    topics.foreach { case (t, nParts, err) =>
+      buf.putShort(err)
+      writeCompactString(buf, t)
+      putUuid(buf, topicUuid(t))
+      buf.put(0: Byte) // is_internal
+      writeCompactArrayLen(buf, nParts)
+      (0 until nParts).foreach { p =>
+        buf.putShort(0)
+        buf.putInt(p)
+        buf.putInt(0) // leader_id
+        buf.putInt(0) // leader_epoch
+        writeCompactArrayLen(buf, 1); buf.putInt(0) // replicas
+        writeCompactArrayLen(buf, 1); buf.putInt(0) // isr
+        writeUnsignedVarint(0, buf) // eligible_leader_replicas: null
+        writeUnsignedVarint(0, buf) // last_known_elr: null
+        writeCompactArrayLen(buf, 0) // offline_replicas
+        writeEmptyTaggedFields(buf)
+      }
+      buf.putInt(Int.MinValue) // topic_authorized_operations
+      writeEmptyTaggedFields(buf)
+    }
+    buf.put(-1: Byte) // next_cursor: null
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readDescribeTopicPartitionsResponse(
+      buf: ByteBuffer): Seq[(String, Int, Short)] = {
+    buf.getInt
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val err = buf.getShort
+      val t = readCompactString(buf)
+      getUuid(buf)
+      buf.get()
+      val nParts = readCompactArrayLen(buf)
+      (0 until nParts).foreach { _ =>
+        buf.getShort; buf.getInt; buf.getInt; buf.getInt
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        val elr = readCompactArrayLen(buf)
+        if (elr > 0) (0 until elr).foreach(_ => buf.getInt)
+        val lke = readCompactArrayLen(buf)
+        if (lke > 0) (0 until lke).foreach(_ => buf.getInt)
+        (0 until readCompactArrayLen(buf)).foreach(_ => buf.getInt)
+        skipTaggedFields(buf)
+      }
+      buf.getInt
+      skipTaggedFields(buf)
+      (t, nParts, err)
+    }
+    if (buf.hasRemaining && buf.get() >= 0) {
+      readCompactString(buf); buf.getInt; skipTaggedFields(buf)
+    }
+    if (buf.hasRemaining) skipTaggedFields(buf)
+    r
   }
 }

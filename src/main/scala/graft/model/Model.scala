@@ -84,6 +84,22 @@ object Model {
       serverKey: Array[Byte]
   )
 
+  /** One stored ACL binding (reference CreateAclsService /
+    * DescribeAclsService, `nisshi-broker/src/service/storage.rs:142,163`).
+    * Enum fields carry the Kafka int8 codes: resourceType 2 = topic,
+    * 3 = group; patternType 3 = literal, 4 = prefixed; operation /
+    * permissionType per AclOperation / AclPermissionType.
+    */
+  final case class AclEntry(
+      resourceType: Int,
+      resourceName: String,
+      patternType: Int,
+      principal: String,
+      host: String,
+      operation: Int,
+      permissionType: Int
+  )
+
   /** Canonical record-log schema (SURVEY §1.4). */
   val logSchema: StructType = StructType(Seq(
     StructField("topic", StringType, nullable = false),

@@ -72,7 +72,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
     (0 until partitions).foreach { p =>
       Files.createDirectories(Paths.get(partDir(Topition(topic, p))))
     }
-    // durable topic registry: partitions + config survive restart
+    persistTopicMeta(topic, partitions, config)
+  }
+
+  // durable topic registry: partitions + config survive restart
+  private def persistTopicMeta(topic: String, partitions: Int,
+                               config: Map[String, String]): Unit = {
     val root0 = jsonMapper.createObjectNode()
     root0.put("partitions", partitions)
     val cfg = root0.putObject("config")
@@ -84,6 +89,23 @@ final class ParquetStorage(spark: SparkSession, root: String,
       StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  /** IncrementalAlterConfigs target: the merged config is re-persisted
+    * through the same topic.json the registry recovers from, so altered
+    * retention / cleanup.policy drive the NEXT maintain() pass exactly
+    * like create-time config (reference IncrementalAlterConfigsService,
+    * `nisshi-broker/src/service/storage.rs:415`).
+    */
+  override def alterTopicConfig(topic: String, set: Map[String, String],
+                                delete: Seq[String]): Boolean =
+    topicMeta(topic) match {
+      case None => false
+      case Some((parts, cfg)) =>
+        val next = (cfg ++ set) -- delete
+        topicsMap.put(topic, (parts, next))
+        persistTopicMeta(topic, parts, next)
+        true
+    }
 
   /** Topic metadata with restart recovery: cache, then topic.json, then
     * (for topics produced to without createTopic) the partition dirs.
@@ -485,6 +507,15 @@ final class ParquetStorage(spark: SparkSession, root: String,
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
+  /** ListOffsets timestamp -3 (KIP-734): offset of the record with the
+    * largest timestamp — one max_by aggregate, no sort.
+    */
+  override def maxTimestampOffset(tp: Topition): Option[Long] = {
+    val r = logDf(tp).filter(!col("is_control"))
+      .agg(max_by(col("offset"), col("timestamp"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   // ----------------------------------------------------------------- groups
 
   // Group state and committed offsets are DURABLE: every CAS-accepted
@@ -701,6 +732,65 @@ final class ParquetStorage(spark: SparkSession, root: String,
     }
   }
 
+  override def deleteScramCredential(user: String,
+                                     mechanism: String): Boolean = {
+    scramCache.remove((user, mechanism))
+    val p = scramFile(user, mechanism)
+    if (Files.exists(p)) { Files.delete(p); true } else false
+  }
+
+  // ------------------------------------------------------------------- ACLs
+
+  // ACL bindings are DURABLE like every other control-plane state: one
+  // acls.json under the root, atomic-rename published, re-read lazily by
+  // a fresh process (reference stores them through
+  // Storage create/describe ACL services).
+
+  @volatile private var aclCache: Option[Vector[AclEntry]] = None
+  private val aclLock = new Object
+
+  private def aclFile = Paths.get(s"$root/acls.json")
+
+  private def loadAcls(): Vector[AclEntry] =
+    aclCache.getOrElse(aclLock.synchronized {
+      aclCache.getOrElse {
+        val loaded =
+          if (!Files.exists(aclFile)) Vector.empty[AclEntry]
+          else try {
+            import scala.jdk.CollectionConverters._
+            jsonMapper.readTree(Files.readString(aclFile)).elements().asScala
+              .map { n =>
+                AclEntry(n.path("rt").asInt(), n.path("rn").asText(),
+                  n.path("pt").asInt(), n.path("p").asText(),
+                  n.path("h").asText(), n.path("o").asInt(),
+                  n.path("pm").asInt())
+              }.toVector
+          } catch { case scala.util.control.NonFatal(_) => Vector.empty[AclEntry] }
+        aclCache = Some(loaded)
+        loaded
+      }
+    })
+
+  override def createAcls(acls: Seq[AclEntry]): Unit = aclLock.synchronized {
+    val next = (loadAcls() ++ acls).distinct
+    val arr = jsonMapper.createArrayNode()
+    next.foreach { a =>
+      val n = arr.addObject()
+      n.put("rt", a.resourceType); n.put("rn", a.resourceName)
+      n.put("pt", a.patternType); n.put("p", a.principal)
+      n.put("h", a.host); n.put("o", a.operation)
+      n.put("pm", a.permissionType)
+      ()
+    }
+    val tmp = Paths.get(aclFile.toString + ".tmp")
+    Files.writeString(tmp, jsonMapper.writeValueAsString(arr))
+    Files.move(tmp, aclFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    aclCache = Some(next)
+  }
+
+  override def listAcls(): Seq[AclEntry] = loadAcls()
+
   // ------------------------------------------------------------ transactions
 
   // Transactional identity and open-txn state are DURABLE (reference
@@ -848,6 +938,24 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def txnBegin(producerId: Long, tp: Topition,
                         producerEpoch: Int): Int = {
     if (fenced(producerId, producerEpoch)) return ErrorCode.ProducerFenced
+    txnStates.put(producerId, TxnState.Begin)
+    txnStartTimes.putIfAbsent(producerId, clock())
+    txns.getOrElseUpdate(producerId, TrieMap.empty)
+    persistTxn(producerId)
+    ErrorCode.None
+  }
+
+  /** AddOffsetsToTxn: opens the transaction for offset staging — the
+    * commit-only EOS flow (sendOffsetsToTransaction with no produced
+    * partitions) never calls txnBegin, so the Begin transition happens
+    * here (reference TxnAddOffsetsService, storage.rs:583).
+    */
+  override def txnAddOffsets(producerId: Long, group: String,
+                             producerEpoch: Int): Int = {
+    ensureProducersLoaded()
+    if (fenced(producerId, producerEpoch)) return ErrorCode.ProducerFenced
+    if (!currentEpochs.contains(producerId))
+      return ErrorCode.UnknownProducerId
     txnStates.put(producerId, TxnState.Begin)
     txnStartTimes.putIfAbsent(producerId, clock())
     txns.getOrElseUpdate(producerId, TrieMap.empty)

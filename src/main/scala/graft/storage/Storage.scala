@@ -24,6 +24,14 @@ trait Storage {
   def deleteTopic(topic: String): Unit
   def topics: Seq[String]
   def topicConfig(topic: String): Map[String, String]
+  /** IncrementalAlterConfigs: apply SET (`set`) and DELETE (`delete`)
+    * operations to a topic's dynamic config, durably. Later reads of
+    * [[topicConfig]] — and the maintenance jobs keyed off retention /
+    * cleanup.policy — see the new values. False when the topic is
+    * unknown.
+    */
+  def alterTopicConfig(topic: String, set: Map[String, String],
+                       delete: Seq[String]): Boolean
   /** Declared partition count from createTopic — the source of truth for
     * Metadata/assignment (empty partitions included), not a data probe.
     */
@@ -57,6 +65,10 @@ trait Storage {
   def listEarliestOffset(tp: Topition): Long
   def listLatestOffset(tp: Topition): Long
   def offsetForTimestamp(tp: Topition, tsMillis: Long): Option[Long]
+  /** Offset of the record with the largest timestamp (ListOffsets
+    * timestamp -3, KIP-734) — None on an empty partition.
+    */
+  def maxTimestampOffset(tp: Topition): Option[Long]
 
   // -- consumer groups (reference lib.rs:1399-1478)
   def offsetCommit(group: String, tp: Topition, offset: Long): Unit
@@ -96,6 +108,15 @@ trait Storage {
     * broker know authentication is required without any config.
     */
   def listScramCredentials(): Seq[(String, String)]
+  /** Remove one credential (AlterUserScramCredentials deletion); true
+    * when one existed.
+    */
+  def deleteScramCredential(user: String, mechanism: String): Boolean
+
+  // -- ACLs (reference CreateAclsService/DescribeAclsService)
+  /** Durably add ACL bindings (idempotent on exact duplicates). */
+  def createAcls(acls: Seq[AclEntry]): Unit
+  def listAcls(): Seq[AclEntry]
 
   // -- transactions (reference lib.rs:1480-1517)
   /** Allocate (or re-init) a producer for `txnId`. Re-initialising an
@@ -115,6 +136,12 @@ trait Storage {
     * Returns an ErrorCode (0 = ok).
     */
   def txnEnd(producerId: Long, commit: Boolean, producerEpoch: Int = -1): Int
+  /** AddOffsetsToTxn: admit the group's offsets as transaction
+    * participants ahead of [[txnOffsetCommit]] — opens the txn for the
+    * commit-only EOS flow. Returns an ErrorCode (0 = ok).
+    */
+  def txnAddOffsets(producerId: Long, group: String,
+                    producerEpoch: Int = -1): Int
   /** Stage a consumer-group offset inside the transaction: visible to
     * offsetFetch only after txnEnd(commit=true) — the EOS
     * consume-transform-produce half (reference `lib.rs:1480-1517`).

@@ -1047,4 +1047,408 @@ class BrokerServerSpec extends SparkSpec {
       sock.close()
     } finally broker.close()
   }
+
+  test("every advertised version of the admin and txn planes round-trips") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-ap").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("ap", 1)
+    import spark.implicits._
+    val tp = graft.model.Model.Topition("ap", 0)
+    // three records at distinct timestamps; the MIDDLE one is newest —
+    // so ListOffsets -1 (latest=HW) and -3 (max-timestamp offset) differ
+    Seq((new java.sql.Timestamp(1000L), "a", "1"),
+        (new java.sql.Timestamp(9000L), "b", "2"),
+        (new java.sql.Timestamp(5000L), "c", "3"))
+      .foreach { r =>
+        storage.produce(tp, Seq(r).toDF("timestamp", "key", "value"))
+      }
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      var corr = 800
+      def call(api: Short, v: Int)(w: ByteBuffer => Unit): ByteBuffer = {
+        corr += 1
+        val flex = W.isFlexible(api, v.toShort)
+        val r = if (flex) flexRequest(sock, api, v.toShort, corr)(w)
+                else request(sock, api, v.toShort, corr)(w)
+        if (flex) W.skipTaggedFields(r)
+        r
+      }
+
+      // ListOffsets v0-v8: earliest(-2) = 0 and latest(-1) = HW = 3 at
+      // every version; v7+ also resolves -3 to the max-timestamp offset
+      (0 to 8).foreach { v =>
+        val r = call(2, v) { b =>
+          W.writeListOffsets(b, W.ListOffsetsRequest(0, Seq(
+            W.ListOffsetsTopic("ap", Seq(W.ListOffsetsPartition(0, -1L))))), v)
+        }
+        val Seq(("ap", parts)) = W.readListOffsetsResponse(r, v)
+        assert(parts === Seq((0, 0.toShort, 3L)), s"listOffsets v$v latest")
+        val r2 = call(2, v) { b =>
+          W.writeListOffsets(b, W.ListOffsetsRequest(0, Seq(
+            W.ListOffsetsTopic("ap", Seq(W.ListOffsetsPartition(0, -2L))))), v)
+        }
+        assert(W.readListOffsetsResponse(r2, v).head._2.head._3 === 0L,
+          s"listOffsets v$v earliest")
+        if (v >= 7) {
+          val r3 = call(2, v) { b =>
+            W.writeListOffsets(b, W.ListOffsetsRequest(0, Seq(
+              W.ListOffsetsTopic("ap", Seq(W.ListOffsetsPartition(0, -3L))))), v)
+          }
+          assert(W.readListOffsetsResponse(r3, v).head._2.head._3 === 1L,
+            s"listOffsets v$v max-timestamp")
+        }
+      }
+
+      // CreateTopics v0-v7 / DescribeConfigs v0-v4 / DeleteTopics v0-v6:
+      // a fresh topic per CreateTopics version, described then deleted
+      (0 to 7).foreach { v =>
+        val name = s"ct$v"
+        val r = call(19, v) { b =>
+          W.writeCreateTopics(b,
+            Seq(W.CreateTopic(name, 2, 1, Map("retention.ms" -> "1000"))),
+            30000, v)
+        }
+        assert(W.readCreateTopicsResponse(r, v) === Seq(name -> 0.toShort),
+          s"createTopics v$v")
+        assert(storage.partitionCount(name) === 2)
+
+        val dv = math.min(v, 4)
+        val dc = call(32, dv) { b =>
+          W.writeDescribeConfigs(b, Seq((2: Byte, name, None)), dv)
+        }
+        val Seq((dcErr, _, dcName, cfg)) = W.readDescribeConfigsResponse(dc, dv)
+        assert(dcErr === 0 && dcName === name, s"describeConfigs v$dv")
+        assert(cfg.toMap.get("retention.ms") === Some("1000"))
+
+        val delV = math.min(v, 6)
+        val del = call(20, delV)(b => W.writeDeleteTopics(b, Seq(name), 30000, delV))
+        assert(W.readTopicErrorsResponse(del, 20, delV) === Seq(name -> 0.toShort),
+          s"deleteTopics v$delV")
+        assert(!storage.topics.contains(name))
+      }
+
+      // IncrementalAlterConfigs v0-v1: SET then DELETE, each observed
+      // through topicConfig (the maintain() input)
+      (0 to 1).foreach { v =>
+        val r = call(44, v) { b =>
+          W.writeIncrementalAlterConfigs(b, Seq((2: Byte, "ap", Seq(
+            W.AlterConfigOp("retention.ms", 0, s"500$v"),
+            W.AlterConfigOp("cleanup.policy", 0, "compact")))), false, v)
+        }
+        assert(W.readIncrementalAlterConfigsResponse(r, v) ===
+          Seq((0.toShort, 2: Byte, "ap")), s"incrAlter v$v")
+        assert(storage.topicConfig("ap").get("retention.ms") === Some(s"500$v"))
+        val d = call(44, v) { b =>
+          W.writeIncrementalAlterConfigs(b, Seq((2: Byte, "ap", Seq(
+            W.AlterConfigOp("cleanup.policy", 1, null)))), false, v)
+        }
+        assert(W.readIncrementalAlterConfigsResponse(d, v).head._1 === 0)
+        assert(!storage.topicConfig("ap").contains("cleanup.policy"))
+      }
+      // unknown topic and APPEND op are rejected
+      val bad = call(44, 1) { b =>
+        W.writeIncrementalAlterConfigs(b, Seq(
+          (2: Byte, "nope", Seq(W.AlterConfigOp("retention.ms", 0, "1"))),
+          (2: Byte, "ap", Seq(W.AlterConfigOp("retention.ms", 2, "1")))), false, 1)
+      }
+      assert(W.readIncrementalAlterConfigsResponse(bad, 1).map(_._1) ===
+        Seq(3.toShort, 42.toShort))
+
+      // DeleteRecords v0-v2 (cut one offset per version)
+      (0 to 2).foreach { v =>
+        val r = call(21, v)(b =>
+          W.writeDeleteRecords(b, Seq("ap" -> Seq(0 -> (v + 1).toLong)), 30000, v))
+        assert(W.readDeleteRecordsResponse(r, v) ===
+          Seq("ap" -> Seq((0, (v + 1).toLong, 0.toShort))), s"deleteRecords v$v")
+      }
+
+      // groups: one joined member; DescribeGroups v0-v5 + ListGroups
+      // v0-v4 see it, DeleteGroups v0-v2 refuses while it lives
+      val jr = W.readJoinGroupResponse(call(11, 6) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("ag", 30000, "", "consumer",
+          Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("ap"))))), 6)
+      }, 6)
+      assert(jr.error === 0)
+      (0 to 5).foreach { v =>
+        val r = call(15, v)(b => W.writeDescribeGroups(b, Seq("ag", "ghost"), v))
+        val groups = W.readDescribeGroupsResponse(r, v)
+        assert(groups.map(g => g.group -> g.error) ===
+          Seq("ag" -> 0.toShort, "ghost" -> 69.toShort), s"describeGroups v$v")
+        assert(groups.head.members.map(_.memberId) === Seq(jr.memberId))
+      }
+      (0 to 4).foreach { v =>
+        val r = call(16, v)(b => W.writeListGroups(b, Nil, v))
+        assert(W.readListGroupsResponse(r, v) === Seq("ag"), s"listGroups v$v")
+      }
+      // v4 states filter: no Stable groups before SyncGroup completes →
+      // filtered out; Empty/PreparingRebalance filter keeps it
+      val sf = call(16, 4)(b => W.writeListGroups(b, Seq("Dead"), 4))
+      assert(W.readListGroupsResponse(sf, 4) === Seq.empty)
+      (0 to 2).foreach { v =>
+        val r = call(42, v)(b => W.writeDeleteGroups(b, Seq("ag"), v))
+        assert(W.readDeleteGroupsResponse(r, v) === Seq("ag" -> 68.toShort),
+          s"deleteGroups v$v (NON_EMPTY_GROUP)")
+      }
+
+      // txn plane: InitProducerId v0-v4, then the full EOS flow at the
+      // AddPartitions/AddOffsets/TxnOffsetCommit/EndTxn max versions
+      var pid = -1L
+      var epoch: Short = -1
+      (0 to 4).foreach { v =>
+        val r = call(22, v)(b => W.writeInitProducerId(b, "txn-ap", 60000, v))
+        val (e, p0, ep) = W.readInitProducerIdResponse(r, v)
+        assert(e === 0 && p0 > 0, s"initProducerId v$v")
+        pid = p0; epoch = ep
+      }
+      (0 to 3).foreach { v =>
+        val r = call(24, v) { b =>
+          W.writeAddPartitionsToTxn(b,
+            W.AddPartitionsToTxnRequest("txn-ap", pid, epoch, Seq("ap" -> Seq(0))), v)
+        }
+        assert(W.readAddPartitionsToTxnResponse(r, v) ===
+          Seq("ap" -> Seq((0, 0.toShort))), s"addPartitions v$v")
+      }
+      (0 to 3).foreach { v =>
+        val r = call(25, v)(b =>
+          W.writeAddOffsetsToTxn(b, "txn-ap", pid, epoch, "ag2", v))
+        assert(W.readErrorResponse(r, v, v >= 3, throttleFrom = 0) === 0,
+          s"addOffsets v$v")
+      }
+      (0 to 3).foreach { v =>
+        val r = call(28, v) { b =>
+          W.writeTxnOffsetCommit(b, W.TxnOffsetCommitRequest("txn-ap", "ag2",
+            pid, epoch, Seq("ap" -> Seq(0 -> (40L + v)))), v)
+        }
+        assert(W.readTxnOffsetCommitResponse(r, v) ===
+          Seq("ap" -> Seq((0, 0.toShort))), s"txnOffsetCommit v$v")
+      }
+      (0 to 3).foreach { v =>
+        // commit at v3; earlier versions each run a fresh begin/abort
+        val commit = v == 3
+        val r = call(26, v)(b =>
+          W.writeEndTxn(b, "txn-ap", pid, epoch, commit, v))
+        assert(W.readErrorResponse(r, v, v >= 3, throttleFrom = 0) === 0,
+          s"endTxn v$v")
+        if (!commit) { // reopen for the next version's round
+          call(25, 0)(b => W.writeAddOffsetsToTxn(b, "txn-ap", pid, epoch, "ag2"))
+          call(28, 0) { b =>
+            W.writeTxnOffsetCommit(b, W.TxnOffsetCommitRequest("txn-ap", "ag2",
+              pid, epoch, Seq("ap" -> Seq(0 -> (40L + v + 1)))), 0)
+          }
+          ()
+        }
+      }
+      // the commit-only flow's staged offset landed (no produce involved)
+      assert(storage.offsetFetch("ag2", tp) === Some(43L))
+
+      // FindCoordinator v4 (batched keys)
+      val fc = call(10, 4)(b => W.writeFindCoordinator(b, "ag2", 4))
+      val (fce, _, fch, fcp) = W.readFindCoordinatorResponse(fc, 4)
+      assert(fce === 0 && fch === "127.0.0.1" && fcp === broker.boundPort)
+
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("cluster/topic introspection + ACL admin APIs over the wire") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-in").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("intro", 3)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+
+      // DescribeCluster v0-v1
+      (0 to 1).foreach { v =>
+        val r = flexRequest(sock, 60, v.toShort, 900 + v)(b =>
+          W.writeDescribeCluster(b, v))
+        W.skipTaggedFields(r)
+        val (cid, h, p) = W.readDescribeClusterResponse(r, v)
+        assert(cid === "graft" && h === "127.0.0.1" && p === broker.boundPort,
+          s"describeCluster v$v")
+      }
+
+      // DescribeTopicPartitions: explicit topic + unknown topic
+      val dtp = flexRequest(sock, 75, 0, 910)(b =>
+        W.writeDescribeTopicPartitions(b, Seq("intro", "ghost")))
+      W.skipTaggedFields(dtp)
+      assert(W.readDescribeTopicPartitionsResponse(dtp) ===
+        Seq(("intro", 3, 0.toShort), ("ghost", 0, 3.toShort)))
+
+      // ListPartitionReassignments: none in flight, static replica echo
+      val lpr = flexRequest(sock, 46, 0, 911)(b =>
+        W.writeListPartitionReassignments(b, Some(Seq("intro" -> Seq(0, 2)))))
+      W.skipTaggedFields(lpr)
+      assert(W.readListPartitionReassignmentsResponse(lpr) ===
+        Seq("intro" -> Seq(0, 2)))
+
+      // GetTelemetrySubscriptions: echoes the instance id, no metrics
+      val cid = java.util.UUID.randomUUID()
+      val gts = flexRequest(sock, 71, 0, 912)(b =>
+        W.writeGetTelemetrySubscriptions(b, cid))
+      W.skipTaggedFields(gts)
+      assert(W.readGetTelemetrySubscriptionsResponse(gts) === cid)
+
+      // ACLs: create two bindings, filter-describe, survive a restart
+      val acl1 = W.AclBinding(2, "intro", 3, "User:alice", "*", 3, 3) // topic READ allow
+      val acl2 = W.AclBinding(3, "cg", 3, "User:bob", "*", 3, 3)     // group READ allow
+      val ca = flexRequest(sock, 30, 2, 913)(b =>
+        W.writeCreateAcls(b, Seq(acl1, acl2), 2))
+      W.skipTaggedFields(ca)
+      assert(W.readCreateAclsResponse(ca, 2) === Seq(0.toShort, 0.toShort))
+
+      def describeAcls(s: Socket, corr: Int, f: W.AclFilter): Seq[W.AclBinding] = {
+        val r = flexRequest(s, 29, 2, corr)(b => W.writeDescribeAcls(b, f, 2))
+        W.skipTaggedFields(r)
+        W.readDescribeAclsResponse(r, 2)
+      }
+      // ANY filter sees both; topic-typed filter sees only the topic ACL
+      assert(describeAcls(sock, 914,
+        W.AclFilter(1, null, 1, null, null, 1, 1)).toSet === Set(acl1, acl2))
+      assert(describeAcls(sock, 915,
+        W.AclFilter(2, null, 1, null, null, 1, 1)) === Seq(acl1))
+      assert(describeAcls(sock, 916,
+        W.AclFilter(1, null, 1, "User:bob", null, 1, 1)) === Seq(acl2))
+      sock.close()
+
+      // restart: ACLs recover from acls.json alone
+      broker.close()
+      val storage2 = new ParquetStorage(spark, root)
+      val broker2 = new BrokerServer(storage2)
+      try {
+        val sock2 = new Socket("127.0.0.1", broker2.boundPort)
+        assert(describeAcls(sock2, 917,
+          W.AclFilter(1, null, 1, null, null, 1, 1)).toSet === Set(acl1, acl2))
+        sock2.close()
+      } finally broker2.close()
+    } finally broker.close()
+  }
+
+  test("SCRAM admin APIs + legacy SaslHandshake v0 bare-token exchange") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-sa").toString
+    val storage = new ParquetStorage(spark, root)
+    val broker = new BrokerServer(storage,
+      scramUsers = Map("admin" -> "admin-pw"))
+    try {
+      // ---- legacy path: SaslHandshake v0, then BARE token frames
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      val hs = request(sock, 17, 0, 950)(b =>
+        W.writeSaslHandshake(b, "SCRAM-SHA-256"))
+      assert(hs.getShort === 0)
+
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      def bareToken(msg: String): String = {
+        val bytes = msg.getBytes("UTF-8")
+        out.writeInt(bytes.length); out.write(bytes); out.flush()
+        val reply = new Array[Byte](in.readInt())
+        in.readFully(reply)
+        new String(reply, "UTF-8")
+      }
+      val cf = graft.facade.Scram.clientFirst("admin", "legacy-nonce")
+      val serverFirst = bareToken(cf)
+      val (clientFinal, expectServerFinal) =
+        graft.facade.Scram.clientFinal("admin-pw", cf, serverFirst)
+      assert(bareToken(clientFinal) === expectServerFinal) // mutual auth
+
+      // authenticated: the same connection now serves Kafka frames again
+      val md = request(sock, 3, 1, 951)(b => W.writeMetadataClassic(b, None, 1))
+
+      // ---- SCRAM admin: upsert a SHA-512 user via the salted password
+      val salt = Array.tabulate[Byte](16)(_.toByte)
+      val iters = 4096
+      val sp = graft.facade.Scram.saltedPassword("eve-pw", salt, iters,
+        graft.facade.Scram.Sha512)
+      val alter = flexRequest(sock, 51, 0, 952) { b =>
+        W.writeAlterUserScram(b, Seq.empty,
+          Seq(W.ScramUpsertion("eve", 2, iters, salt, sp)))
+      }
+      W.skipTaggedFields(alter)
+      assert(W.readAlterUserScramResponse(alter) === Seq("eve" -> 0.toShort))
+
+      // DescribeUserScramCredentials sees both users
+      val desc = flexRequest(sock, 50, 0, 953)(b =>
+        W.writeDescribeUserScram(b, None))
+      W.skipTaggedFields(desc)
+      val described = W.readDescribeUserScramResponse(desc)
+      assert(described.exists { case (u, e, infos) =>
+        u === "eve" && e === 0 && infos === Seq((2: Byte, iters)) })
+      assert(described.exists { case (u, e, _) => u === "admin" && e === 0 })
+      // unknown user → RESOURCE_NOT_FOUND
+      val descGhost = flexRequest(sock, 50, 0, 954)(b =>
+        W.writeDescribeUserScram(b, Some(Seq("ghost"))))
+      W.skipTaggedFields(descGhost)
+      assert(W.readDescribeUserScramResponse(descGhost) ===
+        Seq(("ghost", 91.toShort, Seq.empty)))
+      sock.close()
+
+      // ---- restart with NO configured users: eve authenticates via
+      // SHA-512 + SaslAuthenticate v2 (flexible), proving the admin
+      // upsert persisted through Storage
+      broker.close()
+      val storage2 = new ParquetStorage(spark, root)
+      val broker2 = new BrokerServer(storage2)
+      try {
+        val sock2 = new Socket("127.0.0.1", broker2.boundPort)
+        val hs2 = request(sock2, 17, 1, 960)(b =>
+          W.writeSaslHandshake(b, "SCRAM-SHA-512"))
+        assert(hs2.getShort === 0)
+        val cf2 = graft.facade.Scram.clientFirst("eve", "nonce2")
+        val sa1 = flexRequest(sock2, 36, 2, 961)(b =>
+          W.writeSaslAuthenticate(b, cf2.getBytes("UTF-8"), 2))
+        W.skipTaggedFields(sa1)
+        val (e1, _, sfBytes) = W.readSaslAuthenticateResponse(sa1, 2)
+        assert(e1 === 0)
+        val (cfin, expSf) = graft.facade.Scram.clientFinal("eve-pw", cf2,
+          new String(sfBytes, "UTF-8"), graft.facade.Scram.Sha512)
+        val sa2 = flexRequest(sock2, 36, 2, 962)(b =>
+          W.writeSaslAuthenticate(b, cfin.getBytes("UTF-8"), 2))
+        W.skipTaggedFields(sa2)
+        val (e2, _, sfin) = W.readSaslAuthenticateResponse(sa2, 2)
+        assert(e2 === 0 && new String(sfin, "UTF-8") === expSf)
+
+        // deletion removes the credential
+        val del = flexRequest(sock2, 51, 0, 963)(b =>
+          W.writeAlterUserScram(b, Seq("eve" -> (2: Byte)), Seq.empty))
+        W.skipTaggedFields(del)
+        assert(W.readAlterUserScramResponse(del) === Seq("eve" -> 0.toShort))
+        assert(storage2.scramCredential("eve", "SCRAM-SHA-512").isEmpty)
+        sock2.close()
+      } finally broker2.close()
+    } finally broker.close()
+  }
+
+  test("ConsumerGroupDescribe reflects the classic coordinator's state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-cg").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("cgd", 2)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      // form a one-member group with a completed assignment
+      val jr = W.readJoinGroupResponse(request(sock, 11, 0, 970) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("cgd-g", 30000, "", "consumer",
+          Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("cgd"))))))
+      })
+      assert(jr.error === 0)
+      val sr = request(sock, 14, 0, 971) { b =>
+        W.writeSyncGroup(b, W.SyncGroupRequest("cgd-g", jr.generation,
+          jr.memberId, Seq.empty))
+      }
+      assert(W.readSyncGroupResponse(sr)._1 === 0)
+
+      val r = flexRequest(sock, 69, 0, 972)(b =>
+        W.writeConsumerGroupDescribe(b, Seq("cgd-g", "ghost")))
+      W.skipTaggedFields(r)
+      val Seq(live, ghost) = W.readConsumerGroupDescribeResponse(r)
+      assert(live.error === 0 && live.group === "cgd-g" && live.state === "Stable")
+      assert(live.epoch === jr.generation && live.assignor === "range")
+      assert(live.members.map(_.memberId) === Seq(jr.memberId))
+      assert(live.members.head.subscribed === Seq("cgd"))
+      assert(live.members.head.assignment === Seq("cgd" -> Seq(0, 1)))
+      assert(ghost.error === 69 && ghost.state === "Dead")
+      sock.close()
+    } finally broker.close()
+  }
 }

@@ -450,4 +450,39 @@ class StorageSpec extends SparkSpec {
     assert(st.offsetFetch("alive", t0) === None)
     assert(st.storedGroups() === Nil)
   }
+
+  test("alterTopicConfig persists: retention set after create drives maintain()") {
+    val root = java.nio.file.Files.createTempDirectory("graft-altercfg").toString
+    var now = 100000L
+    val st = new ParquetStorage(spark, root, clock = () => now)
+    st.createTopic("cfg", 1)
+    val tp = Topition("cfg", 0)
+    import spark.implicits._
+    st.produce(tp, Seq((new java.sql.Timestamp(now), "k", "old")).toDF(
+      "timestamp", "key", "value"))
+    now += 60000
+    st.produce(tp, Seq((new java.sql.Timestamp(now), "k2", "new")).toDF(
+      "timestamp", "key", "value"))
+
+    // no retention configured: maintain() keeps everything
+    st.maintain()
+    assert(st.fetch(tp, 0, 1 << 20).count() === 2)
+
+    // dynamically set retention.ms; a FRESH process (config recovered
+    // from topic.json alone) ages out the old record on its clock
+    assert(st.alterTopicConfig("cfg",
+      Map("retention.ms" -> "30000", "cleanup.policy" -> "delete"), Nil))
+    val st2 = new ParquetStorage(spark, root, clock = () => now)
+    assert(st2.topicConfig("cfg").get("retention.ms") === Some("30000"))
+    st2.maintain()
+    val left = st2.fetch(tp, 0, 1 << 20)
+      .select(col("value").cast("string")).as[String].collect()
+    assert(left.toSeq === Seq("new"))
+
+    // DELETE removes the key again (and persists)
+    assert(st2.alterTopicConfig("cfg", Map.empty, Seq("retention.ms")))
+    val st3 = new ParquetStorage(spark, root, clock = () => now)
+    assert(!st3.topicConfig("cfg").contains("retention.ms"))
+    assert(!st.alterTopicConfig("ghost", Map("a" -> "b"), Nil))
+  }
 }
