@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis)
   * with DuckDB oracle SQL. Hashing is the shared 60-bit truncated md5 so
@@ -111,7 +111,33 @@ object TrainingQueries {
           " as bigint))").as("xor_redacted"))
   }
 
+  /** Benchmark decontamination: docs with doc_id % 97 == 0 stand in as
+    * the held-out benchmark; every other doc is flagged when it shares a
+    * word 3-gram with any of them.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.contamination(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0),
+      n = 3, minOverlap = 1)
+  }
+
+  /** Per-domain quota: at most 10 docs per source, hash-ranked. */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCapSample(docs(s, dir), "source", maxPerDomain = 10)
+      .select("doc_id", "source", "sample_rank")
+
+  /** Within-document repetition / boilerplate score. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStats(docs(s, dir))
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "top_token_freq",
+        "ttr_e4")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_domain_cap" -> (qDomainCap _),
+    "q_repetition" -> (qRepetition _),
     "q_redact" -> (qRedact _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf_top_terms" -> (qTfIdf _),
@@ -302,6 +328,47 @@ object TrainingQueries {
        |FROM reach GROUP BY a""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT sh FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS n
+        |  FROM grams g JOIN bench USING (sh)
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_grams,
+        |  CASE WHEN coalesce(h.n, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    "q_domain_cap" ->
+      ("""SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY """ +
+        "CAST(('0x' || substring(md5('cap|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)" +
+        """, doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 10""").stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct_tokens,
+        |  CAST(MAX(tf) AS BIGINT) AS top_token_freq,
+        |  (COUNT(*) * 10000) // CAST(SUM(tf) AS BIGINT) AS ttr_e4
+        |FROM tf GROUP BY doc_id""".stripMargin,
+
     "q_redact" ->
       """WITH d AS (
         |  SELECT source,
