@@ -185,7 +185,42 @@ object SchemaQueries {
         lit(schema.fieldNames.sorted.mkString(",")))
   }
 
+  /** F8/§1.3 — Avro logical-type fidelity, end to end and distributed:
+    * lineitem prices (decimal 12,2) and ship dates go THROUGH the Avro
+    * binary codec — encodeColumn writes decimal unscaled bytes + epoch
+    * days per row, decodeColumn reads them back — then aggregate; the
+    * oracle computes the same decimal sums straight from parquet, so any
+    * scale/precision/sign loss in the codec breaks the hash (reference
+    * `nisshi-schema/src/avro/arrow.rs:205-247`).
+    */
+  def qAvroDecimal(s: SparkSession, dir: String): DataFrame = {
+    val avsc =
+      """{"type":"record","name":"li","fields":[
+        |  {"name":"flag","type":"string"},
+        |  {"name":"price","type":{"type":"bytes","logicalType":"decimal",
+        |    "precision":12,"scale":2}},
+        |  {"name":"ship","type":{"type":"int","logicalType":"date"}}]}"""
+        .stripMargin
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_shipdate").cast("date").as("ship"))
+    val encoded = graft.schema.AvroDecoder
+      .encodeColumn(l, avsc, "payload").select("payload")
+    val decoded = graft.schema.AvroDecoder
+      .decodeColumn(encoded, "payload", avsc, "rec")
+    decoded.select(col("rec.flag").as("flag"), col("rec.price").as("price"),
+        col("rec.ship").as("ship"))
+      .groupBy(col("flag"))
+      .agg(
+        sum(col("price")).cast("decimal(18,2)").cast("double").as("sum_price"),
+        min(col("price")).cast("double").as("min_price"),
+        max(col("ship")).as("max_ship"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_avro_decimal" -> (qAvroDecimal _),
     "q_infer_schema" -> (qInferSchema _),
     "q_percentiles" -> (qPercentiles _),
     "q_sessions" -> (qSessions _),
@@ -200,6 +235,16 @@ object SchemaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_avro_decimal" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS min_price,
+        |  MAX(CAST(l_shipdate AS DATE)) AS max_ship,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q_infer_schema" ->
       """WITH log AS (
         |  SELECT event_id % 8 AS "partition", event_id AS "offset",

@@ -141,4 +141,74 @@ object AvroDecoder {
     enc.flush()
     out.toByteArray
   }
+
+  /** Encode same-named DataFrame columns as an Avro binary column — the
+    * distributed inverse of [[decodeColumn]] (the `AsKafkaRecord` half,
+    * `nisshi-schema/src/avro.rs:507-537`): one writer per partition,
+    * partition-local, no shuffle. Logical types round-trip with full
+    * fidelity: decimal (unscaled two's-complement bytes), date (epoch
+    * days), timestamp-millis/micros.
+    */
+  def encodeColumn(df: DataFrame, avsc: String, outputCol: String): DataFrame = {
+    val parsed = AvroSchemas.parse(avsc)
+    val fieldNames = parsed.getFields.asScala.map(_.name).toSeq
+    val fieldIdx = fieldNames.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, BinaryType, nullable = true))
+    val spark = df.sparkSession
+    val rdd = df.rdd.mapPartitions { it =>
+      val schema = new ASchema.Parser().parse(avsc)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val fields = schema.getFields.asScala.toSeq
+      it.map { row =>
+        val rec = new GenericData.Record(schema)
+        fields.zip(fieldIdx).foreach { case (f, i) =>
+          rec.put(f.name,
+            toAvro(if (row.isNullAt(i)) null else row.get(i), f.schema))
+        }
+        val out = new ByteArrayOutputStream()
+        val enc = EncoderFactory.get().binaryEncoder(out, null)
+        writer.write(rec, enc)
+        enc.flush()
+        Row.fromSeq(row.toSeq :+ out.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Spark external value -> Avro runtime value (inverse of [[toSpark]]
+    * over the encodable subset).
+    */
+  private[schema] def toAvro(v: Any, schema: ASchema): Any = v match {
+    case null => null
+    case _ if schema.getType == ASchema.Type.UNION =>
+      val nonNull = schema.getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
+      toAvro(v, nonNull.head)
+    case d: java.math.BigDecimal =>
+      schema.getLogicalType match {
+        case lt: org.apache.avro.LogicalTypes.Decimal =>
+          val unscaled = d.setScale(lt.getScale).unscaledValue.toByteArray
+          if (schema.getType == ASchema.Type.FIXED) {
+            // left-pad with the sign byte to the fixed size
+            val size = schema.getFixedSize
+            val pad: Byte = if (unscaled.head < 0) -1 else 0
+            val padded = Array.fill[Byte](size - unscaled.length)(pad) ++ unscaled
+            new GenericData.Fixed(schema, padded)
+          } else java.nio.ByteBuffer.wrap(unscaled)
+        case _ => java.nio.ByteBuffer.wrap(d.unscaledValue.toByteArray)
+      }
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case t: java.sql.Timestamp =>
+      val micros = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      if (schema.getLogicalType != null &&
+          schema.getLogicalType.getName.endsWith("-millis"))
+        Math.floorDiv(micros, 1000L)
+      else micros
+    case s: String => s
+    case b: Array[Byte] =>
+      if (schema.getType == ASchema.Type.FIXED) new GenericData.Fixed(schema, b)
+      else java.nio.ByteBuffer.wrap(b)
+    case other => other // int/long/float/double/boolean pass through
+  }
 }

@@ -153,4 +153,39 @@ class AvroDecoderSpec extends SparkSpec {
     assert(lake.select("value_struct.price").head()
       .getDecimal(0).toPlainString === "999.95")
   }
+
+  test("encodeColumn round-trips logical types distributed (encode half of F8)") {
+    import spark.implicits._
+    val avsc =
+      """{"type":"record","name":"rt","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":12,"scale":2}},
+        |{"name":"fixed_price","type":{"type":"fixed","name":"fp","size":6,
+        |  "logicalType":"decimal","precision":12,"scale":3}},
+        |{"name":"d","type":{"type":"int","logicalType":"date"}},
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}]}"""
+        .stripMargin
+    val df = spark.range(0, 1000, 1, 8).toDF("id")
+      .withColumn("price",
+        (col("id") * 7 - 350000).cast("decimal(20,0)")
+          .cast("decimal(12,2)") / 100)
+      .withColumn("price", col("price").cast("decimal(12,2)"))
+      .withColumn("fixed_price", col("price").cast("decimal(12,3)"))
+      .withColumn("d", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")))
+      .withColumn("ts", timestamp_millis(col("id") * 1000 + 123))
+    val enc = AvroDecoder.encodeColumn(df, avsc, "bin")
+    val dec = AvroDecoder.decodeColumn(enc.select("id", "bin"), "bin", avsc, "rec")
+      .select(col("id"), col("rec.price").as("p2"),
+        col("rec.fixed_price").as("fp2"), col("rec.d").as("d2"),
+        col("rec.ts").as("ts2"))
+    val joined = df.join(dec, "id")
+    // every row survives with exact values — incl. negative decimals
+    // (sign-extended unscaled bytes) and the fixed-size decimal padding
+    assert(joined.count() === 1000)
+    assert(joined.filter(col("price") =!= col("p2")).count() === 0)
+    assert(joined.filter(col("fixed_price") =!= col("fp2")).count() === 0)
+    assert(joined.filter(col("d") =!= col("d2")).count() === 0)
+    assert(joined.filter(col("ts") =!= col("ts2")).count() === 0)
+  }
 }
