@@ -15,8 +15,10 @@ import org.json4s.jackson.JsonMethods
   * types from instance values. Here the schema itself drives the Spark
   * type (declarative > instance-driven where the schema declares types),
   * and the constraint subset (type / required / pattern / minimum /
-  * maximum / enum) compiles to a single boolean expression evaluated
-  * inside codegen — no per-row UDF interpreter at 100 TB.
+  * maximum / exclusiveMinimum / exclusiveMaximum / multipleOf /
+  * minLength / maxLength / minItems / maxItems / enum / const) compiles
+  * to a single boolean expression evaluated inside codegen — no per-row
+  * UDF interpreter at 100 TB.
   */
 object JsonSchema {
 
@@ -101,22 +103,37 @@ object JsonSchema {
         raw.isNotNull && raw.cast("double").isNotNull
       case "string" => raw.isNotNull
       case "boolean" => raw.isin("true", "false")
+      case "array" => raw.isNotNull && json_array_length(raw).isNotNull
       case "object" => raw.isNotNull
       case _ => lit(true)
+    }
+    def num(v: JValue): Option[Double] = v match {
+      case JInt(m) => Some(m.toDouble)
+      case JDouble(m) => Some(m)
+      case JDecimal(m) => Some(m.toDouble)
+      case _ => None
     }
     val constraints = Seq(
       (ast \ "pattern") match {
         case JString(p) => Some(raw.rlike(p))
         case _ => None
       },
-      (ast \ "minimum") match {
-        case JInt(m) => Some(raw.cast("double") >= m.toDouble)
-        case JDouble(m) => Some(raw.cast("double") >= m)
-        case _ => None
-      },
-      (ast \ "maximum") match {
-        case JInt(m) => Some(raw.cast("double") <= m.toDouble)
-        case JDouble(m) => Some(raw.cast("double") <= m)
+      num(ast \ "minimum").map(m => raw.cast("double") >= m),
+      num(ast \ "maximum").map(m => raw.cast("double") <= m),
+      num(ast \ "exclusiveMinimum").map(m => raw.cast("double") > m),
+      num(ast \ "exclusiveMaximum").map(m => raw.cast("double") < m),
+      // draft-2020 multipleOf; exact for the integer divisors real
+      // schemas use (money cents, page sizes)
+      num(ast \ "multipleOf").map(m => pmod(raw.cast("double"), lit(m)) === 0.0),
+      num(ast \ "minLength").map(m => length(raw) >= m.toInt),
+      num(ast \ "maxLength").map(m => length(raw) <= m.toInt),
+      num(ast \ "minItems").map(m => json_array_length(raw) >= m.toInt),
+      num(ast \ "maxItems").map(m => json_array_length(raw) <= m.toInt),
+      (ast \ "const") match {
+        case JString(s) => Some(raw === s)
+        case JInt(m) => Some(raw.cast("double") === m.toDouble)
+        case JDouble(m) => Some(raw.cast("double") === m)
+        case JBool(b) => Some(raw === b.toString)
         case _ => None
       },
       (ast \ "enum") match {

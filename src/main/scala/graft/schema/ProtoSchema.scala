@@ -8,8 +8,10 @@ import java.nio.ByteBuffer
   * parser (message/enum/scalar/repeated/map/nested subset) mapped to
   * Spark types per the reference's proto→Arrow table
   * (`nisshi-schema/src/proto/arrow.rs:152-163, 223, 252-257`; SURVEY
-  * §1.3), plus a wire-format decoder for flat messages built on the
-  * zigzag varint codec.
+  * §1.3), plus a recursive wire-format codec (nested messages, repeated
+  * incl. packed numerics, proto maps, google.protobuf.Timestamp) built
+  * on the zigzag varint codec, and a distributed [[decodeColumn]] that
+  * turns a binary proto column into a typed struct column.
   *
   * Field options like the reference's generator scripts
   * (`etc/schema/taxi.proto:22-26`, `[(generate).script = "rand(...)"]`)
@@ -42,7 +44,7 @@ object ProtoSchema {
       })
     }
 
-    private def scalarType(t: String): DataType = t match {
+    private[ProtoSchema] def scalarType(t: String): DataType = t match {
       case "int32" | "sint32" | "sfixed32" | "fixed32" | "uint32" => IntegerType
       case "int64" | "sint64" | "sfixed64" | "fixed64" | "uint64" => LongType
       case "float" => FloatType
@@ -51,9 +53,21 @@ object ProtoSchema {
       case "string" => StringType
       case "bytes" => BinaryType
       case "google.protobuf.Timestamp" => TimestampType
+      case MapKV(k, v) => MapType(scalarType(k), scalarType(v))
       case other if enums.contains(other) => StringType
       case other if messages.contains(other) => toStructType(other)
       case _ => StringType
+    }
+  }
+
+  /** `map<K,V>` proto-type extractor. */
+  private[schema] object MapKV {
+    def unapply(t: String): Option[(String, String)] = {
+      val m = """map\s*<\s*([\w.]+)\s*,\s*([\w.]+)\s*>""".r
+      t match {
+        case m(k, v) => Some((k, v))
+        case _ => None
+      }
     }
   }
 
@@ -62,6 +76,8 @@ object ProtoSchema {
   private val enumRe = """(?s)enum\s+(\w+)\s*\{(.*?)\}""".r
   private val fieldRe =
     """(repeated\s+)?([\w.]+)\s+(\w+)\s*=\s*(\d+)\s*(\[[^\]]*\])?\s*;""".r
+  private val mapFieldRe =
+    """(map\s*<\s*[\w.]+\s*,\s*[\w.]+\s*>)\s+(\w+)\s*=\s*(\d+)\s*(\[[^\]]*\])?\s*;""".r
   private val optionRe = """\(([\w.]+)\)(?:\.(\w+))?\s*=\s*"((?:[^"\\]|\\.)*)"""".r
   private val enumValRe = """(\w+)\s*=\s*\d+\s*;""".r
 
@@ -78,33 +94,86 @@ object ProtoSchema {
     val multiMatches = messageRe.findAllMatchIn(remainder).map(m =>
       m.group(1) -> m.group(2)).toSeq
     val messages = (multiMatches ++ flatMatches).map { case (name, body) =>
-      val fields = fieldRe.findAllMatchIn(body).flatMap { fm =>
-        val tpe = fm.group(2)
-        // skip oneof bodies' duplicates crudely: oneof members parse fine
-        val opts = Option(fm.group(5)).map { o =>
+      def parseOpts(g: String): Map[String, String] =
+        Option(g).map { o =>
           optionRe.findAllMatchIn(o).map { om =>
             (Option(om.group(2)).map(s => om.group(1) + "." + s)
               .getOrElse(om.group(1))) -> om.group(3)
           }.toMap
         }.getOrElse(Map.empty)
-        Some(Field(fm.group(3), fm.group(4).toInt, tpe,
-          fm.group(1) != null, opts))
+      // map fields first (fieldRe can't match the angle-bracket type),
+      // then plain fields on the map-stripped body
+      val mapFields = mapFieldRe.findAllMatchIn(body).map { fm =>
+        val MapKV(k, v) = fm.group(1): @unchecked
+        Field(fm.group(2), fm.group(3).toInt, s"map<$k,$v>",
+          repeated = false, parseOpts(fm.group(4)))
       }.toSeq
-      name -> Message(name, fields)
+      val plainBody = mapFieldRe.replaceAllIn(body, "")
+      val fields = fieldRe.findAllMatchIn(plainBody).map { fm =>
+        // oneof members parse fine; oneof grouping itself is ignored
+        Field(fm.group(3), fm.group(4).toInt, fm.group(2),
+          fm.group(1) != null, parseOpts(fm.group(5)))
+      }.toSeq
+      name -> Message(name, (fields ++ mapFields).sortBy(_.number))
     }.toMap
     Parsed(messages, enums)
   }
 
-  /** Decode a flat proto3 wire message (no nesting) into fieldName →
-    * value, using the parsed schema for types. Unknown fields skipped
-    * per proto semantics.
+  /** Decode a proto3 wire message into fieldName → value, recursively:
+    * nested messages become Map[String, Any], repeated fields (expanded
+    * or packed) become Vector, proto maps become Map[Any, Any],
+    * google.protobuf.Timestamp becomes java.sql.Timestamp. Unknown
+    * fields are skipped per proto semantics.
     */
+  def decode(parsed: Parsed, messageName: String,
+             bytes: Array[Byte]): Map[String, Any] =
+    decodeBuf(parsed, parsed.messages(messageName), wrap(bytes))
+
+  /** Back-compat alias (the decoder is no longer flat-only). */
   def decodeFlat(parsed: Parsed, messageName: String,
-                 bytes: Array[Byte]): Map[String, Any] = {
-    val msg = parsed.messages(messageName)
+                 bytes: Array[Byte]): Map[String, Any] =
+    decode(parsed, messageName, bytes)
+
+  private def wrap(a: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  private def mapEntryMessage(k: String, v: String): Message =
+    Message("$entry", Seq(
+      Field("key", 1, k, repeated = false, Map.empty),
+      Field("value", 2, v, repeated = false, Map.empty)))
+
+  /** proto3 default for an absent map-entry field. */
+  private def defaultFor(parsed: Parsed, t: String): Any = t match {
+    case "string" => ""
+    case "bool" => false
+    case "float" => 0f
+    case "double" => 0d
+    case "bytes" => Array.empty[Byte]
+    case "int32" | "sint32" | "sfixed32" | "fixed32" | "uint32" => 0
+    case e if parsed.enums.contains(e) => parsed.enums(e).headOption.orNull
+    case m if parsed.messages.contains(m) => Map.empty[String, Any]
+    case _ => 0L
+  }
+
+  private def varintValue(parsed: Parsed, t: String, raw: Long): Any = t match {
+    case "sint32" => Varint.unzigzag(raw).toInt
+    case "sint64" => Varint.unzigzag(raw)
+    case "bool" => raw != 0
+    case e if parsed.enums.contains(e) =>
+      parsed.enums(e).lift(raw.toInt).getOrElse(raw.toString)
+    case "int32" | "uint32" => raw.toInt
+    case _ => raw
+  }
+
+  private def decodeBuf(parsed: Parsed, msg: Message,
+                        buf: ByteBuffer): Map[String, Any] = {
     val byNumber = msg.fields.map(f => f.number -> f).toMap
-    val buf = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val out = scala.collection.mutable.Map.empty[String, Any]
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    def put(f: Field, v: Any): Unit =
+      if (f.repeated)
+        out(f.name) = out.getOrElse(f.name, Vector.empty)
+          .asInstanceOf[Vector[Any]] :+ v
+      else out(f.name) = v
     while (buf.hasRemaining) {
       val tag = readRawVarint(buf)
       val fieldNum = (tag >>> 3).toInt
@@ -113,41 +182,61 @@ object ProtoSchema {
       wireType match {
         case 0 => // varint
           val raw = readRawVarint(buf)
-          fieldOpt.foreach { f =>
-            out(f.name) = f.protoType match {
-              case "sint32" | "sint64" => Varint.unzigzag(raw)
-              case "bool" => raw != 0
-              case t if parsed.enums.contains(t) =>
-                parsed.enums(t).lift(raw.toInt).getOrElse(raw.toString)
-              case "int32" | "uint32" => raw.toInt
-              case _ => raw
-            }
-          }
+          fieldOpt.foreach(f => put(f, varintValue(parsed, f.protoType, raw)))
         case 1 => // 64-bit
           val v = buf.getLong
           fieldOpt.foreach { f =>
-            out(f.name) = f.protoType match {
+            put(f, f.protoType match {
               case "double" => java.lang.Double.longBitsToDouble(v)
               case _ => v
-            }
+            })
           }
         case 2 => // length-delimited
           val len = readRawVarint(buf).toInt
           val a = new Array[Byte](len)
           buf.get(a)
           fieldOpt.foreach { f =>
-            out(f.name) = f.protoType match {
-              case "string" => new String(a, "UTF-8")
-              case _ => a
+            f.protoType match {
+              case "string" => put(f, new String(a, "UTF-8"))
+              case "bytes" => put(f, a)
+              case MapKV(k, v) =>
+                val entry = decodeBuf(parsed, mapEntryMessage(k, v), wrap(a))
+                val m = out.getOrElse(f.name, Map.empty)
+                  .asInstanceOf[Map[Any, Any]]
+                out(f.name) = m +
+                  (entry.getOrElse("key", defaultFor(parsed, k)) ->
+                    entry.getOrElse("value", defaultFor(parsed, v)))
+              case "google.protobuf.Timestamp" =>
+                val fields = decodeBuf(parsed, Message("$ts", Seq(
+                  Field("seconds", 1, "int64", repeated = false, Map.empty),
+                  Field("nanos", 2, "int32", repeated = false, Map.empty))),
+                  wrap(a))
+                val secs = fields.getOrElse("seconds", 0L).asInstanceOf[Long]
+                val nanos = fields.getOrElse("nanos", 0).asInstanceOf[Int]
+                val ts = new java.sql.Timestamp(secs * 1000L)
+                ts.setNanos(nanos)
+                put(f, ts)
+              case t if parsed.messages.contains(t) =>
+                put(f, decodeBuf(parsed, parsed.messages(t), wrap(a)))
+              case t if f.repeated => // packed numeric repeated
+                val b2 = wrap(a)
+                while (b2.hasRemaining) put(f, t match {
+                  case "float" => java.lang.Float.intBitsToFloat(b2.getInt)
+                  case "double" => java.lang.Double.longBitsToDouble(b2.getLong)
+                  case "fixed32" | "sfixed32" => b2.getInt
+                  case "fixed64" | "sfixed64" => b2.getLong
+                  case _ => varintValue(parsed, t, readRawVarint(b2))
+                })
+              case _ => put(f, a)
             }
           }
         case 5 => // 32-bit
           val v = buf.getInt
           fieldOpt.foreach { f =>
-            out(f.name) = f.protoType match {
+            put(f, f.protoType match {
               case "float" => java.lang.Float.intBitsToFloat(v)
               case _ => v
-            }
+            })
           }
         case other =>
           throw new IllegalArgumentException(s"unsupported wire type $other")
@@ -156,42 +245,134 @@ object ProtoSchema {
     out.toMap
   }
 
-  /** Encode a flat message (test/ingest helper, inverse of decodeFlat). */
-  def encodeFlat(parsed: Parsed, messageName: String,
-                 values: Map[String, Any]): Array[Byte] = {
+  /** Decoded value map → Spark Row in [[Parsed.toStructType]] field
+    * order (nested messages become nested Rows).
+    */
+  def toRow(parsed: Parsed, messageName: String,
+            values: Map[String, Any]): org.apache.spark.sql.Row = {
+    val msg = parsed.messages(messageName)
+    org.apache.spark.sql.Row.fromSeq(msg.fields.map { f =>
+      values.get(f.name).map(v => toSpark(parsed, f, v)).orNull
+    })
+  }
+
+  private def toSpark(parsed: Parsed, f: Field, v: Any): Any =
+    if (f.repeated) v.asInstanceOf[Vector[Any]].map(convertScalar(parsed, f.protoType, _))
+    else convertScalar(parsed, f.protoType, v)
+
+  private def convertScalar(parsed: Parsed, t: String, v: Any): Any = t match {
+    case MapKV(k, mv) =>
+      v.asInstanceOf[Map[Any, Any]].map { case (mk, mvv) =>
+        convertScalar(parsed, k, mk) -> convertScalar(parsed, mv, mvv)
+      }
+    case m if parsed.messages.contains(m) =>
+      toRow(parsed, m, v.asInstanceOf[Map[String, Any]])
+    case _ => v
+  }
+
+  /** Distributed decode of a binary proto column into a typed struct
+    * column `<outputCol>` — the proto counterpart of
+    * [[AvroDecoder.decodeColumn]]: one parsed schema per partition, no
+    * shuffle, undecodable payloads yield null (the INVALID_RECORD
+    * signal).
+    */
+  def decodeColumn(df: org.apache.spark.sql.DataFrame, binaryCol: String,
+                   protoText: String, messageName: String,
+                   outputCol: String): org.apache.spark.sql.DataFrame = {
+    val sparkType = parse(protoText).toStructType(messageName)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, sparkType, nullable = true))
+    val inputIdx = df.schema.fieldIndex(binaryCol)
+    val spark = df.sparkSession
+    val rdd = df.rdd.mapPartitions { it =>
+      val parsed = parse(protoText)
+      it.map { row =>
+        val bytes = if (row.isNullAt(inputIdx)) null
+                    else row.getAs[Array[Byte]](inputIdx)
+        val decoded =
+          if (bytes == null) null
+          else try toRow(parsed, messageName, decode(parsed, messageName, bytes))
+          catch { case _: Exception => null }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ decoded)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode a message (test/ingest helper, inverse of [[decode]]):
+    * nested messages from Map[String, Any], repeated from Seq, proto
+    * maps from Map, google.protobuf.Timestamp from java.sql.Timestamp.
+    */
+  def encode(parsed: Parsed, messageName: String,
+             values: Map[String, Any]): Array[Byte] = {
     val msg = parsed.messages(messageName)
     val buf = ByteBuffer.allocate(1 << 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    def writeLenDelimited(number: Int, a: Array[Byte]): Unit = {
+      writeRawVarint((number.toLong << 3) | 2, buf)
+      writeRawVarint(a.length.toLong, buf)
+      buf.put(a)
+      ()
+    }
+
+    def writeOne(f: Field, v: Any): Unit = f.protoType match {
+      case "double" =>
+        writeRawVarint((f.number.toLong << 3) | 1, buf)
+        buf.putLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+        ()
+      case "float" =>
+        writeRawVarint((f.number.toLong << 3) | 5, buf)
+        buf.putInt(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+        ()
+      case "fixed32" | "sfixed32" =>
+        writeRawVarint((f.number.toLong << 3) | 5, buf)
+        buf.putInt(v.asInstanceOf[Number].intValue())
+        ()
+      case "fixed64" | "sfixed64" =>
+        writeRawVarint((f.number.toLong << 3) | 1, buf)
+        buf.putLong(v.asInstanceOf[Number].longValue())
+        ()
+      case "string" =>
+        writeLenDelimited(f.number, v.asInstanceOf[String].getBytes("UTF-8"))
+      case "bytes" =>
+        writeLenDelimited(f.number, v.asInstanceOf[Array[Byte]])
+      case "sint32" | "sint64" =>
+        writeRawVarint((f.number.toLong << 3) | 0, buf)
+        writeRawVarint(Varint.zigzag(v.asInstanceOf[Number].longValue()), buf)
+      case "bool" =>
+        writeRawVarint((f.number.toLong << 3) | 0, buf)
+        writeRawVarint(if (v.asInstanceOf[Boolean]) 1L else 0L, buf)
+      case "google.protobuf.Timestamp" =>
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        val tsParsed = Parsed(Map("$ts" -> Message("$ts", Seq(
+          Field("seconds", 1, "int64", repeated = false, Map.empty),
+          Field("nanos", 2, "int32", repeated = false, Map.empty)))), Map.empty)
+        writeLenDelimited(f.number, encode(tsParsed, "$ts", Map(
+          "seconds" -> Math.floorDiv(ts.getTime, 1000L),
+          "nanos" -> ts.getNanos)))
+      case MapKV(k, mv) =>
+        val entryMsg = mapEntryMessage(k, mv)
+        val entryParsed = Parsed(
+          parsed.messages + ("$entry" -> entryMsg), parsed.enums)
+        v.asInstanceOf[Map[Any, Any]].foreach { case (mk, mvv) =>
+          writeLenDelimited(f.number,
+            encode(entryParsed, "$entry", Map("key" -> mk, "value" -> mvv)))
+        }
+      case t if parsed.enums.contains(t) =>
+        writeRawVarint((f.number.toLong << 3) | 0, buf)
+        writeRawVarint(parsed.enums(t).indexOf(v.toString).toLong, buf)
+      case t if parsed.messages.contains(t) =>
+        writeLenDelimited(f.number,
+          encode(parsed, t, v.asInstanceOf[Map[String, Any]]))
+      case _ => // int32/64, uint
+        writeRawVarint((f.number.toLong << 3) | 0, buf)
+        writeRawVarint(v.asInstanceOf[Number].longValue(), buf)
+    }
+
     msg.fields.filter(f => values.contains(f.name)).foreach { f =>
-      val v = values(f.name)
-      f.protoType match {
-        case "double" =>
-          writeRawVarint((f.number.toLong << 3) | 1, buf)
-          buf.putLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
-        case "float" =>
-          writeRawVarint((f.number.toLong << 3) | 5, buf)
-          buf.putInt(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
-        case "string" =>
-          val a = v.asInstanceOf[String].getBytes("UTF-8")
-          writeRawVarint((f.number.toLong << 3) | 2, buf)
-          writeRawVarint(a.length.toLong, buf)
-          buf.put(a)
-        case "bytes" =>
-          val a = v.asInstanceOf[Array[Byte]]
-          writeRawVarint((f.number.toLong << 3) | 2, buf)
-          writeRawVarint(a.length.toLong, buf)
-          buf.put(a)
-        case "sint32" | "sint64" =>
-          writeRawVarint((f.number.toLong << 3) | 0, buf)
-          writeRawVarint(Varint.zigzag(v.asInstanceOf[Number].longValue()), buf)
-        case "bool" =>
-          writeRawVarint((f.number.toLong << 3) | 0, buf)
-          writeRawVarint(if (v.asInstanceOf[Boolean]) 1L else 0L, buf)
-        case t if parsed.enums.contains(t) =>
-          writeRawVarint((f.number.toLong << 3) | 0, buf)
-          writeRawVarint(parsed.enums(t).indexOf(v.toString).toLong, buf)
-        case _ => // int32/64, uint
-          writeRawVarint((f.number.toLong << 3) | 0, buf)
-          writeRawVarint(v.asInstanceOf[Number].longValue(), buf)
+      values(f.name) match {
+        case s: Seq[_] if f.repeated => s.foreach(writeOne(f, _))
+        case v => writeOne(f, v)
       }
     }
     buf.flip()
@@ -199,6 +380,11 @@ object ProtoSchema {
     buf.get(out)
     out
   }
+
+  /** Back-compat alias (the codec is no longer flat-only). */
+  def encodeFlat(parsed: Parsed, messageName: String,
+                 values: Map[String, Any]): Array[Byte] =
+    encode(parsed, messageName, values)
 
   private def readRawVarint(buf: ByteBuffer): Long = {
     var value = 0L

@@ -21,10 +21,12 @@ object SchemaRegistry {
     // undecodable payloads; the produce path counts those as INVALID_RECORD)
     def isValid(value: Column): Column = lit(true)
   }
-  final case class ProtoTopic(parsed: ProtoSchema.Parsed, valueMessage: String)
-      extends TopicSchema {
+  final case class ProtoTopic(text: String, parsed: ProtoSchema.Parsed,
+                              valueMessage: String) extends TopicSchema {
     def valueType: StructType = parsed.toStructType(valueMessage)
-    def isValid(value: Column): Column = lit(true) // structural at decode
+    // structural validation happens at decode (ProtoSchema.decodeColumn
+    // yields null for undecodable payloads, counted as INVALID_RECORD)
+    def isValid(value: Column): Column = lit(true)
   }
 }
 
@@ -36,9 +38,9 @@ object SchemaRegistry {
   * optional top-level `key` and `value` fields; the broker injects a
   * `meta` struct (see [[graft.lake.Lake.withMeta]]).
   *
-  * Proto support is declared but stubbed (no protobuf runtime in the
-  * build): the registry recognises `.proto` files and reports them as
-  * unsupported rather than silently ignoring the topic.
+  * Proto topics use [[ProtoSchema]]'s runtime-free parser and recursive
+  * wire codec: the payload is decoded distributed (nested / repeated /
+  * map subset) and materialized typed, like Avro topics.
   */
 final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
                            clock: () => Long = () => System.currentTimeMillis()) {
@@ -72,7 +74,8 @@ final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
       Some(AvroTopic(text, AvroSchemas.toStructType(text)))
     }
     else if (Files.exists(proto)) {
-      val parsed = ProtoSchema.parse(read(proto))
+      val text = read(proto)
+      val parsed = ProtoSchema.parse(text)
       // reference convention: the analytic payload is the `Value` message
       // (`etc/schema/taxi.proto`); fall back to the sole message
       val valueMsg =
@@ -80,7 +83,7 @@ final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
         else if (parsed.messages.size == 1) parsed.messages.keys.head
         else throw new IllegalArgumentException(
           s"proto schema for '$topic' has no Value message")
-      Some(ProtoTopic(parsed, valueMsg))
+      Some(ProtoTopic(text, parsed, valueMsg))
     }
     else None
   }

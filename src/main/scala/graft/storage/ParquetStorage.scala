@@ -296,6 +296,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
           batch.withColumn("__bin", col("value").cast("binary")),
           "__bin", a.avsc, "__decoded")
           .withColumn("__invalid", col("__decoded").isNull)
+      case Some(p: SchemaRegistry.ProtoTopic) =>
+        // binary proto payloads: same decode-is-validation discipline
+        graft.schema.ProtoSchema.decodeColumn(
+          batch.withColumn("__bin", col("value").cast("binary")),
+          "__bin", p.text, p.valueMessage, "__decoded")
+          .withColumn("__invalid", col("__decoded").isNull)
       case Some(ts) => batch.withColumn("__invalid", !ts.isValid(col("value")))
       case None => batch.withColumn("__invalid", lit(false))
     }
@@ -314,6 +320,10 @@ final class ParquetStorage(spark: SparkSession, root: String,
         graft.schema.AvroDecoder.decodeColumn(
           lakeRows.withColumn("__bin", col("value").cast("binary")),
           "__bin", a.avsc, "value_struct").drop("__bin")
+      case p: SchemaRegistry.ProtoTopic =>
+        graft.schema.ProtoSchema.decodeColumn(
+          lakeRows.withColumn("__bin", col("value").cast("binary")),
+          "__bin", p.text, p.valueMessage, "value_struct").drop("__bin")
       case _ =>
         lakeRows.withColumn("value_struct",
           from_json(col("value").cast("string"), ts.valueType))

@@ -1,6 +1,6 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.schema.ProtoSchema
 
@@ -8,7 +8,7 @@ import graft.schema.ProtoSchema
   * (`nisshi-schema/src/proto/arrow.rs`, `etc/schema/taxi.proto`,
   * Delta tests `lake/delta.rs:1111-1400` which use taxi).
   */
-class ProtoSchemaSpec extends AnyFunSuite {
+class ProtoSchemaSpec extends SparkSpec {
 
   private val taxi =
     """syntax = 'proto3';
@@ -78,5 +78,105 @@ class ProtoSchemaSpec extends AnyFunSuite {
     val wire = ProtoSchema.encodeFlat(pFull, "M", Map("a" -> 7L, "b" -> "new"))
     val back = ProtoSchema.decodeFlat(pOld, "M", wire)
     assert(back === Map("a" -> 7L))
+  }
+
+  test("recursive wire round-trip: nested messages, repeated, maps, Timestamp") {
+    val text =
+      """message Inner { int32 x = 1; repeated string tags = 2; }
+        |message Value {
+        |  int64 id = 1;
+        |  Inner inner = 2;
+        |  repeated Inner items = 3;
+        |  map<string, int64> counts = 4;
+        |  repeated int64 nums = 5;
+        |  google.protobuf.Timestamp at = 6;
+        |}""".stripMargin
+    val p = ProtoSchema.parse(text)
+    // Spark type mapping incl. the map field
+    val st = p.toStructType("Value")
+    assert(st("counts").dataType === MapType(StringType, LongType))
+    assert(st("items").dataType ===
+      ArrayType(StructType(Seq(StructField("x", IntegerType),
+        StructField("tags", ArrayType(StringType))))))
+    assert(st("at").dataType === TimestampType)
+
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456789")
+    val values = Map[String, Any](
+      "id" -> 9L,
+      "inner" -> Map[String, Any]("x" -> 5, "tags" -> Seq("a", "b")),
+      "items" -> Seq(
+        Map[String, Any]("x" -> 1, "tags" -> Seq("t1")),
+        Map[String, Any]("x" -> 2)),
+      "counts" -> Map[Any, Any]("en" -> 10L, "de" -> 3L),
+      "nums" -> Seq(7L, 8L, 9L),
+      "at" -> ts)
+    val back = ProtoSchema.decode(p, "Value", ProtoSchema.encode(p, "Value", values))
+    assert(back("id") === 9L)
+    assert(back("inner") === Map("x" -> 5, "tags" -> Vector("a", "b")))
+    assert(back("items") === Vector(
+      Map("x" -> 1, "tags" -> Vector("t1")), Map("x" -> 2)))
+    assert(back("counts") === Map("en" -> 10L, "de" -> 3L))
+    assert(back("nums") === Vector(7L, 8L, 9L))
+    assert(back("at") === ts)
+
+    // packed numeric repeated (proto3 default encoding) also decodes:
+    // hand-pack field 5 as one length-delimited varint run
+    val packed = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.put(((5 << 3) | 2).toByte) // field 5, wire 2
+      b.put(3.toByte)              // 3 payload bytes
+      b.put(7.toByte); b.put(8.toByte); b.put(9.toByte)
+      val a = new Array[Byte](b.position()); b.flip(); b.get(a); a
+    }
+    assert(ProtoSchema.decode(p, "Value", packed)("nums") === Vector(7L, 8L, 9L))
+  }
+
+  test("proto topic materializes typed to the lake via distributed decode") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-proto-lake").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-proto-reg")
+    val text =
+      """message Pickup { double lat = 1; double lon = 2; }
+        |message Value {
+        |  int64 trip_id = 1;
+        |  Pickup pickup = 2;
+        |  map<string, int64> extras = 3;
+        |  repeated string zones = 4;
+        |}""".stripMargin
+    java.nio.file.Files.writeString(rdir.resolve("trips.proto"), text)
+    val st = new graft.storage.ParquetStorage(spark, root,
+      Some(new graft.schema.SchemaRegistry(rdir.toString)))
+    st.createTopic("trips", 1)
+    val p = ProtoSchema.parse(text)
+    def wire(id: Long): Array[Byte] =
+      ProtoSchema.encode(p, "Value", Map[String, Any](
+        "trip_id" -> id,
+        "pickup" -> Map[String, Any]("lat" -> (40.0 + id), "lon" -> -73.9),
+        "extras" -> Map[Any, Any]("tolls" -> id),
+        "zones" -> Seq(s"z$id", "z-all")))
+    val rows = (0L until 4L).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"k$i", wire(i)))
+    assert(st.produce(graft.model.Model.Topition("trips", 0),
+      rows.toDF("timestamp", "key", "value")).isRight)
+
+    val lake = spark.read.parquet(s"$root/lake/trips")
+    assert(lake.count() === 4)
+    val vs = lake.schema("value_struct").dataType.asInstanceOf[StructType]
+    assert(vs("pickup").dataType ===
+      StructType(Seq(StructField("lat", DoubleType), StructField("lon", DoubleType))))
+    assert(vs("extras").dataType === MapType(StringType, LongType))
+    val r = lake.filter(col("value_struct.trip_id") === 2L)
+      .select(col("value_struct.pickup.lat"),
+        expr("value_struct.extras['tolls']"),
+        col("value_struct.zones")).head()
+    assert(r.getDouble(0) === 42.0)
+    assert(r.getLong(1) === 2L)
+    assert(r.getSeq[String](2) === Seq("z2", "z-all"))
+
+    // garbage payloads are rejected as INVALID_RECORD, not materialized
+    val bad = st.produce(graft.model.Model.Topition("trips", 0),
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "kx",
+        Array[Byte](-1, -1, -1))).toDF("timestamp", "key", "value"))
+    assert(bad === Left(graft.model.Model.ErrorCode.InvalidRecord))
   }
 }

@@ -34,6 +34,32 @@ class SchemaSpec extends SparkSpec {
     assert(out === Array(true, false, false, false, false))
   }
 
+  test("JSON Schema: draft-2020 constraint breadth compiles to one predicate") {
+    val c = JsonSchema.compile(
+      """{"type":"object","properties":{
+        |  "cents":{"type":"integer","multipleOf":25,
+        |    "exclusiveMinimum":0,"exclusiveMaximum":10000},
+        |  "code":{"type":"string","minLength":3,"maxLength":5},
+        |  "tags":{"type":"array","minItems":1,"maxItems":3},
+        |  "version":{"const":2}},
+        |"required":["cents","code"]}""".stripMargin)
+    val rows = Seq(
+      """{"cents":150,"code":"abc","tags":["x"],"version":2}""",   // valid
+      """{"cents":151,"code":"abc"}""",                            // not multipleOf 25
+      """{"cents":0,"code":"abc"}""",                              // exclusiveMinimum
+      """{"cents":10000,"code":"abc"}""",                          // exclusiveMaximum
+      """{"cents":150,"code":"ab"}""",                             // minLength
+      """{"cents":150,"code":"toolong"}""",                        // maxLength
+      """{"cents":150,"code":"abc","tags":[]}""",                  // minItems
+      """{"cents":150,"code":"abc","tags":[1,2,3,4]}""",           // maxItems
+      """{"cents":150,"code":"abc","version":3}"""                 // const
+    ).toDF("json")
+    val out = rows.withColumn("ok", c.isValid(col("json")))
+      .collect().map(_.getAs[Boolean]("ok"))
+    assert(out === Array(true, false, false, false, false, false, false,
+      false, false))
+  }
+
   test("JSON Schema: structural mapping integer->Long, number->Double") {
     val c = JsonSchema.compile(
       """{"type":"object","properties":{"a":{"type":"integer"},
