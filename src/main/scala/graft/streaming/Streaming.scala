@@ -160,4 +160,74 @@ object Streaming {
           }
       }
   }
+
+  final case class LshCandidate(docA: Long, docB: Long, bandIdx: Int)
+
+  /** Streaming near-dup candidates — the incremental form of the batch
+    * MinHash-LSH band join ([[graft.ops.Dedup.lshCandidatePairs]]): each
+    * arriving document probes a keyed state of band buckets and emits a
+    * candidate pair against the bucket's anchor (minimum doc id seen).
+    *
+    * Two scale properties make this the streaming shape:
+    *  - the MinHash signature is computed PER ROW with higher-order
+    *    array functions (no explode + aggregate — a streaming aggregate
+    *    before stateful processing would force a second stateful
+    *    operator), so the only shuffle is the groupByKey on the band
+    *    bucket;
+    *  - state is ONE anchor id per occupied bucket, not the member list
+    *    — a new doc links to the earliest bucket member and transitive
+    *    closure is the downstream clustering op's job, exactly as in
+    *    batch. An idle TTL (`ttlMs` > 0, processing-time) evicts cold
+    *    buckets so state tracks the active dup window, not the corpus.
+    *
+    * Emits each (anchor, doc) pair once per matching band; distinct is
+    * the consumer's choice (same contract as the batch band join before
+    * its .distinct()).
+    */
+  def streamingLshCandidates(docs: DataFrame, numHashes: Int = 8,
+                             rowsPerBand: Int = 2, shingleN: Int = 3,
+                             ttlMs: Long = 0L,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): Dataset[LshCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.ops.Dedup
+    val numBands = numHashes / rowsPerBand
+    val hs = transform(
+      Dedup.shinglesOfTokens(Dedup.tokens(col(textCol)), shingleN),
+      s => pmod(Dedup.h60(s), lit(Dedup.MinhashP)))
+    val mh = array((0 until numHashes).map(k =>
+      array_min(transform(col("__hs"), x => Dedup.minhashFamily(k, x)))): _*)
+    val bandKey = (b: Int) => concat_ws("_",
+      (0 until rowsPerBand).map(r =>
+        element_at(col("__mh"), b * rowsPerBand + r + 1)): _*)
+    val bands = docs
+      .select(col(idCol).cast("long").as("docId"), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0) // sub-shingle docs have no signature
+      .withColumn("__mh", mh)
+      .select(col("docId"),
+        posexplode(array((0 until numBands).map(bandKey): _*))
+          .as(Seq("bandIdx", "bandKey")))
+      .as[(Long, Int, String)]
+    val useTtl = ttlMs > 0
+    val timeout = if (useTtl) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    bands
+      .groupByKey { case (_, bandIdx, bandKey) => (bandIdx, bandKey) }
+      .flatMapGroupsWithState[Long, LshCandidate](OutputMode.Append, timeout) {
+        case ((bandIdx, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = rows.map(_._1).toVector.sorted
+            // pair arrivals against the PRIOR anchor (a fresh bucket's
+            // anchor is this batch's minimum), then advance the anchor —
+            // so a new doc with a smaller id still links to the bucket
+            val anchor = state.getOption.getOrElse(ids.head)
+            state.update(math.min(anchor, ids.head))
+            if (useTtl) state.setTimeoutDuration(ttlMs)
+            ids.filter(_ != anchor).map(d =>
+              LshCandidate(math.min(anchor, d), math.max(anchor, d), bandIdx))
+              .iterator
+          }
+      }
+  }
 }

@@ -167,4 +167,36 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(1L) === ((3L, 10.0))) // state accumulated across batches
     assert(byUser(2L) === ((1L, 1.0)))
   }
+
+  test("streamingLshCandidates links near-dups across micro-batches") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[(Long, String)](spark)
+    val candidates = Streaming.streamingLshCandidates(
+      input.toDF().toDF("doc_id", "text"))
+    val q = candidates.writeStream.format("memory").queryName("lsh")
+      .outputMode("append").start()
+    // batch 1: two identical docs (same signature, every band collides)
+    // and one unrelated doc
+    input.addData((10L, base), (20L, base),
+      (30L, "completely different words in this one nothing shared here ok"))
+    q.processAllAvailable()
+    val b1 = spark.table("lsh").as[Streaming.LshCandidate].collect()
+    assert(b1.map(c => (c.docA, c.docB)).distinct.toSeq === Seq((10L, 20L)))
+
+    // batch 2: another copy arrives later — links to the bucket anchor,
+    // not to every member (state holds one id per bucket)
+    input.addData((40L, base))
+    q.processAllAvailable()
+    val b2 = spark.table("lsh").as[Streaming.LshCandidate].collect()
+    assert(b2.map(c => (c.docA, c.docB)).distinct.sorted.toSeq ===
+      Seq((10L, 20L), (10L, 40L)))
+
+    // batch 3: a smaller doc id still pairs (against the prior anchor)
+    input.addData((5L, base))
+    q.processAllAvailable()
+    val b3 = spark.table("lsh").as[Streaming.LshCandidate].collect()
+    q.stop()
+    assert(b3.map(c => (c.docA, c.docB)).distinct.sorted.toSeq ===
+      Seq((5L, 10L), (10L, 20L), (10L, 40L)))
+  }
 }
