@@ -18,16 +18,42 @@ object Cat {
   /** Produce: read a JSON-lines file, route rows to partitions by key
     * hash, append through Storage.produce (validation + offsets apply).
     * Returns per-partition base offsets.
+    *
+    * With a registry, docs destined for an Avro or proto topic are
+    * ENCODED per the topic schema before produce (the reference's
+    * `AsKafkaRecord` path, `nisshi-schema/src/avro.rs:507-537`) — raw
+    * JSON text would fail the topic's decode-validation. JSON-schema'd
+    * and schemaless topics keep the JSON text value.
     */
   def produce(spark: SparkSession, storage: Storage, topic: String,
               partitions: Int, jsonPath: String,
-              keyField: String = "key"): Seq[(Int, Either[Int, Long])] = {
+              keyField: String = "key",
+              registry: Option[graft.schema.SchemaRegistry] = None)
+      : Seq[(Int, Either[Int, Long])] = {
     val docs = spark.read.json(jsonPath)
     val withKey =
       if (docs.columns.contains(keyField)) docs.withColumn("key", col(keyField).cast("string"))
       else docs.withColumn("key", lit(null).cast("string"))
-    val routed = withKey
-      .withColumn("value", to_json(struct(docs.columns.map(col): _*)))
+    // JSON inference yields long/double/string; the schema's Spark types
+    // (int/float/decimal/...) drive the cast before binary encode
+    def typedCols(struct0: org.apache.spark.sql.types.StructType) =
+      struct0.fields.toSeq.map { f =>
+        (if (docs.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }
+    val valued = registry.flatMap(_.lookup(topic)) match {
+      case Some(a: graft.schema.SchemaRegistry.AvroTopic) =>
+        graft.schema.AvroDecoder.encodeColumn(
+          withKey.select((col("key") +: typedCols(a.struct)): _*),
+          a.avsc, "value")
+      case Some(p: graft.schema.SchemaRegistry.ProtoTopic) =>
+        graft.schema.ProtoSchema.encodeColumn(
+          withKey.select((col("key") +: typedCols(p.valueType)): _*),
+          p.text, p.valueMessage, "value")
+      case _ =>
+        withKey.withColumn("value", to_json(struct(docs.columns.map(col): _*)))
+    }
+    val routed = valued
       .withColumn("timestamp", current_timestamp())
       .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
       .select("timestamp", "key", "value", "partition")

@@ -386,6 +386,65 @@ object ProtoSchema {
                  values: Map[String, Any]): Array[Byte] =
     encode(parsed, messageName, values)
 
+  /** Spark Row (in [[Parsed.toStructType]] field order) → the value map
+    * [[encode]] consumes; absent/null fields are omitted (proto3
+    * defaults).
+    */
+  def rowToValues(parsed: Parsed, messageName: String,
+                  row: org.apache.spark.sql.Row): Map[String, Any] = {
+    val msg = parsed.messages(messageName)
+    msg.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (i >= row.length || row.isNullAt(i)) None
+      else Some(f.name -> fromSparkValue(parsed, f.protoType, row.get(i),
+        repeated = f.repeated))
+    }.toMap
+  }
+
+  private def fromSparkValue(parsed: Parsed, t: String, v: Any,
+                             repeated: Boolean): Any =
+    if (repeated) v.asInstanceOf[scala.collection.Seq[Any]].toSeq
+      .map(fromSparkValue(parsed, t, _, repeated = false))
+    else t match {
+      case MapKV(k, mv) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].toMap.map {
+          case (mk, mvv) => fromSparkValue(parsed, k, mk, repeated = false) ->
+            fromSparkValue(parsed, mv, mvv, repeated = false)
+        }
+      case m if parsed.messages.contains(m) =>
+        rowToValues(parsed, m, v.asInstanceOf[org.apache.spark.sql.Row])
+      case _ => v
+    }
+
+  /** Distributed encode of same-named DataFrame columns into a binary
+    * proto column — the encode half of the `AsKafkaRecord` pair for
+    * proto topics (used by the cat CLI to produce JSON docs into a
+    * proto-schema'd topic). Columns must already carry the schema's
+    * Spark types ([[Parsed.toStructType]]); cast first if they came
+    * from JSON inference.
+    */
+  def encodeColumn(df: org.apache.spark.sql.DataFrame, protoText: String,
+                   messageName: String,
+                   outputCol: String): org.apache.spark.sql.DataFrame = {
+    val driverParsed = parse(protoText)
+    val fieldNames = driverParsed.messages(messageName).fields.map(_.name)
+    val fieldIdx = fieldNames.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, BinaryType, nullable = true))
+    val spark = df.sparkSession
+    val rdd = df.rdd.mapPartitions { it =>
+      val parsed = parse(protoText)
+      it.map { row =>
+        val ordered = org.apache.spark.sql.Row.fromSeq(fieldIdx.map { i =>
+          if (row.isNullAt(i)) null else row.get(i)
+        })
+        val bytes = encode(parsed, messageName,
+          rowToValues(parsed, messageName, ordered))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   private def readRawVarint(buf: ByteBuffer): Long = {
     var value = 0L
     var shift = 0

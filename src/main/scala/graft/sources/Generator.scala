@@ -19,6 +19,34 @@ object Generator {
   /** Per-field generation hints: fieldName -> (min, max) for numerics. */
   type Ranges = Map[String, (Double, Double)]
 
+  private val randScriptRe =
+    """rand\((-?[0-9.]+)\s*\.\.=?\s*(-?[0-9.]+)\)""".r
+
+  /** Derive ranges from proto generator scripts — the reference's field
+    * options `[(generate).script = "rand(1000..=2000)"]`
+    * (`etc/schema/taxi.proto:22-26`, engine
+    * `nisshi-generator/src/lib.rs:129-460`): a proto-schema'd topic
+    * generates within its declared ranges with no extra config.
+    */
+  def rangesFromProto(parsed: graft.schema.ProtoSchema.Parsed,
+                      messageName: String): Ranges =
+    parsed.messages(messageName).fields.flatMap { f =>
+      f.options.collectFirst {
+        case (k, randScriptRe(lo, hi)) if k.endsWith("script") =>
+          f.name -> (lo.toDouble, hi.toDouble)
+      }
+    }.toMap
+
+  /** Generate rows for a proto message: schema types from the parsed
+    * proto, ranges from its generator scripts.
+    */
+  def generateForProto(spark: SparkSession,
+                       parsed: graft.schema.ProtoSchema.Parsed,
+                       messageName: String, n: Long,
+                       seed: Long = 42L): DataFrame =
+    generate(spark, parsed.toStructType(messageName), n, seed,
+      rangesFromProto(parsed, messageName))
+
   def generate(spark: SparkSession, schema: StructType, n: Long,
                seed: Long = 42L, ranges: Ranges = Map.empty): DataFrame = {
     val base = spark.range(n)

@@ -25,4 +25,48 @@ class CatSpec extends SparkSpec {
     val keys = lines.flatMap("\"k(\\d+)\"".r.findFirstMatchIn(_)).map(_.group(1))
     assert(keys.sorted.map(_.toInt).sorted === (0 until 10))
   }
+
+  test("produce encodes per topic schema: Avro and proto topics get binary") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-sch").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-cat-reg")
+    java.nio.file.Files.writeString(rdir.resolve("fares.avsc"),
+      """{"type":"record","name":"Value","fields":[
+        |{"name":"ride","type":"long"},
+        |{"name":"fare","type":{"type":"bytes","logicalType":"decimal",
+        |  "precision":10,"scale":2}}]}""".stripMargin)
+    java.nio.file.Files.writeString(rdir.resolve("trips.proto"),
+      """message Value { int64 ride = 1; double dist = 2; }""")
+    val registry = new graft.schema.SchemaRegistry(rdir.toString)
+    val storage = new ParquetStorage(spark, root, Some(registry))
+    storage.createTopic("fares", 1)
+    storage.createTopic("trips", 1)
+
+    val src = java.nio.file.Files.createTempDirectory("graft-cat-src2")
+    java.nio.file.Files.writeString(src.resolve("fares.jsonl"),
+      """{"key":"a","ride":1,"fare":12.50}
+        |{"key":"b","ride":2,"fare":7.25}""".stripMargin)
+    java.nio.file.Files.writeString(src.resolve("trips.jsonl"),
+      """{"key":"a","ride":1,"dist":3.5}""")
+
+    // Avro topic: JSON docs encode to Avro binary (decimal incl.),
+    // pass decode-validation, and the lake materializes typed
+    assert(Cat.produce(spark, storage, "fares", 1,
+      src.resolve("fares.jsonl").toString, registry = Some(registry))
+      .forall(_._2.isRight))
+    val fares = spark.read.parquet(s"$root/lake/fares")
+      .select(col("value_struct.ride"), col("value_struct.fare"))
+      .orderBy("ride").collect()
+    assert(fares.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(fares.map(_.getDecimal(1).toPlainString).toSeq ===
+      Seq("12.50", "7.25"))
+
+    // proto topic: same, through the proto wire codec
+    assert(Cat.produce(spark, storage, "trips", 1,
+      src.resolve("trips.jsonl").toString, registry = Some(registry))
+      .forall(_._2.isRight))
+    val trips = spark.read.parquet(s"$root/lake/trips")
+      .select(col("value_struct.ride"), col("value_struct.dist")).head()
+    assert(trips.getLong(0) === 1L && trips.getDouble(1) === 3.5)
+  }
 }

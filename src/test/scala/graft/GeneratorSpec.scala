@@ -36,6 +36,25 @@ class GeneratorSpec extends SparkSpec {
     assert(df.select("amount").head().getDouble(0) >= 0)
   }
 
+  test("proto generator scripts drive the ranges (taxi.proto rand(lo..=hi))") {
+    val parsed = graft.schema.ProtoSchema.parse(
+      """message Value {
+        |  int64 vendor_id = 1 [(generate).script = "rand(1000..=2000)"];
+        |  double fare = 2 [(generate).script = "rand(5.0..50.0)"];
+        |  int64 free = 3;
+        |}""".stripMargin)
+    assert(Generator.rangesFromProto(parsed, "Value") ===
+      Map("vendor_id" -> ((1000d, 2000d)), "fare" -> ((5.0d, 50.0d))))
+    val df = Generator.generateForProto(spark, parsed, "Value", 200).cache()
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min("vendor_id"), max("vendor_id"), min("fare"), max("fare"))
+      .head()
+    assert(r.getLong(0) >= 1000L && r.getLong(1) <= 2000L)
+    assert(r.getDouble(2) >= 5.0 && r.getDouble(3) <= 50.0)
+    df.unpersist()
+    ()
+  }
+
   test("txn timeout abort releases pinned LSO (T6)") {
     import spark.implicits._
     var now = 0L
