@@ -83,6 +83,9 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     def authenticated: Boolean = scram.exists(_.authenticatedUser.isDefined)
   }
 
+  /** Kafka's socket.request.max.bytes default (100 MiB). */
+  private val MaxFrameBytes = 100 * 1024 * 1024
+
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
   @volatile private var running = true
@@ -134,6 +137,10 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     try {
       while (running) {
         val len = in.readInt()
+        // socket.request.max.bytes discipline: a hostile length field
+        // must not drive the allocation (drop the connection instead)
+        if (len < 0 || len > MaxFrameBytes)
+          throw new IllegalArgumentException(s"frame length $len out of bounds")
         val frame = new Array[Byte](len)
         in.readFully(frame)
         if (conn.legacyTokens && !conn.authenticated) {

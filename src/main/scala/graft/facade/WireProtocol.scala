@@ -54,11 +54,23 @@ object WireProtocol {
 
   // ------------------------------------------------------------- primitives
 
+  /** Length sanity guard: a declared length beyond the remaining bytes
+    * is a malformed frame — fail BEFORE allocating, so a hostile 2 GiB
+    * length field costs nothing (the reference's decode fuzz targets
+    * exist to catch exactly this class).
+    */
+  private def checkedLen(buf: ByteBuffer, n: Int): Int = {
+    if (n > buf.remaining())
+      throw new IllegalArgumentException(
+        s"declared length $n exceeds remaining ${buf.remaining()}")
+    n
+  }
+
   def readString(buf: ByteBuffer): String = {
     val n = buf.getShort
     if (n < 0) null
     else {
-      val a = new Array[Byte](n)
+      val a = new Array[Byte](checkedLen(buf, n))
       buf.get(a)
       new String(a, StandardCharsets.UTF_8)
     }
@@ -76,7 +88,7 @@ object WireProtocol {
     val n = buf.getInt
     if (n < 0) null
     else {
-      val a = new Array[Byte](n)
+      val a = new Array[Byte](checkedLen(buf, n))
       buf.get(a)
       a
     }
@@ -98,7 +110,7 @@ object WireProtocol {
     val n = readUnsignedVarint(buf) - 1
     if (n < 0) null
     else {
-      val a = new Array[Byte](n)
+      val a = new Array[Byte](checkedLen(buf, n))
       buf.get(a)
       new String(a, StandardCharsets.UTF_8)
     }
@@ -2070,7 +2082,7 @@ object WireProtocol {
     val n = readUnsignedVarint(buf) - 1
     if (n < 0) null
     else {
-      val a = new Array[Byte](n)
+      val a = new Array[Byte](checkedLen(buf, n))
       buf.get(a)
       a
     }

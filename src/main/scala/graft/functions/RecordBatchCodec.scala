@@ -95,6 +95,10 @@ object RecordBatchCodec {
     val n = Varint.readVarint(buf)
     if (n < 0) null
     else {
+      // fail BEFORE allocating on a hostile declared length (fuzz class)
+      if (n > buf.remaining())
+        throw new IllegalArgumentException(
+          s"declared length $n exceeds remaining ${buf.remaining()}")
       val a = new Array[Byte](n)
       buf.get(a)
       a

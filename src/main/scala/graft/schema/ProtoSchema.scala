@@ -193,6 +193,10 @@ object ProtoSchema {
           }
         case 2 => // length-delimited
           val len = readRawVarint(buf).toInt
+          // fail BEFORE allocating on a hostile declared length
+          if (len < 0 || len > buf.remaining())
+            throw new IllegalArgumentException(
+              s"declared length $len exceeds remaining ${buf.remaining()}")
           val a = new Array[Byte](len)
           buf.get(a)
           fieldOpt.foreach { f =>

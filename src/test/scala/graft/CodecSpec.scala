@@ -137,3 +137,45 @@ class Crc32CSpec extends SparkSpec {
     assert(out === 10000L)
   }
 }
+
+class DecoderFuzzSpec extends AnyFunSuite with PropSupport {
+
+  test("fuzz: random bytes never hang or over-allocate in any decoder") {
+    // the reference's fuzz targets (fuzz_deflated_batch,
+    // fuzz_request_decode, fuzz_varint) as a property: every decoder
+    // either returns or throws an orderly exception — no hangs, and a
+    // hostile length field never drives an allocation (checked lengths)
+    import graft.facade.WireProtocol
+    val proto = graft.schema.ProtoSchema.parse(
+      """message Inner { int64 a = 1; }
+        |message Value { int64 id = 1; string s = 2; Inner i = 3;
+        |  repeated int64 ns = 4; map<string, int64> m = 5; }""".stripMargin)
+    val genBytes = Gen.choose(0, 240)
+      .flatMap(n => Gen.listOfN(n, arbitrary[Byte]).map(_.toArray))
+    def orderly(f: => Any): Unit =
+      try { f; () } catch { case _: Exception => () }
+    forAllGen(genBytes, cases = 400) { bytes =>
+      def buf = java.nio.ByteBuffer.wrap(bytes)
+      orderly(RecordBatchCodec.decode(bytes))
+      orderly(WireProtocol.readHeader(buf))
+      orderly(WireProtocol.readProduce(buf))
+      orderly(WireProtocol.readProduceV9(buf))
+      orderly(WireProtocol.readFetch(buf, 11))
+      orderly(WireProtocol.readListOffsets(buf, 8))
+      orderly(WireProtocol.readOffsetCommit(buf, 8))
+      orderly(WireProtocol.readJoinGroup(buf, 6))
+      orderly(WireProtocol.readCreateTopics(buf, 7))
+      orderly(WireProtocol.readIncrementalAlterConfigs(buf, 1))
+      orderly(WireProtocol.readDescribeAcls(buf, 2))
+      orderly(WireProtocol.readAlterUserScram(buf))
+      orderly(graft.schema.ProtoSchema.decode(proto, "Value", bytes))
+      orderly(Varint.readVarint(buf))
+    }
+    // a well-formed prefix with a hostile declared length fails fast and
+    // cheaply instead of allocating gigabytes
+    val hostile = java.nio.ByteBuffer.allocate(8)
+    hostile.putInt(Int.MaxValue) // bytes length = 2 GiB
+    hostile.flip()
+    intercept[IllegalArgumentException](WireProtocol.readBytes(hostile))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+/** Plan-quality regression guards — the "is this still the plan you'd
+  * want at 100 TB" checks run as tests, not by eye:
+  *
+  *  - dimension joins stay broadcast (no SortMergeJoin creep when a
+  *    stats change flips a join strategy)
+  *  - the offset-range scan pushes its predicate into the parquet scan
+  *    (file/row-group pruning at the source, reference dynostore's
+  *    key-prefix pruning `dynostore.rs:1046-1078`)
+  *  - the byte-budget window runs per partition, never "move all data
+  *    to a single partition"
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // AQE finalizes the plan only after execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3/q5 dimension joins broadcast - no SortMergeJoin in the plan") {
+    Seq("q3_top_revenue", "q5_nation_revenue").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("SortMergeJoin"), s"$q fell back to SMJ")
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcasts")
+    }
+  }
+
+  test("offset-range scan pushes the offset predicate into the parquet scan") {
+    // read from a COPIED path: the cache manager swaps any plan that
+    // matches a relation another suite cached (InMemoryTableScan has no
+    // PushedFilters) — P1 as a source-level prune: the filter must
+    // reach the parquet scan, not run post-scan only
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      tmp.resolve("documents.parquet"))
+    val df = spark.read.parquet(tmp.resolve("documents.parquet").toString)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 100)
+      .select("doc_id", "source")
+    val scan = df.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(doc_id,100\\)".r
+      .findFirstIn(scan).isDefined, scan.take(800))
+    // and column pruning: the 2-column projection reads a 2-column schema
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      scan.take(800))
+  }
+
+  test("byte-budget running sum windows per partition (no global window)") {
+    val plan = executedPlan("q_fetch_budget")
+    // a missing partitionBy would plan a single-partition window - the
+    // scale-killer WindowExec warns about
+    assert(plan.contains("Window"), plan.take(400))
+    assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
+      "byte-budget window lost its partitioning")
+  }
+
+  test("pair-generating dedup joins stay equi-joins (no cartesian)") {
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_near_dup_vectors").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q planned a NL join")
+    }
+  }
+}
