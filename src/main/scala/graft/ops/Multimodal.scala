@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * batch shape: an iterator of rows in, an iterator of rows out, no
   * shuffle).
   *
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * build): [[Codec.decodeImage]] is a deterministic fake that derives
-  * pixel statistics from the payload bytes. Everything around it — the
-  * schema contract, partition-local execution, batch iteration, null
-  * handling and the feature schema — is real and tested; swapping in a
-  * real codec changes only the function body.
+  * Container-header metadata extraction ([[Probe]]/[[probeMedia]]) is
+  * REAL — format detection, dimensions and durations parse straight from
+  * the leading bytes of PNG/JPEG/GIF/BMP/WAV containers, no codec
+  * library needed. Only pixel/sample DECODE is stubbed (no image/audio
+  * libraries in this build): [[Codec.decodeImage]] is a deterministic
+  * fake deriving pixel statistics from the payload bytes. Everything
+  * else — the schema contract, partition-local execution, batch
+  * iteration, null handling and the feature schema — is real and
+  * tested; swapping in a real codec changes only that function body.
   *
   * Scale: media tables are partitioned by (modality, date); payloads
   * dominate bytes, so feature extraction SELECTs only (payload, meta) and
@@ -123,4 +126,103 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms"),
         lit(null).cast("string").as("source_uri")).as("meta"))
+
+  /** REAL container-header sniffing — this part needs no codec library:
+    * dimensions and durations live in the first bytes of every common
+    * container (PNG IHDR, JPEG SOF markers, GIF screen descriptor, BMP
+    * info header, WAV fmt/data chunks). Only pixel/sample DECODE stays
+    * stubbed; format detection and metadata extraction are real.
+    */
+  object Probe {
+    final case class Info(format: String, modality: String,
+                          width: Int, height: Int, durationMs: Long)
+
+    private def be16(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+    private def be32(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    private def le16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    private def ascii(p: Array[Byte], i: Int, n: Int): String =
+      new String(p, i, n, "US-ASCII")
+
+    def sniff(p: Array[Byte]): Option[Info] = {
+      if (p == null || p.length < 16) return None
+      // PNG: 8-byte signature, then the IHDR chunk is mandatory-first
+      if ((p(0) & 0xff) == 0x89 && ascii(p, 1, 3) == "PNG" && p.length >= 24 &&
+          ascii(p, 12, 4) == "IHDR")
+        return Some(Info("png", "image", be32(p, 16), be32(p, 20), -1L))
+      // JPEG: FFD8, then scan marker segments for a frame header (SOFn)
+      if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 9 <= p.length && (p(i) & 0xff) == 0xff) {
+          val marker = p(i + 1) & 0xff
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof)
+            return Some(Info("jpeg", "image", be16(p, i + 7), be16(p, i + 5), -1L))
+          i += 2 + be16(p, i + 2)
+        }
+        return Some(Info("jpeg", "image", -1, -1, -1L))
+      }
+      // GIF87a / GIF89a: logical screen descriptor right after the magic
+      if (ascii(p, 0, 4) == "GIF8")
+        return Some(Info("gif", "image", le16(p, 6), le16(p, 8), -1L))
+      // BMP: BITMAPINFOHEADER at offset 14
+      if (ascii(p, 0, 2) == "BM" && p.length >= 26)
+        return Some(Info("bmp", "image", le32(p, 18), math.abs(le32(p, 22)), -1L))
+      // WAV: RIFF....WAVE, then fmt (byte rate) and data (size) chunks
+      if (ascii(p, 0, 4) == "RIFF" && ascii(p, 8, 4) == "WAVE") {
+        var i = 12
+        var byteRate = 0L
+        var dataSize = -1L
+        while (i + 8 <= p.length) {
+          val id = ascii(p, i, 4)
+          val size = le32(p, i + 4).toLong & 0xffffffffL
+          if (id == "fmt " && i + 16 + 8 <= p.length)
+            byteRate = le32(p, i + 16).toLong & 0xffffffffL
+          if (id == "data") dataSize = size
+          i += 8 + size.toInt + (size.toInt & 1)
+        }
+        val dur = if (byteRate > 0 && dataSize >= 0)
+          dataSize * 1000L / byteRate else -1L
+        return Some(Info("wav", "audio", -1, -1, dur))
+      }
+      None
+    }
+  }
+
+  /** Fill the meta struct from the payload's container headers —
+    * partition-local, payload-pruned (reads only media_id + payload +
+    * meta), nothing stubbed. Unknown containers keep their ingest meta.
+    */
+  def probeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = media.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val payloadIdx = schema.fieldIndex("payload")
+    val metaIdx = schema.fieldIndex("meta")
+    val rows = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(payloadIdx)) null
+                      else r.getAs[Array[Byte]](payloadIdx)
+        val oldMeta = r.getAs[Row](metaIdx)
+        val newMeta = Probe.sniff(payload) match {
+          case Some(info) => Row(
+            info.modality, info.format,
+            if (info.width >= 0) info.width else null,
+            if (info.height >= 0) info.height else null,
+            if (info.durationMs >= 0) info.durationMs else null,
+            oldMeta.get(5))
+          case None => oldMeta
+        }
+        Row(r.get(idIdx), payload, newMeta)
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
 }

@@ -48,4 +48,63 @@ class MultimodalSpec extends SparkSpec {
       Seq("media_id", "frame_idx", "frame_payload"))
     assert(frames.filter(col("frame_payload").isNull).count() === 0)
   }
+
+  test("probeMedia extracts REAL container metadata from payload headers") {
+    import Multimodal.Probe
+    def alloc(n: Int) = java.nio.ByteBuffer.allocate(n)
+
+    // PNG: signature + IHDR(640x480)
+    val png = alloc(33)
+      .put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      .putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+      .put(Array[Byte](8, 6, 0, 0, 0)).array()
+    assert(Probe.sniff(png) === Some(Probe.Info("png", "image", 640, 480, -1L)))
+
+    // JPEG: SOI, APP0 segment, SOF0 with height=1080 width=1920
+    val jpeg = alloc(64)
+      .put(Array[Byte](0xff.toByte, 0xd8.toByte)) // SOI
+      .put(Array[Byte](0xff.toByte, 0xe0.toByte)).putShort(16) // APP0 len 16
+      .put(new Array[Byte](14))
+      .put(Array[Byte](0xff.toByte, 0xc0.toByte)).putShort(17) // SOF0
+      .put(8: Byte).putShort(1080).putShort(1920)
+      .array()
+    assert(Probe.sniff(jpeg) === Some(Probe.Info("jpeg", "image", 1920, 1080, -1L)))
+
+    // GIF89a 320x200 (little-endian dims)
+    val gif = alloc(16).put("GIF89a".getBytes)
+      .put(Array[Byte](0x40, 0x01)).put(Array[Byte](0xc8.toByte, 0x00))
+      .array()
+    assert(Probe.sniff(gif) === Some(Probe.Info("gif", "image", 320, 200, -1L)))
+
+    // WAV: RIFF/WAVE, fmt chunk byteRate=32000, data chunk 64000 bytes
+    // -> 2000 ms
+    val wav = alloc(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(32000) // byte_rate @ +16
+      .putShort(4).putShort(16)
+    wav.put("data".getBytes).putInt(64000)
+    assert(Probe.sniff(wav.array()) ===
+      Some(Probe.Info("wav", "audio", -1, -1, 2000L)))
+
+    // garbage and null stay unprobed
+    assert(Probe.sniff(Array.fill[Byte](32)(0x42)) === None)
+    assert(Probe.sniff(null) === None)
+
+    // distributed: probeMedia fills the meta struct, leaves unknowns
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((1L, png), (2L, jpeg), (3L, wav.array()), (4L, Array.fill[Byte](20)(7)))
+        .toDF("id", "bytes"),
+      "id", "bytes", "unknown", "unknown")
+    val probed = Multimodal.probeMedia(media)
+      .select(col("media_id"), col("meta.modality"), col("meta.format"),
+        col("meta.width"), col("meta.duration_ms"))
+      .orderBy("media_id").collect()
+    assert(probed(0).getString(1) === "image" && probed(0).getString(2) === "png")
+    assert(probed(0).getInt(3) === 640)
+    assert(probed(1).getInt(3) === 1920)
+    assert(probed(2).getString(1) === "audio" && probed(2).getLong(4) === 2000L)
+    assert(probed(3).getString(2) === "unknown") // ingest meta kept
+  }
 }
