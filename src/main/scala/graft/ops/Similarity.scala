@@ -75,6 +75,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Trained IVF — the production ANN shape ([[annBucketed]]'s sign-bit
+    * cells are the deterministic stand-in; this is the real thing):
+    * k-means coarse centroids (MLlib, seed-pinned), every vector
+    * assigned to its nearest centroid's cell, search probes the
+    * `nProbe` cells nearest the query and runs exact cosine inside
+    * them.
+    *
+    * Scale: train on a sample (`trainFraction` — centroid quality needs
+    * thousands of points per cell, not the corpus), assignment is one
+    * partition-local pass, and at rest `cell` is a partition column so
+    * a search reads nProbe/nCells of the data. Probing more cells
+    * trades scan for recall; nProbe = nCells degenerates to exact
+    * search (the property the spec pins).
+    */
+  def annIvfTrained(embeddings: DataFrame, queryId: Long, k: Int,
+                    nCells: Int, nProbe: Int, seed: Long = 42L,
+                    trainFraction: Double = 1.0,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = embeddings.withColumn("__features",
+      array_to_vector(col(embCol).cast("array<double>")))
+    val trainDf =
+      if (trainFraction < 1.0) feats.sample(trainFraction, seed) else feats
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__features").fit(trainDf)
+    val assigned = model.transform(feats)
+      .withColumnRenamed("prediction", "cell").drop("__features")
+
+    // the 1-row query vector on the driver picks the probe cells
+    // (same bounded-collect class as the broadcast query side)
+    val qRow = embeddings.filter(col(idCol) === queryId)
+      .select(col(embCol).cast("array<double>")).head()
+    val qVec = qRow.getSeq[Double](0).toArray
+    val probed = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0d
+        var j = 0
+        while (j < qVec.length && j < c.size) {
+          val diff = c(j) - qVec(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }
+      .sortBy(_._1).take(math.max(1, nProbe)).map(_._2)
+
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(quantize(col(embCol)).as("q_emb"))
+    assigned
+      .filter(col(idCol) =!= queryId && col("cell").isin(probed.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineQ(quantize(col(embCol)), col("q_emb")))
+      .select(col(idCol), col("cell"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("cosine_r").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Blocking width sized to the corpus: the smallest `bits` such that the
     * expected cell cardinality n / 2^bits stays at or under
     * `targetCellSize`. Within-cell pair cost is QUADRATIC (~c²/2 per

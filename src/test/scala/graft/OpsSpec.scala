@@ -67,6 +67,30 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(cells.length === 1) // all hits in the query's cell
   }
 
+  test("annIvfTrained: full probing equals brute force; partial probing prunes") {
+    val e = Tables.load(spark, sf, "embeddings").cache()
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    // nProbe = nCells: every cell scanned → EXACTLY the brute-force
+    // top-k (the IVF correctness invariant, independent of clustering)
+    val full = Similarity.annIvfTrained(e, 0L, 10, nCells = 8, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === brute)
+
+    // partial probing: results come only from probed cells, and the
+    // probed region is a strict subset of the corpus (the pruning that
+    // pays at scale); recall stays useful even on uniform vectors
+    val part = Similarity.annIvfTrained(e, 0L, 10, nCells = 8, nProbe = 3)
+    val partIds = part.select("vec_id").as[Long].collect().toSet
+    val probedCells = part.select("cell").distinct().as[Int].collect().toSet
+    assert(probedCells.size <= 3)
+    val recall = (partIds & brute).size / 10.0
+    assert(recall >= 0.3, s"recall $recall")
+    e.unpersist()
+    ()
+  }
+
   test("connectedComponents labels chains and keeps components separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("doc_a", "doc_b")
