@@ -37,7 +37,12 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
                          port: Int = 0,
                          scramUsers: Map[String, String] = Map.empty,
                          produceQuotaBytesPerSec: Long = Long.MaxValue,
-                         offsetsRetentionMs: Long = 7L * 24 * 60 * 60 * 1000) {
+                         offsetsRetentionMs: Long = 7L * 24 * 60 * 60 * 1000,
+                         // auto.create.topics.enable: a Metadata request
+                         // naming an absent topic creates it (when the
+                         // request's allow_auto_topic_creation agrees)
+                         autoCreateTopics: Boolean = false,
+                         autoCreatePartitions: Int = 1) {
   import WireProtocol._
 
   private val coordinator = new graft.coordinator.GroupCoordinator(storage)
@@ -259,12 +264,14 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           writeApiVersionsResponseV3(out)
         } else writeApiVersionsResponse(out)
       case 3 if header.apiVersion >= 9 =>
-        val requested = readMetadataV9(buf)
-        writeMetadataResponseV9(out, host, boundPort, metadataTopics(requested))
+        val (requested, allowAuto) = readMetadataV9Full(buf)
+        writeMetadataResponseV9(out, host, boundPort,
+          metadataTopics(requested, allowAuto))
       case 3 =>
-        val requested = readMetadataClassic(buf, header.apiVersion)
-        writeMetadataResponse(out, host, boundPort, metadataTopics(requested),
-          header.apiVersion)
+        val (requested, allowAuto) =
+          readMetadataClassicFull(buf, header.apiVersion)
+        writeMetadataResponse(out, host, boundPort,
+          metadataTopics(requested, allowAuto), header.apiVersion)
       case 0 =>
         handleProduce(buf, out, header.apiVersion)
       case 1 =>
@@ -708,16 +715,23 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
 
   /** Per-topic metadata rows: explicitly requested topics that don't
     * exist come back as UNKNOWN_TOPIC_OR_PARTITION (3) with no
-    * partitions, never as a fabricated healthy topic.
+    * partitions, never as a fabricated healthy topic — UNLESS
+    * auto-creation is on (broker config AND the request's
+    * allow_auto_topic_creation), in which case the topic is REALLY
+    * created first, Kafka's auto.create.topics.enable semantics.
     */
-  private def metadataTopics(requested: Option[Seq[String]]): Seq[(String, Int, Short)] =
+  private def metadataTopics(requested: Option[Seq[String]],
+                             allowAutoCreate: Boolean = false): Seq[(String, Int, Short)] =
     requested match {
       case None => storage.topics.map(t => (t, partitionsOf(t), 0.toShort))
       case Some(names) =>
         val known = storage.topics.toSet
         names.map { t =>
           if (known.contains(t)) (t, partitionsOf(t), 0.toShort)
-          else (t, 0, 3.toShort)
+          else if (autoCreateTopics && allowAutoCreate && t.nonEmpty) {
+            storage.createTopic(t, autoCreatePartitions)
+            (t, autoCreatePartitions, 0.toShort)
+          } else (t, 0, 3.toShort)
         }
     }
 

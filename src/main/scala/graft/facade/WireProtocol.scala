@@ -2009,7 +2009,10 @@ object WireProtocol {
     * (auto-create, cluster/topic authorized-operations), tagged fields.
     * Returns the requested topic names, None = all.
     */
-  def readMetadataV9(buf: ByteBuffer): Option[Seq[String]] = {
+  def readMetadataV9(buf: ByteBuffer): Option[Seq[String]] =
+    readMetadataV9Full(buf)._1
+
+  def readMetadataV9Full(buf: ByteBuffer): (Option[Seq[String]], Boolean) = {
     val n = readCompactArrayLen(buf)
     val topics =
       if (n < 0) None
@@ -2018,14 +2021,15 @@ object WireProtocol {
         skipTaggedFields(buf)
         t
       })
-    buf.get() // allow_auto_topic_creation
+    val allowAuto = buf.get() != 0 // allow_auto_topic_creation
     buf.get() // include_cluster_authorized_operations
     buf.get() // include_topic_authorized_operations
     skipTaggedFields(buf)
-    topics
+    (topics, allowAuto)
   }
 
-  def writeMetadataV9(buf: ByteBuffer, topics: Option[Seq[String]]): Unit = {
+  def writeMetadataV9(buf: ByteBuffer, topics: Option[Seq[String]],
+                      allowAutoCreate: Boolean = false): Unit = {
     topics match {
       case None => writeUnsignedVarint(0, buf)
       case Some(ts) =>
@@ -2035,7 +2039,8 @@ object WireProtocol {
           writeEmptyTaggedFields(buf)
         }
     }
-    buf.put(0: Byte); buf.put(0: Byte); buf.put(0: Byte)
+    buf.put(if (allowAutoCreate) 1: Byte else 0: Byte)
+    buf.put(0: Byte); buf.put(0: Byte)
     writeEmptyTaggedFields(buf)
   }
 
@@ -2377,12 +2382,19 @@ object WireProtocol {
   /** Classic Metadata request, v1-v8: [topics] (null array = all),
     * allow_auto_topic_creation(v4+), include-authorized-ops flags(v8+).
     */
-  def readMetadataClassic(buf: ByteBuffer, version: Int = 1): Option[Seq[String]] = {
+  def readMetadataClassic(buf: ByteBuffer, version: Int = 1): Option[Seq[String]] =
+    readMetadataClassicFull(buf, version)._1
+
+  /** (requested topics, allow_auto_topic_creation) — the flag exists
+    * from v4 (KIP-4); earlier versions implicitly allow auto-creation.
+    */
+  def readMetadataClassicFull(buf: ByteBuffer,
+                              version: Int = 1): (Option[Seq[String]], Boolean) = {
     val n = buf.getInt
     val topics = if (n < 0) None else Some((0 until n).map(_ => readString(buf)))
-    if (version >= 4) buf.get() // allow_auto_topic_creation
+    val allowAuto = if (version >= 4) buf.get() != 0 else true
     if (version >= 8) { buf.get(); buf.get() } // include_*_authorized_operations
-    topics
+    (topics, allowAuto)
   }
 
   def writeMetadataClassic(buf: ByteBuffer, topics: Option[Seq[String]],

@@ -1419,6 +1419,46 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("Metadata auto-creates requested topics only when both sides opt in") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-ac").toString
+    val storage = new ParquetStorage(spark, root)
+    val broker = new BrokerServer(storage, autoCreateTopics = true,
+      autoCreatePartitions = 3)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      // request says allow_auto_topic_creation=false → UNKNOWN, untouched
+      val md0 = flexRequest(sock, 3, 9, 980)(b =>
+        W.writeMetadataV9(b, Some(Seq("fresh")), allowAutoCreate = false))
+      W.skipTaggedFields(md0)
+      val (_, _, t0) = W.readMetadataResponseV9(md0)
+      assert(t0.map(t => t.name -> t.error) === Seq("fresh" -> 3.toShort))
+      assert(!storage.topics.contains("fresh"))
+
+      // both sides opt in → the topic is REALLY created (declared
+      // partition count, durable) and reported healthy
+      val md1 = flexRequest(sock, 3, 9, 981)(b =>
+        W.writeMetadataV9(b, Some(Seq("fresh")), allowAutoCreate = true))
+      W.skipTaggedFields(md1)
+      val (_, _, t1) = W.readMetadataResponseV9(md1)
+      assert(t1.map(t => (t.name, t.partitions.size, t.error)) ===
+        Seq(("fresh", 3, 0.toShort)))
+      assert(storage.partitionCount("fresh") === 3)
+      sock.close()
+    } finally broker.close()
+
+    // broker with auto-create OFF (the default): flag or not, error 3
+    val broker2 = new BrokerServer(storage)
+    try {
+      val sock2 = new Socket("127.0.0.1", broker2.boundPort)
+      val md2 = flexRequest(sock2, 3, 9, 982)(b =>
+        W.writeMetadataV9(b, Some(Seq("fresh2")), allowAutoCreate = true))
+      W.skipTaggedFields(md2)
+      assert(W.readMetadataResponseV9(md2)._3.head.error === 3.toShort)
+      assert(!storage.topics.contains("fresh2"))
+      sock2.close()
+    } finally broker2.close()
+  }
+
   test("ConsumerGroupDescribe reflects the classic coordinator's state") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker-cg").toString
     val storage = new ParquetStorage(spark, root)
