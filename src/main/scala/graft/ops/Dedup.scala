@@ -167,13 +167,15 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Connected components over candidate pairs: iterative min-label
-    * propagation to a fixpoint. Each iteration is one distributed
-    * join+aggregate; component diameter bounds the iteration count (near-
-    * dup clusters are shallow, so this converges in a few rounds). The
-    * driver only checks the convergence counter — all data stays
-    * distributed. Returns (doc_id, cluster) with cluster = min member id,
-    * covering every node that appears in a pair.
+  /** Connected components over candidate pairs: min-label propagation
+    * WITH pointer jumping to a fixpoint. Each materialized round both
+    * pulls the minimum neighbor label (propagation) and short-circuits
+    * cluster := cluster-of-cluster (path doubling), so a chain of
+    * length L converges in O(log L) rounds instead of O(L) — the
+    * difference between 6 jobs and 60 on a deep duplicate chain at
+    * corpus scale. The driver only checks the convergence counter — all
+    * data stays distributed. Returns (doc_id, cluster) with cluster =
+    * min member id, covering every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -192,27 +194,35 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // step 1 — propagation: pull the minimum label over the neighbors
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("cluster", "n_cluster"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_cluster")).as("min_neighbor"))
       // localCheckpoint truncates lineage: without it every iteration's
-      // logical plan embeds all previous ones and Catalyst re-optimizes a
-      // growing tree (planning time, not execution, dominated the loop).
-      // The convergence flag is derived in the SAME projection
-      // (min_neighbor < cluster), so counting `changed` is a scan of the
-      // checkpointed result — not a second join per iteration.
-      // LAZY checkpoint: the convergence count below is the one
-      // materializing job per iteration — it computes, caches and
-      // checkpoints next's partitions while counting, instead of an
-      // eager-checkpoint job followed by a count job.
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // logical plan embeds all previous ones and Catalyst re-optimizes
+      // a growing tree (planning time, not execution, dominated the
+      // loop). LAZY: materialized by the convergence count below, and
+      // `stepped` is consumed by BOTH sides of the jump join, so the
+      // checkpoint also guarantees it computes once.
+      val stepped = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("min_neighbor"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(false)
+      // step 2 — pointer jump: cluster := min(cluster, cluster's own
+      // cluster). Labels are doc ids, so the lookup is a self-join; a
+      // fixpoint of (propagate ∘ jump) implies a fixpoint of propagate
+      // alone, which is the correctness condition.
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("cluster"),
+          col("cluster").as("cc")), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("cc"), col("cluster")))
             .as("cluster"),
-          (coalesce(col("min_neighbor"), col("cluster")) < col("cluster"))
-            .as("__changed"))
+          (least(col("cluster"), coalesce(col("cc"), col("cluster"))) <
+            col("old_cluster")).as("__changed"))
         .localCheckpoint(false)
       changed = next.filter(col("__changed")).count()
       labels = next.drop("__changed")
