@@ -386,13 +386,14 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         writeDeleteRecordsResponse(out, results, v)
       case 19 =>
         val v = header.apiVersion.toInt
-        val reqTopics = readCreateTopics(buf, v)
+        val (reqTopics, validateOnly) = readCreateTopics(buf, v)
         val results = reqTopics.map { t =>
           if (storage.topics.contains(t.name))
             (t.name, 36.toShort, -1, Map.empty[String, String]) // TOPIC_ALREADY_EXISTS
           else {
             val nParts = math.max(t.numPartitions, 1)
-            storage.createTopic(t.name, nParts, t.configs)
+            // validate_only (v1+): report the outcome, create nothing
+            if (!validateOnly) storage.createTopic(t.name, nParts, t.configs)
             (t.name, 0.toShort, nParts, t.configs)
           }
         }
@@ -593,19 +594,35 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       case None => "Dead"
     }
 
+  /** Shared admin projection, ONE coordinator pass per group:
+    * (kafka state, generation, members as (id, sorted subscriptions,
+    * per-topic sorted assignment)) — both DescribeGroups and
+    * ConsumerGroupDescribe render from this.
+    */
+  private def describedMembers(g: String)
+      : Option[(String, Int, Seq[(String, Seq[String], Seq[(String, Seq[Int])])])] =
+    coordinator.describe(g).map { case (state, generation, _) =>
+      val kafkaState =
+        if (state == "Formed") "Stable" else "PreparingRebalance"
+      val assignment = coordinator.assignmentOf(g)
+      val members = coordinator.membersOf(g).map { case (m, topics) =>
+        val byTopic = assignment.getOrElse(m, Seq.empty)
+          .groupBy(_.topic).toSeq.sortBy(_._1)
+          .map { case (t, ps) => t -> ps.map(_.partition).sorted }
+        (m, topics.toSeq.sorted, byTopic)
+      }
+      (kafkaState, generation, members)
+    }
+
   /** One group's DescribeGroups row (classic admin view). */
   private def describeGroup(g: String): DescribedGroup =
-    coordinator.describe(g) match {
-      case Some(_) =>
-        val assignment = coordinator.assignmentOf(g)
-        val members = coordinator.membersOf(g).map { case (m, topics) =>
-          val byTopic = assignment.getOrElse(m, Seq.empty)
-            .groupBy(_.topic).toSeq.sortBy(_._1)
-            .map { case (t, ps) => t -> ps.map(_.partition).sorted }
-          DescribedMember(m, encodeSubscription(topics.toSeq.sorted),
-            encodeAssignment(byTopic))
-        }
-        DescribedGroup(0, g, groupKafkaState(g), "consumer", "range", members)
+    describedMembers(g) match {
+      case Some((kafkaState, _, members)) =>
+        DescribedGroup(0, g, kafkaState, "consumer", "range",
+          members.map { case (m, topics, byTopic) =>
+            DescribedMember(m, encodeSubscription(topics),
+              encodeAssignment(byTopic))
+          })
       case None =>
         DescribedGroup(69, g, "Dead", "", "", Seq.empty) // GROUP_ID_NOT_FOUND
     }
@@ -617,16 +634,12 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     * here).
     */
   private def cgDescribe(g: String): CgDescribedGroup =
-    coordinator.describe(g) match {
-      case Some((_, generation, _)) =>
-        val assignment = coordinator.assignmentOf(g)
-        val members = coordinator.membersOf(g).map { case (m, topics) =>
-          val byTopic = assignment.getOrElse(m, Seq.empty)
-            .groupBy(_.topic).toSeq.sortBy(_._1)
-            .map { case (t, ps) => t -> ps.map(_.partition).sorted }
-          CgDescribeMember(m, generation, topics.toSeq.sorted, byTopic)
-        }
-        CgDescribedGroup(0, g, groupKafkaState(g), generation, "range", members)
+    describedMembers(g) match {
+      case Some((kafkaState, generation, members)) =>
+        CgDescribedGroup(0, g, kafkaState, generation, "range",
+          members.map { case (m, topics, byTopic) =>
+            CgDescribeMember(m, generation, topics, byTopic)
+          })
       case None =>
         CgDescribedGroup(69, g, "Dead", -1, "", Seq.empty)
     }
@@ -779,16 +792,20 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     val results = req.topics.map { t =>
       val parts = t.partitions.map { p =>
         val tp = Topition(t.topic, p.partition)
-        val offset = p.timestamp match {
-          case -2L => storage.listEarliestOffset(tp)
+        val (err, offset) = p.timestamp match {
+          case -2L => (0.toShort, storage.listEarliestOffset(tp))
           case -1L => // latest visible under the isolation level
             val stage = storage.offsetStage(tp)
-            if (readCommitted) stage.lastStable else stage.highWatermark
+            (0.toShort,
+              if (readCommitted) stage.lastStable else stage.highWatermark)
           case -3L if version >= 7 => // KIP-734 max-timestamp offset
-            storage.maxTimestampOffset(tp).getOrElse(-1L)
-          case ts => storage.offsetForTimestamp(tp, ts).getOrElse(-1L)
+            (0.toShort, storage.maxTimestampOffset(tp).getOrElse(-1L))
+          case ts if ts < 0 => // -3 below v7, or an unknown sentinel
+            (42.toShort, -1L) // INVALID_REQUEST, as Kafka rejects these
+          case ts =>
+            (0.toShort, storage.offsetForTimestamp(tp, ts).getOrElse(-1L))
         }
-        (p.partition, 0.toShort, p.timestamp, offset)
+        (p.partition, err, p.timestamp, offset)
       }
       t.topic -> parts
     }

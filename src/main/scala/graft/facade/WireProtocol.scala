@@ -1062,9 +1062,11 @@ object WireProtocol {
 
   /** CreateTopics v0-v7 (CreateTopicsRequest.json): [name num_partitions
     * replication_factor [partition [broker]] [config_key config_value]]
-    * timeout validate_only (v1+); flexible v5+.
+    * timeout validate_only (v1+); flexible v5+. Returns the topics and
+    * the validate_only flag (false below v1).
     */
-  def readCreateTopics(buf: ByteBuffer, version: Int = 0): Seq[CreateTopic] = {
+  def readCreateTopics(buf: ByteBuffer,
+                       version: Int = 0): (Seq[CreateTopic], Boolean) = {
     val c = new Codec(version >= 5)
     val topics = (0 until c.len(buf)).map { _ =>
       val name = c.str(buf)
@@ -1084,13 +1086,14 @@ object WireProtocol {
       CreateTopic(name, nParts, rf, configs)
     }
     buf.getInt // timeout_ms
-    if (version >= 1) buf.get() // validate_only
+    val validateOnly = if (version >= 1) buf.get() != 0 else false
     c.tags(buf)
-    topics
+    (topics, validateOnly)
   }
 
   def writeCreateTopics(buf: ByteBuffer, topics: Seq[CreateTopic],
-                        timeoutMs: Int, version: Int = 0): Unit = {
+                        timeoutMs: Int, version: Int = 0,
+                        validateOnly: Boolean = false): Unit = {
     val c = new Codec(version >= 5)
     c.putLen(buf, topics.size)
     topics.foreach { t =>
@@ -1107,7 +1110,7 @@ object WireProtocol {
       c.putTags(buf)
     }
     buf.putInt(timeoutMs)
-    if (version >= 1) buf.put(0: Byte)
+    if (version >= 1) buf.put(if (validateOnly) 1: Byte else 0: Byte)
     c.putTags(buf)
   }
 

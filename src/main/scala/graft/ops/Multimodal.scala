@@ -180,13 +180,18 @@ object Multimodal {
         var i = 12
         var byteRate = 0L
         var dataSize = -1L
-        while (i + 8 <= p.length) {
+        var ok = true
+        while (ok && i + 8 <= p.length) {
           val id = ascii(p, i, 4)
           val size = le32(p, i + 4).toLong & 0xffffffffL
           if (id == "fmt " && i + 16 + 8 <= p.length)
             byteRate = le32(p, i + 16).toLong & 0xffffffffL
           if (id == "data") dataSize = size
-          i += 8 + size.toInt + (size.toInt & 1)
+          // hostile/corrupt chunk size: a non-advancing step would loop
+          // forever — stop walking, keep what was parsed so far
+          val advance = 8L + size + (size & 1L)
+          if (advance <= 0 || i + advance > Int.MaxValue) ok = false
+          else i += advance.toInt
         }
         val dur = if (byteRate > 0 && dataSize >= 0)
           dataSize * 1000L / byteRate else -1L
@@ -210,14 +215,14 @@ object Multimodal {
       it.map { r =>
         val payload = if (r.isNullAt(payloadIdx)) null
                       else r.getAs[Array[Byte]](payloadIdx)
-        val oldMeta = r.getAs[Row](metaIdx)
+        val oldMeta = if (r.isNullAt(metaIdx)) null else r.getAs[Row](metaIdx)
         val newMeta = Probe.sniff(payload) match {
           case Some(info) => Row(
             info.modality, info.format,
             if (info.width >= 0) info.width else null,
             if (info.height >= 0) info.height else null,
             if (info.durationMs >= 0) info.durationMs else null,
-            oldMeta.get(5))
+            if (oldMeta == null) null else oldMeta.get(5))
           case None => oldMeta
         }
         Row(r.get(idIdx), payload, newMeta)

@@ -200,7 +200,10 @@ object AvroDecoder {
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case d: java.time.LocalDate => d.toEpochDay.toInt
     case t: java.sql.Timestamp =>
-      val micros = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      // floorDiv, not truncation: pre-epoch timestamps have a negative
+      // getTime whose sub-second part is already in getNanos
+      val micros =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       if (schema.getLogicalType != null &&
           schema.getLogicalType.getName.endsWith("-millis"))
         Math.floorDiv(micros, 1000L)

@@ -60,15 +60,18 @@ object ProtoSchema {
     }
   }
 
-  /** `map<K,V>` proto-type extractor. */
+  /** `map<K,V>` proto-type extractor. The regex is compiled once — the
+    * extractor sits on the per-row, per-field decode/encode hot path.
+    */
   private[schema] object MapKV {
-    def unapply(t: String): Option[(String, String)] = {
-      val m = """map\s*<\s*([\w.]+)\s*,\s*([\w.]+)\s*>""".r
-      t match {
-        case m(k, v) => Some((k, v))
+    private val re = """map\s*<\s*([\w.]+)\s*,\s*([\w.]+)\s*>""".r
+    def unapply(t: String): Option[(String, String)] =
+      // cheap reject first: almost every field type is NOT a map
+      if (!t.startsWith("map")) None
+      else t match {
+        case re(k, v) => Some((k, v))
         case _ => None
       }
-    }
   }
 
   private val messageFlatRe = """message\s+(\w+)\s*\{([^{}]*)\}""".r

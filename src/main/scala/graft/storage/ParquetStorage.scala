@@ -604,10 +604,14 @@ final class ParquetStorage(spark: SparkSession, root: String,
       if (!Files.isDirectory(dir)) Nil
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(dir).iterator().asScala
+        // close the directory stream — the 1 Hz maintenance sweep calls
+        // this; leaked streams are leaked file descriptors
+        val s = Files.list(dir)
+        try s.iterator().asScala
           .map(_.getFileName.toString)
           .filterNot(_.contains(".tmp"))
-          .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+          .map(java.net.URLDecoder.decode(_, "UTF-8")).toList
+        finally s.close()
       }
     (onDisk ++ groups.keys).distinct
   }
@@ -649,13 +653,28 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def expireOffsets(retentionMs: Long,
                              groupIsActive: String => Boolean): Seq[(String, Topition)] = {
     val now = clock()
-    storedGroups().filterNot(groupIsActive).flatMap { g =>
-      groupOffsets(g).collect {
-        // ts==0 means unknown commit time (legacy payload) — never expire
-        case (tp, _, ts) if ts > 0 && now - ts > retentionMs &&
-          deleteOffset(g, tp) => (g, tp)
+    // ONE directory listing for the whole sweep (this runs at 1 Hz on
+    // the broker's maintenance thread): partition the offset keys by
+    // group in memory instead of re-listing per group
+    val offsetKeysByGroup = listGroupKeys()
+      .flatMap { key =>
+        key.split("/", 3) match {
+          case Array(g, t, p) => Some((g, key, Topition(t, p.toInt)))
+          case _ => None
+        }
       }
-    }
+      .groupBy(_._1)
+    offsetKeysByGroup.toSeq.sortBy(_._1)
+      .filterNot { case (g, _) => groupIsActive(g) }
+      .flatMap { case (g, keys) =>
+        keys.collect {
+          case (_, key, tp) if groupEntry(key).exists { case (payload, _) =>
+            // ts==0 means unknown commit time (legacy) — never expire
+            val ts = parseOffsetPayload(payload)._2
+            ts > 0 && now - ts > retentionMs
+          } && deleteOffset(g, tp) => (g, tp)
+        }
+      }
   }
 
   override def updateGroup(group: String, state: String,

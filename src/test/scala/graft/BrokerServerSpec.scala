@@ -1128,6 +1128,14 @@ class BrokerServerSpec extends SparkSpec {
         assert(!storage.topics.contains(name))
       }
 
+      // validate_only (v1+): a dry run reports success, creates nothing
+      val dry = call(19, 7) { b =>
+        W.writeCreateTopics(b, Seq(W.CreateTopic("dry", 2, 1, Map.empty)),
+          30000, 7, validateOnly = true)
+      }
+      assert(W.readCreateTopicsResponse(dry, 7) === Seq("dry" -> 0.toShort))
+      assert(!storage.topics.contains("dry"))
+
       // IncrementalAlterConfigs v0-v1: SET then DELETE, each observed
       // through topicConfig (the maintain() input)
       (0 to 1).foreach { v =>
