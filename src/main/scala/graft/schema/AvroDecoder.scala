@@ -31,18 +31,24 @@ object AvroDecoder {
     val inputIdx = df.schema.fieldIndex(binaryCol)
     val spark = df.sparkSession
     val rdd = df.rdd.mapPartitions { it =>
-      // parse once per partition; Schema isn't serializable-stable
+      // parse once per partition; Schema isn't serializable-stable.
+      // Decoder and datum are REUSED across rows (toSpark copies
+      // everything out eagerly, so recycling the datum is safe) — per-row
+      // allocation is the decode loop's dominant JVM cost.
       val schema = new ASchema.Parser().parse(avsc)
       val reader = new GenericDatumReader[Any](schema)
+      var reuseDecoder: org.apache.avro.io.BinaryDecoder = null
+      var reuseDatum: Any = null
       it.map { row =>
         val bytes = if (row.isNullAt(inputIdx)) null
                     else row.getAs[Array[Byte]](inputIdx)
         val decoded =
           if (bytes == null) null
           else try {
-            val d = DecoderFactory.get().binaryDecoder(bytes, null)
-            toSpark(reader.read(null, d), schema)
-          } catch { case _: Exception => null }
+            reuseDecoder = DecoderFactory.get().binaryDecoder(bytes, reuseDecoder)
+            reuseDatum = reader.read(reuseDatum, reuseDecoder)
+            toSpark(reuseDatum, schema)
+          } catch { case _: Exception => reuseDatum = null; null }
         Row.fromSeq(row.toSeq :+ decoded)
       }
     }
@@ -160,16 +166,20 @@ object AvroDecoder {
       val schema = new ASchema.Parser().parse(avsc)
       val writer = new GenericDatumWriter[GenericRecord](schema)
       val fields = schema.getFields.asScala.toSeq
+      // stream + encoder reused across rows (reset per row); the record
+      // is rebuilt because field values escape into the writer
+      val out = new ByteArrayOutputStream(256)
+      var reuseEncoder: org.apache.avro.io.BinaryEncoder = null
       it.map { row =>
         val rec = new GenericData.Record(schema)
         fields.zip(fieldIdx).foreach { case (f, i) =>
           rec.put(f.name,
             toAvro(if (row.isNullAt(i)) null else row.get(i), f.schema))
         }
-        val out = new ByteArrayOutputStream()
-        val enc = EncoderFactory.get().binaryEncoder(out, null)
-        writer.write(rec, enc)
-        enc.flush()
+        out.reset()
+        reuseEncoder = EncoderFactory.get().binaryEncoder(out, reuseEncoder)
+        writer.write(rec, reuseEncoder)
+        reuseEncoder.flush()
         Row.fromSeq(row.toSeq :+ out.toByteArray)
       }
     }
