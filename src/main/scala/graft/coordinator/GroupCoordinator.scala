@@ -199,6 +199,10 @@ final class GroupCoordinator(storage: Storage,
   def leaderOf(groupId: String): Option[String] =
     current(groupId).flatMap(_.leader)
 
+  /** The group's negotiated assignor protocol (DescribeGroups echo). */
+  def protocolOf(groupId: String): Option[String] =
+    current(groupId).map(_.protocol)
+
   /** Group ids known to this coordinator (cached or not yet expired). */
   def listGroups(): Seq[String] = groups.keys.toSeq.sorted
 

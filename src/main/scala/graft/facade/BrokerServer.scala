@@ -595,15 +595,16 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     }
 
   /** Shared admin projection, ONE coordinator pass per group:
-    * (kafka state, generation, members as (id, sorted subscriptions,
-    * per-topic sorted assignment)) — both DescribeGroups and
-    * ConsumerGroupDescribe render from this.
+    * (kafka state, generation, negotiated protocol, members as (id,
+    * sorted subscriptions, per-topic sorted assignment)) — both
+    * DescribeGroups and ConsumerGroupDescribe render from this.
     */
   private def describedMembers(g: String)
-      : Option[(String, Int, Seq[(String, Seq[String], Seq[(String, Seq[Int])])])] =
+      : Option[(String, Int, String, Seq[(String, Seq[String], Seq[(String, Seq[Int])])])] =
     coordinator.describe(g).map { case (state, generation, _) =>
       val kafkaState =
         if (state == "Formed") "Stable" else "PreparingRebalance"
+      val protocol = coordinator.protocolOf(g).getOrElse("range")
       val assignment = coordinator.assignmentOf(g)
       val members = coordinator.membersOf(g).map { case (m, topics) =>
         val byTopic = assignment.getOrElse(m, Seq.empty)
@@ -611,14 +612,14 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           .map { case (t, ps) => t -> ps.map(_.partition).sorted }
         (m, topics.toSeq.sorted, byTopic)
       }
-      (kafkaState, generation, members)
+      (kafkaState, generation, protocol, members)
     }
 
   /** One group's DescribeGroups row (classic admin view). */
   private def describeGroup(g: String): DescribedGroup =
     describedMembers(g) match {
-      case Some((kafkaState, _, members)) =>
-        DescribedGroup(0, g, kafkaState, "consumer", "range",
+      case Some((kafkaState, _, protocol, members)) =>
+        DescribedGroup(0, g, kafkaState, "consumer", protocol,
           members.map { case (m, topics, byTopic) =>
             DescribedMember(m, encodeSubscription(topics),
               encodeAssignment(byTopic))
@@ -635,8 +636,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     */
   private def cgDescribe(g: String): CgDescribedGroup =
     describedMembers(g) match {
-      case Some((kafkaState, generation, members)) =>
-        CgDescribedGroup(0, g, kafkaState, generation, "range",
+      case Some((kafkaState, generation, protocol, members)) =>
+        CgDescribedGroup(0, g, kafkaState, generation, protocol,
           members.map { case (m, topics, byTopic) =>
             CgDescribeMember(m, generation, topics, byTopic)
           })
