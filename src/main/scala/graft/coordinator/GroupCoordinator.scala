@@ -91,6 +91,11 @@ final class GroupCoordinator(storage: Storage,
       val g = current(groupId).getOrElse(
         Group(Forming, 0, None, Map.empty, protocol, Map.empty, -1L,
           if (sessionTimeoutMs > 0) sessionTimeoutMs else defaultSessionTimeoutMs))
+      // a joiner may not silently switch the assignor under the other
+      // members' feet — Kafka rejects with INCONSISTENT_GROUP_PROTOCOL
+      if ((g.members.keySet - id).nonEmpty && g.protocol != protocol)
+        throw new GroupCoordinator.InconsistentGroupProtocol(
+          s"group $groupId negotiated ${g.protocol}, joiner offered $protocol")
       val member = Member(id, topics, clock())
       // one bump per cohort, not per joiner
       val generation =
@@ -301,4 +306,12 @@ final class GroupCoordinator(storage: Storage,
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+}
+
+object GroupCoordinator {
+  /** Joiner offered an assignor the group did not negotiate — maps to
+    * Kafka error 23 (INCONSISTENT_GROUP_PROTOCOL) at the wire facade.
+    */
+  final class InconsistentGroupProtocol(msg: String)
+      extends RuntimeException(msg)
 }

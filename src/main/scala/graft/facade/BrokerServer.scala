@@ -661,9 +661,16 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     val topics = req.protocols.headOption
       .map(p => decodeSubscriptionTopics(p.metadata).toSet)
       .getOrElse(Set.empty[String])
-    val (memberId, generation, isLeader) = coordinator.join(
-      req.group, Option(req.memberId).filter(_.nonEmpty), topics, protocol,
-      sessionTimeoutMs = req.sessionTimeoutMs.toLong)
+    val (memberId, generation, isLeader) =
+      try coordinator.join(
+        req.group, Option(req.memberId).filter(_.nonEmpty), topics, protocol,
+        sessionTimeoutMs = req.sessionTimeoutMs.toLong)
+      catch {
+        case _: graft.coordinator.GroupCoordinator.InconsistentGroupProtocol =>
+          writeJoinGroupResponse(out, 23, -1, protocol, "", "", Seq.empty,
+            version) // INCONSISTENT_GROUP_PROTOCOL
+          return
+      }
     val leaderId = coordinator.leaderOf(req.group).getOrElse(memberId)
     val members =
       if (isLeader)

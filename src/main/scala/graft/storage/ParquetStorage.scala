@@ -56,6 +56,23 @@ final class ParquetStorage(spark: SparkSession, root: String,
   private def partDir(tp: Topition) =
     f"$root/log/${tp.topic}/${tp.partition}%010d"
 
+  /** Directory listing that CLOSES its stream — Files.list pins an open
+    * directory fd until GC otherwise, and the fetch path lists per call:
+    * under sustained load with little GC pressure that is a slow march
+    * to 'Too many open files'. Same for the recursive walk.
+    */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  private def walkAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** Partition-dir path, exposed for specs that assert the on-disk
     * segment layout (filename base = offset invariant).
     */
@@ -125,7 +142,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
           } catch { case scala.util.control.NonFatal(_) => None }
         } else if (Files.isDirectory(dir)) {
           import scala.jdk.CollectionConverters._
-          val n = Files.list(dir).iterator().asScala.count(Files.isDirectory(_))
+          val n = listDir(dir).count(Files.isDirectory(_))
           if (n > 0) Some((n, Map.empty[String, String])) else None
         } else None
       loaded.foreach(topicsMap.putIfAbsent(topic, _))
@@ -134,10 +151,19 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   override def deleteTopic(topic: String): Unit = {
     topicsMap.remove(topic)
+    // stale per-partition caches would poison a recreated same-name
+    // topic: producer sequences reject every produce as duplicates and
+    // the watermark continues from the dead topic's high
+    watermarks.keys.filter(_.topic == topic).foreach(watermarks.remove)
+    watermarkLocks.keys.filter(_.topic == topic).foreach(watermarkLocks.remove)
+    logStarts.keys.filter(_.topic == topic).foreach(logStarts.remove)
+    abortedRanges.keys.filter(_.topic == topic).foreach(abortedRanges.remove)
+    recoveredAborted.keys.filter(_.topic == topic).foreach(recoveredAborted.remove)
+    recoveredSeqs.keys.filter(_.topic == topic).foreach(recoveredSeqs.remove)
+    producerSeqs.keys.filter(_._3.topic == topic).foreach(producerSeqs.remove)
     val dir = Paths.get(s"$root/log/$topic")
     if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      walkAll(dir).reverse.foreach(Files.delete)
     }
   }
 
@@ -146,7 +172,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val onDisk =
       if (Files.isDirectory(logRoot)) {
         import scala.jdk.CollectionConverters._
-        Files.list(logRoot).iterator().asScala.filter(Files.isDirectory(_))
+        listDir(logRoot).iterator.filter(Files.isDirectory(_))
           .map(_.getFileName.toString).toSeq
       } else Nil
     (topicsMap.keys ++ onDisk).toSeq.distinct.sorted
@@ -164,19 +190,29 @@ final class ParquetStorage(spark: SparkSession, root: String,
   // -------------------------------------------------------------- watermark
 
   /** Watermark CAS: read current, bump by n, atomic-rename publish.
-    * Single-JVM AtomicLong guards the in-process race; the file is the
-    * durable value (re-read on restart), as in dynostore's watermark.json.
+    * Reservation AND durable publish run under one per-partition lock —
+    * lock-free getAndAdd with an unlocked file write would let two
+    * reservations publish out of order, durably REGRESSING the high
+    * watermark: after a restart the lower value would hand out offsets
+    * a published batch already owns and the rename would silently
+    * replace that batch file. The lock covers only the tiny
+    * reserve+rename window, never the batch write itself (the file is
+    * the durable value, re-read on restart, as in dynostore's
+    * watermark.json).
     */
-  private def reserveOffsets(tp: Topition, n: Long): Long = {
-    val wm = watermarks.getOrElseUpdate(tp, new AtomicLong(readWatermarkFile(tp)))
-    val base = wm.getAndAdd(n)
-    val p = Paths.get(partDir(tp), "watermark.json")
-    val tmp = Paths.get(partDir(tp), s"watermark.json.tmp${base}")
-    Files.writeString(tmp, s"""{"high":${base + n}}""")
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    base
-  }
+  private val watermarkLocks = TrieMap.empty[Topition, Object]
+
+  private def reserveOffsets(tp: Topition, n: Long): Long =
+    watermarkLocks.getOrElseUpdate(tp, new Object).synchronized {
+      val wm = watermarks.getOrElseUpdate(tp, new AtomicLong(readWatermarkFile(tp)))
+      val base = wm.getAndAdd(n)
+      val p = Paths.get(partDir(tp), "watermark.json")
+      val tmp = Paths.get(partDir(tp), s"watermark.json.tmp${base}")
+      Files.writeString(tmp, s"""{"high":${base + n}}""")
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      base
+    }
 
   private def readWatermarkFile(tp: Topition): Long = {
     val p = Paths.get(partDir(tp), "watermark.json")
@@ -191,7 +227,15 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def produce(tp: Topition, batch: DataFrame,
                        producerId: Long, producerEpoch: Int,
                        baseSequence: Int): Either[Int, Long] = {
-    if (topicMeta(tp.topic).isEmpty) return Left(ErrorCode.UnknownTopicOrPartition)
+    // topic AND partition bounds (produceAll checks both; produce must
+    // too, or an out-of-range partition dies in reserveOffsets with a
+    // connection-killing NoSuchFileException instead of an error code)
+    topicMeta(tp.topic) match {
+      case None => return Left(ErrorCode.UnknownTopicOrPartition)
+      case Some((declared, _)) =>
+        if (tp.partition < 0 || tp.partition >= math.max(declared, 1))
+          return Left(ErrorCode.UnknownTopicOrPartition)
+    }
 
     // producer-epoch fencing (reference dynostore.rs:826-880): re-init
     // under the same transactional id bumps the epoch; produce from the
@@ -413,14 +457,19 @@ final class ParquetStorage(spark: SparkSession, root: String,
     ensureSwapRecovered(tp) // finish any interrupted maintenance swap first
     val dir = partDir(tp)
     import scala.jdk.CollectionConverters._
-    val files = Files.list(Paths.get(dir)).iterator().asScala
+    val files = listDir(Paths.get(dir)).iterator
       .filter(p => p.toString.endsWith(".parquet") &&
         !p.getFileName.toString.startsWith("."))
       .map(_.toString).toSeq
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.model.Model.logSchema)
-    else spark.read.parquet(files: _*)
+    else
+      // a lazily-executed fetch plan can outlive a concurrent
+      // maintenance swap that replaced these files; read-missing-as-
+      // empty turns that race into a transient short read the consumer
+      // retries (offsets only advance on delivery), never a dead job
+      spark.read.option("ignoreMissingFiles", "true").parquet(files: _*)
   }
 
   override def fetch(tp: Topition, fetchOffset: Long, maxBytes: Long,
@@ -479,7 +528,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     ensureSwapRecovered(tp)
     val cut = math.min(beforeOffset, offsetStage(tp).highWatermark)
     import scala.jdk.CollectionConverters._
-    val files = Files.list(Paths.get(partDir(tp))).iterator().asScala
+    val files = listDir(Paths.get(partDir(tp))).iterator
       .filter(p => p.getFileName.toString.matches("\\d{20}\\.parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     val bases = files.map(_.getFileName.toString.stripSuffix(".parquet").toLong)
@@ -487,7 +536,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
       val end = if (i + 1 < bases.length) bases(i + 1)
                 else offsetStage(tp).highWatermark
       if (end <= cut)
-        Files.walk(f).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        walkAll(f).reverse.foreach(Files.delete)
     }
     advanceLogStart(tp, cut)
     logStart(tp)
@@ -572,8 +621,17 @@ final class ParquetStorage(spark: SparkSession, root: String,
   private def groupLock(key: String): Object =
     groupLocks.getOrElseUpdate(key, new Object)
 
+  /** Key components are URL-encoded individually, so a group or topic
+    * name containing '/' cannot forge extra separators — a poisoned key
+    * would otherwise permanently break the retention sweep's parse.
+    */
+  private def comp(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+  private def offsetKey(group: String, tp: Topition): String =
+    s"${comp(group)}/${comp(tp.topic)}/${tp.partition}"
+
   override def offsetCommit(group: String, tp: Topition, offset: Long): Unit = {
-    val key = s"$group/${tp.topic}/${tp.partition}"
+    val key = offsetKey(group, tp)
     // payload = "<offset> <commitTsMillis>" — the timestamp drives the
     // offsets.retention sweep (expireOffsets)
     val payload = s"$offset ${clock()}"
@@ -591,7 +649,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
   }
 
   override def offsetFetch(group: String, tp: Topition): Option[Long] =
-    groupEntry(s"$group/${tp.topic}/${tp.partition}")
+    groupEntry(offsetKey(group, tp))
       .map(e => parseOffsetPayload(e._1)._1)
 
   /** Keys present under root/groups (decoded), unioned with the cache —
@@ -619,17 +677,17 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def groupOffsets(group: String): Seq[(Topition, Long, Long)] =
     listGroupKeys().sorted.flatMap { key =>
       key.split("/", 3) match {
-        case Array(g, t, p) if g == group =>
+        case Array(g, t, p) if g == comp(group) && p.forall(_.isDigit) =>
           groupEntry(key).map { case (payload, _) =>
             val (off, ts) = parseOffsetPayload(payload)
-            (Topition(t, p.toInt), off, ts)
+            (Topition(dec(t), p.toInt), off, ts)
           }
         case _ => None
       }
     }
 
   override def deleteOffset(group: String, tp: Topition): Boolean = {
-    val key = s"$group/${tp.topic}/${tp.partition}"
+    val key = offsetKey(group, tp)
     groupLock(key).synchronized {
       val existed = groupEntry(key).isDefined
       groups.remove(key)
@@ -640,15 +698,15 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   override def deleteGroup(group: String): Unit = {
     groupOffsets(group).foreach { case (tp, _, _) => deleteOffset(group, tp) }
-    groupLock(group).synchronized {
-      groups.remove(group)
-      Files.deleteIfExists(groupFile(group))
+    groupLock(comp(group)).synchronized {
+      groups.remove(comp(group))
+      Files.deleteIfExists(groupFile(comp(group)))
     }
     ()
   }
 
   override def storedGroups(): Seq[String] =
-    listGroupKeys().map(_.split("/", 2)(0)).distinct.sorted
+    listGroupKeys().map(k => dec(k.split("/", 2)(0))).distinct.sorted
 
   override def expireOffsets(retentionMs: Long,
                              groupIsActive: String => Boolean): Seq[(String, Topition)] = {
@@ -659,8 +717,9 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val offsetKeysByGroup = listGroupKeys()
       .flatMap { key =>
         key.split("/", 3) match {
-          case Array(g, t, p) => Some((g, key, Topition(t, p.toInt)))
-          case _ => None
+          case Array(g, t, p) if p.forall(_.isDigit) && p.nonEmpty =>
+            Some((dec(g), key, Topition(dec(t), p.toInt)))
+          case _ => None // state keys and anything malformed
         }
       }
       .groupBy(_._1)
@@ -678,22 +737,24 @@ final class ParquetStorage(spark: SparkSession, root: String,
   }
 
   override def updateGroup(group: String, state: String,
-                           expectedVersion: Long): Option[Long] =
-    groupLock(group).synchronized {
-      val cur = groupEntry(group)
+                           expectedVersion: Long): Option[Long] = {
+    val key = comp(group)
+    groupLock(key).synchronized {
+      val cur = groupEntry(key)
       val accepted = cur match {
         case None if expectedVersion == -1 =>
-          if (groups.putIfAbsent(group, (state, 0L)).isEmpty) Some(0L) else None
+          if (groups.putIfAbsent(key, (state, 0L)).isEmpty) Some(0L) else None
         case Some((old, v)) if v == expectedVersion =>
-          if (groups.replace(group, (old, v), (state, v + 1))) Some(v + 1) else None
+          if (groups.replace(key, (old, v), (state, v + 1))) Some(v + 1) else None
         case _ => None
       }
-      accepted.foreach(v => persistGroupFile(group, state, v))
+      accepted.foreach(v => persistGroupFile(key, state, v))
       accepted
     }
+  }
 
   override def groupState(group: String): Option[(String, Long)] =
-    groupEntry(group)
+    groupEntry(comp(group))
 
   // ------------------------------------------------------ SASL credentials
 
@@ -749,7 +810,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     if (!Files.isDirectory(dir)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      listDir(dir).iterator
         .map(_.getFileName.toString)
         .filter(_.endsWith(".json"))
         .flatMap { name =>
@@ -857,7 +918,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
       }
       val tdir = Paths.get(s"$root/txns")
       if (Files.isDirectory(tdir))
-        Files.list(tdir).iterator().asScala
+        listDir(tdir).iterator
           .filter(_.getFileName.toString.matches("\\d+\\.json")).foreach { f =>
             val pid = f.getFileName.toString.stripSuffix(".json").toLong
             val n = jsonMapper.readTree(Files.readString(f))
@@ -1021,12 +1082,13 @@ final class ParquetStorage(spark: SparkSession, root: String,
   }
 
   private def endTxnInternal(producerId: Long, commit: Boolean): Unit = {
-    val next = if (commit) TxnState.Committed else TxnState.Aborted
-    txnStates.put(producerId, next)
-    // durable state: one control marker row per touched partition — the
-    // Kafka commit/abort marker (reference pg.rs:1027-1042). Aborted
-    // ranges are recomputable from the log alone (abortedRangesFromLog),
-    // so a restarted process loses nothing.
+    // ORDER MATTERS: markers + aborted ranges are recorded BEFORE the
+    // state flips. Flipping first releases the last-stable offset while
+    // a concurrent read_committed fetch can still see the aborted rows
+    // with no range information — the EOS visibility hole. With this
+    // order the LSO stays pinned (state Begin) until every consumer-
+    // visible artifact of the outcome exists; a crash mid-way re-aborts
+    // on recovery (markers are idempotent for range replay).
     txns.get(producerId).foreach(_.foreach { case (tp, (start, end)) =>
       writeControlMarker(tp, producerId, commit)
       if (!commit) {
@@ -1038,6 +1100,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
         }
       }
     })
+    val next = if (commit) TxnState.Committed else TxnState.Aborted
+    txnStates.put(producerId, next)
+    // durable state: one control marker row per touched partition — the
+    // Kafka commit/abort marker (reference pg.rs:1027-1042). Aborted
+    // ranges are recomputable from the log alone (abortedRangesFromLog),
+    // so a restarted process loses nothing.
     // staged consumer offsets: applied on commit, dropped on abort
     val staged = pendingTxnOffsets.remove(producerId).getOrElse(Vector.empty)
     if (commit) staged.foreach { case (g, tp, off) => offsetCommit(g, tp, off) }
@@ -1190,17 +1258,16 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val dir = Paths.get(partDir(tp))
     if (!Files.isDirectory(dir)) Nil
     else {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      listDir(dir)
         .filter(p => p.getFileName.toString.matches("\\d{20}\\.parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+        .sortBy(_.getFileName.toString)
     }
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      walkAll(p).reverse.foreach(Files.delete)
     }
 
   /** One maintenance pass over one topic: read all partitions' batch
@@ -1299,10 +1366,9 @@ final class ParquetStorage(spark: SparkSession, root: String,
     Paths.get(partDir(tp), ".maintain_swap")
 
   private def stagedSegs(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("\\.\\d{20}\\.parquet")).toSeq
+    else listDir(dir)
+      .filter(_.getFileName.toString.matches("\\.\\d{20}\\.parquet"))
   }
 
   /** Durable commit point of a maintenance swap: once the marker (which

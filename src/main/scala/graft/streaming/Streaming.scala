@@ -103,12 +103,13 @@ object Streaming {
     * extension; late data beyond the watermark is dropped).
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-                     windowDur: String, watermarkDelay: String): DataFrame =
+                     windowDur: String, watermarkDelay: String,
+                     metricCol: String = "metric"): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col("metric")).as("sum_metric"))
+        sum(col(metricCol)).as("sum_metric"))
 
   /** Streaming exact dedup for continuous ingestion: drop records whose
     * content hash was already seen within the watermark horizon — the

@@ -1427,6 +1427,29 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("JoinGroup with a different assignor than the group's is rejected (23)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-ip").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("ip", 1)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      val j1 = W.readJoinGroupResponse(request(sock, 11, 0, 990) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("ipg", 30000, "", "consumer",
+          Seq(W.JoinProtocol("range", W.encodeSubscription(Seq("ip"))))))
+      })
+      assert(j1.error === 0)
+      // a second member offering a different assignor must not silently
+      // switch the group's protocol — INCONSISTENT_GROUP_PROTOCOL
+      val j2 = W.readJoinGroupResponse(request(sock, 11, 0, 991) { b =>
+        W.writeJoinGroup(b, W.JoinGroupRequest("ipg", 30000, "", "consumer",
+          Seq(W.JoinProtocol("roundrobin", W.encodeSubscription(Seq("ip"))))))
+      })
+      assert(j2.error === 23)
+      sock.close()
+    } finally broker.close()
+  }
+
   test("Metadata auto-creates requested topics only when both sides opt in") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker-ac").toString
     val storage = new ParquetStorage(spark, root)

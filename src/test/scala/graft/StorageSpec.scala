@@ -451,6 +451,60 @@ class StorageSpec extends SparkSpec {
     assert(st.storedGroups() === Nil)
   }
 
+  test("produce rejects out-of-range partitions with an error code, not a crash") {
+    val root = java.nio.file.Files.createTempDirectory("graft-oob").toString
+    val st = new ParquetStorage(spark, root)
+    st.createTopic("narrow", 2)
+    import spark.implicits._
+    val batch = Seq((new java.sql.Timestamp(1000L), "k", "v"))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(Topition("narrow", 5), batch) ===
+      Left(ErrorCode.UnknownTopicOrPartition))
+    assert(st.produce(Topition("narrow", -1), batch) ===
+      Left(ErrorCode.UnknownTopicOrPartition))
+    assert(st.produce(Topition("narrow", 1), batch).isRight)
+  }
+
+  test("a recreated topic starts clean: offsets from 0, fresh producer sequences") {
+    val root = java.nio.file.Files.createTempDirectory("graft-recreate").toString
+    val st = new ParquetStorage(spark, root)
+    import spark.implicits._
+    def batch(v: String) = Seq((new java.sql.Timestamp(1000L), "k", v))
+      .toDF("timestamp", "key", "value")
+    st.createTopic("phoenix", 1)
+    val tp = Topition("phoenix", 0)
+    val (pid, _) = st.initProducer(null)
+    assert(st.produce(tp, batch("a"), pid, 0, 0).isRight)
+    assert(st.produce(tp, batch("b"), pid, 0, 1).isRight)
+    assert(st.offsetStage(tp).highWatermark === 2L)
+
+    st.deleteTopic("phoenix")
+    st.createTopic("phoenix", 1)
+    // offsets restart at 0 (no stale watermark) and the producer's
+    // fresh sequence 0 is accepted (no stale duplicate rejection)
+    assert(st.offsetStage(tp).highWatermark === 0L)
+    assert(st.produce(tp, batch("c"), pid, 0, 0) === Right(0L))
+  }
+
+  test("group and topic names containing '/' keep offsets working") {
+    val root = java.nio.file.Files.createTempDirectory("graft-slash").toString
+    var now = 1000L
+    val st = new ParquetStorage(spark, root, clock = () => now)
+    val tp = Topition("t", 0)
+    st.offsetCommit("a/b", tp, 42L)
+    st.offsetCommit("a", tp, 7L)
+    assert(st.offsetFetch("a/b", tp) === Some(42L))
+    assert(st.offsetFetch("a", tp) === Some(7L))
+    assert(st.groupOffsets("a") === Seq((tp, 7L, 1000L)))
+    assert(st.groupOffsets("a/b") === Seq((tp, 42L, 1000L)))
+    assert(st.storedGroups().sorted === Seq("a", "a/b"))
+    // the retention sweep parses the poisonous name instead of dying
+    now += 100000
+    val expired = st.expireOffsets(50000, _ => false)
+    assert(expired.toSet === Set(("a", tp), ("a/b", tp)))
+    assert(st.offsetFetch("a/b", tp) === None)
+  }
+
   test("alterTopicConfig persists: retention set after create drives maintain()") {
     val root = java.nio.file.Files.createTempDirectory("graft-altercfg").toString
     var now = 100000L
