@@ -769,20 +769,31 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     val results = req.topics.map { t =>
       val parts = t.partitions.map { p =>
         try {
-          val batch = RecordBatchCodec.decode(p.records)
-          val rows = batch.records.map { r =>
-            (new java.sql.Timestamp(batch.baseTimestamp + r.timestampDelta),
-              Option(r.key).map(new String(_, "UTF-8")).orNull,
-              Option(r.value).map(new String(_, "UTF-8")).orNull)
-          }
-          val df = rows.toDF("timestamp", "key", "value")
+          // a records blob may carry SEVERAL consecutive batches (client
+          // retries, transactional batching) — produce each in order;
+          // the response reports the FIRST assigned base offset
+          val batches = RecordBatchCodec.decodeAll(p.records)
           val tp = Topition(t.topic, p.partition)
-          storage.produce(tp, df,
-            batch.producerId, batch.producerEpoch.toInt, batch.baseSequence) match {
-            case Right(base) =>
-              (p.partition, 0.toShort, base, storage.offsetStage(tp).logStart)
-            case Left(err) => (p.partition, err.toShort, -1L, -1L)
+          var firstBase = -1L
+          var err: Short = 0
+          batches.foreach { batch =>
+            if (err == 0) {
+              val rows = batch.records.map { r =>
+                (new java.sql.Timestamp(batch.baseTimestamp + r.timestampDelta),
+                  Option(r.key).map(new String(_, "UTF-8")).orNull,
+                  Option(r.value).map(new String(_, "UTF-8")).orNull)
+              }
+              val df = rows.toDF("timestamp", "key", "value")
+              storage.produce(tp, df, batch.producerId,
+                batch.producerEpoch.toInt, batch.baseSequence) match {
+                case Right(base) => if (firstBase < 0) firstBase = base
+                case Left(e) => err = e.toShort
+              }
+            }
           }
+          if (batches.isEmpty) (p.partition, 87.toShort, -1L, -1L)
+          else if (err != 0) (p.partition, err, -1L, -1L)
+          else (p.partition, 0.toShort, firstBase, storage.offsetStage(tp).logStart)
         } catch {
           case NonFatal(_) => (p.partition, 87.toShort, -1L, -1L) // INVALID_RECORD
         }

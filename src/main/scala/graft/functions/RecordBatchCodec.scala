@@ -41,11 +41,32 @@ object RecordBatchCodec {
     c.getValue
   }
 
-  /** Decode one wire batch, verifying the CRC over the post-crc region
-    * (reference deflated.rs:155-165).
+  /** Decode the FIRST wire batch, verifying the CRC over the post-crc
+    * region (reference deflated.rs:155-165). A records blob may legally
+    * hold several consecutive batches — use [[decodeAll]] for the full
+    * set; this single-batch form slices at the declared batch length
+    * rather than consuming the whole buffer, so trailing batches can
+    * never corrupt the decompressor input.
     */
-  def decode(wire: Array[Byte]): Batch = {
-    val buf = ByteBuffer.wrap(wire).order(ByteOrder.BIG_ENDIAN)
+  def decode(wire: Array[Byte]): Batch = decodeAt(wire, 0)._1
+
+  /** Every batch in a records blob, in order (the multi-batch produce /
+    * fetch shape real clients send after retries and compaction).
+    */
+  def decodeAll(wire: Array[Byte]): Seq[Batch] = {
+    val out = Seq.newBuilder[Batch]
+    var pos = 0
+    while (pos < wire.length) {
+      val (b, next) = decodeAt(wire, pos)
+      out += b
+      pos = next
+    }
+    out.result()
+  }
+
+  private def decodeAt(wire: Array[Byte], start: Int): (Batch, Int) = {
+    val buf = ByteBuffer.wrap(wire, start, wire.length - start)
+      .order(ByteOrder.BIG_ENDIAN)
     val baseOffset = buf.getLong
     val batchLength = buf.getInt
     val partitionLeaderEpoch = buf.getInt
@@ -53,7 +74,11 @@ object RecordBatchCodec {
     require(magic == 2, s"unsupported magic $magic")
     val crc = buf.getInt & 0xffffffffL
     val crcStart = buf.position()
-    val crcLen = batchLength - (crcStart - 12)
+    val crcLen = batchLength - (crcStart - start - 12)
+    // hostile batchLength: bound-check BEFORE the CRC touches the array
+    // (long arithmetic — a near-MaxValue length overflows int sums)
+    require(crcLen >= 0 && crcStart.toLong + crcLen.toLong <= wire.length,
+      s"declared batch length $batchLength exceeds frame")
     require(crc32c(wire, crcStart, crcLen) == crc, "CRC-32C mismatch")
     val attributes = buf.getShort
     val lastOffsetDelta = buf.getInt
@@ -63,15 +88,20 @@ object RecordBatchCodec {
     val producerEpoch = buf.getShort
     val baseSequence = buf.getInt
     val recordCount = buf.getInt
-    val payload = new Array[Byte](buf.remaining())
+    // slice at the declared batch end, not the buffer end
+    val batchEnd = start + 12 + batchLength
+    val payload = new Array[Byte](batchEnd - buf.position())
     buf.get(payload)
     val recordsBytes = decompress(attributes & 0x07, payload)
     val rbuf = ByteBuffer.wrap(recordsBytes).order(ByteOrder.BIG_ENDIAN)
     val records = (0 until recordCount).map(_ => readRecord(rbuf))
-    require(records.isEmpty || records.map(_.offsetDelta).max == lastOffsetDelta,
+    // <= not ==: compaction removes records from a batch but preserves
+    // the header's lastOffsetDelta for offset continuity
+    require(records.isEmpty || records.map(_.offsetDelta).max <= lastOffsetDelta,
       "lastOffsetDelta mismatch")
-    Batch(baseOffset, partitionLeaderEpoch, attributes, baseTimestamp,
-      maxTimestamp, producerId, producerEpoch, baseSequence, records)
+    (Batch(baseOffset, partitionLeaderEpoch, attributes, baseTimestamp,
+      maxTimestamp, producerId, producerEpoch, baseSequence, records),
+      batchEnd)
   }
 
   private def readRecord(buf: ByteBuffer): Record = {

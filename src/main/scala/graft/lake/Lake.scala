@@ -104,14 +104,25 @@ object Lake {
     * every stage parallel at any scale.
     */
   def zorderKey(df: DataFrame, colNames: Seq[String], bitsPerCol: Int = 8): Column = {
-    val buckets = 1 << bitsPerCol
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val n = colNames.length
+    // the interleaved key must fit 63 bits (bit 63 is the sign — using
+    // it would invert the ordering for high buckets, and positions >= 64
+    // wrap around mod 64, silently breaking monotonicity): shrink the
+    // per-column width for wide column sets rather than corrupting keys
+    val bits = math.max(1, math.min(bitsPerCol, 63 / math.max(n, 1)))
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // ONE multi-column quantile pass — per-column calls would scan the
+    // full table once per z-order column
+    val cast = colNames.zipWithIndex.map { case (name, i) =>
+      col(name).cast("double").as(s"__q$i")
+    }
+    val allEdges = df.select(cast: _*)
+      .stat.approxQuantile((0 until n).map(i => s"__q$i").toArray,
+        probs, 1.0 / (4 * buckets))
     colNames.zipWithIndex.map { case (name, i) =>
-      val edges = df.select(col(name).cast("double").as("__q"))
-        .stat.approxQuantile("__q", probs, 1.0 / (4 * buckets))
-      val b = bucketOf(col(name).cast("double"), edges)
-      (0 until bitsPerCol).map { j =>
+      val b = bucketOf(col(name).cast("double"), allEdges(i))
+      (0 until bits).map { j =>
         (shiftright(b, j).bitwiseAND(lit(1))).cast("long") * lit(1L << (j * n + i))
       }.reduce(_ + _)
     }.reduce(_ + _)
@@ -144,10 +155,24 @@ object Lake {
       else df.repartition(sized)
     val tmp = path + "__optimizing"
     writeTable(clustered, tmp, partitionCols, mode = "overwrite")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // the PATH's filesystem, not the default one — optimize on an
+    // s3a:// table with an hdfs:// default FS would otherwise operate
+    // on the wrong store entirely
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swap via rename-aside, never delete-then-rename: every failure
+    // point leaves a complete copy on disk (old table at __old until
+    // the new one is live), and HDFS signals rename failure by RETURN
+    // VALUE — ignoring it would report success after losing the table
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"optimize: could not stage $path aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // restore the original before failing
+      throw new java.io.IOException(s"optimize: could not publish $tmp")
+    }
+    fs.delete(old, true)
+    ()
   }
 }

@@ -122,19 +122,27 @@ object LogOps {
       col("offset_start") < lastStable &&
       col("offset_end") >= fetchOffset)
 
-  /** P8 — read_committed visibility: drop records at/after the last stable
-    * offset and records inside aborted ranges (reference
-    * `dynostore.rs:1037-1043`, `pg/record_fetch.sql:36`).
+  /** P8 — read_committed visibility: drop records inside aborted ranges
+    * (reference `dynostore.rs:1037-1043`, `pg/record_fetch.sql:36`).
+    * When BOTH sides carry `producer_id`, only the aborted producer's
+    * records are dropped — Kafka client semantics: another producer's
+    * committed records interleaved in the offset range stay visible.
+    * Without the columns the match is range-only (the caller's ranges
+    * are per-producer anyway).
     */
   def readCommitted(log: DataFrame, txns: DataFrame): DataFrame = {
+    val matchProducer = log.columns.contains("producer_id") &&
+      txns.columns.contains("producer_id")
     val aborted = txns.filter(col("state") === "Aborted")
-      .select(
+      .select(Seq(
         col("topic").as("t_topic"), col("partition").as("t_partition"),
-        col("offset_start"), col("offset_end"))
-    log.join(broadcast(aborted),
-        col("topic") === col("t_topic") && col("partition") === col("t_partition") &&
-        col("offset") >= col("offset_start") && col("offset") <= col("offset_end"),
-        "left_anti")
+        col("offset_start"), col("offset_end")) ++
+        (if (matchProducer) Seq(col("producer_id").as("t_pid")) else Nil): _*)
+    val cond = col("topic") === col("t_topic") &&
+      col("partition") === col("t_partition") &&
+      col("offset") >= col("offset_start") && col("offset") <= col("offset_end") &&
+      (if (matchProducer) col("producer_id") === col("t_pid") else lit(true))
+    log.join(broadcast(aborted), cond, "left_anti")
   }
 
   /** P4+P8 — read-committed visibility derived purely from the log
@@ -146,8 +154,10 @@ object LogOps {
     * rows themselves are filtered out (the P4 control-batch filter).
     *
     * `isCommit` evaluates on control rows only (e.g.
-    * `col("control_type") === "commit"`). Records with no following
-    * marker belong to an open transaction and are invisible.
+    * `col("control_type") === "commit"`). Transactional records with no
+    * following marker belong to an open transaction and are invisible;
+    * NON-transactional records (producer_id < 0) are always visible —
+    * Kafka never gates them on markers.
     */
   def readCommittedFromLog(log: DataFrame, isCommit: Column): DataFrame = {
     // "nearest FOLLOWING marker" expressed as a running frame over
@@ -160,7 +170,8 @@ object LogOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     log.withColumn("__next_marker",
         last(when(col("is_control"), isCommit), ignoreNulls = true).over(w))
-      .filter(!col("is_control") && col("__next_marker") === true)
+      .filter(!col("is_control") &&
+        (col("producer_id") < 0 || col("__next_marker") === true))
       .drop("__next_marker")
   }
 
@@ -196,11 +207,18 @@ object LogOps {
     * (reference `dynostore.rs:826-880`). Returns offending rows.
     */
   def duplicateSequences(log: DataFrame): DataFrame = {
+    // non-idempotent rows (producer_id < 0) all share one sequence key
+    // and are NOT duplicates of each other; control markers carry no
+    // sequence either — both are out of scope for the check
+    val eligible0 = log.filter(col("producer_id") >= 0)
+    val eligible =
+      if (log.columns.contains("is_control")) eligible0.filter(!col("is_control"))
+      else eligible0
     val w = Window.partitionBy(
       col("topic"), col("partition"),
       col("producer_id"), col("producer_epoch"), col("base_sequence"))
       .orderBy(col("offset"))
-    log.withColumn("dup_rank", row_number().over(w))
+    eligible.withColumn("dup_rank", row_number().over(w))
       .filter(col("dup_rank") > 1)
   }
 

@@ -67,6 +67,30 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("multi-batch record sets decode batch by batch (client retry shape)") {
+    def mkBatch(base: Long, codec: Int, vs: Seq[String]) =
+      RecordBatchCodec.encode(Batch(base, 0, codec.toShort, 1000L, 1001L,
+        -1L, -1, -1, vs.zipWithIndex.map { case (v, i) =>
+          Record(i, i.toLong, s"k$i".getBytes, v.getBytes, Nil)
+        }))
+    // two consecutive batches, DIFFERENT codecs — slicing at the declared
+    // batch length is what keeps batch 2's bytes out of batch 1's
+    // decompressor
+    val wire = mkBatch(0L, RecordBatchCodec.CodecGzip, Seq("a", "b")) ++
+      mkBatch(2L, RecordBatchCodec.CodecNone, Seq("c"))
+    val all = RecordBatchCodec.decodeAll(wire)
+    assert(all.map(_.baseOffset) === Seq(0L, 2L))
+    assert(all.flatMap(_.records.map(r => new String(r.value))) ===
+      Seq("a", "b", "c"))
+    // the single-batch form returns the FIRST batch, unconfused
+    assert(RecordBatchCodec.decode(wire).records.size === 2)
+    // hostile declared batch length fails cleanly, before any CRC read
+    val hostile = wire.clone()
+    val bb = java.nio.ByteBuffer.wrap(hostile)
+    bb.putInt(8, Int.MaxValue - 5) // batchLength field
+    intercept[IllegalArgumentException](RecordBatchCodec.decode(hostile))
+  }
+
   test("corrupted batch fails CRC check (every codec)") {
     Seq(RecordBatchCodec.CodecNone, RecordBatchCodec.CodecGzip,
       RecordBatchCodec.CodecSnappy, RecordBatchCodec.CodecLz4,

@@ -112,4 +112,41 @@ class LogOpsSpec extends SparkSpec {
     assert(out.filter(col("partition") === 1).count() ===
       log.filter(col("partition") === 1).count())
   }
+
+  test("readCommitted is producer-scoped: interleaved committed records survive") {
+    import spark.implicits._
+    // producer 7 aborted [10, 20]; producer 8's committed records sit
+    // INSIDE that offset range — Kafka drops only the aborted producer's
+    val rows = Seq(
+      ("t", 0, 10L, 7L, "a-aborted"),
+      ("t", 0, 12L, 8L, "b-committed"),
+      ("t", 0, 15L, 7L, "a-aborted2"),
+      ("t", 0, 18L, 8L, "b-committed2"),
+      ("t", 0, 25L, 7L, "a-later"))
+      .toDF("topic", "partition", "offset", "producer_id", "v")
+    val txns = Seq(("t", 0, 10L, 20L, "Aborted", 7L))
+      .toDF("topic", "partition", "offset_start", "offset_end", "state",
+        "producer_id")
+    val vis = LogOps.readCommitted(rows, txns)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(vis === Seq("a-later", "b-committed", "b-committed2"))
+  }
+
+  test("readCommittedFromLog: non-transactional records are always visible") {
+    import spark.implicits._
+    val rows = Seq(
+      // producer 5: one txn committed, one open (invisible)
+      ("t", 0, 0L, 5L, false, null, "txn-committed"),
+      ("t", 0, 1L, 5L, true, "commit", null),
+      ("t", 0, 2L, 5L, false, null, "txn-open"),
+      // plain producer: no markers ever — must stay visible
+      ("t", 0, 3L, -1L, false, null, "plain-a"),
+      ("t", 0, 4L, -1L, false, null, "plain-b"))
+      .toDF("topic", "partition", "offset", "producer_id", "is_control",
+        "control_type", "v")
+    val vis = LogOps.readCommittedFromLog(rows,
+      col("control_type") === "commit")
+      .select("v").as[String].collect().sorted.toSeq
+    assert(vis === Seq("plain-a", "plain-b", "txn-committed"))
+  }
 }
