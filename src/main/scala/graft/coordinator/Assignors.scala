@@ -109,7 +109,12 @@ object Assignors {
     val taken = scala.collection.mutable.Set.empty[Topition]
     members.foreach { m =>
       val ours = owned.getOrElse(m, Seq.empty)
-        .filter(tp => all.contains(tp) && subs(m).contains(tp.topic))
+        // a partition already kept by an earlier member never sticks
+        // twice — a crash-recovered or merged `owned` map can list the
+        // same partition under two members, and double-assignment means
+        // duplicate consumption
+        .filter(tp => all.contains(tp) && subs(m).contains(tp.topic) &&
+          !taken.contains(tp))
         .take(budget.getOrElse(m, 0))
       kept(m) = ours.toVector
       taken ++= ours

@@ -116,13 +116,15 @@ object Scram {
       }
     }
 
-    def handleClientFinal(msg: String): Either[String, String] = {
+    def handleClientFinal(msg: String): Either[String, String] = try {
       if (serverFirst == null) return Left("out of order")
       val a = attrs(msg)
       val proof = b64d.decode(a.getOrElse('p', return Left("missing proof")))
       if (!attrs(serverFirst).get('r').contains(a.getOrElse('r', "")))
         return Left("nonce mismatch")
-      val withoutProof = msg.substring(0, msg.lastIndexOf(",p="))
+      val proofIdx = msg.lastIndexOf(",p=")
+      if (proofIdx < 0) return Left("malformed client-final")
+      val withoutProof = msg.substring(0, proofIdx)
       val authMessage =
         s"$clientFirstBare,$serverFirst,$withoutProof".getBytes(UTF_8)
       val clientSignature = hmac(cred.storedKey, authMessage, mech)
@@ -133,6 +135,10 @@ object Scram {
         authenticatedUser = Some(user)
         Right("v=" + b64e.encodeToString(hmac(cred.serverKey, authMessage, mech)))
       }
+    } catch {
+      // hostile client-final (bad base64, garbled attrs) is an AUTH
+      // failure answered over the wire, never a dropped connection
+      case scala.util.control.NonFatal(_) => Left("malformed client-final")
     }
   }
 

@@ -40,10 +40,14 @@ object Similarity {
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = embeddings.filter(col(idCol) === queryId)
       .select(quantize(col(embCol)).as("q_emb"))
+    // carry the label through when present (the bench table has one);
+    // an embeddings-only table must not crash on a hardcoded column
+    val carried =
+      if (embeddings.columns.contains("label")) Seq(col("label")) else Nil
     embeddings.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineQ(quantize(col(embCol)), col("q_emb")))
-      .select(col(idCol), col("label"), round(col("cosine"), 6).as("cosine_r"))
+      .select(col(idCol) +: carried :+ round(col("cosine"), 6).as("cosine_r"): _*)
       .orderBy(col("cosine_r").desc, col(idCol))
       .limit(k)
   }

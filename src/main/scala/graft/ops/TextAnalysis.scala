@@ -23,6 +23,11 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  /** Exact-token marker matching — the CORPUS CONTRACT is pre-normalized
+    * text (lowercased, punctuation-separated), as the testdata is; raw
+    * text should pass through `lower()` + punctuation stripping first or
+    * sentence-initial capitals ("The") will not count as markers.
+    */
   private def markerHits(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => w.isin(markers.map(_.asInstanceOf[Any]): _*)))
 
@@ -73,8 +78,11 @@ object TextAnalysis {
   }
 
   /** Document fingerprints: 60-bit content min-hash over word 3-shingles
-    * (rolling-hash-style) + first/last shingle hashes. Groupable for
-    * near-dup clustering; one explode + aggregate.
+    * (rolling-hash-style): min/max hashes over the shingle set plus
+    * `fp_first` = the hash of the LEXICOGRAPHICALLY SMALLEST shingle
+    * (min_by on the shingle text — a content-stable anchor, NOT the
+    * document's opening shingle). Groupable for near-dup clustering;
+    * one explode + aggregate.
     */
   def fingerprint(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
@@ -89,7 +97,11 @@ object TextAnalysis {
 
   /** TF-IDF top-k terms per document, in exact integer arithmetic so the
     * result is engine-deterministic: score = tf * ((N * 1e6) DIV df).
-    * One explode, one df aggregate (broadcastable), one window top-k.
+    * One explode, one df aggregate, one window top-k. The tf⋈df join is
+    * NOT broadcast-hinted: a web corpus's distinct-term table (URLs,
+    * hashes, typos) runs to billions of rows — AQE broadcasts it when
+    * it is actually small, and a shuffle equi-join on the term carries
+    * the 100 TB case a forced driver collect would kill.
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
@@ -101,7 +113,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .withColumn("idf1e6", expr(s"($n * 1000000) DIV df"))
       .withColumn("score", col("tf") * col("idf1e6"))
       .withColumn("rnk", row_number().over(w))
@@ -120,9 +132,12 @@ object TextAnalysis {
                        idCol: String = "doc_id"): DataFrame = {
     val bucket = pmod(
       Dedup.h60(concat(lit("sample|"), col(idCol).cast("string"))), lit(1000L))
+    // round, don't truncate: 0.29 * 1000 is 289.999... in binary floats
+    // and truncation would bias every non-representable rate down by one
+    // bucket permille
     val rateCol = rates.toSeq.sortBy(_._1).foldRight(
-      lit((defaultRate * 1000).toLong)) { case ((s, r), rest) =>
-      when(col(strataCol) === s, lit((r * 1000).toLong)).otherwise(rest)
+      lit(math.round(defaultRate * 1000))) { case ((s, r), rest) =>
+      when(col(strataCol) === s, lit(math.round(r * 1000))).otherwise(rest)
     }
     docs.withColumn("__bucket", bucket)
       .filter(col("__bucket") < rateCol)

@@ -92,6 +92,13 @@ object JsonSchema {
 
   /** Compile constraints to one predicate over a JSON string column.
     * `path` is the JsonPath of the current node.
+    *
+    * KNOWN DIVERGENCE from a full JSON Schema validator: the checks run
+    * over `get_json_object` output, which strips string quoting — a
+    * JSON string "42" therefore passes an `integer` type check (the
+    * full validator would reject it). Catching that class per-path
+    * would need per-row re-parsing; the codegen'd predicate trades that
+    * corner for zero interpreter cost at corpus scale.
     */
   private def validate(ast: JValue, json: Column, path: String): Column = {
     val tpe = str(ast \ "type").getOrElse("object")
@@ -138,7 +145,15 @@ object JsonSchema {
       },
       (ast \ "enum") match {
         case JArray(vs) =>
-          val opts = vs.flatMap(str)
+          // compare against get_json_object's raw rendering, so numeric
+          // and boolean enum members are enforced too
+          val opts = vs.collect {
+            case JString(v) => v
+            case JInt(v) => v.toString
+            case JDouble(v) => v.toString
+            case JDecimal(v) => v.toString
+            case JBool(v) => v.toString
+          }
           if (opts.nonEmpty) Some(raw.isin(opts.map(_.asInstanceOf[Any]): _*)) else None
         case _ => None
       }

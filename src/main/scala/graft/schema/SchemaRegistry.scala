@@ -46,19 +46,33 @@ final class SchemaRegistry(root: String, ttlMillis: Long = 60000,
                            clock: () => Long = () => System.currentTimeMillis()) {
   import SchemaRegistry._
 
-  private case class Entry(schema: Option[TopicSchema], loadedAt: Long)
+  private case class Entry(schema: Either[Throwable, Option[TopicSchema]],
+                           loadedAt: Long)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Entry]
 
   /** Look up `<topic>.{json,avsc,proto}` (same precedence as the
-    * reference's registry scan). None = schemaless topic.
+    * reference's registry scan). None = schemaless topic. A MALFORMED
+    * schema file still throws (the topic is misconfigured, not
+    * schemaless — silently accepting everything would be worse), but
+    * the failure is CACHED for the TTL like a success: without that,
+    * every produce re-reads and re-parses the broken file in a hot
+    * crash loop.
     */
   def lookup(topic: String): Option[TopicSchema] = {
-    cache.get(topic).filter(e => clock() - e.loadedAt < ttlMillis) match {
-      case Some(e) => e.schema
-      case None =>
-        val loaded = load(topic)
-        cache.put(topic, Entry(loaded, clock()))
-        loaded
+    val entry =
+      cache.get(topic).filter(e => clock() - e.loadedAt < ttlMillis)
+        .getOrElse {
+          val loaded =
+            try Right(load(topic))
+            catch { case scala.util.control.NonFatal(e) => Left(e) }
+          val fresh = Entry(loaded, clock())
+          cache.put(topic, fresh)
+          fresh
+        }
+    entry.schema match {
+      case Right(s) => s
+      case Left(e) => throw new IllegalArgumentException(
+        s"schema for topic '$topic' failed to load: ${e.getMessage}", e)
     }
   }
 

@@ -269,7 +269,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
     // then sizes): per-input-partition row counts and invalid counts in a
     // single aggregate. The per-partition counts let the write job assign
     // offsets map-side below — no global sort, no extra count jobs.
-    val schema = registry.flatMap(_.lookup(tp.topic))
+    // a misconfigured (unparseable) schema rejects the batch with an
+    // error code — never an exception that drops the client connection
+    val schema =
+      try registry.flatMap(_.lookup(tp.topic))
+      catch { case scala.util.control.NonFatal(_) =>
+        return Left(ErrorCode.InvalidRecord) }
     val stats = validityProbe(batch, schema)
       .groupBy(spark_partition_id().as("__pid"))
       .agg(count(lit(1)).as("__cnt"), count_if(col("__invalid")).as("__bad"))
@@ -408,7 +413,10 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val meta = topicMeta(topic)
     if (meta.isEmpty) return Left(ErrorCode.UnknownTopicOrPartition)
     val declared = meta.get._1
-    val schema = registry.flatMap(_.lookup(topic))
+    val schema =
+      try registry.flatMap(_.lookup(topic))
+      catch { case scala.util.control.NonFatal(_) =>
+        return Left(ErrorCode.InvalidRecord) }
     val stats = validityProbe(batch, schema)
       .groupBy(col("partition").as("__tp"))
       .agg(count(lit(1)).as("__cnt"), count_if(col("__invalid")).as("__bad"))
