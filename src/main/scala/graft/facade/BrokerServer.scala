@@ -407,11 +407,15 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           // name-derived uuid scheme
           val n = Option(name).getOrElse(
             known.find(t => topicUuid(t) == id).orNull)
-          if (n == null || !known.contains(n))
-            Option(n).getOrElse("") -> 3.toShort // UNKNOWN_TOPIC_OR_PARTITION
-          else {
+          if (n == null || !known.contains(n)) {
+            // echo the REQUESTED id for unresolved by-id entries so the
+            // client can correlate the error row
+            val echoId = Option(n).map(topicUuid)
+              .orElse(Option(id)).getOrElse(topicUuid(""))
+            (Option(n).getOrElse(""), echoId, 3.toShort) // UNKNOWN_TOPIC_OR_PARTITION
+          } else {
             storage.deleteTopic(n)
-            n -> 0.toShort
+            (n, topicUuid(n), 0.toShort)
           }
         }
         writeDeleteTopicsResponse(out, results, v)
@@ -770,30 +774,52 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       val parts = t.partitions.map { p =>
         try {
           // a records blob may carry SEVERAL consecutive batches (client
-          // retries, transactional batching) — produce each in order;
-          // the response reports the FIRST assigned base offset
+          // retries, transactional batching) — appended as ONE atomic
+          // produce so a failure never leaves earlier batches durably in
+          // the log while the response says error (a retrying
+          // non-idempotent client would duplicate them)
           val batches = RecordBatchCodec.decodeAll(p.records)
           val tp = Topition(t.topic, p.partition)
-          var firstBase = -1L
-          var err: Short = 0
-          batches.foreach { batch =>
-            if (err == 0) {
-              val rows = batch.records.map { r =>
-                (new java.sql.Timestamp(batch.baseTimestamp + r.timestampDelta),
-                  Option(r.key).map(new String(_, "UTF-8")).orNull,
-                  Option(r.value).map(new String(_, "UTF-8")).orNull)
+          if (batches.isEmpty) (p.partition, 87.toShort, -1L, -1L)
+          else {
+            val pid = batches.head.producerId
+            val epoch = batches.head.producerEpoch
+            val samePid = batches.forall(b =>
+              b.producerId == pid && b.producerEpoch == epoch)
+            // idempotent blobs must be sequence-contiguous: batch k starts
+            // at batch0.baseSequence + rows(0..k-1) — checked BEFORE any
+            // append, so the whole blob is rejected or accepted together
+            val contiguous = pid < 0 || {
+              var expect = batches.head.baseSequence.toLong
+              batches.forall { b =>
+                val ok = b.baseSequence == expect
+                expect += b.records.length; ok
+              }
+            }
+            if (!samePid)
+              (p.partition, 87.toShort, -1L, -1L) // INVALID_RECORD: mixed producers
+            else if (!contiguous)
+              (p.partition, 45.toShort, -1L, -1L) // OUT_OF_ORDER_SEQUENCE_NUMBER
+            else {
+              val rows = batches.flatMap { batch =>
+                batch.records.map { r =>
+                  (new java.sql.Timestamp(batch.baseTimestamp + r.timestampDelta),
+                    Option(r.key).map(new String(_, "UTF-8")).orNull,
+                    Option(r.value).map(new String(_, "UTF-8")).orNull)
+                }
               }
               val df = rows.toDF("timestamp", "key", "value")
-              storage.produce(tp, df, batch.producerId,
-                batch.producerEpoch.toInt, batch.baseSequence) match {
-                case Right(base) => if (firstBase < 0) firstBase = base
-                case Left(e) => err = e.toShort
+              // one produce call: combined row count advances the expected
+              // sequence to base+n, identical to per-batch appends of a
+              // contiguous run (and what recoverProducerSeqs rebuilds)
+              storage.produce(tp, df, pid, epoch.toInt,
+                batches.head.baseSequence) match {
+                case Right(base) =>
+                  (p.partition, 0.toShort, base, storage.offsetStage(tp).logStart)
+                case Left(e) => (p.partition, e.toShort, -1L, -1L)
               }
             }
           }
-          if (batches.isEmpty) (p.partition, 87.toShort, -1L, -1L)
-          else if (err != 0) (p.partition, err, -1L, -1L)
-          else (p.partition, 0.toShort, firstBase, storage.offsetStage(tp).logStart)
         } catch {
           case NonFatal(_) => (p.partition, 87.toShort, -1L, -1L) // INVALID_RECORD
         }

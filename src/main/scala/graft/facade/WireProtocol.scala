@@ -1210,16 +1210,19 @@ object WireProtocol {
   }
 
   /** DeleteTopics response: throttle (v1+) [name topic_id (v6+) error
-    * error_message (v5+)].
+    * error_message (v5+)]. The uuid is caller-supplied so an UNRESOLVED
+    * by-id entry echoes the REQUESTED id (the client correlates error
+    * rows by topic id), not a uuid derived from an empty name.
     */
-  def writeDeleteTopicsResponse(buf: ByteBuffer, results: Seq[(String, Short)],
+  def writeDeleteTopicsResponse(buf: ByteBuffer,
+                                results: Seq[(String, java.util.UUID, Short)],
                                 version: Int = 0): Unit = {
     val c = new Codec(version >= 4)
     if (version >= 1) buf.putInt(0) // throttle
     c.putLen(buf, results.size)
-    results.foreach { case (n, e) =>
+    results.foreach { case (n, id, e) =>
       c.putStr(buf, n)
-      if (version >= 6) putUuid(buf, topicUuid(n))
+      if (version >= 6) putUuid(buf, id)
       buf.putShort(e)
       if (version >= 5) c.putStr(buf, null) // error_message
       c.putTags(buf)

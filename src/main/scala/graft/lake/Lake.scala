@@ -166,8 +166,10 @@ object Lake {
     // VALUE — ignoring it would report success after losing the table
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     fs.delete(old, true)
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"optimize: could not stage $path aside")
+    if (fs.exists(dst)) {
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"optimize: could not stage $path aside")
+    } // a missing dst (readable-but-unmaterialized path) publishes directly
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
       fs.rename(old, dst) // restore the original before failing
       throw new java.io.IOException(s"optimize: could not publish $tmp")

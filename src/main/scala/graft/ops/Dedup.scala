@@ -200,21 +200,19 @@ object Dedup {
           .withColumnRenamed("cluster", "n_cluster"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_cluster")).as("min_neighbor"))
-      // localCheckpoint truncates lineage: without it every iteration's
-      // logical plan embeds all previous ones and Catalyst re-optimizes
-      // a growing tree (planning time, not execution, dominated the
-      // loop). LAZY: materialized by the convergence count below, and
-      // `stepped` is consumed by BOTH sides of the jump join, so the
-      // checkpoint also guarantees it computes once.
       val stepped = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("min_neighbor"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint(false)
       // step 2 — pointer jump: cluster := min(cluster, cluster's own
       // cluster). Labels are doc ids, so the lookup is a self-join; a
       // fixpoint of (propagate ∘ jump) implies a fixpoint of propagate
-      // alone, which is the correctness condition.
+      // alone, which is the correctness condition. `stepped` is NOT
+      // checkpointed: recomputing the (small) propagate join on the
+      // second join side is cheaper than a second materialized
+      // checkpoint job per round — per-round job count is what dominates
+      // this loop (tiny graph, many scheduler round-trips), so each
+      // round is exactly ONE job over ONE checkpointed result.
       val next = stepped
         .join(stepped.select(col("doc_id").as("cluster"),
           col("cluster").as("cc")), Seq("cluster"), "left")
@@ -223,6 +221,10 @@ object Dedup {
             .as("cluster"),
           (least(col("cluster"), coalesce(col("cc"), col("cluster"))) <
             col("old_cluster")).as("__changed"))
+        // localCheckpoint truncates lineage: without it every iteration's
+        // logical plan embeds all previous ones and Catalyst re-optimizes
+        // a growing tree (planning time, not execution, dominated the
+        // loop). LAZY: materialized by the convergence count below.
         .localCheckpoint(false)
       changed = next.filter(col("__changed")).count()
       labels = next.drop("__changed")

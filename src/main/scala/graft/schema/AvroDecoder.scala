@@ -197,10 +197,16 @@ object AvroDecoder {
     case d: java.math.BigDecimal =>
       schema.getLogicalType match {
         case lt: org.apache.avro.LogicalTypes.Decimal =>
-          val unscaled = d.setScale(lt.getScale).unscaledValue.toByteArray
+          // HALF_UP instead of the throwing default: values with more
+          // fractional digits than the schema scale round, not abort
+          val unscaled = d.setScale(lt.getScale, java.math.RoundingMode.HALF_UP)
+            .unscaledValue.toByteArray
           if (schema.getType == ASchema.Type.FIXED) {
             // left-pad with the sign byte to the fixed size
             val size = schema.getFixedSize
+            if (unscaled.length > size)
+              throw new org.apache.avro.AvroTypeException(
+                s"decimal $d needs ${unscaled.length} bytes, fixed(${size}) too small")
             val pad: Byte = if (unscaled.head < 0) -1 else 0
             val padded = Array.fill[Byte](size - unscaled.length)(pad) ++ unscaled
             new GenericData.Fixed(schema, padded)

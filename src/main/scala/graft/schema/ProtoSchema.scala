@@ -313,9 +313,21 @@ object ProtoSchema {
   def encode(parsed: Parsed, messageName: String,
              values: Map[String, Any]): Array[Byte] = {
     val msg = parsed.messages(messageName)
-    val buf = ByteBuffer.allocate(1 << 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // growable: oversized documents (> any fixed cap) must encode, not
+    // throw BufferOverflow mid-produce
+    var buf = ByteBuffer.allocate(1 << 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    def ensure(n: Int): Unit = if (buf.remaining() < n) {
+      val need = buf.position() + n
+      var cap = buf.capacity().toLong
+      while (cap < need) cap <<= 1
+      val bigger = ByteBuffer.allocate(math.min(cap, Int.MaxValue.toLong).toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.flip(); bigger.put(buf); buf = bigger
+    }
 
     def writeLenDelimited(number: Int, a: Array[Byte]): Unit = {
+      ensure(20 + a.length)
       writeRawVarint((number.toLong << 3) | 2, buf)
       writeRawVarint(a.length.toLong, buf)
       buf.put(a)
@@ -324,18 +336,22 @@ object ProtoSchema {
 
     def writeOne(f: Field, v: Any): Unit = f.protoType match {
       case "double" =>
+        ensure(18)
         writeRawVarint((f.number.toLong << 3) | 1, buf)
         buf.putLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
         ()
       case "float" =>
+        ensure(14)
         writeRawVarint((f.number.toLong << 3) | 5, buf)
         buf.putInt(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
         ()
       case "fixed32" | "sfixed32" =>
+        ensure(14)
         writeRawVarint((f.number.toLong << 3) | 5, buf)
         buf.putInt(v.asInstanceOf[Number].intValue())
         ()
       case "fixed64" | "sfixed64" =>
+        ensure(18)
         writeRawVarint((f.number.toLong << 3) | 1, buf)
         buf.putLong(v.asInstanceOf[Number].longValue())
         ()
@@ -344,9 +360,11 @@ object ProtoSchema {
       case "bytes" =>
         writeLenDelimited(f.number, v.asInstanceOf[Array[Byte]])
       case "sint32" | "sint64" =>
+        ensure(20)
         writeRawVarint((f.number.toLong << 3) | 0, buf)
         writeRawVarint(Varint.zigzag(v.asInstanceOf[Number].longValue()), buf)
       case "bool" =>
+        ensure(20)
         writeRawVarint((f.number.toLong << 3) | 0, buf)
         writeRawVarint(if (v.asInstanceOf[Boolean]) 1L else 0L, buf)
       case "google.protobuf.Timestamp" =>
@@ -366,12 +384,14 @@ object ProtoSchema {
             encode(entryParsed, "$entry", Map("key" -> mk, "value" -> mvv)))
         }
       case t if parsed.enums.contains(t) =>
+        ensure(20)
         writeRawVarint((f.number.toLong << 3) | 0, buf)
         writeRawVarint(parsed.enums(t).indexOf(v.toString).toLong, buf)
       case t if parsed.messages.contains(t) =>
         writeLenDelimited(f.number,
           encode(parsed, t, v.asInstanceOf[Map[String, Any]]))
       case _ => // int32/64, uint
+        ensure(20)
         writeRawVarint((f.number.toLong << 3) | 0, buf)
         writeRawVarint(v.asInstanceOf[Number].longValue(), buf)
     }

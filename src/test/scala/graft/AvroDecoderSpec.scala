@@ -188,4 +188,44 @@ class AvroDecoderSpec extends SparkSpec {
     assert(joined.filter(col("d") =!= col("d2")).count() === 0)
     assert(joined.filter(col("ts") =!= col("ts2")).count() === 0)
   }
+
+  test("decimal encode rounds extra scale digits instead of aborting the task") {
+    val avsc =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"price","type":{"type":"bytes","logicalType":"decimal",
+        |  "precision":12,"scale":2}}]}""".stripMargin
+    // scale-4 values: 1.2345 must ROUND (HALF_UP -> 1.23), not throw
+    // ArithmeticException inside the encode partition
+    val df = spark.range(0, 10, 1, 2).toDF("id")
+      .withColumn("price",
+        (col("id").cast("decimal(12,4)") + lit(new java.math.BigDecimal("1.2345")))
+          .cast("decimal(12,4)"))
+    val enc = AvroDecoder.encodeColumn(df, avsc, "bin")
+    val dec = AvroDecoder.decodeColumn(enc.select("id", "bin"), "bin", avsc, "rec")
+      .select(col("id"), col("rec.price").as("p2"))
+    val r0 = dec.filter(col("id") === 0).head().getDecimal(1)
+    assert(r0.compareTo(new java.math.BigDecimal("1.23")) === 0)
+    assert(dec.count() === 10)
+  }
+
+  test("decimal too wide for its fixed schema fails with a typed Avro error") {
+    // precision 4 is VALID for fixed(2) (so the logical type attaches);
+    // the VALUE 10^9 then needs 4 unscaled bytes — the encode must raise
+    // AvroTypeException (a diagnosable out-of-range error), never produce
+    // a wrong-sized Fixed that corrupts the payload
+    val avsc =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"price","type":{"type":"fixed","name":"d2","size":2,
+        |  "logicalType":"decimal","precision":4,"scale":0}}]}""".stripMargin
+    val df = spark.range(0, 1).toDF("id")
+      .withColumn("price", lit(new java.math.BigDecimal("1000000000")))
+    val ex = intercept[Exception] {
+      AvroDecoder.encodeColumn(df, avsc, "bin").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      t.isInstanceOf[org.apache.avro.AvroTypeException] ||
+        Option(t.getMessage).exists(_.contains("fixed(2) too small"))))
+  }
 }

@@ -1522,4 +1522,102 @@ class BrokerServerSpec extends SparkSpec {
       sock.close()
     } finally broker.close()
   }
+
+  test("multi-batch produce blobs are atomic: all-or-nothing, sequences intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-mb").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("mb", 1)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      def batch(pid: Long, seq: Int, vals: Seq[String]): Array[Byte] =
+        RecordBatchCodec.encode(RecordBatchCodec.Batch(
+          0L, 0, 0, 1704067200000L, 1704067200000L, pid, 0, seq,
+          vals.zipWithIndex.map { case (v, i) =>
+            RecordBatchCodec.Record(i, i.toLong, s"k$v".getBytes, v.getBytes, Nil)
+          }))
+      def produceBlob(corr: Int, blob: Array[Byte]): (Short, Long) = {
+        val pr = flexRequest(sock, 0, 9, corr) { b =>
+          W.writeProduceV9(b, W.ProduceRequest(1, 30000, Seq(
+            W.ProduceTopic("mb", Seq(W.ProducePartition(0, blob))))))
+        }
+        W.skipTaggedFields(pr)
+        val (res, _) = W.readProduceResponseV9(pr)
+        val (_, err, base) = res.head._2.head
+        (err, base)
+      }
+      def hw: Long =
+        storage.offsetStage(graft.model.Model.Topition("mb", 0)).highWatermark
+
+      // non-contiguous idempotent blob (second batch skips sequences):
+      // rejected up front — NOTHING from the first batch lands in the log
+      val bad = produceBlob(60, batch(7L, 0, Seq("a", "b")) ++ batch(7L, 5, Seq("c")))
+      assert(bad._1 === 45) // OUT_OF_ORDER_SEQUENCE_NUMBER
+      assert(hw === 0L)
+
+      // mixed producer identities in one blob: invalid, nothing lands
+      assert(produceBlob(61,
+        batch(7L, 0, Seq("a")) ++ batch(8L, 0, Seq("b")))._1 === 87)
+      assert(hw === 0L)
+
+      // a contiguous two-batch blob appends as one unit
+      val ok = produceBlob(62, batch(7L, 0, Seq("a", "b")) ++ batch(7L, 2, Seq("c")))
+      assert(ok === ((0.toShort, 0L)))
+      assert(hw === 3L)
+
+      // the combined append advanced the expected sequence to base+n:
+      // the next in-order batch (seq 3) is accepted, a replay (seq 0) is
+      // a duplicate
+      assert(produceBlob(63, batch(7L, 3, Seq("d")))._1 === 0)
+      assert(produceBlob(64, batch(7L, 0, Seq("a", "b")))._1 === 46) // DUPLICATE_SEQUENCE_NUMBER
+      assert(hw === 4L)
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("DeleteTopics v6 by-id echoes the requested uuid for unresolved ids") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-dt").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("delx", 1)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      val V = graft.functions.Varint
+      def readCompactStr(b: ByteBuffer): String = {
+        val n = V.readUnsignedVarint(b)
+        if (n == 0) null
+        else {
+          val a = new Array[Byte](n - 1); b.get(a); new String(a, "UTF-8")
+        }
+      }
+      def deleteById(corr: Int, id: java.util.UUID): (String, java.util.UUID, Short) = {
+        val r = flexRequest(sock, 20, 6, corr) { b =>
+          V.writeUnsignedVarint(2, b) // compact array: 1 topic
+          V.writeUnsignedVarint(0, b) // null name — by id only
+          W.putUuid(b, id)
+          V.writeUnsignedVarint(0, b) // topic tags
+          b.putInt(30000)
+          V.writeUnsignedVarint(0, b) // request tags
+        }
+        W.skipTaggedFields(r)
+        r.getInt // throttle
+        assert(V.readUnsignedVarint(r) === 2) // 1 result row
+        val n = Option(readCompactStr(r)).getOrElse("")
+        val uuid = W.getUuid(r)
+        val err = r.getShort
+        readCompactStr(r) // error_message
+        W.skipTaggedFields(r); W.skipTaggedFields(r)
+        (n, uuid, err)
+      }
+      // unknown id: error 3 with the REQUESTED id echoed for correlation
+      val ghost = new java.util.UUID(0x1234L, 0x5678L)
+      val (gn, gid, gerr) = deleteById(70, ghost)
+      assert(gerr === 3 && gid === ghost && gn === "")
+      // known id resolves, deletes, echoes name + its uuid
+      val (dn, did, derr) = deleteById(71, W.topicUuid("delx"))
+      assert(derr === 0 && dn === "delx" && did === W.topicUuid("delx"))
+      assert(!storage.topics.contains("delx"))
+      sock.close()
+    } finally broker.close()
+  }
 }

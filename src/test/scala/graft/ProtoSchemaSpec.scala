@@ -179,4 +179,18 @@ class ProtoSchemaSpec extends SparkSpec {
         Array[Byte](-1, -1, -1))).toDF("timestamp", "key", "value"))
     assert(bad === Left(graft.model.Model.ErrorCode.InvalidRecord))
   }
+
+  test("oversized messages encode: the buffer grows past any fixed cap") {
+    val p = ProtoSchema.parse(
+      """message Value { string body = 1; repeated int64 nums = 2; }""")
+    // 200 KiB body — over the old 64 KiB allocation; plus a long packed
+    // run so growth happens across write kinds
+    val body = "x" * (200 * 1024)
+    val wire = ProtoSchema.encode(p, "Value", Map[String, Any](
+      "body" -> body, "nums" -> (0L until 1000L).toSeq))
+    assert(wire.length > 200 * 1024)
+    val back = ProtoSchema.decode(p, "Value", wire)
+    assert(back("body").asInstanceOf[String].length === 200 * 1024)
+    assert(back("nums").asInstanceOf[Seq[Long]].size === 1000)
+  }
 }
