@@ -134,7 +134,40 @@ object TrainingQueries {
       .select("doc_id", "n_tokens", "n_distinct_tokens", "top_token_freq",
         "ttr_e4")
 
+  /** Quality + token count per doc — shared input of the canonical /
+    * budget queries.
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+
+  /** Dedup epilogue: canonical member per MinHash duplicate cluster —
+    * best quality wins, ties to the smallest id; reports reclaimable
+    * tokens per cluster.
+    */
+  def qKeepCanonical(s: SparkSession, dir: String): DataFrame =
+    Curation.canonicalPerCluster(qDedupClusters(s, dir), scoredDocs(s, dir))
+      .select("cluster", "canonical_id", "canonical_quality", "n_members",
+        "tokens_dropped")
+
+  /** Global 10k-token training budget, best-quality-first, resolved on
+    * (quality, hash-bucket) cells — no corpus-wide window.
+    */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetSample(scoredDocs(s, dir), budgetTokens = 10000L,
+      nBuckets = 16)
+
+  /** Per-source mixture weights toward targets proportional to
+    * (source_number mod 3)+1 — integer-exact share/weight math.
+    */
+  def qMixWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureWeights(docs(s, dir), "source",
+      targetUnits = expr("cast(substring(source, 4) as bigint) % 3 + 1"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keep_canonical" -> (qKeepCanonical _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_mix_weights" -> (qMixWeights _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_domain_cap" -> (qDomainCap _),
     "q_repetition" -> (qRepetition _),
@@ -327,7 +360,93 @@ object TrainingQueries {
        |SELECT a AS doc_id, least(min(b), a) AS cluster
        |FROM reach GROUP BY a""".stripMargin
 
+  /** Quality + token count per doc (mirrors TextAnalysis.qualityScore). */
+  private val scoredCte: String =
+    """scored AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN strlen(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN (strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10
+      |          <= len(string_split(text, ' ')) THEN 1 ELSE 0 END) +
+      |    (CASE WHEN len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'of', 'and', 'is'))) > 0 THEN 1 ELSE 0 END) AS quality,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents)""".stripMargin
+
+  private val keepCanonicalOracle: String =
+    s"""WITH comp AS (
+       |$clustersOracle
+       |),
+       |$scoredCte,
+       |j AS (
+       |  SELECT c.cluster, c.doc_id, s.quality, s.n_tokens,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY s.quality DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN scored s USING (doc_id))
+       |SELECT cluster,
+       |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id,
+       |  MAX(CASE WHEN rk = 1 THEN quality END) AS canonical_quality,
+       |  COUNT(*) AS n_members,
+       |  CAST(SUM(CASE WHEN rk <> 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS tokens_dropped
+       |FROM j GROUP BY cluster""".stripMargin
+
+  private val tokenBudgetOracle: String = {
+    val h = "CAST(('0x' || substring(md5('budget|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+    s"""WITH $scoredCte,
+       |q AS (
+       |  SELECT doc_id, quality, n_tokens, $h % 16 AS bkt, $h AS h
+       |  FROM scored),
+       |cells AS (
+       |  SELECT quality, bkt, CAST(SUM(n_tokens) AS BIGINT) AS cell
+       |  FROM q GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT quality, bkt, cell,
+       |    COALESCE(SUM(cell) OVER (ORDER BY quality DESC, bkt
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM cells),
+       |full_cells AS (
+       |  SELECT quality, bkt FROM cum WHERE cum + cell <= 10000),
+       |boundary AS (
+       |  SELECT quality, bkt, 10000 - cum AS rem FROM cum
+       |  WHERE cum < 10000 AND cum + cell > 10000),
+       |bsel AS (
+       |  SELECT doc_id, quality, n_tokens FROM (
+       |    SELECT q.doc_id, q.quality, q.n_tokens, b.rem,
+       |      SUM(q.n_tokens) OVER (PARTITION BY q.quality, q.bkt
+       |        ORDER BY q.h, q.doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+       |    FROM q JOIN boundary b ON q.quality = b.quality AND q.bkt = b.bkt)
+       |  WHERE cs <= rem)
+       |SELECT q.doc_id, q.quality, q.n_tokens
+       |FROM q JOIN full_cells f ON q.quality = f.quality AND q.bkt = f.bkt
+       |UNION ALL
+       |SELECT doc_id, quality, n_tokens FROM bsel""".stripMargin
+  }
+
+  private val mixWeightsOracle: String =
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) AS n_toks,
+      |    CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS units
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens, MAX(units) AS u
+      |  FROM d GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |    CAST(SUM(u) AS BIGINT) AS tot_u FROM p)
+      |SELECT source, n_docs, n_tokens,
+      |  n_tokens * 1000000 // tot_tokens AS share_e6,
+      |  u * 1000000 // tot_u AS target_e6,
+      |  least((u * 1000000 // tot_u) * 1000000
+      |      // (n_tokens * 1000000 // tot_tokens), 10000000) AS weight_e6
+      |FROM p CROSS JOIN t""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_keep_canonical" -> keepCanonicalOracle,
+    "q_token_budget" -> tokenBudgetOracle,
+    "q_mix_weights" -> mixWeightsOracle,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

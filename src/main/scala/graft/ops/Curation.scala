@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,4 +79,120 @@ object Curation {
         count(lit(1)).as("n_distinct_tokens"),
         max(col("tf")).as("top_token_freq"))
       .withColumn("ttr_e4", expr("n_distinct_tokens * 10000 div n_tokens"))
+
+  /** Canonical-document selection per duplicate cluster — the step that
+    * turns [[Dedup.connectedComponents]] output into a drop list: within
+    * each cluster keep the highest-quality member (ties to the smallest
+    * id) and account for what the dedup reclaims. One shuffle keyed on
+    * the cluster id; the cluster table is pair-graph-sized (near-dup
+    * candidates only), orders of magnitude smaller than the corpus, and
+    * the window + aggregate share the same partitioning.
+    *
+    * `scored` must carry (idCol, quality, n_tokens) — e.g.
+    * [[TextAnalysis.qualityScore]] joined with a token count.
+    * Returns (cluster, canonical_id, canonical_quality, n_members,
+    * tokens_dropped).
+    */
+  def canonicalPerCluster(clusters: DataFrame, scored: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    clusters
+      .join(scored.select(col(idCol), col("quality"), col("n_tokens")), idCol)
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(
+        max(when(col("__rk") === 1, col(idCol))).as("canonical_id"),
+        max(when(col("__rk") === 1, col("quality"))).as("canonical_quality"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("__rk") =!= 1, col("n_tokens")).otherwise(0L))
+          .as("tokens_dropped"))
+  }
+
+  /** Deterministic token-budget sampling: select documents best-quality
+    * first until a global token budget is filled — the data-mixing step
+    * that cuts a corpus to a training budget.
+    *
+    * 100 TB shape: a GLOBAL quality-ordered prefix sum over documents
+    * would be a single-partition window over the corpus. Instead the
+    * budget is resolved on (quality, hash-bucket) CELLS:
+    *  1. one map-side aggregate -> <= (qualities x nBuckets) cell sums;
+    *  2. the running-sum window runs over that TINY cell table (one
+    *     task over ~1k rows, never over documents);
+    *  3. cells wholly under the budget admit their documents by a
+    *     broadcast-joined map-side filter — no document-level window;
+    *  4. only the ONE boundary cell ranks its own documents (bounded by
+    *     corpus/nBuckets) to fill the remaining budget exactly.
+    * Selection is hash-ranked inside a cell, so reruns are stable and
+    * no executor coordinates RNG state.
+    *
+    * `scored` needs (idCol, quality, n_tokens). Returns the selected
+    * (idCol, quality, n_tokens) rows.
+    */
+  def tokenBudgetSample(scored: DataFrame, budgetTokens: Long,
+                        nBuckets: Int = 256, idCol: String = "doc_id",
+                        seed: String = "budget"): DataFrame = {
+    val s = scored.select(col(idCol), col("quality"), col("n_tokens"))
+      .withColumn("__bkt",
+        pmod(Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string"))),
+          lit(nBuckets.toLong)))
+    val cells = s.groupBy(col("quality"), col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__cell"))
+    // exclusive prefix over the cell table (tiny by construction)
+    val order = Window.orderBy(col("quality").desc, col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.withColumn("__cum",
+      coalesce(sum(col("__cell")).over(order), lit(0L)))
+    val fullCells = cum.filter(col("__cum") + col("__cell") <= budgetTokens)
+      .select(col("quality"), col("__bkt"))
+    // the single first cell that crosses the budget, with what remains
+    val boundary = cum
+      .filter(col("__cum") < budgetTokens &&
+        col("__cum") + col("__cell") > budgetTokens)
+      .select(col("quality"), col("__bkt"),
+        (lit(budgetTokens) - col("__cum")).as("__rem"))
+    val fromFull = s.join(broadcast(fullCells), Seq("quality", "__bkt"))
+    val cellW = Window.partitionBy(col("quality"), col("__bkt"))
+      .orderBy(Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromBoundary = s.join(broadcast(boundary), Seq("quality", "__bkt"))
+      .withColumn("__cs", sum(col("n_tokens")).over(cellW))
+      .filter(col("__cs") <= col("__rem"))
+    fromFull.select(col(idCol), col("quality"), col("n_tokens"))
+      .union(fromBoundary.select(col(idCol), col("quality"), col("n_tokens")))
+  }
+
+  /** Mixture re-weighting: per-domain sampling weights that steer the
+    * corpus token distribution toward target shares — the "data mixing"
+    * knob (upweight rare-but-wanted domains, downweight the crawl
+    * giants). Pure integer arithmetic (1e6-scaled) so the weights are
+    * engine-exact. One corpus-wide aggregate (map-side partial) plus
+    * driver-free share math on the tiny per-domain table.
+    *
+    * `targetUnits` maps each domain to its relative target weight
+    * (un-normalized); absent domains default to 1. weight_e6 =
+    * target_share / actual_share, 1e6-scaled, capped at `maxWeightE6`.
+    */
+  def mixtureWeights(docs: DataFrame, domainCol: String,
+                     targetUnits: Column, textCol: String = "text",
+                     maxWeightE6: Long = 10000000L): DataFrame = {
+    val perDomain = docs
+      .select(col(domainCol), size(Dedup.tokens(col(textCol))).as("n_toks"),
+        targetUnits.as("__units"))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        max(col("__units")).as("__u"))
+    // window over the per-domain table: domains number in the hundreds,
+    // so the unpartitioned total is one tiny task, not a corpus window
+    perDomain
+      .withColumn("share_e6",
+        expr("n_tokens * 1000000 div sum(n_tokens) over ()"))
+      .withColumn("target_e6",
+        expr("__u * 1000000 div sum(__u) over ()"))
+      .withColumn("weight_e6",
+        least(expr("target_e6 * 1000000 div share_e6"), lit(maxWeightE6)))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("share_e6"), col("target_e6"), col("weight_e6"))
+  }
 }

@@ -159,4 +159,60 @@ class OpsSpec extends SparkSpec with PropSupport {
       assert(10.0 * n / (1L << bits10) <= t.toDouble)
     }
   }
+
+  test("canonicalPerCluster keeps best quality, ties to smallest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster")
+    val scored = Seq((1L, 2, 100L), (2L, 4, 50L), (3L, 4, 60L),
+      (7L, 1, 10L), (8L, 1, 20L)).toDF("doc_id", "quality", "n_tokens")
+    val out = graft.ops.Curation.canonicalPerCluster(clusters, scored)
+      .orderBy("cluster").collect()
+    // cluster 1: quality 4 tie between 2 and 3 -> 2; drops tokens of 1 and 3
+    assert(out(0).getLong(1) === 2L && out(0).getInt(2) === 4)
+    assert(out(0).getLong(3) === 3L && out(0).getLong(4) === 160L)
+    // cluster 7: quality tie 1 -> smaller id 7; drops 8's 20 tokens
+    assert(out(1).getLong(1) === 7L && out(1).getLong(4) === 20L)
+  }
+
+  test("tokenBudgetSample fills the budget best-quality-first, exactly once") {
+    import spark.implicits._
+    val scored = (0L until 400L)
+      .map(i => (i, (i % 5).toInt, 10L)).toDF("doc_id", "quality", "n_tokens")
+    val picked = graft.ops.Curation
+      .tokenBudgetSample(scored, budgetTokens = 1000L, nBuckets = 8)
+    val rows = picked.collect()
+    // never over budget, and within one doc of filling it (all docs are
+    // 10 tokens, 4000 available)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total <= 1000L && total > 990L)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // best-quality-first: the 80 quality-4 docs all make the cut before
+    // any lower band fills the remainder
+    assert(rows.count(_.getInt(1) === 4) === 80)
+    assert(rows.count(_.getInt(1) === 3) === 20)
+    // rerun-stable (hash-ranked, no RNG)
+    val again = graft.ops.Curation
+      .tokenBudgetSample(scored, budgetTokens = 1000L, nBuckets = 8)
+      .collect().map(_.getLong(0)).sorted
+    assert(again === rows.map(_.getLong(0)).sorted)
+  }
+
+  test("mixtureWeights: integer shares sum to ~1e6 and the cap binds") {
+    import spark.implicits._
+    val docs = (0L until 300L).map { i =>
+      val src = if (i < 280) "srcBig" else "srcRare"
+      (i, "w " * 20 + "w", "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Curation.mixtureWeights(docs, "source",
+      targetUnits = when(col("source") === "srcRare", 9L).otherwise(1L),
+      maxWeightE6 = 5000000L).collect()
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+    val shareSum = out.map(_.getLong(3)).sum
+    assert(shareSum > 999900L && shareSum <= 1000000L)
+    // rare domain is steered up; the cap binds (9x target on a tiny
+    // share would exceed 5x)
+    assert(bySrc("srcRare").getLong(5) === 5000000L)
+    assert(bySrc("srcBig").getLong(5) < 1000000L)
+  }
 }
