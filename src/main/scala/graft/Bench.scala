@@ -25,7 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b limits the run to a subset (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // warm-up at the smallest scale: triggers classloading + codegen
     val warmDir = "/root/testdata/sf0.001"

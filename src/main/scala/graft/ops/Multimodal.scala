@@ -80,21 +80,18 @@ object Multimodal {
     * columns it needs (payload pruning is what keeps this viable when
     * payloads are MBs).
     */
-  def extractImageFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rows = media
+  def extractImageFeatures(media: DataFrame): DataFrame =
+    media
       .filter(col("meta.modality") === "image")
       .select(col("media_id"), col("payload"))
-      .rdd.mapPartitions { it =>
+      .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           val (luma, phash, ok) = Codec.decodeImage(payload)
           Row(id, if (payload == null) 0 else payload.length, luma, phash, ok)
         }
-      }
-    spark.createDataFrame(rows, imageFeatureSchema)
-  }
+      }(org.apache.spark.sql.Encoders.row(imageFeatureSchema))
 
   /** Frame sampling for video rows: emits `n` pseudo-frames per video as
     * separate rows (payload slices in the stub; frame decodes for real),
@@ -206,12 +203,11 @@ object Multimodal {
     * meta), nothing stubbed. Unknown containers keep their ingest meta.
     */
   def probeMedia(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val schema = media.schema
     val idIdx = schema.fieldIndex("media_id")
     val payloadIdx = schema.fieldIndex("payload")
     val metaIdx = schema.fieldIndex("meta")
-    val rows = media.rdd.mapPartitions { it =>
+    media.mapPartitions { it =>
       it.map { r =>
         val payload = if (r.isNullAt(payloadIdx)) null
                       else r.getAs[Array[Byte]](payloadIdx)
@@ -227,7 +223,6 @@ object Multimodal {
         }
         Row(r.get(idIdx), payload, newMeta)
       }
-    }
-    spark.createDataFrame(rows, mediaSchema)
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 }

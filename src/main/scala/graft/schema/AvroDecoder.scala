@@ -29,8 +29,11 @@ object AvroDecoder {
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, sparkType, nullable = true))
     val inputIdx = df.schema.fieldIndex(binaryCol)
-    val spark = df.sparkSession
-    val rdd = df.rdd.mapPartitions { it =>
+    // Dataset.mapPartitions (not df.rdd + createDataFrame): the output
+    // side serializes through a codegen'd row encoder instead of per-row
+    // reflective CatalystTypeConverters, and the whole codec stays one
+    // logical plan — measurably faster and no extra RDD boundary.
+    df.mapPartitions { it =>
       // parse once per partition; Schema isn't serializable-stable.
       // Decoder and datum are REUSED across rows (toSpark copies
       // everything out eagerly, so recycling the datum is safe) — per-row
@@ -51,8 +54,7 @@ object AvroDecoder {
           } catch { case _: Exception => reuseDatum = null; null }
         Row.fromSeq(row.toSeq :+ decoded)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Avro runtime value -> Spark external type, following the §1.3 map. */
@@ -161,8 +163,7 @@ object AvroDecoder {
     val fieldIdx = fieldNames.map(df.schema.fieldIndex)
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, BinaryType, nullable = true))
-    val spark = df.sparkSession
-    val rdd = df.rdd.mapPartitions { it =>
+    df.mapPartitions { it =>
       val schema = new ASchema.Parser().parse(avsc)
       val writer = new GenericDatumWriter[GenericRecord](schema)
       val fields = schema.getFields.asScala.toSeq
@@ -182,8 +183,7 @@ object AvroDecoder {
         reuseEncoder.flush()
         Row.fromSeq(row.toSeq :+ out.toByteArray)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Spark external value -> Avro runtime value (inverse of [[toSpark]]

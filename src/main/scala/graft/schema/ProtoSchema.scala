@@ -290,8 +290,10 @@ object ProtoSchema {
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, sparkType, nullable = true))
     val inputIdx = df.schema.fieldIndex(binaryCol)
-    val spark = df.sparkSession
-    val rdd = df.rdd.mapPartitions { it =>
+    // Dataset.mapPartitions + codegen'd row encoder (not df.rdd +
+    // createDataFrame's reflective converters) — same plan-integrated
+    // shape as AvroDecoder.decodeColumn
+    df.mapPartitions { it =>
       val parsed = parse(protoText)
       it.map { row =>
         val bytes = if (row.isNullAt(inputIdx)) null
@@ -302,8 +304,7 @@ object ProtoSchema {
           catch { case _: Exception => null }
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ decoded)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Encode a message (test/ingest helper, inverse of [[decode]]):
@@ -457,8 +458,7 @@ object ProtoSchema {
     val fieldIdx = fieldNames.map(df.schema.fieldIndex)
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, BinaryType, nullable = true))
-    val spark = df.sparkSession
-    val rdd = df.rdd.mapPartitions { it =>
+    df.mapPartitions { it =>
       val parsed = parse(protoText)
       it.map { row =>
         val ordered = org.apache.spark.sql.Row.fromSeq(fieldIdx.map { i =>
@@ -468,8 +468,7 @@ object ProtoSchema {
           rowToValues(parsed, messageName, ordered))
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bytes)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   private def readRawVarint(buf: ByteBuffer): Long = {
