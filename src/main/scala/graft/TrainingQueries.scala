@@ -164,7 +164,38 @@ object TrainingQueries {
     Curation.mixtureWeights(docs(s, dir), "source",
       targetUnits = expr("cast(substring(source, 4) as bigint) % 3 + 1"))
 
+  /** Concat-and-chunk packing into 256-token sequences over 8 streams. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(docs(s, dir), seqLen = 256, nStreams = 8)
+
+  /** Deterministic global shuffle order, 16 hash-prefix buckets. */
+  def qShuffleRank(s: SparkSession, dir: String): DataFrame =
+    Curation.shuffleRank(docs(s, dir), nBuckets = 16)
+      .select(col("doc_id"), col("shuffle_pos").cast("long").as("shuffle_pos"))
+
+  /** Top-50 adjacent word pairs (the BPE merge-choice statistic). */
+  def qVocabBigrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topBigrams(docs(s, dir), k = 50)
+      .select(col("rank"), col("pair"), col("n_occurrences"))
+
+  /** Int8 symmetric quantization, verified via integer-exact per-vector
+    * aggregates of the quantized values.
+    */
+  def qQuantizeEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(embs(s, dir))
+      .select(
+        col("vec_id"), col("label"),
+        col("amax").cast("double").as("amax_d"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_shuffle_rank" -> (qShuffleRank _),
+    "q_vocab_bigrams" -> (qVocabBigrams _),
+    "q_quantize_embed" -> (qQuantizeEmbed _),
     "q_keep_canonical" -> (qKeepCanonical _),
     "q_token_budget" -> (qTokenBudget _),
     "q_mix_weights" -> (qMixWeights _),
@@ -443,7 +474,73 @@ object TrainingQueries {
       |      // (n_tokens * 1000000 // tot_tokens), 10000000) AS weight_e6
       |FROM p CROSS JOIN t""".stripMargin
 
+  private val packSequencesOracle: String = {
+    val h = "CAST(('0x' || substring(md5('pack|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $h AS key
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, key % 8 AS stream, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT doc_id, stream, n_tokens,
+       |  CAST((cum - n_tokens) // 256 AS BIGINT) AS first_seq,
+       |  CAST((cum - 1) // 256 AS BIGINT) AS last_seq,
+       |  CAST((cum - n_tokens) % 256 AS BIGINT) AS offset_in_first
+       |FROM c""".stripMargin
+  }
+
+  private val shuffleRankOracle: String = {
+    val h = "CAST(('0x' || substring(md5('shuffle|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+    s"""SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY $h, doc_id) - 1 AS BIGINT)
+       |    AS shuffle_pos
+       |FROM documents""".stripMargin
+  }
+
+  private val vocabBigramsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(greatest(len(w)-1, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2])) AS pair
+      |  FROM toks),
+      |c AS (
+      |  SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY 1)
+      |SELECT row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank,
+      |  pair, n_occurrences
+      |FROM c ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin
+
+  private val quantizeEmbedOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x))) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, CAST(amax AS DOUBLE) AS amax_d,
+      |    CASE WHEN amax = 0
+      |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(embedding, x ->
+      |        greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      |          CAST(round(CAST(x AS DOUBLE) * 127
+      |            / CAST(amax AS DOUBLE)) AS BIGINT))))
+      |      END AS qv
+      |  FROM e)
+      |SELECT vec_id, label, amax_d,
+      |  CAST(list_min(qv) AS BIGINT) AS q_min,
+      |  CAST(list_max(qv) AS BIGINT) AS q_max,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+      |FROM q""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_pack_sequences" -> packSequencesOracle,
+    "q_shuffle_rank" -> shuffleRankOracle,
+    "q_vocab_bigrams" -> vocabBigramsOracle,
+    "q_quantize_embed" -> quantizeEmbedOracle,
     "q_keep_canonical" -> keepCanonicalOracle,
     "q_token_budget" -> tokenBudgetOracle,
     "q_mix_weights" -> mixWeightsOracle,

@@ -163,6 +163,74 @@ object Curation {
       .union(fromBoundary.select(col(idCol), col("quality"), col("n_tokens")))
   }
 
+  /** Sequence packing (concat-and-chunk): lay documents end to end and
+    * cut the stream into fixed `seqLen`-token training sequences — the
+    * step that turns a curated corpus into equal-length samples. Each
+    * document is mapped to the half-open token interval it occupies in
+    * its stream, from which its first/last sequence index and offset
+    * follow.
+    *
+    * 100 TB shape: one GLOBAL stream would serialize the corpus through
+    * a single running-sum window. Instead documents are hash-assigned to
+    * `nStreams` independent streams (deterministic, rerun-stable) and
+    * the running sum windows over each stream in parallel — the stream
+    * count scales with the cluster, and each training sequence still
+    * draws from exactly one stream. Returns (idCol, stream, n_tokens,
+    * first_seq, last_seq, offset_in_first): sequence ids are per-stream.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, nStreams: Int = 64,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    seed: String = "pack"): DataFrame = {
+    val key = Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("stream"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    docs
+      .select(col(idCol), size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("__key", key)
+      .withColumn("stream", pmod(col("__key"), lit(nStreams.toLong)))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("stream"), col("n_tokens"),
+        expr(s"(__cum - n_tokens) div $seqLen").as("first_seq"),
+        expr(s"(__cum - 1) div $seqLen").as("last_seq"),
+        expr(s"(__cum - n_tokens) % $seqLen").as("offset_in_first"))
+  }
+
+  /** Deterministic global shuffle rank: a rerun-stable pseudorandom
+    * training order (0..n-1) with NO corpus-wide window. Documents are
+    * ordered by a 60-bit hash; the global rank decomposes into
+    * (docs in lower hash-range buckets) + (rank within the bucket):
+    *  1. bucket = top `log2(nBuckets)` hash bits, so bucket order IS
+    *     hash-prefix order;
+    *  2. per-bucket counts -> tiny table; exclusive prefix sum over it
+    *     (one task over nBuckets rows, never over documents);
+    *  3. broadcast the offsets back and rank within each bucket.
+    * The within-bucket window shuffles on the bucket key — corpus-sized
+    * data but nBuckets-way parallel, the same shape a distributed sort
+    * uses. `nBuckets` must be a power of two (hash-prefix blocking).
+    */
+  def shuffleRank(docs: DataFrame, nBuckets: Int = 256,
+                  idCol: String = "doc_id",
+                  seed: String = "shuffle"): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    val bits = java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val key = Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol)).withColumn("__key", key)
+      .withColumn("__bkt", shiftright(col("__key"), 60 - bits))
+    val counts = keyed.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+    val prefix = Window.orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(prefix), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val inBucket = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    keyed.join(broadcast(offsets), "__bkt")
+      .withColumn("shuffle_pos",
+        col("__off") + row_number().over(inBucket) - 1)
+      .select(col(idCol), col("shuffle_pos"))
+  }
+
   /** Mixture re-weighting: per-domain sampling weights that steer the
     * corpus token distribution toward target shares — the "data mixing"
     * knob (upweight rare-but-wanted domains, downweight the crawl

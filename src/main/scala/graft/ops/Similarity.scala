@@ -194,4 +194,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cell"),
         round(col("cosine"), 6).as("cosine_r"))
   }
+
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * compression step an embedding index runs before serving (4x smaller
+    * than float32, dot products in integer SIMD). Per vector:
+    * scale = max|x| / 127, q_i = round(x_i * 127 / max|x|), clamped to
+    * [-127, 127]; a zero vector quantizes to zeros. Per-row narrow
+    * transform, no shuffle — scan-speed at any corpus size.
+    *
+    * Determinism: max|x| is a float comparison (exact), the scale math
+    * runs in double (IEEE-identical everywhere), and round() is
+    * half-away-from-zero in both Spark and DuckDB, so the int8 vector is
+    * engine-exact. Returns (idCol, amax, q) with q = array<long>.
+    */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val amax = array_max(transform(col(embCol), x => abs(x)))
+    val q = when(col("amax") === 0f,
+        transform(col(embCol), _ => lit(0L)))
+      .otherwise(transform(col(embCol), x =>
+        greatest(lit(-127L), least(lit(127L),
+          round(x.cast("double") * 127d / col("amax").cast("double"))
+            .cast("long")))))
+    embeddings
+      .withColumn("amax", amax)
+      .withColumn("q", q)
+  }
 }

@@ -174,4 +174,26 @@ object TextAnalysis {
       expr(s"""aggregate(split($textCol, ' '),
               |0L,
               |(acc, w) -> acc + 1L + CAST(length(w) DIV 4 AS LONG))""".stripMargin))
+
+  /** Top-k adjacent token pairs across the corpus — the merge-choice
+    * statistic a BPE-style tokenizer trainer computes each round (here at
+    * word level; the distributed shape for byte/char level is identical).
+    * One explode + one map-side-combining hash aggregate + a TakeOrdered
+    * top-k: no global sort, no corpus-wide window — the same plan at
+    * 100 TB. Ties break lexicographically so the cut is deterministic.
+    * Returns (rank, pair, n_occurrences).
+    */
+  def topBigrams(docs: DataFrame, k: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val counted = graft.ops.Dedup.explodedShingles(docs, 2, textCol, idCol)
+      .groupBy(col("sh").as("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+    // rank window runs over the k surviving rows only
+    counted.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("pair").asc)))
+      .select(col("rank"), col("pair"), col("n_occurrences"))
+  }
 }

@@ -198,6 +198,70 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(again === rows.map(_.getLong(0)).sorted)
   }
 
+  test("packSequences tiles each stream with no gaps or overlaps") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, ("w " * (1 + (i % 37).toInt)).trim)).toDF("doc_id", "text")
+    val out = graft.ops.Curation
+      .packSequences(docs, seqLen = 64, nStreams = 4).collect()
+    assert(out.length === 200)
+    // per stream: intervals [cum-n, cum) partition [0, total) exactly —
+    // reconstruct from (first_seq, offset_in_first, n_tokens)
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val starts = rows.map(r => r.getLong(3) * 64 + r.getLong(5)).sorted
+      val byStart = rows.sortBy(r => r.getLong(3) * 64 + r.getLong(5))
+      var expectedStart = 0L
+      byStart.foreach { r =>
+        val start = r.getLong(3) * 64 + r.getLong(5)
+        assert(start === expectedStart)
+        expectedStart = start + r.getLong(2)
+        // last_seq is the window holding the doc's final token
+        assert(r.getLong(4) === (start + r.getLong(2) - 1) / 64)
+      }
+      assert(starts.distinct.length === rows.length)
+    }
+  }
+
+  test("shuffleRank is a permutation of 0..n-1, stable across reruns") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = graft.ops.Curation.shuffleRank(docs, nBuckets = 8).collect()
+    val pos = out.map(_.getLong(1)).sorted
+    assert(pos === (0L until 300L).toArray)
+    // deterministic: same order both runs, and not the identity order
+    val again = graft.ops.Curation.shuffleRank(docs, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall(r => again(r.getLong(0)) === r.getLong(1)))
+    assert(out.exists(r => r.getLong(0) !== r.getLong(1)))
+  }
+
+  test("quantizeInt8 bounds, sign-preserves, and zero-vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 1.0f, 2.0f, -0.5f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.quantizeInt8(vecs)
+      .select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // max|x| maps to ±127, zero to 0, signs preserved, all in [-127,127]
+    assert(out(1L) === Seq(64L, -127L, 32L, 0L))
+    assert(out(2L) === Seq(0L, 0L, 0L, 0L))
+    assert(out(3L) === Seq(-127L, 64L, 127L, -32L))
+    assert(out.values.flatten.forall(q => q >= -127L && q <= 127L))
+  }
+
+  test("topBigrams counts adjacent pairs with deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.topBigrams(docs, k = 3).collect()
+    // pairs: doc1 = (a b),(b a),(a b),(b c); doc2 = (a b),(b x)
+    assert(out(0).getString(1) === "a b" && out(0).getLong(2) === 3L)
+    // count-1 ties order lexicographically: "b a" < "b c" < "b x"
+    assert(out(1).getInt(0) === 2 && out(1).getString(1) === "b a")
+    assert(out(2).getString(1) === "b c")
+  }
+
   test("mixtureWeights: integer shares sum to ~1e6 and the cap binds") {
     import spark.implicits._
     val docs = (0L until 300L).map { i =>
