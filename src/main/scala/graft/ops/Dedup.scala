@@ -178,6 +178,7 @@ object Dedup {
     * min member id, covering every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
     val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
@@ -188,11 +189,24 @@ object Dedup {
     val nEdges = edges0.count()
     val parts = math.max(1, math.min(200, (nEdges / 50000L).toInt))
     val edges = edges0.repartition(parts, col("dst")).cache()
+    // RDD ids persisted before the loop (edges + caller caches) must
+    // survive; everything persisted inside the loop is a round's
+    // localCheckpoint and is freed once the following round lands
+    val keepIds = sc.getPersistentRDDs.keySet ++ Set.empty[Int]
+    // round 1 folded into the init: one propagate from the identity
+    // labeling is just min(self, min neighbor) — a single aggregate,
+    // no label join. Also the first materialization (caches `edges`).
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("__mn")).as("cluster"))
+      .localCheckpoint(false)
+    labels.count()
     edges0.unpersist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    var prevRoundIds = sc.getPersistentRDDs.keySet -- keepIds
     var changed = 1L
-    var iter = 0
+    var iter = 1
     while (changed > 0 && iter < maxIters) {
       // step 1 — propagation: pull the minimum label over the neighbors
       val viaNeighbor = edges
@@ -204,17 +218,18 @@ object Dedup {
         .select(col("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("min_neighbor"), col("cluster")))
             .as("cluster"))
-      // step 2 — pointer jump: cluster := min(cluster, cluster's own
-      // cluster). Labels are doc ids, so the lookup is a self-join; a
+      // step 2 — pointer jump: cluster := min(cluster, a label of the
+      // node `cluster`). The lookup side is the PREVIOUS round's
+      // checkpointed labels (cached, read not recomputed), not a second
+      // evaluation of the propagate join: any past label of a component
+      // member is itself a component member's id and <= that node, so
+      // taking the min stays monotone and within the component. A
       // fixpoint of (propagate ∘ jump) implies a fixpoint of propagate
-      // alone, which is the correctness condition. `stepped` is NOT
-      // checkpointed: recomputing the (small) propagate join on the
-      // second join side is cheaper than a second materialized
-      // checkpoint job per round — per-round job count is what dominates
-      // this loop (tiny graph, many scheduler round-trips), so each
-      // round is exactly ONE job over ONE checkpointed result.
+      // alone, which is the correctness condition. One-round-stale jump
+      // targets cost at most an extra round vs true path doubling and
+      // halve the work per round.
       val next = stepped
-        .join(stepped.select(col("doc_id").as("cluster"),
+        .join(labels.select(col("doc_id").as("cluster"),
           col("cluster").as("cc")), Seq("cluster"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("cc"), col("cluster")))
@@ -227,6 +242,14 @@ object Dedup {
         // loop). LAZY: materialized by the convergence count below.
         .localCheckpoint(false)
       changed = next.filter(col("__changed")).count()
+      // the previous round's checkpoint fed this round's joins and is
+      // now garbage — at corpus scale each one is a full label table, so
+      // letting them accumulate across rounds is a memory leak
+      val nowIds = sc.getPersistentRDDs.keySet -- keepIds
+      val thisRoundIds = nowIds -- prevRoundIds
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevRoundIds = thisRoundIds
       labels = next.drop("__changed")
       iter += 1
     }
