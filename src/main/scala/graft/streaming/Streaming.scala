@@ -231,4 +231,25 @@ object Streaming {
           }
       }
   }
+
+  /** Watermarked stream-stream interval join: pair each left event with
+    * right events on the same key whose event time falls within
+    * [leftTs, leftTs + `within`] — e.g. a produce acknowledged by a
+    * fetch, or a doc matched to its moderation verdict. Both sides carry
+    * watermarks and the join condition bounds the right side's event
+    * time BOTH ways, so Spark can evict buffered state once the
+    * watermark passes — the only stream-stream join shape whose state
+    * doesn't grow with the stream. The shuffle is keyed on the join key,
+    * same as the batch equi-join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTsCol: String, rightTsCol: String,
+                   within: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
+        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") + expr(s"INTERVAL $within"))
+  }
 }

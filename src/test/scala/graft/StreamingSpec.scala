@@ -126,6 +126,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:20:00", 1L, 2.0)))
   }
 
+  test("intervalJoin pairs events within the bound; state evicts on watermark") {
+    val reqs = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val acks = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val joined = Streaming.intervalJoin(
+      reqs.toDF().toDF("req_ts", "rid", "req"),
+      acks.toDF().toDF("ack_ts", "rid", "ack"),
+      key = "rid", leftTsCol = "req_ts", rightTsCol = "ack_ts",
+      within = "5 minutes", watermarkDelay = "1 minute")
+      .select(col("req"), col("ack"))
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    reqs.addData((ts("2024-01-01 10:00:00"), 1L, "r1"),
+      (ts("2024-01-01 10:00:00"), 2L, "r2"))
+    acks.addData((ts("2024-01-01 10:02:00"), 1L, "a1"), // within 5 min of r1
+      (ts("2024-01-01 10:30:00"), 2L, "a2-late"))       // past r2's bound
+    q.processAllAvailable()
+    // different key never joins even inside the bound
+    acks.addData((ts("2024-01-01 10:03:00"), 9L, "a9"))
+    q.processAllAvailable()
+    val pairs = spark.table("ij").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(pairs === Set(("r1", "a1")))
+  }
+
   test("streamingDedup drops duplicate content within the watermark horizon") {
     val input = MemoryStream[(java.sql.Timestamp, String)](spark)
     val deduped = Streaming.streamingDedup(
