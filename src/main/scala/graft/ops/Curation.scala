@@ -132,10 +132,12 @@ object Curation {
   def tokenBudgetSample(scored: DataFrame, budgetTokens: Long,
                         nBuckets: Int = 256, idCol: String = "doc_id",
                         seed: String = "budget"): DataFrame = {
+    // the seeded hash is computed ONCE as a column — the bucket and the
+    // within-cell rank below must stay derived from the same value
     val s = scored.select(col(idCol), col("quality"), col("n_tokens"))
-      .withColumn("__bkt",
-        pmod(Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string"))),
-          lit(nBuckets.toLong)))
+      .withColumn("__h",
+        Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string"))))
+      .withColumn("__bkt", pmod(col("__h"), lit(nBuckets.toLong)))
     val cells = s.groupBy(col("quality"), col("__bkt"))
       .agg(sum(col("n_tokens")).as("__cell"))
     // exclusive prefix over the cell table (tiny by construction)
@@ -153,8 +155,7 @@ object Curation {
         (lit(budgetTokens) - col("__cum")).as("__rem"))
     val fromFull = s.join(broadcast(fullCells), Seq("quality", "__bkt"))
     val cellW = Window.partitionBy(col("quality"), col("__bkt"))
-      .orderBy(Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string"))).asc,
-        col(idCol).asc)
+      .orderBy(col("__h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fromBoundary = s.join(broadcast(boundary), Seq("quality", "__bkt"))
       .withColumn("__cs", sum(col("n_tokens")).over(cellW))
@@ -247,7 +248,10 @@ object Curation {
                      maxWeightE6: Long = 10000000L): DataFrame = {
     val perDomain = docs
       .select(col(domainCol), size(Dedup.tokens(col(textCol))).as("n_toks"),
-        targetUnits.as("__units"))
+        // absent/NULL targets default to 1 (the documented contract) —
+        // without the coalesce, least() skips the NULL target and the
+        // weight silently becomes the CAP for every unspecified domain
+        coalesce(targetUnits, lit(1L)).as("__units"))
       .groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         max(col("__units")).as("__u"))

@@ -189,22 +189,35 @@ object Dedup {
     val nEdges = edges0.count()
     val parts = math.max(1, math.min(200, (nEdges / 50000L).toInt))
     val edges = edges0.repartition(parts, col("dst")).cache()
-    // RDD ids persisted before the loop (edges + caller caches) must
-    // survive; everything persisted inside the loop is a round's
-    // localCheckpoint and is freed once the following round lands
-    val keepIds = sc.getPersistentRDDs.keySet ++ Set.empty[Int]
+    // materialize the edges cache NOW: a Dataset cache registers in
+    // sc.getPersistentRDDs only at first materialization, and the
+    // round-cleanup below must never see the edges buffer as a
+    // round-owned checkpoint (it would unpersist the graph and every
+    // later round would recompute the candidate-pair build from source)
+    edges.count()
+    edges0.unpersist()
+    // per-round cleanup attributes persisted-RDD ids by diffing the
+    // session's persistent set immediately around OUR materializing
+    // action — ids present before the action (edges, caller caches) are
+    // never touched. (A concurrent thread caching inside that narrow
+    // window could be mis-attributed; CC is a batch pipeline op, not a
+    // facade-concurrent one.)
+    def newlyPersisted(action: => Long): (Long, scala.collection.Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val result = action
+      (result, sc.getPersistentRDDs.keySet -- before)
+    }
     // round 1 folded into the init: one propagate from the identity
     // labeling is just min(self, min neighbor) — a single aggregate,
-    // no label join. Also the first materialization (caches `edges`).
-    var labels = edges
+    // no label join.
+    val init = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("doc_id"),
         least(col("doc_id"), col("__mn")).as("cluster"))
       .localCheckpoint(false)
-    labels.count()
-    edges0.unpersist()
-    var prevRoundIds = sc.getPersistentRDDs.keySet -- keepIds
+    var labels = init
+    var prevRoundIds = newlyPersisted(init.count())._2
     var changed = 1L
     var iter = 1
     while (changed > 0 && iter < maxIters) {
@@ -241,12 +254,12 @@ object Dedup {
         // a growing tree (planning time, not execution, dominated the
         // loop). LAZY: materialized by the convergence count below.
         .localCheckpoint(false)
-      changed = next.filter(col("__changed")).count()
+      val (nChanged, thisRoundIds) =
+        newlyPersisted(next.filter(col("__changed")).count())
+      changed = nChanged
       // the previous round's checkpoint fed this round's joins and is
       // now garbage — at corpus scale each one is a full label table, so
       // letting them accumulate across rounds is a memory leak
-      val nowIds = sc.getPersistentRDDs.keySet -- keepIds
-      val thisRoundIds = nowIds -- prevRoundIds
       prevRoundIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       prevRoundIds = thisRoundIds

@@ -251,5 +251,7 @@ object Streaming {
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
         col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") + expr(s"INTERVAL $within"))
+      // keep ONE key column so downstream by-name references resolve
+      .drop(col(s"r.$key"))
   }
 }

@@ -268,8 +268,10 @@ class OpsSpec extends SparkSpec with PropSupport {
       val src = if (i < 280) "srcBig" else "srcRare"
       (i, "w " * 20 + "w", "en", src)
     }.toDF("doc_id", "text", "lang", "source")
+    // no .otherwise: srcBig's target is NULL and must default to 1,
+    // NOT silently take the cap
     val out = graft.ops.Curation.mixtureWeights(docs, "source",
-      targetUnits = when(col("source") === "srcRare", 9L).otherwise(1L),
+      targetUnits = when(col("source") === "srcRare", 9L),
       maxWeightE6 = 5000000L).collect()
     val bySrc = out.map(r => r.getString(0) -> r).toMap
     val shareSum = out.map(_.getLong(3)).sum

@@ -134,7 +134,9 @@ class StreamingSpec extends SparkSpec {
       acks.toDF().toDF("ack_ts", "rid", "ack"),
       key = "rid", leftTsCol = "req_ts", rightTsCol = "ack_ts",
       within = "5 minutes", watermarkDelay = "1 minute")
-      .select(col("req"), col("ack"))
+      // by-name key reference must resolve (single key column survives)
+      .select(col("rid"), col("req"), col("ack"))
+      .drop("rid")
     val q = joined.writeStream.format("memory").queryName("ij")
       .outputMode("append").start()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
