@@ -191,7 +191,13 @@ object TrainingQueries {
         aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
         aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
 
+  /** 16-token chunks with 4-token overlap (stride 12). */
+  def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(s, dir), chunkTokens = 16,
+      overlapTokens = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_shuffle_rank" -> (qShuffleRank _),
     "q_vocab_bigrams" -> (qVocabBigrams _),
@@ -536,7 +542,26 @@ object TrainingQueries {
       |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
       |FROM q""".stripMargin
 
+  private val chunkOverlapOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w, n,
+      |    CASE WHEN n <= 16 THEN 1
+      |         ELSE CAST((n - 16 + 11) // 12 AS BIGINT) + 1 END AS nc
+      |  FROM toks),
+      |e AS (
+      |  SELECT doc_id, w, n, unnest(range(nc)) AS chunk_idx FROM c)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  array_to_string(w[chunk_idx*12+1 : chunk_idx*12+16], ' ')
+      |    AS chunk_text,
+      |  CAST(least(16, n - chunk_idx*12) AS BIGINT) AS n_chunk_tokens
+      |FROM e""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_overlap" -> chunkOverlapOracle,
     "q_pack_sequences" -> packSequencesOracle,
     "q_shuffle_rank" -> shuffleRankOracle,
     "q_vocab_bigrams" -> vocabBigramsOracle,

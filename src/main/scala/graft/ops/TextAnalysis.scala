@@ -175,6 +175,40 @@ object TextAnalysis {
               |0L,
               |(acc, w) -> acc + 1L + CAST(length(w) DIV 4 AS LONG))""".stripMargin))
 
+  /** Overlapping fixed-size chunking: split each document into
+    * `chunkTokens`-token windows advancing by (chunkTokens - overlap) —
+    * the context-window splitting step for RAG indexing and long-doc
+    * training. A document shorter than one chunk yields exactly one
+    * chunk. Narrow per-row explode, no shuffle — scan-speed at any
+    * corpus size; output rows ~ corpus tokens / stride.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(overlapTokens >= 0 && chunkTokens > overlapTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol), toks(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // last chunk starts at the largest multiple of stride that still
+      // leaves unseen tokens: ceil((n - chunk) / stride) + 1 chunks
+      .withColumn("__nc",
+        when(col("__n") <= chunkTokens, lit(1)).otherwise(
+          // integer ceil-div (Column./ would be double division)
+          expr(s"cast((__n - $chunkTokens + ${stride - 1}) div $stride as int) + 1"))
+      )
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .withColumn("__start", col("chunk_idx") * stride)
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), (col("__start") + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Top-k adjacent token pairs across the corpus — the merge-choice
     * statistic a BPE-style tokenizer trainer computes each round (here at
     * word level; the distributed shape for byte/char level is identical).

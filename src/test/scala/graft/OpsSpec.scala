@@ -251,6 +251,28 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.values.flatten.forall(q => q >= -127L && q <= 127L))
   }
 
+  test("chunkDocuments covers every token; overlap stitches chunks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 toks -> 3 chunks
+      (2L, "a b c")).toDF("doc_id", "text")           // short -> 1 chunk
+    val out = graft.ops.TextAnalysis
+      .chunkDocuments(docs, chunkTokens = 16, overlapTokens = 4)
+      .collect().groupBy(_.getLong(0))
+    val d1 = out(1L).sortBy(_.getLong(1))
+    assert(d1.length === 3)
+    // starts advance by stride 12; each chunk holds <= 16 tokens and the
+    // first 4 tokens of chunk i+1 repeat the last 4 of chunk i
+    val texts = d1.map(_.getString(2))
+    assert(texts(0).split(" ").length === 16)
+    assert(texts(1).split(" ").take(4) === texts(0).split(" ").takeRight(4))
+    // last chunk: tokens 25..40 (start 24), exactly 16
+    assert(texts(2).split(" ").head === "t25" && d1(2).getLong(3) === 16L)
+    // every token appears in some chunk
+    assert(d1.flatMap(_.getString(2).split(" ")).distinct.length === 40)
+    assert(out(2L).length === 1 && out(2L).head.getString(2) === "a b c")
+  }
+
   test("topBigrams counts adjacent pairs with deterministic tie-break") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")

@@ -65,4 +65,36 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q planned a NL join")
     }
   }
+
+  test("packing/shuffle document windows stay partitioned (no global window)") {
+    // the corpus-sized window in each op must be keyed (stream / bucket);
+    // only the tiny bucket-offset table may be a single-partition window
+    Seq("q_pack_sequences" -> "stream", "q_shuffle_rank" -> "__bkt")
+      .foreach { case (q, key) =>
+        val plan = executedPlan(q)
+        val docWindows = "Window \\[sum|Window \\[row_number".r
+          .findAllIn(plan).size
+        assert(plan.contains("Window"), s"$q lost its window")
+        // every corpus-side window names its partition key
+        assert(plan.contains(key), s"$q window lost its $key partitioning")
+      }
+    // shuffleRank's bucket-offset side must broadcast, not shuffle-join
+    assert(executedPlan("q_shuffle_rank").contains("BroadcastHashJoin"),
+      "shuffleRank bucket offsets lost their broadcast")
+  }
+
+  test("topBigrams plans a partial aggregate and TakeOrdered, not a global sort") {
+    val plan = executedPlan("q_vocab_bigrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k lost its TakeOrdered: " + plan.take(400))
+    // map-side combine: a partial_count before the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "pair counting lost map-side partial aggregation")
+  }
+
+  test("quantizeInt8 is a narrow per-row transform (no shuffle at all)") {
+    val plan = executedPlan("q_quantize_embed")
+    assert(!plan.contains("Exchange"),
+      "int8 quantization introduced a shuffle: " + plan.take(400))
+  }
 }
