@@ -290,12 +290,14 @@ object TrainingQueries {
   }
 
   private val ngramOracle: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |grams0 AS (
-      |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
-      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+      |shs AS (
+      |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
       |  FROM toks),
+      |grams0 AS (
+      |  SELECT DISTINCT doc_id, ${dh("sh")} AS g FROM shs),
       |rare AS (
       |  SELECT g FROM grams0 GROUP BY g
       |  HAVING count(*) <= (SELECT count(*) * 0.02 FROM documents)),

@@ -95,8 +95,17 @@ object Dedup {
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int,
                         idCol: String = "doc_id"): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // band key: the rowsPerBand min-hashes packed base-P into ONE long
+    // (each mh < P = 2^31-1, so two pack exactly into 62 bits) — an
+    // 8-byte exact join key instead of a ~20-byte concat string, which
+    // is shuffle bytes and hash-compare cost saved on the self-join.
+    // Wider bands fall back to the string concat (P^3 overflows).
     val bandKey = (b: Int) =>
-      concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      if (rowsPerBand <= 2)
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+          .reduce((a, c) => a * lit(MinhashP + 1) + c)
+      else
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
     val bands = signatures.select(
       col(idCol),
       posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("band_idx", "band_key")))
@@ -285,8 +294,13 @@ object Dedup {
                         maxDocFreqFraction: Double = 0.25,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nDocs = docs.count()
+    // grams join on their 60-bit hash, not the string: an 8-byte shuffle
+    // key instead of a ~3-word string for the highest-volume join in the
+    // op. Collisions (~n_grams^2 / 2^61) merge two grams corpus-wide on
+    // both sides of any comparison — the DuckDB oracle hashes
+    // identically, so results stay engine-exact.
     val allGrams = explodedShingles(docs, n, textCol, idCol)
-      .withColumnRenamed("sh", "g")
+      .select(col(idCol), h60(col("sh")).as("g"))
       .distinct()
     // NOTE the pruned posting list feeds four consumers (df filter, both
     // join sides, per-doc sizes) and is deliberately NOT cached: the
