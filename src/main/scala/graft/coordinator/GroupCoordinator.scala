@@ -71,6 +71,22 @@ final class GroupCoordinator(storage: Storage,
     }
   }
 
+  /** Pick the protocol a joiner should offer from its preference-ordered
+    * list: the group's established protocol when the joiner supports it
+    * (Kafka negotiates the most-preferred protocol common to ALL
+    * members — a client listing [cooperative-sticky, range] must join a
+    * range group via range, not be rejected), otherwise the joiner's
+    * own head (a genuine mismatch still fails join()'s check).
+    */
+  def negotiate(groupId: String, offered: Seq[String]): String = {
+    val prefs = if (offered.nonEmpty) offered else Seq("range")
+    current(groupId) match {
+      case Some(g) if g.members.nonEmpty =>
+        prefs.find(_ == g.protocol).getOrElse(prefs.head)
+      case _ => prefs.head
+    }
+  }
+
   /** JoinGroup (administrator.rs:562-614): admit the member into the
     * current rebalance cohort. A join against a stable group opens a new
     * cohort (one generation bump); joins while Forming share it. First

@@ -390,6 +390,10 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         val results = reqTopics.map { t =>
           if (storage.topics.contains(t.name))
             (t.name, 36.toShort, -1, Map.empty[String, String]) // TOPIC_ALREADY_EXISTS
+          else if (t.numPartitions > 10000)
+            // INVALID_PARTITIONS: an absurd count would otherwise make
+            // every later Metadata response overflow its buffer
+            (t.name, 37.toShort, -1, Map.empty[String, String])
           else {
             val nParts = math.max(t.numPartitions, 1)
             // validate_only (v1+): report the outcome, create nothing
@@ -661,8 +665,11 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   private def handleJoinGroup(buf: ByteBuffer, out: ByteBuffer,
                               version: Int = 0): Unit = {
     val req = readJoinGroup(buf, version)
-    val protocol = req.protocols.headOption.map(_.name).getOrElse("range")
-    val topics = req.protocols.headOption
+    // negotiate against the FULL preference list: a client advertising
+    // [cooperative-sticky, range] must join a range group via range,
+    // not bounce with INCONSISTENT_GROUP_PROTOCOL
+    val protocol = coordinator.negotiate(req.group, req.protocols.map(_.name))
+    val topics = req.protocols.find(_.name == protocol)
       .map(p => decodeSubscriptionTopics(p.metadata).toSet)
       .getOrElse(Set.empty[String])
     val (memberId, generation, isLeader) =
@@ -708,13 +715,17 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     val declared = storage.partitionCount(topic)
     if (declared > 0) declared
     else {
+      // scan the whole bounded probe range: key-hash skew can leave an
+      // empty partition BELOW a populated one, and stopping at the first
+      // empty would hide the higher partitions from metadata/assignment
+      var maxSeen = -1
       var p = 0
-      while (storage.offsetStage(Topition(topic, p)).highWatermark > 0 ||
-             p == 0) {
+      while (p <= 64) {
+        if (storage.offsetStage(Topition(topic, p)).highWatermark > 0)
+          maxSeen = p
         p += 1
-        if (p > 64) return p
       }
-      math.max(p, 1)
+      math.max(maxSeen + 1, 1)
     }
   }
 
@@ -801,11 +812,13 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
             else if (!contiguous)
               (p.partition, 45.toShort, -1L, -1L) // OUT_OF_ORDER_SEQUENCE_NUMBER
             else {
+              // EXACT wire bytes into binary columns — never through a
+              // String (invalid UTF-8 sequences would be replaced with
+              // U+FFFD, corrupting any real Avro/proto payload)
               val rows = batches.flatMap { batch =>
                 batch.records.map { r =>
                   (new java.sql.Timestamp(batch.baseTimestamp + r.timestampDelta),
-                    Option(r.key).map(new String(_, "UTF-8")).orNull,
-                    Option(r.value).map(new String(_, "UTF-8")).orNull)
+                    r.key, r.value)
                 }
               }
               val df = rows.toDF("timestamp", "key", "value")
@@ -864,8 +877,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   private def fetchRecords(tp: Topition, fetchOffset: Long, maxBytes: Long,
                            readCommitted: Boolean): Array[Byte] = {
     val rows = storage.fetch(tp, fetchOffset, maxBytes, readCommitted)
-      .select(col("offset"), col("timestamp"), col("key").cast("string"),
-        col("value").cast("string"))
+      .select(col("offset"), col("timestamp"), col("key").cast("binary"),
+        col("value").cast("binary"))
       .orderBy("offset").collect()
     if (rows.isEmpty) Array.empty[Byte]
     else {
@@ -878,8 +891,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           RecordBatchCodec.Record(
             (r.getLong(0) - base).toInt,
             r.getTimestamp(1).getTime - baseTs,
-            Option(r.getString(2)).map(_.getBytes("UTF-8")).orNull,
-            Option(r.getString(3)).map(_.getBytes("UTF-8")).orNull,
+            if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2),
+            if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3),
             Nil)
         }.toSeq))
     }

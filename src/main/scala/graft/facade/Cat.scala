@@ -31,9 +31,13 @@ object Cat {
               registry: Option[graft.schema.SchemaRegistry] = None)
       : Seq[(Int, Either[Int, Long])] = {
     val docs = spark.read.json(jsonPath)
+    // the routing key lives in its own column: overwriting a document
+    // column named "key" (when keyField != "key") would corrupt the
+    // encoded value payload, which must see the ORIGINAL doc fields
     val withKey =
-      if (docs.columns.contains(keyField)) docs.withColumn("key", col(keyField).cast("string"))
-      else docs.withColumn("key", lit(null).cast("string"))
+      if (docs.columns.contains(keyField))
+        docs.withColumn("__rkey", col(keyField).cast("string"))
+      else docs.withColumn("__rkey", lit(null).cast("string"))
     // JSON inference yields long/double/string; the schema's Spark types
     // (int/float/decimal/...) drive the cast before binary encode
     def typedCols(struct0: org.apache.spark.sql.types.StructType) =
@@ -44,19 +48,20 @@ object Cat {
     val valued = registry.flatMap(_.lookup(topic)) match {
       case Some(a: graft.schema.SchemaRegistry.AvroTopic) =>
         graft.schema.AvroDecoder.encodeColumn(
-          withKey.select((col("key") +: typedCols(a.struct)): _*),
+          withKey.select((col("__rkey") +: typedCols(a.struct)): _*),
           a.avsc, "value")
       case Some(p: graft.schema.SchemaRegistry.ProtoTopic) =>
         graft.schema.ProtoSchema.encodeColumn(
-          withKey.select((col("key") +: typedCols(p.valueType)): _*),
+          withKey.select((col("__rkey") +: typedCols(p.valueType)): _*),
           p.text, p.valueMessage, "value")
       case _ =>
         withKey.withColumn("value", to_json(struct(docs.columns.map(col): _*)))
     }
     val routed = valued
       .withColumn("timestamp", current_timestamp())
-      .withColumn("partition", pmod(hash(col("key")), lit(partitions)))
-      .select("timestamp", "key", "value", "partition")
+      .withColumn("partition", pmod(hash(col("__rkey")), lit(partitions)))
+      .select(col("timestamp"), col("__rkey").as("key"), col("value"),
+        col("partition"))
       .cache()
     try {
       (0 until partitions).map { p =>

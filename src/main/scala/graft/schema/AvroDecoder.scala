@@ -60,10 +60,9 @@ object AvroDecoder {
   /** Avro runtime value -> Spark external type, following the §1.3 map. */
   private[schema] def toSpark(v: Any, schema: ASchema): Any = v match {
     case null => null
-    case r: GenericRecord =>
-      Row.fromSeq(schema.getFields.asScala.toSeq.map { f =>
-        toSpark(r.get(f.name), f.schema)
-      })
+    // UNION resolves FIRST: a nullable nested record arrives as a
+    // GenericRecord whose declared schema HERE is the union — matching
+    // the record case first would call getFields on the union and throw
     case u if schema.getType == ASchema.Type.UNION =>
       val nonNull = schema.getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
       if (nonNull.size == 1) toSpark(u, nonNull.head)
@@ -76,6 +75,10 @@ object AvroDecoder {
             if (i == memberIdx) toSpark(u, m) else null
           })
       }
+    case r: GenericRecord =>
+      Row.fromSeq(schema.getFields.asScala.toSeq.map { f =>
+        toSpark(r.get(f.name), f.schema)
+      })
     case s: org.apache.avro.util.Utf8 => s.toString
     case e: org.apache.avro.generic.GenericData.EnumSymbol => e.toString
     case b: java.nio.ByteBuffer =>
@@ -194,6 +197,31 @@ object AvroDecoder {
     case _ if schema.getType == ASchema.Type.UNION =>
       val nonNull = schema.getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
       toAvro(v, nonNull.head)
+    // nested shapes — encodeColumn is decodeColumn's inverse, so every
+    // external type toSpark can produce must encode back
+    case r: Row if schema.getType == ASchema.Type.RECORD =>
+      val rec = new GenericData.Record(schema)
+      schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+        rec.put(f.name, toAvro(if (r.isNullAt(i)) null else r.get(i), f.schema))
+      }
+      rec
+    case s: scala.collection.Seq[_] if schema.getType == ASchema.Type.ARRAY =>
+      val out = new java.util.ArrayList[Any](s.size)
+      s.foreach(e => out.add(toAvro(e, schema.getElementType)))
+      out
+    case m: scala.collection.Map[_, _] if schema.getType == ASchema.Type.MAP =>
+      val out = new java.util.HashMap[String, Any]()
+      m.foreach { case (k, vv) =>
+        out.put(String.valueOf(k), toAvro(vv, schema.getValueType))
+      }
+      out
+    case s: String if schema.getType == ASchema.Type.ENUM =>
+      new GenericData.EnumSymbol(schema, s)
+    // time-millis maps to LongType on the Spark side (see toSpark) but
+    // its Avro carrier is an int
+    case l: Long if schema.getType == ASchema.Type.INT &&
+      schema.getLogicalType != null &&
+      schema.getLogicalType.getName == "time-millis" => l.toInt
     case d: java.math.BigDecimal =>
       schema.getLogicalType match {
         case lt: org.apache.avro.LogicalTypes.Decimal =>

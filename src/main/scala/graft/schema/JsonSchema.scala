@@ -158,12 +158,16 @@ object JsonSchema {
         case _ => None
       }
     ).flatten
+    val required: Set[String] = (ast \ "required") match {
+      case JArray(vs) => vs.flatMap(str).toSet
+      case _ => Set.empty
+    }
+    val declaredProps: Set[String] = (ast \ "properties") match {
+      case JObject(props) => props.map(_._1).toSet
+      case _ => Set.empty
+    }
     val childChecks: Seq[Column] = (ast \ "properties") match {
       case JObject(props) =>
-        val required: Set[String] = (ast \ "required") match {
-          case JArray(vs) => vs.flatMap(str).toSet
-          case _ => Set.empty
-        }
         props.map { case (name, sub) =>
           val childPath = s"$path.$name"
           val childRaw = get_json_object(json, childPath)
@@ -173,6 +177,11 @@ object JsonSchema {
         }
       case _ => Nil
     }
-    (Seq(typeOk) ++ constraints ++ childChecks).reduce(_ && _)
+    // `required` names with no matching `properties` entry still demand
+    // presence (a conformant validator rejects their absence; silently
+    // skipping them admitted documents the reference rejects)
+    val requiredOnly: Seq[Column] = (required -- declaredProps).toSeq.sorted
+      .map(name => get_json_object(json, s"$path.$name").isNotNull)
+    (Seq(typeOk) ++ constraints ++ childChecks ++ requiredOnly).reduce(_ && _)
   }
 }

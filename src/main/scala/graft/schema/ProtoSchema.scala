@@ -45,7 +45,12 @@ object ProtoSchema {
     }
 
     private[ProtoSchema] def scalarType(t: String): DataType = t match {
-      case "int32" | "sint32" | "sfixed32" | "fixed32" | "uint32" => IntegerType
+      case "int32" | "sint32" | "sfixed32" => IntegerType
+      // unsigned 32-bit carriers widen to LONG (the reference's Arrow
+      // UInt32): values past Int.MaxValue must not wrap negative.
+      // uint64/fixed64 stay LongType — Spark has no unsigned 64 — so the
+      // top bit reads back negative (documented, matches spark-protobuf)
+      case "fixed32" | "uint32" => LongType
       case "int64" | "sint64" | "sfixed64" | "fixed64" | "uint64" => LongType
       case "float" => FloatType
       case "double" => DoubleType
@@ -152,7 +157,8 @@ object ProtoSchema {
     case "float" => 0f
     case "double" => 0d
     case "bytes" => Array.empty[Byte]
-    case "int32" | "sint32" | "sfixed32" | "fixed32" | "uint32" => 0
+    case "int32" | "sint32" | "sfixed32" => 0
+    case "fixed32" | "uint32" => 0L // LongType carriers (unsigned range)
     case e if parsed.enums.contains(e) => parsed.enums(e).headOption.orNull
     case m if parsed.messages.contains(m) => Map.empty[String, Any]
     case _ => 0L
@@ -164,8 +170,16 @@ object ProtoSchema {
     case "bool" => raw != 0
     case e if parsed.enums.contains(e) =>
       parsed.enums(e).lift(raw.toInt).getOrElse(raw.toString)
-    case "int32" | "uint32" => raw.toInt
+    case "int32" => raw.toInt
+    case "uint32" => raw & 0xFFFFFFFFL // unsigned range, LongType carrier
     case _ => raw
+  }
+
+  /** Declared types legitimately carried by varint (wire type 0). */
+  private def varintCarried(parsed: Parsed, t: String): Boolean = t match {
+    case "int32" | "int64" | "uint32" | "uint64" | "sint32" | "sint64" |
+         "bool" => true
+    case e => parsed.enums.contains(e)
   }
 
   private def decodeBuf(parsed: Parsed, msg: Message,
@@ -182,16 +196,28 @@ object ProtoSchema {
       val fieldNum = (tag >>> 3).toInt
       val wireType = (tag & 7).toInt
       val fieldOpt = byNumber.get(fieldNum)
+      // a KNOWN field on the wrong wire type is a malformed message:
+      // throwing here lands in decodeColumn's per-row try -> null ->
+      // INVALID_RECORD, instead of a mis-typed value crossing into the
+      // Row and crashing the encoder OUTSIDE the try (a task failure
+      // that aborts the whole produce job)
+      def mismatch(f: Field): Nothing =
+        throw new IllegalArgumentException(
+          s"field ${f.name} (${f.protoType}) on wire type $wireType")
       wireType match {
         case 0 => // varint
           val raw = readRawVarint(buf)
-          fieldOpt.foreach(f => put(f, varintValue(parsed, f.protoType, raw)))
+          fieldOpt.foreach { f =>
+            if (!varintCarried(parsed, f.protoType)) mismatch(f)
+            put(f, varintValue(parsed, f.protoType, raw))
+          }
         case 1 => // 64-bit
           val v = buf.getLong
           fieldOpt.foreach { f =>
             put(f, f.protoType match {
               case "double" => java.lang.Double.longBitsToDouble(v)
-              case _ => v
+              case "fixed64" | "sfixed64" => v
+              case _ => mismatch(f)
             })
           }
         case 2 => // length-delimited
@@ -230,11 +256,14 @@ object ProtoSchema {
                 while (b2.hasRemaining) put(f, t match {
                   case "float" => java.lang.Float.intBitsToFloat(b2.getInt)
                   case "double" => java.lang.Double.longBitsToDouble(b2.getLong)
-                  case "fixed32" | "sfixed32" => b2.getInt
+                  case "fixed32" => b2.getInt.toLong & 0xFFFFFFFFL
+                  case "sfixed32" => b2.getInt
                   case "fixed64" | "sfixed64" => b2.getLong
-                  case _ => varintValue(parsed, t, readRawVarint(b2))
+                  case t2 if varintCarried(parsed, t2) =>
+                    varintValue(parsed, t2, readRawVarint(b2))
+                  case _ => mismatch(f)
                 })
-              case _ => put(f, a)
+              case _ => mismatch(f) // scalar numeric on wire type 2
             }
           }
         case 5 => // 32-bit
@@ -242,7 +271,9 @@ object ProtoSchema {
           fieldOpt.foreach { f =>
             put(f, f.protoType match {
               case "float" => java.lang.Float.intBitsToFloat(v)
-              case _ => v
+              case "fixed32" => v.toLong & 0xFFFFFFFFL
+              case "sfixed32" => v
+              case _ => mismatch(f)
             })
           }
         case other =>

@@ -296,6 +296,13 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val pidBase = map(byPid.zip(cums).flatMap { case (r, b) =>
       Seq(lit(r.getAs[Int]("__pid")), lit(b)) }.toSeq: _*)
     val withOffsets = batch
+      // the log's record model is BINARY key/value (logSchema): string
+      // producers (CLI/json) coerce to their UTF-8 bytes here, binary
+      // producers (the wire facade) pass through byte-exact — a payload
+      // must never round-trip through a String (invalid UTF-8 sequences
+      // would be replaced, corrupting Avro/proto values)
+      .withColumn("key", col("key").cast("binary"))
+      .withColumn("value", col("value").cast("binary"))
       .withColumn("offset",
         element_at(pidBase, spark_partition_id()) +
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
@@ -351,7 +358,10 @@ final class ParquetStorage(spark: SparkSession, root: String,
           batch.withColumn("__bin", col("value").cast("binary")),
           "__bin", p.text, p.valueMessage, "__decoded")
           .withColumn("__invalid", col("__decoded").isNull)
-      case Some(ts) => batch.withColumn("__invalid", !ts.isValid(col("value")))
+      // cast: the facade hands BINARY values (exact wire bytes); JSON
+      // validation is a text predicate
+      case Some(ts) =>
+        batch.withColumn("__invalid", !ts.isValid(col("value").cast("string")))
       case None => batch.withColumn("__invalid", lit(false))
     }
 
@@ -438,6 +448,8 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("partition")).orderBy(monotonically_increasing_id())
     val withOffsets = batch
+      .withColumn("key", col("key").cast("binary"))   // binary record model
+      .withColumn("value", col("value").cast("binary")) // (see produce())
       .withColumn("offset",
         element_at(baseMap, col("partition")) + row_number().over(w) - 1)
       .withColumn("topic", lit(topic))

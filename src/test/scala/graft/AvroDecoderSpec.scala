@@ -228,4 +228,49 @@ class AvroDecoderSpec extends SparkSpec {
       t.isInstanceOf[org.apache.avro.AvroTypeException] ||
         Option(t.getMessage).exists(_.contains("fixed(2) too small"))))
   }
+
+  test("nullable nested record decodes (union resolves before record)") {
+    val nested =
+      """{"type":"record","name":"outer","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"loc","type":["null",{"type":"record","name":"pt","fields":[
+        |  {"name":"x","type":"double"},{"name":"y","type":"double"}]}],
+        | "default":null}]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(nested)
+    val ptSchema = schema.getField("loc").schema().getTypes.get(1)
+    val pt = new org.apache.avro.generic.GenericData.Record(ptSchema)
+    pt.put("x", 1.5); pt.put("y", -2.5)
+    val withLoc = AvroDecoder.encode(nested, Map("id" -> 7L, "loc" -> pt))
+    val without = AvroDecoder.encode(nested, Map("id" -> 8L, "loc" -> null))
+    val out = AvroDecoder.decodeColumn(
+      Seq((1L, withLoc), (2L, without)).toDF("i", "bin"), "bin", nested, "v")
+      .select(col("v.id"), col("v.loc.x"), col("v.loc.y"))
+      .orderBy("i").collect()
+    assert(out(0).getLong(0) === 7L && out(0).getDouble(1) === 1.5)
+    assert(out(1).getLong(0) === 8L && out(1).isNullAt(1))
+  }
+
+  test("encodeColumn inverts decodeColumn for nested record/array/map/enum") {
+    val rich =
+      """{"type":"record","name":"doc","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"tags","type":{"type":"array","items":"string"}},
+        |{"name":"counts","type":{"type":"map","values":"long"}},
+        |{"name":"unit","type":{"type":"enum","name":"u2","symbols":["A","B"]}},
+        |{"name":"loc","type":["null",{"type":"record","name":"pt2","fields":[
+        |  {"name":"x","type":"double"}]}],"default":null}]}""".stripMargin
+    val src = Seq((5L, Seq("p", "q"), Map("n" -> 3L), "B"))
+      .toDF("id", "tags", "counts", "unit")
+      .withColumn("loc", struct(lit(2.25).as("x")))
+    val encoded = AvroDecoder.encodeColumn(src, rich, "bin").select("bin")
+    val back = AvroDecoder.decodeColumn(encoded, "bin", rich, "v")
+      .select(col("v.id"), col("v.tags"), col("v.counts"), col("v.unit"),
+        col("v.loc.x")).collect()
+    assert(back.length === 1)
+    assert(back(0).getLong(0) === 5L)
+    assert(back(0).getSeq[String](1) === Seq("p", "q"))
+    assert(back(0).getMap[String, Long](2) === Map("n" -> 3L))
+    assert(back(0).getString(3) === "B")
+    assert(back(0).getDouble(4) === 2.25)
+  }
 }

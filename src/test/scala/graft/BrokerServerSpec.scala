@@ -507,6 +507,43 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("binary payloads round-trip byte-exact (no UTF-8 laundering)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("bin", 1)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      // every byte value 0..255 plus sequences that are invalid UTF-8
+      // (0x80 continuation without lead, truncated multi-byte) — the
+      // shape of real Avro/proto payloads
+      val payload = (0 until 256).map(_.toByte).toArray ++
+        Array[Byte](-128, -61, 0, -1, -2)
+      val key = Array[Byte](-27, 1, -128)
+      val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+        0L, 0, 0, 1704067200000L, 1704067200000L, -1L, -1, -1,
+        Seq(RecordBatchCodec.Record(0, 0L, key, payload, Nil))))
+      val pr = request(sock, 0, 3, 2) { b =>
+        W.writeProduce(b, W.ProduceRequest(1, 30000, Seq(
+          W.ProduceTopic("bin", Seq(W.ProducePartition(0, batch))))))
+      }
+      pr.getInt; W.readString(pr); pr.getInt; pr.getInt
+      assert(pr.getShort === 0)
+      val fr = request(sock, 1, 4, 3) { b =>
+        W.writeFetch(b, W.FetchRequest(500, 1, 1 << 20, 0, Seq(
+          W.FetchTopic("bin", Seq(W.FetchPartition(0, 0L, 1 << 20))))))
+      }
+      fr.getInt; fr.getInt; W.readString(fr); fr.getInt; fr.getInt
+      assert(fr.getShort === 0)
+      fr.getLong; fr.getLong; fr.getInt
+      val decoded = RecordBatchCodec.decode(W.readBytes(fr))
+      assert(decoded.records.size === 1)
+      assert(decoded.records.head.key.toSeq === key.toSeq)
+      assert(decoded.records.head.value.toSeq === payload.toSeq)
+      sock.close()
+    } finally broker.close()
+  }
+
   test("consumer-group membership flow over the wire (T11/T12 + S2)") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker3").toString
     val storage = new ParquetStorage(spark, root)

@@ -26,6 +26,27 @@ class CatSpec extends SparkSpec {
     assert(keys.sorted.map(_.toInt).sorted === (0 until 10))
   }
 
+  test("routing by a non-'key' field preserves a document column named 'key'") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-k").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("kt", 2)
+    val src = java.nio.file.Files.createTempDirectory("graft-cat-k-src")
+      .resolve("docs.jsonl")
+    // docs carry BOTH an 'id' (the routing field) and their own 'key'
+    // data column — the payload's key must survive routing untouched
+    java.nio.file.Files.writeString(src,
+      (0 until 6).map(i => s"""{"id":"r$i","key":"data$i"}""").mkString("\n"))
+    val results = Cat.produce(spark, storage, "kt", 2, src.toString,
+      keyField = "id")
+    assert(results.forall(_._2.isRight))
+    val lines = Cat.consumeJson(storage, "kt", 2)
+    assert(lines.size === 6)
+    // the stored value JSON still holds the ORIGINAL key field values
+    val dataKeys = lines.flatMap("data(\\d+)".r.findAllMatchIn(_))
+      .map(_.group(1).toInt).sorted
+    assert(dataKeys === (0 until 6))
+  }
+
   test("produce encodes per topic schema: Avro and proto topics get binary") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-cat-sch").toString

@@ -80,6 +80,38 @@ class ProtoSchemaSpec extends SparkSpec {
     assert(back === Map("a" -> 7L))
   }
 
+  test("wire-type/schema mismatch rejects the row instead of mis-typing it") {
+    // payload encodes field 1 as length-delimited; schema declares int32:
+    // decode must throw (-> null -> INVALID_RECORD), never put bytes in
+    // an int slot that crashes the row encoder outside the try
+    val pStr = ProtoSchema.parse("message M { string a = 1; }")
+    val pInt = ProtoSchema.parse("message M { int32 a = 1; }")
+    val wire = ProtoSchema.encodeFlat(pStr, "M", Map("a" -> "oops"))
+    assertThrows[IllegalArgumentException] {
+      ProtoSchema.decodeFlat(pInt, "M", wire)
+    }
+    // and through the distributed path: the row lands as null, the job
+    // survives
+    import spark.implicits._
+    val df = Seq((1L, wire)).toDF("id", "bin")
+    val out = ProtoSchema.decodeColumn(df, "bin", "message M { int32 a = 1; }",
+      "M", "v").select("v").collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("uint32/fixed32 preserve the unsigned range (no negative wrap)") {
+    val p = ProtoSchema.parse("message M { uint32 a = 1; fixed32 b = 2; }")
+    val big = 4000000000L // > Int.MaxValue
+    val wire = ProtoSchema.encodeFlat(p, "M", Map("a" -> big, "b" -> big))
+    val back = ProtoSchema.decodeFlat(p, "M", wire)
+    assert(back("a") === big)
+    assert(back("b") === big)
+    // and the Spark carrier is LONG
+    assert(p.toStructType("M").fields.map(_.dataType).toSeq ===
+      Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.LongType))
+  }
+
   test("recursive wire round-trip: nested messages, repeated, maps, Timestamp") {
     val text =
       """message Inner { int32 x = 1; repeated string tags = 2; }

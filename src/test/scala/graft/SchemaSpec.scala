@@ -34,6 +34,20 @@ class SchemaSpec extends SparkSpec {
     assert(out === Array(true, false, false, false, false))
   }
 
+  test("JSON Schema: required names without a properties entry still enforce presence") {
+    val compiled = JsonSchema.compile(
+      """{"type":"object","required":["id"],
+        |"properties":{"name":{"type":"string"}}}""".stripMargin)
+    val out = Seq(
+      """{"id":1,"name":"x"}""", // ok
+      """{"name":"x"}""",        // required-only 'id' absent -> reject
+      """{"id":7}"""             // optional 'name' absent -> ok
+    ).toDF("json")
+      .withColumn("ok", compiled.isValid(col("json")))
+      .collect().map(_.getAs[Boolean]("ok"))
+    assert(out === Array(true, false, true))
+  }
+
   test("JSON Schema: draft-2020 constraint breadth compiles to one predicate") {
     val c = JsonSchema.compile(
       """{"type":"object","properties":{

@@ -269,8 +269,9 @@ class StorageSpec extends SparkSpec {
     st.maintain()
     val after = st.fetch(tp, 0, Long.MaxValue).collect()
     assert(after.length === 2)
-    val aRow = after.find(_.getAs[String]("key") == "a").get
-    assert(aRow.getAs[String]("value") === "v3") // latest kept, offset preserved
+    val aRow = after
+      .find(r => new String(r.getAs[Array[Byte]]("key"), "UTF-8") == "a").get
+    assert(new String(aRow.getAs[Array[Byte]]("value"), "UTF-8") === "v3") // latest kept, offset preserved
     assert(aRow.getAs[Long]("offset") === 2L)
   }
 
@@ -333,7 +334,7 @@ class StorageSpec extends SparkSpec {
     Seq(0, 1).foreach { p =>
       val after = st2.fetch(Topition("t1", p), 0, Long.MaxValue).collect()
       assert(after.length === 1)
-      assert(after.head.getAs[String]("value") === "v2")
+      assert(new String(after.head.getAs[Array[Byte]]("value"), "UTF-8") === "v2")
       assert(after.head.getAs[Long]("offset") === 1L)
     }
   }
