@@ -62,10 +62,16 @@ final class GroupCoordinator(storage: Storage,
     val storedVersion = storage.groupState(groupId).map(_._2)
     (cached, storedVersion) match {
       case (Some(g), Some(v)) if g.version == v => Some(g)
-      case (_, Some(_)) =>
+      case (_, Some(v)) =>
         val loaded = loadGroup(groupId)
         loaded.foreach(groups.put(groupId, _))
-        loaded
+        // stored state exists but doesn't parse (torn write, version
+        // skew): surface an EMPTY group carrying the STORED version so
+        // the next update CAS-overwrites it — returning None here made
+        // join() build version -1, lose every CAS against the stored
+        // version, and brick the group forever
+        loaded.orElse(Some(Group(Forming, 0, None, Map.empty, "range",
+          Map.empty, v, defaultSessionTimeoutMs)))
       case (Some(_), None) => groups.remove(groupId); None // deleted elsewhere
       case (None, None) => None
     }

@@ -876,7 +876,24 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     */
   private def fetchRecords(tp: Topition, fetchOffset: Long, maxBytes: Long,
                            readCommitted: Boolean): Array[Byte] = {
-    val rows = storage.fetch(tp, fetchOffset, maxBytes, readCommitted)
+    val fetched = storage.fetch(tp, fetchOffset, maxBytes, readCommitted)
+    // read_committed filtering happens SERVER-side: the re-encoded wire
+    // batch carries producerId=-1 and no control batches, so a Kafka
+    // client's own abort filter (which matches aborted pid ranges
+    // against each batch's producerId) would match nothing — aborted
+    // rows must never reach the response
+    val visible =
+      if (!readCommitted) fetched
+      else storage.abortedTxns(tp, fetchOffset, Long.MaxValue) match {
+        case aborted if aborted.nonEmpty =>
+          val inAborted = aborted.map(r =>
+            col("producer_id") === r.producerId &&
+              col("offset") >= r.offsetStart &&
+              col("offset") <= r.offsetEnd).reduce(_ || _)
+          fetched.filter(!inAborted)
+        case _ => fetched
+      }
+    val rows = visible
       .select(col("offset"), col("timestamp"), col("key").cast("binary"),
         col("value").cast("binary"))
       .orderBy("offset").collect()

@@ -128,14 +128,27 @@ object Lake {
     }.reduce(_ + _)
   }
 
+  /** Per-table-path monitor: appends and the optimize swap must not
+    * interleave (an append landing between optimize's rename-aside and
+    * publish would be deleted with the old directory). Intra-process
+    * only — multi-writer deployments need a transactional table format
+    * (the S7/S8 Delta/Iceberg plugs).
+    */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
+
   /** Write a typed table partitioned by `partitionCols`
     * (reference `tansu.lake.partition`, `delta.rs:228-230,315-340`).
     */
   def writeTable(df: DataFrame, path: String, partitionCols: Seq[String],
-                 format: String = "parquet", mode: String = "append"): Unit = {
-    val w = df.write.format(format).mode(mode)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
-  }
+                 format: String = "parquet", mode: String = "append"): Unit =
+    lockFor(path).synchronized {
+      val w = df.write.format(format).mode(mode)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .save(path)
+    }
 
   /** Maintenance: OPTIMIZE-compact analog — rewrite a table directory
     * bin-packing to ~targetFileMB files, optionally Z-ordering within
@@ -153,6 +166,16 @@ object Lake {
         df.withColumn("__z", zorderKey(df, zorderCols))
           .repartitionByRange(sized, col("__z")).drop("__z")
       else df.repartition(sized)
+    // snapshot of the files the rewrite READ: anything that appears in
+    // the directory afterwards was appended concurrently and must be
+    // salvaged into the published table, not deleted with the old copy
+    val snapshotRel = {
+      val prefix = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      df.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
+        p.stripPrefix(prefix).stripPrefix("/")
+      }.toSet
+    }
     val tmp = path + "__optimizing"
     writeTable(clustered, tmp, partitionCols, mode = "overwrite")
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -160,21 +183,45 @@ object Lake {
     // s3a:// table with an hdfs:// default FS would otherwise operate
     // on the wrong store entirely
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // swap via rename-aside, never delete-then-rename: every failure
-    // point leaves a complete copy on disk (old table at __old until
-    // the new one is live), and HDFS signals rename failure by RETURN
-    // VALUE — ignoring it would report success after losing the table
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.delete(old, true)
-    if (fs.exists(dst)) {
-      if (!fs.rename(dst, old))
-        throw new java.io.IOException(s"optimize: could not stage $path aside")
-    } // a missing dst (readable-but-unmaterialized path) publishes directly
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-      fs.rename(old, dst) // restore the original before failing
-      throw new java.io.IOException(s"optimize: could not publish $tmp")
+    // the swap holds the same monitor as writeTable(path): an append can
+    // complete before the stage-aside (salvaged below) or start after
+    // publish, but never straddle the rename window
+    lockFor(path).synchronized {
+      // rename-aside, never delete-then-rename: every failure point
+      // leaves a complete copy on disk (old table at __old until the
+      // new one is live), and HDFS signals rename failure by RETURN
+      // VALUE — ignoring it would report success after losing the table
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      fs.delete(old, true)
+      if (fs.exists(dst)) {
+        if (!fs.rename(dst, old))
+          throw new java.io.IOException(s"optimize: could not stage $path aside")
+      } // a missing dst (readable-but-unmaterialized path) publishes directly
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+        fs.rename(old, dst) // restore the original before failing
+        throw new java.io.IOException(s"optimize: could not publish $tmp")
+      }
+      // salvage concurrent appends: data files under __old that the
+      // rewrite never read move into the published table (unique
+      // part-file names make collisions impossible)
+      if (fs.exists(old)) {
+        val oldPrefix = old.toUri.getPath
+        val it = fs.listFiles(old, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath
+            .stripPrefix(oldPrefix).stripPrefix("/")
+          if (rel.endsWith(".parquet") && !snapshotRel.contains(rel)) {
+            val target = new org.apache.hadoop.fs.Path(dst, rel)
+            fs.mkdirs(target.getParent)
+            if (!fs.rename(st.getPath, target))
+              throw new java.io.IOException(
+                s"optimize: could not salvage concurrent append $rel")
+          }
+        }
+        fs.delete(old, true)
+      }
     }
-    fs.delete(old, true)
     ()
   }
 }

@@ -161,10 +161,14 @@ final class ParquetStorage(spark: SparkSession, root: String,
     recoveredAborted.keys.filter(_.topic == topic).foreach(recoveredAborted.remove)
     recoveredSeqs.keys.filter(_.topic == topic).foreach(recoveredSeqs.remove)
     producerSeqs.keys.filter(_._3.topic == topic).foreach(producerSeqs.remove)
-    val dir = Paths.get(s"$root/log/$topic")
-    if (Files.exists(dir)) {
-      walkAll(dir).reverse.foreach(Files.delete)
+    // open transactions touching this topic drop their per-partition
+    // ranges (persisted too): a later endTxn/timeout-abort must not try
+    // to write markers into the deleted log
+    txns.foreach { case (pid, m) =>
+      val dead = m.keys.filter(_.topic == topic).toSeq
+      if (dead.nonEmpty) { dead.foreach(m.remove); persistTxn(pid) }
     }
+    deleteRecursive(Paths.get(s"$root/log/$topic"))
   }
 
   override def topics: Seq[String] = {
@@ -433,6 +437,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
       .collect()
     if (stats.map(_.getAs[Long]("__bad")).sum > 0)
       return Left(ErrorCode.InvalidRecord)
+    // a null partition key would unbox to 0 (colliding with the real
+    // partition-0 count) and its rows would land in the Hive default
+    // partition dir — acknowledged, never published, then deleted.
+    // Reject the batch instead.
+    if (stats.exists(_.isNullAt(0)))
+      return Left(ErrorCode.InvalidRecord)
     val counts = stats.map(r => r.getAs[Int]("__tp") -> r.getAs[Long]("__cnt"))
       .filter(_._2 > 0).toMap
     if (counts.keys.exists(p => p < 0 || p >= declared))
@@ -505,8 +515,13 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val ranged = dataOnly
       .filter(col("offset") >= math.max(fetchOffset, logStart(tp)) &&
         col("offset") < end)
+      // budget = key + value + per-record framing overhead: a compacted
+      // topic of tombstones (null values) must still consume budget, or
+      // maxBytes is ineffective and the facade's collect() is unbounded
       .withColumn("val_len",
-        coalesce(octet_length(col("value").cast("binary")), lit(0)))
+        coalesce(octet_length(col("key").cast("binary")), lit(0)) +
+          coalesce(octet_length(col("value").cast("binary")), lit(0)) +
+          lit(16))
     LogOps.fetchWithByteBudget(
       ranged.withColumn("topic", lit(tp.topic))
         .withColumn("partition", lit(tp.partition)),
@@ -555,8 +570,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     files.zip(bases).zipWithIndex.foreach { case ((f, _), i) =>
       val end = if (i + 1 < bases.length) bases(i + 1)
                 else offsetStage(tp).highWatermark
-      if (end <= cut)
-        walkAll(f).reverse.foreach(Files.delete)
+      if (end <= cut) deleteRecursive(f)
     }
     advanceLogStart(tp, cut)
     logStart(tp)
@@ -604,13 +618,22 @@ final class ParquetStorage(spark: SparkSession, root: String,
   // same groups and offsets (the full "all state lives in storage"
   // property; reference lib.rs:867,1472-1478).
 
-  private def groupFile(key: String) =
-    Paths.get(s"$root/groups", java.net.URLEncoder.encode(key, "UTF-8"))
+  private def groupFile(key: String) = {
+    val enc = java.net.URLEncoder.encode(key, "UTF-8")
+    // dot-prefixed names are reserved for staging files — a key that
+    // URL-encodes to a leading '.' (e.g. group ".hidden") escapes it so
+    // the listing's dot-filter can never hide a real key
+    val safe = if (enc.startsWith(".")) "%2E" + enc.tail else enc
+    Paths.get(s"$root/groups", safe)
+  }
 
   private def persistGroupFile(key: String, state: String, version: Long): Unit = {
     Files.createDirectories(Paths.get(s"$root/groups"))
     val p = groupFile(key)
-    val tmp = Paths.get(p.toString + s".tmp$version")
+    // staging name is DOT-PREFIXED, not suffix-".tmp": a user-chosen key
+    // containing ".tmp" (group "etl.tmp") must not be invisible to the
+    // key listing
+    val tmp = p.resolveSibling(s".stage$version.${p.getFileName}")
     Files.writeString(tmp, s"$version\n$state")
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -686,8 +709,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
         // this; leaked streams are leaked file descriptors
         val s = Files.list(dir)
         try s.iterator().asScala
+          .filter(Files.isRegularFile(_))
           .map(_.getFileName.toString)
-          .filterNot(_.contains(".tmp"))
+          // staging files are dot-prefixed (persistGroupFile); real keys
+          // never are (groupFile escapes a leading dot), so the filter
+          // can't hide a user-chosen name like "etl.tmp"
+          .filterNot(_.startsWith("."))
           .map(java.net.URLDecoder.decode(_, "UTF-8")).toList
         finally s.close()
       }
@@ -1110,7 +1137,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
     // visible artifact of the outcome exists; a crash mid-way re-aborts
     // on recovery (markers are idempotent for range replay).
     txns.get(producerId).foreach(_.foreach { case (tp, (start, end)) =>
-      writeControlMarker(tp, producerId, commit)
+      // a partition deleted mid-txn (DeleteTopics) has nothing to mark;
+      // skipping it — instead of throwing — keeps endTxn/maintain alive
+      // and still clears the txn state below (a throw here left the txn
+      // as permanent poison: every later maintain() tick re-failed)
+      if (Files.isDirectory(Paths.get(partDir(tp))))
+        writeControlMarker(tp, producerId, commit)
       if (!commit) {
         abortedRanges.updateWith(tp) {
           case Some(v) => Some(v :+ TxnRange(producerId, tp.topic, tp.partition,
@@ -1309,7 +1341,12 @@ final class ParquetStorage(spark: SparkSession, root: String,
     allTps.foreach { tp => swapRecovered.put(tp, true); recoverMaintainSwap(tp) }
     val filesByTp = allTps.map(tp => tp -> batchFiles(tp)).filter(_._2.nonEmpty)
     if (filesByTp.isEmpty) return
-    var df = spark.read.parquet(filesByTp.flatMap(_._2).map(_.toString): _*)
+    // ignoreMissingFiles: a concurrent DeleteRecords can remove a listed
+    // batch file before the rewrite job scans it — the same race logDf
+    // guards; a missing file is a shorter input, not a dead maintenance
+    // tick for every topic
+    var df = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(filesByTp.flatMap(_._2).map(_.toString): _*)
     // injected clock, not wall time — retention is deterministic under
     // test and replayable in maintenance backfills
     if (policy.contains("delete")) retentionMs.foreach { r =>

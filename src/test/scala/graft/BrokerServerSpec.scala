@@ -507,6 +507,43 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("read_committed fetch over the wire omits aborted records") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("txw", 1)
+    val tp = graft.model.Model.Topition("txw", 0)
+    import spark.implicits._
+    def rows(n: Int, from: Int) = (from until from + n)
+      .map(i => (new java.sql.Timestamp(1704067200000L + i), s"k$i", s"v$i"))
+      .toDF("timestamp", "key", "value")
+    assert(storage.produce(tp, rows(2, 0)).isRight) // committed 0..1
+    val (pid, _) = storage.initProducer("tx-wire")
+    storage.txnBegin(pid, tp)
+    assert(storage.produce(tp, rows(3, 2), producerId = pid,
+      producerEpoch = 0, baseSequence = 0).isRight) // txn 2..4
+    assert(storage.txnEnd(pid, commit = false) === graft.model.Model.ErrorCode.None)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      // the re-encoded wire batch has producerId=-1 and no markers, so
+      // the server itself must drop the aborted rows under isolation=1
+      val fr = request(sock, 1, 4, 3) { b =>
+        W.writeFetch(b, W.FetchRequest(500, 1, 1 << 20, 1, Seq(
+          W.FetchTopic("txw", Seq(W.FetchPartition(0, 0L, 1 << 20))))))
+      }
+      fr.getInt; fr.getInt; W.readString(fr); fr.getInt; fr.getInt
+      assert(fr.getShort === 0)
+      fr.getLong; fr.getLong
+      val nAborted = fr.getInt
+      assert(nAborted === 1) // the aborted range is still reported
+      fr.position(fr.position() + nAborted * 16) // (pid, first_offset) pairs
+      val decoded = RecordBatchCodec.decode(W.readBytes(fr))
+      val values = decoded.records.map(r => new String(r.value)).toSet
+      assert(values === Set("v0", "v1"), s"aborted rows leaked: $values")
+      sock.close()
+    } finally broker.close()
+  }
+
   test("binary payloads round-trip byte-exact (no UTF-8 laundering)") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
     val storage = new ParquetStorage(spark, root)

@@ -37,6 +37,28 @@ class CoordinatorSpec extends SparkSpec {
       (0 until 4).map(Assignors.Topition("t0", _)))
   }
 
+  test("corrupt persisted group state self-heals instead of bricking the group") {
+    val root = java.nio.file.Files.createTempDirectory("graft-coord-c").toString
+    val storage = new ParquetStorage(spark, root)
+    val c = new GroupCoordinator(storage, defaultSessionTimeoutMs = 1000,
+      clock = () => 0L)
+    val (m1, _, _) = c.join("g", None, Set("t0"))
+    assert(m1.nonEmpty)
+    // torn write: the persisted state exists but no longer parses
+    val dir = java.nio.file.Paths.get(root, "groups")
+    import scala.jdk.CollectionConverters._
+    val f = java.nio.file.Files.list(dir).iterator().asScala
+      .find(p => java.nio.file.Files.isRegularFile(p)).get
+    val version = java.nio.file.Files.readString(f).linesIterator.next()
+    java.nio.file.Files.writeString(f, s"$version\n{not json")
+    // a FRESH process over the same root must still admit joins
+    // (the CAS overwrites the unparseable state at its stored version)
+    val c2 = new GroupCoordinator(new ParquetStorage(spark, root),
+      defaultSessionTimeoutMs = 1000, clock = () => 0L)
+    val (m2, gen2, lead2) = c2.join("g", None, Set("t0"))
+    assert(m2.nonEmpty && gen2 >= 1 && lead2)
+  }
+
   test("stale generation rejected; unknown member rejected") {
     val c = newCoordinator()
     val (m1, _, _) = c.join("g", None, Set("t0"))

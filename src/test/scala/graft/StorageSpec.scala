@@ -183,6 +183,44 @@ class StorageSpec extends SparkSpec {
     assert(recovered.map(r => (r.offsetStart, r.offsetEnd)) === Seq((3L, 6L)))
   }
 
+  test("deleteTopic mid-transaction: endTxn and maintain stay alive") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    st.createTopic("keep", 1)
+    val (pid, _) = st.initProducer("tx-del")
+    st.txnBegin(pid, tp)
+    assert(st.produce(tp, batch(2), producerId = pid, producerEpoch = 0,
+      baseSequence = 0).isRight)
+    st.deleteTopic("t1")
+    // ending the txn must not throw into the deleted log; maintain must
+    // not be permanently poisoned by the orphan txn
+    assert(st.txnEnd(pid, commit = false) === ErrorCode.None)
+    st.maintain() // would previously rethrow NoSuchFileException forever
+    assert(st.produce(Topition("keep", 0), batch(1)).isRight)
+  }
+
+  test("byte budget counts tombstones: null values cannot make fetch unbounded") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    val tombstones = (0 until 50).map(i =>
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"key-$i",
+        null: String)).toSeq
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(tp, tombstones).isRight)
+    // a tiny budget returns a bounded prefix (min one record), never the
+    // whole partition
+    val n = st.fetch(tp, 0, maxBytes = 64).count()
+    assert(n >= 1 && n < 50, s"got $n rows for a 64-byte budget")
+  }
+
+  test("group keys containing '.tmp' stay visible to listings") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 1)
+    st.offsetCommit("etl.tmp", tp, 5L)
+    assert(st.offsetFetch("etl.tmp", tp) === Some(5L))
+    assert(st.groupOffsets("etl.tmp").map(_._2) === Seq(5L))
+  }
+
   test("producer-epoch fencing: stale instance rejected (T4)") {
     val (st, _) = newStorage()
     st.createTopic("t1", 1)
