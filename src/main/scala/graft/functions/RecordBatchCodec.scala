@@ -77,8 +77,13 @@ object RecordBatchCodec {
     val crcLen = batchLength - (crcStart - start - 12)
     // hostile batchLength: bound-check BEFORE the CRC touches the array
     // (long arithmetic — a near-MaxValue length overflows int sums)
-    require(crcLen >= 0 && crcStart.toLong + crcLen.toLong <= wire.length,
-      s"declared batch length $batchLength exceeds frame")
+    // 40 = header bytes between the CRC and the records payload
+    // (attributes 2 + lastOffsetDelta 4 + timestamps 16 + producerId 8 +
+    // producerEpoch 2 + baseSequence 4 + recordCount 4); a declared
+    // length shorter than that would read header fields past the batch
+    // end and allocate a negative-sized payload
+    require(crcLen >= 40 && crcStart.toLong + crcLen.toLong <= wire.length,
+      s"declared batch length $batchLength exceeds frame or truncates header")
     require(crc32c(wire, crcStart, crcLen) == crc, "CRC-32C mismatch")
     val attributes = buf.getShort
     val lastOffsetDelta = buf.getInt
@@ -139,7 +144,10 @@ object RecordBatchCodec {
   private def recordSizeBound(r: Record): Int =
     64 + (if (r.key == null) 0 else r.key.length) +
       (if (r.value == null) 0 else r.value.length) +
-      r.headers.map(h => 16 + h.key.length + h.value.length).sum
+      // header VALUES may be null (varint length -1 on the wire — the
+      // decoder produces them); keys may not
+      r.headers.map(h => 16 + h.key.length +
+        (if (h.value == null) 0 else h.value.length)).sum
 
   def encode(batch: Batch): Array[Byte] = {
     val recBuf = ByteBuffer

@@ -256,14 +256,23 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         max(col("__units")).as("__u"))
     // window over the per-domain table: domains number in the hundreds,
-    // so the unpartitioned total is one tiny task, not a corpus window
+    // so the unpartitioned total is one tiny task, not a corpus window.
+    // share math runs in DECIMAL: n_tokens * 1e6 overflows LONG for any
+    // domain past ~9.2e12 tokens (well inside a 100 TB corpus) — DuckDB
+    // widens to HUGEINT automatically, so the decimal path keeps both
+    // engines integer-exact
     perDomain
       .withColumn("share_e6",
-        expr("n_tokens * 1000000 div sum(n_tokens) over ()"))
+        expr("cast(n_tokens as decimal(38,0)) * 1000000" +
+          " div sum(cast(n_tokens as decimal(38,0))) over ()"))
       .withColumn("target_e6",
         expr("__u * 1000000 div sum(__u) over ()"))
       .withColumn("weight_e6",
-        least(expr("target_e6 * 1000000 div share_e6"), lit(maxWeightE6)))
+        // a sub-1e-6 domain floors share_e6 to 0: its weight IS the cap
+        // (the cap exists exactly to bound such upweights), never a
+        // divide-by-zero under ANSI mode
+        least(expr("target_e6 * 1000000 div greatest(share_e6, 1)"),
+          lit(maxWeightE6)))
       .select(col(domainCol), col("n_docs"), col("n_tokens"),
         col("share_e6"), col("target_e6"), col("weight_e6"))
   }

@@ -293,7 +293,6 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         maxDocFreqFraction: Double = 0.25,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val nDocs = docs.count()
     // grams join on their 60-bit hash, not the string: an 8-byte shuffle
     // key instead of a ~3-word string for the highest-volume join in the
     // op. Collisions (~n_grams^2 / 2^61) merge two grams corpus-wide on
@@ -311,6 +310,9 @@ object Dedup {
     val grams =
       if (maxDocFreqFraction >= 1.0) allGrams
       else {
+        // corpus count only when pruning is on — with the fraction at
+        // 1.0 the scan job's result would never be read
+        val nDocs = docs.count()
         val maxDf = (nDocs * maxDocFreqFraction).toLong
         val rare = allGrams.groupBy(col("g"))
           .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)

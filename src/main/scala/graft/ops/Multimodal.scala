@@ -212,13 +212,17 @@ object Multimodal {
         val payload = if (r.isNullAt(payloadIdx)) null
                       else r.getAs[Array[Byte]](payloadIdx)
         val oldMeta = if (r.isNullAt(metaIdx)) null else r.getAs[Row](metaIdx)
+        // per-field coalesce with the ingest meta: a recognized container
+        // whose header lacks a field (e.g. JPEG SOF beyond the scanned
+        // region) must not null out a dimension the caller already knew
+        def known(i: Int): Any = if (oldMeta == null) null else oldMeta.get(i)
         val newMeta = Probe.sniff(payload) match {
           case Some(info) => Row(
             info.modality, info.format,
-            if (info.width >= 0) info.width else null,
-            if (info.height >= 0) info.height else null,
-            if (info.durationMs >= 0) info.durationMs else null,
-            if (oldMeta == null) null else oldMeta.get(5))
+            if (info.width >= 0) info.width else known(2),
+            if (info.height >= 0) info.height else known(3),
+            if (info.durationMs >= 0) info.durationMs else known(4),
+            known(5))
           case None => oldMeta
         }
         Row(r.get(idIdx), payload, newMeta)

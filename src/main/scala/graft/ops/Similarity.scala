@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize a float-array column to fixed-point longs (1e7 scale). */
+  /** Quantize a float-array column to fixed-point longs (1e7 scale).
+    *
+    * RANGE CONTRACT: the exact-integer dot product accumulates
+    * (1e7·x)² terms in a long, so at 64 dims component magnitudes must
+    * stay under ~38 RMS (unit-normalized embeddings — the standard for
+    * cosine search — are far inside this). Unnormalized model outputs
+    * beyond it should be L2-normalized first or the accumulator
+    * overflows (ANSI error, not silent wrap).
+    */
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 10000000d).cast("long"))
 

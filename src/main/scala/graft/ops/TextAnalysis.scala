@@ -21,7 +21,9 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
-  private def toks(text: Column): Column = split(text, " ")
+  // the single tokenization contract lives in Dedup.tokens — dedup and
+  // text analysis must agree on token boundaries
+  private def toks(text: Column): Column = Dedup.tokens(text)
 
   /** Exact-token marker matching — the CORPUS CONTRACT is pre-normalized
     * text (lowercased, punctuation-separated), as the testdata is; raw

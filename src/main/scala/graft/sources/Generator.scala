@@ -61,7 +61,9 @@ object Generator {
     val (lo, hi) = ranges.getOrElse(name, (0d, 1000d))
     dt match {
       case LongType | IntegerType =>
-        (floor(rand(seed) * (hi - lo)) + lo).cast(dt)
+        // rand() is [0,1): +1 makes the declared range INCLUSIVE of hi,
+        // matching the proto script syntax rand(lo..=hi) this implements
+        (floor(rand(seed) * (hi - lo + 1)) + lo).cast(dt)
       case DoubleType | FloatType =>
         (rand(seed) * (hi - lo) + lo).cast(dt)
       case BooleanType => rand(seed) > 0.5

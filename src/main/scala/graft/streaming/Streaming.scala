@@ -139,7 +139,6 @@ object Streaming {
                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionOutput] = {
     import input.sparkSession.implicits._
-    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     input
       .groupByKey(_.userId)
       .mapGroupsWithState[SessionState, SessionOutput](timeout) {
@@ -156,7 +155,15 @@ object Streaming {
               prev.sumMetric + events.map(_.metric).sum,
               math.max(prev.lastTs, if (events.isEmpty) 0L else events.map(_.ts).max))
             state.update(next)
-            if (useTimeout) state.setTimeoutDuration(idleGapMs)
+            // EVERY timeout mode must arm, or sessions never close and
+            // state grows with the user population forever:
+            // processing-time from now, event-time from the session's
+            // last event (requires a watermark on the caller's stream)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(idleGapMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(next.lastTs + idleGapMs)
+            // NoTimeout: caller manages lifecycle explicitly
             SessionOutput(userId, next.nEvents, next.sumMetric, closed = false)
           }
       }
