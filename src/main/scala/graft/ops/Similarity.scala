@@ -31,6 +31,18 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 10000000d).cast("long"))
 
+  /** L2-normalize a float-array column (double math, re-cast to float).
+    * Run this ahead of [[quantize]] for unnormalized model outputs — it
+    * brings any embedding inside the fixed-point range contract; a zero
+    * vector passes through unchanged.
+    */
+  def l2Normalize(emb: Column): Column = {
+    val norm = sqrt(aggregate(emb,
+      lit(0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm === 0d, emb)
+      .otherwise(transform(emb, x => (x.cast("double") / norm).cast("float")))
+  }
+
   /** Exact integer dot product of two quantized vectors. */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)

@@ -235,6 +235,19 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.exists(r => r.getLong(0) !== r.getLong(1)))
   }
 
+  test("l2Normalize brings any vector to unit norm; zero vector unchanged") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(300.0f, -400.0f)),   // far outside the quantize range
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+        graft.ops.Similarity.l2Normalize(col("embedding")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(math.abs(out(1L).map(x => x * x).sum - 1.0f) < 1e-6)
+    assert(out(1L)(0) === 0.6f && out(1L)(1) === -0.8f)
+    assert(out(2L) === Seq(0.0f, 0.0f))
+  }
+
   test("quantizeInt8 bounds, sign-preserves, and zero-vector safe") {
     import spark.implicits._
     val vecs = Seq(
