@@ -34,19 +34,33 @@ object Bench {
     // warm-up at the smallest scale: triggers classloading + codegen
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
+      // same toRdd path as the measured loop, so the generated code the
+      // warm-up compiles is the code the measurement runs
+      try SparkEntry.queries(n)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => }
     }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // evaluate through toRdd.count(), NOT Dataset.count(): an
+      // Aggregate(count(1)) consumer lets Catalyst column-prune every
+      // projection out of map-only queries, so the bench would time a
+      // bare row-count scan instead of the operator. toRdd's consumer is
+      // the full output row, so every expression really executes (and no
+      // external-row conversion is paid).
+      val t = try {
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        // a failing query must surface as the -1 sentinel, never as a
+        // success-shaped near-zero timing that rewards breakage
+        case _: Throwable => -1.0
+      }
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

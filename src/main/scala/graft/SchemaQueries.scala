@@ -344,8 +344,9 @@ object SchemaQueries {
         |  SELECT event_type AS topic, event_id AS "offset",
         |    CAST(ts AS TIMESTAMP) AS "timestamp" FROM events)
         |SELECT l.topic, count(*) AS n_kept, max("offset") AS max_offset
-        |FROM log l JOIN cfg c ON l.topic = c.topic
-        |WHERE NOT contains(c.cleanup_policy, 'delete')
+        |FROM log l LEFT JOIN cfg c ON l.topic = c.topic
+        |WHERE NOT contains(coalesce(c.cleanup_policy, 'delete'), 'delete')
+        |   OR c.retention_ms IS NULL
         |   OR epoch_us("timestamp") >= epoch_us(TIMESTAMP '2024-03-01 00:00:00')
         |      - c.retention_ms * 1000
         |GROUP BY l.topic""".stripMargin,

@@ -196,7 +196,7 @@ object SparkEntry {
         |  SELECT "partition", "key", "offset", "value",
         |    ROW_NUMBER() OVER (PARTITION BY "partition", "key"
         |      ORDER BY "offset" DESC) AS rn
-        |  FROM log) WHERE rn = 1""".stripMargin),
+        |  FROM log) WHERE rn = 1 OR "key" IS NULL""".stripMargin),
 
     "q3_top_revenue" ->
       """SELECT o_orderkey,
@@ -221,11 +221,14 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
 
     "q_dup_sequences" -> (logCte +
+      // the WHERE "key" IS NOT NULL mirrors the operator's
+      // producer_id >= 0 eligibility filter (NULL-excluding in Spark):
+      // non-idempotent rows are out of scope for the duplicate check
       """SELECT "partition", producer_id, base_sequence, "offset", dup_rank FROM (
         |  SELECT "partition", "key" % 4 AS producer_id,
         |    CAST("offset" % 97 AS INT) AS base_sequence, "offset",
         |    ROW_NUMBER() OVER (PARTITION BY "partition", "key" % 4, "offset" % 97
         |      ORDER BY "offset") AS dup_rank
-        |  FROM log) WHERE dup_rank > 1""".stripMargin)
+        |  FROM log WHERE "key" IS NOT NULL) WHERE dup_rank > 1""".stripMargin)
   ) ++ TrainingQueries.oracleSql ++ SchemaQueries.oracleSql ++ RelationalQueries.oracleSql
 }

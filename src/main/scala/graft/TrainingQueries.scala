@@ -231,6 +231,13 @@ object TrainingQueries {
   private def dh(e: String) =
     s"CAST(('0x' || substring(md5($e),1,15)) AS BIGINT)"
 
+  /** The seeded per-doc hash (mirrors Dedup.h60(seed + "|" + doc_id)) —
+    * ONE definition for every curation oracle, so a salt's SQL can't
+    * drift from its Scala twin.
+    */
+  private def dhSalted(salt: String) =
+    dh(s"'$salt|' || CAST(doc_id AS VARCHAR)")
+
   /** Shared CTE: word tokens and 3-shingles per doc. */
   private val shingleCte =
     """WITH toks AS (
@@ -431,7 +438,7 @@ object TrainingQueries {
        |FROM j GROUP BY cluster""".stripMargin
 
   private val tokenBudgetOracle: String = {
-    val h = "CAST(('0x' || substring(md5('budget|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+    val h = dhSalted("budget")
     s"""WITH $scoredCte,
        |q AS (
        |  SELECT doc_id, quality, n_tokens, $h % 16 AS bkt, $h AS h
@@ -479,11 +486,12 @@ object TrainingQueries {
       |  n_tokens * 1000000 // tot_tokens AS share_e6,
       |  u * 1000000 // tot_u AS target_e6,
       |  least((u * 1000000 // tot_u) * 1000000
-      |      // (n_tokens * 1000000 // tot_tokens), 10000000) AS weight_e6
+      |      // greatest(n_tokens * 1000000 // tot_tokens, 1), 10000000)
+      |    AS weight_e6
       |FROM p CROSS JOIN t""".stripMargin
 
   private val packSequencesOracle: String = {
-    val h = "CAST(('0x' || substring(md5('pack|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+    val h = dhSalted("pack")
     s"""WITH d AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -502,7 +510,7 @@ object TrainingQueries {
   }
 
   private val shuffleRankOracle: String = {
-    val h = "CAST(('0x' || substring(md5('shuffle|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)"
+    val h = dhSalted("shuffle")
     s"""SELECT doc_id,
        |  CAST(row_number() OVER (ORDER BY $h, doc_id) - 1 AS BIGINT)
        |    AS shuffle_pos
@@ -595,7 +603,7 @@ object TrainingQueries {
       ("""SELECT doc_id, source, sample_rank FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |    ORDER BY """ +
-        "CAST(('0x' || substring(md5('cap|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)" +
+        dhSalted("cap") +
         """, doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 10""").stripMargin,
@@ -658,7 +666,7 @@ object TrainingQueries {
     "q_stratified_sample" ->
       ("""SELECT doc_id, lang FROM documents
         |WHERE """ +
-        "CAST(('0x' || substring(md5('sample|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000 < " +
+        dhSalted("sample") + " % 1000 < " +
         """CASE WHEN lang = 'de' THEN 500 WHEN lang = 'en' THEN 200 ELSE 800 END""").stripMargin,
 
     "q_dedup_exact" ->

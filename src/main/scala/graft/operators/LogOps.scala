@@ -103,11 +103,18 @@ object LogOps {
       col("topic").as("cfg_topic"),
       col("retention_ms"),
       col("cleanup_policy"))
+    // millisecond precision: cast("long") truncates to whole seconds,
+    // which deletes records up to 1s inside a sub-second retention
+    // window (and keeps ones up to 1s outside it). Effectively-infinite
+    // retentions short-circuit to an always-keep cutoff BEFORE the
+    // subtraction — now - Long.MaxValue would overflow (ANSI error)
+    val ret = coalesce(col("retention_ms"), lit(Long.MaxValue))
+    val cutoff = when(ret >= lit(Long.MaxValue / 2), lit(Long.MinValue))
+      .otherwise(unix_millis(nowTs) - ret)
     log.join(broadcast(cfg), col("topic") === col("cfg_topic"), "left")
       .filter(
         !coalesce(col("cleanup_policy"), lit("delete")).contains("delete") ||
-        col("timestamp").cast("long") * 1000L >=
-          nowTs.cast("long") * 1000L - coalesce(col("retention_ms"), lit(Long.MaxValue)))
+        unix_millis(col("timestamp")) >= cutoff)
       .drop("cfg_topic", "retention_ms", "cleanup_policy")
   }
 
