@@ -297,6 +297,81 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(2).getString(1) === "b c")
   }
 
+  test("property: packSequences tiles exactly for random corpora and params") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = for {
+      nDocs <- Gen.choose(1, 120)
+      lens <- Gen.listOfN(nDocs, Gen.choose(1, 50))
+      seqLen <- Gen.oneOf(16, 64, 256)
+      streams <- Gen.oneOf(1, 3, 8)
+    } yield (lens, seqLen, streams)
+    forAllGen(gen, cases = 5) { case (lens, seqLen, streams) =>
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, ("w " * n).trim) }.toDF("doc_id", "text")
+      val out = graft.ops.Curation
+        .packSequences(docs, seqLen, nStreams = streams).collect()
+      assert(out.length === lens.length)
+      out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+        var expected = 0L
+        rows.sortBy(r => r.getLong(3) * seqLen + r.getLong(5)).foreach { r =>
+          val start = r.getLong(3) * seqLen + r.getLong(5)
+          assert(start === expected, "gap or overlap in the stream tiling")
+          expected = start + r.getLong(2)
+          assert(r.getLong(4) === (start + r.getLong(2) - 1) / seqLen)
+        }
+      }
+    }
+  }
+
+  test("property: chunkDocuments reconstructs every document exactly") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = for {
+      lens <- Gen.listOfN(20, Gen.choose(1, 80))
+      chunk <- Gen.choose(4, 24)
+      overlap <- Gen.choose(0, 3)
+    } yield (lens, chunk, overlap)
+    forAllGen(gen, cases = 5) { case (lens, chunk, overlap) =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val stride = chunk - overlap
+      val out = graft.ops.TextAnalysis
+        .chunkDocuments(docs, chunk, overlap).collect()
+        .groupBy(_.getLong(0))
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val chunks = out(i.toLong).sortBy(_.getLong(1))
+        // stitch: chunk 0 whole, then drop the overlap from each next
+        val rebuilt = chunks.head.getString(2).split(" ").toSeq ++
+          chunks.tail.toSeq.flatMap(_.getString(2).split(" ").drop(overlap).toSeq)
+        assert(rebuilt === (1 to n).map(j => s"t$j"),
+          s"doc of $n tokens, chunk=$chunk overlap=$overlap")
+      }
+    }
+  }
+
+  test("property: shuffleRank matches the driver-computed global hash order") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    forAllGen(Gen.listOfN(60, Gen.choose(0L, 100000L)).map(_.distinct),
+      cases = 5) { ids =>
+      val docs = ids.map(Tuple1(_)).toDF("doc_id")
+      val got = graft.ops.Curation.shuffleRank(docs, nBuckets = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference order computed driver-side with the same hash
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(s: String): Long = {
+        val hex = md.digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val expect = ids.sortBy(id => (h60(s"shuffle|$id"), id))
+        .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+      assert(got === expect)
+    }
+  }
+
   test("mixtureWeights: integer shares sum to ~1e6 and the cap binds") {
     import spark.implicits._
     val docs = (0L until 300L).map { i =>
