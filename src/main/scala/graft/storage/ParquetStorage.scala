@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Model._
 import graft.operators.LogOps
 import graft.schema.SchemaRegistry
-import graft.lake.Lake
+import graft.lake.{Lake, TxLog}
 
 /** Object-store-style storage engine over Parquet, mirroring the
   * reference's dynostore layout (`nisshi-storage/src/dynostore.rs`):
@@ -399,7 +399,13 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val withGen = Lake.withGenerated(typed, generated)
     val partitionCols = cfg.get(ConfigKey.LakePartition)
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
-    Lake.writeTable(withGen, s"$root/lake/$topic", partitionCols)
+    // transactional append (the reference's lake IS a Delta table):
+    // manifest-per-version snapshots + CAS commits make the analytic
+    // table safe for concurrent writers and snapshot readers; plain
+    // spark.read.parquet over the directory still works (_graft_log is
+    // underscore-hidden from Spark's file index)
+    TxLog.append(withGen, s"$root/lake/$topic", partitionCols)
+    ()
   }
 
   /** Multi-partition produce: append one routed batch (its `partition`
