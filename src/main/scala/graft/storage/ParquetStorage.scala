@@ -1309,8 +1309,32 @@ final class ParquetStorage(spark: SparkSession, root: String,
     Await.result(
       Future.sequence(work.map { case (t, n, cfg) => Future(maintainTopic(t, n, cfg)) }),
       Duration.Inf)
+    maintainLakeTables()
     ()
   }
+
+  /** T9 on the maintenance interval (reference delta.rs:577-622 runs
+    * Delta OPTIMIZE on a timer): compact any lake table whose manifest
+    * has accumulated enough small per-produce commits, then vacuum the
+    * replaced files. The fragment threshold keeps the sweep a no-op on
+    * quiet tables — OPTIMIZE cost is paid only when reads would pay
+    * more in file-open overhead.
+    */
+  private def maintainLakeTables(optimizeAtFiles: Int = 16): Unit =
+    topics.foreach { t =>
+      val table = s"$root/lake/$t"
+      graft.lake.TxLog.currentSnapshot(table).foreach { snap =>
+        if (snap.files.length >= optimizeAtFiles) {
+          val cfg = topicConfig(t)
+          val partitionCols = cfg.get(ConfigKey.LakePartition)
+            .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+          val zorder = cfg.get(ConfigKey.LakeZOrder)
+            .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+          graft.lake.TxLog.optimize(spark, table, partitionCols, zorder)
+          graft.lake.TxLog.vacuum(table)
+        }
+      }
+    }
 
   private def batchFiles(tp: Topition): Seq[java.nio.file.Path] = {
     val dir = Paths.get(partDir(tp))

@@ -93,6 +93,34 @@ class TxLogSpec extends SparkSpec {
     assert(manifests === 1)
   }
 
+  test("storage maintenance compacts a fragmented lake table (T9)") {
+    import graft.model.Model._
+    import graft.storage.ParquetStorage
+    import graft.schema.SchemaRegistry
+    val root = java.nio.file.Files.createTempDirectory("graft-txm").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-txm-reg")
+    java.nio.file.Files.writeString(rdir.resolve("m.json"),
+      """{"type":"object","properties":{"v":{"type":"integer"}}}""")
+    val st = new ParquetStorage(spark, root,
+      Some(new SchemaRegistry(rdir.toString)))
+    st.createTopic("m", 1)
+    val tp = Topition("m", 0)
+    // 20 produces -> 20 manifest versions, 20 small lake files
+    (0 until 20).foreach { i =>
+      val df = Seq((new java.sql.Timestamp(1704067200000L + i),
+        s"k$i", s"""{"v":$i}""")).toDF("timestamp", "key", "value")
+      assert(st.produce(tp, df).isRight)
+    }
+    val table = s"$root/lake/m"
+    assert(TxLog.currentSnapshot(table).get.files.length === 20)
+    st.maintain()
+    val snap = TxLog.currentSnapshot(table).get
+    assert(snap.files.length < 20, "maintenance did not compact the lake")
+    // every produced row survives, through both read paths
+    assert(TxLog.read(spark, table).count() === 20)
+    assert(spark.read.parquet(table).count() === 20)
+  }
+
   private def countDataFiles(table: String): Int = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
