@@ -141,6 +141,12 @@ object Lake {
 
   /** Write a typed table partitioned by `partitionCols`
     * (reference `tansu.lake.partition`, `delta.rs:228-230,315-340`).
+    *
+    * This is the PLAIN (non-transactional) table API — single-process
+    * writers guarded by the in-JVM path lock below. The broker's lake
+    * sink uses [[TxLog]] instead (manifest CAS commits, snapshot
+    * reads); this path stays for format plugs (delta/iceberg jars) and
+    * library users who don't want a manifest log.
     */
   def writeTable(df: DataFrame, path: String, partitionCols: Seq[String],
                  format: String = "parquet", mode: String = "append"): Unit =

@@ -144,6 +144,7 @@ object TxLog {
       case Some(s) =>
         spark.read
           .option("ignoreMissingFiles", "true")
+          .option("mergeSchema", "true") // mixed-schema manifests read whole
           .option("basePath", table)
           .parquet(s.files.map(f => s"$table/$f"): _*)
     }
@@ -154,16 +155,31 @@ object TxLog {
     * list. Replaced files stay on disk for older readers until
     * [[vacuum]].
     */
+  /** `purgeReplaced`: delete the rewritten snapshot's files right after
+    * the winning commit. The replaced set is exactly known (never an
+    * appender's staged-but-uncommitted files, which are NOT in the
+    * snapshot), so this is race-free against writers; it trades away
+    * pre-optimize snapshot readers (ignoreMissingFiles -> short read,
+    * the storage-wide retry discipline) to keep PLAIN directory readers
+    * from double-counting replaced + rewritten data.
+    */
   def optimize(spark: SparkSession, table: String,
                partitionCols: Seq[String], zorderCols: Seq[String] = Nil,
-               targetFileMB: Int = 128, maxRetries: Int = 64): Long = {
+               targetFileMB: Int = 128, maxRetries: Int = 64,
+               purgeReplaced: Boolean = false): Long = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no _graft_log"))
     if (snap.files.isEmpty) return snap.version
-    val df = spark.read.option("basePath", table)
+    // mergeSchema: schema-evolved appends carry extra columns; a
+    // compaction that read one representative footer would REWRITE THE
+    // TABLE WITHOUT THEM and the next vacuum would delete the originals
+    val df = spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", table)
       .parquet(snap.files.map(f => s"$table/$f"): _*)
     val sized = math.max(1,
-      snap.files.length * 32 / math.max(1, targetFileMB))
+      (totalBytes(table, snap.files) /
+        (targetFileMB.toLong * 1024 * 1024)).toInt)
     val clustered =
       if (zorderCols.nonEmpty)
         df.withColumn("__z", Lake.zorderKey(df, zorderCols))
@@ -177,27 +193,62 @@ object TxLog {
       val latest = currentSnapshot(table).get
       val kept = latest.files.filterNot(replaced.contains)
       if (tryCommit(table, latest.version + 1, latest.schemaJson,
-        kept ++ rewritten)) return latest.version + 1
+        kept ++ rewritten)) {
+        if (purgeReplaced)
+          replaced.foreach { f =>
+            val p = Paths.get(table, f)
+            if (Files.exists(p)) Files.delete(p)
+          }
+        return latest.version + 1
+      }
       attempt += 1
     }
     throw new IllegalStateException(s"optimize($table): commit contention")
   }
 
-  /** Remove data files no manifest ≤ the latest references, and all
-    * manifests before the latest. Run when no reader older than the
-    * latest snapshot is live (the caller's retention policy — same
-    * contract as Delta's VACUUM).
+  /** Total data bytes the snapshot references (the compaction trigger's
+    * input — file COUNT alone would re-rewrite a large healthy table
+    * every maintenance tick).
     */
-  def vacuum(table: String): Unit = {
+  def snapshotBytes(table: String, snap: Snapshot): Long =
+    totalBytes(table, snap.files)
+
+  /** Sum of the snapshot's file sizes (missing files count 0 — a
+    * concurrent vacuum may have removed one under an old manifest).
+    */
+  private def totalBytes(table: String, files: Seq[String]): Long =
+    files.map { f =>
+      val p = Paths.get(table, f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+
+  /** Remove data files no manifest ≤ the latest references, and all
+    * manifests before the latest.
+    *
+    * Two guards make this safe against concurrent writers:
+    *  - files under dot-prefixed dirs are NEVER touched (an appender's
+    *    in-progress Spark write lives there);
+    *  - only files older than `minAgeMs` are deleted — an appender that
+    *    has MOVED its files into the layout but not yet won its manifest
+    *    CAS is indistinguishable from garbage by membership alone, so
+    *    age is the fence (Delta's VACUUM retention, same reasoning).
+    * The age window doubles as the grace period for snapshot readers
+    * older than the latest manifest.
+    */
+  def vacuum(table: String, minAgeMs: Long = 3600000L): Unit = {
     val snap = currentSnapshot(table).getOrElse(return)
     val live = snap.files.toSet
     val root = Paths.get(table)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val dead = {
       val s = Files.walk(root)
       try s.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .filterNot(p => p.startsWith(logDir(table)))
+        .filterNot(p => root.relativize(p).iterator().asScala
+          .exists(_.toString.startsWith(".")))
         .filter(p => !live.contains(root.relativize(p).toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .toList
       finally s.close()
     }

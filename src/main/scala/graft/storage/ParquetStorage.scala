@@ -397,8 +397,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
         k.stripPrefix(ConfigKey.GeneratedPrefix) -> v
     }
     val withGen = Lake.withGenerated(typed, generated)
-    val partitionCols = cfg.get(ConfigKey.LakePartition)
-      .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+    val partitionCols = csvConfig(cfg, ConfigKey.LakePartition)
     // transactional append (the reference's lake IS a Delta table):
     // manifest-per-version snapshots + CAS commits make the analytic
     // table safe for concurrent writers and snapshot readers; plain
@@ -1315,26 +1314,57 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   /** T9 on the maintenance interval (reference delta.rs:577-622 runs
     * Delta OPTIMIZE on a timer): compact any lake table whose manifest
-    * has accumulated enough small per-produce commits, then vacuum the
-    * replaced files. The fragment threshold keeps the sweep a no-op on
-    * quiet tables — OPTIMIZE cost is paid only when reads would pay
-    * more in file-open overhead.
+    * holds meaningfully more files than its data needs, then vacuum
+    * replaced files past the age fence. Guards:
+    *  - the trigger compares the file count against the EXPECTED
+    *    post-compaction count from real byte sizes — a large-but-healthy
+    *    table is not rewritten every tick;
+    *  - per-table failures (64 lost CAS races under hot produce, IO
+    *    errors) are contained so one table can't poison the sweep —
+    *    the same lesson endTxnInternal already encodes;
+    *  - tables compact concurrently, like the topic sweep above.
     */
-  private def maintainLakeTables(optimizeAtFiles: Int = 16): Unit =
-    topics.foreach { t =>
-      val table = s"$root/lake/$t"
-      graft.lake.TxLog.currentSnapshot(table).foreach { snap =>
-        if (snap.files.length >= optimizeAtFiles) {
-          val cfg = topicConfig(t)
-          val partitionCols = cfg.get(ConfigKey.LakePartition)
-            .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
-          val zorder = cfg.get(ConfigKey.LakeZOrder)
-            .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
-          graft.lake.TxLog.optimize(spark, table, partitionCols, zorder)
-          graft.lake.TxLog.vacuum(table)
-        }
+  private def maintainLakeTables(optimizeAtFiles: Int = 16,
+                                 targetFileMB: Int = 128,
+                                 vacuumMinAgeMs: Long = 3600000L): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sweeps = topics.map { t =>
+      Future {
+        try {
+          val table = s"$root/lake/$t"
+          graft.lake.TxLog.currentSnapshot(table).foreach { snap =>
+            val expected = math.max(1L,
+              graft.lake.TxLog.snapshotBytes(table, snap) /
+                (targetFileMB.toLong * 1024 * 1024))
+            if (snap.files.length >= optimizeAtFiles &&
+                snap.files.length > 2 * expected) {
+              val cfg = topicConfig(t)
+              // purgeReplaced: plain directory readers (non-manifest)
+              // must not double-count replaced + rewritten data for the
+              // vacuum age window
+              graft.lake.TxLog.optimize(spark, table,
+                csvConfig(cfg, ConfigKey.LakePartition),
+                csvConfig(cfg, ConfigKey.LakeZOrder), targetFileMB,
+                purgeReplaced = true)
+              graft.lake.TxLog.vacuum(table, vacuumMinAgeMs)
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => }
       }
     }
+    Await.result(Future.sequence(sweeps), Duration.Inf)
+    ()
+  }
+
+  /** Comma-separated config value -> trimmed column list; ONE parser for
+    * the write path (lakeSink) and the compaction path, which must agree
+    * on the partition layout.
+    */
+  private def csvConfig(cfg: Map[String, String], key: String): Seq[String] =
+    cfg.get(key).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
 
   private def batchFiles(tp: Topition): Seq[java.nio.file.Path] = {
     val dir = Paths.get(partDir(tp))

@@ -80,7 +80,7 @@ class TxLogSpec extends SparkSpec {
     }
     TxLog.optimize(spark, table, partitionCols = Nil)
     val before = countDataFiles(table)
-    TxLog.vacuum(table)
+    TxLog.vacuum(table, minAgeMs = 0L) // test files are seconds old
     val after = countDataFiles(table)
     assert(after < before, s"vacuum removed nothing ($before -> $after)")
     assert(TxLog.read(spark, table).count() === 4)
