@@ -46,7 +46,8 @@ object TextAnalysis {
         length(t) - length(regexp_replace(t, "[.,;:!?]", "")))
       .withColumn("n_stopwords", markerHits(words, langMarkers.head._2))
       .withColumn("avg_token_len_e2",
-        expr(s"(length($textCol) - size(split($textCol, ' ')) + 1) * 100 DIV size(split($textCol, ' '))"))
+        // bigint: at INT, a ~21 MB document's length * 100 would overflow
+        expr(s"(cast(length($textCol) as bigint) - size(split($textCol, ' ')) + 1) * 100 DIV size(split($textCol, ' '))"))
   }
 
   /** Quality score 0..4: one point each for length in range, token count
@@ -116,7 +117,9 @@ object TextAnalysis {
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     tf.join(df, "term")
-      .withColumn("idf1e6", expr(s"($n * 1000000) DIV df"))
+      // BIGINT literals: as INTs, n * 1e6 overflows at ~2.1k docs (the
+      // sf0.01 gate passed while sf0.1 threw at constant folding)
+      .withColumn("idf1e6", expr(s"(${n}L * 1000000L) DIV df"))
       .withColumn("score", col("tf") * col("idf1e6"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
