@@ -191,6 +191,19 @@ object TxLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val latest = currentSnapshot(table).get
+      // another optimize already replaced our whole snapshot: committing
+      // our rewrite on top would DOUBLE the data (their output + ours
+      // both referenced). Abandon: drop our staged rewrite and yield.
+      // (An optimize always replaces the full snapshot, so a racing one
+      // leaves zero of our files in the latest manifest — appends only
+      // ever ADD files, so a nonempty intersection means no one beat us.)
+      if (latest.files.forall(f => !replaced.contains(f))) {
+        rewritten.foreach { f =>
+          val p = Paths.get(table, f)
+          if (Files.exists(p)) Files.delete(p)
+        }
+        return latest.version
+      }
       val kept = latest.files.filterNot(replaced.contains)
       if (tryCommit(table, latest.version + 1, latest.schemaJson,
         kept ++ rewritten)) {

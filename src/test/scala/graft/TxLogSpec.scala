@@ -73,6 +73,22 @@ class TxLogSpec extends SparkSpec {
     assert(got.filter(col("id") === 999999L).count() === 1)
   }
 
+  test("racing optimizes never double the data (loser abandons its rewrite)") {
+    val table = newTable()
+    (0 until 8).foreach { b =>
+      TxLog.append((0 until 20).map(i => (b * 100L + i, i)).toDF("id", "p"),
+        table)
+    }
+    val racers = (0 until 2).map { _ =>
+      new Thread(() => { TxLog.optimize(spark, table, partitionCols = Nil); () })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    // whichever interleaving happened, the table holds each row ONCE
+    val got = TxLog.read(spark, table)
+    assert(got.count() === 160)
+    assert(got.select("id").distinct().count() === 160)
+  }
+
   test("vacuum drops replaced files; the latest snapshot still reads") {
     val table = newTable()
     (0 until 4).foreach { b =>
