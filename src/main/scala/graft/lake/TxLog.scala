@@ -11,65 +11,159 @@ import scala.jdk.CollectionConverters._
   * semantics; the S7/S8 plugs delegate to the real formats when
   * available).
   *
-  * Layout: `<table>/_graft_log/v%020d.manifest`, each a FULL snapshot —
-  * line 1 is the Spark schema JSON, every further line one data-file
-  * path relative to the table root. Commits are optimistic CAS:
+  * Layout: `<table>/_graft_log/v%020d.manifest`. Two manifest kinds
+  * (the Delta log's action-file + checkpoint split):
+  *  - CHECKPOINT — line 1 is the Spark schema JSON, every further line
+  *    one data-file path relative to the table root (every pre-v2
+  *    manifest parses as this kind, so old logs keep reading);
+  *  - DELTA — line 1 is the literal `@delta`, line 2 the schema JSON,
+  *    every further line `+path` (add) or `-path` (remove), relative to
+  *    the PREVIOUS version.
+  * An append writes O(its own files) bytes — a delta — and a full
+  * checkpoint only every [[CheckpointInterval]] versions, so commit
+  * cost no longer grows with table file count (the pre-round-8 full
+  * snapshot per commit made a hot topic's cumulative commit cost
+  * quadratic in file count). [[currentSnapshot]] folds the latest
+  * manifest chain back to its nearest checkpoint — a bounded ≤
+  * [[CheckpointInterval]] small local reads.
+  *
+  * Commits are optimistic CAS:
   *  1. write the candidate manifest to a dot-prefixed staging file;
   *  2. `Files.createLink(v{N+1}, staging)` — hard-link creation is
   *     atomic and FAILS if the target exists, which is the compare-and-
   *     swap (a plain rename silently REPLACES on POSIX and cannot CAS);
-  *  3. a lost race re-reads the winner's snapshot, recomputes the file
-  *     list, and retries.
+  *  3. a lost race re-reads the winner's snapshot, recomputes, retries.
+  * The hard-link CAS is POSIX-only: object stores (s3a/gs/abfs) have no
+  * atomic link, so any scheme other than `file:` is REFUSED up front
+  * (use the Delta/Iceberg format plug there) rather than silently
+  * degrading to a racy rename.
+  *
   * Data files are written to a dot-prefixed staging dir (invisible to
   * readers) and hard-renamed into the table's partition layout under
-  * unique names BEFORE the manifest commit — a reader either sees the
-  * manifest that references them or doesn't see them at all.
+  * unique names BEFORE the manifest commit — a TxLog reader either sees
+  * the manifest that references them or doesn't see them at all. A
+  * PLAIN directory reader (`spark.read.parquet` over the table) can see
+  * a not-yet-committed file in that window; on commit failure the
+  * staged files are deleted rather than left as permanent orphans.
   *
-  * Scale: a manifest is O(files) text; reads list one directory and
-  * read one file before handing Spark the exact file set (no recursive
+  * Scale: a read lists one directory and reads ≤ CheckpointInterval+1
+  * manifest files before handing Spark the exact file set (no recursive
   * listing of the table — at object-store scale the listing, not the
   * data, is what kills naive readers).
   */
 object TxLog {
 
+  /** Checkpoint cadence: a delta chain never exceeds this many
+    * manifests, bounding both snapshot-fold reads and the worst-case
+    * recovery walk (Delta checkpoints every 10 commits for the same
+    * reason).
+    */
+  val CheckpointInterval = 16
+
+  /** `checkpointVersion` is the version the latest chain folds from —
+    * vacuum must keep manifests ≥ it for the fold to stay replayable.
+    */
   final case class Snapshot(version: Long, schemaJson: String,
-                            files: Seq[String])
+                            files: Seq[String], checkpointVersion: Long)
+
+  /** Refuse non-POSIX table paths: the CAS below is `Files.createLink`,
+    * which object-store filesystems cannot honor — a silent fallback
+    * would turn every commit into a racy rename and lose writes.
+    */
+  private def posixTable(table: String): String = {
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
+    scheme.findFirstMatchIn(table) match {
+      case Some(m) if m.group(1) == "file" => table.stripPrefix("file://")
+      case Some(m) => throw new IllegalArgumentException(
+        s"TxLog requires a POSIX filesystem (hard-link CAS); got scheme " +
+          s"'${m.group(1)}://' for $table — use the Delta/Iceberg format " +
+          "plug (Lake.writeTable with format=delta/iceberg) on object stores")
+      case None => table
+    }
+  }
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
 
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%020d.manifest")
 
-  /** Latest committed snapshot, if the table has a log. */
-  def currentSnapshot(table: String): Option[Snapshot] = {
+  private def listVersions(table: String): Seq[Long] = {
     val dir = logDir(table)
-    if (!Files.isDirectory(dir)) return None
-    val latest = {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("v\\d{20}\\.manifest"))
-        .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
-        .foldLeft(-1L)(math.max)
-      finally s.close()
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d{20}\\.manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .toList.sorted
+    finally s.close()
+  }
+
+  private sealed trait Manifest { def schemaJson: String }
+  private final case class Checkpoint(schemaJson: String,
+                                      files: Seq[String]) extends Manifest
+  private final case class Delta(schemaJson: String, adds: Seq[String],
+                                 removes: Seq[String]) extends Manifest
+
+  private def readManifest(table: String, v: Long): Manifest = {
+    val lines = Files.readString(manifestPath(table, v)).split("\n", -1)
+    if (lines.head == "@delta") {
+      val (adds, removes) = lines.drop(2).filter(_.nonEmpty)
+        .partition(_.startsWith("+"))
+      Delta(lines(1), adds.map(_.drop(1)).toSeq, removes.map(_.drop(1)).toSeq)
+    } else Checkpoint(lines.head, lines.tail.filter(_.nonEmpty).toSeq)
+  }
+
+  private def render(m: Manifest): String = m match {
+    case Checkpoint(schema, files) => (schema +: files).mkString("\n")
+    case Delta(schema, adds, removes) =>
+      (Seq("@delta", schema) ++ adds.map("+" + _) ++ removes.map("-" + _))
+        .mkString("\n")
+  }
+
+  /** Latest committed snapshot, if the table has a log: walk back from
+    * the latest manifest to its nearest checkpoint, then fold the delta
+    * chain forward. Removes filter, adds append — order is preserved so
+    * a checkpoint rewrite is byte-stable.
+    */
+  def currentSnapshot(table: String): Option[Snapshot] = {
+    val t = posixTable(table)
+    val versions = listVersions(t)
+    if (versions.isEmpty) return None
+    val latest = versions.last
+    var v = latest
+    var chain = List.empty[(Long, Manifest)]
+    var cp: Option[(Long, Checkpoint)] = None
+    while (cp.isEmpty) {
+      readManifest(t, v) match {
+        case c: Checkpoint => cp = Some((v, c))
+        case d: Delta =>
+          if (v == 0) throw new IllegalStateException(
+            s"$t: delta manifest v0 has no checkpoint to fold from")
+          chain = (v, d) :: chain
+          v -= 1
+      }
     }
-    if (latest < 0) None
-    else {
-      val lines = Files.readString(manifestPath(table, latest)).split("\n", -1)
-      Some(Snapshot(latest, lines.head,
-        lines.tail.filter(_.nonEmpty).toSeq))
+    val (cpVersion, checkpoint) = cp.get
+    val files = chain.foldLeft(checkpoint.files) {
+      case (fs, (_, Delta(_, adds, removes))) =>
+        val dead = removes.toSet
+        (if (dead.isEmpty) fs else fs.filterNot(dead)) ++ adds
+      case (fs, _) => fs
     }
+    val schemaJson =
+      chain.lastOption.map(_._2.schemaJson).getOrElse(checkpoint.schemaJson)
+    Some(Snapshot(latest, schemaJson, files, cpVersion))
   }
 
   /** One CAS attempt: returns false when version `next` already exists
     * (someone else committed first).
     */
-  private def tryCommit(table: String, next: Long, schemaJson: String,
-                        files: Seq[String]): Boolean = {
+  private def tryCommit(table: String, next: Long, m: Manifest): Boolean = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     val stage = dir.resolve(s".stage-${java.util.UUID.randomUUID()}")
-    Files.writeString(stage, (schemaJson +: files).mkString("\n"))
+    Files.writeString(stage, render(m))
     try {
       Files.createLink(manifestPath(table, next), stage)
       true
@@ -111,23 +205,67 @@ object TxLog {
     rel
   }
 
-  /** Transactional append: stages the data files, then CAS-commits
-    * latest-snapshot + new files. Concurrent appenders all land —
-    * losers re-read the winner's list and retry with their files.
+  /** Staged-but-uncommitted files must not linger when a commit gives
+    * up: plain directory readers would double-count them forever (a
+    * vacuum only removes them past the age fence).
+    */
+  private def unstage(table: String, files: Seq[String]): Unit =
+    files.foreach { f =>
+      val p = Paths.get(table, f)
+      if (Files.exists(p)) Files.delete(p)
+    }
+
+  /** Data files already in the table directory but predating the log —
+    * a table written by the plain (pre-TxLog) lake sink. They join the
+    * v0 commit so the upgrade keeps them live; otherwise the first
+    * TxLog read would silently drop them and the next vacuum would
+    * delete them.
+    */
+  private def preLogDataFiles(table: String): Seq[String] = {
+    val root = Paths.get(table)
+    if (!Files.isDirectory(root)) return Nil
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .filterNot(p => root.relativize(p).iterator().asScala
+        .exists(seg => seg.toString.startsWith(".") ||
+          seg.toString.startsWith("_")))
+      .map(p => root.relativize(p).toString)
+      .toList.sorted
+    finally s.close()
+  }
+
+  /** Transactional append: stages the data files, then CAS-commits a
+    * delta manifest (or a checkpoint when one is due). Concurrent
+    * appenders all land — losers re-read the winner's snapshot and
+    * retry with their files. The first-ever commit bootstraps any
+    * pre-log data files already in the directory (plain-sink upgrade).
     */
   def append(df: DataFrame, table: String,
              partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long = {
-    val newFiles = stageDataFiles(df, table, partitionCols)
+    val t = posixTable(table)
+    // capture pre-log files BEFORE staging ours into the same layout
+    val preLog =
+      if (currentSnapshot(t).isEmpty) preLogDataFiles(t) else Nil
+    val newFiles = stageDataFiles(df, t, partitionCols)
     val schemaJson = df.schema.json
     var attempt = 0
     while (attempt < maxRetries) {
-      val snap = currentSnapshot(table)
-      val base = snap.map(_.files).getOrElse(Nil)
+      val snap = currentSnapshot(t)
+      val base = snap.map(_.files).getOrElse(preLog)
       val next = snap.map(_.version + 1).getOrElse(0L)
-      if (tryCommit(table, next, schemaJson, base ++ newFiles)) return next
+      // a delta chain never exceeds the interval (forall on None is
+      // true, so a first commit is always a checkpoint)
+      val checkpointDue =
+        snap.forall(s => next - s.checkpointVersion >= CheckpointInterval)
+      val m =
+        if (checkpointDue) Checkpoint(schemaJson, base ++ newFiles)
+        else Delta(schemaJson, newFiles, Nil)
+      if (tryCommit(t, next, m)) return next
       attempt += 1
     }
-    throw new IllegalStateException(s"append($table): commit contention")
+    unstage(t, newFiles)
+    throw new IllegalStateException(s"append($t): commit contention")
   }
 
   /** Snapshot-isolated read: exactly the latest manifest's files, typed
@@ -153,7 +291,9 @@ object TxLog {
     * z-ordered), then CAS-commit (latest − snapshot) + rewritten — files
     * appended concurrently with the rewrite survive in the committed
     * list. Replaced files stay on disk for older readers until
-    * [[vacuum]].
+    * [[vacuum]]. Always commits a CHECKPOINT: the commit body is
+    * O(table) either way, and resetting the delta chain keeps later
+    * appends' folds short.
     */
   /** `purgeReplaced`: delete the rewritten snapshot's files right after
     * the winning commit. The replaced set is exactly known (never an
@@ -167,18 +307,19 @@ object TxLog {
                partitionCols: Seq[String], zorderCols: Seq[String] = Nil,
                targetFileMB: Int = 128, maxRetries: Int = 64,
                purgeReplaced: Boolean = false): Long = {
-    val snap = currentSnapshot(table).getOrElse(
-      throw new IllegalArgumentException(s"$table has no _graft_log"))
+    val t = posixTable(table)
+    val snap = currentSnapshot(t).getOrElse(
+      throw new IllegalArgumentException(s"$t has no _graft_log"))
     if (snap.files.isEmpty) return snap.version
     // mergeSchema: schema-evolved appends carry extra columns; a
     // compaction that read one representative footer would REWRITE THE
     // TABLE WITHOUT THEM and the next vacuum would delete the originals
     val df = spark.read
       .option("mergeSchema", "true")
-      .option("basePath", table)
-      .parquet(snap.files.map(f => s"$table/$f"): _*)
+      .option("basePath", t)
+      .parquet(snap.files.map(f => s"$t/$f"): _*)
     val sized = math.max(1,
-      (totalBytes(table, snap.files) /
+      (totalBytes(t, snap.files) /
         (targetFileMB.toLong * 1024 * 1024)).toInt)
     val clustered =
       if (zorderCols.nonEmpty)
@@ -186,37 +327,35 @@ object TxLog {
           .repartitionByRange(sized, org.apache.spark.sql.functions.col("__z"))
           .drop("__z")
       else df.repartition(sized)
-    val rewritten = stageDataFiles(clustered, table, partitionCols)
+    val rewritten = stageDataFiles(clustered, t, partitionCols)
     val replaced = snap.files.toSet
     var attempt = 0
     while (attempt < maxRetries) {
-      val latest = currentSnapshot(table).get
-      // another optimize already replaced our whole snapshot: committing
-      // our rewrite on top would DOUBLE the data (their output + ours
-      // both referenced). Abandon: drop our staged rewrite and yield.
-      // (An optimize always replaces the full snapshot, so a racing one
-      // leaves zero of our files in the latest manifest — appends only
-      // ever ADD files, so a nonempty intersection means no one beat us.)
-      if (latest.files.forall(f => !replaced.contains(f))) {
-        rewritten.foreach { f =>
-          val p = Paths.get(table, f)
-          if (Files.exists(p)) Files.delete(p)
-        }
+      val latest = currentSnapshot(t).get
+      // a racing optimize may have replaced PART of our snapshot: it
+      // could have read an OLDER snapshot than ours (ours ⊇ theirs plus
+      // later appends), so "every replaced file gone" is not the only
+      // losing shape. If ANY file we rewrote is missing from latest,
+      // some racer already committed a rewrite containing that file's
+      // rows — committing ours too would double them. Abandon: drop our
+      // staged rewrite and yield. (Appends only ever ADD files, so all
+      // replaced files still present ⇒ no optimize beat us and the
+      // CAS-serialized commit below removes them atomically.)
+      val latestSet = latest.files.toSet
+      if (!replaced.forall(latestSet.contains)) {
+        unstage(t, rewritten)
         return latest.version
       }
       val kept = latest.files.filterNot(replaced.contains)
-      if (tryCommit(table, latest.version + 1, latest.schemaJson,
-        kept ++ rewritten)) {
-        if (purgeReplaced)
-          replaced.foreach { f =>
-            val p = Paths.get(table, f)
-            if (Files.exists(p)) Files.delete(p)
-          }
+      if (tryCommit(t, latest.version + 1,
+        Checkpoint(latest.schemaJson, kept ++ rewritten))) {
+        if (purgeReplaced) unstage(t, replaced.toSeq)
         return latest.version + 1
       }
       attempt += 1
     }
-    throw new IllegalStateException(s"optimize($table): commit contention")
+    unstage(t, rewritten)
+    throw new IllegalStateException(s"optimize($t): commit contention")
   }
 
   /** Total data bytes the snapshot references (the compaction trigger's
@@ -224,7 +363,7 @@ object TxLog {
     * every maintenance tick).
     */
   def snapshotBytes(table: String, snap: Snapshot): Long =
-    totalBytes(table, snap.files)
+    totalBytes(posixTable(table), snap.files)
 
   /** Sum of the snapshot's file sizes (missing files count 0 — a
     * concurrent vacuum may have removed one under an old manifest).
@@ -235,8 +374,9 @@ object TxLog {
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
 
-  /** Remove data files no manifest ≤ the latest references, and all
-    * manifests before the latest.
+  /** Remove data files the latest snapshot doesn't reference, and all
+    * manifests before the latest chain's checkpoint (older manifests
+    * can't serve any fold the latest version needs).
     *
     * Two guards make this safe against concurrent writers:
     *  - files under dot-prefixed dirs are NEVER touched (an appender's
@@ -249,15 +389,16 @@ object TxLog {
     * older than the latest manifest.
     */
   def vacuum(table: String, minAgeMs: Long = 3600000L): Unit = {
-    val snap = currentSnapshot(table).getOrElse(return)
+    val t = posixTable(table)
+    val snap = currentSnapshot(t).getOrElse(return)
     val live = snap.files.toSet
-    val root = Paths.get(table)
+    val root = Paths.get(t)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dead = {
       val s = Files.walk(root)
       try s.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .filterNot(p => p.startsWith(logDir(table)))
+        .filterNot(p => p.startsWith(logDir(t)))
         .filterNot(p => root.relativize(p).iterator().asScala
           .exists(_.toString.startsWith(".")))
         .filter(p => !live.contains(root.relativize(p).toString))
@@ -266,13 +407,8 @@ object TxLog {
       finally s.close()
     }
     dead.foreach(Files.delete)
-    val dir = logDir(table)
-    val s = Files.list(dir)
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d{20}\\.manifest"))
-      .filter(_ != manifestPath(table, snap.version))
-      .toList.foreach(Files.delete)
-    finally s.close()
+    listVersions(t).filter(_ < snap.checkpointVersion)
+      .foreach(v => Files.delete(manifestPath(t, v)))
   }
 
   private def deleteTree(p: Path): Unit =

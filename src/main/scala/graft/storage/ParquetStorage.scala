@@ -402,7 +402,11 @@ final class ParquetStorage(spark: SparkSession, root: String,
     // manifest-per-version snapshots + CAS commits make the analytic
     // table safe for concurrent writers and snapshot readers; plain
     // spark.read.parquet over the directory still works (_graft_log is
-    // underscore-hidden from Spark's file index)
+    // underscore-hidden from Spark's file index). Two plain-reader
+    // caveats: a pre-TxLog table is bootstrapped into the first commit
+    // (no data loss on upgrade), and between staging and the manifest
+    // CAS a plain directory reader can briefly see a not-yet-committed
+    // file (TxLog readers never do; failed commits unstage their files)
     TxLog.append(withGen, s"$root/lake/$topic", partitionCols)
     ()
   }

@@ -109,6 +109,79 @@ class TxLogSpec extends SparkSpec {
     assert(manifests === 1)
   }
 
+  test("commits are O(delta): manifest bytes grow linearly, not quadratically") {
+    val table = newTable()
+    (0 until 100).foreach { i =>
+      TxLog.append(Seq((i.toLong, i)).toDF("id", "p"), table)
+    }
+    assert(TxLog.currentSnapshot(table).get.version === 99L)
+    assert(TxLog.read(spark, table).count() === 100)
+    val logDir = java.nio.file.Paths.get(table, "_graft_log")
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(logDir)
+    val sizes = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".manifest"))
+      .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+      .toMap finally s.close()
+    assert(sizes.size === 100)
+    // a non-checkpoint commit writes O(its own files), not O(table):
+    // v99 is a 1-file delta, v96 a 97-file checkpoint
+    val delta99 = sizes(f"v${99L}%020d.manifest")
+    val cp96 = sizes(f"v${96L}%020d.manifest")
+    assert(delta99 < cp96 / 4,
+      s"delta manifest ($delta99 B) should be far smaller than a checkpoint ($cp96 B)")
+    // cumulative log bytes stay linear-ish: ~7 checkpoints + 93 tiny
+    // deltas ≈ <12x the final checkpoint; the old full-snapshot-per-
+    // commit scheme wrote ~50x (quadratic: sum 1..100 entries)
+    val total = sizes.values.sum
+    assert(total < 12L * cp96,
+      s"manifest log grew superlinearly: $total B total vs $cp96 B checkpoint")
+  }
+
+  test("append bootstraps pre-log parquet files into the v0 commit") {
+    val table = newTable()
+    // a table written by the PLAIN lake sink before the TxLog upgrade
+    Seq((1L, "legacy-a"), (2L, "legacy-b")).toDF("id", "s")
+      .repartition(2).write.parquet(table)
+    TxLog.append(Seq((3L, "new")).toDF("id", "s"), table)
+    val got = TxLog.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "legacy-a"), (2L, "legacy-b"), (3L, "new")))
+    // the legacy files are LIVE — vacuum must not reap them
+    TxLog.vacuum(table, minAgeMs = 0L)
+    assert(TxLog.read(spark, table).count() === 3)
+  }
+
+  test("non-POSIX table paths are refused, not silently degraded") {
+    import org.apache.spark.sql.DataFrame
+    val df: DataFrame = Seq((1L, "a")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(df, "s3a://bucket/table")
+    }
+    assert(e.getMessage.contains("POSIX"))
+    intercept[IllegalArgumentException] {
+      TxLog.currentSnapshot("hdfs://nn/table")
+    }
+    // file:// is local — accepted (prefix stripped)
+    val table = newTable()
+    TxLog.append(df, s"file://$table")
+    assert(TxLog.read(spark, table).count() === 1)
+  }
+
+  test("a commit that gives up unstages its data files (no orphans)") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s"), table)
+    val before = countDataFiles(table)
+    // maxRetries=0 models exhausting the CAS budget: files were staged
+    // into the visible layout, so the failure path must remove them or
+    // plain directory readers double-count forever
+    intercept[IllegalStateException] {
+      TxLog.append(Seq((2L, "b")).toDF("id", "s"), table, maxRetries = 0)
+    }
+    assert(countDataFiles(table) === before, "orphaned staged files left behind")
+    assert(TxLog.read(spark, table).count() === 1)
+  }
+
   test("storage maintenance compacts a fragmented lake table (T9)") {
     import graft.model.Model._
     import graft.storage.ParquetStorage
