@@ -164,7 +164,13 @@ object Lake {
                zorderCols: Seq[String] = Nil, targetFileMB: Int = 128): Unit = {
     val df = spark.read.option("mergeSchema", "true").parquet(path)
     val sized = {
-      val bytes = df.inputFiles.length.toLong * 32L * 1024 * 1024 // rough est.
+      // REAL bytes (one getContentSummary RPC), not files×constant
+      // guesswork: a table of many tiny files would over-partition the
+      // rewrite (32 MB assumed per file), one of fat files would
+      // under-partition it — the same discipline TxLog.optimize uses
+      val p = new org.apache.hadoop.fs.Path(path)
+      val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
       math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     }
     val clustered =

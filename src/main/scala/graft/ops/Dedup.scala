@@ -186,7 +186,19 @@ object Dedup {
     * data stays distributed. Returns (doc_id, cluster) with cluster =
     * min member id, covering every node that appears in a pair.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** Iteration shuffle width for a pair graph of `nEdges`: ~50k edges
+    * per partition, but never more than 4× the cluster's core count
+    * (more tasks than that is pure scheduling overhead) and never the
+    * old hard 200 — a billion-edge corpus graph on a 1000-executor
+    * cluster gets the parallelism the cluster has, not a constant
+    * ceiling that packs 50M+ edges into each task.
+    */
+  def ccPartitionsFor(nEdges: Long, defaultParallelism: Int): Int =
+    math.max(1, math.min(4L * math.max(defaultParallelism, 1),
+      nEdges / 50000L + 1).toInt)
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          numPartitions: Option[Int] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -196,7 +208,8 @@ object Dedup {
     // near-dup candidates), so per-iteration jobs should not pay
     // corpus-scale partition counts
     val nEdges = edges0.count()
-    val parts = math.max(1, math.min(200, (nEdges / 50000L).toInt))
+    val parts = numPartitions.getOrElse(
+      ccPartitionsFor(nEdges, sc.defaultParallelism))
     val edges = edges0.repartition(parts, col("dst")).cache()
     // materialize the edges cache NOW: a Dataset cache registers in
     // sc.getPersistentRDDs only at first materialization, and the

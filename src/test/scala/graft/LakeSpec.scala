@@ -66,4 +66,19 @@ class LakeSpec extends SparkSpec {
     // average step in manhattan distance stays small vs random ordering (~10)
     assert(steps.sum.toDouble / steps.size < 4.0)
   }
+
+  test("optimize sizes the rewrite from real bytes, not file count (T9)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lakeopt")
+      .toString + "/t"
+    // 64 tiny files, well under 1 MB total: the old files×32MB estimate
+    // would have planned a 2048-way rewrite of a sub-megabyte table
+    spark.range(1000).repartition(64).write.parquet(path)
+    Lake.optimize(spark, path, partitionCols = Nil, targetFileMB = 1)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    val outFiles = try s.iterator().asScala
+      .count(_.toString.endsWith(".parquet")) finally s.close()
+    assert(outFiles <= 2, s"tiny table rewritten into $outFiles files")
+    assert(spark.read.parquet(path).count() === 1000)
+  }
 }

@@ -101,6 +101,17 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("CC shuffle width scales with the edge count, capped by the cluster") {
+    // tiny graph: no point paying multi-partition shuffles
+    assert(Dedup.ccPartitionsFor(nEdges = 5000L, defaultParallelism = 32) === 1)
+    // corpus-scale pair graph: ~50k edges/partition until the cluster cap
+    assert(Dedup.ccPartitionsFor(10_000_000L, 32) === 128) // 4x32 cap binds
+    assert(Dedup.ccPartitionsFor(10_000_000L, 8000) === 201) // edges/50k binds
+    // a billion-edge graph on a big cluster is NOT capped at the old 200
+    assert(Dedup.ccPartitionsFor(1_000_000_000L, 8000) === 20001)
+    assert(Dedup.ccPartitionsFor(1_000_000_000L, 1) === 4)
+  }
+
   test("tfIdfTopTerms: k rows per doc, ranked by score then term") {
     val top = TextAnalysis.tfIdfTopTerms(docs.limit(20), k = 3).cache()
     val counts = top.groupBy("doc_id").count().collect()
