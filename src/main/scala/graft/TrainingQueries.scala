@@ -47,6 +47,18 @@ object TrainingQueries {
   def qKnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annBucketed(embs(s, dir), queryId = 0L, k = 5, bits = 3)
 
+  /** Trained IVF (seed-pinned k-means) with nProbe = nCells: probing
+    * every cell degenerates to exact search, so the production ANN path
+    * is oracle-checkable against plain brute-force cosine — the
+    * full-probe == brute-force property verified end-to-end, not just
+    * spec-pinned. Cell ids are centroid assignments (not
+    * SQL-expressible) and are dropped from the output.
+    */
+  def qKnnIvfTrained(s: SparkSession, dir: String): DataFrame =
+    Similarity.annIvfTrained(embs(s, dir), queryId = 0L, k = 10,
+      nCells = 4, nProbe = 4)
+      .select("vec_id", "cosine_r")
+
   /** Per-document statistics. */
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(docs(s, dir))
@@ -218,6 +230,7 @@ object TrainingQueries {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_ivf" -> (qKnnIvf _),
+    "q_knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -367,6 +380,22 @@ object TrainingQueries {
        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r
        |FROM d ORDER BY cosine_r DESC, vec_id LIMIT 5""".stripMargin
   }
+
+  /** nProbe = nCells ⇒ every vector is scanned: the oracle is exact
+    * brute-force cosine, independent of where k-means put the cells.
+    */
+  private val knnIvfTrainedOracle: String =
+    s"""${quantCte.trim},
+       |q AS (SELECT qe AS query_qe FROM e WHERE vec_id = 0),
+       |d AS (
+       |  SELECT vec_id,
+       |    ${dotSql("qe", "query_qe")} AS dot,
+       |    ${dotSql("qe", "qe")} AS na,
+       |    ${dotSql("query_qe", "query_qe")} AS nb
+       |  FROM e CROSS JOIN q WHERE vec_id != 0)
+       |SELECT vec_id,
+       |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r
+       |FROM d ORDER BY cosine_r DESC, vec_id LIMIT 10""".stripMargin
 
   private val langIdOracle: String = {
     val markers = TextAnalysis.langMarkers
@@ -679,6 +708,7 @@ object TrainingQueries {
     "q_dedup_ngram" -> ngramOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_ivf" -> knnIvfOracle,
+    "q_knn_ivf_trained" -> knnIvfTrainedOracle,
     "q_lang_id" -> langIdOracle,
 
     "q_text_stats" ->
