@@ -419,6 +419,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
             (Option(n).getOrElse(""), echoId, 3.toShort) // UNKNOWN_TOPIC_OR_PARTITION
           } else {
             storage.deleteTopic(n)
+            probedPartitions.remove(n) // a recreated topic re-probes
             (n, topicUuid(n), 0.toShort)
           }
         }
@@ -708,25 +709,41 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     }
   }
 
+  // probe results for UNDECLARED topics are cached: the bounded 65-
+  // partition storage scan below sits on the Metadata/assignment hot
+  // path and re-ran on every call. Invalidation: a broker-side produce
+  // to partition p raises the entry to p+1 (noteProducedPartition),
+  // DeleteTopics drops it; declared topics never consult the cache.
+  // A topic grown by a NON-broker writer (direct storage access) won't
+  // be re-probed until its entry is touched — undeclared topics are a
+  // produce-without-createTopic convenience, so the broker is their
+  // only writer in practice.
+  private val probedPartitions =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] def noteProducedPartition(topic: String, p: Int): Unit =
+    probedPartitions.computeIfPresent(topic,
+      (_, n) => math.max(n, p + 1))
+
   private def partitionsOf(topic: String): Int = {
     // declared count from createTopic is the source of truth — empty
     // partitions included, so consumers get assigned all of them; the
     // data probe only covers topics produced to without createTopic
     val declared = storage.partitionCount(topic)
     if (declared > 0) declared
-    else {
+    else probedPartitions.computeIfAbsent(topic, t => {
       // scan the whole bounded probe range: key-hash skew can leave an
       // empty partition BELOW a populated one, and stopping at the first
       // empty would hide the higher partitions from metadata/assignment
       var maxSeen = -1
       var p = 0
       while (p <= 64) {
-        if (storage.offsetStage(Topition(topic, p)).highWatermark > 0)
+        if (storage.offsetStage(Topition(t, p)).highWatermark > 0)
           maxSeen = p
         p += 1
       }
       math.max(maxSeen + 1, 1)
-    }
+    })
   }
 
   // T10 — produce byte quota (the Kafka client-quota mechanism): bytes
@@ -828,6 +845,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
               storage.produce(tp, df, pid, epoch.toInt,
                 batches.head.baseSequence) match {
                 case Right(base) =>
+                  noteProducedPartition(t.topic, p.partition)
                   (p.partition, 0.toShort, base, storage.offsetStage(tp).logStart)
                 case Left(e) => (p.partition, e.toShort, -1L, -1L)
               }

@@ -93,12 +93,17 @@ object JsonSchema {
   /** Compile constraints to one predicate over a JSON string column.
     * `path` is the JsonPath of the current node.
     *
-    * KNOWN DIVERGENCE from a full JSON Schema validator: the checks run
-    * over `get_json_object` output, which strips string quoting — a
-    * JSON string "42" therefore passes an `integer` type check (the
-    * full validator would reject it). Catching that class per-path
-    * would need per-row re-parsing; the codegen'd predicate trades that
-    * corner for zero interpreter cost at corpus scale.
+    * KNOWN DIVERGENCES from a full JSON Schema validator: (a) the
+    * checks run over `get_json_object` output, which strips string
+    * quoting — a JSON string "42" therefore passes an `integer` type
+    * check (the full validator would reject it); (b) a subschema with
+    * no `type` keyword defaults to `object`, whose check demands a
+    * non-null value, so a required key explicitly set to JSON null
+    * passes `required` (key membership via json_object_keys) but is
+    * then rejected by the defaulted type check — a full validator
+    * accepts it when the subschema is empty. Catching these per-path
+    * would need per-row re-parsing; the codegen'd predicate trades the
+    * corners for zero interpreter cost at corpus scale.
     */
   private def validate(ast: JValue, json: Column, path: String): Column = {
     val tpe = str(ast \ "type").getOrElse("object")
@@ -166,14 +171,21 @@ object JsonSchema {
       case JObject(props) => props.map(_._1).toSet
       case _ => Set.empty
     }
+    // presence = KEY membership, not value non-nullness: JSON Schema
+    // `required` only demands the key exist, so {"x": null} satisfies
+    // `required: ["x"]` — and the null value must still REACH the child
+    // validator (where a type constraint rejects it) instead of being
+    // misread as absent and skipped. json_object_keys returns null for
+    // an absent/non-object parent → coalesce to "no key".
+    val parentKeys = json_object_keys(get_json_object(json, path))
+    def hasKey(name: String): Column =
+      coalesce(array_contains(parentKeys, name), lit(false))
     val childChecks: Seq[Column] = (ast \ "properties") match {
       case JObject(props) =>
         props.map { case (name, sub) =>
-          val childPath = s"$path.$name"
-          val childRaw = get_json_object(json, childPath)
-          val present = childRaw.isNotNull
+          val present = hasKey(name)
           val requiredOk = if (required.contains(name)) present else lit(true)
-          requiredOk && (!present || validate(sub, json, childPath))
+          requiredOk && (!present || validate(sub, json, s"$path.$name"))
         }
       case _ => Nil
     }
@@ -181,7 +193,7 @@ object JsonSchema {
     // presence (a conformant validator rejects their absence; silently
     // skipping them admitted documents the reference rejects)
     val requiredOnly: Seq[Column] = (required -- declaredProps).toSeq.sorted
-      .map(name => get_json_object(json, s"$path.$name").isNotNull)
+      .map(hasKey)
     (Seq(typeOk) ++ constraints ++ childChecks ++ requiredOnly).reduce(_ && _)
   }
 }

@@ -1564,6 +1564,39 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker2.close()
   }
 
+  test("undeclared-topic partition probe is cached and produce-invalidated") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-pc").toString
+    val storage = new ParquetStorage(spark, root)
+    val broker = new BrokerServer(storage)
+    try {
+      // a topic directory created OUT OF BAND (no topic.json, no
+      // partition dirs) is the case with no declared count — metadata
+      // must fall back to the storage probe
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/log/probe"))
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      def mdPartitions(corr: Int): Int = {
+        val md = flexRequest(sock, 3, 9, corr)(b =>
+          W.writeMetadataV9(b, Some(Seq("probe")), allowAutoCreate = false))
+        W.skipTaggedFields(md)
+        W.readMetadataResponseV9(md)._3.head.partitions.size
+      }
+      assert(mdPartitions(990) === 1) // empty probe defaults to 1
+      assert(mdPartitions(991) === 1) // served from the cache
+      // a broker-side produce raises a cached probe count so partition 5
+      // is not hidden from metadata/assignment by a stale entry
+      broker.noteProducedPartition("probe", 5)
+      assert(mdPartitions(992) === 6)
+      // unknown topics never enter the cache: raising one is a no-op
+      broker.noteProducedPartition("ghost", 9)
+      val md = flexRequest(sock, 3, 9, 993)(b =>
+        W.writeMetadataV9(b, Some(Seq("ghost")), allowAutoCreate = false))
+      W.skipTaggedFields(md)
+      assert(W.readMetadataResponseV9(md)._3.head.error === 3.toShort)
+      sock.close()
+    } finally broker.close()
+  }
+
   test("ConsumerGroupDescribe reflects the classic coordinator's state") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker-cg").toString
     val storage = new ParquetStorage(spark, root)

@@ -48,6 +48,33 @@ class SchemaSpec extends SparkSpec {
     assert(out === Array(true, false, true))
   }
 
+  test("JSON Schema: required is key presence — explicit null satisfies it") {
+    // `required` demands the KEY, not a non-null value: {"id": null}
+    // with id required-but-undeclared must pass (json.rs required
+    // semantics); a declared TYPE still rejects the null value itself
+    val requiredOnly = JsonSchema.compile(
+      """{"type":"object","required":["id"],
+        |"properties":{"name":{"type":"string"}}}""".stripMargin)
+    val out1 = Seq(
+      """{"id":null,"name":"x"}""", // key present, null value -> required ok
+      """{"name":"x"}"""           // key absent -> reject
+    ).toDF("json")
+      .withColumn("ok", requiredOnly.isValid(col("json")))
+      .collect().map(_.getAs[Boolean]("ok"))
+    assert(out1 === Array(true, false))
+    val typed = JsonSchema.compile(
+      """{"type":"object","required":["id"],
+        |"properties":{"id":{"type":"integer"}}}""".stripMargin)
+    val out2 = Seq(
+      """{"id":3}""",    // ok
+      """{"id":null}""", // required satisfied, but integer rejects null
+      """{}"""           // key absent -> required fails
+    ).toDF("json")
+      .withColumn("ok", typed.isValid(col("json")))
+      .collect().map(_.getAs[Boolean]("ok"))
+    assert(out2 === Array(true, false, false))
+  }
+
   test("JSON Schema: draft-2020 constraint breadth compiles to one predicate") {
     val c = JsonSchema.compile(
       """{"type":"object","properties":{
