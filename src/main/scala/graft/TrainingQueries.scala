@@ -39,6 +39,22 @@ object TrainingQueries {
     Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.3,
       maxDocFreqFraction = 0.02)
 
+  /** Exact-substring duplication stats: 8-token rolling windows (the
+    * Lee et al. 2022 method scaled to the synthetic corpus).
+    */
+  def qSubstringDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(docs(s, dir), windowTokens = 8)
+
+  /** Winnowing fingerprints: 3-gram hashes, local minimum per window of
+    * 4 consecutive grams (MOSS selection).
+    */
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, dir), n = 3, k = 4)
+
+  /** Per-label embedding centroids in exact fixed-point sums. */
+  def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(embs(s, dir))
+
   /** Brute-force cosine top-10 against vec_id=0. */
   def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(embs(s, dir), queryId = 0L, k = 10)
@@ -231,6 +247,9 @@ object TrainingQueries {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_ivf_trained" -> (qKnnIvfTrained _),
+    "q_substring_dup" -> (qSubstringDup _),
+    "q_winnow" -> (qWinnow _),
+    "q_label_centroids" -> (qLabelCentroids _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -380,6 +399,49 @@ object TrainingQueries {
        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine_r
        |FROM d ORDER BY cosine_r DESC, vec_id LIMIT 5""".stripMargin
   }
+
+  private val substringDupOracle: String = {
+    // the 8-token window string, built the same way the Spark side's
+    // shinglesOfTokens builds it (concat_ws over 8 consecutive tokens)
+    val wincat = (0 until 8).map(j => s"w[i+${j + 1}]").mkString("||' '||")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |win AS (SELECT DISTINCT doc_id, ${dh("sh")} AS wh FROM (
+       |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-7, 0)),
+       |    i -> $wincat)) AS sh
+       |  FROM toks)),
+       |counts AS (SELECT wh, count(*) AS n_docs FROM win GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_windows,
+       |  CAST(count(*) FILTER (WHERE n_docs > 1) AS BIGINT) AS n_shared
+       |FROM win JOIN counts USING (wh)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  private val winnowOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (SELECT doc_id, greatest(len(w)-2, 0) AS n_grams,
+       |  unnest(range(greatest(len(w)-2, 0))) AS pos,
+       |  unnest(list_transform(range(greatest(len(w)-2, 0)),
+       |    i -> ${dh("w[i+1]||' '||w[i+2]||' '||w[i+3]")})) AS g
+       |  FROM toks),
+       |fps AS (SELECT doc_id, pos, n_grams,
+       |  min(g) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM grams)
+       |SELECT doc_id, count(DISTINCT fp) AS n_fp,
+       |  min(fp) AS fp_min, max(fp) AS fp_max
+       |FROM fps WHERE pos <= n_grams - 4
+       |GROUP BY doc_id""".stripMargin
+
+  private val labelCentroidsOracle: String =
+    """WITH e AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qe
+      |  FROM embeddings)
+      |SELECT label, CAST(i AS INT) AS pos, count(*) AS n,
+      |  CAST(sum(qe[i+1]) AS BIGINT) AS sum_q,
+      |  round(CAST(sum(qe[i+1]) AS DOUBLE) / count(*) / 10000000, 6) AS mean_r
+      |FROM e CROSS JOIN range(64) t(i)
+      |GROUP BY 1, 2""".stripMargin
 
   /** nProbe = nCells ⇒ every vector is scanned: the oracle is exact
     * brute-force cosine, independent of where k-means put the cells.
@@ -709,6 +771,9 @@ object TrainingQueries {
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_ivf" -> knnIvfOracle,
     "q_knn_ivf_trained" -> knnIvfTrainedOracle,
+    "q_substring_dup" -> substringDupOracle,
+    "q_winnow" -> winnowOracle,
+    "q_label_centroids" -> labelCentroidsOracle,
     "q_lang_id" -> langIdOracle,
 
     "q_text_stats" ->

@@ -292,6 +292,37 @@ object Dedup {
     labels
   }
 
+  /** Exact-substring duplication stats — the W-token rolling-window
+    * method (public recipe: "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022; windows shrunk from 50 tokens to
+    * `windowTokens` for the synthetic corpus). Every W-token window is
+    * hashed; a window whose hash occurs in more than one document is
+    * SHARED. Returns per doc: n_windows (distinct windows), n_shared
+    * (windows also seen in another doc) — the n_shared/n_windows ratio
+    * is the doc's verbatim-duplication fraction, the usual drop/trim
+    * signal.
+    *
+    * Scale: windows are a map-side explode (rows ≈ tokens), the
+    * hash→doc-count aggregate is partial-agg combinable, and the join
+    * back to per-doc windows is an equi-join on the 8-byte hash. Stats
+    * are counted per WINDOW, never per doc-pair, so a phrase shared by
+    * 10k docs costs 10k rows — not 10k² pairs.
+    */
+  def substringDupStats(docs: DataFrame, windowTokens: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val win = explodedShingles(docs, windowTokens, textCol, idCol)
+      .select(col(idCol), h60(col("sh")).as("wh"))
+      .distinct() // repeated phrase WITHIN a doc counts once
+    val counts = win.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_docs"))
+    win.join(counts, "wh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count_if(col("n_docs") > 1).as("n_shared"))
+  }
+
   /** N-gram Jaccard similarity via inverted-index join: explode distinct
     * word n-grams, equi-join on the n-gram, jaccard = |A∩B|/(|A|+|B|-|A∩B|).
     * Emits pairs with jaccard >= minJaccard (scaled by 10^4 as an exact

@@ -240,4 +240,25 @@ object Similarity {
       .withColumn("amax", amax)
       .withColumn("q", q)
   }
+
+  /** Per-label embedding centroid, exact and order-independent: each
+    * component is quantized to a fixed-point long, then integer-SUMmed
+    * per (label, dimension) — float addition order across partitions can
+    * never wobble the result. The data-selection primitive behind
+    * cluster-balanced sampling and domain drift checks.
+    *
+    * Scale: posexplode makes n×dims rows, but the partial aggregate
+    * compresses every partition to |labels|×dims before the exchange —
+    * the reduce side of a 100 TB corpus sees only the tiny label×dim
+    * grid. No corpus-wide window, no driver collect.
+    */
+  def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
+                     embCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(labelCol),
+        posexplode(quantize(col(embCol))).as(Seq("pos", "q")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .withColumn("mean_r",
+        round(col("sum_q").cast("double") / col("n") / 1e7, 6))
 }

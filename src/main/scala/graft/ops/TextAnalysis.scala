@@ -98,6 +98,41 @@ object TextAnalysis {
       count(lit(1)).as("n_shingles"))
   }
 
+  /** Winnowing fingerprints (the MOSS local-minima selection, Schleimer
+    * et al. 2003): hash every word n-gram, then keep the MINIMUM hash of
+    * each window of k consecutive grams. Guarantees any shared run of
+    * ≥ n+k-1 tokens shares at least one fingerprint while selecting only
+    * ~2/(k+1) of the grams — the standard robust alternative to fixed
+    * stride sampling for plagiarism/near-dup detection.
+    *
+    * Scale: the min-over-k window is PARTITIONED BY doc — thousands of
+    * independent tiny windows per task, never a corpus-wide funnel; docs
+    * shorter than n+k-1 tokens yield no complete window and are absent
+    * from the output (nothing to fingerprint).
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, k: Int = 4,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        greatest(size(col("__toks")) - (n - 1), lit(0)).as("n_grams"),
+        posexplode(Dedup.shinglesOfTokens(col("__toks"), n))
+          .as(Seq("pos", "sh")))
+      .withColumn("g", Dedup.h60(col("sh")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, k - 1)
+    grams
+      .withColumn("fp", min(col("g")).over(w))
+      .filter(col("pos") <= col("n_grams") - k) // complete windows only
+      .groupBy(col(idCol))
+      .agg(
+        count_distinct(col("fp")).as("n_fp"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"))
+  }
+
   /** TF-IDF top-k terms per document, in exact integer arithmetic so the
     * result is engine-deterministic: score = tf * ((N * 1e6) DIV df).
     * One explode, one df aggregate, one window top-k. The tf⋈df join is

@@ -101,6 +101,51 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("substringDupStats: shared 8-token runs are counted, unique docs at 0") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-token window
+    val df = Seq(
+      (1L, s"$shared tail one"),
+      (2L, s"head $shared other end"),
+      (3L, "totally different words with no overlap at all here ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(df, windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 >= 1 && out(2L)._2 >= 1, "shared window not detected")
+    assert(out(3L)._2 === 0, "unique doc reported shared windows")
+    // doc 1: 10 tokens -> 3 windows, all distinct
+    assert(out(1L)._1 === 3)
+  }
+
+  test("winnowFingerprints: deterministic, short docs absent, density sane") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // identical -> identical fingerprints
+      (3L, "a b c d e")            // 5 tokens < n+k-1=6 -> no window
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(df, n = 3, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(!out.contains(3L), "sub-window doc should yield no fingerprints")
+    assert(out(1L) === out(2L), "identical docs diverged")
+    val (nFp, fpMin, fpMax) = out(1L)
+    // 10 tokens -> 8 grams -> 5 complete windows; winnowing dedups mins
+    assert(nFp >= 1 && nFp <= 5 && fpMin <= fpMax)
+  }
+
+  test("labelCentroids: identical vectors recover the vector exactly") {
+    val v = Array(0.5f, -0.25f, 0.0f)
+    val df = Seq((1L, v, 7), (2L, v, 7), (3L, Array(1.0f, 1.0f, 1.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((7, 0)) === ((2L, 10000000L, 0.5)))
+    assert(out((7, 1)) === ((2L, -5000000L, -0.25)))
+    assert(out((7, 2)) === ((2L, 0L, 0.0)))
+    assert(out((8, 0)) === ((1L, 10000000L, 1.0)))
+    assert(out.size === 6)
+  }
+
   test("CC shuffle width scales with the edge count, capped by the cluster") {
     // tiny graph: no point paying multi-partition shuffles
     assert(Dedup.ccPartitionsFor(nEdges = 5000L, defaultParallelism = 32) === 1)

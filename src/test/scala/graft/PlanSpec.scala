@@ -97,4 +97,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       "int8 quantization introduced a shuffle: " + plan.take(400))
   }
+
+  test("substring-dup counts per window (equi-join, never per doc-pair)") {
+    val plan = executedPlan("q_substring_dup")
+    assert(!plan.contains("CartesianProduct"), "substring dup planned a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "substring dup planned a NL join")
+    // window-hash counting must combine map-side before the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "window counting lost map-side partial aggregation")
+  }
+
+  test("winnowing's min-window is partitioned by doc (no global funnel)") {
+    val plan = executedPlan("q_winnow")
+    assert(plan.contains("Window"), plan.take(400))
+    assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
+      "winnow window lost its per-doc partitioning")
+  }
+
+  test("label centroids reduce to the label x dim grid (one aggregate)") {
+    val plan = executedPlan("q_label_centroids")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "centroid sum lost map-side partial aggregation")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      "centroids should be a plain two-phase aggregate: " + plan.take(400))
+  }
 }
