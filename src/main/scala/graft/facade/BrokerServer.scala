@@ -709,41 +709,48 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     }
   }
 
-  // probe results for UNDECLARED topics are cached: the bounded 65-
-  // partition storage scan below sits on the Metadata/assignment hot
-  // path and re-ran on every call. Invalidation: a broker-side produce
-  // to partition p raises the entry to p+1 (noteProducedPartition),
-  // DeleteTopics drops it; declared topics never consult the cache.
-  // A topic grown by a NON-broker writer (direct storage access) won't
-  // be re-probed until its entry is touched — undeclared topics are a
-  // produce-without-createTopic convenience, so the broker is their
-  // only writer in practice.
+  // probe results for UNDECLARED topics are cached with a TTL: the
+  // bounded 65-partition storage scan below sits on the Metadata/
+  // assignment hot path and re-ran on every call. Invalidation: a
+  // broker-side produce to partition p raises the entry to p+1
+  // (noteProducedPartition), DeleteTopics drops it, and the TTL bounds
+  // staleness from writers THIS broker never sees (a second stateless
+  // broker over the same storage root, direct storage access) —
+  // without it a sibling broker's produce to a higher partition would
+  // stay hidden from this broker's metadata forever.
+  private val probeTtlMs = 10000L
   private val probedPartitions =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
   private[graft] def noteProducedPartition(topic: String, p: Int): Unit =
     probedPartitions.computeIfPresent(topic,
-      (_, n) => math.max(n, p + 1))
+      (_, e) => (math.max(e._1, p + 1), e._2))
 
   private def partitionsOf(topic: String): Int = {
     // declared count from createTopic is the source of truth — empty
     // partitions included, so consumers get assigned all of them; the
     // data probe only covers topics produced to without createTopic
     val declared = storage.partitionCount(topic)
-    if (declared > 0) declared
-    else probedPartitions.computeIfAbsent(topic, t => {
-      // scan the whole bounded probe range: key-hash skew can leave an
-      // empty partition BELOW a populated one, and stopping at the first
-      // empty would hide the higher partitions from metadata/assignment
-      var maxSeen = -1
-      var p = 0
-      while (p <= 64) {
-        if (storage.offsetStage(Topition(t, p)).highWatermark > 0)
-          maxSeen = p
-        p += 1
-      }
-      math.max(maxSeen + 1, 1)
-    })
+    if (declared > 0) return declared
+    val now = System.currentTimeMillis()
+    val cached = probedPartitions.get(topic)
+    if (cached != null && now - cached._2 < probeTtlMs) return cached._1
+    // scan the whole bounded probe range: key-hash skew can leave an
+    // empty partition BELOW a populated one, and stopping at the first
+    // empty would hide the higher partitions from metadata/assignment
+    var maxSeen = -1
+    var p = 0
+    while (p <= 64) {
+      if (storage.offsetStage(Topition(topic, p)).highWatermark > 0)
+        maxSeen = p
+      p += 1
+    }
+    val n = math.max(maxSeen + 1, 1)
+    // merge, don't overwrite: a concurrent produce may have raised the
+    // count past what this probe saw
+    val merged = probedPartitions.merge(topic, (n, now),
+      (old, fresh) => (math.max(old._1, fresh._1), fresh._2))
+    merged._1
   }
 
   // T10 — produce byte quota (the Kafka client-quota mechanism): bytes

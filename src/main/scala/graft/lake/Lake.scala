@@ -164,13 +164,17 @@ object Lake {
                zorderCols: Seq[String] = Nil, targetFileMB: Int = 128): Unit = {
     val df = spark.read.option("mergeSchema", "true").parquet(path)
     val sized = {
-      // REAL bytes (one getContentSummary RPC), not files×constant
-      // guesswork: a table of many tiny files would over-partition the
-      // rewrite (32 MB assumed per file), one of fat files would
-      // under-partition it — the same discipline TxLog.optimize uses
-      val p = new org.apache.hadoop.fs.Path(path)
-      val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getContentSummary(p).getLength
+      // REAL bytes of exactly the files this rewrite reads, not
+      // files×constant guesswork (over-partitions many-tiny-files
+      // tables) and not a whole-directory getContentSummary (counts
+      // _graft_log manifests, sidecars, and replaced-but-unvacuumed
+      // files the read skips) — the same discipline TxLog.optimize uses
+      val conf = spark.sparkContext.hadoopConfiguration
+      val bytes = df.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }.sum
       math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     }
     val clustered =

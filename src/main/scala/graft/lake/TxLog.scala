@@ -68,17 +68,28 @@ object TxLog {
 
   /** Refuse non-POSIX table paths: the CAS below is `Files.createLink`,
     * which object-store filesystems cannot honor — a silent fallback
-    * would turn every commit into a racy rename and lose writes.
+    * would turn every commit into a racy rename and lose writes. All
+    * `file:` spellings are normalized (`file:/p`, `file:///p` — the
+    * Hadoop and URI forms — both mean local `/p`); a `file://host/p`
+    * with a real remote authority is refused like any other scheme.
     */
   private def posixTable(table: String): String = {
-    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*):".r
     scheme.findFirstMatchIn(table) match {
-      case Some(m) if m.group(1) == "file" => table.stripPrefix("file://")
-      case Some(m) => throw new IllegalArgumentException(
-        s"TxLog requires a POSIX filesystem (hard-link CAS); got scheme " +
-          s"'${m.group(1)}://' for $table — use the Delta/Iceberg format " +
-          "plug (Lake.writeTable with format=delta/iceberg) on object stores")
       case None => table
+      case Some(m) if m.group(1) != "file" =>
+        throw new IllegalArgumentException(
+          s"TxLog requires a POSIX filesystem (hard-link CAS); got scheme " +
+            s"'${m.group(1)}:' for $table — use the Delta/Iceberg format " +
+            "plug (Lake.writeTable with format=delta/iceberg) on object stores")
+      case Some(_) =>
+        val uri = java.net.URI.create(table)
+        val remote = Option(uri.getHost).exists(h =>
+          h.nonEmpty && h != "localhost")
+        if (remote || uri.getPath == null || uri.getPath.isEmpty)
+          throw new IllegalArgumentException(
+            s"TxLog requires a LOCAL file: path; cannot use $table")
+        uri.getPath
     }
   }
 
@@ -145,12 +156,18 @@ object TxLog {
       }
     }
     val (cpVersion, checkpoint) = cp.get
-    val files = chain.foldLeft(checkpoint.files) {
+    val folded = chain.foldLeft(checkpoint.files) {
       case (fs, (_, Delta(_, adds, removes))) =>
         val dead = removes.toSet
         (if (dead.isEmpty) fs else fs.filterNot(dead)) ++ adds
       case (fs, _) => fs
     }
+    // dedup (order-preserving): two appenders racing on a BRAND-NEW
+    // table can both bootstrap the same pre-log file into their commits
+    // (the loser's staged files are indistinguishable from legacy data
+    // during the winner's pre-log walk), and a doubled path here would
+    // double-count its rows in every read
+    val files = folded.distinct
     val schemaJson =
       chain.lastOption.map(_._2.schemaJson).getOrElse(checkpoint.schemaJson)
     Some(Snapshot(latest, schemaJson, files, cpVersion))
@@ -244,25 +261,37 @@ object TxLog {
   def append(df: DataFrame, table: String,
              partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long = {
     val t = posixTable(table)
-    // capture pre-log files BEFORE staging ours into the same layout
-    val preLog =
-      if (currentSnapshot(t).isEmpty) preLogDataFiles(t) else Nil
+    // ONE snapshot read seeds both the bootstrap decision and the first
+    // CAS attempt (this is the produce hot path — a second listing+fold
+    // per call is pure waste); pre-log files are captured BEFORE staging
+    // ours into the same layout
+    var snap = currentSnapshot(t)
+    val preLog = if (snap.isEmpty) preLogDataFiles(t) else Nil
     val newFiles = stageDataFiles(df, t, partitionCols)
     val schemaJson = df.schema.json
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val snap = currentSnapshot(t)
-      val base = snap.map(_.files).getOrElse(preLog)
-      val next = snap.map(_.version + 1).getOrElse(0L)
-      // a delta chain never exceeds the interval (forall on None is
-      // true, so a first commit is always a checkpoint)
-      val checkpointDue =
-        snap.forall(s => next - s.checkpointVersion >= CheckpointInterval)
-      val m =
-        if (checkpointDue) Checkpoint(schemaJson, base ++ newFiles)
-        else Delta(schemaJson, newFiles, Nil)
-      if (tryCommit(t, next, m)) return next
-      attempt += 1
+    // ANY non-success exit must unstage: the files are already in the
+    // visible layout, and an exception escaping the loop (not just
+    // contention) would otherwise leave plain-reader-visible orphans
+    try {
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val base = snap.map(_.files).getOrElse(preLog)
+        val next = snap.map(_.version + 1).getOrElse(0L)
+        // a delta chain never exceeds the interval (forall on None is
+        // true, so a first commit is always a checkpoint)
+        val checkpointDue =
+          snap.forall(s => next - s.checkpointVersion >= CheckpointInterval)
+        // distinct: a lost-bootstrap retry's base may already carry our
+        // preLog view of a racer's files (see currentSnapshot's dedup)
+        val m =
+          if (checkpointDue) Checkpoint(schemaJson, (base ++ newFiles).distinct)
+          else Delta(schemaJson, newFiles, Nil)
+        if (tryCommit(t, next, m)) return next
+        attempt += 1
+        snap = currentSnapshot(t)
+      }
+    } catch {
+      case e: Throwable => unstage(t, newFiles); throw e
     }
     unstage(t, newFiles)
     throw new IllegalStateException(s"append($t): commit contention")

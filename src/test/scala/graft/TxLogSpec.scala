@@ -162,10 +162,16 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.currentSnapshot("hdfs://nn/table")
     }
-    // file:// is local — accepted (prefix stripped)
+    // file: is local — accepted in BOTH spellings (URI triple-slash and
+    // Hadoop single-slash), normalized to the same path
     val table = newTable()
     TxLog.append(df, s"file://$table")
-    assert(TxLog.read(spark, table).count() === 1)
+    TxLog.append(Seq((2L, "b")).toDF("id", "s"), s"file:$table")
+    assert(TxLog.read(spark, table).count() === 2)
+    // a REMOTE file authority is refused like any foreign scheme
+    intercept[IllegalArgumentException] {
+      TxLog.currentSnapshot("file://some-host/tmp/t")
+    }
   }
 
   test("a commit that gives up unstages its data files (no orphans)") {
