@@ -45,6 +45,16 @@ object TrainingQueries {
   def qSubstringDup(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDupStats(docs(s, dir), windowTokens = 8)
 
+  /** Cross-corpus incremental dedup: docs 250+ are the "incoming batch",
+    * docs 0-249 the already-ingested corpus; bipartite LSH candidates.
+    */
+  def qCrossDedup(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(docs(s, dir), numHashes = 8, shingleN = 3)
+    Dedup.lshCrossCorpusPairs(
+      sig.filter(col("doc_id") >= 250), sig.filter(col("doc_id") < 250),
+      numHashes = 8, rowsPerBand = 2)
+  }
+
   /** Winnowing fingerprints: 3-gram hashes, local minimum per window of
     * 4 consecutive grams (MOSS selection).
     */
@@ -248,6 +258,7 @@ object TrainingQueries {
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_substring_dup" -> (qSubstringDup _),
+    "q_cross_dedup" -> (qCrossDedup _),
     "q_winnow" -> (qWinnow _),
     "q_label_centroids" -> (qLabelCentroids _),
     "q_text_stats" -> (qTextStats _),
@@ -301,6 +312,29 @@ object TrainingQueries {
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |WHERE a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private val crossDedupOracle: String = {
+    val P = graft.ops.Dedup.MinhashP
+    val mins = (0 until 8).map { k =>
+      val a = 1103515245L * (k + 1) % P
+      val b = 12345L * (2 * k + 1) % P
+      s"min(($a * (${dh("sh")} % $P) + $b) % $P) AS mh$k"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_idx, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""${shingleCte.trim},
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |WHERE a.doc_id >= 250 AND b.doc_id < 250""".stripMargin
   }
 
   private val simhashOracle: String = {
@@ -772,6 +806,7 @@ object TrainingQueries {
     "q_knn_ivf" -> knnIvfOracle,
     "q_knn_ivf_trained" -> knnIvfTrainedOracle,
     "q_substring_dup" -> substringDupOracle,
+    "q_cross_dedup" -> crossDedupOracle,
     "q_winnow" -> winnowOracle,
     "q_label_centroids" -> labelCentroidsOracle,
     "q_lang_id" -> langIdOracle,

@@ -92,28 +92,58 @@ object Dedup {
     * with doc_a < doc_b. The join is an equi-join on (band_idx, band_key) —
     * shuffle-partitionable, no cartesian product.
     */
-  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int,
-                        idCol: String = "doc_id"): DataFrame = {
+  /** (id, band_idx, band_key) rows for a signature table — the shared
+    * banding step of the self-join and cross-corpus LSH variants.
+    *
+    * Band key: the rowsPerBand min-hashes packed base-P into ONE long
+    * (each mh < P = 2^31-1, so two pack exactly into 62 bits) — an
+    * 8-byte exact join key instead of a ~20-byte concat string, which
+    * is shuffle bytes and hash-compare cost saved on the join.
+    * Wider bands fall back to the string concat (P^3 overflows).
+    */
+  def lshBands(signatures: DataFrame, numHashes: Int, rowsPerBand: Int,
+               idCol: String = "doc_id"): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // band key: the rowsPerBand min-hashes packed base-P into ONE long
-    // (each mh < P = 2^31-1, so two pack exactly into 62 bits) — an
-    // 8-byte exact join key instead of a ~20-byte concat string, which
-    // is shuffle bytes and hash-compare cost saved on the self-join.
-    // Wider bands fall back to the string concat (P^3 overflows).
     val bandKey = (b: Int) =>
       if (rowsPerBand <= 2)
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
           .reduce((a, c) => a * lit(MinhashP + 1) + c)
       else
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-    val bands = signatures.select(
+    signatures.select(
       col(idCol),
       posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    val bands = lshBands(signatures, numHashes, rowsPerBand, idCol)
     val a = bands.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Cross-corpus LSH: candidate near-dup pairs between a NEW batch and
+    * the EXISTING corpus — the incremental-ingest question ("is this
+    * incoming doc a near-dup of anything already kept?"). Same banding
+    * as [[lshCandidatePairs]] but a BIPARTITE equi-join: no new×new or
+    * corpus×corpus pairs, so a daily batch never re-pairs the full
+    * corpus against itself. At 100 TB the corpus side's band table is
+    * computed once and persisted (it only grows by appends); each
+    * ingest batch joins its own (small) band table against it,
+    * shuffle-partitioned on the 8-byte band key.
+    */
+  def lshCrossCorpusPairs(newSigs: DataFrame, corpusSigs: DataFrame,
+                          numHashes: Int, rowsPerBand: Int,
+                          idCol: String = "doc_id"): DataFrame = {
+    val n = lshBands(newSigs, numHashes, rowsPerBand, idCol)
+      .withColumnRenamed(idCol, "new_id")
+    val c = lshBands(corpusSigs, numHashes, rowsPerBand, idCol)
+      .withColumnRenamed(idCol, "corpus_id")
+    n.join(c, Seq("band_idx", "band_key"))
+      .select("new_id", "corpus_id").distinct()
   }
 
   /** 32-bit SimHash over the word multiset: bit j of the sketch is set iff

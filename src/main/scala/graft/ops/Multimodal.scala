@@ -127,8 +127,9 @@ object Multimodal {
   /** REAL container-header sniffing — this part needs no codec library:
     * dimensions and durations live in the first bytes of every common
     * container (PNG IHDR, JPEG SOF markers, GIF screen descriptor, BMP
-    * info header, WAV fmt/data chunks). Only pixel/sample DECODE stays
-    * stubbed; format detection and metadata extraction are real.
+    * info header, WAV fmt/data chunks, MP4 moov/mvhd/tkhd boxes). Only
+    * pixel/sample DECODE stays stubbed; format detection and metadata
+    * extraction are real.
     */
   object Probe {
     final case class Info(format: String, modality: String,
@@ -172,6 +173,78 @@ object Multimodal {
       // BMP: BITMAPINFOHEADER at offset 14
       if (ascii(p, 0, 2) == "BM" && p.length >= 26)
         return Some(Info("bmp", "image", le32(p, 18), math.abs(le32(p, 22)), -1L))
+      // MP4 / ISO BMFF: top-level box walk to moov, then moov→mvhd for
+      // timescale+duration and moov→trak→tkhd for the video dimensions.
+      // Box sizes are hostile input: size 0 (= to-end) and size 1
+      // (64-bit largesize) are handled, and every step must advance.
+      if (p.length >= 12 && ascii(p, 4, 4) == "ftyp") {
+        def boxAt(i: Int): Option[(String, Int, Int)] = { // (type, payloadStart, end)
+          if (i + 8 > p.length) return None
+          var size = be32(p, i).toLong & 0xffffffffL
+          var payloadStart = i + 8
+          if (size == 1) { // 64-bit largesize follows the type
+            if (i + 16 > p.length) return None
+            val hi = be32(p, i + 8).toLong & 0xffffffffL
+            val lo = be32(p, i + 12).toLong & 0xffffffffL
+            size = (hi << 32) | lo
+            payloadStart = i + 16
+          } else if (size == 0) size = p.length.toLong - i // to end of file
+          val end = i + size
+          if (size < 8 || end > p.length || end <= i || payloadStart > end)
+            None
+          else Some((ascii(p, i + 4, 4), payloadStart, end.toInt))
+        }
+        def findChild(from: Int, until: Int, tpe: String): Option[(Int, Int)] = {
+          var i = from
+          while (i + 8 <= until) {
+            boxAt(i) match {
+              case Some((t, ps, end)) if end <= until =>
+                if (t == tpe) return Some((ps, end))
+                i = end
+              case _ => return None
+            }
+          }
+          None
+        }
+        var durationMs = -1L
+        var width = -1
+        var height = -1
+        findChild(0, p.length, "moov").foreach { case (moovStart, moovEnd) =>
+          findChild(moovStart, moovEnd, "mvhd").foreach { case (ps, end) =>
+            val v = p(ps) & 0xff // version: 0 = 32-bit times, 1 = 64-bit
+            if (v == 0 && ps + 20 <= end) {
+              val timescale = be32(p, ps + 12).toLong & 0xffffffffL
+              val duration = be32(p, ps + 16).toLong & 0xffffffffL
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            } else if (v == 1 && ps + 32 <= end) {
+              val timescale = be32(p, ps + 20).toLong & 0xffffffffL
+              val duration = ((be32(p, ps + 24).toLong & 0xffffffffL) << 32) |
+                (be32(p, ps + 28).toLong & 0xffffffffL)
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            }
+          }
+          // first trak carrying a nonzero tkhd width/height is the video
+          var i = moovStart
+          while ((width < 0 || height < 0) && i + 8 <= moovEnd) {
+            boxAt(i) match {
+              case Some((t, ps, end)) if end <= moovEnd =>
+                if (t == "trak")
+                  findChild(ps, end, "tkhd").foreach { case (tps, tend) =>
+                    val v = p(tps) & 0xff
+                    val dimOff = if (v == 1) 88 else 76 // 16.16 fixed-point
+                    if (tps + dimOff + 8 <= tend) {
+                      val w = be32(p, tps + dimOff) >>> 16
+                      val h = be32(p, tps + dimOff + 4) >>> 16
+                      if (w > 0 && h > 0) { width = w; height = h }
+                    }
+                  }
+                i = end
+              case _ => i = moovEnd // malformed child: stop the walk
+            }
+          }
+        }
+        return Some(Info("mp4", "video", width, height, durationMs))
+      }
       // WAV: RIFF....WAVE, then fmt (byte rate) and data (size) chunks
       if (ascii(p, 0, 4) == "RIFF" && ascii(p, 8, 4) == "WAVE") {
         var i = 12

@@ -20,7 +20,7 @@ object ExplainProbe {
       p.split('\n').filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .take(4).foreach(l => println("  " + l.trim.take(160)))
     }
-    Seq("q5_nation_revenue", "q3_top_revenue", "q_fetch_budget", "q1_pricing_summary").foreach(plan)
+    sys.env.get("PROBE_QUERIES").map(_.split(",").toSeq).getOrElse(Seq("q5_nation_revenue", "q3_top_revenue", "q_fetch_budget", "q1_pricing_summary")).foreach(plan)
     s.stop()
   }
 }

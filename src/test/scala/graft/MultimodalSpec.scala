@@ -87,6 +87,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Probe.sniff(wav.array()) ===
       Some(Probe.Info("wav", "audio", -1, -1, 2000L)))
 
+    // MP4 (ISO BMFF): ftyp, then moov{mvhd(timescale 1000, duration
+    // 2500 -> 2500 ms), trak{tkhd v0 with 640x360 as 16.16 fixed}}
+    val mvhd = alloc(8 + 4 + 96)
+      .putInt(8 + 4 + 96).put("mvhd".getBytes)
+      .putInt(0)            // version 0 + flags
+      .putInt(0).putInt(0)  // creation, modification
+      .putInt(1000)         // timescale
+      .putInt(2500)         // duration
+      .array()
+    val tkhd = alloc(8 + 4 + 88)
+      .putInt(8 + 4 + 88).put("tkhd".getBytes)
+      .putInt(0)                         // version 0 + flags
+      .put(new Array[Byte](72))          // times/ids/layer/matrix
+      .putInt(640 << 16).putInt(360 << 16) // width, height (16.16)
+      .array()
+    val trak = alloc(8 + tkhd.length)
+      .putInt(8 + tkhd.length).put("trak".getBytes).put(tkhd).array()
+    val moov = alloc(8 + mvhd.length + trak.length)
+      .putInt(8 + mvhd.length + trak.length).put("moov".getBytes)
+      .put(mvhd).put(trak).array()
+    val mp4 = alloc(16 + moov.length)
+      .putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      .put(moov).array()
+    assert(Probe.sniff(mp4) === Some(Probe.Info("mp4", "video", 640, 360, 2500L)))
+    // hostile box sizes must not loop or crash: zero-size moov child,
+    // truncated payload
+    val hostile = alloc(32)
+      .putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      .putInt(0).put("moov".getBytes).putInt(0).putInt(0).array()
+    assert(Probe.sniff(hostile) === Some(Probe.Info("mp4", "video", -1, -1, -1L)))
+    assert(Probe.sniff(mp4.take(20)) ===
+      Some(Probe.Info("mp4", "video", -1, -1, -1L)))
+
     // garbage and null stay unprobed
     assert(Probe.sniff(Array.fill[Byte](32)(0x42)) === None)
     assert(Probe.sniff(null) === None)

@@ -101,6 +101,24 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("lshCrossCorpusPairs: bipartite only — new docs pair with corpus, never each other") {
+    val corpus = docs.filter(col("doc_id") < 50)
+    // two IDENTICAL new docs, both near-dups of corpus doc 0
+    val newDocs = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(9001L))
+      .union(docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(9002L)))
+    val sigC = Dedup.minhashSignatures(corpus, 8, 3)
+    val sigN = Dedup.minhashSignatures(newDocs, 8, 3)
+    val pairs = Dedup.lshCrossCorpusPairs(sigN, sigC, 8, 2).cache()
+    // both new docs hit their corpus original
+    assert(pairs.filter(col("new_id") === 9001L && col("corpus_id") === 0L).count() === 1)
+    assert(pairs.filter(col("new_id") === 9002L && col("corpus_id") === 0L).count() === 1)
+    // bipartite: corpus ids only on the corpus side, new ids only on the new side
+    assert(pairs.filter(col("new_id") < 9000L || col("corpus_id") >= 9000L).count() === 0)
+    pairs.unpersist()
+    ()
+  }
+
   test("substringDupStats: shared 8-token runs are counted, unique docs at 0") {
     val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-token window
     val df = Seq(
