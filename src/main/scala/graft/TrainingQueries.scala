@@ -55,6 +55,19 @@ object TrainingQueries {
       numHashes = 8, rowsPerBand = 2)
   }
 
+  /** Cross-source duplication matrix over 8-token windows. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlapMatrix(docs(s, dir), windowTokens = 8)
+
+  /** Leakage-free split: near-dup clusters (MinHash pairs → CC) land in
+    * one split atomically; ~10% validation.
+    */
+  def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.connectedComponents(qDedupMinhash(s, dir))
+    Curation.leakageFreeSplit(docs(s, dir), clusters,
+      validationPerMille = 100)
+  }
+
   /** Winnowing fingerprints: 3-gram hashes, local minimum per window of
     * 4 consecutive grams (MOSS selection).
     */
@@ -259,6 +272,8 @@ object TrainingQueries {
     "q_knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_substring_dup" -> (qSubstringDup _),
     "q_cross_dedup" -> (qCrossDedup _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_leakage_split" -> (qLeakageSplit _),
     "q_winnow" -> (qWinnow _),
     "q_label_centroids" -> (qLabelCentroids _),
     "q_text_stats" -> (qTextStats _),
@@ -530,6 +545,30 @@ object TrainingQueries {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS doc_id, least(min(b), a) AS cluster
        |FROM reach GROUP BY a""".stripMargin
+
+  private val sourceOverlapOracle: String = {
+    val wincat = (0 until 8).map(j => s"w[i+${j + 1}]").mkString("||' '||")
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |win AS (SELECT DISTINCT source AS src, ${dh("sh")} AS wh FROM (
+       |  SELECT source, unnest(list_transform(range(greatest(len(w)-7, 0)),
+       |    i -> $wincat)) AS sh
+       |  FROM toks))
+       |SELECT a.src AS source_a, b.src AS source_b,
+       |  count(*) AS n_shared_windows
+       |FROM win a JOIN win b ON a.wh = b.wh AND a.src < b.src
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  private val leakageSplitOracle: String = {
+    val key = "coalesce(c.cluster, d.doc_id)"
+    s"""WITH comp AS (
+       |$clustersOracle
+       |)
+       |SELECT d.doc_id, $key AS split_key,
+       |  CASE WHEN ${dh(s"'split|' || CAST($key AS VARCHAR)")} % 1000 < 100
+       |       THEN 'validation' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
+  }
 
   /** Quality + token count per doc (mirrors TextAnalysis.qualityScore). */
   private val scoredCte: String =
@@ -807,6 +846,8 @@ object TrainingQueries {
     "q_knn_ivf_trained" -> knnIvfTrainedOracle,
     "q_substring_dup" -> substringDupOracle,
     "q_cross_dedup" -> crossDedupOracle,
+    "q_source_overlap" -> sourceOverlapOracle,
+    "q_leakage_split" -> leakageSplitOracle,
     "q_winnow" -> winnowOracle,
     "q_label_centroids" -> labelCentroidsOracle,
     "q_lang_id" -> langIdOracle,

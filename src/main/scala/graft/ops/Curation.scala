@@ -276,4 +276,30 @@ object Curation {
       .select(col(domainCol), col("n_docs"), col("n_tokens"),
         col("share_e6"), col("target_e6"), col("weight_e6"))
   }
+
+  /** Leakage-free train/validation split: a near-dup CLUSTER is
+    * assigned to one split atomically — hashing the cluster id, not the
+    * doc id — so two near-duplicate documents can never straddle train
+    * and validation (the classic eval-contamination bug); docs outside
+    * any cluster (no near-dup pair) hash on their own id. Deterministic
+    * and rerun-stable, same hash-threshold discipline as
+    * [[graft.ops.TextAnalysis.stratifiedSample]].
+    *
+    * Scale: `clusters` is the pair-graph-sized CC output (orders of
+    * magnitude smaller than the corpus); the corpus LEFT-joins it on
+    * doc id — one shuffle — and the split decision is map-side hash
+    * arithmetic.
+    */
+  def leakageFreeSplit(docs: DataFrame, clusters: DataFrame,
+                       validationPerMille: Int, salt: String = "split",
+                       idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol))
+      .join(clusters.select(col(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
+      .withColumn("split",
+        when(pmod(Dedup.h60(concat(lit(s"$salt|"),
+            col("split_key").cast("string"))), lit(1000L))
+          < validationPerMille, lit("validation"))
+          .otherwise(lit("train")))
+      .select(col(idCol), col("split_key"), col("split"))
 }

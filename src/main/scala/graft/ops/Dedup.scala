@@ -353,6 +353,31 @@ object Dedup {
         count_if(col("n_docs") > 1).as("n_shared"))
   }
 
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct W-token windows both carry — the dataset-AUDIT view of
+    * [[substringDupStats]] (which reports per doc). Posting lists are
+    * (window-hash, source) pairs, so a window shared by s sources costs
+    * s(s-1)/2 matrix contributions where s is bounded by the SOURCE
+    * count — never by document count. The usual "which crawls/site dumps
+    * overlap before we pay to dedup them" planning query.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, windowTokens: Int,
+                          sourceCol: String = "source",
+                          textCol: String = "text"): DataFrame = {
+    val win = docs
+      .select(col(sourceCol).as("src"), tokens(col(textCol)).as("__toks"))
+      .select(col("src"),
+        explode(shinglesOfTokens(col("__toks"), windowTokens)).as("sh"))
+      .select(col("src"), h60(col("sh")).as("wh"))
+      .distinct()
+    val a = win.select(col("wh"), col("src").as("source_a"))
+    val b = win.select(col("wh"), col("src").as("source_b"))
+    a.join(b, "wh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** N-gram Jaccard similarity via inverted-index join: explode distinct
     * word n-grams, equi-join on the n-gram, jaccard = |A∩B|/(|A|+|B|-|A∩B|).
     * Emits pairs with jaccard >= minJaccard (scaled by 10^4 as an exact

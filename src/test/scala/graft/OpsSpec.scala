@@ -164,6 +164,41 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.size === 6)
   }
 
+  test("leakageFreeSplit: a near-dup cluster never straddles the split") {
+    import graft.ops.Curation
+    val d = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3}, {10,11}; everything else singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    val out = Curation.leakageFreeSplit(d, clusters, validationPerMille = 300)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === 200)
+    // atomic cluster assignment: same key, same split
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size === 1)
+    assert(Seq(10L, 11L).map(out(_)).distinct.size === 1)
+    // singletons key on their own id
+    assert(out(50L)._1 === 50L)
+    // ~30% validation, deterministic
+    val nVal = out.values.count(_._2 == "validation")
+    assert(nVal > 30 && nVal < 120, s"validation fraction off: $nVal/200")
+    val rerun = Curation.leakageFreeSplit(d, clusters, validationPerMille = 300)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.forall { case (id, (_, s)) => rerun(id) == s })
+  }
+
+  test("sourceOverlapMatrix: shared windows counted per source pair") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"$shared alpha one", "srcA"),
+      (2L, s"beta $shared two", "srcB"),
+      (3L, "gamma delta epsilon zeta eta theta iota kappa lambda mu", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(df, windowTokens = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("srcA", "srcB")) === 1L) // exactly the planted window
+    assert(!m.contains(("srcA", "srcC")) && !m.contains(("srcB", "srcC")))
+  }
+
   test("CC shuffle width scales with the edge count, capped by the cluster") {
     // tiny graph: no point paying multi-partition shuffles
     assert(Dedup.ccPartitionsFor(nEdges = 5000L, defaultParallelism = 32) === 1)
