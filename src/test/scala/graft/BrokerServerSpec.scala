@@ -1564,6 +1564,63 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker2.close()
   }
 
+  test("request-decode fuzz: hostile frames never wedge the broker") {
+    // the socket analog of the reference's fuzz_request_decode corpus
+    // (fuzz/fuzz_targets/fuzz_request_decode.rs): arbitrary bytes into
+    // the framing layer must produce a response or a dropped connection
+    // — never a hang, never a dead server. Seeded, so failures replay.
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-fz").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("fz", 1)
+    val broker = new BrokerServer(storage)
+    val rnd = new scala.util.Random(42)
+    try {
+      (0 until 60).foreach { i =>
+        val sock = new Socket("127.0.0.1", broker.boundPort)
+        sock.setSoTimeout(15000) // a hang surfaces as a timeout failure
+        try {
+          val out = new DataOutputStream(sock.getOutputStream)
+          val n = 1 + rnd.nextInt(48)
+          val frame = new Array[Byte](n)
+          rnd.nextBytes(frame)
+          // half the corpus routes to REAL api keys (hostile version +
+          // truncated/garbage body) so the fuzz reaches body parsers,
+          // not just the unknown-key arm
+          if (i % 2 == 0 && n >= 8) {
+            val keys = Array[Byte](0, 1, 2, 3, 8, 9, 10, 11, 17, 18, 19, 32)
+            frame(0) = 0
+            frame(1) = keys(rnd.nextInt(keys.length))
+          }
+          out.writeInt(frame.length)
+          out.write(frame)
+          out.flush()
+          // a response byte or an orderly close are both fine
+          try sock.getInputStream.read()
+          catch { case _: java.net.SocketException => } // reset = dropped
+        } finally sock.close()
+      }
+      // hostile length fields (negative, 2 GiB) must drop, not allocate
+      Seq(Int.MinValue, -1, Int.MaxValue).foreach { badLen =>
+        val sock = new Socket("127.0.0.1", broker.boundPort)
+        sock.setSoTimeout(15000)
+        try {
+          val out = new DataOutputStream(sock.getOutputStream)
+          out.writeInt(badLen)
+          out.write(Array[Byte](1, 2, 3, 4))
+          out.flush()
+          try assert(sock.getInputStream.read() === -1)
+          catch { case _: java.net.SocketException => }
+        } finally sock.close()
+      }
+      // the server is still healthy: a clean client round-trips
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      sock.setSoTimeout(15000)
+      val r = request(sock, 18, 0, 4242)(_ => ())
+      assert(r.getShort === 0) // ApiVersions error code 0
+      sock.close()
+    } finally broker.close()
+  }
+
   test("undeclared-topic partition probe is cached and produce-invalidated") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker-pc").toString
     val storage = new ParquetStorage(spark, root)
