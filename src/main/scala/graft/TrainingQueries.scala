@@ -125,6 +125,21 @@ object TrainingQueries {
     TextAnalysis.subwordTokenCount(docs(s, dir))
       .select("doc_id", "n_subword_tokens")
 
+  /** Corpus-trained bigram LM score (avg conditional probability ×1e6). */
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(docs(s, dir))
+      .select("doc_id", "n_bigrams", "lm_score_e6")
+
+  /** Rare-token rate: corpus share below 1% marks a token rare. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(docs(s, dir), rareShareDenom = 100L)
+      .select("doc_id", "n_tokens", "n_rare", "rare_rate_e6")
+
+  /** Hashing-trick 64-dim signed bag-of-words features, long form. */
+  def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.featureHash(docs(s, dir), dims = 64)
+      .select("doc_id", "bucket", "feat")
+
   /** Pairs -> clusters: connected components over the MinHash candidate
     * pairs, canonical doc = min cluster member.
     */
@@ -280,7 +295,10 @@ object TrainingQueries {
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),
-    "q_subword_tokens" -> (qSubwordTokens _)
+    "q_subword_tokens" -> (qSubwordTokens _),
+    "q_lm_score" -> (qLmScore _),
+    "q_oov_rate" -> (qOovRate _),
+    "q_feature_hash" -> (qFeatureHash _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -893,6 +911,51 @@ object TrainingQueries {
       """SELECT doc_id,
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |    w -> 1 + strlen(w) // 4)) AS BIGINT) AS n_subword_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
+         |    i -> w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
+         |inst AS (
+         |  SELECT doc_id, ${dh("sh")} AS bgh,
+         |    ${dh("string_split(sh, ' ')[1]")} AS pw FROM bg),
+         |byd AS (
+         |  SELECT doc_id, bgh, pw, count(*) AS m FROM inst GROUP BY 1, 2, 3),
+         |c2 AS (SELECT bgh, sum(m) AS c2 FROM byd GROUP BY 1),
+         |c1 AS (SELECT pw, sum(m) AS c1 FROM byd GROUP BY 1)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(m * (c2.c2 * 1000000 // c1.c1)) // sum(m) AS BIGINT)
+         |    AS lm_score_e6
+         |FROM byd JOIN c2 USING (bgh) JOIN c1 USING (pw)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |inst AS (SELECT doc_id, ${dh("w")} AS tw FROM t),
+         |byd AS (SELECT doc_id, tw, count(*) AS m FROM inst GROUP BY 1, 2),
+         |v AS (SELECT tw, sum(m) AS cnt FROM byd GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS tot FROM v)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN cnt * 100 < tot THEN m ELSE 0 END) AS BIGINT)
+         |    AS n_rare,
+         |  CAST(sum(CASE WHEN cnt * 100 < tot THEN m ELSE 0 END) * 1000000
+         |    // sum(m) AS BIGINT) AS rare_rate_e6
+         |FROM byd JOIN v USING (tw) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |inst AS (
+         |  SELECT doc_id, ${dh("w")} % 64 AS bucket,
+         |    CASE WHEN (${dh("w")} // 4294967296) % 2 = 1 THEN -1 ELSE 1 END
+         |      AS sign
+         |  FROM t)
+         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS feat
+         |FROM inst GROUP BY 1, 2""".stripMargin
   )
 }

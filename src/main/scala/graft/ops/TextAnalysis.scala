@@ -270,4 +270,105 @@ object TextAnalysis {
           .orderBy(col("n_occurrences").desc, col("pair").asc)))
       .select(col("rank"), col("pair"), col("n_occurrences"))
   }
+
+  /** Corpus-trained bigram language-model score per document — the
+    * perplexity-proxy quality filter (CCNet/Gopher-style "does this doc
+    * look like the corpus" signal) in exact integer arithmetic. The
+    * "model" is the corpus itself: P(w2|w1) = c(w1 w2) / c(w1 ·), both
+    * counts over ALL bigram instances (with multiplicity). Each doc is
+    * scored by the average conditional probability of its own bigrams,
+    * scaled by 1e6 with integer division so Spark and the SQL oracle
+    * agree bit-for-bit. Low scores = improbable word sequences =
+    * gibberish/noise candidates; high = fluent (or boilerplate).
+    *
+    * Scale shape: one explode (rows ≈ tokens), a per-(doc, bigram)
+    * multiplicity aggregate (map-side combinable), two count tables
+    * whose cardinality is the bigram/prefix vocabulary — orders of
+    * magnitude below the instance count — and two equi-joins on 8-byte
+    * hashes. No all-pairs stage, no window. At 100 TB the count tables
+    * are the natural broadcast candidates when the vocab fits; the
+    * equi-join degrades gracefully to a shuffle join when it does not.
+    * Returns (doc_id, n_bigrams, lm_score_e6).
+    */
+  def lmScore(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val inst = Dedup.explodedShingles(docs, 2, textCol, idCol)
+      .select(col(idCol),
+        Dedup.h60(col("sh")).as("bg"),
+        Dedup.h60(split(col("sh"), " ")(0)).as("pw"))
+    // multiplicity per (doc, bigram) FIRST: the count-table joins then
+    // run over distinct-per-doc rows, not every token instance
+    val byDoc = inst.groupBy(col(idCol), col("bg"), col("pw"))
+      .agg(count(lit(1)).as("m"))
+    val bigramCounts = byDoc.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val prefixCounts = byDoc.groupBy(col("pw")).agg(sum(col("m")).as("c1"))
+    byDoc
+      .join(bigramCounts, "bg")
+      .join(prefixCounts, "pw")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        expr("sum(m * (c2 * 1000000 DIV c1)) DIV sum(m)").as("lm_score_e6"))
+  }
+
+  /** Rare-token (pseudo-OOV) rate per document: the fraction of token
+    * instances whose corpus-wide SHARE is below 1/`rareShareDenom`
+    * (share, not absolute count, so the same threshold means the same
+    * thing at sf0.01 and at 100 TB). Docs dominated by tokens the
+    * corpus has essentially never seen are encoding noise, mojibake,
+    * or code soup — the standard cheap companion to the LM score
+    * above. Rates are ×1e6 integer so both engines agree exactly.
+    *
+    * One explode + per-(doc, token) multiplicity aggregate + a
+    * vocabulary count table joined back on the 8-byte token hash —
+    * the same linear, window-free shape as [[lmScore]]. The corpus
+    * total is a one-row aggregate broadcast to the scorers.
+    * Returns (doc_id, n_tokens, n_rare, rare_rate_e6).
+    */
+  def oovRate(docs: DataFrame, rareShareDenom: Long = 100L,
+              textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val inst = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("w"))
+      .select(col(idCol), Dedup.h60(col("w")).as("tw"))
+    val byDoc = inst.groupBy(col(idCol), col("tw"))
+      .agg(count(lit(1)).as("m"))
+    val vocab = byDoc.groupBy(col("tw")).agg(sum(col("m")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("tot"))
+    byDoc.join(vocab, "tw")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("m")).as("n_tokens"),
+        sum(when(col("cnt") * lit(rareShareDenom) < col("tot"), col("m"))
+          .otherwise(lit(0L))).as("n_rare"))
+      .withColumn("rare_rate_e6", expr("n_rare * 1000000 DIV n_tokens"))
+  }
+
+  /** Feature-hashing (hashing-trick) bag-of-words vectors in long form:
+    * every token instance is routed to bucket h60(w) mod `dims` with a
+    * ±1 sign drawn from an independent hash bit (bit 32 — disjoint from
+    * the bucket bits for any dims ≤ 2^32, so the sign is not a function
+    * of the bucket). Signed sums make collisions cancel in expectation
+    * (Weinberger et al. 2009) — the classic text→vector featurizer
+    * feeding ANN / clustering when no learned embedding exists yet.
+    * Long-form (doc_id, bucket, feat) output keeps the oracle exact and
+    * lets downstream ops pivot to arrays only when they need to.
+    *
+    * One explode + one map-side-combining aggregate on (doc, bucket);
+    * no joins, no window — embarrassingly parallel at any scale.
+    */
+  def featureHash(docs: DataFrame, dims: Int, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(dims > 0 && dims <= (1 << 30), s"dims out of range: $dims")
+    val th = Dedup.h60(col("w"))
+    docs
+      .select(col(idCol), explode(toks(col(textCol))).as("w"))
+      .select(col(idCol),
+        pmod(th, lit(dims.toLong)).as("bucket"),
+        when(shiftright(th, 32).bitwiseAND(lit(1L)) === 1L, lit(-1L))
+          .otherwise(lit(1L)).as("sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sign")).as("feat"))
+  }
 }

@@ -500,4 +500,47 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(bySrc("srcRare").getLong(5) === 5000000L)
     assert(bySrc("srcBig").getLong(5) < 1000000L)
   }
+
+  test("lmScore: hand-computed bigram conditional probabilities") {
+    // corpus bigrams: "a b"x3, "b a"x1, "b c"x1; prefixes: a->3, b->2
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: (a b, m=2, p=1e6) + (b a, m=1, p=5e5) => 2.5e6 DIV 3
+    assert(out(1L) === ((3L, 833333L)))
+    // doc 2: (a b, 1e6) + (b c, 5e5) => 1.5e6 DIV 2
+    assert(out(2L) === ((2L, 750000L)))
+  }
+
+  test("oovRate: share-relative rarity flags only the low-share token") {
+    // x: 9/10 share, y: 1/10; denom 5 => rare iff share < 1/5 => only y
+    val df = Seq((1L, "x x x x y"), (2L, "x x x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, rareShareDenom = 5L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((5L, 1L, 200000L)))
+    assert(out(2L) === ((5L, 0L, 0L)))
+  }
+
+  test("featureHash: buckets and signs match the h60 contract exactly") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val df = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(df, dims = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def expect(tokens: Seq[String]): Map[Long, Long] =
+      tokens.groupBy(w => h60(w) % 64).view.mapValues(_.map { w =>
+        if (((h60(w) >> 32) & 1L) == 1L) -1L else 1L
+      }.sum).toMap
+    val e1 = expect(Seq("a", "b", "a"))
+    val e2 = expect(Seq("c"))
+    assert(out === (e1.map { case (b, f) => (1L, b) -> f } ++
+      e2.map { case (b, f) => (2L, b) -> f }))
+    // signed sums: |feat| per bucket never exceeds the token count
+    assert(out.values.forall(f => math.abs(f) <= 3))
+  }
 }

@@ -121,4 +121,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
       "centroids should be a plain two-phase aggregate: " + plan.take(400))
   }
+
+  test("bigram LM score joins count tables on hashes (no cartesian, no window)") {
+    val plan = executedPlan("q_lm_score")
+    assert(!plan.contains("CartesianProduct"), "lmScore planned a cartesian")
+    assert(!plan.contains("Window"), "lmScore grew a window: " + plan.take(400))
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      "count tables lost map-side partial aggregation")
+  }
+
+  test("OOV rate's only non-equi join is the broadcast one-row total") {
+    val plan = executedPlan("q_oov_rate")
+    assert(!plan.contains("CartesianProduct"), "oovRate planned a cartesian")
+    // the corpus total is a single row: a BroadcastNestedLoopJoin over
+    // one row is the cheap, correct plan; anything else joining non-equi
+    // would be a scale bug
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "one-row total should broadcast: " + plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
+  test("featureHash is explode + one combining aggregate (no join, no window)") {
+    val plan = executedPlan("q_feature_hash")
+    assert(!plan.contains("Join"), "featureHash grew a join: " + plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      "bucket sums lost map-side partial aggregation")
+  }
 }
