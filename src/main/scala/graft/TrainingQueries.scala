@@ -59,6 +59,13 @@ object TrainingQueries {
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlapMatrix(docs(s, dir), windowTokens = 8)
 
+  /** Shared-span removal: rebuild each doc without its cross-document
+    * 8-token windows (the corpus-editing half of Lee et al. 2022).
+    */
+  def qDedupTrim(s: SparkSession, dir: String): DataFrame =
+    Dedup.trimSharedSpans(docs(s, dir), windowTokens = 8)
+      .select("doc_id", "n_tokens", "n_removed", "kept_text")
+
   /** Leakage-free split: near-dup clusters (MinHash pairs → CC) land in
     * one split atomically; ~10% validation.
     */
@@ -298,7 +305,8 @@ object TrainingQueries {
     "q_subword_tokens" -> (qSubwordTokens _),
     "q_lm_score" -> (qLmScore _),
     "q_oov_rate" -> (qOovRate _),
-    "q_feature_hash" -> (qFeatureHash _)
+    "q_feature_hash" -> (qFeatureHash _),
+    "q_dedup_trim" -> (qDedupTrim _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -946,6 +954,41 @@ object TrainingQueries {
          |    // sum(m) AS BIGINT) AS rare_rate_e6
          |FROM byd JOIN v USING (tw) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+
+    "q_dedup_trim" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |wn AS (
+         |  SELECT doc_id, unnest(range(greatest(len(w)-7, 0))) AS pos, w
+         |  FROM toks),
+         |winh AS (
+         |  SELECT doc_id, pos,
+         |    ${dh("array_to_string(w[pos+1:pos+8], ' ')")} AS wh FROM wn),
+         |shared AS (
+         |  SELECT wh FROM (
+         |    SELECT wh, count(DISTINCT doc_id) AS nd FROM winh GROUP BY 1)
+         |  WHERE nd > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, t FROM (
+         |    SELECT doc_id, unnest(range(pos, pos+8)) AS t
+         |    FROM winh JOIN shared USING (wh))),
+         |tp AS (
+         |  SELECT doc_id, unnest(w) AS tok,
+         |    generate_subscripts(w, 1) - 1 AS t FROM toks),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.t, tp.tok FROM tp
+         |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.t = cov.t
+         |  WHERE cov.t IS NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY t) AS kept_text
+         |  FROM kept GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0)
+         |    AS BIGINT) AS n_removed,
+         |  coalesce(a.kept_text, '') AS kept_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_feature_hash" ->
       s"""WITH t AS (

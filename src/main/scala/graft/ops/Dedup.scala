@@ -353,6 +353,67 @@ object Dedup {
         count_if(col("n_docs") > 1).as("n_shared"))
   }
 
+  /** Shared-span REMOVAL — the step that actually edits the corpus
+    * (Lee et al. 2022 §4: delete every W-token window that also occurs
+    * in another document, keep the rest). [[substringDupStats]] reports
+    * the damage; this op repairs it: each document is rebuilt from the
+    * tokens not covered by any cross-document window, so boilerplate
+    * and syndicated spans vanish while unique prose survives. Returns
+    * (doc_id, n_tokens, n_removed, kept_text) for every input doc —
+    * fully-duplicated docs come back with an empty kept_text rather
+    * than disappearing.
+    *
+    * Scale shape: window hashing and the shared-hash lookup are
+    * exploded equi-join work, bounded by token count — never doc
+    * pairs. Coverage stays at WINDOW granularity: the shared window
+    * STARTS are aggregated per doc (no W-fold token expansion, no
+    * (doc, position) shuffle) and the actual cut happens in-row with
+    * higher-order functions over the token array. In-row cost is
+    * tokens × shared-windows-in-doc — linear for the normal sparse
+    * case; a fully-duplicated doc degrades to L² on its own row only,
+    * bounded by the doc-length cap every real pipeline applies
+    * upstream.
+    */
+  def trimSharedSpans(docs: DataFrame, windowTokens: Int,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val W = windowTokens
+    val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val win = toksDf
+      .select(col(idCol),
+        posexplode(shinglesOfTokens(col("__toks"), W)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), h60(col("sh")).as("wh"))
+    // a window is shared when it occurs in MORE THAN ONE document —
+    // same contract as substringDupStats, counted per window hash
+    val sharedHashes = win.select(col(idCol), col("wh")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1).select("wh")
+    val sharedStarts = win.join(sharedHashes, "wh")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__starts"))
+    val n = size(col("__toks"))
+    // token i survives unless a shared window starts in (i-W, i]
+    val keptArr =
+      when(size(col("__starts")) === 0, col("__toks"))
+        .otherwise(transform(
+          filter(
+            // sequence(0,-1) would count DOWN for an empty doc — guard
+            when(n === 0, array().cast("array<int>"))
+              .otherwise(sequence(lit(0), n - 1)),
+            i => !exists(col("__starts"),
+              p => p <= i && i < p + W)),
+          i => element_at(col("__toks"), i + 1)))
+    toksDf.join(sharedStarts, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(col(idCol),
+        n.cast("long").as("n_tokens"),
+        keptArr.as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), " ").as("kept_text"))
+  }
+
   /** Cross-source duplication matrix: for every source pair, how many
     * distinct W-token windows both carry — the dataset-AUDIT view of
     * [[substringDupStats]] (which reports per doc). Posting lists are

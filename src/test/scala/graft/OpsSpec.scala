@@ -501,6 +501,37 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(bySrc("srcBig").getLong(5) < 1000000L)
   }
 
+  test("trimSharedSpans removes exactly the cross-document windows") {
+    // docs 1 and 2 share the 3-token span "p q r"; doc 3 is untouched;
+    // doc 4 is entirely a copy of doc 1's shared region
+    val df = Seq(
+      (1L, "u1 u2 p q r u3"),
+      (2L, "v1 p q r v2 v3"),
+      (3L, "w1 w2 w3 w4"),
+      (4L, "p q r")).toDF("doc_id", "text")
+    val out = Dedup.trimSharedSpans(df, windowTokens = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 3L, "u1 u2 u3")))
+    assert(out(2L) === ((6L, 3L, "v1 v2 v3")))
+    assert(out(3L) === ((4L, 0L, "w1 w2 w3 w4")))
+    // fully-shared doc comes back empty, not missing
+    assert(out(4L) === ((3L, 3L, "")))
+  }
+
+  test("trimSharedSpans: overlapping shared windows cover their union") {
+    // "a b c d" appears in both docs => in doc 1 the two 3-windows
+    // (a b c) and (b c d) both match, covering positions 1..4 of doc 1
+    val df = Seq(
+      (1L, "x a b c d y"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.trimSharedSpans(df, windowTokens = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 4L, "x y")))
+    assert(out(2L) === ((4L, 4L, "")))
+  }
+
   test("lmScore: hand-computed bigram conditional probabilities") {
     // corpus bigrams: "a b"x3, "b a"x1, "b c"x1; prefixes: a->3, b->2
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")

@@ -141,6 +141,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("span trimming stays equi-join work (no cartesian, no NL join)") {
+    val plan = executedPlan("q_dedup_trim")
+    assert(!plan.contains("CartesianProduct"), "trim planned a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "trim planned a nested-loop join: " + plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
   test("featureHash is explode + one combining aggregate (no join, no window)") {
     val plan = executedPlan("q_feature_hash")
     assert(!plan.contains("Join"), "featureHash grew a join: " + plan.take(400))
