@@ -147,6 +147,33 @@ object TrainingQueries {
     TextAnalysis.featureHash(docs(s, dir), dims = 64)
       .select("doc_id", "bucket", "feat")
 
+  /** End-to-end curation pipeline — the ops composed the way a real
+    * training-data build runs them: (1) cut cross-document 8-token
+    * spans, (2) drop docs that lost half or more of their tokens
+    * (mostly-boilerplate), (3) exact-dedup the REBUILT text (trimming
+    * different originals can converge on identical survivors), keeping
+    * the min-id canonical, (4) assign the canonical survivors to
+    * train/validation by salted hash (100‰ validation). Each stage is
+    * an existing verified op; this query pins their composition.
+    */
+  def qCuratePipeline(s: SparkSession, dir: String): DataFrame = {
+    val trimmed = Dedup.trimSharedSpans(docs(s, dir), windowTokens = 8)
+    val filt = trimmed
+      .filter((col("n_tokens") - col("n_removed")) * 2 >= col("n_tokens") &&
+        col("n_tokens") > col("n_removed"))
+      .select(col("doc_id"), col("kept_text").as("text"))
+    Dedup.exactGroups(filt)
+      .withColumnRenamed("canonical_id", "doc_id")
+      .join(filt, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_kept"),
+        col("n_copies"),
+        when(pmod(Dedup.h60(concat(lit("split|"),
+            col("doc_id").cast("string"))), lit(1000L)) < 100,
+          lit("validation")).otherwise(lit("train")).as("split"))
+  }
+
   /** Pairs -> clusters: connected components over the MinHash candidate
     * pairs, canonical doc = min cluster member.
     */
@@ -306,7 +333,8 @@ object TrainingQueries {
     "q_lm_score" -> (qLmScore _),
     "q_oov_rate" -> (qOovRate _),
     "q_feature_hash" -> (qFeatureHash _),
-    "q_dedup_trim" -> (qDedupTrim _)
+    "q_dedup_trim" -> (qDedupTrim _),
+    "q_curate_pipeline" -> (qCuratePipeline _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -321,6 +349,48 @@ object TrainingQueries {
     */
   private def dhSalted(salt: String) =
     dh(s"'$salt|' || CAST(doc_id AS VARCHAR)")
+
+  /** Shared CTE block for the span-trim family: rebuilds every doc
+    * without its cross-document 8-token windows, ending in `trimout
+    * (doc_id, n_tokens, n_removed, kept_text)`. Reused by q_dedup_trim
+    * and the composed q_curate_pipeline so the two oracles cannot
+    * drift.
+    */
+  private lazy val trimCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wn AS (
+       |  SELECT doc_id, unnest(range(greatest(len(w)-7, 0))) AS pos, w
+       |  FROM toks),
+       |winh AS (
+       |  SELECT doc_id, pos,
+       |    ${dh("array_to_string(w[pos+1:pos+8], ' ')")} AS wh FROM wn),
+       |shared AS (
+       |  SELECT wh FROM (
+       |    SELECT wh, count(DISTINCT doc_id) AS nd FROM winh GROUP BY 1)
+       |  WHERE nd > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(range(pos, pos+8)) AS t
+       |    FROM winh JOIN shared USING (wh))),
+       |tp AS (
+       |  SELECT doc_id, unnest(w) AS tok,
+       |    generate_subscripts(w, 1) - 1 AS t FROM toks),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.t, tp.tok FROM tp
+       |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.t = cov.t
+       |  WHERE cov.t IS NULL),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY t) AS kept_text
+       |  FROM kept GROUP BY 1),
+       |trimout AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0)
+       |      AS BIGINT) AS n_removed,
+       |    coalesce(a.kept_text, '') AS kept_text
+       |  FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   /** Shared CTE: word tokens and 3-shingles per doc. */
   private val shingleCte =
@@ -955,40 +1025,27 @@ object TrainingQueries {
          |FROM byd JOIN v USING (tw) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
 
-    "q_dedup_trim" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |wn AS (
-         |  SELECT doc_id, unnest(range(greatest(len(w)-7, 0))) AS pos, w
-         |  FROM toks),
-         |winh AS (
-         |  SELECT doc_id, pos,
-         |    ${dh("array_to_string(w[pos+1:pos+8], ' ')")} AS wh FROM wn),
-         |shared AS (
-         |  SELECT wh FROM (
-         |    SELECT wh, count(DISTINCT doc_id) AS nd FROM winh GROUP BY 1)
-         |  WHERE nd > 1),
-         |cov AS (
-         |  SELECT DISTINCT doc_id, t FROM (
-         |    SELECT doc_id, unnest(range(pos, pos+8)) AS t
-         |    FROM winh JOIN shared USING (wh))),
-         |tp AS (
-         |  SELECT doc_id, unnest(w) AS tok,
-         |    generate_subscripts(w, 1) - 1 AS t FROM toks),
-         |kept AS (
-         |  SELECT tp.doc_id, tp.t, tp.tok FROM tp
-         |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.t = cov.t
-         |  WHERE cov.t IS NULL),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_kept,
-         |    string_agg(tok, ' ' ORDER BY t) AS kept_text
-         |  FROM kept GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-         |  CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0)
-         |    AS BIGINT) AS n_removed,
-         |  coalesce(a.kept_text, '') AS kept_text
-         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_dedup_trim" -> (trimCtes +
+      "\nSELECT doc_id, n_tokens, n_removed, kept_text FROM trimout"),
+
+    "q_curate_pipeline" -> (trimCtes + s""",
+         |filt AS (
+         |  SELECT doc_id, kept_text FROM trimout
+         |  WHERE (n_tokens - n_removed) * 2 >= n_tokens
+         |    AND n_tokens > n_removed),
+         |grp AS (
+         |  SELECT md5(kept_text) AS h, min(doc_id) AS doc_id,
+         |    count(*) AS n_copies
+         |  FROM filt GROUP BY 1),
+         |j AS (
+         |  SELECT g.doc_id, len(string_split(f.kept_text, ' ')) AS n_kept,
+         |    g.n_copies
+         |  FROM grp g JOIN filt f ON f.doc_id = g.doc_id)
+         |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(n_copies AS BIGINT) AS n_copies,
+         |  CASE WHEN ${dhSalted("split")} % 1000 < 100 THEN 'validation'
+         |    ELSE 'train' END AS split
+         |FROM j""".stripMargin),
 
     "q_feature_hash" ->
       s"""WITH t AS (

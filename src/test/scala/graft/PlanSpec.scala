@@ -149,6 +149,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("curation pipeline composes without cartesians or global windows") {
+    val plan = executedPlan("q_curate_pipeline")
+    assert(!plan.contains("CartesianProduct"), "pipeline planned a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
   test("featureHash is explode + one combining aggregate (no join, no window)") {
     val plan = executedPlan("q_feature_hash")
     assert(!plan.contains("Join"), "featureHash grew a join: " + plan.take(400))
