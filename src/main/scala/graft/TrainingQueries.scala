@@ -149,18 +149,21 @@ object TrainingQueries {
 
   /** End-to-end curation pipeline — the ops composed the way a real
     * training-data build runs them: (1) cut cross-document 8-token
-    * spans, (2) drop docs that lost half or more of their tokens
-    * (mostly-boilerplate), (3) exact-dedup the REBUILT text (trimming
-    * different originals can converge on identical survivors), keeping
-    * the min-id canonical, (4) assign the canonical survivors to
-    * train/validation by salted hash (100‰ validation). Each stage is
-    * an existing verified op; this query pins their composition.
+    * spans, (2) keep only docs that retained at least half their
+    * tokens (a doc that kept exactly half survives; mostly-boilerplate
+    * docs below that are dropped), (3) exact-dedup the REBUILT text
+    * (trimming different originals can converge on identical
+    * survivors), keeping the min-id canonical, (4) assign the
+    * canonical survivors to train/validation by salted hash (100‰
+    * validation). Each stage is an existing verified op; this query
+    * pins their composition.
     */
   def qCuratePipeline(s: SparkSession, dir: String): DataFrame = {
     val trimmed = Dedup.trimSharedSpans(docs(s, dir), windowTokens = 8)
+    // kept >= half implies kept >= 1 (n_tokens is never 0: split always
+    // returns at least one token), so no separate non-empty conjunct
     val filt = trimmed
-      .filter((col("n_tokens") - col("n_removed")) * 2 >= col("n_tokens") &&
-        col("n_tokens") > col("n_removed"))
+      .filter((col("n_tokens") - col("n_removed")) * 2 >= col("n_tokens"))
       .select(col("doc_id"), col("kept_text").as("text"))
     Dedup.exactGroups(filt)
       .withColumnRenamed("canonical_id", "doc_id")
@@ -169,9 +172,8 @@ object TrainingQueries {
         col("doc_id"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_kept"),
         col("n_copies"),
-        when(pmod(Dedup.h60(concat(lit("split|"),
-            col("doc_id").cast("string"))), lit(1000L)) < 100,
-          lit("validation")).otherwise(lit("train")).as("split"))
+        Curation.splitLabel(col("doc_id"), validationPerMille = 100)
+          .as("split"))
   }
 
   /** Pairs -> clusters: connected components over the MinHash candidate
@@ -1031,8 +1033,7 @@ object TrainingQueries {
     "q_curate_pipeline" -> (trimCtes + s""",
          |filt AS (
          |  SELECT doc_id, kept_text FROM trimout
-         |  WHERE (n_tokens - n_removed) * 2 >= n_tokens
-         |    AND n_tokens > n_removed),
+         |  WHERE (n_tokens - n_removed) * 2 >= n_tokens),
          |grp AS (
          |  SELECT md5(kept_text) AS h, min(doc_id) AS doc_id,
          |    count(*) AS n_copies

@@ -290,6 +290,18 @@ object Curation {
     * doc id — one shuffle — and the split decision is map-side hash
     * arithmetic.
     */
+  /** The ONE salted train/validation assignment expression — every
+    * split consumer (leakageFreeSplit, the curation pipeline) derives
+    * its label from this so the salt format and threshold scale cannot
+    * drift between them (the SQL oracles share `dhSalted` for the same
+    * reason).
+    */
+  def splitLabel(key: Column, validationPerMille: Int,
+                 salt: String = "split"): Column =
+    when(pmod(Dedup.h60(concat(lit(s"$salt|"), key.cast("string"))),
+        lit(1000L)) < validationPerMille, lit("validation"))
+      .otherwise(lit("train"))
+
   def leakageFreeSplit(docs: DataFrame, clusters: DataFrame,
                        validationPerMille: Int, salt: String = "split",
                        idCol: String = "doc_id"): DataFrame =
@@ -297,9 +309,6 @@ object Curation {
       .join(clusters.select(col(idCol), col("cluster")), Seq(idCol), "left")
       .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
       .withColumn("split",
-        when(pmod(Dedup.h60(concat(lit(s"$salt|"),
-            col("split_key").cast("string"))), lit(1000L))
-          < validationPerMille, lit("validation"))
-          .otherwise(lit("train")))
+        splitLabel(col("split_key"), validationPerMille, salt))
       .select(col(idCol), col("split_key"), col("split"))
 }
