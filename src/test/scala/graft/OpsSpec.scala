@@ -532,6 +532,86 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(2L) === ((4L, 4L, "")))
   }
 
+  test("property: trimSharedSpans bookkeeping holds on random corpora") {
+    import org.scalacheck.Gen
+    // tiny vocab forces genuine cross-doc window sharing
+    val word = Gen.oneOf("a", "b", "c")
+    val gen = for {
+      nDocs <- Gen.choose(2, 24)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    } yield texts
+    forAllGen(gen, cases = 5) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val W = 3
+      val out = Dedup.trimSharedSpans(docs, W).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out.size === texts.length, "every input doc must come back")
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (nTok, nRem, keptText) = out(i.toLong)
+        val toks = t.split(" ")
+        assert(nTok === toks.length)
+        assert(nRem >= 0 && nRem <= nTok)
+        val kept = if (keptText.isEmpty) Array.empty[String]
+          else keptText.split(" ")
+        assert(kept.length === nTok - nRem)
+        // kept tokens are a subsequence of the original token stream
+        var j = 0
+        kept.foreach { k =>
+          while (j < toks.length && toks(j) != k) j += 1
+          assert(j < toks.length, s"'$k' not a subsequence token in doc $i")
+          j += 1
+        }
+        // a doc shorter than the window can never lose tokens
+        if (toks.length < W) assert(nRem === 0)
+      }
+    }
+  }
+
+  test("property: lm/oov/featureHash invariants on random corpora") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val gen = for {
+      nDocs <- Gen.choose(1, 16)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    } yield texts
+    forAllGen(gen, cases = 4) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val nTokens = texts.map(_.split(" ").length)
+      // lmScore: probabilities live in (0, 1e6]; docs with >=2 tokens
+      // appear with n_bigrams = len-1; 1-token docs are absent
+      val lm = graft.ops.TextAnalysis.lmScore(docs).collect()
+      assert(lm.length === nTokens.count(_ >= 2))
+      lm.foreach { r =>
+        assert(r.getLong(1) === nTokens(r.getLong(0).toInt) - 1)
+        assert(r.getLong(2) > 0 && r.getLong(2) <= 1000000L)
+      }
+      // oovRate: counts bounded, rate consistent with the counts
+      val oov = graft.ops.TextAnalysis.oovRate(docs, rareShareDenom = 4L)
+        .collect()
+      assert(oov.length === texts.length)
+      oov.foreach { r =>
+        assert(r.getLong(1) === nTokens(r.getLong(0).toInt).toLong)
+        assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+        assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+      }
+      // featureHash: bucket in range; total |feat| bounded by tokens;
+      // the sum over buckets equals the sum of instance signs, so the
+      // corpus-wide |sum| can never exceed the corpus token count
+      val fh = graft.ops.TextAnalysis.featureHash(docs, dims = 8).collect()
+      fh.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 8))
+      val byDoc = fh.groupBy(_.getLong(0))
+      byDoc.foreach { case (id, rows) =>
+        assert(rows.map(r => math.abs(r.getLong(2))).sum <=
+          nTokens(id.toInt).toLong)
+      }
+    }
+  }
+
   test("lmScore: hand-computed bigram conditional probabilities") {
     // corpus bigrams: "a b"x3, "b a"x1, "b c"x1; prefixes: a->3, b->2
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
