@@ -153,10 +153,12 @@ object TrainingQueries {
     * tokens (a doc that kept exactly half survives; mostly-boilerplate
     * docs below that are dropped), (3) exact-dedup the REBUILT text
     * (trimming different originals can converge on identical
-    * survivors), keeping the min-id canonical, (4) assign the
-    * canonical survivors to train/validation by salted hash (100‰
-    * validation). Each stage is an existing verified op; this query
-    * pins their composition.
+    * survivors), keeping the min-id canonical — the [[Dedup.exactGroups]]
+    * hash-aggregate, fused inline so the canonical token count rides
+    * the same aggregate instead of joining back (a second consumer of
+    * the trim output would recompute the whole trim DAG), (4) assign
+    * the canonical survivors to train/validation by salted hash (100‰
+    * validation). This query pins the composition.
     */
   def qCuratePipeline(s: SparkSession, dir: String): DataFrame = {
     val trimmed = Dedup.trimSharedSpans(docs(s, dir), windowTokens = 8)
@@ -165,13 +167,19 @@ object TrainingQueries {
     val filt = trimmed
       .filter((col("n_tokens") - col("n_removed")) * 2 >= col("n_tokens"))
       .select(col("doc_id"), col("kept_text").as("text"))
-    Dedup.exactGroups(filt)
-      .withColumnRenamed("canonical_id", "doc_id")
-      .join(filt, Seq("doc_id"))
+    // one aggregate does the [[Dedup.exactGroups]] job AND carries the
+    // canonical token count: every group member has identical text, so
+    // min(token count) IS the count — folding it here avoids a join
+    // back to `filt` whose second consumer would recompute the whole
+    // trim DAG a second time
+    filt
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(size(Dedup.tokens(col("text")))).cast("long").as("n_kept"))
       .select(
-        col("doc_id"),
-        size(Dedup.tokens(col("text"))).cast("long").as("n_kept"),
-        col("n_copies"),
+        col("doc_id"), col("n_kept"), col("n_copies"),
         Curation.splitLabel(col("doc_id"), validationPerMille = 100)
           .as("split"))
   }
@@ -1035,18 +1043,14 @@ object TrainingQueries {
          |  SELECT doc_id, kept_text FROM trimout
          |  WHERE (n_tokens - n_removed) * 2 >= n_tokens),
          |grp AS (
-         |  SELECT md5(kept_text) AS h, min(doc_id) AS doc_id,
-         |    count(*) AS n_copies
-         |  FROM filt GROUP BY 1),
-         |j AS (
-         |  SELECT g.doc_id, len(string_split(f.kept_text, ' ')) AS n_kept,
-         |    g.n_copies
-         |  FROM grp g JOIN filt f ON f.doc_id = g.doc_id)
+         |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+         |    min(len(string_split(kept_text, ' '))) AS n_kept
+         |  FROM filt GROUP BY md5(kept_text))
          |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
          |  CAST(n_copies AS BIGINT) AS n_copies,
          |  CASE WHEN ${dhSalted("split")} % 1000 < 100 THEN 'validation'
          |    ELSE 'train' END AS split
-         |FROM j""".stripMargin),
+         |FROM grp""".stripMargin),
 
     "q_feature_hash" ->
       s"""WITH t AS (

@@ -95,17 +95,19 @@ object Curation {
     */
   def canonicalPerCluster(clusters: DataFrame, scored: DataFrame,
                           idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("quality").desc, col(idCol).asc)
+    // the winner is max_by the (quality, -id) pair — ids are unique so
+    // the order key is total and the pick deterministic. One hash
+    // aggregate on cluster; the per-cluster window-sort formulation
+    // pays an extra in-partition SORT for the same answer
+    val key = struct(col("quality"), (col(idCol) * lit(-1L)).as("__nid"))
     clusters
       .join(scored.select(col(idCol), col("quality"), col("n_tokens")), idCol)
-      .withColumn("__rk", row_number().over(w))
       .groupBy(col("cluster"))
       .agg(
-        max(when(col("__rk") === 1, col(idCol))).as("canonical_id"),
-        max(when(col("__rk") === 1, col("quality"))).as("canonical_quality"),
+        max_by(col(idCol), key).as("canonical_id"),
+        max(col("quality")).as("canonical_quality"),
         count(lit(1)).as("n_members"),
-        sum(when(col("__rk") =!= 1, col("n_tokens")).otherwise(0L))
+        (sum(col("n_tokens")) - max_by(col("n_tokens"), key))
           .as("tokens_dropped"))
   }
 
