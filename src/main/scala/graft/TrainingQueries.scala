@@ -147,6 +147,11 @@ object TrainingQueries {
     TextAnalysis.featureHash(docs(s, dir), dims = 64)
       .select("doc_id", "bucket", "feat")
 
+  /** Stage-zero normalization to the corpus contract. */
+  def qNormalize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalize(docs(s, dir))
+      .select("doc_id", "norm_text", "n_tokens_norm")
+
   /** End-to-end curation pipeline — the ops composed the way a real
     * training-data build runs them: (1) cut cross-document 8-token
     * spans, (2) keep only docs that retained at least half their
@@ -344,7 +349,8 @@ object TrainingQueries {
     "q_oov_rate" -> (qOovRate _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_dedup_trim" -> (qDedupTrim _),
-    "q_curate_pipeline" -> (qCuratePipeline _)
+    "q_curate_pipeline" -> (qCuratePipeline _),
+    "q_normalize" -> (qNormalize _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1051,6 +1057,18 @@ object TrainingQueries {
          |  CASE WHEN ${dhSalted("split")} % 1000 < 100 THEN 'validation'
          |    ELSE 'train' END AS split
          |FROM grp""".stripMargin),
+
+    "q_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(CASE WHEN norm_text = '' THEN 0
+        |    ELSE len(string_split(norm_text, ' ')) END AS BIGINT)
+        |    AS n_tokens_norm
+        |FROM n""".stripMargin,
 
     "q_feature_hash" ->
       s"""WITH t AS (

@@ -271,6 +271,27 @@ object TextAnalysis {
       .select(col("rank"), col("pair"), col("n_occurrences"))
   }
 
+  /** Raw-text normalization to the CORPUS CONTRACT every other text op
+    * assumes (lowercased, punctuation-separated, single-space token
+    * boundaries — see [[markerHits]]): lowercase, map every char
+    * outside [a-z0-9 ] to a space, collapse runs of spaces, trim.
+    * This is the pipeline's stage zero — run it once at ingest and the
+    * dedup/quality/LM ops downstream see canonical tokens.
+    *
+    * Pure per-row regexp work inside whole-stage codegen: no shuffle,
+    * embarrassingly parallel at any scale.
+    * Returns the input columns plus (norm_text, n_tokens_norm).
+    */
+  def normalize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    docs
+      .withColumn("norm_text", norm)
+      .withColumn("n_tokens_norm",
+        when(col("norm_text") === "", lit(0))
+          .otherwise(size(split(col("norm_text"), " "))).cast("long"))
+  }
+
   /** Corpus-trained bigram language-model score per document — the
     * perplexity-proxy quality filter (CCNet/Gopher-style "does this doc
     * look like the corpus" signal) in exact integer arithmetic. The

@@ -501,6 +501,20 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(bySrc("srcBig").getLong(5) < 1000000L)
   }
 
+  test("normalize maps raw text onto the corpus contract") {
+    val df = Seq(
+      (1L, "  Hello, World!!  It's   90% FINE.  "),
+      (2L, "..."),
+      (3L, "already clean text")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("hello world it s 90 fine", 6L)))
+    // all-punctuation input collapses to empty, counted as 0 tokens
+    assert(out(2L) === (("", 0L)))
+    assert(out(3L) === (("already clean text", 3L)))
+  }
+
   test("trimSharedSpans removes exactly the cross-document windows") {
     // docs 1 and 2 share the 3-token span "p q r"; doc 3 is untouched;
     // doc 4 is entirely a copy of doc 1's shared region
