@@ -311,6 +311,35 @@ object TrainingQueries {
     TextAnalysis.chunkDocuments(docs(s, dir), chunkTokens = 16,
       overlapTokens = 4)
 
+  /** Gopher-rule within-doc duplicated 3-gram coverage per document. */
+  def qDupNgramCov(s: SparkSession, dir: String): DataFrame =
+    Curation.dupNgramCoverage(docs(s, dir), n = 3)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_grams"), col("top_gram_freq"), col("dup_cov_e4"))
+
+  /** Quality-weighted deterministic sampling: P(keep) = quality / 4
+    * (quality 0..4 → acceptance 0/2500/5000/7500/10000 per 1e4).
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(
+      scoredDocs(s, dir).select(col("doc_id"), col("quality")),
+      weightE4 = col("quality").cast("long") * 2500L)
+      .select(col("doc_id"), col("quality"), col("draw_e4"))
+
+  /** Per-source 3-gram diversity (corpus-health / templated-text
+    * detector).
+    */
+  def qNgramDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramDiversity(docs(s, dir), n = 3)
+      .select("source", "n_grams", "n_distinct_grams", "n_singleton_grams",
+        "diversity_e4")
+
+  /** Temperature-scaled (alpha = 0.5) per-source sampling weights. */
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMixture(docs(s, dir), "source")
+      .select("source", "n_docs", "n_tokens", "isqrt_tokens", "share_e6",
+        "weight_e6")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -350,7 +379,11 @@ object TrainingQueries {
     "q_feature_hash" -> (qFeatureHash _),
     "q_dedup_trim" -> (qDedupTrim _),
     "q_curate_pipeline" -> (qCuratePipeline _),
-    "q_normalize" -> (qNormalize _)
+    "q_normalize" -> (qNormalize _),
+    "q_dup_ngram_cov" -> (qDupNgramCov _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_ngram_diversity" -> (qNgramDiversity _),
+    "q_temperature_mix" -> (qTemperatureMix _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1079,6 +1112,97 @@ object TrainingQueries {
          |      AS sign
          |  FROM t)
          |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS feat
-         |FROM inst GROUP BY 1, 2""".stripMargin
+         |FROM inst GROUP BY 1, 2""".stripMargin,
+
+    "q_dup_ngram_cov" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |wn AS (
+         |  SELECT doc_id, unnest(range(greatest(len(w)-2, 0))) AS pos, w
+         |  FROM toks),
+         |gh AS (
+         |  SELECT doc_id, pos,
+         |    ${dh("array_to_string(w[pos+1:pos+3], ' ')")} AS h FROM wn),
+         |c AS (
+         |  SELECT doc_id, h, count(*) AS c FROM gh GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |    CAST(max(c) AS BIGINT) AS top_gram_freq
+         |  FROM c GROUP BY 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, t FROM (
+         |    SELECT gh.doc_id, unnest(range(gh.pos, gh.pos+3)) AS t
+         |    FROM gh JOIN c USING (doc_id, h) WHERE c.c > 1)),
+         |ca AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ndup
+         |  FROM cov GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  coalesce(p.n_grams, 0) AS n_grams,
+         |  coalesce(p.top_gram_freq, 0) AS top_gram_freq,
+         |  coalesce(ca.ndup, 0) * 10000
+         |    // CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dup_cov_e4
+         |FROM documents d
+         |LEFT JOIN pd p USING (doc_id) LEFT JOIN ca USING (doc_id)""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, strlen(text) AS n_chars_m,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         |    len(list_filter(string_split(text, ' '),
+         |        x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_chars_m BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) +
+         |    (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) AS quality
+         |  FROM s)
+         |SELECT doc_id, quality,
+         |  ${dhSalted("wsample")} % 10000 AS draw_e4
+         |FROM q
+         |WHERE ${dhSalted("wsample")} % 10000 <
+         |  least(greatest(quality * 2500, 0), 10000)""".stripMargin,
+
+    "q_ngram_diversity" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT source, unnest(list_transform(range(greatest(len(w)-2, 0)),
+         |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+         |  FROM toks),
+         |c AS (
+         |  SELECT source, ${dh("sh")} AS h, count(*) AS c
+         |  FROM g GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(sum(c) AS BIGINT) AS n_grams,
+         |  count(*) AS n_distinct_grams,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_singleton_grams,
+         |  count(*) * 10000 // CAST(sum(c) AS BIGINT) AS diversity_e4
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |i AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+        |      AS isqrt_tokens
+        |  FROM p),
+        |t AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+        |    CAST(SUM(isqrt_tokens) AS BIGINT) AS tot_i FROM i)
+        |SELECT source, n_docs, n_tokens, isqrt_tokens,
+        |  n_tokens * 1000000 // tot AS share_e6,
+        |  isqrt_tokens * 1000000 // tot_i AS weight_e6
+        |FROM i CROSS JOIN t""".stripMargin
   )
 }

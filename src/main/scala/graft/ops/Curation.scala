@@ -80,6 +80,104 @@ object Curation {
         max(col("tf")).as("top_token_freq"))
       .withColumn("ttr_e4", expr("n_distinct_tokens * 10000 div n_tokens"))
 
+  /** Within-document duplicated-n-gram coverage — the Gopher repetition
+    * rule family (Rae et al. 2021 §A1.1: "fraction of characters in
+    * duplicated n-grams"), in token-position form: for each document,
+    * the fraction of token positions covered by an n-gram that occurs
+    * MORE THAN ONCE in that same document, plus the dominant n-gram's
+    * frequency. Complements [[repetitionStats]] (token-level TTR) with
+    * the phrase-level signal that catches looped boilerplate a healthy
+    * TTR hides.
+    *
+    * Scale: every shuffle is keyed by (doc, gram-hash) or doc — per-doc
+    * micro-groups, never a corpus-wide funnel; the gram join is a
+    * co-partitioned self-join on the same key the aggregate just
+    * shuffled on, so AQE reuses the exchange. Grams travel as 8-byte
+    * h60 hashes, not strings. Docs shorter than n tokens report zero
+    * grams and zero coverage.
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(Dedup.shinglesOfTokens(col("__toks"), n))
+          .as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), Dedup.h60(col("sh")).as("h"))
+    val counts = grams.groupBy(col(idCol), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_freq"))
+    // positions covered by any within-doc duplicated gram, counted once
+    val covered = grams
+      .join(counts.filter(col("c") > 1).select(col(idCol), col("h")),
+        Seq(idCol, "h"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_positions"))
+    docs
+      .select(col(idCol), size(Dedup.tokens(col(textCol))).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_gram_freq"), lit(0L)).as("top_gram_freq"),
+        expr("coalesce(n_dup_positions, 0) * 10000 div n_tokens")
+          .as("dup_cov_e4"))
+  }
+
+  /** Hash-weighted Bernoulli sampling: keep a row iff its deterministic
+    * salted draw (h60 mod 1e4, uniform) lands under the row's weight
+    * (1e4-scaled acceptance probability) — the standard quality-weighted
+    * downsampling step (keep high-quality docs with high probability,
+    * low-quality with low), made rerun-stable by replacing the RNG with
+    * the same salted-hash discipline as [[splitLabel]] /
+    * [[domainCapSample]]. Pure map-side filter: no shuffle, no state,
+    * embarrassingly parallel at any corpus size.
+    *
+    * `weightE4` is clamped to [0, 10000]; 0 drops always, 10000 keeps
+    * always.
+    */
+  def weightedSample(scored: DataFrame, weightE4: Column,
+                     idCol: String = "doc_id",
+                     salt: String = "wsample"): DataFrame =
+    scored
+      .withColumn("draw_e4",
+        pmod(Dedup.h60(concat(lit(s"$salt|"), col(idCol).cast("string"))),
+          lit(10000L)))
+      .filter(col("draw_e4") <
+        least(greatest(weightE4, lit(0L)), lit(10000L)))
+
+  /** Temperature-scaled mixture weights (alpha = 0.5): per-domain
+    * sampling weight proportional to sqrt(domain token count) — the
+    * standard multilingual/multi-source rebalancing that upweights
+    * small sources relative to their raw share without letting them
+    * dominate (XLM-R's alpha-sampling at alpha = 1/2). Integer-exact in
+    * both engines: IEEE-754 sqrt is correctly rounded, so
+    * floor(sqrt(bigint)) is deterministic cross-engine, and the share
+    * division runs in DECIMAL (LONG would overflow past ~9.2e12 tokens).
+    *
+    * Scale: one corpus-wide hash aggregate (map-side partial) down to a
+    * domains-sized table; the unpartitioned window runs over that tiny
+    * table, never the corpus.
+    */
+  def temperatureMixture(docs: DataFrame, domainCol: String,
+                         textCol: String = "text"): DataFrame =
+    docs
+      .select(col(domainCol), size(Dedup.tokens(col(textCol))).as("n_toks"))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("isqrt_tokens",
+        expr("cast(floor(sqrt(cast(n_tokens as double))) as bigint)"))
+      .withColumn("share_e6",
+        expr("cast(n_tokens as decimal(38,0)) * 1000000" +
+          " div sum(cast(n_tokens as decimal(38,0))) over ()"))
+      .withColumn("weight_e6",
+        expr("cast(isqrt_tokens as decimal(38,0)) * 1000000" +
+          " div sum(cast(isqrt_tokens as decimal(38,0))) over ()"))
+
   /** Canonical-document selection per duplicate cluster — the step that
     * turns [[Dedup.connectedComponents]] output into a drop list: within
     * each cluster keep the highest-quality member (ties to the smallest

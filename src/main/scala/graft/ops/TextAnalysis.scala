@@ -392,4 +392,34 @@ object TextAnalysis {
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("sign")).as("feat"))
   }
+
+  /** Per-group n-gram diversity: distinct n-grams / total n-gram
+    * instances (1e4-scaled integer) plus the singleton-gram count — a
+    * corpus-health metric per source/shard (self-BLEU's cheap cousin):
+    * a source whose diversity collapses is emitting templated or
+    * machine-generated text even when its documents individually look
+    * fine, and the singleton share separates "diverse" from "uniformly
+    * random".
+    *
+    * Two-level hash aggregate on (group, 8-byte gram hash) then group —
+    * both map-side combinable, no joins, no window; the distinct-count
+    * is exact (it IS the second-level row count), not a sketch.
+    */
+  def ngramDiversity(docs: DataFrame, n: Int = 3,
+                     groupCol: String = "source",
+                     textCol: String = "text"): DataFrame =
+    docs
+      .select(col(groupCol), toks(col(textCol)).as("__toks"))
+      .select(col(groupCol),
+        explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("sh"))
+      .select(col(groupCol), Dedup.h60(col("sh")).as("h"))
+      .groupBy(col(groupCol), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singleton_grams"))
+      .withColumn("diversity_e4",
+        expr("n_distinct_grams * 10000 div n_grams"))
 }

@@ -501,6 +501,72 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(bySrc("srcBig").getLong(5) < 1000000L)
   }
 
+  test("dupNgramCoverage: hand-computed Gopher repetition coverage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"), // every 3-gram duplicated: full coverage
+      (2L, "x y z w"),     // both grams unique: zero coverage
+      (3L, "p q")          // shorter than n: no grams at all
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.dupNgramCoverage(df, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // doc 1: grams (a b a)x2 (b a b)x2; positions 0..3 cover tokens 0..5
+    assert(out(1L) === ((6, 4L, 2L, 10000L)))
+    assert(out(2L) === ((4, 2L, 1L, 0L)))
+    assert(out(3L) === ((2, 0L, 0L, 0L)))
+  }
+
+  test("weightedSample: endpoints, determinism, threshold monotonicity") {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val n = docs.count()
+    assert(graft.ops.Curation.weightedSample(scored, lit(10000L)).count() === n)
+    assert(graft.ops.Curation.weightedSample(scored, lit(0L)).count() === 0)
+    // clamping: an out-of-range weight behaves like its clamp
+    assert(graft.ops.Curation.weightedSample(scored, lit(99999L)).count() === n)
+    val ids = (w: Long) => graft.ops.Curation
+      .weightedSample(scored, lit(w)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val quarter = ids(2500L)
+    // deterministic rerun, and a larger threshold keeps a superset
+    assert(quarter === ids(2500L))
+    assert(quarter.subsetOf(ids(7500L)))
+    // the draw is roughly uniform: 25% +- 10 points at 500 docs
+    assert(math.abs(quarter.size.toDouble / n - 0.25) < 0.10)
+  }
+
+  test("ngramDiversity: hand-computed distinct/total gram ratios") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c", "en", "srcA"), // abc x2, bca, cab
+      (2L, "a a a a", "en", "srcB")      // aaa x2
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.TextAnalysis.ngramDiversity(df, n = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out("srcA") === ((4L, 3L, 2L, 7500L)))
+    assert(out("srcB") === ((2L, 1L, 0L, 5000L)))
+  }
+
+  test("temperatureMixture: isqrt weights upweight small sources exactly") {
+    import spark.implicits._
+    // perfect-square token counts: 16 and 4 tokens -> isqrt 4 and 2
+    val df = Seq(
+      (1L, ("w " * 15) + "w", "en", "srcBig"),
+      (2L, "w w w w", "en", "srcSmall")).toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Curation.temperatureMixture(df, "source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("srcBig").getAs[Long]("isqrt_tokens") === 4L)
+    assert(out("srcSmall").getAs[Long]("isqrt_tokens") === 2L)
+    assert(out("srcBig").getAs[Long]("share_e6") === 800000L)
+    assert(out("srcBig").getAs[Long]("weight_e6") === 666666L)
+    assert(out("srcSmall").getAs[Long]("weight_e6") === 333333L)
+    // alpha=0.5 compresses: the small source's weight exceeds its share
+    assert(out("srcSmall").getAs[Long]("weight_e6") >
+      out("srcSmall").getAs[Long]("share_e6"))
+  }
+
   test("normalize maps raw text onto the corpus contract") {
     val df = Seq(
       (1L, "  Hello, World!!  It's   90% FINE.  "),

@@ -163,4 +163,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial sum"),
       "bucket sums lost map-side partial aggregation")
   }
+
+  test("dupNgramCoverage joins stay equi and doc-keyed (no cartesian/NLJ/window)") {
+    val plan = executedPlan("q_dup_ngram_cov")
+    assert(!plan.contains("CartesianProduct"), "dup coverage planned a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "dup coverage planned a nested-loop join: " + plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
+  test("weightedSample is a pure map-side filter (zero exchanges)") {
+    val plan = executedPlan("q_weighted_sample")
+    assert(!plan.contains("Exchange"),
+      "weighted sampling must not shuffle: " + plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(400))
+  }
+
+  test("ngramDiversity is a two-level combining aggregate (no join, no window)") {
+    val plan = executedPlan("q_ngram_diversity")
+    assert(!plan.contains("Join"), "diversity grew a join: " + plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+      plan.contains("partial sum"),
+      "gram counts lost map-side partial aggregation")
+  }
+
+  test("temperatureMixture windows only the tiny domain table") {
+    val plan = executedPlan("q_temperature_mix")
+    assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "domain aggregate lost map-side partials")
+    // the over-() window is deliberate and runs on the post-aggregate
+    // domains-sized table (see Curation.temperatureMixture scaladoc)
+    assert(plan.contains("Window"), plan.take(400))
+  }
 }
