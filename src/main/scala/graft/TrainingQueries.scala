@@ -340,6 +340,37 @@ object TrainingQueries {
       .select("source", "n_docs", "n_tokens", "isqrt_tokens", "share_e6",
         "weight_e6")
 
+  /** MinHash LSH candidates verified by exact shingle-set Jaccard
+    * (≥ 0.3) — the false-positive-removing second half of the minhash
+    * pipeline.
+    */
+  def qMinhashVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshVerifiedPairs(docs(s, dir), numHashes = 8, rowsPerBand = 2,
+      shingleN = 3, minJaccardE4 = 3000L)
+
+  /** Luhn-validated card-number redaction over synthesized digit runs
+    * (every third doc gets a 16-digit number derived from its id, so
+    * both the valid- and invalid-checksum branches execute).
+    */
+  def qLuhnRedact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.luhnRedact(
+      docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" "),
+            lpad((col("doc_id") * 7919 % 1000000000).cast("string"), 16, "4")))
+          .otherwise(col("text"))))
+      .select(col("doc_id"), col("n_card_numbers"), col("redacted_cards"))
+
+  /** Domain blocklist gate: drop three blocked sources via broadcast
+    * anti-join.
+    */
+  def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocked = Seq("src0", "src7", "src14").toDF("domain")
+    Curation.blocklistFilter(docs(s, dir), blocked)
+      .select(col("doc_id"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -383,7 +414,10 @@ object TrainingQueries {
     "q_dup_ngram_cov" -> (qDupNgramCov _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_ngram_diversity" -> (qNgramDiversity _),
-    "q_temperature_mix" -> (qTemperatureMix _)
+    "q_temperature_mix" -> (qTemperatureMix _),
+    "q_minhash_verified" -> (qMinhashVerified _),
+    "q_luhn_redact" -> (qLuhnRedact _),
+    "q_blocklist" -> (qBlocklist _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -451,7 +485,13 @@ object TrainingQueries {
       |  FROM toks)
       |""".stripMargin
 
-  private val minhashOracle: String = {
+  /** Shared CTE chain for the minhash family: shingles → 8-hash
+    * signatures → 4 band rows per doc, ending in `bands(doc_id,
+    * band_idx, band_key)`. ONE definition so the three minhash oracles
+    * (pairs, cross-corpus, verified) cannot drift from each other or
+    * from the Scala hash family.
+    */
+  private lazy val minhashBandCtes: String = {
     val P = graft.ops.Dedup.MinhashP
     val mins = (0 until 8).map { k =>
       val a = 1103515245L * (k + 1) % P
@@ -467,35 +507,48 @@ object TrainingQueries {
        |    $mins
        |  FROM sh GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects)
+       |  $bandSelects)""".stripMargin
+  }
+
+  private lazy val minhashOracle: String =
+    s"""$minhashBandCtes
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |WHERE a.doc_id < b.doc_id""".stripMargin
-  }
 
-  private val crossDedupOracle: String = {
-    val P = graft.ops.Dedup.MinhashP
-    val mins = (0 until 8).map { k =>
-      val a = 1103515245L * (k + 1) % P
-      val b = 12345L * (2 * k + 1) % P
-      s"min(($a * (${dh("sh")} % $P) + $b) % $P) AS mh$k"
-    }.mkString(",\n    ")
-    val bandSelects = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band_idx, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig")
-      .mkString("\n  UNION ALL ")
-    s"""${shingleCte.trim},
-       |sig AS (
-       |  SELECT doc_id,
-       |    $mins
-       |  FROM sh GROUP BY doc_id),
-       |bands AS (
-       |  $bandSelects)
+  private lazy val crossDedupOracle: String =
+    s"""$minhashBandCtes
        |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |WHERE a.doc_id >= 250 AND b.doc_id < 250""".stripMargin
-  }
+
+  private lazy val minhashVerifiedOracle: String =
+    s"""$minhashBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |g AS (SELECT DISTINCT doc_id, ${dh("sh")} AS h FROM sh),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+       |com AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN g ga ON ga.doc_id = c.doc_a
+       |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, sa.n AS n_a, sb.n AS n_b,
+       |  coalesce(m.n_common, 0) AS n_common,
+       |  coalesce(m.n_common, 0) * 10000
+       |    // (sa.n + sb.n - coalesce(m.n_common, 0)) AS jaccard_e4
+       |FROM cand c
+       |LEFT JOIN com m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+       |JOIN sz sa ON sa.doc_id = c.doc_a
+       |JOIN sz sb ON sb.doc_id = c.doc_b
+       |WHERE coalesce(m.n_common, 0) * 10000
+       |  // (sa.n + sb.n - coalesce(m.n_common, 0)) >= 3000""".stripMargin
 
   private val simhashOracle: String = {
     val votes = (0 until 32)
@@ -1203,6 +1256,37 @@ object TrainingQueries {
         |SELECT source, n_docs, n_tokens, isqrt_tokens,
         |  n_tokens * 1000000 // tot AS share_e6,
         |  isqrt_tokens * 1000000 // tot_i AS weight_e6
-        |FROM i CROSS JOIN t""".stripMargin
+        |FROM i CROSS JOIN t""".stripMargin,
+
+    "q_minhash_verified" -> minhashVerifiedOracle,
+
+    "q_luhn_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' ' ||
+        |        lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR), 16, '4')
+        |      ELSE text END AS text2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text2,
+        |    list_filter(regexp_extract_all(text2, '\b[0-9]{13,19}\b'),
+        |      s -> list_sum(list_transform(range(1, strlen(s) + 1), i ->
+        |        CASE WHEN i % 2 = 0
+        |          THEN CASE
+        |            WHEN 2 * (ascii(substr(s, strlen(s) - i + 1, 1)) - 48) > 9
+        |            THEN 2 * (ascii(substr(s, strlen(s) - i + 1, 1)) - 48) - 9
+        |            ELSE 2 * (ascii(substr(s, strlen(s) - i + 1, 1)) - 48) END
+        |          ELSE ascii(substr(s, strlen(s) - i + 1, 1)) - 48 END))
+        |        % 10 = 0) AS valid
+        |  FROM d)
+        |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_card_numbers,
+        |  CASE WHEN len(valid) > 0 THEN replace(text2, valid[1], '<CARD>')
+        |    ELSE text2 END AS redacted_cards
+        |FROM c""".stripMargin,
+
+    "q_blocklist" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source NOT IN ('src0', 'src7', 'src14')""".stripMargin
   )
 }

@@ -178,6 +178,19 @@ object Curation {
         expr("cast(isqrt_tokens as decimal(38,0)) * 1000000" +
           " div sum(cast(isqrt_tokens as decimal(38,0))) over ()"))
 
+  /** Domain/source blocklist filter: drop every document whose domain
+    * appears in the blocklist — the first gate of any web-corpus
+    * pipeline (spam/adult/malware domain lists, robots.txt opt-outs).
+    * The blocklist is explicitly broadcast: real blocklists are
+    * thousands-to-millions of rows against a multi-billion-document
+    * corpus, so the anti-join must ship the list to the data, never
+    * shuffle the corpus on the domain.
+    */
+  def blocklistFilter(docs: DataFrame, blocked: DataFrame,
+                      domainCol: String = "source"): DataFrame =
+    docs.join(broadcast(blocked),
+      docs(domainCol) === blocked(blocked.columns.head), "left_anti")
+
   /** Canonical-document selection per duplicate cluster — the step that
     * turns [[Dedup.connectedComponents]] output into a drop list: within
     * each cluster keep the highest-quality member (ties to the smallest

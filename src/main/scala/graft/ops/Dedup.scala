@@ -125,6 +125,47 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** LSH candidates VERIFIED by exact Jaccard — the production minhash
+    * pipeline's second half: banding yields approximate candidates
+    * (false positives from unlucky signature collisions), so each
+    * candidate pair's true shingle-set Jaccard is computed and the
+    * pair kept only at or above `minJaccardE4` (1e4-scaled). Returns
+    * (doc_a, doc_b, n_a, n_b, n_common, jaccard_e4).
+    *
+    * Scale: the intersection join is CANDIDATE-BOUNDED — grams fan out
+    * only for docs that appear in a candidate pair, as 8-byte distinct
+    * hashes, so the verify cost tracks the pair graph (LSH's whole
+    * point), never corpus². Contrast [[ngramJaccardPairs]], which
+    * generates pairs from the full posting list: this op trades its
+    * recall for LSH's and never touches non-candidate docs.
+    */
+  def lshVerifiedPairs(docs: DataFrame, numHashes: Int = 8,
+                       rowsPerBand: Int = 2, shingleN: Int = 3,
+                       minJaccardE4: Long = 3000L,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val sig = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
+    val cand = lshCandidatePairs(sig, numHashes, rowsPerBand)
+    val grams = explodedShingles(docs, shingleN, textCol, idCol)
+      .select(col(idCol), h60(col("sh")).as("h")).distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(grams.toDF("doc_a", "h"), "doc_a")
+      .join(grams.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand
+      // left join: a band collision CAN pair docs sharing zero shingles
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard_e4",
+        expr("n_common * 10000 div (n_a + n_b - n_common)"))
+      .filter(col("jaccard_e4") >= minJaccardE4)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard_e4")
+  }
+
   /** Cross-corpus LSH: candidate near-dup pairs between a NEW batch and
     * the EXISTING corpus — the incremental-ingest question ("is this
     * incoming doc a near-dup of anything already kept?"). Same banding

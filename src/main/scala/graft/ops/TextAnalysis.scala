@@ -393,6 +393,46 @@ object TextAnalysis {
       .agg(sum(col("sign")).as("feat"))
   }
 
+  /** Payment-card-number candidate pattern: bare 13-19 digit runs
+    * (word-boundary-delimited). Shared with the oracle; RE2-and-Java
+    * compatible like [[EmailRe]].
+    */
+  val CardRe = "\\b[0-9]{13,19}\\b"
+
+  /** Luhn-checksum-validated card-number redaction — the PII pass
+    * [[redactPii]]'s regexes cannot do alone: a 16-digit run is only
+    * treated as a card number when its Luhn check digit validates
+    * (ISO/IEC 7812), cutting the false-positive flood of timestamps,
+    * order ids and hashes that plain digit-run regexes redact. Valid
+    * numbers are replaced with `<CARD>`; `n_card_numbers` counts them.
+    *
+    * Pure per-row work: regexp extraction plus an integer fold over
+    * each candidate's digits (higher-order functions, no UDF) — no
+    * shuffle, embarrassingly parallel. HOF lambdas are interpreted,
+    * not codegen'd, but they run only on the extracted candidates
+    * (rare), not per character of the corpus.
+    */
+  def luhnRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // Luhn: from the RIGHTMOST digit (i = 1), double every second
+    // digit, subtract 9 on overflow, sum % 10 == 0
+    val luhnSum =
+      """aggregate(sequence(1, length(s)), 0, (acc, i) ->
+        |  acc + CASE WHEN i % 2 = 0
+        |    THEN CASE
+        |      WHEN 2 * (ascii(substring(s, length(s) - i + 1, 1)) - 48) > 9
+        |      THEN 2 * (ascii(substring(s, length(s) - i + 1, 1)) - 48) - 9
+        |      ELSE 2 * (ascii(substring(s, length(s) - i + 1, 1)) - 48) END
+        |    ELSE ascii(substring(s, length(s) - i + 1, 1)) - 48 END)""".stripMargin
+    docs
+      .withColumn("__valid", expr(
+        s"""filter(regexp_extract_all($textCol, '\\\\b[0-9]{13,19}\\\\b', 0),
+           |  s -> $luhnSum % 10 = 0)""".stripMargin))
+      .withColumn("n_card_numbers", size(col("__valid")).cast("long"))
+      .withColumn("redacted_cards",
+        expr(s"aggregate(__valid, $textCol, (t, s) -> replace(t, s, '<CARD>'))"))
+      .drop("__valid")
+  }
+
   /** Per-group n-gram diversity: distinct n-grams / total n-gram
     * instances (1e4-scaled integer) plus the singleton-gram count — a
     * corpus-health metric per source/shard (self-BLEU's cheap cousin):

@@ -567,6 +567,62 @@ class OpsSpec extends SparkSpec with PropSupport {
       out("srcSmall").getAs[Long]("share_e6"))
   }
 
+  test("lshVerifiedPairs: exact Jaccard verifies candidates, subset of LSH") {
+    // plant an exact duplicate: candidates must contain it and verify
+    // it at jaccard_e4 = 10000 with n_common = n_a = n_b
+    val dup = docs.limit(1).withColumn("doc_id", lit(8888L))
+    val corpus = docs.union(dup)
+    val verified = graft.ops.Dedup.lshVerifiedPairs(corpus)
+    val hit = verified.filter(col("doc_a") === 0 && col("doc_b") === 8888)
+      .collect()
+    assert(hit.length === 1)
+    assert(hit.head.getAs[Long]("jaccard_e4") === 10000L)
+    assert(hit.head.getAs[Long]("n_common") === hit.head.getAs[Long]("n_a"))
+    // verified output is a subset of the raw LSH candidates
+    val sig = graft.ops.Dedup.minhashSignatures(corpus, 8, 3)
+    val cand = graft.ops.Dedup.lshCandidatePairs(sig, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ver = verified.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ver.subsetOf(cand))
+  }
+
+  test("luhnRedact validates the checksum, not just the digit pattern") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay with 4532015112830366 now"),     // valid Luhn
+      (2L, "pay with 4532015112830367 now"),     // bad check digit
+      (3L, "order 123456789012 shipped"),        // 12 digits: no match
+      (4L, "cards 4532015112830366 and 4111111111111111 both valid"),
+      (5L, "no digits here")).toDF("doc_id", "text")
+    val out = TextAnalysis.luhnRedact(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_card_numbers"), r.getAs[String]("redacted_cards"))))
+      .toMap
+    assert(out(1L) === ((1L, "pay with <CARD> now")))
+    assert(out(2L) === ((0L, "pay with 4532015112830367 now")))
+    assert(out(3L) === ((0L, "order 123456789012 shipped")))
+    assert(out(4L) === ((2L, "cards <CARD> and <CARD> both valid")))
+    // 79927398713 (the classic Luhn example) is 11 digits: too short
+    // for a card pattern, so it must NOT be redacted
+    val short = TextAnalysis.luhnRedact(
+      Seq((9L, "id 79927398713 ok")).toDF("doc_id", "text")).head()
+    assert(short.getAs[Long]("n_card_numbers") === 0L)
+    assert(out(5L) === ((0L, "no digits here")))
+  }
+
+  test("blocklistFilter drops exactly the blocked domains") {
+    import spark.implicits._
+    val blocked = Seq("src1", "src3").toDF("domain")
+    val kept = graft.ops.Curation.blocklistFilter(docs, blocked)
+    val keptSources = kept.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!keptSources.contains("src1") && !keptSources.contains("src3"))
+    // nothing else was dropped
+    val expected = docs.filter(!col("source").isin("src1", "src3")).count()
+    assert(kept.count() === expected)
+  }
+
   test("normalize maps raw text onto the corpus contract") {
     val df = Seq(
       (1L, "  Hello, World!!  It's   90% FINE.  "),

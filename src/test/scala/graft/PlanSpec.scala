@@ -188,6 +188,27 @@ class PlanSpec extends SparkSpec {
       "gram counts lost map-side partial aggregation")
   }
 
+  test("lshVerifiedPairs stays equi-join work bounded by the candidates") {
+    val plan = executedPlan("q_minhash_verified")
+    assert(!plan.contains("CartesianProduct"),
+      "verified pairs planned a cartesian")
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
+  test("luhnRedact is pure per-row work (zero exchanges, zero joins)") {
+    val plan = executedPlan("q_luhn_redact")
+    assert(!plan.contains("Exchange"),
+      "card redaction must not shuffle: " + plan.take(400))
+    assert(!plan.contains("Join"), plan.take(400))
+  }
+
+  test("blocklist anti-join broadcasts the list, never shuffles the corpus") {
+    val plan = executedPlan("q_blocklist")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "blocklist lost its broadcast anti-join: " + plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
   test("temperatureMixture windows only the tiny domain table") {
     val plan = executedPlan("q_temperature_mix")
     assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
