@@ -567,6 +567,38 @@ class OpsSpec extends SparkSpec with PropSupport {
       out("srcSmall").getAs[Long]("share_e6"))
   }
 
+  test("property: luhnRedact accepts exactly the constructed check digits") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // generate 14-18 digit prefixes; compute the correct Luhn check
+    // digit driver-side; the op must redact the valid completion and
+    // leave the off-by-one completion alone
+    val gen = for {
+      len <- Gen.choose(14, 18)
+      ds <- Gen.listOfN(len - 1, Gen.choose(0, 9))
+      first <- Gen.choose(1, 9) // no leading zero
+    } yield (first :: ds).mkString
+    def checkDigit(prefix: String): Int = {
+      // digits of (prefix + d) right-to-left: d is position 1 (odd,
+      // undoubled), so prefix positions start at 2 = doubled
+      val sum = prefix.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 0) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+      }.sum
+      (10 - sum % 10) % 10
+    }
+    forAllGen(gen, cases = 30) { prefix =>
+      val valid = prefix + checkDigit(prefix)
+      val invalid = prefix + ((checkDigit(prefix) + 1) % 10)
+      val out = TextAnalysis.luhnRedact(
+        Seq((1L, s"v $valid v"), (2L, s"i $invalid i"))
+          .toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("n_card_numbers")).toMap
+      assert(out(1L) === 1L, s"valid $valid not redacted")
+      assert(out(2L) === 0L, s"invalid $invalid redacted")
+    }
+  }
+
   test("lshVerifiedPairs: exact Jaccard verifies candidates, subset of LSH") {
     // plant an exact duplicate: candidates must contain it and verify
     // it at jaccard_e4 = 10000 with n_common = n_a = n_b
