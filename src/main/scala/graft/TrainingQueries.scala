@@ -1281,12 +1281,15 @@ object TrainingQueries {
         |        % 10 = 0) AS valid
         |  FROM d)
         |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_card_numbers,
-        |  CASE WHEN len(valid) > 0 THEN replace(text2, valid[1], '<CARD>')
-        |    ELSE text2 END AS redacted_cards
+        |  list_reduce(list_prepend(text2, valid),
+        |    (acc, s) -> replace(acc, s, '<CARD>')) AS redacted_cards
         |FROM c""".stripMargin,
 
     "q_blocklist" ->
+      // IS NULL arm mirrors blocklistFilter's pinned NULL semantics
+      // (unknown domains are kept; NOT IN alone would drop them)
       """SELECT doc_id, source FROM documents
-        |WHERE source NOT IN ('src0', 'src7', 'src14')""".stripMargin
+        |WHERE source IS NULL
+        |   OR source NOT IN ('src0', 'src7', 'src14')""".stripMargin
   )
 }

@@ -99,11 +99,7 @@ object Curation {
   def dupNgramCoverage(docs: DataFrame, n: Int = 3,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
-      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        posexplode(Dedup.shinglesOfTokens(col("__toks"), n))
-          .as(Seq("pos", "sh")))
+    val grams = Dedup.posExplodedShingles(docs, n, textCol, idCol)
       .select(col(idCol), col("pos"), Dedup.h60(col("sh")).as("h"))
     val counts = grams.groupBy(col(idCol), col("h"))
       .agg(count(lit(1)).as("c"))
@@ -185,11 +181,18 @@ object Curation {
     * thousands-to-millions of rows against a multi-billion-document
     * corpus, so the anti-join must ship the list to the data, never
     * shuffle the corpus on the domain.
+    *
+    * NULL semantics: a NULL domain is KEPT (an unknown domain is not on
+    * the list), and NULL blocklist entries are dropped before the join —
+    * both pinned so the anti-join can never silently diverge from a
+    * `NOT IN` reading (whose NULL propagation drops every row).
     */
   def blocklistFilter(docs: DataFrame, blocked: DataFrame,
-                      domainCol: String = "source"): DataFrame =
-    docs.join(broadcast(blocked),
-      docs(domainCol) === blocked(blocked.columns.head), "left_anti")
+                      domainCol: String = "source"): DataFrame = {
+    val listCol = blocked.columns.head
+    docs.join(broadcast(blocked.filter(blocked(listCol).isNotNull)),
+      docs(domainCol) === blocked(listCol), "left_anti")
+  }
 
   /** Canonical-document selection per duplicate cluster — the step that
     * turns [[Dedup.connectedComponents]] output into a drop list: within

@@ -66,6 +66,20 @@ object Dedup {
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(shinglesOfTokens(col("__toks"), n)).as("sh"))
 
+  /** Positioned variant of [[explodedShingles]]: (id, n_grams, pos, sh)
+    * with tokens materialized once. ONE definition for the
+    * window-position family (span trim, winnowing, repetition coverage)
+    * so the tokenization and the short-doc guard cannot drift between
+    * them; docs shorter than n tokens yield no rows and n_grams = 0.
+    */
+  def posExplodedShingles(docs: DataFrame, n: Int,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        greatest(size(col("__toks")) - (n - 1), lit(0)).as("n_grams"),
+        posexplode(shinglesOfTokens(col("__toks"), n)).as(Seq("pos", "sh")))
+
   /** Exact dedup via content hash-groupBy: one row per distinct content,
     * canonical id = min doc id. A single hash aggregate — at 100 TB this
     * is the cheapest possible dedup (map-side partial agg on the hash).
@@ -145,7 +159,7 @@ object Dedup {
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     val sig = minhashSignatures(docs, numHashes, shingleN, textCol, idCol)
-    val cand = lshCandidatePairs(sig, numHashes, rowsPerBand)
+    val cand = lshCandidatePairs(sig, numHashes, rowsPerBand, idCol)
     val grams = explodedShingles(docs, shingleN, textCol, idCol)
       .select(col(idCol), h60(col("sh")).as("h")).distinct()
     val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
@@ -420,9 +434,7 @@ object Dedup {
                       idCol: String = "doc_id"): DataFrame = {
     val W = windowTokens
     val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val win = toksDf
-      .select(col(idCol),
-        posexplode(shinglesOfTokens(col("__toks"), W)).as(Seq("pos", "sh")))
+    val win = posExplodedShingles(docs, W, textCol, idCol)
       .select(col(idCol), col("pos"), h60(col("sh")).as("wh"))
     // a window is shared when it occurs in MORE THAN ONE document —
     // same contract as substringDupStats, counted per window hash

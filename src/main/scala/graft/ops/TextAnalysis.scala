@@ -113,12 +113,7 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, n: Int = 3, k: Int = 4,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
-      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        greatest(size(col("__toks")) - (n - 1), lit(0)).as("n_grams"),
-        posexplode(Dedup.shinglesOfTokens(col("__toks"), n))
-          .as(Seq("pos", "sh")))
+    val grams = Dedup.posExplodedShingles(docs, n, textCol, idCol)
       .withColumn("g", Dedup.h60(col("sh")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

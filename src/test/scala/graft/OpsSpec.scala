@@ -602,7 +602,8 @@ class OpsSpec extends SparkSpec with PropSupport {
   test("lshVerifiedPairs: exact Jaccard verifies candidates, subset of LSH") {
     // plant an exact duplicate: candidates must contain it and verify
     // it at jaccard_e4 = 10000 with n_common = n_a = n_b
-    val dup = docs.limit(1).withColumn("doc_id", lit(8888L))
+    val dup = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(8888L))
     val corpus = docs.union(dup)
     val verified = graft.ops.Dedup.lshVerifiedPairs(corpus)
     val hit = verified.filter(col("doc_a") === 0 && col("doc_b") === 8888)
