@@ -371,6 +371,14 @@ object TrainingQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Four-signal keep/reject audit: quality rules, corpus-LM fluency,
+    * rare-token rate, repetition coverage — first failing rule wins.
+    * Thresholds chosen so every rule fires on the synthetic corpus.
+    */
+  def qQualityEnsemble(s: SparkSession, dir: String): DataFrame =
+    Curation.qualityEnsemble(docs(s, dir), minQuality = 3,
+      minLmE6 = 34000L, maxRareE6 = 20000L, maxDupCovE4 = 500L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -417,7 +425,8 @@ object TrainingQueries {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_minhash_verified" -> (qMinhashVerified _),
     "q_luhn_redact" -> (qLuhnRedact _),
-    "q_blocklist" -> (qBlocklist _)
+    "q_blocklist" -> (qBlocklist _),
+    "q_quality_ensemble" -> (qQualityEnsemble _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -474,6 +483,105 @@ object TrainingQueries {
        |      AS BIGINT) AS n_removed,
        |    coalesce(a.kept_text, '') AS kept_text
        |  FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
+
+  /** Shared CTE block ending in `qout(doc_id, n_tokens, quality)` — the
+    * rule-based quality score. Reused by q_quality, q_weighted_sample
+    * and the ensemble so the rule set cannot drift between them.
+    */
+  private lazy val qualityCtes: String =
+    """qs AS (
+      |  SELECT doc_id, strlen(text) AS n_chars_m,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords
+      |  FROM documents),
+      |qout AS (
+      |  SELECT doc_id, n_tokens,
+      |    (CASE WHEN n_chars_m BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) AS quality
+      |  FROM qs)""".stripMargin
+
+  /** Shared CTE block ending in `lmout(doc_id, n_bigrams, lm_score_e6)`
+    * — the corpus-bigram LM score. CTE names are lm-prefixed so the
+    * block composes with the other signal blocks in one query.
+    */
+  private lazy val lmCtes: String =
+    s"""lmtoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |lmbg AS (
+       |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2])) AS sh FROM lmtoks),
+       |lminst AS (
+       |  SELECT doc_id, ${dh("sh")} AS bgh,
+       |    ${dh("string_split(sh, ' ')[1]")} AS pw FROM lmbg),
+       |lmbyd AS (
+       |  SELECT doc_id, bgh, pw, count(*) AS m FROM lminst GROUP BY 1, 2, 3),
+       |lmc2 AS (SELECT bgh, sum(m) AS c2 FROM lmbyd GROUP BY 1),
+       |lmc1 AS (SELECT pw, sum(m) AS c1 FROM lmbyd GROUP BY 1),
+       |lmout AS (
+       |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(m * (lmc2.c2 * 1000000 // lmc1.c1)) // sum(m) AS BIGINT)
+       |      AS lm_score_e6
+       |  FROM lmbyd JOIN lmc2 USING (bgh) JOIN lmc1 USING (pw)
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE block ending in `ovout(doc_id, n_tokens, n_rare,
+    * rare_rate_e6)` — the share-relative rare-token rate.
+    */
+  private lazy val oovCtes: String =
+    s"""ovt AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |ovinst AS (SELECT doc_id, ${dh("w")} AS tw FROM ovt),
+       |ovbyd AS (SELECT doc_id, tw, count(*) AS m FROM ovinst GROUP BY 1, 2),
+       |ovv AS (SELECT tw, sum(m) AS cnt FROM ovbyd GROUP BY 1),
+       |ovtot AS (SELECT sum(cnt) AS tot FROM ovv),
+       |ovout AS (
+       |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN cnt * 100 < tot THEN m ELSE 0 END) AS BIGINT)
+       |      AS n_rare,
+       |    CAST(sum(CASE WHEN cnt * 100 < tot THEN m ELSE 0 END) * 1000000
+       |      // sum(m) AS BIGINT) AS rare_rate_e6
+       |  FROM ovbyd JOIN ovv USING (tw) CROSS JOIN ovtot
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE block ending in `dcout(doc_id, n_tokens, n_grams,
+    * top_gram_freq, dup_cov_e4)` — within-doc duplicated-3-gram
+    * coverage (the Gopher repetition rule).
+    */
+  private lazy val dupCovCtes: String =
+    s"""dctoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dcwn AS (
+       |  SELECT doc_id, unnest(range(greatest(len(w)-2, 0))) AS pos, w
+       |  FROM dctoks),
+       |dcgh AS (
+       |  SELECT doc_id, pos,
+       |    ${dh("array_to_string(w[pos+1:pos+3], ' ')")} AS h FROM dcwn),
+       |dcc AS (
+       |  SELECT doc_id, h, count(*) AS c FROM dcgh GROUP BY 1, 2),
+       |dcpd AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |    CAST(max(c) AS BIGINT) AS top_gram_freq
+       |  FROM dcc GROUP BY 1),
+       |dccov AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT dcgh.doc_id, unnest(range(dcgh.pos, dcgh.pos+3)) AS t
+       |    FROM dcgh JOIN dcc USING (doc_id, h) WHERE dcc.c > 1)),
+       |dcca AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ndup
+       |  FROM dccov GROUP BY 1),
+       |dcout AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    coalesce(p.n_grams, 0) AS n_grams,
+       |    coalesce(p.top_gram_freq, 0) AS top_gram_freq,
+       |    coalesce(ca.ndup, 0) * 10000
+       |      // CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dup_cov_e4
+       |  FROM documents d
+       |  LEFT JOIN dcpd p USING (doc_id) LEFT JOIN dcca ca USING (doc_id))""".stripMargin
 
   /** Shared CTE: word tokens and 3-shingles per doc. */
   private val shingleCte =
@@ -1061,23 +1169,10 @@ object TrainingQueries {
         |FROM documents""".stripMargin,
 
     "q_quality" ->
-      """WITH s AS (
-        |  SELECT doc_id, strlen(text) AS n_chars_m,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-        |    len(list_filter(string_split(text, ' '),
-        |        x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, n_tokens,
-        |    (CASE WHEN n_chars_m BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) +
-        |    (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) AS quality
-        |  FROM s)
-        |SELECT doc_id, n_tokens, quality,
-        |  CASE WHEN quality >= 3 THEN 1 ELSE 0 END AS keep
-        |FROM q""".stripMargin,
+      s"""WITH $qualityCtes
+         |SELECT doc_id, n_tokens, quality,
+         |  CASE WHEN quality >= 3 THEN 1 ELSE 0 END AS keep
+         |FROM qout""".stripMargin,
 
     "q_fingerprint" -> (shingleCte +
       s"""SELECT doc_id,
@@ -1094,38 +1189,12 @@ object TrainingQueries {
         |FROM documents""".stripMargin,
 
     "q_lm_score" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |bg AS (
-         |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
-         |    i -> w[i+1] || ' ' || w[i+2])) AS sh FROM toks),
-         |inst AS (
-         |  SELECT doc_id, ${dh("sh")} AS bgh,
-         |    ${dh("string_split(sh, ' ')[1]")} AS pw FROM bg),
-         |byd AS (
-         |  SELECT doc_id, bgh, pw, count(*) AS m FROM inst GROUP BY 1, 2, 3),
-         |c2 AS (SELECT bgh, sum(m) AS c2 FROM byd GROUP BY 1),
-         |c1 AS (SELECT pw, sum(m) AS c1 FROM byd GROUP BY 1)
-         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(m * (c2.c2 * 1000000 // c1.c1)) // sum(m) AS BIGINT)
-         |    AS lm_score_e6
-         |FROM byd JOIN c2 USING (bgh) JOIN c1 USING (pw)
-         |GROUP BY doc_id""".stripMargin,
+      s"""WITH $lmCtes
+         |SELECT doc_id, n_bigrams, lm_score_e6 FROM lmout""".stripMargin,
 
     "q_oov_rate" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |inst AS (SELECT doc_id, ${dh("w")} AS tw FROM t),
-         |byd AS (SELECT doc_id, tw, count(*) AS m FROM inst GROUP BY 1, 2),
-         |v AS (SELECT tw, sum(m) AS cnt FROM byd GROUP BY 1),
-         |tot AS (SELECT sum(cnt) AS tot FROM v)
-         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
-         |  CAST(sum(CASE WHEN cnt * 100 < tot THEN m ELSE 0 END) AS BIGINT)
-         |    AS n_rare,
-         |  CAST(sum(CASE WHEN cnt * 100 < tot THEN m ELSE 0 END) * 1000000
-         |    // sum(m) AS BIGINT) AS rare_rate_e6
-         |FROM byd JOIN v USING (tw) CROSS JOIN tot
-         |GROUP BY doc_id""".stripMargin,
+      s"""WITH $oovCtes
+         |SELECT doc_id, n_tokens, n_rare, rare_rate_e6 FROM ovout""".stripMargin,
 
     "q_dedup_trim" -> (trimCtes +
       "\nSELECT doc_id, n_tokens, n_removed, kept_text FROM trimout"),
@@ -1168,54 +1237,15 @@ object TrainingQueries {
          |FROM inst GROUP BY 1, 2""".stripMargin,
 
     "q_dup_ngram_cov" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |wn AS (
-         |  SELECT doc_id, unnest(range(greatest(len(w)-2, 0))) AS pos, w
-         |  FROM toks),
-         |gh AS (
-         |  SELECT doc_id, pos,
-         |    ${dh("array_to_string(w[pos+1:pos+3], ' ')")} AS h FROM wn),
-         |c AS (
-         |  SELECT doc_id, h, count(*) AS c FROM gh GROUP BY 1, 2),
-         |pd AS (
-         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-         |    CAST(max(c) AS BIGINT) AS top_gram_freq
-         |  FROM c GROUP BY 1),
-         |cov AS (
-         |  SELECT DISTINCT doc_id, t FROM (
-         |    SELECT gh.doc_id, unnest(range(gh.pos, gh.pos+3)) AS t
-         |    FROM gh JOIN c USING (doc_id, h) WHERE c.c > 1)),
-         |ca AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ndup
-         |  FROM cov GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-         |  coalesce(p.n_grams, 0) AS n_grams,
-         |  coalesce(p.top_gram_freq, 0) AS top_gram_freq,
-         |  coalesce(ca.ndup, 0) * 10000
-         |    // CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dup_cov_e4
-         |FROM documents d
-         |LEFT JOIN pd p USING (doc_id) LEFT JOIN ca USING (doc_id)""".stripMargin,
+      s"""WITH $dupCovCtes
+         |SELECT doc_id, n_tokens, n_grams, top_gram_freq, dup_cov_e4
+         |FROM dcout""".stripMargin,
 
     "q_weighted_sample" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, strlen(text) AS n_chars_m,
-         |    len(string_split(text, ' ')) AS n_tokens,
-         |    strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-         |    len(list_filter(string_split(text, ' '),
-         |        x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords
-         |  FROM documents),
-         |q AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN n_chars_m BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) +
-         |    (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1 ELSE 0 END) +
-         |    (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) +
-         |    (CASE WHEN n_stopwords > 0 THEN 1 ELSE 0 END) AS quality
-         |  FROM s)
+      s"""WITH $qualityCtes
          |SELECT doc_id, quality,
          |  ${dhSalted("wsample")} % 10000 AS draw_e4
-         |FROM q
+         |FROM qout
          |WHERE ${dhSalted("wsample")} % 10000 <
          |  least(greatest(quality * 2500, 0), 10000)""".stripMargin,
 
@@ -1290,6 +1320,30 @@ object TrainingQueries {
       // (unknown domains are kept; NOT IN alone would drop them)
       """SELECT doc_id, source FROM documents
         |WHERE source IS NULL
-        |   OR source NOT IN ('src0', 'src7', 'src14')""".stripMargin
+        |   OR source NOT IN ('src0', 'src7', 'src14')""".stripMargin,
+
+    "q_quality_ensemble" ->
+      s"""WITH $qualityCtes,
+         |$lmCtes,
+         |$oovCtes,
+         |$dupCovCtes,
+         |scored AS (
+         |  SELECT q.doc_id, q.quality,
+         |    coalesce(l.lm_score_e6, 0) AS lm_score_e6,
+         |    o.rare_rate_e6, d.dup_cov_e4
+         |  FROM qout q
+         |  LEFT JOIN lmout l USING (doc_id)
+         |  JOIN ovout o USING (doc_id)
+         |  JOIN dcout d USING (doc_id))
+         |SELECT doc_id, quality, lm_score_e6, rare_rate_e6, dup_cov_e4,
+         |  CASE WHEN quality < 3 THEN 'quality'
+         |       WHEN lm_score_e6 < 34000 THEN 'lm_score'
+         |       WHEN rare_rate_e6 > 20000 THEN 'oov'
+         |       WHEN dup_cov_e4 > 500 THEN 'repetition'
+         |       ELSE 'kept' END AS reject_reason,
+         |  CASE WHEN quality >= 3 AND lm_score_e6 >= 34000
+         |        AND rare_rate_e6 <= 20000 AND dup_cov_e4 <= 500
+         |       THEN 1 ELSE 0 END AS keep
+         |FROM scored""".stripMargin
   )
 }

@@ -174,6 +174,49 @@ object Curation {
         expr("cast(isqrt_tokens as decimal(38,0)) * 1000000" +
           " div sum(cast(isqrt_tokens as decimal(38,0))) over ()"))
 
+  /** Quality-filter ensemble — the keep/reject AUDIT TABLE a curation
+    * pipeline actually ships: every document scored by four independent
+    * verified signals (rule-based quality, corpus-LM fluency, rare-token
+    * rate, within-doc repetition coverage) and labeled with the FIRST
+    * failing rule in a fixed precedence order, so corpus reports can
+    * answer "how much did each filter cost us" and spot-checks can pull
+    * the rejects per reason. keep = 1 iff every rule passes.
+    *
+    * Scale: four doc-keyed aggregates joined back on the id — every
+    * shuffle is doc- or vocab-keyed (see each op's own scaladoc); the
+    * ensemble adds three equi-joins on the 8-byte id and pure map-side
+    * CASE logic. The LM join is LEFT: a 1-token document has no bigrams
+    * and scores 0 (rejected by the lm rule, deliberately).
+    */
+  def qualityEnsemble(docs: DataFrame, minQuality: Int = 3,
+                      minLmE6: Long = 34000L, maxRareE6: Long = 20000L,
+                      maxDupCovE4: Long = 500L,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs, textCol)
+      .select(col(idCol), col("quality"))
+    val lm = TextAnalysis.lmScore(docs, textCol, idCol)
+      .select(col(idCol), col("lm_score_e6"))
+    val ov = TextAnalysis.oovRate(docs, 100L, textCol, idCol)
+      .select(col(idCol), col("rare_rate_e6"))
+    val rep = dupNgramCoverage(docs, 3, textCol, idCol)
+      .select(col(idCol), col("dup_cov_e4"))
+    q.join(lm, Seq(idCol), "left")
+      .join(ov, Seq(idCol))
+      .join(rep, Seq(idCol))
+      .withColumn("lm_score_e6", coalesce(col("lm_score_e6"), lit(0L)))
+      .withColumn("reject_reason",
+        when(col("quality") < minQuality, "quality")
+          .when(col("lm_score_e6") < minLmE6, "lm_score")
+          .when(col("rare_rate_e6") > maxRareE6, "oov")
+          .when(col("dup_cov_e4") > maxDupCovE4, "repetition")
+          .otherwise("kept"))
+      .withColumn("keep", (col("reject_reason") === "kept").cast("int"))
+      .select(col(idCol), col("quality"), col("lm_score_e6"),
+        col("rare_rate_e6"), col("dup_cov_e4"), col("reject_reason"),
+        col("keep"))
+  }
+
   /** Domain/source blocklist filter: drop every document whose domain
     * appears in the blocklist — the first gate of any web-corpus
     * pipeline (spam/adult/malware domain lists, robots.txt opt-outs).

@@ -644,6 +644,26 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(5L) === ((0L, "no digits here")))
   }
 
+  test("qualityEnsemble: every doc labeled once, reason = first failing rule") {
+    val out = graft.ops.Curation.qualityEnsemble(docs,
+      minQuality = 3, minLmE6 = 34000L, maxRareE6 = 20000L,
+      maxDupCovE4 = 500L).collect()
+    assert(out.length === docs.count())
+    val reasons = out.map(_.getAs[String]("reject_reason")).distinct.toSet
+    // thresholds were chosen so every rule fires on this corpus
+    assert(reasons === Set("quality", "lm_score", "oov", "repetition", "kept"))
+    out.foreach { r =>
+      val expected =
+        if (r.getAs[Int]("quality") < 3) "quality"
+        else if (r.getAs[Long]("lm_score_e6") < 34000L) "lm_score"
+        else if (r.getAs[Long]("rare_rate_e6") > 20000L) "oov"
+        else if (r.getAs[Long]("dup_cov_e4") > 500L) "repetition"
+        else "kept"
+      assert(r.getAs[String]("reject_reason") === expected)
+      assert(r.getAs[Int]("keep") === (if (expected == "kept") 1 else 0))
+    }
+  }
+
   test("blocklistFilter drops exactly the blocked domains") {
     import spark.implicits._
     val blocked = Seq("src1", "src3").toDF("domain")

@@ -209,6 +209,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(400))
   }
 
+  test("qualityEnsemble joins its four signals on the id (no cartesian/window)") {
+    val plan = executedPlan("q_quality_ensemble")
+    assert(!plan.contains("CartesianProduct"), "ensemble planned a cartesian")
+    assert(!plan.contains("Window"), plan.take(400))
+    // the only nested-loop join allowed is oovRate's one-row corpus
+    // total; count in the FINAL plan only (the toString repeats the
+    // tree under "== Initial Plan ==")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      "ensemble grew a second nested-loop join: " + plan.take(400))
+  }
+
   test("temperatureMixture windows only the tiny domain table") {
     val plan = executedPlan("q_temperature_mix")
     assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
