@@ -379,6 +379,10 @@ object TrainingQueries {
     Curation.qualityEnsemble(docs(s, dir), minQuality = 3,
       minLmE6 = 34000L, maxRareE6 = 20000L, maxDupCovE4 = 500L)
 
+  /** Vocabulary coverage at top-10/100/1000 terms. */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir), ns = Seq(10, 100, 1000))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -426,7 +430,8 @@ object TrainingQueries {
     "q_minhash_verified" -> (qMinhashVerified _),
     "q_luhn_redact" -> (qLuhnRedact _),
     "q_blocklist" -> (qBlocklist _),
-    "q_quality_ensemble" -> (qQualityEnsemble _)
+    "q_quality_ensemble" -> (qQualityEnsemble _),
+    "q_vocab_coverage" -> (qVocabCoverage _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1344,6 +1349,24 @@ object TrainingQueries {
          |  CASE WHEN quality >= 3 AND lm_score_e6 >= 34000
          |        AND rare_rate_e6 <= 20000 AND dup_cov_e4 <= 500
          |       THEN 1 ELSE 0 END AS keep
-         |FROM scored""".stripMargin
+         |FROM scored""".stripMargin,
+
+    "q_vocab_coverage" -> {
+      val tops = Seq(10, 100, 1000).map { n =>
+        s"""SELECT $n AS n_top, CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(sum(cnt) AS BIGINT) AS covered
+           |  FROM (SELECT cnt, tw FROM v ORDER BY cnt DESC, tw LIMIT $n)"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |v AS (SELECT ${dh("w")} AS tw, count(*) AS cnt FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v),
+         |tops AS (
+         |  $tops)
+         |SELECT n_top, n_terms, covered, tot,
+         |  covered * 1000000 // tot AS coverage_e6
+         |FROM tops CROSS JOIN tot""".stripMargin
+    }
   )
 }

@@ -428,6 +428,38 @@ object TextAnalysis {
       .drop("__valid")
   }
 
+  /** Vocabulary coverage curve: for each N in `ns`, the share of all
+    * token INSTANCES covered by the N most frequent vocabulary terms —
+    * the statistic that sizes a tokenizer vocabulary (the N where the
+    * curve flattens) and flags corpus skew (a 10-term vocab covering
+    * 90% means templated text). Ties at the rank-N boundary break on
+    * the term hash so the cut is engine-deterministic.
+    *
+    * Scale: one map-side-combining vocab aggregate; each top-N is a
+    * TakeOrdered (no global sort, no corpus window) over the
+    * vocab-sized table followed by a two-row-aggregate; the corpus
+    * total is a one-row broadcast. N is bounded and tiny (vocab design
+    * explores 10s-100Ks), so the unioned output is N-sized.
+    */
+  def vocabCoverage(docs: DataFrame, ns: Seq[Int] = Seq(10, 100, 1000),
+                    textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), s"bad top-N list: $ns")
+    val vocab = docs
+      .select(explode(toks(col(textCol))).as("w"))
+      .groupBy(Dedup.h60(col("w")).as("tw"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("tot"))
+    ns.map { n =>
+      vocab.orderBy(col("cnt").desc, col("tw").asc).limit(n)
+        .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("covered"))
+        .withColumn("n_top", lit(n))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_e6", expr("covered * 1000000 div tot"))
+      .select(col("n_top"), col("n_terms"), col("covered"), col("tot"),
+        col("coverage_e6"))
+  }
+
   /** Per-group n-gram diversity: distinct n-grams / total n-gram
     * instances (1e4-scaled integer) plus the singleton-gram count — a
     * corpus-health metric per source/shard (self-BLEU's cheap cousin):

@@ -664,6 +664,21 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("vocabCoverage: hand-computed coverage shares, monotone in N") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.vocabCoverage(df, ns = Seq(1, 2, 3))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1) === ((1L, 3L, 6L, 500000L)))   // "a" covers 3/6
+    assert(out(2) === ((2L, 5L, 6L, 833333L)))   // +"b" covers 5/6
+    assert(out(3) === ((3L, 6L, 6L, 1000000L)))  // full vocab
+    // real corpus: coverage is monotone in N and bounded by 1e6
+    val cov = graft.ops.TextAnalysis.vocabCoverage(docs, ns = Seq(5, 50))
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(cov(5) <= cov(50) && cov(50) <= 1000000L)
+  }
+
   test("blocklistFilter drops exactly the blocked domains") {
     import spark.implicits._
     val blocked = Seq("src1", "src3").toDF("domain")

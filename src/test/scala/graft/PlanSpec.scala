@@ -221,6 +221,14 @@ class PlanSpec extends SparkSpec {
       "ensemble grew a second nested-loop join: " + plan.take(400))
   }
 
+  test("vocabCoverage takes top-N without a global sort or window") {
+    val plan = executedPlan("q_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-N lost its TakeOrdered plan: " + plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("temperatureMixture windows only the tiny domain table") {
     val plan = executedPlan("q_temperature_mix")
     assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
