@@ -383,6 +383,16 @@ object TrainingQueries {
   def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(docs(s, dir), ns = Seq(10, 100, 1000))
 
+  /** Relational Lloyd k-means (k=4, 2 update rounds) — the full
+    * trajectory is integer-exact, so the oracle replays every iteration.
+    */
+  def qKmeansAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(embs(s, dir), k = 4, iters = 2)
+
+  /** SemDeDup: within-k-means-cluster cosine near-dup drop (>= 0.4). */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(embs(s, dir), k = 4, iters = 2, minCosine = 0.4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -431,7 +441,9 @@ object TrainingQueries {
     "q_luhn_redact" -> (qLuhnRedact _),
     "q_blocklist" -> (qBlocklist _),
     "q_quality_ensemble" -> (qQualityEnsemble _),
-    "q_vocab_coverage" -> (qVocabCoverage _)
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_kmeans_assign" -> (qKmeansAssign _),
+    "q_semdedup" -> (qSemDedup _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -725,6 +737,38 @@ object TrainingQueries {
 
   private def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1])) AS BIGINT)"
+
+  /** The k-means trajectory as chained CTEs — one (assign, update) pair
+    * per iteration, replaying Similarity.kmeansAssign step for step
+    * (same seeds, same dist*k+cid argmin encoding, same floor(sum/cnt)
+    * centroid update). Expects an `e(vec_id, qe)` CTE in scope; leaves
+    * `af(vec_id, kk)` with kk = final dist * k + cid.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+    def dist(q: String, c: String) =
+      s"CAST(list_sum(list_transform(range($dims), " +
+        s"i -> ($q[i+1] - $c[i+1]) * ($q[i+1] - $c[i+1]))) AS BIGINT)"
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, min(${dist("e.qe", "c.cen")} * $k + c.cid) AS kk
+         |  FROM e CROSS JOIN $cents c GROUP BY 1)""".stripMargin
+    val c0 =
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |    qe AS cen
+         |  FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { n =>
+      s"""${assign(s"a$n", s"c${n - 1}")},
+         |c$n AS (
+         |  SELECT cid, list(m ORDER BY i) AS cen FROM (
+         |    SELECT a$n.kk % $k AS cid, t.i,
+         |      CAST(floor(CAST(sum(e.qe[t.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |    FROM e JOIN a$n USING (vec_id) CROSS JOIN range($dims) t(i)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    }
+    (c0 +: steps :+ assign("af", s"c$iters")).mkString(",\n")
+  }
 
   private val knnBruteOracle: String =
     s"""${quantCte.trim},
@@ -1367,6 +1411,31 @@ object TrainingQueries {
          |SELECT n_top, n_terms, covered, tot,
          |  covered * 1000000 // tot AS coverage_e6
          |FROM tops CROSS JOIN tot""".stripMargin
-    }
+    },
+
+    "q_kmeans_assign" ->
+      s"""${quantCte.trim},
+         |${kmeansCtes(k = 4, iters = 2, dims = 64)}
+         |SELECT vec_id, kk % 4 AS cid, kk // 4 AS dist FROM af""".stripMargin,
+
+    "q_semdedup" ->
+      s"""${quantCte.trim},
+         |${kmeansCtes(k = 4, iters = 2, dims = 64)},
+         |m AS (SELECT e.vec_id, af.kk % 4 AS cid, e.qe
+         |  FROM e JOIN af USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.qe", "b.qe")} AS dot,
+         |    ${dotSql("a.qe", "a.qe")} AS na,
+         |    ${dotSql("b.qe", "b.qe")} AS nb
+         |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |d AS (SELECT DISTINCT id_b FROM p
+         |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4)
+         |SELECT m.cid, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  count(*) - CAST(sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  bit_xor(CASE WHEN d.id_b IS NULL THEN m.vec_id ELSE 0 END) AS xor_kept
+         |FROM m LEFT JOIN d ON m.vec_id = d.id_b
+         |GROUP BY 1""".stripMargin
   )
 }

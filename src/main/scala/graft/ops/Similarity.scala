@@ -43,9 +43,13 @@ object Similarity {
       .otherwise(transform(emb, x => (x.cast("double") / norm).cast("float")))
   }
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd kernel (see [[graft.functions.VectorKernels]] for why
+    * neither HOF lambdas nor an unrolled sum chain survive on the
+    * pair-join hot path).
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotq(a, b)
 
   /** Cosine similarity between quantized vectors, as double. */
   def cosineQ(a: Column, b: Column): Column =
@@ -192,27 +196,170 @@ object Similarity {
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double, bits: Int,
                          dims: Int = 64,
                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // Two pair-count optimizations: norms are computed ONCE per vector,
-    // and the per-pair dot product is unrolled into `dims` scalar-column
-    // multiply-adds. Higher-order-function lambdas (zip_with/aggregate)
-    // are interpreted, not codegen'd — the unrolled form stays inside
-    // whole-stage codegen, which is what matters when pairs >> vectors.
     val withCell = embeddings
       .select(col(idCol), quantize(col(embCol)).as("qe"),
         signBucket(col(embCol), bits).as("cell"))
       .withColumn("norm", dotQ(col("qe"), col("qe")).cast("double"))
-    val aCols = col(idCol).as("id_a") +: col("norm").as("norm_a") +: col("cell") +:
-      (0 until dims).map(i => element_at(col("qe"), i + 1).as(s"a$i"))
-    val bCols = col(idCol).as("id_b") +: col("norm").as("norm_b") +: col("cell") +:
-      (0 until dims).map(i => element_at(col("qe"), i + 1).as(s"b$i"))
-    val dot = (0 until dims).map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
-    withCell.select(aCols: _*)
-      .join(withCell.select(bCols: _*), "cell")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot.cast("double") / sqrt(col("norm_a") * col("norm_b")))
+    cellPairs(withCell, idCol)
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cell"),
         round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  /** Within-cell candidate pairs with exact-integer cosine. Expects
+    * (idCol, qe, cell, norm); emits (id_a, id_b, cell, cosine).
+    *
+    * Two pair-count optimizations: norms are computed ONCE per vector,
+    * and the per-pair dot product is the [[dotQ]] kernel — a tight
+    * JIT-friendly loop. (Earlier forms — HOF lambdas, then an unrolled
+    * `dims`-term multiply-add chain — both lose by ~100× on the pair
+    * hot path: lambdas interpret per element, and the unrolled chain
+    * pushes the generated method past HotSpot's JIT size limit. See
+    * [[graft.functions.VectorKernels]].)
+    */
+  private def cellPairs(withCell: DataFrame, idCol: String): DataFrame = {
+    val a = withCell.select(col(idCol).as("id_a"), col("norm").as("norm_a"),
+      col("cell"), col("qe").as("qe_a"))
+    val b = withCell.select(col(idCol).as("id_b"), col("norm").as("norm_b"),
+      col("cell"), col("qe").as("qe_b"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dotQ(col("qe_a"), col("qe_b")).cast("double") /
+        sqrt(col("norm_a") * col("norm_b")))
+  }
+
+  /** Relational Lloyd k-means over the quantized embeddings — every step
+    * exact integer (or IEEE-identical double) arithmetic, so the full
+    * trajectory is ENGINE-DETERMINISTIC and a SQL oracle can replay it
+    * bit-for-bit (contrast the seed-pinned MLlib trainer in
+    * [[annIvfTrained]], whose centroids only a degenerate full-probe
+    * query can check). Seeds are the `k` smallest-id vectors (cid = rank
+    * in id order); each round assigns every vector to the centroid
+    * minimizing the exact squared fixed-point distance (ties break to
+    * the smaller cid via the key encoding dist*k+cid, which is collision
+    * free because cid < k) and recomputes centroids as
+    * floor(sum/count) per dimension — floor over one exact-integer
+    * double division, identical in any IEEE engine. A cluster that
+    * loses all members vanishes (no re-seeding), deterministically in
+    * both engines.
+    *
+    * Returns the assignment AFTER `iters` update rounds: (idCol, cid,
+    * dist) with dist the exact squared distance to the final centroid.
+    *
+    * Scale: the assignment is a SHUFFLE-FREE narrow map — centroids ride
+    * into the executors as ONE reference object consumed by the native
+    * [[graft.functions.NearestCentroidKey]] argmin kernel (k·dims
+    * multiply-adds per row in a tight JIT'd loop — not k·dims literal
+    * plan nodes, which bloat plan compile and overflow the generated
+    * method), and each update is one map-side-
+    * combining aggregate whose result is k rows on the driver (the same
+    * bounded collect MLlib's trainer does per iteration). Nothing in the
+    * loop is proportional to N except the per-row map work, so the shape
+    * survives any corpus size; `iters` and `k` bound the job count.
+    * Range contract: same as [[quantize]] — squared diffs accumulate
+    * (2·1e7·x)²·dims·k in the argmin key, so unit-normalized embeddings
+    * are required at 64 dims.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int, dims: Int = 64,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    kmeansAssignQ(embeddings, k, iters, dims, idCol, embCol)
+      .select(col(idCol), col("cid"), col("dist"))
+
+  /** [[kmeansAssign]] carrying the quantized vector (`qe`) through —
+    * shared with [[semDedup]], which needs both the cell and the vector
+    * for the within-cell pair join.
+    */
+  private[graft] def kmeansAssignQ(embeddings: DataFrame, k: Int, iters: Int,
+                                 dims: Int, idCol: String, embCol: String): DataFrame = {
+    require(k > 0 && iters >= 0 && dims > 0,
+      s"bad kmeans params: k=$k iters=$iters dims=$dims")
+    val v = embeddings.select(col(idCol), quantize(col(embCol)).as("qe"))
+
+    def assigned(cents: Seq[(Long, IndexedSeq[Long])]): DataFrame =
+      v.withColumn("__key",
+        graft.functions.VectorExpressions.nearestCentroidKey(col("qe"), cents, k))
+
+    // seeds: the k smallest-id vectors — a TakeOrdered collecting k rows
+    var cents: Seq[(Long, IndexedSeq[Long])] =
+      v.orderBy(col(idCol)).limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, i) => i.toLong -> r.getSeq[Long](1).toIndexedSeq
+      }
+    for (_ <- 0 until iters) {
+      val sums = assigned(cents)
+        .groupBy((col("__key") % k).as("cid"))
+        .agg(count(lit(1)).as("cnt"),
+          (0 until dims).map(i => sum(element_at(col("qe"), i + 1)).as(s"s$i")): _*)
+        .collect()
+      cents = sums.map { r =>
+        val cnt = r.getLong(1)
+        r.getLong(0) -> (0 until dims)
+          .map(i => math.floor(r.getLong(i + 2).toDouble / cnt).toLong)
+      }.sortBy(_._1).toSeq
+    }
+    assigned(cents)
+      .withColumn("cid", col("__key") % k)
+      .withColumn("dist", expr(s"__key div $k"))
+      .drop("__key")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings, then comparing pairs ONLY
+    * within a cluster. Near-dups (cosine >= minCosine) keep their
+    * smallest-id member; a doc is dropped when ANY smaller-id near-dup
+    * exists — the same greedy chain-drop rule the exact-substring
+    * pipeline uses, engine-deterministic. Emits per-cluster audit rows:
+    * members, drops, keeps, and the XOR of kept ids (an order-free
+    * checksum of exactly which docs survive).
+    *
+    * Scale: the k-means assignment is a shuffle-free map (see
+    * [[kmeansAssign]]); the pair join is keyed by cluster, so pair cost
+    * is Σ c_i² over cluster sizes — k must grow with the corpus exactly
+    * like [[blockBitsFor]] grows LSH cells, and the paper's regime
+    * (50k clusters for 5B docs) is the same constant-cell-size rule.
+    */
+  def semDedup(embeddings: DataFrame, k: Int, iters: Int, minCosine: Double,
+               dims: Int = 64, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    // lineage-truncate the assignment (lazy local checkpoint, the same
+    // pattern connectedComponents uses): it feeds THREE consumers (both
+    // pair-join sides and the membership roll-up); without the barrier,
+    // each consumer would recompute the assignment map from the scan.
+    // One materialization, three cheap readers.
+    val assigned = kmeansAssignQ(embeddings, k, iters, dims, idCol, embCol)
+      .select(col(idCol), col("qe"), col("cid"))
+      .localCheckpoint(false)
+    val withCell = assigned
+      .select(col(idCol), col("qe"), col("cid").as("cell"))
+      .withColumn("norm", dotQ(col("qe"), col("qe")).cast("double"))
+    val aSide = withCell.select(col(idCol).as("id_a"),
+      col("norm").as("norm_a"), col("cell"), col("qe").as("qe_a"))
+    val bSide = withCell.select(col(idCol).as("id_b"),
+      col("norm").as("norm_b"), col("cell"), col("qe").as("qe_b"))
+    val dot = dotQ(col("qe_a"), col("qe_b"))
+    // Per-cluster roll-up WITHOUT a corpus-size join: members and drops
+    // aggregate independently to k rows each and merge there, using
+    // xor(kept) = xor(members) ⊕ xor(dropped) (xor is self-inverse, and
+    // the min-id member of a cluster never drops so kept is non-empty).
+    // Joining the drop set back to the N membership rows would shuffle
+    // the corpus again.
+    val dropStats = aSide.join(bSide, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot.cast("double") / sqrt(col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("cell").as("cid"), col("id_b")).distinct()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dropped"),
+        expr("bit_xor(id_b)").as("xor_dropped"))
+    val memberStats = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        expr(s"bit_xor($idCol)").as("xor_members"))
+    memberStats.join(dropStats, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        col("xor_members").bitwiseXOR(coalesce(col("xor_dropped"), lit(0L)))
+          .as("xor_kept"))
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage

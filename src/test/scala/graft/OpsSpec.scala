@@ -679,6 +679,51 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(cov(5) <= cov(50) && cov(50) <= 1000000L)
   }
 
+  test("kmeansAssign: hand-traced 2D Lloyd round, exact integer dists") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.75f, 0.25f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.25f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(e, k = 2, iters = 1, dims = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // seeds (1e7,0), (7.5e6,2.5e6); after one update c0=(1e7,0) holds only
+    // v0 while c1 = floor-mean(v1,v2,v3) = (3333333, 6666666); the final
+    // assignment pulls v1 back to c0 — the classic Lloyd migration — at
+    // exact squared distance 2*(2.5e6)^2
+    assert(out(0L) === ((0L, 0L)))
+    assert(out(1L) === ((0L, 2L * 2500000L * 2500000L)))
+    assert(out(2L)._1 === 1L)
+    assert(out(3L)._1 === 1L)
+  }
+
+  test("kmeansAssign: real embeddings fully assigned inside cid domain") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val rows = Similarity.kmeansAssign(e, k = 4, iters = 2).collect()
+    assert(rows.length.toLong === e.count())
+    assert(rows.map(_.getLong(1)).forall(c => c >= 0 && c < 4))
+    assert(rows.map(_.getLong(1)).distinct.length > 1, "degenerate clustering")
+  }
+
+  test("semDedup: near-dups drop to the smallest id within a cluster") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.75f, 0.25f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.25f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(e, k = 2, iters = 1, minCosine = 0.9, dims = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // clusters {0,1} and {2,3}; within-cluster cosine ≈ 0.9487 in both, so
+    // the larger id of each pair drops and the smaller survives
+    assert(out(0L) === ((2L, 1L, 1L, 0L)))
+    assert(out(1L) === ((2L, 1L, 1L, 2L)))
+    // below the threshold nothing drops
+    val none = Similarity.semDedup(e, k = 2, iters = 1, minCosine = 0.99, dims = 2)
+      .collect().map(_.getLong(2)).sum
+    assert(none === 0L)
+  }
+
   test("blocklistFilter drops exactly the blocked domains") {
     import spark.implicits._
     val blocked = Seq("src1", "src3").toDF("domain")
@@ -857,5 +902,43 @@ class OpsSpec extends SparkSpec with PropSupport {
       e2.map { case (b, f) => (2L, b) -> f }))
     // signed sums: |feat| per bucket never exceeds the token count
     assert(out.values.forall(f => math.abs(f) <= 3))
+  }
+
+  test("dotq kernel: exact values, null propagation, mismatch + overflow errors") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.dotq
+    // exact value vs a Scala reference on signed fixtures
+    val a = Array(3L, -2L, 7L, 0L)
+    val b = Array(-1L, 5L, 2L, 9L)
+    val df = Seq((a, b)).toDF("a", "b").select(dotq(col("a"), col("b")))
+    assert(df.head().getLong(0) === a.zip(b).map { case (x, y) => x * y }.sum)
+    // null array -> null result (nullSafeEval contract)
+    val n = Seq((Option.empty[Array[Long]], Some(b))).toDF("a", "b")
+      .select(dotq(col("a"), col("b")))
+    assert(n.head().isNullAt(0))
+    // length mismatch is an error, not a silent zip-truncation
+    val m = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
+      .select(dotq(col("a"), col("b")))
+    assertThrows[Exception](m.head())
+    // overflow raises (addExact/multiplyExact), never wraps
+    val o = Seq((Array(Long.MaxValue), Array(2L))).toDF("a", "b")
+      .select(dotq(col("a"), col("b")))
+    assertThrows[Exception](o.head())
+  }
+
+  test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
+    import graft.functions.VectorKernels
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val v = ArrayData.toArrayData(Array(10L, -4L))
+    // cluster 1 vanished: cids {0, 2} of an original k=3 encoding
+    val cents = Array(Array(9L, -4L), Array(10L, -3L))
+    val cids = Array(0L, 2L)
+    def dist(c: Array[Long]) =
+      (0 until 2).map(i => (Seq(10L, -4L)(i) - c(i)) * (Seq(10L, -4L)(i) - c(i))).sum
+    val expect = Seq(dist(cents(0)) * 3 + 0, dist(cents(1)) * 3 + 2).min
+    assert(VectorKernels.nearestKey(v, cents, cids, 3L) === expect)
+    // equal distances tie to the smaller cid via the key ordering
+    val tie = Array(Array(10L, -5L), Array(10L, -3L)) // both dist 1
+    assert(VectorKernels.nearestKey(v, tie, cids, 3L) === (1L * 3 + 0))
   }
 }

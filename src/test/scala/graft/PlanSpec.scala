@@ -229,6 +229,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(400))
   }
 
+  test("kmeansAssign's final assignment is a shuffle-free narrow map") {
+    val plan = executedPlan("q_kmeans_assign")
+    assert(!plan.contains("Join"), "assignment grew a join: " + plan.take(400))
+    assert(!plan.contains("Exchange"),
+      "assignment grew a shuffle: " + plan.take(400))
+  }
+
+  test("semDedup pairs join on the cluster id, never cartesian") {
+    val plan = executedPlan("q_semdedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
   test("temperatureMixture windows only the tiny domain table") {
     val plan = executedPlan("q_temperature_mix")
     assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
