@@ -393,6 +393,15 @@ object TrainingQueries {
   def qSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(embs(s, dir), k = 4, iters = 2, minCosine = 0.4)
 
+  /** Cluster-balanced sampling: <= 80 vectors kept per k-means cluster. */
+  def qClusterBalance(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(embs(s, dir), k = 4, iters = 2,
+      maxPerCluster = 80)
+
+  /** DSIR-style importance weight against the src1 slice as target. */
+  def qImportanceWeight(s: SparkSession, dir: String): DataFrame =
+    Curation.importanceWeight(docs(s, dir), col("source") === "src1")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -443,7 +452,9 @@ object TrainingQueries {
     "q_quality_ensemble" -> (qQualityEnsemble _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_kmeans_assign" -> (qKmeansAssign _),
-    "q_semdedup" -> (qSemDedup _)
+    "q_semdedup" -> (qSemDedup _),
+    "q_cluster_balance" -> (qClusterBalance _),
+    "q_importance_weight" -> (qImportanceWeight _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1436,6 +1447,40 @@ object TrainingQueries {
          |  count(*) - CAST(sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  bit_xor(CASE WHEN d.id_b IS NULL THEN m.vec_id ELSE 0 END) AS xor_kept
          |FROM m LEFT JOIN d ON m.vec_id = d.id_b
+         |GROUP BY 1""".stripMargin,
+
+    "q_cluster_balance" ->
+      s"""${quantCte.trim},
+         |${kmeansCtes(k = 4, iters = 2, dims = 64)},
+         |a AS (SELECT vec_id, kk % 4 AS cid, kk // 4 AS dist FROM af)
+         |SELECT vec_id, cid, dist, sample_rank FROM (
+         |  SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY cid
+         |    ORDER BY ${dh("'cbal|' || CAST(vec_id AS VARCHAR)")}, vec_id)
+         |    AS sample_rank
+         |  FROM a)
+         |WHERE sample_rank <= 80""".stripMargin,
+
+    "q_importance_weight" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |i AS (SELECT doc_id, source = 'src1' AS tgt, ${dh("w")} AS tw FROM t),
+         |bd AS (SELECT doc_id, tgt, tw, count(*) AS m FROM i GROUP BY 1, 2, 3),
+         |raw AS (SELECT tw, CAST(sum(m) AS BIGINT) AS tf_r FROM bd GROUP BY 1),
+         |tg AS (SELECT tw, CAST(sum(m) AS BIGINT) AS tf_t
+         |  FROM bd WHERE tgt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf_r) AS BIGINT) AS tot_r,
+         |  count(*) AS v FROM raw),
+         |tt AS (SELECT CAST(sum(m) AS BIGINT) AS tot_t FROM bd WHERE tgt),
+         |ratio AS (
+         |  SELECT raw.tw,
+         |    ((COALESCE(tf_t, 0) + 1) * (tot_r + v) * 1000000)
+         |      // ((tf_r + 1) * (tot_t + v)) AS ratio_e6
+         |  FROM raw LEFT JOIN tg ON raw.tw = tg.tw
+         |  CROSS JOIN tot CROSS JOIN tt)
+         |SELECT bd.doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |  CAST(sum(m * ratio_e6) // sum(m) AS BIGINT) AS weight_e6
+         |FROM bd JOIN ratio ON bd.tw = ratio.tw
          |GROUP BY 1""".stripMargin
   )
 }

@@ -470,4 +470,64 @@ object Curation {
       .withColumn("split",
         splitLabel(col("split_key"), validationPerMille, salt))
       .select(col(idCol), col("split_key"), col("split"))
+
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its tokens are under
+    * a TARGET slice of the corpus (`isTarget` marks the exemplar docs —
+    * a trusted source, a hand-curated subset) than under the raw corpus
+    * overall; selection = rank or weighted-draw on the emitted weight.
+    *
+    * The paper works in log domain over hashed n-gram features. This is
+    * the linear-domain integer-exact variant: the per-token add-1-
+    * smoothed probability RATIO, averaged with multiplicity —
+    *   ratio_e6(w)    = floor((tf_t(w)+1)·(TOT_r+V)·1e6
+    *                          / ((tf_r(w)+1)·(TOT_t+V)))
+    *   weight_e6(doc) = floor(Σ_w m_w·ratio_e6(w) / n_tokens)
+    * — because a log-domain float product is not bit-stable across
+    * engines, and the ranking it induces is what matters for selection.
+    * Numerators run in DECIMAL(38,0): (tf+1)·(TOT+V)·1e6 overflows a
+    * LONG once the corpus passes ~10^12 tokens (the [[mixtureWeights]]
+    * discipline; DuckDB widens to HUGEINT on its own).
+    *
+    * Shape: one explode to per-(doc, token-hash) multiplicities, two
+    * vocabulary aggregates off it (map-side combine on 8-byte hashes),
+    * corpus totals as 1-row cross joins, ratio table joined back on the
+    * token hash — vocabulary-scale at 100 TB, so deliberately NOT
+    * broadcast-hinted (the TF-IDF decision: AQE broadcasts it at small
+    * SF, shuffles it at scale) — then one doc-keyed aggregate. No
+    * windows, no corpus-wide funnel.
+    *
+    * Returns (idCol, n_tokens, weight_e6); a target doc's own tokens
+    * count in both distributions, the standard self-inclusive estimate.
+    */
+  def importanceWeight(docs: DataFrame, isTarget: Column,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val inst = docs
+      .select(col(idCol), isTarget.cast("boolean").as("__tgt"),
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("__tgt"), Dedup.h60(col("w")).as("tw"))
+    val byDoc = inst.groupBy(col(idCol), col("__tgt"), col("tw"))
+      .agg(count(lit(1)).as("m"))
+    val raw = byDoc.groupBy(col("tw")).agg(sum(col("m")).as("tf_r"))
+    val tgt = byDoc.filter(col("__tgt")).groupBy(col("tw"))
+      .agg(sum(col("m")).as("tf_t"))
+    // corpus totals: two 1-row aggregates riding in as cross joins
+    val totals = raw.agg(sum(col("tf_r")).as("tot_r"),
+      count(lit(1)).as("v"))
+    val totT = byDoc.filter(col("__tgt")).agg(sum(col("m")).as("tot_t"))
+    val ratio = raw.join(tgt, Seq("tw"), "left")
+      .crossJoin(totals).crossJoin(totT)
+      .select(col("tw"), expr(
+        "cast((coalesce(tf_t, 0) + 1) as decimal(38,0))" +
+          " * cast(tot_r + v as decimal(38,0)) * 1000000" +
+          " div (cast(tf_r + 1 as decimal(38,0))" +
+          "      * cast(tot_t + v as decimal(38,0)))").as("ratio_e6"))
+    byDoc
+      .join(ratio, "tw")
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_tokens"),
+        expr("sum(m * ratio_e6) div sum(m)").as("weight_e6"))
+  }
 }

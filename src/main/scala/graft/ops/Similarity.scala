@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -360,6 +361,31 @@ object Similarity {
         (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
         col("xor_members").bitwiseXOR(coalesce(col("xor_dropped"), lit(0L)))
           .as("xor_kept"))
+  }
+
+  /** Cluster-balanced sampling: keep at most `maxPerCluster` vectors per
+    * k-means cluster, chosen by deterministic hash rank — the semantic
+    * analogue of [[Curation.domainCapSample]] (topic balance instead of
+    * domain balance): a corpus dominated by one semantic cluster (the
+    * boilerplate-product-page problem) is capped at the cluster level
+    * regardless of which domains it came from. Rerun-stable: same
+    * corpus in, same sample out.
+    *
+    * Scale: the window partitions on cid — cluster sizes stay bounded
+    * by the same k-grows-with-corpus rule as [[semDedup]], so no
+    * partition becomes a corpus-wide funnel; everything else is the
+    * shuffle-free assignment map.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int, iters: Int,
+                            maxPerCluster: Int, dims: Int = 64,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding",
+                            seed: String = "cbal"): DataFrame = {
+    val rankHash = Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("cid")).orderBy(rankHash.asc, col(idCol).asc)
+    kmeansAssign(embeddings, k, iters, dims, idCol, embCol)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= maxPerCluster)
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage

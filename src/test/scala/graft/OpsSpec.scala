@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 class OpsSpec extends SparkSpec with PropSupport {
   import spark.implicits._
@@ -924,6 +924,42 @@ class OpsSpec extends SparkSpec with PropSupport {
     val o = Seq((Array(Long.MaxValue), Array(2L))).toDF("a", "b")
       .select(dotq(col("a"), col("b")))
     assertThrows[Exception](o.head())
+  }
+
+  test("clusterBalancedSample caps each k-means cluster at the quota") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.75f, 0.25f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.25f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    // clusters {0,1} and {2,3} (see the kmeansAssign trace test); cap 1
+    // keeps exactly one hash-chosen member of each
+    val one = Similarity.clusterBalancedSample(e, k = 2, iters = 1,
+      maxPerCluster = 1, dims = 2).collect()
+    assert(one.length === 2)
+    assert(one.map(_.getLong(1)).sorted === Array(0L, 1L))
+    assert(one.forall(_.getInt(3) === 1))
+    // a quota above every cluster size keeps everything
+    val all = Similarity.clusterBalancedSample(e, k = 2, iters = 1,
+      maxPerCluster = 2, dims = 2)
+    assert(all.count() === 4L)
+  }
+
+  test("importanceWeight: hand-traced add-1-smoothed ratio average") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "src1", "a a b"), (2L, "src2", "a c"), (3L, "src2", "c c")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.importanceWeight(df, col("source") === "src1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // tf_r: a=3 b=1 c=3, V=3, TOT_r=7; target tf_t: a=2 b=1, TOT_t=3
+    // ratio_e6: a = 3*10e6//(4*6) = 1250000, b = 2*10e6//(2*6) = 1666666,
+    //           c = 1*10e6//(4*6) = 416666
+    assert(out(1L) === ((3L, (2L * 1250000L + 1666666L) / 3L)))
+    assert(out(2L) === ((2L, (1250000L + 416666L) / 2L)))
+    assert(out(3L) === ((2L, 416666L)))
+    // target docs score above the off-target docs — the selection signal
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
   }
 
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {

@@ -243,6 +243,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("clusterBalancedSample windows per cluster, never globally") {
+    val plan = executedPlan("q_cluster_balance")
+    assert(plan.contains("Window"), plan.take(400))
+    assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
+      "cluster-balance window lost its cid partitioning")
+    assert(!plan.contains("Join"), "cluster balance grew a join: " + plan.take(400))
+  }
+
+  test("importanceWeight joins on token hashes, windows nothing") {
+    val plan = executedPlan("q_importance_weight")
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    // the two corpus-total cross joins ride in as 1-row broadcasts —
+    // BroadcastNestedLoopJoin over a single row is the intended shape,
+    // so only the cartesian (shuffle-both-sides) form is banned
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "vocabulary aggregates lost map-side partials")
+  }
+
   test("temperatureMixture windows only the tiny domain table") {
     val plan = executedPlan("q_temperature_mix")
     assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
