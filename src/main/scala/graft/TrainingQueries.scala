@@ -402,6 +402,16 @@ object TrainingQueries {
   def qImportanceWeight(s: SparkSession, dir: String): DataFrame =
     Curation.importanceWeight(docs(s, dir), col("source") === "src1")
 
+  /** Embedding-space decontamination: every 40th vector plays the
+    * benchmark; the rest are the corpus.
+    */
+  def qEmbDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.embDecontaminate(
+      e.filter(col("vec_id") % 40 =!= 0), e.filter(col("vec_id") % 40 === 0),
+      minCosine = 0.4, bits = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -454,7 +464,8 @@ object TrainingQueries {
     "q_kmeans_assign" -> (qKmeansAssign _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_balance" -> (qClusterBalance _),
-    "q_importance_weight" -> (qImportanceWeight _)
+    "q_importance_weight" -> (qImportanceWeight _),
+    "q_emb_decontaminate" -> (qEmbDecontaminate _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1481,6 +1492,35 @@ object TrainingQueries {
          |SELECT bd.doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
          |  CAST(sum(m * ratio_e6) // sum(m) AS BIGINT) AS weight_e6
          |FROM bd JOIN ratio ON bd.tw = ratio.tw
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "q_emb_decontaminate" -> {
+      val cell = (0 until 2)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qe,
+         |    CAST($cell AS BIGINT) AS cell
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT c.vec_id,
+         |    CAST(${dotSql("c.qe", "b.qe")} AS DOUBLE)
+         |      / sqrt(CAST(${dotSql("c.qe", "c.qe")} AS DOUBLE)
+         |             * CAST(${dotSql("b.qe", "b.qe")} AS DOUBLE)) AS cos
+         |  FROM e c JOIN e b ON c.cell = b.cell
+         |  WHERE c.vec_id % 40 <> 0 AND b.vec_id % 40 = 0),
+         |h AS (
+         |  SELECT vec_id, count(*) AS n_bench_hits,
+         |    round(max(cos), 6) AS max_cosine_r
+         |  FROM p WHERE cos >= 0.4 GROUP BY 1)
+         |SELECT e.vec_id,
+         |  CAST(COALESCE(n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+         |  COALESCE(max_cosine_r, 0.0) AS max_cosine_r,
+         |  CASE WHEN COALESCE(n_bench_hits, 0) > 0 THEN 1 ELSE 0 END
+         |    AS contaminated
+         |FROM e LEFT JOIN h USING (vec_id)
+         |WHERE e.vec_id % 40 <> 0""".stripMargin
+    }
   )
 }

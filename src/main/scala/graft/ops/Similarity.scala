@@ -388,6 +388,49 @@ object Similarity {
       .filter(col("sample_rank") <= maxPerCluster)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of [[Curation.decontaminate]]'s n-gram overlap: a
+    * PARAPHRASED eval item shares no 8-gram with the benchmark but
+    * still sits next to it in embedding space. Flags every corpus
+    * vector whose cosine against ANY benchmark vector in its sign-
+    * bucket cell reaches `minCosine`.
+    *
+    * Shape: bipartite cell equi-join (corpus × benchmark — the same
+    * blocking as [[cosineNearDupPairs]]; `bits` is the recall knob,
+    * and the benchmark side is eval-set-sized so AQE broadcasts it),
+    * hits aggregate per corpus vector (a hit-table-sized aggregate),
+    * then LEFT-join back so every corpus id appears flagged or clean —
+    * the [[Curation.decontaminate]] output contract. max(cosine) over
+    * exact-integer-derived doubles is order-independent, so the audit
+    * column is engine-deterministic.
+    */
+  def embDecontaminate(corpus: DataFrame, bench: DataFrame,
+                       minCosine: Double, bits: Int,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), quantize(col(embCol)).as("qe_c"),
+        signBucket(col(embCol), bits).as("cell"))
+      .withColumn("norm_c", dotQ(col("qe_c"), col("qe_c")).cast("double"))
+    val b = bench.select(col(idCol).as("bench_id"),
+        quantize(col(embCol)).as("qe_b"),
+        signBucket(col(embCol), bits).as("cell"))
+      .withColumn("norm_b", dotQ(col("qe_b"), col("qe_b")).cast("double"))
+    val hits = c.join(b, "cell")
+      .withColumn("cosine", dotQ(col("qe_c"), col("qe_b")).cast("double") /
+        sqrt(col("norm_c") * col("norm_b")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        round(max(col("cosine")), 6).as("max_cosine_r"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        coalesce(col("max_cosine_r"), lit(0d)).as("max_cosine_r"),
+        (coalesce(col("n_bench_hits"), lit(0L)) > 0)
+          .cast("int").as("contaminated"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage
     * compression step an embedding index runs before serving (4x smaller
     * than float32, dot products in integer SIMD). Per vector:

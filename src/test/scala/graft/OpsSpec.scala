@@ -962,6 +962,28 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("embDecontaminate flags same-cell near vectors, leaves the rest clean") {
+    import spark.implicits._
+    val bench = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f)),  // same cell as bench, cosine ~0.994
+      (2L, Array(0.0f, 1.0f)),  // different cell (dim1 not positive)
+      (3L, Array(-1.0f, 0.0f))  // different cell
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embDecontaminate(corpus, bench, minCosine = 0.9, bits = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "every corpus id must appear")
+    assert(out(1L)._1 === 1L && out(1L)._3 === 1)
+    assert(out(1L)._2 > 0.99 && out(1L)._2 < 1.0)
+    assert(out(2L) === ((0L, 0.0, 0)))
+    assert(out(3L) === ((0L, 0.0, 0)))
+    // a threshold above the pair's cosine clears the flag
+    val none = Similarity.embDecontaminate(corpus, bench, minCosine = 0.999, bits = 1)
+      .collect().map(_.getInt(3)).sum
+    assert(none === 0)
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData

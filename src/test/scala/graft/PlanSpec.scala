@@ -262,6 +262,13 @@ class PlanSpec extends SparkSpec {
       "vocabulary aggregates lost map-side partials")
   }
 
+  test("embDecontaminate joins corpus x benchmark on the cell, never cartesian") {
+    val plan = executedPlan("q_emb_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
   test("temperatureMixture windows only the tiny domain table") {
     val plan = executedPlan("q_temperature_mix")
     assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
