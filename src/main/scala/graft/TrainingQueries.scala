@@ -402,6 +402,10 @@ object TrainingQueries {
   def qImportanceWeight(s: SparkSession, dir: String): DataFrame =
     Curation.importanceWeight(docs(s, dir), col("source") === "src1")
 
+  /** BPE tokenizer training: 4 greedy merge rounds over the corpus. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4)
+
   /** Embedding-space decontamination: every 40th vector plays the
     * benchmark; the rest are the corpus.
     */
@@ -465,7 +469,8 @@ object TrainingQueries {
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_balance" -> (qClusterBalance _),
     "q_importance_weight" -> (qImportanceWeight _),
-    "q_emb_decontaminate" -> (qEmbDecontaminate _)
+    "q_emb_decontaminate" -> (qEmbDecontaminate _),
+    "q_bpe_merges" -> (qBpeMerges _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -790,6 +795,56 @@ object TrainingQueries {
          |  GROUP BY cid)""".stripMargin
     }
     (c0 +: steps :+ assign("af", s"c$iters")).mkString(",\n")
+  }
+
+  /** The BPE merge trajectory as chained CTEs — one block per round,
+    * replaying TextAnalysis.bpeTrainMerges step for step: pair counts
+    * over the post-merge stream, the same (freq DESC, a, b) argmax, the
+    * same gaps-and-islands non-overlapping left-to-right rewrite.
+    * Leaves `m1..m{n}` (a, b, freq) for the final UNION.
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val t0 =
+      """t0 AS (
+        |  SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos,
+        |    unnest(ws) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+    val rounds = (1 to nMerges).map { r =>
+      val p = s"t${r - 1}"
+      s"""p$r AS (
+         |  SELECT w AS a, nw AS b, count(*) AS freq FROM (
+         |    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
+         |    FROM $p)
+         |  WHERE nw IS NOT NULL GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, CAST(freq AS BIGINT) AS freq FROM p$r
+         |  ORDER BY freq DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT doc_id, pos, w,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq,
+         |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
+         |  FROM $p),
+         |c$r AS (
+         |  SELECT s.doc_id, s.pos, s.w, s.seq,
+         |    (s.w = m.a AND coalesce(s.nw = m.b, FALSE)) AS cand
+         |  FROM s$r s CROSS JOIN m$r m),
+         |g$r AS (
+         |  SELECT *, seq - sum(CASE WHEN cand THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY seq) AS grp
+         |  FROM c$r),
+         |k$r AS (
+         |  SELECT *, cand AND (row_number() OVER (
+         |      PARTITION BY doc_id, grp, cand ORDER BY seq) % 2 = 1) AS keep
+         |  FROM g$r),
+         |d$r AS (
+         |  SELECT *, coalesce(lag(keep) OVER (
+         |      PARTITION BY doc_id ORDER BY seq), FALSE) AS consumed
+         |  FROM k$r),
+         |t$r AS (
+         |  SELECT d.doc_id, d.pos,
+         |    CASE WHEN d.keep THEN m.a || ' ' || m.b ELSE d.w END AS w
+         |  FROM d$r d CROSS JOIN m$r m WHERE NOT d.consumed)""".stripMargin
+    }
+    (t0 +: rounds).mkString(",\n")
   }
 
   private val knnBruteOracle: String =
@@ -1521,6 +1576,16 @@ object TrainingQueries {
          |    AS contaminated
          |FROM e LEFT JOIN h USING (vec_id)
          |WHERE e.vec_id % 40 <> 0""".stripMargin
+    },
+
+    "q_bpe_merges" -> {
+      val ranks = (1 to 4).map { r =>
+        if (r == 1)
+          s"SELECT $r AS merge_rank, a AS token_a, b AS token_b, freq FROM m$r"
+        else s"SELECT $r, a, b, freq FROM m$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${bpeCtes(4)}
+         |$ranks""".stripMargin
     }
   )
 }

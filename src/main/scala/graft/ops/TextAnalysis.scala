@@ -489,4 +489,83 @@ object TextAnalysis {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singleton_grams"))
       .withColumn("diversity_e4",
         expr("n_distinct_grams * 10000 div n_grams"))
+
+  /** BPE tokenizer training as relational algebra (Sennrich et al. 2016,
+    * arXiv:1508.07909): `nMerges` greedy merge rounds over the corpus
+    * token stream. Each round counts adjacent symbol pairs, picks the
+    * most frequent (ties: lexicographic (a, b) — fully deterministic),
+    * and rewrites every NON-OVERLAPPING left-to-right occurrence into
+    * one merged symbol ("a b"), exactly the apply-merges loop of a BPE
+    * trainer. Returns the learned merge table (merge_rank, token_a,
+    * token_b, freq) — the artifact a tokenizer ships.
+    *
+    * Non-overlap left-to-right is the gaps-and-islands trick, not a
+    * per-doc UDF scan: candidate positions at CONSECUTIVE sequence
+    * numbers conflict (position p consumes token p+1), so islands of
+    * consecutive candidates keep alternate members starting at the
+    * island head — grp = seq - running_count(cand) groups each island,
+    * and odd row_number within (doc, grp, cand) keeps the 1st, 3rd, ...
+    *
+    * Scale: every window partitions on the document (the corpus-wide
+    * state is only the 1-row argmax per round, a TakeOrdered), so each
+    * round is one doc-keyed shuffle for the stacked windows plus one
+    * pair-count aggregate with map-side partials; `localCheckpoint`
+    * truncates the per-round lineage the same way the k-means and CC
+    * loops do. Rounds are sequential by nature (merge r+1 counts pairs
+    * over the post-merge-r stream) — nMerges bounds the job count, the
+    * per-round work is corpus-linear.
+    *
+    * The full trajectory is engine-deterministic, so the DuckDB oracle
+    * replays every round (chained CTEs, one per merge) and checks the
+    * learned merges bit-for-bit. If the stream degenerates before
+    * nMerges rounds (no adjacent pairs left), training stops early and
+    * the table holds the merges learned so far.
+    */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    var t = docs
+      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "w")))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = t
+        .select(col("w").as("a"), lead(col("w"), 1).over(byDoc).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, a, b, f))
+        val k = t
+          .withColumn("seq", row_number().over(byDoc))
+          .withColumn("nw", lead(col("w"), 1).over(byDoc))
+          .withColumn("cand",
+            col("nw").isNotNull && col("w") === lit(a) && col("nw") === lit(b))
+          .withColumn("cum",
+            sum(when(col("cand"), 1L).otherwise(0L)).over(byDoc))
+          .withColumn("grp", col("seq") - col("cum"))
+          .withColumn("keep", col("cand") && (row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(idCol), col("grp"), col("cand"))
+              .orderBy(col("seq"))) % 2 === 1))
+          .withColumn("consumed",
+            coalesce(lag(col("keep"), 1).over(byDoc), lit(false)))
+        t = k.filter(!col("consumed"))
+          .select(col(idCol), col("pos"),
+            when(col("keep"), lit(a + " " + b)).otherwise(col("w")).as("w"))
+          .localCheckpoint(false)
+      }
+    }
+    merges.result().toDF("merge_rank", "token_a", "token_b", "freq")
+  }
 }

@@ -984,6 +984,31 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(none === 0)
   }
 
+  test("bpeTrainMerges: hand-traced greedy merges with lexicographic ties") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(df, nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,b) x3 wins; round 2+ are all freq-1 ties resolved by
+    // (a, b) ascending — "a" < "a b" < "a b a" < "c" binary order
+    assert(out === Array(
+      (1, "a", "b", 3L), (2, "a b", "a", 1L),
+      (3, "a b", "a b a", 1L), (4, "a b", "c", 1L)))
+  }
+
+  test("bpeTrainMerges: overlapping candidate runs merge left-to-right") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(df, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // "a a a a" has three overlapping (a,a) pairs but only positions 1
+    // and 3 merge (position 2 is consumed); round 2 joins the halves
+    assert(out === Array((1, "a", "a", 3L), (2, "a a", "a a", 1L)))
+    // degenerate stream: training stops early once no pairs remain
+    val single = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainMerges(single, nMerges = 3).count() === 0L)
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData
