@@ -406,6 +406,12 @@ object TrainingQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4)
 
+  /** Epoch schedule: 60k-token budget, 3-epoch cap, mixture targets. */
+  def qEpochSchedule(s: SparkSession, dir: String): DataFrame =
+    Curation.epochSchedule(docs(s, dir), "source",
+      targetUnits = expr("cast(substring(source, 4) as bigint) % 3 + 1"),
+      budgetTokens = 60000L, maxEpochsE2 = 300L)
+
   /** Embedding-space decontamination: every 40th vector plays the
     * benchmark; the rest are the corpus.
     */
@@ -470,7 +476,8 @@ object TrainingQueries {
     "q_cluster_balance" -> (qClusterBalance _),
     "q_importance_weight" -> (qImportanceWeight _),
     "q_emb_decontaminate" -> (qEmbDecontaminate _),
-    "q_bpe_merges" -> (qBpeMerges _)
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_epoch_schedule" -> (qEpochSchedule _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1586,6 +1593,30 @@ object TrainingQueries {
       }.mkString("\nUNION ALL ")
       s"""WITH ${bpeCtes(4)}
          |$ranks""".stripMargin
-    }
+    },
+
+    "q_epoch_schedule" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    MAX(CAST(substring(source, 4) AS BIGINT) % 3 + 1) AS u
+        |  FROM documents GROUP BY 1),
+        |w1 AS (SELECT *, u * 1000000 // sum(u) OVER () AS target_e6 FROM s),
+        |w2 AS (SELECT *, (60000 * target_e6) // 1000000 AS want,
+        |  (300 * n_tokens) // 100 AS cap_tokens FROM w1),
+        |w3 AS (SELECT *, CASE WHEN want > cap_tokens THEN 1 ELSE 0 END
+        |    AS capped,
+        |  least(want, cap_tokens) AS alloc1 FROM w2),
+        |w4 AS (SELECT *, 60000 - sum(alloc1) OVER () AS leftover,
+        |  sum(CASE WHEN capped = 0 THEN u ELSE 0 END) OVER () AS uncapped_u
+        |  FROM w3),
+        |w5 AS (SELECT *, alloc1 + (CASE WHEN capped = 0 AND uncapped_u > 0
+        |    THEN (leftover * u) // uncapped_u ELSE 0 END) AS alloc_tokens
+        |  FROM w4)
+        |SELECT source, n_tokens, CAST(target_e6 AS BIGINT) AS target_e6,
+        |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  CAST((alloc_tokens * 100) // n_tokens AS BIGINT) AS epochs_e2,
+        |  capped
+        |FROM w5""".stripMargin
   )
 }

@@ -471,6 +471,59 @@ object Curation {
         splitLabel(col("split_key"), validationPerMille, salt))
       .select(col(idCol), col("split_key"), col("split"))
 
+  /** Epoch/repetition schedule for a token budget over sources — the
+    * data-constrained mixing step (Muennighoff et al. 2023,
+    * arXiv:2305.16264: repeating data beyond ~4 epochs stops helping,
+    * so a budget-constrained run caps repetition per source and spends
+    * the freed budget elsewhere). Allocates `budgetTokens` across
+    * sources by target weight, caps each source at `maxEpochsE2`
+    * (epochs ×100), and hands the capped sources' unused budget to the
+    * uncapped ones in ONE proportional redistribution round —
+    * deterministic by construction; production schedulers iterate to a
+    * fixed point, the single round is the documented contract here
+    * (post-redistribution allocations may re-exceed the cap).
+    *
+    * Budget × share products run in DECIMAL(38,0) (a 100 TB-scale
+    * budget ~2.5e13 tokens × an e6 share overflows a LONG — the
+    * [[mixtureWeights]] discipline). Returns (domainCol, n_tokens,
+    * target_e6, alloc_tokens, epochs_e2, capped).
+    *
+    * Scale: one per-source hash aggregate; every window runs over the
+    * tiny source table (the [[mixtureWeights]] shape — hundreds of
+    * rows, never documents).
+    */
+  def epochSchedule(docs: DataFrame, domainCol: String, targetUnits: Column,
+                    budgetTokens: Long, maxEpochsE2: Long = 400L,
+                    textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0 && maxEpochsE2 > 0,
+      s"bad schedule params: budget=$budgetTokens capE2=$maxEpochsE2")
+    val perSource = docs
+      .select(col(domainCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_toks"),
+        coalesce(targetUnits, lit(1L)).as("__u"))
+      .groupBy(col(domainCol))
+      .agg(sum(col("n_toks")).as("n_tokens"), max(col("__u")).as("__u"))
+    perSource
+      .withColumn("target_e6", expr("__u * 1000000 div sum(__u) over ()"))
+      .withColumn("want",
+        expr(s"cast($budgetTokens as decimal(38,0)) * target_e6 div 1000000"))
+      .withColumn("cap_tokens",
+        expr(s"cast($maxEpochsE2 as decimal(38,0)) * n_tokens div 100"))
+      .withColumn("capped", (col("want") > col("cap_tokens")).cast("int"))
+      .withColumn("alloc1", least(col("want"), col("cap_tokens")))
+      .withColumn("leftover", expr(s"$budgetTokens - sum(alloc1) over ()"))
+      .withColumn("uncapped_u",
+        expr("sum(case when capped = 0 then __u else 0 end) over ()"))
+      .withColumn("alloc_tokens", expr(
+        "alloc1 + (case when capped = 0 and uncapped_u > 0" +
+          " then cast(leftover as decimal(38,0)) * __u div uncapped_u" +
+          " else 0 end)"))
+      .withColumn("epochs_e2",
+        expr("cast(alloc_tokens as decimal(38,0)) * 100 div n_tokens"))
+      .select(col(domainCol), col("n_tokens"), col("target_e6"),
+        col("alloc_tokens"), col("epochs_e2"), col("capped"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169
     * "Data Selection for Language Models via Importance Resampling"):
     * score every document by how much more likely its tokens are under

@@ -1009,6 +1009,29 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(TextAnalysis.bpeTrainMerges(single, nMerges = 3).count() === 0L)
   }
 
+  test("epochSchedule: caps repetition, redistributes the freed budget") {
+    import spark.implicits._
+    // two sources of 10 tokens each; s2 wants 3x the budget share
+    val ten = "t t t t t t t t t t"
+    val df = Seq((1L, "s1", ten), (2L, "s2", ten)).toDF("doc_id", "source", "text")
+    val out = Curation.epochSchedule(df, "source",
+        targetUnits = expr("case when source = 's1' then 1 else 3 end"),
+        budgetTokens = 60L, maxEpochsE2 = 200L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))))
+      .toMap
+    // s2: want 45 > cap 20 -> capped at 20 (2 epochs); the 25 freed
+    // tokens all flow to s1: 15 + 25 = 40 (4 epochs, single-round
+    // redistribution may exceed the cap by contract)
+    assert(out("s2") === ((10L, 750000L, 20L, 200L, 1)))
+    assert(out("s1") === ((10L, 250000L, 40L, 400L, 0)))
+    // budget below every cap: proportional allocation, nothing capped
+    val loose = Curation.epochSchedule(df, "source",
+        targetUnits = lit(1L), budgetTokens = 20L, maxEpochsE2 = 200L)
+      .collect().map(r => (r.getLong(3), r.getInt(5)))
+    assert(loose.toSeq.sorted === Seq((10L, 0), (10L, 0)))
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -269,6 +269,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("epochSchedule windows only the tiny source table") {
+    val plan = executedPlan("q_epoch_schedule")
+    assert(!plan.contains("Join"), "epoch schedule grew a join: " + plan.take(400))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "source aggregate lost map-side partials")
+  }
+
   test("temperatureMixture windows only the tiny domain table") {
     val plan = executedPlan("q_temperature_mix")
     assert(!plan.contains("Join"), "temperature mix grew a join: " + plan.take(400))
