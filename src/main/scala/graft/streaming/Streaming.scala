@@ -239,6 +239,84 @@ object Streaming {
       }
   }
 
+  final case class EmbCandidate(vecA: Long, vecB: Long, cell: Long,
+                                cosineR: Double)
+
+  /** Streaming embedding near-dup candidates —
+    * [[streamingLshCandidates]] for vectors: each arriving embedding
+    * probes a keyed state of sign-bucket cells and emits a
+    * cosine-thresholded candidate against the cell's anchor vector
+    * (minimum vec id seen).
+    *
+    * Same scale properties as the LSH op: the quantized vector and
+    * cell are computed PER ROW (the only shuffle is the stateful
+    * groupByKey on the cell), and state is ONE (anchor id, quantized
+    * vector) per occupied cell — an arrival compares against the
+    * single anchor, O(dims) work, never a member list; transitive
+    * closure stays the downstream clustering op's job. The cosine is
+    * the same exact fixed-point integer dot as the batch path
+    * ([[graft.functions.VectorKernels.dotQ]] semantics, including
+    * overflow checks), so a batch replay of the same stream agrees
+    * bit-for-bit. Idle TTL (`ttlMs` > 0) evicts cold cells.
+    */
+  def streamingEmbCandidates(vecs: DataFrame, minCosine: Double, bits: Int,
+                             ttlMs: Long = 0L,
+                             idCol: String = "vec_id",
+                             embCol: String = "embedding"): Dataset[EmbCandidate] = {
+    import vecs.sparkSession.implicits._
+    import graft.ops.Similarity
+    val rows = vecs
+      .select(col(idCol).cast("long").as("vecId"),
+        Similarity.quantize(col(embCol)).as("qe"),
+        Similarity.signBucket(col(embCol), bits).as("cell"))
+      .as[(Long, Array[Long], Long)]
+    val useTtl = ttlMs > 0
+    val timeout = if (useTtl) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    rows
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Array[Long]), EmbCandidate](
+        OutputMode.Append, timeout) {
+        case (cell, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = it.toVector.sortBy(_._1)
+            val (anchorId, anchorQe) = state.getOption
+              .getOrElse((arrivals.head._1, arrivals.head._2))
+            state.update(
+              ((anchorId, anchorQe) +: arrivals.map(a => (a._1, a._2)))
+                .minBy(_._1))
+            if (useTtl) state.setTimeoutDuration(ttlMs)
+            val nA = dotL(anchorQe, anchorQe)
+            arrivals.iterator.filter(_._1 != anchorId).flatMap {
+              case (id, qe, _) =>
+                val c = dotL(qe, anchorQe).toDouble /
+                  math.sqrt(nA.toDouble * dotL(qe, qe).toDouble)
+                if (c >= minCosine)
+                  Some(EmbCandidate(math.min(anchorId, id),
+                    math.max(anchorId, id), cell,
+                    BigDecimal(c).setScale(6,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble))
+                else None
+            }
+          }
+      }
+  }
+
+  /** The [[graft.functions.VectorKernels.dotQ]] loop over plain arrays
+    * (state values are deserialized Array[Long], not ArrayData) — same
+    * exact-overflow contract.
+    */
+  private def dotL(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc = Math.addExact(acc, Math.multiplyExact(a(i), b(i)))
+      i += 1
+    }
+    acc
+  }
+
   /** Watermarked stream-stream interval join: pair each left event with
     * right events on the same key whose event time falls within
     * [leftTs, leftTs + `within`] — e.g. a produce acknowledged by a

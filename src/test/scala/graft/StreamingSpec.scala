@@ -227,4 +227,35 @@ class StreamingSpec extends SparkSpec {
     assert(b3.map(c => (c.docA, c.docB)).distinct.sorted.toSeq ===
       Seq((5L, 10L), (10L, 20L), (10L, 40L)))
   }
+
+  test("streamingEmbCandidates pairs near vectors against the cell anchor") {
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val candidates = Streaming.streamingEmbCandidates(
+      input.toDF().toDF("vec_id", "embedding"), minCosine = 0.9, bits = 1)
+    val q = candidates.writeStream.format("memory").queryName("embnd")
+      .outputMode("append").start()
+    // batch 1: two near vectors in the positive cell, one far vector in
+    // the same cell (below threshold), one in the other cell
+    input.addData((10L, Array(1.0f, 0.0f)), (20L, Array(0.95f, 0.05f)),
+      (50L, Array(0.1f, 0.99f)), (30L, Array(-1.0f, 0.0f)))
+    q.processAllAvailable()
+    val b1 = spark.table("embnd").as[Streaming.EmbCandidate].collect()
+    assert(b1.map(c => (c.vecA, c.vecB)).toSeq === Seq((10L, 20L)))
+    assert(b1.head.cosineR > 0.99 && b1.head.cosineR < 1.0)
+
+    // batch 2: a later copy links to the cell anchor, not to member 20
+    input.addData((40L, Array(0.9f, 0.1f)))
+    q.processAllAvailable()
+    val b2 = spark.table("embnd").as[Streaming.EmbCandidate].collect()
+    assert(b2.map(c => (c.vecA, c.vecB)).sorted.toSeq ===
+      Seq((10L, 20L), (10L, 40L)))
+
+    // batch 3: a smaller id pairs against the PRIOR anchor, then takes over
+    input.addData((5L, Array(1.0f, 0.0f)))
+    q.processAllAvailable()
+    val b3 = spark.table("embnd").as[Streaming.EmbCandidate].collect()
+    q.stop()
+    assert(b3.map(c => (c.vecA, c.vecB)).sorted.toSeq ===
+      Seq((5L, 10L), (10L, 20L), (10L, 40L)))
+  }
 }
