@@ -406,6 +406,10 @@ object TrainingQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4)
 
+  /** Source-pair unigram total-variation divergence matrix. */
+  def qSourceDivergence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceDivergence(docs(s, dir))
+
   /** Epoch schedule: 60k-token budget, 3-epoch cap, mixture targets. */
   def qEpochSchedule(s: SparkSession, dir: String): DataFrame =
     Curation.epochSchedule(docs(s, dir), "source",
@@ -477,7 +481,8 @@ object TrainingQueries {
     "q_importance_weight" -> (qImportanceWeight _),
     "q_emb_decontaminate" -> (qEmbDecontaminate _),
     "q_bpe_merges" -> (qBpeMerges _),
-    "q_epoch_schedule" -> (qEpochSchedule _)
+    "q_epoch_schedule" -> (qEpochSchedule _),
+    "q_source_divergence" -> (qSourceDivergence _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1617,6 +1622,29 @@ object TrainingQueries {
         |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
         |  CAST((alloc_tokens * 100) // n_tokens AS BIGINT) AS epochs_e2,
         |  capped
-        |FROM w5""".stripMargin
+        |FROM w5""".stripMargin,
+
+    "q_source_divergence" ->
+      s"""WITH t AS (
+         |  SELECT source AS src, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |tf AS (SELECT src, ${dh("w")} AS tw, count(*) AS tf
+         |  FROM t GROUP BY 1, 2),
+         |tot AS (SELECT src, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+         |co AS (
+         |  SELECT a.src AS source_a, b.src AS source_b,
+         |    ta.t AS t_a, tb.t AS t_b,
+         |    count(*) AS n_shared_tokens,
+         |    CAST(sum(abs(a.tf * tb.t - b.tf * ta.t)) AS HUGEINT) AS co_diff,
+         |    CAST(sum(a.tf) AS BIGINT) AS m_a,
+         |    CAST(sum(b.tf) AS BIGINT) AS m_b
+         |  FROM tf a JOIN tf b ON a.tw = b.tw AND a.src < b.src
+         |  JOIN tot ta ON ta.src = a.src
+         |  JOIN tot tb ON tb.src = b.src
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT source_a, source_b, n_shared_tokens,
+         |  CAST(((co_diff + (t_a - m_a) * t_b + (t_b - m_b) * t_a) * 1000000)
+         |    // (CAST(t_a AS HUGEINT) * t_b * 2) AS BIGINT) AS tv_e6
+         |FROM co""".stripMargin
   )
 }

@@ -490,6 +490,65 @@ object TextAnalysis {
       .withColumn("diversity_e4",
         expr("n_distinct_grams * 10000 div n_grams"))
 
+  /** Source-pair token-distribution divergence: exact total-variation
+    * distance between every two sources' unigram distributions,
+    * tv_e6 = 1e6 · ½ Σ_w |p_a(w) − p_b(w)| — the dataset-audit matrix
+    * that says WHICH sources carry interchangeable text (tv → 0) and
+    * which bring genuinely different mass (tv → 1e6), complementing the
+    * doc-level window-overlap matrix ([[graft.ops.Dedup
+    * .sourceOverlapMatrix]]: shared strings) with a distributional
+    * signal that needs no shared n-gram at all. Total variation instead
+    * of KL/JS because it is integer-exact: with p = tf/T, the summand
+    * |tf_a·T_b − tf_b·T_a| is a product of longs (DECIMAL(38,0) — at
+    * corpus scale tf·T overflows a LONG), and tokens absent from one
+    * source contribute their full mass via the totals, no smoothing
+    * constant to tune. log-domain divergences are not bit-stable across
+    * engines.
+    *
+    * Shape: one (source, token-hash) tf aggregate (map-side combine),
+    * token-keyed self-join whose per-token cost is bounded by
+    * nSources² (never corpus²), source-pair aggregate; the missing-mass
+    * terms come from per-source totals joined at nSources rows. At
+    * 100 TB the tf table is vocab×sources and AQE picks the join
+    * strategy — the TF-IDF non-hint decision.
+    *
+    * Returns (source_a, source_b, n_shared_tokens, tv_e6), a < b. A
+    * pair sharing NO token does not appear (its tv is exactly 1e6) —
+    * the inner join is the deliberate scale choice and the oracle
+    * mirrors it.
+    */
+  def sourceDivergence(docs: DataFrame, sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol).as("src"),
+        explode(toks(col(textCol))).as("w"))
+      .select(col("src"), Dedup.h60(col("w")).as("tw"))
+      .groupBy(col("src"), col("tw")).agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy(col("src")).agg(sum(col("tf")).as("t"))
+    val a = tf.join(totals, "src")
+      .select(col("tw"), col("src").as("source_a"),
+        col("tf").as("tf_a"), col("t").as("t_a"))
+    val b = tf.join(totals, "src")
+      .select(col("tw"), col("src").as("source_b"),
+        col("tf").as("tf_b"), col("t").as("t_b"))
+    // co-occurring tokens: Σ |tf_a·T_b − tf_b·T_a|, plus each side's
+    // matched mass so the absent-token remainder (T − Σ tf_matched)
+    // can be added from the totals without an outer join
+    val co = a.join(b, "tw")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("t_a"), col("t_b"))
+      .agg(count(lit(1)).as("n_shared_tokens"),
+        sum(expr("abs(cast(tf_a as decimal(38,0)) * t_b" +
+          " - cast(tf_b as decimal(38,0)) * t_a)")).as("co_diff"),
+        sum(col("tf_a")).as("m_a"), sum(col("tf_b")).as("m_b"))
+    co.select(col("source_a"), col("source_b"), col("n_shared_tokens"),
+      expr("cast((co_diff" +
+        " + cast(t_a - m_a as decimal(38,0)) * t_b" +
+        " + cast(t_b - m_b as decimal(38,0)) * t_a) * 1000000" +
+        " div (cast(t_a as decimal(38,0)) * t_b * 2) as bigint)")
+        .as("tv_e6"))
+  }
+
   /** BPE tokenizer training as relational algebra (Sennrich et al. 2016,
     * arXiv:1508.07909): `nMerges` greedy merge rounds over the corpus
     * token stream. Each round counts adjacent symbol pairs, picks the

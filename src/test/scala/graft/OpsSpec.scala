@@ -1032,6 +1032,24 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(loose.toSeq.sorted === Seq((10L, 0), (10L, 0)))
   }
 
+  test("sourceDivergence: hand-traced total variation with absent-token mass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", "a a b"), (2L, "s2", "a c"),
+      (3L, "s3", "x y"), (4L, "s4", "x y")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceDivergence(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // p_s1 = {a:2/3, b:1/3}, p_s2 = {a:1/2, c:1/2}:
+    // TV = (|2/3-1/2| + 1/3 + 1/2) / 2 = 1/2
+    assert(out(("s1", "s2")) === ((1L, 500000L)))
+    // identical distributions diverge by exactly zero
+    assert(out(("s3", "s4")) === ((2L, 0L)))
+    // disjoint-vocabulary pairs are absent by contract (tv would be 1e6)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s4")))
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData

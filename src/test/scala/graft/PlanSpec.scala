@@ -269,6 +269,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("sourceDivergence joins on token hashes, no cartesian or window") {
+    val plan = executedPlan("q_source_divergence")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "tf aggregate lost map-side partials")
+  }
+
   test("epochSchedule windows only the tiny source table") {
     val plan = executedPlan("q_epoch_schedule")
     assert(!plan.contains("Join"), "epoch schedule grew a join: " + plan.take(400))
