@@ -1050,6 +1050,54 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s4")))
   }
 
+  test("bpeTrainMerges agrees with a sequential reference BPE trainer") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // independent reference: count all adjacent pairs, argmax by
+    // (freq DESC, a, b), rewrite greedily left-to-right
+    def refBpe(seqs0: Seq[Seq[String]], n: Int): Seq[(Int, String, String, Long)] = {
+      var seqs = seqs0
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var done = false
+      for (r <- 1 to n if !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for (s <- seqs; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + 1
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), f) = counts.toSeq
+            .sortBy { case ((x, y), c) => (-c, x, y) }.head
+          out += ((r, a, b, f))
+          seqs = seqs.map { s =>
+            val buf = Seq.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                buf += (a + " " + b); i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.result()
+          }
+        }
+      }
+      out.result()
+    }
+    val gen = Gen.listOfN(4,
+      Gen.choose(0, 8).flatMap(l => Gen.listOfN(l, Gen.oneOf("a", "b", "c"))))
+    forAllGen(gen, cases = 6) { docLists =>
+      val df = docLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.bpeTrainMerges(df, nMerges = 3).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      // empty text still tokenizes to [""] (split contract), mirrored here
+      val expect = refBpe(docLists.map(ws =>
+        if (ws.isEmpty) Seq("") else ws.map(identity)), 3)
+      assert(got === expect)
+    }
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData
