@@ -588,26 +588,31 @@ object TextAnalysis {
     import spark.implicits._
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    var t = docs
+    var t: DataFrame = docs
       .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "w")))
-      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
-      val top = t
-        .select(col("w").as("a"), lead(col("w"), 1).over(byDoc).as("b"))
-        .filter(col("b").isNotNull)
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+      // ONE windowed pass per round, checkpointed: the pair count needs
+      // no window of its own (it reads the materialized nw column), and
+      // the rewrite's cum/keep windows reuse the doc partitioning the
+      // checkpoint preserved — per round: one doc shuffle, one
+      // map-side-combined count aggregate, one 1-row TakeOrdered.
+      val base = t
+        .withColumn("seq", row_number().over(byDoc))
+        .withColumn("nw", lead(col("w"), 1).over(byDoc))
+        .localCheckpoint(false)
+      val top = base
+        .filter(col("nw").isNotNull)
+        .groupBy(col("w"), col("nw")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w").asc, col("nw").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r, a, b, f))
-        val k = t
-          .withColumn("seq", row_number().over(byDoc))
-          .withColumn("nw", lead(col("w"), 1).over(byDoc))
+        val k = base
           .withColumn("cand",
             col("nw").isNotNull && col("w") === lit(a) && col("nw") === lit(b))
           .withColumn("cum",
@@ -622,7 +627,6 @@ object TextAnalysis {
         t = k.filter(!col("consumed"))
           .select(col(idCol), col("pos"),
             when(col("keep"), lit(a + " " + b)).otherwise(col("w")).as("w"))
-          .localCheckpoint(false)
       }
     }
     merges.result().toDF("merge_rank", "token_a", "token_b", "freq")
