@@ -1098,6 +1098,74 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("kmeansAssign agrees with a sequential reference Lloyd trainer") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val dims = 2
+    def refKmeans(vs: Seq[(Long, Seq[Float])], k: Int,
+                  iters: Int): Map[Long, (Long, Long)] = {
+      val q = vs.sortBy(_._1).map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 1e7).toLong).toIndexedSeq
+      }
+      var cents: Seq[(Long, IndexedSeq[Long])] =
+        q.take(k).zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
+      def key(v: IndexedSeq[Long]): Long = cents.map { case (cid, c) =>
+        (0 until dims).map { i => val d = v(i) - c(i); d * d }.sum * k + cid
+      }.min
+      for (_ <- 0 until iters) {
+        val assign = q.map { case (id, v) => (v, key(v)) }
+        cents = assign.groupBy(_._2 % k).toSeq.map { case (cid, rows) =>
+          cid -> (0 until dims).map { i =>
+            math.floor(rows.map(_._1(i)).sum.toDouble / rows.size).toLong
+          }.toIndexedSeq
+        }.sortBy(_._1)
+      }
+      q.map { case (id, v) =>
+        val kk = key(v); id -> (kk % k, kk / k)
+      }.toMap
+    }
+    val gen = Gen.listOfN(8, Gen.choose(-100, 100))
+      .map(_.zipWithIndex.map { case (x, i) =>
+        (i.toLong, Seq(x / 100.0f, (x * 7 % 100) / 100.0f))
+      })
+    forAllGen(gen, cases = 5) { vs =>
+      val df = vs.map { case (id, e) => (id, e.toArray) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity.kmeansAssign(df, k = 3, iters = 2, dims = dims)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === refKmeans(vs, k = 3, iters = 2))
+    }
+  }
+
+  test("sourceDivergence agrees with a reference total-variation computation") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    def refTv(a: Seq[String], b: Seq[String]): (Long, Long) = {
+      val (ca, cb) = (a.groupBy(identity).view.mapValues(_.size.toLong).toMap,
+        b.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      val (ta, tb) = (a.size.toLong, b.size.toLong)
+      val shared = ca.keySet.intersect(cb.keySet)
+      val diff = BigInt(ca.filterNot(kv => shared(kv._1)).values.sum) * tb +
+        BigInt(cb.filterNot(kv => shared(kv._1)).values.sum) * ta +
+        shared.toSeq.map(w =>
+          (BigInt(ca(w)) * tb - BigInt(cb(w)) * ta).abs).sum
+      (shared.size.toLong,
+        (diff * 1000000 / (BigInt(ta) * tb * 2)).toLong)
+    }
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val text = Gen.choose(1, 10).flatMap(l => Gen.listOfN(l, word))
+    forAllGen(Gen.zip(text, text), cases = 8) { case (t1, t2) =>
+      val df = Seq((1L, "s1", t1.mkString(" ")), (2L, "s2", t2.mkString(" ")))
+        .toDF("doc_id", "source", "text")
+      val got = TextAnalysis.sourceDivergence(df).collect()
+        .map(r => (r.getLong(2), r.getLong(3)))
+      val (nShared, tv) = refTv(t1, t2)
+      if (nShared == 0) assert(got.isEmpty)
+      else assert(got.toSeq === Seq((nShared, tv)))
+    }
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData
