@@ -406,6 +406,11 @@ object TrainingQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4)
 
+  /** Composed embedding pipeline: one k-means feeding dedup + quota. */
+  def qEmbedPipeline(s: SparkSession, dir: String): DataFrame =
+    Similarity.embedCurationPipeline(embs(s, dir), k = 4, iters = 2,
+      minCosine = 0.4, maxPerCluster = 60)
+
   /** Source-pair unigram total-variation divergence matrix. */
   def qSourceDivergence(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceDivergence(docs(s, dir))
@@ -482,7 +487,8 @@ object TrainingQueries {
     "q_emb_decontaminate" -> (qEmbDecontaminate _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_epoch_schedule" -> (qEpochSchedule _),
-    "q_source_divergence" -> (qSourceDivergence _)
+    "q_source_divergence" -> (qSourceDivergence _),
+    "q_embed_pipeline" -> (qEmbedPipeline _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1645,6 +1651,28 @@ object TrainingQueries {
          |SELECT source_a, source_b, n_shared_tokens,
          |  CAST(((co_diff + (t_a - m_a) * t_b + (t_b - m_b) * t_a) * 1000000)
          |    // (CAST(t_a AS HUGEINT) * t_b * 2) AS BIGINT) AS tv_e6
-         |FROM co""".stripMargin
+         |FROM co""".stripMargin,
+
+    "q_embed_pipeline" ->
+      s"""${quantCte.trim},
+         |${kmeansCtes(k = 4, iters = 2, dims = 64)},
+         |m AS (SELECT e.vec_id, af.kk % 4 AS cid, e.qe
+         |  FROM e JOIN af USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.qe", "b.qe")} AS dot,
+         |    ${dotSql("a.qe", "a.qe")} AS na,
+         |    ${dotSql("b.qe", "b.qe")} AS nb
+         |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |d AS (SELECT DISTINCT id_b FROM p
+         |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4),
+         |surv AS (SELECT m.vec_id, m.cid FROM m
+         |  LEFT JOIN d ON m.vec_id = d.id_b WHERE d.id_b IS NULL)
+         |SELECT vec_id, cid, kept_rank FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+         |    ORDER BY ${dh("'cbal|' || CAST(vec_id AS VARCHAR)")}, vec_id)
+         |    AS kept_rank
+         |  FROM surv)
+         |WHERE kept_rank <= 60""".stripMargin
   )
 }

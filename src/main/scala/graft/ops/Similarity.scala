@@ -329,26 +329,13 @@ object Similarity {
     val assigned = kmeansAssignQ(embeddings, k, iters, dims, idCol, embCol)
       .select(col(idCol), col("qe"), col("cid"))
       .localCheckpoint(false)
-    val withCell = assigned
-      .select(col(idCol), col("qe"), col("cid").as("cell"))
-      .withColumn("norm", dotQ(col("qe"), col("qe")).cast("double"))
-    val aSide = withCell.select(col(idCol).as("id_a"),
-      col("norm").as("norm_a"), col("cell"), col("qe").as("qe_a"))
-    val bSide = withCell.select(col(idCol).as("id_b"),
-      col("norm").as("norm_b"), col("cell"), col("qe").as("qe_b"))
-    val dot = dotQ(col("qe_a"), col("qe_b"))
     // Per-cluster roll-up WITHOUT a corpus-size join: members and drops
     // aggregate independently to k rows each and merge there, using
     // xor(kept) = xor(members) ⊕ xor(dropped) (xor is self-inverse, and
     // the min-id member of a cluster never drops so kept is non-empty).
     // Joining the drop set back to the N membership rows would shuffle
     // the corpus again.
-    val dropStats = aSide.join(bSide, "cell")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        dot.cast("double") / sqrt(col("norm_a") * col("norm_b")))
-      .filter(col("cosine") >= minCosine)
-      .select(col("cell").as("cid"), col("id_b")).distinct()
+    val dropStats = semDrops(assigned, minCosine, idCol)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_dropped"),
         expr("bit_xor(id_b)").as("xor_dropped"))
@@ -361,6 +348,60 @@ object Similarity {
         (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
         col("xor_members").bitwiseXOR(coalesce(col("xor_dropped"), lit(0L)))
           .as("xor_kept"))
+  }
+
+  /** The SemDeDup drop set over a checkpointed (idCol, qe, cid)
+    * assignment: distinct (cid, id_b) pairs where id_b has a
+    * smaller-id near-dup (cosine >= minCosine) in its cluster. Shared
+    * by [[semDedup]] (stats roll-up) and [[embedCurationPipeline]]
+    * (anti join) so the drop rule cannot drift between them.
+    */
+  private def semDrops(assigned: DataFrame, minCosine: Double,
+                       idCol: String): DataFrame = {
+    val withCell = assigned
+      .select(col(idCol), col("qe"), col("cid").as("cell"))
+      .withColumn("norm", dotQ(col("qe"), col("qe")).cast("double"))
+    val aSide = withCell.select(col(idCol).as("id_a"),
+      col("norm").as("norm_a"), col("cell"), col("qe").as("qe_a"))
+    val bSide = withCell.select(col(idCol).as("id_b"),
+      col("norm").as("norm_b"), col("cell"), col("qe").as("qe_b"))
+    aSide.join(bSide, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dotQ(col("qe_a"), col("qe_b")).cast("double") /
+        sqrt(col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("cell").as("cid"), col("id_b")).distinct()
+  }
+
+  /** Composed embedding-curation pipeline: ONE k-means assignment feeds
+    * both the SemDeDup drop decision and the per-cluster quota on the
+    * survivors — the fusion a production pipeline runs (assigning twice
+    * would double the dominant scan+argmin cost; the checkpointed
+    * assignment is shared, the same fusion argument as the text
+    * curation pipeline). Emits (idCol, cid, kept_rank) for every vector
+    * that survives dedup AND the quota, kept_rank <= maxPerCluster.
+    *
+    * Scale: the drop set is pair-table-sized and AQE broadcasts it into
+    * the anti join at small SF (at scale it shuffles on the id — the
+    * corpus-keyed join every dedup epilogue pays once); the quota
+    * window partitions on cid.
+    */
+  def embedCurationPipeline(embeddings: DataFrame, k: Int, iters: Int,
+                            minCosine: Double, maxPerCluster: Int,
+                            dims: Int = 64, idCol: String = "vec_id",
+                            embCol: String = "embedding",
+                            seed: String = "cbal"): DataFrame = {
+    val assigned = kmeansAssignQ(embeddings, k, iters, dims, idCol, embCol)
+      .select(col(idCol), col("qe"), col("cid"))
+      .localCheckpoint(false)
+    val drops = semDrops(assigned, minCosine, idCol)
+      .select(col("id_b").as(idCol))
+    val rankHash = Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("cid")).orderBy(rankHash.asc, col(idCol).asc)
+    assigned.select(col(idCol), col("cid"))
+      .join(drops, Seq(idCol), "left_anti")
+      .withColumn("kept_rank", row_number().over(w))
+      .filter(col("kept_rank") <= maxPerCluster)
   }
 
   /** Cluster-balanced sampling: keep at most `maxPerCluster` vectors per

@@ -1166,6 +1166,25 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("embedCurationPipeline: dedup drops then quota caps, one assignment") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.75f, 0.25f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.25f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    // cosine >= 0.9 drops 1 and 3 (see the semDedup trace test); quota 2
+    // then keeps both survivors per cluster
+    val out = Similarity.embedCurationPipeline(e, k = 2, iters = 1,
+      minCosine = 0.9, maxPerCluster = 2, dims = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(out === Array((0L, 0L, 1), (2L, 1L, 1)))
+    // a 1-per-cluster quota with no dedup (threshold above every pair)
+    // exercises the quota side alone: 2 survivors, rank 1 each
+    val q = Similarity.embedCurationPipeline(e, k = 2, iters = 1,
+      minCosine = 0.999, maxPerCluster = 1, dims = 2).collect()
+    assert(q.length === 2 && q.forall(_.getInt(2) === 1))
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData

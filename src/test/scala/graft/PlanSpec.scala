@@ -269,6 +269,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("embedCurationPipeline windows per cluster, drop join never cartesian") {
+    val plan = executedPlan("q_embed_pipeline")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(400))
+    assert(plan.contains("Window"), plan.take(400))
+    assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
+      "pipeline quota window lost its cid partitioning")
+  }
+
   test("sourceDivergence joins on token hashes, no cartesian or window") {
     val plan = executedPlan("q_source_divergence")
     assert(!plan.contains("CartesianProduct"), plan.take(400))
