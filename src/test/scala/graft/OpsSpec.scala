@@ -1185,6 +1185,32 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(q.length === 2 && q.forall(_.getInt(2) === 1))
   }
 
+  test("trainQualityScores separates trusted text from junk") {
+    import spark.implicits._
+    val good = Seq("the quick brown fox jumps over the lazy dog",
+      "a quiet morning walk through the old town square",
+      "fresh bread and coffee on a wooden table",
+      "the river bends gently past the stone bridge")
+    val junk = Seq("zzz zzz zzz buy buy buy click click click",
+      "xxx win win win free free free zzz click",
+      "buy free win zzz xxx click buy free win",
+      "click click zzz buy xxx free win win zzz")
+    val df = (good.zipWithIndex.map { case (t, i) => (i.toLong, 1, t) } ++
+      junk.zipWithIndex.map { case (t, i) => (100L + i, 0, t) })
+      .toDF("doc_id", "trusted", "text")
+    val out = graft.ops.QualityModel
+      .trainQualityScores(df, col("trusted") === 1, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length === 8)
+    assert(out.forall(r => r._3 > 0.0 && r._3 < 1.0))
+    // every trusted doc must outscore every junk doc — the separation
+    // property, robust to float-sum order in the gradient aggregate
+    val minGood = out.filter(_._2 == 1.0).map(_._3).min
+    val maxJunk = out.filter(_._2 == 0.0).map(_._3).max
+    assert(minGood > maxJunk,
+      s"classifier failed to separate: minGood=$minGood maxJunk=$maxJunk")
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData
