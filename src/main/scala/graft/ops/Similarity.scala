@@ -350,6 +350,28 @@ object Similarity {
           .as("xor_kept"))
   }
 
+  /** Cluster count for a corpus of `n` vectors holding the expected
+    * cluster size near `targetClusterSize` — the paper's regime (50k
+    * clusters for 5B docs ≈ 100k docs/cluster targets are far coarser;
+    * dedup wants cells small enough that the within-cluster pair join
+    * stays near-linear, the same constant-cell rule as
+    * [[blockBitsFor]]).
+    */
+  def kFor(n: Long, targetClusterSize: Long = 1024L): Int =
+    math.max(1L, math.min(1000000L,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+
+  /** [[semDedup]] with k derived from the corpus size (one count job)
+    * instead of caller-pinned — the form to use at scale, where a fixed
+    * k is the quadratic trap.
+    */
+  def semDedupAuto(embeddings: DataFrame, iters: Int, minCosine: Double,
+                   targetClusterSize: Long = 1024L, dims: Int = 64,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    semDedup(embeddings, kFor(embeddings.count(), targetClusterSize),
+      iters, minCosine, dims, idCol, embCol)
+
   /** The SemDeDup drop set over a checkpointed (idCol, qe, cid)
     * assignment: distinct (cid, id_b) pairs where id_b has a
     * smaller-id near-dup (cosine >= minCosine) in its cluster. Shared

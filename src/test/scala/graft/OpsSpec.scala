@@ -1211,6 +1211,23 @@ class OpsSpec extends SparkSpec with PropSupport {
       s"classifier failed to separate: minGood=$minGood maxJunk=$maxJunk")
   }
 
+  test("kFor scales cluster count with the corpus; semDedupAuto runs on it") {
+    import spark.implicits._
+    assert(Similarity.kFor(100L, 1024L) === 1)
+    assert(Similarity.kFor(2048L, 1024L) === 2)
+    assert(Similarity.kFor(5000000000L, 100000L) === 50000) // the paper's regime
+    assert(Similarity.kFor(Long.MaxValue / 2, 1L) === 1000000) // clamp
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.75f, 0.25f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.25f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    // 4 vectors with target 2 -> k=2: identical to the traced semDedup run
+    val out = Similarity.semDedupAuto(e, iters = 1, minCosine = 0.9,
+      targetClusterSize = 2L, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData
