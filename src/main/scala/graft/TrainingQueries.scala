@@ -406,6 +406,13 @@ object TrainingQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4)
 
+  /** Sequence-length curriculum order: short docs first, shuffled
+    * within each 100-char length stage (capped at stage 5).
+    */
+  def qCurriculumOrder(s: SparkSession, dir: String): DataFrame =
+    Curation.curriculumOrder(docs(s, dir),
+      stage = least(expr("n_chars div 100"), lit(5L)))
+
   /** Composed embedding pipeline: one k-means feeding dedup + quota. */
   def qEmbedPipeline(s: SparkSession, dir: String): DataFrame =
     Similarity.embedCurationPipeline(embs(s, dir), k = 4, iters = 2,
@@ -488,7 +495,8 @@ object TrainingQueries {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
-    "q_embed_pipeline" -> (qEmbedPipeline _)
+    "q_embed_pipeline" -> (qEmbedPipeline _),
+    "q_curriculum" -> (qCurriculumOrder _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -1673,6 +1681,15 @@ object TrainingQueries {
          |    ORDER BY ${dh("'cbal|' || CAST(vec_id AS VARCHAR)")}, vec_id)
          |    AS kept_rank
          |  FROM surv)
-         |WHERE kept_rank <= 60""".stripMargin
+         |WHERE kept_rank <= 60""".stripMargin,
+
+    "q_curriculum" -> {
+      val h = dhSalted("curriculum")
+      s"""SELECT doc_id, least(n_chars // 100, 5) AS stage,
+         |  CAST(row_number() OVER (
+         |    ORDER BY least(n_chars // 100, 5), $h, doc_id) - 1 AS BIGINT)
+         |    AS curriculum_pos
+         |FROM documents""".stripMargin
+    }
   )
 }

@@ -391,6 +391,45 @@ object Curation {
       .select(col(idCol), col("shuffle_pos"))
   }
 
+  /** Curriculum data ordering: a deterministic global training order
+    * that ascends through caller-defined STAGES (sequence-length
+    * curriculum, quality annealing — any small-domain expression) while
+    * shuffling uniformly WITHIN each stage. The standard curriculum
+    * schedule: the model sees stage 0 first, and inside a stage the
+    * order carries no signal.
+    *
+    * [[shuffleRank]] generalized: the prefix-sum offset table is keyed
+    * by (stage, hash-prefix bucket) — still tiny (nStages × nBuckets
+    * rows, the deliberate single-partition window), broadcast back; the
+    * corpus-side window partitions per (stage, bucket). Equivalent to
+    * `row_number() over (order by stage, h60(seed|id), id) - 1` but
+    * with no corpus-wide window. Returns (idCol, stage, curriculum_pos).
+    */
+  def curriculumOrder(docs: DataFrame, stage: Column, nBuckets: Int = 256,
+                      idCol: String = "doc_id",
+                      seed: String = "curriculum"): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    val bits = java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val key = Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol), stage.cast("long").as("stage"))
+      .withColumn("__key", key)
+      .withColumn("__bkt", shiftright(col("__key"), 60 - bits))
+    val counts = keyed.groupBy(col("stage"), col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+    val prefix = Window.orderBy(col("stage").asc, col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(prefix), lit(0L)))
+      .select(col("stage"), col("__bkt"), col("__off"))
+    val inBucket = Window.partitionBy(col("stage"), col("__bkt"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    keyed.join(broadcast(offsets), Seq("stage", "__bkt"))
+      .withColumn("curriculum_pos",
+        col("__off") + row_number().over(inBucket) - 1)
+      .select(col(idCol), col("stage"), col("curriculum_pos"))
+  }
+
   /** Mixture re-weighting: per-domain sampling weights that steer the
     * corpus token distribution toward target shares — the "data mixing"
     * knob (upweight rare-but-wanted domains, downweight the crawl

@@ -1228,6 +1228,22 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out === Map(0L -> 1L, 1L -> 1L))
   }
 
+  test("curriculumOrder: stages strictly ascend, positions form a permutation") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, i % 4)).toDF("doc_id", "grp")
+    val out = Curation.curriculumOrder(df, stage = col("grp"), nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every position 0..39 exactly once
+    assert(out.map(_._3).sorted === (0L until 40L).toArray)
+    // positions within a stage form a contiguous block, stages in order
+    val byPos = out.sortBy(_._3).map(_._2)
+    assert(byPos === byPos.sorted, "a later stage appeared before an earlier one")
+    // within a stage the order is the salted-hash shuffle, not doc_id order
+    val stage0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(stage0.sorted === stage0.sorted.distinct)
+    assert(stage0 !== stage0.sorted, "within-stage order degenerated to id order")
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -278,6 +278,16 @@ class PlanSpec extends SparkSpec {
       "pipeline quota window lost its cid partitioning")
   }
 
+  test("curriculumOrder windows per (stage, bucket), offsets broadcast") {
+    val plan = executedPlan("q_curriculum")
+    // the corpus-side window must keep its composite partitioning; only
+    // the tiny (stage, bucket) offset table may be a global window
+    assert(plan.contains("__bkt"), "bucket decomposition lost: " + plan.take(400))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "offset table stopped broadcasting: " + plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("sourceDivergence joins on token hashes, no cartesian or window") {
     val plan = executedPlan("q_source_divergence")
     assert(!plan.contains("CartesianProduct"), plan.take(400))
