@@ -592,6 +592,10 @@ object Curation {
     *
     * Returns (idCol, n_tokens, weight_e6); a target doc's own tokens
     * count in both distributions, the standard self-inclusive estimate.
+    * An EMPTY target slice yields NULL weights for every doc (the
+    * 1-row target-total aggregate is NULL and the ratio propagates) —
+    * absence of signal, deliberately not masked as 0 or an error on
+    * the distributed path.
     */
   def importanceWeight(docs: DataFrame, isTarget: Column,
                        textCol: String = "text",

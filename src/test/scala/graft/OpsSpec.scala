@@ -1244,6 +1244,44 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(stage0 !== stage0.sorted, "within-stage order degenerated to id order")
   }
 
+  test("importanceWeight: an empty target slice yields NULL weights") {
+    import spark.implicits._
+    val df = Seq((1L, "s1", "a b"), (2L, "s2", "a c")).toDF("doc_id", "source", "text")
+    val out = Curation.importanceWeight(df, col("source") === "nope").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(2)), "empty target must surface as NULL, not 0")
+  }
+
+  test("epochSchedule never over-spends the budget (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = for {
+      sizes <- Gen.listOfN(4, Gen.choose(1, 40))
+      units <- Gen.listOfN(4, Gen.choose(1L, 5L))
+      budget <- Gen.choose(10L, 400L)
+      capE2 <- Gen.choose(100L, 500L)
+    } yield (sizes, units, budget, capE2)
+    forAllGen(gen, cases = 8) { case (sizes, units, budget, capE2) =>
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, s"s$i", Seq.fill(n)("t").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val unitExpr = units.zipWithIndex
+        .map { case (u, i) => s"WHEN source = 's$i' THEN $u" }
+        .mkString("CASE ", " ", " ELSE 1 END")
+      val out = Curation.epochSchedule(docs, "source", expr(unitExpr),
+        budgetTokens = budget, maxEpochsE2 = capE2).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getInt(5)))
+      assert(out.forall(_._2 >= 0L), "negative allocation")
+      assert(out.map(_._2).sum <= budget,
+        s"allocated ${out.map(_._2).sum} > budget $budget")
+      // an uncapped-only world spends at most the proportional wants
+      out.foreach { case (n, alloc, capped) =>
+        if (capped == 1) assert(alloc >= capE2 * n / 100,
+          "a capped source lost its cap-level allocation")
+      }
+    }
+  }
+
   test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData
