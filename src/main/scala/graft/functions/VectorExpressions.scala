@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
 /** Exact fixed-point vector kernels as native codegen'd Catalyst
   * expressions.
@@ -23,12 +24,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Both kernels use `Math.addExact`/`multiplyExact`, matching ANSI
   * overflow semantics of the builtin arithmetic they replace: the
   * fixed-point range contract (see [[graft.ops.Similarity.quantize]])
-  * is enforced, never silently wrapped. Array elements must be
-  * non-null (quantize output always is).
+  * is enforced, never silently wrapped.
+  *
+  * Null handling: `dotq` propagates NULL when either array or ANY
+  * element is NULL (a quantized vector from an embedding with null
+  * components carries null elements — the old HOF form returned NULL
+  * there, and a silent 0-for-null read would fabricate cosines);
+  * `nearest_centroid` THROWS on null elements — it is the trainer hot
+  * path and a half-null vector assigned to a garbage cluster is worse
+  * than a loud failure telling the caller to clean the corpus first.
   */
 object VectorKernels {
 
-  /** Exact integer dot product; arrays must be equal-length. */
+  /** True when any element of the array is NULL. */
+  def anyNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Exact integer dot product; arrays must be equal-length with
+    * non-null elements (callers null-check via [[anyNullElement]]).
+    */
   def dotQ(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     if (n != b.numElements())
@@ -43,16 +64,24 @@ object VectorKernels {
     acc
   }
 
-  /** Argmin over centroids of the exact squared distance, encoded as
-    * `dist * k + cid` — identical to `min(dist*k+cid)` over all
-    * centroids (ties break to the smaller cid), the same collision-free
-    * key the relational k-means oracle computes. `cids` may be sparse
-    * (clusters that lost all members vanish without re-seeding) while
-    * `k` stays the ORIGINAL cluster count the key encoding was built on.
+  /** Argmin over centroids of the exact squared distance: returns
+    * struct(cid, dist) with ties broken to the smaller cid (centroids
+    * arrive sorted by cid and the comparison is strict) — the same
+    * winner as the oracle's `min(dist*k+cid)` key, WITHOUT the k·dist
+    * product: the encoding overflows a long once k·dist passes 2^63
+    * (k ≈ 23,000 at the worst-case unit-norm distance — exactly the
+    * large-k regime SemDeDup runs), while the struct form is bounded by
+    * the quantize range contract alone (dist ≤ 4e14·dims < 2^63 at any
+    * k). `cids` may be sparse: clusters that lost all members vanish
+    * without re-seeding.
     */
-  def nearestKey(v: ArrayData, cents: Array[Array[Long]], cids: Array[Long],
-                 k: Long): Long = {
-    var best = Long.MaxValue
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Long]],
+                      cids: Array[Long]): InternalRow = {
+    if (anyNullElement(v))
+      throw new IllegalArgumentException(
+        "nearest_centroid: null embedding element — clean or filter the corpus first")
+    var bestD = Long.MaxValue
+    var bestC = 0L
     var j = 0
     while (j < cents.length) {
       val c = cents(j)
@@ -63,18 +92,20 @@ object VectorKernels {
         acc = Math.addExact(acc, Math.multiplyExact(d, d))
         i += 1
       }
-      val key = Math.addExact(Math.multiplyExact(acc, k), cids(j))
-      if (key < best) best = key
+      if (acc < bestD) { bestD = acc; bestC = cids(j) }
       j += 1
     }
-    best
+    new GenericInternalRow(Array[Any](bestC, bestD))
   }
 }
 
-/** `dotq(a, b)`: exact integer dot product of two long-array columns. */
+/** `dotq(a, b)`: exact integer dot product of two long-array columns.
+  * NULL result when either array is NULL or carries a NULL element.
+  */
 case class DotQLongs(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dotq"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -88,50 +119,68 @@ case class DotQLongs(left: Expression, right: Expression) extends BinaryExpressi
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      if (VectorKernels.anyNullElement(aa) || VectorKernels.anyNullElement(bb)) null
+      else VectorKernels.dotQ(aa, bb)
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotQ($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if (graft.functions.VectorKernels.anyNullElement($a) ||
+         |    graft.functions.VectorKernels.anyNullElement($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.dotQ($a, $b);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotQLongs =
     copy(left = newLeft, right = newRight)
 }
 
-/** `nearest_centroid_key(v)`: dist*k+cid argmin key against a fixed
-  * centroid table (driver-side constant, shipped once per plan as a
-  * reference object — NOT k·dims literal nodes, which bloat the plan
-  * and the generated code alike).
+/** `nearest_centroid(v)`: struct(cid, dist) of the closest centroid in
+  * a fixed centroid table (driver-side constant, shipped once per plan
+  * as a reference object — NOT k·dims literal nodes, which bloat the
+  * plan and the generated code alike, and NOT a dist·k+cid packed key,
+  * which overflows at large k).
   */
-case class NearestCentroidKey(child: Expression, cids: Vector[Long],
-                              cents: Vector[Vector[Long]], k: Long)
+case class NearestCentroid(child: Expression, cids: Vector[Long],
+                           cents: Vector[Vector[Long]])
     extends UnaryExpression {
 
   @transient private lazy val centsArr: Array[Array[Long]] =
     cents.map(_.toArray).toArray
   @transient private lazy val cidsArr: Array[Long] = cids.toArray
 
-  override def dataType: DataType = LongType
-  override def prettyName: String = "nearest_centroid_key"
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def prettyName: String = "nearest_centroid"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"nearest_centroid_key requires array<bigint>, got ${t.catalogString}")
+      s"nearest_centroid requires array<bigint>, got ${t.catalogString}")
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.nearestKey(v.asInstanceOf[ArrayData], centsArr, cidsArr, k)
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], centsArr, cidsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("cents", centsArr, "long[][]")
     val iRef = ctx.addReferenceObj("cids", cidsArr, "long[]")
     defineCodeGen(ctx, ev,
-      v => s"graft.functions.VectorKernels.nearestKey($v, $cRef, $iRef, ${k}L)")
+      v => s"graft.functions.VectorKernels.nearestCentroid($v, $cRef, $iRef)")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): NearestCentroidKey =
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
 
@@ -140,14 +189,16 @@ object VectorExpressions {
   def dotq(a: Column, b: Column): Column =
     ColumnBridge.column(DotQLongs(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Column API: argmin dist*k+cid key against fixed (cid, centroid)
-    * rows; `k` is the original cluster count of the key encoding (cids
-    * may be sparse once clusters vanish).
+  /** Column API: struct(cid, dist) of the nearest fixed (cid, centroid)
+    * row; centroids must arrive sorted by cid (ties break to the first,
+    * i.e. smallest, cid) and may be sparse once clusters vanish.
     */
-  def nearestCentroidKey(v: Column, cents: Seq[(Long, IndexedSeq[Long])],
-                         k: Int): Column =
-    ColumnBridge.column(NearestCentroidKey(
+  def nearestCentroid(v: Column, cents: Seq[(Long, IndexedSeq[Long])]): Column = {
+    require(cents.map(_._1) == cents.map(_._1).sorted,
+      "centroids must be sorted by cid for the smaller-cid tie-break")
+    ColumnBridge.column(NearestCentroid(
       ColumnBridge.expression(v),
       cents.map(_._1).toVector,
-      cents.map(_._2.toVector).toVector, k.toLong))
+      cents.map(_._2.toVector).toVector))
+  }
 }

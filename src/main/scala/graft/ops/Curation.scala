@@ -403,7 +403,11 @@ object Curation {
     * rows, the deliberate single-partition window), broadcast back; the
     * corpus-side window partitions per (stage, bucket). Equivalent to
     * `row_number() over (order by stage, h60(seed|id), id) - 1` but
-    * with no corpus-wide window. Returns (idCol, stage, curriculum_pos).
+    * with no corpus-wide window. A NULL stage coalesces to
+    * Long.MinValue — those docs order FIRST (ASC NULLS FIRST
+    * semantics), never silently dropping out of the permutation
+    * through the null-unsafe offset join. Returns (idCol, stage,
+    * curriculum_pos) with the coalesced stage.
     */
   def curriculumOrder(docs: DataFrame, stage: Column, nBuckets: Int = 256,
                       idCol: String = "doc_id",
@@ -412,7 +416,9 @@ object Curation {
       s"nBuckets must be a power of two, got $nBuckets")
     val bits = java.lang.Integer.numberOfTrailingZeros(nBuckets)
     val key = Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
-    val keyed = docs.select(col(idCol), stage.cast("long").as("stage"))
+    val keyed = docs
+      .select(col(idCol),
+        coalesce(stage.cast("long"), lit(Long.MinValue)).as("stage"))
       .withColumn("__key", key)
       .withColumn("__bkt", shiftright(col("__key"), 60 - bits))
     val counts = keyed.groupBy(col("stage"), col("__bkt"))

@@ -42,7 +42,7 @@ object QualityModel {
     import org.apache.spark.ml.functions.vector_to_array
     val base = docs.select(col(idCol),
       isTrusted.cast("double").as("label"),
-      split(col(textCol), " ").as("__tokens"))
+      Dedup.tokens(col(textCol)).as("__tokens"))
     val tf = new HashingTF()
       .setInputCol("__tokens").setOutputCol("__features")
       .setNumFeatures(dims)

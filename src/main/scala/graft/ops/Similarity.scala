@@ -237,8 +237,10 @@ object Similarity {
     * query can check). Seeds are the `k` smallest-id vectors (cid = rank
     * in id order); each round assigns every vector to the centroid
     * minimizing the exact squared fixed-point distance (ties break to
-    * the smaller cid via the key encoding dist*k+cid, which is collision
-    * free because cid < k) and recomputes centroids as
+    * the smaller cid — the kernel scans cid-sorted centroids with a
+    * strict comparison, the same winner as the oracle's min(dist*k+cid)
+    * key but with no k·dist product to overflow at large k) and
+    * recomputes centroids as
     * floor(sum/count) per dimension — floor over one exact-integer
     * double division, identical in any IEEE engine. A cluster that
     * loses all members vanishes (no re-seeding), deterministically in
@@ -277,8 +279,8 @@ object Similarity {
     val v = embeddings.select(col(idCol), quantize(col(embCol)).as("qe"))
 
     def assigned(cents: Seq[(Long, IndexedSeq[Long])]): DataFrame =
-      v.withColumn("__key",
-        graft.functions.VectorExpressions.nearestCentroidKey(col("qe"), cents, k))
+      v.withColumn("__nc",
+        graft.functions.VectorExpressions.nearestCentroid(col("qe"), cents))
 
     // seeds: the k smallest-id vectors — a TakeOrdered collecting k rows
     var cents: Seq[(Long, IndexedSeq[Long])] =
@@ -287,7 +289,7 @@ object Similarity {
       }
     for (_ <- 0 until iters) {
       val sums = assigned(cents)
-        .groupBy((col("__key") % k).as("cid"))
+        .groupBy(col("__nc.cid").as("cid"))
         .agg(count(lit(1)).as("cnt"),
           (0 until dims).map(i => sum(element_at(col("qe"), i + 1)).as(s"s$i")): _*)
         .collect()
@@ -298,9 +300,9 @@ object Similarity {
       }.sortBy(_._1).toSeq
     }
     assigned(cents)
-      .withColumn("cid", col("__key") % k)
-      .withColumn("dist", expr(s"__key div $k"))
-      .drop("__key")
+      .withColumn("cid", col("__nc.cid"))
+      .withColumn("dist", col("__nc.dist"))
+      .drop("__nc")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -383,14 +385,7 @@ object Similarity {
     val withCell = assigned
       .select(col(idCol), col("qe"), col("cid").as("cell"))
       .withColumn("norm", dotQ(col("qe"), col("qe")).cast("double"))
-    val aSide = withCell.select(col(idCol).as("id_a"),
-      col("norm").as("norm_a"), col("cell"), col("qe").as("qe_a"))
-    val bSide = withCell.select(col(idCol).as("id_b"),
-      col("norm").as("norm_b"), col("cell"), col("qe").as("qe_b"))
-    aSide.join(bSide, "cell")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dotQ(col("qe_a"), col("qe_b")).cast("double") /
-        sqrt(col("norm_a") * col("norm_b")))
+    cellPairs(withCell, idCol)
       .filter(col("cosine") >= minCosine)
       .select(col("cell").as("cid"), col("id_b")).distinct()
   }

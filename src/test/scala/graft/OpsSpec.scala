@@ -1282,19 +1282,52 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
-  test("nearestKey kernel: min(dist*k+cid) with sparse cids after a vanish") {
+  test("nearestCentroid kernel: argmin with sparse cids, huge-k-safe") {
     import graft.functions.VectorKernels
     import org.apache.spark.sql.catalyst.util.ArrayData
     val v = ArrayData.toArrayData(Array(10L, -4L))
-    // cluster 1 vanished: cids {0, 2} of an original k=3 encoding
+    // cluster 1 vanished: cids {0, 2} survive
     val cents = Array(Array(9L, -4L), Array(10L, -3L))
     val cids = Array(0L, 2L)
     def dist(c: Array[Long]) =
       (0 until 2).map(i => (Seq(10L, -4L)(i) - c(i)) * (Seq(10L, -4L)(i) - c(i))).sum
-    val expect = Seq(dist(cents(0)) * 3 + 0, dist(cents(1)) * 3 + 2).min
-    assert(VectorKernels.nearestKey(v, cents, cids, 3L) === expect)
-    // equal distances tie to the smaller cid via the key ordering
+    val best = Seq((dist(cents(0)), 0L), (dist(cents(1)), 2L)).min
+    val got = VectorKernels.nearestCentroid(v, cents, cids)
+    assert((got.getLong(0), got.getLong(1)) === ((best._2, best._1)))
+    // equal distances tie to the first (smallest) cid
     val tie = Array(Array(10L, -5L), Array(10L, -3L)) // both dist 1
-    assert(VectorKernels.nearestKey(v, tie, cids, 3L) === (1L * 3 + 0))
+    val t = VectorKernels.nearestCentroid(v, tie, cids)
+    assert((t.getLong(0), t.getLong(1)) === ((0L, 1L)))
+    // the old dist*k+cid packing overflowed past k ~ 23k at worst-case
+    // unit-norm distances; the struct form must survive the regime
+    val far = ArrayData.toArrayData(Array.fill(64)(10000000L))
+    val farCents = Array(Array.fill(64)(-10000000L))
+    val f = VectorKernels.nearestCentroid(far, farCents, Array(49999L))
+    assert(f.getLong(0) === 49999L)
+    assert(f.getLong(1) === 64L * 4L * 10000000L * 10000000L)
+  }
+
+  test("dotq propagates NULL for null array elements, never fabricates 0") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.dotq
+    val df = Seq(
+      (1L, Array[java.lang.Long](2L, null), Array[java.lang.Long](3L, 4L)),
+      (2L, Array[java.lang.Long](2L, 5L), Array[java.lang.Long](3L, 4L))
+    ).toDF("id", "a", "b").select(col("id"), dotq(col("a"), col("b")).as("d"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L) === None, "null element must yield NULL, not a garbage dot")
+    assert(rows(2L) === Some(26L))
+  }
+
+  test("curriculumOrder keeps NULL-stage docs, ordered first") {
+    import spark.implicits._
+    val df = Seq((1L, Some(3L)), (2L, Option.empty[Long]), (3L, Some(0L)))
+      .toDF("doc_id", "grp")
+    val out = Curation.curriculumOrder(df, stage = col("grp"), nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "NULL stage silently dropped a doc")
+    assert(out(2L) === 0L, "NULL stage must order first")
+    assert(out(3L) === 1L && out(1L) === 2L)
   }
 }
