@@ -31,17 +31,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Three call sites run DELIBERATE global windows over tiny derived
-    // tables (Curation.tokenBudgetSample's ~1k quality×bucket cells,
-    // Curation.shuffleRank's nBuckets prefix-sum table, mixtureWeights'
-    // ~20 domain rows) — WindowExec's single-partition warning is
-    // correct-by-construction there, and hundreds of copies of it train
-    // readers to ignore the one instance that would matter. Silence the
-    // operator's logger for the bench; PlanSpec still pins that no
-    // CORPUS-scale window is global.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    SparkEntry.silenceExpectedWindowWarnings()
 
     // SPARK_GRAFT_ONLY=q_a,q_b limits the run to a subset (local iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -23,6 +23,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Silence the expected single-partition warnings from the DELIBERATE
+    * tiny-table global windows (cell/bucket/domain tables in
+    * tokenBudget, shuffleRank, mixtureWeights, epochSchedule,
+    * curriculumOrder offsets): correct by construction there, and
+    * hundreds of copies train readers to ignore the one instance that
+    * would matter. Shared by the Verify and Bench mains so the two
+    * entry points cannot drift; PlanSpec still pins that no
+    * CORPUS-scale window is global.
+    */
+  def silenceExpectedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   // ---------------------------------------------------------------- helpers
 
   /** Log view over events: topic/partition/offset/timestamp/key/value. */

@@ -1464,7 +1464,8 @@ object TrainingQueries {
         |  FROM d)
         |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_card_numbers,
         |  list_reduce(list_prepend(text2, valid),
-        |    (acc, s) -> replace(acc, s, '<CARD>')) AS redacted_cards
+        |    (acc, s) -> regexp_replace(acc, '\b' || s || '\b', '<CARD>', 'g'))
+        |    AS redacted_cards
         |FROM c""".stripMargin,
 
     "q_blocklist" ->

@@ -232,6 +232,19 @@ object TxLog {
       if (Files.exists(p)) Files.delete(p)
     }
 
+  /** [[unstage]] minus any file the LATEST COMMITTED manifest already
+    * references: on a brand-new table, a racing appender's bootstrap
+    * (`preLogDataFiles`) may have folded OUR staged files into its v0
+    * checkpoint before this append gave up — deleting them then would
+    * silently drop committed rows (reads run ignoreMissingFiles).
+    * Only files no manifest claims are true orphans.
+    */
+  private[graft] def unstageUncommitted(table: String, files: Seq[String]): Unit = {
+    val committed = currentSnapshot(table).map(_.files.toSet)
+      .getOrElse(Set.empty[String])
+    unstage(table, files.filterNot(committed))
+  }
+
   /** Data files already in the table directory but predating the log —
     * a table written by the plain (pre-TxLog) lake sink. They join the
     * v0 commit so the upgrade keeps them live; otherwise the first
@@ -291,9 +304,9 @@ object TxLog {
         snap = currentSnapshot(t)
       }
     } catch {
-      case e: Throwable => unstage(t, newFiles); throw e
+      case e: Throwable => unstageUncommitted(t, newFiles); throw e
     }
-    unstage(t, newFiles)
+    unstageUncommitted(t, newFiles)
     throw new IllegalStateException(s"append($t): commit contention")
   }
 

@@ -252,19 +252,21 @@ object Curation {
     */
   def canonicalPerCluster(clusters: DataFrame, scored: DataFrame,
                           idCol: String = "doc_id"): DataFrame = {
-    // the winner is max_by the (quality, -id) pair — ids are unique so
-    // the order key is total and the pick deterministic. One hash
-    // aggregate on cluster; the per-cluster window-sort formulation
-    // pays an extra in-partition SORT for the same answer
-    val key = struct(col("quality"), (col(idCol) * lit(-1L)).as("__nid"))
+    // the winner is min_by the (-quality, id) pair — best quality, then
+    // SMALLEST id, and ids are unique so the key is total and the pick
+    // deterministic. Negating quality (always numeric) instead of the
+    // id keeps the op correct for string/any-orderable id columns. One
+    // hash aggregate on cluster; the per-cluster window-sort
+    // formulation pays an extra in-partition SORT for the same answer
+    val key = struct((col("quality") * lit(-1)).as("__nq"), col(idCol))
     clusters
       .join(scored.select(col(idCol), col("quality"), col("n_tokens")), idCol)
       .groupBy(col("cluster"))
       .agg(
-        max_by(col(idCol), key).as("canonical_id"),
+        min_by(col(idCol), key).as("canonical_id"),
         max(col("quality")).as("canonical_quality"),
         count(lit(1)).as("n_members"),
-        (sum(col("n_tokens")) - max_by(col("n_tokens"), key))
+        (sum(col("n_tokens")) - min_by(col("n_tokens"), key))
           .as("tokens_dropped"))
   }
 

@@ -292,9 +292,10 @@ object Dedup {
     // the pair graph is orders of magnitude smaller than the input (only
     // near-dup candidates), so per-iteration jobs should not pay
     // corpus-scale partition counts
-    val nEdges = edges0.count()
+    // the sizing count only runs when the caller didn't pin a count —
+    // a supplied numPartitions must not pay a full pass over the graph
     val parts = numPartitions.getOrElse(
-      ccPartitionsFor(nEdges, sc.defaultParallelism))
+      ccPartitionsFor(edges0.count(), sc.defaultParallelism))
     val edges = edges0.repartition(parts, col("dst")).cache()
     // materialize the edges cache NOW: a Dataset cache registers in
     // sc.getPersistentRDDs only at first materialization, and the

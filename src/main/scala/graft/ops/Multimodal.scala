@@ -210,7 +210,11 @@ object Multimodal {
         var width = -1
         var height = -1
         findChild(0, p.length, "moov").foreach { case (moovStart, moovEnd) =>
-          findChild(moovStart, moovEnd, "mvhd").foreach { case (ps, end) =>
+          // a bare 8-byte header box has ps == end — the version read
+          // below must not run off the payload (hostile input)
+          findChild(moovStart, moovEnd, "mvhd")
+            .filter { case (ps, end) => ps < end }
+            .foreach { case (ps, end) =>
             val v = p(ps) & 0xff // version: 0 = 32-bit times, 1 = 64-bit
             if (v == 0 && ps + 20 <= end) {
               val timescale = be32(p, ps + 12).toLong & 0xffffffffL
@@ -229,7 +233,9 @@ object Multimodal {
             boxAt(i) match {
               case Some((t, ps, end)) if end <= moovEnd =>
                 if (t == "trak")
-                  findChild(ps, end, "tkhd").foreach { case (tps, tend) =>
+                  findChild(ps, end, "tkhd")
+                    .filter { case (tps, tend) => tps < tend }
+                    .foreach { case (tps, tend) =>
                     val v = p(tps) & 0xff
                     val dimOff = if (v == 1) 88 else 76 // 16.16 fixed-point
                     if (tps + dimOff + 8 <= tend) {

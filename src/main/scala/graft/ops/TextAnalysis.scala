@@ -324,7 +324,10 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         sum(col("m")).as("n_bigrams"),
-        expr("sum(m * (c2 * 1000000 DIV c1)) DIV sum(m)").as("lm_score_e6"))
+        // DECIMAL: c2 * 1e6 wraps a LONG once a bigram passes ~9.2e12
+        // corpus occurrences (the temperatureMixture discipline)
+        expr("sum(m * (cast(c2 as decimal(38,0)) * 1000000 DIV c1))" +
+          " DIV sum(m)").as("lm_score_e6"))
   }
 
   /** Rare-token (pseudo-OOV) rate per document: the fraction of token
@@ -424,7 +427,12 @@ object TextAnalysis {
            |  s -> $luhnSum % 10 = 0)""".stripMargin))
       .withColumn("n_card_numbers", size(col("__valid")).cast("long"))
       .withColumn("redacted_cards",
-        expr(s"aggregate(__valid, $textCol, (t, s) -> replace(t, s, '<CARD>'))"))
+        // boundary-anchored replace: a bare replace() would also rewrite
+        // the candidate digits when EMBEDDED in a longer non-candidate
+        // run (e.g. a 20-digit reference id containing a valid 16-digit
+        // substring), corrupting text the extractor never flagged
+        expr(s"aggregate(__valid, $textCol, (t, s) ->" +
+          s" regexp_replace(t, concat('\\\\b', s, '\\\\b'), '<CARD>'))"))
       .drop("__valid")
   }
 
@@ -455,7 +463,10 @@ object TextAnalysis {
         .withColumn("n_top", lit(n))
     }.reduce(_ unionByName _)
       .crossJoin(broadcast(total))
-      .withColumn("coverage_e6", expr("covered * 1000000 div tot"))
+      // DECIMAL: covered * 1e6 wraps a LONG past ~9.2e12 token
+      // instances (the temperatureMixture discipline)
+      .withColumn("coverage_e6",
+        expr("cast(covered as decimal(38,0)) * 1000000 div tot"))
       .select(col("n_top"), col("n_terms"), col("covered"), col("tot"),
         col("coverage_e6"))
   }

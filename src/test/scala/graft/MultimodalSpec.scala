@@ -119,6 +119,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Probe.sniff(hostile) === Some(Probe.Info("mp4", "video", -1, -1, -1L)))
     assert(Probe.sniff(mp4.take(20)) ===
       Some(Probe.Info("mp4", "video", -1, -1, -1L)))
+    // a bare 8-byte mvhd header at the END of the buffer: payloadStart
+    // == end == length — the version read must not run off the payload
+    val bareMvhd = alloc(16 + 16)
+      .putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      .putInt(16).put("moov".getBytes)
+      .putInt(8).put("mvhd".getBytes).array()
+    assert(Probe.sniff(bareMvhd) === Some(Probe.Info("mp4", "video", -1, -1, -1L)))
+    val bareTkhd = alloc(16 + 24)
+      .putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      .putInt(24).put("moov".getBytes)
+      .putInt(16).put("trak".getBytes)
+      .putInt(8).put("tkhd".getBytes).array()
+    assert(Probe.sniff(bareTkhd) === Some(Probe.Info("mp4", "video", -1, -1, -1L)))
 
     // garbage and null stay unprobed
     assert(Probe.sniff(Array.fill[Byte](32)(0x42)) === None)

@@ -642,6 +642,14 @@ class OpsSpec extends SparkSpec with PropSupport {
       Seq((9L, "id 79927398713 ok")).toDF("doc_id", "text")).head()
     assert(short.getAs[Long]("n_card_numbers") === 0L)
     assert(out(5L) === ((0L, "no digits here")))
+    // a valid card EMBEDDED in a longer non-candidate digit run must
+    // stay untouched — replace is boundary-anchored, not substring
+    val embedded = TextAnalysis.luhnRedact(
+      Seq((10L, "card 4532015112830366 ref 94532015112830366123 end"))
+        .toDF("doc_id", "text")).head()
+    assert(embedded.getAs[Long]("n_card_numbers") === 1L)
+    assert(embedded.getAs[String]("redacted_cards") ===
+      "card <CARD> ref 94532015112830366123 end")
   }
 
   test("qualityEnsemble: every doc labeled once, reason = first failing rule") {

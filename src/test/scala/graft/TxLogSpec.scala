@@ -222,4 +222,28 @@ class TxLogSpec extends SparkSpec {
     try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
     finally s.close()
   }
+
+  test("failed-append cleanup never deletes files a racing bootstrap committed") {
+    val table = newTable()
+    // appender A's staged-but-uncommitted files: plain parquet in the
+    // visible layout of a table with no log yet
+    Seq((1L, "a")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(table)
+    // appender B bootstraps: its v0 checkpoint folds A's files in
+    TxLog.append(Seq((2L, "b")).toDF("id", "s"), table)
+    assert(TxLog.read(spark, table).count() === 2L)
+    // A's give-up path runs cleanup over its file list — every file the
+    // committed manifest references must survive
+    val committed = TxLog.currentSnapshot(table).get.files
+    TxLog.unstageUncommitted(table, committed)
+    assert(TxLog.read(spark, table).count() === 2L,
+      "cleanup deleted committed data")
+    // a genuinely uncommitted orphan IS removed
+    val orphan = "orphan-00000.parquet"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, orphan), Array[Byte](1, 2, 3))
+    TxLog.unstageUncommitted(table, Seq(orphan))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, orphan)))
+  }
 }
