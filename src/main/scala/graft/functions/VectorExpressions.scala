@@ -36,21 +36,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   */
 object VectorKernels {
 
-  /** True when any element of the array is NULL. */
-  def anyNullElement(a: ArrayData): Boolean = {
-    val n = a.numElements()
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i)) return true
-      i += 1
-    }
-    false
-  }
-
-  /** Exact integer dot product; arrays must be equal-length with
-    * non-null elements (callers null-check via [[anyNullElement]]).
+  /** Exact integer dot product in ONE fused pass (this is the per-pair
+    * hot path — a separate null-scan would re-traverse both arrays):
+    * boxed null when any element is NULL, the exact sum otherwise.
+    * Arrays must be equal-length.
     */
-  def dotQ(a: ArrayData, b: ArrayData): Long = {
+  def dotQNullable(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
     if (n != b.numElements())
       throw new IllegalArgumentException(
@@ -58,10 +49,11 @@ object VectorKernels {
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 
   /** Argmin over centroids of the exact squared distance: returns
@@ -77,9 +69,12 @@ object VectorKernels {
     */
   def nearestCentroid(v: ArrayData, cents: Array[Array[Long]],
                       cids: Array[Long]): InternalRow = {
-    if (anyNullElement(v))
+    // loud-failure contract (trainer path): ragged and dirty vectors
+    // must error, never cluster by a garbage/unchecked read
+    if (cents.length > 0 && v.numElements() != cents(0).length)
       throw new IllegalArgumentException(
-        "nearest_centroid: null embedding element — clean or filter the corpus first")
+        s"nearest_centroid: vector has ${v.numElements()} dims, " +
+          s"centroids have ${cents(0).length}")
     var bestD = Long.MaxValue
     var bestC = 0L
     var j = 0
@@ -88,6 +83,9 @@ object VectorKernels {
       var acc = 0L
       var i = 0
       while (i < c.length) {
+        if (v.isNullAt(i))
+          throw new IllegalArgumentException(
+            "nearest_centroid: null embedding element — clean or filter the corpus first")
         val d = Math.subtractExact(v.getLong(i), c(i))
         acc = Math.addExact(acc, Math.multiplyExact(d, d))
         i += 1
@@ -123,21 +121,18 @@ case class DotQLongs(left: Expression, right: Expression) extends BinaryExpressi
     val a = left.eval(input)
     val b = right.eval(input)
     if (a == null || b == null) null
-    else {
-      val aa = a.asInstanceOf[ArrayData]
-      val bb = b.asInstanceOf[ArrayData]
-      if (VectorKernels.anyNullElement(aa) || VectorKernels.anyNullElement(bb)) null
-      else VectorKernels.dotQ(aa, bb)
-    }
+    else VectorKernels.dotQNullable(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""if (graft.functions.VectorKernels.anyNullElement($a) ||
-         |    graft.functions.VectorKernels.anyNullElement($b)) {
+      s"""java.lang.Long ${ev.value}$$r =
+         |  graft.functions.VectorKernels.dotQNullable($a, $b);
+         |if (${ev.value}$$r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.VectorKernels.dotQ($a, $b);
+         |  ${ev.value} = ${ev.value}$$r.longValue();
          |}""".stripMargin)
 
   override protected def withNewChildrenInternal(

@@ -210,7 +210,13 @@ object TxLog {
     }
     val rel = staged.map { p =>
       val relInStage = stageDir.relativize(p) // <partition dirs>/part-x.parquet
-      val unique = s"part-${java.util.UUID.randomUUID()}.parquet"
+      // the txc- prefix marks TxLog-staged files: preLogDataFiles
+      // EXCLUDES them, so a racing appender's bootstrap can never fold
+      // another appender's in-flight (possibly about-to-be-unstaged)
+      // files into its v0 checkpoint — legacy files (the only thing
+      // bootstrap should capture) come from the plain sink's part-*
+      // naming and are never txc-
+      val unique = s"txc-${java.util.UUID.randomUUID()}.parquet"
       val target =
         if (relInStage.getParent == null) Paths.get(table, unique)
         else Paths.get(table).resolve(relInStage.getParent).resolve(unique)
@@ -233,11 +239,12 @@ object TxLog {
     }
 
   /** [[unstage]] minus any file the LATEST COMMITTED manifest already
-    * references: on a brand-new table, a racing appender's bootstrap
-    * (`preLogDataFiles`) may have folded OUR staged files into its v0
-    * checkpoint before this append gave up — deleting them then would
-    * silently drop committed rows (reads run ignoreMissingFiles).
-    * Only files no manifest claims are true orphans.
+    * references. The PRIMARY defense against the bootstrap race is the
+    * txc- staging prefix (`preLogDataFiles` never captures another
+    * appender's in-flight files at all); this check is the second
+    * belt — if a manifest somehow references a file we staged, the
+    * give-up path must not delete it out from under committed readers
+    * (reads run ignoreMissingFiles, so the loss would be silent).
     */
   private[graft] def unstageUncommitted(table: String, files: Seq[String]): Unit = {
     val committed = currentSnapshot(table).map(_.files.toSet)
@@ -260,6 +267,10 @@ object TxLog {
       .filterNot(p => root.relativize(p).iterator().asScala
         .exists(seg => seg.toString.startsWith(".") ||
           seg.toString.startsWith("_")))
+      // never capture another appender's TxLog-staged files (txc-): a
+      // racer that loses its commit will unstage them, and a bootstrap
+      // checkpoint referencing them would then silently lose rows
+      .filterNot(p => p.getFileName.toString.startsWith("txc-"))
       .map(p => root.relativize(p).toString)
       .toList.sorted
     finally s.close()

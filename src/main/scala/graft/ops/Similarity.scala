@@ -251,7 +251,7 @@ object Similarity {
     *
     * Scale: the assignment is a SHUFFLE-FREE narrow map — centroids ride
     * into the executors as ONE reference object consumed by the native
-    * [[graft.functions.NearestCentroidKey]] argmin kernel (k·dims
+    * [[graft.functions.NearestCentroid]] argmin kernel (k·dims
     * multiply-adds per row in a tight JIT'd loop — not k·dims literal
     * plan nodes, which bloat plan compile and overflow the generated
     * method), and each update is one map-side-
@@ -260,8 +260,10 @@ object Similarity {
     * loop is proportional to N except the per-row map work, so the shape
     * survives any corpus size; `iters` and `k` bound the job count.
     * Range contract: same as [[quantize]] — squared diffs accumulate
-    * (2·1e7·x)²·dims·k in the argmin key, so unit-normalized embeddings
-    * are required at 64 dims.
+    * (2·1e7·x)²·dims per DISTANCE (the struct argmin carries no k
+    * factor — the retired dist·k+cid key encoding did, and overflowed
+    * past k ≈ 23,000), so unit-normalized embeddings are safe at 64
+    * dims for any k.
     */
   def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int, dims: Int = 64,
                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
@@ -276,7 +278,16 @@ object Similarity {
                                  dims: Int, idCol: String, embCol: String): DataFrame = {
     require(k > 0 && iters >= 0 && dims > 0,
       s"bad kmeans params: k=$k iters=$iters dims=$dims")
-    val v = embeddings.select(col(idCol), quantize(col(embCol)).as("qe"))
+    // a NULL embedding must fail LOUDLY at the assignment input (the
+    // kernel would otherwise emit a NULL cid that either NPEs the
+    // centroid update opaquely or rolls into a garbage NULL cluster);
+    // null ELEMENTS fail inside the kernel with the same policy
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val qeNotNull = ColumnBridge.column(AssertNotNull(
+      ColumnBridge.expression(quantize(col(embCol))),
+      Seq("nearest_centroid: null embedding — clean or filter the corpus first")))
+    val v = embeddings.select(col(idCol), qeNotNull.as("qe"))
 
     def assigned(cents: Seq[(Long, IndexedSeq[Long])]): DataFrame =
       v.withColumn("__nc",

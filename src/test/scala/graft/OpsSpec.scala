@@ -1313,6 +1313,10 @@ class OpsSpec extends SparkSpec with PropSupport {
     val f = VectorKernels.nearestCentroid(far, farCents, Array(49999L))
     assert(f.getLong(0) === 49999L)
     assert(f.getLong(1) === 64L * 4L * 10000000L * 10000000L)
+    // a ragged vector must error loudly, never read past its end
+    val short63 = ArrayData.toArrayData(Array.fill(63)(1L))
+    assertThrows[IllegalArgumentException](
+      VectorKernels.nearestCentroid(short63, farCents, Array(0L)))
   }
 
   test("dotq propagates NULL for null array elements, never fabricates 0") {

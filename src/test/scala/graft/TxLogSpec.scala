@@ -246,4 +246,21 @@ class TxLogSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(table, orphan)))
   }
+
+  test("bootstrap never captures a racer's txc- staged files") {
+    val table = newTable()
+    // legacy plain-sink file: MUST be captured by the v0 bootstrap
+    Seq((1L, "legacy")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(table)
+    // a racing appender's in-flight TxLog-staged file: MUST NOT be —
+    // the garbage bytes would fail the read if the manifest folded it in
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "txc-racer-in-flight.parquet"),
+      Array[Byte](9, 9, 9))
+    TxLog.append(Seq((2L, "b")).toDF("id", "s"), table)
+    val snap = TxLog.currentSnapshot(table).get
+    assert(!snap.files.exists(_.contains("txc-racer-in-flight")),
+      "bootstrap folded an in-flight staged file into v0")
+    assert(TxLog.read(spark, table).count() === 2L)
+  }
 }
