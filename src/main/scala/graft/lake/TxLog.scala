@@ -1,7 +1,8 @@
 package graft.lake
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
 import org.apache.spark.sql.types.{DataType, StructType}
 import scala.jdk.CollectionConverters._
 
@@ -110,25 +111,43 @@ object TxLog {
     finally s.close()
   }
 
-  private sealed trait Manifest { def schemaJson: String }
-  private final case class Checkpoint(schemaJson: String,
-                                      files: Seq[String]) extends Manifest
+  /** `op` records WHAT the commit did (append / optimize / delete /
+    * merge) — [[changes]] uses it to skip physical-only rewrites. Legacy
+    * manifests (no tag) default to "append"/"checkpoint", for which
+    * [[changes]] falls back to the generic row diff (still correct —
+    * a rewrite's diff is empty by construction).
+    */
+  private sealed trait Manifest {
+    def schemaJson: String; def op: String
+  }
+  private final case class Checkpoint(schemaJson: String, files: Seq[String],
+                                      op: String = "append") extends Manifest
   private final case class Delta(schemaJson: String, adds: Seq[String],
-                                 removes: Seq[String]) extends Manifest
+                                 removes: Seq[String],
+                                 op: String = "append") extends Manifest
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readString(manifestPath(table, v)).split("\n", -1)
-    if (lines.head == "@delta") {
+    val head = lines.head
+    if (head.startsWith("@delta")) {
+      val op = head.split(" ", 2).lift(1).getOrElse("append")
       val (adds, removes) = lines.drop(2).filter(_.nonEmpty)
         .partition(_.startsWith("+"))
-      Delta(lines(1), adds.map(_.drop(1)).toSeq, removes.map(_.drop(1)).toSeq)
-    } else Checkpoint(lines.head, lines.tail.filter(_.nonEmpty).toSeq)
+      Delta(lines(1), adds.map(_.drop(1)).toSeq,
+        removes.map(_.drop(1)).toSeq, op)
+    } else if (head.startsWith("@checkpoint")) {
+      val op = head.split(" ", 2).lift(1).getOrElse("checkpoint")
+      Checkpoint(lines(1), lines.drop(2).filter(_.nonEmpty).toSeq, op)
+    } else
+      // pre-v2 format: line 1 is the schema JSON — an untagged checkpoint
+      Checkpoint(head, lines.tail.filter(_.nonEmpty).toSeq, "checkpoint")
   }
 
   private def render(m: Manifest): String = m match {
-    case Checkpoint(schema, files) => (schema +: files).mkString("\n")
-    case Delta(schema, adds, removes) =>
-      (Seq("@delta", schema) ++ adds.map("+" + _) ++ removes.map("-" + _))
+    case Checkpoint(schema, files, op) =>
+      (Seq(s"@checkpoint $op", schema) ++ files).mkString("\n")
+    case Delta(schema, adds, removes, op) =>
+      (Seq(s"@delta $op", schema) ++ adds.map("+" + _) ++ removes.map("-" + _))
         .mkString("\n")
   }
 
@@ -140,9 +159,30 @@ object TxLog {
   def currentSnapshot(table: String): Option[Snapshot] = {
     val t = posixTable(table)
     val versions = listVersions(t)
-    if (versions.isEmpty) return None
-    val latest = versions.last
-    var v = latest
+    if (versions.isEmpty) None else Some(foldTo(t, versions.last))
+  }
+
+  /** The committed snapshot AS OF `version` (time travel). Throws when
+    * the version was never committed or its manifest chain has been
+    * vacuumed away (vacuum keeps manifests ≥ the latest checkpoint).
+    */
+  def snapshotAt(table: String, version: Long): Snapshot = {
+    val t = posixTable(table)
+    val versions = listVersions(t)
+    if (!versions.contains(version))
+      throw new IllegalArgumentException(
+        s"$t: version $version not available " +
+          s"(have ${versions.headOption.getOrElse("-")}..${versions.lastOption.getOrElse("-")}; " +
+          "earlier manifests may have been vacuumed)")
+    foldTo(t, version)
+  }
+
+  /** Fold the manifest chain ending at `version`: walk back to the
+    * nearest checkpoint ≤ version, then replay the deltas forward.
+    * `t` is already posix-normalized.
+    */
+  private def foldTo(t: String, version: Long): Snapshot = {
+    var v = version
     var chain = List.empty[(Long, Manifest)]
     var cp: Option[(Long, Checkpoint)] = None
     while (cp.isEmpty) {
@@ -157,7 +197,7 @@ object TxLog {
     }
     val (cpVersion, checkpoint) = cp.get
     val folded = chain.foldLeft(checkpoint.files) {
-      case (fs, (_, Delta(_, adds, removes))) =>
+      case (fs, (_, Delta(_, adds, removes, _))) =>
         val dead = removes.toSet
         (if (dead.isEmpty) fs else fs.filterNot(dead)) ++ adds
       case (fs, _) => fs
@@ -170,7 +210,7 @@ object TxLog {
     val files = folded.distinct
     val schemaJson =
       chain.lastOption.map(_._2.schemaJson).getOrElse(checkpoint.schemaJson)
-    Some(Snapshot(latest, schemaJson, files, cpVersion))
+    Snapshot(version, schemaJson, files, cpVersion)
   }
 
   /** One CAS attempt: returns false when version `next` already exists
@@ -329,16 +369,36 @@ object TxLog {
     currentSnapshot(table) match {
       case None =>
         throw new IllegalArgumentException(s"$table has no _graft_log")
-      case Some(s) if s.files.isEmpty =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
-      case Some(s) =>
-        spark.read
-          .option("ignoreMissingFiles", "true")
-          .option("mergeSchema", "true") // mixed-schema manifests read whole
-          .option("basePath", table)
-          .parquet(s.files.map(f => s"$table/$f"): _*)
+      case Some(s) => readSnapshot(spark, posixTable(table), s)
     }
+
+  /** Time-travel read: the table exactly as of `version`. Files replaced
+    * since then remain readable until [[vacuum]]'s age fence passes —
+    * the window in which historical reads are exact; after a vacuum the
+    * read fails loudly (no ignoreMissingFiles here: a silently short
+    * historical read would be wrong data, not a degraded one).
+    */
+  def readAt(spark: SparkSession, table: String, version: Long): DataFrame =
+    readSnapshot(spark, posixTable(table), snapshotAt(table, version),
+      ignoreMissing = false)
+
+  private def readSnapshot(spark: SparkSession, t: String, s: Snapshot,
+                           ignoreMissing: Boolean = true): DataFrame =
+    readFiles(spark, t, s.files, s.schemaJson, ignoreMissing)
+
+  private def readFiles(spark: SparkSession, t: String, files: Seq[String],
+                        schemaJson: String,
+                        ignoreMissing: Boolean = true): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    else
+      spark.read
+        .option("ignoreMissingFiles", ignoreMissing.toString)
+        .option("mergeSchema", "true") // mixed-schema manifests read whole
+        .option("basePath", t)
+        .parquet(files.map(f => s"$t/$f"): _*)
 
   /** Transactional OPTIMIZE: rewrite the SNAPSHOT compacted (optionally
     * z-ordered), then CAS-commit (latest − snapshot) + rewritten — files
@@ -401,7 +461,7 @@ object TxLog {
       }
       val kept = latest.files.filterNot(replaced.contains)
       if (tryCommit(t, latest.version + 1,
-        Checkpoint(latest.schemaJson, kept ++ rewritten))) {
+        Checkpoint(latest.schemaJson, kept ++ rewritten, "optimize"))) {
         if (purgeReplaced) unstage(t, replaced.toSeq)
         return latest.version + 1
       }
@@ -462,6 +522,261 @@ object TxLog {
     dead.foreach(Files.delete)
     listVersions(t).filter(_ < snap.checkpointVersion)
       .foreach(v => Files.delete(manifestPath(t, v)))
+  }
+
+  // ------------------------------------------------------------------
+  // Row-level table operations (Delta DML semantics on the native log:
+  // reference `nisshi-schema/src/lake/delta.rs` — delete/merge rewrite
+  // only the files that contain affected rows and commit the swap as
+  // one atomic version).
+  // ------------------------------------------------------------------
+
+  /** `input_file_name()` → table-relative path (the manifest's unit). */
+  private def relOf(root: Path, fileUri: String): String = {
+    val p =
+      if (fileUri.startsWith("file:")) Paths.get(java.net.URI.create(fileUri))
+      else Paths.get(fileUri)
+    root.relativize(p.toAbsolutePath).toString
+  }
+
+  /** Shared commit loop for delete/merge: CAS a delta that removes
+    * `touched` and adds `rewritten`. Returns Some(version) on success,
+    * None when a racing rewrite replaced one of our touched files (the
+    * caller's rewrite is stale — recompute from the fresh snapshot).
+    * Plain appends never invalidate us: they only ADD files.
+    */
+  private def commitRewrite(t: String, touched: Seq[String],
+                            rewritten: Seq[String], schemaJson: String,
+                            op: String, maxRetries: Int): Option[Long] = {
+    val touchedSet = touched.toSet
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val latest = currentSnapshot(t).get
+      if (!touchedSet.subsetOf(latest.files.toSet)) {
+        unstage(t, rewritten)
+        return None
+      }
+      if (tryCommit(t, latest.version + 1,
+        Delta(schemaJson, rewritten, touched, op)))
+        return Some(latest.version + 1)
+      attempt += 1
+    }
+    unstage(t, rewritten)
+    throw new IllegalStateException(s"$op($t): commit contention")
+  }
+
+  /** Transactional DELETE WHERE: rewrites ONLY the files that contain a
+    * matching row (file-pruned, like Delta's DML — untouched files are
+    * carried by reference), then CAS-commits the swap as one version.
+    * Rows where the predicate is NULL are kept (SQL DELETE semantics).
+    * Returns the committed version — or the current one when nothing
+    * matched (no empty commits).
+    */
+  def delete(spark: SparkSession, table: String, predicate: Column,
+             partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long = {
+    val t = posixTable(table)
+    val root = Paths.get(t).toAbsolutePath
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = currentSnapshot(t).getOrElse(
+        throw new IllegalArgumentException(s"$t has no _graft_log"))
+      if (snap.files.isEmpty) return snap.version
+      val withFile = readSnapshot(spark, t, snap)
+        .withColumn("__file", input_file_name())
+      val touchedAbs = withFile.filter(predicate)
+        .select("__file").distinct().collect().map(_.getString(0))
+      if (touchedAbs.isEmpty) return snap.version
+      val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
+      val kept = withFile
+        .filter(col("__file").isInCollection(touchedAbs))
+        .filter(not(coalesce(predicate, lit(false))))
+        .drop("__file")
+      val rewritten = stageDataFiles(kept, t, partitionCols)
+      commitRewrite(t, touched, rewritten, snap.schemaJson,
+        "delete", maxRetries) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // stale rewrite — recompute
+      }
+    }
+    throw new IllegalStateException(s"delete($t): rewrite contention")
+  }
+
+  /** Transactional UPDATE ... SET: rewrites only the files containing a
+    * matching row; within them, matched rows get `set`'s expressions
+    * (evaluated against the OLD row — standard SQL UPDATE: a SET that
+    * references an updated column reads its pre-update value) and
+    * unmatched rows pass through unchanged. NULL-predicate rows are
+    * unmatched. One committed version; returns the current version when
+    * nothing matched.
+    */
+  def update(spark: SparkSession, table: String, predicate: Column,
+             set: Map[String, Column], partitionCols: Seq[String] = Nil,
+             maxRetries: Int = 64): Long = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    val t = posixTable(table)
+    val root = Paths.get(t).toAbsolutePath
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = currentSnapshot(t).getOrElse(
+        throw new IllegalArgumentException(s"$t has no _graft_log"))
+      if (snap.files.isEmpty) return snap.version
+      val target = readSnapshot(spark, t, snap)
+      val missing = set.keySet -- target.columns.toSet
+      require(missing.isEmpty,
+        s"update SET references columns not in the table: $missing")
+      val withFile = target.withColumn("__file", input_file_name())
+      val touchedAbs = withFile.filter(predicate)
+        .select("__file").distinct().collect().map(_.getString(0))
+      if (touchedAbs.isEmpty) return snap.version
+      val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
+      val matched = coalesce(predicate, lit(false))
+      // ONE projection over the original row: every SET expression sees
+      // pre-update values even when it reads another updated column
+      val rewrittenRows = withFile
+        .filter(col("__file").isInCollection(touchedAbs))
+        .select(target.columns.toSeq.map { c =>
+          set.get(c) match {
+            // cast to the column's existing type (Delta UPDATE semantics)
+            // so a SET can never fork the table schema mid-file
+            case Some(e) => org.apache.spark.sql.functions
+              .when(matched, e.cast(target.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      val rewritten = stageDataFiles(rewrittenRows, t, partitionCols)
+      commitRewrite(t, touched, rewritten, snap.schemaJson,
+        "update", maxRetries) match {
+        case Some(v) => return v
+        case None    => attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"update($t): rewrite contention")
+  }
+
+  /** Transactional MERGE (upsert): source rows REPLACE target rows with
+    * the same key (whole-row update) and INSERT when the key is new —
+    * in one committed version. Only files containing a matched key are
+    * rewritten. The source must carry every table column and at most
+    * one row per key (enforced like Delta: multiple matches would make
+    * the result order-dependent).
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keyCols: Seq[String], partitionCols: Seq[String] = Nil,
+            maxRetries: Int = 64): Long = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val t = posixTable(table)
+    val root = Paths.get(t).toAbsolutePath
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = currentSnapshot(t).getOrElse(
+        throw new IllegalArgumentException(s"$t has no _graft_log"))
+      val target = readSnapshot(spark, t, snap)
+      // align the source to the table's column order; fails loudly when
+      // a table column is missing from the source
+      val src = source.select(target.columns.toSeq.map(col): _*)
+      val dupKeys = src.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"merge source has multiple rows for one (${keyCols.mkString(",")})")
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      val withFile = target.withColumn("__file", input_file_name())
+      val touchedAbs =
+        if (snap.files.isEmpty) Array.empty[String]
+        else withFile.join(srcKeys, keyCols, "left_semi")
+          .select("__file").distinct().collect().map(_.getString(0))
+      val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
+      val upserted =
+        if (touchedAbs.isEmpty) src
+        else withFile.filter(col("__file").isInCollection(touchedAbs))
+          .join(srcKeys, keyCols, "left_anti").drop("__file")
+          .unionByName(src)
+      val rewritten = stageDataFiles(upserted, t, partitionCols)
+      commitRewrite(t, touched, rewritten, upserted.schema.json,
+        "merge", maxRetries) match {
+        case Some(v) => return v
+        case None    => attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"merge($t): rewrite contention")
+  }
+
+  /** One log entry as [[history]] reports it. */
+  final case class Commit(version: Long, op: String, isCheckpoint: Boolean,
+                          adds: Int, removes: Int)
+
+  /** The table's commit log, oldest first (Delta's DESCRIBE HISTORY).
+    * Checkpoint entries report their full file count as `adds`.
+    */
+  def history(table: String): Seq[Commit] = {
+    val t = posixTable(table)
+    listVersions(t).map { v =>
+      readManifest(t, v) match {
+        case Checkpoint(_, files, op) => Commit(v, op, isCheckpoint = true,
+          files.size, 0)
+        case Delta(_, a, r, op) => Commit(v, op, isCheckpoint = false,
+          a.size, r.size)
+      }
+    }
+  }
+
+  /** Row-level change feed for versions in (fromVersion, toVersion] —
+    * the Delta CDF shape: the table's columns plus `_change_type`
+    * ('insert' | 'delete'; an update appears as delete+insert) and
+    * `_commit_version`. OPTIMIZE commits are skipped by their op tag;
+    * untagged (legacy) rewrites fall back to the generic row diff,
+    * which is empty for a pure rewrite by construction. Requires the
+    * window's files and manifests to still exist — run before a vacuum
+    * crosses it; missing history fails loudly rather than returning a
+    * silently short feed.
+    */
+  def changes(spark: SparkSession, table: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val t = posixTable(table)
+    val cur = currentSnapshot(t).getOrElse(
+      throw new IllegalArgumentException(s"$t has no _graft_log"))
+    val window = listVersions(t).filter(v => v > fromVersion && v <= toVersion)
+    val empty = readFiles(spark, t, Nil, cur.schemaJson)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(0L))
+    window.foldLeft(empty) { (acc, v) =>
+      val m = readManifest(t, v)
+      val (adds, removes) = m match {
+        case Delta(_, a, r, _) => (a, r)
+        case Checkpoint(_, files, _) =>
+          if (v == 0) (files, Seq.empty[String])
+          else {
+            val prev = foldTo(t, v - 1)
+            (files.diff(prev.files), prev.files.diff(files))
+          }
+      }
+      if (m.op == "optimize" || (adds.isEmpty && removes.isEmpty)) acc
+      else {
+        val addedRows = readFiles(spark, t, adds, m.schemaJson,
+          ignoreMissing = false)
+        val removedRows = readFiles(spark, t, removes, m.schemaJson,
+          ignoreMissing = false)
+        // schema-evolution-tolerant alignment: both sides projected to
+        // the union of their columns (absent -> NULL) so exceptAll is
+        // well-typed across an evolving window
+        val allCols = (addedRows.columns ++ removedRows.columns)
+          .distinct.sorted.toSeq
+        def aligned(df: DataFrame) = df.select(allCols.map(c =>
+          (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
+        val a = aligned(addedRows)
+        val r = aligned(removedRows)
+        val ins = (if (removes.isEmpty) a else a.exceptAll(r))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+        val del = (if (adds.isEmpty) r else r.exceptAll(a))
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v))
+        acc.unionByName(ins.unionByName(del),
+          allowMissingColumns = true)
+      }
+    }
   }
 
   private def deleteTree(p: Path): Unit =

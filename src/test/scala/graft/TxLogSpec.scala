@@ -263,4 +263,135 @@ class TxLogSpec extends SparkSpec {
       "bootstrap folded an in-flight staged file into v0")
     assert(TxLog.read(spark, table).count() === 2L)
   }
+
+  // ---------------------------------------------------------------- DML
+
+  test("time travel: readAt reproduces every committed version exactly") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s"), table)           // v0
+    TxLog.append(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), table) // v1
+    TxLog.append(Seq((4L, "d")).toDF("id", "s"), table)           // v2
+    assert(TxLog.readAt(spark, table, 0).count() === 1)
+    assert(TxLog.readAt(spark, table, 1).count() === 3)
+    assert(TxLog.readAt(spark, table, 2).count() === 4)
+    assert(TxLog.readAt(spark, table, 1).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // an uncommitted version is refused, not silently served
+    val e = intercept[IllegalArgumentException] {
+      TxLog.snapshotAt(table, 7)
+    }
+    assert(e.getMessage.contains("not available"))
+  }
+
+  test("delete rewrites ONLY touched files; untouched carried by reference") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "keep"), (2L, "keep2")).toDF("id", "s"), table)
+    TxLog.append(Seq((3L, "hit"), (4L, "keep3")).toDF("id", "s"), table)
+    val before = TxLog.currentSnapshot(table).get
+    val v = TxLog.delete(spark, table, col("s") === "hit")
+    val after = TxLog.currentSnapshot(table).get
+    assert(v === after.version)
+    val got = TxLog.read(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L, 4L))
+    // the v0 file (no matching rows) must survive UNREWRITTEN
+    val untouchedKept = before.files.filter(after.files.contains)
+    assert(untouchedKept.nonEmpty,
+      s"delete rewrote every file; before=${before.files} after=${after.files}")
+    // deleting nothing commits nothing
+    val vSame = TxLog.delete(spark, table, col("s") === "no-such")
+    assert(vSame === after.version)
+    // NULL-predicate rows are kept (SQL DELETE semantics)
+    TxLog.append(Seq((5L, null.asInstanceOf[String])).toDF("id", "s"), table)
+    TxLog.delete(spark, table, col("s") === "keep2")
+    val ids = TxLog.read(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 4L, 5L), "NULL-valued row was wrongly deleted")
+  }
+
+  test("merge upserts: replaces matched keys, inserts new, one version") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "old1"), (2L, "old2")).toDF("id", "s"), table)
+    TxLog.append(Seq((3L, "old3")).toDF("id", "s"), table)
+    val vBefore = TxLog.currentSnapshot(table).get.version
+    val src = Seq((2L, "NEW2"), (9L, "NEW9")).toDF("id", "s")
+    val v = TxLog.merge(spark, table, src, keyCols = Seq("id"))
+    assert(v === vBefore + 1, "merge must land as exactly one commit")
+    val got = TxLog.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "old1"), (2L, "NEW2"), (3L, "old3"), (9L, "NEW9")))
+    // a source with two rows for one key is refused (order-dependent)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, table, dup, keyCols = Seq("id"))
+    }
+    // merge into an empty-snapshot table is a pure insert
+    val t2 = newTable()
+    TxLog.append(Seq.empty[(Long, String)].toDF("id", "s"), t2)
+    TxLog.merge(spark, t2, Seq((1L, "i")).toDF("id", "s"), Seq("id"))
+    assert(TxLog.read(spark, t2).count() === 1)
+  }
+
+  test("update rewrites matched rows in place; SET sees pre-update values") {
+    val table = newTable()
+    TxLog.append(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "n", "s"), table)
+    TxLog.append(Seq((3L, 30L, "c")).toDF("id", "n", "s"), table)
+    val before = TxLog.currentSnapshot(table).get
+    // swap-style SET: n := n + id, s := s — both read OLD n/id
+    val v = TxLog.update(spark, table, col("id") <= 2L,
+      Map("n" -> (col("n") + col("id")), "s" -> lit("upd")))
+    val after = TxLog.currentSnapshot(table).get
+    assert(v === after.version)
+    val got = TxLog.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, 11L, "upd"), (2L, 22L, "upd"), (3L, 30L, "c")))
+    // v1's file (id=3, unmatched) survives unrewritten
+    assert(before.files.exists(after.files.contains),
+      "update rewrote a file with no matching rows")
+    // no-match updates commit nothing; unknown SET columns are refused
+    assert(TxLog.update(spark, table, col("id") === 99L,
+      Map("n" -> lit(0L))) === after.version)
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, table, col("id") === 1L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("history reports op-tagged commits oldest-first") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a", 0)).toDF("id", "s", "p"), table)
+    TxLog.append(Seq((2L, "b", 1)).toDF("id", "s", "p"), table)
+    TxLog.optimize(spark, table, partitionCols = Nil)
+    TxLog.delete(spark, table, col("id") === 1L)
+    val h = TxLog.history(table)
+    assert(h.map(_.version) === Seq(0L, 1L, 2L, 3L))
+    assert(h.map(_.op) === Seq("append", "append", "optimize", "delete"))
+    assert(h(2).isCheckpoint, "optimize commits a checkpoint")
+    assert(h(3).removes >= 1, "delete's manifest records removed files")
+  }
+
+  test("changes: CDC feed has inserts+deletes; optimize contributes none") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)  // v0
+    TxLog.append(Seq((3L, "c")).toDF("id", "s"), table)             // v1
+    TxLog.optimize(spark, table, partitionCols = Nil)               // v2
+    TxLog.delete(spark, table, col("id") === 2L)                    // v3
+    TxLog.merge(spark, table,
+      Seq((3L, "C3"), (7L, "g")).toDF("id", "s"), Seq("id"))        // v4
+    val cdc = TxLog.changes(spark, table, fromVersion = -1, toVersion = 4)
+      .select("id", "s", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 1L),
+      // v2 optimize: NO rows
+      (2L, "b", "delete", 3L),
+      (3L, "c", "delete", 4L), (3L, "C3", "insert", 4L),
+      (7L, "g", "insert", 4L))
+    assert(cdc === expected)
+    // a partial window slices by version
+    val tail = TxLog.changes(spark, table, fromVersion = 3, toVersion = 4)
+    assert(tail.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
 }
