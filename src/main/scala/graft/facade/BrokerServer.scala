@@ -16,7 +16,7 @@ import graft.storage.Storage
   * `nisshi-service/src/stream.rs:41-133` per-conn service,
   * `nisshi-broker/src/service.rs:36-60` route).
   *
-  * Serves 37 APIs (see [[WireProtocol.SupportedApis]]): the
+  * Serves 39 APIs (see [[WireProtocol.SupportedApis]]): the
   * produce/fetch/offsets data plane, the full consumer-group membership
   * flow (FindCoordinator → JoinGroup → SyncGroup → Heartbeat →
   * LeaveGroup, backed by [[graft.coordinator.GroupCoordinator]] —
@@ -504,6 +504,49 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           }
         }
         writeIncrementalAlterConfigsResponse(out, results, v)
+      case 43 =>
+        // ElectLeaders: this broker is every partition's preferred (and
+        // only) leader, so a requested election is already satisfied —
+        // ELECTION_NOT_NEEDED per known partition, the same answer a
+        // balanced multi-broker cluster gives
+        val electV = header.apiVersion.toInt
+        val (_, requested) = readElectLeaders(buf, electV)
+        val topics = requested.getOrElse(
+          storage.topics.map(t => t -> (0 until partitionsOf(t)).toSeq))
+        val electResults = topics.map { case (t, ps) =>
+          val known = storage.topics.contains(t)
+          val nPart = if (known) partitionsOf(t) else 0
+          t -> ps.map { p =>
+            if (!known || p < 0 || p >= nPart)
+              (p, 3.toShort, "unknown topic or partition") // UNKNOWN_TOPIC_OR_PARTITION
+            else
+              (p, 84.toShort, "preferred leader already elected") // ELECTION_NOT_NEEDED
+          }
+        }
+        writeElectLeadersResponse(out, electV, electResults)
+      case 45 =>
+        // AlterPartitionReassignments: the only valid replica set on a
+        // single-node cluster is [0] (accepted, instantly complete);
+        // anything else cannot be hosted, and a cancellation never
+        // finds a reassignment in flight
+        val reassignReqs = readAlterPartitionReassignments(buf)
+        val reassignResults = reassignReqs.map { case (t, ps) =>
+          val known = storage.topics.contains(t)
+          val nPart = if (known) partitionsOf(t) else 0
+          t -> ps.map { case (p, reps) =>
+            if (!known || p < 0 || p >= nPart)
+              (p, 3.toShort, "unknown topic or partition")
+            else reps match {
+              case None =>
+                (p, 85.toShort, "no reassignment in progress") // NO_REASSIGNMENT_IN_PROGRESS
+              case Some(Seq(0)) => (p, 0.toShort, null: String)
+              case Some(_) =>
+                (p, 39.toShort, // INVALID_REPLICA_ASSIGNMENT
+                  "single-node cluster: the only valid replica set is [0]")
+            }
+          }
+        }
+        writeAlterPartitionReassignmentsResponse(out, reassignResults)
       case 46 =>
         val requested = readListPartitionReassignments(buf)
         val topics = requested.getOrElse(

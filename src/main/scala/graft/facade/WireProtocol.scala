@@ -3,7 +3,7 @@ package graft.facade
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Kafka wire-protocol codec for the 37 APIs the facade serves —
+/** Kafka wire-protocol codec for the 39 APIs the facade serves —
   * hand-written counterpart of the reference's codegen'd ser/de
   * (`nisshi-sans-io/src/ser.rs`, `de.rs`, driven by the 185 protocol
   * JSONs in `nisshi-sans-io/message/`). Every version ApiVersions
@@ -38,6 +38,8 @@ import java.nio.charset.StandardCharsets
   *  - config/ACL admin: DescribeConfigs v0-v4 (32),
   *    IncrementalAlterConfigs v0-v1 (44), DescribeAcls v0-v3 (29),
   *    CreateAcls v0-v3 (30)
+  *  - cluster ops: ElectLeaders v0-v2 (43),
+  *    AlterPartitionReassignments v0 (45)
   *  - introspection (flexible-only APIs): ListPartitionReassignments v0
   *    (46), DescribeUserScramCredentials v0 (50),
   *    AlterUserScramCredentials v0 (51), DescribeCluster v0-v1 (60),
@@ -202,7 +204,9 @@ object WireProtocol {
       case (32, v) => v >= 4 // DescribeConfigs
       case (36, v) => v >= 2 // SaslAuthenticate
       case (42, v) => v >= 2 // DeleteGroups
+      case (43, v) => v >= 2 // ElectLeaders
       case (44, v) => v >= 1 // IncrementalAlterConfigs
+      case (45, _) => true   // AlterPartitionReassignments
       case (46, _) => true   // ListPartitionReassignments
       case (50, _) => true   // DescribeUserScramCredentials
       case (51, _) => true   // AlterUserScramCredentials
@@ -1757,7 +1761,8 @@ object WireProtocol {
     (14, 0, 4), (15, 0, 5), (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7),
     (20, 0, 6), (21, 0, 2), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
     (28, 0, 3), (29, 0, 3), (30, 0, 3), (32, 0, 4), (36, 0, 2), (42, 0, 2),
-    (44, 0, 1), (46, 0, 0), (47, 0, 0), (50, 0, 0), (51, 0, 0), (60, 0, 1),
+    (43, 0, 2), (44, 0, 1), (45, 0, 0),
+    (46, 0, 0), (47, 0, 0), (50, 0, 0), (51, 0, 0), (60, 0, 1),
     (69, 0, 0), (71, 0, 0), (75, 0, 0))
 
   /** DeleteGroups v0-v2 (42): [group] → throttle [group error]
@@ -2823,6 +2828,186 @@ object WireProtocol {
     }
     c.tags(buf)
     r
+  }
+
+  // ---------------------------- ElectLeaders (43, KIP-460)
+
+  /** ElectLeaders v0-v2: [election_type v1+] topic_partitions (null =
+    * all) timeout; flexible v2 (reference
+    * `nisshi-sans-io/message/ElectLeadersRequest.json`). A single-node
+    * broker IS every partition's preferred (and only) leader, so an
+    * election request reports ELECTION_NOT_NEEDED (84) per known
+    * partition — the same answer a balanced multi-broker cluster
+    * gives — and UNKNOWN_TOPIC_OR_PARTITION (3) otherwise.
+    */
+  def readElectLeaders(buf: ByteBuffer, v: Int)
+      : (Byte, Option[Seq[(String, Seq[Int])]]) = {
+    val flex = v >= 2
+    val electionType: Byte = if (v >= 1) buf.get else 0
+    val n = if (flex) readCompactArrayLen(buf) else buf.getInt
+    val topics =
+      if (n < 0) None
+      else Some((0 until n).map { _ =>
+        val t = if (flex) readCompactString(buf) else readString(buf)
+        val np = if (flex) readCompactArrayLen(buf) else buf.getInt
+        val ps = (0 until np).map(_ => buf.getInt)
+        if (flex) skipTaggedFields(buf)
+        t -> ps.toSeq
+      }.toSeq)
+    buf.getInt // timeout_ms
+    if (flex) skipTaggedFields(buf)
+    (electionType, topics)
+  }
+
+  def writeElectLeaders(buf: ByteBuffer, v: Int,
+                        topics: Option[Seq[(String, Seq[Int])]]): Unit = {
+    val flex = v >= 2
+    if (v >= 1) buf.put(0.toByte) // PREFERRED
+    topics match {
+      case None => if (flex) writeUnsignedVarint(0, buf) else buf.putInt(-1)
+      case Some(ts) =>
+        if (flex) writeCompactArrayLen(buf, ts.size) else buf.putInt(ts.size)
+        ts.foreach { case (t, ps) =>
+          if (flex) writeCompactString(buf, t) else writeString(buf, t)
+          if (flex) writeCompactArrayLen(buf, ps.size) else buf.putInt(ps.size)
+          ps.foreach(buf.putInt)
+          if (flex) writeEmptyTaggedFields(buf)
+        }
+    }
+    buf.putInt(30000) // timeout_ms
+    if (flex) writeEmptyTaggedFields(buf)
+  }
+
+  def writeElectLeadersResponse(buf: ByteBuffer, v: Int,
+      results: Seq[(String, Seq[(Int, Short, String)])]): Unit = {
+    val flex = v >= 2
+    buf.putInt(0) // throttle
+    if (v >= 1) buf.putShort(0) // top-level error
+    if (flex) writeCompactArrayLen(buf, results.size)
+    else buf.putInt(results.size)
+    results.foreach { case (t, prs) =>
+      if (flex) writeCompactString(buf, t) else writeString(buf, t)
+      if (flex) writeCompactArrayLen(buf, prs.size) else buf.putInt(prs.size)
+      prs.foreach { case (p, err, msg) =>
+        buf.putInt(p)
+        buf.putShort(err)
+        if (flex) writeCompactString(buf, msg) else writeString(buf, msg)
+        if (flex) writeEmptyTaggedFields(buf)
+      }
+      if (flex) writeEmptyTaggedFields(buf)
+    }
+    if (flex) writeEmptyTaggedFields(buf)
+  }
+
+  def readElectLeadersResponse(buf: ByteBuffer, v: Int)
+      : Seq[(String, Seq[(Int, Short)])] = {
+    val flex = v >= 2
+    buf.getInt // throttle
+    if (v >= 1) buf.getShort // top-level error
+    val n = if (flex) readCompactArrayLen(buf) else buf.getInt
+    val r = (0 until n).map { _ =>
+      val t = if (flex) readCompactString(buf) else readString(buf)
+      val np = if (flex) readCompactArrayLen(buf) else buf.getInt
+      val prs = (0 until np).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        if (flex) readCompactString(buf) else readString(buf) // message
+        if (flex) skipTaggedFields(buf)
+        (p, err)
+      }
+      if (flex) skipTaggedFields(buf)
+      t -> prs.toSeq
+    }
+    if (flex) skipTaggedFields(buf)
+    r.toSeq
+  }
+
+  // ------------------- AlterPartitionReassignments (45, KIP-455)
+
+  /** AlterPartitionReassignments v0 (flexible): timeout [topic
+    * [partition replicas?]] (null replicas = cancel). On a single-node
+    * broker the only valid replica set is [0] (accepted, instantly
+    * complete); any other target is INVALID_REPLICA_ASSIGNMENT (39),
+    * and a cancellation finds NO_REASSIGNMENT_IN_PROGRESS (85).
+    */
+  def readAlterPartitionReassignments(buf: ByteBuffer)
+      : Seq[(String, Seq[(Int, Option[Seq[Int]])])] = {
+    buf.getInt // timeout_ms
+    val ts = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val ps = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        val nr = readCompactArrayLen(buf)
+        val reps =
+          if (nr < 0) None else Some((0 until nr).map(_ => buf.getInt).toSeq)
+        skipTaggedFields(buf)
+        (p, reps)
+      }
+      skipTaggedFields(buf)
+      t -> ps.toSeq
+    }
+    skipTaggedFields(buf)
+    ts.toSeq
+  }
+
+  def writeAlterPartitionReassignments(buf: ByteBuffer,
+      topics: Seq[(String, Seq[(Int, Option[Seq[Int]])])]): Unit = {
+    buf.putInt(30000)
+    writeCompactArrayLen(buf, topics.size)
+    topics.foreach { case (t, ps) =>
+      writeCompactString(buf, t)
+      writeCompactArrayLen(buf, ps.size)
+      ps.foreach { case (p, reps) =>
+        buf.putInt(p)
+        reps match {
+          case None => writeUnsignedVarint(0, buf)
+          case Some(rs) =>
+            writeCompactArrayLen(buf, rs.size); rs.foreach(buf.putInt)
+        }
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeAlterPartitionReassignmentsResponse(buf: ByteBuffer,
+      results: Seq[(String, Seq[(Int, Short, String)])]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(0) // top-level error
+    writeCompactString(buf, null)
+    writeCompactArrayLen(buf, results.size)
+    results.foreach { case (t, prs) =>
+      writeCompactString(buf, t)
+      writeCompactArrayLen(buf, prs.size)
+      prs.foreach { case (p, err, msg) =>
+        buf.putInt(p)
+        buf.putShort(err)
+        writeCompactString(buf, msg)
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readAlterPartitionReassignmentsResponse(buf: ByteBuffer)
+      : Seq[(String, Seq[(Int, Short)])] = {
+    buf.getInt; buf.getShort; readCompactString(buf)
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val ps = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        readCompactString(buf)
+        skipTaggedFields(buf)
+        (p, err)
+      }
+      skipTaggedFields(buf)
+      t -> ps.toSeq
+    }
+    skipTaggedFields(buf)
+    r.toSeq
   }
 
   // ---------------------------- ListPartitionReassignments (46, KIP-455)

@@ -1372,6 +1372,38 @@ class BrokerServerSpec extends SparkSpec {
       W.skipTaggedFields(gts)
       assert(W.readGetTelemetrySubscriptionsResponse(gts) === cid)
 
+      // ElectLeaders v0 (classic encoding): the single node is already
+      // every partition's preferred leader -> ELECTION_NOT_NEEDED (84);
+      // unknown topics -> UNKNOWN_TOPIC_OR_PARTITION (3)
+      val el0 = request(sock, 43, 0, 913)(b =>
+        W.writeElectLeaders(b, 0,
+          Some(Seq("intro" -> Seq(0, 1), "ghost" -> Seq(0)))))
+      assert(W.readElectLeadersResponse(el0, 0) === Seq(
+        "intro" -> Seq((0, 84.toShort), (1, 84.toShort)),
+        "ghost" -> Seq((0, 3.toShort))))
+
+      // ElectLeaders v2 (flexible, null topics = all partitions)
+      val el2 = flexRequest(sock, 43, 2, 914)(b =>
+        W.writeElectLeaders(b, 2, None))
+      W.skipTaggedFields(el2)
+      val elAll = W.readElectLeadersResponse(el2, 2)
+      val intro = elAll.find(_._1 == "intro")
+      assert(intro.isDefined, s"null-topics election missed 'intro': $elAll")
+      assert(intro.get._2.map(_._1).sorted === Seq(0, 1, 2))
+      assert(intro.get._2.forall(_._2 === 84.toShort))
+
+      // AlterPartitionReassignments v0: [0] accepted (instantly
+      // complete), any other replica set refused (39), a cancellation
+      // finds nothing in flight (85), unknown topic 3
+      val apr = flexRequest(sock, 45, 0, 915)(b =>
+        W.writeAlterPartitionReassignments(b, Seq(
+          "intro" -> Seq((0, Some(Seq(0))), (1, Some(Seq(1, 2))), (2, None)),
+          "ghost" -> Seq((0, Some(Seq(0)))))))
+      W.skipTaggedFields(apr)
+      assert(W.readAlterPartitionReassignmentsResponse(apr) === Seq(
+        "intro" -> Seq((0, 0.toShort), (1, 39.toShort), (2, 85.toShort)),
+        "ghost" -> Seq((0, 3.toShort))))
+
       // ACLs: create two bindings, filter-describe, survive a restart
       val acl1 = W.AclBinding(2, "intro", 3, "User:alice", "*", 3, 3) // topic READ allow
       val acl2 = W.AclBinding(3, "cg", 3, "User:bob", "*", 3, 3)     // group READ allow
