@@ -66,6 +66,27 @@ object TrainingQueries {
     Dedup.trimSharedSpans(docs(s, dir), windowTokens = 8)
       .select("doc_id", "n_tokens", "n_removed", "kept_text")
 
+  /** Line-level (CCNet paragraph) dedup. The synthetic corpus has no
+    * newlines, so the query first folds each doc into 12-token
+    * pseudo-paragraph lines — pure array ops, reproduced verbatim in
+    * the oracle — then drops every line appearing in >1 document. The
+    * corpus carries exact-duplicate docs by construction, so dup-cluster
+    * members lose all their (identical) lines while unique docs keep
+    * theirs: both the drop and keep paths are exercised at scale.
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val paras = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0),
+              ceil(size(col("w")) / lit(12.0)).cast("int") - 1),
+            i => array_join(slice(col("w"), i * 12 + 1, lit(12)), " ")),
+          "\n").as("text"))
+    Dedup.lineDedup(paras, maxDocs = 1)
+  }
+
   /** Leakage-free split: near-dup clusters (MinHash pairs → CC) land in
     * one split atomically; ~10% validation.
     */
@@ -476,6 +497,7 @@ object TrainingQueries {
     "q_oov_rate" -> (qOovRate _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_dedup_trim" -> (qDedupTrim _),
+    "q_line_dedup" -> (qLineDedup _),
     "q_curate_pipeline" -> (qCuratePipeline _),
     "q_normalize" -> (qNormalize _),
     "q_dup_ngram_cov" -> (qDupNgramCov _),
@@ -1350,6 +1372,34 @@ object TrainingQueries {
 
     "q_dedup_trim" -> (trimCtes +
       "\nSELECT doc_id, n_tokens, n_removed, kept_text FROM trimout"),
+
+    // line (CCNet paragraph) dedup over 12-token pseudo-paragraphs; the
+    // oracle counts by line VALUE where Spark counts by h60(value) —
+    // identical modulo 60-bit collisions, the same contract as the
+    // other dedup oracles
+    "q_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tp AS (
+        |  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS t
+        |  FROM toks),
+        |paras AS (
+        |  SELECT doc_id, t // 12 AS pos,
+        |    string_agg(tok, ' ' ORDER BY t) AS line
+        |  FROM tp GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT lower(trim(line)) AS k, count(DISTINCT doc_id) AS nd
+        |  FROM paras GROUP BY 1),
+        |dups AS (SELECT k FROM cnt WHERE nd > 1),
+        |marked AS (
+        |  SELECT p.doc_id, p.pos, p.line, d.k IS NOT NULL AS dropped
+        |  FROM paras p LEFT JOIN dups d ON lower(trim(p.line)) = d.k)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE NOT dropped), '') AS kept_text
+        |FROM marked GROUP BY doc_id""".stripMargin,
 
     "q_curate_pipeline" -> (trimCtes + s""",
          |filt AS (

@@ -468,6 +468,52 @@ object Dedup {
         array_join(col("__kept"), " ").as("kept_text"))
   }
 
+  /** Line-level exact deduplication — the CCNet paragraph-dedup step
+    * (public recipe: "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", Wenzek et al. 2020 §3: a paragraph
+    * whose hash repeats across the corpus is boilerplate — navigation
+    * chrome, cookie banners, license footers; C4 applies the same idea
+    * to repeated ≥3-sentence spans). Every `sep`-separated line is
+    * counted by the 60-bit hash of its trimmed lowercase form; a line
+    * appearing in more than `maxDocs` DISTINCT documents is dropped
+    * from ALL of them, and each doc is rebuilt in original line order
+    * from the surviving ORIGINAL line text. Returns (doc_id, n_lines,
+    * n_removed, kept_text) for every input doc — a fully-boilerplate
+    * doc comes back with empty kept_text rather than disappearing.
+    *
+    * Scale: lines are a map-side posexplode (rows ≈ corpus lines); the
+    * line-hash→doc-count aggregate is partial-agg combinable on an
+    * 8-byte key; removal is one equi-join back on that key and the
+    * rebuild one doc-keyed aggregate. Nothing is pairwise: a footer
+    * shared by 1M docs costs 1M exploded rows, never pairs. Blank
+    * lines are lines too — a corpus-wide empty line is boilerplate by
+    * this definition, exactly as a repeated paragraph is.
+    */
+  def lineDedup(docs: DataFrame, maxDocs: Int = 1, sep: String = "\n",
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("lh", h60(lower(trim(col("line")))))
+    val dropped = lines.select(col(idCol), col("lh")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("lh"), lit(true).as("__drop"))
+    lines.join(dropped, Seq("lh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count_if(col("__drop")).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__drop").isNull,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          sep).as("kept_text"))
+  }
+
   /** Cross-source duplication matrix: for every source pair, how many
     * distinct W-token windows both carry — the dataset-AUDIT view of
     * [[substringDupStats]] (which reports per doc). Posting lists are

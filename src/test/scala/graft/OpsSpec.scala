@@ -776,6 +776,37 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(4L) === ((3L, 3L, "")))
   }
 
+  test("lineDedup drops corpus-repeated lines, rebuilds docs in order") {
+    // the footer line repeats across docs 1-3 (case/whitespace variant
+    // included — hashing is on the trimmed lowercase form); doc 4 is
+    // nothing but boilerplate; doc 5 is untouched
+    val df = Seq(
+      (1L, "alpha one\nCopyright Footer\nalpha two"),
+      (2L, "beta one\ncopyright footer \nbeta two"),
+      (3L, "Copyright Footer\ngamma only"),
+      (4L, "copyright footer"),
+      (5L, "delta a\ndelta b")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // original line text survives (not the normalized form), order kept
+    assert(out(1L) === ((3L, 1L, "alpha one\nalpha two")))
+    assert(out(2L) === ((3L, 1L, "beta one\nbeta two")))
+    assert(out(3L) === ((2L, 1L, "gamma only")))
+    assert(out(4L) === ((1L, 1L, "")))
+    assert(out(5L) === ((2L, 0L, "delta a\ndelta b")))
+    // a line repeated WITHIN one doc only is not boilerplate
+    val within = Seq((1L, "same\nsame\nother")).toDF("doc_id", "text")
+    val w = Dedup.lineDedup(within).collect().head
+    assert((w.getLong(1), w.getLong(2), w.getString(3)) ===
+      ((3L, 0L, "same\nsame\nother")))
+    // maxDocs raises the tolerance: the footer lives in 4 docs, so it
+    // survives at maxDocs=4
+    val tol = Dedup.lineDedup(df, maxDocs = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tol.values.forall(_ === 0L))
+  }
+
   test("trimSharedSpans: overlapping shared windows cover their union") {
     // "a b c d" appears in both docs => in doc 1 the two 3-windows
     // (a b c) and (b c d) both match, covering positions 1..4 of doc 1

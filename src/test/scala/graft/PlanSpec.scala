@@ -149,6 +149,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(400))
   }
 
+  test("line dedup is hash-keyed equi-join work (no cartesian, no window)") {
+    val plan = executedPlan("q_line_dedup")
+    assert(!plan.contains("CartesianProduct"), "line dedup planned a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+
   test("curation pipeline composes without cartesians or global windows") {
     val plan = executedPlan("q_curate_pipeline")
     assert(!plan.contains("CartesianProduct"), "pipeline planned a cartesian")
