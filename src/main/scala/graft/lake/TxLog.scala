@@ -377,6 +377,11 @@ object TxLog {
     * the window in which historical reads are exact; after a vacuum the
     * read fails loudly (no ignoreMissingFiles here: a silently short
     * historical read would be wrong data, not a degraded one).
+    * CAVEAT: [[optimize]] with `purgeReplaced = true` — the broker's
+    * maintenance sweep uses it to keep PLAIN directory readers honest —
+    * deletes the replaced files immediately, so on maintained tables
+    * history is retained only back to the last purging optimize; the
+    * failure mode is still loud, never a short read.
     */
   def readAt(spark: SparkSession, table: String, version: Long): DataFrame =
     readSnapshot(spark, posixTable(table), snapshotAt(table, version),
@@ -539,20 +544,42 @@ object TxLog {
     root.relativize(p.toAbsolutePath).toString
   }
 
-  /** Shared commit loop for delete/merge: CAS a delta that removes
-    * `touched` and adds `rewritten`. Returns Some(version) on success,
-    * None when a racing rewrite replaced one of our touched files (the
-    * caller's rewrite is stale — recompute from the fresh snapshot).
-    * Plain appends never invalidate us: they only ADD files.
+  /** Partition columns inferred from the snapshot's file layout
+    * (`k=v` directory segments of the first file). DML rewrites must
+    * preserve the table's layout even when the caller doesn't pass
+    * `partitionCols` — a root-level rewrite under partitioned leaves
+    * would give Spark's partition discovery conflicting depths and
+    * brick every later read.
     */
-  private def commitRewrite(t: String, touched: Seq[String],
+  private def detectPartitionCols(snap: Snapshot): Seq[String] =
+    snap.files.headOption.toSeq.flatMap { f =>
+      f.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i)) else None
+      }
+    }
+
+  /** Shared commit loop for the DML rewrites: CAS a delta that removes
+    * `touched` and adds `rewritten`, starting from the `base` snapshot
+    * the rewrite was computed against (no re-fold before the first
+    * attempt). Returns Some(version) on success, None when the rewrite
+    * went stale — a racing rewrite replaced one of our touched files,
+    * or (with `strictVersion`) ANY commit landed after `base`: merge's
+    * key-uniqueness invariant breaks if a concurrent append inserts a
+    * key the scan never saw (Delta's ConcurrentAppendException), so
+    * merge recomputes; delete/update keep snapshot-predicate semantics
+    * where a concurrent append simply escapes the predicate.
+    */
+  private def commitRewrite(t: String, base: Snapshot, touched: Seq[String],
                             rewritten: Seq[String], schemaJson: String,
-                            op: String, maxRetries: Int): Option[Long] = {
+                            op: String, maxRetries: Int,
+                            strictVersion: Boolean): Option[Long] = {
     val touchedSet = touched.toSet
+    var latest = base
     var attempt = 0
     while (attempt < maxRetries) {
-      val latest = currentSnapshot(t).get
-      if (!touchedSet.subsetOf(latest.files.toSet)) {
+      if ((strictVersion && latest.version != base.version) ||
+          !touchedSet.subsetOf(latest.files.toSet)) {
         unstage(t, rewritten)
         return None
       }
@@ -560,9 +587,47 @@ object TxLog {
         Delta(schemaJson, rewritten, touched, op)))
         return Some(latest.version + 1)
       attempt += 1
+      latest = currentSnapshot(t).get
     }
     unstage(t, rewritten)
     throw new IllegalStateException(s"$op($t): commit contention")
+  }
+
+  /** Shared DML skeleton: fold the snapshot once, hand `compute` the
+    * snapshot and the file-tagged target rows, stage its rewrite in the
+    * table's (detected or given) partition layout, CAS-commit, and
+    * recompute from a fresh snapshot when the commit reports staleness.
+    * `compute` returns None when there is nothing to do (no commit).
+    */
+  private def dmlRewrite(spark: SparkSession, table: String, op: String,
+                         partitionCols: Seq[String], maxRetries: Int,
+                         strictVersion: Boolean)(
+      compute: (Snapshot, DataFrame) => Option[(Array[String], DataFrame, String)])
+      : Long = {
+    val t = posixTable(table)
+    val root = Paths.get(t).toAbsolutePath
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = currentSnapshot(t).getOrElse(
+        throw new IllegalArgumentException(s"$t has no _graft_log"))
+      val target = readSnapshot(spark, t, snap)
+        .withColumn("__file", input_file_name())
+      compute(snap, target) match {
+        case None => return snap.version
+        case Some((touchedAbs, rows, schemaJson)) =>
+          val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
+          val parts =
+            if (partitionCols.nonEmpty) partitionCols
+            else detectPartitionCols(snap)
+          val rewritten = stageDataFiles(rows, t, parts)
+          commitRewrite(t, snap, touched, rewritten, schemaJson, op,
+            maxRetries, strictVersion) match {
+            case Some(v) => return v
+            case None    => attempt += 1 // stale rewrite — recompute
+          }
+      }
+    }
+    throw new IllegalStateException(s"$op($t): rewrite contention")
   }
 
   /** Transactional DELETE WHERE: rewrites ONLY the files that contain a
@@ -570,36 +635,28 @@ object TxLog {
     * carried by reference), then CAS-commits the swap as one version.
     * Rows where the predicate is NULL are kept (SQL DELETE semantics).
     * Returns the committed version — or the current one when nothing
-    * matched (no empty commits).
+    * matched (no empty commits). The predicate applies to THIS call's
+    * snapshot: rows appended concurrently escape it (Delta's
+    * WriteSerializable reading of DELETE).
     */
   def delete(spark: SparkSession, table: String, predicate: Column,
-             partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long = {
-    val t = posixTable(table)
-    val root = Paths.get(t).toAbsolutePath
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val snap = currentSnapshot(t).getOrElse(
-        throw new IllegalArgumentException(s"$t has no _graft_log"))
-      if (snap.files.isEmpty) return snap.version
-      val withFile = readSnapshot(spark, t, snap)
-        .withColumn("__file", input_file_name())
-      val touchedAbs = withFile.filter(predicate)
-        .select("__file").distinct().collect().map(_.getString(0))
-      if (touchedAbs.isEmpty) return snap.version
-      val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
-      val kept = withFile
-        .filter(col("__file").isInCollection(touchedAbs))
-        .filter(not(coalesce(predicate, lit(false))))
-        .drop("__file")
-      val rewritten = stageDataFiles(kept, t, partitionCols)
-      commitRewrite(t, touched, rewritten, snap.schemaJson,
-        "delete", maxRetries) match {
-        case Some(v) => return v
-        case None    => attempt += 1 // stale rewrite — recompute
+             partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long =
+    dmlRewrite(spark, table, "delete", partitionCols, maxRetries,
+      strictVersion = false) { (snap, target) =>
+      if (snap.files.isEmpty) None
+      else {
+        val touchedAbs = target.filter(predicate)
+          .select("__file").distinct().collect().map(_.getString(0))
+        if (touchedAbs.isEmpty) None
+        else {
+          val kept = target
+            .filter(col("__file").isInCollection(touchedAbs))
+            .filter(not(coalesce(predicate, lit(false))))
+            .drop("__file")
+          Some((touchedAbs, kept, snap.schemaJson))
+        }
       }
     }
-    throw new IllegalStateException(s"delete($t): rewrite contention")
-  }
 
   /** Transactional UPDATE ... SET: rewrites only the files containing a
     * matching row; within them, matched rows get `set`'s expressions
@@ -613,45 +670,38 @@ object TxLog {
              set: Map[String, Column], partitionCols: Seq[String] = Nil,
              maxRetries: Int = 64): Long = {
     require(set.nonEmpty, "update requires at least one SET column")
-    val t = posixTable(table)
-    val root = Paths.get(t).toAbsolutePath
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val snap = currentSnapshot(t).getOrElse(
-        throw new IllegalArgumentException(s"$t has no _graft_log"))
-      if (snap.files.isEmpty) return snap.version
-      val target = readSnapshot(spark, t, snap)
-      val missing = set.keySet -- target.columns.toSet
+    dmlRewrite(spark, table, "update", partitionCols, maxRetries,
+      strictVersion = false) { (snap, target) =>
+      val dataCols = target.columns.toSeq.filterNot(_ == "__file")
+      val missing = set.keySet -- dataCols.toSet
       require(missing.isEmpty,
         s"update SET references columns not in the table: $missing")
-      val withFile = target.withColumn("__file", input_file_name())
-      val touchedAbs = withFile.filter(predicate)
-        .select("__file").distinct().collect().map(_.getString(0))
-      if (touchedAbs.isEmpty) return snap.version
-      val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
-      val matched = coalesce(predicate, lit(false))
-      // ONE projection over the original row: every SET expression sees
-      // pre-update values even when it reads another updated column
-      val rewrittenRows = withFile
-        .filter(col("__file").isInCollection(touchedAbs))
-        .select(target.columns.toSeq.map { c =>
-          set.get(c) match {
-            // cast to the column's existing type (Delta UPDATE semantics)
-            // so a SET can never fork the table schema mid-file
-            case Some(e) => org.apache.spark.sql.functions
-              .when(matched, e.cast(target.schema(c).dataType))
-              .otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        }: _*)
-      val rewritten = stageDataFiles(rewrittenRows, t, partitionCols)
-      commitRewrite(t, touched, rewritten, snap.schemaJson,
-        "update", maxRetries) match {
-        case Some(v) => return v
-        case None    => attempt += 1
+      if (snap.files.isEmpty) None
+      else {
+        val touchedAbs = target.filter(predicate)
+          .select("__file").distinct().collect().map(_.getString(0))
+        if (touchedAbs.isEmpty) None
+        else {
+          val matched = coalesce(predicate, lit(false))
+          // ONE projection over the original row: every SET expression
+          // sees pre-update values even when it reads another updated
+          // column
+          val rewrittenRows = target
+            .filter(col("__file").isInCollection(touchedAbs))
+            .select(dataCols.map { c =>
+              set.get(c) match {
+                // cast to the column's existing type (Delta UPDATE
+                // semantics) so a SET can never fork the table schema
+                case Some(e) => org.apache.spark.sql.functions
+                  .when(matched, e.cast(target.schema(c).dataType))
+                  .otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }: _*)
+          Some((touchedAbs, rewrittenRows, snap.schemaJson))
+        }
       }
     }
-    throw new IllegalStateException(s"update($t): rewrite contention")
   }
 
   /** Transactional MERGE (upsert): source rows REPLACE target rows with
@@ -659,46 +709,38 @@ object TxLog {
     * in one committed version. Only files containing a matched key are
     * rewritten. The source must carry every table column and at most
     * one row per key (enforced like Delta: multiple matches would make
-    * the result order-dependent).
+    * the result order-dependent). Any commit landing between the key
+    * scan and the CAS — even a plain append, which could insert a key
+    * this scan never saw — makes the rewrite stale; it is recomputed
+    * against the fresh snapshot (Delta's ConcurrentAppendException,
+    * resolved by retrying instead of surfacing).
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
             keyCols: Seq[String], partitionCols: Seq[String] = Nil,
             maxRetries: Int = 64): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
-    val t = posixTable(table)
-    val root = Paths.get(t).toAbsolutePath
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val snap = currentSnapshot(t).getOrElse(
-        throw new IllegalArgumentException(s"$t has no _graft_log"))
-      val target = readSnapshot(spark, t, snap)
+    dmlRewrite(spark, table, "merge", partitionCols, maxRetries,
+      strictVersion = true) { (snap, target) =>
+      val dataCols = target.columns.toSeq.filterNot(_ == "__file")
       // align the source to the table's column order; fails loudly when
       // a table column is missing from the source
-      val src = source.select(target.columns.toSeq.map(col): _*)
+      val src = source.select(dataCols.map(col): _*)
       val dupKeys = src.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count()
       require(dupKeys == 0,
         s"merge source has multiple rows for one (${keyCols.mkString(",")})")
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
-      val withFile = target.withColumn("__file", input_file_name())
       val touchedAbs =
         if (snap.files.isEmpty) Array.empty[String]
-        else withFile.join(srcKeys, keyCols, "left_semi")
+        else target.join(srcKeys, keyCols, "left_semi")
           .select("__file").distinct().collect().map(_.getString(0))
-      val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
       val upserted =
         if (touchedAbs.isEmpty) src
-        else withFile.filter(col("__file").isInCollection(touchedAbs))
+        else target.filter(col("__file").isInCollection(touchedAbs))
           .join(srcKeys, keyCols, "left_anti").drop("__file")
           .unionByName(src)
-      val rewritten = stageDataFiles(upserted, t, partitionCols)
-      commitRewrite(t, touched, rewritten, upserted.schema.json,
-        "merge", maxRetries) match {
-        case Some(v) => return v
-        case None    => attempt += 1
-      }
+      Some((touchedAbs, upserted, upserted.schema.json))
     }
-    throw new IllegalStateException(s"merge($t): rewrite contention")
   }
 
   /** One log entry as [[history]] reports it. */
@@ -743,6 +785,12 @@ object TxLog {
       .withColumn("_commit_version", lit(0L))
     window.foldLeft(empty) { (acc, v) =>
       val m = readManifest(t, v)
+      // op check FIRST: a skippable optimize checkpoint must not fold
+      // v-1 — right after a maintenance optimize+vacuum, v-1's manifest
+      // is gone and the fold would crash a CDC consumer resuming from
+      // exactly the checkpoint boundary
+      if (m.op == "optimize") acc
+      else {
       val (adds, removes) = m match {
         case Delta(_, a, r, _) => (a, r)
         case Checkpoint(_, files, _) =>
@@ -752,7 +800,7 @@ object TxLog {
             (files.diff(prev.files), prev.files.diff(files))
           }
       }
-      if (m.op == "optimize" || (adds.isEmpty && removes.isEmpty)) acc
+      if (adds.isEmpty && removes.isEmpty) acc
       else {
         val addedRows = readFiles(spark, t, adds, m.schemaJson,
           ignoreMissing = false)
@@ -775,6 +823,7 @@ object TxLog {
           .withColumn("_commit_version", lit(v))
         acc.unionByName(ins.unionByName(del),
           allowMissingColumns = true)
+      }
       }
     }
   }

@@ -356,6 +356,35 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("changes skips an optimize checkpoint even after vacuum dropped its past") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s"), table)  // v0
+    TxLog.append(Seq((2L, "b")).toDF("id", "s"), table)  // v1
+    TxLog.optimize(spark, table, partitionCols = Nil)    // v2: checkpoint, op=optimize
+    TxLog.vacuum(table, minAgeMs = 0)                    // manifests v0,v1 gone
+    // a CDC consumer resuming from exactly the pre-optimize version:
+    // the optimize commit must contribute zero rows WITHOUT folding the
+    // vacuumed v1 chain (which would crash)
+    val cdc = TxLog.changes(spark, table, fromVersion = 1, toVersion = 2)
+    assert(cdc.count() === 0)
+  }
+
+  test("DML preserves a partitioned table's layout without being told") {
+    val table = newTable()
+    TxLog.append(
+      Seq((1L, "a", 0), (2L, "b", 1), (3L, "hit", 0)).toDF("id", "s", "p"),
+      table, partitionCols = Seq("p"))
+    TxLog.delete(spark, table, col("s") === "hit") // no partitionCols arg
+    val got = TxLog.read(spark, table)
+    assert(got.columns.toSet === Set("id", "s", "p"))
+    assert(got.count() === 2)
+    assert(got.filter(col("p") === 0).count() === 1)
+    // the rewrite landed under partition dirs, not the table root — a
+    // mixed-depth layout would brick Spark's partition discovery
+    val snap = TxLog.currentSnapshot(table).get
+    assert(snap.files.forall(_.contains("p=")), snap.files.toString)
+  }
+
   test("history reports op-tagged commits oldest-first") {
     val table = newTable()
     TxLog.append(Seq((1L, "a", 0)).toDF("id", "s", "p"), table)
