@@ -594,16 +594,20 @@ object TxLog {
   }
 
   /** Shared DML skeleton: fold the snapshot once, hand `compute` the
-    * snapshot and the file-tagged target rows, stage its rewrite in the
-    * table's (detected or given) partition layout, CAS-commit, and
-    * recompute from a fresh snapshot when the commit reports staleness.
-    * `compute` returns None when there is nothing to do (no commit).
+    * snapshot, the file-tagged target rows, and a touched-files reader
+    * (absolute `__file` names → a scan of EXACTLY those files — the
+    * rewrite pass must never rescan the snapshot with a filename filter;
+    * at scale the discovery scan reads the table once, the rewrite scan
+    * only the files being replaced). Stages the rewrite in the table's
+    * (detected or given) partition layout, CAS-commits, and recomputes
+    * from a fresh snapshot when the commit reports staleness. `compute`
+    * returns None when there is nothing to do (no commit).
     */
   private def dmlRewrite(spark: SparkSession, table: String, op: String,
                          partitionCols: Seq[String], maxRetries: Int,
                          strictVersion: Boolean)(
-      compute: (Snapshot, DataFrame) => Option[(Array[String], DataFrame, String)])
-      : Long = {
+      compute: (Snapshot, DataFrame, Array[String] => DataFrame) =>
+        Option[(Array[String], DataFrame, String)]): Long = {
     val t = posixTable(table)
     val root = Paths.get(t).toAbsolutePath
     var attempt = 0
@@ -612,7 +616,10 @@ object TxLog {
         throw new IllegalArgumentException(s"$t has no _graft_log"))
       val target = readSnapshot(spark, t, snap)
         .withColumn("__file", input_file_name())
-      compute(snap, target) match {
+      val touchedReader = (abs: Array[String]) =>
+        readFiles(spark, t, abs.map(relOf(root, _)).toSeq.sorted,
+          snap.schemaJson)
+      compute(snap, target, touchedReader) match {
         case None => return snap.version
         case Some((touchedAbs, rows, schemaJson)) =>
           val touched = touchedAbs.map(relOf(root, _)).toSeq.sorted
@@ -642,17 +649,15 @@ object TxLog {
   def delete(spark: SparkSession, table: String, predicate: Column,
              partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long =
     dmlRewrite(spark, table, "delete", partitionCols, maxRetries,
-      strictVersion = false) { (snap, target) =>
+      strictVersion = false) { (snap, target, touchedFiles) =>
       if (snap.files.isEmpty) None
       else {
         val touchedAbs = target.filter(predicate)
           .select("__file").distinct().collect().map(_.getString(0))
         if (touchedAbs.isEmpty) None
         else {
-          val kept = target
-            .filter(col("__file").isInCollection(touchedAbs))
+          val kept = touchedFiles(touchedAbs)
             .filter(not(coalesce(predicate, lit(false))))
-            .drop("__file")
           Some((touchedAbs, kept, snap.schemaJson))
         }
       }
@@ -671,7 +676,7 @@ object TxLog {
              maxRetries: Int = 64): Long = {
     require(set.nonEmpty, "update requires at least one SET column")
     dmlRewrite(spark, table, "update", partitionCols, maxRetries,
-      strictVersion = false) { (snap, target) =>
+      strictVersion = false) { (snap, target, touchedFiles) =>
       val dataCols = target.columns.toSeq.filterNot(_ == "__file")
       val missing = set.keySet -- dataCols.toSet
       require(missing.isEmpty,
@@ -686,8 +691,7 @@ object TxLog {
           // ONE projection over the original row: every SET expression
           // sees pre-update values even when it reads another updated
           // column
-          val rewrittenRows = target
-            .filter(col("__file").isInCollection(touchedAbs))
+          val rewrittenRows = touchedFiles(touchedAbs)
             .select(dataCols.map { c =>
               set.get(c) match {
                 // cast to the column's existing type (Delta UPDATE
@@ -720,7 +724,7 @@ object TxLog {
             maxRetries: Int = 64): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     dmlRewrite(spark, table, "merge", partitionCols, maxRetries,
-      strictVersion = true) { (snap, target) =>
+      strictVersion = true) { (snap, target, touchedFiles) =>
       val dataCols = target.columns.toSeq.filterNot(_ == "__file")
       // align the source to the table's column order; fails loudly when
       // a table column is missing from the source
@@ -736,8 +740,8 @@ object TxLog {
           .select("__file").distinct().collect().map(_.getString(0))
       val upserted =
         if (touchedAbs.isEmpty) src
-        else target.filter(col("__file").isInCollection(touchedAbs))
-          .join(srcKeys, keyCols, "left_anti").drop("__file")
+        else touchedFiles(touchedAbs)
+          .join(srcKeys, keyCols, "left_anti")
           .unionByName(src)
       Some((touchedAbs, upserted, upserted.schema.json))
     }
@@ -826,6 +830,28 @@ object TxLog {
       }
       }
     }
+  }
+
+  /** Incremental change-feed poll — the consumer loop primitive over
+    * [[changes]]: given the last version a consumer has applied,
+    * returns (latest committed version, the row-level feed for
+    * everything after it). A caller persists the returned version as
+    * its checkpoint and calls again on its trigger interval; no new
+    * commits → (same version, empty feed) with ZERO Spark jobs (the
+    * version probe is a directory listing). This is the micro-batch CDC
+    * source shape — at scale the poll cost is the log listing, never a
+    * table scan.
+    */
+  def changesSince(spark: SparkSession, table: String,
+                   lastVersion: Long): (Long, DataFrame) = {
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no _graft_log"))
+    if (cur.version <= lastVersion)
+      (lastVersion,
+        readFiles(spark, posixTable(table), Nil, cur.schemaJson)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L)))
+    else (cur.version, changes(spark, table, lastVersion, cur.version))
   }
 
   private def deleteTree(p: Path): Unit =

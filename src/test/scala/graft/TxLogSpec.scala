@@ -385,6 +385,79 @@ class TxLogSpec extends SparkSpec {
     assert(snap.files.forall(_.contains("p=")), snap.files.toString)
   }
 
+  test("changesSince is an incremental poll: checkpoint advances, no repeats") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s"), table)          // v0
+    val (v1, feed1) = TxLog.changesSince(spark, table, lastVersion = -1)
+    assert(v1 === 0L)
+    assert(feed1.filter(col("_change_type") === "insert").count() === 1)
+    // no new commits: same checkpoint, empty feed
+    val (v2, feed2) = TxLog.changesSince(spark, table, v1)
+    assert(v2 === v1 && feed2.count() === 0)
+    // two more commits arrive; the next poll carries exactly them
+    TxLog.append(Seq((2L, "b")).toDF("id", "s"), table)          // v1
+    TxLog.delete(spark, table, col("id") === 1L)                 // v2
+    val (v3, feed3) = TxLog.changesSince(spark, table, v2)
+    assert(v3 === 2L)
+    val rows = feed3.select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((2L, "insert", 1L), (1L, "delete", 2L)))
+  }
+
+  test("model check: a seeded random DML sequence matches a reference model") {
+    // multiset model: appends can duplicate ids, merge collapses a key,
+    // delete/update hit residue classes — the same semantics expressed
+    // twice, then compared; the CDC feed must also REBUILD the final
+    // state when replayed from scratch (insert/delete multiset algebra)
+    val table = newTable()
+    TxLog.append(Seq((0L, 0)).toDF("id", "v"), table)
+    var model = Vector((0L, 0))
+    val rnd = new scala.util.Random(42)
+    def randRows(n: Int) =
+      Vector.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(100)))
+    (1 to 14).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          val rows = randRows(1 + rnd.nextInt(4))
+          TxLog.append(rows.toDF("id", "v"), table)
+          model ++= rows
+        case 1 =>
+          val m = rnd.nextInt(5)
+          TxLog.delete(spark, table, col("id") % 5 === m.toLong)
+          model = model.filterNot { case (id, _) => id % 5 == m }
+        case 2 =>
+          val m = rnd.nextInt(5)
+          val add = rnd.nextInt(50)
+          TxLog.update(spark, table, col("id") % 5 === m.toLong,
+            Map("v" -> (col("v") + add)))
+          model = model.map { case (id, v) =>
+            if (id % 5 == m) (id, v + add) else (id, v) }
+        case 3 =>
+          val rows = randRows(1 + rnd.nextInt(3)).distinctBy(_._1)
+          TxLog.merge(spark, table, rows.toDF("id", "v"), Seq("id"))
+          val keys = rows.map(_._1).toSet
+          model = model.filterNot(r => keys(r._1)) ++ rows
+        case 4 =>
+          TxLog.optimize(spark, table, partitionCols = Nil)
+      }
+    }
+    val got = TxLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toVector
+    assert(got.sorted === model.sorted, "table state diverged from the model")
+    // CDC replay: feed from before v0 folds back to exactly the state
+    val latest = TxLog.currentSnapshot(table).get.version
+    val feed = TxLog.changes(spark, table, -1, latest)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val counted = feed.foldLeft(Map.empty[(Long, Int), Int]) {
+      case (m, (id, v, t)) =>
+        val k = (id, v)
+        m.updated(k, m.getOrElse(k, 0) + (if (t == "insert") 1 else -1))
+    }
+    val replayed = counted.toVector.flatMap { case (k, n) => Vector.fill(n)(k) }
+    assert(replayed.sorted === model.sorted, "CDC replay diverged from the model")
+  }
+
   test("history reports op-tagged commits oldest-first") {
     val table = newTable()
     TxLog.append(Seq((1L, "a", 0)).toDF("id", "s", "p"), table)
