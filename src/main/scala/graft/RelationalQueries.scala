@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.LogOps
+import graft.operators.{AsofJoin, LogOps}
 import graft.ops.Similarity
 
 /** Set-operation / join-breadth / offset-semantics queries
@@ -131,7 +131,27 @@ object RelationalQueries {
         col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
   }
 
+  /** As-of join: each click matched to the user's latest view at or
+    * before it (kdb+ `aj` / DuckDB ASOF JOIN semantics, left-outer).
+    * Views are pre-aggregated to one row per (user, ts) — the as-of
+    * contract for deterministic carries; max_by pins which event wins
+    * a hypothetical tie. One hash shuffle on user_id, no range join.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"),
+        expr("max_by(value, event_id)").as("view_value"))
+    AsofJoin.asofBackward(clicks, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("view_id"),
+        col("view_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
     "q_rollup" -> (qRollup _),
     "q_topk_per_group" -> (qTopKPerGroup _),
     "q_exists" -> (qExists _),
@@ -148,6 +168,18 @@ object RelationalQueries {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id,
+        |         arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, v.view_id, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
     "q_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
