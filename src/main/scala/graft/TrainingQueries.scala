@@ -126,6 +126,15 @@ object TrainingQueries {
       nCells = 4, nProbe = 4)
       .select("vec_id", "cosine_r")
 
+  /** PQ top-10 by asymmetric distance: 4 subspaces × 16 dims, 8-code
+    * books (2 Lloyd rounds), query vec_id=0 — the full
+    * train→encode→ADC pipeline, integer-deterministic so the oracle
+    * replays all four codebook trajectories and the table-lookup sum.
+    */
+  def qPqAdc(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(embs(s, dir), queryId = 0L, k = 10,
+      m = 4, ksub = 8, iters = 2)
+
   /** Per-document statistics. */
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(docs(s, dir))
@@ -510,6 +519,7 @@ object TrainingQueries {
     "q_quality_ensemble" -> (qQualityEnsemble _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_kmeans_assign" -> (qKmeansAssign _),
+    "q_pq_adc" -> (qPqAdc _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_balance" -> (qClusterBalance _),
     "q_importance_weight" -> (qImportanceWeight _),
@@ -819,30 +829,36 @@ object TrainingQueries {
     * centroid update). Expects an `e(vec_id, qe)` CTE in scope; leaves
     * `af(vec_id, kk)` with kk = final dist * k + cid.
     */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+  /** Lloyd-trajectory CTE chain replaying [[Similarity.kmeansAssign]]
+    * step for step over the `src` CTE's (vec_id, qe). With a prefix the
+    * chain becomes `${p}c0/${p}a1/.../${p}af` reading from any source —
+    * the PQ oracle instantiates one prefixed chain per subspace.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int,
+                         src: String = "e", p: String = ""): String = {
     def dist(q: String, c: String) =
       s"CAST(list_sum(list_transform(range($dims), " +
         s"i -> ($q[i+1] - $c[i+1]) * ($q[i+1] - $c[i+1]))) AS BIGINT)"
     def assign(name: String, cents: String) =
       s"""$name AS (
-         |  SELECT e.vec_id, min(${dist("e.qe", "c.cen")} * $k + c.cid) AS kk
-         |  FROM e CROSS JOIN $cents c GROUP BY 1)""".stripMargin
+         |  SELECT s.vec_id, min(${dist("s.qe", "c.cen")} * $k + c.cid) AS kk
+         |  FROM $src s CROSS JOIN $cents c GROUP BY 1)""".stripMargin
     val c0 =
-      s"""c0 AS (
+      s"""${p}c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          |    qe AS cen
-         |  FROM (SELECT vec_id, qe FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT vec_id, qe FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
     val steps = (1 to iters).map { n =>
-      s"""${assign(s"a$n", s"c${n - 1}")},
-         |c$n AS (
+      s"""${assign(s"${p}a$n", s"${p}c${n - 1}")},
+         |${p}c$n AS (
          |  SELECT cid, list(m ORDER BY i) AS cen FROM (
-         |    SELECT a$n.kk % $k AS cid, t.i,
-         |      CAST(floor(CAST(sum(e.qe[t.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS m
-         |    FROM e JOIN a$n USING (vec_id) CROSS JOIN range($dims) t(i)
+         |    SELECT ${p}a$n.kk % $k AS cid, t.i,
+         |      CAST(floor(CAST(sum(s.qe[t.i + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |    FROM $src s JOIN ${p}a$n USING (vec_id) CROSS JOIN range($dims) t(i)
          |    GROUP BY 1, 2)
          |  GROUP BY cid)""".stripMargin
     }
-    (c0 +: steps :+ assign("af", s"c$iters")).mkString(",\n")
+    (c0 +: steps :+ assign(s"${p}af", s"${p}c$iters")).mkString(",\n")
   }
 
   /** The BPE merge trajectory as chained CTEs — one block per round,
@@ -1571,6 +1587,37 @@ object TrainingQueries {
       s"""${quantCte.trim},
          |${kmeansCtes(k = 4, iters = 2, dims = 64)}
          |SELECT vec_id, kk % 4 AS cid, kk // 4 AS dist FROM af""".stripMargin,
+
+    "q_pq_adc" -> {
+      val m = 4; val sub = 16; val ksub = 8; val iters = 2
+      def dist(dims: Int, a: String, b: String) =
+        s"CAST(list_sum(list_transform(range($dims), " +
+          s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))) AS BIGINT)"
+      val subspaces = (0 until m).map { i =>
+        s"""e$i AS (SELECT vec_id,
+           |  list_transform(range($sub), j -> qe[${i * sub} + j + 1]) AS qe
+           |  FROM e),
+           |${kmeansCtes(ksub, iters, sub, src = s"e$i", p = s"s${i}_")},
+           |t$i AS (
+           |  SELECT c.cid, ${dist(sub, "c.cen", "q.qe")} AS d
+           |  FROM s${i}_c$iters c
+           |  CROSS JOIN (SELECT qe FROM e$i WHERE vec_id = 0) q)""".stripMargin
+      }.mkString(",\n")
+      val codeCols = (0 until m)
+        .map(i => s"s${i}_af.kk % $ksub AS c$i").mkString(", ")
+      val codeJoins = (0 until m)
+        .map(i => s"JOIN s${i}_af ON e.vec_id = s${i}_af.vec_id").mkString(" ")
+      val tblJoins = (0 until m)
+        .map(i => s"JOIN t$i ON codes.c$i = t$i.cid").mkString(" ")
+      val adcSum = (0 until m).map(i => s"t$i.d").mkString(" + ")
+      s"""${quantCte.trim},
+         |$subspaces,
+         |codes AS (SELECT e.vec_id, $codeCols FROM e $codeJoins)
+         |SELECT codes.vec_id, $adcSum AS adc
+         |FROM codes $tblJoins
+         |WHERE codes.vec_id != 0
+         |ORDER BY adc, codes.vec_id LIMIT 10""".stripMargin
+    },
 
     "q_semdedup" ->
       s"""${quantCte.trim},

@@ -278,28 +278,47 @@ object Similarity {
                                  dims: Int, idCol: String, embCol: String): DataFrame = {
     require(k > 0 && iters >= 0 && dims > 0,
       s"bad kmeans params: k=$k iters=$iters dims=$dims")
-    // a NULL embedding must fail LOUDLY at the assignment input (the
-    // kernel would otherwise emit a NULL cid that either NPEs the
-    // centroid update opaquely or rolls into a garbage NULL cluster);
-    // null ELEMENTS fail inside the kernel with the same policy
+    val v = quantizedOrFail(embeddings, idCol, embCol)
+    val cents = lloydCentroids(v, k, iters, dims, idCol)
+    v.withColumn("__nc",
+        graft.functions.VectorExpressions.nearestCentroid(col("qe"), cents))
+      .withColumn("cid", col("__nc.cid"))
+      .withColumn("dist", col("__nc.dist"))
+      .drop("__nc")
+  }
+
+  /** (idCol, qe) projection with the loud-NULL policy: a NULL embedding
+    * must fail at the assignment input (the kernel would otherwise emit
+    * a NULL cid that either NPEs the centroid update opaquely or rolls
+    * into a garbage NULL cluster); null ELEMENTS fail inside the kernel
+    * with the same policy.
+    */
+  private def quantizedOrFail(embeddings: DataFrame, idCol: String,
+                              embCol: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val qeNotNull = ColumnBridge.column(AssertNotNull(
       ColumnBridge.expression(quantize(col(embCol))),
       Seq("nearest_centroid: null embedding — clean or filter the corpus first")))
-    val v = embeddings.select(col(idCol), qeNotNull.as("qe"))
+    embeddings.select(col(idCol), qeNotNull.as("qe"))
+  }
 
-    def assigned(cents: Seq[(Long, IndexedSeq[Long])]): DataFrame =
-      v.withColumn("__nc",
-        graft.functions.VectorExpressions.nearestCentroid(col("qe"), cents))
-
+  /** The deterministic Lloyd loop over `v` = (idCol, qe): seed with the
+    * k smallest-id vectors, `iters` rounds of assign + floor-mean
+    * update, return the FINAL centroids sorted by cid (sparse once
+    * clusters vanish). Each round is one map-side-combining aggregate
+    * collecting k rows — nothing driver-side is proportional to N.
+    */
+  private def lloydCentroids(v: DataFrame, k: Int, iters: Int, dims: Int,
+                             idCol: String): Seq[(Long, IndexedSeq[Long])] = {
     // seeds: the k smallest-id vectors — a TakeOrdered collecting k rows
     var cents: Seq[(Long, IndexedSeq[Long])] =
       v.orderBy(col(idCol)).limit(k).collect().toSeq.zipWithIndex.map {
         case (r, i) => i.toLong -> r.getSeq[Long](1).toIndexedSeq
       }
     for (_ <- 0 until iters) {
-      val sums = assigned(cents)
+      val sums = v.withColumn("__nc",
+          graft.functions.VectorExpressions.nearestCentroid(col("qe"), cents))
         .groupBy(col("__nc.cid").as("cid"))
         .agg(count(lit(1)).as("cnt"),
           (0 until dims).map(i => sum(element_at(col("qe"), i + 1)).as(s"s$i")): _*)
@@ -310,11 +329,129 @@ object Similarity {
           .map(i => math.floor(r.getLong(i + 2).toDouble / cnt).toLong)
       }.sortBy(_._1).toSeq
     }
-    assigned(cents)
-      .withColumn("cid", col("__nc.cid"))
-      .withColumn("dist", col("__nc.dist"))
-      .drop("__nc")
+    cents
   }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding space is
+    * split into `m` equal subspaces of dims/m dimensions and an
+    * independent [[lloydCentroids]] codebook of `ksub` centroids is
+    * trained per subspace — so a vector compresses to m small codes
+    * (m·log2(ksub) bits) instead of dims floats. At production shape
+    * (m=8, ksub=256 over 256-dim floats) that is 8 bytes per vector vs
+    * 1 KiB raw: the index for a 100 TB corpus fits in cluster RAM,
+    * which is the entire point of PQ at scale.
+    *
+    * Training cost: m independent Lloyd loops, each a corpus scan per
+    * iteration. FAISS trains codebooks on a corpus SAMPLE for exactly
+    * this reason — at scale pass a sampled DataFrame here; the encode
+    * step below applies the books to the full corpus in one pass.
+    * Deterministic end-to-end (integer trajectory, see
+    * [[kmeansAssign]]), so the whole PQ pipeline is oracle-checkable.
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int, ksub: Int, iters: Int,
+                  dims: Int = 64, idCol: String = "vec_id",
+                  embCol: String = "embedding")
+      : IndexedSeq[Seq[(Long, IndexedSeq[Long])]] = {
+    require(m > 0 && dims % m == 0,
+      s"dims=$dims must split into m=$m equal subspaces")
+    require(ksub > 0 && iters >= 0, s"bad pq params: ksub=$ksub iters=$iters")
+    val sub = dims / m
+    val v = quantizedOrFail(embeddings, idCol, embCol)
+    (0 until m).map { i =>
+      val vi = v.select(col(idCol), slice(col("qe"), i * sub + 1, sub).as("qe"))
+      lloydCentroids(vi, ksub, iters, sub, idCol)
+    }.toIndexedSeq
+  }
+
+  /** Encode each vector as its m per-subspace nearest-codebook codes —
+    * a SHUFFLE-FREE narrow map (the codebooks ride into the executors
+    * inside the m argmin kernels; nothing joins, nothing aggregates).
+    * Output: (idCol, code array<long> of length m).
+    */
+  def pqEncode(embeddings: DataFrame,
+               books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+               dims: Int = 64, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    require(m > 0 && dims % m == 0,
+      s"dims=$dims must split into m=$m equal subspaces")
+    val sub = dims / m
+    quantizedOrFail(embeddings, idCol, embCol)
+      .select(col(idCol), array((0 until m).map { i =>
+        graft.functions.VectorExpressions
+          .nearestCentroid(slice(col("qe"), i * sub + 1, sub), books(i))
+          .getField("cid")
+      }: _*).as("code"))
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays exact while
+    * every corpus vector is approximated by its codebook
+    * reconstruction, so per-candidate distance is m table lookups —
+    * table(i)(code_i) = squared distance from the query's i-th
+    * subvector to that code's centroid, computed ONCE per query
+    * driver-side (m·ksub cells) and shipped as literal arrays.
+    *
+    * Plan shape: encode (narrow map) → per-row sum of m element_at
+    * lookups → TakeOrdered. No join, no shuffle beyond the final top-k
+    * — the scan reads m codes per vector, not dims floats, which is
+    * the 10-100× I/O cut PQ exists for. Compose with a coarse
+    * partitioner (the IVF cell as a partition column) to prune the
+    * scan itself at 100 TB.
+    *
+    * Returns (idCol, adc) — the k smallest exact-integer ADC distances,
+    * ties to the smaller id, query row excluded.
+    */
+  def pqSearchAdc(embeddings: DataFrame,
+                  books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+                  queryId: Long, k: Int, dims: Int = 64,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    require(m > 0 && dims % m == 0,
+      s"dims=$dims must split into m=$m equal subspaces")
+    val sub = dims / m
+    val q = quantizedOrFail(embeddings, idCol, embCol)
+      .filter(col(idCol) === queryId)
+      .select(col("qe")).head().getSeq[Long](0)
+    require(q.length == dims, s"query vector has ${q.length} dims, want $dims")
+    // dense per-subspace lookup tables indexed by cid; vanished
+    // clusters never appear as codes, their cells stay unread
+    val tables: IndexedSeq[Array[Long]] = (0 until m).map { i =>
+      val t = Array.fill((books(i).map(_._1).max + 1).toInt)(0L)
+      books(i).foreach { case (cid, cen) =>
+        var d = 0L
+        var j = 0
+        while (j < sub) {
+          val diff = q(i * sub + j) - cen(j)
+          d += diff * diff
+          j += 1
+        }
+        t(cid.toInt) = d
+      }
+      t
+    }
+    val adc = (0 until m).map { i =>
+      element_at(lit(tables(i)),
+        (element_at(col("code"), i + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    pqEncode(embeddings, books, dims, idCol, embCol)
+      .filter(col(idCol) =!= queryId)
+      .withColumn("adc", adc)
+      .select(col(idCol), col("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
+  /** Train-and-search convenience: PQ codebooks on the corpus itself,
+    * then ADC top-k — the one-call form the q_pq_adc oracle replays.
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int, m: Int = 4,
+             ksub: Int = 8, iters: Int = 2, dims: Int = 64,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    pqSearchAdc(embeddings,
+      pqCodebooks(embeddings, m, ksub, iters, dims, idCol, embCol),
+      queryId, k, dims, idCol, embCol)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings, then comparing pairs ONLY
