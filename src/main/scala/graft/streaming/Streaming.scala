@@ -303,6 +303,70 @@ object Streaming {
       }
   }
 
+  final case class AsofEvent(key: Long, ts: Long, isProbe: Boolean,
+                             id: Long, value: Double)
+  final case class AsofLatest(ts: Long, id: Long, value: Double)
+  final case class AsofEnriched(key: Long, id: Long, ts: Long,
+                                matchId: Long, matchTs: Long,
+                                value: Double, matched: Boolean)
+
+  /** Streaming as-of enrichment — the incremental form of
+    * [[graft.operators.AsofJoin.asofBackward]]: state rows and probe
+    * rows arrive on ONE keyed stream, and each probe is enriched with
+    * the latest state row at or before it. The kdb+ RTE / feed-handler
+    * pattern (quotes update a book, trades read it).
+    *
+    * State is exactly ONE (ts, id, value) per key — the latest state
+    * row applied — so state size tracks key cardinality, not stream
+    * length; an idle TTL (`ttlMs` > 0, processing-time) evicts cold
+    * keys. Within a micro-batch rows are replayed in (ts, side) order
+    * with state-before-probe at equal timestamps — bit-identical to
+    * the batch operator's ordering. ACROSS batches the contract is
+    * weaker than batch: a state row arriving in a later micro-batch
+    * than a probe it precedes in event time cannot retro-correct the
+    * already-emitted probe (exact event-time as-of needs
+    * watermark-horizon buffering of BOTH sides; run the batch operator
+    * over the lake for the reconciled answer — the standard
+    * lambda split).
+    */
+  def streamingAsofEnrich(events: Dataset[AsofEvent],
+                          ttlMs: Long = 0L): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    val useTtl = ttlMs > 0
+    val timeout = if (useTtl) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofLatest, AsofEnriched](
+        OutputMode.Append, timeout) {
+        (key: Long, rows: Iterator[AsofEvent], state: GroupState[AsofLatest]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // state before probe at equal ts: false < true
+            val ordered = rows.toVector.sortBy(e => (e.ts, e.isProbe))
+            val out = Vector.newBuilder[AsofEnriched]
+            var cur = state.getOption
+            ordered.foreach { e =>
+              if (!e.isProbe) {
+                // an out-of-order stale state row (older than what a
+                // prior batch applied) must not roll the book backward
+                if (cur.forall(_.ts <= e.ts))
+                  cur = Some(AsofLatest(e.ts, e.id, e.value))
+              } else out += (cur match {
+                case Some(s) =>
+                  AsofEnriched(key, e.id, e.ts, s.id, s.ts, s.value,
+                    matched = true)
+                case None =>
+                  AsofEnriched(key, e.id, e.ts, 0L, 0L, 0d, matched = false)
+              })
+            }
+            cur.foreach(state.update)
+            if (useTtl) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** The [[graft.functions.VectorKernels.dotQ]] loop over plain arrays
     * (state values are deserialized Array[Long], not ArrayData) — same
     * exact-overflow contract.

@@ -258,4 +258,39 @@ class StreamingSpec extends SparkSpec {
     assert(b3.map(c => (c.vecA, c.vecB)).sorted.toSeq ===
       Seq((5L, 10L), (10L, 20L), (10L, 40L)))
   }
+
+  test("streamingAsofEnrich carries one latest-state row per key across batches") {
+    import Streaming.AsofEvent
+    val input = MemoryStream[AsofEvent](spark)
+    val q = Streaming.streamingAsofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asofe")
+      .outputMode("append").start()
+    def st(key: Long, ts: Long, id: Long, v: Double) =
+      AsofEvent(key, ts, isProbe = false, id, v)
+    def pr(key: Long, ts: Long, id: Long) =
+      AsofEvent(key, ts, isProbe = true, id, 0d)
+
+    // batch 1: out-of-order arrival inside the batch — replay is
+    // ts-ordered, state-before-probe at equal ts
+    input.addData(pr(1L, 25L, 100L), st(1L, 10L, 7L, 1.0),
+      st(1L, 20L, 8L, 2.0), pr(1L, 20L, 101L), pr(1L, 5L, 102L),
+      pr(2L, 50L, 103L))
+    q.processAllAvailable()
+    val b1 = spark.table("asofe").as[Streaming.AsofEnriched].collect()
+      .map(e => e.id -> ((e.matchId, e.value, e.matched))).toMap
+    assert(b1(100L) === ((8L, 2.0, true)))
+    assert(b1(101L) === ((8L, 2.0, true))) // equal ts: state visible
+    assert(b1(102L) === ((0L, 0.0, false))) // before any state
+    assert(b1(103L) === ((0L, 0.0, false))) // key with no state
+
+    // batch 2: the carried state survives; a stale state row (older
+    // than the applied one) must not roll the book backward
+    input.addData(pr(1L, 30L, 104L), st(1L, 15L, 9L, 9.0), pr(1L, 31L, 105L))
+    q.processAllAvailable()
+    val b2 = spark.table("asofe").as[Streaming.AsofEnriched].collect()
+      .map(e => e.id -> ((e.matchId, e.value))).toMap
+    q.stop()
+    assert(b2(104L) === ((8L, 2.0))) // batch-1 state carried
+    assert(b2(105L) === ((8L, 2.0))) // stale ts=15 row ignored
+  }
 }
