@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, LogOps}
+import graft.operators.{AsofJoin, LogOps, RangeJoin}
 import graft.ops.Similarity
 
 /** Set-operation / join-breadth / offset-semantics queries
@@ -150,8 +150,30 @@ object RelationalQueries {
         col("view_value"))
   }
 
+  /** Interval join: every click within 6 hours AFTER an error by the
+    * same user — bucket-decomposed ([[RangeJoin]]), so the range
+    * predicate runs as an equi-join on (user, time bucket), never a
+    * nested-loop. Bucket width = the interval length (6 h), so each
+    * interval lands in at most 2 buckets.
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val win = 21600000000L // 6 h in micros
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts0"))
+      .withColumn("ts1", col("ts0") + win)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tc"))
+    RangeJoin.pointInInterval(clicks, errs, "tc", "ts0", "ts1",
+        keyCols = Seq("user_id"), bucketWidth = win)
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
+    "q_interval_join" -> (qIntervalJoin _),
     "q_rollup" -> (qRollup _),
     "q_topk_per_group" -> (qTopKPerGroup _),
     "q_exists" -> (qExists _),
@@ -168,6 +190,17 @@ object RelationalQueries {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_join" ->
+      """WITH err AS (
+        |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS ts0
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (
+        |  SELECT event_id AS click_id, user_id AS cu, epoch_us(ts) AS tc
+        |  FROM events WHERE event_type = 'click')
+        |SELECT error_id, click_id, user_id
+        |FROM err JOIN clk ON user_id = cu
+        |  AND tc BETWEEN ts0 AND ts0 + 21600000000""".stripMargin,
+
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events
