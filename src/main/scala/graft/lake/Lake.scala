@@ -156,6 +156,44 @@ object Lake {
         .save(path)
     }
 
+  /** Write a catalog table hash-bucketed (and optionally sorted) on
+    * the join key — the co-located-join layout: two tables bucketed on
+    * the same key with the same bucket count join with ZERO Exchange,
+    * because each task reads the matching bucket file from both sides.
+    * At 100 TB this converts the recurring fact-fact shuffle — the
+    * single most expensive stage of a repeated pipeline — into a
+    * one-time layout cost at write, which is why warehouse fact tables
+    * bucket on their primary join key. Spark persists bucketing
+    * metadata in the catalog, so readers must use `spark.table(name)`
+    * (a plain directory read sees data files but not the bucket spec).
+    *
+    * `sortCols` keeps each bucket file internally sorted (faster
+    * range/min-max pruning within the file). Spark ≥ 3.0 still plans a
+    * per-bucket Sort under a sort-merge join even then (SPARK-28595
+    * stopped trusting file order by default; the opt-back-in is
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering`) — that sort
+    * is per-bucket and spill-free, the eliminated Exchange is the
+    * scale item.
+    */
+  def writeBucketed(df: DataFrame, tableName: String,
+                    bucketCols: Seq[String], nBuckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    path: Option[String] = None,
+                    mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty && nBuckets > 0,
+      s"bucketed write needs cols + buckets, got $bucketCols/$nBuckets")
+    // one writer task per bucket (repartition uses the same murmur3
+    // hash as the bucket spec): otherwise every writer task emits its
+    // own file per bucket and Spark distrusts the per-file sortBy
+    // metadata — the join re-sorts and the zero-sort layout win is lost
+    val data = df.repartition(nBuckets, bucketCols.map(col): _*)
+    var w = data.write.format("parquet").mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(tableName)
+  }
+
   /** Maintenance: OPTIMIZE-compact analog — rewrite a table directory
     * bin-packing to ~targetFileMB files, optionally Z-ordering within
     * partitions (reference `maintain`, `lake.rs:228-253`).

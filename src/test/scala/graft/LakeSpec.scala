@@ -81,4 +81,35 @@ class LakeSpec extends SparkSpec {
     assert(outFiles <= 2, s"tiny table rewritten into $outFiles files")
     assert(spark.read.parquet(path).count() === 1000)
   }
+
+  test("co-bucketed tables join with zero Exchange") {
+    import spark.implicits._
+    val facts = (0 until 2000).map(i => (i.toLong % 97, i.toLong, i * 2.5))
+      .toDF("k", "seq", "amount")
+    val dims = (0 until 500).map(i => (i.toLong % 97, s"name$i"))
+      .toDF("k", "name")
+    Lake.writeBucketed(facts, "bk_facts", Seq("k"), nBuckets = 8,
+      sortCols = Seq("k"))
+    Lake.writeBucketed(dims, "bk_dims", Seq("k"), nBuckets = 8,
+      sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the SMJ path: broadcast would hide the layout win
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_facts").join(spark.table("bk_dims"), "k")
+      val expect = facts.join(dims, "k").count()
+      assert(joined.count() === expect)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still shuffled:\n${plan.take(600)}")
+      // the per-bucket Sort stays (SPARK-28595: file order untrusted by
+      // default); the scan must still be bucket-aware on both sides
+      assert("Bucketed: true".r.findAllIn(plan).size === 2, plan.take(600))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
 }
