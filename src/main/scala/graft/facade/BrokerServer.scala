@@ -7,7 +7,7 @@ import java.util.concurrent.Executors
 import scala.util.control.NonFatal
 import org.apache.spark.sql.functions._
 import graft.functions.RecordBatchCodec
-import graft.model.Model.Topition
+import graft.model.Model.{ErrorCode, Topition}
 import graft.storage.Storage
 
 /** S1/S2 — minimal Kafka-wire TCP facade over a [[Storage]] engine:
@@ -16,7 +16,7 @@ import graft.storage.Storage
   * `nisshi-service/src/stream.rs:41-133` per-conn service,
   * `nisshi-broker/src/service.rs:36-60` route).
   *
-  * Serves 39 APIs (see [[WireProtocol.SupportedApis]]): the
+  * Serves 46 APIs (see [[WireProtocol.SupportedApis]]): the
   * produce/fetch/offsets data plane, the full consumer-group membership
   * flow (FindCoordinator → JoinGroup → SyncGroup → Heartbeat →
   * LeaveGroup, backed by [[graft.coordinator.GroupCoordinator]] —
@@ -26,7 +26,11 @@ import graft.storage.Storage
   * (CreateTopics/DeleteTopics/DescribeConfigs/IncrementalAlterConfigs),
   * the transactional flows (InitProducerId → AddPartitionsToTxn /
   * AddOffsetsToTxn → Produce/TxnOffsetCommit → EndTxn), ACL and SCRAM
-  * credential admin, and the cluster-introspection set (DescribeCluster,
+  * credential admin, legacy full-set AlterConfigs, CreatePartitions,
+  * durable client quotas (Describe/AlterClientQuotas feed the produce
+  * throttle), the KIP-664 introspection plane (DescribeProducers,
+  * DescribeTransactions, ListTransactions), and the
+  * cluster-introspection set (DescribeCluster,
   * DescribeTopicPartitions, ConsumerGroupDescribe,
   * ListPartitionReassignments, GetTelemetrySubscriptions).
   *
@@ -615,6 +619,135 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           if (requested.isEmpty) metadataTopics(None).sortBy(_._1)
           else metadataTopics(Some(requested))
         writeDescribeTopicPartitionsResponse(out, topics)
+      case 33 =>
+        // LEGACY full-set alter: the submitted config REPLACES the
+        // topic's whole dynamic config (pre-KIP-339 semantics)
+        val v = header.apiVersion.toInt
+        val (resources, validateOnly) = readAlterConfigs(buf, v)
+        val results = resources.map { case (rt, rn, cfgs) =>
+          if (rt != 2) (42.toShort, "unsupported resource type", rt, rn)
+          else if (!storage.topics.contains(rn))
+            (3.toShort, "unknown topic", rt, rn)
+          else {
+            if (!validateOnly) {
+              val existing = storage.topicConfig(rn).keys.toSeq
+              storage.alterTopicConfig(rn, cfgs.toMap,
+                existing.filterNot(cfgs.map(_._1).contains))
+            }
+            (0.toShort, null: String, rt, rn)
+          }
+        }
+        writeAlterConfigsResponse(out, results, v)
+      case 37 =>
+        val v = header.apiVersion.toInt
+        val (reqTopics, validateOnly) = readCreatePartitions(buf, v)
+        val results = reqTopics.map { case (t, count) =>
+          val err =
+            if (validateOnly) {
+              val cur = storage.partitionCount(t)
+              if (!storage.topics.contains(t)) ErrorCode.UnknownTopicOrPartition
+              else if (count <= cur) ErrorCode.InvalidPartitions
+              else ErrorCode.None
+            } else storage.increasePartitions(t, count)
+          val msg = err match {
+            case ErrorCode.UnknownTopicOrPartition => "unknown topic"
+            case ErrorCode.InvalidPartitions =>
+              "partition count must exceed the current count"
+            case _ => null
+          }
+          (t, err.toShort, msg)
+        }
+        writeCreatePartitionsResponse(out, results, v)
+      case 61 =>
+        val reqTopics = readDescribeProducers(buf)
+        val topics = reqTopics.map { case (t, parts) =>
+          val known = storage.topics.contains(t)
+          (t, parts.map { p =>
+            if (!known) (p, 3.toShort, Nil)
+            else (p, 0.toShort,
+              storage.describeProducers(Topition(t, p)).map {
+                case (pid, epoch, lastSeq, txnStart) =>
+                  // last_timestamp/coordinator_epoch: not tracked by the
+                  // single-node store — wire sentinels, like Kafka's -1
+                  (pid, epoch, lastSeq, -1L, 0, txnStart)
+              })
+          })
+        }
+        writeDescribeProducersResponse(out, topics)
+      case 65 =>
+        val ids = readDescribeTransactions(buf)
+        val states = ids.map { id =>
+          storage.describeTransaction(id) match {
+            case Some(d) =>
+              val topics = d.partitions.groupBy(_.topic).toSeq.sortBy(_._1)
+                .map { case (t, tps) => (t, tps.map(_.partition).sorted) }
+              (0.toShort, d.txnId, d.state, d.timeoutMs, d.startTimeMs,
+                d.producerId, d.producerEpoch.toShort, topics)
+            case None =>
+              (ErrorCode.TransactionalIdNotFound.toShort, id, "", 0, -1L,
+                -1L, (-1).toShort, Nil)
+          }
+        }
+        writeDescribeTransactionsResponse(out, states)
+      case 66 =>
+        val v = header.apiVersion.toInt
+        val (stateFilters, pidFilters, minDurationMs) =
+          readListTransactions(buf, v)
+        val validStates = Set("Ongoing", "PrepareCommit", "PrepareAbort",
+          "CompleteCommit", "CompleteAbort", "Empty", "Dead",
+          "PrepareEpochFence")
+        val unknown = stateFilters.filterNot(validStates.contains)
+        val now = System.currentTimeMillis()
+        val states = storage.listTransactions()
+          .filter { case (_, pid, st) =>
+            (stateFilters.isEmpty || stateFilters.contains(st)) &&
+            (pidFilters.isEmpty || pidFilters.contains(pid))
+          }
+          .filter { case (id, _, _) =>
+            minDurationMs <= 0 || storage.describeTransaction(id)
+              .exists(d => d.startTimeMs > 0 && now - d.startTimeMs >= minDurationMs)
+          }
+        writeListTransactionsResponse(out, unknown, states)
+      case 48 =>
+        val v = header.apiVersion.toInt
+        val (comps, strict) = readDescribeClientQuotas(buf, v)
+        val entries = storage.listClientQuotas().toSeq
+          .sortBy { case ((et, en), _) => (et, en.getOrElse("")) }
+          .filter { case ((et, en), _) =>
+            // every component must accept the entry; our entries carry
+            // exactly one entity, so a component naming another type
+            // matches only when non-strict (absent type = default)
+            comps.forall { case (cet, matchType, m) =>
+              if (cet != et) !strict
+              else matchType match {
+                case 0 => en.contains(m) // exact
+                case 1 => en.isEmpty     // default entity
+                case _ => true           // any
+              }
+            }
+          }
+          .map { case ((et, en), vals) =>
+            (Seq((et, en.orNull)), vals.toSeq.sortBy(_._1))
+          }
+        writeDescribeClientQuotasResponse(out, entries, v)
+      case 49 =>
+        val v = header.apiVersion.toInt
+        val (entries, validateOnly) = readAlterClientQuotas(buf, v)
+        val results = entries.map { case (entity, ops) =>
+          if (entity.size != 1)
+            (42.toShort, "exactly one entity per entry supported", entity)
+          else {
+            if (!validateOnly) {
+              val (et, en) = entity.head
+              storage.alterClientQuotas(Seq(((et, Option(en)),
+                ops.map { case (k, x, rm) =>
+                  (k, if (rm) None else Some(x)) })))
+              reloadDynamicQuota()
+            }
+            (0.toShort, null: String, entity)
+          }
+        }
+        writeAlterClientQuotasResponse(out, results, v)
       case other =>
         throw new UnsupportedOperationException(s"api_key $other not served")
     }
@@ -799,21 +932,32 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   // T10 — produce byte quota (the Kafka client-quota mechanism): bytes
   // are counted over a sliding 1-second window; past the quota the
   // response carries throttle_time_ms telling the client to back off.
+  // The rate is the constructor default unless the durable quota store
+  // (AlterClientQuotas) carries a producer_byte_rate — the tightest
+  // stored rate wins. Single-node caveat, documented: one aggregate
+  // window, so per-entity rates gate the TOTAL inflow at the strictest
+  // configured value rather than metering each client separately.
   private val quotaWindowStart =
     new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
   private val quotaWindowBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var dynamicProduceQuota: Option[Long] = None
+  private def reloadDynamicQuota(): Unit =
+    dynamicProduceQuota = storage.listClientQuotas().valuesIterator
+      .flatMap(_.get("producer_byte_rate")).reduceOption(_ min _)
+      .map(_.toLong)
+  reloadDynamicQuota() // stored quotas survive restart
 
   private def produceThrottleMs(bytes: Long): Int = {
-    if (produceQuotaBytesPerSec == Long.MaxValue) return 0
+    val rate = dynamicProduceQuota.getOrElse(produceQuotaBytesPerSec)
+    if (rate == Long.MaxValue) return 0
     val now = System.currentTimeMillis()
     if (now - quotaWindowStart.get() >= 1000) {
       quotaWindowStart.set(now)
       quotaWindowBytes.set(0)
     }
     val total = quotaWindowBytes.addAndGet(bytes)
-    if (total <= produceQuotaBytesPerSec) 0
-    else (((total - produceQuotaBytesPerSec) * 1000) /
-      math.max(produceQuotaBytesPerSec, 1L)).toInt
+    if (total <= rate) 0
+    else (((total - rate) * 1000) / math.max(rate, 1L)).toInt
   }
 
   /** Per-topic metadata rows: explicitly requested topics that don't

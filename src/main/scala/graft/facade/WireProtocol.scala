@@ -3,7 +3,7 @@ package graft.facade
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Kafka wire-protocol codec for the 39 APIs the facade serves —
+/** Kafka wire-protocol codec for the 46 APIs the facade serves —
   * hand-written counterpart of the reference's codegen'd ser/de
   * (`nisshi-sans-io/src/ser.rs`, `de.rs`, driven by the 185 protocol
   * JSONs in `nisshi-sans-io/message/`). Every version ApiVersions
@@ -202,15 +202,22 @@ object WireProtocol {
       case (29, v) => v >= 2 // DescribeAcls
       case (30, v) => v >= 2 // CreateAcls
       case (32, v) => v >= 4 // DescribeConfigs
+      case (33, v) => v >= 2 // AlterConfigs
       case (36, v) => v >= 2 // SaslAuthenticate
+      case (37, v) => v >= 2 // CreatePartitions
       case (42, v) => v >= 2 // DeleteGroups
       case (43, v) => v >= 2 // ElectLeaders
       case (44, v) => v >= 1 // IncrementalAlterConfigs
       case (45, _) => true   // AlterPartitionReassignments
       case (46, _) => true   // ListPartitionReassignments
+      case (48, v) => v >= 1 // DescribeClientQuotas
+      case (49, v) => v >= 1 // AlterClientQuotas
       case (50, _) => true   // DescribeUserScramCredentials
       case (51, _) => true   // AlterUserScramCredentials
       case (60, _) => true   // DescribeCluster
+      case (61, _) => true   // DescribeProducers
+      case (65, _) => true   // DescribeTransactions
+      case (66, _) => true   // ListTransactions
       case (69, _) => true   // ConsumerGroupDescribe
       case (71, _) => true   // GetTelemetrySubscriptions
       case (75, _) => true   // DescribeTopicPartitions
@@ -1760,9 +1767,11 @@ object WireProtocol {
     (8, 0, 8), (9, 0, 7), (10, 0, 4), (11, 0, 6), (12, 0, 4), (13, 0, 4),
     (14, 0, 4), (15, 0, 5), (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7),
     (20, 0, 6), (21, 0, 2), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
-    (28, 0, 3), (29, 0, 3), (30, 0, 3), (32, 0, 4), (36, 0, 2), (42, 0, 2),
+    (28, 0, 3), (29, 0, 3), (30, 0, 3), (32, 0, 4), (33, 0, 2), (36, 0, 2),
+    (37, 0, 3), (42, 0, 2),
     (43, 0, 2), (44, 0, 1), (45, 0, 0),
-    (46, 0, 0), (47, 0, 0), (50, 0, 0), (51, 0, 0), (60, 0, 1),
+    (46, 0, 0), (47, 0, 0), (48, 0, 1), (49, 0, 1), (50, 0, 0), (51, 0, 0),
+    (60, 0, 1), (61, 0, 0), (65, 0, 0), (66, 0, 1),
     (69, 0, 0), (71, 0, 0), (75, 0, 0))
 
   /** DeleteGroups v0-v2 (42): [group] → throttle [group error]
@@ -3581,6 +3590,472 @@ object WireProtocol {
       readCompactString(buf); buf.getInt; skipTaggedFields(buf)
     }
     if (buf.hasRemaining) skipTaggedFields(buf)
+    r
+  }
+  // ------------------------------------------------ round-8 admin breadth
+
+  /** AlterConfigs v0-v2 (33) — the LEGACY full-set alter: the submitted
+    * config REPLACES the resource's whole dynamic config (Kafka's
+    * pre-KIP-339 semantics, which is why IncrementalAlterConfigs
+    * exists). Flexible v2+.
+    */
+  def readAlterConfigs(buf: ByteBuffer, version: Int = 0)
+      : (Seq[(Byte, String, Seq[(String, String)])], Boolean) = {
+    val c = new Codec(version >= 2)
+    val res = (0 until c.len(buf)).map { _ =>
+      val rt = buf.get()
+      val rn = c.str(buf)
+      val cfgs = (0 until c.len(buf)).map { _ =>
+        val kv = (c.str(buf), c.str(buf)); c.tags(buf); kv
+      }
+      c.tags(buf)
+      (rt, rn, cfgs)
+    }
+    val validateOnly = buf.get() != 0
+    c.tags(buf)
+    (res, validateOnly)
+  }
+
+  def writeAlterConfigs(buf: ByteBuffer,
+                        res: Seq[(Byte, String, Seq[(String, String)])],
+                        validateOnly: Boolean, version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    c.putLen(buf, res.size)
+    res.foreach { case (rt, rn, cfgs) =>
+      buf.put(rt); c.putStr(buf, rn)
+      c.putLen(buf, cfgs.size)
+      cfgs.foreach { case (k, v) =>
+        c.putStr(buf, k); c.putStr(buf, v); c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    buf.put(if (validateOnly) 1.toByte else 0.toByte)
+    c.putTags(buf)
+  }
+
+  def writeAlterConfigsResponse(buf: ByteBuffer,
+                                results: Seq[(Short, String, Byte, String)],
+                                version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
+    results.foreach { case (err, msg, rt, rn) =>
+      buf.putShort(err); c.putStr(buf, msg); buf.put(rt); c.putStr(buf, rn)
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readAlterConfigsResponse(buf: ByteBuffer, version: Int = 0)
+      : Seq[(Short, String, Byte, String)] = {
+    val c = new Codec(version >= 2)
+    buf.getInt // throttle
+    val r = (0 until c.len(buf)).map { _ =>
+      val e = (buf.getShort, c.str(buf), buf.get(), c.str(buf))
+      c.tags(buf); e
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** CreatePartitions v0-v3 (37): grow a topic's partition count.
+    * Placement assignments are read and ignored (single stateless
+    * node). Flexible v2+.
+    */
+  def readCreatePartitions(buf: ByteBuffer, version: Int = 0)
+      : (Seq[(String, Int)], Boolean) = {
+    val c = new Codec(version >= 2)
+    val topics = (0 until c.len(buf)).map { _ =>
+      val name = c.str(buf)
+      val count = buf.getInt
+      val nAssign = c.len(buf)
+      if (nAssign > 0) (0 until nAssign).foreach { _ =>
+        (0 until c.len(buf)).foreach(_ => buf.getInt)
+        c.tags(buf)
+      }
+      c.tags(buf)
+      (name, count)
+    }
+    buf.getInt // timeout_ms
+    val validateOnly = buf.get() != 0
+    c.tags(buf)
+    (topics, validateOnly)
+  }
+
+  def writeCreatePartitions(buf: ByteBuffer, topics: Seq[(String, Int)],
+                            validateOnly: Boolean, version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    c.putLen(buf, topics.size)
+    topics.foreach { case (t, n) =>
+      c.putStr(buf, t); buf.putInt(n)
+      c.putLen(buf, -1) // null assignments
+      c.putTags(buf)
+    }
+    buf.putInt(30000)
+    buf.put(if (validateOnly) 1.toByte else 0.toByte)
+    c.putTags(buf)
+  }
+
+  def writeCreatePartitionsResponse(buf: ByteBuffer,
+                                    results: Seq[(String, Short, String)],
+                                    version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    buf.putInt(0) // throttle
+    c.putLen(buf, results.size)
+    results.foreach { case (t, err, msg) =>
+      c.putStr(buf, t); buf.putShort(err); c.putStr(buf, msg); c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readCreatePartitionsResponse(buf: ByteBuffer, version: Int = 0)
+      : Seq[(String, Short, String)] = {
+    val c = new Codec(version >= 2)
+    buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val e = (c.str(buf), buf.getShort, c.str(buf)); c.tags(buf); e
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** DescribeProducers v0 (61, KIP-664): per-partition active
+    * idempotent-producer state. Flexible from v0.
+    */
+  def readDescribeProducers(buf: ByteBuffer): Seq[(String, Seq[Int])] = {
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val parts = (0 until readCompactArrayLen(buf)).map(_ => buf.getInt)
+      skipTaggedFields(buf)
+      (t, parts)
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  def writeDescribeProducers(buf: ByteBuffer,
+                             topics: Seq[(String, Seq[Int])]): Unit = {
+    writeCompactArrayLen(buf, topics.size)
+    topics.foreach { case (t, parts) =>
+      writeCompactString(buf, t)
+      writeCompactArrayLen(buf, parts.size)
+      parts.foreach(buf.putInt)
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  /** One active producer row: (producerId, epoch, lastSequence,
+    * lastTimestamp, coordinatorEpoch, currentTxnStartOffset).
+    */
+  type ProducerRow = (Long, Int, Int, Long, Int, Long)
+
+  def writeDescribeProducersResponse(
+      buf: ByteBuffer,
+      topics: Seq[(String, Seq[(Int, Short, Seq[ProducerRow])])]): Unit = {
+    buf.putInt(0) // throttle
+    writeCompactArrayLen(buf, topics.size)
+    topics.foreach { case (t, parts) =>
+      writeCompactString(buf, t)
+      writeCompactArrayLen(buf, parts.size)
+      parts.foreach { case (p, err, producers) =>
+        buf.putInt(p); buf.putShort(err)
+        writeCompactString(buf, null) // error_message
+        writeCompactArrayLen(buf, producers.size)
+        producers.foreach { case (pid, epoch, lastSeq, lastTs, ce, txnStart) =>
+          buf.putLong(pid); buf.putInt(epoch); buf.putInt(lastSeq)
+          buf.putLong(lastTs); buf.putInt(ce); buf.putLong(txnStart)
+          writeEmptyTaggedFields(buf)
+        }
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readDescribeProducersResponse(buf: ByteBuffer)
+      : Seq[(String, Seq[(Int, Short, Seq[ProducerRow])])] = {
+    buf.getInt
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val t = readCompactString(buf)
+      val parts = (0 until readCompactArrayLen(buf)).map { _ =>
+        val p = buf.getInt
+        val err = buf.getShort
+        readCompactString(buf)
+        val producers = (0 until readCompactArrayLen(buf)).map { _ =>
+          val row = (buf.getLong, buf.getInt, buf.getInt, buf.getLong,
+            buf.getInt, buf.getLong)
+          skipTaggedFields(buf)
+          row
+        }
+        skipTaggedFields(buf)
+        (p, err, producers)
+      }
+      skipTaggedFields(buf)
+      (t, parts)
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  /** DescribeTransactions v0 (65, KIP-664). Flexible from v0. */
+  def readDescribeTransactions(buf: ByteBuffer): Seq[String] = {
+    val r = (0 until readCompactArrayLen(buf)).map(_ => readCompactString(buf))
+    skipTaggedFields(buf)
+    r
+  }
+
+  def writeDescribeTransactions(buf: ByteBuffer, ids: Seq[String]): Unit = {
+    writeCompactArrayLen(buf, ids.size)
+    ids.foreach(writeCompactString(buf, _))
+    writeEmptyTaggedFields(buf)
+  }
+
+  /** One transaction state row: (error, txnId, state, timeoutMs,
+    * startTimeMs, producerId, producerEpoch, topics -> partitions).
+    */
+  type TxnStateRow =
+    (Short, String, String, Int, Long, Long, Short, Seq[(String, Seq[Int])])
+
+  def writeDescribeTransactionsResponse(buf: ByteBuffer,
+                                        states: Seq[TxnStateRow]): Unit = {
+    buf.putInt(0) // throttle
+    writeCompactArrayLen(buf, states.size)
+    states.foreach { case (err, id, st, tmo, t0, pid, epoch, topics) =>
+      buf.putShort(err)
+      writeCompactString(buf, id)
+      writeCompactString(buf, st)
+      buf.putInt(tmo); buf.putLong(t0); buf.putLong(pid); buf.putShort(epoch)
+      writeCompactArrayLen(buf, topics.size)
+      topics.foreach { case (t, parts) =>
+        writeCompactString(buf, t)
+        writeCompactArrayLen(buf, parts.size)
+        parts.foreach(buf.putInt)
+        writeEmptyTaggedFields(buf)
+      }
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readDescribeTransactionsResponse(buf: ByteBuffer): Seq[TxnStateRow] = {
+    buf.getInt
+    val r = (0 until readCompactArrayLen(buf)).map { _ =>
+      val err = buf.getShort
+      val id = readCompactString(buf)
+      val st = readCompactString(buf)
+      val tmo = buf.getInt
+      val t0 = buf.getLong
+      val pid = buf.getLong
+      val epoch = buf.getShort
+      val topics = (0 until readCompactArrayLen(buf)).map { _ =>
+        val t = readCompactString(buf)
+        val parts = (0 until readCompactArrayLen(buf)).map(_ => buf.getInt)
+        skipTaggedFields(buf)
+        (t, parts)
+      }
+      skipTaggedFields(buf)
+      (err, id, st, tmo, t0, pid, epoch, topics)
+    }
+    skipTaggedFields(buf)
+    r
+  }
+
+  /** ListTransactions v0-v1 (66, KIP-664): v1 adds a duration filter
+    * (read and honoured against the txn start time). Flexible from v0.
+    */
+  def readListTransactions(buf: ByteBuffer, version: Int = 0)
+      : (Seq[String], Seq[Long], Long) = {
+    val states = (0 until readCompactArrayLen(buf)).map(_ => readCompactString(buf))
+    val pids = (0 until readCompactArrayLen(buf)).map(_ => buf.getLong)
+    val minDuration = if (version >= 1) buf.getLong else -1L
+    skipTaggedFields(buf)
+    (states, pids, minDuration)
+  }
+
+  def writeListTransactions(buf: ByteBuffer, stateFilters: Seq[String],
+                            pidFilters: Seq[Long], minDurationMs: Long = -1L,
+                            version: Int = 0): Unit = {
+    writeCompactArrayLen(buf, stateFilters.size)
+    stateFilters.foreach(writeCompactString(buf, _))
+    writeCompactArrayLen(buf, pidFilters.size)
+    pidFilters.foreach(buf.putLong)
+    if (version >= 1) buf.putLong(minDurationMs)
+    writeEmptyTaggedFields(buf)
+  }
+
+  def writeListTransactionsResponse(buf: ByteBuffer,
+                                    unknownStateFilters: Seq[String],
+                                    states: Seq[(String, Long, String)]): Unit = {
+    buf.putInt(0) // throttle
+    buf.putShort(0) // error_code
+    writeCompactArrayLen(buf, unknownStateFilters.size)
+    unknownStateFilters.foreach(writeCompactString(buf, _))
+    writeCompactArrayLen(buf, states.size)
+    states.foreach { case (id, pid, st) =>
+      writeCompactString(buf, id); buf.putLong(pid); writeCompactString(buf, st)
+      writeEmptyTaggedFields(buf)
+    }
+    writeEmptyTaggedFields(buf)
+  }
+
+  def readListTransactionsResponse(buf: ByteBuffer)
+      : (Seq[String], Seq[(String, Long, String)]) = {
+    buf.getInt; buf.getShort
+    val unknown = (0 until readCompactArrayLen(buf)).map(_ => readCompactString(buf))
+    val states = (0 until readCompactArrayLen(buf)).map { _ =>
+      val e = (readCompactString(buf), buf.getLong, readCompactString(buf))
+      skipTaggedFields(buf)
+      e
+    }
+    skipTaggedFields(buf)
+    (unknown, states)
+  }
+
+  /** DescribeClientQuotas v0-v1 (48): component filters over the quota
+    * entity space. match_type: 0 = exact name, 1 = default entity,
+    * 2 = any. Flexible v1+.
+    */
+  def readDescribeClientQuotas(buf: ByteBuffer, version: Int = 0)
+      : (Seq[(String, Byte, String)], Boolean) = {
+    val c = new Codec(version >= 1)
+    val comps = (0 until c.len(buf)).map { _ =>
+      val e = (c.str(buf), buf.get(), c.str(buf)); c.tags(buf); e
+    }
+    val strict = buf.get() != 0
+    c.tags(buf)
+    (comps, strict)
+  }
+
+  def writeDescribeClientQuotas(buf: ByteBuffer,
+                                comps: Seq[(String, Byte, String)],
+                                strict: Boolean, version: Int = 0): Unit = {
+    val c = new Codec(version >= 1)
+    c.putLen(buf, comps.size)
+    comps.foreach { case (et, mt, m) =>
+      c.putStr(buf, et); buf.put(mt); c.putStr(buf, m); c.putTags(buf)
+    }
+    buf.put(if (strict) 1.toByte else 0.toByte)
+    c.putTags(buf)
+  }
+
+  def writeDescribeClientQuotasResponse(
+      buf: ByteBuffer,
+      entries: Seq[(Seq[(String, String)], Seq[(String, Double)])],
+      version: Int = 0): Unit = {
+    val c = new Codec(version >= 1)
+    buf.putInt(0) // throttle
+    buf.putShort(0) // error
+    c.putStr(buf, null) // error_message
+    c.putLen(buf, entries.size)
+    entries.foreach { case (entity, values) =>
+      c.putLen(buf, entity.size)
+      entity.foreach { case (et, en) =>
+        c.putStr(buf, et); c.putStr(buf, en); c.putTags(buf)
+      }
+      c.putLen(buf, values.size)
+      values.foreach { case (k, v) =>
+        c.putStr(buf, k); buf.putDouble(v); c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readDescribeClientQuotasResponse(buf: ByteBuffer, version: Int = 0)
+      : Seq[(Seq[(String, String)], Seq[(String, Double)])] = {
+    val c = new Codec(version >= 1)
+    buf.getInt; buf.getShort; c.str(buf)
+    val r = (0 until c.len(buf)).map { _ =>
+      val entity = (0 until c.len(buf)).map { _ =>
+        val e = (c.str(buf), c.str(buf)); c.tags(buf); e
+      }
+      val values = (0 until c.len(buf)).map { _ =>
+        val v = (c.str(buf), buf.getDouble); c.tags(buf); v
+      }
+      c.tags(buf)
+      (entity, values)
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** AlterClientQuotas v0-v1 (49): per-entity quota upserts/removes.
+    * Flexible v1+.
+    */
+  def readAlterClientQuotas(buf: ByteBuffer, version: Int = 0)
+      : (Seq[(Seq[(String, String)], Seq[(String, Double, Boolean)])], Boolean) = {
+    val c = new Codec(version >= 1)
+    val entries = (0 until c.len(buf)).map { _ =>
+      val entity = (0 until c.len(buf)).map { _ =>
+        val e = (c.str(buf), c.str(buf)); c.tags(buf); e
+      }
+      val ops = (0 until c.len(buf)).map { _ =>
+        val o = (c.str(buf), buf.getDouble, buf.get() != 0); c.tags(buf); o
+      }
+      c.tags(buf)
+      (entity, ops)
+    }
+    val validateOnly = buf.get() != 0
+    c.tags(buf)
+    (entries, validateOnly)
+  }
+
+  def writeAlterClientQuotas(
+      buf: ByteBuffer,
+      entries: Seq[(Seq[(String, String)], Seq[(String, Double, Boolean)])],
+      validateOnly: Boolean, version: Int = 0): Unit = {
+    val c = new Codec(version >= 1)
+    c.putLen(buf, entries.size)
+    entries.foreach { case (entity, ops) =>
+      c.putLen(buf, entity.size)
+      entity.foreach { case (et, en) =>
+        c.putStr(buf, et); c.putStr(buf, en); c.putTags(buf)
+      }
+      c.putLen(buf, ops.size)
+      ops.foreach { case (k, v, rm) =>
+        c.putStr(buf, k); buf.putDouble(v)
+        buf.put(if (rm) 1.toByte else 0.toByte); c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    buf.put(if (validateOnly) 1.toByte else 0.toByte)
+    c.putTags(buf)
+  }
+
+  def writeAlterClientQuotasResponse(
+      buf: ByteBuffer,
+      entries: Seq[(Short, String, Seq[(String, String)])],
+      version: Int = 0): Unit = {
+    val c = new Codec(version >= 1)
+    buf.putInt(0) // throttle
+    c.putLen(buf, entries.size)
+    entries.foreach { case (err, msg, entity) =>
+      buf.putShort(err); c.putStr(buf, msg)
+      c.putLen(buf, entity.size)
+      entity.foreach { case (et, en) =>
+        c.putStr(buf, et); c.putStr(buf, en); c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readAlterClientQuotasResponse(buf: ByteBuffer, version: Int = 0)
+      : Seq[(Short, String, Seq[(String, String)])] = {
+    val c = new Codec(version >= 1)
+    buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val err = buf.getShort
+      val msg = c.str(buf)
+      val entity = (0 until c.len(buf)).map { _ =>
+        val e = (c.str(buf), c.str(buf)); c.tags(buf); e
+      }
+      c.tags(buf)
+      (err, msg, entity)
+    }
+    c.tags(buf)
     r
   }
 }

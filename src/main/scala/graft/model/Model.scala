@@ -134,7 +134,18 @@ object Model {
     val InvalidProducerEpoch = 47
     val InvalidTxnState = 48
     val UnknownProducerId = 59
+    val InvalidPartitions = 37
+    val TransactionalIdNotFound = 105
   }
+
+  /** One transactional id's coordinator state as DescribeTransactions
+    * reports it (KIP-664). `partitions` lists the OPEN transaction's
+    * partitions — empty once the txn completes, per Kafka semantics.
+    */
+  final case class TxnDescription(txnId: String, producerId: Long,
+                                  producerEpoch: Int, state: String,
+                                  startTimeMs: Long, timeoutMs: Int,
+                                  partitions: Seq[Topition])
 
   /** Topic configuration keys honoured by the engine (reference
     * `nisshi-schema/src/lake/delta.rs:210-291` `tansu.lake.*`).

@@ -937,6 +937,131 @@ final class ParquetStorage(spark: SparkSession, root: String,
 
   override def listAcls(): Seq[AclEntry] = loadAcls()
 
+  // -------------------------------------------- admin breadth (KIP-195/664/546)
+
+  override def increasePartitions(topic: String, newCount: Int): Int =
+    topicMeta(topic) match {
+      case None => ErrorCode.UnknownTopicOrPartition
+      case Some((parts, cfg)) =>
+        if (newCount <= parts) ErrorCode.InvalidPartitions
+        else {
+          topicsMap.put(topic, (newCount, cfg))
+          (parts until newCount).foreach { p =>
+            Files.createDirectories(Paths.get(partDir(Topition(topic, p))))
+          }
+          persistTopicMeta(topic, newCount, cfg)
+          ErrorCode.None
+        }
+    }
+
+  override def describeProducers(tp: Topition): Seq[(Long, Int, Int, Long)] = {
+    ensureProducersLoaded()
+    producerSeqs.toSeq
+      .collect { case ((pid, epoch, t), nextSeq) if t == tp =>
+        (pid, epoch, nextSeq) }
+      .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq // latest epoch per pid
+      .map { case (pid, epoch, nextSeq) =>
+        val txnStart =
+          if (txnStates.get(pid).contains(TxnState.Begin))
+            txns.get(pid).flatMap(_.get(tp)).map(_._1).getOrElse(-1L)
+          else -1L
+        (pid, epoch, nextSeq - 1, txnStart)
+      }.sortBy(_._1)
+  }
+
+  private def txnStateName(pid: Long): String =
+    txnStates.get(pid) match {
+      case Some(TxnState.Begin) => "Ongoing"
+      case Some(TxnState.PrepareCommit) => "PrepareCommit"
+      case Some(TxnState.PrepareAbort) => "PrepareAbort"
+      case Some(TxnState.Committed) => "CompleteCommit"
+      case Some(TxnState.Aborted) => "CompleteAbort"
+      case None => "Empty"
+    }
+
+  override def describeTransaction(txnId: String): Option[TxnDescription] = {
+    ensureProducersLoaded()
+    txnIds.get(txnId).map { pid =>
+      val open = txnStates.get(pid).contains(TxnState.Begin)
+      TxnDescription(txnId, pid, currentEpochs.getOrElse(pid, 0),
+        txnStateName(pid),
+        txnStartTimes.getOrElse(pid, -1L), txnTimeoutMs.toInt,
+        if (open)
+          txns.get(pid).map(_.keys.toSeq.sortBy(t => (t.topic, t.partition)))
+            .getOrElse(Nil)
+        else Nil)
+    }
+  }
+
+  override def listTransactions(): Seq[(String, Long, String)] = {
+    ensureProducersLoaded()
+    txnIds.toSeq.sortBy(_._1).map { case (id, pid) =>
+      (id, pid, txnStateName(pid))
+    }
+  }
+
+  // durable client quotas: quotas.json at the root, same recovery
+  // discipline as the ACL store
+  private val quotaLock = new Object
+  private def quotaFile = Paths.get(s"$root/quotas.json")
+  @volatile private var quotaCache:
+      Option[Map[(String, Option[String]), Map[String, Double]]] = None
+
+  private def loadQuotas(): Map[(String, Option[String]), Map[String, Double]] =
+    quotaCache.getOrElse(quotaLock.synchronized {
+      quotaCache.getOrElse {
+        import scala.jdk.CollectionConverters._
+        val loaded =
+          if (!Files.exists(quotaFile))
+            Map.empty[(String, Option[String]), Map[String, Double]]
+          else try {
+            jsonMapper.readTree(Files.readString(quotaFile)).elements().asScala
+              .map { n =>
+                val key = (n.path("et").asText(),
+                  if (n.hasNonNull("en")) Some(n.path("en").asText()) else None)
+                val vals = n.path("v").properties().asScala
+                  .map(e => e.getKey -> e.getValue.asDouble()).toMap
+                key -> vals
+              }.toMap
+          } catch { case scala.util.control.NonFatal(_) =>
+            Map.empty[(String, Option[String]), Map[String, Double]] }
+        quotaCache = Some(loaded)
+        loaded
+      }
+    })
+
+  override def alterClientQuotas(
+      entries: Seq[((String, Option[String]), Seq[(String, Option[Double])])])
+      : Unit = quotaLock.synchronized {
+    var next = loadQuotas()
+    entries.foreach { case (key, ops) =>
+      val cur = next.getOrElse(key, Map.empty)
+      val updated = ops.foldLeft(cur) {
+        case (m, (k, Some(v))) => m.updated(k, v)
+        case (m, (k, None)) => m - k
+      }
+      next = if (updated.isEmpty) next - key else next.updated(key, updated)
+    }
+    val arr = jsonMapper.createArrayNode()
+    next.toSeq.sortBy(e => (e._1._1, e._1._2.getOrElse(""))).foreach {
+      case ((et, en), vals) =>
+        val n = arr.addObject()
+        n.put("et", et)
+        en.foreach(n.put("en", _))
+        val v = n.putObject("v")
+        vals.toSeq.sortBy(_._1).foreach { case (k, x) => v.put(k, x) }
+        ()
+    }
+    val tmp = Paths.get(quotaFile.toString + ".tmp")
+    Files.writeString(tmp, jsonMapper.writeValueAsString(arr))
+    Files.move(tmp, quotaFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    quotaCache = Some(next)
+  }
+
+  override def listClientQuotas()
+      : Map[(String, Option[String]), Map[String, Double]] = loadQuotas()
+
   // ------------------------------------------------------------ transactions
 
   // Transactional identity and open-txn state are DURABLE (reference

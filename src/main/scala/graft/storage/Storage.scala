@@ -162,4 +162,36 @@ trait Storage {
     * `nisshi-storage/tests`).
     */
   def deleteRecords(tp: Topition, beforeOffset: Long): Long
+
+  // -- admin breadth (KIP-195 CreatePartitions, KIP-664 introspection,
+  //    KIP-546 client quotas)
+
+  /** Grow a topic's partition count. Returns an ErrorCode:
+    * UnknownTopicOrPartition when the topic is absent, InvalidPartitions
+    * when `newCount` does not exceed the current count.
+    */
+  def increasePartitions(topic: String, newCount: Int): Int
+
+  /** DescribeProducers: producers that have produced to `tp`, one row
+    * per producer at its latest epoch — (producerId, epoch,
+    * lastSequence, currentTxnStartOffset or -1).
+    */
+  def describeProducers(tp: Topition): Seq[(Long, Int, Int, Long)]
+
+  /** DescribeTransactions: one transactional id's coordinator state. */
+  def describeTransaction(txnId: String): Option[TxnDescription]
+
+  /** ListTransactions: every transactional id — (txnId, producerId,
+    * Kafka state name: Ongoing / CompleteCommit / CompleteAbort /
+    * Empty).
+    */
+  def listTransactions(): Seq[(String, Long, String)]
+
+  /** Client-quota store (durable, restart-recovered). Key = (entityType,
+    * Some(name) | None for the default entity); values = quota key →
+    * value. A `None` op value removes the key.
+    */
+  def alterClientQuotas(
+      entries: Seq[((String, Option[String]), Seq[(String, Option[Double])])]): Unit
+  def listClientQuotas(): Map[(String, Option[String]), Map[String, Double]]
 }

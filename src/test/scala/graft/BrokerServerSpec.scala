@@ -1816,4 +1816,177 @@ class BrokerServerSpec extends SparkSpec {
       sock.close()
     } finally broker.close()
   }
+
+  test("round-8 admin breadth: CreatePartitions/AlterConfigs/quotas/KIP-664 introspection") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-r8").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("padmin", 2)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+
+      // CreatePartitions v3 (flexible): grow 2 -> 4; shrink and unknown
+      // topic are rejected per-topic
+      val cp = flexRequest(sock, 37, 3, 900) { b =>
+        W.writeCreatePartitions(b,
+          Seq(("padmin", 4), ("padmin", 1), ("ghost", 5)),
+          validateOnly = false, version = 3)
+      }
+      W.skipTaggedFields(cp)
+      val cprSeq = W.readCreatePartitionsResponse(cp, 3)
+      assert(cprSeq.map(r => (r._1, r._2)) ===
+        Seq(("padmin", 0.toShort), ("padmin", 37.toShort), ("ghost", 3.toShort)))
+      assert(storage.partitionCount("padmin") === 4)
+      // grown partitions accept produce immediately
+      val b0 = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "k", "v"))
+        .toDF("timestamp", "key", "value")
+      assert(storage.produce(graft.model.Model.Topition("padmin", 3), b0).isRight)
+
+      // AlterConfigs v1 (classic, legacy REPLACE semantics): first set
+      // two keys, then one - the unspecified key must vanish
+      storage.alterTopicConfig("padmin",
+        Map("cleanup.policy" -> "compact"), Nil)
+      val ac = request(sock, 33, 1, 901) { b =>
+        W.writeAlterConfigs(b,
+          Seq((2.toByte, "padmin", Seq(("retention.ms", "12345")))),
+          validateOnly = false, version = 1)
+      }
+      val acr = W.readAlterConfigsResponse(ac, 1)
+      assert(acr === Seq((0.toShort, null, 2.toByte, "padmin")))
+      assert(storage.topicConfig("padmin") === Map("retention.ms" -> "12345"))
+
+      // AlterClientQuotas v1 (flexible) + DescribeClientQuotas v1:
+      // durable producer_byte_rate, default entity
+      val aq = flexRequest(sock, 49, 1, 902) { b =>
+        W.writeAlterClientQuotas(b,
+          Seq((Seq(("client-id", null)),
+            Seq(("producer_byte_rate", 1048576.0, false)))),
+          validateOnly = false, version = 1)
+      }
+      W.skipTaggedFields(aq)
+      assert(W.readAlterClientQuotasResponse(aq, 1).head._1 === 0)
+      val dq = flexRequest(sock, 48, 1, 903) { b =>
+        W.writeDescribeClientQuotas(b,
+          Seq(("client-id", 1.toByte, null)), strict = false, version = 1)
+      }
+      W.skipTaggedFields(dq)
+      val entries = W.readDescribeClientQuotasResponse(dq, 1)
+      assert(entries === Seq((Seq(("client-id", null)),
+        Seq(("producer_byte_rate", 1048576.0)))))
+      // the stored rate survives restart into a fresh broker's window
+      assert(storage.listClientQuotas()(("client-id", None))("producer_byte_rate")
+        === 1048576.0)
+
+      // KIP-664: an ongoing transaction with one produced partition
+      val (pid, epoch) = storage.initProducer("txn-r8")
+      storage.txnBegin(pid, graft.model.Model.Topition("padmin", 0), epoch)
+      val tb = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "tk", "tv"))
+        .toDF("timestamp", "key", "value")
+      assert(storage.produce(graft.model.Model.Topition("padmin", 0), tb,
+        pid, epoch, 0).isRight)
+
+      val dp = flexRequest(sock, 61, 0, 904) { b =>
+        W.writeDescribeProducers(b, Seq(("padmin", Seq(0, 1)), ("ghost", Seq(0))))
+      }
+      W.skipTaggedFields(dp)
+      val dpr = W.readDescribeProducersResponse(dp)
+      val padmin = dpr.find(_._1 == "padmin").get._2
+      val p0 = padmin.find(_._1 == 0).get
+      assert(p0._2 === 0)
+      val prow = p0._3.find(_._1 == pid).get
+      assert(prow._2 === epoch && prow._3 === 0) // lastSequence 0 (one record)
+      assert(prow._6 >= 0L) // inside an open txn: real start offset
+      assert(dpr.find(_._1 == "ghost").get._2.head._2 === 3) // unknown topic
+
+      val dt = flexRequest(sock, 65, 0, 905) { b =>
+        W.writeDescribeTransactions(b, Seq("txn-r8", "nope"))
+      }
+      W.skipTaggedFields(dt)
+      val dtr = W.readDescribeTransactionsResponse(dt)
+      val ongoing = dtr.find(_._2 == "txn-r8").get
+      assert(ongoing._1 === 0 && ongoing._3 === "Ongoing" &&
+        ongoing._6 === pid && ongoing._7 === epoch.toShort)
+      assert(ongoing._8 === Seq(("padmin", Seq(0))))
+      assert(dtr.find(_._2 == "nope").get._1 === 105)
+
+      val lt = flexRequest(sock, 66, 1, 906) { b =>
+        W.writeListTransactions(b, Seq("Ongoing", "Bogus"), Nil,
+          minDurationMs = -1L, version = 1)
+      }
+      W.skipTaggedFields(lt)
+      val (unknownF, ltStates) = W.readListTransactionsResponse(lt)
+      assert(unknownF === Seq("Bogus"))
+      assert(ltStates === Seq(("txn-r8", pid, "Ongoing")))
+
+      // commit flips the reported state and empties the partition list
+      storage.txnEnd(pid, commit = true, epoch)
+      val dt2 = flexRequest(sock, 65, 0, 907) { b =>
+        W.writeDescribeTransactions(b, Seq("txn-r8"))
+      }
+      W.skipTaggedFields(dt2)
+      val done = W.readDescribeTransactionsResponse(dt2).head
+      assert(done._3 === "CompleteCommit" && done._8 === Nil)
+
+      sock.close()
+    } finally broker.close()
+  }
+
+  test("round-8 admin version matrix: every advertised version round-trips") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-r8m").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("vm", 1)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      var corr = 950
+      def call(api: Short, v: Short)(body: ByteBuffer => Unit): ByteBuffer = {
+        corr += 1
+        val r =
+          if (W.isFlexible(api, v)) flexRequest(sock, api, v, corr)(body)
+          else request(sock, api, v, corr)(body)
+        if (W.isFlexible(api, v)) W.skipTaggedFields(r)
+        r
+      }
+      // AlterConfigs v0-v2
+      (0 to 2).foreach { v =>
+        val r = call(33, v.toShort)(b => W.writeAlterConfigs(b,
+          Seq((2.toByte, "vm", Seq(("retention.ms", s"${1000 + v}")))),
+          validateOnly = false, version = v))
+        assert(W.readAlterConfigsResponse(r, v) ===
+          Seq((0.toShort, null, 2.toByte, "vm")), s"v$v")
+        assert(storage.topicConfig("vm") === Map("retention.ms" -> s"${1000 + v}"))
+      }
+      // CreatePartitions v0-v3 (each call grows by one)
+      (0 to 3).foreach { v =>
+        val want = storage.partitionCount("vm") + 1
+        val r = call(37, v.toShort)(b => W.writeCreatePartitions(b,
+          Seq(("vm", want)), validateOnly = false, version = v))
+        assert(W.readCreatePartitionsResponse(r, v) ===
+          Seq(("vm", 0.toShort, null)), s"v$v")
+        assert(storage.partitionCount("vm") === want)
+      }
+      // Alter/DescribeClientQuotas v0-v1
+      (0 to 1).foreach { v =>
+        val rate = 500000.0 + v
+        val ar = call(49, v.toShort)(b => W.writeAlterClientQuotas(b,
+          Seq((Seq(("user", "alice")),
+            Seq(("producer_byte_rate", rate, false)))),
+          validateOnly = false, version = v))
+        assert(W.readAlterClientQuotasResponse(ar, v).head._1 === 0, s"v$v")
+        val dr = call(48, v.toShort)(b => W.writeDescribeClientQuotas(b,
+          Seq(("user", 0.toByte, "alice")), strict = false, version = v))
+        val got = W.readDescribeClientQuotasResponse(dr, v)
+        assert(got === Seq((Seq(("user", "alice")),
+          Seq(("producer_byte_rate", rate)))), s"v$v")
+      }
+      // ListTransactions v0-v1 (empty store: no states, no unknowns)
+      (0 to 1).foreach { v =>
+        val r = call(66, v.toShort)(b =>
+          W.writeListTransactions(b, Nil, Nil, -1L, v))
+        assert(W.readListTransactionsResponse(r) === ((Nil, Nil)), s"v$v")
+      }
+      sock.close()
+    } finally broker.close()
+  }
 }
