@@ -436,6 +436,27 @@ object TrainingQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4)
 
+  /** Train 4 merges, then ENCODE the corpus with them (the native
+    * broadcast-merge-table narrow map) and emit per-doc stream stats:
+    * token count, merged-symbol count, total symbol length. The oracle
+    * replays train + encode as one CTE chain — its round-4 stream IS
+    * the encoded corpus.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = TextAnalysis.bpeTrainMerges(d, nMerges = 4)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeEncode(d, merges)
+      .select(col("doc_id"), col("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(filter(col("tokens"), t => t.contains(" "))).cast("long")
+          .as("n_merged"),
+        aggregate(transform(col("tokens"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_len"))
+  }
+
   /** Sequence-length curriculum order: short docs first, shuffled
     * within each 100-char length stage (capped at stage 5).
     */
@@ -525,6 +546,7 @@ object TrainingQueries {
     "q_importance_weight" -> (qImportanceWeight _),
     "q_emb_decontaminate" -> (qEmbDecontaminate _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
     "q_embed_pipeline" -> (qEmbedPipeline _),
@@ -1711,6 +1733,14 @@ object TrainingQueries {
       s"""WITH ${bpeCtes(4)}
          |$ranks""".stripMargin
     },
+
+    "q_bpe_encode" ->
+      s"""WITH ${bpeCtes(4)}
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN w LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_merged,
+         |  CAST(sum(strlen(w)) AS BIGINT) AS total_len
+         |FROM t4 GROUP BY 1""".stripMargin,
 
     "q_epoch_schedule" ->
       """WITH s AS (

@@ -642,4 +642,20 @@ object TextAnalysis {
     }
     merges.result().toDF("merge_rank", "token_a", "token_b", "freq")
   }
+
+  /** Apply a trained merge table to the corpus — the ENCODE half of the
+    * BPE pair ([[bpeTrainMerges]] is the train half). The merge table
+    * ships inside one native expression
+    * ([[graft.functions.BpeExpressions.bpeEncode]]) so the whole pass is
+    * a shuffle-free narrow map: at 100 TB this is a plain scan, while a
+    * join-based rewrite would shuffle the corpus once per merge rank.
+    * Returns (idCol, tokens array<string>) with compound symbols spelled
+    * "a b", exactly as the trainer's rewrite emits them.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.BpeExpressions.bpeEncode(toks(col(textCol)), merges)
+        .as("tokens"))
 }

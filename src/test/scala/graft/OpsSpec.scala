@@ -1137,6 +1137,75 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("bpeEncode matches a sequential reference rewrite, incl. overlap runs") {
+    import spark.implicits._
+    // same greedy left-to-right non-overlapping rewrite the trainer uses
+    def refEncode(s: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(s) { case (cur, (a, b)) =>
+        val buf = Seq.newBuilder[String]
+        var i = 0
+        while (i < cur.length) {
+          if (i < cur.length - 1 && cur(i) == a && cur(i + 1) == b) {
+            buf += (a + " " + b); i += 2
+          } else { buf += cur(i); i += 1 }
+        }
+        buf.result()
+      }
+    val docsSeq = Seq(
+      Seq("a", "a", "a"),                    // overlap run: one merge, tail survives
+      Seq("a", "b", "a", "b", "c"),          // two disjoint merges
+      Seq("x"), Seq(),                        // singleton / empty
+      Seq("a", "a", "a", "a", "b", "a", "a")) // runs + later-rank compound
+    val merges = Seq(("a", "a"), ("a a", "b"))
+    val df = docsSeq.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(df, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    docsSeq.zipWithIndex.foreach { case (ws, i) =>
+      val toks = if (ws.isEmpty) Seq("") else ws // split contract
+      assert(got(i.toLong) === refEncode(toks, merges), s"doc $i")
+    }
+    // and the plan is a shuffle-free narrow map
+    val enc = TextAnalysis.bpeEncode(df, merges)
+    enc.collect()
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bpeEncode shuffled:\n${plan.take(400)}")
+  }
+
+  test("bpeEncode on trained merges reproduces the trainer's final stream") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the cat sat on the mat the cat sat"),
+      (1L, "the cat ran to the cat house"),
+      (2L, "a mat a cat a hat")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(df, nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val enc = TextAnalysis.bpeEncode(df, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // every compound symbol in the encoded stream is a trained merge
+    val compounds = enc.values.flatten.filter(_.contains(" ")).toSet
+    val trained = merges.map { case (a, b) => a + " " + b }.toSet
+    assert(compounds.subsetOf(trained), s"$compounds not in $trained")
+    // the top merge's symbol survives — standalone or absorbed into a
+    // later rank's larger compound (either way it starts a symbol)
+    val top = merges.head
+    val topSym = top._1 + " " + top._2
+    assert(enc.values.flatten.exists(_.startsWith(topSym)))
+    // no adjacent (a, b) pair of any trained merge survives un-merged
+    merges.foreach { case (a, b) =>
+      enc.values.foreach { s =>
+        s.sliding(2).foreach { w =>
+          assert(!(w.length == 2 && w(0) == a && w(1) == b),
+            s"unapplied merge ($a,$b) in $s")
+        }
+      }
+    }
+  }
+
   test("kmeansAssign agrees with a sequential reference Lloyd trainer") {
     import spark.implicits._
     import org.scalacheck.Gen
