@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+class SketchesSpec extends SparkSpec {
+
+  private lazy val events = Tables.load(spark, sf, "events").cache()
+
+  test("HLL: union of per-group sketches EQUALS the whole-corpus sketch") {
+    val perType = Sketches.distinctPerGroup(events, "event_type", "user_id")
+    val merged = Sketches.mergedDistinct(perType)
+      .head().getLong(0)
+    val whole = Sketches.distinctAll(events, "user_id")
+      .head().getLong(0)
+    assert(merged === whole) // register-max union: exact, not approximate
+  }
+
+  test("HLL estimate lands within 5% of the exact distinct count") {
+    val est = Sketches.distinctAll(events, "event_id").head().getLong(0)
+    val exact = events.select("event_id").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est vs exact $exact")
+  }
+
+  test("incremental maintenance: new shard's sketch folds in, old ones unread") {
+    val old = Sketches.distinctPerGroup(
+      events.filter(col("event_id") < 500), "event_type", "user_id")
+    // persist-and-reload simulation: sketches survive as plain binary rows
+    val oldRows = old.select("event_type", "sketch").collect()
+    import spark.implicits._
+    val reloaded = oldRows.map(r =>
+      (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+      .toDF("event_type", "sketch")
+    val newShard = Sketches.distinctPerGroup(
+      events.filter(col("event_id") >= 500), "event_type", "user_id")
+      .select("event_type", "sketch")
+    val merged = Sketches.mergedDistinct(reloaded.union(newShard))
+      .head().getLong(0)
+    val whole = Sketches.distinctAll(events, "user_id").head().getLong(0)
+    assert(merged === whole)
+  }
+
+  test("count-min: never under-counts; absent values stay under eps*N") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).cache()
+    val n = toks.count()
+    val sketch = Sketches.cmSketch(toks, "w")
+    val exact = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the heavy hitter and a mid-frequency token: estimate >= exact,
+    // over-count bounded by eps*N = 0.0001*N
+    val slack = math.max(1L, (0.0001 * n).toLong)
+    Seq(exact.maxBy(_._2)._1, exact.keys.head).foreach { w =>
+      val est = Sketches.frequencyOf(sketch, w)
+      assert(est >= exact(w), s"under-count for $w")
+      assert(est <= exact(w) + slack, s"over-count for $w: $est vs ${exact(w)}")
+    }
+    assert(Sketches.frequencyOf(sketch, "zz-not-a-token-zz") <= slack)
+  }
+}
