@@ -714,16 +714,19 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         val entries = storage.listClientQuotas().toSeq
           .sortBy { case ((et, en), _) => (et, en.getOrElse("")) }
           .filter { case ((et, en), _) =>
-            // every component must accept the entry; our entries carry
-            // exactly one entity, so a component naming another type
-            // matches only when non-strict (absent type = default)
+            // Kafka's filter contract: an entry matches only if it has
+            // the dimension EVERY component names and that dimension
+            // satisfies the match — a component naming another entity
+            // type excludes the entry outright (strict only further
+            // constrains entries with EXTRA dimensions, which our
+            // single-dimension store never produces). match_type 2
+            // ("any specified name") takes named entries, not defaults.
             comps.forall { case (cet, matchType, m) =>
-              if (cet != et) !strict
-              else matchType match {
-                case 0 => en.contains(m) // exact
+              cet == et && (matchType match {
+                case 0 => en.contains(m) // exact name
                 case 1 => en.isEmpty     // default entity
-                case _ => true           // any
-              }
+                case _ => en.isDefined   // any specified name
+              })
             }
           }
           .map { case ((et, en), vals) =>

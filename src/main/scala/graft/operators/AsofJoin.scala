@@ -78,8 +78,18 @@ object AsofJoin {
     require(keyCols.nonEmpty, "asof join requires at least one key column")
 
     // probe rows ride the union as one struct so the state side needs
-    // no knowledge of the probe schema (and vice versa)
+    // no knowledge of the probe schema (and vice versa). The state side
+    // ALSO rides as one struct: the carry must be atomic — per-column
+    // last(ignoreNulls) would stitch values from DIFFERENT state rows
+    // whenever a payload value is NULL (the matched row's NULL would be
+    // "filled" from an older row), diverging from the row-wise ASOF
+    // contract. A struct is non-null whenever the state row exists, so
+    // one last() carries the whole matched row, NULL fields included.
     val probeStruct = StructType(probe.schema.fields)
+    val stateStruct = StructType(
+      state.schema(stateTs).copy(name = "__mts") +:
+        stateVals.map(c => state.schema(c)).toArray[
+          org.apache.spark.sql.types.StructField])
     // at equal timestamps the state row must sort BEFORE the probe row
     // for the carry to see it (allowEqual), AFTER it to be invisible
     // (strict). The probe side is fixed at 1; backward scans ascending
@@ -90,15 +100,15 @@ object AsofJoin {
       keyCols.map(col) ++ Seq(
         col(probeTs).as("__ts"), lit(1).as("__side"),
         struct(probe.columns.map(col).toSeq: _*).as("__p"),
-        lit(null).cast(state.schema(stateTs).dataType).as("__sts")) ++
-        stateVals.map(c =>
-          lit(null).cast(state.schema(c).dataType).as(s"__v_$c")): _*)
-    val sRows = state.select(
+        lit(null).cast(stateStruct).as("__sv")): _*)
+    // a NULL-ts state row can never satisfy the ordering inequality
+    // (SQL comparison semantics — DuckDB ASOF drops it too)
+    val sRows = state.filter(col(stateTs).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(stateTs).as("__ts"), lit(stateOrd).as("__side"),
         lit(null).cast(probeStruct).as("__p"),
-        col(stateTs).as("__sts")) ++
-        stateVals.map(c => col(c).as(s"__v_$c")): _*)
+        struct(col(stateTs).as("__mts") +: stateVals.map(col): _*)
+          .as("__sv")): _*)
 
     val ord =
       if (forward) Seq(col("__ts").desc, col("__side").desc)
@@ -108,10 +118,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = pRows.unionByName(sRows)
-      .withColumn("__m_ts", last(col("__sts"), ignoreNulls = true).over(w))
-      .withColumns(
-        stateVals.map(c => s"__c_$c" ->
-          last(col(s"__v_$c"), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__m", last(col("__sv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
     // a tolerance voids the match but keeps the probe row (left-outer
@@ -120,14 +127,14 @@ object AsofJoin {
       case None => lit(true)
       case Some(ms) =>
         val gapUs =
-          if (forward) unix_micros(col("__m_ts")) - unix_micros(col("__ts"))
-          else unix_micros(col("__ts")) - unix_micros(col("__m_ts"))
+          if (forward) unix_micros(col("__m.__mts")) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(col("__m.__mts"))
         gapUs <= lit(ms) * 1000L
     }
+    // a NULL-ts probe can satisfy no ordering inequality either
+    val matched = col("__m").isNotNull && col("__ts").isNotNull && within
     carried.select(
       col("__p.*") +:
-        stateVals.map(c =>
-          when(col("__m_ts").isNotNull && within, col(s"__c_$c"))
-            .as(c)): _*)
+        stateVals.map(c => when(matched, col(s"__m.$c")).as(c)): _*)
   }
 }

@@ -57,7 +57,15 @@ object RangeJoin {
 
     val b0 = floorDiv(col(startCol), bucketWidth)
     val b1 = floorDiv(col(endCol), bucketWidth)
-    val buckets = when(b1 - b0 < lit(maxBucketsPerInterval.toLong),
+    // order matters: an INVERTED interval (end < start) must hit the
+    // empty arm before the guard — b1-b0 is negative there, so the
+    // size check alone would wave it through into sequence(), which
+    // generates a DESCENDING bucket list of |b0-b1|+1 elements: the
+    // silent explosion this guard exists to prevent. SQL BETWEEN with
+    // start > end is an empty predicate, so the row matches nothing.
+    val buckets = when(b1 < b0,
+        array().cast("array<bigint>"))
+      .when(b1 - b0 < lit(maxBucketsPerInterval.toLong),
         sequence(b0, b1))
       .otherwise(raise_error(concat(
         lit(s"interval spans >= $maxBucketsPerInterval buckets of width " +

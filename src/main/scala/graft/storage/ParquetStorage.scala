@@ -113,15 +113,23 @@ final class ParquetStorage(spark: SparkSession, root: String,
     * like create-time config (reference IncrementalAlterConfigsService,
     * `nisshi-broker/src/service/storage.rs:415`).
     */
+  // every topic-metadata read-modify-write serializes here: the broker
+  // serves each connection on its own thread, so two concurrent admin
+  // calls would otherwise interleave their read and write and durably
+  // persist a stale partition count or drop a config update
+  private val topicMetaLock = new Object
+
   override def alterTopicConfig(topic: String, set: Map[String, String],
                                 delete: Seq[String]): Boolean =
-    topicMeta(topic) match {
-      case None => false
-      case Some((parts, cfg)) =>
-        val next = (cfg ++ set) -- delete
-        topicsMap.put(topic, (parts, next))
-        persistTopicMeta(topic, parts, next)
-        true
+    topicMetaLock.synchronized {
+      topicMeta(topic) match {
+        case None => false
+        case Some((parts, cfg)) =>
+          val next = (cfg ++ set) -- delete
+          topicsMap.put(topic, (parts, next))
+          persistTopicMeta(topic, parts, next)
+          true
+      }
     }
 
   /** Topic metadata with restart recovery: cache, then topic.json, then
@@ -940,18 +948,20 @@ final class ParquetStorage(spark: SparkSession, root: String,
   // -------------------------------------------- admin breadth (KIP-195/664/546)
 
   override def increasePartitions(topic: String, newCount: Int): Int =
-    topicMeta(topic) match {
-      case None => ErrorCode.UnknownTopicOrPartition
-      case Some((parts, cfg)) =>
-        if (newCount <= parts) ErrorCode.InvalidPartitions
-        else {
-          topicsMap.put(topic, (newCount, cfg))
-          (parts until newCount).foreach { p =>
-            Files.createDirectories(Paths.get(partDir(Topition(topic, p))))
+    topicMetaLock.synchronized {
+      topicMeta(topic) match {
+        case None => ErrorCode.UnknownTopicOrPartition
+        case Some((parts, cfg)) =>
+          if (newCount <= parts) ErrorCode.InvalidPartitions
+          else {
+            topicsMap.put(topic, (newCount, cfg))
+            (parts until newCount).foreach { p =>
+              Files.createDirectories(Paths.get(partDir(Topition(topic, p))))
+            }
+            persistTopicMeta(topic, newCount, cfg)
+            ErrorCode.None
           }
-          persistTopicMeta(topic, newCount, cfg)
-          ErrorCode.None
-        }
+      }
     }
 
   override def describeProducers(tp: Topition): Seq[(Long, Int, Int, Long)] = {

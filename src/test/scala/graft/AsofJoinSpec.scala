@@ -100,6 +100,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("NULL payload on the matched state row stays NULL (no stitching)") {
+    // the ts=20 quote has px=NULL; a per-column carry would "fill" it
+    // from the ts=10 row — the row-wise ASOF contract says NULL
+    val q = Seq((1L, 10L, Some(100.0)), (1L, 20L, None))
+      .toDF("k", "qts", "px")
+      .withColumn("qts", timestamp_micros(col("qts") * 1000000L))
+    val t = Seq((1L, 25L)).toDF("k", "tts")
+      .withColumn("tts", timestamp_micros(col("tts") * 1000000L))
+    val out = AsofJoin.asofBackward(t, q, Seq("k"), "tts", "qts").collect()
+    assert(out.length === 1 && out(0).isNullAt(out(0).fieldIndex("px")))
+    // and a tolerance measured against the MATCHED row's ts: the ts=20
+    // match is 5 s away (inside), even though its payload is NULL
+    val tol = AsofJoin.asofBackward(t, q, Seq("k"), "tts", "qts",
+      toleranceMs = Some(6000L)).collect()
+    assert(tol(0).isNullAt(tol(0).fieldIndex("px")))
+  }
+
+  test("NULL-ts state rows are dropped; NULL-ts probes match nothing") {
+    val q = Seq((1L, Option(10L), 100.0), (1L, Option.empty[Long], 999.0))
+      .toDF("k", "qts", "px")
+      .withColumn("qts", timestamp_micros(col("qts") * 1000000L))
+    val t = Seq((1L, Option(25L)), (1L, Option.empty[Long]))
+      .toDF("k", "tts")
+      .withColumn("tts", timestamp_micros(col("tts") * 1000000L))
+    val out = AsofJoin.asofBackward(t, q, Seq("k"), "tts", "qts")
+      .collect().map(r => Option(r.getAs[java.sql.Timestamp]("tts")).map(_.getTime) ->
+        (if (r.isNullAt(r.fieldIndex("px"))) None else Some(r.getDouble(r.fieldIndex("px")))))
+      .toMap
+    assert(out(Some(25000L)) === Some(100.0)) // never the NULL-ts 999 row
+    assert(out(None) === None) // NULL-ts probe kept, unmatched
+  }
+
   test("state payload colliding with a probe column is refused") {
     val e = intercept[IllegalArgumentException] {
       AsofJoin.asofBackward(trades, quotes.withColumnRenamed("px", "trade_id"),

@@ -1877,6 +1877,24 @@ class BrokerServerSpec extends SparkSpec {
       // the stored rate survives restart into a fresh broker's window
       assert(storage.listClientQuotas()(("client-id", None))("producer_byte_rate")
         === 1048576.0)
+      // a component naming a DIFFERENT entity type excludes the entry
+      // outright (Kafka's filter contract — strict is not the gate)
+      storage.alterClientQuotas(Seq((("user", Some("alice")),
+        Seq(("consumer_byte_rate", Some(2048.0))))))
+      val dq2 = flexRequest(sock, 48, 1, 933) { b =>
+        W.writeDescribeClientQuotas(b,
+          Seq(("user", 0.toByte, "alice")), strict = false, version = 1)
+      }
+      W.skipTaggedFields(dq2)
+      assert(W.readDescribeClientQuotasResponse(dq2, 1) ===
+        Seq((Seq(("user", "alice")), Seq(("consumer_byte_rate", 2048.0)))))
+      // match_type 2 = any SPECIFIED name: default entries excluded
+      val dq3 = flexRequest(sock, 48, 1, 934) { b =>
+        W.writeDescribeClientQuotas(b,
+          Seq(("client-id", 2.toByte, null)), strict = false, version = 1)
+      }
+      W.skipTaggedFields(dq3)
+      assert(W.readDescribeClientQuotasResponse(dq3, 1) === Nil)
 
       // KIP-664: an ongoing transaction with one produced partition
       val (pid, epoch) = storage.initProducer("txn-r8")

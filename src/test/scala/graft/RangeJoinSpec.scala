@@ -53,6 +53,16 @@ class RangeJoinSpec extends SparkSpec {
       s"range join planned a nested loop:\n${plan.take(500)}")
   }
 
+  test("an inverted interval (end < start) matches nothing, never explodes") {
+    val pts = Seq((1L, 5L)).toDF("pid", "v")
+    // end < start by a span that would be millions of DESCENDING
+    // buckets if it slipped past the guard into sequence()
+    val ivs = Seq((1L, 50000000L, 0L)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(pts, ivs, "v", "s", "e",
+      keyCols = Nil, bucketWidth = 10, maxBucketsPerInterval = 100)
+    assert(out.count() === 0) // SQL BETWEEN with start > end: empty
+  }
+
   test("an interval spanning too many buckets fails loudly") {
     val pts = Seq((1L, 5L)).toDF("pid", "v")
     val ivs = Seq((1L, 0L, 10000000L)).toDF("iid", "s", "e")

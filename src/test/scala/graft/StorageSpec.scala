@@ -578,4 +578,25 @@ class StorageSpec extends SparkSpec {
     assert(!st3.topicConfig("cfg").contains("retention.ms"))
     assert(!st.alterTopicConfig("ghost", Map("a" -> "b"), Nil))
   }
+
+  test("concurrent increasePartitions never regresses the durable count") {
+    val (st, root) = newStorage()
+    st.createTopic("grow", 2)
+    // 16 racing admin calls with mixed targets: the serialized RMW must
+    // end at the maximum, reject the rest, and persist monotonically
+    val targets = scala.util.Random.shuffle((3 to 18).toList)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = targets.map { n =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = st.increasePartitions("grow", n)
+        })
+      }.map(_.get())
+      assert(results.count(_ == 0) >= 1) // at least the max succeeded
+      assert(st.partitionCount("grow") === 18)
+      // and the persisted topic.json agrees after a restart
+      val st2 = new ParquetStorage(spark, root)
+      assert(st2.partitionCount("grow") === 18)
+    } finally pool.shutdownNow()
+  }
 }
