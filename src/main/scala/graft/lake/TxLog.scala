@@ -63,9 +63,13 @@ object TxLog {
 
   /** `checkpointVersion` is the version the latest chain folds from —
     * vacuum must keep manifests ≥ it for the fold to stay replayable.
+    * `stats` carries per-file column min/max JSON (the Delta
+    * data-skipping stats) for files whose footers were harvested at
+    * commit time; files without an entry are simply never pruned.
     */
   final case class Snapshot(version: Long, schemaJson: String,
-                            files: Seq[String], checkpointVersion: Long)
+                            files: Seq[String], checkpointVersion: Long,
+                            stats: Map[String, String] = Map.empty)
 
   /** Refuse non-POSIX table paths: the CAS below is `Files.createLink`,
     * which object-store filesystems cannot honor — a silent fallback
@@ -121,34 +125,53 @@ object TxLog {
     def schemaJson: String; def op: String
   }
   private final case class Checkpoint(schemaJson: String, files: Seq[String],
-                                      op: String = "append") extends Manifest
+                                      op: String = "append",
+                                      stats: Map[String, String] = Map.empty)
+      extends Manifest
   private final case class Delta(schemaJson: String, adds: Seq[String],
                                  removes: Seq[String],
-                                 op: String = "append") extends Manifest
+                                 op: String = "append",
+                                 addStats: Map[String, String] = Map.empty)
+      extends Manifest
+
+  // per-file stats line: "#s\t<path>\t<json>" — hash-prefixed so file
+  // parsing below (and any older reader) skips it structurally
+  private def parseStats(lines: Array[String]): Map[String, String] =
+    lines.filter(_.startsWith("#s\t")).flatMap { l =>
+      l.split("\t", 3) match {
+        case Array(_, p, j) => Some(p -> j)
+        case _ => None
+      }
+    }.toMap
 
   private def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readString(manifestPath(table, v)).split("\n", -1)
     val head = lines.head
+    val body = lines.drop(2).filter(l => l.nonEmpty && !l.startsWith("#"))
     if (head.startsWith("@delta")) {
       val op = head.split(" ", 2).lift(1).getOrElse("append")
-      val (adds, removes) = lines.drop(2).filter(_.nonEmpty)
-        .partition(_.startsWith("+"))
+      val (adds, removes) = body.partition(_.startsWith("+"))
       Delta(lines(1), adds.map(_.drop(1)).toSeq,
-        removes.map(_.drop(1)).toSeq, op)
+        removes.map(_.drop(1)).toSeq, op, parseStats(lines))
     } else if (head.startsWith("@checkpoint")) {
       val op = head.split(" ", 2).lift(1).getOrElse("checkpoint")
-      Checkpoint(lines(1), lines.drop(2).filter(_.nonEmpty).toSeq, op)
+      Checkpoint(lines(1), body.toSeq, op, parseStats(lines))
     } else
       // pre-v2 format: line 1 is the schema JSON — an untagged checkpoint
-      Checkpoint(head, lines.tail.filter(_.nonEmpty).toSeq, "checkpoint")
+      Checkpoint(head, lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .toSeq, "checkpoint", parseStats(lines))
   }
 
+  private def statsLines(stats: Map[String, String]): Seq[String] =
+    stats.toSeq.sortBy(_._1).map { case (p, j) => s"#s\t$p\t$j" }
+
   private def render(m: Manifest): String = m match {
-    case Checkpoint(schema, files, op) =>
-      (Seq(s"@checkpoint $op", schema) ++ files).mkString("\n")
-    case Delta(schema, adds, removes, op) =>
-      (Seq(s"@delta $op", schema) ++ adds.map("+" + _) ++ removes.map("-" + _))
+    case Checkpoint(schema, files, op, stats) =>
+      (Seq(s"@checkpoint $op", schema) ++ files ++ statsLines(stats))
         .mkString("\n")
+    case Delta(schema, adds, removes, op, stats) =>
+      (Seq(s"@delta $op", schema) ++ adds.map("+" + _) ++
+        removes.map("-" + _) ++ statsLines(stats)).mkString("\n")
   }
 
   /** Latest committed snapshot, if the table has a log: walk back from
@@ -196,12 +219,14 @@ object TxLog {
       }
     }
     val (cpVersion, checkpoint) = cp.get
-    val folded = chain.foldLeft(checkpoint.files) {
-      case (fs, (_, Delta(_, adds, removes, _))) =>
-        val dead = removes.toSet
-        (if (dead.isEmpty) fs else fs.filterNot(dead)) ++ adds
-      case (fs, _) => fs
-    }
+    val (folded, foldedStats) =
+      chain.foldLeft((checkpoint.files, checkpoint.stats)) {
+        case ((fs, st), (_, Delta(_, adds, removes, _, addStats))) =>
+          val dead = removes.toSet
+          ((if (dead.isEmpty) fs else fs.filterNot(dead)) ++ adds,
+            (if (dead.isEmpty) st else st -- dead) ++ addStats)
+        case (acc, _) => acc
+      }
     // dedup (order-preserving): two appenders racing on a BRAND-NEW
     // table can both bootstrap the same pre-log file into their commits
     // (the loser's staged files are indistinguishable from legacy data
@@ -210,7 +235,7 @@ object TxLog {
     val files = folded.distinct
     val schemaJson =
       chain.lastOption.map(_._2.schemaJson).getOrElse(checkpoint.schemaJson)
-    Snapshot(version, schemaJson, files, cpVersion)
+    Snapshot(version, schemaJson, files, cpVersion, foldedStats)
   }
 
   /** One CAS attempt: returns false when version `next` already exists
@@ -332,6 +357,7 @@ object TxLog {
     var snap = currentSnapshot(t)
     val preLog = if (snap.isEmpty) preLogDataFiles(t) else Nil
     val newFiles = stageDataFiles(df, t, partitionCols)
+    val newStats = footerStats(t, newFiles)
     val schemaJson = df.schema.json
     // ANY non-success exit must unstage: the files are already in the
     // visible layout, and an exception escaping the loop (not just
@@ -348,8 +374,10 @@ object TxLog {
         // distinct: a lost-bootstrap retry's base may already carry our
         // preLog view of a racer's files (see currentSnapshot's dedup)
         val m =
-          if (checkpointDue) Checkpoint(schemaJson, (base ++ newFiles).distinct)
-          else Delta(schemaJson, newFiles, Nil)
+          if (checkpointDue)
+            Checkpoint(schemaJson, (base ++ newFiles).distinct,
+              stats = snap.map(_.stats).getOrElse(Map.empty) ++ newStats)
+          else Delta(schemaJson, newFiles, Nil, addStats = newStats)
         if (tryCommit(t, next, m)) return next
         attempt += 1
         snap = currentSnapshot(t)
@@ -404,6 +432,168 @@ object TxLog {
         .option("mergeSchema", "true") // mixed-schema manifests read whole
         .option("basePath", t)
         .parquet(files.map(f => s"$t/$f"): _*)
+
+  // -------------------------------------------------------- data skipping
+
+  private val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Per-file column min/max harvested from the parquet FOOTERS of
+    * just-staged files — the Delta data-skipping stats, paid once at
+    * commit (the footer is local and already hot from the write) and
+    * persisted in the manifest so reads prune files without opening
+    * them. Covered types: int32/int64 (raw long, incl. date days),
+    * float/double, UTF8 strings. Decimals, int96, nested and
+    * logical-heavy columns get NO stats — absent stats mean "never
+    * pruned", so coverage gaps cost performance, not correctness.
+    */
+  private def footerStats(table: String, files: Seq[String])
+      : Map[String, String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.flatMap { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$table/$f"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = r.getFooter.getBlocks.asScala
+          var rows = 0L
+          // (min, max) per column, merged across row groups; None once a
+          // chunk lacks usable stats (partial stats must not under-range)
+          val agg = scala.collection.mutable.LinkedHashMap
+            .empty[String, Option[(Any, Any)]]
+          footer.foreach { b =>
+            rows += b.getRowCount
+            b.getColumns.asScala.foreach { cc =>
+              if (cc.getPath.size() == 1) {
+                val name = cc.getPath.toDotString
+                val pt = cc.getPrimitiveType
+                val logical = pt.getLogicalTypeAnnotation
+                val supported = pt.getPrimitiveTypeName match {
+                  case INT32 | INT64 =>
+                    logical == null ||
+                      logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                      logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                  case FLOAT | DOUBLE => true
+                  case BINARY =>
+                    logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+                  case _ => false
+                }
+                val st = cc.getStatistics
+                val usable = supported && st != null && !st.isEmpty &&
+                  st.hasNonNullValue
+                val cur = agg.getOrElse(name, Some((null, null)))
+                agg(name) =
+                  if (!usable) None
+                  else cur.map { case (lo, hi) =>
+                    val (nlo, nhi) = pt.getPrimitiveTypeName match {
+                      case INT32 =>
+                        (st.genericGetMin.asInstanceOf[Integer].longValue(),
+                          st.genericGetMax.asInstanceOf[Integer].longValue())
+                      case INT64 =>
+                        (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                          st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                      case FLOAT =>
+                        (st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue(),
+                          st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue())
+                      case DOUBLE =>
+                        (st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+                          st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue())
+                      case _ =>
+                        (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8,
+                          st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                            .toStringUsingUTF8)
+                    }
+                    def lt(a: Any, b: Any): Boolean = (a, b) match {
+                      case (x: Long, y: Long) => x < y
+                      case (x: Double, y: Double) => x < y
+                      case (x: String, y: String) => x < y
+                      case _ => false
+                    }
+                    (if (lo == null || lt(nlo, lo)) nlo else lo,
+                      if (hi == null || lt(hi, nhi)) nhi else hi)
+                  }
+              }
+            }
+          }
+          val root = statsMapper.createObjectNode()
+          root.put("rows", rows)
+          val cols = root.putObject("cols")
+          agg.foreach {
+            case (name, Some((lo, hi))) if lo != null =>
+              val arr = cols.putArray(name)
+              Seq(lo, hi).foreach {
+                case v: Long => arr.add(v); ()
+                case v: Double => arr.add(v); ()
+                case v: String => arr.add(v); ()
+                case _ => ()
+              }
+            case _ => ()
+          }
+          Some(f -> statsMapper.writeValueAsString(root))
+        } finally r.close()
+      } catch {
+        // stats are an optimization: a footer that cannot be read must
+        // not fail the commit that references it
+        case scala.util.control.NonFatal(_) => None
+      }
+    }.toMap
+  }
+
+  /** Files of `snap` whose stats CANNOT exclude `[lo, hi]` on `colName`
+    * — the data-skipping core. Files without stats for the column are
+    * kept (conservative).
+    */
+  private[graft] def pruneFiles(snap: Snapshot, colName: String,
+                                lo: Any, hi: Any): Seq[String] = {
+    def big(a: Any): Option[BigDecimal] = a match {
+      case v: Long => Some(BigDecimal(v))
+      case v: Int => Some(BigDecimal(v))
+      case v: Double => Some(BigDecimal(v))
+      case v: Float => Some(BigDecimal(v.toDouble))
+      case _ => None
+    }
+    snap.files.filter { f =>
+      snap.stats.get(f).forall { json =>
+        try {
+          val node = statsMapper.readTree(json).path("cols").path(colName)
+          if (!node.isArray || node.size() != 2) true
+          else {
+            val (mn, mx) = (node.get(0), node.get(1))
+            if (mn.isTextual) {
+              (lo, hi) match {
+                case (l: String, h: String) =>
+                  !(mx.asText() < l || mn.asText() > h)
+                case _ => true
+              }
+            } else (for {
+              l <- big(lo); h <- big(hi)
+            } yield !(BigDecimal(mx.asText()) < l ||
+              BigDecimal(mn.asText()) > h)).getOrElse(true)
+          }
+        } catch { case scala.util.control.NonFatal(_) => true }
+      }
+    }
+  }
+
+  /** Data-skipping read: scan only the files whose manifest stats can
+    * overlap `[lo, hi]` on `colName` (inclusive), then apply the exact
+    * predicate — at 100 TB this is the difference between opening every
+    * object and opening the few whose range matters, without trusting
+    * the prune for correctness (the filter still runs). Supported
+    * domains: integral and floating columns with numeric bounds,
+    * string columns with string bounds; anything else scans everything.
+    */
+  def readRange(spark: SparkSession, table: String, colName: String,
+                lo: Any, hi: Any): DataFrame = {
+    val t = posixTable(table)
+    val snap = currentSnapshot(t).getOrElse(
+      throw new IllegalArgumentException(s"$t has no _graft_log"))
+    readFiles(spark, t, pruneFiles(snap, colName, lo, hi), snap.schemaJson)
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
 
   /** Transactional OPTIMIZE: rewrite the SNAPSHOT compacted (optionally
     * z-ordered), then CAS-commit (latest − snapshot) + rewritten — files
@@ -466,7 +656,9 @@ object TxLog {
       }
       val kept = latest.files.filterNot(replaced.contains)
       if (tryCommit(t, latest.version + 1,
-        Checkpoint(latest.schemaJson, kept ++ rewritten, "optimize"))) {
+        Checkpoint(latest.schemaJson, kept ++ rewritten, "optimize",
+          latest.stats.view.filterKeys(kept.toSet).toMap ++
+            footerStats(t, rewritten)))) {
         if (purgeReplaced) unstage(t, replaced.toSeq)
         return latest.version + 1
       }
@@ -584,7 +776,8 @@ object TxLog {
         return None
       }
       if (tryCommit(t, latest.version + 1,
-        Delta(schemaJson, rewritten, touched, op)))
+        Delta(schemaJson, rewritten, touched, op,
+          addStats = footerStats(t, rewritten))))
         return Some(latest.version + 1)
       attempt += 1
       latest = currentSnapshot(t).get
@@ -758,9 +951,9 @@ object TxLog {
     val t = posixTable(table)
     listVersions(t).map { v =>
       readManifest(t, v) match {
-        case Checkpoint(_, files, op) => Commit(v, op, isCheckpoint = true,
+        case Checkpoint(_, files, op, _) => Commit(v, op, isCheckpoint = true,
           files.size, 0)
-        case Delta(_, a, r, op) => Commit(v, op, isCheckpoint = false,
+        case Delta(_, a, r, op, _) => Commit(v, op, isCheckpoint = false,
           a.size, r.size)
       }
     }
@@ -796,8 +989,8 @@ object TxLog {
       if (m.op == "optimize") acc
       else {
       val (adds, removes) = m match {
-        case Delta(_, a, r, _) => (a, r)
-        case Checkpoint(_, files, _) =>
+        case Delta(_, a, r, _, _) => (a, r)
+        case Checkpoint(_, files, _, _) =>
           if (v == 0) (files, Seq.empty[String])
           else {
             val prev = foldTo(t, v - 1)

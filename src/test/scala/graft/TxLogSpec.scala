@@ -496,4 +496,49 @@ class TxLogSpec extends SparkSpec {
     assert(tail.select("_commit_version").distinct()
       .collect().map(_.getLong(0)).toSeq === Seq(4L))
   }
+
+  test("data skipping: manifest stats prune files a range query cannot touch") {
+    val table = newTable()
+    // five appends with disjoint id ranges -> five files with known stats
+    (0 until 5).foreach { b =>
+      TxLog.append(
+        (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"v$i")).toSeq
+          .toDF("id", "s").coalesce(1), table)
+    }
+    val all = TxLog.read(spark, table)
+    assert(all.inputFiles.length === 5)
+    val narrow = TxLog.readRange(spark, table, "id", 250L, 260L)
+    assert(narrow.inputFiles.length === 1, "stats failed to prune")
+    assert(narrow.count() === 11)
+    // correctness against the unpruned filter
+    assert(narrow.exceptAll(
+      all.filter(col("id") >= 250 && col("id") <= 260)).count() === 0)
+    // a range outside every file reads nothing
+    assert(TxLog.readRange(spark, table, "id", 10000L, 20000L).count() === 0)
+    // string-column pruning with string bounds
+    val sNarrow = TxLog.readRange(spark, table, "s", "v250", "v260")
+    assert(sNarrow.inputFiles.length < 5)
+  }
+
+  test("data skipping survives checkpoint folds, optimize, and DML rewrites") {
+    val table = newTable()
+    // 20 appends cross the checkpoint interval (16): stats must fold
+    (0 until 20).foreach { b =>
+      TxLog.append(Seq((b.toLong * 10, b.toLong)).toDF("id", "batch")
+        .coalesce(1), table)
+    }
+    val pruned = TxLog.readRange(spark, table, "id", 50L, 50L)
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.count() === 1)
+    // optimize rewrites everything into fresh files with fresh stats
+    TxLog.optimize(spark, table, partitionCols = Nil, targetFileMB = 1)
+    val afterOpt = TxLog.readRange(spark, table, "id", 50L, 50L)
+    assert(afterOpt.count() === 1)
+    assert(afterOpt.inputFiles.length <= TxLog.read(spark, table)
+      .inputFiles.length)
+    // a DML rewrite's replacement file carries stats too
+    TxLog.delete(spark, table, col("id") === 50L)
+    assert(TxLog.readRange(spark, table, "id", 40L, 60L)
+      .collect().map(_.getLong(0)).toSet === Set(40L, 60L))
+  }
 }
