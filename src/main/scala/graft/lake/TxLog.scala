@@ -348,7 +348,45 @@ object TxLog {
     * pre-log data files already in the directory (plain-sink upgrade).
     */
   def append(df: DataFrame, table: String,
-             partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long = {
+             partitionCols: Seq[String] = Nil, maxRetries: Int = 64): Long =
+    appendInternal(df, table, partitionCols, maxRetries, txn = None)
+      .getOrElse(throw new IllegalStateException(
+        s"append($table): unreachable — only txn appends skip"))
+
+  /** Reserved stats key carrying each streaming app's committed batch
+    * high-water mark ("@" never begins a file path). Riding the stats
+    * map means the marker folds through delta chains and checkpoints
+    * with zero extra format surface, and vacuum can never strand it
+    * (the surviving checkpoint carries the folded map).
+    */
+  private val TxnKeyPrefix = "@txn:"
+
+  /** Exactly-once streaming append — the Delta txn app-id pattern: the
+    * commit durably records (appId → batchId), and a replayed
+    * micro-batch (same appId, batchId ≤ the recorded high-water) is
+    * dropped WITHOUT committing, so a foreachBatch sink that crashed
+    * after committing but before checkpointing cannot double-write.
+    * Returns the committed version, or None for a replay. Batch ids
+    * must be monotonically increasing per app — Structured Streaming's
+    * contract for foreachBatch.
+    */
+  def appendStream(df: DataFrame, table: String, appId: String,
+                   batchId: Long, partitionCols: Seq[String] = Nil,
+                   maxRetries: Int = 64): Option[Long] = {
+    require(appId.nonEmpty && !appId.exists(c => c == '\n' || c == '\t'),
+      s"appId must be nonempty without tab/newline: '$appId'")
+    appendInternal(df, table, partitionCols, maxRetries,
+      txn = Some((appId, batchId)))
+  }
+
+  /** The committed batch high-water mark for a streaming app, if any. */
+  def lastCommittedBatch(table: String, appId: String): Option[Long] =
+    currentSnapshot(posixTable(table))
+      .flatMap(_.stats.get(TxnKeyPrefix + appId)).map(_.toLong)
+
+  private def appendInternal(df: DataFrame, table: String,
+                             partitionCols: Seq[String], maxRetries: Int,
+                             txn: Option[(String, Long)]): Option[Long] = {
     val t = posixTable(table)
     // ONE snapshot read seeds both the bootstrap decision and the first
     // CAS attempt (this is the produce hot path — a second listing+fold
@@ -365,8 +403,25 @@ object TxLog {
     try {
       var attempt = 0
       while (attempt < maxRetries) {
+        // exactly-once gate: the snapshot carries each app's committed
+        // batch high-water; a replay (or a CAS loser discovering the
+        // winner already covered this batch) unstages and reports
+        // "already committed". Plain conditional, not a closure — a
+        // non-local return from a lambda rides an exception the
+        // catch-all below would intercept.
+        val replay = txn.exists { case (appId, batchId) =>
+          snap.flatMap(_.stats.get(TxnKeyPrefix + appId))
+            .exists(_.toLong >= batchId)
+        }
+        if (replay) {
+          unstageUncommitted(t, newFiles)
+          return None
+        }
         val base = snap.map(_.files).getOrElse(preLog)
         val next = snap.map(_.version + 1).getOrElse(0L)
+        val txnStats = txn
+          .map { case (a, b) => Map(TxnKeyPrefix + a -> b.toString) }
+          .getOrElse(Map.empty)
         // a delta chain never exceeds the interval (forall on None is
         // true, so a first commit is always a checkpoint)
         val checkpointDue =
@@ -376,9 +431,11 @@ object TxLog {
         val m =
           if (checkpointDue)
             Checkpoint(schemaJson, (base ++ newFiles).distinct,
-              stats = snap.map(_.stats).getOrElse(Map.empty) ++ newStats)
-          else Delta(schemaJson, newFiles, Nil, addStats = newStats)
-        if (tryCommit(t, next, m)) return next
+              stats = snap.map(_.stats).getOrElse(Map.empty) ++ newStats ++
+                txnStats)
+          else Delta(schemaJson, newFiles, Nil,
+            addStats = newStats ++ txnStats)
+        if (tryCommit(t, next, m)) return Some(next)
         attempt += 1
         snap = currentSnapshot(t)
       }
@@ -655,9 +712,13 @@ object TxLog {
         return latest.version
       }
       val kept = latest.files.filterNot(replaced.contains)
+      // keep @txn: markers through the rewrite — dropping them would
+      // re-open the exactly-once window for every streaming app
+      val keptKeys = kept.toSet
       if (tryCommit(t, latest.version + 1,
         Checkpoint(latest.schemaJson, kept ++ rewritten, "optimize",
-          latest.stats.view.filterKeys(kept.toSet).toMap ++
+          latest.stats.view.filterKeys(k =>
+            keptKeys.contains(k) || k.startsWith(TxnKeyPrefix)).toMap ++
             footerStats(t, rewritten)))) {
         if (purgeReplaced) unstage(t, replaced.toSeq)
         return latest.version + 1

@@ -303,6 +303,27 @@ object Streaming {
       }
   }
 
+  /** Exactly-once lake sink: every micro-batch lands in the TxLog table
+    * through [[graft.lake.TxLog.appendStream]], which durably records
+    * (appId, batchId) in the commit itself — a batch replayed after a
+    * crash between commit and checkpoint is recognized and dropped, the
+    * Delta txn-app-id pattern. The batch is NOT cached: appendStream
+    * writes it exactly once (stage → CAS), so there is no second
+    * evaluation to keep deterministic.
+    */
+  def txLogSink(stream: DataFrame, table: String, appId: String,
+                checkpoint: String, partitionCols: Seq[String] = Nil,
+                trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.lake.TxLog.appendStream(batch, table, appId, batchId,
+          partitionCols)
+        ()
+      }
+      .start()
+
   final case class AsofEvent(key: Long, ts: Long, isProbe: Boolean,
                              id: Long, value: Double)
   final case class AsofLatest(ts: Long, id: Long, value: Double)

@@ -259,6 +259,30 @@ class StreamingSpec extends SparkSpec {
       Seq((5L, 10L), (10L, 20L), (10L, 40L)))
   }
 
+  test("txLogSink lands micro-batches exactly once, surviving a checkpoint-less replay") {
+    import graft.lake.TxLog
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-txsink").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-txsink-ckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streaming.txLogSink(input.toDF().toDF("id", "s"),
+      table, appId = "sink1", checkpoint = ckpt)
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(TxLog.read(spark, table).count() === 3)
+    val hw = TxLog.lastCommittedBatch(table, "sink1").get
+    // simulate the crash-after-commit-before-checkpoint replay: the
+    // runtime re-delivers the LAST batch under the same batch id
+    import spark.implicits._
+    assert(TxLog.appendStream(Seq((3L, "c")).toDF("id", "s"),
+      table, "sink1", hw) === None)
+    assert(TxLog.read(spark, table).count() === 3) // not doubled
+  }
+
   test("streamingAsofEnrich carries one latest-state row per key across batches") {
     import Streaming.AsofEvent
     val input = MemoryStream[AsofEvent](spark)

@@ -541,4 +541,36 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.readRange(spark, table, "id", 40L, 60L)
       .collect().map(_.getLong(0)).toSet === Set(40L, 60L))
   }
+
+  test("appendStream: replayed batches drop; the marker survives checkpoints, optimize, vacuum") {
+    val table = newTable()
+    assert(TxLog.lastCommittedBatch(table, "app1").isEmpty)
+    assert(TxLog.appendStream(Seq((1L, "a")).toDF("id", "s").coalesce(1),
+      table, "app1", 0L) === Some(0L))
+    // exact replay (crash between commit and checkpoint): dropped
+    assert(TxLog.appendStream(Seq((1L, "a")).toDF("id", "s").coalesce(1),
+      table, "app1", 0L) === None)
+    assert(TxLog.read(spark, table).count() === 1)
+    assert(TxLog.lastCommittedBatch(table, "app1") === Some(0L))
+    // another app's batches are independent
+    assert(TxLog.appendStream(Seq((2L, "b")).toDF("id", "s").coalesce(1),
+      table, "app2", 0L).isDefined)
+    // drive app1 past the checkpoint interval, then compact + vacuum:
+    // the high-water must survive the fold, the rewrite, and the purge
+    (1 to 20).foreach { b =>
+      assert(TxLog.appendStream(
+        Seq((100L + b, s"x$b")).toDF("id", "s").coalesce(1),
+        table, "app1", b.toLong).isDefined)
+    }
+    TxLog.optimize(spark, table, partitionCols = Nil, targetFileMB = 1)
+    TxLog.vacuum(table, minAgeMs = 0L)
+    assert(TxLog.lastCommittedBatch(table, "app1") === Some(20L))
+    assert(TxLog.lastCommittedBatch(table, "app2") === Some(0L))
+    // stale replays keep dropping after all of that
+    assert(TxLog.appendStream(Seq((999L, "z")).toDF("id", "s").coalesce(1),
+      table, "app1", 7L) === None)
+    assert(TxLog.read(spark, table).count() === 22)
+    // and no orphaned staged files: plain reads agree with TxLog reads
+    assert(spark.read.parquet(table).count() === 22)
+  }
 }
