@@ -27,8 +27,9 @@ import graft.storage.Storage
   * the transactional flows (InitProducerId → AddPartitionsToTxn /
   * AddOffsetsToTxn → Produce/TxnOffsetCommit → EndTxn), ACL and SCRAM
   * credential admin, legacy full-set AlterConfigs, CreatePartitions,
-  * durable client quotas (Describe/AlterClientQuotas feed the produce
-  * throttle), the KIP-664 introspection plane (DescribeProducers,
+  * durable client quotas (Describe/AlterClientQuotas feed both the
+  * produce and fetch throttles), the KIP-664 introspection plane
+  * (DescribeProducers,
   * DescribeTransactions, ListTransactions), and the
   * cluster-introspection set (DescribeCluster,
   * DescribeTopicPartitions, ConsumerGroupDescribe,
@@ -944,11 +945,37 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
     new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
   private val quotaWindowBytes = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var dynamicProduceQuota: Option[Long] = None
-  private def reloadDynamicQuota(): Unit =
-    dynamicProduceQuota = storage.listClientQuotas().valuesIterator
+  @volatile private var dynamicFetchQuota: Option[Long] = None
+  private def reloadDynamicQuota(): Unit = {
+    val stored = storage.listClientQuotas().valuesIterator.toSeq
+    dynamicProduceQuota = stored
       .flatMap(_.get("producer_byte_rate")).reduceOption(_ min _)
       .map(_.toLong)
+    dynamicFetchQuota = stored
+      .flatMap(_.get("consumer_byte_rate")).reduceOption(_ min _)
+      .map(_.toLong)
+  }
   reloadDynamicQuota() // stored quotas survive restart
+
+  // fetch-side mirror of the produce window: consumer_byte_rate from
+  // the durable quota store gates the TOTAL outflow (same single-node
+  // aggregate-window caveat as above)
+  private val fetchWindowStart =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  private val fetchWindowBytes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def fetchThrottleMs(bytes: Long): Int = {
+    val rate = dynamicFetchQuota.getOrElse(Long.MaxValue)
+    if (rate == Long.MaxValue) return 0
+    val now = System.currentTimeMillis()
+    if (now - fetchWindowStart.get() >= 1000) {
+      fetchWindowStart.set(now)
+      fetchWindowBytes.set(0)
+    }
+    val total = fetchWindowBytes.addAndGet(bytes)
+    if (total <= rate) 0
+    else (((total - rate) * 1000) / math.max(rate, 1L)).toInt
+  }
 
   private def produceThrottleMs(bytes: Long): Int = {
     val rate = dynamicProduceQuota.getOrElse(produceQuotaBytesPerSec)
@@ -1307,10 +1334,13 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       }.sum
     }.sum
     val b = if (bound <= out.remaining()) out else ByteBuffer.allocate(bound)
+    val throttle = fetchThrottleMs(results.iterator.map(_._2.iterator
+      .map(p => Option(p.records).map(_.length.toLong).getOrElse(0L)).sum).sum)
     if (version >= 12) {
       writeEmptyTaggedFields(b)
-      writeFetchResponseV12(b, results, error, sessionId)
-    } else writeFetchResponseClassic(b, results, version, error, sessionId)
+      writeFetchResponseV12(b, results, error, sessionId, throttle)
+    } else writeFetchResponseClassic(b, results, version, error, sessionId,
+      throttle)
     b
   }
 }

@@ -2293,8 +2293,9 @@ object WireProtocol {
     */
   def writeFetchResponseV12(buf: ByteBuffer,
                             results: Seq[(String, Seq[FetchV12PartResult])],
-                            error: Short = 0, sessionId: Int = 0): Unit = {
-    buf.putInt(0)  // throttle
+                            error: Short = 0, sessionId: Int = 0,
+                            throttleMs: Int = 0): Unit = {
+    buf.putInt(throttleMs)
     buf.putShort(error)
     buf.putInt(sessionId)
     writeCompactArrayLen(buf, results.size)
@@ -2558,8 +2559,9 @@ object WireProtocol {
   def writeFetchResponseClassic(buf: ByteBuffer,
                                 results: Seq[(String, Seq[FetchV12PartResult])],
                                 version: Int = 4, error: Short = 0,
-                                sessionId: Int = 0): Unit = {
-    buf.putInt(0) // throttle
+                                sessionId: Int = 0,
+                                throttleMs: Int = 0): Unit = {
+    buf.putInt(throttleMs)
     if (version >= 7) {
       buf.putShort(error)
       buf.putInt(sessionId)

@@ -2007,4 +2007,33 @@ class BrokerServerSpec extends SparkSpec {
       sock.close()
     } finally broker.close()
   }
+
+  test("fetch quota: a stored consumer_byte_rate throttles the fetch response") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-fq").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("fq", 1)
+    val batch = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+      "k", "v" * 200)).toDF("timestamp", "key", "value")
+    assert(storage.produce(graft.model.Model.Topition("fq", 0), batch).isRight)
+    // a 64 B/s consumer rate stored BEFORE the broker starts: the
+    // restart-recovery path must arm the fetch window
+    storage.alterClientQuotas(Seq((("client-id", None),
+      Seq(("consumer_byte_rate", Some(64.0))))))
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      def fetchThrottle(corr: Int): Int = {
+        val fr = flexRequest(sock, 1, 12, corr) { b =>
+          W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Seq(
+            W.FetchTopic("fq", Seq(W.FetchPartition(0, 0L, 1 << 20))))))
+        }
+        W.skipTaggedFields(fr)
+        fr.getInt // throttle_time_ms leads the v12 body
+      }
+      // the ~200+ B response blows the 64 B window immediately
+      assert(fetchThrottle(940) > 0)
+      sock.close()
+    } finally broker.close()
+  }
 }
