@@ -453,6 +453,115 @@ object Similarity {
       pqCodebooks(embeddings, m, ksub, iters, dims, idCol, embCol),
       queryId, k, dims, idCol, embCol)
 
+  /** IVF-PQ — the FAISS production index, composed relationally: a
+    * coarse deterministic-Lloyd quantizer splits the corpus into
+    * `nCells` lists, each vector's RESIDUAL (vector − its cell
+    * centroid) is product-quantized (residuals cluster far tighter
+    * than raw vectors, so the same codebook budget buys much lower
+    * distortion), and a query probes only the `nProbe` nearest cells
+    * with a per-cell ADC table computed from ITS residual against the
+    * query.
+    *
+    * Scale shape: at 100 TB the cell id is a partition column — the
+    * probe prunes the scan to nProbe directories — and each scanned
+    * row costs m table lookups over an m-byte code. Everything here is
+    * exact integer arithmetic end-to-end, so results are
+    * engine-deterministic like the rest of the family.
+    *
+    * Returns (idCol, cell, adc): the k smallest ADC distances over the
+    * probed cells, ties to the smaller id, query excluded.
+    */
+  def annIvfPq(embeddings: DataFrame, queryId: Long, k: Int,
+               nCells: Int = 4, nProbe: Int = 2, m: Int = 4, ksub: Int = 8,
+               iters: Int = 2, dims: Int = 64, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"dims=$dims must split into m=$m equal subspaces")
+    require(nCells > 0 && nProbe > 0, s"bad ivf params: $nCells/$nProbe")
+    val sub = dims / m
+    val v = quantizedOrFail(embeddings, idCol, embCol)
+    val coarse = lloydCentroids(v, nCells, iters, dims, idCol)
+    val centMap = coarse.toMap
+
+    // residual = qe − centroid(cid), branch-selected per row; this is
+    // the train/encode pass (once per corpus), so the interpreted
+    // zip_with is off the per-candidate hot path by construction
+    def residualOf(qe: Column, cid: Column): Column =
+      coarse.tail.foldLeft(
+        zip_with(qe, lit(coarse.head._2.toArray), (a, b) => a - b)) {
+        case (acc, (c, cen)) =>
+          when(cid === c, zip_with(qe, lit(cen.toArray), (a, b) => a - b))
+            .otherwise(acc)
+      }
+    val assigned = v.withColumn("cell",
+        graft.functions.VectorExpressions.nearestCentroid(col("qe"), coarse)
+          .getField("cid"))
+      .withColumn("resid", residualOf(col("qe"), col("cell")))
+
+    // PQ books trained on the residual space
+    val books = (0 until m).map { i =>
+      lloydCentroids(
+        assigned.select(col(idCol), slice(col("resid"), i * sub + 1, sub)
+          .as("qe")), ksub, iters, sub, idCol)
+    }.toIndexedSeq
+
+    val q = v.filter(col(idCol) === queryId).select(col("qe"))
+      .head().getSeq[Long](0)
+    require(q.length == dims, s"query vector has ${q.length} dims, want $dims")
+    // probe the nProbe nearest cells by exact centroid distance
+    val probed = coarse.map { case (c, cen) =>
+      var d = 0L
+      var j = 0
+      while (j < dims) {
+        val diff = q(j) - cen(j); d = Math.addExact(d,
+          Math.multiplyExact(diff, diff)); j += 1
+      }
+      (d, c)
+    }.sortBy(identity).take(nProbe).map(_._2)
+
+    // one ADC table per probed cell, from the QUERY's residual in it
+    def tableFor(cell: Long): IndexedSeq[Array[Long]] = {
+      val cen = centMap(cell)
+      val qr = Array.tabulate(dims)(j => q(j) - cen(j))
+      (0 until m).map { i =>
+        val t = Array.fill((books(i).map(_._1).max + 1).toInt)(0L)
+        books(i).foreach { case (cid, bc) =>
+          var d = 0L
+          var j = 0
+          while (j < sub) {
+            val diff = qr(i * sub + j) - bc(j)
+            d = Math.addExact(d, Math.multiplyExact(diff, diff))
+            j += 1
+          }
+          t(cid.toInt) = d
+        }
+        t
+      }.toIndexedSeq
+    }
+    def adcFor(cell: Long): Column = {
+      val tabs = tableFor(cell)
+      (0 until m).map { i =>
+        element_at(lit(tabs(i)),
+          (element_at(col("code"), i + 1) + 1).cast("int"))
+      }.reduce(_ + _)
+    }
+    val encoded = assigned.select(col(idCol), col("cell"),
+      array((0 until m).map { i =>
+        graft.functions.VectorExpressions
+          .nearestCentroid(slice(col("resid"), i * sub + 1, sub), books(i))
+          .getField("cid")
+      }: _*).as("code"))
+    val adc = probed.tail.foldLeft(adcFor(probed.head)) { (acc, c) =>
+      when(col("cell") === c, adcFor(c)).otherwise(acc)
+    }
+    encoded
+      .filter(col(idCol) =!= queryId && col("cell").isin(probed: _*))
+      .withColumn("adc", adc)
+      .select(col(idCol), col("cell"), col("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings, then comparing pairs ONLY
     * within a cluster. Near-dups (cosine >= minCosine) keep their

@@ -90,6 +90,37 @@ class PqSpec extends SparkSpec {
     assert(sPlan.contains("TakeOrderedAndProject"), sPlan.take(400))
   }
 
+  test("IVF-PQ: duplicated corpus reconstructs exactly — the twin lands at 0") {
+    // 8 distinct vectors duplicated: residual codebooks converge to the
+    // residuals themselves, so ADC distances are EXACT squared
+    // distances and the query's twin is the unambiguous top-1
+    val base = (0 until 8).map(v =>
+      Array.tabulate(Dims)(j => if (j % 8 == v) 0.5f else 0.01f * v))
+    val df = (0 until 16).map(i => (i.toLong, base(i % 8)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.annIvfPq(df, queryId = 0L, k = 1,
+      nCells = 4, nProbe = 4)
+      .select("vec_id", "adc").as[(Long, Long)].collect()
+    assert(top === Array((8L, 0L)))
+  }
+
+  test("IVF-PQ on real embeddings: k sorted rows, query excluded, cells probed") {
+    val out = Similarity.annIvfPq(embs, queryId = 0L, k = 10,
+      nCells = 4, nProbe = 2).collect()
+    assert(out.length === 10)
+    assert(!out.exists(_.getLong(0) === 0L))
+    val adcs = out.map(_.getLong(2)).toSeq
+    assert(adcs === adcs.sorted)
+    assert(out.map(_.getLong(1)).distinct.length <= 2) // ≤ nProbe cells
+    // narrowing the probe can only lose candidates, never invent them
+    val one = Similarity.annIvfPq(embs, queryId = 0L, k = 10,
+      nCells = 4, nProbe = 1).collect()
+    assert(one.map(_.getLong(1)).distinct.length === 1)
+    val twoCells = out.map(r => (r.getLong(1))).toSet
+    assert(one.map(_.getLong(1)).toSet.subsetOf(twoCells) ||
+      one.isEmpty)
+  }
+
   test("bad subspace split is refused") {
     intercept[IllegalArgumentException] {
       Similarity.pqCodebooks(embs, m = 5, ksub = 8, iters = 1)
