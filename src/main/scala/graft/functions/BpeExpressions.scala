@@ -113,4 +113,57 @@ object BpeExpressions {
   def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(tokens),
       merges.map(_._1).toVector, merges.map(_._2).toVector))
+
+  /** Column API: DEFLATE-compressed byte length of a string — the
+    * compression-ratio quality signal (RefinedWeb/Dolma-style):
+    * repetitive or templated text compresses far below natural prose,
+    * so `length(text) / deflate_len(text)` flags boilerplate without
+    * any token-level modeling. One native kernel per row, narrow map.
+    */
+  def deflateLen(text: Column): Column =
+    ColumnBridge.column(DeflateLen(ColumnBridge.expression(text)))
+}
+
+object DeflateKernels {
+  /** Compressed size of the UTF-8 bytes under raw DEFLATE at the
+    * default level — a Deflater per call (the JNI object is cheap
+    * relative to the compression itself, and sharing one across rows
+    * would need thread-local state the expression contract does not
+    * guarantee).
+    */
+  def deflateLen(s: UTF8String): Long = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
+/** `deflate_len(text)`: compressed byte length of a string column. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "deflate_len"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    DeflateKernels.deflateLen(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.DeflateKernels.deflateLen($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
 }

@@ -658,4 +658,24 @@ object TextAnalysis {
     docs.select(col(idCol),
       graft.functions.BpeExpressions.bpeEncode(toks(col(textCol)), merges)
         .as("tokens"))
+
+  /** Compression-ratio repetitiveness signal (the RefinedWeb/Dolma
+    * boilerplate filter): ratio_e3 = 1000 · raw_bytes / deflated_bytes.
+    * Natural prose lands around 2-3×; templated or repeated text
+    * compresses much harder (high ratio = suspicious). Scale shape: a
+    * narrow map — one native DEFLATE kernel per row, no shuffle, no
+    * tokenization. `flagged` marks docs past `maxRatioE3`.
+    */
+  def compressionRatio(docs: DataFrame, maxRatioE3: Long = 4000L,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val raw = octet_length(col(textCol)).cast("long")
+    val packed = graft.functions.BpeExpressions.deflateLen(col(textCol))
+    docs.select(col(idCol), raw.as("raw_len"), packed.as("deflate_len"))
+      // integer DIV: Column./ is double division and the signal must
+      // stay engine-exact like every other quality rule here
+      .withColumn("ratio_e3",
+        expr("raw_len * 1000L DIV greatest(deflate_len, 1L)"))
+      .withColumn("flagged", (col("ratio_e3") > maxRatioE3).cast("int"))
+  }
 }

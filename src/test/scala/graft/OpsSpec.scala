@@ -1206,6 +1206,34 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("compressionRatio separates templated text from prose, shuffle-free") {
+    import spark.implicits._
+    val prose = "the quiet harbor town woke early as fishermen hauled " +
+      "nets over weathered rails while gulls argued above the tide line"
+    val boiler = ("click here to subscribe now " * 20).trim
+    val df = Seq((1L, prose), (2L, boiler)).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getInt(4)))).toMap
+    assert(out(2L)._1 > out(1L)._1 * 2, s"boilerplate not separated: $out")
+    assert(out(2L)._2 === 1 && out(1L)._2 === 0)
+    // the kernel agrees with a by-hand Deflater run
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    val got = TextAnalysis.compressionRatio(df)
+      .filter(col("doc_id") === 1L).head().getLong(2)
+    assert(got === n)
+    // narrow map: no shuffle
+    val enc = TextAnalysis.compressionRatio(df)
+    enc.collect()
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("kmeansAssign agrees with a sequential reference Lloyd trainer") {
     import spark.implicits._
     import org.scalacheck.Gen
