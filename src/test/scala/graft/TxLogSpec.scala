@@ -573,4 +573,36 @@ class TxLogSpec extends SparkSpec {
     // and no orphaned staged files: plain reads agree with TxLog reads
     assert(spark.read.parquet(table).count() === 22)
   }
+
+  test("z-ordered optimize makes data skipping effective on both columns") {
+    val table = newTable()
+    // interleaved appends: every file spans the whole id range, so
+    // range reads cannot prune anything before clustering
+    val r = new scala.util.Random(11)
+    // incompressible per-row payload so the 1 MB-target rewrite splits
+    def pad() = Seq.fill(64)(r.nextPrintableChar()).mkString
+    (0 until 6).foreach { _ =>
+      TxLog.append(
+        Seq.fill(40000)((r.nextInt(1000).toLong, r.nextInt(1000).toLong, pad()))
+          .toDF("x", "y", "pad").coalesce(1), table)
+    }
+    val before = TxLog.readRange(spark, table, "x", 0L, 49L)
+    assert(before.inputFiles.length === 6, "interleaved files pruned early?")
+    // cluster on (x, y): the rewrite range-partitions by z-key, so each
+    // output file covers a small rectangle of the (x, y) domain and the
+    // fresh footer stats make narrow reads prune
+    TxLog.optimize(spark, table, partitionCols = Nil,
+      zorderCols = Seq("x", "y"), targetFileMB = 1)
+    // force multiple output files for a tiny table: re-run with a
+    // byte-derived count of 1 would yield one file and prove nothing,
+    // so assert on the real layout only if it split; the correctness
+    // assertion below holds either way
+    val total = TxLog.read(spark, table)
+    assert(total.inputFiles.length > 1, "rewrite did not split — fixture too small")
+    val after = TxLog.readRange(spark, table, "x", 0L, 49L)
+    assert(after.count() === before.count())
+    assert(after.inputFiles.length < total.inputFiles.length,
+      s"z-order + stats failed to prune: ${after.inputFiles.length} of " +
+        s"${total.inputFiles.length}")
+  }
 }
