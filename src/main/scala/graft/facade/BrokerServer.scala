@@ -16,7 +16,7 @@ import graft.storage.Storage
   * `nisshi-service/src/stream.rs:41-133` per-conn service,
   * `nisshi-broker/src/service.rs:36-60` route).
   *
-  * Serves 46 APIs (see [[WireProtocol.SupportedApis]]): the
+  * Serves 48 APIs (see [[WireProtocol.SupportedApis]]): the
   * produce/fetch/offsets data plane, the full consumer-group membership
   * flow (FindCoordinator → JoinGroup → SyncGroup → Heartbeat →
   * LeaveGroup, backed by [[graft.coordinator.GroupCoordinator]] —
@@ -620,6 +620,32 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           if (requested.isEmpty) metadataTopics(None).sortBy(_._1)
           else metadataTopics(Some(requested))
         writeDescribeTopicPartitionsResponse(out, topics)
+      case 23 =>
+        // single stateless node: one leader epoch (0) forever, so the
+        // end offset of ANY requested epoch is the log end — a
+        // truncation check always passes
+        val v = header.apiVersion.toInt
+        val reqTopics = readOffsetForLeaderEpoch(buf, v)
+        val topics = reqTopics.map { case (t, parts) =>
+          val known = storage.topics.contains(t)
+          (t, parts.map { case (p, _) =>
+            if (!known) (3.toShort, p, -1, -1L)
+            else (0.toShort, p, 0,
+              storage.listLatestOffset(Topition(t, p)))
+          })
+        }
+        writeOffsetForLeaderEpochResponse(out, topics, v)
+      case 35 =>
+        val v = header.apiVersion.toInt
+        val requested = readDescribeLogDirs(buf, v)
+        val wanted: Seq[(String, Seq[Int])] = requested.getOrElse(
+          storage.topics.sorted.map(t =>
+            (t, (0 until storage.partitionCount(t)).toSeq)))
+        val topics = wanted.map { case (t, parts) =>
+          (t, parts.map(p =>
+            (p, storage.partitionSizeBytes(Topition(t, p)))))
+        }
+        writeDescribeLogDirsResponse(out, storage.logDir, topics, v)
       case 33 =>
         // LEGACY full-set alter: the submitted config REPLACES the
         // topic's whole dynamic config (pre-KIP-339 semantics)

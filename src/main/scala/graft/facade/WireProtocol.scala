@@ -3,7 +3,7 @@ package graft.facade
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Kafka wire-protocol codec for the 46 APIs the facade serves —
+/** Kafka wire-protocol codec for the 48 APIs the facade serves —
   * hand-written counterpart of the reference's codegen'd ser/de
   * (`nisshi-sans-io/src/ser.rs`, `de.rs`, driven by the 185 protocol
   * JSONs in `nisshi-sans-io/message/`). Every version ApiVersions
@@ -201,7 +201,9 @@ object WireProtocol {
       case (28, v) => v >= 3 // TxnOffsetCommit
       case (29, v) => v >= 2 // DescribeAcls
       case (30, v) => v >= 2 // CreateAcls
+      case (23, v) => v >= 4 // OffsetForLeaderEpoch
       case (32, v) => v >= 4 // DescribeConfigs
+      case (35, v) => v >= 2 // DescribeLogDirs
       case (33, v) => v >= 2 // AlterConfigs
       case (36, v) => v >= 2 // SaslAuthenticate
       case (37, v) => v >= 2 // CreatePartitions
@@ -1767,7 +1769,8 @@ object WireProtocol {
     (8, 0, 8), (9, 0, 7), (10, 0, 4), (11, 0, 6), (12, 0, 4), (13, 0, 4),
     (14, 0, 4), (15, 0, 5), (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7),
     (20, 0, 6), (21, 0, 2), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
-    (28, 0, 3), (29, 0, 3), (30, 0, 3), (32, 0, 4), (33, 0, 2), (36, 0, 2),
+    (23, 0, 4), (28, 0, 3), (29, 0, 3), (30, 0, 3), (32, 0, 4), (33, 0, 2),
+    (35, 0, 2), (36, 0, 2),
     (37, 0, 3), (42, 0, 2),
     (43, 0, 2), (44, 0, 1), (45, 0, 0),
     (46, 0, 0), (47, 0, 0), (48, 0, 1), (49, 0, 1), (50, 0, 0), (51, 0, 0),
@@ -4059,5 +4062,182 @@ object WireProtocol {
     }
     c.tags(buf)
     r
+  }
+  /** OffsetForLeaderEpoch v0-v4 (23) — consumer truncation detection.
+    * Field gating per version: current_leader_epoch v2+, replica_id
+    * v3+, flexible v4. Single-node semantics: the served epoch is
+    * always 0 and end_offset the log end, so a client's
+    * truncation check always passes.
+    */
+  def readOffsetForLeaderEpoch(buf: ByteBuffer, version: Int = 0)
+      : Seq[(String, Seq[(Int, Int)])] = {
+    val c = new Codec(version >= 4)
+    if (version >= 3) buf.getInt // replica_id
+    val r = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val p = buf.getInt
+        if (version >= 2) buf.getInt // current_leader_epoch
+        val epoch = buf.getInt
+        c.tags(buf)
+        (p, epoch)
+      }
+      c.tags(buf)
+      (t, parts)
+    }
+    c.tags(buf)
+    r
+  }
+
+  def writeOffsetForLeaderEpoch(buf: ByteBuffer,
+                                topics: Seq[(String, Seq[(Int, Int)])],
+                                version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    if (version >= 3) buf.putInt(-1)
+    c.putLen(buf, topics.size)
+    topics.foreach { case (t, parts) =>
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
+      parts.foreach { case (p, epoch) =>
+        buf.putInt(p)
+        if (version >= 2) buf.putInt(-1)
+        buf.putInt(epoch)
+        c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def writeOffsetForLeaderEpochResponse(
+      buf: ByteBuffer,
+      topics: Seq[(String, Seq[(Short, Int, Int, Long)])],
+      version: Int = 0): Unit = {
+    val c = new Codec(version >= 4)
+    if (version >= 2) buf.putInt(0) // throttle
+    c.putLen(buf, topics.size)
+    topics.foreach { case (t, parts) =>
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
+      parts.foreach { case (err, p, epoch, end) =>
+        buf.putShort(err)
+        buf.putInt(p)
+        if (version >= 1) buf.putInt(epoch)
+        buf.putLong(end)
+        c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readOffsetForLeaderEpochResponse(buf: ByteBuffer, version: Int = 0)
+      : Seq[(String, Seq[(Short, Int, Int, Long)])] = {
+    val c = new Codec(version >= 4)
+    if (version >= 2) buf.getInt
+    val r = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val err = buf.getShort
+        val p = buf.getInt
+        val epoch = if (version >= 1) buf.getInt else -1
+        val end = buf.getLong
+        c.tags(buf)
+        (err, p, epoch, end)
+      }
+      c.tags(buf)
+      (t, parts)
+    }
+    c.tags(buf)
+    r
+  }
+
+  /** DescribeLogDirs v0-v2 (35): per-partition on-disk sizes of the
+    * single log dir. Null topics = describe everything. Flexible v2.
+    */
+  def readDescribeLogDirs(buf: ByteBuffer, version: Int = 0)
+      : Option[Seq[(String, Seq[Int])]] = {
+    val c = new Codec(version >= 2)
+    val n = c.len(buf)
+    val r =
+      if (n < 0) None
+      else Some((0 until n).map { _ =>
+        val t = c.str(buf)
+        val parts = (0 until c.len(buf)).map(_ => buf.getInt)
+        c.tags(buf)
+        (t, parts)
+      })
+    c.tags(buf)
+    r
+  }
+
+  def writeDescribeLogDirs(buf: ByteBuffer,
+                           topics: Option[Seq[(String, Seq[Int])]],
+                           version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    topics match {
+      case None => c.putLen(buf, -1)
+      case Some(ts) =>
+        c.putLen(buf, ts.size)
+        ts.foreach { case (t, parts) =>
+          c.putStr(buf, t)
+          c.putLen(buf, parts.size)
+          parts.foreach(buf.putInt)
+          c.putTags(buf)
+        }
+    }
+    c.putTags(buf)
+  }
+
+  def writeDescribeLogDirsResponse(
+      buf: ByteBuffer, logDir: String,
+      topics: Seq[(String, Seq[(Int, Long)])],
+      version: Int = 0): Unit = {
+    val c = new Codec(version >= 2)
+    buf.putInt(0) // throttle
+    c.putLen(buf, 1) // one log dir on a single-node broker
+    buf.putShort(0) // error_code
+    c.putStr(buf, logDir)
+    c.putLen(buf, topics.size)
+    topics.foreach { case (t, parts) =>
+      c.putStr(buf, t)
+      c.putLen(buf, parts.size)
+      parts.foreach { case (p, size) =>
+        buf.putInt(p)
+        buf.putLong(size)
+        buf.putLong(0L) // offset_lag
+        buf.put(0.toByte) // is_future_key
+        c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+    c.putTags(buf)
+  }
+
+  def readDescribeLogDirsResponse(buf: ByteBuffer, version: Int = 0)
+      : (String, Seq[(String, Seq[(Int, Long)])]) = {
+    val c = new Codec(version >= 2)
+    buf.getInt // throttle
+    val n = c.len(buf)
+    require(n == 1, s"single-node broker reports one log dir, got $n")
+    buf.getShort // error
+    val dir = c.str(buf)
+    val topics = (0 until c.len(buf)).map { _ =>
+      val t = c.str(buf)
+      val parts = (0 until c.len(buf)).map { _ =>
+        val p = buf.getInt
+        val size = buf.getLong
+        buf.getLong // offset_lag
+        buf.get() // is_future_key
+        c.tags(buf)
+        (p, size)
+      }
+      c.tags(buf)
+      (t, parts)
+    }
+    c.tags(buf)
+    c.tags(buf)
+    (dir, topics)
   }
 }

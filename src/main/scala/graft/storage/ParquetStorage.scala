@@ -1072,6 +1072,21 @@ final class ParquetStorage(spark: SparkSession, root: String,
   override def listClientQuotas()
       : Map[(String, Option[String]), Map[String, Double]] = loadQuotas()
 
+  override def logDir: String = root
+
+  override def partitionSizeBytes(tp: Topition): Long = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(partDir(tp))
+    if (!Files.isDirectory(dir)) return 0L
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => try Files.size(p) catch { case _: java.io.IOException => 0L })
+      .sum
+    finally s.close()
+  }
+
   // ------------------------------------------------------------ transactions
 
   // Transactional identity and open-txn state are DURABLE (reference

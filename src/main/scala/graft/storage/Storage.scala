@@ -187,6 +187,12 @@ trait Storage {
     */
   def listTransactions(): Seq[(String, Long, String)]
 
+  /** DescribeLogDirs: the storage root this engine serves from. */
+  def logDir: String
+
+  /** DescribeLogDirs: bytes of data files in one partition directory. */
+  def partitionSizeBytes(tp: Topition): Long
+
   /** Client-quota store (durable, restart-recovered). Key = (entityType,
     * Some(name) | None for the default entity); values = quota key →
     * value. A `None` op value removes the key.

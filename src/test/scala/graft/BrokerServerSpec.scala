@@ -2036,4 +2036,57 @@ class BrokerServerSpec extends SparkSpec {
       sock.close()
     } finally broker.close()
   }
+
+  test("OffsetForLeaderEpoch + DescribeLogDirs round-trip at every advertised version") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-ld").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("ld", 2)
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "k1", "v1"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "k2", "v2"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), "k3", "v3"))
+      .toDF("timestamp", "key", "value")
+    assert(storage.produce(graft.model.Model.Topition("ld", 0), batch).isRight)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      var corr = 960
+      def call(api: Short, v: Short)(body: ByteBuffer => Unit): ByteBuffer = {
+        corr += 1
+        val r =
+          if (W.isFlexible(api, v)) flexRequest(sock, api, v, corr)(body)
+          else request(sock, api, v, corr)(body)
+        if (W.isFlexible(api, v)) W.skipTaggedFields(r)
+        r
+      }
+      // OffsetForLeaderEpoch v0-v4: end offset = log end, epoch 0,
+      // unknown topic = 3 per partition
+      (0 to 4).foreach { v =>
+        val r = call(23, v.toShort)(b => W.writeOffsetForLeaderEpoch(b,
+          Seq(("ld", Seq((0, 5), (1, 7))), ("ghost", Seq((0, 1)))), v))
+        val got = W.readOffsetForLeaderEpochResponse(r, v)
+        val ld = got.find(_._1 == "ld").get._2
+        assert(ld.map(p => (p._1, p._2, p._4)) ===
+          Seq((0.toShort, 0, 3L), (0.toShort, 1, 0L)), s"v$v")
+        if (v >= 1) assert(ld.forall(_._3 === 0), s"v$v epoch")
+        assert(got.find(_._1 == "ghost").get._2.head._1 === 3, s"v$v")
+      }
+      // DescribeLogDirs v0-v2: explicit topics and the null
+      // describe-everything form; sizes are real bytes on disk
+      (0 to 2).foreach { v =>
+        val r = call(35, v.toShort)(b => W.writeDescribeLogDirs(b,
+          Some(Seq(("ld", Seq(0, 1)))), v))
+        val (dir, topics) = W.readDescribeLogDirsResponse(r, v)
+        assert(dir === root, s"v$v")
+        val parts = topics.find(_._1 == "ld").get._2.toMap
+        assert(parts(0) > 0L, s"v$v produced partition has bytes")
+        assert(parts(1) === 0L, s"v$v empty partition")
+        val rAll = call(35, v.toShort)(b => W.writeDescribeLogDirs(b, None, v))
+        val (_, all) = W.readDescribeLogDirsResponse(rAll, v)
+        assert(all.map(_._1).contains("ld"), s"v$v null form")
+      }
+      sock.close()
+    } finally broker.close()
+  }
 }
