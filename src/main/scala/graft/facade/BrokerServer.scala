@@ -629,7 +629,8 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         val topics = reqTopics.map { case (t, parts) =>
           val known = storage.topics.contains(t)
           (t, parts.map { case (p, _) =>
-            if (!known) (3.toShort, p, -1, -1L)
+            if (!known || p < 0 || p >= partitionsOf(t))
+              (3.toShort, p, -1, -1L)
             else (0.toShort, p, 0,
               storage.listLatestOffset(Topition(t, p)))
           })
@@ -638,9 +639,19 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
       case 35 =>
         val v = header.apiVersion.toInt
         val requested = readDescribeLogDirs(buf, v)
-        val wanted: Seq[(String, Seq[Int])] = requested.getOrElse(
-          storage.topics.sorted.map(t =>
-            (t, (0 until storage.partitionCount(t)).toSeq)))
+        // unknown topics/partitions are OMITTED (real-broker shape) —
+        // fabricated size-0 entries would read as phantom replicas to
+        // log-dir tooling
+        val wanted: Seq[(String, Seq[Int])] = requested match {
+          case None =>
+            storage.topics.sorted.map(t =>
+              (t, (0 until partitionsOf(t)).toSeq))
+          case Some(ts) =>
+            ts.filter(t => storage.topics.contains(t._1)).map {
+              case (t, parts) =>
+                (t, parts.filter(p => p >= 0 && p < partitionsOf(t)))
+            }
+        }
         val topics = wanted.map { case (t, parts) =>
           (t, parts.map(p =>
             (p, storage.partitionSizeBytes(Topition(t, p)))))
@@ -967,9 +978,7 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   // stored rate wins. Single-node caveat, documented: one aggregate
   // window, so per-entity rates gate the TOTAL inflow at the strictest
   // configured value rather than metering each client separately.
-  private val quotaWindowStart =
-    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
-  private val quotaWindowBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val produceWindow = new RateWindow
   @volatile private var dynamicProduceQuota: Option[Long] = None
   @volatile private var dynamicFetchQuota: Option[Long] = None
   private def reloadDynamicQuota(): Unit = {
@@ -986,35 +995,39 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   // fetch-side mirror of the produce window: consumer_byte_rate from
   // the durable quota store gates the TOTAL outflow (same single-node
   // aggregate-window caveat as above)
-  private val fetchWindowStart =
-    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
-  private val fetchWindowBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val fetchWindow = new RateWindow
 
-  private def fetchThrottleMs(bytes: Long): Int = {
-    val rate = dynamicFetchQuota.getOrElse(Long.MaxValue)
-    if (rate == Long.MaxValue) return 0
-    val now = System.currentTimeMillis()
-    if (now - fetchWindowStart.get() >= 1000) {
-      fetchWindowStart.set(now)
-      fetchWindowBytes.set(0)
+  private def fetchThrottleMs(bytes: Long): Int =
+    fetchWindow.add(bytes, dynamicFetchQuota.getOrElse(Long.MaxValue))
+
+  /** One sliding 1-second byte window, reset by CAS so concurrent
+    * connections can never interleave a start/bytes reset (the lost or
+    * double-counted window of the naive two-field form); the computed
+    * throttle clamps to Int.MaxValue — the untruncated Long would go
+    * NEGATIVE on the wire for a large burst against a tiny rate.
+    */
+  private final class RateWindow {
+    private val ref = new java.util.concurrent.atomic.AtomicReference(
+      (System.currentTimeMillis(),
+        new java.util.concurrent.atomic.AtomicLong(0)))
+    def add(bytes: Long, rate: Long): Int = {
+      if (rate == Long.MaxValue) return 0
+      val now = System.currentTimeMillis()
+      var w = ref.get()
+      if (now - w._1 >= 1000) {
+        val fresh = (now, new java.util.concurrent.atomic.AtomicLong(0))
+        w = if (ref.compareAndSet(w, fresh)) fresh else ref.get()
+      }
+      val total = w._2.addAndGet(bytes)
+      if (total <= rate) 0
+      else math.min(((total - rate) * 1000) / math.max(rate, 1L),
+        Int.MaxValue.toLong).toInt
     }
-    val total = fetchWindowBytes.addAndGet(bytes)
-    if (total <= rate) 0
-    else (((total - rate) * 1000) / math.max(rate, 1L)).toInt
   }
 
-  private def produceThrottleMs(bytes: Long): Int = {
-    val rate = dynamicProduceQuota.getOrElse(produceQuotaBytesPerSec)
-    if (rate == Long.MaxValue) return 0
-    val now = System.currentTimeMillis()
-    if (now - quotaWindowStart.get() >= 1000) {
-      quotaWindowStart.set(now)
-      quotaWindowBytes.set(0)
-    }
-    val total = quotaWindowBytes.addAndGet(bytes)
-    if (total <= rate) 0
-    else (((total - rate) * 1000) / math.max(rate, 1L)).toInt
-  }
+  private def produceThrottleMs(bytes: Long): Int =
+    produceWindow.add(bytes,
+      dynamicProduceQuota.getOrElse(produceQuotaBytesPerSec))
 
   /** Per-topic metadata rows: explicitly requested topics that don't
     * exist come back as UNKNOWN_TOPIC_OR_PARTITION (3) with no

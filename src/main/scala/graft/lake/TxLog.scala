@@ -393,6 +393,14 @@ object TxLog {
     // per call is pure waste); pre-log files are captured BEFORE staging
     // ours into the same layout
     var snap = currentSnapshot(t)
+    def isReplay(s: Option[Snapshot]): Boolean = txn.exists {
+      case (appId, batchId) =>
+        s.flatMap(_.stats.get(TxnKeyPrefix + appId)).exists(_.toLong >= batchId)
+    }
+    // replay fast path BEFORE staging: the common crash-recovery case
+    // must not write (and then delete) the whole micro-batch just to
+    // discover the commit already happened
+    if (isReplay(snap)) return None
     val preLog = if (snap.isEmpty) preLogDataFiles(t) else Nil
     val newFiles = stageDataFiles(df, t, partitionCols)
     val newStats = footerStats(t, newFiles)
@@ -403,17 +411,12 @@ object TxLog {
     try {
       var attempt = 0
       while (attempt < maxRetries) {
-        // exactly-once gate: the snapshot carries each app's committed
-        // batch high-water; a replay (or a CAS loser discovering the
-        // winner already covered this batch) unstages and reports
-        // "already committed". Plain conditional, not a closure — a
+        // exactly-once gate re-checked per attempt: a CAS loser whose
+        // winner already covered this batch unstages and reports
+        // "already committed". (Plain conditional, not a closure — a
         // non-local return from a lambda rides an exception the
-        // catch-all below would intercept.
-        val replay = txn.exists { case (appId, batchId) =>
-          snap.flatMap(_.stats.get(TxnKeyPrefix + appId))
-            .exists(_.toLong >= batchId)
-        }
-        if (replay) {
+        // catch-all below would intercept.)
+        if (isReplay(snap)) {
           unstageUncommitted(t, newFiles)
           return None
         }
@@ -566,7 +569,7 @@ object TxLog {
                     def lt(a: Any, b: Any): Boolean = (a, b) match {
                       case (x: Long, y: Long) => x < y
                       case (x: Double, y: Double) => x < y
-                      case (x: String, y: String) => x < y
+                      case (x: String, y: String) => utf8Lt(x, y)
                       case _ => false
                     }
                     (if (lo == null || lt(nlo, lo)) nlo else lo,
@@ -599,6 +602,26 @@ object TxLog {
     }.toMap
   }
 
+  /** Unsigned UTF-8 byte ordering — what parquet binary stats and
+    * Spark's UTF8String comparisons both use. Java String `<` compares
+    * UTF-16 code units, which DISAGREES for supplementary characters
+    * (surrogates 0xD800+ sort above U+E000 there but their UTF-8 bytes
+    * 0xF0.. sort above everything) — comparing with it would wrongly
+    * prune files whose strings carry emoji.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Files of `snap` whose stats CANNOT exclude `[lo, hi]` on `colName`
     * — the data-skipping core. Files without stats for the column are
     * kept (conservative).
@@ -622,7 +645,7 @@ object TxLog {
             if (mn.isTextual) {
               (lo, hi) match {
                 case (l: String, h: String) =>
-                  !(mx.asText() < l || mn.asText() > h)
+                  !(utf8Lt(mx.asText(), l) || utf8Lt(h, mn.asText()))
                 case _ => true
               }
             } else (for {
@@ -693,6 +716,8 @@ object TxLog {
           .drop("__z")
       else df.repartition(sized)
     val rewritten = stageDataFiles(clustered, t, partitionCols)
+    // once: the rewritten set never changes across CAS retries
+    val rewrittenStats = footerStats(t, rewritten)
     val replaced = snap.files.toSet
     var attempt = 0
     while (attempt < maxRetries) {
@@ -719,7 +744,7 @@ object TxLog {
         Checkpoint(latest.schemaJson, kept ++ rewritten, "optimize",
           latest.stats.view.filterKeys(k =>
             keptKeys.contains(k) || k.startsWith(TxnKeyPrefix)).toMap ++
-            footerStats(t, rewritten)))) {
+            rewrittenStats))) {
         if (purgeReplaced) unstage(t, replaced.toSeq)
         return latest.version + 1
       }
@@ -828,6 +853,8 @@ object TxLog {
                             op: String, maxRetries: Int,
                             strictVersion: Boolean): Option[Long] = {
     val touchedSet = touched.toSet
+    // once: the rewritten set never changes across CAS retries
+    val rewrittenStats = footerStats(t, rewritten)
     var latest = base
     var attempt = 0
     while (attempt < maxRetries) {
@@ -838,7 +865,7 @@ object TxLog {
       }
       if (tryCommit(t, latest.version + 1,
         Delta(schemaJson, rewritten, touched, op,
-          addStats = footerStats(t, rewritten))))
+          addStats = rewrittenStats)))
         return Some(latest.version + 1)
       attempt += 1
       latest = currentSnapshot(t).get

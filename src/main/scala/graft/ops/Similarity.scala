@@ -378,12 +378,52 @@ object Similarity {
       s"dims=$dims must split into m=$m equal subspaces")
     val sub = dims / m
     quantizedOrFail(embeddings, idCol, embCol)
-      .select(col(idCol), array((0 until m).map { i =>
-        graft.functions.VectorExpressions
-          .nearestCentroid(slice(col("qe"), i * sub + 1, sub), books(i))
-          .getField("cid")
-      }: _*).as("code"))
+      .select(col(idCol), codesColumn(col("qe"), books, sub).as("code"))
   }
+
+  /** Per-subspace ADC lookup tables for one query-space vector `q`
+    * (raw for PQ-flat, the cell residual for IVF-PQ): table(i)(cid) =
+    * exact squared distance from q's i-th subvector to that codeword.
+    * Vanished clusters never appear as codes; their cells stay unread.
+    */
+  private def adcTables(books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+                        q: Seq[Long], sub: Int): IndexedSeq[Array[Long]] =
+    books.indices.map { i =>
+      val t = Array.fill((books(i).map(_._1).max + 1).toInt)(0L)
+      books(i).foreach { case (cid, cen) =>
+        var d = 0L
+        var j = 0
+        while (j < sub) {
+          val diff = q(i * sub + j) - cen(j)
+          d = Math.addExact(d, Math.multiplyExact(diff, diff))
+          j += 1
+        }
+        t(cid.toInt) = d
+      }
+      t
+    }.toIndexedSeq
+
+  /** Sum of the m table lookups over a `code` array column — the
+    * per-candidate ADC distance.
+    */
+  private def adcColumn(tables: IndexedSeq[Array[Long]]): Column =
+    tables.indices.map { i =>
+      element_at(lit(tables(i)),
+        (element_at(col("code"), i + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+
+  /** The m per-subspace nearest-codeword ids of `vec` as one array
+    * column (the PQ code) — shared by raw-space and residual-space
+    * encodes so the tie-break/table-sizing rules cannot drift.
+    */
+  private def codesColumn(vec: Column,
+                          books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+                          sub: Int): Column =
+    array(books.indices.map { i =>
+      graft.functions.VectorExpressions
+        .nearestCentroid(slice(vec, i * sub + 1, sub), books(i))
+        .getField("cid")
+    }: _*)
 
   /** PQ top-k by asymmetric distance (ADC): the query stays exact while
     * every corpus vector is approximated by its codebook
@@ -415,26 +455,7 @@ object Similarity {
       .filter(col(idCol) === queryId)
       .select(col("qe")).head().getSeq[Long](0)
     require(q.length == dims, s"query vector has ${q.length} dims, want $dims")
-    // dense per-subspace lookup tables indexed by cid; vanished
-    // clusters never appear as codes, their cells stay unread
-    val tables: IndexedSeq[Array[Long]] = (0 until m).map { i =>
-      val t = Array.fill((books(i).map(_._1).max + 1).toInt)(0L)
-      books(i).foreach { case (cid, cen) =>
-        var d = 0L
-        var j = 0
-        while (j < sub) {
-          val diff = q(i * sub + j) - cen(j)
-          d += diff * diff
-          j += 1
-        }
-        t(cid.toInt) = d
-      }
-      t
-    }
-    val adc = (0 until m).map { i =>
-      element_at(lit(tables(i)),
-        (element_at(col("code"), i + 1) + 1).cast("int"))
-    }.reduce(_ + _)
+    val adc = adcColumn(adcTables(books, q, sub))
     pqEncode(embeddings, books, dims, idCol, embCol)
       .filter(col(idCol) =!= queryId)
       .withColumn("adc", adc)
@@ -519,38 +540,16 @@ object Similarity {
       (d, c)
     }.sortBy(identity).take(nProbe).map(_._2)
 
-    // one ADC table per probed cell, from the QUERY's residual in it
-    def tableFor(cell: Long): IndexedSeq[Array[Long]] = {
-      val cen = centMap(cell)
-      val qr = Array.tabulate(dims)(j => q(j) - cen(j))
-      (0 until m).map { i =>
-        val t = Array.fill((books(i).map(_._1).max + 1).toInt)(0L)
-        books(i).foreach { case (cid, bc) =>
-          var d = 0L
-          var j = 0
-          while (j < sub) {
-            val diff = qr(i * sub + j) - bc(j)
-            d = Math.addExact(d, Math.multiplyExact(diff, diff))
-            j += 1
-          }
-          t(cid.toInt) = d
-        }
-        t
-      }.toIndexedSeq
-    }
+    // one ADC table set per probed cell, from the QUERY's residual in
+    // it — the same shared table/lookup/encode helpers as PQ-flat, so
+    // the tie-break and indexing rules cannot drift between the paths
     def adcFor(cell: Long): Column = {
-      val tabs = tableFor(cell)
-      (0 until m).map { i =>
-        element_at(lit(tabs(i)),
-          (element_at(col("code"), i + 1) + 1).cast("int"))
-      }.reduce(_ + _)
+      val cen = centMap(cell)
+      adcColumn(adcTables(books,
+        IndexedSeq.tabulate(dims)(j => q(j) - cen(j)), sub))
     }
     val encoded = assigned.select(col(idCol), col("cell"),
-      array((0 until m).map { i =>
-        graft.functions.VectorExpressions
-          .nearestCentroid(slice(col("resid"), i * sub + 1, sub), books(i))
-          .getField("cid")
-      }: _*).as("code"))
+      codesColumn(col("resid"), books, sub).as("code"))
     val adc = probed.tail.foldLeft(adcFor(probed.head)) { (acc, c) =>
       when(col("cell") === c, adcFor(c)).otherwise(acc)
     }

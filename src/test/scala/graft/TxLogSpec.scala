@@ -605,4 +605,16 @@ class TxLogSpec extends SparkSpec {
       s"z-order + stats failed to prune: ${after.inputFiles.length} of " +
         s"${total.inputFiles.length}")
   }
+
+  test("string stats prune with UTF-8 byte order (supplementary chars safe)") {
+    val table = newTable()
+    // one file holding only an emoji string: its UTF-8 bytes (F0 9F ...)
+    // sort ABOVE U+E000 even though its UTF-16 code units (surrogates
+    // 0xD83D...) sort below — a UTF-16 compare would wrongly prune it
+    TxLog.append(Seq((1L, "\ud83d\ude00")).toDF("id", "s").coalesce(1), table)
+    TxLog.append(Seq((2L, "aaa")).toDF("id", "s").coalesce(1), table)
+    val got = TxLog.readRange(spark, table, "s", "\ue000", "\ud83e\udd0f")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L), s"emoji row wrongly pruned: $got")
+  }
 }
