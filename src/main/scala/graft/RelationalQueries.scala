@@ -171,8 +171,25 @@ object RelationalQueries {
       .select(col("error_id"), col("click_id"), col("user_id"))
   }
 
+  /** FORWARD as-of: each click matched to the user's EARLIEST view at
+    * or after it. The oracle reuses DuckDB's (backward-only) ASOF JOIN
+    * by negating the time axis — the same trick proves both scan
+    * directions of the operator against one native primitive.
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    AsofJoin.asofForward(clicks, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("view_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_rollup" -> (qRollup _),
     "q_topk_per_group" -> (qTopKPerGroup _),
@@ -190,6 +207,17 @@ object RelationalQueries {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, -epoch_us(ts) AS nts FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, -epoch_us(ts) AS nts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, v.view_id
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.nts >= v.nts""".stripMargin,
+
     "q_interval_join" ->
       """WITH err AS (
         |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS ts0

@@ -145,6 +145,14 @@ object TrainingQueries {
     Similarity.annIvfPq(embs(s, dir), queryId = 0L, k = 10,
       nCells = 4, nProbe = 2, m = 4, ksub = 8, iters = 2)
 
+  /** Two-stage IVF-PQ: 40-candidate ADC shortlist, exact-cosine top-10
+    * re-rank — the production serving pattern, oracle-replayed end to
+    * end on the shared IVF-PQ CTE chain.
+    */
+  def qIvfPqRerank(s: SparkSession, dir: String): DataFrame =
+    Similarity.annIvfPqRerank(embs(s, dir), queryId = 0L, k = 10,
+      shortlist = 40, nCells = 4, nProbe = 2, m = 4, ksub = 8, iters = 2)
+
   /** Per-document statistics. */
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(docs(s, dir))
@@ -552,6 +560,7 @@ object TrainingQueries {
     "q_kmeans_assign" -> (qKmeansAssign _),
     "q_pq_adc" -> (qPqAdc _),
     "q_ivfpq_adc" -> (qIvfPqAdc _),
+    "q_ivfpq_rerank" -> (qIvfPqRerank _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_balance" -> (qClusterBalance _),
     "q_importance_weight" -> (qImportanceWeight _),
@@ -892,6 +901,67 @@ object TrainingQueries {
          |  GROUP BY cid)""".stripMargin
     }
     (c0 +: steps :+ assign(s"${p}af", s"${p}c$iters")).mkString(",\n")
+  }
+
+  /** The full IVF-PQ replay as a CTE chain ending in `adc` (vec_id,
+    * cell, adc over the probed cells, query excluded) — shared by the
+    * plain ADC top-k oracle and the exact-rerank oracle. Parameters are
+    * pinned to the q_ivfpq_* queries' (4 cells, probe 2, m=4, ksub=8,
+    * 2 rounds, query 0).
+    */
+  private def ivfPqCtes(): String = {
+    val m = 4; val sub = 16; val ksub = 8; val iters = 2
+    val nCells = 4; val nProbe = 2
+    def dist(dims: Int, a: String, b: String) =
+      s"CAST(list_sum(list_transform(range($dims), " +
+        s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))) AS BIGINT)"
+    def distOff(off: Int, dims: Int, a: String, b: String) =
+      s"CAST(list_sum(list_transform(range($dims), " +
+        s"i -> ($a[$off + i + 1] - $b[i+1]) * ($a[$off + i + 1] - $b[i+1]))) AS BIGINT)"
+    val residChains = (0 until m).map { i =>
+      s"""r$i AS (SELECT vec_id,
+         |  list_transform(range($sub), j -> qe[${i * sub} + j + 1]) AS qe
+         |  FROM resid),
+         |${kmeansCtes(ksub, iters, sub, src = s"r$i", p = s"s${i}_")},
+         |t$i AS (
+         |  SELECT qr.cell, b.cid,
+         |    ${distOff(i * sub, sub, "qr.qe", "b.cen")} AS d
+         |  FROM qr CROSS JOIN s${i}_c$iters b)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m)
+      .map(i => s"s${i}_af.kk % $ksub AS c$i").mkString(", ")
+    val codeJoins = (0 until m)
+      .map(i => s"JOIN s${i}_af ON resid.vec_id = s${i}_af.vec_id")
+      .mkString(" ")
+    val tblJoins = (0 until m)
+      .map(i => s"JOIN t$i ON codes.cell = t$i.cell AND codes.c$i = t$i.cid")
+      .mkString(" ")
+    val adcSum = (0 until m).map(i => s"t$i.d").mkString(" + ")
+    s"""${quantCte.trim},
+       |${kmeansCtes(nCells, iters, 64, src = "e", p = "cc_")},
+       |cells AS (SELECT vec_id, kk % $nCells AS cell FROM cc_af),
+       |resid AS (
+       |  SELECT e.vec_id, cells.cell,
+       |    list_transform(range(64), j -> e.qe[j+1] - c.cen[j+1]) AS qe
+       |  FROM e JOIN cells USING (vec_id)
+       |  JOIN cc_c$iters c ON cells.cell = c.cid),
+       |q AS (SELECT qe FROM e WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cid AS cell, ${dist(64, "q.qe", "c.cen")} AS d
+       |  FROM cc_c$iters c CROSS JOIN q
+       |  ORDER BY d, cell LIMIT $nProbe),
+       |qr AS (
+       |  SELECT p.cell,
+       |    list_transform(range(64), j -> q.qe[j+1] - c.cen[j+1]) AS qe
+       |  FROM probe p JOIN cc_c$iters c ON p.cell = c.cid CROSS JOIN q),
+       |$residChains,
+       |codes AS (
+       |  SELECT resid.vec_id, resid.cell, $codeCols
+       |  FROM resid $codeJoins),
+       |adc AS (
+       |  SELECT codes.vec_id, codes.cell, $adcSum AS adc
+       |  FROM codes $tblJoins
+       |  WHERE codes.vec_id != 0)""".stripMargin
   }
 
   /** The BPE merge trajectory as chained CTEs — one block per round,
@@ -1652,60 +1722,22 @@ object TrainingQueries {
          |ORDER BY adc, codes.vec_id LIMIT 10""".stripMargin
     },
 
-    "q_ivfpq_adc" -> {
-      val m = 4; val sub = 16; val ksub = 8; val iters = 2
-      val nCells = 4; val nProbe = 2
-      def dist(dims: Int, a: String, b: String) =
-        s"CAST(list_sum(list_transform(range($dims), " +
-          s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))) AS BIGINT)"
-      def distOff(off: Int, dims: Int, a: String, b: String) =
-        s"CAST(list_sum(list_transform(range($dims), " +
-          s"i -> ($a[$off + i + 1] - $b[i+1]) * ($a[$off + i + 1] - $b[i+1]))) AS BIGINT)"
-      val residChains = (0 until m).map { i =>
-        s"""r$i AS (SELECT vec_id,
-           |  list_transform(range($sub), j -> qe[${i * sub} + j + 1]) AS qe
-           |  FROM resid),
-           |${kmeansCtes(ksub, iters, sub, src = s"r$i", p = s"s${i}_")},
-           |t$i AS (
-           |  SELECT qr.cell, b.cid,
-           |    ${distOff(i * sub, sub, "qr.qe", "b.cen")} AS d
-           |  FROM qr CROSS JOIN s${i}_c$iters b)""".stripMargin
-      }.mkString(",\n")
-      val codeCols = (0 until m)
-        .map(i => s"s${i}_af.kk % $ksub AS c$i").mkString(", ")
-      val codeJoins = (0 until m)
-        .map(i => s"JOIN s${i}_af ON resid.vec_id = s${i}_af.vec_id")
-        .mkString(" ")
-      val tblJoins = (0 until m)
-        .map(i => s"JOIN t$i ON codes.cell = t$i.cell AND codes.c$i = t$i.cid")
-        .mkString(" ")
-      val adcSum = (0 until m).map(i => s"t$i.d").mkString(" + ")
-      s"""${quantCte.trim},
-         |${kmeansCtes(nCells, iters, 64, src = "e", p = "cc_")},
-         |cells AS (SELECT vec_id, kk % $nCells AS cell FROM cc_af),
-         |resid AS (
-         |  SELECT e.vec_id, cells.cell,
-         |    list_transform(range(64), j -> e.qe[j+1] - c.cen[j+1]) AS qe
-         |  FROM e JOIN cells USING (vec_id)
-         |  JOIN cc_c$iters c ON cells.cell = c.cid),
-         |q AS (SELECT qe FROM e WHERE vec_id = 0),
-         |probe AS (
-         |  SELECT c.cid AS cell, ${dist(64, "q.qe", "c.cen")} AS d
-         |  FROM cc_c$iters c CROSS JOIN q
-         |  ORDER BY d, cell LIMIT $nProbe),
-         |qr AS (
-         |  SELECT p.cell,
-         |    list_transform(range(64), j -> q.qe[j+1] - c.cen[j+1]) AS qe
-         |  FROM probe p JOIN cc_c$iters c ON p.cell = c.cid CROSS JOIN q),
-         |$residChains,
-         |codes AS (
-         |  SELECT resid.vec_id, resid.cell, $codeCols
-         |  FROM resid $codeJoins)
-         |SELECT codes.vec_id, codes.cell, $adcSum AS adc
-         |FROM codes $tblJoins
-         |WHERE codes.vec_id != 0
-         |ORDER BY adc, codes.vec_id LIMIT 10""".stripMargin
-    },
+    "q_ivfpq_adc" ->
+      s"""${ivfPqCtes()}
+         |SELECT vec_id, cell, adc FROM adc
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+
+    "q_ivfpq_rerank" ->
+      s"""${ivfPqCtes()},
+         |short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 40),
+         |rr AS (
+         |  SELECT e.vec_id,
+         |    CAST(${dotSql("e.qe", "q.qe")} AS DOUBLE)
+         |      / sqrt(CAST(${dotSql("e.qe", "e.qe")} AS DOUBLE)
+         |             * CAST(${dotSql("q.qe", "q.qe")} AS DOUBLE)) AS cos
+         |  FROM e JOIN short USING (vec_id) CROSS JOIN q)
+         |SELECT vec_id, round(cos, 6) AS cosine_r FROM rr
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_semdedup" ->
       s"""${quantCte.trim},

@@ -161,6 +161,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage IVF-PQ search — the production serving pattern: the
+    * m-byte-code ADC scan shortlists `shortlist` candidates, then ONLY
+    * those are re-ranked by exact cosine against their full vectors.
+    * The expensive exact pass is bounded to a constant-size set
+    * regardless of corpus size, and the shortlist rides back into the
+    * corpus as a broadcast semi-join on the id (never a shuffle).
+    * Recall improves monotonically with `shortlist` at fixed scan cost
+    * shape. Returns (idCol, cosine_r), the exact-cosine top-k of the
+    * shortlist.
+    */
+  def annIvfPqRerank(embeddings: DataFrame, queryId: Long, k: Int,
+                     shortlist: Int = 40, nCells: Int = 4, nProbe: Int = 2,
+                     m: Int = 4, ksub: Int = 8, iters: Int = 2,
+                     dims: Int = 64, idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val cand = annIvfPq(embeddings, queryId, shortlist, nCells, nProbe,
+      m, ksub, iters, dims, idCol, embCol).select(col(idCol))
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(quantize(col(embCol)).as("q_emb"))
+    embeddings
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineQ(quantize(col(embCol)), col("q_emb")))
+      .select(col(idCol), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("cosine_r").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Blocking width sized to the corpus: the smallest `bits` such that the
     * expected cell cardinality n / 2^bits stays at or under
     * `targetCellSize`. Within-cell pair cost is QUADRATIC (~c²/2 per
