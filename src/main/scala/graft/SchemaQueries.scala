@@ -89,6 +89,21 @@ object SchemaQueries {
       .select(unix_micros(col("h")).as("hour_us"), col("event_type"),
         col("n"), col("sum_metric"))
 
+  /** Skew-salted aggregate: per-event_type count + value sum computed
+    * through a deterministic 16-way salt split and reassembled — the
+    * hot-key mitigation the brief names. The oracle is the PLAIN
+    * aggregate: salting must be invisible in the results (exact
+    * two-level reassembly of algebraic aggregates), which is exactly
+    * what makes it safe to deploy on a skewed 100 TB key.
+    */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedAggregate(
+      Tables.load(s, dir, "events")
+        .withColumn("v", col("value").cast("decimal(18,2)")),
+      keyCol = "event_type", valueCol = "v", saltBy = "event_id")
+      .select(col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
+
   /** J5/T7 — retention sweep vs per-"topic" config (event_type plays the
     * topic role; fixed `now` for determinism).
     */
@@ -230,6 +245,7 @@ object SchemaQueries {
     "q_flatten" -> (qFlatten _),
     "q_window_rank" -> (qWindowRank _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_retention" -> (qRetention _),
     "q_group_lag" -> (qGroupLag _)
   )
@@ -324,6 +340,11 @@ object SchemaQueries {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey
         |  ORDER BY s_acctbal DESC, s_suppkey)""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_tumbling_hourly" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,

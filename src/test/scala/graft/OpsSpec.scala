@@ -1234,6 +1234,26 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("saltedAggregate reassembles exactly and splits the hot key 16 ways") {
+    import spark.implicits._
+    // one pathological key carrying 90% of rows + a long tail
+    val rows = (0 until 9000).map(i => ("hot", i.toLong, i.toLong)) ++
+      (0 until 1000).map(i => (s"k${i % 50}", i.toLong, i.toLong))
+    val df = rows.toDF("k", "rid", "v")
+    val got = graft.ops.Skew.saltedAggregate(df, "k", "v", saltBy = "rid")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val expect = df.groupBy("k").agg(count(lit(1)), sum("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === expect) // salting is invisible in the results
+    // plan shape: two HashAggregate pairs (partial+final per level)
+    val plan = graft.ops.Skew.saltedAggregate(df, "k", "v", "rid")
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(400))
+    assert(plan.contains("__salt"), "salt column missing from the plan")
+  }
+
   test("kmeansAssign agrees with a sequential reference Lloyd trainer") {
     import spark.implicits._
     import org.scalacheck.Gen

@@ -121,6 +121,21 @@ class PqSpec extends SparkSpec {
       one.isEmpty)
   }
 
+  test("rerank: exact cosine over the shortlist only, broadcast back-join") {
+    val out = Similarity.annIvfPqRerank(embs, queryId = 0L, k = 10,
+      shortlist = 40)
+    val rows = out.collect()
+    assert(rows.length === 10 && !rows.exists(_.getLong(0) === 0L))
+    val cos = rows.map(_.getDouble(1)).toSeq
+    assert(cos === cos.sorted.reverse) // exact-cosine order, descending
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rerank shuffled the corpus:\n${plan.take(500)}")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
+
   test("bad subspace split is refused") {
     intercept[IllegalArgumentException] {
       Similarity.pqCodebooks(embs, m = 5, ksub = 8, iters = 1)

@@ -617,4 +617,36 @@ class TxLogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got === Seq(1L), s"emoji row wrongly pruned: $got")
   }
+
+  test("concurrent appendStream: every batch id commits exactly once") {
+    val table = newTable()
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      // batch ids advance monotonically (the foreachBatch contract the
+      // marker's high-water semantics assume — same as Delta's txn
+      // action); what CAN race is several writers replaying the SAME
+      // batch after a crash. Per id: three racing attempts, exactly one
+      // may commit.
+      var committed = 0
+      (0 until 10).foreach { b =>
+        val attempts = (0 until 3).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+            def call(): Option[Long] =
+              TxLog.appendStream(
+                Seq((b.toLong, s"batch$b")).toDF("id", "s").coalesce(1),
+                table, "hammer", b.toLong)
+          })
+        }
+        val wins = attempts.map(_.get()).count(_.isDefined)
+        assert(wins === 1, s"batch $b committed $wins times")
+        committed += wins
+      }
+      assert(committed === 10, s"$committed commits for 10 batch ids")
+      assert(TxLog.read(spark, table).count() === 10)
+      assert(TxLog.lastCommittedBatch(table, "hammer") === Some(9L))
+      // plain directory readers agree: no orphaned staged files
+      assert(spark.read.parquet(table).count() === 10)
+    } finally pool.shutdownNow()
+  }
 }
