@@ -3,7 +3,7 @@ package graft.lake
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Minimal transactional manifest log for Parquet tables — the native
@@ -402,9 +402,17 @@ object TxLog {
     // discover the commit already happened
     if (isReplay(snap)) return None
     val preLog = if (snap.isEmpty) preLogDataFiles(t) else Nil
+    // bootstrap only: the legacy files' columns must join the schema
+    // union or the first explicit-schema read would drop them. One
+    // mergeSchema planning pass over the pre-log files, paid once per
+    // table lifetime.
+    val preLogSchema: Option[StructType] =
+      if (preLog.isEmpty) None
+      else Some(df.sparkSession.read
+        .option("mergeSchema", "true").option("basePath", t)
+        .parquet(preLog.map(f => s"$t/$f"): _*).schema)
     val newFiles = stageDataFiles(df, t, partitionCols)
     val newStats = footerStats(t, newFiles)
-    val schemaJson = df.schema.json
     // ANY non-success exit must unstage: the files are already in the
     // visible layout, and an exception escaping the loop (not just
     // contention) would otherwise leave plain-reader-visible orphans
@@ -422,6 +430,11 @@ object TxLog {
         }
         val base = snap.map(_.files).getOrElse(preLog)
         val next = snap.map(_.version + 1).getOrElse(0L)
+        // per attempt: a CAS loser's union must fold the WINNER's
+        // schema, not the stale snapshot's (schema conflicts throw here
+        // and the catch-all below unstages)
+        val schemaJson = unionSchemaJson(snap,
+          preLogSchema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
         val txnStats = txn
           .map { case (a, b) => Map(TxnKeyPrefix + a -> b.toString) }
           .getOrElse(Map.empty)
@@ -479,19 +492,75 @@ object TxLog {
                            ignoreMissing: Boolean = true): DataFrame =
     readFiles(spark, t, s.files, s.schemaJson, ignoreMissing)
 
+  /** The manifest schema is AUTHORITATIVE (it is the commit-time union
+    * of every append's schema — see [[mergeSchemas]]), so reads pass it
+    * explicitly instead of `mergeSchema=true`. This is the difference
+    * between O(1) and O(files) query PLANNING: schema merging opens
+    * every file's footer before the first task launches, which at
+    * object-store scale turns each read into a million-GET listing
+    * storm (Delta reads with the log schema for the same reason).
+    * A file column absent from the manifest schema is ignored; a
+    * manifest column absent from a file reads as typed NULL.
+    */
   private def readFiles(spark: SparkSession, t: String, files: Seq[String],
                         schemaJson: String,
-                        ignoreMissing: Boolean = true): DataFrame =
+                        ignoreMissing: Boolean = true): DataFrame = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     if (files.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        DataType.fromJson(schemaJson).asInstanceOf[StructType])
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read
         .option("ignoreMissingFiles", ignoreMissing.toString)
-        .option("mergeSchema", "true") // mixed-schema manifests read whole
         .option("basePath", t)
+        .schema(schema)
         .parquet(files.map(f => s"$t/$f"): _*)
+  }
+
+  /** Additive schema union, computed ONCE per commit and persisted in
+    * the manifest (the Delta schema-evolution contract): existing
+    * columns keep their position and must keep their exact type —
+    * a type change is refused loudly at COMMIT time, not discovered as
+    * a corrupt read later — new columns append at the end. A column
+    * missing from either side becomes nullable (files without it read
+    * NULL). Nested struct fields merge by the same rule.
+    */
+  private[graft] def mergeSchemas(oldSchema: StructType,
+                                  newSchema: StructType): StructType = {
+    def mergeType(path: String, a: DataType, b: DataType): DataType =
+      (a, b) match {
+        case (x: StructType, y: StructType) => mergeStruct(path, x, y)
+        case (x, y) if x == y => x
+        case (x, y) => throw new IllegalArgumentException(
+          s"schema evolution cannot change column '$path' from $x to $y " +
+            "(additive evolution only — write the new column under a new name)")
+      }
+    def mergeStruct(path: String, a: StructType, b: StructType): StructType = {
+      val bByName = b.fields.map(f => f.name -> f).toMap
+      val aNames = a.fieldNames.toSet
+      val merged = a.fields.map { fa =>
+        bByName.get(fa.name) match {
+          case Some(fb) => StructField(fa.name,
+            mergeType(s"$path${fa.name}", fa.dataType, fb.dataType),
+            nullable = fa.nullable || fb.nullable, fa.metadata)
+          case None => fa.copy(nullable = true)
+        }
+      }
+      val added = b.fields.filterNot(f => aNames.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(merged ++ added)
+    }
+    mergeStruct("", oldSchema, newSchema)
+  }
+
+  private def unionSchemaJson(prev: Option[Snapshot],
+                              dfSchema: StructType): String =
+    prev match {
+      case None => dfSchema.json
+      case Some(s) => mergeSchemas(
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType],
+        dfSchema).json
+    }
 
   // -------------------------------------------------------- data skipping
 
@@ -699,13 +768,21 @@ object TxLog {
     val snap = currentSnapshot(t).getOrElse(
       throw new IllegalArgumentException(s"$t has no _graft_log"))
     if (snap.files.isEmpty) return snap.version
-    // mergeSchema: schema-evolved appends carry extra columns; a
-    // compaction that read one representative footer would REWRITE THE
-    // TABLE WITHOUT THEM and the next vacuum would delete the originals
+    // mergeSchema here ON PURPOSE (everywhere else reads the manifest
+    // schema): a table whose manifests predate the commit-time schema
+    // union can hold columns only its OLDER files carry; a compaction
+    // reading the (narrow) manifest schema would rewrite the table
+    // without them and the next vacuum would delete the originals.
+    // Optimize is rare maintenance — the O(files) footer pass is fine
+    // here — and the commit below folds this union INTO the manifest,
+    // healing the legacy table for all later O(1)-planned reads.
     val df = spark.read
       .option("mergeSchema", "true")
       .option("basePath", t)
       .parquet(snap.files.map(f => s"$t/$f"): _*)
+    val healedSchema = mergeSchemas(
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
+      df.schema).json
     val sized = math.max(1,
       (totalBytes(t, snap.files) /
         (targetFileMB.toLong * 1024 * 1024)).toInt)
@@ -741,7 +818,10 @@ object TxLog {
       // re-open the exactly-once window for every streaming app
       val keptKeys = kept.toSet
       if (tryCommit(t, latest.version + 1,
-        Checkpoint(latest.schemaJson, kept ++ rewritten, "optimize",
+        Checkpoint(mergeSchemas(
+          DataType.fromJson(latest.schemaJson).asInstanceOf[StructType],
+          DataType.fromJson(healedSchema).asInstanceOf[StructType]).json,
+          kept ++ rewritten, "optimize",
           latest.stats.view.filterKeys(k =>
             keptKeys.contains(k) || k.startsWith(TxnKeyPrefix)).toMap ++
             rewrittenStats))) {

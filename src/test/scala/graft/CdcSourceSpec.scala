@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.TxLog
+
+/** Streaming CDC source over the TxLog commit log: offsets are log
+  * versions, the first batch is the initial snapshot, later batches are
+  * exactly the change feed — the read side of the exactly-once loop
+  * whose write side is Streaming.txLogSink.
+  */
+class CdcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/t"
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+
+  test("initial snapshot as inserts, then incremental inserts and deletes") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), table) // v0
+    TxLog.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), table)            // v1
+
+    val q = spark.readStream.format("txlog-cdc").option("table", table).load()
+      .writeStream.format("memory").queryName("cdc_snap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("cdc_snap").collect()
+      assert(snap.length === 3)
+      assert(snap.forall(_.getAs[String]("_change_type") == "insert"))
+      assert(snap.forall(_.getAs[Long]("_commit_version") == 1L),
+        "initial snapshot rows carry the snapshot version")
+
+      TxLog.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), table)          // v2
+      TxLog.delete(spark, table, col("id") === 1L)                             // v3
+      q.processAllAvailable()
+      val rows = spark.table("cdc_snap").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"))).toSet
+      assert(rows.contains((4L, "insert", 2L)), s"missing v2 insert: $rows")
+      assert(rows.contains((1L, "delete", 3L)), s"missing v3 delete: $rows")
+      // the delete's rewrite must NOT re-emit the surviving row of the
+      // touched file as a change
+      assert(!rows.contains((2L, "insert", 3L)) && !rows.contains((2L, "delete", 3L)),
+        s"untouched row leaked into the feed: $rows")
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest skips history; maxVersionsPerBatch bounds catch-up") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), table) // v0
+    TxLog.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), table) // v1
+
+    val q = spark.readStream.format("txlog-cdc")
+      .option("table", table)
+      .option("startingVersion", "latest")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdc_latest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_latest").count() === 0,
+        "history must be skipped with startingVersion=latest")
+
+      TxLog.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), table) // v2
+      TxLog.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), table) // v3
+      q.processAllAvailable()
+      val got = spark.table("cdc_latest").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("_commit_version"))).toSet
+      assert(got === Set((3L, 2L), (4L, 3L)), s"got $got")
+      // the 1-version cap forces the two commits into separate batches
+      val batched = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batched.length >= 2,
+        s"expected >=2 rate-limited batches, saw ${batched.length}")
+    } finally q.stop()
+  }
+
+  test("end-to-end: txLogSink upstream -> CDC source -> exactly-once downstream table") {
+    // the medallion chain: a streaming writer lands micro-batches in a
+    // bronze TxLog table; a CDC reader streams its change feed into a
+    // silver TxLog table through appendStream (its own appId), so BOTH
+    // hops are exactly-once and the silver table is a faithful replica
+    // of bronze's insert feed.
+    val bronze = newTable()
+    val silver = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), bronze) // v0 (pre-stream)
+
+    val q = spark.readStream.format("txlog-cdc").option("table", bronze).load()
+      .filter(col("_change_type") === "insert")
+      .select(col("id"), col("s"), col("_commit_version").as("src_version"))
+      .writeStream
+      .option("checkpointLocation", tmp())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        TxLog.appendStream(b, silver, "silver-app", batchId)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TxLog.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), bronze) // v1
+      TxLog.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), bronze) // v2
+      q.processAllAvailable()
+      val got = TxLog.read(spark, silver).orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).toSeq
+      assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"silver must replicate bronze's insert feed: $got")
+      // exactly-once markers really rode the silver commits
+      assert(TxLog.lastCommittedBatch(silver, "silver-app").nonEmpty)
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes the feed without replaying the snapshot") {
+    val table = newTable()
+    val ckpt = tmp()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), table) // v0
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("txlog-cdc").option("table", table).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => seen.add(
+            (r.getAs[Long]("id"), r.getAs[Long]("_commit_version"))))
+          ()
+        }
+        .start()
+
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.size === 2, s"snapshot batch: $seen")
+
+    TxLog.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), table) // v1
+    val before = Set((1L, 0L), (2L, 0L), (3L, 1L))
+    val q2 = run()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = {
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    assert(got === before,
+      s"restart must deliver ONLY the new commit (no snapshot replay): $got")
+  }
+}

@@ -618,6 +618,48 @@ class TxLogSpec extends SparkSpec {
     assert(got === Seq(1L), s"emoji row wrongly pruned: $got")
   }
 
+  test("schema evolution: commit-time union, typed NULLs, narrowing keeps columns") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s"), table)                   // v0
+    TxLog.append(Seq((2L, "b", 9.5)).toDF("id", "s", "extra"), table)     // v1: adds
+    TxLog.append(Seq((3L, "c")).toDF("id", "s"), table)                   // v2: narrows
+    val got = TxLog.read(spark, table)
+    assert(got.columns.toSeq === Seq("id", "s", "extra"),
+      "union schema keeps added columns across a narrowing append")
+    val byId = got.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[Any]("extra"))).toMap
+    assert(byId === Map(1L -> None, 2L -> Some(9.5), 3L -> None),
+      "files without the column read typed NULL")
+  }
+
+  test("schema evolution: a type change is refused at commit and unstaged") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s"), table)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq(("oops", "b")).toDF("id", "s"), table)
+    }
+    assert(e.getMessage.contains("schema evolution"), e.getMessage)
+    // the refused commit must not leave plain-reader-visible orphans
+    assert(spark.read.parquet(table).count() === 1)
+    assert(TxLog.currentSnapshot(table).get.version === 0L)
+  }
+
+  test("read planning is O(1): no data-file footer is opened to plan") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), table)
+    TxLog.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), table)
+    val snap = TxLog.currentSnapshot(table).get
+    // corrupt the SECOND committed file: schema inference (mergeSchema)
+    // would open its footer at planning time and die here; the
+    // manifest-schema read must plan without touching it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, snap.files.last),
+      Array.fill[Byte](64)(0x5a))
+    val df = TxLog.read(spark, table)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s"))
+    df.queryExecution.executedPlan // full planning, still no footer read
+  }
+
   test("concurrent appendStream: every batch id commits exactly once") {
     val table = newTable()
     import java.util.concurrent.Executors
