@@ -931,7 +931,9 @@ object TxLog {
   private def commitRewrite(t: String, base: Snapshot, touched: Seq[String],
                             rewritten: Seq[String], schemaJson: String,
                             op: String, maxRetries: Int,
-                            strictVersion: Boolean): Option[Long] = {
+                            strictVersion: Boolean,
+                            extraStats: Map[String, String] = Map.empty)
+      : Option[Long] = {
     val touchedSet = touched.toSet
     // once: the rewritten set never changes across CAS retries
     val rewrittenStats = footerStats(t, rewritten)
@@ -945,7 +947,7 @@ object TxLog {
       }
       if (tryCommit(t, latest.version + 1,
         Delta(schemaJson, rewritten, touched, op,
-          addStats = rewrittenStats)))
+          addStats = rewrittenStats ++ extraStats)))
         return Some(latest.version + 1)
       attempt += 1
       latest = currentSnapshot(t).get
@@ -966,7 +968,8 @@ object TxLog {
     */
   private def dmlRewrite(spark: SparkSession, table: String, op: String,
                          partitionCols: Seq[String], maxRetries: Int,
-                         strictVersion: Boolean)(
+                         strictVersion: Boolean,
+                         extraStats: Map[String, String] = Map.empty)(
       compute: (Snapshot, DataFrame, Array[String] => DataFrame) =>
         Option[(Array[String], DataFrame, String)]): Long = {
     val t = posixTable(table)
@@ -989,7 +992,7 @@ object TxLog {
             else detectPartitionCols(snap)
           val rewritten = stageDataFiles(rows, t, parts)
           commitRewrite(t, snap, touched, rewritten, schemaJson, op,
-            maxRetries, strictVersion) match {
+            maxRetries, strictVersion, extraStats) match {
             case Some(v) => return v
             case None    => attempt += 1 // stale rewrite — recompute
           }
@@ -1082,29 +1085,78 @@ object TxLog {
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
             keyCols: Seq[String], partitionCols: Seq[String] = Nil,
-            maxRetries: Int = 64): Long = {
+            maxRetries: Int = 64): Long =
+    mergeApply(spark, table, source, keyCols, partitionCols, maxRetries)
+
+  /** Full MERGE with matched-DELETE and an exactly-once marker — the
+    * general form behind [[merge]] and the incremental-view maintainer
+    * ([[graft.streaming.Streaming.incrementalAggView]]):
+    *
+    *  - `deleteCol`: name of a BOOLEAN column on `source` marking rows
+    *    whose KEY should be deleted when matched (Delta's WHEN MATCHED
+    *    DELETE). Delete-marked rows that match nothing are a no-op;
+    *    the column itself never reaches the table.
+    *  - `txn`: the (appId, batchId) exactly-once marker, the SAME fence
+    *    [[appendStream]] uses — it commits atomically with the rewrite,
+    *    so a crash-replayed micro-batch (batchId ≤ the recorded
+    *    high-water) is recognized and dropped without touching the
+    *    table. A replayed batch whose original application was a no-op
+    *    leaves no marker, which is still exactly-once: re-applying a
+    *    no-op is a no-op.
+    *
+    * Everything else matches [[merge]]: one row per key in the source,
+    * only files containing a matched key are rewritten, one committed
+    * version, concurrent commits force a recompute.
+    */
+  def mergeApply(spark: SparkSession, table: String, source: DataFrame,
+                 keyCols: Seq[String], partitionCols: Seq[String] = Nil,
+                 maxRetries: Int = 64, deleteCol: Option[String] = None,
+                 txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
+    deleteCol.foreach(dc => require(source.columns.contains(dc),
+      s"merge deleteCol '$dc' is not a column of the source"))
+    val txnStats = txn
+      .map { case (a, b) => Map(TxnKeyPrefix + a -> b.toString) }
+      .getOrElse(Map.empty[String, String])
     dmlRewrite(spark, table, "merge", partitionCols, maxRetries,
-      strictVersion = true) { (snap, target, touchedFiles) =>
-      val dataCols = target.columns.toSeq.filterNot(_ == "__file")
-      // align the source to the table's column order; fails loudly when
-      // a table column is missing from the source
-      val src = source.select(dataCols.map(col): _*)
-      val dupKeys = src.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dupKeys == 0,
-        s"merge source has multiple rows for one (${keyCols.mkString(",")})")
-      val srcKeys = src.select(keyCols.map(col): _*).distinct()
-      val touchedAbs =
-        if (snap.files.isEmpty) Array.empty[String]
-        else target.join(srcKeys, keyCols, "left_semi")
-          .select("__file").distinct().collect().map(_.getString(0))
-      val upserted =
-        if (touchedAbs.isEmpty) src
-        else touchedFiles(touchedAbs)
-          .join(srcKeys, keyCols, "left_anti")
-          .unionByName(src)
-      Some((touchedAbs, upserted, upserted.schema.json))
+      strictVersion = true, extraStats = txnStats) { (snap, target, touchedFiles) =>
+      // exactly-once gate, re-checked on every stale-rewrite recompute:
+      // the fresh snapshot may carry a marker a racer (or the crashed
+      // first run of this very batch) committed
+      val replay = txn.exists { case (a, b) =>
+        snap.stats.get(TxnKeyPrefix + a).exists(_.toLong >= b)
+      }
+      if (replay) None
+      else {
+        val dataCols = target.columns.toSeq
+          .filterNot(c => c == "__file" || deleteCol.contains(c))
+        // align the source to the table's column order; fails loudly when
+        // a table column is missing from the source
+        val src = source.select(dataCols.map(col): _*)
+        val dupKeys = source.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dupKeys == 0,
+          s"merge source has multiple rows for one (${keyCols.mkString(",")})")
+        // ALL source keys touch files (a delete-marked key must find its
+        // file); only non-delete rows contribute replacement/insert rows
+        val srcKeys = source.select(keyCols.map(col): _*).distinct()
+        val srcLive = deleteCol match {
+          case Some(dc) => source.filter(not(coalesce(col(dc), lit(false))))
+            .select(dataCols.map(col): _*)
+          case None => src
+        }
+        val touchedAbs =
+          if (snap.files.isEmpty) Array.empty[String]
+          else target.join(srcKeys, keyCols, "left_semi")
+            .select("__file").distinct().collect().map(_.getString(0))
+        val upserted =
+          if (touchedAbs.isEmpty) srcLive
+          else touchedFiles(touchedAbs)
+            .join(srcKeys, keyCols, "left_anti")
+            .unionByName(srcLive)
+        if (touchedAbs.isEmpty && srcLive.isEmpty) None
+        else Some((touchedAbs, upserted, upserted.schema.json))
+      }
     }
   }
 

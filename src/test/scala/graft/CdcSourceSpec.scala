@@ -112,6 +112,38 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental aggregate view tracks a full recompute; dead keys drop") {
+    val source = newTable()
+    val view = newTable()
+    TxLog.append(Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v").coalesce(1),
+      source) // v0
+    def expected(): Set[(Long, Long, Long)] =
+      TxLog.read(spark, source).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(Long, Long, Long)] =
+      TxLog.read(spark, view).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n"), r.getAs[Long]("v")))
+        .toSet
+
+    val q = graft.streaming.Streaming.incrementalAggView(
+      spark, source, view, Seq("k"), Seq("v"), "mv-spec", tmp())
+    try {
+      q.processAllAvailable()
+      assert(got() === expected(), "after initial snapshot")
+
+      TxLog.append(Seq((2L, 3L), (3L, 1L)).toDF("k", "v").coalesce(1), source) // v1
+      TxLog.delete(spark, source, col("k") === 1L)                             // v2
+      q.processAllAvailable()
+      assert(got() === expected(), "after incremental insert + delete")
+      assert(!got().exists(_._1 == 1L), "key with zero count must be GONE")
+
+      TxLog.append(Seq((1L, 100L)).toDF("k", "v").coalesce(1), source)         // v3: key reborn
+      q.processAllAvailable()
+      assert(got() === expected(), "after key rebirth")
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes the feed without replaying the snapshot") {
     val table = newTable()
     val ckpt = tmp()

@@ -618,6 +618,34 @@ class TxLogSpec extends SparkSpec {
     assert(got === Seq(1L), s"emoji row wrongly pruned: $got")
   }
 
+  test("mergeApply: matched-delete drops keys; the txn marker makes replays no-ops") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), table)
+    // batch 0: replace id=2, delete id=3, insert id=4 — one version
+    val v = TxLog.mergeApply(spark, table,
+      Seq((2L, "B", false), (3L, "x", true), (4L, "d", false))
+        .toDF("id", "s", "__dead"),
+      Seq("id"), deleteCol = Some("__dead"), txn = Some(("mv", 0L)))
+    val after = TxLog.read(spark, table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    assert(!TxLog.read(spark, table).columns.contains("__dead"))
+    // crash-replay of batch 0 (different content!) must be dropped
+    val vReplay = TxLog.mergeApply(spark, table,
+      Seq((1L, "SHOULD NOT LAND", true)).toDF("id", "s", "__dead"),
+      Seq("id"), deleteCol = Some("__dead"), txn = Some(("mv", 0L)))
+    assert(vReplay === v, "replayed batch must not commit")
+    assert(TxLog.read(spark, table).count() === 3)
+    // the next batch id applies; an unmatched delete-marked key is a no-op
+    TxLog.mergeApply(spark, table,
+      Seq((1L, "", true), (99L, "", true)).toDF("id", "s", "__dead"),
+      Seq("id"), deleteCol = Some("__dead"), txn = Some(("mv", 1L)))
+    val end = TxLog.read(spark, table).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(end === Seq(2L, 4L))
+    assert(TxLog.lastCommittedBatch(table, "mv") === Some(1L))
+  }
+
   test("schema evolution: commit-time union, typed NULLs, narrowing keeps columns") {
     val table = newTable()
     TxLog.append(Seq((1L, "a")).toDF("id", "s"), table)                   // v0
