@@ -112,6 +112,33 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC stream survives source-table optimize + vacuum mid-stream") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), table)  // v0
+    TxLog.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), table)  // v1
+    val q = spark.readStream.format("txlog-cdc").option("table", table).load()
+      .writeStream.format("memory").queryName("cdc_maint")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_maint").count() === 2)
+      // the maintenance sweep: compaction rewrite + immediate purge of
+      // replaced files + vacuum of old manifests. The optimize commit
+      // must contribute NOTHING to the feed and the stream must keep
+      // serving later commits.
+      TxLog.optimize(spark, table, Nil, purgeReplaced = true)         // v2
+      TxLog.vacuum(table, minAgeMs = 0L)
+      TxLog.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), table) // v3
+      q.processAllAvailable()
+      val rows = spark.table("cdc_maint").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"))).toSet
+      assert(rows === Set((1L, "insert", 1L), (2L, "insert", 1L),
+        (3L, "insert", 3L)),
+        s"optimize must be invisible, later commits must flow: $rows")
+    } finally q.stop()
+  }
+
   test("incremental aggregate view tracks a full recompute; dead keys drop") {
     val source = newTable()
     val view = newTable()
