@@ -69,7 +69,8 @@ object TxLog {
     */
   final case class Snapshot(version: Long, schemaJson: String,
                             files: Seq[String], checkpointVersion: Long,
-                            stats: Map[String, String] = Map.empty)
+                            stats: Map[String, String] = Map.empty,
+                            unionSchema: Boolean = true)
 
   /** Refuse non-POSIX table paths: the CAS below is `Files.createLink`,
     * which object-store filesystems cannot honor — a silent fallback
@@ -121,17 +122,25 @@ object TxLog {
     * [[changes]] falls back to the generic row diff (still correct —
     * a rewrite's diff is empty by construction).
     */
+  /** `unionSchema`: this manifest's schemaJson is the commit-time UNION
+    * of every append's schema (written by current code, marked `#u`).
+    * Manifests without the mark predate the union — their schema is just
+    * the last append's, so reads must fall back to mergeSchema and the
+    * next append/optimize heals the union in.
+    */
   private sealed trait Manifest {
-    def schemaJson: String; def op: String
+    def schemaJson: String; def op: String; def unionSchema: Boolean
   }
   private final case class Checkpoint(schemaJson: String, files: Seq[String],
                                       op: String = "append",
-                                      stats: Map[String, String] = Map.empty)
+                                      stats: Map[String, String] = Map.empty,
+                                      unionSchema: Boolean = true)
       extends Manifest
   private final case class Delta(schemaJson: String, adds: Seq[String],
                                  removes: Seq[String],
                                  op: String = "append",
-                                 addStats: Map[String, String] = Map.empty)
+                                 addStats: Map[String, String] = Map.empty,
+                                 unionSchema: Boolean = true)
       extends Manifest
 
   // per-file stats line: "#s\t<path>\t<json>" — hash-prefixed so file
@@ -148,30 +157,39 @@ object TxLog {
     val lines = Files.readString(manifestPath(table, v)).split("\n", -1)
     val head = lines.head
     val body = lines.drop(2).filter(l => l.nonEmpty && !l.startsWith("#"))
+    val union = lines.contains("#u")
     if (head.startsWith("@delta")) {
       val op = head.split(" ", 2).lift(1).getOrElse("append")
       val (adds, removes) = body.partition(_.startsWith("+"))
       Delta(lines(1), adds.map(_.drop(1)).toSeq,
-        removes.map(_.drop(1)).toSeq, op, parseStats(lines))
+        removes.map(_.drop(1)).toSeq, op, parseStats(lines), union)
     } else if (head.startsWith("@checkpoint")) {
       val op = head.split(" ", 2).lift(1).getOrElse("checkpoint")
-      Checkpoint(lines(1), body.toSeq, op, parseStats(lines))
+      Checkpoint(lines(1), body.toSeq, op, parseStats(lines), union)
     } else
       // pre-v2 format: line 1 is the schema JSON — an untagged checkpoint
       Checkpoint(head, lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
-        .toSeq, "checkpoint", parseStats(lines))
+        .toSeq, "checkpoint", parseStats(lines), union)
   }
 
   private def statsLines(stats: Map[String, String]): Seq[String] =
     stats.toSeq.sortBy(_._1).map { case (p, j) => s"#s\t$p\t$j" }
 
-  private def render(m: Manifest): String = m match {
-    case Checkpoint(schema, files, op, stats) =>
-      (Seq(s"@checkpoint $op", schema) ++ files ++ statsLines(stats))
-        .mkString("\n")
-    case Delta(schema, adds, removes, op, stats) =>
-      (Seq(s"@delta $op", schema) ++ adds.map("+" + _) ++
-        removes.map("-" + _) ++ statsLines(stats)).mkString("\n")
+  // "#u" marks a union-schema manifest; hash-prefixed, so older readers
+  // skip it structurally just like the stats lines. A DML rewrite on a
+  // legacy (pre-union) snapshot deliberately writes WITHOUT the mark —
+  // its schemaJson is still the narrow legacy one, and claiming union
+  // would make later reads drop the very columns the rewrite preserved.
+  private def render(m: Manifest): String = {
+    val mark = if (m.unionSchema) Seq("#u") else Nil
+    m match {
+      case Checkpoint(schema, files, op, stats, _) =>
+        (Seq(s"@checkpoint $op", schema) ++ files ++ statsLines(stats) ++ mark)
+          .mkString("\n")
+      case Delta(schema, adds, removes, op, stats, _) =>
+        (Seq(s"@delta $op", schema) ++ adds.map("+" + _) ++
+          removes.map("-" + _) ++ statsLines(stats) ++ mark).mkString("\n")
+    }
   }
 
   /** Latest committed snapshot, if the table has a log: walk back from
@@ -221,7 +239,7 @@ object TxLog {
     val (cpVersion, checkpoint) = cp.get
     val (folded, foldedStats) =
       chain.foldLeft((checkpoint.files, checkpoint.stats)) {
-        case ((fs, st), (_, Delta(_, adds, removes, _, addStats))) =>
+        case ((fs, st), (_, Delta(_, adds, removes, _, addStats, _))) =>
           val dead = removes.toSet
           ((if (dead.isEmpty) fs else fs.filterNot(dead)) ++ adds,
             (if (dead.isEmpty) st else st -- dead) ++ addStats)
@@ -233,10 +251,17 @@ object TxLog {
     // during the winner's pre-log walk), and a doubled path here would
     // double-count its rows in every read
     val files = folded.distinct
-    val schemaJson =
-      chain.lastOption.map(_._2.schemaJson).getOrElse(checkpoint.schemaJson)
-    Snapshot(version, schemaJson, files, cpVersion, foldedStats)
+    val last: Manifest = chain.lastOption.map(_._2).getOrElse(checkpoint)
+    Snapshot(version, last.schemaJson, files, cpVersion, foldedStats,
+      last.unionSchema)
   }
+
+  /** Latest committed version, if any — ONE directory listing, no
+    * manifest parse or chain fold (the change-feed poll / CDC trigger
+    * primitive: an idle tick must cost a listing, nothing more).
+    */
+  def latestVersion(table: String): Option[Long] =
+    listVersions(posixTable(table)).lastOption
 
   /** One CAS attempt: returns false when version `next` already exists
     * (someone else committed first).
@@ -432,9 +457,17 @@ object TxLog {
         val next = snap.map(_.version + 1).getOrElse(0L)
         // per attempt: a CAS loser's union must fold the WINNER's
         // schema, not the stale snapshot's (schema conflicts throw here
-        // and the catch-all below unstages)
-        val schemaJson = unionSchemaJson(snap,
-          preLogSchema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
+        // and the catch-all below unstages). Bootstrap merges lenient —
+        // the pre-log side's partition types are directory-inferred
+        // guesses, the appending df is the authoritative writer.
+        val schemaJson = snap match {
+          case None =>
+            preLogSchema.map(mergeSchemas(_, df.schema, lenient = true))
+              .getOrElse(df.schema).json
+          case Some(s) =>
+            mergeSchemas(appendSchemaBase(df.sparkSession, t, s),
+              df.schema).json
+        }
         val txnStats = txn
           .map { case (a, b) => Map(TxnKeyPrefix + a -> b.toString) }
           .getOrElse(Map.empty)
@@ -490,7 +523,34 @@ object TxLog {
 
   private def readSnapshot(spark: SparkSession, t: String, s: Snapshot,
                            ignoreMissing: Boolean = true): DataFrame =
-    readFiles(spark, t, s.files, s.schemaJson, ignoreMissing)
+    if (s.unionSchema)
+      readFiles(spark, t, s.files, s.schemaJson, ignoreMissing)
+    else legacyMergeRead(spark, t, s, ignoreMissing)
+
+  /** Pre-union manifests carry only the LAST append's schema — columns
+    * that exist only in older files would silently vanish under an
+    * explicit-schema read (and a DML rewrite would then destroy them).
+    * Until the next append/optimize folds the true union into the
+    * manifest (see [[appendInternal]]'s heal), such tables keep the
+    * old O(files) mergeSchema read: slower planning, never lost data.
+    */
+  private def legacyMergeRead(spark: SparkSession, t: String, s: Snapshot,
+                              ignoreMissing: Boolean): DataFrame =
+    legacyMergeReadFiles(spark, t, s.files, s.schemaJson, ignoreMissing)
+
+  private def legacyMergeReadFiles(spark: SparkSession, t: String,
+                                   files: Seq[String], schemaJson: String,
+                                   ignoreMissing: Boolean = true): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    else
+      spark.read
+        .option("ignoreMissingFiles", ignoreMissing.toString)
+        .option("mergeSchema", "true")
+        .option("basePath", t)
+        .parquet(files.map(f => s"$t/$f"): _*)
 
   /** The manifest schema is AUTHORITATIVE (it is the commit-time union
     * of every append's schema — see [[mergeSchemas]]), so reads pass it
@@ -525,12 +585,21 @@ object TxLog {
     * missing from either side becomes nullable (files without it read
     * NULL). Nested struct fields merge by the same rule.
     */
+  /** `lenient`: on a type conflict take the NEW side instead of
+    * refusing — ONLY for the pre-log bootstrap merge, where the old
+    * side's types come from directory-value partition inference
+    * (`region=01` infers IntegerType) and the appending DataFrame is
+    * the authoritative writer. Every schema-evolution path stays
+    * strict.
+    */
   private[graft] def mergeSchemas(oldSchema: StructType,
-                                  newSchema: StructType): StructType = {
+                                  newSchema: StructType,
+                                  lenient: Boolean = false): StructType = {
     def mergeType(path: String, a: DataType, b: DataType): DataType =
       (a, b) match {
         case (x: StructType, y: StructType) => mergeStruct(path, x, y)
         case (x, y) if x == y => x
+        case (_, y) if lenient => y
         case (x, y) => throw new IllegalArgumentException(
           s"schema evolution cannot change column '$path' from $x to $y " +
             "(additive evolution only — write the new column under a new name)")
@@ -553,14 +622,23 @@ object TxLog {
     mergeStruct("", oldSchema, newSchema)
   }
 
-  private def unionSchemaJson(prev: Option[Snapshot],
-                              dfSchema: StructType): String =
-    prev match {
-      case None => dfSchema.json
-      case Some(s) => mergeSchemas(
-        DataType.fromJson(s.schemaJson).asInstanceOf[StructType],
-        dfSchema).json
-    }
+  /** The schema base an append's union builds on. For a legacy
+    * (pre-union) snapshot the manifest schema is just the last append's
+    * — the true base is the mergeSchema fold of the actual files
+    * (ONE O(files) planning pass, paid once: this commit writes the
+    * healed union and every later read/append is O(1) again). The
+    * manifest's types win over directory-inferred partition types
+    * (lenient merge, file-union side yielding).
+    */
+  private def appendSchemaBase(spark: SparkSession, t: String,
+                               s: Snapshot): StructType = {
+    val manifest = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    if (s.unionSchema || s.files.isEmpty) manifest
+    else mergeSchemas(
+      spark.read.option("mergeSchema", "true").option("basePath", t)
+        .parquet(s.files.map(f => s"$t/$f"): _*).schema,
+      manifest, lenient = true)
+  }
 
   // -------------------------------------------------------- data skipping
 
@@ -780,9 +858,12 @@ object TxLog {
       .option("mergeSchema", "true")
       .option("basePath", t)
       .parquet(snap.files.map(f => s"$t/$f"): _*)
-    val healedSchema = mergeSchemas(
+    // lenient, manifest winning: the file-union side's partition types
+    // are directory-inferred guesses; legacy-only columns still survive
+    // from the file side
+    val healed = mergeSchemas(df.schema,
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
-      df.schema).json
+      lenient = true)
     val sized = math.max(1,
       (totalBytes(t, snap.files) /
         (targetFileMB.toLong * 1024 * 1024)).toInt)
@@ -793,6 +874,11 @@ object TxLog {
           .drop("__z")
       else df.repartition(sized)
     val rewritten = stageDataFiles(clustered, t, partitionCols)
+    // ANY non-success exit below must unstage — the rewrite already sits
+    // in the visible layout and an escaping exception (a schema-merge
+    // refusal, an I/O error) would otherwise leave plain-reader-visible
+    // doubled data until a vacuum's age fence passes
+    try {
     // once: the rewritten set never changes across CAS retries
     val rewrittenStats = footerStats(t, rewritten)
     val replaced = snap.files.toSet
@@ -818,9 +904,9 @@ object TxLog {
       // re-open the exactly-once window for every streaming app
       val keptKeys = kept.toSet
       if (tryCommit(t, latest.version + 1,
-        Checkpoint(mergeSchemas(
+        Checkpoint(mergeSchemas(healed,
           DataType.fromJson(latest.schemaJson).asInstanceOf[StructType],
-          DataType.fromJson(healedSchema).asInstanceOf[StructType]).json,
+          lenient = true).json,
           kept ++ rewritten, "optimize",
           latest.stats.view.filterKeys(k =>
             keptKeys.contains(k) || k.startsWith(TxnKeyPrefix)).toMap ++
@@ -830,8 +916,12 @@ object TxLog {
       }
       attempt += 1
     }
-    unstage(t, rewritten)
     throw new IllegalStateException(s"optimize($t): commit contention")
+    } catch {
+      // idempotent (skips already-deleted and committed files), so the
+      // abandon path above having unstaged already is fine
+      case e: Throwable => unstageUncommitted(t, rewritten); throw e
+    }
   }
 
   /** Total data bytes the snapshot references (the compaction trigger's
@@ -883,7 +973,14 @@ object TxLog {
       finally s.close()
     }
     dead.foreach(Files.delete)
+    // manifests below the latest chain's checkpoint serve no FOLD — but
+    // they still serve the CHANGE FEED: the age fence applies to them
+    // exactly as to data files, so a CDC consumer down for less than
+    // the retention window can always resume (and one down longer gets
+    // changes()'s loud contiguity failure, never a silent gap)
     listVersions(t).filter(_ < snap.checkpointVersion)
+      .filter(v =>
+        Files.getLastModifiedTime(manifestPath(t, v)).toMillis < cutoff)
       .foreach(v => Files.delete(manifestPath(t, v)))
   }
 
@@ -947,7 +1044,8 @@ object TxLog {
       }
       if (tryCommit(t, latest.version + 1,
         Delta(schemaJson, rewritten, touched, op,
-          addStats = rewrittenStats ++ extraStats)))
+          addStats = rewrittenStats ++ extraStats,
+          unionSchema = base.unionSchema)))
         return Some(latest.version + 1)
       attempt += 1
       latest = currentSnapshot(t).get
@@ -980,9 +1078,15 @@ object TxLog {
         throw new IllegalArgumentException(s"$t has no _graft_log"))
       val target = readSnapshot(spark, t, snap)
         .withColumn("__file", input_file_name())
+      // legacy (pre-union) snapshots keep the mergeSchema read here too:
+      // a rewrite through the narrow manifest schema would permanently
+      // drop columns only the touched files carry
       val touchedReader = (abs: Array[String]) =>
-        readFiles(spark, t, abs.map(relOf(root, _)).toSeq.sorted,
-          snap.schemaJson)
+        if (snap.unionSchema)
+          readFiles(spark, t, abs.map(relOf(root, _)).toSeq.sorted,
+            snap.schemaJson)
+        else legacyMergeReadFiles(spark, t,
+          abs.map(relOf(root, _)).toSeq.sorted, snap.schemaJson)
       compute(snap, target, touchedReader) match {
         case None => return snap.version
         case Some((touchedAbs, rows, schemaJson)) =>
@@ -1128,23 +1232,20 @@ object TxLog {
       }
       if (replay) None
       else {
-        val dataCols = target.columns.toSeq
-          .filterNot(c => c == "__file" || deleteCol.contains(c))
-        // align the source to the table's column order; fails loudly when
-        // a table column is missing from the source
-        val src = source.select(dataCols.map(col): _*)
+        val dataCols = target.columns.toSeq.filterNot(_ == "__file")
         val dupKeys = source.groupBy(keyCols.map(col): _*).count()
           .filter(col("count") > 1).limit(1).count()
         require(dupKeys == 0,
           s"merge source has multiple rows for one (${keyCols.mkString(",")})")
         // ALL source keys touch files (a delete-marked key must find its
-        // file); only non-delete rows contribute replacement/insert rows
+        // file); only non-delete rows contribute replacement/insert rows.
+        // The select aligns the source to the table's column order and
+        // fails loudly when a table column is missing from the source.
         val srcKeys = source.select(keyCols.map(col): _*).distinct()
-        val srcLive = deleteCol match {
+        val srcLive = (deleteCol match {
           case Some(dc) => source.filter(not(coalesce(col(dc), lit(false))))
-            .select(dataCols.map(col): _*)
-          case None => src
-        }
+          case None => source
+        }).select(dataCols.map(col): _*)
         val touchedAbs =
           if (snap.files.isEmpty) Array.empty[String]
           else target.join(srcKeys, keyCols, "left_semi")
@@ -1171,9 +1272,9 @@ object TxLog {
     val t = posixTable(table)
     listVersions(t).map { v =>
       readManifest(t, v) match {
-        case Checkpoint(_, files, op, _) => Commit(v, op, isCheckpoint = true,
+        case Checkpoint(_, files, op, _, _) => Commit(v, op, isCheckpoint = true,
           files.size, 0)
-        case Delta(_, a, r, op, _) => Commit(v, op, isCheckpoint = false,
+        case Delta(_, a, r, op, _, _) => Commit(v, op, isCheckpoint = false,
           a.size, r.size)
       }
     }
@@ -1197,6 +1298,17 @@ object TxLog {
     val cur = currentSnapshot(t).getOrElse(
       throw new IllegalArgumentException(s"$t has no _graft_log"))
     val window = listVersions(t).filter(v => v > fromVersion && v <= toVersion)
+    // CONTIGUITY: every version in (from, to] must still have its
+    // manifest. A vacuumed gap would otherwise just not appear in the
+    // window and its rows would silently vanish from the feed — a
+    // lagging consumer resuming across an optimize+vacuum would
+    // permanently diverge with no failure signal. Loud beats short.
+    val missing = ((fromVersion + 1) to toVersion).filterNot(window.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$t: change feed ($fromVersion, $toVersion] is missing manifests " +
+        s"${missing.mkString(",")} — history was vacuumed past this " +
+        "consumer; re-seed it from a fresh snapshot (or lengthen the " +
+        "vacuum age fence beyond the longest consumer outage)")
     val empty = readFiles(spark, t, Nil, cur.schemaJson)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(0L))
@@ -1209,8 +1321,8 @@ object TxLog {
       if (m.op == "optimize") acc
       else {
       val (adds, removes) = m match {
-        case Delta(_, a, r, _, _) => (a, r)
-        case Checkpoint(_, files, _, _) =>
+        case Delta(_, a, r, _, _, _) => (a, r)
+        case Checkpoint(_, files, _, _, _) =>
           if (v == 0) (files, Seq.empty[String])
           else {
             val prev = foldTo(t, v - 1)

@@ -87,12 +87,12 @@ class TxLogCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
     maxVersions.foreach(m => require(m > 0,
       s"maxVersionsPerBatch must be positive: $m"))
     val starting = parameters.get("startingVersion").map {
-      case "latest" => TxLog.currentSnapshot(table).map(_.version)
+      case "latest" => TxLog.latestVersion(table)
         .getOrElse(throw new IllegalArgumentException(
           s"$table has no _graft_log"))
       case n => n.toLong
     }
-    new TxLogCdcSource(sqlContext, table, maxVersions, starting)
+    new TxLogCdcSource(sqlContext, table, maxVersions, starting, metadataPath)
   }
 }
 
@@ -101,7 +101,8 @@ class TxLogCdcSourceProvider extends StreamSourceProvider with DataSourceRegiste
   *   the feed starts at versions > v.
   */
 class TxLogCdcSource(sqlContext: SQLContext, table: String,
-                     maxVersions: Option[Long], base: Option[Long])
+                     maxVersions: Option[Long], base: Option[Long],
+                     metadataPath: String)
     extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -114,13 +115,57 @@ class TxLogCdcSource(sqlContext: SQLContext, table: String,
     */
   private var lastOffered: Option[Long] = None
 
+  /** Durable record of the highest end offset whose batch the ENGINE
+    * committed (written from [[commit]], read on restart). Spark
+    * re-invokes getBatch for the last committed batch at restart just
+    * to re-seed the source; its data will never be re-executed, so a
+    * vacuum having aged that batch's history out must NOT brick the
+    * stream — getBatch returns an empty re-seed batch instead. An
+    * UNCOMMITTED batch gets no such tolerance: its rows would really
+    * be lost, so missing history stays a loud failure.
+    */
+  private val hwPath: java.nio.file.Path = {
+    val p = if (metadataPath.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(
+        // file:/p and file:///p both appear in practice
+        if (metadataPath.startsWith("file:///")) metadataPath
+        else "file://" + metadataPath.stripPrefix("file:")))
+    else java.nio.file.Paths.get(metadataPath)
+    p.resolve("graft-committed-hw")
+  }
+
+  private def committedHighWater: Option[Long] =
+    try {
+      if (java.nio.file.Files.exists(hwPath))
+        Some(java.nio.file.Files.readString(hwPath).trim.toLong)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val endV = v(end)
+    if (!committedHighWater.exists(_ >= endV))
+      try {
+        java.nio.file.Files.createDirectories(hwPath.getParent)
+        val tmp = hwPath.resolveSibling(s".hw-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.writeString(tmp, endV.toString)
+        java.nio.file.Files.move(tmp, hwPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // the marker is an availability optimization (restart re-seed
+        // tolerance), never correctness — don't fail the batch over it
+        case scala.util.control.NonFatal(_) => ()
+      }
+  }
+
   /** Works for live LongOffset and checkpoint-recovered SerializedOffset
     * alike: LongOffset.json is the plain number.
     */
   private def v(o: Offset): Long = o.json.toLong
 
   override def getOffset: Option[Offset] = synchronized {
-    val latest = TxLog.currentSnapshot(table).map(_.version)
+    // one directory listing, no manifest parse — the idle-tick cost
+    val latest = TxLog.latestVersion(table)
     latest.map { l =>
       // floor: everything at or before it is already offered/accounted.
       // With neither a prior batch nor startingVersion (initial-snapshot
@@ -142,7 +187,7 @@ class TxLogCdcSource(sqlContext: SQLContext, table: String,
     synchronized {
       lastOffered = Some(math.max(endV, lastOffered.getOrElse(endV)))
     }
-    val df = start.map(v).orElse(base) match {
+    def build(): DataFrame = start.map(v).orElse(base) match {
       case Some(s) =>
         if (s >= endV) emptyBatch()
         else TxLog.changes(spark, table, s, endV)
@@ -152,6 +197,16 @@ class TxLogCdcSource(sqlContext: SQLContext, table: String,
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV))
     }
+    val df =
+      try build()
+      catch {
+        // restart re-seed of an already-committed batch: its history
+        // may legitimately have aged out (vacuum), and its rows will
+        // never be re-executed — an empty frame re-seeds the source.
+        // For anything not yet committed the error stays loud.
+        case e @ (_: IllegalStateException | _: IllegalArgumentException)
+            if committedHighWater.exists(_ >= endV) => emptyBatch()
+      }
     // project to the DECLARED schema: evolution after stream start must
     // not change the batch shape (added columns dropped, removed read
     // as typed NULL); order and types pinned
@@ -167,7 +222,6 @@ class TxLogCdcSource(sqlContext: SQLContext, table: String,
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"TxLogCdcSource[$table]"
 }

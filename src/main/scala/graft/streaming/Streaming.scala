@@ -384,10 +384,17 @@ object Streaming {
     import graft.lake.TxLog
     val spark = feed.sparkSession
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    // persist: the delta is re-used by the emptiness probe, the
+    // touched-key semi-join, and the full-outer apply — without the
+    // cache each consumer re-reads the change-feed window and re-runs
+    // its shuffles, a 4-6x constant on the per-batch hot path. The
+    // cached set is per-key-touched-sized, bounded by the batch.
     val delta = feed
       .groupBy(keyCols.map(col): _*)
       .agg(sum(sign).as("__dn"),
         sumCols.map(c => sum(col(c) * sign).as(s"__d_$c")): _*)
+      .persist()
+    try {
     if (delta.isEmpty) return // empty batch: re-applying a no-op is a no-op
     TxLog.currentSnapshot(view) match {
       case None =>
@@ -419,10 +426,16 @@ object Streaming {
                   .cast(cur.schema(c).dataType).as(c)) ++
               Seq((coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)) <= 0L)
                 .as("__dead")): _*)
-        TxLog.mergeApply(spark, view, merged, keyCols,
+        // persist: mergeApply evaluates its source for the dup-key
+        // check, the touched-file scan, and the rewrite — uncached,
+        // each would re-scan the VIEW for the semi-join
+        merged.persist()
+        try TxLog.mergeApply(spark, view, merged, keyCols,
           deleteCol = Some("__dead"), txn = Some((appId, batchId)))
+        finally merged.unpersist()
         ()
     }
+    } finally delta.unpersist()
   }
 
   final case class AsofEvent(key: Long, ts: Long, isProbe: Boolean,

@@ -30,4 +30,18 @@ object StreamingBatch {
       isStreaming = true)(cdf.sparkSession, None, None)
     classic.Dataset.ofRows(cdf.sparkSession, leaf)
   }
+
+  /** Inverse, for TESTS that probe `Source.getBatch` results outside a
+    * running MicroBatchExecution (which is the only engine allowed to
+    * execute a streaming-flagged frame).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = cdf.queryExecution.logical.transform {
+      case r: LogicalRDD if r.isStreaming =>
+        LogicalRDD(r.output, r.rdd, r.outputPartitioning, r.outputOrdering,
+          isStreaming = false, r.stream)(cdf.sparkSession, None, None)
+    }
+    classic.Dataset.ofRows(cdf.sparkSession, plan)
+  }
 }

@@ -618,6 +618,98 @@ class TxLogSpec extends SparkSpec {
     assert(got === Seq(1L), s"emoji row wrongly pruned: $got")
   }
 
+  test("changes fails LOUDLY on a vacuumed gap instead of a silently short feed") {
+    val table = newTable()
+    (0 until (TxLog.CheckpointInterval + 2)).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1), table)
+    }
+    // age-zero vacuum drops everything below the cadence checkpoint
+    TxLog.vacuum(table, minAgeMs = 0L)
+    val latest = TxLog.latestVersion(table).get
+    // a consumer checkpointed before the vacuum horizon must get an
+    // error naming the gap, never a feed missing those versions' rows
+    val e = intercept[IllegalStateException] {
+      TxLog.changes(spark, table, fromVersion = 0, toVersion = latest).count()
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // within the retained window the feed still works
+    assert(TxLog.changes(spark, table, latest - 1, latest).count() === 1)
+  }
+
+  test("vacuum's age fence covers manifests: a lagging consumer within retention resumes") {
+    val table = newTable()
+    (0 until (TxLog.CheckpointInterval + 2)).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"r$i")).toDF("id", "s").coalesce(1), table)
+    }
+    // manifests are seconds old — an age fence longer than that must
+    // keep them even though they sit below the cadence checkpoint
+    TxLog.vacuum(table, minAgeMs = 3600000L)
+    val latest = TxLog.latestVersion(table).get
+    val feed = TxLog.changes(spark, table, fromVersion = 0, toVersion = latest)
+    assert(feed.count() === latest, "full history must still replay")
+  }
+
+  test("legacy (pre-union) manifests read with mergeSchema until an append heals them") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a", 9.5)).toDF("id", "s", "extra"), table) // v0
+    TxLog.append(Seq((2L, "b")).toDF("id", "s"), table)               // v1
+    // forge the pre-round-8 state: v1's manifest narrowed to the LAST
+    // append's schema with no union mark
+    val p = java.nio.file.Paths.get(table, "_graft_log",
+      f"v${1L}%020d.manifest")
+    val narrow = Seq((0L, "")).toDF("id", "s").schema.json
+    val lines = java.nio.file.Files.readString(p).split("\n").toSeq
+    java.nio.file.Files.writeString(p,
+      (lines.head +: narrow +: lines.drop(2).filterNot(_ == "#u"))
+        .mkString("\n"))
+    // the legacy read must still surface 'extra' (mergeSchema fallback)
+    val got = TxLog.read(spark, table)
+    assert(got.columns.contains("extra"),
+      "legacy narrow manifest must not drop evolved columns")
+    // ...and so must a DML rewrite through the touched files
+    TxLog.update(spark, table, col("id") === 1L,
+      Map("s" -> lit("A")))
+    val afterDml = TxLog.read(spark, table)
+    assert(afterDml.columns.contains("extra"),
+      "a DML rewrite on a legacy table must preserve evolved columns")
+    // the next append heals the union into the manifest; the table is
+    // union-marked from here on and the explicit-schema read keeps all
+    // three columns
+    TxLog.append(Seq((3L, "c")).toDF("id", "s"), table)
+    val healed = TxLog.read(spark, table)
+    assert(healed.columns.toSet === Set("id", "s", "extra"))
+    assert(TxLog.currentSnapshot(table).get.unionSchema,
+      "append on a legacy table must write the healed union manifest")
+    assert(healed.filter(col("extra").isNotNull).count() === 1)
+  }
+
+  test("CDC source re-seed of a committed batch tolerates vacuumed history") {
+    val table = newTable()
+    val meta = java.nio.file.Files.createTempDirectory("graft-cdc-meta").toString
+    TxLog.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), table) // v0
+    val src = new graft.streaming.TxLogCdcSource(
+      spark.sqlContext, table, None, None, meta)
+    import org.apache.spark.sql.graftshim.StreamingBatch.asBatch
+    val off0 = src.getOffset.get
+    assert(asBatch(src.getBatch(None, off0)).count() === 1)
+    src.commit(off0) // the engine committed batch 0
+    // age out batch 0's history completely
+    (0 until (TxLog.CheckpointInterval + 2)).foreach { i =>
+      TxLog.append(Seq((100L + i, "x")).toDF("id", "s").coalesce(1), table)
+    }
+    TxLog.vacuum(table, minAgeMs = 0L)
+    // restart re-seed: same (None, off0) call must NOT brick the stream
+    assert(asBatch(src.getBatch(None, off0)).count() === 0,
+      "committed re-seed returns empty instead of throwing")
+    // but an UNCOMMITTED window with vacuumed history stays loud
+    // (the contiguity check runs while BUILDING the batch)
+    val latest = TxLog.latestVersion(table).get
+    intercept[IllegalStateException] {
+      src.getBatch(Some(off0),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(latest))
+    }
+  }
+
   test("mergeApply: matched-delete drops keys; the txn marker makes replays no-ops") {
     val table = newTable()
     TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), table)
