@@ -70,4 +70,79 @@ object Sketches {
     // the agg side adds StringType values as their UTF-8 bytes
     cms.estimateCount(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  // ------------------------------------------------------- quantile sketch
+
+  /** Reserved bucket index for non-positive values (log buckets cover
+    * v > 0 only; zeros are common in latency/size metrics and must not
+    * vanish). Int.MinValue can never collide with a real log bucket.
+    */
+  val NonPositiveBucket: Int = Int.MinValue
+
+  private def gammaFor(alpha: Double): Double = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    (1 + alpha) / (1 - alpha)
+  }
+
+  /** Mergeable QUANTILE sketch (the DDSketch construction, Masson et
+    * al., VLDB 2019): values land in log-γ buckets, γ = (1+α)/(1−α),
+    * bucket i covering (γ^(i−1), γ^i] — so any value in a bucket is
+    * within relative error α of the bucket's midpoint estimate. The
+    * sketch IS the (bucket, cnt) histogram: per-shard sketches merge by
+    * bucket-wise ADDITION, exactly — union-of-shards equals the
+    * whole-corpus sketch row for row, the same incremental-maintenance
+    * algebra the HLL/CMS specs pin. Bucket count is logarithmic in the
+    * value range (~2k buckets spanning 9 decades at α=1%), so a
+    * per-(source, day) sketch is kilobytes.
+    *
+    * One map-side-combining aggregate on (groupCols, bucket); no UDF —
+    * the bucket index is a codegen'd `ceil(ln v / ln γ)`.
+    * Output: (groupCols..., bucket, cnt).
+    */
+  def quantileSketch(df: DataFrame, valueCol: String,
+                     groupCols: Seq[String] = Nil,
+                     alpha: Double = 0.01): DataFrame = {
+    val gamma = gammaFor(alpha)
+    val bucket = when(col(valueCol) > 0,
+      ceil(log(col(valueCol).cast("double")) / math.log(gamma)).cast("int"))
+      .otherwise(lit(NonPositiveBucket))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches across (a subset of) their grouping — bucket-wise
+    * addition, the exact-union property. Dropping all group columns
+    * yields the corpus-wide sketch.
+    */
+  def mergeQuantileSketches(sketches: DataFrame,
+                            keepGroupCols: Seq[String] = Nil): DataFrame =
+    sketches.groupBy((keepGroupCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimate from a (bucket, cnt) sketch, driver-side (the
+    * sketch is ~2k rows — the whole point is that THIS is all that is
+    * left of the corpus). Non-positive values estimate as 0.0 (their
+    * bucket is counted in the rank walk but carries no magnitude).
+    * Guarantee: for positive data, within relative error α of the
+    * exact q-quantile.
+    */
+  def quantileFromSketch(sketch: DataFrame, q: Double,
+                         alpha: Double = 0.01): Double = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
+    val gamma = gammaFor(alpha)
+    val buckets = sketch.select(col("bucket"), col("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    require(buckets.nonEmpty, "empty sketch")
+    val n = buckets.map(_._2).sum
+    val targetRank = math.max(1L, math.ceil(q * n).toLong)
+    var cum = 0L
+    for ((b, cnt) <- buckets) {
+      cum += cnt
+      if (cum >= targetRank)
+        return if (b == NonPositiveBucket) 0.0
+        else 2.0 * math.pow(gamma, b) / (gamma + 1) // bucket midpoint
+    }
+    throw new IllegalStateException("unreachable: rank walk exhausted")
+  }
 }

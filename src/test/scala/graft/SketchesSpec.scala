@@ -58,4 +58,40 @@ class SketchesSpec extends SparkSpec {
     }
     assert(Sketches.frequencyOf(sketch, "zz-not-a-token-zz") <= slack)
   }
+
+  test("quantile sketch: per-source merge EQUALS the corpus sketch, bucket for bucket") {
+    val vals = events.select(col("event_type"), col("value"))
+    val perType = Sketches.quantileSketch(vals, "value", Seq("event_type"))
+    val merged = Sketches.mergeQuantileSketches(perType)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val whole = Sketches.quantileSketch(vals, "value")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(merged === whole) // bucket-wise addition: exact, not approximate
+  }
+
+  test("quantile sketch: estimates land within alpha relative error of exact") {
+    val alpha = 0.01
+    val pos = events.filter(col("value") > 0).select(col("value"))
+    val sketch = Sketches.quantileSketch(pos, "value", alpha = alpha)
+    val sorted = pos.collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+      val est = Sketches.quantileFromSketch(sketch, q, alpha)
+      val exact = sorted(math.max(0, math.ceil(q * n).toInt - 1))
+      assert(math.abs(est - exact) <= alpha * exact + 1e-12,
+        s"q=$q: est $est vs exact $exact exceeds alpha=$alpha")
+    }
+  }
+
+  test("quantile sketch: non-positive values are counted, not dropped") {
+    import spark.implicits._
+    val df = Seq(0.0, 0.0, 0.0, 5.0, 10.0).toDF("v")
+    val sketch = Sketches.quantileSketch(df, "v")
+    assert(sketch.agg(sum("cnt")).head().getLong(0) === 5L,
+      "every row lands in a bucket")
+    // majority zeros: the median IS zero, and must report as such
+    assert(Sketches.quantileFromSketch(sketch, 0.5) === 0.0)
+    // the top of the distribution still resolves to the positive tail
+    assert(Sketches.quantileFromSketch(sketch, 1.0) > 9.0)
+  }
 }
