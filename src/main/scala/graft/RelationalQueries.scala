@@ -187,7 +187,93 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("view_id"))
   }
 
+  /** One-pass column profiler — the ANALYZE TABLE shape a lake
+    * maintenance sweep runs to keep optimizer/skipping stats fresh:
+    * per column (rows, nulls, exact distinct, min, max) in ONE
+    * aggregate over the table (multi-countDistinct plans as a single
+    * Expand + aggregate, not one scan per column), unpivoted to a row
+    * per column.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val one = l.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"), col("n_rows"),
+      col(s"${c}__nulls").as("n_null"),
+      col(s"${c}__distinct").as("n_distinct"),
+      col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v")))
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** TPC-H Q7 volume-shipping shape: bidirectional nation-pair trade
+    * revenue by year — a 6-table join graph with THREE broadcast dims
+    * and a conditional pair filter, grouped on derived columns.
+    */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val sup = Tables.load(s, dir, "supplier")
+    val n1 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+      (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .filter(pair)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("l_year"))
+      .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+  }
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q17 small-quantity-order shape: the correlated scalar
+    * subquery (per-part average quantity threshold) DECORRELATED by
+    * hand into one aggregate + join — the form that scales: the
+    * per-part thresholds are a part-sized table, broadcast back, never
+    * a re-scan per row.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2"))
+    // semi-filter FIRST: the correlated average only matters for parts
+    // that survive the brand filter, so the threshold aggregate runs
+    // over the filtered slice, not the whole fact table — and its
+    // result is a filtered-part-sized table, broadcast back. Exact
+    // decimal sum / count, THEN one double division (deterministic and
+    // oracle-mirrorable, unlike a decimal avg's precision ladder).
+    val lp = l.join(broadcast(p.select(col("p_partkey"))),
+      l("l_partkey") === col("p_partkey"), "left_semi")
+    val thresholds = lp.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((sum(dec("l_quantity")).cast("double") /
+        count(col("l_quantity")) * lit(0.2)).as("qty_threshold"))
+    lp.join(broadcast(p), lp("l_partkey") === p("p_partkey"))
+      .join(broadcast(thresholds), lp("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity").cast("double") < col("qty_threshold"))
+      .groupBy(col("p_brand"))
+      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
+    "q7_volume" -> (q7Volume _),
+    "q17_small_qty" -> (q17SmallQty _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -207,6 +293,64 @@ object RelationalQueries {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH base AS (SELECT count(*) AS n_rows FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS n_null,
+        |  (SELECT count(DISTINCT l_quantity) FROM lineitem) AS n_distinct,
+        |  (SELECT CAST(min(l_quantity) AS DOUBLE) FROM lineitem) AS min_v,
+        |  (SELECT CAST(max(l_quantity) AS DOUBLE) FROM lineitem) AS max_v
+        |FROM base
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_extendedprice IS NULL),
+        |  (SELECT count(DISTINCT l_extendedprice) FROM lineitem),
+        |  (SELECT CAST(min(l_extendedprice) AS DOUBLE) FROM lineitem),
+        |  (SELECT CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem)
+        |FROM base
+        |UNION ALL
+        |SELECT 'l_discount', n_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_discount IS NULL),
+        |  (SELECT count(DISTINCT l_discount) FROM lineitem),
+        |  (SELECT CAST(min(l_discount) AS DOUBLE) FROM lineitem),
+        |  (SELECT CAST(max(l_discount) AS DOUBLE) FROM lineitem)
+        |FROM base""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  EXTRACT(year FROM o_orderdate) AS l_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand FROM part
+        |  WHERE p_brand IN ('Brand#1', 'Brand#2')),
+        |lp AS (
+        |  SELECT l.* FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM p WHERE p.p_partkey = l.l_partkey)),
+        |thr AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(l_quantity) * 0.2 AS qty_threshold
+        |  FROM lp GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM lp
+        |JOIN p ON lp.l_partkey = p.p_partkey
+        |JOIN thr ON lp.l_partkey = thr.t_partkey
+        |WHERE CAST(l_quantity AS DOUBLE) < qty_threshold
+        |GROUP BY p_brand""".stripMargin,
+
     "q_asof_forward" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, -epoch_us(ts) AS nts FROM events

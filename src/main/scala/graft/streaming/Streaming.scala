@@ -438,6 +438,95 @@ object Streaming {
     } finally delta.unpersist()
   }
 
+  /** Exactly-once SCD TYPE-2 dimension history maintained from a
+    * source table's CDC feed — the warehouse pattern: every key keeps
+    * its full timeline as (attrs..., valid_from, valid_to) rows, where
+    * `valid_to IS NULL` marks the currently-open version. An insert at
+    * log version v closes the key's open row at v and opens a new one;
+    * a delete closes without reopening; an update (the feed's
+    * delete+insert at one version) does both in order.
+    *
+    * Per micro-batch: the feed's events per key are folded with ONE
+    * key-partitioned window over batch-sized data (plus one open row
+    * per affected key read from the dimension — a semi-join-pruned
+    * lookup, never a history scan), and the result lands in ONE
+    * committed version via [[graft.lake.TxLog.mergeApply]] keyed on
+    * (keyCols, valid_from) with the (appId, batchId) marker — closed
+    * rows replace their open originals, new open rows insert, replays
+    * drop. Cost per batch ∝ keys the batch touched.
+    */
+  def scd2View(spark: SparkSession, source: String, dim: String,
+               keyCols: Seq[String], appId: String, checkpoint: String,
+               maxVersionsPerBatch: Int = 64,
+               trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery = {
+    require(keyCols.nonEmpty, "scd2View requires key columns")
+    spark.readStream.format("txlog-cdc")
+      .option("table", source)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyScd2Delta(batch, dim, keyCols, appId, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[scd2View]], factored out for unit testing.
+    *
+    * The fold is a lead() window: every event row (plus the key's
+    * previously-open dimension row replayed as an insert at its own
+    * valid_from) looks at the NEXT event's version — an insert's next
+    * version is its closure (NULL = still open), a delete emits
+    * nothing. Within one version the feed's delete sorts before its
+    * insert ('delete' < 'insert'), which is exactly close-then-reopen.
+    */
+  private[graft] def applyScd2Delta(feed: Dataset[org.apache.spark.sql.Row],
+                                    dim: String, keyCols: Seq[String],
+                                    appId: String, batchId: Long): Unit = {
+    import graft.lake.TxLog
+    import org.apache.spark.sql.expressions.Window
+    val spark = feed.sparkSession
+    if (feed.isEmpty) return // re-applying a no-op is a no-op
+    val dataCols = feed.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    val events = feed.select(dataCols.map(col) ++ Seq(
+      col("_change_type").as("__ct"), col("_commit_version").as("__v")): _*)
+    val snap = TxLog.currentSnapshot(dim)
+    val withOpen = snap match {
+      case None => events
+      case Some(_) =>
+        val keys = events.select(keyCols.map(col): _*).distinct()
+        val open = TxLog.read(spark, dim)
+          .filter(col("valid_to").isNull)
+          .join(keys, keyCols, "left_semi")
+          .select(dataCols.map(col) ++ Seq(
+            lit("insert").as("__ct"), col("valid_from").as("__v")): _*)
+        events.unionByName(open)
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__v"), col("__ct"))
+    val rows = withOpen
+      .withColumn("__next", lead(col("__v"), 1).over(w))
+      .filter(col("__ct") === "insert")
+      .select(dataCols.map(col) ++ Seq(
+        col("__v").as("valid_from"), col("__next").as("valid_to")): _*)
+    snap match {
+      case None =>
+        TxLog.appendStream(rows, dim, appId, batchId)
+        ()
+      case Some(_) =>
+        rows.persist()
+        try TxLog.mergeApply(spark, dim, rows,
+          keyCols :+ "valid_from", txn = Some((appId, batchId)))
+        finally rows.unpersist()
+        ()
+    }
+  }
+
   final case class AsofEvent(key: Long, ts: Long, isProbe: Boolean,
                              id: Long, value: Double)
   final case class AsofLatest(ts: Long, id: Long, value: Double)

@@ -171,6 +171,42 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD2 dimension history: inserts open, updates close+reopen, deletes close") {
+    val source = newTable()
+    val dim = newTable()
+    TxLog.append(Seq((1L, "a"), (2L, "x")).toDF("k", "v").coalesce(1), source) // v0
+
+    val q = graft.streaming.Streaming.scd2View(
+      spark, source, dim, Seq("k"), "scd2-spec", tmp())
+    def history(): Set[(Long, String, Long, Option[Long])] =
+      TxLog.read(spark, dim).collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("v"),
+          r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]))).toSet
+    try {
+      q.processAllAvailable()
+      assert(history() === Set((1L, "a", 0L, None), (2L, "x", 0L, None)),
+        "initial snapshot opens a row per key")
+
+      // update k=1 (delete+insert at one version), then delete k=2,
+      // then re-create k=1 — three versions, possibly one batch
+      TxLog.update(spark, source, col("k") === 1L, Map("v" -> lit("b"))) // v1
+      TxLog.delete(spark, source, col("k") === 2L)                      // v2
+      q.processAllAvailable()
+      assert(history() === Set(
+        (1L, "a", 0L, Some(1L)), (1L, "b", 1L, None),
+        (2L, "x", 0L, Some(2L))),
+        s"update closes+reopens, delete closes: ${history()}")
+
+      TxLog.append(Seq((2L, "y")).toDF("k", "v").coalesce(1), source)   // v3
+      q.processAllAvailable()
+      assert(history().contains((2L, "y", 3L, None)),
+        "a re-created key opens a fresh timeline row")
+      assert(history().contains((2L, "x", 0L, Some(2L))),
+        "closed history is immutable")
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes the feed without replaying the snapshot") {
     val table = newTable()
     val ckpt = tmp()

@@ -29,6 +29,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q7's six-table graph keeps every dimension broadcast") {
+    val plan = executedPlan("q7_volume")
+    assert(!plan.contains("SortMergeJoin"), "q7 fell back to SMJ")
+    assert(!plan.contains("CartesianProduct"), "q7 planned a cartesian")
+    assert(plan.contains("BroadcastHashJoin"), "q7 lost its broadcasts")
+  }
+
+  test("q17's decorrelated threshold is a broadcast, never a re-scan per row") {
+    val plan = executedPlan("q17_small_qty")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q17's correlation must stay an equi-join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q17's part filter and thresholds should broadcast")
+  }
+
+  test("q_profile is ONE aggregate pass (Expand for multi-distinct, no join)") {
+    val plan = executedPlan("q_profile")
+    assert(!plan.contains("Join"), "profiler must not self-join per column")
+    assert(plan.contains("Expand"),
+      "multi-column countDistinct should plan as one Expand+aggregate")
+  }
+
   test("offset-range scan pushes the offset predicate into the parquet scan") {
     // read from a COPIED path: the cache manager swaps any plan that
     // matches a relation another suite cached (InMemoryTableScan has no
