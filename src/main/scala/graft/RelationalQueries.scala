@@ -235,11 +235,9 @@ object RelationalQueries {
       .filter(pair)
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("o_orderdate")).as("l_year"))
-      .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+      .agg(sum((SparkEntry.dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - SparkEntry.dec("l_discount")))
         .cast("decimal(28,4)")).cast("double").as("revenue"))
   }
-
-  private def dec(c: String) = col(c).cast("decimal(18,2)")
 
   /** TPC-H Q17 small-quantity-order shape: the correlated scalar
     * subquery (per-part average quantity threshold) DECORRELATED by
@@ -260,13 +258,13 @@ object RelationalQueries {
     val lp = l.join(broadcast(p.select(col("p_partkey"))),
       l("l_partkey") === col("p_partkey"), "left_semi")
     val thresholds = lp.groupBy(col("l_partkey").as("t_partkey"))
-      .agg((sum(dec("l_quantity")).cast("double") /
+      .agg((sum(SparkEntry.dec("l_quantity")).cast("double") /
         count(col("l_quantity")) * lit(0.2)).as("qty_threshold"))
     lp.join(broadcast(p), lp("l_partkey") === p("p_partkey"))
       .join(broadcast(thresholds), lp("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity").cast("double") < col("qty_threshold"))
       .groupBy(col("p_brand"))
-      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0))
+      .agg((sum(SparkEntry.dec("l_extendedprice")).cast("double") / lit(7.0))
         .as("avg_yearly"))
   }
 

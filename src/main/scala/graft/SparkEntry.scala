@@ -42,7 +42,7 @@ object SparkEntry {
   /** Log view over events: topic/partition/offset/timestamp/key/value. */
   private def log(s: SparkSession, dir: String): DataFrame = Tables.log(s, dir)
 
-  private def dec(c: String) = col(c).cast("decimal(18,2)")
+  private[graft] def dec(c: String) = col(c).cast("decimal(18,2)")
 
   // ---------------------------------------------------------------- queries
 

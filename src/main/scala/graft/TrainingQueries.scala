@@ -110,6 +110,17 @@ object TrainingQueries {
   def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(embs(s, dir), queryId = 0L, k = 10)
 
+  /** Batch kNN JOIN: top-5 corpus neighbors for EVERY query in a set
+    * (vec_id < 8) — one broadcast fan-out pass, per-query window.
+    */
+  def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnJoin(
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding")),
+      e, k = 5)
+  }
+
   /** IVF-style bucketed ANN: top-5 within the query's sign-bit cell. */
   def qKnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annBucketed(embs(s, dir), queryId = 0L, k = 5, bits = 3)
@@ -528,6 +539,7 @@ object TrainingQueries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_knn_brute" -> (qKnnBrute _),
+    "q_knn_join" -> (qKnnJoin _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_substring_dup" -> (qSubstringDup _),
@@ -1014,6 +1026,23 @@ object TrainingQueries {
     (t0 +: rounds).mkString(",\n")
   }
 
+  private val knnJoinOracle: String = {
+    val cos = "round(CAST(" + dotSql("e.qe", "q.q_emb") +
+      " AS DOUBLE) / sqrt(CAST(" + dotSql("e.qe", "e.qe") +
+      " AS DOUBLE) * CAST(" + dotSql("q.q_emb", "q.q_emb") +
+      " AS DOUBLE)), 6)"
+    s"""${quantCte.trim},
+       |q AS (SELECT vec_id AS q_id, qe AS q_emb FROM e WHERE vec_id < 8),
+       |d AS (
+       |  SELECT q.q_id, e.vec_id, $cos AS cosine_r
+       |  FROM e CROSS JOIN q WHERE e.vec_id != q.q_id)
+       |SELECT q_id, vec_id, cosine_r, rn FROM (
+       |  SELECT q_id, vec_id, cosine_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine_r DESC, vec_id) AS rn
+       |  FROM d) WHERE rn <= 5""".stripMargin
+  }
+
   private val knnBruteOracle: String =
     s"""${quantCte.trim},
        |q AS (SELECT qe AS query_qe FROM e WHERE vec_id = 0),
@@ -1441,6 +1470,7 @@ object TrainingQueries {
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram" -> ngramOracle,
     "q_knn_brute" -> knnBruteOracle,
+    "q_knn_join" -> knnJoinOracle,
     "q_knn_ivf" -> knnIvfOracle,
     "q_knn_ivf_trained" -> knnIvfTrainedOracle,
     "q_substring_dup" -> substringDupOracle,

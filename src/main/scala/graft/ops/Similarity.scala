@@ -77,12 +77,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN JOIN — the retrieval-indexing shape: top-k corpus
+    * neighbors for EVERY vector of a query SET (not one probe), e.g.
+    * building a nearest-neighbor table for a RAG index or labeling a
+    * batch by vote. The query set broadcasts (it is the small side by
+    * construction); the corpus streams through ONE pass with a
+    * |queries|-way fan-out, and the per-query top-k resolves in a
+    * window PARTITIONED BY QUERY — parallel across queries, never a
+    * global sort. Cost is |queries| × |corpus| comparisons: right for
+    * query batches up to the broadcast limit; for larger query sets use
+    * [[knnJoinBucketed]], whose candidate set is cell-bounded.
+    * A corpus row sharing the query's id is excluded (self-match).
+    * Returns (queryIdCol, idCol, cosine_r, rn) with rn ∈ [1, k].
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+              queryIdCol: String = "q_id", idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol),
+      quantize(col(embCol)).as("__q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine_r").desc, col(idCol))
+    corpus.select(col(idCol), quantize(col(embCol)).as("__c_emb"))
+      .join(broadcast(q), col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine_r",
+        round(cosineQ(col("__c_emb"), col("__q_emb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine_r"), col("rn"))
+  }
+
+  /** [[knnJoin]]'s scale path: queries and corpus both land in
+    * sign-bucket cells and candidates come from an EQUI-join on the
+    * cell — the per-query candidate set is cell-bounded, so the window
+    * sorts candidates, not the corpus. Recall < 1 (a true neighbor in
+    * another cell is unseen — the standard IVF trade); bits = 0
+    * degenerates to one cell = exact [[knnJoin]], the property the
+    * spec pins.
+    */
+  def knnJoinBucketed(queries: DataFrame, corpus: DataFrame, k: Int,
+                      bits: Int, queryIdCol: String = "q_id",
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol),
+      quantize(col(embCol)).as("__q_emb"),
+      signBucket(col(embCol), bits).as("__cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("cosine_r").desc, col(idCol))
+    corpus.select(col(idCol), quantize(col(embCol)).as("__c_emb"),
+      signBucket(col(embCol), bits).as("__cell"))
+      .join(broadcast(q), Seq("__cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine_r",
+        round(cosineQ(col("__c_emb"), col("__q_emb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine_r"), col("rn"))
+  }
+
   /** Coarse cell id for IVF-style bucketing: sign bits of the first
     * `bits` dimensions (a deterministic stand-in for trained centroids —
     * the plumbing, partition pruning and join shape are identical).
     */
   def signBucket(emb: Column, bits: Int): Column =
-    (0 until bits)
+    if (bits == 0) lit(0L) // one cell — the exact-search degenerate
+    else (0 until bits)
       .map(i => when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 

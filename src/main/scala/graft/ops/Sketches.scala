@@ -103,37 +103,55 @@ object Sketches {
                      groupCols: Seq[String] = Nil,
                      alpha: Double = 0.01): DataFrame = {
     val gamma = gammaFor(alpha)
-    val bucket = when(col(valueCol) > 0,
-      ceil(log(col(valueCol).cast("double")) / math.log(gamma)).cast("int"))
+    val v = col(valueCol).cast("double")
+    val bucket = when(v > 0,
+      ceil(log(v) / math.log(gamma)).cast("int"))
       .otherwise(lit(NonPositiveBucket))
-    df.filter(col(valueCol).isNotNull)
-      .groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
+    // NaN carries no orderable magnitude; NaN > 0 is TRUE in Spark and
+    // the int cast would silently file it as bucket 0 (≈ value 1.0),
+    // shifting quantiles — excluded like NULL, explicitly
+    df.filter(col(valueCol).isNotNull && !isnan(v))
+      // alpha rides IN the sketch rows: decode reads it back, so a
+      // sketch can never be mis-decoded with a different gamma than it
+      // was built with
+      .groupBy((groupCols.map(col) ++ Seq(bucket.as("bucket"),
+        lit(alpha).as("alpha"))): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
   /** Merge sketches across (a subset of) their grouping — bucket-wise
     * addition, the exact-union property. Dropping all group columns
-    * yields the corpus-wide sketch.
+    * yields the corpus-wide sketch. Alpha stays a grouping key: only
+    * same-alpha buckets are addable, and an accidental mixed-alpha
+    * merge surfaces as multiple alpha values that
+    * [[quantileFromSketch]] refuses, never as silently-added
+    * incompatible buckets.
     */
   def mergeQuantileSketches(sketches: DataFrame,
                             keepGroupCols: Seq[String] = Nil): DataFrame =
-    sketches.groupBy((keepGroupCols.map(col) :+ col("bucket")): _*)
+    sketches.groupBy((keepGroupCols.map(col) ++
+      Seq(col("bucket"), col("alpha"))): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
-  /** Quantile estimate from a (bucket, cnt) sketch, driver-side (the
-    * sketch is ~2k rows — the whole point is that THIS is all that is
-    * left of the corpus). Non-positive values estimate as 0.0 (their
-    * bucket is counted in the rank walk but carries no magnitude).
-    * Guarantee: for positive data, within relative error α of the
-    * exact q-quantile.
+  /** Quantile estimate from a (bucket, alpha, cnt) sketch, driver-side
+    * (the sketch is ~2k rows — the whole point is that THIS is all that
+    * is left of the corpus). The decode gamma comes from the sketch's
+    * own alpha column; a sketch mixing alphas is refused. Non-positive
+    * values estimate as 0.0 (their bucket is counted in the rank walk
+    * but carries no magnitude). Guarantee: for positive data, within
+    * relative error α of the exact q-quantile.
     */
-  def quantileFromSketch(sketch: DataFrame, q: Double,
-                         alpha: Double = 0.01): Double = {
+  def quantileFromSketch(sketch: DataFrame, q: Double): Double = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
-    val gamma = gammaFor(alpha)
-    val buckets = sketch.select(col("bucket"), col("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    require(buckets.nonEmpty, "empty sketch")
+    val rows = sketch.select(col("bucket"), col("alpha"), col("cnt"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    require(rows.nonEmpty, "empty sketch")
+    val alphas = rows.map(_._2).distinct
+    require(alphas.length == 1,
+      s"sketch mixes alphas ${alphas.mkString(",")} — merge only " +
+        "same-alpha sketches")
+    val gamma = gammaFor(alphas.head)
+    val buckets = rows.map(r => (r._1, r._3)).sortBy(_._1)
     val n = buckets.map(_._2).sum
     val targetRank = math.max(1L, math.ceil(q * n).toLong)
     var cum = 0L

@@ -490,41 +490,54 @@ object Streaming {
     import graft.lake.TxLog
     import org.apache.spark.sql.expressions.Window
     val spark = feed.sparkSession
-    if (feed.isEmpty) return // re-applying a no-op is a no-op
     val dataCols = feed.columns.toSeq
       .filterNot(c => c == "_change_type" || c == "_commit_version")
+    // persist: the feed derivation (per-version exceptAll diffs) feeds
+    // the emptiness probe, the key set, AND the window fold — uncached,
+    // each would re-scan and re-diff the change-feed window
     val events = feed.select(dataCols.map(col) ++ Seq(
       col("_change_type").as("__ct"), col("_commit_version").as("__v")): _*)
-    val snap = TxLog.currentSnapshot(dim)
-    val withOpen = snap match {
-      case None => events
-      case Some(_) =>
-        val keys = events.select(keyCols.map(col): _*).distinct()
-        val open = TxLog.read(spark, dim)
-          .filter(col("valid_to").isNull)
-          .join(keys, keyCols, "left_semi")
-          .select(dataCols.map(col) ++ Seq(
-            lit("insert").as("__ct"), col("valid_from").as("__v")): _*)
-        events.unionByName(open)
-    }
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__v"), col("__ct"))
-    val rows = withOpen
-      .withColumn("__next", lead(col("__v"), 1).over(w))
-      .filter(col("__ct") === "insert")
-      .select(dataCols.map(col) ++ Seq(
-        col("__v").as("valid_from"), col("__next").as("valid_to")): _*)
-    snap match {
-      case None =>
-        TxLog.appendStream(rows, dim, appId, batchId)
-        ()
-      case Some(_) =>
-        rows.persist()
-        try TxLog.mergeApply(spark, dim, rows,
-          keyCols :+ "valid_from", txn = Some((appId, batchId)))
-        finally rows.unpersist()
-        ()
-    }
+      .persist()
+    try {
+      if (events.isEmpty) return // re-applying a no-op is a no-op
+      val snap = TxLog.currentSnapshot(dim)
+      val withOpen = snap match {
+        case None => events
+        case Some(_) =>
+          val keys = events.select(keyCols.map(col): _*).distinct()
+          // the dim is PARTITIONED on __open: this lookup prunes to the
+          // open partition (≈ live keys), never the accumulated closed
+          // history — per-batch cost tracks touched keys even after
+          // years of churn
+          val open = TxLog.read(spark, dim)
+            .filter(col("__open") === true && col("valid_to").isNull)
+            .join(keys, keyCols, "left_semi")
+            .select(dataCols.map(col) ++ Seq(
+              lit("insert").as("__ct"), col("valid_from").as("__v")): _*)
+          events.unionByName(open)
+      }
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__v"), col("__ct"))
+      val rows = withOpen
+        .withColumn("__next", lead(col("__v"), 1).over(w))
+        .filter(col("__ct") === "insert")
+        .select(dataCols.map(col) ++ Seq(
+          col("__v").as("valid_from"), col("__next").as("valid_to"))
+          :+ col("__next").isNull.as("__open"): _*)
+      snap match {
+        case None =>
+          TxLog.appendStream(rows, dim, appId, batchId,
+            partitionCols = Seq("__open"))
+          ()
+        case Some(_) =>
+          rows.persist()
+          try TxLog.mergeApply(spark, dim, rows,
+            keyCols :+ "valid_from", partitionCols = Seq("__open"),
+            txn = Some((appId, batchId)))
+          finally rows.unpersist()
+          ()
+      }
+    } finally events.unpersist()
   }
 
   final case class AsofEvent(key: Long, ts: Long, isProbe: Boolean,

@@ -91,6 +91,38 @@ class OpsSpec extends SparkSpec with PropSupport {
     ()
   }
 
+  test("knnJoinBucketed at bits=0 equals the exact knnJoin; bits>0 stays in-cell") {
+    val e = Tables.load(spark, sf, "embeddings").cache()
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rn"))).toSet
+    val exact = Similarity.knnJoin(q, e, k = 3)
+    assert(rows(Similarity.knnJoinBucketed(q, e, k = 3, bits = 0)) ===
+      rows(exact), "one cell must degenerate to exact search")
+    // every query really got k neighbors, ranked 1..k
+    val perQuery = exact.groupBy("q_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("rn").as("mx"))
+      .collect()
+    assert(perQuery.length === 4)
+    assert(perQuery.forall(r => r.getAs[Long]("n") == 3 && r.getAs[Int]("mx") == 3))
+    // bucketed candidates: each query's hits share ITS cell — verify
+    // against the exact ranks: bucketed results are a subset of the
+    // same-cell corpus, so cosine order within them matches exact order
+    val bucketed = Similarity.knnJoinBucketed(q, e, k = 3, bits = 3)
+    val cos = bucketed.collect().map(r => (r.getAs[Long]("q_id"),
+      r.getAs[Int]("rn"), r.getAs[Double]("cosine_r")))
+    cos.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.sameElements(byRank.sorted.reverse),
+        "ranks must be cosine-descending within each query")
+    }
+    e.unpersist()
+    ()
+  }
+
   test("connectedComponents labels chains and keeps components separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("doc_a", "doc_b")

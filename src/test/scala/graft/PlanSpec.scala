@@ -52,6 +52,18 @@ class PlanSpec extends SparkSpec {
       "multi-column countDistinct should plan as one Expand+aggregate")
   }
 
+  test("q_knn_join broadcasts the query set; its top-k window partitions per query") {
+    val plan = executedPlan("q_knn_join")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the query side must broadcast — a shuffled |q|x|corpus| join " +
+        "explodes at scale")
+    assert(!plan.contains("CartesianProduct"),
+      "fan-out must ride the broadcast, never a shuffled cartesian")
+    assert("Window \\[[^\\]]*\\], \\[q_id".r.findFirstIn(plan).isDefined,
+      s"the top-k window must partition by the query id, never globally")
+  }
+
   test("offset-range scan pushes the offset predicate into the parquet scan") {
     // read from a COPIED path: the cache manager swaps any plan that
     // matches a relation another suite cached (InMemoryTableScan has no

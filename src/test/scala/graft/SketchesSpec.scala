@@ -62,10 +62,11 @@ class SketchesSpec extends SparkSpec {
   test("quantile sketch: per-source merge EQUALS the corpus sketch, bucket for bucket") {
     val vals = events.select(col("event_type"), col("value"))
     val perType = Sketches.quantileSketch(vals, "value", Seq("event_type"))
-    val merged = Sketches.mergeQuantileSketches(perType)
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
-    val whole = Sketches.quantileSketch(vals, "value")
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "alpha", "cnt").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val merged = rows(Sketches.mergeQuantileSketches(perType))
+    val whole = rows(Sketches.quantileSketch(vals, "value"))
     assert(merged === whole) // bucket-wise addition: exact, not approximate
   }
 
@@ -76,22 +77,31 @@ class SketchesSpec extends SparkSpec {
     val sorted = pos.collect().map(_.getDouble(0)).sorted
     val n = sorted.length
     Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
-      val est = Sketches.quantileFromSketch(sketch, q, alpha)
+      val est = Sketches.quantileFromSketch(sketch, q)
       val exact = sorted(math.max(0, math.ceil(q * n).toInt - 1))
       assert(math.abs(est - exact) <= alpha * exact + 1e-12,
         s"q=$q: est $est vs exact $exact exceeds alpha=$alpha")
     }
   }
 
-  test("quantile sketch: non-positive values are counted, not dropped") {
+  test("quantile sketch: zeros counted, NaN excluded, mixed alphas refused") {
     import spark.implicits._
-    val df = Seq(0.0, 0.0, 0.0, 5.0, 10.0).toDF("v")
+    val df = Seq(0.0, 0.0, 0.0, 5.0, 10.0, Double.NaN).toDF("v")
     val sketch = Sketches.quantileSketch(df, "v")
-    assert(sketch.agg(sum("cnt")).head().getLong(0) === 5L,
-      "every row lands in a bucket")
+    // NaN carries no magnitude and must NOT land in a bucket (it would
+    // count as a ~1.0 sample); zeros all land in the reserved bucket
+    assert(sketch.agg(sum("cnt")).head().getLong(0) === 5L)
     // majority zeros: the median IS zero, and must report as such
     assert(Sketches.quantileFromSketch(sketch, 0.5) === 0.0)
     // the top of the distribution still resolves to the positive tail
     assert(Sketches.quantileFromSketch(sketch, 1.0) > 9.0)
+    // a sketch accidentally unioned across alphas is refused at decode
+    // (the buckets are incompatible; adding them would be silent garbage)
+    val mixed = sketch.unionByName(
+      Sketches.quantileSketch(df, "v", alpha = 0.05))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.quantileFromSketch(mixed, 0.5)
+    }
+    assert(e.getMessage.contains("alpha"), e.getMessage)
   }
 }
