@@ -268,10 +268,58 @@ object RelationalQueries {
         .as("avg_yearly"))
   }
 
+  /** TPC-H Q18 large-volume-order shape: the HAVING subquery reused as
+    * a SEMI filter — the per-order quantity aggregate runs ONCE over
+    * the fact table, its survivors (a threshold-thinned orders subset)
+    * broadcast back as the probe filter, and the detail re-aggregation
+    * touches only surviving orders. At scale the first aggregate is the
+    * only full-fact shuffle; everything after is survivor-sized.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val big = l.groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum(SparkEntry.dec("l_quantity")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+      .select(col("b_orderkey"))
+    l.join(broadcast(big), l("l_orderkey") === col("b_orderkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      .agg(sum(SparkEntry.dec("l_quantity")).cast("double").as("sum_qty"))
+  }
+
+  /** TPC-H Q10 returned-item shape: revenue lost to returns per
+    * customer, top 20 — a fact-filter-first join (the returnflag
+    * predicate pushes to the scan and thins the fact table BEFORE any
+    * join), broadcast dims, and the top-k via TakeOrdered, never a
+    * global sort. Ties break on the key so the cut is deterministic.
+    */
+  def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum((SparkEntry.dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - SparkEntry.dec("l_discount")))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
     "q7_volume" -> (q7Volume _),
     "q17_small_qty" -> (q17SmallQty _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q10_returned" -> (q10Returned _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -370,6 +418,31 @@ object RelationalQueries {
         |SELECT error_id, click_id, user_id
         |FROM err JOIN clk ON user_id = cu
         |  AND tc BETWEEN ts0 AND ts0 + 21600000000""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN big USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis)
   * with DuckDB oracle SQL. Hashing is the shared 60-bit truncated md5 so
@@ -119,6 +119,26 @@ object TrainingQueries {
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding")),
       e, k = 5)
+  }
+
+  /** Bloom-filter incremental dedup — the "seen before?" gate of a
+    * crawl pipeline, where the history is too large to join and the
+    * bloom is the only state carried forward. A 2^16-bit, 5-hash bloom
+    * holds every document text; the probe batch asks about each even-id
+    * doc's true text (definite members — the no-false-negative
+    * guarantee) and each odd-id doc's text perturbed by one character
+    * (non-members — false only at the designed false-positive rate,
+    * which the oracle replays bit for bit).
+    */
+  def qBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bloom = Sketches.bloomBuild(d.select(col("text")), "text",
+      mBits = 1 << 16, k = 5)
+    val probes = d.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(col("text"), lit("~"))).as("text"))
+    Sketches.bloomProbe(bloom, probes, "text", "doc_id",
+      mBits = 1 << 16, k = 5)
   }
 
   /** IVF-style bucketed ANN: top-5 within the query's sign-bit cell. */
@@ -540,6 +560,7 @@ object TrainingQueries {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_bloom_dedup" -> (qBloomDedup _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_substring_dup" -> (qSubstringDup _),
@@ -1043,6 +1064,31 @@ object TrainingQueries {
        |  FROM d) WHERE rn <= 5""".stripMargin
   }
 
+  /** Replays the bloom construction bit for bit: same 60-bit md5, same
+    * Kirsch–Mitzenmacher double hashing, same 32-bit words — the
+    * maybe_present verdicts (including any designed-rate false
+    * positives) must agree exactly.
+    */
+  private val bloomDedupOracle: String = {
+    val posOf = s"((h % 65536) + i * ((h >> 30) * 2 + 1)) % 65536"
+    s"""WITH ks AS (VALUES (0),(1),(2),(3),(4)),
+       |sh AS (SELECT ${dh("text")} AS h FROM documents),
+       |sp AS (SELECT $posOf AS pos FROM sh CROSS JOIN ks t(i)),
+       |bloom AS (SELECT pos >> 5 AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+       |  FROM sp GROUP BY 1),
+       |ph AS (SELECT doc_id, ${dh(
+            "CASE WHEN doc_id % 2 = 0 THEN text ELSE text || '~' END")} AS h
+       |  FROM documents),
+       |pp AS (SELECT doc_id, $posOf AS pos FROM ph CROSS JOIN ks t(i))
+       |SELECT pp.doc_id,
+       |  bool_and((coalesce(b.bits, 0) &
+       |    (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INT))) <> 0)
+       |    AS maybe_present
+       |FROM pp LEFT JOIN bloom b ON (pp.pos >> 5) = b.word
+       |GROUP BY pp.doc_id""".stripMargin
+  }
+
   private val knnBruteOracle: String =
     s"""${quantCte.trim},
        |q AS (SELECT qe AS query_qe FROM e WHERE vec_id = 0),
@@ -1471,6 +1517,7 @@ object TrainingQueries {
     "q_dedup_ngram" -> ngramOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
+    "q_bloom_dedup" -> bloomDedupOracle,
     "q_knn_ivf" -> knnIvfOracle,
     "q_knn_ivf_trained" -> knnIvfTrainedOracle,
     "q_substring_dup" -> substringDupOracle,

@@ -163,4 +163,93 @@ object Sketches {
     }
     throw new IllegalStateException("unreachable: rank walk exhausted")
   }
+
+  // ----------------------------------------------------------- bloom filter
+
+  /** Bloom bitmap word width. 32 bits per word keeps every mask value
+    * in non-negative BIGINT range in BOTH engines — a 64-bit word's top
+    * bit (1L << 63) is negative in two's complement and its SQL
+    * replay would need signed-overflow care.
+    */
+  val BloomWordBits = 32
+
+  /** The k probe positions of one key, as an array column — double
+    * hashing over the shared 60-bit md5 (Kirsch–Mitzenmacher 2006:
+    * pos_i = h1 + i·h2 mod m needs ONE strong hash, not k). h2 is
+    * forced odd so a power-of-two m is fully cycled. Pure integer
+    * arithmetic on [[Dedup.h60]] — deterministic and replayable in the
+    * oracle engine (shiftright instead of division: a double-precision
+    * divide would lose bits above 2^53).
+    */
+  def bloomPositions(key: org.apache.spark.sql.Column, mBits: Int,
+                     k: Int): org.apache.spark.sql.Column = {
+    val h = Dedup.h60(key)
+    val h1 = h % lit(mBits.toLong)
+    val h2 = shiftright(h, 30) * lit(2L) + lit(1L)
+    array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(mBits.toLong)): _*)
+  }
+
+  /** Build a Bloom filter over a key column as a DATAFRAME of
+    * (word, bits) rows — the membership sketch that answers "might this
+    * key exist in a corpus too big to join" (incremental dedup of a new
+    * crawl batch against years of history). m bits cost m/32 rows ≈
+    * kilobytes-to-megabytes against a corpus of billions; k hash probes
+    * per key.
+    *
+    * Scale: one explode (k rows per key) into one map-side-combining
+    * bit_or aggregate — each task pre-folds its keys' bits into ≤ m/32
+    * partial words, so the shuffle moves words, never keys. Mergeable
+    * by construction: bit_or is idempotent-associative, so
+    * union-of-shard-blooms EQUALS the whole-corpus bloom, row for row
+    * ([[bloomMerge]] — the same incremental-maintenance algebra the
+    * HLL/CMS/quantile specs pin). NULL keys are skipped (NULL is not a
+    * member of anything).
+    */
+  def bloomBuild(df: DataFrame, keyCol: String, mBits: Int = 1 << 20,
+                 k: Int = 5): DataFrame = {
+    require(mBits % BloomWordBits == 0 && mBits > 0,
+      s"mBits must be a positive multiple of $BloomWordBits: $mBits")
+    require(k >= 1 && k <= 16, s"k out of range: $k")
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(bloomPositions(col(keyCol), mBits, k)).as("pos"))
+      .groupBy(shiftright(col("pos"), 5).as("word"))
+      .agg(bit_or(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")).as("bits"))
+  }
+
+  /** OR-merge per-shard blooms (built with the SAME mBits and k) into
+    * one — kilobytes of input, no corpus rescan.
+    */
+  def bloomMerge(blooms: DataFrame): DataFrame =
+    blooms.groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+
+  /** Membership probe: for each row of `probes`, true iff ALL k of its
+    * bits are set in the bloom — "maybe present" (false positives at
+    * the designed rate, NEVER false negatives; a true answer still
+    * needs exact verification if the use is destructive). Output:
+    * (idCol, maybe_present).
+    *
+    * Scale: the bloom broadcasts (m/32 rows — a 2^30-bit bloom is 32 MB
+    * of words) and the probe is a map-side broadcast join + one
+    * id-keyed aggregate; set `hintBroadcast = false` for blooms past
+    * the broadcast budget and the word equi-join shuffles instead.
+    * Probes with a NULL key report false (nothing NULL was ever added).
+    */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, keyCol: String,
+                 idCol: String, mBits: Int = 1 << 20, k: Int = 5,
+                 hintBroadcast: Boolean = true): DataFrame = {
+    val b = if (hintBroadcast) broadcast(bloom) else bloom
+    probes
+      .select(col(idCol),
+        explode_outer(when(col(keyCol).isNotNull,
+          bloomPositions(col(keyCol), mBits, k))).as("pos"))
+      .withColumn("word", shiftright(col("pos"), 5))
+      .withColumn("mask", expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .join(b, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(bool_and(col("pos").isNotNull &&
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L))
+        .as("maybe_present"))
+  }
 }

@@ -438,6 +438,83 @@ object Streaming {
     } finally delta.unpersist()
   }
 
+  /** Exactly-once INCREMENTAL BLOOM membership view: maintains
+    * `view` = [[graft.ops.Sketches.bloomBuild]] over every key ever
+    * inserted into `source`, from source's CDC feed — the
+    * carry-forward "seen before?" state of an incremental dedup
+    * pipeline, kept fresh per micro-batch without ever rebuilding over
+    * history. Each batch blooms ITS insert keys (a batch-sized explode
+    * + bit fold) and bit_or-merges the ≤ m/32 touched words into the
+    * view in ONE committed version, with the (appId, batchId) marker
+    * atomic with the rewrite so crash-replayed batches drop. bit_or is
+    * idempotent, so even a replayed merge would be harmless — but the
+    * fence keeps the version history honest.
+    *
+    * Deletes are deliberately a NO-OP: a Bloom filter cannot unset
+    * bits (clearing a shared bit would un-remember OTHER keys); a
+    * deleted key stays "maybe present" until an offline rebuild — the
+    * standard over-approximation, safe for dedup screening (worst
+    * case a re-crawled deleted document is flagged for an exact check
+    * it then passes).
+    */
+  def incrementalBloomView(spark: SparkSession, source: String, view: String,
+                           keyCol: String, appId: String, checkpoint: String,
+                           mBits: Int = 1 << 20, k: Int = 5,
+                           maxVersionsPerBatch: Int = 64,
+                           trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    spark.readStream.format("txlog-cdc")
+      .option("table", source)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBloomDelta(batch, view, keyCol, mBits, k, appId, batchId)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalBloomView]]: bloom the batch's
+    * insert keys, OR the touched words into the view. Factored out so
+    * the merge path is unit-testable without a running stream.
+    */
+  private[graft] def applyBloomDelta(feed: Dataset[org.apache.spark.sql.Row],
+                                     view: String, keyCol: String,
+                                     mBits: Int, k: Int,
+                                     appId: String, batchId: Long): Unit = {
+    import graft.lake.TxLog
+    val spark = feed.sparkSession
+    // persist: the word delta feeds the emptiness probe, the semi-join
+    // against the view, and the merge source
+    val delta = graft.ops.Sketches.bloomBuild(
+      feed.filter(col("_change_type") === "insert").select(col(keyCol)),
+      keyCol, mBits, k).persist()
+    try {
+      if (delta.isEmpty) return // delete-only or empty batch
+      TxLog.currentSnapshot(view) match {
+        case None =>
+          TxLog.appendStream(delta, view, appId, batchId)
+          ()
+        case Some(_) =>
+          // current bits of ONLY the touched words (≤ k·|batch| rows)
+          val cur = TxLog.read(spark, view)
+            .join(delta.select("word"), Seq("word"), "left_semi")
+            .select(col("word"), col("bits").as("__cur"))
+          val merged = delta.join(cur, Seq("word"), "left")
+            .select(col("word"),
+              coalesce(col("__cur"), lit(0L)).bitwiseOR(col("bits"))
+                .as("bits"))
+          merged.persist()
+          try TxLog.mergeApply(spark, view, merged, Seq("word"),
+            txn = Some((appId, batchId)))
+          finally merged.unpersist()
+          ()
+      }
+    } finally delta.unpersist()
+  }
+
   /** Exactly-once SCD TYPE-2 dimension history maintained from a
     * source table's CDC feed — the warehouse pattern: every key keeps
     * its full timeline as (attrs..., valid_from, valid_to) rows, where

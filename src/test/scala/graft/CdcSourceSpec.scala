@@ -171,6 +171,49 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental bloom view equals a from-scratch build; deletes are no-ops") {
+    val source = newTable()
+    val view = newTable()
+    val m = 1 << 12
+    val k = 3
+    TxLog.append(Seq("alpha", "beta", "gamma").toDF("key").coalesce(1),
+      source) // v0
+    def viewWords(): Set[(Long, Long)] =
+      TxLog.read(spark, view).collect()
+        .map(r => (r.getAs[Long]("word"), r.getAs[Long]("bits"))).toSet
+    def scratch(): Set[(Long, Long)] =
+      graft.ops.Sketches.bloomBuild(
+        TxLog.read(spark, source).select("key"), "key", m, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = graft.streaming.Streaming.incrementalBloomView(
+      spark, source, view, "key", "bloom-spec", tmp(), mBits = m, k = k)
+    try {
+      q.processAllAvailable()
+      assert(viewWords() === scratch(), "after initial snapshot")
+
+      TxLog.append(Seq("delta", "epsilon").toDF("key").coalesce(1), source) // v1
+      q.processAllAvailable()
+      assert(viewWords() === scratch(), "after incremental insert")
+
+      // a delete must NOT clear bits: the view keeps remembering the key
+      val before = viewWords()
+      TxLog.delete(spark, source, col("key") === "alpha") // v2
+      q.processAllAvailable()
+      assert(viewWords() === before, "deletes are a bloom no-op")
+
+      // the maintained view really answers membership: all live + the
+      // deleted key read as maybe-present; a never-seen key as absent
+      import spark.implicits._
+      val probes = Seq((1L, "alpha"), (2L, "epsilon"), (3L, "zzz-never"))
+        .toDF("id", "key")
+      val verdicts = graft.ops.Sketches.bloomProbe(
+        TxLog.read(spark, view), probes, "key", "id", m, k)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(verdicts(1L) && verdicts(2L), "inserted keys must hit")
+      assert(!verdicts(3L), "an unseen key should miss (fpr ~1e-4 at this fill)")
+    } finally q.stop()
+  }
+
   test("SCD2 dimension history: inserts open, updates close+reopen, deletes close") {
     val source = newTable()
     val dim = newTable()

@@ -64,6 +64,32 @@ class PlanSpec extends SparkSpec {
       s"the top-k window must partition by the query id, never globally")
   }
 
+  test("q18's HAVING survivors broadcast back; q10 takes top-20 without a global sort") {
+    val p18 = executedPlan("q18_large_orders")
+    assert(p18.contains("BroadcastHashJoin"),
+      "the threshold-thinned order set must broadcast as the semi filter")
+    assert(!p18.contains("CartesianProduct"))
+    val p10 = executedPlan("q10_returned")
+    assert(p10.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrdered, never a corpus-wide Sort")
+    assert(p10.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+      || p10.contains("EqualTo(l_returnflag,R)"),
+      "the returnflag predicate must reach the parquet scan")
+  }
+
+  test("q_bloom_dedup broadcasts the bloom; bit-fold aggregates map-side") {
+    val plan = executedPlan("q_bloom_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bloom words (m/32 rows) must broadcast to the probe side — " +
+        "shuffling the probe corpus on word ids defeats the sketch")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      "probe must be an equi-join on the word id")
+    assert("partial_bit_or|partial_bitor|bit_or".r.findFirstIn(plan).isDefined
+      && plan.contains("HashAggregate"),
+      "the build must fold bits in a map-side-combining hash aggregate")
+  }
+
   test("offset-range scan pushes the offset predicate into the parquet scan") {
     // read from a COPIED path: the cache manager swaps any plan that
     // matches a relation another suite cached (InMemoryTableScan has no

@@ -104,4 +104,48 @@ class SketchesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("alpha"), e.getMessage)
   }
+
+  test("bloom: no false negatives; FPR in bound; shard-merge equals whole") {
+    val d = Tables.load(spark, sf, "documents").cache()
+    val m = 1 << 16
+    val k = 5
+    val bloom = Sketches.bloomBuild(d.select(col("text")), "text", m, k)
+      .cache()
+    // even ids probe their TRUE text (members), odd ids a perturbed one
+    // (non-members) — both verdict paths exercised, deterministically
+    val probes = d.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(col("text"), lit("~"))).as("text"))
+    val verdicts = Sketches.bloomProbe(bloom, probes, "text", "doc_id", m, k)
+    val rows = verdicts.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows.size === d.count())
+    // NEVER a false negative — the defining bloom guarantee
+    val truth = rows.keySet.filter(_ % 2 == 0)
+    assert(truth.nonEmpty)
+    truth.foreach(id => assert(rows(id), s"false negative for doc $id"))
+    // false-positive rate within 5x the design bound (small-sample slack)
+    val nSeen = d.count()
+    val expFpr = math.pow(1 - math.exp(-k.toDouble * nSeen / m), k)
+    val negatives = rows.filterNot { case (id, _) => truth(id) }
+    val fp = negatives.count(_._2)
+    assert(fp <= math.max(2.0, 5 * expFpr * negatives.size),
+      s"$fp false positives over ${negatives.size} (design fpr $expFpr)")
+    // exact-union algebra: per-source blooms OR-merged == whole, row for row
+    val bySource = d.select("source").distinct().collect().map(_.getString(0))
+    val shards = bySource.map(src => Sketches.bloomBuild(
+      d.filter(col("source") === src).select(col("text")), "text", m, k))
+      .reduce(_ unionByName _)
+    def wordSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wordSet(Sketches.bloomMerge(shards)) === wordSet(bloom))
+    // a NULL probe key is "not present", never an error or a dropped row
+    import spark.implicits._
+    val withNull = Seq((999999L, null: String)).toDF("doc_id", "text")
+    val nv = Sketches.bloomProbe(bloom, withNull, "text", "doc_id", m, k)
+      .collect()
+    assert(nv.length === 1 && !nv(0).getBoolean(1))
+    bloom.unpersist(); d.unpersist()
+    ()
+  }
 }
