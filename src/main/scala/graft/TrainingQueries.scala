@@ -141,6 +141,21 @@ object TrainingQueries {
       mBits = 1 << 16, k = 5)
   }
 
+  /** Snapshot diff audit: "version A" drops every 7th doc, "version B"
+    * drops every 5th and edits every 3rd — the diff must label exactly
+    * the adds, removes, and changes (and say nothing about the rest).
+    * In production the two sides are [[graft.lake.TxLog.readAt]] time
+    * travel snapshots (LakeSpec pins that path).
+    */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.filter(col("doc_id") % 7 =!= 0)
+    val b = d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("X"))).otherwise(col("text")))
+    Curation.corpusDiff(a, b)
+  }
+
   /** IVF-style bucketed ANN: top-5 within the query's sign-bit cell. */
   def qKnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annBucketed(embs(s, dir), queryId = 0L, k = 5, bits = 3)
@@ -561,6 +576,7 @@ object TrainingQueries {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
     "q_bloom_dedup" -> (qBloomDedup _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_substring_dup" -> (qSubstringDup _),
@@ -1089,6 +1105,22 @@ object TrainingQueries {
        |GROUP BY pp.doc_id""".stripMargin
   }
 
+  private val corpusDiffOracle: String =
+    s"""WITH a AS (SELECT doc_id, ${dh("text")} AS hash_a, 1 AS in_a
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |b AS (SELECT doc_id, ${dh(
+          "CASE WHEN doc_id % 3 = 0 THEN text || 'X' ELSE text END")} AS hash_b,
+       |    1 AS in_b
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, hash_a, hash_b,
+       |    CASE WHEN in_a IS NULL THEN 'added'
+       |         WHEN in_b IS NULL THEN 'removed'
+       |         WHEN hash_a IS NOT DISTINCT FROM hash_b THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id, hash_a, hash_b, status FROM j
+       |WHERE status <> 'unchanged'""".stripMargin
+
   private val knnBruteOracle: String =
     s"""${quantCte.trim},
        |q AS (SELECT qe AS query_qe FROM e WHERE vec_id = 0),
@@ -1518,6 +1550,7 @@ object TrainingQueries {
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
+    "q_corpus_diff" -> corpusDiffOracle,
     "q_knn_ivf" -> knnIvfOracle,
     "q_knn_ivf_trained" -> knnIvfTrainedOracle,
     "q_substring_dup" -> substringDupOracle,

@@ -237,6 +237,40 @@ object Curation {
       docs(domainCol) === blocked(listCol), "left_anti")
   }
 
+  /** Corpus snapshot diff — the dataset-release audit: per document id,
+    * whether it was ADDED, REMOVED, or CHANGED (content hash differs)
+    * between two corpus versions; unchanged rows are dropped so the
+    * result is release-note-sized, not corpus-sized. Feed it two
+    * [[graft.lake.TxLog.readAt]] snapshots of one table (time travel)
+    * or any two corpus DataFrames.
+    *
+    * Presence is tracked by explicit markers, NEVER inferred from the
+    * content hash: a present row whose text is NULL has a NULL hash but
+    * is still present, so (NULL text → text) is 'changed' and a
+    * NULL-text row absent from the other side still reads
+    * added/removed. Hash comparison is null-safe for the same reason.
+    *
+    * Scale: each side reduces to (id, 60-bit content hash) at the scan
+    * — the full-outer join shuffles ~17 bytes per doc on the id, never
+    * text; the status CASE is pure map-side.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val a = before.select(col(idCol), Dedup.h60(col(textCol)).as("hash_a"),
+      lit(true).as("__in_a"))
+    val b = after.select(col(idCol), Dedup.h60(col(textCol)).as("hash_b"),
+      lit(true).as("__in_b"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__in_a").isNull, "added")
+          .when(col("__in_b").isNull, "removed")
+          .when(col("hash_a") <=> col("hash_b"), "unchanged")
+          .otherwise("changed"))
+      .filter(col("status") =!= "unchanged")
+      .select(col(idCol), col("hash_a"), col("hash_b"), col("status"))
+  }
+
   /** Canonical-document selection per duplicate cluster — the step that
     * turns [[Dedup.connectedComponents]] output into a drop list: within
     * each cluster keep the highest-quality member (ties to the smallest

@@ -95,11 +95,23 @@ object Similarity {
               embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(queryIdCol),
       quantize(col(embCol)).as("__q_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryIdCol))
+    rankTopK(
+      corpus.select(col(idCol), quantize(col(embCol)).as("__c_emb"))
+        .join(broadcast(q), col(idCol) =!= col(queryIdCol)),
+      k, queryIdCol, idCol)
+  }
+
+  /** Shared epilogue of the kNN joins: exact fixed-point cosine over
+    * the candidate set, top-k per query via a QUERY-PARTITIONED window.
+    * One definition so the ranking contract (tie-break on the id,
+    * 6-decimal rounding) cannot drift between the exact and bucketed
+    * paths — the bits=0-equals-exact property depends on it.
+    */
+  private def rankTopK(cands: DataFrame, k: Int, queryIdCol: String,
+                       idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cosine_r").desc, col(idCol))
-    corpus.select(col(idCol), quantize(col(embCol)).as("__c_emb"))
-      .join(broadcast(q), col(idCol) =!= col(queryIdCol))
+    cands
       .withColumn("cosine_r",
         round(cosineQ(col("__c_emb"), col("__q_emb")), 6))
       .withColumn("rn", row_number().over(w))
@@ -122,18 +134,12 @@ object Similarity {
     val q = queries.select(col(queryIdCol),
       quantize(col(embCol)).as("__q_emb"),
       signBucket(col(embCol), bits).as("__cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryIdCol))
-      .orderBy(col("cosine_r").desc, col(idCol))
-    corpus.select(col(idCol), quantize(col(embCol)).as("__c_emb"),
-      signBucket(col(embCol), bits).as("__cell"))
-      .join(broadcast(q), Seq("__cell"))
-      .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("cosine_r",
-        round(cosineQ(col("__c_emb"), col("__q_emb")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("cosine_r"), col("rn"))
+    rankTopK(
+      corpus.select(col(idCol), quantize(col(embCol)).as("__c_emb"),
+        signBucket(col(embCol), bits).as("__cell"))
+        .join(broadcast(q), Seq("__cell"))
+        .filter(col(idCol) =!= col(queryIdCol)),
+      k, queryIdCol, idCol)
   }
 
   /** Coarse cell id for IVF-style bucketing: sign bits of the first

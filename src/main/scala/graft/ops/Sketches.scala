@@ -119,6 +119,20 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Tag a LEGACY (bucket, cnt) quantile sketch — persisted before
+    * alpha rode in-row — with the alpha it was built with, making it
+    * readable by [[mergeQuantileSketches]]/[[quantileFromSketch]]
+    * again. Only the owner knows the historical alpha; tagging an
+    * already-tagged sketch is refused rather than silently overwritten.
+    */
+  def tagAlpha(sketch: DataFrame, alpha: Double): DataFrame = {
+    require(!sketch.columns.contains("alpha"),
+      "sketch already carries an alpha column — tagAlpha is only for " +
+        "legacy (bucket, cnt) sketches")
+    gammaFor(alpha) // validate range
+    sketch.withColumn("alpha", lit(alpha))
+  }
+
   /** Merge sketches across (a subset of) their grouping — bucket-wise
     * addition, the exact-union property. Dropping all group columns
     * yields the corpus-wide sketch. Alpha stays a grouping key: only
@@ -169,9 +183,16 @@ object Sketches {
   /** Bloom bitmap word width. 32 bits per word keeps every mask value
     * in non-negative BIGINT range in BOTH engines — a 64-bit word's top
     * bit (1L << 63) is negative in two's complement and its SQL
-    * replay would need signed-overflow care.
+    * replay would need signed-overflow care. The layout math below
+    * derives from this constant (the oracle SQL in TrainingQueries
+    * hardcodes the same 32/5 pair — change both together).
     */
   val BloomWordBits = 32
+
+  private val BloomWordShift = Integer.numberOfTrailingZeros(BloomWordBits)
+
+  private def bloomMask = expr(
+    s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))")
 
   /** The k probe positions of one key, as an array column — double
     * hashing over the shared 60-bit md5 (Kirsch–Mitzenmacher 2006:
@@ -182,8 +203,11 @@ object Sketches {
     * divide would lose bits above 2^53).
     */
   def bloomPositions(key: org.apache.spark.sql.Column, mBits: Int,
-                     k: Int): org.apache.spark.sql.Column = {
-    val h = Dedup.h60(key)
+                     k: Int): org.apache.spark.sql.Column =
+    positionsOfHash(Dedup.h60(key), mBits, k)
+
+  private def positionsOfHash(h: org.apache.spark.sql.Column, mBits: Int,
+                              k: Int): org.apache.spark.sql.Column = {
     val h1 = h % lit(mBits.toLong)
     val h2 = shiftright(h, 30) * lit(2L) + lit(1L)
     array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(mBits.toLong)): _*)
@@ -212,9 +236,8 @@ object Sketches {
     require(k >= 1 && k <= 16, s"k out of range: $k")
     df.filter(col(keyCol).isNotNull)
       .select(explode(bloomPositions(col(keyCol), mBits, k)).as("pos"))
-      .groupBy(shiftright(col("pos"), 5).as("word"))
-      .agg(bit_or(expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")).as("bits"))
+      .groupBy(shiftright(col("pos"), BloomWordShift).as("word"))
+      .agg(bit_or(bloomMask).as("bits"))
   }
 
   /** OR-merge per-shard blooms (built with the SAME mBits and k) into
@@ -223,11 +246,15 @@ object Sketches {
   def bloomMerge(blooms: DataFrame): DataFrame =
     blooms.groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
 
-  /** Membership probe: for each row of `probes`, true iff ALL k of its
-    * bits are set in the bloom — "maybe present" (false positives at
-    * the designed rate, NEVER false negatives; a true answer still
-    * needs exact verification if the use is destructive). Output:
-    * (idCol, maybe_present).
+  /** Membership probe: one verdict per distinct (idCol, keyCol) pair of
+    * `probes` — true iff ALL k of the key's bits are set in the bloom:
+    * "maybe present" (false positives at the designed rate, NEVER
+    * false negatives; a true answer still needs exact verification if
+    * the use is destructive). Grouping internally carries the key's
+    * hash, so an id that maps to SEVERAL keys gets several independent
+    * verdicts — folding them together would let an unseen key mask a
+    * member key's true as false, a false negative through the API.
+    * Output: (idCol, maybe_present).
     *
     * Scale: the bloom broadcasts (m/32 rows — a 2^30-bit bloom is 32 MB
     * of words) and the probe is a map-side broadcast join + one
@@ -240,16 +267,17 @@ object Sketches {
                  hintBroadcast: Boolean = true): DataFrame = {
     val b = if (hintBroadcast) broadcast(bloom) else bloom
     probes
-      .select(col(idCol),
-        explode_outer(when(col(keyCol).isNotNull,
-          bloomPositions(col(keyCol), mBits, k))).as("pos"))
-      .withColumn("word", shiftright(col("pos"), 5))
-      .withColumn("mask", expr(
-        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .select(col(idCol), Dedup.h60(col(keyCol)).as("__h"))
+      .select(col(idCol), col("__h"),
+        explode_outer(when(col("__h").isNotNull,
+          positionsOfHash(col("__h"), mBits, k))).as("pos"))
+      .withColumn("word", shiftright(col("pos"), BloomWordShift))
+      .withColumn("mask", bloomMask)
       .join(b, Seq("word"), "left")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("__h"))
       .agg(bool_and(col("pos").isNotNull &&
         (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L))
         .as("maybe_present"))
+      .select(col(idCol), col("maybe_present"))
   }
 }

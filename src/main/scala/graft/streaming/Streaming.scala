@@ -351,6 +351,12 @@ object Streaming {
     * The aggregate is ALGEBRAIC (count/sum decompose over +/−) — the
     * same restriction every incremental-view system carries; min/max
     * need the full group on a delete and belong to the batch operator.
+    *
+    * SINGLE MAINTAINER: the per-batch read-modify-write spans two
+    * commits, so a second concurrent writer to the VIEW would have its
+    * rows replaced by this stream's merge (the CAS retry re-plans the
+    * file rewrite, not this closure's delta arithmetic). One view =
+    * one maintaining stream; merge source feeds upstream instead.
     */
   def incrementalAggView(spark: SparkSession, source: String, view: String,
                          keyCols: Seq[String], sumCols: Seq[String],
@@ -456,6 +462,15 @@ object Streaming {
     * standard over-approximation, safe for dedup screening (worst
     * case a re-crawled deleted document is flagged for an exact check
     * it then passes).
+    *
+    * SINGLE MAINTAINER, like every incremental view here: the
+    * per-batch read-modify-write spans two commits, so a SECOND writer
+    * bit_or-ing the same words between this stream's read and its
+    * merge would have its bits replaced by the merge's whole-row
+    * rewrite (mergeApply's CAS retry re-plans the file rewrite, not
+    * this closure's arithmetic). One view = one maintaining stream;
+    * fan several sources into one bloom by merging their CDC feeds
+    * upstream, not by pointing two streams at the view.
     */
   def incrementalBloomView(spark: SparkSession, source: String, view: String,
                            keyCol: String, appId: String, checkpoint: String,
@@ -585,9 +600,19 @@ object Streaming {
           // the dim is PARTITIONED on __open: this lookup prunes to the
           // open partition (≈ live keys), never the accumulated closed
           // history — per-batch cost tracks touched keys even after
-          // years of churn
-          val open = TxLog.read(spark, dim)
-            .filter(col("__open") === true && col("valid_to").isNull)
+          // years of churn. Legacy compatibility, twice over: a dim
+          // built before __open existed has no such column at all
+          // (skip the filter), and legacy ROWS in an upgraded dim read
+          // __open as NULL after the schema union — NULL-or-true keeps
+          // them visible while still pruning the closed (false)
+          // partition (OR of partition predicates prunes fine)
+          val dimDf = TxLog.read(spark, dim)
+          val openSide =
+            if (dimDf.columns.contains("__open"))
+              dimDf.filter(col("__open").isNull || col("__open") === true)
+            else dimDf
+          val open = openSide
+            .filter(col("valid_to").isNull)
             .join(keys, keyCols, "left_semi")
             .select(dataCols.map(col) ++ Seq(
               lit("insert").as("__ct"), col("valid_from").as("__v")): _*)
@@ -608,9 +633,13 @@ object Streaming {
           ()
         case Some(_) =>
           rows.persist()
+          // partitionCols stays empty: the rewrite detects the table's
+          // ACTUAL layout from the snapshot, so a new-format dim keeps
+          // its __open partitioning and a legacy (pre-__open) dim stays
+          // unpartitioned with __open as a plain data column — forcing
+          // Seq("__open") here would refuse to rewrite legacy dims
           try TxLog.mergeApply(spark, dim, rows,
-            keyCols :+ "valid_from", partitionCols = Seq("__open"),
-            txn = Some((appId, batchId)))
+            keyCols :+ "valid_from", txn = Some((appId, batchId)))
           finally rows.unpersist()
           ()
       }

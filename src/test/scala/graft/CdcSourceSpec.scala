@@ -171,6 +171,29 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD2 upgrade: a pre-__open dimension still closes its legacy open rows") {
+    val dim = newTable()
+    // legacy layout: rows written before the __open partition column
+    // existed — open row for k=1, closed row for k=2
+    TxLog.append(Seq(
+      (1L, "a", 0L, None: Option[Long]),
+      (2L, "x", 0L, Some(0L)))
+      .toDF("k", "v", "valid_from", "valid_to").coalesce(1), dim)
+    // an upgraded-code batch updates k=1: the legacy open row must be
+    // FOUND (no __open column to filter on) and closed
+    val feed = Seq((1L, "b", "insert", 1L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    graft.streaming.Streaming.applyScd2Delta(feed, dim, Seq("k"),
+      "upgrade-spec", 0L)
+    val hist = TxLog.read(spark, dim).collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]))).toSet
+    assert(hist === Set(
+      (1L, "a", 0L, Some(1L)), (1L, "b", 1L, None), (2L, "x", 0L, Some(0L))),
+      s"history was $hist")
+  }
+
   test("incremental bloom view equals a from-scratch build; deletes are no-ops") {
     val source = newTable()
     val view = newTable()

@@ -103,6 +103,15 @@ class SketchesSpec extends SparkSpec {
       Sketches.quantileFromSketch(mixed, 0.5)
     }
     assert(e.getMessage.contains("alpha"), e.getMessage)
+    // a legacy (bucket, cnt) sketch persisted before alpha rode in-row
+    // becomes readable again via tagAlpha; double-tagging is refused
+    val legacy = sketch.drop("alpha")
+    assert(Sketches.quantileFromSketch(
+      Sketches.tagAlpha(legacy, 0.01), 0.5) === 0.0)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.tagAlpha(sketch, 0.01)
+    }
+    assert(e2.getMessage.contains("already"), e2.getMessage)
   }
 
   test("bloom: no false negatives; FPR in bound; shard-merge equals whole") {
@@ -145,6 +154,16 @@ class SketchesSpec extends SparkSpec {
     val nv = Sketches.bloomProbe(bloom, withNull, "text", "doc_id", m, k)
       .collect()
     assert(nv.length === 1 && !nv(0).getBoolean(1))
+    // duplicate ids with DIFFERENT keys: independent verdicts — the
+    // unseen key must never mask the member key's true (that would be
+    // a false negative smuggled through the aggregation)
+    val seenText = d.select("text").head().getString(0)
+    val dup = Seq((7L, seenText), (7L, "zzz-never-inserted"))
+      .toDF("doc_id", "text")
+    val dv = Sketches.bloomProbe(bloom, dup, "text", "doc_id", m, k)
+      .collect().map(_.getBoolean(1)).sorted
+    assert(dv.toSeq === Seq(false, true),
+      "one verdict per (id, key): member true, unseen false")
     bloom.unpersist(); d.unpersist()
     ()
   }

@@ -35,6 +35,22 @@ class TxLogSpec extends SparkSpec {
     assert(got.filter(col("p") === 0).count() === 2)
   }
 
+  test("corpusDiff over time-travel snapshots labels adds/removes/changes") {
+    val table = newTable()
+    TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .coalesce(1), table)                                             // v0
+    TxLog.update(spark, table, col("doc_id") === 2L,
+      Map("text" -> lit("B")))                                         // v1
+    TxLog.delete(spark, table, col("doc_id") === 3L)                   // v2
+    TxLog.append(Seq((4L, "d")).toDF("doc_id", "text").coalesce(1), table) // v3
+    val diff = graft.ops.Curation.corpusDiff(
+      TxLog.readAt(spark, table, 0L), TxLog.read(spark, table))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(diff === Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"diff was $diff")
+  }
+
   test("concurrent appenders all commit (CAS losers retry and land)") {
     val table = newTable()
     TxLog.append(Seq((0L, -1L)).toDF("id", "batch"), table)
