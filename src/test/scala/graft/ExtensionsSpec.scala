@@ -22,5 +22,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(v === graft.functions.Crc32C.compute("hello".getBytes("UTF-8")))
     // and the expression itself matches the builtin-free compute
     assert(spark.sql("SELECT crc32c(cast('' as binary))").head().getLong(0) === 0L)
+    // the vector and compression kernels ride the same registry
+    assert(spark.sql(
+      "SELECT dotq(array(2L, 3L), array(4L, 5L))").head().getLong(0) === 23L)
+    val dl = spark.sql("SELECT deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa')")
+      .head().getLong(0)
+    assert(dl > 0 && dl < 24, s"repetitive text must compress: $dl")
   }
 }
