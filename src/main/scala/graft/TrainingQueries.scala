@@ -141,6 +141,22 @@ object TrainingQueries {
       mBits = 1 << 16, k = 5)
   }
 
+  /** Jelinek–Mercer interpolated LM score, λ = 0.7. */
+  def qLmInterp(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScoreInterpolated(docs(s, dir))
+
+  /** Per-source dataset card: counts, mean quality, language spread,
+    * exact-duplicate ratio.
+    */
+  def qSourceReport(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceReport(docs(s, dir))
+
+  /** Deterministic 100-doc reservoir sample (salt "res8"). */
+  def qReservoir(s: SparkSession, dir: String): DataFrame =
+    Curation.reservoirSample(
+      docs(s, dir).select(col("doc_id"), col("source")), k = 100,
+      salt = "res8")
+
   /** Snapshot diff audit: "version A" drops every 7th doc, "version B"
     * drops every 5th and edits every 3rd — the diff must label exactly
     * the adds, removes, and changes (and say nothing about the rest).
@@ -577,6 +593,9 @@ object TrainingQueries {
     "q_knn_join" -> (qKnnJoin _),
     "q_bloom_dedup" -> (qBloomDedup _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_lm_interp" -> (qLmInterp _),
+    "q_source_report" -> (qSourceReport _),
+    "q_reservoir" -> (qReservoir _),
     "q_knn_ivf" -> (qKnnIvf _),
     "q_knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_substring_dup" -> (qSubstringDup _),
@@ -1105,6 +1124,62 @@ object TrainingQueries {
        |GROUP BY pp.doc_id""".stripMargin
   }
 
+  /** Interpolated bigram LM: λ·P(w2|w1) + (1−λ)·P(w2), all e6 integer
+    * — mirrors lmScoreInterpolated's exact division order.
+    */
+  private val lmInterpOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bgx AS (
+       |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+       |inst AS (
+       |  SELECT doc_id, ${dh("sh")} AS bgh,
+       |    ${dh("string_split(sh, ' ')[1]")} AS pw,
+       |    ${dh("string_split(sh, ' ')[2]")} AS sw FROM bgx),
+       |byd AS (
+       |  SELECT doc_id, bgh, pw, sw, count(*) AS m FROM inst
+       |  GROUP BY 1, 2, 3, 4),
+       |c2t AS (SELECT bgh, sum(m) AS c2 FROM byd GROUP BY 1),
+       |c1t AS (SELECT pw, sum(m) AS c1 FROM byd GROUP BY 1),
+       |cwt AS (SELECT sw, sum(m) AS cw FROM byd GROUP BY 1),
+       |tt AS (SELECT sum(cw) AS tot FROM cwt)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(m * ((700000 * (c2 * 1000000 // c1)
+       |    + 300000 * (cw * 1000000 // tot)) // 1000000)) // sum(m)
+       |    AS BIGINT) AS lm_i_score_e6
+       |FROM byd JOIN c2t USING (bgh) JOIN c1t USING (pw)
+       |  JOIN cwt USING (sw) CROSS JOIN tt
+       |GROUP BY doc_id""".stripMargin
+
+  private val sourceReportOracle: String =
+    s"""WITH $qualityCtes,
+       |srb AS (SELECT doc_id, source, lang, ${dh("text")} AS hsh
+       |  FROM documents),
+       |srdup AS (SELECT hsh FROM srb GROUP BY hsh HAVING count(*) > 1),
+       |srf AS (
+       |  SELECT b.doc_id, b.source, b.lang,
+       |    CASE WHEN d.hsh IS NULL THEN 0 ELSE 1 END AS isdup
+       |  FROM srb b LEFT JOIN srdup d ON b.hsh = d.hsh),
+       |agg AS (
+       |  SELECT f.source, count(*) AS n_docs,
+       |    CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q.quality) * 100 // count(*) AS BIGINT)
+       |      AS mean_quality_e2,
+       |    count(DISTINCT f.lang) AS n_langs,
+       |    CAST(sum(f.isdup) AS BIGINT) AS n_dup_docs
+       |  FROM srf f JOIN qout q USING (doc_id) GROUP BY 1)
+       |SELECT source, n_docs, n_tokens, mean_quality_e2, n_langs,
+       |  n_dup_docs,
+       |  CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ratio_e6
+       |FROM agg""".stripMargin
+
+  private val reservoirOracle: String =
+    s"""SELECT doc_id, source,
+       |  ${dh("'res8|' || CAST(doc_id AS VARCHAR)")} AS sample_rank
+       |FROM documents
+       |ORDER BY sample_rank, doc_id
+       |LIMIT 100""".stripMargin
+
   private val corpusDiffOracle: String =
     s"""WITH a AS (SELECT doc_id, ${dh("text")} AS hash_a, 1 AS in_a
        |  FROM documents WHERE doc_id % 7 <> 0),
@@ -1551,6 +1626,9 @@ object TrainingQueries {
     "q_knn_join" -> knnJoinOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_corpus_diff" -> corpusDiffOracle,
+    "q_lm_interp" -> lmInterpOracle,
+    "q_source_report" -> sourceReportOracle,
+    "q_reservoir" -> reservoirOracle,
     "q_knn_ivf" -> knnIvfOracle,
     "q_knn_ivf_trained" -> knnIvfTrainedOracle,
     "q_substring_dup" -> substringDupOracle,

@@ -237,6 +237,30 @@ object Curation {
       docs(domainCol) === blocked(listCol), "left_anti")
   }
 
+  /** Deterministic uniform k-sample WITHOUT a corpus sort — the
+    * relational reservoir: rank every row by the salted 60-bit hash of
+    * its id and take the k smallest. Under the hash's uniformity each
+    * row is equally likely, the pick is rerun-stable for a fixed salt
+    * (audit-friendly, unlike RNG reservoirs), a new salt redraws, and
+    * samples merge across corpus shards by re-ranking the union — the
+    * same property chain as bottom-k sketches.
+    *
+    * Scale: TakeOrdered, not Sort — each partition keeps a k-row heap
+    * and the driver merges |partitions|·k candidates; the corpus is
+    * never shuffled. Ties cannot happen across distinct ids at the
+    * same hash thanks to the id tiebreak, so the cut is total.
+    * Returns the sampled rows with their `sample_rank`.
+    */
+  def reservoirSample(docs: DataFrame, k: Int, salt: String,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    docs
+      .withColumn("sample_rank",
+        Dedup.h60(concat(lit(salt + "|"), col(idCol).cast("string"))))
+      .orderBy(col("sample_rank"), col(idCol))
+      .limit(k)
+  }
+
   /** Corpus snapshot diff — the dataset-release audit: per document id,
     * whether it was ADDED, REMOVED, or CHANGED (content hash differs)
     * between two corpus versions; unchanged rows are dropped so the

@@ -330,6 +330,86 @@ object TextAnalysis {
           " DIV sum(m)").as("lm_score_e6"))
   }
 
+  /** Jelinek–Mercer INTERPOLATED bigram LM score — [[lmScore]] with the
+    * standard smoothing every deployed n-gram scorer uses: per bigram,
+    * score = λ·P(w2|w1) + (1−λ)·P(w2), mixing the sharp conditional
+    * with the unigram prior so one rare-but-seen prefix cannot swing a
+    * document's score. P(w2) counts SECOND-position instances (the
+    * distribution the conditional backs off to). λ is an e6 integer
+    * and every probability is pre-scaled to e6 by integer division, so
+    * both engines agree bit for bit. Bounds make the λ-mix safe in
+    * LONG: c2 ≤ c1 and cw ≤ tot, so each e6 probability ≤ 1e6 and the
+    * weighted sum ≤ 1e12 before the final ÷1e6.
+    *
+    * Same linear window-free shape as [[lmScore]] plus ONE extra count
+    * table on the second-word hash and a broadcast one-row total.
+    * Returns (doc_id, n_bigrams, lm_i_score_e6).
+    */
+  def lmScoreInterpolated(docs: DataFrame, lambdaE6: Long = 700000L,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(lambdaE6 >= 0 && lambdaE6 <= 1000000L,
+      s"lambdaE6 out of [0, 1e6]: $lambdaE6")
+    val inst = Dedup.explodedShingles(docs, 2, textCol, idCol)
+      .select(col(idCol),
+        Dedup.h60(col("sh")).as("bg"),
+        Dedup.h60(split(col("sh"), " ")(0)).as("pw"),
+        Dedup.h60(split(col("sh"), " ")(1)).as("sw"))
+    val byDoc = inst.groupBy(col(idCol), col("bg"), col("pw"), col("sw"))
+      .agg(count(lit(1)).as("m"))
+    val bigramCounts = byDoc.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val prefixCounts = byDoc.groupBy(col("pw")).agg(sum(col("m")).as("c1"))
+    val wordCounts = byDoc.groupBy(col("sw")).agg(sum(col("m")).as("cw"))
+    val total = wordCounts.agg(sum(col("cw")).as("tot"))
+    val mixE6 =
+      s"(($lambdaE6 * (cast(c2 as decimal(38,0)) * 1000000 DIV c1)" +
+        s" + ${1000000L - lambdaE6} *" +
+        " (cast(cw as decimal(38,0)) * 1000000 DIV tot)) DIV 1000000)"
+    byDoc
+      .join(bigramCounts, "bg")
+      .join(prefixCounts, "pw")
+      .join(wordCounts, "sw")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        expr(s"sum(m * $mixE6) DIV sum(m)").as("lm_i_score_e6"))
+  }
+
+  /** Per-source dataset card — the release-report table every corpus
+    * ships with: document and token counts, mean rule-based quality,
+    * language spread, and the exact-duplicate ratio, one row per
+    * source. Means and ratios are integer-scaled (e2/e6) so both
+    * engines agree exactly.
+    *
+    * Scale: a narrow per-doc projection (token count, content hash,
+    * quality — all map-side), one hash aggregate to find duplicated
+    * content hashes, one equi-join back on the 8-byte hash, and one
+    * aggregate to the sources-sized report. No window, no all-pairs.
+    */
+  def sourceReport(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   sourceCol: String = "source",
+                   langCol: String = "lang"): DataFrame = {
+    val q = qualityScore(docs, textCol).select(col(idCol), col("quality"))
+    val base = docs.select(col(idCol), col(sourceCol), col(langCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_toks"),
+      Dedup.h60(col(textCol)).as("hsh"))
+    val dupHashes = base.groupBy(col("hsh"))
+      .agg(count(lit(1)).as("nc")).filter(col("nc") > 1)
+      .select(col("hsh"), lit(1L).as("isdup"))
+    base.join(dupHashes, Seq("hsh"), "left")
+      .join(q, Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("sum(quality) * 100 DIV count(1)").as("mean_quality_e2"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_ratio_e6", expr("n_dup_docs * 1000000 DIV n_docs"))
+  }
+
   /** Rare-token (pseudo-OOV) rate per document: the fraction of token
     * instances whose corpus-wide SHARE is below 1/`rareShareDenom`
     * (share, not absolute count, so the same threshold means the same

@@ -123,6 +123,46 @@ class OpsSpec extends SparkSpec with PropSupport {
     ()
   }
 
+  test("interpolated LM at lambda=1e6 IS the plain bigram LM; report and reservoir invariants hold") {
+    val d = Tables.load(spark, sf, "documents").cache()
+    import graft.ops.{Curation, TextAnalysis}
+    // lambda=1 degenerates to the pure conditional — the two scorers
+    // must agree doc for doc (pins the mix arithmetic)
+    def scores(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long](c)).toMap
+    val plain = scores(TextAnalysis.lmScore(d), "lm_score_e6")
+    val atOne = scores(TextAnalysis.lmScoreInterpolated(d, lambdaE6 = 1000000L),
+      "lm_i_score_e6")
+    assert(atOne === plain)
+    // the interpolated score is a convex mix: bounded by 1e6
+    val mixed = scores(TextAnalysis.lmScoreInterpolated(d), "lm_i_score_e6")
+    assert(mixed.values.forall(v => v >= 0 && v <= 1000000L))
+    // source report: doc counts partition the corpus; ratios stay in range
+    val rep = TextAnalysis.sourceReport(d).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === d.count())
+    assert(rep.forall { r =>
+      val dr = r.getAs[Long]("dup_ratio_e6")
+      val mq = r.getAs[Long]("mean_quality_e2")
+      dr >= 0 && dr <= 1000000L && mq >= 0 && mq <= 400L
+    })
+    // reservoir: k rows, rerun-stable, salt-sensitive, and MERGEABLE —
+    // re-ranking the union of per-source samples equals the corpus sample
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    val s1 = Curation.reservoirSample(d, 50, "s")
+    assert(s1.count() === 50L)
+    assert(ids(s1) === ids(Curation.reservoirSample(d, 50, "s")))
+    assert(ids(s1) !== ids(Curation.reservoirSample(d, 50, "other-salt")))
+    val perSource = d.select("source").distinct().collect()
+      .map(_.getString(0))
+      .map(src => Curation.reservoirSample(d.filter(col("source") === src), 50, "s"))
+      .reduce(_ unionByName _)
+    assert(ids(Curation.reservoirSample(perSource, 50, "s")) === ids(s1),
+      "bottom-k merge: union of shard samples re-ranked == corpus sample")
+    d.unpersist()
+    ()
+  }
+
   test("connectedComponents labels chains and keeps components separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("doc_a", "doc_b")

@@ -191,6 +191,18 @@ class PlanSpec extends SparkSpec {
       "count tables lost map-side partial aggregation")
   }
 
+  test("interpolated LM / source report / reservoir keep their scale shapes") {
+    val pi = executedPlan("q_lm_interp")
+    assert(!pi.contains("CartesianProduct") && !pi.contains("Window"),
+      "lm_interp must stay equi-join + aggregate work")
+    val ps = executedPlan("q_source_report")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("Window"),
+      "source report must stay aggregate + hash-join work")
+    val pr = executedPlan("q_reservoir")
+    assert(pr.contains("TakeOrderedAndProject"),
+      "reservoir must TakeOrdered, never sort the corpus")
+  }
+
   test("OOV rate's only non-equi join is the broadcast one-row total") {
     val plan = executedPlan("q_oov_rate")
     assert(!plan.contains("CartesianProduct"), "oovRate planned a cartesian")
