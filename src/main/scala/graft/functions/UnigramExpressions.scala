@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (SentencePiece-style) tokenization — the OTHER real-world
+  * tokenizer family next to BPE (Kudo 2018: "Subword Regularization").
+  * Where BPE applies a merge list, the unigram model picks, per word,
+  * the SEGMENTATION of minimum total piece cost (cost = −ln P(piece),
+  * e6-scaled integer) by Viterbi dynamic programming over the word's
+  * positions. TRAINING (hard-EM over corpus word counts) lives in
+  * [[graft.ops.TextAnalysis.unigramTrain]]; this file is the encode
+  * kernel: the piece table rides into executors once as a reference
+  * object and each row segments in a tight local loop — a shuffle-free
+  * narrow map, same deployment shape as [[BpeEncode]].
+  *
+  * Determinism: integer costs; ties broken by PREFERRING THE LONGER
+  * PIECE ending at each position (then the position order itself), so
+  * the segmentation is a pure function of (word, table) — rerun- and
+  * partition-order-stable. Characters absent from the table segment as
+  * single-char "unknown" pieces at `unkCostE6` (strictly worse than
+  * any real piece), so every word is always coverable.
+  */
+object UnigramKernels {
+
+  /** Viterbi min-cost segmentation of every word in `toks`, output as
+    * one flattened piece stream per row. O(Σ |w|·maxLen) per row with
+    * an O(1) hash probe per candidate piece.
+    */
+  def encode(toks: ArrayData,
+             table: java.util.HashMap[String, java.lang.Long],
+             maxLen: Int, unkCostE6: Long): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (toks.isNullAt(t))
+        throw new IllegalArgumentException(
+          "unigram_encode: null token — clean the corpus first")
+      segmentInto(toks.getUTF8String(t).toString, table, maxLen,
+        unkCostE6, out)
+      t += 1
+    }
+    new GenericArrayData(out.toArray())
+  }
+
+  private def segmentInto(w: String,
+                          table: java.util.HashMap[String, java.lang.Long],
+                          maxLen: Int, unkCostE6: Long,
+                          out: java.util.ArrayList[UTF8String]): Unit = {
+    val n = w.length
+    if (n == 0) return
+    val best = new Array[Long](n + 1)
+    val backLen = new Array[Int](n + 1)
+    val backUnk = new Array[Boolean](n + 1)
+    var i = 1
+    while (i <= n) {
+      best(i) = Long.MaxValue
+      // longest candidate FIRST: on equal cost the longer piece wins
+      // (strict < below never replaces it), pinning the tie-break
+      var l = math.min(maxLen, i)
+      while (l >= 1) {
+        val piece = w.substring(i - l, i)
+        // java.lang.Long, NOT scala Long: a scala-typed get would
+        // silently unbox a missing key's null to 0 — every unknown
+        // substring would become a free piece
+        val c: java.lang.Long = table.get(piece)
+        if (c != null && best(i - l) != Long.MaxValue &&
+            best(i - l) + c.longValue() < best(i)) {
+          best(i) = best(i - l) + c.longValue()
+          backLen(i) = l
+          backUnk(i) = false
+        }
+        l -= 1
+      }
+      // single-char unknown fallback: guarantees coverage, priced so a
+      // real piece always beats it at equal span
+      if (best(i - 1) != Long.MaxValue && best(i - 1) + unkCostE6 < best(i)) {
+        best(i) = best(i - 1) + unkCostE6
+        backLen(i) = 1
+        backUnk(i) = true
+      }
+      i += 1
+    }
+    // walk back, then reverse in place into the output
+    val from = out.size()
+    var p = n
+    while (p > 0) {
+      val l = backLen(p)
+      out.add(UTF8String.fromString(w.substring(p - l, p)))
+      p -= l
+    }
+    var lo = from
+    var hi = out.size() - 1
+    while (lo < hi) {
+      val tmp = out.get(lo); out.set(lo, out.get(hi)); out.set(hi, tmp)
+      lo += 1; hi -= 1
+    }
+  }
+}
+
+/** `unigram_encode(tokens)`: segment an array<string> word stream into
+  * the min-cost piece stream under a fixed (piece → costE6) table
+  * (driver-side constant shipped as reference objects — not a join).
+  */
+case class UnigramEncode(child: Expression, pieces: Vector[String],
+                         costsE6: Vector[Long], maxLen: Int,
+                         unkCostE6: Long)
+    extends UnaryExpression {
+  require(pieces.length == costsE6.length,
+    "pieces and costs must align")
+
+  @transient private lazy val table
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.put(pieces(i), java.lang.Long.valueOf(costsE6(i)))
+      i += 1
+    }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    UnigramKernels.encode(v.asInstanceOf[ArrayData], table, maxLen, unkCostE6)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("unigramTable", table,
+      "java.util.HashMap")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.UnigramKernels.encode($v, $tRef, $maxLen, ${unkCostE6}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramEncode = copy(child = newChild)
+}
+
+object UnigramExpressions {
+  /** Column API: segment an array<string> word column through a trained
+    * (piece, costE6) table.
+    */
+  def unigramEncode(tokens: Column, vocab: Seq[(String, Long)],
+                    maxLen: Int, unkCostE6: Long): Column =
+    ColumnBridge.column(UnigramEncode(ColumnBridge.expression(tokens),
+      vocab.map(_._1).toVector, vocab.map(_._2).toVector, maxLen, unkCostE6))
+}

@@ -739,6 +739,109 @@ object TextAnalysis {
       graft.functions.BpeExpressions.bpeEncode(toks(col(textCol)), merges)
         .as("tokens"))
 
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the other
+    * real-world tokenizer family next to BPE (Kudo 2018), via hard-EM
+    * (Viterbi-EM, SentencePiece's own alternation with the soft E-step
+    * replaced by the max-derivation — a documented standard variant):
+    *
+    *  1. seed vocab = every substring up to `maxPieceLen` of the
+    *     corpus's DISTINCT words with corpus frequency ≥ `minSeedCount`,
+    *     plus ALL single characters (coverage floor);
+    *  2. per round: price pieces at −ln(count/total) (e6 integer),
+    *     Viterbi-resegment the distinct-word table with the
+    *     [[graft.functions.UnigramKernels]] kernel, recount pieces from
+    *     the segmentations weighted by word frequency;
+    *  3. prune to the `vocabSize` best multi-char pieces by count
+    *     (single chars always survive), and iterate.
+    *
+    * Scale shape: the expensive corpus pass happens ONCE (word counts —
+    * one explode + hash aggregate); every EM round then runs over the
+    * DISTINCT-WORD table (vocabulary-sized, orders of magnitude below
+    * the corpus), with the piece table riding into executors as a
+    * reference object — no joins, no windows. This is why unigram
+    * training is tractable at 100 TB: rounds cost |vocab|, not |corpus|.
+    *
+    * Returns the trained vocab rows (piece, count, cost_e6), ready for
+    * [[unigramEncode]]. Costs are integer e6; ln is evaluated once per
+    * piece on the driver over exact counts, so the trajectory is
+    * deterministic for a fixed corpus.
+    */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 200,
+                   maxPieceLen: Int = 6, rounds: Int = 3,
+                   minSeedCount: Long = 2L,
+                   textCol: String = "text"): Seq[(String, Long, Long)] = {
+    require(vocabSize > 0 && maxPieceLen >= 2 && rounds >= 1,
+      s"bad params: vocabSize=$vocabSize maxPieceLen=$maxPieceLen rounds=$rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(toks(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      // seed counts: every substring (up to maxPieceLen) of every
+      // distinct word, weighted by the word's corpus frequency
+      val seed = words
+        .select(col("n"), explode(expr(
+          s"""flatten(transform(sequence(0, length(w) - 1),
+             |  s -> transform(sequence(1, least($maxPieceLen, length(w) - s)),
+             |    l -> substring(w, s + 1, l))))""".stripMargin)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+        .filter(length(col("piece")) === 1 || col("cnt") >= minSeedCount)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var vocab: Seq[(String, Long)] = prune(seed, vocabSize)
+      for (_ <- 1 to rounds) {
+        val costs = toCosts(vocab)
+        val recount = words
+          .select(col("n"),
+            explode(graft.functions.UnigramExpressions.unigramEncode(
+              array(col("w")), costs, maxPieceLen,
+              unkCostE6 = UnigramUnkCostE6)).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        // seed single chars must survive even when a round never uses
+        // them (an unseen char next round still needs a priced fallback)
+        val chars = vocab.filter(_._1.length == 1).toMap
+        val merged = (chars ++ recount.toMap).toSeq
+        vocab = prune(merged, vocabSize)
+      }
+      val costs = toCosts(vocab).toMap
+      vocab.sortBy(p => (-p._2, p._1))
+        .map { case (p, c) => (p, c, costs(p)) }
+    } finally { words.unpersist(); () }
+  }
+
+  /** Unknown-char fallback cost: worse than any real piece (a real
+    * count's cost is < ln(total)·1e6 ≈ 32e6 even for singletons in an
+    * exabyte corpus).
+    */
+  val UnigramUnkCostE6: Long = 100000000L
+
+  private def prune(vocab: Seq[(String, Long)],
+                    vocabSize: Int): Seq[(String, Long)] = {
+    val (chars, multi) = vocab.partition(_._1.length == 1)
+    chars ++ multi.sortBy(p => (-p._2, p._1)).take(vocabSize)
+  }
+
+  private def toCosts(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = vocab.map(_._2).sum.toDouble
+    vocab.map { case (p, c) =>
+      (p, math.round(-math.log(c / total) * 1e6)) }
+  }
+
+  /** Apply a trained unigram vocab: per doc, the min-cost piece stream
+    * (shuffle-free narrow map, the same deployment shape as
+    * [[bpeEncode]]).
+    */
+  def unigramEncode(docs: DataFrame, vocab: Seq[(String, Long, Long)],
+                    maxPieceLen: Int = 6, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.UnigramExpressions.unigramEncode(
+        toks(col(textCol)), vocab.map(v => (v._1, v._3)), maxPieceLen,
+        UnigramUnkCostE6).as("pieces"))
+
   /** Compression-ratio repetitiveness signal (the RefinedWeb/Dolma
     * boilerplate filter): ratio_e3 = 1000 · raw_bytes / deflated_bytes.
     * Natural prose lands around 2-3×; templated or repeated text

@@ -163,6 +163,46 @@ class OpsSpec extends SparkSpec with PropSupport {
     ()
   }
 
+  test("unigram tokenizer: exact coverage, learned pieces, tie-breaks, determinism") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    // kernel semantics on a crafted table: longer piece wins at equal
+    // cost; unknown chars fall back to priced singles
+    val tiny = Seq(Tuple1(Seq("abab", "axb"))).toDF("toks")
+    val segs = tiny.select(graft.functions.UnigramExpressions.unigramEncode(
+      col("toks"), Seq(("ab", 10L), ("a", 10L), ("b", 10L)), 4, 1000L)
+      .as("p")).head().getSeq[String](0)
+    assert(segs === Seq("ab", "ab", "a", "x", "b"),
+      s"got $segs — 'ab' must beat 'a'+'b', 'x' must fall back")
+    // trained on the real corpus
+    val d = Tables.load(spark, sf, "documents").cache()
+    val vocab = TextAnalysis.unigramTrain(d, vocabSize = 100, rounds = 2)
+    assert(vocab.exists(_._1.length == 1), "single-char floor must survive")
+    assert(vocab.exists(_._1.length > 1), "no multi-char piece was learned")
+    assert(vocab.forall(_._3 > 0), "costs must be positive e6 integers")
+    val enc = TextAnalysis.unigramEncode(d, vocab).cache()
+    // exact coverage: pieces concatenate back to the tokens, doc for doc
+    val bad = enc.join(d, "doc_id")
+      .select(concat_ws("", col("pieces")).as("p"),
+        concat_ws("", split(col("text"), " ")).as("t"))
+      .filter(col("p") =!= col("t")).count()
+    assert(bad === 0L, s"$bad docs failed round-trip coverage")
+    // every emitted piece is vocab or a single-char unknown
+    val vs = vocab.map(_._1).toSet
+    val used = enc.select(explode(col("pieces")).as("p")).distinct()
+      .collect().map(_.getString(0))
+    assert(used.forall(p => vs(p) || p.length == 1))
+    // the model compresses: fewer pieces than characters
+    val nPieces = enc.select(sum(size(col("pieces")))).head().getLong(0)
+    val nChars = d.select(sum(length(concat_ws("",
+      split(col("text"), " "))))).head().getLong(0)
+    assert(nPieces < nChars, s"pieces $nPieces !< chars $nChars")
+    // training is a pure function of the corpus
+    assert(vocab === TextAnalysis.unigramTrain(d, vocabSize = 100, rounds = 2))
+    enc.unpersist(); d.unpersist()
+    ()
+  }
+
   test("connectedComponents labels chains and keeps components separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("doc_a", "doc_b")
