@@ -141,6 +141,12 @@ object TrainingQueries {
       mBits = 1 << 16, k = 5)
   }
 
+  /** Unigram-tokenizer SEED stage: top-50 substring pieces by weighted
+    * corpus count — the oracle-checkable half of unigram training.
+    */
+  def qUnigramSeed(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSeedTop(docs(s, dir), k = 50)
+
   /** Jelinek–Mercer interpolated LM score, λ = 0.7. */
   def qLmInterp(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScoreInterpolated(docs(s, dir))
@@ -593,6 +599,7 @@ object TrainingQueries {
     "q_knn_join" -> (qKnnJoin _),
     "q_bloom_dedup" -> (qBloomDedup _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_unigram_seed" -> (qUnigramSeed _),
     "q_lm_interp" -> (qLmInterp _),
     "q_source_report" -> (qSourceReport _),
     "q_reservoir" -> (qReservoir _),
@@ -1124,6 +1131,18 @@ object TrainingQueries {
        |GROUP BY pp.doc_id""".stripMargin
   }
 
+  private val unigramSeedOracle: String =
+    """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS n FROM wds WHERE w <> '' GROUP BY 1),
+      |subs AS (SELECT n, unnest(flatten(list_transform(range(0, strlen(w)),
+      |    s -> list_transform(range(1, least(6, strlen(w) - s) + 1),
+      |      l -> substring(w, CAST(s + 1 AS INT), CAST(l AS INT)))))) AS piece
+      |  FROM wc),
+      |agg AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM subs GROUP BY 1)
+      |SELECT piece, cnt FROM agg
+      |WHERE strlen(piece) = 1 OR cnt >= 2
+      |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin
+
   /** Interpolated bigram LM: λ·P(w2|w1) + (1−λ)·P(w2), all e6 integer
     * — mirrors lmScoreInterpolated's exact division order.
     */
@@ -1626,6 +1645,7 @@ object TrainingQueries {
     "q_knn_join" -> knnJoinOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_corpus_diff" -> corpusDiffOracle,
+    "q_unigram_seed" -> unigramSeedOracle,
     "q_lm_interp" -> lmInterpOracle,
     "q_source_report" -> sourceReportOracle,
     "q_reservoir" -> reservoirOracle,

@@ -774,21 +774,9 @@ object TextAnalysis {
       s"bad params: vocabSize=$vocabSize maxPieceLen=$maxPieceLen rounds=$rounds")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
-      .select(explode(toks(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .persist()
+    val words = wordCounts(docs, textCol).persist()
     try {
-      // seed counts: every substring (up to maxPieceLen) of every
-      // distinct word, weighted by the word's corpus frequency
-      val seed = words
-        .select(col("n"), explode(expr(
-          s"""flatten(transform(sequence(0, length(w) - 1),
-             |  s -> transform(sequence(1, least($maxPieceLen, length(w) - s)),
-             |    l -> substring(w, s + 1, l))))""".stripMargin)).as("piece"))
-        .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
-        .filter(length(col("piece")) === 1 || col("cnt") >= minSeedCount)
+      val seed = seedCountsOf(words, maxPieceLen, minSeedCount)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       var vocab: Seq[(String, Long)] = prune(seed, vocabSize)
       for (_ <- 1 to rounds) {
@@ -817,6 +805,43 @@ object TextAnalysis {
     * exabyte corpus).
     */
   val UnigramUnkCostE6: Long = 100000000L
+
+  /** Distinct-word frequency table — the ONE corpus-wide pass of
+    * unigram training.
+    */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Seed counts over a (w, n) word table: every substring (up to
+    * maxPieceLen) of every DISTINCT word, weighted by the word's corpus
+    * frequency; single chars are kept unconditionally (coverage floor),
+    * multi-char pieces must clear `minSeedCount`.
+    */
+  private def seedCountsOf(words: DataFrame, maxPieceLen: Int,
+                           minSeedCount: Long): DataFrame =
+    words
+      .select(col("n"), explode(expr(
+        s"""flatten(transform(sequence(0, length(w) - 1),
+           |  s -> transform(sequence(1, least($maxPieceLen, length(w) - s)),
+           |    l -> substring(w, s + 1, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= minSeedCount)
+
+  /** The seed stage of [[unigramTrain]] as a standalone query — the
+    * corpus-cost part of tokenizer training, oracle-checkable (the EM
+    * rounds' log-prob costs are not SQL-expressible, but THIS stage's
+    * exact substring counts are). Returns the top `k` seed pieces by
+    * (weighted count, piece) — a total order, so the cut is
+    * deterministic in both engines.
+    */
+  def unigramSeedTop(docs: DataFrame, k: Int, maxPieceLen: Int = 6,
+                     minSeedCount: Long = 2L,
+                     textCol: String = "text"): DataFrame =
+    seedCountsOf(wordCounts(docs, textCol), maxPieceLen, minSeedCount)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(k)
 
   private def prune(vocab: Seq[(String, Long)],
                     vocabSize: Int): Seq[(String, Long)] = {

@@ -111,6 +111,26 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         sum(col(metricCol)).as("sum_metric"))
 
+  /** Gap-based SESSION windows via the NATIVE session_window aggregate
+    * — the compose-built-ins path ((a)-tier per the build rules): a
+    * per-key session extends while events arrive within `gap` of each
+    * other and finalizes once the watermark passes its end, with
+    * Spark's own state store handling merge/eviction. Prefer this over
+    * [[sessionize]] (mapGroupsWithState) whenever plain per-session
+    * aggregates suffice; the custom-state form exists for semantics a
+    * windowed aggregate can't express (mid-session emission, timeout
+    * policies). In append mode, each closed session emits exactly one
+    * final row: (session_window{start,end}, key, n_events, sum_metric).
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       gap: String, watermarkDelay: String,
+                       metricCol: String = "metric"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(metricCol)).as("sum_metric"))
+
   /** Streaming exact dedup for continuous ingestion: drop records whose
     * content hash was already seen within the watermark horizon — the
     * streaming form of the exact-dedup operator. State is BOUNDED by the

@@ -201,6 +201,10 @@ class PlanSpec extends SparkSpec {
     val pr = executedPlan("q_reservoir")
     assert(pr.contains("TakeOrderedAndProject"),
       "reservoir must TakeOrdered, never sort the corpus")
+    val pu = executedPlan("q_unigram_seed")
+    assert(pu.contains("TakeOrderedAndProject") &&
+      !pu.contains("CartesianProduct"),
+      "seed top-k must TakeOrdered over the piece aggregate")
   }
 
   test("OOV rate's only non-equi join is the broadcast one-row total") {

@@ -126,6 +126,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:20:00", 1L, 2.0)))
   }
 
+  test("sessionWindowAgg merges within the gap, splits across it, finalizes on watermark") {
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val agg = Streaming.sessionWindowAgg(
+      input.toDF().toDF("ts", "key", "metric"),
+      "ts", "key", gap = "5 minutes", watermarkDelay = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two events 3 min apart (one session), a third 20 min later (new
+    // session), for key a; key b gets one singleton session
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "a", 1.0),
+      (ts("2024-01-01 10:03:00"), "a", 2.0),
+      (ts("2024-01-01 10:23:00"), "a", 4.0),
+      (ts("2024-01-01 10:01:00"), "b", 8.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every session
+    input.addData((ts("2024-01-01 11:00:00"), "z", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("sw")
+      .select(col("key"), col("session_window.start").cast("string"),
+        col("session_window.end").cast("string"),
+        col("n_events"), col("sum_metric"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    // session end = last event + gap (the native semantics)
+    assert(rows.contains(("a", "2024-01-01 10:00:00", "2024-01-01 10:08:00", 2L, 3.0)),
+      s"rows: $rows")
+    assert(rows.contains(("a", "2024-01-01 10:23:00", "2024-01-01 10:28:00", 1L, 4.0)))
+    assert(rows.contains(("b", "2024-01-01 10:01:00", "2024-01-01 10:06:00", 1L, 8.0)))
+  }
+
   test("intervalJoin pairs events within the bound; state evicts on watermark") {
     val reqs = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
     val acks = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
