@@ -54,11 +54,16 @@ object UnigramKernels {
                           table: java.util.HashMap[String, java.lang.Long],
                           maxLen: Int, unkCostE6: Long,
                           out: java.util.ArrayList[UTF8String]): Unit = {
-    val n = w.length
+    // CODE POINTS, not UTF-16 chars: char-indexed slicing would cut a
+    // surrogate pair in half and emit invalid pieces for emoji /
+    // astral-plane scripts. This also matches the seed stage, whose
+    // Spark substring()/length() (and the oracle's strlen) are
+    // code-point-based.
+    val cps = w.codePoints().toArray
+    val n = cps.length
     if (n == 0) return
     val best = new Array[Long](n + 1)
     val backLen = new Array[Int](n + 1)
-    val backUnk = new Array[Boolean](n + 1)
     var i = 1
     while (i <= n) {
       best(i) = Long.MaxValue
@@ -66,7 +71,7 @@ object UnigramKernels {
       // (strict < below never replaces it), pinning the tie-break
       var l = math.min(maxLen, i)
       while (l >= 1) {
-        val piece = w.substring(i - l, i)
+        val piece = new String(cps, i - l, l)
         // java.lang.Long, NOT scala Long: a scala-typed get would
         // silently unbox a missing key's null to 0 — every unknown
         // substring would become a free piece
@@ -75,16 +80,14 @@ object UnigramKernels {
             best(i - l) + c.longValue() < best(i)) {
           best(i) = best(i - l) + c.longValue()
           backLen(i) = l
-          backUnk(i) = false
         }
         l -= 1
       }
-      // single-char unknown fallback: guarantees coverage, priced so a
-      // real piece always beats it at equal span
+      // single-code-point unknown fallback: guarantees coverage, priced
+      // so a real piece always beats it at equal span
       if (best(i - 1) != Long.MaxValue && best(i - 1) + unkCostE6 < best(i)) {
         best(i) = best(i - 1) + unkCostE6
         backLen(i) = 1
-        backUnk(i) = true
       }
       i += 1
     }
@@ -93,7 +96,7 @@ object UnigramKernels {
     var p = n
     while (p > 0) {
       val l = backLen(p)
-      out.add(UTF8String.fromString(w.substring(p - l, p)))
+      out.add(UTF8String.fromString(new String(cps, p - l, l)))
       p -= l
     }
     var lo = from

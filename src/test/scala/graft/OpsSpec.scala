@@ -163,6 +163,49 @@ class OpsSpec extends SparkSpec with PropSupport {
     ()
   }
 
+  test("unigram Viterbi: exhaustive optimality, surrogate-safe segmentation") {
+    import spark.implicits._
+    val vocab = Seq(("a", 900000L), ("b", 1100000L), ("ab", 1500000L),
+      ("ba", 2100000L), ("aab", 1700000L), ("bb", 2600000L))
+    val table = vocab.toMap
+    val unk = 5000000L
+    // brute force: min total cost over ALL segmentations (pieces in
+    // vocab, or any single char at unk cost)
+    def minCost(w: String): Long =
+      if (w.isEmpty) 0L
+      else (1 to w.length).flatMap { l =>
+        val piece = w.take(l)
+        val c = table.get(piece).orElse(
+          if (l == 1) Some(unk) else None)
+        c.map(_ + minCost(w.drop(l)))
+      }.min
+    def costOf(pieces: Seq[String]): Long =
+      pieces.map(p => table.getOrElse(p, unk)).sum
+    // every word over {a,b} up to length 6, exhaustively
+    val words = (1 to 6).flatMap(n =>
+      (0 until (1 << n)).map(m =>
+        (0 until n).map(i => if (((m >> i) & 1) == 1) 'b' else 'a').mkString))
+    val segged = words.map(w => Tuple1(Seq(w))).toDF("toks")
+      .select(graft.functions.UnigramExpressions.unigramEncode(
+        col("toks"), vocab, 4, unk).as("p"))
+      .collect().map(_.getSeq[String](0))
+    words.zip(segged).foreach { case (w, pieces) =>
+      assert(pieces.mkString("") === w, s"coverage broke for '$w': $pieces")
+      assert(costOf(pieces) === minCost(w),
+        s"'$w': Viterbi cost ${costOf(pieces)} != optimal ${minCost(w)} ($pieces)")
+    }
+    // astral-plane safety: an emoji word falls back to whole code
+    // points, never half a surrogate pair
+    val emoji = "a😀b" // a😀b
+    val ep = Seq(Tuple1(Seq(emoji))).toDF("toks")
+      .select(graft.functions.UnigramExpressions.unigramEncode(
+        col("toks"), vocab, 4, unk).as("p"))
+      .head().getSeq[String](0)
+    assert(ep === Seq("a", "😀", "b"), s"got $ep")
+    assert(ep.mkString("") === emoji)
+    ()
+  }
+
   test("unigram tokenizer: exact coverage, learned pieces, tie-breaks, determinism") {
     import graft.ops.TextAnalysis
     import spark.implicits._
