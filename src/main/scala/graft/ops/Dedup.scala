@@ -201,6 +201,27 @@ object Dedup {
       .select("new_id", "corpus_id").distinct()
   }
 
+  /** [[lshCrossCorpusPairs]] with the corpus side PRE-BUILT: join a new
+    * batch's band rows against a persisted (band_idx, band_key, doc_id)
+    * index table — e.g. one maintained incrementally by
+    * [[graft.streaming.Streaming.incrementalLshIndex]] — so an ingest
+    * batch finds its candidate near-dups against years of corpus with
+    * ONE equi-join and ZERO corpus re-signing. Returns distinct
+    * (new_id, corpus_id), self-matches excluded.
+    */
+  def lshIndexLookup(newDocs: DataFrame, index: DataFrame, numHashes: Int,
+                     shingleN: Int, rowsPerBand: Int,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashSignatures(newDocs, numHashes, shingleN, textCol, idCol)
+    lshBands(sigs, numHashes, rowsPerBand, idCol)
+      .withColumnRenamed(idCol, "new_id")
+      .join(index.withColumnRenamed(idCol, "corpus_id"),
+        Seq("band_idx", "band_key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+  }
+
   /** 32-bit SimHash over the word multiset: bit j of the sketch is set iff
     * the sum over words of (bit j of h32(word) ? +1 : -1) is positive.
     * Single explode + 32-column aggregate — one shuffle on doc id.

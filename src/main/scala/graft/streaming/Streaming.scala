@@ -550,6 +550,96 @@ object Streaming {
     } finally delta.unpersist()
   }
 
+  /** Exactly-once INCREMENTAL LSH BAND INDEX: maintains
+    * `index` = (band_idx, band_key, doc_id) for every document
+    * currently LIVE in `source`, from source's CDC feed — the
+    * persisted near-dup index that lets each new crawl batch find its
+    * candidates against years of corpus with one equi-join
+    * ([[graft.ops.Dedup.lshIndexLookup]]) instead of re-signing the
+    * corpus per run. Per batch: MinHash-sign the touched docs (cost ∝
+    * batch), band, and commit the touched index rows in ONE version
+    * with the (appId, batchId) fence.
+    *
+    * Unlike the bloom view, DELETES ARE EXACT: the feed carries the
+    * deleted row's text, so its band rows are recomputed and removed —
+    * the index always equals the from-scratch banding of the live
+    * table (the spec pins that equality across insert/update/delete).
+    * Conflicts inside a batch resolve LAST-EVENT-WINS per index row
+    * (version order, insert beating delete at the same version — an
+    * update's delete+insert lands as the insert). SINGLE MAINTAINER,
+    * like every incremental view here.
+    */
+  def incrementalLshIndex(spark: SparkSession, source: String, index: String,
+                          appId: String, checkpoint: String,
+                          numHashes: Int = 8, shingleN: Int = 3,
+                          rowsPerBand: Int = 2,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          maxVersionsPerBatch: Int = 64,
+                          trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    spark.readStream.format("txlog-cdc")
+      .option("table", source)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyLshDelta(batch, index, numHashes, shingleN, rowsPerBand,
+          textCol, idCol, appId, batchId)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalLshIndex]]. */
+  private[graft] def applyLshDelta(feed: Dataset[org.apache.spark.sql.Row],
+                                   index: String, numHashes: Int,
+                                   shingleN: Int, rowsPerBand: Int,
+                                   textCol: String, idCol: String,
+                                   appId: String, batchId: Long): Unit = {
+    import graft.lake.TxLog
+    import graft.ops.Dedup
+    val spark = feed.sparkSession
+    // one signature pass over the batch's DISTINCT (doc, text) events,
+    // keyed by a (doc, text-hash) SURROGATE — keying by the doc alone
+    // would weld an update's old-text bands to its insert event and
+    // last-event-wins would then keep the stale rows forever
+    val events = feed.select(col(idCol), col(textCol),
+      col("_commit_version").as("__v"),
+      (col("_change_type") === "insert").cast("int").as("__ins"))
+      .withColumn("__ek", concat_ws("|", col(idCol).cast("string"),
+        Dedup.h60(col(textCol)).cast("string")))
+    val sigs = Dedup.minhashSignatures(
+      events.select(col("__ek"), col(textCol)).distinct(),
+      numHashes, shingleN, textCol, "__ek")
+    val banded = Dedup.lshBands(sigs, numHashes, rowsPerBand, "__ek")
+      .join(events.select(col("__ek"), col(idCol), col("__v"), col("__ins")),
+        Seq("__ek"))
+    // last event wins per index row: max (version, insert-after-delete)
+    val resolved = banded
+      .groupBy(col("band_idx"), col("band_key"), col(idCol))
+      .agg(max(struct(col("__v"), col("__ins"))).as("last"))
+      .select(col("band_idx"), col("band_key"), col(idCol),
+        (col("last.__ins") === 0).as("__del"))
+      .persist()
+    try {
+      if (resolved.isEmpty) return
+      TxLog.currentSnapshot(index) match {
+        case None =>
+          TxLog.appendStream(
+            resolved.filter(!col("__del")).drop("__del"),
+            index, appId, batchId)
+          ()
+        case Some(_) =>
+          TxLog.mergeApply(spark, index, resolved,
+            Seq("band_idx", "band_key", idCol),
+            deleteCol = Some("__del"), txn = Some((appId, batchId)))
+          ()
+      }
+    } finally { resolved.unpersist(); () }
+  }
+
   /** Exactly-once SCD TYPE-2 dimension history maintained from a
     * source table's CDC feed — the warehouse pattern: every key keeps
     * its full timeline as (attrs..., valid_from, valid_to) rows, where

@@ -171,6 +171,52 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental LSH index equals from-scratch banding across insert/update/delete") {
+    import graft.ops.Dedup
+    val source = newTable()
+    val index = newTable()
+    def scratch(): Set[(Int, Long, Long)] =
+      Dedup.lshBands(Dedup.minhashSignatures(
+        TxLog.read(spark, source), 8, 3), 8, 2)
+        .collect().map(r => (r.getAs[Int]("band_idx"),
+          r.getAs[Long]("band_key"), r.getAs[Long]("doc_id"))).toSet
+    def got(): Set[(Int, Long, Long)] =
+      TxLog.read(spark, index).collect()
+        .map(r => (r.getAs[Int]("band_idx"),
+          r.getAs[Long]("band_key"), r.getAs[Long]("doc_id"))).toSet
+    TxLog.append(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lazy dogs sleep all day in the warm sun"),
+      (3L, "the quick brown fox leaps over the lazy dog"))
+      .toDF("doc_id", "text").coalesce(1), source) // v0
+    val q = graft.streaming.Streaming.incrementalLshIndex(
+      spark, source, index, "lsh-spec", tmp())
+    try {
+      q.processAllAvailable()
+      assert(got() === scratch(), "after initial snapshot")
+
+      TxLog.append(Seq((4L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text").coalesce(1), source) // v1: exact dup of 1
+      q.processAllAvailable()
+      assert(got() === scratch(), "after incremental insert")
+      // a new batch finds its near-dups through the index with ONE join
+      import spark.implicits._
+      val probe = Seq((99L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val hits = Dedup.lshIndexLookup(probe, TxLog.read(spark, index),
+        8, 3, 2).collect().map(_.getAs[Long]("corpus_id")).toSet
+      assert(hits.contains(1L) && hits.contains(4L),
+        s"index lookup missed the planted dups: $hits")
+
+      TxLog.update(spark, source, col("doc_id") === 2L,
+        Map("text" -> lit("completely different words appear here now today"))) // v2
+      TxLog.delete(spark, source, col("doc_id") === 3L) // v3
+      q.processAllAvailable()
+      assert(got() === scratch(), "after update + delete")
+      assert(!got().exists(_._3 == 3L), "deleted doc must leave the index")
+    } finally q.stop()
+  }
+
   test("SCD2 upgrade: a pre-__open dimension still closes its legacy open rows") {
     val dim = newTable()
     // legacy layout: rows written before the __open partition column
