@@ -1131,16 +1131,20 @@ object TrainingQueries {
        |GROUP BY pp.doc_id""".stripMargin
   }
 
+  /** length(), NOT strlen: DuckDB strlen counts BYTES — on a non-ASCII
+    * word its offset range would overrun characters and emit spurious
+    * empty pieces; length counts characters, matching Spark's length().
+    */
   private val unigramSeedOracle: String =
     """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |wc AS (SELECT w, count(*) AS n FROM wds WHERE w <> '' GROUP BY 1),
-      |subs AS (SELECT n, unnest(flatten(list_transform(range(0, strlen(w)),
-      |    s -> list_transform(range(1, least(6, strlen(w) - s) + 1),
+      |subs AS (SELECT n, unnest(flatten(list_transform(range(0, length(w)),
+      |    s -> list_transform(range(1, least(6, length(w) - s) + 1),
       |      l -> substring(w, CAST(s + 1 AS INT), CAST(l AS INT)))))) AS piece
       |  FROM wc),
       |agg AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM subs GROUP BY 1)
       |SELECT piece, cnt FROM agg
-      |WHERE strlen(piece) = 1 OR cnt >= 2
+      |WHERE length(piece) = 1 OR cnt >= 2
       |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin
 
   /** Interpolated bigram LM: λ·P(w2|w1) + (1−λ)·P(w2), all e6 integer
@@ -1194,7 +1198,7 @@ object TrainingQueries {
 
   private val reservoirOracle: String =
     s"""SELECT doc_id, source,
-       |  ${dh("'res8|' || CAST(doc_id AS VARCHAR)")} AS sample_rank
+       |  ${dhSalted("res8")} AS sample_rank
        |FROM documents
        |ORDER BY sample_rank, doc_id
        |LIMIT 100""".stripMargin

@@ -57,8 +57,8 @@ object UnigramKernels {
     // CODE POINTS, not UTF-16 chars: char-indexed slicing would cut a
     // surrogate pair in half and emit invalid pieces for emoji /
     // astral-plane scripts. This also matches the seed stage, whose
-    // Spark substring()/length() (and the oracle's strlen) are
-    // code-point-based.
+    // Spark substring()/length() (and the oracle's length()) count
+    // characters, never bytes or UTF-16 units.
     val cps = w.codePoints().toArray
     val n = cps.length
     if (n == 0) return

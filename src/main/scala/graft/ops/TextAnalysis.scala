@@ -391,9 +391,13 @@ object TextAnalysis {
                    idCol: String = "doc_id",
                    sourceCol: String = "source",
                    langCol: String = "lang"): DataFrame = {
-    val q = qualityScore(docs, textCol).select(col(idCol), col("quality"))
+    // n_tokens rides out of the quality pass — re-tokenizing here would
+    // pay a second split() per document and risk the token definition
+    // drifting from the oracle's quality CTE
+    val q = qualityScore(docs, textCol)
+      .select(col(idCol), col("quality"), col("n_tokens").cast("long")
+        .as("n_toks"))
     val base = docs.select(col(idCol), col(sourceCol), col(langCol),
-      size(Dedup.tokens(col(textCol))).cast("long").as("n_toks"),
       Dedup.h60(col(textCol)).as("hsh"))
     val dupHashes = base.groupBy(col("hsh"))
       .agg(count(lit(1)).as("nc")).filter(col("nc") > 1)
@@ -776,7 +780,14 @@ object TextAnalysis {
     import spark.implicits._
     val words = wordCounts(docs, textCol).persist()
     try {
-      val seed = seedCountsOf(words, maxPieceLen, minSeedCount)
+      // cut to (all single chars) ∪ (top vocabSize multi-char) BEFORE
+      // collecting: the full substring table is corpus-vocabulary-sized
+      // and collecting it whole would be a driver OOM at web scale —
+      // the TakeOrdered limit brings back only what prune would keep
+      val seedDf = seedCountsOf(words, maxPieceLen, minSeedCount)
+      val seed = seedDf.filter(length(col("piece")) === 1)
+        .unionByName(seedDf.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece")).limit(vocabSize))
         .collect().map(r => (r.getString(0), r.getLong(1)))
       var vocab: Seq[(String, Long)] = prune(seed, vocabSize)
       for (_ <- 1 to rounds) {
@@ -790,7 +801,7 @@ object TextAnalysis {
           .collect().map(r => (r.getString(0), r.getLong(1)))
         // seed single chars must survive even when a round never uses
         // them (an unseen char next round still needs a priced fallback)
-        val chars = vocab.filter(_._1.length == 1).toMap
+        val chars = vocab.filter(p => cpLen(p._1) == 1).toMap
         val merged = (chars ++ recount.toMap).toSeq
         vocab = prune(merged, vocabSize)
       }
@@ -843,9 +854,16 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("piece"))
       .limit(k)
 
+  /** Code-point length — the unit the seed stage (Spark length()) and
+    * the Viterbi kernel both use; String.length would call an
+    * astral-plane char (surrogate PAIR) multi-char and silently drop
+    * it from the single-char coverage floor.
+    */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   private def prune(vocab: Seq[(String, Long)],
                     vocabSize: Int): Seq[(String, Long)] = {
-    val (chars, multi) = vocab.partition(_._1.length == 1)
+    val (chars, multi) = vocab.partition(p => cpLen(p._1) == 1)
     chars ++ multi.sortBy(p => (-p._2, p._1)).take(vocabSize)
   }
 
@@ -860,12 +878,18 @@ object TextAnalysis {
     * [[bpeEncode]]).
     */
   def unigramEncode(docs: DataFrame, vocab: Seq[(String, Long, Long)],
-                    maxPieceLen: Int = 6, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame =
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "empty unigram vocab")
+    // max candidate length comes from the VOCAB, never a parameter: a
+    // caller-supplied cap below the longest trained piece would turn
+    // those pieces into silent dead weight in the table
+    val maxLen = vocab.iterator.map(v => cpLen(v._1)).max
     docs.select(col(idCol),
       graft.functions.UnigramExpressions.unigramEncode(
-        toks(col(textCol)), vocab.map(v => (v._1, v._3)), maxPieceLen,
+        toks(col(textCol)), vocab.map(v => (v._1, v._3)), maxLen,
         UnigramUnkCostE6).as("pieces"))
+  }
 
   /** Compression-ratio repetitiveness signal (the RefinedWeb/Dolma
     * boilerplate filter): ratio_e3 = 1000 · raw_bytes / deflated_bytes.

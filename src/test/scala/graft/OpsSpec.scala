@@ -230,11 +230,11 @@ class OpsSpec extends SparkSpec with PropSupport {
         concat_ws("", split(col("text"), " ")).as("t"))
       .filter(col("p") =!= col("t")).count()
     assert(bad === 0L, s"$bad docs failed round-trip coverage")
-    // every emitted piece is vocab or a single-char unknown
+    // every emitted piece is vocab or a single-CODE-POINT unknown
     val vs = vocab.map(_._1).toSet
     val used = enc.select(explode(col("pieces")).as("p")).distinct()
       .collect().map(_.getString(0))
-    assert(used.forall(p => vs(p) || p.length == 1))
+    assert(used.forall(p => vs(p) || p.codePointCount(0, p.length) == 1))
     // the model compresses: fewer pieces than characters
     val nPieces = enc.select(sum(size(col("pieces")))).head().getLong(0)
     val nChars = d.select(sum(length(concat_ws("",
