@@ -268,6 +268,42 @@ object RelationalQueries {
         .as("avg_yearly"))
   }
 
+  /** TPC-H Q6 forecast-revenue shape: a pure scan-filter-aggregate —
+    * THE predicate-pushdown showcase: every filter (shipdate range,
+    * discount band, quantity cap) must reach the parquet scan so row
+    * groups outside the year never leave disk, and the aggregate is one
+    * map-side-combining pass with no shuffle beyond the final reduce.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(sum((SparkEntry.dec("l_extendedprice") *
+        SparkEntry.dec("l_discount")).cast("decimal(28,4)"))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q14 promo-revenue shape: a conditional-aggregate RATIO over
+    * one shipdate month — the fact table thins at the scan, the part
+    * dimension broadcasts, and both numerator and denominator resolve
+    * in ONE aggregate pass (never two scans).
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-03-01" &&
+        col("l_shipdate") < "1996-04-01")
+    val p = Tables.load(s, dir, "part")
+    val rev = (SparkEntry.dec("l_extendedprice") *
+      (lit(1).cast("decimal(18,2)") - SparkEntry.dec("l_discount")))
+      .cast("decimal(28,4)")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(28,4)"))).cast("double") /
+        sum(rev).cast("double")).as("promo_revenue_pct"))
+  }
+
   /** TPC-H Q18 large-volume-order shape: the HAVING subquery reused as
     * a SEMI filter — the per-order quantity aggregate runs ONCE over
     * the fact table, its survivors (a threshold-thinned orders subset)
@@ -320,6 +356,8 @@ object RelationalQueries {
     "q17_small_qty" -> (q17SmallQty _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q10_returned" -> (q10Returned _),
+    "q6_forecast" -> (q6Forecast _),
+    "q14_promo" -> (q14Promo _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -418,6 +456,25 @@ object RelationalQueries {
         |SELECT error_id, click_id, user_id
         |FROM err JOIN clk ON user_id = cu
         |  AND tc BETWEEN ts0 AND ts0 + 21600000000""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT 100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))
+        |    ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

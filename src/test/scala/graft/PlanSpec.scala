@@ -64,6 +64,26 @@ class PlanSpec extends SparkSpec {
       s"the top-k window must partition by the query id, never globally")
   }
 
+  test("q6 pushes every filter to the scan; q14's ratio is one aggregate pass") {
+    val p6 = executedPlan("q6_forecast")
+    // the plan STRING truncates long filter lists, so pin the scan-level
+    // pushdown marker + the leading predicate rather than every filter
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      (p6.contains("PushedFilters:") && p6.contains("l_shipdate")),
+      "Q6's filters must reach the parquet scan for row-group pruning: " +
+        p6.take(600))
+    assert(!p6.contains("Exchange hashpartitioning"),
+      "a global scalar aggregate needs no hash shuffle")
+    val p14 = executedPlan("q14_promo")
+    assert(p14.contains("BroadcastHashJoin"),
+      "the part dimension must broadcast")
+    // numerator and denominator share ONE aggregate node: the partial
+    // HashAggregate line carries BOTH sums (conditional + plain)
+    assert("partial_sum\\(CASE WHEN[^\\n]*partial_sum\\(cast".r
+      .findFirstIn(p14).isDefined,
+      "the ratio must compute both sums in one pass, never two scans")
+  }
+
   test("q18's HAVING survivors broadcast back; q10 takes top-20 without a global sort") {
     val p18 = executedPlan("q18_large_orders")
     assert(p18.contains("BroadcastHashJoin"),
