@@ -246,6 +246,29 @@ object Sketches {
   def bloomMerge(blooms: DataFrame): DataFrame =
     blooms.groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
 
+  /** The OFFLINE REBUILD the bloom's delete semantics promise: a bloom
+    * cannot unset bits, so deleted keys stay "maybe present" until the
+    * view is rebuilt from the live corpus — this does that in ONE
+    * committed version (fresh words upsert, words the fresh bloom no
+    * longer touches delete), so a reader never sees an empty or
+    * half-built bloom (a truncate-then-append would open exactly that
+    * false-negative window). Stop the view's maintaining stream first —
+    * single-maintainer, like the incremental path. Returns the
+    * committed version.
+    */
+  def bloomRebuild(spark: org.apache.spark.sql.SparkSession,
+                   liveKeys: DataFrame, view: String, keyCol: String,
+                   mBits: Int = 1 << 20, k: Int = 5): Long = {
+    import graft.lake.TxLog
+    val fresh = bloomBuild(liveKeys, keyCol, mBits, k)
+    val stale = TxLog.read(spark, view).select(col("word"))
+      .exceptAll(fresh.select(col("word")))
+      .select(col("word"), lit(0L).as("bits"), lit(true).as("__del"))
+    val source = fresh.withColumn("__del", lit(false)).unionByName(stale)
+    TxLog.mergeApply(spark, view, source, Seq("word"),
+      deleteCol = Some("__del"))
+  }
+
   /** Membership probe: one verdict per distinct (idCol, keyCol) pair of
     * `probes` — true iff ALL k of the key's bits are set in the bloom:
     * "maybe present" (false positives at the designed rate, NEVER

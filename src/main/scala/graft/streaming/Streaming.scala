@@ -478,10 +478,11 @@ object Streaming {
     *
     * Deletes are deliberately a NO-OP: a Bloom filter cannot unset
     * bits (clearing a shared bit would un-remember OTHER keys); a
-    * deleted key stays "maybe present" until an offline rebuild — the
-    * standard over-approximation, safe for dedup screening (worst
-    * case a re-crawled deleted document is flagged for an exact check
-    * it then passes).
+    * deleted key stays "maybe present" until an offline rebuild
+    * ([[graft.ops.Sketches.bloomRebuild]] — one committed version, no
+    * empty-bloom window) — the standard over-approximation, safe for
+    * dedup screening (worst case a re-crawled deleted document is
+    * flagged for an exact check it then passes).
     *
     * SINGLE MAINTAINER, like every incremental view here: the
     * per-batch read-modify-write spans two commits, so a SECOND writer

@@ -281,6 +281,19 @@ class CdcSourceSpec extends SparkSpec {
       assert(verdicts(1L) && verdicts(2L), "inserted keys must hit")
       assert(!verdicts(3L), "an unseen key should miss (fpr ~1e-4 at this fill)")
     } finally q.stop()
+    // offline REBUILD forgets the deleted key in one committed version:
+    // the view equals a from-scratch build of the live table and the
+    // deleted key finally probes false (stream stopped — single
+    // maintainer)
+    val v = graft.ops.Sketches.bloomRebuild(spark,
+      TxLog.read(spark, source).select("key"), view, "key", m, k)
+    assert(v >= 0)
+    assert(viewWords() === scratch(), "rebuilt view == from-scratch build")
+    import spark.implicits._
+    val gone = graft.ops.Sketches.bloomProbe(TxLog.read(spark, view),
+      Seq((1L, "alpha")).toDF("id", "key"), "key", "id", m, k)
+      .head().getBoolean(1)
+    assert(!gone, "the deleted key must probe false after rebuild")
   }
 
   test("SCD2 dimension history: inserts open, updates close+reopen, deletes close") {
