@@ -727,24 +727,27 @@ object TrainingQueries {
     * — the corpus-bigram LM score. CTE names are lm-prefixed so the
     * block composes with the other signal blocks in one query.
     */
+  /** Bigram identity = the (prev-hash, word-hash) PAIR — one md5 per
+    * token, mirroring the Spark side's bigramHashInst (parallel unnest
+    * of the two shifted hash slices zips them row-wise in DuckDB).
+    */
   private lazy val lmCtes: String =
     s"""lmtoks AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |lmbg AS (
-       |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
-       |    i -> w[i+1] || ' ' || w[i+2])) AS sh FROM lmtoks),
+       |lmh AS (
+       |  SELECT doc_id, list_transform(w, x -> ${dh("x")}) AS hs FROM lmtoks),
        |lminst AS (
-       |  SELECT doc_id, ${dh("sh")} AS bgh,
-       |    ${dh("string_split(sh, ' ')[1]")} AS pw FROM lmbg),
+       |  SELECT doc_id, unnest(hs[1:len(hs)-1]) AS pw,
+       |    unnest(hs[2:len(hs)]) AS sw FROM lmh),
        |lmbyd AS (
-       |  SELECT doc_id, bgh, pw, count(*) AS m FROM lminst GROUP BY 1, 2, 3),
-       |lmc2 AS (SELECT bgh, sum(m) AS c2 FROM lmbyd GROUP BY 1),
+       |  SELECT doc_id, pw, sw, count(*) AS m FROM lminst GROUP BY 1, 2, 3),
+       |lmc2 AS (SELECT pw, sw, sum(m) AS c2 FROM lmbyd GROUP BY 1, 2),
        |lmc1 AS (SELECT pw, sum(m) AS c1 FROM lmbyd GROUP BY 1),
        |lmout AS (
        |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
        |    CAST(sum(m * (lmc2.c2 * 1000000 // lmc1.c1)) // sum(m) AS BIGINT)
        |      AS lm_score_e6
-       |  FROM lmbyd JOIN lmc2 USING (bgh) JOIN lmc1 USING (pw)
+       |  FROM lmbyd JOIN lmc2 USING (pw, sw) JOIN lmc1 USING (pw)
        |  GROUP BY doc_id)""".stripMargin
 
   /** Shared CTE block ending in `ovout(doc_id, n_tokens, n_rare,
@@ -1152,17 +1155,15 @@ object TrainingQueries {
     */
   private val lmInterpOracle: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |bgx AS (
-       |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-1, 0)),
-       |    i -> w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+       |th AS (
+       |  SELECT doc_id, list_transform(w, x -> ${dh("x")}) AS hs FROM t),
        |inst AS (
-       |  SELECT doc_id, ${dh("sh")} AS bgh,
-       |    ${dh("string_split(sh, ' ')[1]")} AS pw,
-       |    ${dh("string_split(sh, ' ')[2]")} AS sw FROM bgx),
+       |  SELECT doc_id, unnest(hs[1:len(hs)-1]) AS pw,
+       |    unnest(hs[2:len(hs)]) AS sw FROM th),
        |byd AS (
-       |  SELECT doc_id, bgh, pw, sw, count(*) AS m FROM inst
-       |  GROUP BY 1, 2, 3, 4),
-       |c2t AS (SELECT bgh, sum(m) AS c2 FROM byd GROUP BY 1),
+       |  SELECT doc_id, pw, sw, count(*) AS m FROM inst
+       |  GROUP BY 1, 2, 3),
+       |c2t AS (SELECT pw, sw, sum(m) AS c2 FROM byd GROUP BY 1, 2),
        |c1t AS (SELECT pw, sum(m) AS c1 FROM byd GROUP BY 1),
        |cwt AS (SELECT sw, sum(m) AS cw FROM byd GROUP BY 1),
        |tt AS (SELECT sum(cw) AS tot FROM cwt)
@@ -1170,7 +1171,7 @@ object TrainingQueries {
        |  CAST(sum(m * ((700000 * (c2 * 1000000 // c1)
        |    + 300000 * (cw * 1000000 // tot)) // 1000000)) // sum(m)
        |    AS BIGINT) AS lm_i_score_e6
-       |FROM byd JOIN c2t USING (bgh) JOIN c1t USING (pw)
+       |FROM byd JOIN c2t USING (pw, sw) JOIN c1t USING (pw)
        |  JOIN cwt USING (sw) CROSS JOIN tt
        |GROUP BY doc_id""".stripMargin
 

@@ -306,21 +306,37 @@ object TextAnalysis {
     * equi-join degrades gracefully to a shuffle join when it does not.
     * Returns (doc_id, n_bigrams, lm_score_e6).
     */
+  /** (id, pw, sw) bigram-hash instances shared by the LM scorers — ONE
+    * md5 per TOKEN (hash the token array once, pair adjacent hashes),
+    * not one per shingle string plus its words: bigrams ≈ tokens, so
+    * this is ~3× less hashing, and md5 is the map-side hot cost of the
+    * LM family at corpus scale. The bigram identity IS the hash pair —
+    * no combined key needed.
+    */
+  private def bigramHashInst(docs: DataFrame, textCol: String,
+                             idCol: String): DataFrame = {
+    val hs = transform(toks(col(textCol)), w => Dedup.h60(w))
+    docs.select(col(idCol), hs.as("hs"))
+      .select(col(idCol), explode(zip_with(
+        slice(col("hs"), lit(1), greatest(size(col("hs")) - 1, lit(0))),
+        slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
+        (a, b) => struct(a.as("pw"), b.as("sw")))).as("pr"))
+      .select(col(idCol), col("pr.pw").as("pw"), col("pr.sw").as("sw"))
+  }
+
   def lmScore(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val inst = Dedup.explodedShingles(docs, 2, textCol, idCol)
-      .select(col(idCol),
-        Dedup.h60(col("sh")).as("bg"),
-        Dedup.h60(split(col("sh"), " ")(0)).as("pw"))
+    val inst = bigramHashInst(docs, textCol, idCol)
     // multiplicity per (doc, bigram) FIRST: the count-table joins then
     // run over distinct-per-doc rows, not every token instance
-    val byDoc = inst.groupBy(col(idCol), col("bg"), col("pw"))
+    val byDoc = inst.groupBy(col(idCol), col("pw"), col("sw"))
       .agg(count(lit(1)).as("m"))
-    val bigramCounts = byDoc.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val bigramCounts = byDoc.groupBy(col("pw"), col("sw"))
+      .agg(sum(col("m")).as("c2"))
     val prefixCounts = byDoc.groupBy(col("pw")).agg(sum(col("m")).as("c1"))
     byDoc
-      .join(bigramCounts, "bg")
-      .join(prefixCounts, "pw")
+      .join(bigramCounts, Seq("pw", "sw"))
+      .join(prefixCounts, Seq("pw"))
       .groupBy(col(idCol))
       .agg(
         sum(col("m")).as("n_bigrams"),
@@ -350,14 +366,11 @@ object TextAnalysis {
                           idCol: String = "doc_id"): DataFrame = {
     require(lambdaE6 >= 0 && lambdaE6 <= 1000000L,
       s"lambdaE6 out of [0, 1e6]: $lambdaE6")
-    val inst = Dedup.explodedShingles(docs, 2, textCol, idCol)
-      .select(col(idCol),
-        Dedup.h60(col("sh")).as("bg"),
-        Dedup.h60(split(col("sh"), " ")(0)).as("pw"),
-        Dedup.h60(split(col("sh"), " ")(1)).as("sw"))
-    val byDoc = inst.groupBy(col(idCol), col("bg"), col("pw"), col("sw"))
+    val inst = bigramHashInst(docs, textCol, idCol)
+    val byDoc = inst.groupBy(col(idCol), col("pw"), col("sw"))
       .agg(count(lit(1)).as("m"))
-    val bigramCounts = byDoc.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val bigramCounts = byDoc.groupBy(col("pw"), col("sw"))
+      .agg(sum(col("m")).as("c2"))
     val prefixCounts = byDoc.groupBy(col("pw")).agg(sum(col("m")).as("c1"))
     val wordCounts = byDoc.groupBy(col("sw")).agg(sum(col("m")).as("cw"))
     val total = wordCounts.agg(sum(col("cw")).as("tot"))
@@ -366,9 +379,9 @@ object TextAnalysis {
         s" + ${1000000L - lambdaE6} *" +
         " (cast(cw as decimal(38,0)) * 1000000 DIV tot)) DIV 1000000)"
     byDoc
-      .join(bigramCounts, "bg")
-      .join(prefixCounts, "pw")
-      .join(wordCounts, "sw")
+      .join(bigramCounts, Seq("pw", "sw"))
+      .join(prefixCounts, Seq("pw"))
+      .join(wordCounts, Seq("sw"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
