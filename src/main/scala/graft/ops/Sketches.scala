@@ -253,20 +253,37 @@ object Sketches {
     * longer touches delete), so a reader never sees an empty or
     * half-built bloom (a truncate-then-append would open exactly that
     * false-negative window). Stop the view's maintaining stream first —
-    * single-maintainer, like the incremental path. Returns the
-    * committed version.
+    * single-maintainer, like the incremental path.
+    *
+    * (mBits, k) MUST equal the view's original build geometry — the
+    * table stores no geometry, and a mismatched rebuild would commit
+    * positions the resuming stream and probes then misread as missing
+    * bits (false negatives). A view whose words exceed the given mBits
+    * is refused (catches a too-small rebuild; an oversized one is
+    * undetectable from the words alone). Returns the committed version.
     */
   def bloomRebuild(spark: org.apache.spark.sql.SparkSession,
                    liveKeys: DataFrame, view: String, keyCol: String,
                    mBits: Int = 1 << 20, k: Int = 5): Long = {
     import graft.lake.TxLog
-    val fresh = bloomBuild(liveKeys, keyCol, mBits, k)
+    val maxWord = TxLog.read(spark, view).agg(max(col("word")))
+      .head().getLong(0)
+    require(maxWord < mBits / BloomWordBits,
+      s"view has word $maxWord beyond mBits=$mBits/$BloomWordBits words — " +
+        "rebuild with the view's ORIGINAL (mBits, k) geometry")
+    // persist both layers: `fresh` appears on two sides (the union and
+    // stale's exceptAll), and mergeApply executes its source several
+    // times (dup-key check, touched-file probe, rewrite) — uncached,
+    // the corpus-wide build would run ~4x
+    val fresh = bloomBuild(liveKeys, keyCol, mBits, k).persist()
     val stale = TxLog.read(spark, view).select(col("word"))
       .exceptAll(fresh.select(col("word")))
       .select(col("word"), lit(0L).as("bits"), lit(true).as("__del"))
     val source = fresh.withColumn("__del", lit(false)).unionByName(stale)
-    TxLog.mergeApply(spark, view, source, Seq("word"),
+      .persist()
+    try TxLog.mergeApply(spark, view, source, Seq("word"),
       deleteCol = Some("__del"))
+    finally { source.unpersist(); fresh.unpersist(); () }
   }
 
   /** Membership probe: one verdict per distinct (idCol, keyCol) pair of

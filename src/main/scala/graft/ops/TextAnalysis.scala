@@ -819,7 +819,7 @@ object TextAnalysis {
         vocab = prune(merged, vocabSize)
       }
       val costs = toCosts(vocab).toMap
-      vocab.sortBy(p => (-p._2, p._1))
+      vocab.sortWith(byCountThenPiece)
         .map { case (p, c) => (p, c, costs(p)) }
     } finally { words.unpersist(); () }
   }
@@ -874,10 +874,33 @@ object TextAnalysis {
     */
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
+  /** Code-point lexicographic compare — the SAME order Spark's string
+    * orderBy uses (UTF-8 byte order preserves code-point order), so
+    * the pre-collect TakeOrdered cut and the driver-side prune break
+    * count ties identically; String.compareTo (UTF-16 unit order)
+    * ranks U+E000..U+FFFF above astral chars and would disagree at a
+    * tie on the vocabSize boundary.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def byCountThenPiece(x: (String, Long), y: (String, Long)): Boolean =
+    x._2 > y._2 || (x._2 == y._2 && cpCompare(x._1, y._1) < 0)
+
   private def prune(vocab: Seq[(String, Long)],
                     vocabSize: Int): Seq[(String, Long)] = {
     val (chars, multi) = vocab.partition(p => cpLen(p._1) == 1)
-    chars ++ multi.sortBy(p => (-p._2, p._1)).take(vocabSize)
+    chars ++ multi.sortWith(byCountThenPiece).take(vocabSize)
   }
 
   private def toCosts(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {

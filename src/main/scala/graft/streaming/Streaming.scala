@@ -565,6 +565,11 @@ object Streaming {
     * deleted row's text, so its band rows are recomputed and removed —
     * the index always equals the from-scratch banding of the live
     * table (the spec pins that equality across insert/update/delete).
+    * PRECONDITION: `source` holds at most one live row per idCol (the
+    * corpus-table contract every dedup op here assumes). Duplicate ids
+    * break removal: deleting one of two live rows for an id would also
+    * drop the band rows the surviving row still warrants, because the
+    * index carries no row multiplicity.
     * Conflicts inside a batch resolve LAST-EVENT-WINS per index row
     * (version order, insert beating delete at the same version — an
     * update's delete+insert lands as the insert). SINGLE MAINTAINER,
