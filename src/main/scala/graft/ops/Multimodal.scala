@@ -127,7 +127,8 @@ object Multimodal {
   /** REAL container-header sniffing — this part needs no codec library:
     * dimensions and durations live in the first bytes of every common
     * container (PNG IHDR, JPEG SOF markers, GIF screen descriptor, BMP
-    * info header, WAV fmt/data chunks, MP4 moov/mvhd/tkhd boxes). Only
+    * info header, WAV fmt/data chunks, MP4 moov/mvhd/tkhd boxes, FLAC
+    * STREAMINFO, MP3 ID3v2-skip + first frame header). Only
     * pixel/sample DECODE stays stubbed; format detection and metadata
     * extraction are real.
     */
@@ -272,6 +273,53 @@ object Multimodal {
         val dur = if (byteRate > 0 && dataSize >= 0)
           dataSize * 1000L / byteRate else -1L
         return Some(Info("wav", "audio", -1, -1, dur))
+      }
+      // FLAC: "fLaC" magic, then the MANDATORY-first STREAMINFO block
+      // (type 0): sample rate is 20 bits at STREAMINFO+10, total
+      // samples 36 bits ending at STREAMINFO+17 — exact duration, no
+      // frame walk needed
+      if (ascii(p, 0, 4) == "fLaC" && p.length >= 8 + 18) {
+        val blockType = p(4) & 0x7f
+        if (blockType == 0) {
+          val si = 8 // streaminfo payload start (4 magic + 4 block header)
+          val sr = ((p(si + 10) & 0xff) << 12) | ((p(si + 11) & 0xff) << 4) |
+            ((p(si + 12) & 0xff) >>> 4)
+          val totalSamples = ((p(si + 13) & 0x0fL) << 32) |
+            ((p(si + 14) & 0xffL) << 24) | ((p(si + 15) & 0xffL) << 16) |
+            ((p(si + 16) & 0xffL) << 8) | (p(si + 17) & 0xffL)
+          // totalSamples 0 means "unknown" per spec, like sr 0
+          val dur = if (sr > 0 && totalSamples > 0)
+            totalSamples * 1000L / sr else -1L
+          return Some(Info("flac", "audio", -1, -1, dur))
+        }
+        return Some(Info("flac", "audio", -1, -1, -1L))
+      }
+      // MP3: an ID3v2 tag (skipped via its syncsafe size) or a bare
+      // frame sync; duration is the standard CBR ESTIMATE from the
+      // first frame's bitrate (a VBR stream needs a full frame walk —
+      // out of header-probe scope, reported as the estimate it is)
+      val mp3Start: Int =
+        if (ascii(p, 0, 3) == "ID3" && p.length >= 10) {
+          val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+            ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+          val s = 10L + sz
+          if (s + 4 <= p.length) s.toInt else -1
+        } else if ((p(0) & 0xff) == 0xff && (p(1) & 0xe0) == 0xe0) 0
+        else -1
+      if (mp3Start >= 0 && mp3Start + 4 <= p.length &&
+          (p(mp3Start) & 0xff) == 0xff && (p(mp3Start + 1) & 0xe0) == 0xe0) {
+        val b1 = p(mp3Start + 1) & 0xff
+        val b2 = p(mp3Start + 2) & 0xff
+        val isMpeg1 = ((b1 >> 3) & 3) == 3
+        val isLayer3 = ((b1 >> 1) & 3) == 1
+        val dur =
+          if (isMpeg1 && isLayer3) {
+            // MPEG-1 Layer III bitrate table (kbps), index 1..14
+            val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              160, 192, 224, 256, 320)((b2 >> 4) & 0xf)
+            if (kbps > 0) (p.length - mp3Start).toLong * 8L / kbps else -1L
+          } else -1L
+        return Some(Info("mp3", "audio", -1, -1, dur))
       }
       None
     }

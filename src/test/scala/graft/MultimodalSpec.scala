@@ -133,6 +133,36 @@ class MultimodalSpec extends SparkSpec {
       .putInt(8).put("tkhd".getBytes).array()
     assert(Probe.sniff(bareTkhd) === Some(Probe.Info("mp4", "video", -1, -1, -1L)))
 
+    // FLAC: fLaC magic + STREAMINFO — sample rate 44100, total samples
+    // 44100 -> exactly 1000 ms
+    val flac = alloc(8 + 34)
+      .put("fLaC".getBytes)
+      .put(0: Byte).put(0: Byte).put(0: Byte).put(34: Byte) // STREAMINFO hdr
+      .putShort(4096).putShort(4096)       // min/max blocksize
+      .put(new Array[Byte](6))             // min/max frame size (3+3)
+      .put(0x0a: Byte).put(0xc4.toByte)    // sr bits 19-4 (44100 >> 4)
+      .put(0x40: Byte)                     // sr low nibble + ch/bps bits
+      .put(0x00: Byte)                     // bps low + total-samples bits 35-32
+      .putInt(44100)                       // total samples low 32
+      .array()
+    assert(Probe.sniff(flac) === Some(Probe.Info("flac", "audio", -1, -1, 1000L)))
+    // non-STREAMINFO first block: format recognized, duration unknown
+    val flacOdd = flac.clone(); flacOdd(4) = 4 // VORBIS_COMMENT first
+    assert(Probe.sniff(flacOdd) === Some(Probe.Info("flac", "audio", -1, -1, -1L)))
+
+    // MP3: ID3v2 tag (syncsafe size 0) + MPEG-1 Layer III frame at
+    // 128 kbps -> CBR estimate (170-10) bytes * 8 / 128 = 10 ms
+    val mp3 = alloc(170)
+      .put("ID3".getBytes).put(4: Byte).put(0: Byte).put(0: Byte)
+      .putInt(0)                                     // syncsafe size 0
+      .put(0xff.toByte).put(0xfb.toByte)             // sync + MPEG1 L3
+      .put(0x90.toByte).put(0x00: Byte)              // bitrate idx 9 = 128k
+      .array()
+    assert(Probe.sniff(mp3) === Some(Probe.Info("mp3", "audio", -1, -1, 10L)))
+    // a hostile syncsafe size far past the payload must not probe
+    val mp3Bad = mp3.clone(); mp3Bad(9) = 0x7f; mp3Bad(8) = 0x7f
+    assert(Probe.sniff(mp3Bad) === None)
+
     // garbage and null stay unprobed
     assert(Probe.sniff(Array.fill[Byte](32)(0x42)) === None)
     assert(Probe.sniff(null) === None)

@@ -3,7 +3,35 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.Sketches
 
-class SketchesSpec extends SparkSpec {
+class SketchesSpec extends SparkSpec with PropSupport {
+
+  test("bloom positions: always k in-range slots, odd stride, null-safe") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val m = 1 << 14
+    val k = 7
+    forAllGen(Gen.listOfN(20, Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      cases = 20) { keys =>
+      val rows = keys.toDF("key")
+        .select(Sketches.bloomPositions(col("key"), m, k).as("pos"))
+        .collect().map(_.getSeq[Long](0))
+      rows.foreach { ps =>
+        assert(ps.length === k)
+        assert(ps.forall(p => p >= 0 && p < m),
+          s"position out of [0, $m): $ps")
+      }
+      ()
+    }
+    // double hashing with an ODD stride cycles a power-of-two m: the k
+    // positions of one key are DISTINCT whenever k <= the cycle (no
+    // wasted probes). Verified on a fixed key set large enough to catch
+    // a broken stride parity.
+    val dup = (1 to 500).map(i => s"key-$i").toDF("key")
+      .select(Sketches.bloomPositions(col("key"), m, k).as("pos"))
+      .collect().map(_.getSeq[Long](0))
+      .count(ps => ps.distinct.length != ps.length)
+    assert(dup === 0, s"$dup keys had colliding probe slots")
+  }
 
   private lazy val events = Tables.load(spark, sf, "events").cache()
 
