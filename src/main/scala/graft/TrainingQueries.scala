@@ -141,6 +141,18 @@ object TrainingQueries {
       mBits = 1 << 16, k = 5)
   }
 
+  /** Trained char-trigram language-ID: profiles from the even-id half's
+    * labels classify the odd-id half (the supervised CLD/TextCat
+    * pattern; set-overlap scoring, integer-exact).
+    */
+  def qLangidTrained(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val profiles = TextAnalysis.langProfiles(
+      d.filter(col("doc_id") % 2 === 0), topN = 64)
+    TextAnalysis.classifyByProfile(
+      d.filter(col("doc_id") % 2 === 1), profiles, topN = 64)
+  }
+
   /** Unigram-tokenizer SEED stage: top-50 substring pieces by weighted
     * corpus count — the oracle-checkable half of unigram training.
     */
@@ -599,6 +611,7 @@ object TrainingQueries {
     "q_knn_join" -> (qKnnJoin _),
     "q_bloom_dedup" -> (qBloomDedup _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_langid_trained" -> (qLangidTrained _),
     "q_unigram_seed" -> (qUnigramSeed _),
     "q_lm_interp" -> (qLmInterp _),
     "q_source_report" -> (qSourceReport _),
@@ -1134,6 +1147,44 @@ object TrainingQueries {
        |GROUP BY pp.doc_id""".stripMargin
   }
 
+  /** Replays the profile training + overlap classification: char
+    * trigrams (spaces included), per-lang and per-doc top-64 with
+    * (count desc, gram) tie-breaks, argmax with (overlap desc, lang)
+    * tie-break, 'und' for zero-overlap docs.
+    */
+  private val langidTrainedOracle: String =
+    """WITH tg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(CASE WHEN length(text) < 3 THEN []::VARCHAR[]
+      |      ELSE list_transform(range(0, length(text) - 2),
+      |        s -> substring(text, CAST(s + 1 AS INT), 3)) END) AS gram
+      |  FROM documents),
+      |prof AS (
+      |  SELECT lang, gram FROM (
+      |    SELECT lang, gram, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY count(*) DESC, gram) AS rk
+      |    FROM tg WHERE doc_id % 2 = 0 GROUP BY lang, gram)
+      |  WHERE rk <= 64),
+      |dt AS (
+      |  SELECT doc_id, gram FROM (
+      |    SELECT doc_id, gram, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY count(*) DESC, gram) AS rk
+      |    FROM tg WHERE doc_id % 2 = 1 GROUP BY doc_id, gram)
+      |  WHERE rk <= 64),
+      |ov AS (
+      |  SELECT doc_id, p.lang, count(*) AS overlap
+      |  FROM dt JOIN prof p USING (gram) GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, lang AS pred_lang, overlap FROM (
+      |    SELECT doc_id, lang, overlap, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rk
+      |    FROM ov) WHERE rk = 1)
+      |SELECT d.doc_id,
+      |  coalesce(b.pred_lang, 'und') AS pred_lang,
+      |  coalesce(b.overlap, 0) AS overlap
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN best b USING (doc_id)""".stripMargin
+
   /** length(), NOT strlen: DuckDB strlen counts BYTES — on a non-ASCII
     * word its offset range would overrun characters and emit spurious
     * empty pieces; length counts characters, matching Spark's length().
@@ -1650,6 +1701,7 @@ object TrainingQueries {
     "q_knn_join" -> knnJoinOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_corpus_diff" -> corpusDiffOracle,
+    "q_langid_trained" -> langidTrainedOracle,
     "q_unigram_seed" -> unigramSeedOracle,
     "q_lm_interp" -> lmInterpOracle,
     "q_source_report" -> sourceReportOracle,

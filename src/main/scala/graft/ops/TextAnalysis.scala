@@ -87,6 +87,77 @@ object TextAnalysis {
     * document's opening shingle). Groupable for near-dup clustering;
     * one explode + aggregate.
     */
+  /** TRAINED language-ID — the CLD/TextCat char-n-gram profile family,
+    * upgrading [[languageId]]'s fixed marker lists to profiles learned
+    * from LABELED data: per language, the `topN` most frequent char
+    * trigrams of its labeled docs form the profile SET; a doc is
+    * classified to the language sharing the most of the doc's own topN
+    * trigrams. Set overlap keeps everything integer-exact and
+    * oracle-replayable (no float cosine); all ranks and the final
+    * argmax break ties deterministically (count desc, then gram/lang
+    * lexicographic). Docs overlapping no profile report 'und'.
+    *
+    * Scale: trigram extraction is a narrow explode; profile building
+    * aggregates to (langs × grams) and windows per LANGUAGE (tiny);
+    * per-doc ranking windows per DOC; classification is one equi-join
+    * on the gram against a broadcastable profile table (languages ×
+    * topN rows) and a per-doc argmax. No cartesian, no global window.
+    */
+  def langProfiles(labeled: DataFrame, topN: Int = 64,
+                   textCol: String = "text",
+                   langCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("cnt").desc, col("gram"))
+    charTrigrams(labeled.select(col(langCol), col(textCol)), textCol)
+      .groupBy(col(langCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select(col(langCol), col("gram"))
+  }
+
+  /** Classify by profile overlap; see [[langProfiles]]. Returns
+    * (idCol, pred_lang, overlap).
+    */
+  def classifyByProfile(docs: DataFrame, profiles: DataFrame,
+                        topN: Int = 64, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cnt").desc, col("gram"))
+    val docTop = charTrigrams(docs.select(col(idCol), col(textCol)), textCol)
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= topN)
+      .select(col(idCol), col("gram"))
+    val overlaps = docTop
+      .join(broadcast(profiles), Seq("gram"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("overlap"))
+      // argmax via min(struct(-overlap, lang)): largest overlap, ties
+      // to the lexicographically smallest language — total order
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("overlap")).as("no"), col(langCol).as("lg")))
+        .as("best"))
+      .select(col(idCol), col("best.lg").as("pred_lang"),
+        (-col("best.no")).as("overlap"))
+    docs.select(col(idCol)).join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+  }
+
+  /** Char trigrams of a text column (spaces included — word-boundary
+    * grams carry signal in this family), as one row per occurrence.
+    */
+  private def charTrigrams(df: DataFrame, textCol: String): DataFrame =
+    df.select(df.columns.filter(_ != textCol).map(col) :+
+      // the short-text case is explicit: sequence(0, -1) counts DOWN
+      // in Spark (the Dedup.shingles lesson)
+      explode(expr(
+        s"CASE WHEN length($textCol) < 3 THEN CAST(array() AS ARRAY<STRING>)" +
+          s" ELSE transform(sequence(0, length($textCol) - 3)," +
+          s" s -> substring($textCol, s + 1, 3)) END")).as("gram"): _*)
+
   def fingerprint(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val sh = Dedup.explodedShingles(docs, 3, textCol, idCol)

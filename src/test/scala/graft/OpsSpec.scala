@@ -163,6 +163,29 @@ class OpsSpec extends SparkSpec with PropSupport {
     ()
   }
 
+  test("trained lang-id separates crafted languages; alien docs report und") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // three crafted "languages" with disjoint character inventories —
+    // the separation the synthetic corpus (label-independent text)
+    // cannot show
+    val train = Seq(
+      (1L, "aa", "aba bab abb aba bab"),
+      (2L, "aa", "bab aba abb bab aba"),
+      (3L, "bb", "cdc dcd dcc cdc dcd"),
+      (4L, "bb", "dcd cdc dcc dcd cdc"),
+      (5L, "cc", "efe fef eff efe fef"),
+      (6L, "cc", "fef efe eff fef efe")).toDF("doc_id", "lang", "text")
+    val held = Seq(
+      (11L, "aba abb bab"), (12L, "cdc dcc dcd"), (13L, "efe eff fef"),
+      (14L, "zzz zzz zzz"), (15L, "x")).toDF("doc_id", "text")
+    val prof = TextAnalysis.langProfiles(train, topN = 16)
+    val preds = TextAnalysis.classifyByProfile(held, prof, topN = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds === Map(11L -> "aa", 12L -> "bb", 13L -> "cc",
+      14L -> "und", 15L -> "und"), s"got $preds")
+  }
+
   test("unigram Viterbi: exhaustive optimality, surrogate-safe segmentation") {
     import spark.implicits._
     val vocab = Seq(("a", 900000L), ("b", 1100000L), ("ab", 1500000L),

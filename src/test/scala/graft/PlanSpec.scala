@@ -64,6 +64,16 @@ class PlanSpec extends SparkSpec {
       s"the top-k window must partition by the query id, never globally")
   }
 
+  test("trained lang-id: profile join broadcasts; windows stay keyed") {
+    val plan = executedPlan("q_langid_trained")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the langs x topN profile table must broadcast to the gram join")
+    assert("Window \\[[^\\]]*\\], \\[(lang|doc_id)".r
+      .findFirstIn(plan).isDefined && plan.contains("Window"),
+      "ranking windows must partition by lang/doc, never globally")
+  }
+
   test("q6 pushes every filter to the scan; q14's ratio is one aggregate pass") {
     val p6 = executedPlan("q6_forecast")
     // the plan STRING truncates long filter lists, so pin the scan-level
