@@ -310,16 +310,29 @@ object Multimodal {
           (p(mp3Start) & 0xff) == 0xff && (p(mp3Start + 1) & 0xe0) == 0xe0) {
         val b1 = p(mp3Start + 1) & 0xff
         val b2 = p(mp3Start + 2) & 0xff
-        val isMpeg1 = ((b1 >> 3) & 3) == 3
-        val isLayer3 = ((b1 >> 1) & 3) == 1
-        val dur =
-          if (isMpeg1 && isLayer3) {
-            // MPEG-1 Layer III bitrate table (kbps), index 1..14
-            val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-              160, 192, 224, 256, 320)((b2 >> 4) & 0xf)
-            if (kbps > 0) (p.length - mp3Start).toLong * 8L / kbps else -1L
-          } else -1L
-        return Some(Info("mp3", "audio", -1, -1, dur))
+        // reserved field values mean "not actually an MPEG frame":
+        // version 01, layer 00, bitrate 1111, samplerate 11. A bare
+        // 11-bit sync alone would misclassify ~1/2048 of arbitrary
+        // binaries as mp3 (and an out-of-table bitrate index would
+        // crash the lookup) — an ID3 tag is accepted as evidence on
+        // its own, a bare sync only with a fully-valid header.
+        val verBits = (b1 >> 3) & 3
+        val layerBits = (b1 >> 1) & 3
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 3
+        val frameValid = verBits != 1 && layerBits != 0 &&
+          brIdx != 0xf && srIdx != 3
+        val taggedId3 = mp3Start > 0
+        if (taggedId3 || frameValid) {
+          val dur =
+            if (frameValid && verBits == 3 && layerBits == 1) {
+              // MPEG-1 Layer III bitrate table (kbps), index 1..14
+              val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320)(brIdx)
+              if (kbps > 0) (p.length - mp3Start).toLong * 8L / kbps else -1L
+            } else -1L
+          return Some(Info("mp3", "audio", -1, -1, dur))
+        }
       }
       None
     }

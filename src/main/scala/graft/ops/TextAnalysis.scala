@@ -80,13 +80,6 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", best)
   }
 
-  /** Document fingerprints: 60-bit content min-hash over word 3-shingles
-    * (rolling-hash-style): min/max hashes over the shingle set plus
-    * `fp_first` = the hash of the LEXICOGRAPHICALLY SMALLEST shingle
-    * (min_by on the shingle text — a content-stable anchor, NOT the
-    * document's opening shingle). Groupable for near-dup clustering;
-    * one explode + aggregate.
-    */
   /** TRAINED language-ID — the CLD/TextCat char-n-gram profile family,
     * upgrading [[languageId]]'s fixed marker lists to profiles learned
     * from LABELED data: per language, the `topN` most frequent char
@@ -158,6 +151,13 @@ object TextAnalysis {
           s" ELSE transform(sequence(0, length($textCol) - 3)," +
           s" s -> substring($textCol, s + 1, 3)) END")).as("gram"): _*)
 
+  /** Document fingerprints: 60-bit content min-hash over word 3-shingles
+    * (rolling-hash-style): min/max hashes over the shingle set plus
+    * `fp_first` = the hash of the LEXICOGRAPHICALLY SMALLEST shingle
+    * (min_by on the shingle text — a content-stable anchor, NOT the
+    * document's opening shingle). Groupable for near-dup clustering;
+    * one explode + aggregate.
+    */
   def fingerprint(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val sh = Dedup.explodedShingles(docs, 3, textCol, idCol)

@@ -162,6 +162,19 @@ class MultimodalSpec extends SparkSpec {
     // a hostile syncsafe size far past the payload must not probe
     val mp3Bad = mp3.clone(); mp3Bad(9) = 0x7f; mp3Bad(8) = 0x7f
     assert(Probe.sniff(mp3Bad) === None)
+    // reserved bitrate index 0xF must not crash the table lookup (an
+    // ID3-tagged stream stays mp3 with unknown duration)
+    val mp3Res = mp3.clone(); mp3Res(12) = 0xf0.toByte
+    assert(Probe.sniff(mp3Res) === Some(Probe.Info("mp3", "audio", -1, -1, -1L)))
+    // a BARE frame sync with reserved header fields is NOT an mp3 —
+    // ~1/2048 of arbitrary binaries start ff ex and must stay unprobed
+    val fakeSync = alloc(32).put(0xff.toByte).put(0xeb.toByte)
+      .put(0xf0.toByte).array() // version=reserved would also do
+    assert(Probe.sniff(fakeSync) === None)
+    // a bare but fully-VALID frame header still probes
+    val bare = alloc(160).put(0xff.toByte).put(0xfb.toByte)
+      .put(0x90.toByte).array()
+    assert(Probe.sniff(bare) === Some(Probe.Info("mp3", "audio", -1, -1, 10L)))
 
     // garbage and null stay unprobed
     assert(Probe.sniff(Array.fill[Byte](32)(0x42)) === None)

@@ -70,8 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "the langs x topN profile table must broadcast to the gram join")
     assert("Window \\[[^\\]]*\\], \\[(lang|doc_id)".r
-      .findFirstIn(plan).isDefined && plan.contains("Window"),
-      "ranking windows must partition by lang/doc, never globally")
+      .findFirstIn(plan).isDefined,
+      "ranking windows must partition by lang/doc")
+    // and NO window may be global: an empty partition spec funnels the
+    // corpus through one partition
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isEmpty,
+      "found an unpartitioned window in the lang-id plan")
   }
 
   test("q6 pushes every filter to the scan; q14's ratio is one aggregate pass") {
