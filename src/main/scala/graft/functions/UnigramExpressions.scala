@@ -154,6 +154,130 @@ case class UnigramEncode(child: Expression, pieces: Vector[String],
       : UnigramEncode = copy(child = newChild)
 }
 
+object UnigramKernelsNbest {
+
+  /** N-BEST segmentations of ONE word — the enumeration subword
+    * regularization samples from (Kudo 2018 §3: training-time
+    * augmentation draws a segmentation ∝ its probability; the n-best
+    * list IS the support it draws over). Standard k-best DP: each
+    * position keeps its `n` cheapest (cost, prevPos, pieceLen) partial
+    * derivations; paths reconstruct backward. Output rows are
+    * (pieces[], costE6) sorted cost-ascending with the SAME tie-breaks
+    * as the 1-best kernel, so row 0 always equals
+    * [[UnigramKernels.encode]]'s segmentation.
+    */
+  def nbest(word: UTF8String, table: java.util.HashMap[String, java.lang.Long],
+            maxLen: Int, unkCostE6: Long, n: Int): ArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val len = cps.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    // states(i) = up to n (cost, pieces-reversed) derivations covering
+    // the prefix of length i, cost-sorted. Carrying the piece LISTS
+    // (not backpointers) keeps reconstruction trivially correct under
+    // cost ties; words are short, n is small — the memory is nothing.
+    val states = Array.fill(len + 1)(
+      new java.util.ArrayList[(Long, List[String])]())
+    states(0).add((0L, Nil))
+    var i = 1
+    while (i <= len) {
+      val cand = new java.util.ArrayList[(Long, List[String])]()
+      // longest piece FIRST: the stable sort below then prefers it on
+      // equal cost, matching the 1-best kernel's tie-break
+      var l = math.min(maxLen, i)
+      while (l >= 1) {
+        val piece = new String(cps, i - l, l)
+        val c: java.lang.Long = table.get(piece)
+        val cost: Long =
+          if (c != null) c.longValue()
+          else if (l == 1) unkCostE6
+          else -1L
+        if (cost >= 0) {
+          val prev = states(i - l)
+          var s = 0
+          while (s < prev.size()) {
+            cand.add((prev.get(s)._1 + cost, piece :: prev.get(s)._2))
+            s += 1
+          }
+        }
+        l -= 1
+      }
+      val arr = cand.toArray(new Array[(Long, List[String])](cand.size()))
+      // stable: equal costs keep generation order (longer piece, then
+      // the prefix list's own rank)
+      java.util.Arrays.sort(arr,
+        Ordering.by((t: (Long, List[String])) => t._1))
+      var keep = 0
+      while (keep < arr.length && keep < n) { states(i).add(arr(keep)); keep += 1 }
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    val fin = states(len)
+    var r = 0
+    while (r < fin.size()) {
+      val pieces = fin.get(r)._2.reverse.map(UTF8String.fromString).toArray
+      out.add(org.apache.spark.sql.catalyst.InternalRow(
+        new GenericArrayData(pieces.asInstanceOf[Array[AnyRef]]),
+        fin.get(r)._1))
+      r += 1
+    }
+    new GenericArrayData(out.toArray())
+  }
+}
+
+/** `unigram_nbest(word)`: the n cheapest segmentations of a word under
+  * a fixed piece table, as array<struct<pieces array<string>, cost_e6
+  * bigint>> sorted by cost.
+  */
+case class UnigramNbest(child: Expression, pieces: Vector[String],
+                        costsE6: Vector[Long], maxLen: Int,
+                        unkCostE6: Long, n: Int)
+    extends UnaryExpression {
+  require(pieces.length == costsE6.length, "pieces and costs must align")
+  require(n >= 1 && n <= 64, s"n out of [1, 64]: $n")
+
+  @transient private lazy val table
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.put(pieces(i), java.lang.Long.valueOf(costsE6(i)))
+      i += 1
+    }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pieces",
+        ArrayType(StringType, containsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField("cost_e6",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "unigram_nbest"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_nbest requires a string word, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    UnigramKernelsNbest.nbest(v.asInstanceOf[UTF8String], table, maxLen,
+      unkCostE6, n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("unigramNbestTable", table,
+      "java.util.HashMap")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.UnigramKernelsNbest.nbest($v, $tRef, $maxLen, " +
+        s"${unkCostE6}L, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramNbest = copy(child = newChild)
+}
+
 object UnigramExpressions {
   /** Column API: segment an array<string> word column through a trained
     * (piece, costE6) table.
@@ -162,4 +286,13 @@ object UnigramExpressions {
                     maxLen: Int, unkCostE6: Long): Column =
     ColumnBridge.column(UnigramEncode(ColumnBridge.expression(tokens),
       vocab.map(_._1).toVector, vocab.map(_._2).toVector, maxLen, unkCostE6))
+
+  /** Column API: the n cheapest segmentations of one WORD (the support
+    * subword-regularization sampling draws over).
+    */
+  def unigramNbest(word: Column, vocab: Seq[(String, Long)], maxLen: Int,
+                   unkCostE6: Long, n: Int): Column =
+    ColumnBridge.column(UnigramNbest(ColumnBridge.expression(word),
+      vocab.map(_._1).toVector, vocab.map(_._2).toVector, maxLen,
+      unkCostE6, n))
 }

@@ -186,6 +186,38 @@ class OpsSpec extends SparkSpec with PropSupport {
       14L -> "und", 15L -> "und"), s"got $preds")
   }
 
+  test("unigram n-best: rank 0 is Viterbi, costs ascend, matches brute force") {
+    import spark.implicits._
+    val vocab = Seq(("ab", 10L), ("a", 10L), ("b", 10L), ("abc", 25L),
+      ("c", 10L), ("bc", 15L))
+    val unk = 1000L
+    def nbestOf(w: String, n: Int): Seq[(Seq[String], Long)] =
+      Seq(Tuple1(w)).toDF("w")
+        .select(graft.functions.UnigramExpressions.unigramNbest(
+          col("w"), vocab, 4, unk, n).as("nb"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getSeq[String](0), r.getLong(1)))
+    // "abc": ab+c=20, then the 25 tie (whole "abc" beats a+bc — longer
+    // first), then a+b+c=30
+    val nb = nbestOf("abc", 10)
+    assert(nb.map(_._2) === nb.map(_._2).sorted, "costs must ascend")
+    assert(nb === Seq(
+      (Seq("ab", "c"), 20L), (Seq("abc"), 25L), (Seq("a", "bc"), 25L),
+      (Seq("a", "b", "c"), 30L)), s"got $nb")
+    // rank 0 == the 1-best kernel's segmentation
+    val best = Seq(Tuple1(Seq("abc"))).toDF("toks")
+      .select(graft.functions.UnigramExpressions.unigramEncode(
+        col("toks"), vocab, 4, unk).as("p")).head().getSeq[String](0)
+    assert(nb.head._1 === best)
+    // every candidate concatenates back; unknown chars carry unk cost
+    val ax = nbestOf("axb", 3)
+    assert(ax.forall(_._1.mkString("") == "axb"))
+    assert(ax.head._2 === 10L + unk + 10L)
+    // n truncates the list
+    assert(nbestOf("abc", 2).length === 2)
+    ()
+  }
+
   test("unigram Viterbi: exhaustive optimality, surrogate-safe segmentation") {
     import spark.implicits._
     val vocab = Seq(("a", 900000L), ("b", 1100000L), ("ab", 1500000L),
