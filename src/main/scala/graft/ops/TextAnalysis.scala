@@ -998,6 +998,61 @@ object TextAnalysis {
         UnigramUnkCostE6).as("pieces"))
   }
 
+  /** SUBWORD-REGULARIZATION sampling (Kudo 2018 §3) — the training-time
+    * augmentation that draws, per word, a segmentation from the n-best
+    * list with probability ∝ P(seg)^alpha instead of always the 1-best:
+    * exposure to alternative segmentations makes the downstream model
+    * robust to tokenization noise. The draw is DETERMINISTIC like every
+    * sampler here: u = salted-hash(word) uniform, walked down the
+    * softmax CDF — rerun-stable for a fixed salt, redrawn by changing
+    * it (vary the salt per epoch, the SentencePiece usage).
+    * alpha → large degenerates to the 1-best (spec-pinned);
+    * alpha = 0 is uniform over the n-best.
+    *
+    * Scale: the n-best runs once per DISTINCT word (vocabulary-sized);
+    * documents rebuild via an equi-join on the word and one doc-keyed
+    * sorted aggregate — no corpus-wide window.
+    */
+  def unigramSampleEncode(docs: DataFrame, vocab: Seq[(String, Long, Long)],
+                          alpha: Double = 0.2, salt: String = "sp0",
+                          nBest: Int = 8, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "empty unigram vocab")
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    val maxLen = vocab.iterator.map(v => cpLen(v._1)).max
+    val words = docs
+      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "w")))
+    val nb = words.select(col("w")).distinct()
+      .withColumn("nb", graft.functions.UnigramExpressions.unigramNbest(
+        col("w"), vocab.map(v => (v._1, v._3)), maxLen,
+        UnigramUnkCostE6, nBest))
+      // softmax over -alpha * cost (costs are -ln p scaled e6, so this
+      // IS P^alpha up to the shared normalizer); weights relative to
+      // the cheapest for numeric stability
+      .withColumn("w0", element_at(col("nb"), 1).getField("cost_e6"))
+      .withColumn("wts", expr(
+        s"transform(nb, s -> exp(-$alpha * (s.cost_e6 - w0) / 1e6))"))
+      .withColumn("tot", expr("aggregate(wts, 0d, (a, x) -> a + x)"))
+      // deterministic uniform in [0, 1) from the salted word hash
+      .withColumn("u",
+        (Dedup.h60(concat(lit(salt + "|"), col("w"))) % lit(1000000L))
+          .cast("double") / lit(1000000.0))
+      // CDF walk: the first index where cumulative weight passes u·tot
+      .withColumn("pick", expr(
+        """aggregate(wts, struct(0d AS acc, -1 AS idx, 0 AS i),
+          |  (s, x) -> struct(s.acc + x AS acc,
+          |    CASE WHEN s.idx >= 0 THEN s.idx
+          |         WHEN s.acc + x >= u * tot THEN s.i ELSE -1 END AS idx,
+          |    s.i + 1 AS i),
+          |  s -> CASE WHEN s.idx >= 0 THEN s.idx ELSE 0 END)""".stripMargin))
+      .select(col("w"),
+        expr("element_at(nb, pick + 1).pieces").as("wpieces"))
+    words.join(nb, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"),
+        col("wpieces")))).getField("wpieces")).as("pieces"))
+  }
+
   /** Compression-ratio repetitiveness signal (the RefinedWeb/Dolma
     * boilerplate filter): ratio_e3 = 1000 · raw_bytes / deflated_bytes.
     * Natural prose lands around 2-3×; templated or repeated text

@@ -186,6 +186,37 @@ class OpsSpec extends SparkSpec with PropSupport {
       14L -> "und", 15L -> "und"), s"got $preds")
   }
 
+  test("subword-regularization sampling: reproducible, degenerate at high alpha, covering") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // costs at the REAL e6 scale (-ln p · 1e6, i.e. millions): alpha
+    // multiplies (cost_e6 / 1e6), so toy-scale costs would make every
+    // alpha look uniform
+    val vocab = Seq(("ab", 1L, 10000000L), ("a", 1L, 10000000L),
+      ("b", 1L, 10000000L), ("abc", 1L, 25000000L), ("c", 1L, 10000000L),
+      ("bc", 1L, 15000000L))
+    val docs = Seq((1L, "abc ab abc"), (2L, "abc xyz")).toDF("doc_id", "text")
+    def run(alpha: Double, salt: String): Map[Long, Seq[String]] =
+      TextAnalysis.unigramSampleEncode(docs, vocab, alpha, salt)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // coverage: pieces concatenate back to the tokens, any alpha/salt
+    val s1 = run(0.2, "e0")
+    assert(s1(1L).mkString("") === "abcababc")
+    assert(s1(2L).mkString("") === "abcxyz")
+    // deterministic: same salt, same draw
+    assert(s1 === run(0.2, "e0"))
+    // near-argmax alpha degenerates to the 1-best segmentation
+    val hard = run(1000.0, "e0")
+    val best = TextAnalysis.unigramEncode(docs, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(hard === best, s"high alpha must pick rank 0: $hard vs $best")
+    // near-uniform alpha: across a few epochs (salts) at least one
+    // draw differs from the 1-best — the augmentation actually varies
+    val varied = (0 until 8).exists(i => run(0.01, s"e$i") != best)
+    assert(varied, "sampling never left the 1-best across 8 salts")
+    ()
+  }
+
   test("unigram n-best: rank 0 is Viterbi, costs ascend, matches brute force") {
     import spark.implicits._
     val vocab = Seq(("ab", 10L), ("a", 10L), ("b", 10L), ("abc", 25L),
