@@ -29,6 +29,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UnigramKernels {
 
+  /** ONE definition of the (pieces, costs) → lookup table build, shared
+    * by both expressions (a fix to sizing or duplicate handling must
+    * not fork).
+    */
+  def buildTable(pieces: Vector[String], costsE6: Vector[Long])
+      : java.util.HashMap[String, java.lang.Long] = {
+    require(pieces.length == costsE6.length, "pieces and costs must align")
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.put(pieces(i), java.lang.Long.valueOf(costsE6(i)))
+      i += 1
+    }
+    m
+  }
+
   /** Viterbi min-cost segmentation of every word in `toks`, output as
     * one flattened piece stream per row. O(Σ |w|·maxLen) per row with
     * an O(1) hash probe per candidate piece.
@@ -120,15 +136,8 @@ case class UnigramEncode(child: Expression, pieces: Vector[String],
     "pieces and costs must align")
 
   @transient private lazy val table
-      : java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
-    var i = 0
-    while (i < pieces.length) {
-      m.put(pieces(i), java.lang.Long.valueOf(costsE6(i)))
-      i += 1
-    }
-    m
-  }
+      : java.util.HashMap[String, java.lang.Long] =
+    UnigramKernels.buildTable(pieces, costsE6)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "unigram_encode"
@@ -187,9 +196,15 @@ object UnigramKernelsNbest {
       while (l >= 1) {
         val piece = new String(cps, i - l, l)
         val c: java.lang.Long = table.get(piece)
+        // single chars price at min(table, unk) — EXACTLY what the
+        // 1-best kernel's separate fallback branch computes, so rank 0
+        // of this list always matches its segmentation AND its cost
+        // even when a caller sets unkCostE6 below a table cost
         val cost: Long =
-          if (c != null) c.longValue()
-          else if (l == 1) unkCostE6
+          if (l == 1)
+            math.min(if (c != null) c.longValue() else Long.MaxValue,
+              unkCostE6)
+          else if (c != null) c.longValue()
           else -1L
         if (cost >= 0) {
           val prev = states(i - l)
@@ -232,19 +247,11 @@ case class UnigramNbest(child: Expression, pieces: Vector[String],
                         costsE6: Vector[Long], maxLen: Int,
                         unkCostE6: Long, n: Int)
     extends UnaryExpression {
-  require(pieces.length == costsE6.length, "pieces and costs must align")
   require(n >= 1 && n <= 64, s"n out of [1, 64]: $n")
 
   @transient private lazy val table
-      : java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
-    var i = 0
-    while (i < pieces.length) {
-      m.put(pieces(i), java.lang.Long.valueOf(costsE6(i)))
-      i += 1
-    }
-    m
-  }
+      : java.util.HashMap[String, java.lang.Long] =
+    UnigramKernels.buildTable(pieces, costsE6)
 
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(

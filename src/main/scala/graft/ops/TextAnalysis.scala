@@ -1009,9 +1009,14 @@ object TextAnalysis {
     * alpha → large degenerates to the 1-best (spec-pinned);
     * alpha = 0 is uniform over the n-best.
     *
-    * Scale: the n-best runs once per DISTINCT word (vocabulary-sized);
-    * documents rebuild via an equi-join on the word and one doc-keyed
-    * sorted aggregate — no corpus-wide window.
+    * Scale: the n-best + softmax run once per DISTINCT word
+    * (vocabulary-sized); each OCCURRENCE then draws its own u (hashed
+    * from salt, doc, position, word — per-occurrence diversity, the
+    * §3 semantics) and walks the word's CDF, a cheap per-row
+    * expression after the equi-join; documents rebuild with one
+    * doc-keyed sorted aggregate — no corpus-wide window. The
+    * distinct-word branch re-scans the input tokenization; pass a
+    * cached `docs` when the corpus is large.
     */
   def unigramSampleEncode(docs: DataFrame, vocab: Seq[(String, Long, Long)],
                           alpha: Double = 0.2, salt: String = "sp0",
@@ -1020,8 +1025,12 @@ object TextAnalysis {
     require(vocab.nonEmpty, "empty unigram vocab")
     require(alpha >= 0, s"alpha must be >= 0: $alpha")
     val maxLen = vocab.iterator.map(v => cpLen(v._1)).max
+    // "" tokens (double/leading spaces) carry no pieces and would NULL
+    // a whole document through element_at-of-empty + flatten — same
+    // filter discipline as wordCounts
     val words = docs
       .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
     val nb = words.select(col("w")).distinct()
       .withColumn("nb", graft.functions.UnigramExpressions.unigramNbest(
         col("w"), vocab.map(v => (v._1, v._3)), maxLen,
@@ -1033,9 +1042,14 @@ object TextAnalysis {
       .withColumn("wts", expr(
         s"transform(nb, s -> exp(-$alpha * (s.cost_e6 - w0) / 1e6))"))
       .withColumn("tot", expr("aggregate(wts, 0d, (a, x) -> a + x)"))
-      // deterministic uniform in [0, 1) from the salted word hash
+      .select(col("w"), col("nb"), col("wts"), col("tot"))
+    val sampled = words.join(nb, Seq("w"))
+      // deterministic uniform PER OCCURRENCE: every instance of a word
+      // draws independently (hashing only the word would collapse an
+      // epoch's diversity to one draw per word type)
       .withColumn("u",
-        (Dedup.h60(concat(lit(salt + "|"), col("w"))) % lit(1000000L))
+        (Dedup.h60(concat_ws("|", lit(salt), col(idCol).cast("string"),
+          col("pos").cast("string"), col("w"))) % lit(1000000L))
           .cast("double") / lit(1000000.0))
       // CDF walk: the first index where cumulative weight passes u·tot
       .withColumn("pick", expr(
@@ -1045,12 +1059,17 @@ object TextAnalysis {
           |         WHEN s.acc + x >= u * tot THEN s.i ELSE -1 END AS idx,
           |    s.i + 1 AS i),
           |  s -> CASE WHEN s.idx >= 0 THEN s.idx ELSE 0 END)""".stripMargin))
-      .select(col("w"),
+      .select(col(idCol), col("pos"),
         expr("element_at(nb, pick + 1).pieces").as("wpieces"))
-    words.join(nb, Seq("w"))
-      .groupBy(col(idCol))
-      .agg(flatten(array_sort(collect_list(struct(col("pos"),
-        col("wpieces")))).getField("wpieces")).as("pieces"))
+    // left join: a doc whose every token was "" (or empty text) still
+    // reports a row, with an empty piece stream like unigramEncode's
+    docs.select(col(idCol)).join(
+      sampled.groupBy(col(idCol))
+        .agg(flatten(array_sort(collect_list(struct(col("pos"),
+          col("wpieces")))).getField("wpieces")).as("pieces")),
+      Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("pieces"), array().cast("array<string>")).as("pieces"))
   }
 
   /** Compression-ratio repetitiveness signal (the RefinedWeb/Dolma

@@ -214,6 +214,27 @@ class OpsSpec extends SparkSpec with PropSupport {
     // draw differs from the 1-best — the augmentation actually varies
     val varied = (0 until 8).exists(i => run(0.01, s"e$i") != best)
     assert(varied, "sampling never left the 1-best across 8 salts")
+    // per-OCCURRENCE draws: a doc repeating one word can segment its
+    // occurrences differently within one epoch (near-uniform alpha)
+    val rep = Seq((1L, Seq.fill(12)("abc").mkString(" "))).toDF("doc_id", "text")
+    val drew = (0 until 4).exists { i =>
+      val ps = TextAnalysis.unigramSampleEncode(rep, vocab, 0.01, s"r$i")
+        .head().getSeq[String](1)
+      // a per-TYPE draw would tile one segmentation 12 times — detect
+      // any occurrence that drew differently
+      val tiled = ps.length % 12 == 0 && {
+        val k = ps.length / 12
+        ps.grouped(k).toSeq.distinct.length == 1
+      }
+      !tiled
+    }
+    assert(drew, "occurrences of one word never varied within an epoch")
+    // empty tokens / empty docs never NULL the piece stream
+    val messy = Seq((7L, "abc  ab"), (8L, "")).toDF("doc_id", "text")
+    val mp = TextAnalysis.unigramSampleEncode(messy, vocab, 0.2, "e0")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(mp(7L).mkString("") === "abcab")
+    assert(mp(8L) === Seq())
     ()
   }
 
