@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -9,39 +10,74 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Applying a trained BPE merge table to a token stream — the encode
-  * half of the tokenizer whose TRAINING is
+/** Applying a trained BPE merge table — the encode half of the
+  * tokenizer whose TRAINING is
   * [[graft.ops.TextAnalysis.bpeTrainMerges]].
   *
   * Training is corpus-global (each round needs global pair counts);
   * ENCODING is embarrassingly per-document: the merge table rides into
-  * the executors once as a reference object and each row is rewritten
-  * in a tight local loop — a shuffle-free narrow map, which is why
-  * tokenizer application is the cheapest stage of a 100 TB pipeline
-  * while tokenizer training is the expensive one.
+  * the executors ONCE PER EXECUTOR as a `Broadcast` (not once per task
+  * inside the serialized expression — a 32k-merge vocab inside the task
+  * binary would ship driver→executor for every task, the "task of very
+  * large size" failure mode) and each row is rewritten in a tight local
+  * loop — a shuffle-free narrow map, which is why tokenizer application
+  * is the cheapest stage of a 100 TB pipeline while tokenizer training
+  * is the expensive one.
   *
-  * Semantics are EXACTLY the trainer's rewrite rule, per rank in
-  * training order: scan left to right, merge non-overlapping adjacent
-  * (a, b) occurrences into the compound symbol "a b" (the trainer's
-  * representation), later ranks seeing earlier ranks' output. A
-  * sequence "a a a" under rule (a, a) becomes ["a a", "a"], matching
-  * the trainer's gaps-and-islands odd-occurrence selection.
+  * Semantics are EXACTLY the trainer's rewrite rule (Sennrich et al.
+  * 2016: symbols start as the CODE POINTS of each whitespace word,
+  * merges never cross word boundaries), per rank in training order:
+  * scan each word's symbols left to right, merge non-overlapping
+  * adjacent (a, b) occurrences into the compound symbol "a b" (the
+  * trainer's representation), later ranks seeing earlier ranks'
+  * output. Symbols ["a","a","a"] under rule (a, a) become
+  * ["a a", "a"], matching the trainer's left-to-right selection.
   */
 object BpeKernels {
 
-  /** One pass per rank over the stream; O(ranks × tokens) per row. */
+  /** Code-point symbols of one word: "" → [""] (the split contract both
+    * the trainer's dictionary and the DuckDB oracle's
+    * `string_split(word, '')` use), surrogate pairs kept whole.
+    */
+  def charSyms(w: UTF8String): ArrayData = {
+    val s = w.toString
+    if (s.isEmpty)
+      return new GenericArrayData(Array[Any](UTF8String.fromString("")))
+    val cps = s.codePoints().toArray
+    val out = new Array[Any](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      out(i) = UTF8String.fromString(new String(cps, i, 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One pass per rank over one symbol array; O(ranks × symbols). */
   def bpeApply(toks: ArrayData, a: Array[UTF8String], b: Array[UTF8String],
                merged: Array[UTF8String]): ArrayData = {
     val n = toks.numElements()
-    var cur = new java.util.ArrayList[UTF8String](n)
+    val cur = new java.util.ArrayList[UTF8String](n)
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i))
         throw new IllegalArgumentException(
-          "bpe_encode: null token — clean the corpus first")
+          "bpe_rewrite: null symbol — clean the corpus first")
       cur.add(toks.getUTF8String(i))
       i += 1
     }
+    new GenericArrayData(applyRanks(cur, a, b, merged).toArray())
+  }
+
+  /** In-place merge passes over one word's symbol list (the inner loop
+    * of both [[bpeApplyWords]] and the trainer's per-round rewrite —
+    * ONE definition so the encode half can never drift from training).
+    */
+  private def applyRanks(cur0: java.util.ArrayList[UTF8String],
+                         a: Array[UTF8String], b: Array[UTF8String],
+                         merged: Array[UTF8String])
+      : java.util.ArrayList[UTF8String] = {
+    var cur = cur0
     var r = 0
     while (r < a.length) {
       val next = new java.util.ArrayList[UTF8String](cur.size())
@@ -59,25 +95,113 @@ object BpeKernels {
       cur = next
       r += 1
     }
-    new GenericArrayData(cur.toArray())
+    cur
+  }
+
+  /** Word-level encode: every WORD in `words` splits to code-point
+    * symbols and runs the full rank-ordered merge pass within the word
+    * (merges never cross word boundaries — the Sennrich contract); the
+    * per-word symbol streams concatenate into one row-level stream.
+    * O(ranks × word length) per word, zero allocations shared across
+    * rows.
+    */
+  def bpeApplyWords(words: ArrayData, a: Array[UTF8String],
+                    b: Array[UTF8String],
+                    merged: Array[UTF8String]): ArrayData = {
+    val n = words.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var t = 0
+    while (t < n) {
+      if (words.isNullAt(t))
+        throw new IllegalArgumentException(
+          "bpe_encode: null token — clean the corpus first")
+      val w = words.getUTF8String(t).toString
+      val syms = new java.util.ArrayList[UTF8String](w.length max 1)
+      if (w.isEmpty) syms.add(UTF8String.fromString(""))
+      else {
+        val cps = w.codePoints().toArray
+        var i = 0
+        while (i < cps.length) {
+          syms.add(UTF8String.fromString(new String(cps, i, 1)))
+          i += 1
+        }
+      }
+      out.addAll(applyRanks(syms, a, b, merged))
+      t += 1
+    }
+    new GenericArrayData(out.toArray())
+  }
+
+  /** The broadcast payload: (a, b, "a b") columns of the rank-ordered
+    * merge table, pre-encoded as UTF8String so executors deserialize it
+    * once and probe with zero per-row conversion.
+    */
+  def mergeArrays(merges: Seq[(String, String)])
+      : (Array[UTF8String], Array[UTF8String], Array[UTF8String]) = (
+    merges.map(m => UTF8String.fromString(m._1)).toArray,
+    merges.map(m => UTF8String.fromString(m._2)).toArray,
+    merges.map(m => UTF8String.fromString(m._1 + " " + m._2)).toArray)
+}
+
+/** The (a, b, "a b") merge-table arrays, broadcast once per plan. */
+object BpeKernelsBc {
+  type MergeTable = (Array[UTF8String], Array[UTF8String], Array[UTF8String])
+
+  /** Symbol-level rewrite against a broadcast merge table (`bc.value`
+    * is a cached field read after the first per-executor fetch — the
+    * per-row cost is a null check, the per-TASK cost is zero bytes of
+    * driver egress).
+    */
+  def bpeApply(toks: ArrayData, bc: Broadcast[MergeTable]): ArrayData = {
+    val t = bc.value
+    BpeKernels.bpeApply(toks, t._1, t._2, t._3)
+  }
+
+  /** Word-level encode against a broadcast merge table. */
+  def bpeApplyWords(words: ArrayData, bc: Broadcast[MergeTable]): ArrayData = {
+    val t = bc.value
+    BpeKernels.bpeApplyWords(words, t._1, t._2, t._3)
   }
 }
 
-/** `bpe_encode(tokens)`: rewrite an array<string> token stream through a
-  * fixed rank-ordered merge table (driver-side constant, shipped as
-  * reference objects — not a join).
+/** `bpe_rewrite(syms)`: rewrite an array<string> SYMBOL stream through a
+  * rank-ordered merge table riding as a `Broadcast` (one copy per
+  * executor, not one per task). The trainer's per-round rewrite.
   */
-case class BpeEncode(child: Expression, mergesA: Vector[String],
-                     mergesB: Vector[String])
+case class BpeEncode(child: Expression,
+                     merges: Broadcast[BpeKernelsBc.MergeTable])
     extends UnaryExpression {
 
-  @transient private lazy val aArr: Array[UTF8String] =
-    mergesA.map(UTF8String.fromString).toArray
-  @transient private lazy val bArr: Array[UTF8String] =
-    mergesB.map(UTF8String.fromString).toArray
-  @transient private lazy val mArr: Array[UTF8String] =
-    mergesA.zip(mergesB).map { case (x, y) =>
-      UTF8String.fromString(x + " " + y) }.toArray
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_rewrite"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_rewrite requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernelsBc.bpeApply(v.asInstanceOf[ArrayData], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.BpeKernelsBc.bpeApply($v, $bcRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** `bpe_encode(words)`: split each WORD of an array<string> column into
+  * code-point symbols and rewrite through the broadcast merge table —
+  * the user-facing tokenizer-application expression.
+  */
+case class BpeEncodeWords(child: Expression,
+                          merges: Broadcast[BpeKernelsBc.MergeTable])
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
@@ -89,30 +213,68 @@ case class BpeEncode(child: Expression, mergesA: Vector[String],
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    BpeKernels.bpeApply(v.asInstanceOf[ArrayData], aArr, bArr, mArr)
+    BpeKernelsBc.bpeApplyWords(v.asInstanceOf[ArrayData], merges)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("bpeA", aArr,
-      "org.apache.spark.unsafe.types.UTF8String[]")
-    val bRef = ctx.addReferenceObj("bpeB", bArr,
-      "org.apache.spark.unsafe.types.UTF8String[]")
-    val mRef = ctx.addReferenceObj("bpeM", mArr,
-      "org.apache.spark.unsafe.types.UTF8String[]")
+    val bcRef = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
     defineCodeGen(ctx, ev,
-      v => s"graft.functions.BpeKernels.bpeApply($v, $aRef, $bRef, $mRef)")
+      v => s"graft.functions.BpeKernelsBc.bpeApplyWords($v, $bcRef)")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWords =
+    copy(child = newChild)
+}
+
+/** `char_syms(word)`: the code-point symbol array of one word ("" →
+  * [""]) — the dictionary-initialization step of BPE training.
+  */
+case class CharSyms(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_syms"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_syms requires string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernels.charSyms(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.BpeKernels.charSyms($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharSyms =
     copy(child = newChild)
 }
 
 object BpeExpressions {
-  /** Column API: encode an array<string> token column through the
-    * rank-ordered merge table.
+
+  private def bcMerges(merges: Seq[(String, String)])
+      : Broadcast[BpeKernelsBc.MergeTable] =
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(BpeKernels.mergeArrays(merges))
+
+  /** Column API: encode an array<string> WORD column through the
+    * rank-ordered merge table (each word → code-point symbols → merge
+    * passes, concatenated). The table ships as a broadcast.
     */
-  def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeEncode(ColumnBridge.expression(tokens),
-      merges.map(_._1).toVector, merges.map(_._2).toVector))
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeWords(ColumnBridge.expression(words),
+      bcMerges(merges)))
+
+  /** Column API: rewrite an array<string> SYMBOL column through the
+    * merge table — the trainer's per-round rewrite step.
+    */
+  def bpeRewriteSyms(syms: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(syms),
+      bcMerges(merges)))
+
+  /** Column API: code-point symbol array of a word column. */
+  def charSyms(word: Column): Column =
+    ColumnBridge.column(CharSyms(ColumnBridge.expression(word)))
 
   /** Column API: DEFLATE-compressed byte length of a string — the
     * compression-ratio quality signal (RefinedWeb/Dolma-style):

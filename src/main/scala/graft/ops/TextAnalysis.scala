@@ -728,86 +728,114 @@ object TextAnalysis {
         .as("tv_e6"))
   }
 
-  /** BPE tokenizer training as relational algebra (Sennrich et al. 2016,
-    * arXiv:1508.07909): `nMerges` greedy merge rounds over the corpus
-    * token stream. Each round counts adjacent symbol pairs, picks the
-    * most frequent (ties: lexicographic (a, b) — fully deterministic),
-    * and rewrites every NON-OVERLAPPING left-to-right occurrence into
-    * one merged symbol ("a b"), exactly the apply-merges loop of a BPE
-    * trainer. Returns the learned merge table (merge_rank, token_a,
+  /** The BPE training dictionary: ONE corpus pass (explode + hash
+    * aggregate with map-side partials) collapsing the corpus to its
+    * DISTINCT whitespace words with frequencies, each word opened into
+    * its code-point symbol array. Everything after this pass is
+    * vocabulary-sized. ("" stays a one-symbol word — the split
+    * contract.)
+    */
+  private[graft] def bpeDict(docs: DataFrame,
+                             textCol: String = "text"): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        graft.functions.BpeExpressions.charSyms(col("word")).as("syms"))
+
+  /** Frequency-weighted adjacent-symbol-pair counts over the
+    * dictionary — ALL adjacent occurrences count (["a","a","a"] holds
+    * (a, a) twice), matching the recount convention of a reference BPE
+    * trainer's `get_stats`. Pure higher-order functions: the pairs
+    * explode out of each vocab row with no window and no join; the
+    * aggregate is partial-agg combinable.
+    */
+  private[graft] def bpePairCounts(dict: DataFrame): DataFrame =
+    dict.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1)," +
+          " (s, i) -> named_struct('a', s, 'b', element_at(syms, i + 2)))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** One training round's rewrite: merge every non-overlapping
+    * left-to-right adjacent (a, b) inside each dictionary word's symbol
+    * array — a shuffle-free narrow map over the vocab-sized dictionary
+    * (the single-rank [[graft.functions.BpeExpressions.bpeRewriteSyms]]
+    * kernel, the same code path the encode half runs).
+    */
+  private[graft] def bpeRewriteRound(dict: DataFrame, a: String,
+                                     b: String): DataFrame =
+    dict.withColumn("syms",
+      graft.functions.BpeExpressions.bpeRewriteSyms(col("syms"),
+        Seq((a, b))))
+
+  /** BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) in
+    * the paper's own DICTIONARY form: symbols start as the code points
+    * of each whitespace word (merges never cross word boundaries), the
+    * corpus is read ONCE to build the distinct-word count table
+    * ([[bpeDict]]), and every one of the `nMerges` greedy rounds runs
+    * over that vocabulary-sized table only — count freq-weighted
+    * adjacent pairs ([[bpePairCounts]]), take the 1-row argmax (ties:
+    * lexicographic (a, b) — fully deterministic), rewrite merged words
+    * in place ([[bpeRewriteRound]]). Compound symbols are spelled
+    * "a b"; words cannot contain spaces, so the spelling is
+    * unambiguous. Returns the learned merge table (merge_rank, token_a,
     * token_b, freq) — the artifact a tokenizer ships.
     *
-    * Non-overlap left-to-right is the gaps-and-islands trick, not a
-    * per-doc UDF scan: candidate positions at CONSECUTIVE sequence
-    * numbers conflict (position p consumes token p+1), so islands of
-    * consecutive candidates keep alternate members starting at the
-    * island head — grp = seq - running_count(cand) groups each island,
-    * and odd row_number within (doc, grp, cand) keeps the 1st, 3rd, ...
-    *
-    * Scale: every window partitions on the document (the corpus-wide
-    * state is only the 1-row argmax per round, a TakeOrdered), so each
-    * round is one doc-keyed shuffle for the stacked windows plus one
-    * pair-count aggregate with map-side partials; `localCheckpoint`
-    * truncates the per-round lineage the same way the k-means and CC
-    * loops do. Rounds are sequential by nature (merge r+1 counts pairs
-    * over the post-merge-r stream) — nMerges bounds the job count, the
-    * per-round work is corpus-linear.
+    * Scale: rounds cost |vocab|, not |corpus| — the property that makes
+    * a real 32k-merge vocabulary tractable at 100 TB (32k corpus-wide
+    * shuffles would not be; this is the same round-cost shape as
+    * [[unigramTrain]]). Each round is one HOF explode + one
+    * map-side-combined aggregate + a 1-row TakeOrdered + a narrow
+    * kernel map; `localCheckpoint` truncates lineage at VOCAB size with
+    * the CC loop's leak-free unpersist of the previous round.
     *
     * The full trajectory is engine-deterministic, so the DuckDB oracle
-    * replays every round (chained CTEs, one per merge) and checks the
-    * learned merges bit-for-bit. If the stream degenerates before
-    * nMerges rounds (no adjacent pairs left), training stops early and
-    * the table holds the merges learned so far.
+    * replays every round (chained CTEs over the same word dictionary)
+    * and checks the learned merges bit-for-bit. If the dictionary
+    * degenerates before nMerges rounds (no adjacent pairs left),
+    * training stops early and the table holds the merges learned so
+    * far.
     */
   def bpeTrainMerges(docs: DataFrame, nMerges: Int,
-                     textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text"): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    var t: DataFrame = docs
-      .select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "w")))
+    val sc = spark.sparkContext
+    def newlyPersisted(action: => Long): scala.collection.Set[Int] = {
+      val before = sc.getPersistentRDDs.keySet
+      action
+      sc.getPersistentRDDs.keySet -- before
+    }
+    var dict = bpeDict(docs, textCol).localCheckpoint(false)
+    var prevRoundIds = newlyPersisted(dict.count())
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
-      // ONE windowed pass per round, checkpointed: the pair count needs
-      // no window of its own (it reads the materialized nw column), and
-      // the rewrite's cum/keep windows reuse the doc partitioning the
-      // checkpoint preserved — per round: one doc shuffle, one
-      // map-side-combined count aggregate, one 1-row TakeOrdered.
-      val base = t
-        .withColumn("seq", row_number().over(byDoc))
-        .withColumn("nw", lead(col("w"), 1).over(byDoc))
-        .localCheckpoint(false)
-      val top = base
-        .filter(col("nw").isNotNull)
-        .groupBy(col("w"), col("nw")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("w").asc, col("nw").asc)
+      val top = bpePairCounts(dict)
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r, a, b, f))
-        val k = base
-          .withColumn("cand",
-            col("nw").isNotNull && col("w") === lit(a) && col("nw") === lit(b))
-          .withColumn("cum",
-            sum(when(col("cand"), 1L).otherwise(0L)).over(byDoc))
-          .withColumn("grp", col("seq") - col("cum"))
-          .withColumn("keep", col("cand") && (row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col(idCol), col("grp"), col("cand"))
-              .orderBy(col("seq"))) % 2 === 1))
-          .withColumn("consumed",
-            coalesce(lag(col("keep"), 1).over(byDoc), lit(false)))
-        t = k.filter(!col("consumed"))
-          .select(col(idCol), col("pos"),
-            when(col("keep"), lit(a + " " + b)).otherwise(col("w")).as("w"))
+        if (r < nMerges) {
+          val next = bpeRewriteRound(dict, a, b).localCheckpoint(false)
+          val thisRoundIds = newlyPersisted(next.count())
+          // the previous round's vocab checkpoint fed this rewrite and
+          // is now garbage — same leak-free pattern as the CC loop
+          prevRoundIds.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          prevRoundIds = thisRoundIds
+          dict = next
+        }
       }
     }
+    prevRoundIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     merges.result().toDF("merge_rank", "token_a", "token_b", "freq")
   }
 
