@@ -234,8 +234,70 @@ object SchemaQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** Avro GENERAL union (more than one non-null member) through the
+    * tagged-struct mapping (AvroSchemas.scala: union → struct<tag,
+    * member0.., memberN..>, the reference's dense-union stand-in,
+    * `nisshi-schema/src/avro/arrow.rs:111-247`), ROUND-TRIPPED on the
+    * wire: build union values from lineitem (even keys carry a long
+    * quantity, odd keys a string flag, every 5th is null), encode to
+    * Avro binary, decode back, and aggregate per tag. Any drift in tag
+    * resolution, member slotting, or null handling in either codec
+    * direction breaks the hash.
+    */
+  def qAvroUnion(s: SparkSession, dir: String): DataFrame = {
+    val avsc =
+      """{"type":"record","name":"uni","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"u","type":["null","long","string"]}]}""".stripMargin
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("id"),
+        when(col("l_orderkey") % 5 === 0, lit(null))
+          .otherwise(struct(
+            (col("l_orderkey") % 2).cast("int").as("tag"),
+            when(col("l_orderkey") % 2 === 0,
+              col("l_quantity").cast("long")).as("member0"),
+            when(col("l_orderkey") % 2 === 1,
+              col("l_returnflag")).as("member1")))
+          .as("u"))
+    val encoded = graft.schema.AvroDecoder
+      .encodeColumn(l, avsc, "payload").select("payload")
+    val decoded = graft.schema.AvroDecoder
+      .decodeColumn(encoded, "payload", avsc, "rec")
+    decoded
+      .groupBy(col("rec.u.tag").as("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rec.u.member0")).as("sum_long"),
+        min(col("rec.u.member1")).as("min_str"),
+        max(col("rec.u.member1")).as("max_str"))
+  }
+
+  /** The `tansu.lake.partition` path end-to-end: write documents as a
+    * TxLog table PARTITIONED on lang (Hive-style `lang=v` directories,
+    * `nisshi-schema/src/lake/delta.rs:228-340`), then read ONE
+    * partition back through the manifest's partition prune
+    * ([[graft.lake.TxLog.readPartition]] — only the matching
+    * directory's files are listed, TxLogSpec pins that) and aggregate.
+    * The oracle computes the same aggregate straight off the source
+    * table, so a prune that drops or leaks rows breaks the hash.
+    */
+  def qLakePartition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-lakepart").toString + "/docs"
+    graft.lake.TxLog.append(docs, table, partitionCols = Seq("lang"))
+    graft.lake.TxLog.readPartition(s, table, Map("lang" -> "de"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_len"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_decimal" -> (qAvroDecimal _),
+    "q_avro_union" -> (qAvroUnion _),
+    "q_lake_partition" -> (qLakePartition _),
     "q_infer_schema" -> (qInferSchema _),
     "q_percentiles" -> (qPercentiles _),
     "q_sessions" -> (qSessions _),
@@ -251,6 +313,24 @@ object SchemaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_lake_partition" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang = 'de' GROUP BY 1""".stripMargin,
+
+    "q_avro_union" ->
+      """SELECT CASE WHEN l_orderkey % 5 = 0 THEN NULL
+        |    ELSE CAST(l_orderkey % 2 AS INT) END AS tag,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN l_orderkey % 5 <> 0 AND l_orderkey % 2 = 0
+        |    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS sum_long,
+        |  min(CASE WHEN l_orderkey % 5 <> 0 AND l_orderkey % 2 = 1
+        |    THEN l_returnflag END) AS min_str,
+        |  max(CASE WHEN l_orderkey % 5 <> 0 AND l_orderkey % 2 = 1
+        |    THEN l_returnflag END) AS max_str
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q_avro_decimal" ->
       """SELECT l_returnflag AS flag,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))

@@ -1056,53 +1056,62 @@ object TrainingQueries {
   }
 
   /** The BPE merge trajectory as chained CTEs — one block per round,
-    * replaying TextAnalysis.bpeTrainMerges step for step: pair counts
-    * over the post-merge stream, the same (freq DESC, a, b) argmax, the
-    * same gaps-and-islands non-overlapping left-to-right rewrite.
-    * Leaves `m1..m{n}` (a, b, freq) for the final UNION.
+    * replaying TextAnalysis.bpeTrainMerges step for step in the
+    * DICTIONARY form: the corpus collapses once to its distinct
+    * whitespace words with frequencies (`string_split(word, '')`
+    * code-point symbols, '' → [''] — the trainer's split contract),
+    * then each round counts freq-weighted adjacent pairs WITHIN words,
+    * takes the same (freq DESC, a, b) argmax, and replays the same
+    * gaps-and-islands non-overlapping left-to-right rewrite per word.
+    * Leaves `m1..m{n}` (a, b, freq) for the final UNION and `s{n}` —
+    * the fully-rewritten per-word symbol stream, i.e. the encoded form
+    * of every dictionary word.
     */
   private def bpeCtes(nMerges: Int): String = {
-    val t0 =
-      """t0 AS (
-        |  SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos,
-        |    unnest(ws) AS w
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+    val s0 =
+      """s0 AS (
+        |  SELECT word, freq, CAST(unnest(range(len(sy))) AS BIGINT) AS pos,
+        |    unnest(sy) AS s
+        |  FROM (
+        |    SELECT word, count(*) AS freq, string_split(word, '') AS sy
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |          FROM documents)
+        |    GROUP BY 1))""".stripMargin
     val rounds = (1 to nMerges).map { r =>
-      val p = s"t${r - 1}"
+      val p = s"s${r - 1}"
       s"""p$r AS (
-         |  SELECT w AS a, nw AS b, count(*) AS freq FROM (
-         |    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS freq FROM (
+         |    SELECT freq, s AS a,
+         |      lead(s) OVER (PARTITION BY word ORDER BY pos) AS b
          |    FROM $p)
-         |  WHERE nw IS NOT NULL GROUP BY 1, 2),
-         |m$r AS (SELECT a, b, CAST(freq AS BIGINT) AS freq FROM p$r
+         |  WHERE b IS NOT NULL GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, freq FROM p$r
          |  ORDER BY freq DESC, a, b LIMIT 1),
-         |s$r AS (
-         |  SELECT doc_id, pos, w,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq,
-         |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
-         |  FROM $p),
          |c$r AS (
-         |  SELECT s.doc_id, s.pos, s.w, s.seq,
-         |    (s.w = m.a AND coalesce(s.nw = m.b, FALSE)) AS cand
-         |  FROM s$r s CROSS JOIN m$r m),
+         |  SELECT t.word, t.freq, t.pos, t.s,
+         |    row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS seq,
+         |    (t.s = m.a AND coalesce(
+         |      lead(t.s) OVER (PARTITION BY t.word ORDER BY t.pos) = m.b,
+         |      FALSE)) AS cand
+         |  FROM $p t CROSS JOIN m$r m),
          |g$r AS (
          |  SELECT *, seq - sum(CASE WHEN cand THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY doc_id ORDER BY seq) AS grp
+         |    OVER (PARTITION BY word ORDER BY seq) AS grp
          |  FROM c$r),
          |k$r AS (
          |  SELECT *, cand AND (row_number() OVER (
-         |      PARTITION BY doc_id, grp, cand ORDER BY seq) % 2 = 1) AS keep
+         |      PARTITION BY word, grp, cand ORDER BY seq) % 2 = 1) AS keep
          |  FROM g$r),
          |d$r AS (
          |  SELECT *, coalesce(lag(keep) OVER (
-         |      PARTITION BY doc_id ORDER BY seq), FALSE) AS consumed
+         |      PARTITION BY word ORDER BY seq), FALSE) AS consumed
          |  FROM k$r),
-         |t$r AS (
-         |  SELECT d.doc_id, d.pos,
-         |    CASE WHEN d.keep THEN m.a || ' ' || m.b ELSE d.w END AS w
+         |s$r AS (
+         |  SELECT d.word, d.freq, d.pos,
+         |    CASE WHEN d.keep THEN m.a || ' ' || m.b ELSE d.s END AS s
          |  FROM d$r d CROSS JOIN m$r m WHERE NOT d.consumed)""".stripMargin
     }
-    (t0 +: rounds).mkString(",\n")
+    (s0 +: rounds).mkString(",\n")
   }
 
   private val knnJoinOracle: String = {
@@ -1736,7 +1745,7 @@ object TrainingQueries {
       s"""SELECT doc_id,
          |  min(${dh("sh")}) AS fp_min,
          |  max(${dh("sh")}) AS fp_max,
-         |  arg_min(${dh("sh")}, sh) AS fp_first,
+         |  arg_min(${dh("sh")}, ${dh("sh || '#'")}) AS fp_first,
          |  count(*) AS n_shingles
          |FROM sh GROUP BY doc_id""".stripMargin),
 
@@ -2098,12 +2107,18 @@ object TrainingQueries {
     },
 
     "q_bpe_encode" ->
-      s"""WITH ${bpeCtes(4)}
-         |SELECT doc_id, count(*) AS n_tokens,
-         |  CAST(sum(CASE WHEN w LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_merged,
-         |  CAST(sum(strlen(w)) AS BIGINT) AS total_len
-         |FROM t4 GROUP BY 1""".stripMargin,
+      s"""WITH ${bpeCtes(4)},
+         |wenc AS (
+         |  SELECT word, count(*) AS n_syms,
+         |    sum(CASE WHEN s LIKE '% %' THEN 1 ELSE 0 END) AS w_merged,
+         |    sum(length(s)) AS w_len
+         |  FROM s4 GROUP BY 1),
+         |inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+         |  CAST(sum(w_merged) AS BIGINT) AS n_merged,
+         |  CAST(sum(w_len) AS BIGINT) AS total_len
+         |FROM inst JOIN wenc USING (word) GROUP BY 1""".stripMargin,
 
     "q_epoch_schedule" ->
       """WITH s AS (

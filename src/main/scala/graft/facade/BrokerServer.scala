@@ -1254,14 +1254,35 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
   }
 
   /** One handler for every served Fetch version: classic v4-v11 and
-    * flexible v12 differ only in codec, not semantics. The per-partition
-    * result carries the aborted-transaction list that read_committed
-    * consumers use to drop aborted records client-side (J3 interval
-    * overlap on the wire) — real on every version that can encode it.
+    * flexible v12-v16 differ only in codec, not semantics. The
+    * per-partition result carries the aborted-transaction list that
+    * read_committed consumers use to drop aborted records client-side
+    * (J3 interval overlap on the wire) — real on every version that can
+    * encode it. v13+ requests address topics by uuid (KIP-516),
+    * resolved through the name-derived id scheme; ids naming no known
+    * topic are answered per-partition with UNKNOWN_TOPIC_ID (100), the
+    * request id echoed so the client can correlate.
     */
   private def handleFetch(buf: ByteBuffer, out: ByteBuffer,
                           version: Int): ByteBuffer = {
-    val req = if (version >= 12) readFetchV12(buf) else readFetch(buf, version)
+    val rawReq =
+      if (version >= 12) {
+        // resolve v13+ topic ids against the CURRENT topic set
+        lazy val known = storage.topics
+        readFetchV12(buf, version,
+          resolveId = u => known.find(t => WireProtocol.topicUuid(t) == u).orNull)
+      } else readFetch(buf, version)
+    // unresolved ids split out of the session/read flow entirely: their
+    // partitions answer UNKNOWN_TOPIC_ID without touching storage
+    val (unknownTopics, knownTopics) =
+      rawReq.topics.partition(t => t.topic == null)
+    val unknownIdResults = unknownTopics.map { t =>
+      (t.topicId, t.partitions.map(p =>
+        WireProtocol.FetchV12PartResult(p.partition, 100, -1L, -1L, -1L,
+          Nil, Array.empty[Byte])))
+    }
+    val req = rawReq.copy(topics = knownTopics,
+      forgotten = rawReq.forgotten.filter(_._1 != null))
     val readCommitted = req.isolation == 1
     // request-level max_bytes caps the WHOLE response across partitions
     // (the first partition may overshoot by one batch, as in Kafka)
@@ -1371,13 +1392,14 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         128 + 16 * p.aborted.size +
           Option(p.records).map(_.length).getOrElse(0)
       }.sum
-    }.sum
+    }.sum + unknownIdResults.iterator.map(u => 64 + 128 * u._2.size).sum
     val b = if (bound <= out.remaining()) out else ByteBuffer.allocate(bound)
     val throttle = fetchThrottleMs(results.iterator.map(_._2.iterator
       .map(p => Option(p.records).map(_.length.toLong).getOrElse(0L)).sum).sum)
     if (version >= 12) {
       writeEmptyTaggedFields(b)
-      writeFetchResponseV12(b, results, error, sessionId, throttle)
+      writeFetchResponseV12(b, results, error, sessionId, throttle,
+        version, unknownIdResults)
     } else writeFetchResponseClassic(b, results, version, error, sessionId,
       throttle)
     b

@@ -273,7 +273,12 @@ object WireProtocol {
   }
 
   final case class FetchPartition(partition: Int, fetchOffset: Long, maxBytes: Int)
-  final case class FetchTopic(topic: String, partitions: Seq[FetchPartition])
+  /** `topicId` is non-null only on Fetch v13+ requests (KIP-516 — topics
+    * addressed by uuid); `topic` is null there when the id did not
+    * resolve to a known topic (the broker answers UNKNOWN_TOPIC_ID).
+    */
+  final case class FetchTopic(topic: String, partitions: Seq[FetchPartition],
+                              topicId: java.util.UUID = null)
   /** sessionEpoch -1 = sessionless (the pre-KIP-227 behavior); 0 = full
     * fetch that establishes a session; n+1 = incremental fetch on
     * sessionId where `topics` carries only adds/updates and `forgotten`
@@ -1765,7 +1770,7 @@ object WireProtocol {
 
   /** (api_key, min_version, max_version) triples this facade serves. */
   val SupportedApis: Seq[(Int, Int, Int)] = Seq(
-    (0, 3, 9), (1, 4, 12), (2, 0, 8), (3, 1, 9),
+    (0, 3, 11), (1, 4, 16), (2, 0, 8), (3, 1, 9),
     (8, 0, 8), (9, 0, 7), (10, 0, 4), (11, 0, 6), (12, 0, 4), (13, 0, 4),
     (14, 0, 4), (15, 0, 5), (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7),
     (20, 0, 6), (21, 0, 2), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
@@ -2214,19 +2219,30 @@ object WireProtocol {
     (topics, throttle)
   }
 
-  /** Fetch v12 (flexible) request — session fields drive the
-    * incremental fetch-session machinery in the broker.
+  /** Fetch v12-v16 (flexible) request — session fields drive the
+    * incremental fetch-session machinery in the broker. Version gates
+    * (FetchRequest.json): v13+ addresses topics by UUID (KIP-516) — the
+    * caller supplies `resolveId` to map ids back to names (null result =
+    * unknown id, answered UNKNOWN_TOPIC_ID); v15+ drops the top-level
+    * replica_id (moved to the tagged ReplicaState field, KIP-903, which
+    * the trailing tagged-field skip consumes).
     */
-  def readFetchV12(buf: ByteBuffer): FetchRequest = {
-    buf.getInt // replica_id
+  def readFetchV12(buf: ByteBuffer, version: Int = 12,
+                   resolveId: java.util.UUID => String = null): FetchRequest = {
+    if (version <= 14) buf.getInt // replica_id
     val maxWait = buf.getInt
     val minBytes = buf.getInt
     val maxBytes = buf.getInt
     val isolation = buf.get()
     val sid = buf.getInt
     val sep = buf.getInt
+    def topicKey(): (String, java.util.UUID) =
+      if (version >= 13) {
+        val u = getUuid(buf)
+        (if (resolveId ne null) resolveId(u) else null, u)
+      } else (readCompactString(buf), null)
     val topics = (0 until readCompactArrayLen(buf)).map { _ =>
-      val t = readCompactString(buf)
+      val (t, id) = topicKey()
       val parts = (0 until readCompactArrayLen(buf)).map { _ =>
         val p = buf.getInt
         buf.getInt // current_leader_epoch
@@ -2238,10 +2254,10 @@ object WireProtocol {
         FetchPartition(p, off, pmax)
       }
       skipTaggedFields(buf)
-      FetchTopic(t, parts)
+      FetchTopic(t, parts, id)
     }
     val forgotten = (0 until readCompactArrayLen(buf)).map { _ =>
-      val t = readCompactString(buf)
+      val (t, _) = topicKey()
       val ps = (0 until readCompactArrayLen(buf)).map(_ => buf.getInt).toSeq
       skipTaggedFields(buf)
       t -> ps
@@ -2252,17 +2268,22 @@ object WireProtocol {
       sid, sep, forgotten)
   }
 
-  def writeFetchV12(buf: ByteBuffer, r: FetchRequest): Unit = {
-    buf.putInt(-1)
+  def writeFetchV12(buf: ByteBuffer, r: FetchRequest,
+                    version: Int = 12): Unit = {
+    if (version <= 14) buf.putInt(-1)
     buf.putInt(r.maxWaitMs)
     buf.putInt(r.minBytes)
     buf.putInt(r.maxBytes)
     buf.put(r.isolation)
     buf.putInt(r.sessionId)
     buf.putInt(r.sessionEpoch)
+    def putTopicKey(name: String, id: java.util.UUID): Unit =
+      if (version >= 13)
+        putUuid(buf, if (id != null) id else topicUuid(name))
+      else writeCompactString(buf, name)
     writeCompactArrayLen(buf, r.topics.size)
     r.topics.foreach { t =>
-      writeCompactString(buf, t.topic)
+      putTopicKey(t.topic, t.topicId)
       writeCompactArrayLen(buf, t.partitions.size)
       t.partitions.foreach { p =>
         buf.putInt(p.partition)
@@ -2277,7 +2298,7 @@ object WireProtocol {
     }
     writeCompactArrayLen(buf, r.forgotten.size)
     r.forgotten.foreach { case (t, ps) =>
-      writeCompactString(buf, t)
+      putTopicKey(t, null)
       writeCompactArrayLen(buf, ps.size); ps.foreach(buf.putInt)
       writeEmptyTaggedFields(buf)
     }
@@ -2291,19 +2312,27 @@ object WireProtocol {
                                       aborted: Seq[(Long, Long)],
                                       records: Array[Byte])
 
-  /** Fetch v12 response — includes the aborted-transaction list that
-    * read_committed consumers use to drop aborted records client-side.
+  /** Fetch v12-v16 response — includes the aborted-transaction list
+    * that read_committed consumers use to drop aborted records
+    * client-side. For v13+ topics are keyed by UUID: named entries emit
+    * their name-derived uuid; `unknownIds` entries (unresolved request
+    * ids, each echoed verbatim with UNKNOWN_TOPIC_ID partitions) ride
+    * only on v13+ and are dropped from a ≤v12 response, which has no id
+    * to echo. v16's NodeEndpoints is a tagged optional this
+    * single-broker facade rightly omits.
     */
   def writeFetchResponseV12(buf: ByteBuffer,
                             results: Seq[(String, Seq[FetchV12PartResult])],
                             error: Short = 0, sessionId: Int = 0,
-                            throttleMs: Int = 0): Unit = {
+                            throttleMs: Int = 0, version: Int = 12,
+                            unknownIds: Seq[(java.util.UUID, Seq[FetchV12PartResult])] = Nil)
+      : Unit = {
     buf.putInt(throttleMs)
     buf.putShort(error)
     buf.putInt(sessionId)
-    writeCompactArrayLen(buf, results.size)
-    results.foreach { case (topic, parts) =>
-      writeCompactString(buf, topic)
+    val unk = if (version >= 13) unknownIds else Nil
+    writeCompactArrayLen(buf, results.size + unk.size)
+    def putParts(parts: Seq[FetchV12PartResult]): Unit = {
       writeCompactArrayLen(buf, parts.size)
       parts.foreach { r =>
         buf.putInt(r.partition)
@@ -2323,22 +2352,40 @@ object WireProtocol {
       }
       writeEmptyTaggedFields(buf)
     }
+    results.foreach { case (topic, parts) =>
+      if (version >= 13) putUuid(buf, topicUuid(topic))
+      else writeCompactString(buf, topic)
+      putParts(parts)
+    }
+    unk.foreach { case (id, parts) =>
+      putUuid(buf, id)
+      putParts(parts)
+    }
     writeEmptyTaggedFields(buf)
   }
 
-  def readFetchResponseV12(buf: ByteBuffer): Seq[(String, Seq[FetchV12PartResult])] =
-    readFetchResponseV12Full(buf)._3
+  def readFetchResponseV12(buf: ByteBuffer, version: Int = 12,
+                           resolveId: java.util.UUID => String = null)
+      : Seq[(String, Seq[FetchV12PartResult])] =
+    readFetchResponseV12Full(buf, version, resolveId)._3
 
   /** Like [[readFetchResponseV12]] but surfacing the session header
-    * (top-level error code, session id).
+    * (top-level error code, session id). For v13+ responses, topics
+    * resolve through `resolveId` (an unresolvable id yields the uuid's
+    * string form so the caller still sees the row).
     */
-  def readFetchResponseV12Full(buf: ByteBuffer)
+  def readFetchResponseV12Full(buf: ByteBuffer, version: Int = 12,
+                               resolveId: java.util.UUID => String = null)
       : (Short, Int, Seq[(String, Seq[FetchV12PartResult])]) = {
     buf.getInt // throttle
     val error = buf.getShort
     val sessionId = buf.getInt
     val out = (0 until readCompactArrayLen(buf)).map { _ =>
-      val t = readCompactString(buf)
+      val t =
+        if (version >= 13) {
+          val u = getUuid(buf)
+          Option(resolveId).flatMap(f => Option(f(u))).getOrElse(u.toString)
+        } else readCompactString(buf)
       val parts = (0 until readCompactArrayLen(buf)).map { _ =>
         val p = buf.getInt
         val err = buf.getShort

@@ -35,23 +35,32 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeKernels {
 
+  /** The ONE code-point splitter ("" → [""], surrogate pairs kept
+    * whole) — both the dictionary initialization ([[charSyms]]) and the
+    * encode path ([[bpeApplyWords]]) call this, so the split contract
+    * cannot drift between training and encoding.
+    */
+  private def symsList(w: UTF8String): java.util.ArrayList[UTF8String] = {
+    val s = w.toString
+    val out = new java.util.ArrayList[UTF8String](s.length max 1)
+    if (s.isEmpty) out.add(UTF8String.fromString(""))
+    else {
+      val cps = s.codePoints().toArray
+      var i = 0
+      while (i < cps.length) {
+        out.add(UTF8String.fromString(new String(cps, i, 1)))
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Code-point symbols of one word: "" → [""] (the split contract both
     * the trainer's dictionary and the DuckDB oracle's
     * `string_split(word, '')` use), surrogate pairs kept whole.
     */
-  def charSyms(w: UTF8String): ArrayData = {
-    val s = w.toString
-    if (s.isEmpty)
-      return new GenericArrayData(Array[Any](UTF8String.fromString("")))
-    val cps = s.codePoints().toArray
-    val out = new Array[Any](cps.length)
-    var i = 0
-    while (i < cps.length) {
-      out(i) = UTF8String.fromString(new String(cps, i, 1))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  def charSyms(w: UTF8String): ArrayData =
+    new GenericArrayData(symsList(w).toArray())
 
   /** One pass per rank over one symbol array; O(ranks × symbols). */
   def bpeApply(toks: ArrayData, a: Array[UTF8String], b: Array[UTF8String],
@@ -115,22 +124,17 @@ object BpeKernels {
       if (words.isNullAt(t))
         throw new IllegalArgumentException(
           "bpe_encode: null token — clean the corpus first")
-      val w = words.getUTF8String(t).toString
-      val syms = new java.util.ArrayList[UTF8String](w.length max 1)
-      if (w.isEmpty) syms.add(UTF8String.fromString(""))
-      else {
-        val cps = w.codePoints().toArray
-        var i = 0
-        while (i < cps.length) {
-          syms.add(UTF8String.fromString(new String(cps, i, 1)))
-          i += 1
-        }
-      }
-      out.addAll(applyRanks(syms, a, b, merged))
+      out.addAll(applyRanks(symsList(words.getUTF8String(t)), a, b, merged))
       t += 1
     }
     new GenericArrayData(out.toArray())
   }
+
+  /** [[bpeApply]] against a pre-built merge-table tuple — the codegen
+    * entry point of the PLAIN (non-broadcast) per-round rewrite.
+    */
+  def bpeApplyTbl(toks: ArrayData, t: BpeKernelsBc.MergeTable): ArrayData =
+    bpeApply(toks, t._1, t._2, t._3)
 
   /** The broadcast payload: (a, b, "a b") columns of the rank-ordered
     * merge table, pre-encoded as UTF8String so executors deserialize it
@@ -147,17 +151,11 @@ object BpeKernels {
 object BpeKernelsBc {
   type MergeTable = (Array[UTF8String], Array[UTF8String], Array[UTF8String])
 
-  /** Symbol-level rewrite against a broadcast merge table (`bc.value`
-    * is a cached field read after the first per-executor fetch — the
-    * per-row cost is a null check, the per-TASK cost is zero bytes of
-    * driver egress).
+  /** Word-level encode against a broadcast merge table (`bc.value` is a
+    * cached field read after the first per-executor fetch — the per-row
+    * cost is a null check, the per-TASK cost is zero bytes of driver
+    * egress).
     */
-  def bpeApply(toks: ArrayData, bc: Broadcast[MergeTable]): ArrayData = {
-    val t = bc.value
-    BpeKernels.bpeApply(toks, t._1, t._2, t._3)
-  }
-
-  /** Word-level encode against a broadcast merge table. */
   def bpeApplyWords(words: ArrayData, bc: Broadcast[MergeTable]): ArrayData = {
     val t = bc.value
     BpeKernels.bpeApplyWords(words, t._1, t._2, t._3)
@@ -165,12 +163,19 @@ object BpeKernelsBc {
 }
 
 /** `bpe_rewrite(syms)`: rewrite an array<string> SYMBOL stream through a
-  * rank-ordered merge table riding as a `Broadcast` (one copy per
-  * executor, not one per task). The trainer's per-round rewrite.
+  * rank-ordered merge table riding as a PLAIN reference object inside
+  * the serialized expression. This is the trainer's per-round rewrite:
+  * the table is one (or a few) rules, so shipping it in the task binary
+  * is bytes — while a `Broadcast` per training round would mint 32k
+  * never-destroyed broadcast blocks over a real vocabulary run. The
+  * corpus-facing encode path ([[BpeEncodeWords]]) carries the full
+  * trained table and DOES broadcast.
   */
-case class BpeEncode(child: Expression,
-                     merges: Broadcast[BpeKernelsBc.MergeTable])
+case class BpeRewriteSyms(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
+
+  @transient private lazy val table: BpeKernelsBc.MergeTable =
+    BpeKernels.mergeArrays(merges)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_rewrite"
@@ -182,16 +187,15 @@ case class BpeEncode(child: Expression,
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    BpeKernelsBc.bpeApply(v.asInstanceOf[ArrayData], merges)
+    BpeKernels.bpeApplyTbl(v.asInstanceOf[ArrayData], table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bcRef = ctx.addReferenceObj("bpeMergesBc", merges,
-      "org.apache.spark.broadcast.Broadcast")
+    val tblRef = ctx.addReferenceObj("bpeTbl", table, "scala.Tuple3")
     defineCodeGen(ctx, ev,
-      v => s"graft.functions.BpeKernelsBc.bpeApply($v, $bcRef)")
+      v => s"graft.functions.BpeKernels.bpeApplyTbl($v, $tblRef)")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+  override protected def withNewChildInternal(newChild: Expression): BpeRewriteSyms =
     copy(child = newChild)
 }
 
@@ -252,10 +256,19 @@ case class CharSyms(child: Expression) extends UnaryExpression {
 
 object BpeExpressions {
 
+  /** Test hook: merge-table broadcasts minted by this JVM. Training
+    * must not mint ANY (its per-round rewrite ships plain reference
+    * objects); only the corpus-facing encode broadcasts count here.
+    */
+  private[graft] val broadcastsMinted =
+    new java.util.concurrent.atomic.AtomicLong
+
   private def bcMerges(merges: Seq[(String, String)])
-      : Broadcast[BpeKernelsBc.MergeTable] =
+      : Broadcast[BpeKernelsBc.MergeTable] = {
+    broadcastsMinted.incrementAndGet()
     org.apache.spark.sql.SparkSession.active.sparkContext
       .broadcast(BpeKernels.mergeArrays(merges))
+  }
 
   /** Column API: encode an array<string> WORD column through the
     * rank-ordered merge table (each word → code-point symbols → merge
@@ -266,11 +279,12 @@ object BpeExpressions {
       bcMerges(merges)))
 
   /** Column API: rewrite an array<string> SYMBOL column through the
-    * merge table — the trainer's per-round rewrite step.
+    * merge table — the trainer's per-round rewrite step. The table is
+    * round-sized (one rule), so it rides as a plain reference object:
+    * no broadcast to mint, none to leak across 32k training rounds.
     */
   def bpeRewriteSyms(syms: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeEncode(ColumnBridge.expression(syms),
-      bcMerges(merges)))
+    ColumnBridge.column(BpeRewriteSyms(ColumnBridge.expression(syms), merges))
 
   /** Column API: code-point symbol array of a word column. */
   def charSyms(word: Column): Column =

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -16,9 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * e6-scaled integer) by Viterbi dynamic programming over the word's
   * positions. TRAINING (hard-EM over corpus word counts) lives in
   * [[graft.ops.TextAnalysis.unigramTrain]]; this file is the encode
-  * kernel: the piece table rides into executors once as a reference
-  * object and each row segments in a tight local loop — a shuffle-free
-  * narrow map, same deployment shape as [[BpeEncode]].
+  * kernel: the piece table rides into executors once per EXECUTOR as a
+  * `Broadcast` and each row segments in a tight local loop — a
+  * shuffle-free narrow map, same deployment shape as
+  * [[BpeEncodeWords]].
   *
   * Determinism: integer costs; ties broken by PREFERRING THE LONGER
   * PIECE ending at each position (then the position order itself), so
@@ -124,20 +126,32 @@ object UnigramKernels {
   }
 }
 
+/** The piece table as a `Broadcast` — one copy per EXECUTOR, fetched on
+  * first use, instead of a serialized HashMap inside every task binary
+  * (a 32k-piece vocab in the task closure is the "task of very large
+  * size" failure mode: at 100k tasks it is hundreds of GB of driver
+  * egress). Same deployment shape as [[BpeKernelsBc]].
+  */
+object UnigramKernelsBc {
+  type PieceTable = java.util.HashMap[String, java.lang.Long]
+
+  def encode(toks: ArrayData, bc: Broadcast[PieceTable], maxLen: Int,
+             unkCostE6: Long): ArrayData =
+    UnigramKernels.encode(toks, bc.value, maxLen, unkCostE6)
+
+  def nbest(word: UTF8String, bc: Broadcast[PieceTable], maxLen: Int,
+            unkCostE6: Long, n: Int): ArrayData =
+    UnigramKernelsNbest.nbest(word, bc.value, maxLen, unkCostE6, n)
+}
+
 /** `unigram_encode(tokens)`: segment an array<string> word stream into
   * the min-cost piece stream under a fixed (piece → costE6) table
-  * (driver-side constant shipped as reference objects — not a join).
+  * riding as a `Broadcast` (once per executor, not once per task).
   */
-case class UnigramEncode(child: Expression, pieces: Vector[String],
-                         costsE6: Vector[Long], maxLen: Int,
-                         unkCostE6: Long)
+case class UnigramEncode(child: Expression,
+                         table: Broadcast[UnigramKernelsBc.PieceTable],
+                         maxLen: Int, unkCostE6: Long)
     extends UnaryExpression {
-  require(pieces.length == costsE6.length,
-    "pieces and costs must align")
-
-  @transient private lazy val table
-      : java.util.HashMap[String, java.lang.Long] =
-    UnigramKernels.buildTable(pieces, costsE6)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "unigram_encode"
@@ -149,14 +163,15 @@ case class UnigramEncode(child: Expression, pieces: Vector[String],
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    UnigramKernels.encode(v.asInstanceOf[ArrayData], table, maxLen, unkCostE6)
+    UnigramKernelsBc.encode(v.asInstanceOf[ArrayData], table, maxLen,
+      unkCostE6)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val tRef = ctx.addReferenceObj("unigramTable", table,
-      "java.util.HashMap")
+    val tRef = ctx.addReferenceObj("unigramTableBc", table,
+      "org.apache.spark.broadcast.Broadcast")
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.UnigramKernels.encode($v, $tRef, $maxLen, ${unkCostE6}L)")
+      s"graft.functions.UnigramKernelsBc.encode($v, $tRef, $maxLen, ${unkCostE6}L)")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -243,15 +258,11 @@ object UnigramKernelsNbest {
   * a fixed piece table, as array<struct<pieces array<string>, cost_e6
   * bigint>> sorted by cost.
   */
-case class UnigramNbest(child: Expression, pieces: Vector[String],
-                        costsE6: Vector[Long], maxLen: Int,
-                        unkCostE6: Long, n: Int)
+case class UnigramNbest(child: Expression,
+                        table: Broadcast[UnigramKernelsBc.PieceTable],
+                        maxLen: Int, unkCostE6: Long, n: Int)
     extends UnaryExpression {
   require(n >= 1 && n <= 64, s"n out of [1, 64]: $n")
-
-  @transient private lazy val table
-      : java.util.HashMap[String, java.lang.Long] =
-    UnigramKernels.buildTable(pieces, costsE6)
 
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
@@ -269,15 +280,15 @@ case class UnigramNbest(child: Expression, pieces: Vector[String],
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    UnigramKernelsNbest.nbest(v.asInstanceOf[UTF8String], table, maxLen,
+    UnigramKernelsBc.nbest(v.asInstanceOf[UTF8String], table, maxLen,
       unkCostE6, n)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val tRef = ctx.addReferenceObj("unigramNbestTable", table,
-      "java.util.HashMap")
+    val tRef = ctx.addReferenceObj("unigramNbestTableBc", table,
+      "org.apache.spark.broadcast.Broadcast")
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.UnigramKernelsNbest.nbest($v, $tRef, $maxLen, " +
+      s"graft.functions.UnigramKernelsBc.nbest($v, $tRef, $maxLen, " +
         s"${unkCostE6}L, $n)")
   }
 
@@ -286,20 +297,41 @@ case class UnigramNbest(child: Expression, pieces: Vector[String],
 }
 
 object UnigramExpressions {
+
+  /** Broadcast a (piece, costE6) vocab once; hand the result to the
+    * `...Bc` builders below. Callers running a TRAINING LOOP should
+    * mint one per round and `destroy()` it once the round's result is
+    * materialized — otherwise a long EM run accumulates dead broadcast
+    * blocks.
+    */
+  def broadcastVocab(vocab: Seq[(String, Long)])
+      : Broadcast[UnigramKernelsBc.PieceTable] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+      UnigramKernels.buildTable(vocab.map(_._1).toVector,
+        vocab.map(_._2).toVector))
+
+  /** Column API: segment an array<string> word column through an
+    * already-broadcast piece table (caller owns the lifecycle).
+    */
+  def unigramEncodeBc(tokens: Column,
+                      table: Broadcast[UnigramKernelsBc.PieceTable],
+                      maxLen: Int, unkCostE6: Long): Column =
+    ColumnBridge.column(UnigramEncode(ColumnBridge.expression(tokens),
+      table, maxLen, unkCostE6))
+
   /** Column API: segment an array<string> word column through a trained
-    * (piece, costE6) table.
+    * (piece, costE6) table; the table broadcasts once per plan.
     */
   def unigramEncode(tokens: Column, vocab: Seq[(String, Long)],
                     maxLen: Int, unkCostE6: Long): Column =
-    ColumnBridge.column(UnigramEncode(ColumnBridge.expression(tokens),
-      vocab.map(_._1).toVector, vocab.map(_._2).toVector, maxLen, unkCostE6))
+    unigramEncodeBc(tokens, broadcastVocab(vocab), maxLen, unkCostE6)
 
   /** Column API: the n cheapest segmentations of one WORD (the support
-    * subword-regularization sampling draws over).
+    * subword-regularization sampling draws over); the table broadcasts
+    * once per plan.
     */
   def unigramNbest(word: Column, vocab: Seq[(String, Long)], maxLen: Int,
                    unkCostE6: Long, n: Int): Column =
     ColumnBridge.column(UnigramNbest(ColumnBridge.expression(word),
-      vocab.map(_._1).toVector, vocab.map(_._2).toVector, maxLen,
-      unkCostE6, n))
+      broadcastVocab(vocab), maxLen, unkCostE6, n))
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -140,19 +141,31 @@ case class DotQLongs(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
-/** `nearest_centroid(v)`: struct(cid, dist) of the closest centroid in
-  * a fixed centroid table (driver-side constant, shipped once per plan
-  * as a reference object — NOT k·dims literal nodes, which bloat the
-  * plan and the generated code alike, and NOT a dist·k+cid packed key,
-  * which overflows at large k).
+/** The (cids, centroids) table as a `Broadcast` — one copy per
+  * EXECUTOR, fetched on first use, instead of k·dims longs serialized
+  * into every task binary (at SemDeDup's k≈10k over 64 dims that is
+  * ~5 MB PER TASK of driver egress — the "task of very large size"
+  * failure mode). Same deployment shape as [[BpeKernelsBc]].
   */
-case class NearestCentroid(child: Expression, cids: Vector[Long],
-                           cents: Vector[Vector[Long]])
-    extends UnaryExpression {
+object VectorKernelsBc {
+  type CentroidTable = (Array[Long], Array[Array[Long]])
 
-  @transient private lazy val centsArr: Array[Array[Long]] =
-    cents.map(_.toArray).toArray
-  @transient private lazy val cidsArr: Array[Long] = cids.toArray
+  def nearestCentroid(v: ArrayData,
+                      bc: Broadcast[CentroidTable]): InternalRow = {
+    val t = bc.value
+    VectorKernels.nearestCentroid(v, t._2, t._1)
+  }
+}
+
+/** `nearest_centroid(v)`: struct(cid, dist) of the closest centroid in
+  * a fixed centroid table riding as a `Broadcast` (once per executor —
+  * NOT k·dims literal nodes, which bloat the plan and the generated
+  * code alike, and NOT a dist·k+cid packed key, which overflows at
+  * large k).
+  */
+case class NearestCentroid(child: Expression,
+                           table: Broadcast[VectorKernelsBc.CentroidTable])
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("cid", LongType, nullable = false),
@@ -166,13 +179,13 @@ case class NearestCentroid(child: Expression, cids: Vector[Long],
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], centsArr, cidsArr)
+    VectorKernelsBc.nearestCentroid(v.asInstanceOf[ArrayData], table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("cents", centsArr, "long[][]")
-    val iRef = ctx.addReferenceObj("cids", cidsArr, "long[]")
+    val tRef = ctx.addReferenceObj("centsBc", table,
+      "org.apache.spark.broadcast.Broadcast")
     defineCodeGen(ctx, ev,
-      v => s"graft.functions.VectorKernels.nearestCentroid($v, $cRef, $iRef)")
+      v => s"graft.functions.VectorKernelsBc.nearestCentroid($v, $tRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
@@ -184,16 +197,32 @@ object VectorExpressions {
   def dotq(a: Column, b: Column): Column =
     ColumnBridge.column(DotQLongs(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Column API: struct(cid, dist) of the nearest fixed (cid, centroid)
-    * row; centroids must arrive sorted by cid (ties break to the first,
-    * i.e. smallest, cid) and may be sparse once clusters vanish.
+  /** Broadcast a (cid, centroid) table once; hand the result to
+    * [[nearestCentroidBc]]. Centroids must arrive sorted by cid (ties
+    * break to the first, i.e. smallest, cid) and may be sparse once
+    * clusters vanish. Callers running a TRAINING LOOP (Lloyd) should
+    * mint one per iteration and `destroy()` it once the iteration's
+    * aggregate is collected.
     */
-  def nearestCentroid(v: Column, cents: Seq[(Long, IndexedSeq[Long])]): Column = {
+  def broadcastCentroids(cents: Seq[(Long, IndexedSeq[Long])])
+      : Broadcast[VectorKernelsBc.CentroidTable] = {
     require(cents.map(_._1) == cents.map(_._1).sorted,
       "centroids must be sorted by cid for the smaller-cid tie-break")
-    ColumnBridge.column(NearestCentroid(
-      ColumnBridge.expression(v),
-      cents.map(_._1).toVector,
-      cents.map(_._2.toVector).toVector))
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+      (cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
   }
+
+  /** Column API: struct(cid, dist) of the nearest centroid in an
+    * already-broadcast table (caller owns the lifecycle).
+    */
+  def nearestCentroidBc(v: Column,
+                        table: Broadcast[VectorKernelsBc.CentroidTable])
+      : Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), table))
+
+  /** Column API: struct(cid, dist) of the nearest fixed (cid, centroid)
+    * row; the table broadcasts once per plan.
+    */
+  def nearestCentroid(v: Column, cents: Seq[(Long, IndexedSeq[Long])]): Column =
+    nearestCentroidBc(v, broadcastCentroids(cents))
 }

@@ -805,6 +805,69 @@ object TxLog {
     }
   }
 
+  /** Spark escapes Hive-special chars in partition directory values as
+    * %XX — decode exactly that (NOT URLDecoder, whose '+'→space rule
+    * would corrupt literal plus signs).
+    */
+  private def unescapePathName(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        sb.append(hex.toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Hive-style `k=v` partition values carried in a manifest file path. */
+  private[graft] def partitionValues(file: String): Map[String, String] =
+    file.split('/').dropRight(1).iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i) -> unescapePathName(seg.substring(i + 1)))
+      else None
+    }.toMap
+
+  /** Files of `snap` whose partition-DIRECTORY values can match every
+    * `filters` entry — the `tansu.lake.partition` read path
+    * (`nisshi-schema/src/lake/delta.rs:228-340` partitions the Delta
+    * table on configured columns for exactly this listing cut). A file
+    * whose layout lacks a filtered column is kept (conservative — the
+    * exact predicate still runs on the survivors).
+    */
+  private[graft] def prunePartitions(snap: Snapshot,
+                                     filters: Map[String, String]): Seq[String] =
+    snap.files.filter { f =>
+      val pv = partitionValues(f)
+      filters.forall { case (k, v) => pv.get(k).forall(_ == v) }
+    }
+
+  /** Partition-pruned read: list ONLY the files under matching `k=v`
+    * directories, then apply the exact equality predicates. At 100 TB a
+    * date/tenant-partitioned table turns a full-table listing+scan into
+    * a single-directory one — the partition analogue of [[readRange]]'s
+    * stats skipping, and like it never TRUSTED for correctness: the
+    * filter still runs on every surviving row. Null filter values are
+    * refused (Hive's null-partition sentinel is not modeled).
+    */
+  def readPartition(spark: SparkSession, table: String,
+                    filters: Map[String, Any]): DataFrame = {
+    require(filters.nonEmpty, "readPartition: empty filter map")
+    require(filters.values.forall(_ != null),
+      "readPartition: null partition filter value")
+    val t = posixTable(table)
+    val snap = currentSnapshot(t).getOrElse(
+      throw new IllegalArgumentException(s"$t has no _graft_log"))
+    val strFilters = filters.map { case (k, v) => k -> v.toString }
+    val df = readFiles(spark, t, prunePartitions(snap, strFilters),
+      snap.schemaJson)
+    filters.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+  }
+
   /** Data-skipping read: scan only the files whose manifest stats can
     * overlap `[lo, hi]` on `colName` (inclusive), then apply the exact
     * predicate — at 100 TB this is the difference between opening every

@@ -411,12 +411,16 @@ object Similarity {
         case (r, i) => i.toLong -> r.getSeq[Long](1).toIndexedSeq
       }
     for (_ <- 0 until iters) {
+      // one broadcast per iteration, destroyed once the k-row aggregate
+      // is on the driver — a long Lloyd run leaks no broadcast blocks
+      val bc = graft.functions.VectorExpressions.broadcastCentroids(cents)
       val sums = v.withColumn("__nc",
-          graft.functions.VectorExpressions.nearestCentroid(col("qe"), cents))
+          graft.functions.VectorExpressions.nearestCentroidBc(col("qe"), bc))
         .groupBy(col("__nc.cid").as("cid"))
         .agg(count(lit(1)).as("cnt"),
           (0 until dims).map(i => sum(element_at(col("qe"), i + 1)).as(s"s$i")): _*)
         .collect()
+      bc.destroy()
       cents = sums.map { r =>
         val cnt = r.getLong(1)
         r.getLong(0) -> (0 until dims)

@@ -153,19 +153,24 @@ object TextAnalysis {
 
   /** Document fingerprints: 60-bit content min-hash over word 3-shingles
     * (rolling-hash-style): min/max hashes over the shingle set plus
-    * `fp_first` = the hash of the LEXICOGRAPHICALLY SMALLEST shingle
-    * (min_by on the shingle text — a content-stable anchor, NOT the
-    * document's opening shingle). Groupable for near-dup clustering;
-    * one explode + aggregate.
+    * `fp_first` = the hash of the shingle that minimizes a SECOND,
+    * independently-salted hash (a second minhash permutation — a
+    * content-stable anchor, NOT the document's opening shingle). The
+    * anchor ordering is the 8-byte salted hash, never the shingle
+    * string itself: carrying full shingle text through the min_by
+    * aggregate would make every partial-aggregate row string-wide —
+    * measured multi-second at sf0.1, and a byte-bandwidth multiplier at
+    * 100 TB. Groupable for near-dup clustering; one explode + aggregate.
     */
   def fingerprint(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val sh = Dedup.explodedShingles(docs, 3, textCol, idCol)
       .withColumn("h", Dedup.h60(col("sh")))
+      .withColumn("h2", Dedup.h60(concat(col("sh"), lit("#"))))
     sh.groupBy(col(idCol)).agg(
       min(col("h")).as("fp_min"),
       max(col("h")).as("fp_max"),
-      min_by(col("h"), col("sh")).as("fp_first"),
+      min_by(col("h"), col("h2")).as("fp_first"),
       count(lit(1)).as("n_shingles"))
   }
 
@@ -803,14 +808,19 @@ object TextAnalysis {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sc = spark.sparkContext
-    def newlyPersisted(action: => Long): scala.collection.Set[Int] = {
-      val before = sc.getPersistentRDDs.keySet
-      action
-      sc.getPersistentRDDs.keySet -- before
+    // Materialize a round's vocab-sized dictionary to executor storage
+    // and truncate lineage, holding the EXACT persisted RDD so the next
+    // round can unpersist THIS one — never a set-diff over the global
+    // persistent-RDD registry, which on a shared SparkContext would
+    // capture (and later evict) an unrelated job's cache.
+    def checkpointDict(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    var dict = bpeDict(docs, textCol).localCheckpoint(false)
-    var prevRoundIds = newlyPersisted(dict.count())
+    var (dict, dictRdd) = checkpointDict(bpeDict(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -823,19 +833,17 @@ object TextAnalysis {
           top(0).getLong(2))
         merges += ((r, a, b, f))
         if (r < nMerges) {
-          val next = bpeRewriteRound(dict, a, b).localCheckpoint(false)
-          val thisRoundIds = newlyPersisted(next.count())
+          val (next, nextRdd) =
+            checkpointDict(bpeRewriteRound(dict, a, b))
           // the previous round's vocab checkpoint fed this rewrite and
           // is now garbage — same leak-free pattern as the CC loop
-          prevRoundIds.foreach(id =>
-            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-          prevRoundIds = thisRoundIds
+          dictRdd.unpersist(false)
           dict = next
+          dictRdd = nextRdd
         }
       }
     }
-    prevRoundIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    dictRdd.unpersist(false)
     merges.result().toDF("merge_rank", "token_a", "token_b", "freq")
   }
 
@@ -904,13 +912,17 @@ object TextAnalysis {
       var vocab: Seq[(String, Long)] = prune(seed, vocabSize)
       for (_ <- 1 to rounds) {
         val costs = toCosts(vocab)
+        // one piece-table broadcast per EM round, destroyed once the
+        // vocab-sized recount is on the driver — no leaked blocks
+        val bc = graft.functions.UnigramExpressions.broadcastVocab(costs)
         val recount = words
           .select(col("n"),
-            explode(graft.functions.UnigramExpressions.unigramEncode(
-              array(col("w")), costs, maxPieceLen,
+            explode(graft.functions.UnigramExpressions.unigramEncodeBc(
+              array(col("w")), bc, maxPieceLen,
               unkCostE6 = UnigramUnkCostE6)).as("piece"))
           .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
+        bc.destroy()
         // seed single chars must survive even when a round never uses
         // them (an unseen char next round still needs a priced fallback)
         val chars = vocab.filter(p => cpLen(p._1) == 1).toMap

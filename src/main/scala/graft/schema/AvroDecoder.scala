@@ -196,7 +196,16 @@ object AvroDecoder {
     case null => null
     case _ if schema.getType == ASchema.Type.UNION =>
       val nonNull = schema.getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
-      toAvro(v, nonNull.head)
+      v match {
+        // general union: the tagged-struct encoding toSpark produces —
+        // Row(tag, member0, member1, ...) picks the member by tag
+        case r: Row if nonNull.size > 1 =>
+          val tag = r.getInt(0)
+          require(tag >= 0 && tag < nonNull.size,
+            s"union tag $tag out of range for ${nonNull.size} members")
+          toAvro(if (r.isNullAt(tag + 1)) null else r.get(tag + 1), nonNull(tag))
+        case other => toAvro(other, nonNull.head)
+      }
     // nested shapes — encodeColumn is decodeColumn's inverse, so every
     // external type toSpark can produce must encode back
     case r: Row if schema.getType == ASchema.Type.RECORD =>

@@ -140,6 +140,65 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("Produce v10-v11 and Fetch v13-v16: topic-id addressing round-trips") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker-tid").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("tid", 1)
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      // Produce v10 and v11 are wire-identical to v9 (their response
+      // additions are optional tagged fields) — each appends one record
+      (10 to 11).foreach { v =>
+        val i = v - 10
+        val batch = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+          0L, 0, 0, 1704067200000L, 1704067200000L, -1L, -1, -1,
+          Seq(RecordBatchCodec.Record(0, 0L, s"k$v".getBytes, s"v$v".getBytes, Nil))))
+        val pr = flexRequest(sock, 0, v.toShort, 500 + v) { b =>
+          W.writeProduceV9(b, W.ProduceRequest(1, 30000, Seq(
+            W.ProduceTopic("tid", Seq(W.ProducePartition(0, batch))))))
+        }
+        W.skipTaggedFields(pr)
+        val (pResults, _) = W.readProduceResponseV9(pr)
+        assert(pResults === Seq("tid" -> Seq((0, 0.toShort, i.toLong))), s"produce v$v")
+      }
+      // Fetch v13-v16: topics addressed by the name-derived uuid; every
+      // version returns both records (v15-16 drop the top-level
+      // replica_id, exercising the narrower fixed prefix)
+      val resolve: java.util.UUID => String =
+        u => if (u == W.topicUuid("tid")) "tid" else null
+      (13 to 16).foreach { v =>
+        val fr = flexRequest(sock, 1, v.toShort, 520 + v) { b =>
+          W.writeFetchV12(b, W.FetchRequest(500, 1, 1 << 20, 0, Seq(
+            W.FetchTopic("tid", Seq(W.FetchPartition(0, 0L, 1 << 20))))), v)
+        }
+        W.skipTaggedFields(fr)
+        val parts = W.readFetchResponseV12(fr, v, resolve)
+        assert(parts.head._1 === "tid", s"fetch v$v")
+        val p0 = parts.head._2.head
+        assert(p0.error === 0 && p0.highWatermark === 2L, s"fetch v$v")
+        val decoded = RecordBatchCodec.decodeAll(p0.records)
+        assert(decoded.flatMap(_.records).map(r => new String(r.key)) ===
+          Seq("k10", "k11"), s"fetch v$v")
+      }
+      // an id naming no topic answers UNKNOWN_TOPIC_ID (100) with the
+      // request id echoed, storage untouched
+      val bogus = java.util.UUID.fromString("deadbeef-0000-4000-8000-000000000000")
+      val frBad = flexRequest(sock, 1, 16, 540) { b =>
+        W.writeFetchV12(b, W.FetchRequest(500, 1, 1 << 20, 0, Seq(
+          W.FetchTopic(null, Seq(W.FetchPartition(0, 0L, 1 << 20)), bogus))), 16)
+      }
+      W.skipTaggedFields(frBad)
+      val badParts = W.readFetchResponseV12(frBad, 16,
+        u => if (u == bogus) "echoed" else null)
+      assert(badParts.map(_._1) === Seq("echoed"))
+      val bad0 = badParts.head._2.head
+      assert(bad0.partition === 0 && bad0.error === 100 &&
+        bad0.highWatermark === -1L && bad0.records.isEmpty)
+      sock.close()
+    } finally broker.close()
+  }
+
   test("incremental fetch sessions: unchanged partitions omitted, epochs enforced") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker-fs").toString
     val storage = new ParquetStorage(spark, root)

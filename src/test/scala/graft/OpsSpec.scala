@@ -1287,26 +1287,36 @@ class OpsSpec extends SparkSpec with PropSupport {
 
   test("bpeTrainMerges: hand-traced greedy merges with lexicographic ties") {
     import spark.implicits._
-    val df = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    // dict: ab (freq 2, [a,b]), abab (freq 1, [a,b,a,b]), abc (freq 1,
+    // [a,b,c]) — merges stay WITHIN words, weighted by word frequency
+    val df = Seq((1L, "ab ab abab"), (2L, "abc")).toDF("doc_id", "text")
+    val mintedBefore = graft.functions.BpeExpressions.broadcastsMinted.get()
     val out = TextAnalysis.bpeTrainMerges(df, nMerges = 4).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    // round 1: (a,b) x3 wins; round 2+ are all freq-1 ties resolved by
-    // (a, b) ascending — "a" < "a b" < "a b a" < "c" binary order
+    // training's per-round rewrites ride as plain reference objects:
+    // ZERO merge-table broadcasts minted no matter how many rounds run
+    // (a broadcast per round would leak 32k blocks at a real vocab)
+    assert(graft.functions.BpeExpressions.broadcastsMinted.get()
+      === mintedBefore)
+    // round 1: (a,b) = 2·1 + 1·2 + 1·1 = 5 wins over (b,a)=1, (b,c)=1;
+    // round 2: freq-1 tie between ("a b","a b") and ("a b","c") breaks
+    // on b ascending ("a b" < "c" binary); round 3 merges abc's tail;
+    // round 4 finds no pairs left -> training stops early at 3 merges
     assert(out === Array(
-      (1, "a", "b", 3L), (2, "a b", "a", 1L),
-      (3, "a b", "a b a", 1L), (4, "a b", "c", 1L)))
+      (1, "a", "b", 5L), (2, "a b", "a b", 1L), (3, "a b", "c", 1L)))
   }
 
   test("bpeTrainMerges: overlapping candidate runs merge left-to-right") {
     import spark.implicits._
-    val df = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val out = TextAnalysis.bpeTrainMerges(df, nMerges = 2).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    // "a a a a" has three overlapping (a,a) pairs but only positions 1
+    // [a,a,a,a] has three overlapping (a,a) pairs but only positions 1
     // and 3 merge (position 2 is consumed); round 2 joins the halves
     assert(out === Array((1, "a", "a", 3L), (2, "a a", "a a", 1L)))
-    // degenerate stream: training stops early once no pairs remain
-    val single = Seq((1L, "x")).toDF("doc_id", "text")
+    // degenerate corpus: single-char words hold no within-word pairs,
+    // so training learns nothing and stops
+    val single = Seq((1L, "x y z")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeTrainMerges(single, nMerges = 3).count() === 0L)
   }
 
@@ -1354,8 +1364,11 @@ class OpsSpec extends SparkSpec with PropSupport {
   test("bpeTrainMerges agrees with a sequential reference BPE trainer") {
     import spark.implicits._
     import org.scalacheck.Gen
-    // independent reference: count all adjacent pairs, argmax by
-    // (freq DESC, a, b), rewrite greedily left-to-right
+    // independent reference over per-WORD symbol sequences (merges never
+    // cross word boundaries): count all adjacent within-word pairs over
+    // every word INSTANCE (instance counting == dict-frequency
+    // weighting), argmax by (freq DESC, a, b), rewrite greedily
+    // left-to-right inside each word
     def refBpe(seqs0: Seq[Seq[String]], n: Int): Seq[(Int, String, String, Long)] = {
       var seqs = seqs0
       val out = Seq.newBuilder[(Int, String, String, Long)]
@@ -1383,8 +1396,13 @@ class OpsSpec extends SparkSpec with PropSupport {
       }
       out.result()
     }
+    // docs are word LISTS; words are 0-4 chars over {a,b,c} so
+    // within-word merges actually occur (and "" exercises the [""]
+    // split contract)
+    val genWord = Gen.choose(0, 4)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
     val gen = Gen.listOfN(4,
-      Gen.choose(0, 8).flatMap(l => Gen.listOfN(l, Gen.oneOf("a", "b", "c"))))
+      Gen.choose(0, 5).flatMap(l => Gen.listOfN(l, genWord)))
     forAllGen(gen, cases = 6) { docLists =>
       val df = docLists.zipWithIndex
         .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
@@ -1392,18 +1410,25 @@ class OpsSpec extends SparkSpec with PropSupport {
       val got = TextAnalysis.bpeTrainMerges(df, nMerges = 3).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq
-      // empty text still tokenizes to [""] (split contract), mirrored here
-      val expect = refBpe(docLists.map(ws =>
-        if (ws.isEmpty) Seq("") else ws.map(identity)), 3)
+      // empty text still tokenizes to [""]; each word opens to its
+      // code-point symbols, "" -> [""] (the split contract)
+      def syms(w: String): Seq[String] =
+        if (w.isEmpty) Seq("") else w.map(_.toString)
+      val wordSeqs = docLists.flatMap(ws =>
+        if (ws.isEmpty) Seq(Seq("")) else ws.map(syms))
+      val expect = refBpe(wordSeqs, 3)
       assert(got === expect)
     }
   }
 
   test("bpeEncode matches a sequential reference rewrite, incl. overlap runs") {
     import spark.implicits._
-    // same greedy left-to-right non-overlapping rewrite the trainer uses
-    def refEncode(s: Seq[String], merges: Seq[(String, String)]): Seq[String] =
-      merges.foldLeft(s) { case (cur, (a, b)) =>
+    // same greedy left-to-right non-overlapping within-word rewrite the
+    // trainer uses, applied to one word's code-point symbols
+    def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val syms: Seq[String] =
+        if (word.isEmpty) Seq("") else word.map(_.toString)
+      merges.foldLeft(syms) { case (cur, (a, b)) =>
         val buf = Seq.newBuilder[String]
         var i = 0
         while (i < cur.length) {
@@ -1413,11 +1438,12 @@ class OpsSpec extends SparkSpec with PropSupport {
         }
         buf.result()
       }
+    }
     val docsSeq = Seq(
-      Seq("a", "a", "a"),                    // overlap run: one merge, tail survives
-      Seq("a", "b", "a", "b", "c"),          // two disjoint merges
-      Seq("x"), Seq(),                        // singleton / empty
-      Seq("a", "a", "a", "a", "b", "a", "a")) // runs + later-rank compound
+      Seq("aaa"),                 // overlap run: one merge, tail survives
+      Seq("aab", "ab", "c"),      // rank-1 merge feeds the rank-2 compound
+      Seq("x"), Seq(),            // singleton / empty text
+      Seq("aaaab", "aa"))         // runs + later-rank compound per word
     val merges = Seq(("a", "a"), ("a a", "b"))
     val df = docsSeq.zipWithIndex
       .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
@@ -1425,8 +1451,8 @@ class OpsSpec extends SparkSpec with PropSupport {
     val got = TextAnalysis.bpeEncode(df, merges)
       .as[(Long, Seq[String])].collect().toMap
     docsSeq.zipWithIndex.foreach { case (ws, i) =>
-      val toks = if (ws.isEmpty) Seq("") else ws // split contract
-      assert(got(i.toLong) === refEncode(toks, merges), s"doc $i")
+      val words = if (ws.isEmpty) Seq("") else ws // split contract
+      assert(got(i.toLong) === words.flatMap(refEncode(_, merges)), s"doc $i")
     }
     // and the plan is a shuffle-free narrow map
     val enc = TextAnalysis.bpeEncode(df, merges)

@@ -35,6 +35,38 @@ class TxLogSpec extends SparkSpec {
     assert(got.filter(col("p") === 0).count() === 2)
   }
 
+  test("readPartition lists only the matching partition's files") {
+    val table = newTable()
+    TxLog.append(
+      Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a"), (4L, "w", "c"))
+        .toDF("id", "s", "p").repartition(2),
+      table, partitionCols = Seq("p"))
+    TxLog.append(Seq((5L, "v", "b")).toDF("id", "s", "p"),
+      table, partitionCols = Seq("p"))
+    val snap = TxLog.currentSnapshot(table).get
+    // the manifest prune keeps ONLY p=b files — the listing cut itself
+    val kept = TxLog.prunePartitions(snap, Map("p" -> "b"))
+    assert(kept.nonEmpty && kept.forall(_.contains("p=b")),
+      s"pruned listing leaked other partitions: $kept")
+    assert(kept.size < snap.files.size)
+    // the pruned read still computes the exact answer, and the physical
+    // scan's input files are confined to the matching directory
+    val df = TxLog.readPartition(spark, table, Map("p" -> "b"))
+    assert(df.inputFiles.forall(_.contains("p=b")), df.inputFiles.mkString(","))
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((2L, "y"), (5L, "v")))
+    // escaped partition values (space, colon) round-trip through the
+    // %XX directory encoding
+    val t2 = newTable()
+    TxLog.append(Seq((1L, "a b:c"), (2L, "plain")).toDF("id", "p"),
+      t2, partitionCols = Seq("p"))
+    val got2 = TxLog.readPartition(spark, t2, Map("p" -> "a b:c"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq(1L))
+    assert(TxLog.prunePartitions(TxLog.currentSnapshot(t2).get,
+      Map("p" -> "a b:c")).size === 1)
+  }
+
   test("corpusDiff over time-travel snapshots labels adds/removes/changes") {
     val table = newTable()
     TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
