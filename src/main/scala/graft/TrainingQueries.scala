@@ -327,6 +327,11 @@ object TrainingQueries {
   def qTfIdf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfTopTerms(docs(s, dir), k = 3)
 
+  /** Integer-exact Okapi BM25 top-10 for a 3-term query. */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Rank(docs(s, dir),
+      terms = Seq("spark", "merge", "window"), k = 10)
+
   /** Deterministic hash-threshold stratified sample by language. */
   def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(s, dir), "lang",
@@ -602,6 +607,7 @@ object TrainingQueries {
     "q_redact" -> (qRedact _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf_top_terms" -> (qTfIdf _),
+    "q_bm25" -> (qBm25 _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1673,6 +1679,35 @@ object TrainingQueries {
         |    AS xor_redacted
         |FROM r GROUP BY 1""".stripMargin,
     "q_dedup_clusters" -> clustersOracle,
+
+    "q_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dlt AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+        |  FROM dlt),
+        |q(w) AS (VALUES ('spark'), ('merge'), ('window')),
+        |tft AS (SELECT tk.doc_id, tk.w, count(*) AS tf
+        |  FROM tk JOIN q USING (w) GROUP BY 1, 2),
+        |dft AS (SELECT w, count(*) AS dft FROM tft GROUP BY 1),
+        |base AS (
+        |  SELECT t.doc_id, t.tf, d.dl, f.dft, st.n_docs,
+        |    st.total_dl * 1000000 // st.n_docs AS avgdl_e6
+        |  FROM tft t JOIN dlt d USING (doc_id) JOIN dft f USING (w)
+        |  CROSS JOIN st),
+        |calc AS (
+        |  SELECT doc_id,
+        |    ((2 * (n_docs - dft) + 1) * 1000000) // (2 * dft + 1) AS idf_e6,
+        |    (tf * (1200000 + 1000000) * 1000000) //
+        |      (tf * 1000000 + (1200000 *
+        |        (1000000 - 750000 + (750000 *
+        |          (dl * 1000000 * 1000000 // avgdl_e6)) // 1000000))
+        |        // 1000000) AS tfpart_e6
+        |  FROM base)
+        |SELECT doc_id, count(*) AS n_hits,
+        |  CAST(sum((idf_e6 * tfpart_e6) // 1000000) AS BIGINT) AS score_e6
+        |FROM calc GROUP BY 1
+        |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_tfidf_top_terms" ->
       """WITH terms AS (

@@ -233,6 +233,63 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Okapi BM25 top-k retrieval scoring (Robertson et al., TREC-3) in
+    * EXACT integer arithmetic: per query term,
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), summed per doc,
+    * everything in e6 fixed point. The IDF is the ODDS form
+    * ((N − df + ½)/(df + ½), i.e. exp of the Robertson–Spärck Jones
+    * log-idf, carried as (2(N−df)+1)e6 div (2df+1)) — the ranking is
+    * identical (exp is monotone) and, unlike ln, engine-deterministic:
+    * libm last-ulp differences between the JVM and the oracle engine
+    * would flip e6 roundings.
+    *
+    * Plan shape for 100 TB: ONE corpus pass — explode + an `isin`
+    * prefilter on the query-term set pushed into the scan — then
+    * aggregates keyed by (doc, term) → doc; the term-df and
+    * corpus-stats sides are query-sized and broadcast; the final top-k
+    * is a TakeOrdered, never a global sort. Docs containing no query
+    * term drop out naturally (score 0).
+    */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int,
+               k1E3: Long = 1200L, bE3: Long = 750L,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), "empty query")
+    require(k > 0 && k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000, "bad bm25 params")
+    val k1E6 = k1E3 * 1000L
+    val bE6 = bE3 * 1000L
+    val toksDf = docs
+      .select(col(idCol), toks(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        size(col("__ts")).cast("long").as("dl"))
+    val tk = toksDf.select(col(idCol), col("dl"),
+        explode(col("__ts")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = tk.groupBy(col(idCol), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("dft"))
+    val stats = toksDf.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    tf.join(broadcast(dfT), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl_e6", expr("total_dl * 1000000L DIV n_docs"))
+      .withColumn("ratio_e6",
+        expr("dl * 1000000L * 1000000L DIV avgdl_e6"))
+      .withColumn("norm_e6",
+        expr(s"1000000L - ${bE6}L + (${bE6}L * ratio_e6) DIV 1000000L"))
+      .withColumn("tfpart_e6",
+        expr(s"(tf * (${k1E6}L + 1000000L) * 1000000L) DIV " +
+          s"(tf * 1000000L + (${k1E6}L * norm_e6) DIV 1000000L)"))
+      .withColumn("idf_e6",
+        expr("((2 * (n_docs - dft) + 1) * 1000000L) DIV (2 * dft + 1)"))
+      .withColumn("term_score_e6", expr("(idf_e6 * tfpart_e6) DIV 1000000L"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("term_score_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic stratified sampling: keep a document iff
     * h60(salt || id) mod 1000 < rate(stratum) * 1000. Hash-threshold
     * sampling is reproducible, join-free, and stable under reruns —

@@ -472,6 +472,58 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(Dedup.ccPartitionsFor(1_000_000_000L, 1) === 4)
   }
 
+  test("bm25Rank matches a sequential integer BM25 reference") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark merge spark window a b"),
+      (2L, "merge merge merge c d e f g h i j k l m n o p q r s t"),
+      (3L, "window"),
+      (4L, "x y z"),          // no query term -> absent from the output
+      (5L, "spark"))
+    val terms = Seq("spark", "merge", "window")
+    // independent straight-line replay of the e6 fixed-point formulas
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nDocs = corpus.size.toLong
+    val totalDl = toks.values.map(_.size.toLong).sum
+    val avgdlE6 = totalDl * 1000000L / nDocs
+    val dft = terms.map(w =>
+      w -> toks.values.count(_.contains(w)).toLong).toMap
+    val expect = corpus.flatMap { case (id, _) =>
+      val ts = toks(id)
+      val dl = ts.size.toLong
+      val hits = terms.filter(ts.contains)
+      if (hits.isEmpty) None
+      else {
+        val score = hits.map { w =>
+          val tf = ts.count(_ == w).toLong
+          val idfE6 = ((2 * (nDocs - dft(w)) + 1) * 1000000L) / (2 * dft(w) + 1)
+          val ratioE6 = dl * 1000000L * 1000000L / avgdlE6
+          val normE6 = 1000000L - 750000L + 750000L * ratioE6 / 1000000L
+          val tfpartE6 = tf * (1200000L + 1000000L) * 1000000L /
+            (tf * 1000000L + 1200000L * normE6 / 1000000L)
+          idfE6 * tfpartE6 / 1000000L
+        }.sum
+        Some((id, hits.size.toLong, score))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }
+    val got = TextAnalysis.bm25Rank(
+        corpus.toDF("doc_id", "text"), terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    // rare terms outrank common ones at equal tf: doc 3's lone "window"
+    // (df 2) must outscore doc 5's lone "spark" (df 2)... both df 2 —
+    // so pin the high-tf long doc instead: doc 2's heavy "merge" mass
+    // cannot overcome its length normalization against doc 1's two
+    // distinct rarer terms
+    assert(got.head._1 === 1L)
+    // the k cut returns at most k rows and never resurrects no-hit docs
+    val top1 = TextAnalysis.bm25Rank(
+        corpus.toDF("doc_id", "text"), terms, k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 === Seq(got.head._1))
+    assert(!got.map(_._1).contains(4L))
+  }
+
   test("tfIdfTopTerms: k rows per doc, ranked by score then term") {
     val top = TextAnalysis.tfIdfTopTerms(docs.limit(20), k = 3).cache()
     val counts = top.groupBy("doc_id").count().collect()
