@@ -181,6 +181,35 @@ class BrokerServerSpec extends SparkSpec {
         assert(decoded.flatMap(_.records).map(r => new String(r.key)) ===
           Seq("k10", "k11"), s"fetch v$v")
       }
+      // the KIP-227 session machinery works under uuid addressing too:
+      // a v16 full fetch (epoch 0) establishes a session, and an empty
+      // v16 incremental serves newly-arrived data by remembered offset
+      val fs1 = flexRequest(sock, 1, 16, 530) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Seq(
+          W.FetchTopic("tid", Seq(W.FetchPartition(0, 2L, 1 << 20)))),
+          sessionId = 0, sessionEpoch = 0), 16)
+      }
+      W.skipTaggedFields(fs1)
+      val (se1, ssid, _) = W.readFetchResponseV12Full(fs1, 16, resolve)
+      assert(se1 === 0 && ssid > 0)
+      val batch3 = RecordBatchCodec.encode(RecordBatchCodec.Batch(
+        0L, 0, 0, 1704067200000L, 1704067200000L, -1L, -1, -1,
+        Seq(RecordBatchCodec.Record(0, 0L, "k12".getBytes, "v12".getBytes, Nil))))
+      val pr3 = flexRequest(sock, 0, 11, 531) { b =>
+        W.writeProduceV9(b, W.ProduceRequest(1, 30000, Seq(
+          W.ProduceTopic("tid", Seq(W.ProducePartition(0, batch3))))))
+      }
+      W.skipTaggedFields(pr3)
+      val fs2 = flexRequest(sock, 1, 16, 532) { b =>
+        W.writeFetchV12(b, W.FetchRequest(0, 0, 1 << 20, 0, Nil,
+          sessionId = ssid, sessionEpoch = 1), 16)
+      }
+      W.skipTaggedFields(fs2)
+      val (se2, _, sparts) = W.readFetchResponseV12Full(fs2, 16, resolve)
+      assert(se2 === 0 && sparts.map(_._1) === Seq("tid"))
+      assert(RecordBatchCodec.decode(sparts.head._2.head.records)
+        .records.map(r => new String(r.value)) === Seq("v12"))
+
       // an id naming no topic answers UNKNOWN_TOPIC_ID (100) with the
       // request id echoed, storage untouched
       val bogus = java.util.UUID.fromString("deadbeef-0000-4000-8000-000000000000")
