@@ -187,6 +187,23 @@ class PlanSpec extends SparkSpec {
       "pair counting lost map-side partial aggregation")
   }
 
+  test("bm25 plans broadcast stat joins and a TakeOrdered top-k") {
+    val plan = executedPlan("q_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bm25 top-k lost its TakeOrdered: " + plan.take(400))
+    // the term-df and corpus-stats sides are query-sized: both joins
+    // must broadcast, never shuffle the corpus side
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("BroadcastNestedLoopJoin"),
+      "bm25 stat joins lost their broadcasts: " + plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "bm25 shuffled a stat join: " + plan.take(600))
+    // the query-term prefilter reaches the scan side before the explode
+    // aggregate (an isin over a literal set stays in the narrow map)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "bm25 tf aggregate lost map-side partials")
+  }
+
   test("quantizeInt8 is a narrow per-row transform (no shuffle at all)") {
     val plan = executedPlan("q_quantize_embed")
     assert(!plan.contains("Exchange"),
