@@ -269,9 +269,17 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           writeApiVersionsResponseV3(out)
         } else writeApiVersionsResponse(out)
       case 3 if header.apiVersion >= 9 =>
-        val (requested, allowAuto) = readMetadataV9Full(buf)
+        val v = header.apiVersion.toInt
+        lazy val known = storage.topics
+        val (requested, allowAuto) = readMetadataV9Full(buf, v,
+          resolveId = u => known.find(t => topicUuid(t) == u).orNull)
+        // v10+ by-id entries naming no topic: echo the id with
+        // UNKNOWN_TOPIC_ID; resolved/named entries flow as names
+        val unknownIds = requested.toSeq.flatten
+          .collect { case (null, id) if id != null => id }
+        val names = requested.map(_.collect { case (n, _) if n != null => n })
         writeMetadataResponseV9(out, host, boundPort,
-          metadataTopics(requested, allowAuto))
+          metadataTopics(names, allowAuto), v, unknownIds)
       case 3 =>
         val (requested, allowAuto) =
           readMetadataClassicFull(buf, header.apiVersion)

@@ -1770,7 +1770,7 @@ object WireProtocol {
 
   /** (api_key, min_version, max_version) triples this facade serves. */
   val SupportedApis: Seq[(Int, Int, Int)] = Seq(
-    (0, 3, 11), (1, 4, 16), (2, 0, 8), (3, 1, 9),
+    (0, 3, 11), (1, 4, 16), (2, 0, 8), (3, 1, 12),
     (8, 0, 8), (9, 0, 7), (10, 0, 4), (11, 0, 6), (12, 0, 4), (13, 0, 4),
     (14, 0, 4), (15, 0, 5), (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7),
     (20, 0, 6), (21, 0, 2), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
@@ -2038,46 +2038,69 @@ object WireProtocol {
     * Returns the requested topic names, None = all.
     */
   def readMetadataV9(buf: ByteBuffer): Option[Seq[String]] =
-    readMetadataV9Full(buf)._1
+    readMetadataV9Full(buf)._1.map(_.map(_._1))
 
-  def readMetadataV9Full(buf: ByteBuffer): (Option[Seq[String]], Boolean) = {
+  /** Metadata v9-v12 flexible request. Version gates
+    * (MetadataRequest.json): v10+ topics carry (TopicId, Name) with the
+    * name NULLABLE — by-id addressing, resolved through the
+    * name-derived uuid scheme (an unresolved id surfaces as (null, id)
+    * for the caller's UNKNOWN_TOPIC_ID row); v11+ drops the
+    * include_cluster_authorized_operations flag.
+    */
+  def readMetadataV9Full(buf: ByteBuffer, version: Int = 9,
+                         resolveId: java.util.UUID => String = null)
+      : (Option[Seq[(String, java.util.UUID)]], Boolean) = {
     val n = readCompactArrayLen(buf)
     val topics =
       if (n < 0) None
       else Some((0 until n).map { _ =>
-        val t = readCompactString(buf)
+        val id = if (version >= 10) getUuid(buf) else null
+        val named = readCompactString(buf)
+        val t =
+          if (named != null || id == null) named
+          else if (resolveId ne null) resolveId(id)
+          else null
         skipTaggedFields(buf)
-        t
+        (t, id)
       })
     val allowAuto = buf.get() != 0 // allow_auto_topic_creation
-    buf.get() // include_cluster_authorized_operations
+    if (version <= 10) buf.get() // include_cluster_authorized_operations
     buf.get() // include_topic_authorized_operations
     skipTaggedFields(buf)
     (topics, allowAuto)
   }
 
   def writeMetadataV9(buf: ByteBuffer, topics: Option[Seq[String]],
-                      allowAutoCreate: Boolean = false): Unit = {
+                      allowAutoCreate: Boolean = false,
+                      version: Int = 9): Unit = {
     topics match {
       case None => writeUnsignedVarint(0, buf)
       case Some(ts) =>
         writeCompactArrayLen(buf, ts.size)
         ts.foreach { t =>
+          if (version >= 10) putUuid(buf, new java.util.UUID(0L, 0L))
           writeCompactString(buf, t)
           writeEmptyTaggedFields(buf)
         }
     }
     buf.put(if (allowAutoCreate) 1: Byte else 0: Byte)
-    buf.put(0: Byte); buf.put(0: Byte)
+    if (version <= 10) buf.put(0: Byte)
+    buf.put(0: Byte)
     writeEmptyTaggedFields(buf)
   }
 
-  /** Metadata v9 response (flexible): throttle, compact broker array,
-    * cluster_id, controller, compact topic array with leader epochs and
-    * authorized-operations, tagged fields throughout.
+  /** Metadata v9-v12 response (flexible): throttle, compact broker
+    * array, cluster_id, controller, compact topic array with leader
+    * epochs and authorized-operations, tagged fields throughout. v10+
+    * topics carry their name-derived uuid; v11+ drops
+    * cluster_authorized_operations; `unknownIds` rows (v10+ by-id
+    * requests naming no topic) echo the id with a null name and
+    * UNKNOWN_TOPIC_ID.
     */
   def writeMetadataResponseV9(buf: ByteBuffer, host: String, port: Int,
-                              topics: Seq[(String, Int, Short)]): Unit = {
+                              topics: Seq[(String, Int, Short)],
+                              version: Int = 9,
+                              unknownIds: Seq[java.util.UUID] = Nil): Unit = {
     buf.putInt(0) // throttle
     writeCompactArrayLen(buf, 1)
     buf.putInt(0) // node_id
@@ -2087,10 +2110,12 @@ object WireProtocol {
     writeEmptyTaggedFields(buf)
     writeCompactString(buf, "graft") // cluster_id
     buf.putInt(0) // controller_id
-    writeCompactArrayLen(buf, topics.size)
+    val unk = if (version >= 10) unknownIds else Nil
+    writeCompactArrayLen(buf, topics.size + unk.size)
     topics.foreach { case (t, nParts, err) =>
       buf.putShort(err)
       writeCompactString(buf, t)
+      if (version >= 10) putUuid(buf, topicUuid(t))
       buf.put(0: Byte) // is_internal
       writeCompactArrayLen(buf, nParts)
       (0 until nParts).foreach { p =>
@@ -2106,7 +2131,16 @@ object WireProtocol {
       buf.putInt(Int.MinValue) // topic_authorized_operations: null
       writeEmptyTaggedFields(buf)
     }
-    buf.putInt(Int.MinValue) // cluster_authorized_operations: null
+    unk.foreach { id =>
+      buf.putShort(100) // UNKNOWN_TOPIC_ID
+      writeCompactString(buf, null) // name nullable v12+; null either way
+      putUuid(buf, id)
+      buf.put(0: Byte) // is_internal
+      writeCompactArrayLen(buf, 0)
+      buf.putInt(Int.MinValue)
+      writeEmptyTaggedFields(buf)
+    }
+    if (version <= 10) buf.putInt(Int.MinValue) // cluster_authorized_operations
     writeEmptyTaggedFields(buf)
   }
 
@@ -2411,9 +2445,11 @@ object WireProtocol {
   }
 
   final case class MetadataV9Topic(name: String, partitions: Seq[Int],
-                                   error: Short = 0)
+                                   error: Short = 0,
+                                   topicId: java.util.UUID = null)
 
-  def readMetadataResponseV9(buf: ByteBuffer): (String, Int, Seq[MetadataV9Topic]) = {
+  def readMetadataResponseV9(buf: ByteBuffer, version: Int = 9)
+      : (String, Int, Seq[MetadataV9Topic]) = {
     buf.getInt // throttle
     val nBrokers = readCompactArrayLen(buf)
     var host: String = null
@@ -2430,6 +2466,7 @@ object WireProtocol {
     val topics = (0 until readCompactArrayLen(buf)).map { _ =>
       val err = buf.getShort
       val name = readCompactString(buf)
+      val id = if (version >= 10) getUuid(buf) else null
       buf.get()
       val parts = (0 until readCompactArrayLen(buf)).map { _ =>
         buf.getShort
@@ -2443,9 +2480,9 @@ object WireProtocol {
       }
       buf.getInt // topic_authorized_operations
       skipTaggedFields(buf)
-      MetadataV9Topic(name, parts, err)
+      MetadataV9Topic(name, parts, err, id)
     }
-    buf.getInt // cluster_authorized_operations
+    if (version <= 10) buf.getInt // cluster_authorized_operations
     skipTaggedFields(buf)
     (host, port, topics)
   }

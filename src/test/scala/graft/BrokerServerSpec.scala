@@ -224,6 +224,37 @@ class BrokerServerSpec extends SparkSpec {
       val bad0 = badParts.head._2.head
       assert(bad0.partition === 0 && bad0.error === 100 &&
         bad0.highWatermark === -1L && bad0.records.isEmpty)
+
+      // Metadata v10-v12: every topic row carries its name-derived uuid
+      // (v11+ also drops the cluster-authorized-operations tail)
+      (10 to 12).foreach { v =>
+        val md = flexRequest(sock, 3, v.toShort, 560 + v)(b =>
+          W.writeMetadataV9(b, Some(Seq("tid")), version = v))
+        W.skipTaggedFields(md)
+        val (_, _, ts) = W.readMetadataResponseV9(md, v)
+        assert(ts.map(_.name) === Seq("tid"), s"metadata v$v")
+        assert(ts.head.topicId === W.topicUuid("tid"), s"metadata v$v")
+      }
+      // v12 by-id addressing: a known id resolves to its topic, an
+      // unknown id echoes back with UNKNOWN_TOPIC_ID and a null name
+      val mdBad = flexRequest(sock, 3, 12, 575) { b =>
+        W.writeCompactArrayLen(b, 2)
+        W.putUuid(b, W.topicUuid("tid"))
+        W.writeCompactString(b, null)
+        W.writeEmptyTaggedFields(b)
+        W.putUuid(b, bogus)
+        W.writeCompactString(b, null)
+        W.writeEmptyTaggedFields(b)
+        b.put(0: Byte) // allow_auto_topic_creation
+        b.put(0: Byte) // include_topic_authorized_operations
+        W.writeEmptyTaggedFields(b)
+      }
+      W.skipTaggedFields(mdBad)
+      val (_, _, ts12) = W.readMetadataResponseV9(mdBad, 12)
+      assert(ts12.exists(t => t.name == "tid" && t.error == 0))
+      val unk12 = ts12.find(_.topicId == bogus).get
+      assert(unk12.error === 100 && unk12.name === null &&
+        unk12.partitions.isEmpty)
       sock.close()
     } finally broker.close()
   }
