@@ -260,10 +260,11 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
             }
         }
       case 18 =>
-        // modern clients bootstrap with v3 (flexible). Above our max:
-        // UNSUPPORTED_VERSION with the v0 body listing what we serve, so
-        // the client can downgrade (the standard ApiVersions dance).
-        if (header.apiVersion > 3) writeApiVersionsResponse(out, error = 35)
+        // modern clients bootstrap with v3/v4 (flexible; v4 is
+        // wire-identical to v3). Above our max: UNSUPPORTED_VERSION
+        // with the v0 body listing what we serve, so the client can
+        // downgrade (the standard ApiVersions dance).
+        if (header.apiVersion > 4) writeApiVersionsResponse(out, error = 35)
         else if (header.apiVersion >= 3) {
           readApiVersionsV3(buf)
           writeApiVersionsResponseV3(out)
@@ -302,19 +303,29 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         writeOffsetCommitResponse(out, results, v)
       case 9 =>
         val v = header.apiVersion.toInt
-        val req = readOffsetFetch(buf, v)
         // a null topic array (v2+) asks for every offset the group has
-        val requested = Option(req.topics).getOrElse {
-          storage.groupOffsets(req.group)
-            .groupBy(_._1.topic).toSeq.sortBy(_._1)
-            .map { case (t, os) => t -> os.map(_._1.partition).sorted }
-        }
-        val results = requested.map { case (t, parts) =>
-          t -> parts.map { p =>
-            p -> storage.offsetFetch(req.group, Topition(t, p)).getOrElse(-1L)
+        def resultsFor(req: OffsetFetchRequest)
+            : Seq[(String, Seq[(Int, Long)])] = {
+          val requested = Option(req.topics).getOrElse {
+            storage.groupOffsets(req.group)
+              .groupBy(_._1.topic).toSeq.sortBy(_._1)
+              .map { case (t, os) => t -> os.map(_._1.partition).sorted }
+          }
+          requested.map { case (t, parts) =>
+            t -> parts.map { p =>
+              p -> storage.offsetFetch(req.group, Topition(t, p)).getOrElse(-1L)
+            }
           }
         }
-        writeOffsetFetchResponse(out, results, v)
+        if (v >= 8) {
+          // KIP-709 batched-group form
+          val groups = readOffsetFetchV8(buf, v)
+          writeOffsetFetchResponseV8(out,
+            groups.map(r => r.group -> resultsFor(r)))
+        } else {
+          val req = readOffsetFetch(buf, v)
+          writeOffsetFetchResponse(out, resultsFor(req), v)
+        }
       case 10 =>
         // group key — single-broker: always us (v4 batches keys)
         val keys = readFindCoordinator(buf, header.apiVersion.toInt)
@@ -444,14 +455,39 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
         writeInitProducerIdResponse(out, 0, pid, epoch.toShort, v)
       case 24 =>
         val v = header.apiVersion.toInt
-        val req = readAddPartitionsToTxn(buf, v)
-        val results = req.topics.map { case (t, parts) =>
-          t -> parts.map { p =>
-            (p, storage.txnBegin(req.producerId, Topition(t, p),
-              req.epoch.toInt).toShort)
+        if (v >= 4) {
+          // KIP-890 batched-transaction form; verify_only checks the
+          // partition is ALREADY in the ongoing txn without adding it
+          val txns = readAddPartitionsToTxnV4(buf)
+          val results = txns.map { x =>
+            val inTxn: Set[Topition] =
+              if (!x.verifyOnly) Set.empty
+              else storage.describeTransaction(x.txnId)
+                .filter(_.state == "Ongoing").map(_.partitions.toSet)
+                .getOrElse(Set.empty)
+            x.txnId -> x.topics.map { case (t, parts) =>
+              t -> parts.map { p =>
+                val tp = Topition(t, p)
+                val e: Short =
+                  if (x.verifyOnly)
+                    (if (inTxn.contains(tp)) 0 else 48) // INVALID_TXN_STATE
+                  else storage.txnBegin(x.producerId, tp,
+                    x.epoch.toInt).toShort
+                (p, e)
+              }
+            }
           }
+          writeAddPartitionsToTxnResponseV4(out, results)
+        } else {
+          val req = readAddPartitionsToTxn(buf, v)
+          val results = req.topics.map { case (t, parts) =>
+            t -> parts.map { p =>
+              (p, storage.txnBegin(req.producerId, Topition(t, p),
+                req.epoch.toInt).toShort)
+            }
+          }
+          writeAddPartitionsToTxnResponse(out, results, v)
         }
-        writeAddPartitionsToTxnResponse(out, results, v)
       case 25 =>
         val v = header.apiVersion.toInt
         val (_, pid, epoch, group) = readAddOffsetsToTxn(buf, v)
@@ -664,7 +700,11 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           (t, parts.map(p =>
             (p, storage.partitionSizeBytes(Topition(t, p)))))
         }
-        writeDescribeLogDirsResponse(out, storage.logDir, topics, v)
+        // v4 reports real filesystem capacity for the log dir
+        val dirFile = new java.io.File(storage.logDir)
+        writeDescribeLogDirsResponse(out, storage.logDir, topics, v,
+          totalBytes = dirFile.getTotalSpace,
+          usableBytes = dirFile.getUsableSpace)
       case 33 =>
         // LEGACY full-set alter: the submitted config REPLACES the
         // topic's whole dynamic config (pre-KIP-339 semantics)

@@ -649,6 +649,117 @@ object WireProtocol {
     r
   }
 
+  /** OffsetFetch v8-v9 (KIP-709): the request batches GROUPS —
+    * [group_id member_id (v9+, nullable) member_epoch (v9+) topics
+    * (nullable)] require_stable. The classic coordinator ignores the
+    * new-protocol member fields (epoch fencing belongs to KIP-848
+    * groups).
+    */
+  def readOffsetFetchV8(buf: ByteBuffer,
+                        version: Int = 8): Seq[OffsetFetchRequest] = {
+    val c = new Codec(true)
+    val groups = (0 until c.len(buf)).map { _ =>
+      val g = c.str(buf)
+      if (version >= 9) { c.str(buf); buf.getInt } // member_id, member_epoch
+      val n = c.len(buf)
+      val topics =
+        if (n < 0) null
+        else (0 until n).map { _ =>
+          val t = c.str(buf)
+          val ps = (0 until c.len(buf)).map(_ => buf.getInt)
+          c.tags(buf)
+          t -> ps
+        }
+      c.tags(buf)
+      OffsetFetchRequest(g, topics)
+    }
+    buf.get() // require_stable
+    c.tags(buf)
+    groups
+  }
+
+  def writeOffsetFetchV8(buf: ByteBuffer, groups: Seq[OffsetFetchRequest],
+                         version: Int = 8): Unit = {
+    val c = new Codec(true)
+    c.putLen(buf, groups.size)
+    groups.foreach { r =>
+      c.putStr(buf, r.group)
+      if (version >= 9) { c.putStr(buf, null); buf.putInt(-1) }
+      if (r.topics == null) c.putLen(buf, -1)
+      else {
+        c.putLen(buf, r.topics.size)
+        r.topics.foreach { case (t, parts) =>
+          c.putStr(buf, t)
+          c.putLen(buf, parts.size)
+          parts.foreach(buf.putInt)
+          c.putTags(buf)
+        }
+      }
+      c.putTags(buf)
+    }
+    buf.put(0.toByte) // require_stable
+    c.putTags(buf)
+  }
+
+  /** OffsetFetch v8-v9 response: throttle [group_id [topic [partition
+    * offset leader_epoch metadata error]] error].
+    */
+  def writeOffsetFetchResponseV8(
+      buf: ByteBuffer,
+      groups: Seq[(String, Seq[(String, Seq[(Int, Long)])])]): Unit = {
+    val c = new Codec(true)
+    buf.putInt(0) // throttle
+    c.putLen(buf, groups.size)
+    groups.foreach { case (g, results) =>
+      c.putStr(buf, g)
+      c.putLen(buf, results.size)
+      results.foreach { case (t, parts) =>
+        c.putStr(buf, t)
+        c.putLen(buf, parts.size)
+        parts.foreach { case (p, off) =>
+          buf.putInt(p)
+          buf.putLong(off)
+          buf.putInt(-1) // leader_epoch
+          c.putStr(buf, "")
+          buf.putShort(0)
+          c.putTags(buf)
+        }
+        c.putTags(buf)
+      }
+      buf.putShort(0) // per-group error
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readOffsetFetchResponseV8(buf: ByteBuffer)
+      : Seq[(String, Seq[(String, Seq[(Int, Long)])])] = {
+    val c = new Codec(true)
+    buf.getInt // throttle
+    val r = (0 until c.len(buf)).map { _ =>
+      val g = c.str(buf)
+      val results = (0 until c.len(buf)).map { _ =>
+        val t = c.str(buf)
+        val parts = (0 until c.len(buf)).map { _ =>
+          val p = buf.getInt
+          val off = buf.getLong
+          buf.getInt // leader_epoch
+          c.str(buf) // metadata
+          buf.getShort // error
+          c.tags(buf)
+          (p, off)
+        }
+        c.tags(buf)
+        t -> parts
+      }
+      buf.getShort // per-group error
+      c.tags(buf)
+      g -> results
+    }
+    c.tags(buf)
+    r
+  }
+
   // ------------------------------------------- consumer protocol payloads
 
   /** ConsumerProtocol Subscription v0: version [topics] user_data —
@@ -705,9 +816,10 @@ object WireProtocol {
                                     memberId: String, protocolType: String,
                                     protocols: Seq[JoinProtocol])
 
-  /** JoinGroup v0-v6 (JoinGroupRequest.json): group session_timeout
+  /** JoinGroup v0-v9 (JoinGroupRequest.json): group session_timeout
     * rebalance_timeout (v1+) member_id group_instance_id (v5+)
-    * protocol_type [protocol_name metadata]; flexible v6.
+    * protocol_type [protocol_name metadata] reason (v8+, nullable);
+    * flexible v6.
     */
   def readJoinGroup(buf: ByteBuffer, version: Int = 0): JoinGroupRequest = {
     val c = new Codec(version >= 6)
@@ -722,6 +834,7 @@ object WireProtocol {
       c.tags(buf)
       p
     }
+    if (version >= 8) c.str(buf) // reason
     c.tags(buf)
     JoinGroupRequest(group, timeout, member, ptype, protocols)
   }
@@ -741,23 +854,29 @@ object WireProtocol {
       c.putBytes(buf, p.metadata)
       c.putTags(buf)
     }
+    if (version >= 8) c.putStr(buf, null) // reason
     c.putTags(buf)
   }
 
-  /** JoinGroup response: throttle (v2+) error generation protocol leader
-    * member_id [member_id group_instance_id (v5+) metadata] (members only
-    * populated for the leader).
+  /** JoinGroup response: throttle (v2+) error generation protocol_type
+    * (v7+, nullable) protocol leader skip_assignment (v9+, always false
+    * — classic-protocol groups never skip the leader's assignment)
+    * member_id [member_id group_instance_id (v5+) metadata] (members
+    * only populated for the leader).
     */
   def writeJoinGroupResponse(buf: ByteBuffer, error: Short, generation: Int,
                              protocol: String, leader: String, memberId: String,
                              members: Seq[(String, Array[Byte])],
-                             version: Int = 0): Unit = {
+                             version: Int = 0,
+                             protocolType: String = "consumer"): Unit = {
     val c = new Codec(version >= 6)
     if (version >= 2) buf.putInt(0) // throttle
     buf.putShort(error)
     buf.putInt(generation)
+    if (version >= 7) c.putStr(buf, protocolType)
     c.putStr(buf, protocol)
     c.putStr(buf, leader)
+    if (version >= 9) buf.put(0: Byte) // skip_assignment
     c.putStr(buf, memberId)
     c.putLen(buf, members.size)
     members.foreach { case (m, meta) =>
@@ -779,8 +898,10 @@ object WireProtocol {
     if (version >= 2) buf.getInt // throttle
     val error = buf.getShort
     val gen = buf.getInt
+    if (version >= 7) c.str(buf) // protocol_type
     val protocol = c.str(buf)
     val leader = c.str(buf)
+    if (version >= 9) buf.get() // skip_assignment
     val member = c.str(buf)
     val members = (0 until c.len(buf)).map { _ =>
       val m = c.str(buf)
@@ -797,8 +918,9 @@ object WireProtocol {
                                     memberId: String,
                                     assignments: Seq[(String, Array[Byte])])
 
-  /** SyncGroup v0-v4 (SyncGroupRequest.json): group generation member
-    * group_instance_id (v3+) [member_id assignment]; flexible v4.
+  /** SyncGroup v0-v5 (SyncGroupRequest.json): group generation member
+    * group_instance_id (v3+) protocol_type protocol_name (v5+, both
+    * nullable) [member_id assignment]; flexible v4.
     */
   def readSyncGroup(buf: ByteBuffer, version: Int = 0): SyncGroupRequest = {
     val c = new Codec(version >= 4)
@@ -806,6 +928,7 @@ object WireProtocol {
     val gen = buf.getInt
     val member = c.str(buf)
     if (version >= 3) c.str(buf) // group_instance_id
+    if (version >= 5) { c.str(buf); c.str(buf) } // protocol_type, protocol_name
     val assignments = (0 until c.len(buf)).map { _ =>
       val a = c.str(buf) -> c.bytes(buf)
       c.tags(buf)
@@ -822,6 +945,7 @@ object WireProtocol {
     buf.putInt(r.generation)
     c.putStr(buf, r.memberId)
     if (version >= 3) c.putStr(buf, null)
+    if (version >= 5) { c.putStr(buf, null); c.putStr(buf, null) }
     c.putLen(buf, r.assignments.size)
     r.assignments.foreach { case (m, a) =>
       c.putStr(buf, m)
@@ -831,13 +955,18 @@ object WireProtocol {
     c.putTags(buf)
   }
 
-  /** SyncGroup response: throttle (v1+) error assignment_bytes. */
+  /** SyncGroup response: throttle (v1+) error protocol_type
+    * protocol_name (v5+, nullable) assignment_bytes.
+    */
   def writeSyncGroupResponse(buf: ByteBuffer, error: Short,
                              assignment: Array[Byte],
-                             version: Int = 0): Unit = {
+                             version: Int = 0,
+                             protocolType: String = "consumer",
+                             protocolName: String = null): Unit = {
     val c = new Codec(version >= 4)
     if (version >= 1) buf.putInt(0) // throttle
     buf.putShort(error)
+    if (version >= 5) { c.putStr(buf, protocolType); c.putStr(buf, protocolName) }
     c.putBytes(buf, assignment)
     c.putTags(buf)
   }
@@ -846,7 +975,9 @@ object WireProtocol {
                             version: Int = 0): (Short, Array[Byte]) = {
     val c = new Codec(version >= 4)
     if (version >= 1) buf.getInt
-    val r = (buf.getShort, c.bytes(buf))
+    val err = buf.getShort
+    if (version >= 5) { c.str(buf); c.str(buf) }
+    val r = (err, c.bytes(buf))
     c.tags(buf)
     r
   }
@@ -899,6 +1030,7 @@ object WireProtocol {
       else (0 until c.len(buf)).map { _ =>
         val m = c.str(buf)
         c.str(buf) // group_instance_id
+        if (version >= 5) c.str(buf) // reason
         c.tags(buf)
         m
       }
@@ -920,6 +1052,7 @@ object WireProtocol {
       members.foreach { m =>
         c.putStr(buf, m)
         c.putStr(buf, null)
+        if (version >= 5) c.putStr(buf, null) // reason
         c.putTags(buf)
       }
     }
@@ -1389,6 +1522,104 @@ object WireProtocol {
     r
   }
 
+  final case class TxnPartitions(txnId: String, producerId: Long,
+                                 epoch: Short, verifyOnly: Boolean,
+                                 topics: Seq[(String, Seq[Int])])
+
+  /** AddPartitionsToTxn v4-v5 (KIP-890): the request batches
+    * TRANSACTIONS — [txn_id producer_id epoch verify_only
+    * [topic [partition]]] — and `verify_only` checks membership without
+    * adding (the broker-side produce-path verification step).
+    */
+  def readAddPartitionsToTxnV4(buf: ByteBuffer): Seq[TxnPartitions] = {
+    val c = new Codec(true)
+    val txns = (0 until c.len(buf)).map { _ =>
+      val id = c.str(buf)
+      val pid = buf.getLong
+      val epoch = buf.getShort
+      val verify = buf.get() != 0
+      val topics = (0 until c.len(buf)).map { _ =>
+        val t = c.str(buf)
+        val ps = (0 until c.len(buf)).map(_ => buf.getInt)
+        c.tags(buf)
+        t -> ps
+      }
+      c.tags(buf)
+      TxnPartitions(id, pid, epoch, verify, topics)
+    }
+    c.tags(buf)
+    txns
+  }
+
+  def writeAddPartitionsToTxnV4(buf: ByteBuffer,
+                                txns: Seq[TxnPartitions]): Unit = {
+    val c = new Codec(true)
+    c.putLen(buf, txns.size)
+    txns.foreach { x =>
+      c.putStr(buf, x.txnId)
+      buf.putLong(x.producerId)
+      buf.putShort(x.epoch)
+      buf.put(if (x.verifyOnly) 1: Byte else 0: Byte)
+      c.putLen(buf, x.topics.size)
+      x.topics.foreach { case (t, ps) =>
+        c.putStr(buf, t)
+        c.putLen(buf, ps.size)
+        ps.foreach(buf.putInt)
+        c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  /** AddPartitionsToTxn v4-v5 response: throttle error
+    * [txn_id [topic [partition error]]].
+    */
+  def writeAddPartitionsToTxnResponseV4(
+      buf: ByteBuffer,
+      results: Seq[(String, Seq[(String, Seq[(Int, Short)])])]): Unit = {
+    val c = new Codec(true)
+    buf.putInt(0) // throttle
+    buf.putShort(0) // top-level error
+    c.putLen(buf, results.size)
+    results.foreach { case (id, topics) =>
+      c.putStr(buf, id)
+      c.putLen(buf, topics.size)
+      topics.foreach { case (t, parts) =>
+        c.putStr(buf, t)
+        c.putLen(buf, parts.size)
+        parts.foreach { case (p, e) =>
+          buf.putInt(p); buf.putShort(e); c.putTags(buf)
+        }
+        c.putTags(buf)
+      }
+      c.putTags(buf)
+    }
+    c.putTags(buf)
+  }
+
+  def readAddPartitionsToTxnResponseV4(buf: ByteBuffer)
+      : Seq[(String, Seq[(String, Seq[(Int, Short)])])] = {
+    val c = new Codec(true)
+    buf.getInt // throttle
+    buf.getShort // top-level error
+    val r = (0 until c.len(buf)).map { _ =>
+      val id = c.str(buf)
+      val topics = (0 until c.len(buf)).map { _ =>
+        val t = c.str(buf)
+        val parts = (0 until c.len(buf)).map { _ =>
+          val pe = (buf.getInt, buf.getShort); c.tags(buf); pe
+        }
+        c.tags(buf)
+        t -> parts
+      }
+      c.tags(buf)
+      id -> topics
+    }
+    c.tags(buf)
+    r
+  }
+
   /** EndTxn v0-v3: txn_id producer_id epoch committed → throttle error;
     * flexible v3.
     */
@@ -1656,6 +1887,9 @@ object WireProtocol {
     val states =
       if (version >= 4) (0 until c.len(buf)).map(_ => c.str(buf))
       else Seq.empty
+    // types_filter (v5+): every group here is classic, so a filter
+    // naming only other types yields the empty list at the handler
+    if (version >= 5) (0 until c.len(buf)).foreach(_ => c.str(buf))
     c.tags(buf)
     states
   }
@@ -1667,6 +1901,7 @@ object WireProtocol {
       c.putLen(buf, statesFilter.size)
       statesFilter.foreach(c.putStr(buf, _))
     }
+    if (version >= 5) c.putLen(buf, 0) // types_filter
     c.putTags(buf)
   }
 
@@ -1680,6 +1915,7 @@ object WireProtocol {
       c.putStr(buf, g)
       c.putStr(buf, "consumer")
       if (version >= 4) c.putStr(buf, state)
+      if (version >= 5) c.putStr(buf, "classic") // group_type
       c.putTags(buf)
     }
     c.putTags(buf)
@@ -1693,6 +1929,7 @@ object WireProtocol {
       val g = c.str(buf)
       c.str(buf) // protocol_type
       if (version >= 4) c.str(buf) // group_state
+      if (version >= 5) c.str(buf) // group_type
       c.tags(buf)
       g
     }
@@ -1770,12 +2007,12 @@ object WireProtocol {
 
   /** (api_key, min_version, max_version) triples this facade serves. */
   val SupportedApis: Seq[(Int, Int, Int)] = Seq(
-    (0, 3, 11), (1, 4, 16), (2, 0, 8), (3, 1, 12),
-    (8, 0, 8), (9, 0, 7), (10, 0, 4), (11, 0, 6), (12, 0, 4), (13, 0, 4),
-    (14, 0, 4), (15, 0, 5), (16, 0, 4), (17, 0, 1), (18, 0, 3), (19, 0, 7),
-    (20, 0, 6), (21, 0, 2), (22, 0, 4), (24, 0, 3), (25, 0, 3), (26, 0, 3),
-    (23, 0, 4), (28, 0, 3), (29, 0, 3), (30, 0, 3), (32, 0, 4), (33, 0, 2),
-    (35, 0, 2), (36, 0, 2),
+    (0, 3, 11), (1, 4, 17), (2, 0, 9), (3, 1, 12),
+    (8, 0, 9), (9, 0, 9), (10, 0, 6), (11, 0, 9), (12, 0, 4), (13, 0, 5),
+    (14, 0, 5), (15, 0, 5), (16, 0, 5), (17, 0, 1), (18, 0, 4), (19, 0, 7),
+    (20, 0, 6), (21, 0, 2), (22, 0, 5), (24, 0, 5), (25, 0, 4), (26, 0, 4),
+    (23, 0, 4), (28, 0, 4), (29, 0, 3), (30, 0, 3), (32, 0, 4), (33, 0, 2),
+    (35, 0, 4), (36, 0, 2),
     (37, 0, 3), (42, 0, 2),
     (43, 0, 2), (44, 0, 1), (45, 0, 0),
     (46, 0, 0), (47, 0, 0), (48, 0, 1), (49, 0, 1), (50, 0, 0), (51, 0, 0),
@@ -4276,9 +4513,11 @@ object WireProtocol {
   def writeDescribeLogDirsResponse(
       buf: ByteBuffer, logDir: String,
       topics: Seq[(String, Seq[(Int, Long)])],
-      version: Int = 0): Unit = {
+      version: Int = 0,
+      totalBytes: Long = -1L, usableBytes: Long = -1L): Unit = {
     val c = new Codec(version >= 2)
     buf.putInt(0) // throttle
+    if (version >= 3) buf.putShort(0) // top-level error_code
     c.putLen(buf, 1) // one log dir on a single-node broker
     buf.putShort(0) // error_code
     c.putStr(buf, logDir)
@@ -4295,6 +4534,7 @@ object WireProtocol {
       }
       c.putTags(buf)
     }
+    if (version >= 4) { buf.putLong(totalBytes); buf.putLong(usableBytes) }
     c.putTags(buf)
     c.putTags(buf)
   }
@@ -4303,6 +4543,7 @@ object WireProtocol {
       : (String, Seq[(String, Seq[(Int, Long)])]) = {
     val c = new Codec(version >= 2)
     buf.getInt // throttle
+    if (version >= 3) buf.getShort // top-level error
     val n = c.len(buf)
     require(n == 1, s"single-node broker reports one log dir, got $n")
     buf.getShort // error
@@ -4320,6 +4561,7 @@ object WireProtocol {
       c.tags(buf)
       (t, parts)
     }
+    if (version >= 4) { buf.getLong; buf.getLong } // total/usable bytes
     c.tags(buf)
     c.tags(buf)
     (dir, topics)

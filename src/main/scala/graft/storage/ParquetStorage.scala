@@ -40,6 +40,11 @@ final class ParquetStorage(spark: SparkSession, root: String,
   private val groups = TrieMap.empty[String, (String, Long)]
   private val producerIds = new AtomicLong(1000)
   private val txns = TrieMap.empty[Long, TrieMap[Topition, (Long, Long)]] // pid -> tp -> (start, lastEnd)
+  // partitions ADDED to the open txn (AddPartitionsToTxn) that may not
+  // have produced data yet — what DescribeTransactions lists and what
+  // KIP-890 verify_only checks; in-flight state, reset by txnEnd and
+  // not persisted (a restart aborts in-flight txns anyway)
+  private val txnAddedParts = TrieMap.empty[Long, TrieMap[Topition, Unit]]
   private val txnStates = TrieMap.empty[Long, TxnState.Value]
   private val txnStartTimes = TrieMap.empty[Long, Long]
   private val abortedRanges = TrieMap.empty[Topition, Vector[TxnRange]]
@@ -997,8 +1002,9 @@ final class ParquetStorage(spark: SparkSession, root: String,
         txnStateName(pid),
         txnStartTimes.getOrElse(pid, -1L), txnTimeoutMs.toInt,
         if (open)
-          txns.get(pid).map(_.keys.toSeq.sortBy(t => (t.topic, t.partition)))
-            .getOrElse(Nil)
+          (txns.get(pid).map(_.keys.toSet).getOrElse(Set.empty) ++
+            txnAddedParts.get(pid).map(_.keys.toSet).getOrElse(Set.empty))
+            .toSeq.sortBy(t => (t.topic, t.partition))
         else Nil)
     }
   }
@@ -1237,6 +1243,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     txnStates.put(producerId, TxnState.Begin)
     txnStartTimes.putIfAbsent(producerId, clock())
     txns.getOrElseUpdate(producerId, TrieMap.empty)
+    txnAddedParts.getOrElseUpdate(producerId, TrieMap.empty).put(tp, ())
     persistTxn(producerId)
     ErrorCode.None
   }
@@ -1321,6 +1328,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     val staged = pendingTxnOffsets.remove(producerId).getOrElse(Vector.empty)
     if (commit) staged.foreach { case (g, tp, off) => offsetCommit(g, tp, off) }
     txns.remove(producerId)
+    txnAddedParts.remove(producerId)
     txnStartTimes.remove(producerId)
     dropTxnFile(producerId)
     ()

@@ -83,8 +83,8 @@ class BrokerServerSpec extends SparkSpec {
         W.writeApiVersionsV3(b, "test-client", "1.0")
       }
       val apis = W.readApiVersionsResponseV3(av)
-      assert(apis.contains((18, 0, 3)))
-      assert(apis.contains((3, 1, 9)))
+      assert(apis.contains((18, 0, 4)))
+      assert(apis.contains((3, 1, 12)))
 
       // above our max: UNSUPPORTED_VERSION + v0 body so the client can
       // downgrade (the standard ApiVersions dance)
@@ -477,8 +477,8 @@ class BrokerServerSpec extends SparkSpec {
         r
       }
 
-      // FindCoordinator v0-v3
-      (0 to 3).foreach { v =>
+      // FindCoordinator v0-v6 (v5/v6 wire-identical to v4)
+      (0 to 6).foreach { v =>
         val r = call(10, v)(b => W.writeFindCoordinator(b, "cg", v))
         val (e, _, h, p) = W.readFindCoordinatorResponse(r, v)
         assert(e === 0 && h === "127.0.0.1" && p === broker.boundPort, s"findCoord v$v")
@@ -486,7 +486,7 @@ class BrokerServerSpec extends SparkSpec {
 
       // the full membership flow at every JoinGroup version, a fresh
       // group per version (Sync/Heartbeat/Leave at their capped maxes)
-      (0 to 6).foreach { v =>
+      (0 to 9).foreach { v =>
         val g = s"cg$v"
         val jr0 = call(11, v) { b =>
           W.writeJoinGroup(b, W.JoinGroupRequest(g, 30000, "", "consumer",
@@ -496,7 +496,7 @@ class BrokerServerSpec extends SparkSpec {
         assert(jr.error === 0 && jr.leader === jr.memberId, s"join v$v")
         assert(jr.members.map(_._1) === Seq(jr.memberId), s"join v$v members")
 
-        val sv = math.min(v, 4)
+        val sv = math.min(v, 5)
         val sr0 = call(14, sv) { b =>
           W.writeSyncGroup(b,
             W.SyncGroupRequest(g, jr.generation, jr.memberId, Seq.empty), sv)
@@ -510,7 +510,7 @@ class BrokerServerSpec extends SparkSpec {
           W.writeHeartbeat(b, g, jr.generation, jr.memberId, hv))
         assert(W.readErrorResponse(hr, hv, hv >= 4) === 0, s"heartbeat v$hv")
 
-        val lv = math.min(v, 4)
+        val lv = math.min(v, 5)
         val lr0 = call(13, lv)(b =>
           W.writeLeaveGroupBatch(b, g, Seq(jr.memberId), lv))
         val (le, lm) = W.readLeaveGroupResponse(lr0, lv)
@@ -518,8 +518,9 @@ class BrokerServerSpec extends SparkSpec {
         if (lv >= 3) assert(lm === Seq(jr.memberId -> 0.toShort), s"leave v$lv")
       }
 
-      // OffsetCommit v0-v8 / OffsetFetch v0-v7 on one group
-      (0 to 8).foreach { v =>
+      // OffsetCommit v0-v9 (v9 wire-identical to v8) / OffsetFetch
+      // v0-v7 on one group
+      (0 to 9).foreach { v =>
         val r = call(8, v) { b =>
           W.writeOffsetCommit(b, W.OffsetCommitRequest("og", Seq(
             W.CommitTopic("cp", Seq(W.CommitPartition(0, 100L + v, ""))))), v)
@@ -531,12 +532,26 @@ class BrokerServerSpec extends SparkSpec {
         val r = call(9, v)(b =>
           W.writeOffsetFetch(b, W.OffsetFetchRequest("og", Seq("cp" -> Seq(0))), v))
         assert(W.readOffsetFetchResponse(r, v) ===
-          Seq("cp" -> Seq((0, 108L))), s"offsetFetch v$v")
+          Seq("cp" -> Seq((0, 109L))), s"offsetFetch v$v")
       }
       // a null topic array (v2+) returns every offset the group holds
       val all = call(9, 7)(b =>
         W.writeOffsetFetch(b, W.OffsetFetchRequest("og", null), 7))
-      assert(W.readOffsetFetchResponse(all, 7) === Seq("cp" -> Seq((0, 108L))))
+      assert(W.readOffsetFetchResponse(all, 7) === Seq("cp" -> Seq((0, 109L))))
+      // OffsetFetch v8-v9 (KIP-709): one request batches several
+      // groups, null topics still mean "everything the group holds"
+      (8 to 9).foreach { v =>
+        val r = call(9, v) { b =>
+          W.writeOffsetFetchV8(b, Seq(
+            W.OffsetFetchRequest("og", Seq("cp" -> Seq(0))),
+            W.OffsetFetchRequest("og", null),
+            W.OffsetFetchRequest("ghost-group", null)), v)
+        }
+        assert(W.readOffsetFetchResponseV8(r) === Seq(
+          "og" -> Seq("cp" -> Seq((0, 109L))),
+          "og" -> Seq("cp" -> Seq((0, 109L))),
+          "ghost-group" -> Nil), s"offsetFetch v$v")
+      }
       sock.close()
     } finally broker.close()
   }
@@ -1268,9 +1283,10 @@ class BrokerServerSpec extends SparkSpec {
         r
       }
 
-      // ListOffsets v0-v8: earliest(-2) = 0 and latest(-1) = HW = 3 at
-      // every version; v7+ also resolves -3 to the max-timestamp offset
-      (0 to 8).foreach { v =>
+      // ListOffsets v0-v9 (v9 wire-identical to v8): earliest(-2) = 0
+      // and latest(-1) = HW = 3 at every version; v7+ also resolves -3
+      // to the max-timestamp offset
+      (0 to 9).foreach { v =>
         val r = call(2, v) { b =>
           W.writeListOffsets(b, W.ListOffsetsRequest(0, Seq(
             W.ListOffsetsTopic("ap", Seq(W.ListOffsetsPartition(0, -1L))))), v)
@@ -1378,7 +1394,7 @@ class BrokerServerSpec extends SparkSpec {
           Seq("ag" -> 0.toShort, "ghost" -> 69.toShort), s"describeGroups v$v")
         assert(groups.head.members.map(_.memberId) === Seq(jr.memberId))
       }
-      (0 to 4).foreach { v =>
+      (0 to 5).foreach { v =>
         val r = call(16, v)(b => W.writeListGroups(b, Nil, v))
         assert(W.readListGroupsResponse(r, v) === Seq("ag"), s"listGroups v$v")
       }
@@ -1392,11 +1408,11 @@ class BrokerServerSpec extends SparkSpec {
           s"deleteGroups v$v (NON_EMPTY_GROUP)")
       }
 
-      // txn plane: InitProducerId v0-v4, then the full EOS flow at the
+      // txn plane: InitProducerId v0-v5, then the full EOS flow at the
       // AddPartitions/AddOffsets/TxnOffsetCommit/EndTxn max versions
       var pid = -1L
       var epoch: Short = -1
-      (0 to 4).foreach { v =>
+      (0 to 5).foreach { v =>
         val r = call(22, v)(b => W.writeInitProducerId(b, "txn-ap", 60000, v))
         val (e, p0, ep) = W.readInitProducerIdResponse(r, v)
         assert(e === 0 && p0 > 0, s"initProducerId v$v")
@@ -1410,13 +1426,29 @@ class BrokerServerSpec extends SparkSpec {
         assert(W.readAddPartitionsToTxnResponse(r, v) ===
           Seq("ap" -> Seq((0, 0.toShort))), s"addPartitions v$v")
       }
-      (0 to 3).foreach { v =>
+      // v4-v5 (KIP-890) batched-transaction form: the add leg re-adds
+      // the ongoing partition; the verify_only leg confirms membership
+      // for it and rejects a partition the txn never touched
+      (4 to 5).foreach { v =>
+        val r = call(24, v) { b =>
+          W.writeAddPartitionsToTxnV4(b, Seq(
+            W.TxnPartitions("txn-ap", pid, epoch, verifyOnly = false,
+              Seq("ap" -> Seq(0))),
+            W.TxnPartitions("txn-ap", pid, epoch, verifyOnly = true,
+              Seq("ap" -> Seq(0, 1)))))
+        }
+        assert(W.readAddPartitionsToTxnResponseV4(r) === Seq(
+          "txn-ap" -> Seq("ap" -> Seq((0, 0.toShort))),
+          "txn-ap" -> Seq("ap" -> Seq((0, 0.toShort), (1, 48.toShort)))),
+          s"addPartitions v$v") // 48 = INVALID_TXN_STATE
+      }
+      (0 to 4).foreach { v =>
         val r = call(25, v)(b =>
           W.writeAddOffsetsToTxn(b, "txn-ap", pid, epoch, "ag2", v))
         assert(W.readErrorResponse(r, v, v >= 3, throttleFrom = 0) === 0,
           s"addOffsets v$v")
       }
-      (0 to 3).foreach { v =>
+      (0 to 4).foreach { v =>
         val r = call(28, v) { b =>
           W.writeTxnOffsetCommit(b, W.TxnOffsetCommitRequest("txn-ap", "ag2",
             pid, epoch, Seq("ap" -> Seq(0 -> (40L + v)))), v)
@@ -1424,9 +1456,9 @@ class BrokerServerSpec extends SparkSpec {
         assert(W.readTxnOffsetCommitResponse(r, v) ===
           Seq("ap" -> Seq((0, 0.toShort))), s"txnOffsetCommit v$v")
       }
-      (0 to 3).foreach { v =>
-        // commit at v3; earlier versions each run a fresh begin/abort
-        val commit = v == 3
+      (0 to 4).foreach { v =>
+        // commit at v4; earlier versions each run a fresh begin/abort
+        val commit = v == 4
         val r = call(26, v)(b =>
           W.writeEndTxn(b, "txn-ap", pid, epoch, commit, v))
         assert(W.readErrorResponse(r, v, v >= 3, throttleFrom = 0) === 0,
@@ -1441,7 +1473,7 @@ class BrokerServerSpec extends SparkSpec {
         }
       }
       // the commit-only flow's staged offset landed (no produce involved)
-      assert(storage.offsetFetch("ag2", tp) === Some(43L))
+      assert(storage.offsetFetch("ag2", tp) === Some(44L))
 
       // FindCoordinator v4 (batched keys)
       val fc = call(10, 4)(b => W.writeFindCoordinator(b, "ag2", 4))
@@ -2191,9 +2223,10 @@ class BrokerServerSpec extends SparkSpec {
         if (v >= 1) assert(ld.forall(_._3 === 0), s"v$v epoch")
         assert(got.find(_._1 == "ghost").get._2.head._1 === 3, s"v$v")
       }
-      // DescribeLogDirs v0-v2: explicit topics and the null
-      // describe-everything form; sizes are real bytes on disk
-      (0 to 2).foreach { v =>
+      // DescribeLogDirs v0-v4: explicit topics and the null
+      // describe-everything form; sizes are real bytes on disk (v3 adds
+      // the top-level error, v4 the real filesystem total/usable bytes)
+      (0 to 4).foreach { v =>
         val r = call(35, v.toShort)(b => W.writeDescribeLogDirs(b,
           Some(Seq(("ld", Seq(0, 1)))), v))
         val (dir, topics) = W.readDescribeLogDirsResponse(r, v)
