@@ -128,6 +128,60 @@ object Lake {
     }.reduce(_ + _)
   }
 
+  /** Per-table records/second write cap — the reference's optional
+    * governor on the Delta sink (`tansu.lake.records.per.second`,
+    * `nisshi-schema/src/lake/delta.rs:85-91, 488-509`: each lake write
+    * of N rows blocks until N tokens are available). The point at
+    * scale: the lake sink is the elastic consumer of the produce path —
+    * without a cap a produce burst becomes an object-store write burst
+    * (request-rate throttling, compaction debt); the token bucket
+    * converts bursts into bounded, smooth sink pressure.
+    *
+    * Plain monitor-based token bucket: tokens refill continuously at
+    * `recordsPerSecond`, capacity one second's worth, `acquire(n)`
+    * blocks until n tokens drain (n may exceed capacity — a huge batch
+    * waits multiple refill periods, exactly like the reference's
+    * `until_n_ready`).
+    */
+  final class RateLimiter(val recordsPerSecond: Long) {
+    require(recordsPerSecond > 0, s"rate must be positive: $recordsPerSecond")
+    private var tokens: Double = recordsPerSecond.toDouble
+    private var lastNanos: Long = System.nanoTime()
+    def acquire(n: Long): Unit = synchronized {
+      var need = n.toDouble
+      while (need > 0) {
+        val now = System.nanoTime()
+        tokens = math.min(recordsPerSecond.toDouble,
+          tokens + (now - lastNanos) / 1e9 * recordsPerSecond)
+        lastNanos = now
+        val take = math.min(tokens, need)
+        tokens -= take
+        need -= take
+        if (need > 0) {
+          val waitMs = math.max(1L,
+            (need / recordsPerSecond * 1000).toLong min 1000L)
+          Thread.sleep(waitMs)
+        }
+      }
+    }
+  }
+
+  private val rateLimiters =
+    new java.util.concurrent.ConcurrentHashMap[String, RateLimiter]()
+
+  /** Block until `rows` tokens are available for `path` at
+    * `recordsPerSecond` (a changed rate replaces the bucket). Call
+    * BEFORE the write, once per batch — the sink-side backpressure
+    * point.
+    */
+  def rateLimit(path: String, rows: Long, recordsPerSecond: Long): Unit = {
+    if (rows <= 0) return
+    val rl = rateLimiters.compute(path, (_, old) =>
+      if (old != null && old.recordsPerSecond == recordsPerSecond) old
+      else new RateLimiter(recordsPerSecond))
+    rl.acquire(rows)
+  }
+
   /** Per-table-path monitor: appends and the optimize swap must not
     * interleave (an append landing between optimize's rename-aside and
     * publish would be deleted with the old directory). Intra-process

@@ -159,5 +159,6 @@ object Model {
     val LakeNormalize = "lake.normalize"       // flatten nested structs
     val LakeSink = "lake.sink"                 // lake-only topic (no log objects)
     val GeneratedPrefix = "lake.param.generated." // generated-column SQL exprs
+    val LakeRecordsPerSecond = "lake.records.per.second" // sink write rate cap
   }
 }

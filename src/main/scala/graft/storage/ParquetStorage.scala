@@ -350,7 +350,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
       producerSeqs.put((producerId, producerEpoch, tp), math.max(baseSequence, 0) + n.toInt)
 
     // lake sink for schema-backed topics (reference dynostore.rs:805-822)
-    schema.foreach(lakeSink(tp.topic, _, withOffsets))
+    schema.foreach(lakeSink(tp.topic, _, withOffsets, n))
 
     Right(base)
   }
@@ -386,8 +386,13 @@ final class ParquetStorage(spark: SparkSession, root: String,
     * bookkeeping columns stay out of the analytic table.
     */
   private def lakeSink(topic: String, ts: SchemaRegistry.TopicSchema,
-                       withOffsets: DataFrame): Unit = {
+                       withOffsets: DataFrame, rows: Long): Unit = {
     val cfg = topicConfig(topic)
+    // optional per-table write cap (reference `tansu.lake.records.per
+    // .second`, delta.rs:488-509): block for `rows` tokens BEFORE the
+    // sink write — produce bursts become smooth lake pressure
+    cfg.get(ConfigKey.LakeRecordsPerSecond).map(_.toLong).filter(_ > 0)
+      .foreach(rps => Lake.rateLimit(s"$root/lake/$topic", rows, rps))
     val lakeRows = withOffsets.drop(
       "producer_id", "producer_epoch", "base_sequence",
       "is_control", "control_type")
@@ -499,7 +504,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
         Paths.get(partDir(Topition(topic, p)), f"$base%020d.parquet"))
     }
     deleteRecursive(tmpRoot)
-    schema.foreach(lakeSink(topic, _, withOffsets))
+    schema.foreach(lakeSink(topic, _, withOffsets, counts.values.sum))
     Right(bases)
   }
 

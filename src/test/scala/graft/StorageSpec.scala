@@ -79,6 +79,37 @@ class StorageSpec extends SparkSpec {
     assert(lake.select("value_struct.value.firstName").head().getString(0) === "Ada")
   }
 
+  test("lake sink rate cap: lake.records.per.second throttles, loses nothing") {
+    // the bucket's arithmetic alone: the initial burst is free, refill
+    // gates the rest at the configured rate
+    val rl = new graft.lake.Lake.RateLimiter(100)
+    val t0 = System.nanoTime()
+    rl.acquire(100) // drains the full initial bucket without waiting
+    val burstS = (System.nanoTime() - t0) / 1e9
+    assert(burstS < 0.5, s"initial burst blocked: $burstS s")
+    rl.acquire(50) // needs ~0.5 s of refill
+    val totalS = (System.nanoTime() - t0) / 1e9
+    assert(totalS >= 0.4, s"refill gate returned too early: $totalS s")
+
+    // end to end: a capped schema topic's SECOND sink write waits for
+    // tokens; every row still lands in the lake table
+    val (st, root) = newStorage(withRegistry = true)
+    st.createTopic("person", 1,
+      Map(ConfigKey.LakeRecordsPerSecond -> "4"))
+    val ptp = Topition("person", 0)
+    def doc(i: Int) = (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      s"k$i",
+      s"""{"key":"ABC-10$i","value":{"firstName":"A$i","lastName":"L","age":3}}""")
+    val w0 = System.nanoTime()
+    assert(st.produce(ptp, Seq(doc(1), doc(2), doc(3), doc(4))
+      .toDF("timestamp", "key", "value")).isRight) // drains the bucket
+    assert(st.produce(ptp, Seq(doc(5), doc(6)).toDF("timestamp", "key", "value"))
+      .isRight) // must wait ~0.5 s for 2 tokens
+    val elapsedS = (System.nanoTime() - w0) / 1e9
+    assert(elapsedS >= 0.4, s"capped sink never throttled: $elapsedS s")
+    assert(spark.read.parquet(s"$root/lake/person").count() === 6)
+  }
+
   test("Avro topic: binary payloads validated and landed typed in lake") {
     val root = java.nio.file.Files.createTempDirectory("graft-avro-topic").toString
     val rdir = java.nio.file.Files.createTempDirectory("graft-avro-reg")
