@@ -157,6 +157,7 @@ object Model {
     val LakePartition = "lake.partition"       // comma-separated partition cols
     val LakeZOrder = "lake.z_order"
     val LakeNormalize = "lake.normalize"       // flatten nested structs
+    val LakeNormalizeSeparator = "lake.normalize.separator" // default "."
     val LakeSink = "lake.sink"                 // lake-only topic (no log objects)
     val GeneratedPrefix = "lake.param.generated." // generated-column SQL exprs
     val LakeRecordsPerSecond = "lake.records.per.second" // sink write rate cap

@@ -331,13 +331,26 @@ final class ParquetStorage(spark: SparkSession, root: String,
       .withColumn("is_control", lit(false))
       .withColumn("control_type", lit(null).cast("string"))
 
+    // lake-ONLY topic (`lake.sink=true`, schema-backed): records land
+    // in the typed lake table and never as log objects — the analytics
+    // ingestion mode where nothing consumes the topic as a stream.
+    // Offsets still reserve durably (watermark.json is independent of
+    // batch files), so restart recovery never reuses an offset; fetch
+    // sees an empty log by design.
+    val lakeOnly = schema.nonEmpty &&
+      topicConfig(tp.topic).get(ConfigKey.LakeSink)
+        .exists(_.equalsIgnoreCase("true"))
+
     // write to a temp dir, then atomic-rename to publish — readers never
     // see a half-written batch (the PutMode::Create analog,
     // dynostore.rs:992-1014)
-    val tmpDir = f"${partDir(tp)}/.tmp_$base%020d"
-    withOffsets.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-    Files.move(Paths.get(tmpDir), Paths.get(f"${partDir(tp)}/$base%020d.parquet"),
-      StandardCopyOption.ATOMIC_MOVE)
+    if (!lakeOnly) {
+      val tmpDir = f"${partDir(tp)}/.tmp_$base%020d"
+      withOffsets.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      Files.move(Paths.get(tmpDir),
+        Paths.get(f"${partDir(tp)}/$base%020d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
 
     // track open-txn range for read_committed (reference txn_produce_offset)
     if (producerId >= 0 && txnStates.get(producerId).contains(TxnState.Begin)) {
@@ -415,6 +428,16 @@ final class ParquetStorage(spark: SparkSession, root: String,
         k.stripPrefix(ConfigKey.GeneratedPrefix) -> v
     }
     val withGen = Lake.withGenerated(typed, generated)
+    // `lake.normalize` flattens nested structs into top-level columns
+    // (reference `tansu.lake.normalize` + `.separator`,
+    // delta.rs:274-291; its taxi_normalized tests partition on the
+    // FLATTENED names) — applied after generated columns, whose SQL is
+    // written against the nested schema
+    val normalized =
+      if (cfg.get(ConfigKey.LakeNormalize).exists(_.equalsIgnoreCase("true")))
+        Lake.normalize(withGen,
+          cfg.getOrElse(ConfigKey.LakeNormalizeSeparator, "."))
+      else withGen
     val partitionCols = csvConfig(cfg, ConfigKey.LakePartition)
     // transactional append (the reference's lake IS a Delta table):
     // manifest-per-version snapshots + CAS commits make the analytic
@@ -425,7 +448,7 @@ final class ParquetStorage(spark: SparkSession, root: String,
     // (no data loss on upgrade), and between staging and the manifest
     // CAS a plain directory reader can briefly see a not-yet-committed
     // file (TxLog readers never do; failed commits unstage their files)
-    TxLog.append(withGen, s"$root/lake/$topic", partitionCols)
+    TxLog.append(normalized, s"$root/lake/$topic", partitionCols)
     ()
   }
 

@@ -110,6 +110,50 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/lake/person").count() === 6)
   }
 
+  test("lake.sink=true topic lands only in the lake: fetch sees an empty log") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lakeonly").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-lakeonly-reg")
+    java.nio.file.Files.writeString(rdir.resolve("person.json"),
+      scala.io.Source.fromResource("schema/person.json").mkString)
+    def mkStorage() =
+      new ParquetStorage(spark, root, Some(new SchemaRegistry(rdir.toString)))
+    val st = mkStorage()
+    st.createTopic("person", 1, Map(ConfigKey.LakeSink -> "true"))
+    val ptp = Topition("person", 0)
+    val good = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k",
+      """{"key":"ABC-123","value":{"firstName":"Ada","lastName":"L","age":3}}"""))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(ptp, good) === Right(0L))
+    assert(st.produce(ptp, good) === Right(1L)) // offsets still advance
+    // the lake table holds both rows; the LOG holds none (no objects)
+    assert(spark.read.parquet(s"$root/lake/person").count() === 2)
+    assert(st.fetch(ptp, 0, Long.MaxValue).count() === 0)
+    // durable offsets: a fresh process over the same root keeps counting
+    // (watermark.json is independent of batch files)
+    assert(mkStorage().produce(ptp, good) === Right(2L))
+  }
+
+  test("lake.normalize flattens the lake table with the configured separator") {
+    val (st, root) = newStorage(withRegistry = true)
+    st.createTopic("person", 1, Map(
+      ConfigKey.LakeNormalize -> "true",
+      ConfigKey.LakeNormalizeSeparator -> "_"))
+    val ptp = Topition("person", 0)
+    val good = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k",
+      """{"key":"ABC-123","value":{"firstName":"Ada","lastName":"L","age":3}}"""))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(ptp, good).isRight)
+    val lake = spark.read.parquet(s"$root/lake/person")
+    // nested structs flattened to top-level `a_b_c` columns (reference
+    // taxi_normalized, delta.rs:1203/1317 — meta_partition etc.)
+    assert(lake.columns.contains("meta_partition"))
+    assert(lake.columns.contains("meta_year"))
+    assert(lake.columns.contains("value_struct_value_firstName"))
+    assert(!lake.columns.contains("meta"))
+    assert(lake.select("value_struct_value_firstName").head().getString(0)
+      === "Ada")
+  }
+
   test("Avro topic: binary payloads validated and landed typed in lake") {
     val root = java.nio.file.Files.createTempDirectory("graft-avro-topic").toString
     val rdir = java.nio.file.Files.createTempDirectory("graft-avro-reg")
