@@ -20,7 +20,10 @@ object IngestBench {
     st.createTopic("plain", 1)
     st.createTopic("json_topic", 1, Map(ConfigKey.GeneratedPrefix + "day" ->
       "cast(meta.timestamp as date)"))
-    val events = Tables.log(s, "/root/testdata/sf0.1")
+    // SPARK_GRAFT_SF_DIR selects the source scale (default sf0.1; point
+    // it at the ScaleProbe corpus for a 10x storage-path probe)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val events = Tables.log(s, srcDir)
       .select(col("timestamp"), col("key").cast("string").as("key"),
         col("value")).cache()
     val n = events.count()
