@@ -202,4 +202,136 @@ class DecoderFuzzSpec extends AnyFunSuite with PropSupport {
     hostile.flip()
     intercept[IllegalArgumentException](WireProtocol.readBytes(hostile))
   }
+
+  test("round-10 wire structures round-trip at every served version") {
+    import graft.facade.WireProtocol._
+    def buf() = java.nio.ByteBuffer.allocate(1 << 16)
+
+    // Fetch v12-v17: topic-id addressing resolves through the
+    // name-derived scheme; v15+ drops the leading replica_id
+    val topics = Seq("alpha", "beta-2")
+    val resolve: java.util.UUID => String =
+      u => topics.find(t => topicUuid(t) == u).orNull
+    (12 to 17).foreach { v =>
+      val req = FetchRequest(500, 1, 1 << 20, 1, Seq(
+        FetchTopic("alpha", Seq(FetchPartition(0, 7L, 4096),
+          FetchPartition(3, 9L, 8192))),
+        FetchTopic("beta-2", Seq(FetchPartition(1, 0L, 1024)))),
+        sessionId = 42, sessionEpoch = 5,
+        forgotten = Seq("alpha" -> Seq(2)))
+      val b = buf()
+      writeFetchV12(b, req, v)
+      b.flip()
+      val got = readFetchV12(b, v, resolve)
+      assert(b.remaining() === 0, s"fetch v$v trailing bytes")
+      assert(got.topics.map(t => t.topic -> t.partitions) ===
+        req.topics.map(t => t.topic -> t.partitions), s"fetch v$v")
+      assert(got.forgotten === req.forgotten && got.sessionId === 42 &&
+        got.sessionEpoch === 5 && got.isolation === 1, s"fetch v$v")
+    }
+    // Fetch response v13+: named rows carry their uuid, unknownIds echo
+    (13 to 16).foreach { v =>
+      val parts = Seq(FetchV12PartResult(0, 0, 10L, 10L, 0L,
+        Seq((77L, 3L)), Array[Byte](1, 2, 3)))
+      val unk = java.util.UUID.fromString("deadbeef-0000-4000-8000-00000000000f")
+      val b = buf()
+      writeFetchResponseV12(b, Seq("alpha" -> parts), 0, 42, 0, v,
+        unknownIds = Seq(unk -> Seq(FetchV12PartResult(5, 100, -1L, -1L,
+          -1L, Nil, Array.empty[Byte]))))
+      b.flip()
+      val got = readFetchResponseV12(b, v,
+        u => Option(resolve(u)).getOrElse(if (u == unk) "UNK" else null))
+      assert(b.remaining() === 0, s"fetch resp v$v trailing bytes")
+      assert(got.map(_._1) === Seq("alpha", "UNK"), s"fetch resp v$v")
+      assert(got.head._2.head.aborted === Seq((77L, 3L)))
+      assert(got(1)._2.head.error === 100 && got(1)._2.head.partition === 5)
+    }
+
+    // OffsetFetch v8-v9 (KIP-709 batched groups, null topics preserved)
+    (8 to 9).foreach { v =>
+      val groups = Seq(
+        OffsetFetchRequest("g1", Seq("t" -> Seq(0, 1))),
+        OffsetFetchRequest("g2", null))
+      val b = buf()
+      writeOffsetFetchV8(b, groups, v)
+      b.flip()
+      val got = readOffsetFetchV8(b, v)
+      assert(b.remaining() === 0, s"offsetFetch v$v trailing bytes")
+      assert(got.map(_.group) === Seq("g1", "g2"))
+      assert(got.head.topics === Seq("t" -> Seq(0, 1)) && got(1).topics === null)
+      val rb = buf()
+      writeOffsetFetchResponseV8(rb, Seq(
+        "g1" -> Seq("t" -> Seq((0, 5L), (1, -1L))), "g2" -> Nil))
+      rb.flip()
+      val rgot = readOffsetFetchResponseV8(rb)
+      assert(rb.remaining() === 0)
+      assert(rgot === Seq("g1" -> Seq("t" -> Seq((0, 5L), (1, -1L))),
+        "g2" -> Nil))
+    }
+
+    // AddPartitionsToTxn v4-v5 (KIP-890 batched transactions)
+    val txns = Seq(
+      TxnPartitions("tx-a", 9L, 2, verifyOnly = false, Seq("t" -> Seq(0, 1))),
+      TxnPartitions("tx-b", 10L, 0, verifyOnly = true, Seq("u" -> Seq(3))))
+    val tb = buf()
+    writeAddPartitionsToTxnV4(tb, txns)
+    tb.flip()
+    assert(readAddPartitionsToTxnV4(tb) === txns && tb.remaining() === 0)
+    val trb = buf()
+    writeAddPartitionsToTxnResponseV4(trb, Seq(
+      "tx-a" -> Seq("t" -> Seq((0, 0.toShort), (1, 0.toShort))),
+      "tx-b" -> Seq("u" -> Seq((3, 48.toShort)))))
+    trb.flip()
+    assert(readAddPartitionsToTxnResponseV4(trb) === Seq(
+      "tx-a" -> Seq("t" -> Seq((0, 0.toShort), (1, 0.toShort))),
+      "tx-b" -> Seq("u" -> Seq((3, 48.toShort)))) && trb.remaining() === 0)
+
+    // Metadata response v9-v12: uuid rows from v10, unknown-id echo
+    (9 to 12).foreach { v =>
+      val b = buf()
+      val unk = java.util.UUID.fromString("deadbeef-1111-4000-8000-000000000001")
+      writeMetadataResponseV9(b, "h", 9092, Seq(("alpha", 2, 0.toShort)), v,
+        unknownIds = Seq(unk))
+      b.flip()
+      val (host, port, ts) = readMetadataResponseV9(b, v)
+      assert(b.remaining() === 0, s"metadata v$v trailing bytes")
+      assert(host === "h" && port === 9092)
+      assert(ts.head.name === "alpha" && ts.head.partitions === Seq(0, 1))
+      if (v >= 10) {
+        assert(ts.head.topicId === topicUuid("alpha"), s"metadata v$v")
+        assert(ts(1).name === null && ts(1).topicId === unk &&
+          ts(1).error === 100, s"metadata v$v unknown row")
+      } else assert(ts.size === 1, s"metadata v$v must drop unknown rows")
+    }
+
+    // JoinGroup v7-v9 / SyncGroup v5 / LeaveGroup v5: the new fields
+    // survive a write→read cycle with no trailing bytes
+    (7 to 9).foreach { v =>
+      val b = buf()
+      writeJoinGroup(b, JoinGroupRequest("g", 30000, "m1", "consumer",
+        Seq(JoinProtocol("range", Array[Byte](1)))), v)
+      b.flip()
+      val r = readJoinGroup(b, v)
+      assert(b.remaining() === 0 && r.group === "g" && r.memberId === "m1")
+      val rb = buf()
+      writeJoinGroupResponse(rb, 0, 3, "range", "m1", "m1",
+        Seq("m1" -> Array[Byte](2)), v)
+      rb.flip()
+      val jr = readJoinGroupResponse(rb, v)
+      assert(rb.remaining() === 0 && jr.generation === 3 &&
+        jr.protocol === "range" && jr.members.map(_._1) === Seq("m1"),
+        s"joinGroup v$v")
+    }
+    val sb = buf()
+    writeSyncGroup(sb, SyncGroupRequest("g", 3, "m1",
+      Seq("m1" -> Array[Byte](9))), 5)
+    sb.flip()
+    val sr = readSyncGroup(sb, 5)
+    assert(sb.remaining() === 0 && sr.assignments.map(_._1) === Seq("m1"))
+    val lb = buf()
+    writeLeaveGroupBatch(lb, "g", Seq("m1", "m2"), 5)
+    lb.flip()
+    assert(readLeaveGroup(lb, 5) === (("g", Seq("m1", "m2"))) &&
+      lb.remaining() === 0)
+  }
 }
