@@ -185,9 +185,13 @@ class DecoderFuzzSpec extends AnyFunSuite with PropSupport {
       orderly(WireProtocol.readProduce(buf))
       orderly(WireProtocol.readProduceV9(buf))
       orderly(WireProtocol.readFetch(buf, 11))
+      orderly(WireProtocol.readFetchV12(buf, 16, _ => null))
       orderly(WireProtocol.readListOffsets(buf, 8))
       orderly(WireProtocol.readOffsetCommit(buf, 8))
-      orderly(WireProtocol.readJoinGroup(buf, 6))
+      orderly(WireProtocol.readOffsetFetchV8(buf, 9))
+      orderly(WireProtocol.readAddPartitionsToTxnV4(buf))
+      orderly(WireProtocol.readMetadataV9Full(buf, 12, _ => null))
+      orderly(WireProtocol.readJoinGroup(buf, 9))
       orderly(WireProtocol.readCreateTopics(buf, 7))
       orderly(WireProtocol.readIncrementalAlterConfigs(buf, 1))
       orderly(WireProtocol.readDescribeAcls(buf, 2))
