@@ -355,11 +355,17 @@ class BrokerServerSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-broker-big").toString
     val storage = new ParquetStorage(spark, root)
     storage.createTopic("big", 1)
-    // a 5 MiB record — bigger than the old fixed 4 MiB response buffer
-    val payload = "x" * (5 << 20)
-    storage.produce(graft.model.Model.Topition("big", 0),
-      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k", payload))
-        .toDF("timestamp", "key", "value"))
+    // a 5 MiB record — bigger than the old fixed 4 MiB response buffer.
+    // Built with repeat() on the executor, not a driver-local 5 MiB
+    // string (which would ride inside the task binary and trip the
+    // large-task warning this suite otherwise keeps at zero).
+    storage.produce(graft.model.Model.Topition("big", 0), {
+      import org.apache.spark.sql.functions.{lit, repeat}
+      spark.range(1).select(
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"),
+        lit("k").as("key"),
+        repeat(lit("x"), 5 << 20).as("value"))
+    })
     val broker = new BrokerServer(storage)
     try {
       val sock = new Socket("127.0.0.1", broker.boundPort)

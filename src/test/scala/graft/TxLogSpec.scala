@@ -625,15 +625,19 @@ class TxLogSpec extends SparkSpec {
   test("z-ordered optimize makes data skipping effective on both columns") {
     val table = newTable()
     // interleaved appends: every file spans the whole id range, so
-    // range reads cannot prune anything before clustering
-    val r = new scala.util.Random(11)
-    // incompressible per-row payload so the 1 MB-target rewrite splits
-    def pad() = Seq.fill(64)(r.nextPrintableChar()).mkString
-    (0 until 6).foreach { _ =>
-      TxLog.append(
-        Seq.fill(40000)((r.nextInt(1000).toLong, r.nextInt(1000).toLong, pad()))
-          .toDF("x", "y", "pad").coalesce(1), table)
-    }
+    // range reads cannot prune anything before clustering. Generated
+    // DISTRIBUTED (spark.range + hash), never as a driver-local Seq —
+    // a 40k-row local collection rides inside every task binary and
+    // trips the large-task warning this suite otherwise keeps at zero.
+    // The md5-hex pad keeps rows wide enough that the 1 MB-target
+    // rewrite splits into several files.
+    def batch(seed: Int) = spark.range(40000).select(
+      pmod(hash(col("id") + lit(seed * 1000000)), lit(1000)).cast("long").as("x"),
+      pmod(hash(col("id") * 7 + lit(seed)), lit(1000)).cast("long").as("y"),
+      concat(md5(concat(lit(seed.toString), col("id").cast("string"))),
+        md5(concat(col("id").cast("string"), lit(seed.toString)))).as("pad"))
+      .coalesce(1)
+    (0 until 6).foreach(i => TxLog.append(batch(i), table))
     val before = TxLog.readRange(spark, table, "x", 0L, 49L)
     assert(before.inputFiles.length === 6, "interleaved files pruned early?")
     // cluster on (x, y): the rewrite range-partitions by z-key, so each
