@@ -283,15 +283,27 @@ object SchemaQueries {
   def qLakePartition(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
-    val table = java.nio.file.Files
-      .createTempDirectory("graft-lakepart").toString + "/docs"
-    graft.lake.TxLog.append(docs, table, partitionCols = Seq("lang"))
-    graft.lake.TxLog.readPartition(s, table, Map("lang" -> "de"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).cast("long").as("sum_len"),
-        min(col("doc_id")).as("min_id"),
-        max(col("doc_id")).as("max_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft-lakepart")
+    val table = root.toString + "/docs"
+    // the scratch table must not outlive the query: repeated bench/verify
+    // runs would otherwise accumulate a full documents copy per run in
+    // /tmp — materialize the aggregate, then delete the tree
+    try {
+      graft.lake.TxLog.append(docs, table, partitionCols = Seq("lang"))
+      val agg = graft.lake.TxLog.readPartition(s, table, Map("lang" -> "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+      val rows = agg.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1691,21 +1691,38 @@ object TrainingQueries {
         |  FROM tk JOIN q USING (w) GROUP BY 1, 2),
         |dft AS (SELECT w, count(*) AS dft FROM tft GROUP BY 1),
         |base AS (
+        |  -- every (x*y)//m below is the exact quotient-remainder split
+        |  -- (x//m)*y + ((x%m)*y)//m, mirroring the Spark side so neither
+        |  -- engine ever multiplies two corpus-sized factors (the naive
+        |  -- form wraps Spark Longs / raises here at ~6M docs)
         |  SELECT t.doc_id, t.tf, d.dl, f.dft, st.n_docs,
-        |    st.total_dl * 1000000 // st.n_docs AS avgdl_e6
+        |    (st.total_dl // st.n_docs) * 1000000 +
+        |      ((st.total_dl % st.n_docs) * 1000000) // st.n_docs AS avgdl_e6
         |  FROM tft t JOIN dlt d USING (doc_id) JOIN dft f USING (w)
         |  CROSS JOIN st),
+        |c1 AS (SELECT *,
+        |    ((dl * 1000000) // avgdl_e6) * 1000000 +
+        |      (((dl * 1000000) % avgdl_e6) * 1000000) // avgdl_e6 AS ratio_e6
+        |  FROM base),
+        |c2 AS (SELECT *,
+        |    1000000 - 750000 + 750000 * (ratio_e6 // 1000000) +
+        |      (750000 * (ratio_e6 % 1000000)) // 1000000 AS norm_e6
+        |  FROM c1),
+        |c3 AS (SELECT *,
+        |    tf * 1000000 + 1200000 * (norm_e6 // 1000000) +
+        |      (1200000 * (norm_e6 % 1000000)) // 1000000 AS den
+        |  FROM c2),
         |calc AS (
         |  SELECT doc_id,
-        |    ((2 * (n_docs - dft) + 1) * 1000000) // (2 * dft + 1) AS idf_e6,
-        |    (tf * (1200000 + 1000000) * 1000000) //
-        |      (tf * 1000000 + (1200000 *
-        |        (1000000 - 750000 + (750000 *
-        |          (dl * 1000000 * 1000000 // avgdl_e6)) // 1000000))
-        |        // 1000000) AS tfpart_e6
-        |  FROM base)
+        |    ((2 * (n_docs - dft) + 1) // (2 * dft + 1)) * 1000000 +
+        |      (((2 * (n_docs - dft) + 1) % (2 * dft + 1)) * 1000000)
+        |        // (2 * dft + 1) AS idf_e6,
+        |    ((tf * (1200000 + 1000000)) // den) * 1000000 +
+        |      (((tf * (1200000 + 1000000)) % den) * 1000000) // den AS tfpart_e6
+        |  FROM c3)
         |SELECT doc_id, count(*) AS n_hits,
-        |  CAST(sum((idf_e6 * tfpart_e6) // 1000000) AS BIGINT) AS score_e6
+        |  CAST(sum((idf_e6 // 1000000) * tfpart_e6 +
+        |    ((idf_e6 % 1000000) * tfpart_e6) // 1000000) AS BIGINT) AS score_e6
         |FROM calc GROUP BY 1
         |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
 

@@ -460,18 +460,32 @@ final class BrokerServer(storage: Storage, host: String = "127.0.0.1",
           // partition is ALREADY in the ongoing txn without adding it
           val txns = readAddPartitionsToTxnV4(buf)
           val results = txns.map { x =>
+            val desc = if (x.verifyOnly)
+              storage.describeTransaction(x.txnId) else None
+            // KIP-890 verification must fence stale producers: a txn id
+            // alone is not an identity — the request's producerId/epoch
+            // must match the coordinator's view before membership counts
+            val fenceErr: Short = desc match {
+              case _ if !x.verifyOnly => 0
+              case Some(d) if d.producerId != x.producerId =>
+                49 // INVALID_PRODUCER_ID_MAPPING
+              case Some(d) if d.producerEpoch != x.epoch.toInt =>
+                47 // INVALID_PRODUCER_EPOCH
+              case _ => 0
+            }
             val inTxn: Set[Topition] =
-              if (!x.verifyOnly) Set.empty
-              else storage.describeTransaction(x.txnId)
-                .filter(_.state == "Ongoing").map(_.partitions.toSet)
-                .getOrElse(Set.empty)
+              if (fenceErr != 0) Set.empty
+              else desc.filter(_.state == "Ongoing")
+                .map(_.partitions.toSet).getOrElse(Set.empty)
             x.txnId -> x.topics.map { case (t, parts) =>
               t -> parts.map { p =>
                 val tp = Topition(t, p)
                 val e: Short =
-                  if (x.verifyOnly)
-                    (if (inTxn.contains(tp)) 0 else 48) // INVALID_TXN_STATE
-                  else storage.txnBegin(x.producerId, tp,
+                  if (x.verifyOnly) {
+                    if (fenceErr != 0) fenceErr
+                    else if (inTxn.contains(tp)) 0
+                    else 48 // INVALID_TXN_STATE
+                  } else storage.txnBegin(x.producerId, tp,
                     x.epoch.toInt).toShort
                 (p, e)
               }

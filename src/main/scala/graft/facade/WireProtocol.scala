@@ -2370,7 +2370,10 @@ object WireProtocol {
     }
     unk.foreach { id =>
       buf.putShort(100) // UNKNOWN_TOPIC_ID
-      writeCompactString(buf, null) // name nullable v12+; null either way
+      // MetadataResponse.Name is nullable only at v12+ (nullableVersions
+      // 12+): a strict v10/v11 decoder rejects a null compact string, so
+      // emit "" there and null only where the schema allows it
+      writeCompactString(buf, if (version >= 12) null else "")
       putUuid(buf, id)
       buf.put(0: Byte) // is_internal
       writeCompactArrayLen(buf, 0)

@@ -815,11 +815,17 @@ object TxLog {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = Integer.parseInt(s.substring(i + 1, i + 3), 16)
-        sb.append(hex.toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
+      // a '%' not followed by two hex digits is a literal '%' (external
+      // writers produce e.g. `p=50%off`) — mirror Spark's unescapePathName
+      // and append it as-is instead of throwing NumberFormatException
+      val hex =
+        if (c == '%' && i + 2 < s.length) {
+          val hi = Character.digit(s.charAt(i + 1), 16)
+          val lo = Character.digit(s.charAt(i + 2), 16)
+          if (hi >= 0 && lo >= 0) hi * 16 + lo else -1
+        } else -1
+      if (hex >= 0) { sb.append(hex.toChar); i += 3 }
+      else { sb.append(c); i += 1 }
     }
     sb.toString
   }

@@ -270,25 +270,52 @@ object TextAnalysis {
     val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("dft"))
     val stats = toksDf.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_dl"))
-    tf.join(broadcast(dfT), "w")
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl_e6", expr("total_dl * 1000000L DIV n_docs"))
-      .withColumn("ratio_e6",
-        expr("dl * 1000000L * 1000000L DIV avgdl_e6"))
-      .withColumn("norm_e6",
-        expr(s"1000000L - ${bE6}L + (${bE6}L * ratio_e6) DIV 1000000L"))
-      .withColumn("tfpart_e6",
-        expr(s"(tf * (${k1E6}L + 1000000L) * 1000000L) DIV " +
-          s"(tf * 1000000L + (${k1E6}L * norm_e6) DIV 1000000L)"))
-      .withColumn("idf_e6",
-        expr("((2 * (n_docs - dft) + 1) * 1000000L) DIV (2 * dft + 1)"))
-      .withColumn("term_score_e6", expr("(idf_e6 * tfpart_e6) DIV 1000000L"))
+    withBm25TermScore(
+      tf.join(broadcast(dfT), "w").crossJoin(broadcast(stats)), k1E6, bE6)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"),
         sum(col("term_score_e6")).as("score_e6"))
       .orderBy(col("score_e6").desc, col(idCol))
       .limit(k)
   }
+
+  /** The BM25 e6 fixed-point score columns over per-(doc, term) stats
+    * `(tf, dl, dft, n_docs, total_dl)`. Every `(x·y) DIV m` is expanded
+    * to the EXACT identity `(x DIV m)·y + ((x MOD m)·y) DIV m` (holds
+    * for non-negative integers in any truncating-division engine), so no
+    * intermediate ever multiplies two corpus-sized factors: the naive
+    * form wraps Long silently at n_docs ≈ 6M (df=1 idf × tfpart) and at
+    * dl ≈ 9.2M tokens (dl·1e12); the decomposed form is exact to
+    * n_docs ≈ 2e12 docs, total corpora of any size (avgdl decomposed by
+    * n_docs), mean doc length ≤ 9.2M tokens, and per-doc tf ≤ 9.2M —
+    * all beyond a 100 TB corpus. Exposed so overflow-range tests can
+    * drive synthetic stats rows directly.
+    */
+  private[graft] def withBm25TermScore(scored: DataFrame, k1E6: Long,
+                                       bE6: Long): DataFrame =
+    scored
+      .withColumn("avgdl_e6", expr(
+        "(total_dl DIV n_docs) * 1000000L + " +
+          "((total_dl % n_docs) * 1000000L) DIV n_docs"))
+      .withColumn("ratio_e6", expr(
+        "((dl * 1000000L) DIV avgdl_e6) * 1000000L + " +
+          "(((dl * 1000000L) % avgdl_e6) * 1000000L) DIV avgdl_e6"))
+      .withColumn("norm_e6", expr(
+        s"1000000L - ${bE6}L + ${bE6}L * (ratio_e6 DIV 1000000L) + " +
+          s"(${bE6}L * (ratio_e6 % 1000000L)) DIV 1000000L"))
+      .withColumn("den", expr(
+        s"tf * 1000000L + ${k1E6}L * (norm_e6 DIV 1000000L) + " +
+          s"(${k1E6}L * (norm_e6 % 1000000L)) DIV 1000000L"))
+      .withColumn("tfpart_e6", expr(
+        s"((tf * (${k1E6}L + 1000000L)) DIV den) * 1000000L + " +
+          s"(((tf * (${k1E6}L + 1000000L)) % den) * 1000000L) DIV den"))
+      .withColumn("idf_e6", expr(
+        "((2 * (n_docs - dft) + 1) DIV (2 * dft + 1)) * 1000000L + " +
+          "(((2 * (n_docs - dft) + 1) % (2 * dft + 1)) * 1000000L) " +
+          "DIV (2 * dft + 1)"))
+      .withColumn("term_score_e6", expr(
+        "(idf_e6 DIV 1000000L) * tfpart_e6 + " +
+          "((idf_e6 % 1000000L) * tfpart_e6) DIV 1000000L"))
 
   /** Deterministic stratified sampling: keep a document iff
     * h60(salt || id) mod 1000 < rate(stratum) * 1000. Hash-threshold

@@ -255,6 +255,26 @@ class BrokerServerSpec extends SparkSpec {
       val unk12 = ts12.find(_.topicId == bogus).get
       assert(unk12.error === 100 && unk12.name === null &&
         unk12.partitions.isEmpty)
+      // v10/v11 unknown-id rows must NOT carry a null name — the field is
+      // nullable only at v12+, and a strict decoder rejects the null
+      // compact string. Empty string + UNKNOWN_TOPIC_ID there.
+      (10 to 11).foreach { v =>
+        val mdOld = flexRequest(sock, 3, v.toShort, 580 + v) { b =>
+          W.writeCompactArrayLen(b, 1)
+          W.putUuid(b, bogus)
+          W.writeCompactString(b, null)
+          W.writeEmptyTaggedFields(b)
+          b.put(0: Byte) // allow_auto_topic_creation
+          if (v <= 10) b.put(0: Byte) // include_cluster_authorized_operations
+          b.put(0: Byte) // include_topic_authorized_operations
+          W.writeEmptyTaggedFields(b)
+        }
+        W.skipTaggedFields(mdOld)
+        val (_, _, tsOld) = W.readMetadataResponseV9(mdOld, v)
+        val unkOld = tsOld.find(_.topicId == bogus).get
+        assert(unkOld.error === 100 && unkOld.name === "" &&
+          unkOld.partitions.isEmpty, s"metadata v$v unknown-id row")
+      }
       sock.close()
     } finally broker.close()
   }
@@ -1447,6 +1467,23 @@ class BrokerServerSpec extends SparkSpec {
           "txn-ap" -> Seq("ap" -> Seq((0, 0.toShort))),
           "txn-ap" -> Seq("ap" -> Seq((0, 0.toShort), (1, 48.toShort)))),
           s"addPartitions v$v") // 48 = INVALID_TXN_STATE
+      }
+      // KIP-890 fencing: verification is an identity check, not a txn-id
+      // lookup — a stale producerId answers INVALID_PRODUCER_ID_MAPPING
+      // (49), a stale epoch INVALID_PRODUCER_EPOCH (47), and neither
+      // "verifies" membership the real producer owns
+      locally {
+        val r = call(24, 4) { b =>
+          W.writeAddPartitionsToTxnV4(b, Seq(
+            W.TxnPartitions("txn-ap", pid + 999, epoch, verifyOnly = true,
+              Seq("ap" -> Seq(0))),
+            W.TxnPartitions("txn-ap", pid, (epoch + 1).toShort,
+              verifyOnly = true, Seq("ap" -> Seq(0)))))
+        }
+        assert(W.readAddPartitionsToTxnResponseV4(r) === Seq(
+          "txn-ap" -> Seq("ap" -> Seq((0, 49.toShort))),
+          "txn-ap" -> Seq("ap" -> Seq((0, 47.toShort)))),
+          "verify_only must fence stale producer id/epoch")
       }
       (0 to 4).foreach { v =>
         val r = call(25, v)(b =>

@@ -524,6 +524,43 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(!got.map(_._1).contains(4L))
   }
 
+  test("bm25 term score is exact at scales where the naive Long form wraps") {
+    import spark.implicits._
+    // (id, tf, dl, dft, n_docs, total_dl): each row crosses a boundary
+    // where the pre-decomposition form wrapped Long silently — a df=1 idf
+    // beyond ~6M docs, a >9.2M-token doc (dl*1e12), and a petabyte-scale
+    // total_dl (total_dl*1e6)
+    val rows = Seq(
+      (1L, 3L, 400L, 1L, 5_000_000_000L, 2_000_000_000_000L),
+      (2L, 7L, 12_000_000L, 2L, 1_000_000L, 500_000_000L),
+      (3L, 1L, 200L, 1L, 25_000_000_000L, 25_000_000_000_000L),
+      (4L, 123456L, 9_000_000L, 17L, 2_000_000_000_000L,
+        1_000_000_000_000_000L),
+      // and one small-range row proving the decomposition changes nothing
+      (5L, 2L, 6L, 3L, 5L, 32L))
+    val got = TextAnalysis.withBm25TermScore(
+        rows.toDF("id", "tf", "dl", "dft", "n_docs", "total_dl"),
+        1200000L, 750000L)
+      .select("id", "term_score_e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // BigInt replay of the ORIGINAL (undecomposed) formula: the identity
+    // (x*y) div m == (x div m)*y + ((x mod m)*y) div m must make the Long
+    // pipeline agree with unbounded arithmetic
+    val e6 = BigInt(1000000)
+    rows.foreach { case (id, tf, dl, dft, n, tot) =>
+      val avgdl = BigInt(tot) * e6 / BigInt(n)
+      val ratio = BigInt(dl) * e6 * e6 / avgdl
+      val norm = e6 - 750000 + BigInt(750000) * ratio / e6
+      val tfp = BigInt(tf) * (1200000 + 1000000) * e6 /
+        (BigInt(tf) * e6 + BigInt(1200000) * norm / e6)
+      val idf = (2 * (BigInt(n) - BigInt(dft)) + 1) * e6 / (2 * BigInt(dft) + 1)
+      val want = idf * tfp / e6
+      assert(want.isValidLong && want > 0,
+        s"row $id: reference score out of Long range — bad test data")
+      assert(got(id) === want.toLong, s"row $id drifted from exact math")
+    }
+  }
+
   test("tfIdfTopTerms: k rows per doc, ranked by score then term") {
     val top = TextAnalysis.tfIdfTopTerms(docs.limit(20), k = 3).cache()
     val counts = top.groupBy("doc_id").count().collect()

@@ -65,6 +65,12 @@ class TxLogSpec extends SparkSpec {
     assert(got2 === Seq(1L))
     assert(TxLog.prunePartitions(TxLog.currentSnapshot(t2).get,
       Map("p" -> "a b:c")).size === 1)
+    // a literal '%' NOT followed by two hex digits (an external tool's
+    // unescaped directory, e.g. p=50%off) must decode as itself, not
+    // throw NumberFormatException and brick the whole table's reads
+    assert(TxLog.partitionValues("p=50%off/f.parquet") === Map("p" -> "50%off"))
+    assert(TxLog.partitionValues("p=100%/f.parquet") === Map("p" -> "100%"))
+    assert(TxLog.partitionValues("p=a%3Ab/f.parquet") === Map("p" -> "a:b"))
   }
 
   test("corpusDiff over time-travel snapshots labels adds/removes/changes") {
