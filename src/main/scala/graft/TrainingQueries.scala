@@ -592,7 +592,66 @@ object TrainingQueries {
       minCosine = 0.4, bits = 2)
   }
 
+  /** WordPiece vocab for q_wordpiece: hand-picked over the synthetic
+    * corpus vocabulary so the segmentation exercises every contract
+    * branch — greedy longest-match ("small" beats "sma" beats "s",
+    * "##indow" beats "##i"), continuation prefixing, and whole-word
+    * [UNK] fallback (no "##g" piece, so "agg"/"big" collapse). Single
+    * definition: the DuckDB oracle's list literal is built from THIS
+    * Seq, so the two engines cannot drift.
+    */
+  val WpVocab: Seq[String] = Seq(
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p",
+    "q", "r", "s", "t", "v", "w", "the", "row", "join", "jo", "batch",
+    "small", "sma", "str", "scan", "data",
+    "##a", "##b", "##c", "##d", "##e", "##f", "##h", "##i", "##k",
+    "##l", "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##u",
+    "##v", "##w", "##y", "##atch", "##in", "##an", "##ow", "##indow",
+    "##ue")
+
+  /** WordPiece greedy segmentation audit: per-doc piece count, unk
+    * count, continuation share, and an order-sensitive xor checksum of
+    * the piece stream (position-salted 60-bit hashes — xor, not sum,
+    * so neither engine can overflow 64 bits).
+    */
+  def qWordpiece(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordpieceEncode(docs(s, dir), WpVocab).select(
+      col("doc_id"),
+      size(col("pieces")).cast("long").as("n_pieces"),
+      size(filter(col("pieces"), p => p === "[UNK]")).cast("long")
+        .as("n_unk"),
+      size(filter(col("pieces"), p => p.startsWith("##"))).cast("long")
+        .as("n_cont"),
+      aggregate(
+        transform(col("pieces"),
+          (p, i) => Dedup.h60(concat(i.cast("string"), lit("|"), p))),
+        lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("checksum"))
+
+  /** HTML → text extraction over a deterministically templated wrapper
+    * (style/script elements, a comment, entities) built from each doc's
+    * text on BOTH engines, so the oracle replays the exact regex chain.
+    */
+  def qStripHtml(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style></head><body><h1>"),
+      substring(col("text"), 1, 40),
+      lit("</h1><!-- boilerplate note --><p>"), col("text"),
+      lit(" &amp; &lt;b&gt; x&nbsp;&#39;y&quot;</p>" +
+        "<script>if (a<b) { alert('x'); }</script></body></html>"))
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+  }
+
+  /** Deterministic weighted priority sample: 100 docs, n_chars weight. */
+  def qPrioritySample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.prioritySample(docs(s, dir), col("n_chars"), k = 100)
+      .select(col("doc_id"), col("priority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wordpiece" -> (qWordpiece _),
+    "q_strip_html" -> (qStripHtml _),
+    "q_priority_sample" -> (qPrioritySample _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_shuffle_rank" -> (qShuffleRank _),
@@ -2248,6 +2307,99 @@ object TrainingQueries {
          |    ORDER BY least(n_chars // 100, 5), $h, doc_id) - 1 AS BIGINT)
          |    AS curriculum_pos
          |FROM documents""".stripMargin
-    }
+    },
+
+    // WordPiece greedy longest-match replay: per distinct word, bl[p]
+    // = longest matching piece's bare length at 1-based position p,
+    // chain = the greedy position walk (list_reduce fold; -1 = failed
+    // word -> whole-word [UNK]), pieces decoded from consecutive chain
+    // positions. Validated against an independent Python reference
+    // before landing (0/500 doc mismatches).
+    "q_wordpiece" -> {
+      val vs = WpVocab.map(p => s"'$p'").mkString(", ")
+      s"""WITH words AS (
+         |  SELECT doc_id, generate_subscripts(w, 1) AS wi, unnest(w) AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |dict AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+         |seg AS (
+         |  SELECT w,
+         |    list_transform(range(1, length(w) + 1), p ->
+         |      coalesce(list_max(list_transform(list_filter([$vs], v ->
+         |        CASE WHEN p = 1
+         |          THEN v NOT LIKE '##%' AND v = substr(w, 1, length(v))
+         |          ELSE v LIKE '##%' AND length(v) > 2
+         |            AND substr(v, 3) = substr(w, p, length(v) - 2)
+         |        END),
+         |        v -> CASE WHEN p = 1 THEN length(v) ELSE length(v) - 2 END)),
+         |      0)) AS bl,
+         |    list_reduce(
+         |      list_prepend([CAST(1 AS BIGINT)],
+         |        list_transform(range(length(w)), i -> [CAST(-1 AS BIGINT)])),
+         |      (acc, x) -> CASE
+         |        WHEN acc[len(acc)] < 0 OR acc[len(acc)] > length(w) THEN acc
+         |        WHEN bl[acc[len(acc)]] = 0 THEN list_append(acc, CAST(-1 AS BIGINT))
+         |        ELSE list_append(acc, acc[len(acc)] + bl[acc[len(acc)]]) END) AS chain,
+         |    CASE WHEN length(w) > 100 OR chain[len(chain)] < 0 THEN ['[UNK]']
+         |      ELSE list_transform(range(len(chain) - 1), i ->
+         |        CASE WHEN chain[i + 1] = 1
+         |          THEN substr(w, 1, chain[i + 2] - 1)
+         |          ELSE '##' || substr(w, chain[i + 1], chain[i + 2] - chain[i + 1])
+         |        END) END AS pieces
+         |  FROM dict),
+         |flat AS (
+         |  SELECT ws.doc_id, ws.wi, generate_subscripts(s.pieces, 1) AS pi,
+         |    unnest(s.pieces) AS piece
+         |  FROM words ws JOIN seg s ON ws.w = s.w),
+         |po AS (
+         |  SELECT doc_id, piece,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi) - 1 AS pos
+         |  FROM flat)
+         |SELECT d.doc_id,
+         |  CAST(count(o.piece) AS BIGINT) AS n_pieces,
+         |  CAST(count(*) FILTER (WHERE o.piece = '[UNK]') AS BIGINT) AS n_unk,
+         |  CAST(count(*) FILTER (WHERE o.piece LIKE '##%') AS BIGINT) AS n_cont,
+         |  CAST(coalesce(bit_xor(
+         |    ${dh("CAST(o.pos AS VARCHAR) || '|' || o.piece")}), 0) AS BIGINT)
+         |    AS checksum
+         |FROM documents d LEFT JOIN po o ON d.doc_id = o.doc_id
+         |GROUP BY d.doc_id""".stripMargin
+    },
+
+    // the exact regex/replace chain of TextAnalysis.stripHtml — RE2
+    // and Java read these patterns identically (non-greedy + (?s), no
+    // lookaround); entity decode order matters (&amp; LAST)
+    "q_strip_html" -> {
+      val html =
+        "'<html><head><style>p{color:red}</style></head><body><h1>' || " +
+          "substr(text, 1, 40) || '</h1><!-- boilerplate note --><p>' || " +
+          "text || ' &amp; &lt;b&gt; x&nbsp;&#39;y&quot;</p>" +
+          "<script>if (a<b) { alert(''x''); }</script></body></html>'"
+      s"""WITH cleaned AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |          $html,
+         |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         |          '(?s)<!--.*?-->', ' ', 'g'),
+         |          '<[^>]*>', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |        '&nbsp;', ' '), '&amp;', '&'),
+         |      '[ \\t\\r\\n\\f]+', ' ', 'g')) AS clean
+         |  FROM documents)
+         |SELECT doc_id, clean,
+         |  CAST(length(clean) AS BIGINT) AS n_chars_clean
+         |FROM cleaned""".stripMargin
+    },
+
+    // priority = h60('prio|'||id) // weight, keep the 100 smallest —
+    // integer floor division on both engines (positive operands)
+    "q_priority_sample" ->
+      s"""SELECT doc_id,
+         |  ${dhSalted("prio")} // greatest(n_chars, 1) AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id
+         |LIMIT 100""".stripMargin
   )
 }

@@ -370,6 +370,78 @@ object TextAnalysis {
               |0L,
               |(acc, w) -> acc + 1L + CAST(length(w) DIV 4 AS LONG))""".stripMargin))
 
+  /** WordPiece tokenizer application (Wu et al. 2016 — the BERT
+    * tokenizer): greedy longest-match-first segmentation of each
+    * whitespace word against a fixed vocabulary, `##`-prefixed
+    * continuation pieces, whole-word `[UNK]` fallback. Completes the
+    * tokenizer triad next to BPE ([[bpeEncode]]) and the unigram LM.
+    * The vocab rides as ONE broadcast; the segmentation is a
+    * shuffle-free narrow map — scan speed at 100 TB.
+    */
+  def wordpieceEncode(docs: DataFrame, vocab: Seq[String],
+                      unk: String = "[UNK]", maxWordChars: Int = 100,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.WordPieceExpressions.wordpieceEncode(
+        toks(col(textCol)), vocab, unk, maxWordChars).as("pieces"))
+
+  /** HTML entities decoded by [[stripHtml]], applied in this order —
+    * `&amp;` LAST, so `&amp;lt;` decodes to the literal text `&lt;`
+    * rather than a phantom `<` (the standard double-decoding guard).
+    * Kept tiny and regex-free on both engines (plain `replace`).
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction (the stage-zero step for web-crawl corpora:
+    * the reference pipelines run trafilatura-class strippers before any
+    * quality signal): drop `<script>`/`<style>` ELEMENTS wholesale
+    * (their content is code, not prose), drop comments, strip remaining
+    * tags, decode the six core entities, collapse whitespace. Pure
+    * codegen'd `regexp_replace`/`replace` builtins — no UDF, the whole
+    * pass stays inside whole-stage codegen at scan speed. Patterns are
+    * RE2-and-Java compatible (non-greedy + (?s), no lookaround) so the
+    * DuckDB oracle replays them byte-for-byte.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      call_function("replace", c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " "))
+  }
+
+  /** Deterministic weighted PRIORITY SAMPLE of k documents (the integer
+    * analog of Duffield–Lund–Thorup 2007 priority sampling / A-Res
+    * weighted reservoirs): priority = h60(salt‖id) DIV weight, keep the
+    * k smallest. Heavier docs draw proportionally smaller priorities,
+    * so inclusion odds scale with weight, yet the draw is rerun-stable,
+    * join-free, and salt-redrawable — and shard-mergeable: the k
+    * globally smallest priorities of shard-local top-k unions are the
+    * global sample, so a TakeOrdered computes it with no global sort.
+    */
+  def prioritySample(docs: DataFrame, weightCol: Column, k: Int,
+                     salt: String = "prio",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    docs
+      .withColumn("__h",
+        Dedup.h60(concat(lit(s"$salt|"), col(idCol).cast("string"))))
+      .withColumn("__w", greatest(weightCol.cast("long"), lit(1L)))
+      // integer DIV, not Column./ (double division) — the oracle's `//`
+      .withColumn("priority", expr("__h DIV __w"))
+      .drop("__h", "__w")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Overlapping fixed-size chunking: split each document into
     * `chunkTokens`-token windows advancing by (chunkTokens - overlap) —
     * the context-window splitting step for RAG indexing and long-doc

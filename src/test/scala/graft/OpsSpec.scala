@@ -1867,4 +1867,129 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(2L) === 0L, "NULL stage must order first")
     assert(out(3L) === 1L && out(1L) === 2L)
   }
+
+  // ----------------------------------------------------- wordpiece
+
+  private def wpPieces(corpus: Seq[(Long, String)], vocab: Seq[String],
+                       maxWordChars: Int = 100): Map[Long, Seq[String]] = {
+    import spark.implicits._
+    TextAnalysis.wordpieceEncode(
+        corpus.toDF("doc_id", "text"), vocab, maxWordChars = maxWordChars)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+  }
+
+  test("wordpiece: the BERT 'unaffable' trace, greedy longest-first") {
+    val vocab = Seq("un", "una", "##ffable", "##aff", "##able", "aff")
+    // greedy takes "una" (3) over "un" (2), then "##ffable" over "##aff"
+    val out = wpPieces(Seq(1L -> "unaffable"), vocab)
+    assert(out(1L) === Seq("una", "##ffable"))
+    // drop "una"/"##ffable": now the canonical un ##aff ##able split
+    val out2 = wpPieces(Seq(1L -> "unaffable"),
+      Seq("un", "##aff", "##able", "aff"))
+    assert(out2(1L) === Seq("un", "##aff", "##able"))
+  }
+
+  test("wordpiece: whole-word [UNK] fallback, even after a prefix match") {
+    // "hugging" matches "hug" at 0 but has no continuation pieces:
+    // the WHOLE word must collapse, no partial [hug, UNK] stream
+    val out = wpPieces(Seq(1L -> "hugging xyz hug"), Seq("hug", "##s"))
+    assert(out(1L) === Seq("[UNK]", "[UNK]", "hug"))
+  }
+
+  test("wordpiece: maxWordChars guard and empty-word skip") {
+    val vocab = Seq("a", "##a")
+    val out = wpPieces(Seq(1L -> "aaaaa  aa"), vocab, maxWordChars = 4)
+    // "aaaaa" (5 cps) > 4 -> [UNK]; "" from the double space emits
+    // nothing; "aa" segments
+    assert(out(1L) === Seq("[UNK]", "a", "##a"))
+  }
+
+  test("wordpiece matches an independent greedy reference on random words") {
+    val vocab = Seq("a", "b", "ab", "abc", "##a", "##b", "##bc", "##c",
+      "##ab", "ba")
+    val vs = vocab.toSet
+    def ref(w: String): Seq[String] = {
+      if (w.isEmpty) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var start = 0
+      while (start < w.length) {
+        val m = (w.length to (start + 1) by -1).iterator.map { end =>
+          val sub = w.substring(start, end)
+          if (start == 0) sub else "##" + sub
+        }.find(vs.contains)
+        m match {
+          case None => return Seq("[UNK]")
+          case Some(p) =>
+            out += p
+            start += (if (start == 0) p.length else p.length - 2)
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(200)(
+      (1 to (1 + rnd.nextInt(6))).map(_ => "abcd" (rnd.nextInt(4))).mkString)
+    val doc = words.mkString(" ")
+    val got = wpPieces(Seq(1L -> doc), vocab)(1L)
+    val want = words.flatMap(ref)
+    assert(got === want)
+  }
+
+  // ----------------------------------------------------- stripHtml
+
+  private def strip1(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(TextAnalysis.stripHtml(col("h")).as("c"))
+      .collect().head.getString(0)
+  }
+
+  test("stripHtml drops script/style content wholesale, not just tags") {
+    assert(strip1("<p>keep</p><script>var a = 1 < 2;</script>" +
+      "<style>p { color: red }</style><p>tail</p>") === "keep tail")
+  }
+
+  test("stripHtml removes comments and collapses whitespace") {
+    assert(strip1("a <!-- multi\nline\ncomment --> b\n\t c") === "a b c")
+  }
+
+  test("stripHtml decodes entities with &amp; LAST (no double decode)") {
+    // &amp;lt; must become the literal text "&lt;", never "<"
+    assert(strip1("x &amp;lt; y &amp; z &lt;tag&gt;") === "x &lt; y & z <tag>")
+    assert(strip1("&quot;q&#39;s&nbsp;here&quot;") === "\"q's here\"")
+  }
+
+  // ------------------------------------------------ prioritySample
+
+  test("prioritySample equals the brute-force smallest-k priorities") {
+    val k = 37
+    val withPrio = docs
+      .withColumn("__h",
+        Dedup.h60(concat(lit("prio|"), col("doc_id").cast("string"))))
+      .withColumn("p",
+        expr("__h DIV greatest(CAST(n_chars AS LONG), 1L)"))
+    val want = withPrio.select("doc_id", "p").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).sorted.take(k).map(_._2).toSeq
+    val got = TextAnalysis.prioritySample(docs, col("n_chars"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.sorted === want.sorted)
+    // rerun-stability: the draw is a pure function of (salt, id, weight)
+    val again = TextAnalysis.prioritySample(docs, col("n_chars"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again.sorted === got.sorted)
+  }
+
+  test("prioritySample favors heavier docs and redraws under a new salt") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 1000000L))
+      .toDF("doc_id", "w")
+    val picked = TextAnalysis.prioritySample(df, col("w"), k = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    val heavy = picked.count(_ >= 200L)
+    assert(heavy >= 45,
+      s"1e6:1 weights must dominate a 50-draw, got $heavy heavy picks")
+    val other = TextAnalysis.prioritySample(df, col("w"), k = 50,
+      salt = "prio2").select("doc_id").collect().map(_.getLong(0))
+    assert(other.sorted.toSeq !== picked.sorted.toSeq,
+      "a different salt must redraw the sample")
+  }
 }

@@ -447,4 +447,26 @@ class PlanSpec extends SparkSpec {
     // domains-sized table (see Curation.temperatureMixture scaladoc)
     assert(plan.contains("Window"), plan.take(400))
   }
+
+  test("wordpiece encode is a shuffle-free narrow map (scan speed)") {
+    val plan = executedPlan("q_wordpiece")
+    assert(!plan.contains("Exchange"),
+      "wordpiece encode introduced a shuffle: " + plan.take(400))
+  }
+
+  test("stripHtml stays inside whole-stage codegen with no shuffle") {
+    val plan = executedPlan("q_strip_html")
+    assert(!plan.contains("Exchange"),
+      "stripHtml introduced a shuffle: " + plan.take(400))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke udf"),
+      "stripHtml fell out of builtin expressions: " + plan.take(400))
+  }
+
+  test("prioritySample plans a TakeOrdered, never a global sort") {
+    val plan = executedPlan("q_priority_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "priority sample lost its TakeOrdered: " + plan.take(400))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "priority sample planned a global range sort: " + plan.take(400))
+  }
 }
