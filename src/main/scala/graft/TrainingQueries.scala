@@ -648,10 +648,60 @@ object TrainingQueries {
     TextAnalysis.prioritySample(docs(s, dir), col("n_chars"), k = 100)
       .select(col("doc_id"), col("priority"))
 
+  /** Binary-signature ANN: top-10 by Hamming distance over sign-packed
+    * 64-dim embeddings (2×32-bit words per vector).
+    */
+  def qHammingTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.hammingTopK(embs(s, dir), queryId = 0L, k = 10, dims = 64)
+
+  /** Hybrid retrieval: BM25 top-20 (terms spark/merge/window) fused
+    * with cosine top-20 around vec 0 by reciprocal-rank fusion. The
+    * rank windows run over the 20-row retrieved lists, not the corpus
+    * (single-partition is the POINT — the lists are already tiny).
+    */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = TextAnalysis
+      .bm25Rank(docs(s, dir), Seq("spark", "merge", "window"), k = 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val vec = Similarity.cosineTopK(embs(s, dir), queryId = 0L, k = 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine_r").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(bm, vec), k = 10)
+  }
+
+  /** URL canonicalization + exact URL dedup over a deterministically
+    * templated crawl frontier (host case, default port, www, fragment,
+    * utm params, trailing slash, param order — every rule exercised;
+    * doc_id DIV 100 in the path makes genuine collisions to dedup:
+    * several raw URLs differing in fragment collapse to one canon row).
+    */
+  def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/docs/item"),
+      expr("doc_id DIV 100").cast("string"),
+      lit("/?utm_campaign=spring&ref="), col("source"),
+      lit("&b=2&a=1&utm_source=feed#sec-"),
+      (col("doc_id") % 7).cast("string"))
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.urlParts(raw).as("u"))
+      .select(col("doc_id"), col("u.canon_url").as("canon_url"),
+        col("u.domain").as("domain"))
+      .groupBy(col("canon_url"), col("domain"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wordpiece" -> (qWordpiece _),
     "q_strip_html" -> (qStripHtml _),
     "q_priority_sample" -> (qPrioritySample _),
+    "q_hamming_topk" -> (qHammingTopk _),
+    "q_rrf_fusion" -> (qRrfFusion _),
+    "q_url_canon" -> (qUrlCanon _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_shuffle_rank" -> (qShuffleRank _),
@@ -1020,6 +1070,57 @@ object TrainingQueries {
 
   private def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1])) AS BIGINT)"
+
+  /** The BM25 e6 fixed-point scoring chain as a CTE body ending in
+    * `bmscore(doc_id, n_hits, score_e6)` — ONE definition shared by
+    * q_bm25 and q_rrf_fusion so the hybrid oracle replays exactly the
+    * scoring the standalone oracle pins.
+    */
+  private val bm25ScoredCtes: String =
+    """tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dlt AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+      |  FROM dlt),
+      |q(w) AS (VALUES ('spark'), ('merge'), ('window')),
+      |tft AS (SELECT tk.doc_id, tk.w, count(*) AS tf
+      |  FROM tk JOIN q USING (w) GROUP BY 1, 2),
+      |dft AS (SELECT w, count(*) AS dft FROM tft GROUP BY 1),
+      |base AS (
+      |  -- every (x*y)//m below is the exact quotient-remainder split
+      |  -- (x//m)*y + ((x%m)*y)//m, mirroring the Spark side so neither
+      |  -- engine ever multiplies two corpus-sized factors (the naive
+      |  -- form wraps Spark Longs / raises here at ~6M docs)
+      |  SELECT t.doc_id, t.tf, d.dl, f.dft, st.n_docs,
+      |    (st.total_dl // st.n_docs) * 1000000 +
+      |      ((st.total_dl % st.n_docs) * 1000000) // st.n_docs AS avgdl_e6
+      |  FROM tft t JOIN dlt d USING (doc_id) JOIN dft f USING (w)
+      |  CROSS JOIN st),
+      |c1 AS (SELECT *,
+      |    ((dl * 1000000) // avgdl_e6) * 1000000 +
+      |      (((dl * 1000000) % avgdl_e6) * 1000000) // avgdl_e6 AS ratio_e6
+      |  FROM base),
+      |c2 AS (SELECT *,
+      |    1000000 - 750000 + 750000 * (ratio_e6 // 1000000) +
+      |      (750000 * (ratio_e6 % 1000000)) // 1000000 AS norm_e6
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    tf * 1000000 + 1200000 * (norm_e6 // 1000000) +
+      |      (1200000 * (norm_e6 % 1000000)) // 1000000 AS den
+      |  FROM c2),
+      |calc AS (
+      |  SELECT doc_id,
+      |    ((2 * (n_docs - dft) + 1) // (2 * dft + 1)) * 1000000 +
+      |      (((2 * (n_docs - dft) + 1) % (2 * dft + 1)) * 1000000)
+      |        // (2 * dft + 1) AS idf_e6,
+      |    ((tf * (1200000 + 1000000)) // den) * 1000000 +
+      |      (((tf * (1200000 + 1000000)) % den) * 1000000) // den AS tfpart_e6
+      |  FROM c3),
+      |bmscore AS (
+      |  SELECT doc_id, count(*) AS n_hits,
+      |    CAST(sum((idf_e6 // 1000000) * tfpart_e6 +
+      |      ((idf_e6 % 1000000) * tfpart_e6) // 1000000) AS BIGINT) AS score_e6
+      |  FROM calc GROUP BY 1)""".stripMargin
 
   /** The k-means trajectory as chained CTEs — one (assign, update) pair
     * per iteration, replaying Similarity.kmeansAssign step for step
@@ -1740,50 +1841,10 @@ object TrainingQueries {
     "q_dedup_clusters" -> clustersOracle,
 
     "q_bm25" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |dlt AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
-        |  FROM dlt),
-        |q(w) AS (VALUES ('spark'), ('merge'), ('window')),
-        |tft AS (SELECT tk.doc_id, tk.w, count(*) AS tf
-        |  FROM tk JOIN q USING (w) GROUP BY 1, 2),
-        |dft AS (SELECT w, count(*) AS dft FROM tft GROUP BY 1),
-        |base AS (
-        |  -- every (x*y)//m below is the exact quotient-remainder split
-        |  -- (x//m)*y + ((x%m)*y)//m, mirroring the Spark side so neither
-        |  -- engine ever multiplies two corpus-sized factors (the naive
-        |  -- form wraps Spark Longs / raises here at ~6M docs)
-        |  SELECT t.doc_id, t.tf, d.dl, f.dft, st.n_docs,
-        |    (st.total_dl // st.n_docs) * 1000000 +
-        |      ((st.total_dl % st.n_docs) * 1000000) // st.n_docs AS avgdl_e6
-        |  FROM tft t JOIN dlt d USING (doc_id) JOIN dft f USING (w)
-        |  CROSS JOIN st),
-        |c1 AS (SELECT *,
-        |    ((dl * 1000000) // avgdl_e6) * 1000000 +
-        |      (((dl * 1000000) % avgdl_e6) * 1000000) // avgdl_e6 AS ratio_e6
-        |  FROM base),
-        |c2 AS (SELECT *,
-        |    1000000 - 750000 + 750000 * (ratio_e6 // 1000000) +
-        |      (750000 * (ratio_e6 % 1000000)) // 1000000 AS norm_e6
-        |  FROM c1),
-        |c3 AS (SELECT *,
-        |    tf * 1000000 + 1200000 * (norm_e6 // 1000000) +
-        |      (1200000 * (norm_e6 % 1000000)) // 1000000 AS den
-        |  FROM c2),
-        |calc AS (
-        |  SELECT doc_id,
-        |    ((2 * (n_docs - dft) + 1) // (2 * dft + 1)) * 1000000 +
-        |      (((2 * (n_docs - dft) + 1) % (2 * dft + 1)) * 1000000)
-        |        // (2 * dft + 1) AS idf_e6,
-        |    ((tf * (1200000 + 1000000)) // den) * 1000000 +
-        |      (((tf * (1200000 + 1000000)) % den) * 1000000) // den AS tfpart_e6
-        |  FROM c3)
-        |SELECT doc_id, count(*) AS n_hits,
-        |  CAST(sum((idf_e6 // 1000000) * tfpart_e6 +
-        |    ((idf_e6 % 1000000) * tfpart_e6) // 1000000) AS BIGINT) AS score_e6
-        |FROM calc GROUP BY 1
-        |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+      s"""WITH $bm25ScoredCtes
+         |SELECT doc_id, n_hits, score_e6 FROM bmscore
+         |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
 
     "q_tfidf_top_terms" ->
       """WITH terms AS (
@@ -2308,6 +2369,101 @@ object TrainingQueries {
          |    AS curriculum_pos
          |FROM documents""".stripMargin
     },
+
+    // sign-bit packing into 2x32-bit words (positive, so DuckDB's
+    // HUGEINT-widening list_sum compares exactly), then popcount(xor)
+    "q_hamming_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id, list_transform(range(2), w ->
+        |    CAST(list_sum(list_transform(range(32), i ->
+        |      CASE WHEN embedding[w * 32 + i + 1] > 0
+        |        THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)) AS sig
+        |  FROM embeddings),
+        |q AS (SELECT sig AS qsig FROM s WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(bit_count(xor(sig[1], qsig[1])) +
+        |       bit_count(xor(sig[2], qsig[2])) AS BIGINT) AS hamming
+        |FROM s CROSS JOIN q WHERE vec_id != 0
+        |ORDER BY hamming, vec_id LIMIT 10""".stripMargin,
+
+    // reciprocal-rank fusion of the SHARED bm25 chain (top-20) and the
+    // exact-cosine chain (top-20): 1e6 // (60 + rank) contributions
+    "q_rrf_fusion" ->
+      s"""WITH $bm25ScoredCtes,
+         |bl AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score_e6 DESC, doc_id) AS rank FROM bmscore)
+         |  WHERE rank <= 20),
+         |${quantCte.trim.stripPrefix("WITH ")},
+         |vq AS (SELECT qe AS query_qe FROM e WHERE vec_id = 0),
+         |vd AS (
+         |  SELECT vec_id,
+         |    round(CAST(${dotSql("qe", "query_qe")} AS DOUBLE) /
+         |      sqrt(CAST(${dotSql("qe", "qe")} AS DOUBLE) *
+         |           CAST(${dotSql("query_qe", "query_qe")} AS DOUBLE)), 6)
+         |      AS cosine_r
+         |  FROM e CROSS JOIN vq WHERE vec_id != 0),
+         |vl AS (SELECT doc_id, rank FROM (
+         |  SELECT vec_id AS doc_id, row_number() OVER (
+         |    ORDER BY cosine_r DESC, vec_id) AS rank FROM vd)
+         |  WHERE rank <= 20),
+         |un AS (
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM bl
+         |  UNION ALL
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM vl)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(sum(c) AS BIGINT) AS rrf_e6
+         |FROM un GROUP BY 1
+         |ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the exact canonicalization chain of TextAnalysis.urlParts over the
+    // same templated frontier (regex subset identical in RE2 and Java)
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM:443/docs/item' ||
+        |    CAST(doc_id // 100 AS VARCHAR) || '/?utm_campaign=spring&ref=' ||
+        |    source || '&b=2&a=1&utm_source=feed#sec-' ||
+        |    CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostraw,
+        |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '')
+        |      AS pathq
+        |  FROM p),
+        |hp AS (
+        |  SELECT doc_id, scheme, pathq,
+        |    regexp_replace(CASE
+        |      WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |      WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |      ELSE hostraw END, '^www\.', '') AS host
+        |  FROM parts),
+        |pc AS (
+        |  SELECT doc_id, scheme, host,
+        |    CASE WHEN regexp_replace(
+        |        regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+        |      THEN '/'
+        |      ELSE regexp_replace(
+        |        regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qs
+        |  FROM hp),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+        |    regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM pc)
+        |SELECT canon_url, domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM canon GROUP BY 1, 2""".stripMargin,
 
     // WordPiece greedy longest-match replay: per distinct word, bl[p]
     // = longest matching piece's bare length at 1-based position p,

@@ -170,6 +170,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-bit binary signature of an embedding: bit i of word w is set
+    * iff component `32w + i` is positive — `dims` float dims pack into
+    * ceil(dims/32) longs, a 64× size cut (256 B → 16 B at 768 dims with
+    * 4-byte floats... at 64 dims: 256 B → 16 B). The packing is a
+    * statically unrolled sum of `when` terms, fully codegen'd — no
+    * higher-order lambda on the hot path. 32 bits per word (not 64)
+    * keeps every word positive, so the DuckDB oracle's `list_sum`
+    * (which widens to HUGEINT) compares exactly.
+    */
+  def packSignBits(emb: Column, dims: Int, wordBits: Int = 32): Column = {
+    require(dims > 0 && wordBits > 0 && wordBits <= 32, "bad pack shape")
+    val nWords = (dims + wordBits - 1) / wordBits
+    array((0 until nWords).map { w =>
+      (0 until math.min(wordBits, dims - w * wordBits)).map { i =>
+        when(element_at(emb, w * wordBits + i + 1) > 0f,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed signatures of `nWords` words:
+    * sum of popcounts of per-word XORs — integer-exact in any engine.
+    */
+  def hammingDist(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map { w =>
+      call_function("bit_count",
+        element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+    }.map(_.cast("long")).reduce(_ + _)
+
+  /** Binary-signature ANN: top-k by Hamming distance over sign-packed
+    * embeddings — the binary-quantization serving path (Indyk–Motwani
+    * SimHash family: sign-random-projection Hamming distance estimates
+    * angular distance; with identity "projections" the signature doubles
+    * as the [[signBucket]] cell id, so the same bits drive both pruning
+    * and ranking).
+    *
+    * Scale shape: the corpus is scanned ONCE reading only the 16-byte
+    * signature column (at rest, store signatures as their own parquet
+    * column — column pruning means the 100 TB of float vectors never
+    * leaves disk); distance is a handful of XOR+POPCNT instructions per
+    * row inside whole-stage codegen, and the top-k is a TakeOrdered.
+    * The standard production pattern is Hamming shortlist → exact
+    * re-rank of survivors, which composes as
+    * `hammingTopK(..., k = 10 * k)` joined back through [[knnJoin]].
+    */
+  def hammingTopK(embeddings: DataFrame, queryId: Long, k: Int, dims: Int,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val nWords = (dims + 31) / 32
+    val sigs = embeddings.select(col(idCol),
+      packSignBits(col(embCol), dims).as("__sig"))
+    val q = sigs.filter(col(idCol) === queryId)
+      .select(col("__sig").as("__q_sig"))
+    sigs.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        hammingDist(col("__sig"), col("__q_sig"), nWords).as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009) of ranked
+    * retrieval lists — the standard hybrid-search combiner (BM25 ∪
+    * vector ANN in one ranking). Each list contributes
+    * `1e6 DIV (kRrf + rank)` to its documents (integer fixed point —
+    * no doubles, engine-deterministic); documents absent from a list
+    * contribute nothing there. Inputs are (id, rank) frames with rank
+    * 1-based; ranks beyond a list's cut simply don't appear.
+    *
+    * Scale shape: each input list is already top-n (k rows, not corpus
+    * rows), so the fusion is a union + groupBy over O(lists × n) rows —
+    * driver-free, broadcast-free, and independent of corpus size. The
+    * expensive parts are the upstream retrievals, which keep their own
+    * scale paths.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Long = 60L,
+              idCol: String = "doc_id"): DataFrame = {
+    require(lists.nonEmpty && k > 0 && kRrf >= 0, "bad rrf inputs")
+    val contribs = lists.map(_.select(col(idCol),
+      expr(s"${1000000L} DIV ($kRrf + rank)").as("__c")))
+    contribs.reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        sum(col("__c")).cast("long").as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Trained IVF — the production ANN shape ([[annBucketed]]'s sign-bit
     * cells are the deterministic stand-in; this is the real thing):
     * k-means coarse centroids (MLlib, seed-pinned), every vector

@@ -418,6 +418,55 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " "))
   }
 
+  /** URL canonicalization — the crawl-dedup key step that runs right
+    * next to [[stripHtml]] in a web pipeline (two crawls of one page
+    * differ only in tracking params / host case / default ports; URL
+    * dedup before fetch-dedup is the cheapest dedup there is). Rules
+    * (the RFC 3986 §6 safe normalizations plus the universal utm strip):
+    *   - drop the fragment (first `#` onward);
+    *   - lowercase scheme and host; strip a leading `www.`;
+    *   - strip the scheme's default port (`:443` https, `:80` http);
+    *   - drop trailing slashes from the path (empty path → `/`);
+    *   - drop `utm_*` tracking params, sort the survivors bytewise,
+    *     drop the `?` if none survive.
+    * Non-absolute inputs (no `scheme://`) pass through untouched — the
+    * contract covers crawl frontiers, which are absolute by definition.
+    *
+    * Returns a struct `(canon_url, host, domain)` — `domain` is the
+    * last-two-labels registrable domain (a deterministic stand-in for
+    * a public-suffix-list lookup, which is a data file, not logic).
+    * Everything is codegen'd regex/string/array builtins in the
+    * RE2-and-Java-identical subset (no lookaround, no backrefs): a
+    * shuffle-free narrow map at crawl scale.
+    */
+  def urlParts(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val noPort = when(scheme === "https",
+        regexp_replace(hostRaw, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .otherwise(hostRaw)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val pathq = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val path0 = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qSorted = array_join(array_sort(filter(
+      split(regexp_extract(pathq, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted)))
+    struct(
+      when(scheme === "", url).otherwise(canon).as("canon_url"),
+      host.as("host"),
+      regexp_extract(regexp_replace(host, ":[0-9]+$", ""),
+        "([^.]+\\.[^.]+)$", 1).as("domain"))
+  }
+
   /** Deterministic weighted PRIORITY SAMPLE of k documents (the integer
     * analog of Duffield–Lund–Thorup 2007 priority sampling / A-Res
     * weighted reservoirs): priority = h60(salt‖id) DIV weight, keep the

@@ -1992,4 +1992,88 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(other.sorted.toSeq !== picked.sorted.toSeq,
       "a different salt must redraw the sample")
   }
+
+  test("packSignBits/hammingDist: hand-traced words and distance") {
+    import spark.implicits._
+    // 40 dims -> 2 words: word0 = bits 0-31, word1 = bits 32-39.
+    // v1 positive at {0, 5, 33}; v2 positive at {0, 6, 34, 39}; zero
+    // counts as NON-positive (strict > 0)
+    def vec(pos: Set[Int]) =
+      (0 until 40).map(i => if (pos(i)) 1.0f else if (i % 2 == 0) 0f else -1f)
+    val df = Seq((1L, vec(Set(0, 5, 33))), (2L, vec(Set(0, 6, 34, 39))))
+      .toDF("vec_id", "embedding")
+    val sigs = df.select(col("vec_id"),
+        Similarity.packSignBits(col("embedding"), dims = 40).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === Seq((1L << 0) + (1L << 5), 1L << 1))
+    assert(sigs(2L) === Seq((1L << 0) + (1L << 6), (1L << 2) + (1L << 7)))
+    val d = df.filter(col("vec_id") === 1L)
+      .crossJoin(df.filter(col("vec_id") === 2L).select(
+        Similarity.packSignBits(col("embedding"), 40).as("other")))
+      .select(Similarity.hammingDist(
+        Similarity.packSignBits(col("embedding"), 40), col("other"),
+        nWords = 2).as("h"))
+      .head().getLong(0)
+    // word0: {5} vs {6} differ -> 2 bits; word1: {33} vs {34,39} -> 3
+    assert(d === 5L)
+  }
+
+  test("hammingTopK equals brute-force sign-disagreement counting") {
+    val embeddings = Tables.load(spark, sf, "embeddings")
+    val all = embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val q = all(0L)
+    val want = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (v.indices.count(i => (v(i) > 0f) != (q(i) > 0f)).toLong, id) }
+      .sorted.take(10)
+    val got = Similarity.hammingTopK(embeddings, queryId = 0L, k = 10,
+        dims = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(got === want)
+  }
+
+  test("rrfFuse: hand-traced integer fusion, both-list docs first") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 1e6 integer divisions: //61=16393, //62=16129, //63=15873
+    assert(got === Seq(
+      (2L, 2L, 16129L + 16393L), // rank 2 in A, rank 1 in B
+      (1L, 1L, 16393L),
+      (4L, 1L, 16129L),
+      (3L, 1L, 15873L)))
+  }
+
+  private def urlCanon(u: String): (String, String, String) = {
+    import spark.implicits._
+    val r = Seq(u).toDF("u")
+      .select(TextAnalysis.urlParts(col("u")).as("p"))
+      .select("p.canon_url", "p.host", "p.domain").head()
+    (r.getString(0), r.getString(1), r.getString(2))
+  }
+
+  test("urlParts: every canonicalization rule, pinned one by one") {
+    // host case + www + default port + utm strip + param sort + frag
+    assert(urlCanon("HTTPS://WWW.Ex.COM:443/A/?utm_x=1&b=2&a=1#f")._1 ===
+      "https://ex.com/A?a=1&b=2")
+    // http default port + empty path -> '/'
+    assert(urlCanon("http://ex.com:80")._1 === "http://ex.com/")
+    // NON-default port survives
+    assert(urlCanon("http://ex.com:8080/x")._1 === "http://ex.com:8080/x")
+    // all params tracking -> no '?'
+    assert(urlCanon("https://sub.ex.com/p?utm_a=1&utm_b=2")._1 ===
+      "https://sub.ex.com/p")
+    // registrable domain = last two labels of the PORT-STRIPPED host
+    assert(urlCanon("https://a.b.ex.com:9/p") ===
+      (("https://a.b.ex.com:9/p", "a.b.ex.com:9", "ex.com")))
+    assert(urlCanon("https://sub.ex.com/p")._3 === "ex.com")
+    // fragments alone must merge two raw URLs
+    assert(urlCanon("https://ex.com/p#one")._1 ===
+      urlCanon("https://ex.com/p#two")._1)
+    // non-absolute input passes through untouched
+    assert(urlCanon("not a url")._1 === "not a url")
+  }
 }

@@ -469,4 +469,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"),
       "priority sample planned a global range sort: " + plan.take(400))
   }
+
+  test("hammingTopK: broadcast query, TakeOrdered, no shuffle, no UDF") {
+    val plan = executedPlan("q_hamming_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "hamming top-k lost its TakeOrdered: " + plan.take(400))
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row query side must broadcast: " + plan.take(400))
+    // the only Exchange allowed is the query-side broadcast — the
+    // corpus scan itself must stay shuffle-free
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      "hamming scan shuffled the corpus: " + plan.take(600))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke udf"),
+      "bit packing fell out of builtin expressions: " + plan.take(400))
+  }
+
+  test("urlCanon: one aggregation shuffle, codegen'd regex chain") {
+    // count only the final AQE tree (the same Exchange prints again
+    // under "== Initial Plan ==")
+    val plan = executedPlan("q_url_canon").split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"url canon needs at most the groupBy shuffle, got $shuffles: " +
+        plan.take(600))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke udf"),
+      "url canonicalization fell out of builtin expressions: " +
+        plan.take(400))
+  }
 }
