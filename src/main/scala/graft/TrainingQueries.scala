@@ -648,6 +648,33 @@ object TrainingQueries {
     TextAnalysis.prioritySample(docs(s, dir), col("n_chars"), k = 100)
       .select(col("doc_id"), col("priority"))
 
+  /** Phrase blocklist for q_phrase_blocklist — single definition, the
+    * oracle's VALUES list is rendered from THIS Seq. Chosen to exercise
+    * every automaton branch on the synthetic corpus: common unigram,
+    * cross-token bigram/trigram, shared-prefix pair ("scan" inside
+    * "scan slow" — both must count on one occurrence), self-overlapping
+    * phrase ("a a" counts twice in "a a a"), absent phrase.
+    */
+  val BlockPhrases: Seq[String] = Seq(
+    "slow", "fast join", "table value part", "scan", "scan slow",
+    "a a", "zebra")
+
+  /** Blocklist audit: per doc, total hits, distinct phrases hit, and an
+    * index-salted xor checksum of the per-phrase counts.
+    */
+  def qPhraseBlocklist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseBlocklist(docs(s, dir), BlockPhrases).select(
+      col("doc_id"),
+      aggregate(col("phrase_counts"), lit(0L), (a, x) => a + x)
+        .as("n_hits"),
+      size(filter(col("phrase_counts"), c => c > 0L)).cast("long")
+        .as("n_phrases"),
+      aggregate(
+        transform(col("phrase_counts"), (c, i) =>
+          when(c > 0L, Dedup.h60(concat(i.cast("string"), lit("|"),
+            c.cast("string")))).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("checksum"))
+
   /** Binary-signature ANN: top-10 by Hamming distance over sign-packed
     * 64-dim embeddings (2×32-bit words per vector).
     */
@@ -702,6 +729,7 @@ object TrainingQueries {
     "q_hamming_topk" -> (qHammingTopk _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_url_canon" -> (qUrlCanon _),
+    "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_shuffle_rank" -> (qShuffleRank _),
@@ -2368,6 +2396,26 @@ object TrainingQueries {
          |    ORDER BY least(n_chars // 100, 5), $h, doc_id) - 1 AS BIGINT)
          |    AS curriculum_pos
          |FROM documents""".stripMargin
+    },
+
+    // every-end-position occurrence counting (the Aho–Corasick contract,
+    // overlaps included) replayed as a position scan per (doc, phrase)
+    "q_phrase_blocklist" -> {
+      val vals = BlockPhrases.zipWithIndex
+        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+      s"""WITH ph(pid, p) AS (VALUES $vals),
+         |m AS (
+         |  SELECT doc_id, pid,
+         |    CAST(len(list_filter(
+         |      range(1, length(text) - length(p) + 2),
+         |      i -> substr(text, i, length(p)) = p)) AS BIGINT) AS cnt
+         |  FROM documents CROSS JOIN ph)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_hits,
+         |  CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_phrases,
+         |  CAST(coalesce(bit_xor(CASE WHEN cnt > 0 THEN
+         |    ${dh("CAST(pid AS VARCHAR) || '|' || CAST(cnt AS VARCHAR)")}
+         |    ELSE 0 END), 0) AS BIGINT) AS checksum
+         |FROM m GROUP BY 1""".stripMargin
     },
 
     // sign-bit packing into 2x32-bit words (positive, so DuckDB's

@@ -418,6 +418,18 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " "))
   }
 
+  /** Content-phrase blocklist scan: per-phrase occurrence counts over
+    * each document in ONE text pass via a broadcast Aho–Corasick
+    * automaton ([[graft.functions.PhraseExpressions]] — see there for
+    * why this beats P regexp passes by the blocklist size P at scale).
+    * Appends `phrase_counts: array<long>` aligned with `phrases`;
+    * overlapping occurrences count (the AC contract).
+    */
+  def phraseBlocklist(docs: DataFrame, phrases: Seq[String],
+                      textCol: String = "text"): DataFrame =
+    docs.withColumn("phrase_counts",
+      graft.functions.PhraseExpressions.phraseCount(col(textCol), phrases))
+
   /** URL canonicalization — the crawl-dedup key step that runs right
     * next to [[stripHtml]] in a web pipeline (two crawls of one page
     * differ only in tracking params / host case / default ports; URL

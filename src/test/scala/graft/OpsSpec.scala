@@ -2047,6 +2047,42 @@ class OpsSpec extends SparkSpec with PropSupport {
       (3L, 1L, 15873L)))
   }
 
+  private def acCounts(text: String, phrases: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(graft.functions.PhraseExpressions
+        .phraseCount(col("t"), phrases).as("c"))
+      .head().getSeq[Long](0)
+  }
+
+  test("phraseCount: hand-traced overlaps, cross-token and shared-prefix") {
+    val got = acCounts("a a a scan slow table value part",
+      TrainingQueries.BlockPhrases)
+    // slow, fast join, table value part, scan, scan slow, a a, zebra
+    assert(got === Seq(1L, 0L, 1L, 1L, 1L, 2L, 0L))
+  }
+
+  test("phraseCount: fail-link output closure emits suffix phrases") {
+    // matching "aab" must also emit its suffixes "ab" and "b" via the
+    // fail-closure — the classic AC correctness trap
+    assert(acCounts("aab", Seq("aab", "ab", "b")) === Seq(1L, 1L, 1L))
+    assert(acCounts("ababa", Seq("aba", "ba")) === Seq(2L, 2L))
+  }
+
+  test("phraseCount matches a naive position scan on random text") {
+    val phrases = Seq("a", "ab", "ba ", " b", "aa b", "bb")
+    def naive(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length))
+        .toLong
+    val rnd = new scala.util.Random(17)
+    (1 to 30).foreach { _ =>
+      val t = (1 to (5 + rnd.nextInt(60)))
+        .map(_ => "ab ab b"(rnd.nextInt(7))).mkString
+      assert(acCounts(t, phrases) === phrases.map(naive(t, _)),
+        s"text '$t'")
+    }
+  }
+
   private def urlCanon(u: String): (String, String, String) = {
     import spark.implicits._
     val r = Seq(u).toDF("u")

@@ -485,6 +485,14 @@ class PlanSpec extends SparkSpec {
       "bit packing fell out of builtin expressions: " + plan.take(400))
   }
 
+  test("phraseBlocklist: shuffle-free narrow map, automaton broadcast") {
+    val plan = executedPlan("q_phrase_blocklist")
+    assert(!plan.contains("Exchange"),
+      "phrase scan introduced a shuffle: " + plan.take(400))
+    assert(plan.contains("phrase_count"),
+      "the native AC kernel fell out of the plan: " + plan.take(400))
+  }
+
   test("urlCanon: one aggregation shuffle, codegen'd regex chain") {
     // count only the final AQE tree (the same Exchange prints again
     // under "== Initial Plan ==")
