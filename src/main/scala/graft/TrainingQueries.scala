@@ -675,6 +675,33 @@ object TrainingQueries {
             c.cast("string")))).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("checksum"))
 
+  /** Training-shard export manifest: 16 deterministic shards with
+    * re-verifiable audit rows.
+    */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    Curation.shardManifest(docs(s, dir), nShards = 16)
+
+  /** Multimodal frame-sampling plumbing, ORACLE-verified end to end:
+    * a media table built from the documents' text bytes (a
+    * deterministic blob both engines can reproduce — the corpus is
+    * ASCII, so byte slices equal character slices), 4 pseudo-frames
+    * per "video" via the real flatMap/slice path
+    * ([[graft.ops.Multimodal.sampleFrames]]), each frame hashed. The
+    * DECODE stays a stub by constraint (no codec libs in the image);
+    * the schema, explode shape, slicing and batching are the real
+    * sampler's and are what this row pins.
+    */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.ops.Multimodal.asMediaTable(
+      docs(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", modality = "video", format = "mp4")
+    graft.ops.Multimodal.sampleFrames(media, n = 4).select(
+      col("media_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      octet_length(col("frame_payload")).cast("long").as("frame_bytes"),
+      Dedup.h60(col("frame_payload").cast("string")).as("frame_h"))
+  }
+
   /** Binary-signature ANN: top-10 by Hamming distance over sign-packed
     * 64-dim embeddings (2×32-bit words per vector).
     */
@@ -730,6 +757,8 @@ object TrainingQueries {
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_url_canon" -> (qUrlCanon _),
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
+    "q_frame_sample" -> (qFrameSample _),
+    "q_shard_manifest" -> (qShardManifest _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_shuffle_rank" -> (qShuffleRank _),
@@ -2397,6 +2426,25 @@ object TrainingQueries {
          |    AS curriculum_pos
          |FROM documents""".stripMargin
     },
+
+    // shard = salted-hash mod 16; checksum = order-insensitive xor over
+    // (id, length) — the manifest a shard consumer re-verifies
+    "q_shard_manifest" ->
+      s"""SELECT ${dhSalted("shard")} % 16 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(${dh("CAST(doc_id AS VARCHAR) || '|' || CAST(length(text) AS VARCHAR)")}) AS BIGINT)
+         |    AS checksum
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the frame slicer replayed in the VARCHAR domain (ASCII corpus:
+    // byte offsets == character offsets); strlen = octet_length
+    "q_frame_sample" ->
+      s"""SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(strlen(text) // 4 AS BIGINT) AS frame_bytes,
+         |  ${dh("substr(text, CAST(f * (strlen(text) // 4) + 1 AS BIGINT), strlen(text) // 4)")}
+         |    AS frame_h
+         |FROM documents CROSS JOIN range(4) t(f)""".stripMargin,
 
     // every-end-position occurrence counting (the Aho–Corasick contract,
     // overlaps included) replayed as a position scan per (doc, phrase)

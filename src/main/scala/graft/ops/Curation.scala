@@ -26,6 +26,33 @@ object Curation {
     * `broadcastBenchmark = false` for a giant benchmark and the join
     * falls back to a shuffle equi-join on the gram.
     */
+  /** Deterministic training-shard export manifest — the dataset-release
+    * step after curation: every doc lands in shard
+    * `h60(salt‖id) mod nShards` (rerun-stable, no RNG, no sort — the
+    * assignment IS the shuffle key, so writing shards is one hash
+    * exchange), and the manifest row per shard carries the audit
+    * fields a consumer re-verifies on read: doc count, token count,
+    * and an order-insensitive xor checksum over (id, n_chars) — any
+    * dropped/duplicated/truncated doc flips it. Manifest size is
+    * nShards rows regardless of corpus size.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int, salt: String = "shard",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    docs
+      .withColumn("shard",
+        Dedup.h60(concat(lit(s"$salt|"), col(idCol).cast("string")))
+          % nShards)
+      .withColumn("__h", Dedup.h60(concat(col(idCol).cast("string"),
+        lit("|"), length(col(textCol)).cast("string"))))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " "))).cast("long").as("n_tokens"),
+        expr("bit_xor(__h)").cast("long").as("checksum"))
+  }
+
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
                     minOverlap: Int = 1, textCol: String = "text",
                     idCol: String = "doc_id",

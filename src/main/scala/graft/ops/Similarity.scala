@@ -217,13 +217,23 @@ object Similarity {
     */
   def hammingTopK(embeddings: DataFrame, queryId: Long, k: Int, dims: Int,
                   idCol: String = "vec_id",
-                  embCol: String = "embedding"): DataFrame = {
-    val nWords = (dims + 31) / 32
-    val sigs = embeddings.select(col(idCol),
-      packSignBits(col(embCol), dims).as("__sig"))
-    val q = sigs.filter(col(idCol) === queryId)
+                  embCol: String = "embedding"): DataFrame =
+    hammingTopKPacked(
+      embeddings.select(col(idCol), packSignBits(col(embCol), dims).as("sig")),
+      queryId, k, nWords = (dims + 31) / 32, idCol = idCol)
+
+  /** [[hammingTopK]] over a table that already CARRIES the packed
+    * signature column — the at-rest serving shape: the signature is its
+    * own parquet column, so the scan's column pruning never touches the
+    * float vectors (PlanSpec pins ReadSchema = (id, sig) only).
+    */
+  def hammingTopKPacked(sigs: DataFrame, queryId: Long, k: Int, nWords: Int,
+                        idCol: String = "vec_id",
+                        sigCol: String = "sig"): DataFrame = {
+    val base = sigs.select(col(idCol), col(sigCol).as("__sig"))
+    val q = base.filter(col(idCol) === queryId)
       .select(col("__sig").as("__q_sig"))
-    sigs.filter(col(idCol) =!= queryId)
+    base.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
         hammingDist(col("__sig"), col("__q_sig"), nWords).as("hamming"))

@@ -145,6 +145,21 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming crawl-frontier dedup: canonicalize each URL
+    * ([[graft.ops.TextAnalysis.urlParts]] — host case, ports, fragment,
+    * utm params, param order) and emit only the FIRST sighting of each
+    * canonical form within the watermark horizon. Two raw URLs that
+    * differ only in tracking noise are one frontier entry — the
+    * streaming face of the q_url_canon batch operator, with the same
+    * bounded-state contract as [[streamingDedup]].
+    */
+  def streamingUrlFrontier(stream: DataFrame, tsCol: String, urlCol: String,
+                           watermarkDelay: String): DataFrame =
+    streamingDedup(
+      stream.withColumn("canon_url",
+        graft.ops.TextAnalysis.urlParts(col(urlCol)).getField("canon_url")),
+      tsCol, "canon_url", watermarkDelay)
+
   final case class SessionInput(userId: Long, ts: Long, metric: Double)
   final case class SessionState(nEvents: Long, sumMetric: Double, lastTs: Long)
   final case class SessionOutput(userId: Long, nEvents: Long,

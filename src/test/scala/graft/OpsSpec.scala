@@ -2047,6 +2047,30 @@ class OpsSpec extends SparkSpec with PropSupport {
       (3L, 1L, 15873L)))
   }
 
+  test("shardManifest: exact partition of the corpus, tamper-evident") {
+    val m = Curation.shardManifest(docs, nShards = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m.keySet === (0L until 16L).toSet, "every shard id present")
+    assert(m.values.map(_._1).sum === docs.count(), "docs partitioned exactly")
+    // rerun-stable: the assignment is a pure hash, no RNG
+    val again = Curation.shardManifest(docs, nShards = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again === m)
+    // truncating one doc's text flips EXACTLY its shard's checksum
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7L, substring(col("text"), 1, 5))
+        .otherwise(col("text")))
+    val tm = Curation.shardManifest(tampered, nShards = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val changed = m.keys.filter(s => tm(s) != m(s)._3).toSeq
+    val shard7 = Curation.shardManifest(docs.filter(col("doc_id") === 7L),
+      nShards = 16).head().getLong(0)
+    assert(changed === Seq(shard7),
+      s"tampering doc 7 must flip only shard $shard7, flipped $changed")
+  }
+
   private def acCounts(text: String, phrases: Seq[String]): Seq[Long] = {
     import spark.implicits._
     Seq(text).toDF("t")

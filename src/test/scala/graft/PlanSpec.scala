@@ -493,6 +493,29 @@ class PlanSpec extends SparkSpec {
       "the native AC kernel fell out of the plan: " + plan.take(400))
   }
 
+  test("signatures at rest: hamming scan prunes to (vec_id, sig) only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigtab")
+    try {
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("sig", graft.ops.Similarity.packSignBits(
+          org.apache.spark.sql.functions.col("embedding"), dims = 64))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val t = spark.read.parquet(tmp.toString)
+      val df = graft.ops.Similarity.hammingTopKPacked(
+        t, queryId = 0L, k = 10, nWords = 2)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the 256-byte float vectors must never leave disk: every scan's
+      // ReadSchema carries only the id and the 16-byte signature
+      assert(plan.contains("ReadSchema"), plan.take(300))
+      assert(!plan.contains("embedding"),
+        "the scan read the float vectors alongside the signatures: " +
+          plan.take(800))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("urlCanon: one aggregation shuffle, codegen'd regex chain") {
     // count only the final AQE tree (the same Exchange prints again
     // under "== Initial Plan ==")

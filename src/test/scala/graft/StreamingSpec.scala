@@ -209,6 +209,27 @@ class StreamingSpec extends SparkSpec {
     assert(texts === Seq("doc A", "doc B", "doc C"))
   }
 
+  test("streamingUrlFrontier: tracking-noise variants are one entry") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val frontier = Streaming.streamingUrlFrontier(
+      input.toDF().toDF("ts", "url"), "ts", "url", "10 minutes")
+    val q = frontier.writeStream.format("memory").queryName("suf")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "https://ex.com/p?utm_a=1"),
+      (ts("2024-01-01 10:01:00"), "HTTPS://WWW.Ex.COM:443/p#frag"),
+      (ts("2024-01-01 10:02:00"), "https://ex.com/q"))
+    q.processAllAvailable()
+    // a later-batch variant of the same page is still a dup
+    input.addData((ts("2024-01-01 10:03:00"), "https://ex.com/p/"))
+    q.processAllAvailable()
+    val canon = spark.table("suf").select("canon_url").as[String]
+      .collect().sorted.toSeq
+    q.stop()
+    assert(canon === Seq("https://ex.com/p", "https://ex.com/q"))
+  }
+
   test("sessionize maintains per-user state across batches (mapGroupsWithState)") {
     val input = MemoryStream[Streaming.SessionInput](spark)
     val q = Streaming.sessionize(input.toDS(), idleGapMs = 60000,
