@@ -163,6 +163,10 @@ object TrainingQueries {
   def qLmInterp(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScoreInterpolated(docs(s, dir))
 
+  /** Interpolated Kneser–Ney LM score, d = 0.75. */
+  def qLmKneserNey(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScoreKneserNey(docs(s, dir))
+
   /** Per-source dataset card: counts, mean quality, language spread,
     * exact-duplicate ratio.
     */
@@ -786,6 +790,7 @@ object TrainingQueries {
     "q_langid_trained" -> (qLangidTrained _),
     "q_unigram_seed" -> (qUnigramSeed _),
     "q_lm_interp" -> (qLmInterp _),
+    "q_lm_kn" -> (qLmKneserNey _),
     "q_source_report" -> (qSourceReport _),
     "q_reservoir" -> (qReservoir _),
     "q_knn_ivf" -> (qKnnIvf _),
@@ -1436,8 +1441,12 @@ object TrainingQueries {
   /** Interpolated bigram LM: λ·P(w2|w1) + (1−λ)·P(w2), all e6 integer
     * — mirrors lmScoreInterpolated's exact division order.
     */
-  private val lmInterpOracle: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Bigram-hash count CTEs (t/th/inst/byd/c2t/c1t) shared by the LM
+    * scorer oracles — one tokenize/hash/count definition for the whole
+    * family.
+    */
+  private val bigramCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |th AS (
        |  SELECT doc_id, list_transform(w, x -> ${dh("x")}) AS hs FROM t),
        |inst AS (
@@ -1447,7 +1456,10 @@ object TrainingQueries {
        |  SELECT doc_id, pw, sw, count(*) AS m FROM inst
        |  GROUP BY 1, 2, 3),
        |c2t AS (SELECT pw, sw, sum(m) AS c2 FROM byd GROUP BY 1, 2),
-       |c1t AS (SELECT pw, sum(m) AS c1 FROM byd GROUP BY 1),
+       |c1t AS (SELECT pw, sum(m) AS c1 FROM byd GROUP BY 1)""".stripMargin
+
+  private val lmInterpOracle: String =
+    s"""WITH $bigramCtes,
        |cwt AS (SELECT sw, sum(m) AS cw FROM byd GROUP BY 1),
        |tt AS (SELECT sum(cw) AS tot FROM cwt)
        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
@@ -1456,6 +1468,24 @@ object TrainingQueries {
        |    AS BIGINT) AS lm_i_score_e6
        |FROM byd JOIN c2t USING (pw, sw) JOIN c1t USING (pw)
        |  JOIN cwt USING (sw) CROSS JOIN tt
+       |GROUP BY doc_id""".stripMargin
+
+  /** The KN replay: continuation counts are DISTINCT-type counts over
+    * the bigram-type table c2t, exactly as the Spark side derives them;
+    * DuckDB's HUGEINT arithmetic twins Spark's DECIMAL(38,0).
+    */
+  private val lmKneserNeyOracle: String =
+    s"""WITH $bigramCtes,
+       |n1pp AS (SELECT pw, count(*) AS n1p_p FROM c2t GROUP BY 1),
+       |n1pw AS (SELECT sw, count(*) AS n1p_w FROM c2t GROUP BY 1),
+       |ty AS (SELECT count(*) AS n_types FROM c2t)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(m * (greatest(c2 * 1000000 - 750000, 0) // c1
+       |    + (((750000 * n1p_p) // c1)
+       |       * (n1p_w * 1000000 // n_types)) // 1000000)) // sum(m)
+       |    AS BIGINT) AS lm_kn_score_e6
+       |FROM byd JOIN c2t USING (pw, sw) JOIN c1t USING (pw)
+       |  JOIN n1pp USING (pw) JOIN n1pw USING (sw) CROSS JOIN ty
        |GROUP BY doc_id""".stripMargin
 
   private val sourceReportOracle: String =
@@ -1942,6 +1972,7 @@ object TrainingQueries {
     "q_langid_trained" -> langidTrainedOracle,
     "q_unigram_seed" -> unigramSeedOracle,
     "q_lm_interp" -> lmInterpOracle,
+    "q_lm_kn" -> lmKneserNeyOracle,
     "q_source_report" -> sourceReportOracle,
     "q_reservoir" -> reservoirOracle,
     "q_knn_ivf" -> knnIvfOracle,

@@ -682,6 +682,61 @@ object TextAnalysis {
         expr(s"sum(m * $mixE6) DIV sum(m)").as("lm_i_score_e6"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score (Kneser & Ney 1995; the
+    * modified-KN family of Chen & Goodman 1999 with one discount) — the
+    * smoothing every serious n-gram LM ships with, scoring each bigram
+    *   P_KN(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *               + (d·N1+(w1,·)/c(w1·)) · N1+(·,w2)/N1+(·,·)
+    * The continuation probability (how many DISTINCT contexts a word
+    * follows, not how often) is what distinguishes KN from the
+    * Jelinek–Mercer mix in [[lmScoreInterpolated]]: "Francisco" is
+    * frequent but follows only "San", so its continuation mass is tiny.
+    *
+    * d rides as an e6 integer and every probability is e6 integer
+    * division (DECIMAL(38,0) intermediates — DuckDB's HUGEINT sums are
+    * the oracle twin), so both engines agree bit for bit. d = 0
+    * degenerates to the unsmoothed conditional = [[lmScore]], the
+    * property the spec pins.
+    *
+    * Scale shape: [[lmScore]]'s linear window-free pass plus TWO extra
+    * count tables derived from the bigram-type table (distinct
+    * followers per prefix, distinct predecessors per word) and a
+    * broadcast one-row type total — all joins keyed on 8-byte hashes.
+    * Returns (doc_id, n_bigrams, lm_kn_score_e6).
+    */
+  def lmScoreKneserNey(docs: DataFrame, discountE6: Long = 750000L,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(discountE6 >= 0 && discountE6 <= 1000000L,
+      s"discountE6 out of [0, 1e6]: $discountE6")
+    val inst = bigramHashInst(docs, textCol, idCol)
+    val byDoc = inst.groupBy(col(idCol), col("pw"), col("sw"))
+      .agg(count(lit(1)).as("m"))
+    val bigramCounts = byDoc.groupBy(col("pw"), col("sw"))
+      .agg(sum(col("m")).as("c2"))
+    val prefixCounts = byDoc.groupBy(col("pw")).agg(sum(col("m")).as("c1"))
+    val contPrefix = bigramCounts.groupBy(col("pw"))
+      .agg(count(lit(1)).as("n1p_p"))
+    val contWord = bigramCounts.groupBy(col("sw"))
+      .agg(count(lit(1)).as("n1p_w"))
+    val types = bigramCounts.agg(count(lit(1)).as("n_types"))
+    val lamE6 = s"(($discountE6 * cast(n1p_p as decimal(38,0))) DIV c1)"
+    val pcontE6 = "(cast(n1p_w as decimal(38,0)) * 1000000 DIV n_types)"
+    val knE6 =
+      s"(greatest(cast(c2 as decimal(38,0)) * 1000000 - $discountE6, 0)" +
+        s" DIV c1 + ($lamE6 * $pcontE6) DIV 1000000)"
+    byDoc
+      .join(bigramCounts, Seq("pw", "sw"))
+      .join(prefixCounts, Seq("pw"))
+      .join(contPrefix, Seq("pw"))
+      .join(contWord, Seq("sw"))
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        expr(s"sum(m * $knE6) DIV sum(m)").as("lm_kn_score_e6"))
+  }
+
   /** Per-source dataset card — the release-report table every corpus
     * ships with: document and token counts, mean rule-based quality,
     * language spread, and the exact-duplicate ratio, one row per

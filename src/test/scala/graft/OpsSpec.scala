@@ -1262,6 +1262,30 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(2L) === ((2L, 750000L)))
   }
 
+  test("lmScoreKneserNey: hand-traced discount + continuation; d=0 = lmScore") {
+    // types: (a,b) c2=3, (b,a) 1, (b,c) 1; prefixes a->3, b->2;
+    // followers a->1, b->2; predecessors a/b/c -> 1 each; 3 types.
+    // (a,b): (3e6-75e4)//3 + ((75e4*1)//3 * 333333)//1e6 = 750000+83333
+    // (b,a)=(b,c): (1e6-75e4)//2 + ((75e4*2)//2 * 333333)//1e6
+    //            = 125000+249999
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKneserNey(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((3L, (2 * 833333L + 374999L) / 3)))   // 680555
+    assert(out(2L) === ((2L, (833333L + 374999L) / 2)))       // 604166
+    // zero discount kills both the subtraction and the continuation
+    // term: KN(0) must equal the raw conditional scorer bit for bit
+    val kn0 = TextAnalysis.lmScoreKneserNey(df, discountE6 = 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val plain = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(kn0 === plain)
+    // on the real corpus: probabilities stay in (0, 1e6]
+    val corpus = TextAnalysis.lmScoreKneserNey(docs).collect()
+      .map(_.getLong(2))
+    assert(corpus.forall(v => v > 0 && v <= 1000000L))
+  }
+
   test("oovRate: share-relative rarity flags only the low-share token") {
     // x: 9/10 share, y: 1/10; denom 5 => rare iff share < 1/5 => only y
     val df = Seq((1L, "x x x x y"), (2L, "x x x x x")).toDF("doc_id", "text")
