@@ -28,5 +28,21 @@ class ExtensionsSpec extends SparkSpec {
     val dl = spark.sql("SELECT deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa')")
       .head().getLong(0)
     assert(dl > 0 && dl < 24, s"repetitive text must compress: $dl")
+    // the broadcast-kernel expressions take their table as a literal
+    // array and build/broadcast it once at analysis time
+    assert(spark.sql(
+      "SELECT phrase_count('aab aa', array('aa', 'ab', 'zz'))")
+      .head().getSeq[Long](0) === Seq(2L, 1L, 0L))
+    assert(spark.sql(
+      "SELECT wordpiece_encode(array('unaffable'), " +
+        "array('un', '##aff', '##able'))")
+      .head().getSeq[String](0) === Seq("un", "##aff", "##able"))
+    // a non-literal phrase list must be rejected at analysis, not
+    // silently rebuilt per row
+    val err = intercept[Exception] {
+      spark.sql("SELECT phrase_count(c, array(c)) FROM " +
+        "(SELECT 'x' AS c)").collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
   }
 }
