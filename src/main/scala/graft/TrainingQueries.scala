@@ -685,6 +685,19 @@ object TrainingQueries {
   def qShardManifest(s: SparkSession, dir: String): DataFrame =
     Curation.shardManifest(docs(s, dir), nShards = 16)
 
+  /** Rendezvous shard names for q_hrw_assign — single definition, the
+    * oracle's VALUES list renders from THIS Seq.
+    */
+  val HrwShards: Seq[String] = (0 until 12).map(i => f"shard$i%02d")
+
+  /** Rendezvous assignment audit: per-shard doc count + id checksum. */
+  def qHrwAssign(s: SparkSession, dir: String): DataFrame =
+    Curation.rendezvousAssign(docs(s, dir), HrwShards)
+      .withColumn("__h", Dedup.h60(col("doc_id").cast("string")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(__h)").cast("long").as("checksum"))
+
   /** Multimodal frame-sampling plumbing, ORACLE-verified end to end:
     * a media table built from the documents' text bytes (a
     * deterministic blob both engines can reproduce — the corpus is
@@ -763,6 +776,7 @@ object TrainingQueries {
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_frame_sample" -> (qFrameSample _),
     "q_shard_manifest" -> (qShardManifest _),
+    "q_hrw_assign" -> (qHrwAssign _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_shuffle_rank" -> (qShuffleRank _),
@@ -2456,6 +2470,25 @@ object TrainingQueries {
          |    ORDER BY least(n_chars // 100, 5), $h, doc_id) - 1 AS BIGINT)
          |    AS curriculum_pos
          |FROM documents""".stripMargin
+    },
+
+    // argmax over h60(shard|salt|id) with shard-name tie-break — the
+    // window replay of the Spark side's struct array_max
+    "q_hrw_assign" -> {
+      val vals = HrwShards.map(s => s"('$s')").mkString(", ")
+      s"""WITH sh(s) AS (VALUES $vals),
+         |a AS (
+         |  SELECT doc_id, s,
+         |    ${dh("s || '|hrw|' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents CROSS JOIN sh),
+         |r AS (
+         |  SELECT doc_id, s, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+         |  FROM a)
+         |SELECT s AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(bit_xor(${dh("CAST(doc_id AS VARCHAR)")}) AS BIGINT)
+         |    AS checksum
+         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
     },
 
     // shard = salted-hash mod 16; checksum = order-insensitive xor over

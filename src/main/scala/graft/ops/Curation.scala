@@ -53,6 +53,33 @@ object Curation {
         expr("bit_xor(__h)").cast("long").as("checksum"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * RESHARDING-STABLE alternative to [[shardManifest]]'s mod
+    * assignment (Thaler & Ravishankar 1998, the scheme behind
+    * consistent cache/shard routing): each doc goes to the shard with
+    * the highest h60(shard‖salt‖id). Adding a shard moves ONLY the
+    * docs that now score highest on the new shard (≈1/(n+1) of the
+    * corpus); no doc ever moves BETWEEN surviving shards — so growing
+    * a 100 TB corpus's shard set re-writes one new shard's worth of
+    * data, not the whole layout. Ties break on the shard name, so the
+    * argmax is total and both engines agree. Shuffle-free narrow map:
+    * the shard list is a plan literal, |shards| hashes per row.
+    */
+  def rendezvousAssign(docs: DataFrame, shards: Seq[String],
+                       salt: String = "hrw",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(shards.nonEmpty && shards.toSet.size == shards.size,
+      "shards must be non-empty and distinct")
+    val cand = shards.map { s =>
+      struct(
+        Dedup.h60(concat(lit(s"$s|$salt|"), col(idCol).cast("string")))
+          .as("h"),
+        lit(s).as("n"))
+    }
+    docs.withColumn("shard",
+      array_max(array(cand: _*)).getField("n"))
+  }
+
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
                     minOverlap: Int = 1, textCol: String = "text",
                     idCol: String = "doc_id",

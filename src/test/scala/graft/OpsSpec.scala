@@ -2071,6 +2071,23 @@ class OpsSpec extends SparkSpec with PropSupport {
       (3L, 1L, 15873L)))
   }
 
+  test("rendezvousAssign: adding a shard only moves docs TO the new one") {
+    def assign(shards: Seq[String]): Map[Long, String] =
+      Curation.rendezvousAssign(docs, shards).select("doc_id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = assign(TrainingQueries.HrwShards)
+    assert(before.values.toSet === TrainingQueries.HrwShards.toSet,
+      "every shard should win some docs at 500/12")
+    val after = assign(TrainingQueries.HrwShards :+ "shard12")
+    val moved = before.keys.filter(k => before(k) != after(k)).toSeq
+    assert(moved.nonEmpty, "a 13th shard must attract some docs")
+    assert(moved.forall(k => after(k) === "shard12"),
+      "HRW must never move a doc BETWEEN surviving shards")
+    // expected migration ~ 1/13 of the corpus; allow wide slack
+    assert(moved.size < before.size / 4,
+      s"HRW moved ${moved.size} of ${before.size} docs — mod-style churn")
+  }
+
   test("shardManifest: exact partition of the corpus, tamper-evident") {
     val m = Curation.shardManifest(docs, nShards = 16).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
