@@ -543,6 +543,10 @@ object TrainingQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4)
 
+  /** WordPiece likelihood-ratio merge training, 4 rounds. */
+  def qWpMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordpieceTrainMerges(docs(s, dir), nMerges = 4)
+
   /** Train 4 merges, then ENCODE the corpus with them (the native
     * broadcast-merge-table narrow map) and emit per-doc stream stats:
     * token count, merged-symbol count, total symbol length. The oracle
@@ -845,6 +849,7 @@ object TrainingQueries {
     "q_importance_weight" -> (qImportanceWeight _),
     "q_emb_decontaminate" -> (qEmbDecontaminate _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_wp_merges" -> (qWpMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
@@ -1309,7 +1314,15 @@ object TrainingQueries {
     * the fully-rewritten per-word symbol stream, i.e. the encoded form
     * of every dictionary word.
     */
-  private def bpeCtes(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = bpeCtes(nMerges, wpScore = false)
+
+  /** The BPE/WordPiece training replay: identical dictionary, pair
+    * counting, and within-word rewrite chain; `wpScore = true` swaps
+    * the round argmax from raw pair count to the WordPiece likelihood
+    * ratio freq·1e12 ÷ (cnt(a)·cnt(b)) over HUGEINT (the Spark side's
+    * DECIMAL(38,0) twin).
+    */
+  private def bpeCtes(nMerges: Int, wpScore: Boolean): String = {
     val s0 =
       """s0 AS (
         |  SELECT word, freq, CAST(unnest(range(len(sy))) AS BIGINT) AS pos,
@@ -1321,14 +1334,28 @@ object TrainingQueries {
         |    GROUP BY 1))""".stripMargin
     val rounds = (1 to nMerges).map { r =>
       val p = s"s${r - 1}"
+      val argmax =
+        if (!wpScore)
+          s"""m$r AS (SELECT a, b, freq FROM p$r
+             |  ORDER BY freq DESC, a, b LIMIT 1),""".stripMargin
+        else
+          s"""u$r AS (SELECT s AS sym, CAST(sum(freq) AS BIGINT) AS cnt
+             |  FROM $p GROUP BY 1),
+             |m$r AS (
+             |  SELECT a, b, freq, score_e12 FROM (
+             |    SELECT p.a, p.b, p.freq,
+             |      CAST(p.freq AS HUGEINT) * 1000000000000
+             |        // (CAST(ua.cnt AS HUGEINT) * ub.cnt) AS score_e12
+             |    FROM p$r p JOIN u$r ua ON p.a = ua.sym
+             |      JOIN u$r ub ON p.b = ub.sym)
+             |  ORDER BY score_e12 DESC, a, b LIMIT 1),""".stripMargin
       s"""p$r AS (
          |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS freq FROM (
          |    SELECT freq, s AS a,
          |      lead(s) OVER (PARTITION BY word ORDER BY pos) AS b
          |    FROM $p)
          |  WHERE b IS NOT NULL GROUP BY 1, 2),
-         |m$r AS (SELECT a, b, freq FROM p$r
-         |  ORDER BY freq DESC, a, b LIMIT 1),
+         |$argmax
          |c$r AS (
          |  SELECT t.word, t.freq, t.pos, t.s,
          |    row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS seq,
@@ -2377,6 +2404,17 @@ object TrainingQueries {
         else s"SELECT $r, a, b, freq FROM m$r"
       }.mkString("\nUNION ALL ")
       s"""WITH ${bpeCtes(4)}
+         |$ranks""".stripMargin
+    },
+
+    "q_wp_merges" -> {
+      val ranks = (1 to 4).map { r =>
+        if (r == 1)
+          s"SELECT $r AS merge_rank, a AS token_a, b AS token_b, freq," +
+            s" CAST(score_e12 AS BIGINT) AS score_e12 FROM m$r"
+        else s"SELECT $r, a, b, freq, CAST(score_e12 AS BIGINT) FROM m$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${bpeCtes(4, wpScore = true)}
          |$ranks""".stripMargin
     },
 

@@ -1119,6 +1119,70 @@ object TextAnalysis {
     merges.result().toDF("merge_rank", "token_a", "token_b", "freq")
   }
 
+  /** WordPiece tokenizer TRAINING (Schuster & Nakajima 2012, the
+    * likelihood criterion BERT's vocab was built with): identical
+    * greedy merge rounds to [[bpeTrainMerges]] — same word dictionary,
+    * same pair counting, same within-word rewrite — but the round's
+    * winner maximizes the LIKELIHOOD RATIO
+    *   score(a,b) = count(ab) / (count(a)·count(b))
+    * (the unigram-LM likelihood gain of merging), not the raw pair
+    * count: a pair of rare-but-always-adjacent symbols beats a pair of
+    * ubiquitous ones. score rides as e12 integer division over
+    * DECIMAL(38,0) (freq ≤ min(ca, cb) ⇒ score ≤ 1e12, BIGINT-safe);
+    * equal truncated scores fall back to the lexicographic (a, b)
+    * tie-break, identically in both engines.
+    *
+    * Scale shape = the BPE trainer's: rounds cost |vocab| not |corpus|;
+    * the one addition is a per-round symbol count table (vocab-sized
+    * hash aggregate) joined to the pair counts on the symbol. The loop
+    * is kept separate from [[bpeTrainMerges]] rather than abstracted
+    * over it — the BPE trajectory is oracle-pinned and stays untouched.
+    * Returns (merge_rank, token_a, token_b, freq, score_e12).
+    */
+  def wordpieceTrainMerges(docs: DataFrame, nMerges: Int,
+                           textCol: String = "text"): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def checkpointDict(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (dict, dictRdd) = checkpointDict(bpeDict(docs, textCol))
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val symCounts = dict
+        .select(explode(col("syms")).as("s"), col("freq"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("cnt"))
+      val top = bpePairCounts(dict)
+        .join(symCounts.select(col("s").as("a"), col("cnt").as("ca")), "a")
+        .join(symCounts.select(col("s").as("b"), col("cnt").as("cb")), "b")
+        .withColumn("score_e12",
+          expr("(cast(freq as decimal(38,0)) * 1000000000000)" +
+            " DIV (cast(ca as decimal(38,0)) * cb)").cast("long"))
+        .orderBy(col("score_e12").desc, col("a").asc, col("b").asc)
+        .limit(1).select("a", "b", "freq", "score_e12").collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((r, a, b, top(0).getLong(2), top(0).getLong(3)))
+        if (r < nMerges) {
+          val (next, nextRdd) = checkpointDict(bpeRewriteRound(dict, a, b))
+          dictRdd.unpersist(false)
+          dict = next
+          dictRdd = nextRdd
+        }
+      }
+    }
+    dictRdd.unpersist(false)
+    merges.result()
+      .toDF("merge_rank", "token_a", "token_b", "freq", "score_e12")
+  }
+
   /** Apply a trained merge table to the corpus — the ENCODE half of the
     * BPE pair ([[bpeTrainMerges]] is the train half). The merge table
     * ships inside one native expression

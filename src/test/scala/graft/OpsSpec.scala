@@ -1534,6 +1534,77 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("wordpieceTrainMerges: likelihood argmax diverges from BPE's count") {
+    import spark.implicits._
+    // (a,b) has the highest COUNT (4) but ubiquitous symbols
+    // (a:10, b:4 -> score 4e12/40 = 1e11); (x,y) is rarer (2) but its
+    // symbols only ever appear together (x:2, y:2 -> 2e12/4 = 5e11)
+    val df = Seq((0L, "xy xy ab ab ab ab aa aa aa")).toDF("doc_id", "text")
+    val bpe = TextAnalysis.bpeTrainMerges(df, nMerges = 1).head()
+    assert((bpe.getString(1), bpe.getString(2)) === (("a", "b")))
+    val wp = TextAnalysis.wordpieceTrainMerges(df, nMerges = 1).head()
+    assert((wp.getString(1), wp.getString(2)) === (("x", "y")))
+    assert(wp.getLong(3) === 2L && wp.getLong(4) === 500000000000L)
+  }
+
+  test("wordpieceTrainMerges agrees with a sequential reference trainer") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    def refWp(seqs0: Seq[Seq[String]], n: Int)
+        : Seq[(Int, String, String, Long, Long)] = {
+      var seqs = seqs0
+      val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+      var done = false
+      for (r <- 1 to n if !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        val sym = scala.collection.mutable.Map[String, Long]()
+        for (s <- seqs) {
+          for (x <- s) sym(x) = sym.getOrElse(x, 0L) + 1
+          for (i <- 0 until s.length - 1)
+            counts((s(i), s(i + 1))) =
+              counts.getOrElse((s(i), s(i + 1)), 0L) + 1
+        }
+        if (counts.isEmpty) done = true
+        else {
+          def score(a: String, b: String, f: Long): Long =
+            ((BigInt(f) * BigInt(1000000000000L)) /
+              (BigInt(sym(a)) * BigInt(sym(b)))).toLong
+          val ((a, b), f) = counts.toSeq
+            .sortBy { case ((x, y), c) => (-score(x, y, c), x, y) }.head
+          out += ((r, a, b, f, score(a, b, f)))
+          seqs = seqs.map { s =>
+            val buf = Seq.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                buf += (a + " " + b); i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.result()
+          }
+        }
+      }
+      out.result()
+    }
+    val genWord = Gen.choose(0, 4)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.listOfN(4,
+      Gen.choose(0, 5).flatMap(l => Gen.listOfN(l, genWord)))
+    forAllGen(gen, cases = 6) { docLists =>
+      val df = docLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.wordpieceTrainMerges(df, nMerges = 3).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      def syms(w: String): Seq[String] =
+        if (w.isEmpty) Seq("") else w.map(_.toString)
+      val wordSeqs = docLists.flatMap(ws =>
+        if (ws.isEmpty) Seq(Seq("")) else ws.map(syms))
+      assert(got === refWp(wordSeqs, 3))
+    }
+  }
+
   test("bpeEncode matches a sequential reference rewrite, incl. overlap runs") {
     import spark.implicits._
     // same greedy left-to-right non-overlapping within-word rewrite the
