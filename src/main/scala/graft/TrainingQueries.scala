@@ -2639,7 +2639,7 @@ object TrainingQueries {
         |    regexp_replace(CASE
         |      WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
         |      WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
-        |      ELSE hostraw END, '^www\.', '') AS host
+        |      ELSE hostraw END, '^(www\.)+', '') AS host
         |  FROM parts),
         |pc AS (
         |  SELECT doc_id, scheme, host,

@@ -461,7 +461,9 @@ object TextAnalysis {
         regexp_replace(hostRaw, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
       .otherwise(hostRaw)
-    val host = regexp_replace(noPort, "^www\\.", "")
+    // ALL leading www. labels, not one — else canon isn't idempotent
+    // on www.www.ex.com (the property the spec pins)
+    val host = regexp_replace(noPort, "^(www\\.)+", "")
     val pathq = regexp_replace(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
     val path0 = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1),

@@ -2248,4 +2248,27 @@ class OpsSpec extends SparkSpec with PropSupport {
     // non-absolute input passes through untouched
     assert(urlCanon("not a url")._1 === "not a url")
   }
+
+  test("urlParts canonicalization is idempotent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val schemes = Seq("http", "https", "HTTPS", "ftp")
+    val hosts = Seq("Ex.COM", "www.ex.com", "www.www.Ex.com", "a.b.c.ex.com",
+      "ex.com:443", "www.ex.com:8080", "localhost")
+    val paths = Seq("", "/", "/A/b", "/a//", "/p/q/")
+    val tails = Seq("", "?utm_a=1", "?b=2&a=1&utm_s=x", "#f", "?z=1#f",
+      "?utm_a=1#g")
+    val urls = (1 to 120).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + paths(rnd.nextInt(paths.size)) +
+        tails(rnd.nextInt(tails.size))
+    } ++ Seq("not a url", "weird:///x")
+    val once = urls.toDF("u")
+      .select(TextAnalysis.urlParts(col("u")).getField("canon_url").as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("u")
+      .select(TextAnalysis.urlParts(col("u")).getField("canon_url").as("c"))
+      .as[String].collect().toSeq
+    assert(twice === once, "canon(canon(u)) must equal canon(u)")
+  }
 }
