@@ -683,6 +683,32 @@ object TrainingQueries {
             c.cast("string")))).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("checksum"))
 
+  /** C4 cleaning over a deterministically templated multi-line corpus
+    * (the synthetic docs are single-line, so the fixture folds each
+    * doc's words into 6-word lines, gives 2/3 of them terminal
+    * punctuation, salts in a "javascript" word every 11th line, and
+    * plants the doc-level lorem/brace pages by doc_id residue — every
+    * C4 rule fires on real data, both engines building the SAME lines).
+    */
+  def qC4Filter(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nLines = expr("CAST((size(split(text, ' ')) + 5) DIV 6 AS INT)")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      concat(
+        array_join(slice(words, i * 6 + 1, lit(6)), " "),
+        when((col("doc_id") + i) % 11 === 0, " javascript").otherwise(""),
+        when((col("doc_id") + i) % 3 =!= 0, ".").otherwise("")))
+    val extras = filter(array(
+      when(col("doc_id") % 17 === 0, lit("lorem ipsum dolor sit.")),
+      when(col("doc_id") % 13 === 0, lit("config { x }."))), x => x.isNotNull)
+    val planted = docs(s, dir).withColumn("text2",
+      array_join(concat(lines, extras), "\n"))
+    TextAnalysis.c4Filter(planted, textCol = "text2").select(
+      col("doc_id"), col("n_lines"), col("n_kept"),
+      col("reject_reason"), col("keep").cast("long").as("keep"),
+      Dedup.h60(coalesce(col("kept_text"), lit(""))).as("kept_h"))
+  }
+
   /** Training-shard export manifest: 16 deterministic shards with
     * re-verifiable audit rows.
     */
@@ -780,6 +806,7 @@ object TrainingQueries {
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_frame_sample" -> (qFrameSample _),
     "q_shard_manifest" -> (qShardManifest _),
+    "q_c4_filter" -> (qC4Filter _),
     "q_hrw_assign" -> (qHrwAssign _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -2528,6 +2555,50 @@ object TrainingQueries {
          |    AS checksum
          |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
     },
+
+    // the same 6-word line fold + salts, then the C4 decision table:
+    // line rules (>=3 words, terminal punct, no 'javascript'), page
+    // rules (brace > lorem > too-few-kept-lines precedence)
+    "q_c4_filter" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |built AS (
+         |  SELECT doc_id, array_to_string(list_concat(
+         |    list_transform(range((len(ws) + 5) // 6), i ->
+         |      array_to_string(ws[i*6+1 : i*6+6], ' ') ||
+         |      CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript'
+         |        ELSE '' END ||
+         |      CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+         |    list_concat(
+         |      CASE WHEN doc_id % 17 = 0
+         |        THEN ['lorem ipsum dolor sit.']
+         |        ELSE CAST([] AS VARCHAR[]) END,
+         |      CASE WHEN doc_id % 13 = 0 THEN ['config { x }.']
+         |        ELSE CAST([] AS VARCHAR[]) END)), chr(10)) AS t2
+         |  FROM w),
+         |f AS (
+         |  SELECT doc_id, t2,
+         |    len(string_split(t2, chr(10))) AS n_lines,
+         |    list_filter(string_split(t2, chr(10)), l ->
+         |      len(string_split(l, ' ')) >= 3
+         |      AND regexp_matches(l, '[.!?"]$$')
+         |      AND NOT contains(l, 'javascript')) AS kept
+         |  FROM built),
+         |d AS (
+         |  SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |    CAST(len(kept) AS BIGINT) AS n_kept,
+         |    CASE WHEN contains(t2, '{') THEN 'brace'
+         |      WHEN contains(t2, 'lorem ipsum') THEN 'lorem'
+         |      WHEN len(kept) < 5 THEN 'too_few_lines'
+         |      ELSE 'kept' END AS reject_reason,
+         |    array_to_string(kept, chr(10)) AS ktext
+         |  FROM f)
+         |SELECT doc_id, n_lines, n_kept, reject_reason,
+         |  CAST(CASE WHEN reject_reason = 'kept' THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep,
+         |  ${dh("CASE WHEN reject_reason = 'kept' THEN ktext ELSE '' END")}
+         |    AS kept_h
+         |FROM d""".stripMargin,
 
     // shard = salted-hash mod 16; checksum = order-insensitive xor over
     // (id, length) — the manifest a shard consumer re-verifies

@@ -430,6 +430,45 @@ object TextAnalysis {
     docs.withColumn("phrase_counts",
       graft.functions.PhraseExpressions.phraseCount(col(textCol), phrases))
 
+  /** The C4 cleaning recipe (Raffel et al. 2020 §2.2 — the most-cited
+    * web-corpus filter): line rules keep only lines that (a) end in
+    * terminal punctuation, (b) carry at least `minLineWords` words,
+    * (c) don't mention "javascript"; page rules then drop documents
+    * that kept fewer than `minKeptLines` lines, contain a curly brace
+    * (code), or the phrase "lorem ipsum" (template residue). Appends
+    * per-doc audit columns (n_lines, n_kept, reject_reason, keep,
+    * kept_text) — keep=1 docs carry the REBUILT text of surviving
+    * lines, the corpus the next pipeline stage consumes.
+    *
+    * Shuffle-free narrow map over line arrays (one split + one HOF
+    * filter per doc); every rule is a codegen'd builtin in the
+    * RE2-and-Java-identical subset, so the DuckDB oracle replays the
+    * decision table exactly.
+    */
+  def c4Filter(docs: DataFrame, minLineWords: Int = 3, minKeptLines: Int = 5,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      size(split(l, " ")) >= minLineWords &&
+        l.rlike("[.!?\"]$") && !l.contains("javascript"))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("__kept", kept)
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("reject_reason",
+        when(col(textCol).contains("{"), "brace")
+          .when(col(textCol).contains("lorem ipsum"), "lorem")
+          .when(col("n_kept") < minKeptLines, "too_few_lines")
+          .otherwise("kept"))
+      .withColumn("keep",
+        (col("reject_reason") === "kept").cast("int"))
+      .withColumn("kept_text",
+        when(col("keep") === 1, array_join(col("__kept"), "\n"))
+          .otherwise(lit(null).cast("string")))
+      .drop("__kept")
+  }
+
   /** URL canonicalization — the crawl-dedup key step that runs right
     * next to [[stripHtml]] in a web pipeline (two crawls of one page
     * differ only in tracking params / host case / default ports; URL

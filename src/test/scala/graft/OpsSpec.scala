@@ -2249,6 +2249,38 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(urlCanon("not a url")._1 === "not a url")
   }
 
+  test("c4Filter: every line and page rule fires as specified") {
+    import spark.implicits._
+    val keepers = (1 to 5).map(i => s"this line number $i is fine.")
+    val docsSeq = Seq(
+      1L -> keepers.mkString("\n"),                          // clean page
+      2L -> (keepers.take(4) ++ Seq(
+        "too short.",                       // < 3 words
+        "three words here",                 // no terminal punctuation
+        "uses javascript every day.",       // the js word rule
+        "quoted line still counts \"")).mkString("\n"),      // " terminal
+      3L -> (keepers.mkString("\n") + "\nconfig { x }."),    // brace page
+      4L -> (keepers.mkString("\n") + "\nlorem ipsum dolor."))
+    val out = TextAnalysis.c4Filter(docsSeq.toDF("doc_id", "text2"),
+        textCol = "text2")
+      .select("doc_id", "n_lines", "n_kept", "reject_reason", "kept_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(out(1L) === ((5L, 5L, "kept", keepers.mkString("\n"))))
+    // doc 2: 4 keepers + the "-terminal line survive; js/short/no-punct
+    // lines die; 5 kept... no: 4 + 1 = 5 -> kept
+    assert(out(2L)._2 === 5L && out(2L)._3 === "kept")
+    assert(!out(2L)._4.contains("javascript") &&
+      !out(2L)._4.contains("three words here"))
+    assert(out(3L)._3 === "brace" && out(3L)._4 === null)
+    assert(out(4L)._3 === "lorem" && out(4L)._4 === null)
+    // page-rule precedence and the kept-line floor
+    val few = Seq(5L -> keepers.take(3).mkString("\n")).toDF("doc_id", "t")
+    assert(TextAnalysis.c4Filter(few, textCol = "t")
+      .head().getAs[String]("reject_reason") === "too_few_lines")
+  }
+
   test("urlParts canonicalization is idempotent") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
