@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import graft.functions.{Crc32C, DeflateLen, DotQLongs, PhraseCount,
-  PhraseKernels, WordPieceEncodeWords, WordPieceKernels}
+  WordPieceEncodeWords}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * functions so they're usable from SQL text as well as the Column API.
@@ -46,26 +46,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DeflateLen(children.head)
       }))
     // Aho–Corasick blocklist scan: phrase_count(text, array('p1','p2')).
-    // The phrase list must be a literal — the automaton is built ONCE at
-    // analysis time on the driver and broadcast, exactly like the Column
-    // API path; a non-foldable list would mean an automaton per row.
+    // The phrase list must be a literal — the table is built ONCE at
+    // analysis time on the driver and broadcast (cached per list — a
+    // re-analyzed query reuses it, never minting broadcast blocks per
+    // analysis); a non-foldable list would mean an automaton per row.
     ext.injectFunction((
       new FunctionIdentifier("phrase_count"),
       new ExpressionInfo(classOf[PhraseCount].getName, "phrase_count"),
       (children: Seq[Expression]) => {
         require(children.size == 2,
           "phrase_count(text, array<string> phrases)")
-        require(children(1).foldable,
-          "phrase_count: the phrase list must be a literal array")
-        val phrases = children(1).eval().asInstanceOf[ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq
         PhraseCount(children.head,
-          org.apache.spark.sql.SparkSession.active.sparkContext
-            .broadcast(PhraseKernels.build(phrases)))
+          graft.functions.PhraseExpressions.broadcastFor(
+            literalStrings(children(1), "phrase_count")))
       }))
     // WordPiece segmentation: wordpiece_encode(words, array('un','##a')).
-    // Same literal-vocab contract as phrase_count.
+    // Same literal-vocab contract (and broadcast cache) as phrase_count.
     ext.injectFunction((
       new FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(classOf[WordPieceEncodeWords].getName,
@@ -73,14 +69,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           "wordpiece_encode(words, array<string> vocab)")
-        require(children(1).foldable,
-          "wordpiece_encode: the vocab must be a literal array")
-        val pieces = children(1).eval().asInstanceOf[ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq
         WordPieceEncodeWords(children.head,
-          org.apache.spark.sql.SparkSession.active.sparkContext
-            .broadcast(WordPieceKernels.vocab(pieces, "[UNK]", 100)))
+          graft.functions.WordPieceExpressions.broadcastFor(
+            literalStrings(children(1), "wordpiece_encode"), "[UNK]", 100))
       }))
+  }
+
+  /** Evaluate a foldable array<string> argument with clean analysis-time
+    * errors (wrong element type / NULLs raise a message, not a
+    * ClassCastException from the internals).
+    */
+  private def literalStrings(e: Expression, fn: String): Seq[String] = {
+    require(e.foldable, s"$fn: the list argument must be a literal array")
+    val ok = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    require(ok, s"$fn: the list argument must be array<string>," +
+      s" got ${e.dataType.catalogString}")
+    val arr = e.eval()
+    require(arr != null, s"$fn: the list argument must not be NULL")
+    val vals = arr.asInstanceOf[ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+    require(vals.forall(_ != null), s"$fn: list entries must not be NULL")
+    vals.map(_.toString).toSeq
   }
 }

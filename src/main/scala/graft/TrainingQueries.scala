@@ -1548,9 +1548,15 @@ object TrainingQueries {
        |n1pw AS (SELECT sw, count(*) AS n1p_w FROM c2t GROUP BY 1),
        |ty AS (SELECT count(*) AS n_types FROM c2t)
        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-       |  CAST(sum(m * (greatest(c2 * 1000000 - 750000, 0) // c1
-       |    + (((750000 * n1p_p) // c1)
-       |       * (n1p_w * 1000000 // n_types)) // 1000000)) // sum(m)
+       |  -- HUGEINT casts before every *1e6 product: a bigram count past
+       |  -- ~9.2e12 (in range at the 100 TB scale) must not raise here
+       |  -- while Spark's DECIMAL(38,0) keeps going — the same overflow
+       |  -- class the BM25 oracle splits guard against
+       |  CAST(sum(CAST(m AS HUGEINT) *
+       |    (greatest(CAST(c2 AS HUGEINT) * 1000000 - 750000, 0) // c1
+       |    + (((750000 * CAST(n1p_p AS HUGEINT)) // c1)
+       |       * (CAST(n1p_w AS HUGEINT) * 1000000 // n_types))
+       |      // 1000000)) // sum(m)
        |    AS BIGINT) AS lm_kn_score_e6
        |FROM byd JOIN c2t USING (pw, sw) JOIN c1t USING (pw)
        |  JOIN n1pp USING (pw) JOIN n1pw USING (sw) CROSS JOIN ty

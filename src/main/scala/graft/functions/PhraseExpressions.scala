@@ -26,17 +26,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Match semantics: counts EVERY occurrence end position (overlapping
   * occurrences included — "aa" occurs twice in "aaa"), the classic AC
-  * contract. Matching is by UTF-16 code unit, exact for any phrase set
-  * without surrogate-boundary tricks (blocklists are plain text).
+  * contract. Matching walks the raw UTF-8 bytes of the `UTF8String`
+  * (no per-row decode or copy); UTF-8's self-synchronization makes
+  * byte-domain counts equal character-domain counts for any phrase set.
   */
 object PhraseKernels {
 
-  /** The finished automaton: `next` transitions per node, `fail` links,
-    * `out(n)` = phrase ids whose occurrence ends at node n (fail-closure
-    * pre-aggregated so the match loop never chases fail links for
-    * output).
+  /** The finished automaton: `next` transitions per node (keyed by
+    * UTF-8 BYTE — matching walks the row's `UTF8String` bytes directly,
+    * no per-row UTF-16 String copy; a multi-byte pattern can only match
+    * at codepoint boundaries because UTF-8 lead/continuation bytes
+    * never alias, so byte counts equal character-domain counts), `fail`
+    * links, `out(n)` = phrase ids whose occurrence ends at node n
+    * (fail-closure pre-aggregated so the match loop never chases fail
+    * links for output).
     */
-  final case class Automaton(next: Array[java.util.HashMap[Character, Integer]],
+  final case class Automaton(next: Array[java.util.HashMap[java.lang.Byte, Integer]],
                              fail: Array[Int], out: Array[Array[Int]],
                              nPhrases: Int) extends Serializable
 
@@ -47,16 +52,16 @@ object PhraseKernels {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
       "phrase_count: empty phrase")
     val next = scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Character, Integer]())
+      new java.util.HashMap[java.lang.Byte, Integer]())
     val ends = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer[Int]())
     phrases.zipWithIndex.foreach { case (p, pid) =>
       var node = 0
-      p.foreach { ch =>
+      p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { ch =>
         val t = next(node).get(ch)
         node = if (t != null) t.intValue()
         else {
-          next += new java.util.HashMap[Character, Integer]()
+          next += new java.util.HashMap[java.lang.Byte, Integer]()
           ends += scala.collection.mutable.ArrayBuffer[Int]()
           next(node).put(ch, next.size - 1)
           next.size - 1
@@ -84,16 +89,17 @@ object PhraseKernels {
     Automaton(next.toArray, fail, ends.map(_.toArray).toArray, phrases.size)
   }
 
-  /** One pass over `text`: per-phrase occurrence counts (array aligned
-    * with the build-time phrase order).
+  /** One pass over `text`'s UTF-8 bytes — no row-level String
+    * allocation; per-phrase occurrence counts (array aligned with the
+    * build-time phrase order).
     */
   def countMatches(text: UTF8String, a: Automaton): GenericArrayData = {
-    val s = text.toString
     val counts = new Array[Long](a.nPhrases)
     var node = 0
     var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
+    val n = text.numBytes()
+    while (i < n) {
+      val ch: java.lang.Byte = text.getByte(i)
       var t = a.next(node).get(ch)
       while (t == null && node != 0) {
         node = a.fail(node)
@@ -146,13 +152,26 @@ case class PhraseCount(child: Expression,
 
 object PhraseExpressions {
 
+  // One broadcast per distinct phrase list per SparkContext — repeated
+  // Column-API calls and re-analyzed SQL queries reuse it instead of
+  // minting never-destroyed broadcast blocks each time. Keyed by
+  // (contextId, phrases) so a restarted context doesn't serve a dead
+  // broadcast.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[String]), Broadcast[PhraseKernels.Automaton]]()
+
+  private[graft] def broadcastFor(phrases: Seq[String])
+      : Broadcast[PhraseKernels.Automaton] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    cache.computeIfAbsent((sc.applicationId, phrases),
+      _ => sc.broadcast(PhraseKernels.build(phrases)))
+  }
+
   /** Column API: count occurrences of every phrase in `phrases` inside
     * a string column, in ONE text pass. Returns array<long> aligned
     * with the phrase list.
     */
-  def phraseCount(text: Column, phrases: Seq[String]): Column = {
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(PhraseKernels.build(phrases))
-    ColumnBridge.column(PhraseCount(ColumnBridge.expression(text), bc))
-  }
+  def phraseCount(text: Column, phrases: Seq[String]): Column =
+    ColumnBridge.column(
+      PhraseCount(ColumnBridge.expression(text), broadcastFor(phrases)))
 }

@@ -84,7 +84,11 @@ object WordPieceKernels {
       while (end > start && (found eq null)) {
         val sub = new String(cps, start, end - start)
         val cand = if (start == 0) sub else "##" + sub
-        if (v.pieces.contains(cand)) found = cand
+        // position 0 takes only non-continuation pieces: a WORD that
+        // literally starts with "##" must not alias a "##x" vocab
+        // entry (the oracle's `NOT LIKE '##%'` at p = 1)
+        if (v.pieces.contains(cand) &&
+            !(start == 0 && sub.startsWith("##"))) found = cand
         else end -= 1
       }
       if (found eq null) { out.add(v.unk); return } // whole-word fallback
@@ -135,6 +139,19 @@ case class WordPieceEncodeWords(child: Expression,
 
 object WordPieceExpressions {
 
+  // same per-(context, vocab) broadcast reuse as PhraseExpressions —
+  // re-analyzed SQL must not mint a fresh broadcast per query
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[String], String, Int), Broadcast[WordPieceKernels.Vocab]]()
+
+  private[graft] def broadcastFor(pieces: Seq[String], unk: String,
+                                  maxWordChars: Int)
+      : Broadcast[WordPieceKernels.Vocab] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    cache.computeIfAbsent((sc.applicationId, pieces, unk, maxWordChars),
+      _ => sc.broadcast(WordPieceKernels.vocab(pieces, unk, maxWordChars)))
+  }
+
   /** Column API: WordPiece-segment an array<string> word column through
     * a fixed vocabulary (continuation pieces listed with their `##`
     * prefix). The vocab ships as ONE broadcast per plan.
@@ -144,9 +161,8 @@ object WordPieceExpressions {
                       maxWordChars: Int = 100): Column = {
     require(pieces.nonEmpty, "empty wordpiece vocab")
     require(maxWordChars > 0, "maxWordChars must be positive")
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast(WordPieceKernels.vocab(pieces, unk, maxWordChars))
     ColumnBridge.column(
-      WordPieceEncodeWords(ColumnBridge.expression(words), bc))
+      WordPieceEncodeWords(ColumnBridge.expression(words),
+        broadcastFor(pieces, unk, maxWordChars)))
   }
 }

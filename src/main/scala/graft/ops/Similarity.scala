@@ -172,8 +172,9 @@ object Similarity {
 
   /** Sign-bit binary signature of an embedding: bit i of word w is set
     * iff component `32w + i` is positive — `dims` float dims pack into
-    * ceil(dims/32) longs, a 64× size cut (256 B → 16 B at 768 dims with
-    * 4-byte floats... at 64 dims: 256 B → 16 B). The packing is a
+    * ceil(dims/32) longs (64 dims: 256 B of floats → 16 B; 768 dims:
+    * 3 072 B → 96 B — a 32× cut, 64× against double-width storage of
+    * the packed words). The packing is a
     * statically unrolled sum of `when` terms, fully codegen'd — no
     * higher-order lambda on the hot path. 32 bits per word (not 64)
     * keeps every word positive, so the DuckDB oracle's `list_sum`

@@ -1116,23 +1116,27 @@ object TextAnalysis {
     * training stops early and the table holds the merges learned so
     * far.
     */
+  /** Materialize a training round's vocab-sized dictionary to executor
+    * storage and truncate lineage, holding the EXACT persisted RDD so
+    * the next round can unpersist THIS one — never a set-diff over the
+    * global persistent-RDD registry, which on a shared SparkContext
+    * would capture (and later evict) an unrelated job's cache. Shared
+    * by the BPE and WordPiece merge trainers (one copy: the invariant
+    * is subtle and a divergent fix would silently miss a trainer).
+    */
+  private def checkpointDict(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def bpeTrainMerges(docs: DataFrame, nMerges: Int,
                      textCol: String = "text"): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    // Materialize a round's vocab-sized dictionary to executor storage
-    // and truncate lineage, holding the EXACT persisted RDD so the next
-    // round can unpersist THIS one — never a set-diff over the global
-    // persistent-RDD registry, which on a shared SparkContext would
-    // capture (and later evict) an unrelated job's cache.
-    def checkpointDict(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
     var (dict, dictRdd) = checkpointDict(bpeDict(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
@@ -1185,13 +1189,6 @@ object TextAnalysis {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    def checkpointDict(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
     var (dict, dictRdd) = checkpointDict(bpeDict(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
     var exhausted = false

@@ -1991,6 +1991,14 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(1L) === Seq("[UNK]", "[UNK]", "hug"))
   }
 
+  test("wordpiece: a word starting with ## cannot alias a continuation") {
+    // "##ab" the WORD finds no position-0 piece ("##ab"/"##a" are
+    // continuations) -> whole-word [UNK], matching the oracle's
+    // NOT LIKE '##%' filter at p = 1
+    val out = wpPieces(Seq(1L -> "##ab ab"), Seq("ab", "##ab", "##a", "##b"))
+    assert(out(1L) === Seq("[UNK]", "ab"))
+  }
+
   test("wordpiece: maxWordChars guard and empty-word skip") {
     val vocab = Seq("a", "##a")
     val out = wpPieces(Seq(1L -> "aaaaa  aa"), vocab, maxWordChars = 4)
