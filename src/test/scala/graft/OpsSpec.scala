@@ -2213,6 +2213,21 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(acCounts("ababa", Seq("aba", "ba")) === Seq(2L, 2L))
   }
 
+  test("phraseCount: multi-byte UTF-8 phrases count in the char domain") {
+    // the kernel walks raw UTF-8 bytes; self-synchronization must keep
+    // counts equal to character-domain matching for non-ASCII phrases
+    val phrases = Seq("é", "héllo", "日本", "a é")
+    val text = "héllo é a é 日本語 日本 héllo ééé"
+    def naive(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length))
+        .toLong
+    assert(acCounts(text, phrases) === phrases.map(naive(text, _)))
+    // a phrase that is a byte-PREFIX of another codepoint must not
+    // phantom-match: 'é' (C3 A9) inside '日' (E6 97 A5) shares no bytes,
+    // but 'Ã' (C3 83) shares its lead byte with 'é' — count must be 0
+    assert(acCounts("ééé", Seq("Ã")) === Seq(0L))
+  }
+
   test("phraseCount matches a naive position scan on random text") {
     val phrases = Seq("a", "ab", "ba ", " b", "aa b", "bb")
     def naive(t: String, p: String): Long =
