@@ -301,8 +301,12 @@ object SchemaQueries {
     } finally {
       import java.nio.file.Files
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => Files.deleteIfExists(p))
+      // Files.walk holds an open directory handle until closed — Using
+      // closes it even when a delete throws (FD leak across bench runs)
+      scala.util.Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
     }
   }
 

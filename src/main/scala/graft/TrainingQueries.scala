@@ -701,8 +701,14 @@ object TrainingQueries {
     val extras = filter(array(
       when(col("doc_id") % 17 === 0, lit("lorem ipsum dolor sit.")),
       when(col("doc_id") % 13 === 0, lit("config { x }."))), x => x.isNotNull)
-    val planted = docs(s, dir).withColumn("text2",
-      array_join(concat(lines, extras), "\n"))
+    // every 7th doc gets CRLF line endings — pins the \r?\n split +
+    // \z anchor (Java-vs-RE2 end-of-line leniency) through the gate
+    val planted = docs(s, dir)
+      .withColumn("__t", array_join(concat(lines, extras), "\n"))
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          regexp_replace(col("__t"), "\n", "\r\n")).otherwise(col("__t")))
+      .drop("__t")
     TextAnalysis.c4Filter(planted, textCol = "text2").select(
       col("doc_id"), col("n_lines"), col("n_kept"),
       col("reject_reason"), col("keep").cast("long").as("keep"),
@@ -781,12 +787,18 @@ object TrainingQueries {
     * several raw URLs differing in fragment collapse to one canon row).
     */
   def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
-    val raw = concat(
+    val abs = concat(
       lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/docs/item"),
       expr("doc_id DIV 100").cast("string"),
       lit("/?utm_campaign=spring&ref="), col("source"),
       lit("&b=2&a=1&utm_source=feed#sec-"),
       (col("doc_id") % 7).cast("string"))
+    // every 19th doc is a NON-absolute frontier entry — pins the
+    // pass-through branch (urlParts returns the input untouched,
+    // host/domain empty) through the oracle gate
+    val raw = when(col("doc_id") % 19 === 0,
+      concat(lit("relative/path-"), (col("doc_id") % 5).cast("string"),
+        lit("?b=2&a=1#frag"))).otherwise(abs)
     docs(s, dir)
       .select(col("doc_id"), TextAnalysis.urlParts(raw).as("u"))
       .select(col("doc_id"), col("u.canon_url").as("canon_url"),
@@ -2580,16 +2592,21 @@ object TrainingQueries {
          |        THEN ['lorem ipsum dolor sit.']
          |        ELSE CAST([] AS VARCHAR[]) END,
          |      CASE WHEN doc_id % 13 = 0 THEN ['config { x }.']
-         |        ELSE CAST([] AS VARCHAR[]) END)), chr(10)) AS t2
+         |        ELSE CAST([] AS VARCHAR[]) END)), chr(10)) AS t0
          |  FROM w),
+         |crlf AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN replace(t0, chr(10), chr(13) || chr(10))
+         |    ELSE t0 END AS t2
+         |  FROM built),
          |f AS (
          |  SELECT doc_id, t2,
-         |    len(string_split(t2, chr(10))) AS n_lines,
-         |    list_filter(string_split(t2, chr(10)), l ->
+         |    len(string_split_regex(t2, '\r?\n')) AS n_lines,
+         |    list_filter(string_split_regex(t2, '\r?\n'), l ->
          |      len(string_split(l, ' ')) >= 3
          |      AND regexp_matches(l, '[.!?"]$$')
          |      AND NOT contains(l, 'javascript')) AS kept
-         |  FROM built),
+         |  FROM crlf),
          |d AS (
          |  SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
          |    CAST(len(kept) AS BIGINT) AS n_kept,
@@ -2695,15 +2712,19 @@ object TrainingQueries {
     // same templated frontier (regex subset identical in RE2 and Java)
     "q_url_canon" ->
       """WITH u AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, CASE WHEN doc_id % 19 = 0
+        |    THEN 'relative/path-' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '?b=2&a=1#frag'
+        |    ELSE
         |    'HTTPS://WWW.' || source || '.Example.COM:443/docs/item' ||
         |    CAST(doc_id // 100 AS VARCHAR) || '/?utm_campaign=spring&ref=' ||
         |    source || '&b=2&a=1&utm_source=feed#sec-' ||
-        |    CAST(doc_id % 7 AS VARCHAR) AS url
+        |    CAST(doc_id % 7 AS VARCHAR) END AS url
         |  FROM documents),
-        |p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |p AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$', '') AS nofrag FROM u),
         |parts AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, url,
         |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |      AS scheme,
         |    lower(regexp_extract(nofrag,
@@ -2712,14 +2733,14 @@ object TrainingQueries {
         |      AS pathq
         |  FROM p),
         |hp AS (
-        |  SELECT doc_id, scheme, pathq,
+        |  SELECT doc_id, url, scheme, pathq,
         |    regexp_replace(CASE
         |      WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
         |      WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
         |      ELSE hostraw END, '^(www\.)+', '') AS host
         |  FROM parts),
         |pc AS (
-        |  SELECT doc_id, scheme, host,
+        |  SELECT doc_id, url, scheme, host,
         |    CASE WHEN regexp_replace(
         |        regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
         |      THEN '/'
@@ -2731,8 +2752,9 @@ object TrainingQueries {
         |  FROM hp),
         |canon AS (
         |  SELECT doc_id,
-        |    scheme || '://' || host || path ||
-        |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+        |    CASE WHEN scheme = '' THEN url ELSE
+        |      scheme || '://' || host || path ||
+        |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS canon_url,
         |    regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
         |      '([^.]+\.[^.]+)$', 1) AS domain
         |  FROM pc)

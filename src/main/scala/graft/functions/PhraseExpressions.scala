@@ -163,6 +163,11 @@ object PhraseExpressions {
   private[graft] def broadcastFor(phrases: Seq[String])
       : Broadcast[PhraseKernels.Automaton] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    // Spark allows one active context per JVM, so any other appId is a
+    // stopped context: drop its entries or the map pins every dead
+    // context's automata (+ broadcast handles) for the JVM's lifetime.
+    // No destroy() — the stopped context already released the blocks.
+    cache.keySet.removeIf(_._1 != sc.applicationId)
     cache.computeIfAbsent((sc.applicationId, phrases),
       _ => sc.broadcast(PhraseKernels.build(phrases)))
   }

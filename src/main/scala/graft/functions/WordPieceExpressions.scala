@@ -148,6 +148,9 @@ object WordPieceExpressions {
                                   maxWordChars: Int)
       : Broadcast[WordPieceKernels.Vocab] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    // evict entries from stopped contexts (one active context per JVM)
+    // — see PhraseExpressions.broadcastFor
+    cache.keySet.removeIf(_._1 != sc.applicationId)
     cache.computeIfAbsent((sc.applicationId, pieces, unk, maxWordChars),
       _ => sc.broadcast(WordPieceKernels.vocab(pieces, unk, maxWordChars)))
   }

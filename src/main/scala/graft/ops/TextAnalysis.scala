@@ -448,10 +448,14 @@ object TextAnalysis {
   def c4Filter(docs: DataFrame, minLineWords: Int = 3, minKeptLines: Int = 5,
                textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    // \r?\n split + \z anchor: Java's default `$` also matches before a
+    // trailing line terminator (incl. a bare \r), RE2's does not — \z is
+    // absolute end-of-text in BOTH engines, so CRLF pages filter the same
+    // here and in the DuckDB replay.
+    val lines = split(col(textCol), "\r?\n")
     val kept = filter(lines, l =>
       size(split(l, " ")) >= minLineWords &&
-        l.rlike("[.!?\"]$") && !l.contains("javascript"))
+        l.rlike("[.!?\"]\\z") && !l.contains("javascript"))
     docs
       .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("__kept", kept)

@@ -2304,6 +2304,27 @@ class OpsSpec extends SparkSpec with PropSupport {
       .head().getAs[String]("reject_reason") === "too_few_lines")
   }
 
+  test("c4Filter: CRLF pages filter identically to LF pages") {
+    import spark.implicits._
+    val keepers = (1 to 5).map(i => s"this line number $i is fine.")
+    val out = TextAnalysis.c4Filter(
+        Seq(1L -> keepers.mkString("\n"), 2L -> keepers.mkString("\r\n"))
+          .toDF("doc_id", "t"), textCol = "t")
+      .select("doc_id", "n_lines", "n_kept", "reject_reason", "kept_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    // same 5 lines either way; kept_text is rebuilt LF-joined
+    assert(out(2L) === out(1L))
+    // a line ending in a BARE \r fails the terminal-punct rule — Java's
+    // default `$` matches before a trailing \r, the \z anchor (and the
+    // oracle's RE2 `$`) must not
+    val bare = Seq(3L -> (keepers.take(4).mkString("\n") +
+      "\ngood line five.\r")).toDF("doc_id", "t")
+    assert(TextAnalysis.c4Filter(bare, textCol = "t")
+      .head().getAs[Long]("n_kept") === 4L)
+  }
+
   test("urlParts canonicalization is idempotent") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
