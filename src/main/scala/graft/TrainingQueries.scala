@@ -715,6 +715,45 @@ object TrainingQueries {
       Dedup.h60(coalesce(col("kept_text"), lit(""))).as("kept_h"))
   }
 
+  /** Gopher-rules document filter over a planted corpus: each doc_id
+    * residue class replaces the text with a page engineered to trip one
+    * specific rule (pure-bullet page, ellipsis-terminated lines, hash
+    * bursts, numeric-token floods, 15-char words, a stopword-free
+    * six-fold copy, a 5-word stub), the default branch padding real
+    * corpus text past the 50-word floor with a stopword-bearing tail —
+    * so every reject_reason AND the kept path flow through the oracle
+    * gate. The oracle rebuilds the same pages and replays the integer
+    * decision table.
+    */
+  def qGopherFilter(s: SparkSession, dir: String): DataFrame = {
+    val phrase = "the quick data of that batch have gone with them "
+    val six = (1 to 6).map(_ => col("text"))
+    val planted = docs(s, dir).withColumn("text2",
+      when(col("doc_id") % 23 === 0,
+        rtrim(repeat(lit("• alpha beta point\n"), 60), "\n"))
+        .when(col("doc_id") % 19 === 0,
+          rtrim(repeat(
+            lit("the data of that run went on and on and on then...\n"),
+            10), "\n"))
+        .when(col("doc_id") % 17 === 0,
+          concat(repeat(lit(phrase), 5), lit("# # # # # # # # # #")))
+        .when(col("doc_id") % 13 === 0,
+          concat(repeat(lit(phrase), 5),
+            lit("1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20")))
+        .when(col("doc_id") % 29 === 0,
+          rtrim(repeat(lit("reconfiguration "), 50), " "))
+        .when(col("doc_id") % 11 === 0, concat_ws(" ", six: _*))
+        .when(col("doc_id") % 7 === 0, lit("tiny doc of the sort."))
+        .otherwise(concat(
+          concat_ws(" ", six.take(4): _*), lit("\n"),
+          lit("the rest of that batch have come with them to be safe."))))
+    TextAnalysis.gopherFilter(planted, textCol = "text2").select(
+      col("doc_id"), col("n_words"), col("word_len_sum"), col("n_symbols"),
+      col("n_lines"), col("bullet_lines"), col("ellipsis_lines"),
+      col("alpha_words"), col("stop_kinds"), col("reject_reason"),
+      col("keep").cast("long").as("keep"))
+  }
+
   /** Training-shard export manifest: 16 deterministic shards with
     * re-verifiable audit rows.
     */
@@ -819,6 +858,7 @@ object TrainingQueries {
     "q_frame_sample" -> (qFrameSample _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_c4_filter" -> (qC4Filter _),
+    "q_gopher_filter" -> (qGopherFilter _),
     "q_hrw_assign" -> (qHrwAssign _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -2622,6 +2662,78 @@ object TrainingQueries {
          |  ${dh("CASE WHEN reject_reason = 'kept' THEN ktext ELSE '' END")}
          |    AS kept_h
          |FROM d""".stripMargin,
+
+    // the Gopher decision table replayed: same planted pages, same
+    // integer cross-multiplied ratio rules, same first-failure order
+    "q_gopher_filter" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 23 = 0
+        |      THEN rtrim(repeat('• alpha beta point' || chr(10), 60),
+        |        chr(10))
+        |    WHEN doc_id % 19 = 0
+        |      THEN rtrim(repeat(
+        |        'the data of that run went on and on and on then...'
+        |        || chr(10), 10), chr(10))
+        |    WHEN doc_id % 17 = 0
+        |      THEN repeat('the quick data of that batch have gone with them ',
+        |        5) || '# # # # # # # # # #'
+        |    WHEN doc_id % 13 = 0
+        |      THEN repeat('the quick data of that batch have gone with them ',
+        |        5) || '1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20'
+        |    WHEN doc_id % 29 = 0 THEN rtrim(repeat('reconfiguration ', 50), ' ')
+        |    WHEN doc_id % 11 = 0 THEN text || ' ' || text || ' ' || text ||
+        |      ' ' || text || ' ' || text || ' ' || text
+        |    WHEN doc_id % 7 = 0 THEN 'tiny doc of the sort.'
+        |    ELSE text || ' ' || text || ' ' || text || ' ' || text ||
+        |      chr(10) ||
+        |      'the rest of that batch have come with them to be safe.'
+        |    END AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)
+        |      AS words,
+        |    string_split_regex(t, '\r?\n') AS lines
+        |  FROM planted),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT)
+        |      AS word_len_sum,
+        |    CAST((len(t) - len(replace(t, '...', ''))) // 3
+        |      + (len(t) - len(replace(t, '…', '')))
+        |      + (len(t) - len(replace(t, '#', ''))) AS BIGINT) AS n_symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '•')
+        |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT)
+        |      AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...')
+        |      OR ends_with(l, '…'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      m -> list_contains(words, m))) AS BIGINT) AS stop_kinds
+        |  FROM w),
+        |r AS (
+        |  SELECT *, CASE
+        |    WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+        |    WHEN word_len_sum < 3 * n_words OR word_len_sum > 10 * n_words
+        |      THEN 'mean_word_len'
+        |    WHEN n_symbols * 10 > n_words THEN 'symbol_ratio'
+        |    WHEN bullet_lines * 10 > n_lines * 9 THEN 'bullet_lines'
+        |    WHEN ellipsis_lines * 10 > n_lines * 3 THEN 'ellipsis_lines'
+        |    WHEN alpha_words * 5 < n_words * 4 THEN 'alpha_words'
+        |    WHEN stop_kinds < 2 THEN 'stopwords'
+        |    ELSE 'kept' END AS reject_reason
+        |  FROM c)
+        |SELECT doc_id, n_words, word_len_sum, n_symbols, n_lines,
+        |  bullet_lines, ellipsis_lines, alpha_words, stop_kinds,
+        |  reject_reason,
+        |  CAST(CASE WHEN reject_reason = 'kept' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS keep
+        |FROM r""".stripMargin,
 
     // shard = salted-hash mod 16; checksum = order-insensitive xor over
     // (id, length) — the manifest a shard consumer re-verifies

@@ -473,6 +473,82 @@ object TextAnalysis {
       .drop("__kept")
   }
 
+  /** The eight required stopwords of the Gopher quality rules — a doc
+    * must contain at least two DISTINCT entries (Rae et al. 2021, App. A
+    * "MassiveWeb" filters). Shared with the oracle renderer.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality rules (Rae et al. 2021, Appendix A — the
+    * document-level sibling of [[c4Filter]]'s line rules; together they
+    * are the two canonical web-corpus cleaning recipes). A document is
+    * kept iff ALL of:
+    *   - word count in `[minWords, maxWords]` (50..100k in the paper);
+    *   - mean word length in `[minMeanLen, maxMeanLen]` chars (3..10);
+    *   - symbol-to-word ratio (`#` + `...` + `…`) ≤ 1/10;
+    *   - ≤ 90% of lines start with a bullet (`•`, `- `, `* `);
+    *   - ≤ 30% of lines end with an ellipsis;
+    *   - ≥ 80% of words contain an alphabetic character;
+    *   - ≥ 2 distinct [[GopherStopwords]] present.
+    * Every ratio test is an exact integer cross-multiplication (e.g.
+    * `symbols*10 ≤ words`), so the DuckDB oracle replays the decision
+    * table bit-for-bit — no floats anywhere. `reject_reason` names the
+    * FIRST failing rule in the order above; audit counts ride along.
+    *
+    * Shuffle-free narrow map (two splits + HOF filters per doc, all
+    * codegen'd builtins in the RE2-and-Java-identical subset) — at crawl
+    * scale this runs at scan speed next to [[stripHtml]] and
+    * [[c4Filter]].
+    */
+  def gopherFilter(docs: DataFrame, minWords: Int = 50,
+                   maxWords: Int = 100000, minMeanLen: Int = 3,
+                   maxMeanLen: Int = 10, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    // \s+ split can emit empty edge tokens (and Java drops trailing ones
+    // where RE2 keeps them) — filter empties on BOTH sides of the oracle
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val lines = split(t, "\r?\n")
+    val ell3 = (length(t) - length(call_function("replace", t, lit("..."),
+      lit("")))) / 3
+    val ellC = length(t) - length(call_function("replace", t, lit("…"),
+      lit("")))
+    val hashes = length(t) - length(call_function("replace", t, lit("#"),
+      lit("")))
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("word_len_sum",
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("n_symbols", (hashes + ell3 + ellC).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("bullet_lines", size(filter(lines, l =>
+        l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+        .cast("long"))
+      .withColumn("ellipsis_lines", size(filter(lines, l =>
+        l.endsWith("...") || l.endsWith("…"))).cast("long"))
+      .withColumn("alpha_words",
+        size(filter(words, _.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("stop_kinds", size(filter(stopArr,
+        m => array_contains(words, m))).cast("long"))
+      .withColumn("reject_reason",
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          "word_count")
+          .when(col("word_len_sum") < col("n_words") * minMeanLen ||
+            col("word_len_sum") > col("n_words") * maxMeanLen,
+            "mean_word_len")
+          .when(col("n_symbols") * 10 > col("n_words"), "symbol_ratio")
+          .when(col("bullet_lines") * 10 > col("n_lines") * 9,
+            "bullet_lines")
+          .when(col("ellipsis_lines") * 10 > col("n_lines") * 3,
+            "ellipsis_lines")
+          .when(col("alpha_words") * 5 < col("n_words") * 4, "alpha_words")
+          .when(col("stop_kinds") < 2, "stopwords")
+          .otherwise("kept"))
+      .withColumn("keep", (col("reject_reason") === "kept").cast("int"))
+  }
+
   /** URL canonicalization — the crawl-dedup key step that runs right
     * next to [[stripHtml]] in a web pipeline (two crawls of one page
     * differ only in tracking params / host case / default ports; URL

@@ -2304,6 +2304,53 @@ class OpsSpec extends SparkSpec with PropSupport {
       .head().getAs[String]("reject_reason") === "too_few_lines")
   }
 
+  test("gopherFilter: every rule fires, boundaries keep") {
+    import spark.implicits._
+    val stopTail = "the rest of that batch have come with them to be safe."
+    // a 50-word passing page: 38 filler words + the 12-word stop tail
+    val base = (Seq.fill(38)("word") :+ stopTail).mkString(" ")
+    val docs = Seq(
+      1L -> base,                                    // kept (exactly 50 words)
+      2L -> "short doc of the kind.",                // word_count (5 < 50)
+      3L -> (Seq.fill(50)("reconfiguration")         // mean 15 > 10
+        .mkString(" ")),
+      4L -> (Seq.fill(45)("word") ++ Seq.fill(5)("#"))
+        .mkString(" ") ,                             // 5 hashes /50 = exactly 10% -> keep path continues
+      5L -> (Seq.fill(44)("word") ++ Seq.fill(6)("#"))
+        .mkString(" "),                              // 6/50 > 10% symbol_ratio
+      6L -> (1 to 60).map(_ => "• point alpha beta")
+        .mkString("\n"),                             // 100% bullets
+      7L -> (1 to 10).map(_ =>
+        "the data of that run went on and on and on then...")
+        .mkString("\n"),                             // 100% ellipsis lines
+      8L -> (Seq.fill(40)("word") ++ Seq.fill(10)("42"))
+        .mkString(" "),                              // alpha 40/50 = exactly 80% -> continues
+      9L -> (Seq.fill(39)("word") ++ Seq.fill(11)("42"))
+        .mkString(" "),                              // 39/50 < 80% alpha_words
+      10L -> Seq.fill(50)("word").mkString(" ")      // 0 stopword kinds
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs)
+      .select("doc_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "kept")
+    assert(out(2L) === "word_count")
+    assert(out(3L) === "mean_word_len")
+    // doc 4: symbols exactly 10% passes that rule; it then fails only on
+    // stopwords (no stop tail) — proves the boundary is non-strict
+    assert(out(4L) === "stopwords")
+    assert(out(5L) === "symbol_ratio")
+    assert(out(6L) === "bullet_lines")
+    assert(out(7L) === "ellipsis_lines")
+    assert(out(8L) === "stopwords") // exactly 80% alpha passes, stopwords fails
+    assert(out(9L) === "alpha_words")
+    assert(out(10L) === "stopwords")
+    // distinct-kinds rule: 8 repeats of ONE stopword is still 1 kind
+    val oneKind = Seq(11L -> (Seq.fill(42)("word") ++ Seq.fill(8)("the"))
+      .mkString(" ")).toDF("doc_id", "text")
+    assert(TextAnalysis.gopherFilter(oneKind)
+      .head().getAs[String]("reject_reason") === "stopwords")
+  }
+
   test("c4Filter: CRLF pages filter identically to LF pages") {
     import spark.implicits._
     val keepers = (1 to 5).map(i => s"this line number $i is fine.")
