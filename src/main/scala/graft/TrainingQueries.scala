@@ -443,6 +443,16 @@ object TrainingQueries {
         aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
         aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
 
+  /** Sparse sign random projection of the 64-dim embeddings onto 16
+    * hash-derived axes, flattened to (vec_id, axis, coordinate) rows —
+    * the oracle rebuilds the LCG sign matrix from the indices and
+    * re-sums the exact integer coordinates.
+    */
+  def qRandProj(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(embs(s, dir), outDims = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+
   /** 16-token chunks with 4-token overlap (stride 12). */
   def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(docs(s, dir), chunkTokens = 16,
@@ -865,6 +875,7 @@ object TrainingQueries {
     "q_shuffle_rank" -> (qShuffleRank _),
     "q_vocab_bigrams" -> (qVocabBigrams _),
     "q_quantize_embed" -> (qQuantizeEmbed _),
+    "q_rand_proj" -> (qRandProj _),
     "q_keep_canonical" -> (qKeepCanonical _),
     "q_token_budget" -> (qTokenBudget _),
     "q_mix_weights" -> (qMixWeights _),
@@ -1984,6 +1995,25 @@ object TrainingQueries {
     "q_shuffle_rank" -> shuffleRankOracle,
     "q_vocab_bigrams" -> vocabBigramsOracle,
     "q_quantize_embed" -> quantizeEmbedOracle,
+
+    // the LCG sign matrix rebuilt from (axis, component) indices; exact
+    // integer coordinate sums in the e7 fixed-point domain
+    "q_rand_proj" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |jx AS (
+        |  SELECT vec_id, qe, CAST(j AS BIGINT) AS j,
+        |    (1103515245 * (j + 1)) % 2147483647 AS a,
+        |    (12345 * (j * 2 + 1)) % 2147483647 AS b
+        |  FROM q, range(16) t(j))
+        |SELECT vec_id, j,
+        |  CAST(list_sum(list_transform(range(1, len(qe) + 1), i ->
+        |    CASE ((a * i + b) % 2147483647) % 6
+        |      WHEN 0 THEN qe[i] WHEN 1 THEN -qe[i] ELSE 0 END))
+        |    AS BIGINT) AS proj
+        |FROM jx""".stripMargin,
     "q_keep_canonical" -> keepCanonicalOracle,
     "q_token_budget" -> tokenBudgetOracle,
     "q_mix_weights" -> mixWeightsOracle,

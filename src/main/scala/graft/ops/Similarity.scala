@@ -988,4 +988,40 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
       .withColumn("mean_r",
         round(col("sum_q").cast("double") / col("n") / 1e7, 6))
+
+  /** Sparse sign random projection (Achlioptas 2003 / JL): project the
+    * embedding onto `outDims` pseudo-random axes whose entries are
+    * `{+1, 0, -1}` with density 1/3, DERIVED from the [[Dedup
+    * .minhashFamily]] LCG on (axis, component) — no stored matrix, no
+    * broadcast, no driver state: any executor (or any other engine)
+    * reconstructs entry (j, i) from the two indices alone. Components
+    * ride the 1e7 fixed-point domain of [[quantize]], so each projected
+    * coordinate is an EXACT integer (|proj| ≤ dims·1e7 — no overflow
+    * until ~9e11 dims) and the DuckDB oracle replays it bit-for-bit.
+    *
+    * The JL use: distances/dot products are preserved in expectation
+    * (E[⟨Px,Py⟩] = (outDims/3)·⟨x,y⟩ for density-1/3 signs), so dedup /
+    * clustering / ANN prefilters can run on `outDims` ints instead of
+    * `dims` floats. Shuffle-free narrow map: one row in, `outDims`
+    * coordinates out, all codegen'd integer arithmetic.
+    */
+  def randomProjection(embeddings: DataFrame, outDims: Int,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    val proj = transform(sequence(lit(0), lit(outDims - 1)), j => {
+      val a = (lit(1103515245L) * (j + 1)) % Dedup.MinhashP
+      val b = (lit(12345L) * (j * 2 + 1)) % Dedup.MinhashP
+      aggregate(
+        zip_with(col("__q"), sequence(lit(1), size(col("__q"))),
+          (x, i) => {
+            val m = ((a * i + b) % Dedup.MinhashP) % 6
+            when(m === 0, x).when(m === 1, -x).otherwise(lit(0L))
+          }),
+        lit(0L), (acc, x) => acc + x)
+    })
+    embeddings
+      .withColumn("__q", quantize(col(embCol)))
+      .withColumn("proj", proj)
+      .drop("__q")
+  }
 }

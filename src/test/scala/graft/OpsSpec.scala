@@ -426,6 +426,50 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.size === 6)
   }
 
+  test("randomProjection: LCG replay exact; JL dot products correlate") {
+    val P = 2147483647L
+    def sign(j: Int, i: Int): Long = {
+      val a = 1103515245L * (j + 1) % P
+      val b = 12345L * (2 * j + 1) % P
+      ((a * i + b) % P) % 6 match { case 0 => 1L; case 1 => -1L; case _ => 0L }
+    }
+    // plain-Scala replay of one vector pins the (axis, component) contract
+    val v = Array(0.5f, -0.25f, 0.125f, 0.0f)
+    val q = v.map(x => math.floor(x.toDouble * 1e7).toLong)
+    val expected = (0 until 8).map(j =>
+      q.indices.map(i => q(i) * sign(j, i + 1)).sum)
+    val got = Similarity.randomProjection(
+        Seq((1L, v)).toDF("vec_id", "embedding"), outDims = 8)
+      .head().getAs[collection.Seq[Long]]("proj")
+    assert(got === expected)
+    // density: {+1,-1} axes ~1/3 of entries (2/6 of residues)
+    val entries = for (j <- 0 until 16; i <- 1 to 64) yield sign(j, i)
+    val nz = entries.count(_ != 0L).toDouble / entries.size
+    assert(nz > 0.25 && nz < 0.42, s"sign density $nz far from 1/3")
+    // JL: projected dots track original dots (seeded, deterministic)
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 40L).map(id => (id,
+      Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+    val projs = Similarity.randomProjection(
+        vecs.toDF("vec_id", "embedding"), outDims = 48)
+      .collect().map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]]("proj")).toMap
+    val byId = vecs.toMap
+    val pairs = for (a <- 1L to 10L; b <- (a + 1) to 10L) yield {
+      val orig = byId(a).zip(byId(b)).map { case (x, y) =>
+        x.toDouble * y }.sum
+      val proj = projs(a).zip(projs(b)).map { case (x, y) =>
+        x.toDouble * y }.sum * 3 / 48 / 1e14
+      (orig, proj)
+    }
+    val (os, ps) = (pairs.map(_._1), pairs.map(_._2))
+    val (om, pm) = (os.sum / os.size, ps.sum / ps.size)
+    val cov = os.zip(ps).map { case (o, p) => (o - om) * (p - pm) }.sum
+    val corr = cov / math.sqrt(
+      os.map(o => (o - om) * (o - om)).sum *
+        ps.map(p => (p - pm) * (p - pm)).sum)
+    assert(corr > 0.7, s"JL correlation $corr too weak")
+  }
+
   test("leakageFreeSplit: a near-dup cluster never straddles the split") {
     import graft.ops.Curation
     val d = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
