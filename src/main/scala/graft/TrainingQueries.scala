@@ -336,6 +336,12 @@ object TrainingQueries {
     TextAnalysis.bm25Rank(docs(s, dir),
       terms = Seq("spark", "merge", "window"), k = 10)
 
+  /** 4-block inverted index over the corpus: per (term, block) posting
+    * stats, varint byte sizing, and the order-sensitive gap checksum.
+    */
+  def qPostings(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(docs(s, dir), blocks = 4)
+
   /** Deterministic hash-threshold stratified sample by language. */
   def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(docs(s, dir), "lang",
@@ -886,6 +892,7 @@ object TrainingQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf_top_terms" -> (qTfIdf _),
     "q_bm25" -> (qBm25 _),
+    "q_postings" -> (qPostings _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2087,6 +2094,34 @@ object TrainingQueries {
       s"""WITH $bm25ScoredCtes
          |SELECT doc_id, n_hits, score_e6 FROM bmscore
          |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the 4-block postings rebuild: same (term, block) lists, same
+    // delta gaps, same unsigned-varint widths, same position-tagged xor
+    "q_postings" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |p AS (
+         |  SELECT term, doc_id AS doc, count(*) AS tf, doc_id % 4 AS block
+         |  FROM t GROUP BY 1, 2),
+         |g AS (
+         |  SELECT term, block, doc, tf,
+         |    row_number() OVER (PARTITION BY term, block ORDER BY doc)
+         |      AS pos,
+         |    doc - coalesce(
+         |      lag(doc) OVER (PARTITION BY term, block ORDER BY doc), 0)
+         |      AS gap
+         |  FROM p)
+         |SELECT term, CAST(block AS BIGINT) AS block,
+         |  CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(tf) AS BIGINT) AS tf_total,
+         |  min(doc) AS first_doc, max(doc) AS last_doc,
+         |  CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+         |    WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+         |    ELSE 5 END) AS BIGINT) AS index_bytes,
+         |  CAST(bit_xor(${dh("term || '|' || CAST(block AS VARCHAR) || '|' || CAST(pos AS VARCHAR) || '|' || CAST(gap AS VARCHAR)")}) AS BIGINT)
+         |    AS gap_checksum
+         |FROM g GROUP BY 1, 2""".stripMargin,
 
 
     "q_tfidf_top_terms" ->

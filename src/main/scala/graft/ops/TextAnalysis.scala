@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -277,6 +278,52 @@ object TextAnalysis {
         sum(col("term_score_e6")).as("score_e6"))
       .orderBy(col("score_e6").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Block-sharded inverted index build — the retrieval-side artifact a
+    * training-data pipeline exports next to the corpus (BM25/TF-IDF
+    * score AGAINST it; search infra consumes it). Per (term, block):
+    * document frequency, total term frequency, first/last doc id, the
+    * byte size of the delta-gap UNSIGNED-varint posting encoding (the
+    * classic index layout — [[graft.functions.Varint]] is the matching
+    * byte codec), and an order-sensitive checksum over the gap sequence
+    * (position-tagged h60 xor — pins the exact posting ORDER, not just
+    * the set).
+    *
+    * Scale shape: two exchanges — one building the (term, doc) tf
+    * pairs, one keyed (term, block) that the row_number/lag window and
+    * the final groupBy SHARE (the spec pins the exchange count).
+    * `blocks` is the hot-term shard knob: a
+    * stopword's postings at corpus scale would serialize one task, so
+    * real indexes split each term's postings by a doc-hash block — gaps
+    * restart per block and blocks merge by concatenation (doc ids
+    * within a block stay sorted). tf uses partial aggregation; nothing
+    * corpus-wide ever sits in one task beyond |postings(term)|/blocks.
+    */
+  def invertedIndex(docs: DataFrame, blocks: Int = 1,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc"), explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("tf"))
+      .withColumn("block", pmod(col("doc"), lit(blocks.toLong)))
+    val w = Window.partitionBy(col("term"), col("block")).orderBy(col("doc"))
+    val width = when(col("gap") < 128L, 1L)
+      .when(col("gap") < (1L << 14), 2L)
+      .when(col("gap") < (1L << 21), 3L)
+      .when(col("gap") < (1L << 28), 4L)
+      .otherwise(5L)
+    pairs
+      .withColumn("pos", row_number().over(w))
+      .withColumn("gap",
+        col("doc") - coalesce(lag(col("doc"), 1).over(w), lit(0L)))
+      .withColumn("g_h", Dedup.h60(
+        concat_ws("|", col("term"), col("block"), col("pos"), col("gap"))))
+      .groupBy(col("term"), col("block"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        min(col("doc")).as("first_doc"), max(col("doc")).as("last_doc"),
+        sum(width).as("index_bytes"),
+        expr("bit_xor(g_h)").cast("long").as("gap_checksum"))
   }
 
   /** The BM25 e6 fixed-point score columns over per-(doc, term) stats

@@ -426,6 +426,41 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.size === 6)
   }
 
+  test("invertedIndex: widths match the byte codec, gaps decode, " +
+    "blocks partition, one shared exchange") {
+    import graft.functions.Varint
+    import java.nio.ByteBuffer
+    // the width CASE chain IS the unsigned-varint size at every boundary
+    for (v <- Seq(0L, 1L, 127L, 128L, 16383L, 16384L, 2097151L, 2097152L,
+      268435455L, 268435456L)) {
+      val buf = ByteBuffer.allocate(8)
+      Varint.writeUnsignedVarint(v.toInt, buf)
+      val expected = buf.position()
+      val chain = if (v < 128) 1 else if (v < 16384) 2
+        else if (v < 2097152) 3 else if (v < 268435456) 4 else 5
+      assert(chain === expected, s"width chain wrong at $v")
+    }
+    // docs 3,7,10,11 contain "x"; blocks split by doc % 2
+    val df = Seq(3L -> "x y", 7L -> "x x z", 10L -> "x", 11L -> "y x")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, blocks = 2)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    // block 0: doc 10 -> gaps [10]; block 1: docs 3,7,11 -> [3,4,4]
+    assert(rows(("x", 0L)) === ((1L, 1L, 10L, 10L, 1L)))
+    assert(rows(("x", 1L)) === ((3L, 4L, 3L, 11L, 3L)))
+    // gap cumulative sums rebuild the sorted doc ids (decode identity)
+    assert(Seq(3L, 4L, 4L).scanLeft(0L)(_ + _).tail === Seq(3L, 7L, 11L))
+    // the window and final aggregate share the (term, block) exchange:
+    // exactly 2 exchanges in the whole plan
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // count exchanges only in the final-plan section
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+  }
+
   test("randomProjection: LCG replay exact; JL dot products correlate") {
     val P = 2147483647L
     def sign(j: Int, i: Int): Long = {
