@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Curation, Dedup, Graph, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis)
   * with DuckDB oracle SQL. Hashing is the shared 60-bit truncated md5 so
@@ -341,6 +341,23 @@ object TrainingQueries {
     */
   def qPostings(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(docs(s, dir), blocks = 4)
+
+  /** PageRank over a deterministic synthetic link graph (each doc links
+    * to `(doc_id·31 + j·7 + 1) mod N` for j=1..3 — ids are contiguous
+    * 0..N−1, so every target exists). 5 integer-exact e12 rounds; the
+    * oracle unrolls the same trajectory.
+    */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val edges = d
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("src"),
+        ((col("src") * 31 + col("j") * 7 + 1) % n).as("dst"))
+    Graph.pageRank(edges, iters = 5)
+      .select(col("v").as("node"), col("r").as("rank_e12"))
+  }
 
   /** Deterministic hash-threshold stratified sample by language. */
   def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
@@ -893,6 +910,7 @@ object TrainingQueries {
     "q_tfidf_top_terms" -> (qTfIdf _),
     "q_bm25" -> (qBm25 _),
     "q_postings" -> (qPostings _),
+    "q_pagerank" -> (qPagerank _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -959,6 +977,45 @@ object TrainingQueries {
   /** DuckDB 60-bit md5 hash of a SQL string expression. */
   private def dh(e: String) =
     s"CAST(('0x' || substring(md5($e),1,15)) AS BIGINT)"
+
+  /** The unrolled PageRank trajectory: round k's CTE recomputes the
+    * contribution sums, the dangling share, and the damped update from
+    * round k−1 with the SAME integer truncation order as
+    * [[graft.ops.Graph.pageRank]].
+    */
+  private def pagerankCtes(iters: Int, damp: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.v AS v,
+         |    (p.base * ${100 - damp}) // 100 +
+         |    ((coalesce(c.s, 0) + dg.share) * $damp) // 100 AS r
+         |  FROM nodes n
+         |  CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS dst, sum(r.r // e.d) AS s
+         |    FROM dedges e JOIN r${k - 1} r ON r.v = e.src
+         |    GROUP BY 1) c ON c.dst = n.v
+         |  CROSS JOIN (
+         |    SELECT (SELECT coalesce(sum(r.r), 0) FROM r${k - 1} r
+         |      ANTI JOIN outdeg o ON r.v = o.src) // p2.n AS share
+         |    FROM params p2) dg)""".stripMargin
+    }
+    s"""params AS (
+       |  SELECT count(*) AS n, 1000000000000 // count(*) AS base
+       |  FROM documents),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id * 31 + j * 7 + 1) % p.n AS dst
+       |  FROM documents, params p, range(1, 4) t(j)),
+       |nodes AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+       |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       |dedges AS (
+       |  SELECT e.src, e.dst, o.d FROM edges e
+       |  JOIN outdeg o ON o.src = e.src),
+       |r0 AS (SELECT v, p.base AS r FROM nodes, params p),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 
   /** The seeded per-doc hash (mirrors Dedup.h60(seed + "|" + doc_id)) —
     * ONE definition for every curation oracle, so a salt's SQL can't
@@ -2094,6 +2151,11 @@ object TrainingQueries {
       s"""WITH $bm25ScoredCtes
          |SELECT doc_id, n_hits, score_e6 FROM bmscore
          |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // five unrolled integer-exact rounds over the synthetic link graph
+    "q_pagerank" ->
+      s"""WITH ${pagerankCtes(iters = 5, damp = 85)}
+         |SELECT v AS node, CAST(r AS BIGINT) AS rank_e12 FROM r5""".stripMargin,
 
     // the 4-block postings rebuild: same (term, block) lists, same
     // delta gaps, same unsigned-varint widths, same position-tagged xor

@@ -326,19 +326,19 @@ object Dedup {
     edges.count()
     edges0.unpersist()
     // per-round cleanup attributes persisted-RDD ids by diffing the
-    // session's persistent set immediately around OUR materializing
-    // action — ids present before the action (edges, caller caches) are
-    // never touched. (A concurrent thread caching inside that narrow
-    // window could be mis-attributed; CC is a batch pipeline op, not a
+    // session's persistent set around OUR checkpoint DEFINITION + its
+    // materializing action — the checkpoint RDD registers as persistent
+    // at the localCheckpoint CALL, not at first materialization, so a
+    // diff opened only around the action misses it and every round
+    // leaks its label table (caught by the OpsSpec cache-leak pin).
+    // Ids present before the window opens (edges, caller caches) are
+    // never touched. (A concurrent thread caching inside the window
+    // could be mis-attributed; CC is a batch pipeline op, not a
     // facade-concurrent one.)
-    def newlyPersisted(action: => Long): (Long, scala.collection.Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val result = action
-      (result, sc.getPersistentRDDs.keySet -- before)
-    }
     // round 1 folded into the init: one propagate from the identity
     // labeling is just min(self, min neighbor) — a single aggregate,
     // no label join.
+    val beforeInit = sc.getPersistentRDDs.keySet
     val init = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("__mn"))
@@ -346,7 +346,8 @@ object Dedup {
         least(col("doc_id"), col("__mn")).as("cluster"))
       .localCheckpoint(false)
     var labels = init
-    var prevRoundIds = newlyPersisted(init.count())._2
+    init.count()
+    var prevRoundIds = sc.getPersistentRDDs.keySet -- beforeInit
     var changed = 1L
     var iter = 1
     while (changed > 0 && iter < maxIters) {
@@ -370,6 +371,7 @@ object Dedup {
       // alone, which is the correctness condition. One-round-stale jump
       // targets cost at most an extra round vs true path doubling and
       // halve the work per round.
+      val beforeIds = sc.getPersistentRDDs.keySet
       val next = stepped
         .join(labels.select(col("doc_id").as("cluster"),
           col("cluster").as("cc")), Seq("cluster"), "left")
@@ -383,9 +385,8 @@ object Dedup {
         // a growing tree (planning time, not execution, dominated the
         // loop). LAZY: materialized by the convergence count below.
         .localCheckpoint(false)
-      val (nChanged, thisRoundIds) =
-        newlyPersisted(next.filter(col("__changed")).count())
-      changed = nChanged
+      changed = next.filter(col("__changed")).count()
+      val thisRoundIds = sc.getPersistentRDDs.keySet -- beforeIds
       // the previous round's checkpoint fed this round's joins and is
       // now garbage — at corpus scale each one is a full label table, so
       // letting them accumulate across rounds is a memory leak

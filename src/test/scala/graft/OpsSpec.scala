@@ -356,11 +356,16 @@ class OpsSpec extends SparkSpec with PropSupport {
   test("connectedComponents labels chains and keeps components separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L)) // chain collapses to min
     assert(Seq(10L, 11L).forall(cc(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    // O(1) cached across rounds: only the returned label table may stay
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).size <= 1,
+      s"leaked cached RDDs: ${(after -- before).size}")
   }
 
   test("lshCrossCorpusPairs: bipartite only — new docs pair with corpus, never each other") {
@@ -424,6 +429,44 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out((7, 2)) === ((2L, 0L, 0.0)))
     assert(out((8, 0)) === ((1L, 10000000L, 1.0)))
     assert(out.size === 6)
+  }
+
+  test("pageRank: exact vs reference with dangling mass; O(1) cached") {
+    import graft.ops.Graph
+    def ref(edges: Seq[(Long, Long)], iters: Int,
+            damp: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.size
+      val base = 1000000000000L / n
+      val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      var r = nodes.map(_ -> base).toMap
+      for (_ <- 1 to iters) {
+        val dangling = nodes.filterNot(outdeg.contains).map(r).sum / n
+        val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (s, _) => r(s) / outdeg(s) }.sum }
+        r = nodes.map(v => v -> (base * (100 - damp) / 100 +
+          (contrib.getOrElse(v, 0L) + dangling) * damp / 100)).toMap
+      }
+      r
+    }
+    // seeded graph with duplicate-free edges and genuine dangling nodes
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(15).toLong, (15 + rnd.nextInt(5)).toLong))
+      .distinct // nodes 15..19 have no out-edges -> dangling
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = beforeIds.size
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(got === ref(edges, iters = 3, damp = 85))
+    // truncation-bounded mass conservation
+    val total = got.values.sum
+    assert(total <= 1000000000000L &&
+      total > 1000000000000L - got.size.toLong * 6 * 100,
+      s"mass $total")
+    // only the returned table's checkpoint may remain cached
+    assert(after - before <= 1, s"leaked cached RDDs: $before -> $after")
   }
 
   test("invertedIndex: widths match the byte codec, gaps decode, " +
