@@ -342,6 +342,17 @@ object TrainingQueries {
   def qPostings(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(docs(s, dir), blocks = 4)
 
+  /** T5 span corruption over the corpus: per-doc token/block/mask
+    * counts plus hashes of the built input/target strings — the oracle
+    * rebuilds both strings block by block.
+    */
+  def qSpanCorrupt(s: SparkSession, dir: String): DataFrame =
+    Curation.spanCorrupt(docs(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocks"),
+        col("n_masked"),
+        Dedup.h60(col("input_text")).as("input_h"),
+        Dedup.h60(col("target_text")).as("target_h"))
+
   /** PageRank over a deterministic synthetic link graph (each doc links
     * to `(doc_id·31 + j·7 + 1) mod N` for j=1..3 — ids are contiguous
     * 0..N−1, so every target exists). 5 integer-exact e12 rounds; the
@@ -911,6 +922,7 @@ object TrainingQueries {
     "q_bm25" -> (qBm25 _),
     "q_postings" -> (qPostings _),
     "q_pagerank" -> (qPagerank _),
+    "q_span_corrupt" -> (qSpanCorrupt _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2151,6 +2163,53 @@ object TrainingQueries {
       s"""WITH $bm25ScoredCtes
          |SELECT doc_id, n_hits, score_e6 FROM bmscore
          |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the block-local T5 masking replayed: same hash-derived span
+    // starts, same sentinel splice, same LF-free rebuild
+    "q_span_corrupt" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bl AS (
+         |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    (len(w) + 19) // 20 AS nb
+         |  FROM t),
+         |bj AS (
+         |  SELECT doc_id, w, n_tokens, unnest(range(nb)) AS j FROM bl),
+         |blk AS (
+         |  SELECT doc_id, n_tokens, j,
+         |    w[(j * 20 + 1):((j + 1) * 20)] AS blk
+         |  FROM bj),
+         |sp AS (
+         |  SELECT doc_id, n_tokens, j, blk, len(blk) AS bn,
+         |    CASE WHEN len(blk) > 3 THEN
+         |      ${dh("CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)")}
+         |        % (len(blk) - 2)
+         |      ELSE 0 END AS s
+         |  FROM blk),
+         |built AS (
+         |  SELECT doc_id, n_tokens, j, bn,
+         |    CASE WHEN bn > 3 THEN blk[1:CAST(s AS INTEGER)] ||
+         |      ['<extra_id_' || CAST(j AS VARCHAR) || '>'] ||
+         |      blk[CAST(s + 4 AS INTEGER):CAST(bn AS INTEGER)]
+         |      ELSE blk END AS input_blk,
+         |    CASE WHEN bn > 3 THEN
+         |      ['<extra_id_' || CAST(j AS VARCHAR) || '>'] ||
+         |      blk[CAST(s + 1 AS INTEGER):CAST(s + 3 AS INTEGER)]
+         |      ELSE CAST([] AS VARCHAR[]) END AS target_blk
+         |  FROM sp),
+         |agg AS (
+         |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_blocks,
+         |    CAST(3 * count_if(bn > 3) AS BIGINT) AS n_masked,
+         |    array_to_string(flatten(list(input_blk ORDER BY j)), ' ')
+         |      AS input_text,
+         |    array_to_string(flatten(list(target_blk ORDER BY j)), ' ')
+         |      AS target_text
+         |  FROM built GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_blocks, n_masked,
+         |  ${dh("input_text")} AS input_h,
+         |  ${dh("target_text")} AS target_h
+         |FROM agg""".stripMargin,
 
     // five unrolled integer-exact rounds over the synthetic link graph
     "q_pagerank" ->

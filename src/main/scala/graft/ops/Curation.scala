@@ -452,6 +452,61 @@ object Curation {
     * draws from exactly one stream. Returns (idCol, stream, n_tokens,
     * first_seq, last_seq, offset_in_first): sequence ids are per-stream.
     */
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4 — the
+    * denoising-objective sample builder): mask one `spanTokens`-long
+    * span per `blockTokens`-token block, replacing it in the input with
+    * a per-block sentinel `<extra_id_j>` and emitting
+    * `sentinel + masked tokens` as the target. Span starts are
+    * hash-derived from (doc, block) — deterministic, rerun-stable, no
+    * RNG state — and BLOCK-LOCAL, so (unlike the paper's sequential
+    * span sampler) every block masks independently: the operator is a
+    * shuffle-free narrow map replayable in SQL, and the corruption rate
+    * is exactly `spanTokens/blockTokens` on full blocks (a tail block
+    * of ≤ spanTokens tokens passes through unmasked). Splicing each
+    * target span back over its sentinel reconstructs the original text
+    * (the spec pins the round trip).
+    */
+  def spanCorrupt(docs: DataFrame, blockTokens: Int = 20,
+                  spanTokens: Int = 3, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val b = blockTokens
+    val l = spanTokens
+    val blockOf: Column => Column = j => slice(col("__t"), j * b + 1, lit(b))
+    val withBlocks = docs
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      // size >= 1 always (split never returns an empty array), so the
+      // block sequence is never built with a negative upper bound
+      .withColumn("__js",
+        sequence(lit(0), ((size(col("__t")) + b - 1) / b).cast("int") - 1))
+    val spanStart: Column => Column = j =>
+      pmod(Dedup.h60(concat(col(idCol).cast("string"), lit("|"),
+        j.cast("string"))), size(blockOf(j)) - l + 1).cast("int")
+    val inputs = transform(col("__js"), j => {
+      val blk = blockOf(j)
+      val s = spanStart(j)
+      when(size(blk) > l,
+        concat(slice(blk, lit(1), s),
+          array(concat(lit("<extra_id_"), j.cast("string"), lit(">"))),
+          slice(blk, s + l + 1, size(blk) - s - l)))
+        .otherwise(blk)
+    })
+    val targets = transform(col("__js"), j => {
+      val blk = blockOf(j)
+      when(size(blk) > l,
+        concat(array(concat(lit("<extra_id_"), j.cast("string"), lit(">"))),
+          slice(blk, spanStart(j) + 1, lit(l))))
+        .otherwise(array().cast("array<string>"))
+    })
+    withBlocks
+      .withColumn("n_blocks", size(col("__js")).cast("long"))
+      .withColumn("n_masked", (size(filter(col("__js"),
+        j => size(blockOf(j)) > l)) * l).cast("long"))
+      .withColumn("input_text", array_join(flatten(inputs), " "))
+      .withColumn("target_text", array_join(flatten(targets), " "))
+      .drop("__t", "__js")
+  }
+
   def packSequences(docs: DataFrame, seqLen: Int, nStreams: Int = 64,
                     textCol: String = "text", idCol: String = "doc_id",
                     seed: String = "pack"): DataFrame = {

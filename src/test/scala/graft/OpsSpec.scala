@@ -431,6 +431,51 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.size === 6)
   }
 
+  test("spanCorrupt: round trip reconstructs, rate exact, tails pass") {
+    import graft.ops.Curation
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 30L).map(id => (id,
+      (1 to (1 + rnd.nextInt(70))).map(i => s"w${rnd.nextInt(99)}i$i")
+        .mkString(" "))) :+ (99L, (1 to 60).map(i => s"t$i").mkString(" "))
+    val out = Curation.spanCorrupt(docs.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "n_blocks", "n_masked", "input_text",
+        "target_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    val byId = docs.toMap
+    for ((id, (nTok, nBlocks, nMasked, input, target)) <- out) {
+      val orig = byId(id)
+      assert(nTok === orig.split(" ").length.toLong)
+      assert(nBlocks === (nTok + 19) / 20)
+      // parse the target stream into sentinel -> span
+      var spans = Map.empty[String, List[String]]
+      var cur: String = null
+      for (t <- target.split(" ") if t.nonEmpty) t match {
+        case sentinel(_) => cur = t; spans += cur -> Nil
+        case tok => spans += cur -> (spans(cur) :+ tok)
+      }
+      assert(spans.values.map(_.size).sum.toLong === nMasked)
+      assert(spans.values.forall(_.size == 3), "span length is fixed at 3")
+      // splice each span back over its sentinel -> the original text
+      val rebuilt = input.split(" ").flatMap {
+        case t @ sentinel(_) => spans(t)
+        case t => Seq(t)
+      }.mkString(" ")
+      assert(rebuilt === orig, s"round trip failed for doc $id")
+    }
+    // 60 tokens = 3 full blocks -> exactly 9 masked; a 23-token doc has
+    // a 3-token tail block that passes through unmasked
+    assert(out(99L)._3 === 9L)
+    val tail = Curation.spanCorrupt(
+      Seq(7L -> (1 to 23).map(i => s"x$i").mkString(" "))
+        .toDF("doc_id", "text")).head()
+    assert(tail.getAs[Long]("n_blocks") === 2L)
+    assert(tail.getAs[Long]("n_masked") === 3L)
+    assert(tail.getAs[String]("input_text").endsWith("x21 x22 x23"))
+  }
+
   test("pageRank: exact vs reference with dangling mass; O(1) cached") {
     import graft.ops.Graph
     def ref(edges: Seq[(Long, Long)], iters: Int,
