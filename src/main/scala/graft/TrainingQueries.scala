@@ -342,6 +342,10 @@ object TrainingQueries {
   def qPostings(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(docs(s, dir), blocks = 4)
 
+  /** CCNet head/middle/tail tertiles per language by bigram LM score. */
+  def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ccnetBuckets(docs(s, dir))
+
   /** T5 span corruption over the corpus: per-doc token/block/mask
     * counts plus hashes of the built input/target strings — the oracle
     * rebuilds both strings block by block.
@@ -923,6 +927,7 @@ object TrainingQueries {
     "q_postings" -> (qPostings _),
     "q_pagerank" -> (qPagerank _),
     "q_span_corrupt" -> (qSpanCorrupt _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2330,6 +2335,25 @@ object TrainingQueries {
     "q_lm_score" ->
       s"""WITH $lmCtes
          |SELECT doc_id, n_bigrams, lm_score_e6 FROM lmout""".stripMargin,
+
+    // per-language tertiles over the same LM trajectory; ntile's
+    // equal-fill rule is SQL-standard so both engines cut identically
+    "q_ccnet_buckets" ->
+      s"""WITH $lmCtes,
+         |sc AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(l.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |    CAST(coalesce(l.lm_score_e6, 0) AS BIGINT) AS lm_score_e6
+         |  FROM documents d LEFT JOIN lmout l ON l.doc_id = d.doc_id),
+         |bk AS (
+         |  SELECT doc_id, lang, n_bigrams, lm_score_e6,
+         |    CAST(ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY lm_score_e6 DESC, doc_id) AS BIGINT) AS bucket
+         |  FROM sc)
+         |SELECT doc_id, lang, n_bigrams, lm_score_e6, bucket,
+         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket_name
+         |FROM bk""".stripMargin,
 
     "q_oov_rate" ->
       s"""WITH $oovCtes

@@ -807,6 +807,42 @@ object TextAnalysis {
           " DIV sum(m)").as("lm_score_e6"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): per
+    * LANGUAGE, split documents into head/middle/tail tertiles by LM
+    * score — the standard "keep the head, sample the middle, drop the
+    * tail" curation split. The scorer is [[lmScore]]'s corpus-trained
+    * bigram model (integer-exact, so the tertile CUTS are
+    * engine-deterministic; CCNet trains per-language KenLM models —
+    * with a single-engine corpus model the ordering signal is the
+    * same, the model table is just shared). Higher score = more fluent
+    * = head; ties break on the id so the split is total. Docs too
+    * short to have a bigram score 0 (tail).
+    *
+    * Scale: the LM family's shapes plus ONE window keyed by language —
+    * the tertile rank shuffles on the language, which at corpus scale
+    * is the partition column a curation pipeline already buckets by.
+    * Returns (idCol, langCol, n_bigrams, lm_score_e6, bucket,
+    * bucket_name).
+    */
+  def ccnetBuckets(docs: DataFrame, langCol: String = "lang",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), col(langCol))
+      .join(lmScore(docs, textCol, idCol), Seq(idCol), "left")
+      .select(col(idCol), col(langCol),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("lm_score_e6"), lit(0L)).cast("long")
+          .as("lm_score_e6"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("lm_score_e6").desc, col(idCol).asc)
+    scored
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("bucket_name",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"))
+  }
+
   /** Jelinek–Mercer INTERPOLATED bigram LM score — [[lmScore]] with the
     * standard smoothing every deployed n-gram scorer uses: per bigram,
     * score = λ·P(w2|w1) + (1−λ)·P(w2), mixing the sharp conditional

@@ -431,6 +431,56 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.size === 6)
   }
 
+  test("ccnetBuckets: per-language tertiles track the LM score order") {
+    // en: 7 docs from fluent (repeated common bigrams) to gibberish;
+    // de: 4 docs — different language, independent tertiles
+    val mk = (id: Long, lang: String, t: String) => (id, lang, t)
+    val docsDf = Seq(
+      mk(1, "en", "the cat sat the cat sat the cat sat"),
+      mk(2, "en", "the cat sat the cat sat"),
+      mk(3, "en", "the cat sat on a mat"),
+      mk(4, "en", "a mat sat on the cat"),
+      mk(5, "en", "zq xw vv uu tt ss"),
+      mk(6, "en", "qqq www eee rrr"),
+      mk(7, "en", "the cat sat"),
+      mk(10, "de", "der hund lief der hund lief"),
+      mk(11, "de", "der hund lief schnell"),
+      mk(12, "de", "xyz abc def"),
+      mk(13, "de", "der hund")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.ccnetBuckets(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    // replicate ntile(3): sorted by (score desc, id), first ceil-thirds
+    // get bucket 1, etc.
+    for (lang <- Seq("en", "de")) {
+      val sorted = out.toSeq.filter(_._2._1 == lang)
+        .sortBy { case (id, (_, s, _, _)) => (-s, id) }.map(_._1)
+      val n = sorted.size
+      val sizes = (0 until 3).map(i => n / 3 + (if (i < n % 3) 1 else 0))
+      var idx = 0
+      for ((sz, b) <- sizes.zip(Seq(1L, 2L, 3L)); _ <- 0 until sz) {
+        assert(out(sorted(idx))._3 === b,
+          s"doc ${sorted(idx)} in wrong tertile for $lang")
+        idx += 1
+      }
+    }
+    // bucket_name is the bucket number's label, everywhere
+    for ((_, (_, _, b, name)) <- out)
+      assert(name === Seq("head", "middle", "tail")(b.toInt - 1))
+    // raw-conditional pathology the CCNet recipe inherits from its
+    // scorer choice: SINGLETON bigrams are "certain" (P=1), so doc 6's
+    // unique gibberish scores a perfect 1e6 and heads the split — the
+    // reason the smoothed scorers (lmScoreKneserNey/lmScoreInterpolated)
+    // exist; ccnetBuckets pins the SPLIT mechanics, not the scorer
+    assert(out(6L)._2 === 1000000L)
+    // a doc reusing a low-conditional bigram ranks below one that
+    // doesn't: doc 3 carries (sat,on)=0.4 and (on,a)=0.5 and must not
+    // outscore doc 7 (both bigrams at 1.0)
+    assert(out(3L)._2 < out(7L)._2)
+  }
+
   test("spanCorrupt: round trip reconstructs, rate exact, tails pass") {
     import graft.ops.Curation
     val rnd = new scala.util.Random(31)
