@@ -57,6 +57,40 @@ object VectorKernels {
     java.lang.Long.valueOf(acc)
   }
 
+  /** Sparse sign random projection of a quantized vector: coordinate j
+    * is Σ_i q(i)·s(j, i) with s ∈ {+1, 0, −1} from the minhash LCG on
+    * (axis, 1-based component) — the [[graft.ops.Similarity
+    * .randomProjection]] contract, as ONE tight JIT'd loop instead of
+    * outDims interpreted aggregate(zip_with(sequence)) lambdas (the HOF
+    * form measured ~5× the whole-query cost at 16×64 per row; see the
+    * object doc above for why HOFs never codegen). NULL result when any
+    * element is NULL (the dotq convention). Overflow errors loudly via
+    * addExact — the e7 range contract means it cannot fire below ~9e11
+    * dims.
+    */
+  def randProject(q: ArrayData, outDims: Int): ArrayData = {
+    val p = 2147483647L
+    val n = q.numElements()
+    val out = new Array[Any](outDims)
+    var j = 0
+    while (j < outDims) {
+      val a = 1103515245L * (j + 1) % p
+      val b = 12345L * (2 * j + 1) % p
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (q.isNullAt(i)) return null
+        val m = (a * (i + 1) + b) % p % 6
+        if (m == 0L) acc = Math.addExact(acc, q.getLong(i))
+        else if (m == 1L) acc = Math.subtractExact(acc, q.getLong(i))
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Argmin over centroids of the exact squared distance: returns
     * struct(cid, dist) with ties broken to the smaller cid (centroids
     * arrive sorted by cid and the comparison is strict) — the same
@@ -141,6 +175,43 @@ case class DotQLongs(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** `rand_proj(q, outDims)`: sparse sign random projection of an
+  * array<bigint> column — see [[VectorKernels.randProject]]. NULL in
+  * (array or element) → NULL out.
+  */
+case class RandProjLongs(child: Expression, outDims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rand_proj"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rand_proj requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else VectorKernels.randProject(v.asInstanceOf[ArrayData], outDims)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}$$r =
+         |  graft.functions.VectorKernels.randProject($v, $outDims);
+         |if (${ev.value}$$r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}$$r;
+         |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RandProjLongs =
+    copy(child = newChild)
+}
+
 /** The (cids, centroids) table as a `Broadcast` — one copy per
   * EXECUTOR, fetched on first use, instead of k·dims longs serialized
   * into every task binary (at SemDeDup's k≈10k over 64 dims that is
@@ -196,6 +267,10 @@ object VectorExpressions {
   /** Column API: exact integer dot of two array<bigint> columns. */
   def dotq(a: Column, b: Column): Column =
     ColumnBridge.column(DotQLongs(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: sparse sign random projection to `outDims` axes. */
+  def randproj(q: Column, outDims: Int): Column =
+    ColumnBridge.column(RandProjLongs(ColumnBridge.expression(q), outDims))
 
   /** Broadcast a (cid, centroid) table once; hand the result to
     * [[nearestCentroidBc]]. Centroids must arrive sorted by cid (ties

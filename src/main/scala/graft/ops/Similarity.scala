@@ -1007,21 +1007,11 @@ object Similarity {
     */
   def randomProjection(embeddings: DataFrame, outDims: Int,
                        idCol: String = "vec_id",
-                       embCol: String = "embedding"): DataFrame = {
-    val proj = transform(sequence(lit(0), lit(outDims - 1)), j => {
-      val a = (lit(1103515245L) * (j + 1)) % Dedup.MinhashP
-      val b = (lit(12345L) * (j * 2 + 1)) % Dedup.MinhashP
-      aggregate(
-        zip_with(col("__q"), sequence(lit(1), size(col("__q"))),
-          (x, i) => {
-            val m = ((a * i + b) % Dedup.MinhashP) % 6
-            when(m === 0, x).when(m === 1, -x).otherwise(lit(0L))
-          }),
-        lit(0L), (acc, x) => acc + x)
-    })
-    embeddings
-      .withColumn("__q", quantize(col(embCol)))
-      .withColumn("proj", proj)
-      .drop("__q")
-  }
+                       embCol: String = "embedding"): DataFrame =
+    // native kernel, not aggregate(zip_with(sequence)) lambdas: HOFs
+    // are interpreted per ELEMENT, and outDims·dims interpreted ops per
+    // row dominated the whole query (measured ~5×; see VectorKernels)
+    embeddings.withColumn("proj",
+      graft.functions.VectorExpressions.randproj(
+        quantize(col(embCol)), outDims))
 }

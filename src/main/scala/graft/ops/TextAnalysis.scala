@@ -553,10 +553,6 @@ object TextAnalysis {
                    maxMeanLen: Int = 10, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
-    // \s+ split can emit empty edge tokens (and Java drops trailing ones
-    // where RE2 keeps them) — filter empties on BOTH sides of the oracle
-    val words = filter(split(t, "\\s+"), w => length(w) > 0)
-    val lines = split(t, "\r?\n")
     val ell3 = (length(t) - length(call_function("replace", t, lit("..."),
       lit("")))) / 3
     val ellC = length(t) - length(call_function("replace", t, lit("…"),
@@ -565,20 +561,28 @@ object TextAnalysis {
       lit("")))
     val stopArr = array(GopherStopwords.map(lit): _*)
     docs
-      .withColumn("n_words", size(words).cast("long"))
+      // materialize the split arrays ONCE: expressions inside HOF
+      // lambdas get no CSE, so inlining `words` into its four consumers
+      // re-splits (and re-filters) the text per metric — measured as the
+      // dominant cost of the whole filter. \s+ split can emit empty edge
+      // tokens (and Java drops trailing ones where RE2 keeps them) —
+      // filter empties on BOTH sides of the oracle.
+      .withColumn("__w", filter(split(t, "\\s+"), w => length(w) > 0))
+      .withColumn("__ln", split(t, "\r?\n"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("word_len_sum",
-        aggregate(words, lit(0L), (acc, w) => acc + length(w)))
+        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)))
       .withColumn("n_symbols", (hashes + ell3 + ellC).cast("long"))
-      .withColumn("n_lines", size(lines).cast("long"))
-      .withColumn("bullet_lines", size(filter(lines, l =>
+      .withColumn("n_lines", size(col("__ln")).cast("long"))
+      .withColumn("bullet_lines", size(filter(col("__ln"), l =>
         l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
         .cast("long"))
-      .withColumn("ellipsis_lines", size(filter(lines, l =>
+      .withColumn("ellipsis_lines", size(filter(col("__ln"), l =>
         l.endsWith("...") || l.endsWith("…"))).cast("long"))
       .withColumn("alpha_words",
-        size(filter(words, _.rlike("[A-Za-z]"))).cast("long"))
+        size(filter(col("__w"), _.rlike("[A-Za-z]"))).cast("long"))
       .withColumn("stop_kinds", size(filter(stopArr,
-        m => array_contains(words, m))).cast("long"))
+        m => array_contains(col("__w"), m))).cast("long"))
       .withColumn("reject_reason",
         when(col("n_words") < minWords || col("n_words") > maxWords,
           "word_count")
@@ -594,6 +598,7 @@ object TextAnalysis {
           .when(col("stop_kinds") < 2, "stopwords")
           .otherwise("kept"))
       .withColumn("keep", (col("reject_reason") === "kept").cast("int"))
+      .drop("__w", "__ln")
   }
 
   /** URL canonicalization — the crawl-dedup key step that runs right
