@@ -39,16 +39,19 @@ object TextAnalysis {
     */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val words = toks(t)
     docs
+      // one split per row, shared by three consumers (no HOF-lambda CSE)
+      .withColumn("__w", toks(t))
       .withColumn("n_chars_m", length(t))
-      .withColumn("n_tokens", size(words))
+      .withColumn("n_tokens", size(col("__w")))
       .withColumn("n_punct",
         length(t) - length(regexp_replace(t, "[.,;:!?]", "")))
-      .withColumn("n_stopwords", markerHits(words, langMarkers.head._2))
+      .withColumn("n_stopwords", markerHits(col("__w"), langMarkers.head._2))
       .withColumn("avg_token_len_e2",
         // bigint: at INT, a ~21 MB document's length * 100 would overflow
-        expr(s"(cast(length($textCol) as bigint) - size(split($textCol, ' ')) + 1) * 100 DIV size(split($textCol, ' '))"))
+        expr(s"(cast(length($textCol) as bigint) - size(__w) + 1) * 100" +
+          " DIV size(__w)"))
+      .drop("__w")
   }
 
   /** Quality score 0..4: one point each for length in range, token count
@@ -498,14 +501,14 @@ object TextAnalysis {
     // \r?\n split + \z anchor: Java's default `$` also matches before a
     // trailing line terminator (incl. a bare \r), RE2's does not — \z is
     // absolute end-of-text in BOTH engines, so CRLF pages filter the same
-    // here and in the DuckDB replay.
-    val lines = split(col(textCol), "\r?\n")
-    val kept = filter(lines, l =>
-      size(split(l, " ")) >= minLineWords &&
-        l.rlike("[.!?\"]\\z") && !l.contains("javascript"))
+    // here and in the DuckDB replay. The line array materializes once
+    // (no CSE inside HOF lambdas — inlining re-splits per consumer).
     docs
-      .withColumn("n_lines", size(lines).cast("long"))
-      .withColumn("__kept", kept)
+      .withColumn("__lines", split(col(textCol), "\r?\n"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("__kept", filter(col("__lines"), l =>
+        size(split(l, " ")) >= minLineWords &&
+          l.rlike("[.!?\"]\\z") && !l.contains("javascript")))
       .withColumn("n_kept", size(col("__kept")).cast("long"))
       .withColumn("reject_reason",
         when(col(textCol).contains("{"), "brace")
@@ -517,7 +520,7 @@ object TextAnalysis {
       .withColumn("kept_text",
         when(col("keep") === 1, array_join(col("__kept"), "\n"))
           .otherwise(lit(null).cast("string")))
-      .drop("__kept")
+      .drop("__kept", "__lines")
   }
 
   /** The eight required stopwords of the Gopher quality rules — a doc
