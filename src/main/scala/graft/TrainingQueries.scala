@@ -739,8 +739,10 @@ object TrainingQueries {
     * C4 rule fires on real data, both engines building the SAME lines).
     */
   def qC4Filter(s: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val nLines = expr("CAST((size(split(text, ' ')) + 5) DIV 6 AS INT)")
+    // materialize the token array: inlined, the slice lambda re-splits
+    // the text once per LINE
+    val words = col("__wds")
+    val nLines = expr("CAST((size(__wds) + 5) DIV 6 AS INT)")
     val lines = transform(sequence(lit(0), nLines - 1), i =>
       concat(
         array_join(slice(words, i * 6 + 1, lit(6)), " "),
@@ -752,7 +754,9 @@ object TrainingQueries {
     // every 7th doc gets CRLF line endings — pins the \r?\n split +
     // \z anchor (Java-vs-RE2 end-of-line leniency) through the gate
     val planted = docs(s, dir)
+      .withColumn("__wds", split(col("text"), " "))
       .withColumn("__t", array_join(concat(lines, extras), "\n"))
+      .drop("__wds")
       .withColumn("text2",
         when(col("doc_id") % 7 === 0,
           regexp_replace(col("__t"), "\n", "\r\n")).otherwise(col("__t")))

@@ -71,10 +71,12 @@ object TextAnalysis {
     * deterministic argmax (strict > chain, earlier language wins ties).
     */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = toks(col(textCol))
-    val scored = langMarkers.foldLeft(docs) { case (d, (lang, markers)) =>
-      d.withColumn(s"score_$lang", markerHits(words, markers))
-    }
+    // split once: inlining re-splits per LANGUAGE (no HOF-lambda CSE)
+    val scored = langMarkers.foldLeft(
+      docs.withColumn("__w", toks(col(textCol)))) {
+      case (d, (lang, markers)) =>
+        d.withColumn(s"score_$lang", markerHits(col("__w"), markers))
+    }.drop("__w")
     val best = langMarkers.map(_._1).foldRight(lit("und")) { case (lang, rest) =>
       val isMax = langMarkers.map(_._1).filter(_ != lang)
         .map(o => col(s"score_$lang") >= col(s"score_$o"))
