@@ -342,6 +342,14 @@ object TrainingQueries {
   def qPostings(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(docs(s, dir), blocks = 4)
 
+  /** FIM PSM reordering over the corpus: cut points + the PSM stream
+    * hash; the oracle rebuilds the exact string.
+    */
+  def qFim(s: SparkSession, dir: String): DataFrame =
+    Curation.fimTransform(docs(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("cut1"), col("cut2"),
+        Dedup.h60(col("psm_text")).as("psm_h"))
+
   /** CCNet head/middle/tail tertiles per language by bigram LM score. */
   def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ccnetBuckets(docs(s, dir))
@@ -932,6 +940,7 @@ object TrainingQueries {
     "q_pagerank" -> (qPagerank _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_fim" -> (qFim _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2172,6 +2181,37 @@ object TrainingQueries {
       s"""WITH $bm25ScoredCtes
          |SELECT doc_id, n_hits, score_e6 FROM bmscore
          |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the PSM rebuild: same sorted hash cuts, same sentinel layout
+    "q_fim" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+         |    ${dh("CAST(doc_id AS VARCHAR) || '|fim1'")} % (len(w) + 1)
+         |      AS a,
+         |    ${dh("CAST(doc_id AS VARCHAR) || '|fim2'")} % (len(w) + 1)
+         |      AS b
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, w, n,
+         |    CAST(least(a, b) AS BIGINT) AS cut1,
+         |    CAST(greatest(a, b) AS BIGINT) AS cut2
+         |  FROM c),
+         |p AS (
+         |  SELECT doc_id, n AS n_tokens, cut1, cut2,
+         |    -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+         |    -- (Spark's array_join is ''), and || would null the stream
+         |    '<PRE> ' || coalesce(
+         |      array_to_string(w[1:CAST(cut1 AS INTEGER)], ' '), '')
+         |    || ' <SUF> ' || coalesce(array_to_string(
+         |      w[CAST(cut2 + 1 AS INTEGER):CAST(n AS INTEGER)], ' '), '')
+         |    || ' <MID> ' || coalesce(array_to_string(
+         |      w[CAST(cut1 + 1 AS INTEGER):CAST(cut2 AS INTEGER)], ' '), '')
+         |      AS psm
+         |  FROM s)
+         |SELECT doc_id, n_tokens, cut1, cut2, ${dh("psm")} AS psm_h
+         |FROM p""".stripMargin,
 
     // the block-local T5 masking replayed: same hash-derived span
     // starts, same sentinel splice, same LF-free rebuild

@@ -507,6 +507,44 @@ object Curation {
       .drop("__t", "__js")
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * infilling objective code models train with): split each document's
+    * tokens at two hash-derived cut points into (prefix, middle,
+    * suffix) and emit the PSM reordering
+    * `<PRE> prefix <SUF> suffix <MID> middle`. Token-level cuts (the
+    * paper cuts characters; the operator contract is the corpus's
+    * space-token domain); the two cuts are h60 draws mod (n+1), sorted,
+    * so every split is rerun-stable, uniform over positions, and
+    * replayable in SQL. Degenerate spans (empty prefix/middle/suffix)
+    * are legitimate FIM samples and pass through — the paper keeps
+    * them. Concatenating prefix+middle+suffix in original order always
+    * reconstructs the document (the spec pins it). Shuffle-free narrow
+    * map.
+    */
+  def fimTransform(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val cutA = pmod(Dedup.h60(concat(col(idCol).cast("string"),
+      lit("|fim1"))), size(col("__t")) + 1).cast("int")
+    val cutB = pmod(Dedup.h60(concat(col(idCol).cast("string"),
+      lit("|fim2"))), size(col("__t")) + 1).cast("int")
+    docs
+      .withColumn("__t", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("cut1", least(cutA, cutB).cast("long"))
+      .withColumn("cut2", greatest(cutA, cutB).cast("long"))
+      .withColumn("psm_text", concat_ws(" ",
+        concat(lit("<PRE> "),
+          array_join(slice(col("__t"), lit(1), col("cut1").cast("int")),
+            " ")),
+        concat(lit("<SUF> "),
+          array_join(slice(col("__t"), col("cut2").cast("int") + 1,
+            size(col("__t")) - col("cut2").cast("int")), " ")),
+        concat(lit("<MID> "),
+          array_join(slice(col("__t"), col("cut1").cast("int") + 1,
+            (col("cut2") - col("cut1")).cast("int")), " "))))
+      .drop("__t")
+  }
+
   def packSequences(docs: DataFrame, seqLen: Int, nStreams: Int = 64,
                     textCol: String = "text", idCol: String = "doc_id",
                     seed: String = "pack"): DataFrame = {

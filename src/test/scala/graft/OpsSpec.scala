@@ -431,6 +431,34 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out.size === 6)
   }
 
+  test("fimTransform: PSM parses back to the original; cuts in range") {
+    import graft.ops.Curation
+    val rnd = new scala.util.Random(17)
+    val docsDf = ((1L to 40L).map(id => (id,
+      (1 to (1 + rnd.nextInt(30))).map(i => s"tok${rnd.nextInt(50)}_$i")
+        .mkString(" "))) :+ (99L -> "single")).toDF("doc_id", "text")
+    val out = Curation.fimTransform(docsDf)
+      .select("doc_id", "text", "n_tokens", "cut1", "cut2", "psm_text")
+      .collect()
+    for (r <- out) {
+      val (orig, n, c1, c2, psm) = (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))
+      assert(0 <= c1 && c1 <= c2 && c2 <= n)
+      // parse "<PRE> p <SUF> s <MID> m" and reassemble p+m+s
+      val sufAt = psm.indexOf(" <SUF> ")
+      val midAt = psm.indexOf(" <MID> ")
+      assert(psm.startsWith("<PRE> ") && sufAt >= 0 && midAt > sufAt)
+      val pre = psm.substring("<PRE> ".length, sufAt)
+      val suf = psm.substring(sufAt + " <SUF> ".length, midAt)
+      val mid = psm.substring(midAt + " <MID> ".length)
+      val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt === orig, s"FIM round trip failed for doc ${r.getLong(0)}")
+    }
+    // both degenerate extremes occur somewhere in 41 seeded docs
+    assert(out.exists(r => r.getLong(3) === r.getLong(4)), "no empty middle")
+    assert(out.exists(r => r.getLong(3) === 0L), "no empty prefix")
+  }
+
   test("ccnetBuckets: per-language tertiles track the LM score order") {
     // en: 7 docs from fluent (repeated common bigrams) to gibberish;
     // de: 4 docs — different language, independent tertiles
