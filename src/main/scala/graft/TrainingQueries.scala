@@ -342,6 +342,29 @@ object TrainingQueries {
   def qPostings(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(docs(s, dir), blocks = 4)
 
+  /** Perceptual-hash near-dup pairs over a media table planted with
+    * one-byte-edited copies (doc%9, media_id+10000) and exact clones
+    * (doc%27, media_id+20000) — the oracle recomputes every blob's
+    * block-mean hash from character codes (ASCII corpus: byte == char)
+    * and replays the banded join.
+    */
+  def qPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id").as("media_id"),
+      col("text").as("payload"))
+    val edited = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 10000L).as("media_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
+          .as("payload"))
+    val clones = d.filter(col("doc_id") % 27 === 0)
+      .select((col("doc_id") + 20000L).as("media_id"),
+        col("text").as("payload"))
+    val media = graft.ops.Multimodal.asMediaTable(
+      base.union(edited).union(clones), "media_id", "payload",
+      modality = "image", format = "png")
+    graft.ops.Multimodal.phashNearDupPairs(media)
+  }
+
   /** FIM PSM reordering over the corpus: cut points + the PSM stream
     * hash; the oracle rebuilds the exact string.
     */
@@ -941,6 +964,7 @@ object TrainingQueries {
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_fim" -> (qFim _),
+    "q_phash_pairs" -> (qPhashPairs _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2181,6 +2205,50 @@ object TrainingQueries {
       s"""WITH $bm25ScoredCtes
          |SELECT doc_id, n_hits, score_e6 FROM bmscore
          |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // every blob's 60-bit block-mean hash rebuilt from char codes,
+    // then the same 4x15-bit band join and exact Hamming filter
+    "q_phash_pairs" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, substring(text, 1, len(text) - 1) || '~'
+        |  FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 27 = 0),
+        |bych AS (
+        |  SELECT media_id, strlen(t) AS n,
+        |    list_transform(range(1, strlen(t) + 1),
+        |      i -> ascii(substring(t, CAST(i AS INTEGER), 1))) AS cs
+        |  FROM media),
+        |tt AS (SELECT media_id, n, cs, list_sum(cs) AS total FROM bych),
+        |bb AS (SELECT media_id, n, total, cs, unnest(range(60)) AS b
+        |  FROM tt),
+        |bits AS (
+        |  SELECT media_id,
+        |    CASE WHEN coalesce(list_sum(
+        |        cs[CAST(b * n // 60 + 1 AS INTEGER)
+        |           :CAST((b + 1) * n // 60 AS INTEGER)]), 0) * n
+        |      > total * ((b + 1) * n // 60 - b * n // 60)
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+        |  FROM bb),
+        |h AS (SELECT media_id, CAST(sum(bit) AS BIGINT) AS phash
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT media_id, phash, unnest(range(4)) AS band FROM h),
+        |bv AS (
+        |  SELECT media_id, phash, band,
+        |    (phash >> (band * 15)) & 32767 AS band_val
+        |  FROM banded),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.phash AS h_a, b.phash AS h_b
+        |  FROM bv a JOIN bv b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |    AND a.media_id < b.media_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin,
 
     // the PSM rebuild: same sorted hash cuts, same sentinel layout
     "q_fim" ->

@@ -108,6 +108,52 @@ object Multimodal {
           s" octet_length(payload) DIV $n)"))
       .drop("payload")
 
+  /** Per-blob 60-bit block-mean perceptual hash — the codec-free
+    * near-dup signature for media payloads (a re-encoded/one-byte-edited
+    * copy lands within a few bits; see
+    * [[graft.functions.MediaKernels.blockMeanHash]]). Narrow map at
+    * scan speed: one native kernel call per row.
+    */
+  def perceptualHash(media: DataFrame, blocks: Int = 60): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.MediaExpressions.blockMeanHash(col("payload"), blocks)
+        .as("phash"))
+
+  /** Near-duplicate media pairs by banded perceptual-hash LSH: the
+    * 60-bit hash splits into `bands` 15-bit bands; blobs sharing ANY
+    * band become candidates (an equi-join on (band, value) — never
+    * all-pairs), then the exact Hamming distance filters to
+    * ≤ `maxHamming`. Pigeonhole guarantee: a pair within
+    * `maxHamming < bands` bit flips ALWAYS shares an intact band, so
+    * capture is exact, not probabilistic, at the default (3, 4).
+    * Scale: candidates are bounded by band-bucket sizes — a degenerate
+    * bucket (all-identical blobs) degrades to that bucket's pairs, the
+    * LSH contract shared with the MinHash path.
+    */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands * 15 <= 60, s"bands must be 1..4: $bands")
+    require(maxHamming < bands,
+      s"exact capture needs maxHamming < bands: $maxHamming >= $bands")
+    val hashed = perceptualHash(media)
+    val banded = hashed.select(col("media_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("phash"), b * lit(15))
+          .bitwiseAND(lit(32767L))))
+        .as(Seq("band", "band_val")))
+    val a = banded.select(col("media_id").as("id_a"),
+      col("phash").as("h_a"), col("band"), col("band_val"))
+    val b = banded.select(col("media_id").as("id_b"),
+      col("phash").as("h_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming",
+        expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Build a media table from any binary-bearing DataFrame (the ingest
     * adapter: schema contract enforced here).
     */

@@ -196,4 +196,50 @@ class MultimodalSpec extends SparkSpec {
     assert(probed(2).getString(1) === "audio" && probed(2).getLong(4) === 2000L)
     assert(probed(3).getString(2) === "unknown") // ingest meta kept
   }
+
+  test("blockMeanHash kernel: constant blob is 0, one edit flips one bit") {
+    import graft.functions.MediaKernels
+    assert(MediaKernels.blockMeanHash(Array.emptyByteArray, 60) === 0L)
+    // constant payload: no segment is STRICTLY above the global mean
+    val flat = Array.fill(600)('a'.toByte)
+    assert(MediaKernels.blockMeanHash(flat, 60) === 0L)
+    // raising one byte lifts exactly its 10-byte segment above the mean
+    val edited = flat.clone(); edited(307) = '~'.toByte
+    val h = MediaKernels.blockMeanHash(edited, 60)
+    assert(java.lang.Long.bitCount(h) === 1 && (h >> 30 & 1L) === 1L)
+    // shorter than blocks: only the byte-bearing segments can set bits
+    val tiny = MediaKernels.blockMeanHash(Array[Byte](1, 9), 60)
+    assert(java.lang.Long.bitCount(tiny) === 1) // only the 9 is above mean
+  }
+
+  test("phashNearDupPairs: edits pair up, exact capture under the bound") {
+    // base: flat blobs with per-id distinct high bytes so unrelated ids
+    // share no band; copies edited in 1 and 3 separated segments
+    def blob(id: Int): Array[Byte] = {
+      val p = Array.fill(600)('a'.toByte)
+      // make each base distinct: lift 4 id-dependent segments
+      for (k <- 0 until 4) p(((id * 7 + k * 13) % 60) * 10) = '}'.toByte
+      p
+    }
+    def edit(p: Array[Byte], segs: Seq[Int]): Array[Byte] = {
+      val q = p.clone(); segs.foreach(s => q(s * 10 + 3) = '~'.toByte); q
+    }
+    val rows = (0 until 6).flatMap { id =>
+      val base = blob(id)
+      Seq((id.toLong, base),
+        (id.toLong + 100, edit(base, Seq((id * 7 + 29) % 60))))
+    } :+ (200L, edit(blob(0), Seq(11, 31, 51))) // 3 edits vs blob 0
+    val media = Multimodal.asMediaTable(
+      rows.toDF("media_id", "payload"), "media_id", "payload",
+      "image", "png")
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // every 1-edit copy pairs with its base
+    for (id <- 0 until 6)
+      assert(pairs.contains((id.toLong, id.toLong + 100)),
+        s"1-edit pair missing for $id")
+    // the 3-bits-apart pair is captured EXACTLY (pigeonhole: 4 bands)
+    assert(pairs.get((0L, 200L)).exists(_ <= 3L), "3-edit pair missing")
+  }
 }
