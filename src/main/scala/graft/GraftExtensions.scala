@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import graft.functions.{Crc32C, DeflateLen, DotQLongs, PhraseCount,
-  WordPieceEncodeWords}
+import graft.functions.{BlockMeanHash, Crc32C, DeflateLen, DotQLongs,
+  PhraseCount, RandProjLongs, WordPieceEncodeWords}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * functions so they're usable from SQL text as well as the Column API.
@@ -73,6 +73,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.WordPieceExpressions.broadcastFor(
             literalStrings(children(1), "wordpiece_encode"), "[UNK]", 100))
       }))
+    // sparse sign random projection: rand_proj(array<bigint>, 16).
+    // outDims must be a literal int — it sizes the kernel's loop.
+    ext.injectFunction((
+      new FunctionIdentifier("rand_proj"),
+      new ExpressionInfo(classOf[RandProjLongs].getName, "rand_proj"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "rand_proj(q, int outDims)")
+        RandProjLongs(children.head,
+          literalInt(children(1), "rand_proj"))
+      }))
+    // block-mean perceptual hash: block_mean_hash(payload[, blocks]).
+    ext.injectFunction((
+      new FunctionIdentifier("block_mean_hash"),
+      new ExpressionInfo(classOf[BlockMeanHash].getName, "block_mean_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "block_mean_hash(payload binary[, int blocks])")
+        val blocks = if (children.size == 2)
+          literalInt(children(1), "block_mean_hash") else 60
+        require(blocks > 0 && blocks <= 60,
+          s"block_mean_hash: blocks must be 1..60: $blocks")
+        BlockMeanHash(children.head, blocks)
+      }))
+  }
+
+  /** Evaluate a foldable int argument at analysis time. */
+  private def literalInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: the size argument must be a literal int")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: the size argument must be an int, got $other")
+    }
   }
 
   /** Evaluate a foldable array<string> argument with clean analysis-time

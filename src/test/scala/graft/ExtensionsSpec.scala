@@ -44,5 +44,29 @@ class ExtensionsSpec extends SparkSpec {
         "(SELECT 'x' AS c)").collect()
     }
     assert(err.getMessage.contains("literal"), err.getMessage)
+    // the projection and perceptual-hash kernels: SQL results equal the
+    // Column-API kernels on the same inputs
+    assert(spark.sql("SELECT rand_proj(array(10000000L, -5000000L), 4)")
+      .head().getSeq[Long](0) ===
+      (0 until 4).map { j =>
+        val p = 2147483647L
+        val a = 1103515245L * (j + 1) % p
+        val b = 12345L * (2 * j + 1) % p
+        Seq(10000000L, -5000000L).zipWithIndex.map { case (x, i) =>
+          ((a * (i + 1) + b) % p % 6) match {
+            case 0 => x; case 1 => -x; case _ => 0L
+          }
+        }.sum
+      })
+    assert(spark.sql(
+      "SELECT block_mean_hash(cast('aaaa' as binary))")
+      .head().getLong(0) === 0L)
+    assert(spark.sql(
+      "SELECT block_mean_hash(cast('aaaa' as binary), 4)")
+      .head().getLong(0) === 0L)
+    val badBlocks = intercept[Exception] {
+      spark.sql("SELECT block_mean_hash(cast('a' as binary), 61)").collect()
+    }
+    assert(badBlocks.getMessage.contains("1..60"), badBlocks.getMessage)
   }
 }
