@@ -529,4 +529,37 @@ class PlanSpec extends SparkSpec {
       "url canonicalization fell out of builtin expressions: " +
         plan.take(400))
   }
+
+  test("the round-11 narrow maps stay shuffle-free and builtin-only") {
+    // gopher rules, span corruption, FIM: one pass over the scan, no
+    // Exchange of any kind, nothing falls out of codegen'd builtins
+    for (q <- Seq("q_gopher_filter", "q_span_corrupt", "q_fim")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"),
+        s"$q introduced a shuffle: " + plan.take(400))
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke udf"),
+        s"$q fell out of builtin expressions: " + plan.take(400))
+    }
+  }
+
+  test("rand_proj runs as the native kernel with no shuffle") {
+    val plan = executedPlan("q_rand_proj")
+    assert(!plan.contains("Exchange"),
+      "projection introduced a shuffle: " + plan.take(400))
+    assert(plan.contains("rand_proj"),
+      "the native projection kernel fell out of the plan: " +
+        plan.take(400))
+    // the interpreted HOF regression: no aggregate/zip_with lambdas
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+      "projection regressed to interpreted HOF lambdas: " + plan.take(600))
+  }
+
+  test("phash pairs: hash+band build is narrow; only the join shuffles") {
+    val plan = executedPlan("q_phash_pairs").split("== Initial Plan ==").head
+    assert(plan.contains("block_mean_hash"),
+      "the native hash kernel fell out of the plan: " + plan.take(400))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "phash pairing planned an all-pairs join: " + plan.take(600))
+  }
 }
