@@ -212,6 +212,31 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(tiny) === 1) // only the 9 is above mean
   }
 
+  test("blockMeanHash property: equals a naive reference on random blobs") {
+    import graft.functions.MediaKernels
+    import org.scalacheck.Gen
+    def naive(p: Array[Byte], blocks: Int): Long = {
+      val n = p.length
+      if (n == 0) 0L
+      else {
+        val vals = p.map(b => (b & 0xff).toLong)
+        val total = vals.sum
+        (0 until blocks).map { b =>
+          val seg = vals.slice(b * n / blocks, (b + 1) * n / blocks)
+          if (seg.sum * n > total * seg.length) 1L << b else 0L
+        }.sum
+      }
+    }
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      bytes <- Gen.listOfN(n, Gen.choose(0, 255))
+      blocks <- Gen.choose(1, 60)
+    } yield (bytes.map(_.toByte).toArray, blocks)
+    new PropSupport {}.forAllGen(gen, cases = 60) { case (p, blocks) =>
+      assert(MediaKernels.blockMeanHash(p, blocks) === naive(p, blocks))
+    }
+  }
+
   test("phashNearDupPairs: edits pair up, exact capture under the bound") {
     // base: flat blobs with per-id distinct high bytes so unrelated ids
     // share no band; copies edited in 1 and 3 separated segments

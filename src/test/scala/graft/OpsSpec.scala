@@ -2596,6 +2596,69 @@ class OpsSpec extends SparkSpec with PropSupport {
       .head().getAs[String]("reject_reason") === "stopwords")
   }
 
+  test("gopherFilter property: every audit column matches a naive " +
+    "reference") {
+    import org.scalacheck.Gen
+    val vocab = Seq("the", "be", "to", "of", "and", "that", "have", "with",
+      "data", "alpha", "beta", "run", "#", "...", "42", "…",
+      "reconfiguration", "•", "x")
+    val lineGen = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, Gen.oneOf(vocab))
+      bullet <- Gen.oneOf("", "• ", "- ", "* ")
+      tail <- Gen.oneOf("", "...", "…")
+    } yield bullet + ws.mkString(" ") + tail
+    val docGen = for {
+      n <- Gen.choose(1, 8)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def cnt(s: String, sub: String): Long = {
+      var c = 0L; var i = s.indexOf(sub)
+      while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }
+      c
+    }
+    def naive(text: String): (Long, Long, Long, Long, Long, Long, Long,
+        Long, String) = {
+      val words = text.split("\\s+", -1).filter(_.nonEmpty)
+      val lines = text.split("\r?\n", -1)
+      val w = words.length.toLong
+      val wls = words.map(_.length.toLong).sum
+      val sym = cnt(text, "...") + cnt(text, "…") + cnt(text, "#")
+      val nl = lines.length.toLong
+      val bl = lines.count(l => l.startsWith("•") || l.startsWith("- ") ||
+        l.startsWith("* ")).toLong
+      val el = lines.count(l => l.endsWith("...") || l.endsWith("…")).toLong
+      val aw = words.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toLong
+      val sk = stop.count(words.contains).toLong
+      val reason =
+        if (w < 5 || w > 60) "word_count"
+        else if (wls < 3 * w || wls > 10 * w) "mean_word_len"
+        else if (sym * 10 > w) "symbol_ratio"
+        else if (bl * 10 > nl * 9) "bullet_lines"
+        else if (el * 10 > nl * 3) "ellipsis_lines"
+        else if (aw * 5 < w * 4) "alpha_words"
+        else if (sk < 2) "stopwords"
+        else "kept"
+      (w, wls, sym, nl, bl, el, aw, sk, reason)
+    }
+    forAllGen(Gen.listOfN(25, docGen), cases = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.gopherFilter(df, minWords = 5, maxWords = 60)
+        .select("doc_id", "n_words", "word_len_sum", "n_symbols",
+          "n_lines", "bullet_lines", "ellipsis_lines", "alpha_words",
+          "stop_kinds", "reject_reason")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+            r.getString(9)))).toMap
+      for ((t, i) <- texts.zipWithIndex)
+        assert(got(i.toLong) === naive(t), s"doc $i: ${t.take(80)}")
+    }
+  }
+
   test("c4Filter: CRLF pages filter identically to LF pages") {
     import spark.implicits._
     val keepers = (1 to 5).map(i => s"this line number $i is fine.")
