@@ -130,17 +130,25 @@ object Multimodal {
     * bucket (all-identical blobs) degrades to that bucket's pairs, the
     * LSH contract shared with the MinHash path.
     */
-  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
-                        bands: Int = 4): DataFrame = {
+  /** Explode a hashed media table into its 15-bit LSH band rows —
+    * ONE definition shared by the batch pair join, the incremental
+    * index delta, and the index lookup (a drifted copy would silently
+    * stop pairs from ever matching).
+    */
+  private[graft] def phashBands(hashed: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && bands * 15 <= 60, s"bands must be 1..4: $bands")
-    require(maxHamming < bands,
-      s"exact capture needs maxHamming < bands: $maxHamming >= $bands")
-    val hashed = perceptualHash(media)
-    val banded = hashed.select(col("media_id"), col("phash"),
+    hashed.select(hashed.columns.map(col).toSeq :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("phash"), b * lit(15))
           .bitwiseAND(lit(32767L))))
-        .as(Seq("band", "band_val")))
+        .as(Seq("band", "band_val")): _*)
+  }
+
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"exact capture needs maxHamming < bands: $maxHamming >= $bands")
+    val banded = phashBands(perceptualHash(media), bands)
     val a = banded.select(col("media_id").as("id_a"),
       col("phash").as("h_a"), col("band"), col("band_val"))
     val b = banded.select(col("media_id").as("id_b"),
@@ -152,6 +160,32 @@ object Multimodal {
         expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Probe an at-rest phash band index (rows `(band, band_val,
+    * media_id, phash)` — what [[graft.streaming.Streaming
+    * .incrementalPhashIndex]] maintains) with a batch of new media:
+    * hash + band the probes, equi-join the index on (band, band_val),
+    * filter to exact Hamming ≤ `maxHamming`. One join against the
+    * index — the new batch never re-hashes the corpus. Same
+    * pigeonhole-exact capture as [[phashNearDupPairs]] for
+    * maxHamming < bands.
+    */
+  def phashIndexLookup(probe: DataFrame, index: DataFrame,
+                       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"exact capture needs maxHamming < bands: $maxHamming >= $bands")
+    val banded = phashBands(perceptualHash(probe), bands)
+      .select(col("media_id").as("probe_id"), col("phash").as("h_p"),
+        col("band"), col("band_val"))
+    banded.join(index.select(col("band"), col("band_val"),
+        col("media_id").as("corpus_id"), col("phash").as("h_c")),
+        Seq("band", "band_val"))
+      .select(col("probe_id"), col("corpus_id"), col("h_p"), col("h_c"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h_p ^ h_c)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("probe_id"), col("corpus_id"), col("hamming"))
   }
 
   /** Build a media table from any binary-bearing DataFrame (the ingest

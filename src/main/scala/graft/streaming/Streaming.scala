@@ -661,6 +661,87 @@ object Streaming {
     } finally { resolved.unpersist(); () }
   }
 
+  /** Exactly-once INCREMENTAL PERCEPTUAL-HASH INDEX over a media
+    * table's CDC feed — the media twin of [[incrementalLshIndex]]: new
+    * blobs hash and band per batch, the index table keeps
+    * `(band, band_val, media_id, phash)` rows current under
+    * insert/update/delete with last-event-wins, and a new batch finds
+    * its near-dup media through [[graft.ops.Multimodal
+    * .phashIndexLookup]] with one join and ZERO corpus re-hashing.
+    * Cost per batch ∝ blobs the batch touched.
+    */
+  def incrementalPhashIndex(spark: SparkSession, source: String,
+                            index: String, appId: String, checkpoint: String,
+                            bands: Int = 4,
+                            payloadCol: String = "payload",
+                            idCol: String = "media_id",
+                            maxVersionsPerBatch: Int = 64,
+                            trigger: Trigger =
+                              Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    spark.readStream.format("txlog-cdc")
+      .option("table", source)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        applyPhashDelta(batch, index, bands, payloadCol, idCol, appId,
+          batchId)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalPhashIndex]]. */
+  private[graft] def applyPhashDelta(feed: Dataset[org.apache.spark.sql.Row],
+                                     index: String, bands: Int,
+                                     payloadCol: String, idCol: String,
+                                     appId: String, batchId: Long): Unit = {
+    import graft.lake.TxLog
+    val spark = feed.sparkSession
+    // the (id, payload-hash) surrogate: keying by the id alone would
+    // weld an update's old-payload bands to its insert event (the
+    // incrementalLshIndex contract)
+    val events = feed.select(col(idCol), col(payloadCol),
+      col("_commit_version").as("__v"),
+      (col("_change_type") === "insert").cast("int").as("__ins"))
+      .withColumn("__ek", concat_ws("|", col(idCol).cast("string"),
+        md5(col(payloadCol))))
+    val hashed = events.select(col("__ek"), col(payloadCol)).distinct()
+      .select(col("__ek"),
+        graft.functions.MediaExpressions.blockMeanHash(col(payloadCol))
+          .as("phash"))
+    val banded = graft.ops.Multimodal.phashBands(hashed, bands)
+      .join(events.select(col("__ek"), col(idCol), col("__v"),
+        col("__ins")), Seq("__ek"))
+    // last event wins per index row; the winner's phash rides the
+    // same max struct so an update's final payload hash lands
+    val resolved = banded
+      .groupBy(col("band"), col("band_val"), col(idCol))
+      .agg(max(struct(col("__v"), col("__ins"), col("phash"))).as("last"))
+      .select(col("band"), col("band_val"), col(idCol),
+        col("last.phash").as("phash"),
+        (col("last.__ins") === 0).as("__del"))
+      .persist()
+    try {
+      if (resolved.isEmpty) return
+      TxLog.currentSnapshot(index) match {
+        case None =>
+          TxLog.appendStream(
+            resolved.filter(!col("__del")).drop("__del"),
+            index, appId, batchId)
+          ()
+        case Some(_) =>
+          TxLog.mergeApply(spark, index, resolved,
+            Seq("band", "band_val", idCol),
+            deleteCol = Some("__del"), txn = Some((appId, batchId)))
+          ()
+      }
+    } finally { resolved.unpersist(); () }
+  }
+
   /** Exactly-once SCD TYPE-2 dimension history maintained from a
     * source table's CDC feed — the warehouse pattern: every key keeps
     * its full timeline as (attrs..., valid_from, valid_to) rows, where

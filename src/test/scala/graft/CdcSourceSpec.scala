@@ -217,6 +217,61 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental phash index equals from-scratch banding; lookup " +
+    "finds near-dup media") {
+    import graft.ops.Multimodal
+    val source = newTable()
+    val index = newTable()
+    def blob(seed: Char, edit: Int = -1): Array[Byte] = {
+      val p = Array.fill(600)(seed.toByte)
+      for (k <- 0 until 4) p((seed.toInt * 7 + k * 13) % 60 * 10) = '}'.toByte
+      if (edit >= 0) p(edit * 10 + 3) = '~'.toByte
+      p
+    }
+    def asMedia(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("media_id", "payload")
+    def scratch(): Set[(Int, Long, Long, Long)] =
+      Multimodal.phashBands(Multimodal.perceptualHash(
+          Multimodal.asMediaTable(TxLog.read(spark, source),
+            "media_id", "payload", "image", "png")), 4)
+        .collect().map(r => (r.getAs[Int]("band"),
+          r.getAs[Long]("band_val"), r.getAs[Long]("media_id"),
+          r.getAs[Long]("phash"))).toSet
+    def got(): Set[(Int, Long, Long, Long)] =
+      TxLog.read(spark, index).collect()
+        .map(r => (r.getAs[Int]("band"), r.getAs[Long]("band_val"),
+          r.getAs[Long]("media_id"), r.getAs[Long]("phash"))).toSet
+    TxLog.append(asMedia(Seq(1L -> blob('a'), 2L -> blob('b'),
+      3L -> blob('c'))).coalesce(1), source) // v0
+    val q = graft.streaming.Streaming.incrementalPhashIndex(
+      spark, source, index, "phash-spec", tmp())
+    try {
+      q.processAllAvailable()
+      assert(got() === scratch(), "after initial snapshot")
+
+      TxLog.append(asMedia(Seq(4L -> blob('a', edit = 11))).coalesce(1),
+        source) // v1: one-segment edit of blob 1
+      q.processAllAvailable()
+      assert(got() === scratch(), "after incremental insert")
+      // a probe batch finds its near-dups through the index, one join
+      val probe = Multimodal.asMediaTable(
+        asMedia(Seq(99L -> blob('a'))), "media_id", "payload",
+        "image", "png")
+      val hits = Multimodal.phashIndexLookup(probe,
+          TxLog.read(spark, index))
+        .collect().map(_.getAs[Long]("corpus_id")).toSet
+      assert(hits.contains(1L) && hits.contains(4L),
+        s"lookup missed the planted near-dups: $hits")
+
+      TxLog.update(spark, source, col("media_id") === 2L,
+        Map("payload" -> lit(blob('z')))) // v2
+      TxLog.delete(spark, source, col("media_id") === 3L) // v3
+      q.processAllAvailable()
+      assert(got() === scratch(), "after update + delete")
+      assert(!got().exists(_._3 == 3L), "deleted blob must leave the index")
+    } finally q.stop()
+  }
+
   test("SCD2 upgrade: a pre-__open dimension still closes its legacy open rows") {
     val dim = newTable()
     // legacy layout: rows written before the __open partition column
