@@ -104,6 +104,27 @@ object SchemaQueries {
       .select(col("event_type"), col("n"),
         col("total").cast("double").as("total"))
 
+  /** Salted skew JOIN over a deliberately hot-keyed lineitem
+    * derivation (3 of every 4 rows land on key 0): the fact side salts
+    * 8 ways, the tiny dim replicates — and the joined aggregate must
+    * equal the PLAIN join's, which is what the oracle computes.
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "lineitem")
+      .select(
+        when(col("l_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey") % 97).as("k"),
+        col("l_orderkey"), col("l_quantity"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("label", concat(lit("grp-"), col("k").cast("string")))
+    graft.ops.Skew.saltedJoin(fact, dim, key = "k",
+        saltBy = "l_orderkey", salts = 8)
+      .groupBy(col("k"), col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+  }
+
   /** J5/T7 — retention sweep vs per-"topic" config (event_type plays the
     * topic role; fixed `now` for determinism).
     */
@@ -324,6 +345,7 @@ object SchemaQueries {
     "q_window_rank" -> (qWindowRank _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_retention" -> (qRetention _),
     "q_group_lag" -> (qGroupLag _)
   )
@@ -441,6 +463,21 @@ object SchemaQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the PLAIN join+aggregate: salting must be invisible in results
+    "q_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 4 != 0 THEN 0
+        |    ELSE l_orderkey % 97 END AS k, l_quantity
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT DISTINCT k, 'grp-' || CAST(k AS VARCHAR) AS label
+        |  FROM fact)
+        |SELECT f.k, d.label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty
+        |FROM fact f JOIN dim d ON d.k = f.k
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_tumbling_hourly" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,

@@ -34,4 +34,30 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
   }
+
+  /** Skew-safe equi-join of a hot-keyed fact table against a small(ish)
+    * dimension: the fact side salts `salts`-ways on a deterministic
+    * row hash, the dim side REPLICATES each row once per salt, and the
+    * join runs on (key, salt) — a hot key's rows spread over `salts`
+    * tasks instead of one straggler, at the cost of `salts`× the dim
+    * (which is why the dim side must be the small one; for a dim small
+    * enough to broadcast outright, `broadcast()` beats salting — this
+    * is the tool for the awkward middle where the dim exceeds the
+    * broadcast ceiling but the fact key is hot). Row-identical to the
+    * plain join: every fact row still meets every dim row of its key
+    * exactly once (the oracle checks the joined aggregate bit-for-bit;
+    * the spec checks row multiset equality). AQE's runtime skew-join
+    * handles SORT-MERGE skew the same way adaptively; the explicit
+    * form covers hash joins, deterministic tests, and engines/plans
+    * AQE does not reach.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBy: String, salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val saltedFact = fact
+      .withColumn("__salt", pmod(hash(col(saltBy)), lit(salts)))
+    val replicatedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

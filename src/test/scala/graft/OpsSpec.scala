@@ -554,6 +554,29 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(tail.getAs[String]("input_text").endsWith("x21 x22 x23"))
   }
 
+  test("saltedJoin: row-identical to the plain join; hot key spreads") {
+    import graft.ops.Skew
+    // 900 rows on key 0 (hot), a handful elsewhere; dim has a dup key
+    // row to prove multiplicity survives (every fact row must meet
+    // EVERY dim row of its key exactly once)
+    val fact = ((1L to 900L).map(i => (0L, i)) ++
+      (901L to 930L).map(i => (i % 7 + 1, i))).toDF("k", "rid")
+    val dim = (Seq((0L, "hot"), (0L, "hot2")) ++
+      (1L to 7L).map(k => (k, s"d$k"))).toDF("k", "label")
+    val salted = Skew.saltedJoin(fact, dim, "k", saltBy = "rid", salts = 8)
+    val plain = fact.join(dim, "k")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "rid", "label").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    assert(multiset(salted) === multiset(plain))
+    // the hot key's rows really spread: >1 distinct salt partition key
+    val spread = fact.filter(col("k") === 0L)
+      .select(pmod(hash(col("rid")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread > 4, s"salting left the hot key on $spread salts")
+  }
+
   test("pageRank: exact vs reference with dangling mass; O(1) cached") {
     import graft.ops.Graph
     def ref(edges: Seq[(Long, Long)], iters: Int,
