@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import graft.functions.{BlockMeanHash, Crc32C, DeflateLen, DotQLongs,
-  PhraseCount, RandProjLongs, WordPieceEncodeWords}
+  NfcNormalize, PhraseCount, RandProjLongs, WordPieceEncodeWords}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * functions so they're usable from SQL text as well as the Column API.
@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(blocks > 0 && blocks <= 60,
           s"block_mean_hash: blocks must be 1..60: $blocks")
         BlockMeanHash(children.head, blocks)
+      }))
+    // Unicode NFC canonical composition: nfc(text).
+    ext.injectFunction((
+      new FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc takes exactly one argument")
+        NfcNormalize(children.head)
       }))
   }
 

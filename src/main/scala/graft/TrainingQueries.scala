@@ -365,6 +365,30 @@ object TrainingQueries {
     graft.ops.Multimodal.phashNearDupPairs(media)
   }
 
+  /** Exact dedup AFTER NFC normalization, over a corpus planted with
+    * precomposed/decomposed twins (codepoints constructed explicitly
+    * on both sides — no source-encoding ambiguity): the twins collapse
+    * to n_copies=2 groups only because NFC canonicalizes them.
+    */
+  def qNfcDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // one row precomposed-é + decomposed-Å, its twin the other way
+    // around — NFC must compose BOTH rows to the same " café Å" tail
+    val pre = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), concat(col("text"),
+        lit(" caf\u00e9 A\u030a")).as("t"))
+    val dec = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), concat(col("text"),
+        lit(" cafe\u0301 \u00c5")).as("t"))
+    val rest = d.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text").as("t"))
+    pre.union(dec).union(rest)
+      .select(col("doc_id"),
+        graft.functions.UnicodeExpressions.nfc(col("t")).as("nt"))
+      .groupBy(Dedup.h60(col("nt")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+  }
+
   /** FIM PSM reordering over the corpus: cut points + the PSM stream
     * hash; the oracle rebuilds the exact string.
     */
@@ -964,6 +988,7 @@ object TrainingQueries {
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_fim" -> (qFim _),
+    "q_nfc_dedup" -> (qNfcDedup _),
     "q_phash_pairs" -> (qPhashPairs _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -2249,6 +2274,25 @@ object TrainingQueries {
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin,
+
+    // NFC twins built from explicit codepoints (233=é, 769=combining
+    // acute, 197=Å, 778=combining ring) collapse to one hash group
+    "q_nfc_dedup" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || ' caf' || chr(233) || ' A' || chr(778)
+         |    AS t
+         |  FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    text || ' cafe' || chr(769) || ' ' || chr(197)
+         |  FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0),
+         |n AS (SELECT doc_id, nfc_normalize(t) AS nt FROM planted)
+         |SELECT ${dh("nt")} AS content_hash,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  min(doc_id) AS canonical_id
+         |FROM n GROUP BY 1""".stripMargin,
 
     // the PSM rebuild: same sorted hash cuts, same sentinel layout
     "q_fim" ->

@@ -68,5 +68,14 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT block_mean_hash(cast('a' as binary), 61)").collect()
     }
     assert(badBlocks.getMessage.contains("1..60"), badBlocks.getMessage)
+    // NFC: decomposed composes, precomposed passes through unchanged,
+    // and canonical-only (the ligature U+FB01 must NOT decompose — that
+    // would be NFKC, a lossy different normal form)
+    assert(spark.sql("SELECT nfc('cafe\u0301')").head().getString(0)
+      === "caf\u00e9")
+    assert(spark.sql("SELECT nfc('caf\u00e9')").head().getString(0)
+      === "caf\u00e9")
+    assert(spark.sql("SELECT nfc('\ufb01le')").head().getString(0)
+      === "\ufb01le")
   }
 }
