@@ -670,6 +670,11 @@ object TxLog {
           // chunk lacks usable stats (partial stats must not under-range)
           val agg = scala.collection.mutable.LinkedHashMap
             .empty[String, Option[(Any, Any)]]
+          // per-column null counts (None once any chunk lacks them):
+          // rows − nulls is what lets a range COUNT skip fully-contained
+          // files without reading them (see countWhere)
+          val nullAgg = scala.collection.mutable.LinkedHashMap
+            .empty[String, Option[Long]]
           footer.foreach { b =>
             rows += b.getRowCount
             b.getColumns.asScala.foreach { cc =>
@@ -690,6 +695,13 @@ object TxLog {
                 val st = cc.getStatistics
                 val usable = supported && st != null && !st.isEmpty &&
                   st.hasNonNullValue
+                val nullsKnown = st != null && !st.isEmpty &&
+                  st.isNumNullsSet
+                nullAgg(name) =
+                  (nullAgg.getOrElse(name, Some(0L)), nullsKnown) match {
+                    case (Some(acc), true) => Some(acc + st.getNumNulls)
+                    case _ => None
+                  }
                 val cur = agg.getOrElse(name, Some((null, null)))
                 agg(name) =
                   if (!usable) None
@@ -727,6 +739,11 @@ object TxLog {
           }
           val root = statsMapper.createObjectNode()
           root.put("rows", rows)
+          val nullsNode = root.putObject("nulls")
+          nullAgg.foreach {
+            case (name, Some(n)) => nullsNode.put(name, n); ()
+            case _ => ()
+          }
           val cols = root.putObject("cols")
           agg.foreach {
             case (name, Some((lo, hi))) if lo != null =>
@@ -890,6 +907,118 @@ object TxLog {
     readFiles(spark, t, pruneFiles(snap, colName, lo, hi), snap.schemaJson)
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
+
+  /** Exact COUNT(*) with ZERO data IO: sum the manifest's per-file row
+    * counts; a file whose stats line is missing (pre-stats manifests,
+    * unreadable footer at commit) falls back to ONE footer read —
+    * still no data pages. The aggregation-pushdown fast path every
+    * lakehouse query engine special-cases.
+    */
+  def countRows(table: String): Long = {
+    val t = posixTable(table)
+    val snap = currentSnapshot(t).getOrElse(
+      throw new IllegalArgumentException(s"$t has no _graft_log"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    snap.files.map { f =>
+      statsRows(snap, f).getOrElse {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$t/$f"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+    }.sum
+  }
+
+  /** Exact COUNT of rows with `lo <= colName <= hi`, scanning only the
+    * files the manifest cannot decide: disjoint files contribute 0,
+    * files whose [min,max] is CONTAINED in the range contribute
+    * `rows − nulls(col)` straight from the stats line (every non-null
+    * value matches; the null count is harvested with the min/max), and
+    * only straddling or stats-less files are read. On a range-sorted
+    * (z-ordered / ingest-ordered) 100 TB table the straddle set is the
+    * two boundary files.
+    */
+  def countWhere(spark: SparkSession, table: String, colName: String,
+                 lo: Any, hi: Any): Long =
+    countWhereDetail(spark, table, colName, lo, hi)._1
+
+  private[graft] def countWhereDetail(spark: SparkSession, table: String,
+                                      colName: String, lo: Any, hi: Any)
+      : (Long, Seq[String]) = {
+    val t = posixTable(table)
+    val snap = currentSnapshot(t).getOrElse(
+      throw new IllegalArgumentException(s"$t has no _graft_log"))
+    def big(a: Any): Option[BigDecimal] = a match {
+      case v: Long => Some(BigDecimal(v))
+      case v: Int => Some(BigDecimal(v))
+      case v: Double => Some(BigDecimal(v))
+      case v: Float => Some(BigDecimal(v.toDouble))
+      case _ => None
+    }
+    // Some(true)=contained, Some(false)=disjoint, None=must scan
+    def classify(f: String): Option[Boolean] =
+      snap.stats.get(f).flatMap { json =>
+        try {
+          val node = statsMapper.readTree(json).path("cols").path(colName)
+          if (!node.isArray || node.size() != 2) None
+          else {
+            val (mn, mx) = (node.get(0), node.get(1))
+            if (mn.isTextual) (lo, hi) match {
+              case (l: String, h: String) =>
+                if (utf8Lt(mx.asText(), l) || utf8Lt(h, mn.asText()))
+                  Some(false)
+                else if (!utf8Lt(mn.asText(), l) && !utf8Lt(h, mx.asText()))
+                  Some(true)
+                else None
+              case _ => None
+            } else (for { l <- big(lo); h <- big(hi) } yield {
+              val (fmn, fmx) =
+                (BigDecimal(mn.asText()), BigDecimal(mx.asText()))
+              if (fmx < l || fmn > h) Some(false)
+              else if (fmn >= l && fmx <= h) Some(true)
+              else None
+            }).flatten
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    var fromStats = 0L
+    val toScan = scala.collection.mutable.ArrayBuffer.empty[String]
+    snap.files.foreach { f =>
+      classify(f) match {
+        case Some(false) => ()
+        case Some(true) =>
+          (statsRows(snap, f), statsNulls(snap, f, colName)) match {
+            case (Some(r), Some(n)) => fromStats += r - n
+            case _ => toScan += f
+          }
+        case None => toScan += f
+      }
+    }
+    val scanned =
+      if (toScan.isEmpty) 0L
+      else readFiles(spark, t, toScan.toSeq, snap.schemaJson)
+        .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+        .count()
+    (fromStats + scanned, toScan.toSeq)
+  }
+
+  private def statsRows(snap: Snapshot, f: String): Option[Long] =
+    snap.stats.get(f).flatMap { json =>
+      try {
+        val n = statsMapper.readTree(json).path("rows")
+        if (n.isIntegralNumber) Some(n.asLong) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  private def statsNulls(snap: Snapshot, f: String,
+                         colName: String): Option[Long] =
+    snap.stats.get(f).flatMap { json =>
+      try {
+        val n = statsMapper.readTree(json).path("nulls").path(colName)
+        if (n.isIntegralNumber) Some(n.asLong) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Transactional OPTIMIZE: rewrite the SNAPSHOT compacted (optionally
     * z-ordered), then CAS-commit (latest − snapshot) + rewritten — files

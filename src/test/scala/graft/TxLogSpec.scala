@@ -869,4 +869,34 @@ class TxLogSpec extends SparkSpec {
       assert(spark.read.parquet(table).count() === 10)
     } finally pool.shutdownNow()
   }
+
+  test("countRows/countWhere answer from manifest stats, scanning only " +
+    "straddling files") {
+    val table = newTable()
+    // three one-file commits with disjoint id ranges; the middle file
+    // carries nulls in the counted column
+    TxLog.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "s")
+      .coalesce(1), table) // [1,100]
+    TxLog.append(((101L to 180L).map(i => (Some(i), s"b$i")) ++
+      (1 to 20).map(i => (None: Option[Long], s"n$i")))
+      .toDF("id", "s").coalesce(1), table) // [101,180] + 20 null ids
+    TxLog.append((201L to 300L).map(i => (i, s"c$i")).toDF("id", "s")
+      .coalesce(1), table) // [201,300]
+    assert(TxLog.countRows(table) === 300L)
+    // range fully containing files 1 and 2, disjoint from file 3:
+    // nothing needs scanning — nulls in file 2 subtract via the stats
+    val (n1, scanned1) = TxLog.countWhereDetail(spark, table, "id",
+      1L, 200L)
+    assert(n1 === 180L)
+    assert(scanned1.isEmpty, s"stats-decidable files were scanned: $scanned1")
+    // a straddling range scans ONLY the boundary file
+    val (n2, scanned2) = TxLog.countWhereDetail(spark, table, "id",
+      50L, 200L)
+    assert(n2 === 51L + 80L)
+    assert(scanned2.size === 1, s"expected one straddler: $scanned2")
+    // agreement with the full-scan answer on an awkward range
+    val full = TxLog.read(spark, table)
+      .filter(col("id") >= 90L && col("id") <= 250L).count()
+    assert(TxLog.countWhere(spark, table, "id", 90L, 250L) === full)
+  }
 }
