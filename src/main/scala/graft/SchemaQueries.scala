@@ -331,10 +331,51 @@ object SchemaQueries {
     }
   }
 
+  /** Manifest-stats COUNT pushdown end-to-end: documents land in a
+    * TxLog table as five id-ranged files, then three range counts are
+    * answered by [[graft.lake.TxLog.countWhere]] — contained files from
+    * stats alone, straddlers scanned — and the oracle recomputes each
+    * count straight off the source table.
+    */
+  def qStatsCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-statscnt")
+    val table = root.toString + "/docs"
+    try {
+      // five disjoint-id files so ranges can be decided per file
+      (0 until 5).foreach { b =>
+        graft.lake.TxLog.append(
+          docs.filter(col("doc_id") % 5 === b).coalesce(1), table)
+      }
+      val ranges = Seq((0L, 249L), (100L, 199L), (50L, 450L))
+      val rows = ranges.map { case (lo, hi) =>
+        org.apache.spark.sql.Row(lo, hi,
+          graft.lake.TxLog.countWhere(s, table, "doc_id", lo, hi))
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lo",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("hi",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_decimal" -> (qAvroDecimal _),
     "q_avro_union" -> (qAvroUnion _),
     "q_lake_partition" -> (qLakePartition _),
+    "q_stats_count" -> (qStatsCount _),
     "q_infer_schema" -> (qInferSchema _),
     "q_percentiles" -> (qPercentiles _),
     "q_sessions" -> (qSessions _),
@@ -351,6 +392,18 @@ object SchemaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // each range recounted straight off the source table
+    "q_stats_count" ->
+      """SELECT CAST(0 AS BIGINT) AS lo, CAST(249 AS BIGINT) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents WHERE doc_id BETWEEN 0 AND 249
+        |UNION ALL
+        |SELECT 100, 199, CAST(count(*) AS BIGINT)
+        |FROM documents WHERE doc_id BETWEEN 100 AND 199
+        |UNION ALL
+        |SELECT 50, 450, CAST(count(*) AS BIGINT)
+        |FROM documents WHERE doc_id BETWEEN 50 AND 450""".stripMargin,
+
     "q_lake_partition" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
