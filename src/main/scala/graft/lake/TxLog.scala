@@ -1003,6 +1003,45 @@ object TxLog {
     (fromStats + scanned, toScan.toSeq)
   }
 
+  /** MIN/MAX of a column with zero data IO when every file carries
+    * stats for it: the table min is the min of file minima (parquet
+    * stats cover non-null values only, matching SQL MIN/MAX's null
+    * skipping). Returns None when ANY file lacks usable stats — a
+    * partial answer could under/over-range, so the caller falls back
+    * to a scan, never to a wrong answer. Values come back as (Long |
+    * Double | String) matching the harvested domain.
+    */
+  def statsMinMax(table: String, colName: String): Option[(Any, Any)] = {
+    val t = posixTable(table)
+    val snap = currentSnapshot(t).getOrElse(
+      throw new IllegalArgumentException(s"$t has no _graft_log"))
+    def fileMm(f: String): Option[(Any, Any)] =
+      snap.stats.get(f).flatMap { json =>
+        try {
+          val node = statsMapper.readTree(json).path("cols").path(colName)
+          if (!node.isArray || node.size() != 2) None
+          else {
+            val (mn, mx) = (node.get(0), node.get(1))
+            if (mn.isTextual) Some((mn.asText(), mx.asText()))
+            else if (mn.isIntegralNumber) Some((mn.asLong, mx.asLong))
+            else Some((mn.asDouble, mx.asDouble))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => utf8Lt(x, y)
+      case _ => false
+    }
+    val per = snap.files.map(fileMm)
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else Some(per.flatten.reduce { (a, b) =>
+      (if (lt(b._1, a._1)) b._1 else a._1,
+        if (lt(a._2, b._2)) b._2 else a._2)
+    })
+  }
+
   private def statsRows(snap: Snapshot, f: String): Option[Long] =
     snap.stats.get(f).flatMap { json =>
       try {

@@ -898,5 +898,10 @@ class TxLogSpec extends SparkSpec {
     val full = TxLog.read(spark, table)
       .filter(col("id") >= 90L && col("id") <= 250L).count()
     assert(TxLog.countWhere(spark, table, "id", 90L, 250L) === full)
+    // MIN/MAX from stats alone; string column too; nulls skipped
+    assert(TxLog.statsMinMax(table, "id") === Some((1L, 300L)))
+    assert(TxLog.statsMinMax(table, "s") === Some(("a1", "n9")))
+    // unknown column: no stats -> None, never a guess
+    assert(TxLog.statsMinMax(table, "zzz") === None)
   }
 }
