@@ -343,10 +343,15 @@ object SchemaQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-statscnt")
     val table = root.toString + "/docs"
     try {
-      // five disjoint-id files so ranges can be decided per file
-      (0 until 5).foreach { b =>
+      // five files with disjoint id RANGES (doc_id DIV chunk, not mod —
+      // mod interleaves ids so every file would span the whole domain
+      // and the contained/disjoint stats paths would never run)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val chunk = maxId / 5 + 1
+      (0L until 5L).foreach { b =>
         graft.lake.TxLog.append(
-          docs.filter(col("doc_id") % 5 === b).coalesce(1), table)
+          docs.filter(expr(s"doc_id DIV ${chunk}L") === b).coalesce(1),
+          table)
       }
       val ranges = Seq((0L, 249L), (100L, 199L), (50L, 450L))
       val rows = ranges.map { case (lo, hi) =>

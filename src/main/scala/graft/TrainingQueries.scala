@@ -2400,7 +2400,10 @@ object TrainingQueries {
          |  min(doc) AS first_doc, max(doc) AS last_doc,
          |  CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
          |    WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
-         |    ELSE 5 END) AS BIGINT) AS index_bytes,
+         |    WHEN gap < 34359738368 THEN 5 WHEN gap < 4398046511104 THEN 6
+         |    WHEN gap < 562949953421312 THEN 7
+         |    WHEN gap < 72057594037927936 THEN 8
+         |    ELSE 9 END) AS BIGINT) AS index_bytes,
          |  CAST(bit_xor(${dh("term || '|' || CAST(block AS VARCHAR) || '|' || CAST(pos AS VARCHAR) || '|' || CAST(gap AS VARCHAR)")}) AS BIGINT)
          |    AS gap_checksum
          |FROM g GROUP BY 1, 2""".stripMargin,
@@ -3058,7 +3061,7 @@ object TrainingQueries {
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, t,
-        |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0)
+        |    list_filter(string_split_regex(t, '[ \t\n\f\r]+'), x -> len(x) > 0)
         |      AS words,
         |    string_split_regex(t, '\r?\n') AS lines
         |  FROM planted),

@@ -49,6 +49,19 @@ object Varint {
   }
   def sizeOfVarint(v: Int): Int = sizeOfVarlong(v.toLong)
 
+  /** Byte width of the unsigned-varint encoding of a NON-NEGATIVE
+    * long (7 bits per byte, no zig-zag) — the posting-gap sizing used
+    * by the inverted-index build. Rejects negatives loudly: their
+    * 10-byte sign-extension form is never a valid gap.
+    */
+  def sizeOfUnsignedVarlong(v: Long): Int = {
+    require(v >= 0, s"unsigned varlong must be non-negative: $v")
+    var u = v
+    var n = 1
+    while ((u & ~0x7fL) != 0) { u >>>= 7; n += 1 }
+    n
+  }
+
   /** UNSIGNED varints — the flexible-protocol length/tag encoding
     * (compact strings/arrays and tagged fields use these, NOT zig-zag).
     */

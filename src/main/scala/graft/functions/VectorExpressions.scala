@@ -181,6 +181,8 @@ case class DotQLongs(left: Expression, right: Expression) extends BinaryExpressi
   */
 case class RandProjLongs(child: Expression, outDims: Int)
     extends UnaryExpression {
+  // analysis-time, not per-row: a bad size must fail before execution
+  require(outDims > 0, s"rand_proj: outDims must be positive: $outDims")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

@@ -693,8 +693,22 @@ object TxLog {
                   case _ => false
                 }
                 val st = cc.getStatistics
+                // NaN poisons parquet float/double stats (parquet-mr's
+                // Math.min/max folds NaN unpredictably): a chunk whose
+                // min or max is NaN must mark the column unusable or
+                // countWhere would classify files wrongly in BOTH
+                // directions and statsMinMax would hide a NaN max
+                def statNaN: Boolean = pt.getPrimitiveTypeName match {
+                  case FLOAT =>
+                    st.genericGetMin.asInstanceOf[java.lang.Float].isNaN ||
+                      st.genericGetMax.asInstanceOf[java.lang.Float].isNaN
+                  case DOUBLE =>
+                    st.genericGetMin.asInstanceOf[java.lang.Double].isNaN ||
+                      st.genericGetMax.asInstanceOf[java.lang.Double].isNaN
+                  case _ => false
+                }
                 val usable = supported && st != null && !st.isEmpty &&
-                  st.hasNonNullValue
+                  st.hasNonNullValue && !statNaN
                 val nullsKnown = st != null && !st.isEmpty &&
                   st.isNumNullsSet
                 nullAgg(name) =

@@ -39,8 +39,13 @@ object Graph {
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v"))).distinct().cache()
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
     val base = 1000000000000L / n
+    // outdeg caches too: the per-round dangling anti-join reads it, and
+    // uncached it would re-scan + re-aggregate the edge list every
+    // round (the exact cost the dedges cache exists to avoid)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .cache()
     val dedges = edges.join(outdeg, "src").cache()
     dedges.count()
     var ranks = nodes.withColumn("r", lit(base))
@@ -73,6 +78,7 @@ object Graph {
       ranks = next
     }
     nodes.unpersist()
+    outdeg.unpersist()
     dedges.unpersist()
     ranks
   }

@@ -313,11 +313,20 @@ object TextAnalysis {
       .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("tf"))
       .withColumn("block", pmod(col("doc"), lit(blocks.toLong)))
     val w = Window.partitionBy(col("term"), col("block")).orderBy(col("doc"))
-    val width = when(col("gap") < 128L, 1L)
+    // full 9-step chain: the first posting per block carries the
+    // ABSOLUTE doc id as its gap, so 64-bit ids (snapshot/snowflake)
+    // need up to ceil(63/7) = 9 bytes — a 5-step chain would
+    // under-report index_bytes past 2^35 (gaps are non-negative, so
+    // the 10-byte sign-extension case cannot occur)
+    val width = when(col("gap") < (1L << 7), 1L)
       .when(col("gap") < (1L << 14), 2L)
       .when(col("gap") < (1L << 21), 3L)
       .when(col("gap") < (1L << 28), 4L)
-      .otherwise(5L)
+      .when(col("gap") < (1L << 35), 5L)
+      .when(col("gap") < (1L << 42), 6L)
+      .when(col("gap") < (1L << 49), 7L)
+      .when(col("gap") < (1L << 56), 8L)
+      .otherwise(9L)
     pairs
       .withColumn("pos", row_number().over(w))
       .withColumn("gap",
@@ -569,10 +578,13 @@ object TextAnalysis {
       // materialize the split arrays ONCE: expressions inside HOF
       // lambdas get no CSE, so inlining `words` into its four consumers
       // re-splits (and re-filters) the text per metric — measured as the
-      // dominant cost of the whole filter. \s+ split can emit empty edge
-      // tokens (and Java drops trailing ones where RE2 keeps them) —
-      // filter empties on BOTH sides of the oracle.
-      .withColumn("__w", filter(split(t, "\\s+"), w => length(w) > 0))
+      // dominant cost of the whole filter. The whitespace class is
+      // EXPLICIT because Java's \s includes U+000B where RE2's does not
+      // — the one divergence in an otherwise-shared regex subset; the
+      // split can emit empty edge tokens (and Java drops trailing ones
+      // where RE2 keeps them) — filter empties on BOTH sides.
+      .withColumn("__w", filter(split(t, "[ \\t\\n\\f\\r]+"),
+        w => length(w) > 0))
       .withColumn("__ln", split(t, "\r?\n"))
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("word_len_sum",

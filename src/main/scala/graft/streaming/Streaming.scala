@@ -619,9 +619,7 @@ object Streaming {
                                    shingleN: Int, rowsPerBand: Int,
                                    textCol: String, idCol: String,
                                    appId: String, batchId: Long): Unit = {
-    import graft.lake.TxLog
     import graft.ops.Dedup
-    val spark = feed.sparkSession
     // one signature pass over the batch's DISTINCT (doc, text) events,
     // keyed by a (doc, text-hash) SURROGATE — keying by the doc alone
     // would weld an update's old-text bands to its insert event and
@@ -643,22 +641,36 @@ object Streaming {
       .agg(max(struct(col("__v"), col("__ins"))).as("last"))
       .select(col("band_idx"), col("band_key"), col(idCol),
         (col("last.__ins") === 0).as("__del"))
-      .persist()
+    commitIndexDelta(resolved, index, Seq("band_idx", "band_key", idCol),
+      appId, batchId)
+  }
+
+  /** The exactly-once commit tail shared by the incremental band
+    * indexes (minhash LSH and phash): first batch appends the
+    * surviving rows, later batches mergeApply keyed on `keys` with the
+    * `__del` tombstone column and the (appId, batchId) replay marker.
+    * ONE copy — a drifted twin here would split the exactly-once
+    * contract between the two indexes.
+    */
+  private def commitIndexDelta(resolved: DataFrame, index: String,
+                               keys: Seq[String], appId: String,
+                               batchId: Long): Unit = {
+    import graft.lake.TxLog
+    val spark = resolved.sparkSession
+    val r = resolved.persist()
     try {
-      if (resolved.isEmpty) return
+      if (r.isEmpty) return
       TxLog.currentSnapshot(index) match {
         case None =>
-          TxLog.appendStream(
-            resolved.filter(!col("__del")).drop("__del"),
+          TxLog.appendStream(r.filter(!col("__del")).drop("__del"),
             index, appId, batchId)
           ()
         case Some(_) =>
-          TxLog.mergeApply(spark, index, resolved,
-            Seq("band_idx", "band_key", idCol),
+          TxLog.mergeApply(spark, index, r, keys,
             deleteCol = Some("__del"), txn = Some((appId, batchId)))
           ()
       }
-    } finally { resolved.unpersist(); () }
+    } finally { r.unpersist(); () }
   }
 
   /** Exactly-once INCREMENTAL PERCEPTUAL-HASH INDEX over a media
@@ -699,8 +711,6 @@ object Streaming {
                                      index: String, bands: Int,
                                      payloadCol: String, idCol: String,
                                      appId: String, batchId: Long): Unit = {
-    import graft.lake.TxLog
-    val spark = feed.sparkSession
     // the (id, payload-hash) surrogate: keying by the id alone would
     // weld an update's old-payload bands to its insert event (the
     // incrementalLshIndex contract)
@@ -724,22 +734,8 @@ object Streaming {
       .select(col("band"), col("band_val"), col(idCol),
         col("last.phash").as("phash"),
         (col("last.__ins") === 0).as("__del"))
-      .persist()
-    try {
-      if (resolved.isEmpty) return
-      TxLog.currentSnapshot(index) match {
-        case None =>
-          TxLog.appendStream(
-            resolved.filter(!col("__del")).drop("__del"),
-            index, appId, batchId)
-          ()
-        case Some(_) =>
-          TxLog.mergeApply(spark, index, resolved,
-            Seq("band", "band_val", idCol),
-            deleteCol = Some("__del"), txn = Some((appId, batchId)))
-          ()
-      }
-    } finally { resolved.unpersist(); () }
+    commitIndexDelta(resolved, index, Seq("band", "band_val", idCol),
+      appId, batchId)
   }
 
   /** Exactly-once SCD TYPE-2 dimension history maintained from a

@@ -619,15 +619,21 @@ class OpsSpec extends SparkSpec with PropSupport {
     "blocks partition, one shared exchange") {
     import graft.functions.Varint
     import java.nio.ByteBuffer
-    // the width CASE chain IS the unsigned-varint size at every boundary
-    for (v <- Seq(0L, 1L, 127L, 128L, 16383L, 16384L, 2097151L, 2097152L,
-      268435455L, 268435456L)) {
+    // the width CASE chain IS the unsigned-varint size at every
+    // boundary, through the full 9-byte non-negative-long range
+    def chain(v: Long): Int =
+      (7 to 56 by 7).find(b => v < (1L << b)).map(_ / 7).getOrElse(9)
+    for (shift <- 7 to 56 by 7; v <- Seq((1L << shift) - 1, 1L << shift))
+      assert(chain(v) === Varint.sizeOfUnsignedVarlong(v),
+        s"width chain wrong at $v")
+    for (v <- Seq(0L, 1L, Long.MaxValue))
+      assert(chain(v) === Varint.sizeOfUnsignedVarlong(v),
+        s"width chain wrong at $v")
+    // ...and the int-range sizes agree with the real byte writer
+    for (v <- Seq(0L, 127L, 128L, 16384L, 268435455L)) {
       val buf = ByteBuffer.allocate(8)
       Varint.writeUnsignedVarint(v.toInt, buf)
-      val expected = buf.position()
-      val chain = if (v < 128) 1 else if (v < 16384) 2
-        else if (v < 2097152) 3 else if (v < 268435456) 4 else 5
-      assert(chain === expected, s"width chain wrong at $v")
+      assert(buf.position() === Varint.sizeOfUnsignedVarlong(v))
     }
     // docs 3,7,10,11 contain "x"; blocks split by doc % 2
     val df = Seq(3L -> "x y", 7L -> "x x z", 10L -> "x", 11L -> "y x")
@@ -2643,7 +2649,7 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
     def naive(text: String): (Long, Long, Long, Long, Long, Long, Long,
         Long, String) = {
-      val words = text.split("\\s+", -1).filter(_.nonEmpty)
+      val words = text.split("[ \\t\\n\\f\\r]+", -1).filter(_.nonEmpty)
       val lines = text.split("\r?\n", -1)
       val w = words.length.toLong
       val wls = words.map(_.length.toLong).sum
