@@ -650,6 +650,36 @@ object TrainingQueries {
   def qWpMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.wordpieceTrainMerges(docs(s, dir), nMerges = 4)
 
+  private def accented(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text2", concat(col("text"), lit(ByteTail)))
+
+  /** BYTE-level (GPT-2) BPE merge training over the accent-planted
+    * corpus — same round chain as q_bpe_merges with byte symbolization;
+    * the é-run makes the byte pairs (Ã,©)/(©,Ã) the top merges, so the
+    * gate itself proves the bytes.
+    */
+  def qBbpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrainMerges(accented(s, dir), nMerges = 4,
+      textCol = "text2", byteLevel = true)
+
+  /** Byte-level train + encode, same per-doc stream stats as
+    * q_bpe_encode.
+    */
+  def qBbpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = accented(s, dir)
+    val merges = TextAnalysis.bpeTrainMerges(d, nMerges = 4,
+      textCol = "text2", byteLevel = true)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeEncode(d, merges, textCol = "text2", byteLevel = true)
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(filter(col("tokens"), t => t.contains(" "))).cast("long")
+          .as("n_merged"),
+        aggregate(transform(col("tokens"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_len"))
+  }
+
   /** Train 4 merges, then ENCODE the corpus with them (the native
     * broadcast-merge-table narrow map) and emit per-doc stream stats:
     * token count, merged-symbol count, total symbol length. The oracle
@@ -1043,6 +1073,8 @@ object TrainingQueries {
     "q_importance_weight" -> (qImportanceWeight _),
     "q_emb_decontaminate" -> (qEmbDecontaminate _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bbpe_merges" -> (qBbpeMerges _),
+    "q_bbpe_encode" -> (qBbpeEncode _),
     "q_wp_merges" -> (qWpMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_epoch_schedule" -> (qEpochSchedule _),
@@ -1549,14 +1581,61 @@ object TrainingQueries {
     */
   private def bpeCtes(nMerges: Int): String = bpeCtes(nMerges, wpScore = false)
 
+  /** The accent tail every byte-BPE query appends to each doc: real
+    * multi-byte words plus a 40-char é run whose (Ã,©)/(©,Ã) byte
+    * pairs dominate the count table — the learned merges PROVE the
+    * byte symbolization in the gate, not just in the spec.
+    */
+  private[graft] val ByteTail: String =
+    " caf\u00e9 na\u00efve \u00fcber " + ("\u00e9" * 40)
+
+  private def byteTailSql: String =
+    "' caf' || chr(233) || ' na' || chr(239) || 've ' || chr(252) || " +
+      "'ber ' || repeat(chr(233), 40)"
+
+  /** Byte-level dictionary initialization: UTF-8 bytes via hex(word)
+    * (DuckDB hex of a VARCHAR is its UTF-8 byte stream), each byte
+    * mapped through the GPT-2 table rendered from the ONE Scala
+    * definition ([[graft.functions.BpeKernels.ByteToCp]]).
+    */
+  private def byteS0: String = {
+    val values = graft.functions.BpeKernels.ByteToCp.zipWithIndex
+      .map { case (cp, b) => s"($b, $cp)" }.mkString(", ")
+    s"""bmap AS (
+       |  SELECT b, chr(cp) AS sym FROM (VALUES $values) t(b, cp)),
+       |s0w AS (
+       |  SELECT word, freq, hex(word) AS hx, strlen(word) AS nb FROM (
+       |    SELECT word, count(*) AS freq
+       |    FROM (SELECT unnest(string_split(text || $byteTailSql, ' '))
+       |            AS word
+       |          FROM documents)
+       |    GROUP BY 1)),
+       |s0p AS (
+       |  SELECT word, freq, hx, unnest(range(nb)) AS pos FROM s0w),
+       |s0 AS (
+       |  SELECT word, freq, CAST(pos AS BIGINT) AS pos, m.sym AS s
+       |  FROM s0p JOIN bmap m ON m.b =
+       |    CAST('0x' || substr(hx, CAST(pos * 2 + 1 AS INTEGER), 2)
+       |      AS INT))""".stripMargin
+  }
+
   /** The BPE/WordPiece training replay: identical dictionary, pair
     * counting, and within-word rewrite chain; `wpScore = true` swaps
     * the round argmax from raw pair count to the WordPiece likelihood
     * ratio freq·1e12 ÷ (cnt(a)·cnt(b)) over HUGEINT (the Spark side's
     * DECIMAL(38,0) twin).
     */
-  private def bpeCtes(nMerges: Int, wpScore: Boolean): String = {
-    val s0 =
+  private def bpeCtes(nMerges: Int, wpScore: Boolean): String =
+    bpeCtes(nMerges, wpScore, s0Override = None)
+
+  /** `s0Override` swaps the dictionary-initialization CTE block (it
+    * must end by defining `s0(word, freq, pos, s)`) — the byte-level
+    * trainer reuses the whole round chain with only the symbolization
+    * changed, exactly like the Spark side.
+    */
+  private def bpeCtes(nMerges: Int, wpScore: Boolean,
+                      s0Override: Option[String]): String = {
+    val s0 = s0Override.getOrElse(
       """s0 AS (
         |  SELECT word, freq, CAST(unnest(range(len(sy))) AS BIGINT) AS pos,
         |    unnest(sy) AS s
@@ -1564,7 +1643,7 @@ object TrainingQueries {
         |    SELECT word, count(*) AS freq, string_split(word, '') AS sy
         |    FROM (SELECT unnest(string_split(text, ' ')) AS word
         |          FROM documents)
-        |    GROUP BY 1))""".stripMargin
+        |    GROUP BY 1))""".stripMargin)
     val rounds = (1 to nMerges).map { r =>
       val p = s"s${r - 1}"
       val argmax =
@@ -2871,6 +2950,33 @@ object TrainingQueries {
       s"""WITH ${bpeCtes(4, wpScore = true)}
          |$ranks""".stripMargin
     },
+
+    // the same 4-round replay over the GPT-2 byte symbolization
+    "q_bbpe_merges" -> {
+      val ranks = (1 to 4).map { r =>
+        if (r == 1)
+          s"SELECT $r AS merge_rank, a AS token_a, b AS token_b, freq FROM m$r"
+        else s"SELECT $r, a, b, freq FROM m$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${bpeCtes(4, wpScore = false, s0Override = Some(byteS0))}
+         |$ranks""".stripMargin
+    },
+
+    "q_bbpe_encode" ->
+      s"""WITH ${bpeCtes(4, wpScore = false, s0Override = Some(byteS0))},
+         |wenc AS (
+         |  SELECT word, count(*) AS n_syms,
+         |    sum(CASE WHEN s LIKE '% %' THEN 1 ELSE 0 END) AS w_merged,
+         |    sum(length(s)) AS w_len
+         |  FROM s4 GROUP BY 1),
+         |inst AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text || $byteTailSql, ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+         |  CAST(sum(w_merged) AS BIGINT) AS n_merged,
+         |  CAST(sum(w_len) AS BIGINT) AS total_len
+         |FROM inst JOIN wenc USING (word) GROUP BY 1""".stripMargin,
 
     "q_bpe_encode" ->
       s"""WITH ${bpeCtes(4)},

@@ -62,6 +62,47 @@ object BpeKernels {
   def charSyms(w: UTF8String): ArrayData =
     new GenericArrayData(symsList(w).toArray())
 
+  /** The GPT-2 `bytes_to_unicode` table: printable latin-1 bytes keep
+    * their codepoint (33..126, 161..172, 174..255); every other byte b
+    * maps to codepoint 256+k in byte order — 256 DISTINCT visible
+    * one-char symbols, so byte streams round-trip losslessly through
+    * strings. One definition; the DuckDB oracle's 256-row mapping CTE
+    * renders from it.
+    */
+  val ByteToCp: Array[Int] = {
+    val keep =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Int](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (keep(b)) arr(b) = b
+      else { arr(b) = 256 + n; n += 1 }
+    }
+    arr
+  }
+
+  /** BYTE-level symbols of one word (the GPT-2 contract: UTF-8 bytes,
+    * each mapped through [[ByteToCp]]): "" → [""], matching the
+    * char-level empty-word contract.
+    */
+  private def byteSymsList(w: UTF8String): java.util.ArrayList[UTF8String] = {
+    val bytes = w.getBytes
+    val out = new java.util.ArrayList[UTF8String](bytes.length max 1)
+    if (bytes.isEmpty) out.add(UTF8String.fromString(""))
+    else {
+      var i = 0
+      while (i < bytes.length) {
+        out.add(UTF8String.fromString(
+          new String(Character.toChars(ByteToCp(bytes(i) & 0xff)))))
+        i += 1
+      }
+    }
+    out
+  }
+
+  def byteSyms(w: UTF8String): ArrayData =
+    new GenericArrayData(byteSymsList(w).toArray())
+
   /** One pass per rank over one symbol array; O(ranks × symbols). */
   def bpeApply(toks: ArrayData, a: Array[UTF8String], b: Array[UTF8String],
                merged: Array[UTF8String]): ArrayData = {
@@ -115,8 +156,8 @@ object BpeKernels {
     * rows.
     */
   def bpeApplyWords(words: ArrayData, a: Array[UTF8String],
-                    b: Array[UTF8String],
-                    merged: Array[UTF8String]): ArrayData = {
+                    b: Array[UTF8String], merged: Array[UTF8String],
+                    byteLevel: Boolean = false): ArrayData = {
     val n = words.numElements()
     val out = new java.util.ArrayList[UTF8String](n)
     var t = 0
@@ -124,7 +165,9 @@ object BpeKernels {
       if (words.isNullAt(t))
         throw new IllegalArgumentException(
           "bpe_encode: null token — clean the corpus first")
-      out.addAll(applyRanks(symsList(words.getUTF8String(t)), a, b, merged))
+      val w = words.getUTF8String(t)
+      val syms = if (byteLevel) byteSymsList(w) else symsList(w)
+      out.addAll(applyRanks(syms, a, b, merged))
       t += 1
     }
     new GenericArrayData(out.toArray())
@@ -156,9 +199,10 @@ object BpeKernelsBc {
     * cost is a null check, the per-TASK cost is zero bytes of driver
     * egress).
     */
-  def bpeApplyWords(words: ArrayData, bc: Broadcast[MergeTable]): ArrayData = {
+  def bpeApplyWords(words: ArrayData, bc: Broadcast[MergeTable],
+                    byteLevel: Boolean): ArrayData = {
     val t = bc.value
-    BpeKernels.bpeApplyWords(words, t._1, t._2, t._3)
+    BpeKernels.bpeApplyWords(words, t._1, t._2, t._3, byteLevel)
   }
 }
 
@@ -204,7 +248,8 @@ case class BpeRewriteSyms(child: Expression, merges: Seq[(String, String)])
   * the user-facing tokenizer-application expression.
   */
 case class BpeEncodeWords(child: Expression,
-                          merges: Broadcast[BpeKernelsBc.MergeTable])
+                          merges: Broadcast[BpeKernelsBc.MergeTable],
+                          byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -217,13 +262,13 @@ case class BpeEncodeWords(child: Expression,
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    BpeKernelsBc.bpeApplyWords(v.asInstanceOf[ArrayData], merges)
+    BpeKernelsBc.bpeApplyWords(v.asInstanceOf[ArrayData], merges, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("bpeMergesBc", merges,
       "org.apache.spark.broadcast.Broadcast")
     defineCodeGen(ctx, ev,
-      v => s"graft.functions.BpeKernelsBc.bpeApplyWords($v, $bcRef)")
+      v => s"graft.functions.BpeKernelsBc.bpeApplyWords($v, $bcRef, $byteLevel)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeWords =
@@ -251,6 +296,30 @@ case class CharSyms(child: Expression) extends UnaryExpression {
       v => s"graft.functions.BpeKernels.charSyms($v)")
 
   override protected def withNewChildInternal(newChild: Expression): CharSyms =
+    copy(child = newChild)
+}
+
+/** `byte_syms(word)`: the GPT-2 byte-level symbol array of one word
+  * ("" -> [""]) — the dictionary-initialization step of BYTE-level BPE.
+  */
+case class ByteSyms(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "byte_syms"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_syms requires string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernels.byteSyms(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.BpeKernels.byteSyms($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSyms =
     copy(child = newChild)
 }
 
@@ -289,6 +358,17 @@ object BpeExpressions {
   /** Column API: code-point symbol array of a word column. */
   def charSyms(word: Column): Column =
     ColumnBridge.column(CharSyms(ColumnBridge.expression(word)))
+
+  /** Column API: GPT-2 byte-level symbol array of a word column. */
+  def byteSyms(word: Column): Column =
+    ColumnBridge.column(ByteSyms(ColumnBridge.expression(word)))
+
+  /** Column API: BYTE-level encode — [[bpeEncode]] with GPT-2 byte
+    * symbolization of each word before the merge passes.
+    */
+  def bpeEncodeBytes(words: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeWords(ColumnBridge.expression(words),
+      bcMerges(merges), byteLevel = true))
 
   /** Column API: DEFLATE-compressed byte length of a string — the
     * compression-ratio quality signal (RefinedWeb/Dolma-style):

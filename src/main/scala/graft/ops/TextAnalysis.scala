@@ -1239,11 +1239,14 @@ object TextAnalysis {
     * contract.)
     */
   private[graft] def bpeDict(docs: DataFrame,
-                             textCol: String = "text"): DataFrame =
+                             textCol: String = "text",
+                             byteLevel: Boolean = false): DataFrame =
     docs.select(explode(toks(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
-        graft.functions.BpeExpressions.charSyms(col("word")).as("syms"))
+        (if (byteLevel) graft.functions.BpeExpressions.byteSyms(col("word"))
+         else graft.functions.BpeExpressions.charSyms(col("word")))
+          .as("syms"))
 
   /** Frequency-weighted adjacent-symbol-pair counts over the
     * dictionary — ALL adjacent occurrences count (["a","a","a"] holds
@@ -1318,11 +1321,12 @@ object TextAnalysis {
   }
 
   def bpeTrainMerges(docs: DataFrame, nMerges: Int,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     byteLevel: Boolean = false): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var (dict, dictRdd) = checkpointDict(bpeDict(docs, textCol))
+    var (dict, dictRdd) = checkpointDict(bpeDict(docs, textCol, byteLevel))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -1416,10 +1420,14 @@ object TextAnalysis {
     * "a b", exactly as the trainer's rewrite emits them.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
-                textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame =
+                textCol: String = "text", idCol: String = "doc_id",
+                byteLevel: Boolean = false): DataFrame =
     docs.select(col(idCol),
-      graft.functions.BpeExpressions.bpeEncode(toks(col(textCol)), merges)
+      (if (byteLevel)
+        graft.functions.BpeExpressions.bpeEncodeBytes(toks(col(textCol)),
+          merges)
+      else
+        graft.functions.BpeExpressions.bpeEncode(toks(col(textCol)), merges))
         .as("tokens"))
 
   /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the other

@@ -1748,6 +1748,72 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s4")))
   }
 
+  test("byte-level BPE: GPT-2 table pinned; trainer matches a byte " +
+    "reference; encode emits mapped byte symbols") {
+    import graft.functions.{BpeExpressions, BpeKernels}
+    // independent re-derivation of bytes_to_unicode (Radford et al.
+    // 2019 encoder.py): printable latin-1 kept, others get 256+k
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var k = 0
+    val ref = (0 until 256).map { b =>
+      if (keep(b)) b else { val cp = 256 + k; k += 1; cp }
+    }
+    assert(BpeKernels.ByteToCp.toSeq === ref)
+    assert(BpeKernels.ByteToCp(32) === 288)  // space -> 'Ġ'
+    assert(BpeKernels.ByteToCp(10) === 266)  // newline -> 'Ċ'
+    assert(BpeKernels.ByteToCp('a'.toInt) === 'a'.toInt)
+    // zero-merge encode exposes the raw symbolization: é = C3 A9 ->
+    // [Ã, ©]; ASCII maps to itself
+    val df0 = Seq(1L -> "é a").toDF("doc_id", "text")
+    val syms = TextAnalysis.bpeEncode(df0, merges = Seq.empty,
+        byteLevel = true)
+      .head().getAs[collection.Seq[String]]("tokens")
+    assert(syms === Seq("Ã", "©", "a"))
+    // trainer vs a plain-Scala byte reference on a multi-byte corpus
+    def byteSyms(w: String): Seq[String] =
+      if (w.isEmpty) Seq("")
+      else w.getBytes("UTF-8").toSeq.map(b =>
+        new String(Character.toChars(ref(b & 0xff))))
+    def refBpeB(seqs0: Seq[Seq[String]],
+                n: Int): Seq[(Int, String, String, Long)] = {
+      var seqs = seqs0
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var done = false
+      for (r <- 1 to n if !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for (s <- seqs; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) =
+            counts.getOrElse((s(i), s(i + 1)), 0L) + 1
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), f) = counts.toSeq
+            .sortBy { case ((x, y), c) => (-c, x, y) }.head
+          out += ((r, a, b, f))
+          seqs = seqs.map { s =>
+            val buf = Seq.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                buf += (a + " " + b); i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            buf.result()
+          }
+        }
+      }
+      out.result()
+    }
+    val words = Seq("éé", "aé", "über", "ab", "é")
+    val docs2 = Seq(1L -> words.mkString(" "),
+      2L -> words.take(3).mkString(" "))
+    val got = TextAnalysis.bpeTrainMerges(docs2.toDF("doc_id", "text"),
+        nMerges = 3, byteLevel = true).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val wordSeqs = docs2.flatMap(_._2.split(" ").toSeq.map(byteSyms))
+    assert(got === refBpeB(wordSeqs, 3))
+  }
+
   test("bpeTrainMerges agrees with a sequential reference BPE trainer") {
     import spark.implicits._
     import org.scalacheck.Gen
