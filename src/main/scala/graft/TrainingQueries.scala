@@ -650,6 +650,10 @@ object TrainingQueries {
   def qWpMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.wordpieceTrainMerges(docs(s, dir), nMerges = 4)
 
+  /** Top-20 PMI collocations, min pair count 3. */
+  def qPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(docs(s, dir), k = 20)
+
   private def accented(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("text2", concat(col("text"), lit(ByteTail)))
 
@@ -1001,6 +1005,7 @@ object TrainingQueries {
     "q_pack_sequences" -> (qPackSequences _),
     "q_shuffle_rank" -> (qShuffleRank _),
     "q_vocab_bigrams" -> (qVocabBigrams _),
+    "q_pmi" -> (qPmi _),
     "q_quantize_embed" -> (qQuantizeEmbed _),
     "q_rand_proj" -> (qRandProj _),
     "q_keep_canonical" -> (qKeepCanonical _),
@@ -2216,6 +2221,28 @@ object TrainingQueries {
     "q_pack_sequences" -> packSequencesOracle,
     "q_shuffle_rank" -> shuffleRankOracle,
     "q_vocab_bigrams" -> vocabBigramsOracle,
+
+    // the PMI kernel replayed in HUGEINT; same min-count guard, same
+    // (score DESC, a, b) total order
+    "q_pmi" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (
+        |  SELECT u AS w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(w) AS u FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+        |bg AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |    SELECT w[i+1] AS a, w[i+2] AS b
+        |    FROM t, LATERAL unnest(range(greatest(len(w) - 1, 0))) s(i))
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT a, b, c_ab, ua.c1 AS c_a, ub.c1 AS c_b,
+        |  CAST((CAST(c_ab AS HUGEINT) * n.n * 1000000)
+        |    // (CAST(ua.c1 AS HUGEINT) * ub.c1) AS BIGINT) AS pmi_e6
+        |FROM bg JOIN uni ua ON ua.w = bg.a
+        |JOIN uni ub ON ub.w = bg.b
+        |CROSS JOIN n
+        |ORDER BY pmi_e6 DESC, a, b LIMIT 20""".stripMargin,
     "q_quantize_embed" -> quantizeEmbedOracle,
 
     // the LCG sign matrix rebuilt from (axis, component) indices; exact

@@ -735,6 +735,45 @@ object TextAnalysis {
     * 100 TB. Ties break lexicographically so the cut is deterministic.
     * Returns (rank, pair, n_occurrences).
     */
+  /** Collocation extraction by pointwise mutual information: rank
+    * adjacent word pairs by the PMI KERNEL c(ab)·N / (c(a)·c(b)) —
+    * monotone in PMI (log is order-preserving), so the top-k by the
+    * integer ratio IS the top-k by PMI with no float log anywhere:
+    * score_e6 = c(ab)·N·1e6 DIV (c(a)·c(b)) over DECIMAL(38,0)
+    * intermediates (the DuckDB HUGEINT twin). `minCount` drops
+    * singleton pairs — raw PMI famously maxes out on hapax pairs, the
+    * standard collocation-extraction guard (Church & Hanks 1990). N is
+    * the corpus token-INSTANCE count; unigram counts c(·) count
+    * instances too, so the kernel is the textbook MLE ratio.
+    *
+    * Scale: one explode for bigram instances, one for unigrams — both
+    * map-side-combined to vocabulary-sized tables — two equi-joins on
+    * the word, and a TakeOrdered top-k. No window over the corpus.
+    */
+  def pmiCollocations(docs: DataFrame, k: Int, minCount: Long = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val uni = docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum(col("c1")).cast("long").as("n"))
+    val pairs = graft.ops.Dedup.explodedShingles(docs, 2, textCol, idCol)
+      .select(split(col("sh"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("a"), element_at(col("p"), 2).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("a"), col("c1").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c1").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_e6", expr(
+        "(cast(c_ab as decimal(38,0)) * n * 1000000) DIV " +
+          "(cast(c_a as decimal(38,0)) * c_b)").cast("long"))
+      .orderBy(col("pmi_e6").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_e6"))
+  }
+
   def topBigrams(docs: DataFrame, k: Int, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     val counted = graft.ops.Dedup.explodedShingles(docs, 2, textCol, idCol)

@@ -554,6 +554,36 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(tail.getAs[String]("input_text").endsWith("x21 x22 x23"))
   }
 
+  test("pmiCollocations: exclusive pairs outrank frequent ones; " +
+    "brute-force equality") {
+    // "zig zag" appears 3x and its words appear nowhere else ->
+    // maximal PMI; "the end" words are everywhere -> low PMI; "one off"
+    // appears once -> dropped by minCount
+    val docsDf = Seq(
+      1L -> "the end of the end zig zag one off",
+      2L -> "zig zag the end the end the end",
+      3L -> "zig zag the end and the end").toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docsDf, k = 10, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.head._1 === "zig" && out.head._2 === "zag")
+    assert(!out.exists(p => p._1 == "one"), "minCount failed to drop hapax")
+    // brute-force reference over all adjacent pairs
+    val toks = docsDf.collect().map(_.getString(1)).flatMap(_.split(" "))
+    val n = docsDf.collect()
+      .map(_.getString(1).split(" ").length).sum.toLong
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairs = docsDf.collect().map(_.getString(1).split(" ").toSeq)
+      .flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 3)
+    val expect = pairs.toSeq.map { case ((a, b), cab) =>
+      (a, b, cab, uni(a), uni(b),
+        (BigInt(cab) * n * 1000000 / (BigInt(uni(a)) * uni(b))).toLong)
+    }.sortBy { case (a, b, _, _, _, s) => (-s, a, b) }.take(10)
+    assert(out.toSeq === expect)
+  }
+
   test("saltedJoin: row-identical to the plain join; hot key spreads") {
     import graft.ops.Skew
     // 900 rows on key 0 (hot), a handful elsewhere; dim has a dup key
