@@ -654,6 +654,10 @@ object TrainingQueries {
   def qPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(docs(s, dir), k = 20)
 
+  /** Positional-postings phrase query for "data table". */
+  def qPhraseQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseQueryViaIndex(docs(s, dir), Seq("data", "table"))
+
   private def accented(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("text2", concat(col("text"), lit(ByteTail)))
 
@@ -1006,6 +1010,7 @@ object TrainingQueries {
     "q_shuffle_rank" -> (qShuffleRank _),
     "q_vocab_bigrams" -> (qVocabBigrams _),
     "q_pmi" -> (qPmi _),
+    "q_phrase_query" -> (qPhraseQuery _),
     "q_quantize_embed" -> (qQuantizeEmbed _),
     "q_rand_proj" -> (qRandProj _),
     "q_keep_canonical" -> (qKeepCanonical _),
@@ -2221,6 +2226,19 @@ object TrainingQueries {
     "q_pack_sequences" -> packSequencesOracle,
     "q_shuffle_rank" -> shuffleRankOracle,
     "q_vocab_bigrams" -> vocabBigramsOracle,
+
+    // adjacency recount straight off the token arrays
+    "q_phrase_query" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, i AS p0
+        |  FROM t, LATERAL unnest(range(greatest(len(w) - 1, 0))) s(i)
+        |  WHERE w[CAST(i + 1 AS INTEGER)] = 'data'
+        |    AND w[CAST(i + 2 AS INTEGER)] = 'table')
+        |SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(p0) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1""".stripMargin,
 
     // the PMI kernel replayed in HUGEINT; same min-count guard, same
     // (score DESC, a, b) total order

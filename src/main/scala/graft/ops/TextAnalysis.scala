@@ -735,6 +735,41 @@ object TextAnalysis {
     * 100 TB. Ties break lexicographically so the cut is deterministic.
     * Returns (rank, pair, n_occurrences).
     */
+  /** Exact phrase query the POSITIONAL-INDEX way: build (term, doc,
+    * position) postings for the phrase's terms only, anchor on the
+    * first term, and intersect the remaining terms' lists shifted by
+    * their phrase offset — k−1 equi-joins on (doc, anchor), the
+    * standard positional-postings evaluation (overlapping occurrences
+    * count, e.g. "a a a" matches ["a","a"] twice). Complements the
+    * [[graft.functions.PhraseExpressions]] text-scan path: the scan is
+    * one pass over ALL text, this touches only the phrase terms'
+    * postings — the right side of the tradeoff when phrases are
+    * queried against a standing corpus. Returns per matching doc:
+    * (doc, n_matches, first_pos).
+    *
+    * Scale: the term filter lands before anything widens, so the
+    * postings built are |occurrences of phrase terms|, not |corpus
+    * tokens|; joins are equi-joins on (doc, position).
+    */
+  def phraseQueryViaIndex(docs: DataFrame, phrase: Seq[String],
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val pos = docs.select(col(idCol).as("doc"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.map(_.asInstanceOf[Any]): _*))
+    val anchor = pos.filter(col("term") === phrase.head)
+      .select(col("doc"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(pos.filter(col("term") === t)
+          .select(col("doc"), (col("pos") - i).as("p0")), Seq("doc", "p0"))
+    }
+    matched.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("p0")).cast("long").as("first_pos"))
+  }
+
   /** Collocation extraction by pointwise mutual information: rank
     * adjacent word pairs by the PMI KERNEL c(ab)·N / (c(a)·c(b)) —
     * monotone in PMI (log is order-preserving), so the top-k by the

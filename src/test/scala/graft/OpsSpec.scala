@@ -554,6 +554,24 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(tail.getAs[String]("input_text").endsWith("x21 x22 x23"))
   }
 
+  test("phraseQueryViaIndex: overlaps count, offsets shift, no-match " +
+    "docs absent") {
+    val df = Seq(
+      1L -> "a a a b",      // ["a","a"] matches at 0 and 1 (overlap)
+      2L -> "x a a y a a",  // matches at 1 and 4
+      3L -> "a b a b",      // no adjacent "a a"
+      4L -> "c c c").toDF("doc_id", "text")
+    val out = TextAnalysis.phraseQueryViaIndex(df, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(1L -> ((2L, 0L)), 2L -> ((2L, 1L))))
+    // three-term phrase: only the exact ordered run matches
+    val tri = TextAnalysis.phraseQueryViaIndex(df, Seq("a", "a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(tri === Map(1L -> ((1L, 1L))))
+  }
+
   test("pmiCollocations: exclusive pairs outrank frequent ones; " +
     "brute-force equality") {
     // "zig zag" appears 3x and its words appear nowhere else ->
