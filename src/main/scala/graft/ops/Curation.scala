@@ -104,10 +104,33 @@ object Curation {
     * domain-balancing step that stops a handful of giant crawl domains
     * from dominating the mixture. Rerun-stable: same corpus in, same
     * sample out, no RNG state to coordinate across executors.
+    *
+    * Scale: the operator's own premise is skew — a few giant crawl
+    * domains dominate — so a single per-domain window would funnel a hot
+    * domain's every row into one sorting task. Runs as
+    * [[Skew.saltedTopK]] instead: rank per (domain, salt) cell, keep the
+    * quota per cell, final rank over the ≤ salts·quota survivors —
+    * bit-identical output (same (hash, id) total order), straggler fans
+    * out `salts`-ways.
     */
   def domainCapSample(docs: DataFrame, domainCol: String, maxPerDomain: Int,
                       idCol: String = "doc_id",
-                      seed: String = "cap"): DataFrame = {
+                      seed: String = "cap",
+                      salts: Int = 16): DataFrame = {
+    val rankHash =
+      Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
+    Skew.saltedTopK(docs, col(domainCol),
+      Seq(rankHash.asc, col(idCol).asc), maxPerDomain,
+      saltBy = col(idCol), salts = salts, rankCol = "sample_rank")
+  }
+
+  /** The one-window reference form of [[domainCapSample]] — kept for the
+    * equality spec that pins the salted rewrite bit-identical; not for
+    * production use (hot-domain straggler).
+    */
+  private[graft] def domainCapSampleOneWindow(
+      docs: DataFrame, domainCol: String, maxPerDomain: Int,
+      idCol: String = "doc_id", seed: String = "cap"): DataFrame = {
     val rankHash =
       Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(domainCol))

@@ -882,10 +882,13 @@ object Similarity {
     * regardless of which domains it came from. Rerun-stable: same
     * corpus in, same sample out.
     *
-    * Scale: the window partitions on cid — cluster sizes stay bounded
-    * by the same k-grows-with-corpus rule as [[semDedup]], so no
-    * partition becomes a corpus-wide funnel; everything else is the
-    * shuffle-free assignment map.
+    * Scale: cluster sizes are k-bounded and balanced by construction
+    * (the k-grows-with-corpus rule shared with [[semDedup]]), but a
+    * degenerate clustering CAN collapse mass into one cid — so the
+    * quota runs as [[Skew.saltedTopK]] (rank per (cid, salt) cell, keep
+    * the quota, final rank over the bounded survivors), bit-identical
+    * to the one-window form and straggler-free even when a cluster
+    * goes hot. Everything else is the shuffle-free assignment map.
     */
   def clusterBalancedSample(embeddings: DataFrame, k: Int, iters: Int,
                             maxPerCluster: Int, dims: Int = 64,
@@ -893,10 +896,10 @@ object Similarity {
                             embCol: String = "embedding",
                             seed: String = "cbal"): DataFrame = {
     val rankHash = Dedup.h60(concat(lit(seed + "|"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("cid")).orderBy(rankHash.asc, col(idCol).asc)
-    kmeansAssign(embeddings, k, iters, dims, idCol, embCol)
-      .withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= maxPerCluster)
+    Skew.saltedTopK(
+      kmeansAssign(embeddings, k, iters, dims, idCol, embCol),
+      col("cid"), Seq(rankHash.asc, col(idCol).asc), maxPerCluster,
+      saltBy = col(idCol), rankCol = "sample_rank")
   }
 
   /** Embedding-space benchmark decontamination — the semantic

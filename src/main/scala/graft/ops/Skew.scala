@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot keys — the salting pattern: a handful of
@@ -59,5 +60,36 @@ object Skew {
     val replicatedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Skew-safe per-key top-k — the window analogue of [[saltedAggregate]]:
+    * `row_number().over(Window.partitionBy(key))` sends EVERY row of a
+    * key to one task and sorts it there, so a hot key (the operator's own
+    * premise in quota sampling) is a single straggler sorting billions of
+    * rows to keep k. Two phases instead: rank within the
+    * `(key, pmod(hash(saltBy), salts))` cell and keep k per cell (the
+    * true top-k rows each rank ≤ k inside their own cell, so all of them
+    * survive), then rank the ≤ salts·k survivors per key with the SAME
+    * total order. The final window sees a bounded relation regardless of
+    * key skew, and the emitted rank is bit-identical to the one-window
+    * form because `ordering` is a total order within a key.
+    *
+    * `ordering` MUST be total per key (e.g. deterministic hash + id
+    * tie-break) — a partial order would make both forms nondeterministic.
+    */
+  def saltedTopK(df: DataFrame, keyCol: Column, ordering: Seq[Column],
+                 k: Int, saltBy: Column, salts: Int = 16,
+                 rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(salts > 0, s"salts must be positive: $salts")
+    val cellW = Window.partitionBy(keyCol, col("__salt"))
+      .orderBy(ordering: _*)
+    val keyW = Window.partitionBy(keyCol).orderBy(ordering: _*)
+    df.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+      .withColumn("__cell_rank", row_number().over(cellW))
+      .filter(col("__cell_rank") <= k)
+      .drop("__salt", "__cell_rank")
+      .withColumn(rankCol, row_number().over(keyW))
+      .filter(col(rankCol) <= k)
   }
 }

@@ -2114,6 +2114,34 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(plan.contains("__salt"), "salt column missing from the plan")
   }
 
+  test("saltedTopK domain cap is bit-identical to the one-window form") {
+    import spark.implicits._
+    // one pathological domain carrying 90% of docs + a long tail —
+    // exactly the skew the salted rewrite exists for
+    val rows = (0 until 900).map(i => (i.toLong, "hot.example")) ++
+      (900 until 1000).map(i => (i.toLong, s"d${i % 23}.example"))
+    val df = rows.toDF("doc_id", "source")
+    val salted = graft.ops.Curation
+      .domainCapSample(df, "source", maxPerDomain = 7)
+    val oneWindow = graft.ops.Curation
+      .domainCapSampleOneWindow(df, "source", maxPerDomain = 7)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getInt(2))
+    assert(salted.select("doc_id", "source", "sample_rank")
+      .collect().map(key).sortBy(identity).toSeq ===
+      oneWindow.select("doc_id", "source", "sample_rank")
+        .collect().map(key).sortBy(identity).toSeq)
+    // the cap actually binds on the hot domain
+    assert(salted.filter(col("source") === "hot.example").count() === 7L)
+    // plan shape: two Window stages — cell rank then survivor rank —
+    // with the first partitioned by (source, __salt)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size >= 2,
+      "salted top-k lost its two-stage shape: " + plan.take(600))
+    assert(plan.contains("__salt"),
+      "cell window lost its salt partitioning: " + plan.take(600))
+  }
+
   test("kmeansAssign agrees with a sequential reference Lloyd trainer") {
     import spark.implicits._
     import org.scalacheck.Gen

@@ -562,4 +562,69 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "phash pairing planned an all-pairs join: " + plan.take(600))
   }
+
+  // ------------------------------------------------------------------
+  // Board-wide plan lint — every registered query, one regression gate.
+  // The per-query pins above catch shape regressions in the operators
+  // they name; this sweep catches the ones nobody wrote a pin for: a
+  // stats change flipping a join to CartesianProduct, a refactor
+  // dropping a window's partition spec, a new query shipping with an
+  // all-pairs join.
+  // ------------------------------------------------------------------
+
+  /** Queries where BroadcastNestedLoopJoin IS the intended shape: a
+    * provably bounded side (1-row corpus totals, a k-row query set, a
+    * constant threshold) rides in as a broadcast, and the non-equi
+    * predicate is the operator's semantics. Every entry must say why.
+    */
+  private val bnljAllowed: Map[String, String] = Map(
+    "q_knn_brute" -> "1-row query vector broadcast x corpus scan is brute-force kNN's definition (Similarity.scala:73)",
+    "q_knn_join" -> "bounded query set broadcast; fan-out rides the broadcast by design",
+    "q_knn_ivf_trained" -> "1-row quantized query broadcast over the probed cells (Similarity.scala:322)",
+    "q_ivfpq_rerank" -> "1-row query broadcast over the ADC-shortlisted candidates (Similarity.scala:350)",
+    "q_hamming_topk" -> "1-row packed query signature broadcast (Similarity.scala:238)",
+    "q_rrf_fusion" -> "1-row query broadcasts feeding both fused rankers",
+    "q_importance_weight" -> "1-row corpus-total broadcasts cross-join onto the vocab (Curation.scala:853)",
+    "q_quality_ensemble" -> "same importance-ratio 1-row totals inside the ensemble",
+    "q_pagerank" -> "1-row dangling-mass broadcast cross-joins onto the rank table per round (Graph.scala:67)",
+    "q_semdedup" -> "1-row threshold broadcast over the bounded per-cluster pair set",
+    "q_bm25" -> "1-row (n_docs, total_dl) stats broadcast onto the postings (TextAnalysis.scala:280)",
+    "q_pmi" -> "1-row bigram-total broadcast onto the |vocab|-sized pair table (TextAnalysis.scala:802)",
+    "q_lm_interp" -> "1-row corpus-total broadcast onto the bigram table (TextAnalysis.scala:978)",
+    "q_lm_kn" -> "1-row continuation-type-total broadcast (TextAnalysis.scala:1033)",
+    "q_oov_rate" -> "1-row vocab-total broadcast onto the per-doc table (TextAnalysis.scala:1103)",
+    "q_vocab_coverage" -> "1-row token-total broadcast onto the 3-row coverage table (TextAnalysis.scala:1210)"
+  )
+
+  /** Queries where an UNPARTITIONED window is safe: the windowed
+    * relation is k-bounded (not corpus-scale) by construction. Every
+    * entry must say why.
+    */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q_mix_weights" -> "windows the per-source mixture table: |sources| rows",
+    "q_temperature_mix" -> "windows the per-source mixture table: |sources| rows",
+    "q_epoch_schedule" -> "windows the per-source epoch table: |sources| rows",
+    "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows"
+  )
+
+  test("board lint: no cartesian, no stray BNLJ, no global corpus window") {
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // AQE finalizes join strategies only after execution
+      val plan = df.queryExecution.executedPlan.toString
+      val globalWindow =
+        "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined
+      Seq(
+        (plan.contains("CartesianProduct"),
+          s"$name: CartesianProduct (shuffle-both-sides all-pairs)"),
+        (plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed.contains(name),
+          s"$name: BroadcastNestedLoopJoin outside the bounded-side allowlist"),
+        (globalWindow && !globalWindowAllowed.contains(name),
+          s"$name: unpartitioned Window over a corpus-scale relation")
+      ).collect { case (true, msg) => msg }
+    }
+    assert(failures.isEmpty,
+      "plan lint failures:\n" + failures.mkString("\n"))
+  }
 }

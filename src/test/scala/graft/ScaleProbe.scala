@@ -60,6 +60,24 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
+  /** Hot-domain variant: collapse 90% of docs into ONE `source` value —
+    * the exact skew `domainCapSample` exists for. A per-domain window
+    * would funnel those rows through one sorting task; the salted
+    * two-phase form must keep its exponent flat instead of degrading
+    * toward a single-straggler n·log n.
+    */
+  private def hotify(spark: SparkSession, src: String, dst: String): Unit = {
+    val root = java.nio.file.Paths.get(dst)
+    if (java.nio.file.Files.exists(root.resolve("documents.parquet"))) return
+    java.nio.file.Files.createDirectories(root)
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("source",
+        when(col("doc_id") % 10 =!= 0, lit("hot.example"))
+          .otherwise(col("source")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -72,13 +90,22 @@ object ScaleProbe {
     SparkEntry.silenceExpectedWindowWarnings()
     val probeDir = "/tmp/graft-sfprobe"
     synthesize(spark, "/root/testdata/sf0.1", probeDir, copies = 10)
-    val dirs = Seq("sf0.01" -> "/root/testdata/sf0.01",
+    val hotMode = args.contains("hotdomain")
+    val dirs = if (hotMode) {
+      val hotRoot = "/tmp/graft-hotprobe"
+      hotify(spark, "/root/testdata/sf0.01", s"$hotRoot/sf0.01")
+      hotify(spark, "/root/testdata/sf0.1", s"$hotRoot/sf0.1")
+      hotify(spark, probeDir, s"$hotRoot/sf1x")
+      Seq("sf0.01" -> s"$hotRoot/sf0.01", "sf0.1" -> s"$hotRoot/sf0.1",
+        "sf1x" -> s"$hotRoot/sf1x")
+    } else Seq("sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1", "sf1x" -> probeDir)
     // default: the five heaviest; "all" sweeps every query that can run
     // on the documents/embeddings-only probe corpus (the rest need
     // TPC-H tables the probe does not synthesize and are skipped)
     val wanted =
-      if (args.contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      if (hotMode) Seq("q_domain_cap")
+      else if (args.contains("all")) SparkEntry.queries.keys.toSeq.sorted
       else if (args.nonEmpty) args.toSeq
       else Queries
     def run(q: String, dir: String): Option[Double] =
