@@ -939,6 +939,43 @@ object TrainingQueries {
       Dedup.h60(col("frame_payload").cast("string")).as("frame_h"))
   }
 
+  /** REAL BMP pixel decode, oracle-verified end to end: each doc's text
+    * bytes cycle into a 7×4 24-bit image (odd width → 3 stride-padding
+    * bytes per row), [[graft.functions.MediaCodecKernels.bmpEncode]]
+    * mints the byte-exact container, and the decode kernel walks it
+    * back out — bottom-up row order and stride padding both bind
+    * (row0_sum is the LAST stored row; pixel_sum excludes padding), so
+    * the oracle catches a naive contiguous reader. DuckDB replays the
+    * pixel values straight from the text (ASCII corpus: byte == char).
+    */
+  def qBmpDecode(s: SparkSession, dir: String): DataFrame = {
+    val w = 7; val h = 4 // 84 pixel bytes; stride 24 vs 21 row bytes
+    val pixels = expr(
+      "cast(substring(repeat(text, 84 div length(text) + 1), 1, 84) as binary)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.MediaCodecExpressions.bmpEncode(pixels, w, h)
+          .as("payload"))
+    graft.ops.Multimodal.decodeBmpStats(media)
+  }
+
+  /** REAL WAV PCM16 decode, oracle-verified end to end: 48 mono samples
+    * per doc derived from text chars (`c·129 + i·7 − 8192` — negative
+    * amplitudes present, so the 16-bit sign extension binds), encoded
+    * into a byte-exact RIFF container and decoded back to the integer
+    * amplitude sum + exact energy (fixed-point RMS numerator, no libm).
+    */
+  def qWavDecode(s: SparkSession, dir: String): DataFrame = {
+    val samples = expr(
+      "transform(sequence(0, 47), i -> " +
+        "ascii(substring(text, i % length(text) + 1, 1)) * 129 + i * 7 - 8192)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.MediaCodecExpressions.wavEncode(samples, 16000)
+          .as("payload"))
+    graft.ops.Multimodal.decodeWavStats(media)
+  }
+
   /** Binary-signature ANN: top-10 by Hamming distance over sign-packed
     * 64-dim embeddings (2×32-bit words per vector).
     */
@@ -1001,6 +1038,8 @@ object TrainingQueries {
     "q_url_canon" -> (qUrlCanon _),
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_bmp_decode" -> (qBmpDecode _),
+    "q_wav_decode" -> (qWavDecode _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_c4_filter" -> (qC4Filter _),
     "q_gopher_filter" -> (qGopherFilter _),
@@ -3264,6 +3303,53 @@ object TrainingQueries {
          |  CAST(bit_xor(${dh("CAST(doc_id AS VARCHAR) || '|' || CAST(length(text) AS VARCHAR)")}) AS BIGINT)
          |    AS checksum
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // the BMP decode replayed from first principles: pixel byte j of the
+    // display-order image is text char (j mod len)+1 (ASCII corpus:
+    // byte == char code); display row 0 is chars 1..21 (w=7 -> 21 row
+    // bytes). The Spark side must survive bottom-up storage and stride
+    // padding to reproduce these sums.
+    "q_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(sum(c) AS BIGINT) AS pixel_sum,
+        |    CAST(sum(CASE WHEN j < 21 THEN c ELSE 0 END) AS BIGINT)
+        |      AS row0_sum
+        |  FROM (
+        |    SELECT d.media_id, t.j,
+        |      ascii(substr(d.text, CAST(j % length(d.text) AS INT) + 1, 1))
+        |        AS c
+        |    FROM d CROSS JOIN range(84) t(j))
+        |  GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(7 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height, CAST(28 AS BIGINT) AS n_pixels,
+        |  pixel_sum, row0_sum
+        |FROM px""".stripMargin,
+
+    // the WAV decode replayed from first principles: sample j is
+    // c_(j mod len)*129 + j*7 - 8192 (sign-extended PCM16 on the Spark
+    // side); 96 data bytes over the 32000 B/s byte rate -> 3 ms
+    "q_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |s AS (
+        |  SELECT media_id,
+        |    CAST(sum(v) AS BIGINT) AS sum_amp,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |  FROM (
+        |    SELECT d.media_id,
+        |      ascii(substr(d.text, CAST(j % length(d.text) AS INT) + 1, 1))
+        |        * 129 + j * 7 - 8192 AS v
+        |    FROM d CROSS JOIN range(48) t(j))
+        |  GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(16000 AS BIGINT) AS sample_rate, CAST(48 AS BIGINT) AS n_samples,
+        |  sum_amp, sum_sq, CAST(3 AS BIGINT) AS duration_ms
+        |FROM s""".stripMargin,
 
     // the frame slicer replayed in the VARCHAR domain (ASCII corpus:
     // byte offsets == character offsets); strlen = octet_length

@@ -188,6 +188,44 @@ object Multimodal {
       .select(col("probe_id"), col("corpus_id"), col("hamming"))
   }
 
+  /** REAL pixel decode for uncompressed 24-bit BMP payloads — no codec
+    * library needed, the format is a pure byte layout (bottom-up rows,
+    * 4-byte stride padding; see
+    * [[graft.functions.MediaCodecKernels.bmpDecodeStats]]). Narrow map
+    * at scan speed, payload-pruned; corrupt blobs come back ok=0, never
+    * a task failure. The `__st` alias is deliberate: the stats array is
+    * computed ONCE per row and fanned into columns (inlining the kernel
+    * into six projections would re-walk the payload six times).
+    */
+  def decodeBmpStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.MediaCodecExpressions.bmpDecodeStats(col("payload"))
+        .as("__st"))
+      .select(col("media_id"),
+        element_at(col("__st"), 1).as("ok"),
+        element_at(col("__st"), 2).as("width"),
+        element_at(col("__st"), 3).as("height"),
+        element_at(col("__st"), 4).as("n_pixels"),
+        element_at(col("__st"), 5).as("pixel_sum"),
+        element_at(col("__st"), 6).as("row0_sum"))
+
+  /** REAL sample decode for PCM16 WAV payloads: chunk walk + sign-
+    * extended 16-bit reads; emits the integer amplitude sum and the
+    * exact energy (fixed-point RMS numerator). Same shape and hostile-
+    * input contract as [[decodeBmpStats]].
+    */
+  def decodeWavStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.MediaCodecExpressions.wavDecodeStats(col("payload"))
+        .as("__st"))
+      .select(col("media_id"),
+        element_at(col("__st"), 1).as("ok"),
+        element_at(col("__st"), 2).as("sample_rate"),
+        element_at(col("__st"), 3).as("n_samples"),
+        element_at(col("__st"), 4).as("sum_amp"),
+        element_at(col("__st"), 5).as("sum_sq"),
+        element_at(col("__st"), 6).as("duration_ms"))
+
   /** Build a media table from any binary-bearing DataFrame (the ingest
     * adapter: schema contract enforced here).
     */

@@ -267,4 +267,97 @@ class MultimodalSpec extends SparkSpec {
     // the 3-bits-apart pair is captured EXACTLY (pigeonhole: 4 bands)
     assert(pairs.get((0L, 200L)).exists(_ <= 3L), "3-edit pair missing")
   }
+
+  test("BMP kernel: encode/decode round-trip, bottom-up + stride bind") {
+    import graft.functions.MediaCodecKernels._
+    // 3x2 image, display-order bytes 1..18: row0 = 1..9 (sum 45),
+    // row1 = 10..18 (sum 126); stride = 12 (3 padding bytes per row)
+    val pixels = (1 to 18).map(_.toByte).toArray
+    val bmp = bmpEncode(pixels, 3, 2)
+    assert(bmp.length === 54 + 12 * 2)
+    // stored row 0 is DISPLAY row 1 (bottom-up): bytes 10..18 then pad
+    assert(bmp.slice(54, 63).toSeq === (10 to 18).map(_.toByte))
+    assert(bmp.slice(63, 66).toSeq === Seq[Byte](0, 0, 0))
+    assert(bmp.slice(66, 75).toSeq === (1 to 9).map(_.toByte))
+    val st = bmpDecodeStats(bmp)
+    assert(st.toSeq === Seq(1L, 3L, 2L, 6L, (1 to 18).sum.toLong, 45L))
+    // a TOP-DOWN variant (negative height) of the same stored bytes has
+    // its display rows flipped: row0_sum becomes the other row
+    val topDown = bmp.clone()
+    val negH = -2
+    topDown(22) = (negH & 0xff).toByte; topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = ((negH >> 16) & 0xff).toByte
+    topDown(25) = ((negH >> 24) & 0xff).toByte
+    assert(bmpDecodeStats(topDown).toSeq ===
+      Seq(1L, 3L, 2L, 6L, (1 to 18).sum.toLong, 126L))
+    // hostile inputs: truncated, wrong magic, 32-bpp, compressed
+    assert(bmpDecodeStats(bmp.take(53))(0) === 0L)
+    assert(bmpDecodeStats("XXnot a bitmap at all".getBytes ++
+      new Array[Byte](60))(0) === 0L)
+    val b32 = bmp.clone(); b32(28) = 32
+    assert(bmpDecodeStats(b32)(0) === 0L)
+    val rle = bmp.clone(); rle(30) = 1 // BI_RLE8
+    assert(bmpDecodeStats(rle)(0) === 0L)
+    // data section running past the payload: reject, don't overread
+    val deep = bmp.clone(); deep(22) = 100 // height 100 rows
+    assert(bmpDecodeStats(deep)(0) === 0L)
+  }
+
+  test("WAV kernel: PCM16 round-trip, sign extension, chunk walk") {
+    import graft.functions.MediaCodecKernels._
+    val samples = Array(0, 1, -1, 32767, -32768, 100, -4064)
+    val wav = wavEncode(samples, 16000)
+    assert(wav.length === 44 + 14)
+    val st = wavDecodeStats(wav)
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(st.toSeq === Seq(1L, 16000L, samples.length.toLong,
+      samples.map(_.toLong).sum, sumSq, 14L * 1000 / 32000))
+    // a LIST chunk between fmt and data must be walked over, odd-sized
+    // chunks word-aligned: build RIFF[fmt ][LIST(3+pad)][data]
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 42, 42, 42, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(wav, 0, 36) // RIFF..WAVE + fmt chunk
+    out.write(junk)
+    out.write(wav, 36, wav.length - 36) // data chunk
+    val walked = out.toByteArray
+    // fix RIFF size (not checked by the decoder, but keep it honest)
+    assert(wavDecodeStats(walked).toSeq === st.toSeq)
+    // hostile: float PCM (format 3), 8-bit, truncated data, zero-size loop
+    val f3 = wav.clone(); f3(20) = 3
+    assert(wavDecodeStats(f3)(0) === 0L)
+    val b8 = wav.clone(); b8(34) = 8
+    assert(wavDecodeStats(b8)(0) === 0L)
+    assert(wavDecodeStats(wav.take(43))(0) === 0L)
+    // data size claiming more bytes than present: clamp, not overread
+    val over = wav.clone(); over(40) = (200 & 0xff).toByte
+    val stOver = wavDecodeStats(over)
+    assert(stOver(0) === 1L && stOver(2) === samples.length.toLong)
+    // a zero-size alien chunk must not loop forever
+    val zero = new java.io.ByteArrayOutputStream()
+    zero.write(wav, 0, 36)
+    zero.write(Array[Byte]('j', 'u', 'n', 'k', 0, 0, 0, 0))
+    zero.write(wav, 36, wav.length - 36)
+    assert(wavDecodeStats(zero.toByteArray)(0) === 0L) // stops, reports bad
+  }
+
+  test("decodeBmpStats/decodeWavStats: null-safe columnar path") {
+    import graft.functions.MediaCodecKernels._
+    val bmp = bmpEncode((1 to 12).map(_.toByte).toArray, 2, 2)
+    val wav = wavEncode(Array(5, -5, 7), 8000)
+    val m = Seq((1L, bmp), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeBmpStats(m).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(1L)) // valid blob decodes
+    assert(got(2L) === None)     // NULL payload -> NULL stats, no crash
+    assert(got(3L) === Some(0L)) // garbage blob -> ok=0
+    val w = Seq((1L, wav), (3L, Array[Byte](9, 9)))
+      .toDF("media_id", "payload")
+    val gw = Multimodal.decodeWavStats(w).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap
+    assert(gw(1L) === ((1L, 5L * 5 + 5 * 5 + 7 * 7)))
+    assert(gw(3L)._1 === 0L)
+  }
 }

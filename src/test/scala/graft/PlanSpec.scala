@@ -542,6 +542,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BMP/WAV decode queries run as shuffle-free native kernel maps") {
+    for (q <- Seq("q_bmp_decode", "q_wav_decode")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"),
+        s"$q introduced a shuffle: " + plan.take(400))
+      assert(plan.contains("bmp_") || plan.contains("wav_"),
+        s"$q lost its native codec kernel: " + plan.take(400))
+      // the stats array must be computed once and fanned out, not
+      // re-decoded per output column
+      assert("(bmp|wav)_decode_stats".r.findAllIn(
+        plan.split("== Initial Plan ==").head).size <= 2,
+        s"$q re-decodes the payload per column: " + plan.take(600))
+    }
+  }
+
   test("rand_proj runs as the native kernel with no shuffle") {
     val plan = executedPlan("q_rand_proj")
     assert(!plan.contains("Exchange"),
