@@ -468,6 +468,20 @@ object TrainingQueries {
       n = 3, minOverlap = 1)
   }
 
+  /** Multi-benchmark sweep in one corpus scan: docs %97 and %89 stand in
+    * for two held-out eval sets; every remaining doc gets a per-benchmark
+    * hit count and flag from the single tagged broadcast join.
+    */
+  def qDecontaminateMulti(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.contaminationMulti(
+      d.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0),
+      Seq(
+        "bench_a" -> d.filter(col("doc_id") % 97 === 0),
+        "bench_b" -> d.filter(col("doc_id") % 89 === 0)),
+      n = 3, minOverlap = 1)
+  }
+
   /** Per-domain quota: at most 10 docs per source, hash-ranked. */
   def qDomainCap(s: SparkSession, dir: String): DataFrame =
     Curation.domainCapSample(docs(s, dir), "source", maxPerDomain = 10)
@@ -1056,6 +1070,7 @@ object TrainingQueries {
     "q_token_budget" -> (qTokenBudget _),
     "q_mix_weights" -> (qMixWeights _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_multi" -> (qDecontaminateMulti _),
     "q_domain_cap" -> (qDomainCap _),
     "q_repetition" -> (qRepetition _),
     "q_redact" -> (qRedact _),
@@ -2342,6 +2357,33 @@ object TrainingQueries {
         |  CASE WHEN coalesce(h.n, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    // the tagged-union multi-benchmark sweep, replayed per benchmark
+    "q_decontaminate_multi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM toks),
+        |bench AS (
+        |  SELECT 'bench_a' AS bench, sh
+        |  FROM (SELECT DISTINCT sh FROM grams WHERE doc_id % 97 = 0)
+        |  UNION ALL
+        |  SELECT 'bench_b' AS bench, sh
+        |  FROM (SELECT DISTINCT sh FROM grams WHERE doc_id % 89 = 0)),
+        |hits AS (
+        |  SELECT g.doc_id, b.bench, count(*) AS n
+        |  FROM grams g JOIN bench b USING (sh)
+        |  WHERE g.doc_id % 97 <> 0 AND g.doc_id % 89 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id, b.bench,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_grams,
+        |  CASE WHEN coalesce(h.n, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+        |FROM documents d
+        |CROSS JOIN (VALUES ('bench_a'), ('bench_b')) b(bench)
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id AND b.bench = h.bench
+        |WHERE d.doc_id % 97 <> 0 AND d.doc_id % 89 <> 0""".stripMargin,
 
     "q_domain_cap" ->
       ("""SELECT doc_id, source, sample_rank FROM (

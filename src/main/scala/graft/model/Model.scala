@@ -126,6 +126,7 @@ object Model {
   object ErrorCode {
     val None = 0
     val OffsetOutOfRange = 1
+    val MessageTooLarge = 10
     val InvalidRecord = 87
     val ProducerFenced = 90
     val OutOfOrderSequenceNumber = 45
@@ -161,5 +162,6 @@ object Model {
     val LakeSink = "lake.sink"                 // lake-only topic (no log objects)
     val GeneratedPrefix = "lake.param.generated." // generated-column SQL exprs
     val LakeRecordsPerSecond = "lake.records.per.second" // sink write rate cap
+    val MaxMessageBytes = "max.message.bytes"  // per-record key+value cap
   }
 }

@@ -99,6 +99,44 @@ object Curation {
           .cast("int").as("contaminated"))
   }
 
+  /** Multi-benchmark decontamination in ONE corpus scan: real pipelines
+    * screen against dozens of eval sets, and running [[contamination]]
+    * once per benchmark re-shingles the whole corpus N times. Here every
+    * benchmark's distinct gram set is tagged with its name, unioned
+    * (eval sets are MBs — the union still broadcasts), and joined against
+    * the corpus grams ONCE; hit counts aggregate per (doc, benchmark).
+    * Output is long-format — one row per (doc, benchmark) including
+    * zero-hit pairs (the [[contamination]] every-doc contract, fanned by
+    * the k-element benchmark-name literal array, a narrow explode).
+    * Per-benchmark semantics are EXACTLY [[contamination]]'s: distinct
+    * doc grams hitting that benchmark's distinct gram set.
+    */
+  def contaminationMulti(docs: DataFrame,
+                         benchmarks: Seq[(String, DataFrame)], n: Int = 3,
+                         minOverlap: Int = 1, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(benchmarks.nonEmpty &&
+      benchmarks.map(_._1).toSet.size == benchmarks.size,
+      "benchmarks must be non-empty with distinct names")
+    val docGrams = Dedup.explodedShingles(docs, n, textCol, idCol).distinct()
+    val tagged = benchmarks.map { case (name, b) =>
+      Dedup.explodedShingles(b, n, textCol, idCol)
+        .select(col("sh")).distinct()
+        .select(col("sh"), lit(name).as("bench"))
+    }.reduce(_ unionByName _)
+    val hits = docGrams.join(broadcast(tagged), "sh")
+      .groupBy(col(idCol), col("bench"))
+      .agg(count(lit(1)).as("n_bench_grams"))
+    docs.select(col(idCol))
+      .withColumn("bench",
+        explode(array(benchmarks.map(b => lit(b._1)): _*)))
+      .join(hits, Seq(idCol, "bench"), "left")
+      .select(col(idCol), col("bench"),
+        coalesce(col("n_bench_grams"), lit(0L)).as("n_bench_grams"),
+        (coalesce(col("n_bench_grams"), lit(0L)) >= minOverlap)
+          .cast("int").as("contaminated"))
+  }
+
   /** Per-domain quota sampling: keep at most `maxPerDomain` documents per
     * domain, chosen by deterministic hash rank (ties broken by id) — the
     * domain-balancing step that stops a handful of giant crawl domains

@@ -582,6 +582,40 @@ class BrokerServerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("max.message.bytes over the wire: oversized produce gets MESSAGE_TOO_LARGE") {
+    val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
+    val storage = new ParquetStorage(spark, root)
+    storage.createTopic("cap", 1,
+      Map(graft.model.Model.ConfigKey.MaxMessageBytes -> "16"))
+    val broker = new BrokerServer(storage)
+    try {
+      val sock = new Socket("127.0.0.1", broker.boundPort)
+      def oneRecord(v: Array[Byte]) = RecordBatchCodec.encode(
+        RecordBatchCodec.Batch(0L, 0, 0, 1704067200000L, 1704067200000L,
+          -1L, -1, -1, Seq(RecordBatchCodec.Record(0, 0L, "k".getBytes, v, Nil))))
+      // 64-byte value over a 16-byte cap: the partition reports error 10
+      val big = request(sock, 0, 3, 1) { b =>
+        W.writeProduce(b, W.ProduceRequest(1, 30000, Seq(
+          W.ProduceTopic("cap", Seq(W.ProducePartition(0,
+            oneRecord(Array.fill[Byte](64)('x'))))))))
+      }
+      assert(big.getInt === 1); assert(W.readString(big) === "cap")
+      assert(big.getInt === 1); assert(big.getInt === 0)
+      assert(big.getShort === 10, "expected MESSAGE_TOO_LARGE") // error code
+      // the rejected batch must not have consumed offsets: a small
+      // record lands at base offset 0
+      val ok = request(sock, 0, 3, 2) { b =>
+        W.writeProduce(b, W.ProduceRequest(1, 30000, Seq(
+          W.ProduceTopic("cap", Seq(W.ProducePartition(0,
+            oneRecord("v".getBytes)))))))
+      }
+      ok.getInt; W.readString(ok); ok.getInt; ok.getInt
+      assert(ok.getShort === 0)
+      assert(ok.getLong === 0L) // base offset: nothing was reserved before
+      sock.close()
+    } finally broker.close()
+  }
+
   test("produce/fetch round-trip over the wire (S1/S2/S3 end-to-end)") {
     val root = java.nio.file.Files.createTempDirectory("graft-broker").toString
     val storage = new ParquetStorage(spark, root)

@@ -2114,6 +2114,32 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(plan.contains("__salt"), "salt column missing from the plan")
   }
 
+  test("contaminationMulti equals N single-benchmark contamination runs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta shared one two three"),
+      (2L, "totally clean document with unique words here"),
+      (3L, "shared one two three and also x y z tail"),
+      (4L, "x y z tail plus alpha beta gamma delta")).toDF("doc_id", "text")
+    val benchA = Seq((100L, "shared one two three")).toDF("doc_id", "text")
+    val benchB = Seq((200L, "x y z tail words")).toDF("doc_id", "text")
+    val multi = graft.ops.Curation.contaminationMulti(
+      corpus, Seq("a" -> benchA, "b" -> benchB), n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    for ((name, b) <- Seq("a" -> benchA, "b" -> benchB)) {
+      val single = graft.ops.Curation.contamination(corpus, b, n = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+        .toMap
+      for ((id, v) <- single)
+        assert(multi((id, name)) === v,
+          s"multi($id, $name) diverged from the single-benchmark run")
+    }
+    // every (doc, bench) pair is present, zero-hit ones included
+    assert(multi.size === 4 * 2)
+  }
+
   test("saltedTopK domain cap is bit-identical to the one-window form") {
     import spark.implicits._
     // one pathological domain carrying 90% of docs + a long tail —

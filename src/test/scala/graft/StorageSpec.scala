@@ -43,6 +43,33 @@ class StorageSpec extends SparkSpec {
     assert(st.fetch(tp, 0, 1).count() === 1)
   }
 
+  test("max.message.bytes rejects oversized records with MESSAGE_TOO_LARGE") {
+    val (st, _) = newStorage()
+    st.createTopic("t1", 2, Map(ConfigKey.MaxMessageBytes -> "32"))
+    // key+value within the cap: accepted
+    assert(st.produce(tp, batch(3)) === Right(0L))
+    // one oversized value poisons the whole batch (atomic reject: the
+    // watermark must not advance past a half-accepted batch)
+    val big = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k", "small"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "k", "x" * 64))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(tp, big) === Left(ErrorCode.MessageTooLarge))
+    assert(st.offsetStage(tp).highWatermark === 3L) // nothing landed
+    // routed multi-partition path enforces the same cap
+    val routed = big.withColumn("partition", lit(0))
+    assert(st.produceAll("t1", routed) === Left(ErrorCode.MessageTooLarge))
+    // key bytes count toward the record size too
+    val bigKey = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "k" * 40, "v"))
+      .toDF("timestamp", "key", "value")
+    assert(st.produce(tp, bigKey) === Left(ErrorCode.MessageTooLarge))
+    // unconfigured topics stay uncapped
+    val (st2, _) = newStorage()
+    st2.createTopic("t1", 1)
+    assert(st2.produce(tp, big).isRight)
+  }
+
   test("idempotent producer: duplicate and out-of-order sequences rejected") {
     val (st, _) = newStorage()
     st.createTopic("t1", 1)
