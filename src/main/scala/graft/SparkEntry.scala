@@ -152,7 +152,8 @@ object SparkEntry {
     "q3_top_revenue" -> (q3TopRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q_dup_sequences" -> (qDupSequences _)
-  ) ++ TrainingQueries.queries ++ SchemaQueries.queries ++ RelationalQueries.queries
+  ) ++ TrainingQueries.queries ++ SchemaQueries.queries ++
+    RelationalQueries.queries ++ TpchQueries.queries
 
   /** DuckDB oracle SQL. The log view is inlined as a CTE:
     * partition = event_id % 8, offset = event_id, key = user_id,
@@ -244,5 +245,6 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY "partition", "key" % 4, "offset" % 97
         |      ORDER BY "offset") AS dup_rank
         |  FROM log WHERE "key" IS NOT NULL) WHERE dup_rank > 1""".stripMargin)
-  ) ++ TrainingQueries.oracleSql ++ SchemaQueries.oracleSql ++ RelationalQueries.oracleSql
+  ) ++ TrainingQueries.oracleSql ++ SchemaQueries.oracleSql ++
+    RelationalQueries.oracleSql ++ TpchQueries.oracleSql
 }
