@@ -336,6 +336,26 @@ object TrainingQueries {
     TextAnalysis.bm25Rank(docs(s, dir),
       terms = Seq("spark", "merge", "window"), k = 10)
 
+  /** Block-max pruned BM25 top-10 over 8 doc-hash blocks: the two-pass
+    * batch WAND whose output the oracle replays block by block —
+    * bounds, phase-1 prefix, tau, phase-2 survivors, and the scan
+    * diagnostics — not just the final ranking.
+    */
+  def qBlockmaxTopk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25BlockMaxTopK(docs(s, dir),
+      terms = Seq("spark", "merge", "window"), k = 10, blocks = 8)
+
+  /** Simpson collision-index repetition filter, with char-run padding
+    * planted on doc_id % 23 so the keep flag actually bites (natural
+    * corpus collision tops out ~0.10; the threshold is 0.12).
+    */
+  def qCharDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charDiversity(
+      docs(s, dir).withColumn("text",
+        when(col("doc_id") % 23 === 0,
+          concat(col("text"), lit(" " + "z" * 400)))
+          .otherwise(col("text"))))
+
   /** 4-block inverted index over the corpus: per (term, block) posting
     * stats, varint byte sizing, and the order-sensitive gap checksum.
     */
@@ -1077,6 +1097,8 @@ object TrainingQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf_top_terms" -> (qTfIdf _),
     "q_bm25" -> (qBm25 _),
+    "q_blockmax_topk" -> (qBlockmaxTopk _),
+    "q_char_diversity" -> (qCharDiversity _),
     "q_postings" -> (qPostings _),
     "q_pagerank" -> (qPagerank _),
     "q_span_corrupt" -> (qSpanCorrupt _),
@@ -2435,6 +2457,104 @@ object TrainingQueries {
       s"""WITH $bm25ScoredCtes
          |SELECT doc_id, n_hits, score_e6 FROM bmscore
          |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the full two-pass block-max replay: per-(term, block) max scores,
+    // bound-ordered phase-1 prefix holding >= k docs, tau = k-th best
+    // exact phase-1 score, phase 2 = remaining blocks with bound >= tau
+    "q_blockmax_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dlt AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS total_dl FROM dlt),
+        |q(w) AS (VALUES ('spark'), ('merge'), ('window')),
+        |tft AS (SELECT tk.doc_id, tk.w, count(*) AS tf
+        |  FROM tk JOIN q USING (w) GROUP BY 1, 2),
+        |dft AS (SELECT w, count(*) AS dft FROM tft GROUP BY 1),
+        |base AS (
+        |  SELECT t.doc_id, t.w, t.tf, d.dl, f.dft, st.n_docs,
+        |    (st.total_dl // st.n_docs) * 1000000 +
+        |      ((st.total_dl % st.n_docs) * 1000000) // st.n_docs AS avgdl_e6
+        |  FROM tft t JOIN dlt d USING (doc_id) JOIN dft f USING (w)
+        |  CROSS JOIN st),
+        |c1 AS (SELECT *,
+        |    ((dl * 1000000) // avgdl_e6) * 1000000 +
+        |      (((dl * 1000000) % avgdl_e6) * 1000000) // avgdl_e6 AS ratio_e6
+        |  FROM base),
+        |c2 AS (SELECT *,
+        |    1000000 - 750000 + 750000 * (ratio_e6 // 1000000) +
+        |      (750000 * (ratio_e6 % 1000000)) // 1000000 AS norm_e6
+        |  FROM c1),
+        |c3 AS (SELECT *,
+        |    tf * 1000000 + 1200000 * (norm_e6 // 1000000) +
+        |      (1200000 * (norm_e6 % 1000000)) // 1000000 AS den
+        |  FROM c2),
+        |calcw AS (
+        |  SELECT doc_id, w, doc_id % 8 AS block,
+        |    ((2 * (n_docs - dft) + 1) // (2 * dft + 1)) * 1000000 +
+        |      (((2 * (n_docs - dft) + 1) % (2 * dft + 1)) * 1000000)
+        |        // (2 * dft + 1) AS idf_e6,
+        |    ((tf * (1200000 + 1000000)) // den) * 1000000 +
+        |      (((tf * (1200000 + 1000000)) % den) * 1000000) // den
+        |      AS tfpart_e6
+        |  FROM c3),
+        |ts AS (SELECT doc_id, w, block,
+        |    (idf_e6 // 1000000) * tfpart_e6 +
+        |      ((idf_e6 % 1000000) * tfpart_e6) // 1000000 AS term_score_e6
+        |  FROM calcw),
+        |pd AS (SELECT block, doc_id, count(*) AS n_hits,
+        |    CAST(sum(term_score_e6) AS BIGINT) AS score_e6
+        |  FROM ts GROUP BY 1, 2),
+        |ubt AS (SELECT block, w, max(term_score_e6) AS mx
+        |  FROM ts GROUP BY 1, 2),
+        |ub AS (SELECT block, CAST(sum(mx) AS BIGINT) AS ub
+        |  FROM ubt GROUP BY 1),
+        |nd AS (SELECT block, count(*) AS nd FROM pd GROUP BY 1),
+        |mk AS (SELECT b.block, b.ub, n.nd,
+        |    sum(n.nd) OVER (ORDER BY b.ub DESC, b.block) AS cum
+        |  FROM ub b JOIN nd n USING (block)),
+        |mk2 AS (SELECT *, (cum - nd < 10) AS phase1 FROM mk),
+        |p1 AS (SELECT pd.* FROM pd JOIN mk2 USING (block)
+        |  WHERE mk2.phase1),
+        |tau AS (SELECT coalesce((SELECT score_e6 FROM p1
+        |    ORDER BY score_e6 DESC, doc_id LIMIT 1 OFFSET 9), -1) AS tau),
+        |p2b AS (SELECT mk2.block FROM mk2, tau
+        |  WHERE NOT mk2.phase1 AND mk2.ub >= tau.tau),
+        |cand AS (
+        |  SELECT p1.*, CAST(1 AS BIGINT) AS phase FROM p1
+        |  UNION ALL
+        |  SELECT pd.*, CAST(2 AS BIGINT) FROM pd JOIN p2b USING (block)),
+        |scan AS (SELECT
+        |    (SELECT count(DISTINCT block) FROM cand) AS scanned_blocks,
+        |    (SELECT count(*) FROM mk2) AS total_blocks)
+        |SELECT doc_id, n_hits, score_e6, phase, scanned_blocks,
+        |  total_blocks
+        |FROM cand, scan ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // per-char counts -> exact quotient-remainder collision index; the
+    // planted char runs must flip keep to false
+    "q_char_diversity" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 0
+        |      THEN text || ' ' || repeat('z', 400) ELSE text END AS text
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM planted),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+        |    count(*) AS distinct_chars, CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM cc GROUP BY 1),
+        |coll AS (SELECT doc_id, n_chars_counted, distinct_chars,
+        |    CAST((ss // (n_chars_counted * n_chars_counted)) * 1000000 +
+        |      ((ss % (n_chars_counted * n_chars_counted)) * 1000000)
+        |        // (n_chars_counted * n_chars_counted) AS BIGINT)
+        |      AS collision_e6
+        |  FROM d)
+        |SELECT doc_id, n_chars_counted, distinct_chars, collision_e6,
+        |  collision_e6 <= 120000 AS keep
+        |FROM coll""".stripMargin,
 
     // every blob's 60-bit block-mean hash rebuilt from char codes,
     // then the same 4x15-bit band join and exact Hamming filter

@@ -67,6 +67,44 @@ object TextAnalysis {
         when(col("n_stopwords") > 0, 1).otherwise(0))
       .withColumn("keep", col("quality") >= 3)
 
+  /** Character-repetition filter via the Simpson/collision index —
+    * Rényi order-2 diversity WITHOUT the log, so it is exactly
+    * rational and both engines agree bit for bit where a Shannon
+    * -Σ p·ln p would drift in the last double ulp:
+    * collision_e6 = 1e6 · Σ c_i² / n² over per-character counts.
+    * Natural prose sits near the language's unigram collision rate
+    * (this corpus: 0.068-0.10); character runs, padding, and
+    * boilerplate push toward 1.0 — the classic cheap screen run
+    * before the heavier LM scorers.
+    *
+    * Scale shape: one (doc, char) micro-group aggregate, then one
+    * per-doc aggregate — the n-gram family's two-exchange shape; no
+    * window, no join. Exact while n ≤ ~3.0M chars per doc (the
+    * remainder·1e6 term of the quotient-remainder split caps at
+    * n²·1e6); a larger "document" is a concatenation bug, not text.
+    * Returns (idCol, n_chars_counted, distinct_chars, collision_e6,
+    * keep).
+    */
+  def charDiversity(docs: DataFrame, keepMaxE6: Long = 120000L,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs
+      // empty-string guard: Java's split("", -1) emits a trailing ""
+      // element that DuckDB's string_split does not
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chars_counted"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * col("c")).as("__ss"))
+      .withColumn("collision_e6", expr(
+        "(__ss DIV (n_chars_counted * n_chars_counted)) * 1000000L + " +
+          "((__ss % (n_chars_counted * n_chars_counted)) * 1000000L)" +
+          " DIV (n_chars_counted * n_chars_counted)"))
+      .withColumn("keep", col("collision_e6") <= keepMaxE6)
+      .drop("__ss")
+
   /** Language-ID by marker-word voting: per-language hit counts,
     * deterministic argmax (strict > chain, earlier language wins ties).
     */
@@ -283,6 +321,94 @@ object TextAnalysis {
         sum(col("term_score_e6")).as("score_e6"))
       .orderBy(col("score_e6").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Block-max pruned BM25 top-k (Ding & Suel's block-max WAND recast
+    * as two batch passes) — the scale path for retrieval over a sharded
+    * index: per (term, block) the index carries the MAX attainable
+    * term score (query-independent — BM25's term score depends only on
+    * tf/dl/df/corpus stats), so a query can skip every block whose
+    * summed bound cannot beat the running k-th best score.
+    *
+    * Batch form (no per-posting cursor): phase 1 exact-scores the
+    * smallest prefix of blocks by (bound desc) holding >= k candidate
+    * docs and takes tau = the k-th best exact score; phase 2
+    * exact-scores only the remaining blocks with bound >= tau (>=, not
+    * >: an equal-bound block can hold an equal score that wins the
+    * doc-id tie-break). Any doc in a skipped block scores <= bound <
+    * tau with k docs already at >= tau, so the union's top-k equals
+    * the full scan's — the spec asserts that equality and that the
+    * skip actually bites.
+    *
+    * Scale shape: the heavy pass stays the postings scan; the block
+    * table is |blocks| rows (a config constant), so its windows and
+    * the 1-row tau broadcast are k-bounded. Per-block top-k runs under
+    * a PARTITIONED window; only the <= |blocks|*k survivors meet the
+    * global merge window. Returns (idCol, n_hits, score_e6, phase,
+    * scanned_blocks, total_blocks).
+    */
+  def bm25BlockMaxTopK(docs: DataFrame, terms: Seq[String], k: Int,
+                       blocks: Int = 8, k1E3: Long = 1200L, bE3: Long = 750L,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && k > 0 && blocks > 0, "bad blockmax params")
+    val toksDf = docs
+      .select(col(idCol), toks(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        size(col("__ts")).cast("long").as("dl"))
+    val tk = toksDf.select(col(idCol), col("dl"),
+        explode(col("__ts")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = tk.groupBy(col(idCol), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("dft"))
+    val stats = toksDf.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val scored = withBm25TermScore(
+      tf.join(broadcast(dfT), "w").crossJoin(broadcast(stats)),
+      k1E3 * 1000L, bE3 * 1000L)
+      .withColumn("block", pmod(col(idCol), lit(blocks.toLong)))
+      .select(col("block"), col(idCol), col("w"), col("term_score_e6"))
+    val perDoc = scored.groupBy(col("block"), col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("term_score_e6")).as("score_e6"))
+    // index metadata: per-(term, block) max term score; query bound =
+    // the sum over the query's terms. |blocks| rows from here down.
+    val ub = scored.groupBy(col("block"), col("w"))
+      .agg(max(col("term_score_e6")).as("mx"))
+      .groupBy(col("block")).agg(sum(col("mx")).as("ub"))
+    val nd = perDoc.groupBy(col("block")).agg(count(lit(1)).as("nd"))
+    val wB = Window.orderBy(col("ub").desc, col("block")) // |blocks| rows
+    val marked = ub.join(nd, "block")
+      .withColumn("cum", sum(col("nd")).over(wB))
+      .withColumn("phase1", col("cum") - col("nd") < k)
+    val wInB = Window.partitionBy(col("block"))
+      .orderBy(col("score_e6").desc, col(idCol))
+    val wAll = Window.orderBy(col("score_e6").desc, col(idCol))
+    val p1 = perDoc.join(
+      broadcast(marked.filter(col("phase1")).select("block")), "block")
+    // tau = k-th best exact score in phase 1 via per-block top-k then a
+    // merge over the <= |blocks|*k survivors; empty agg -> -1 = no
+    // pruning possible (phase 1 held fewer than k docs)
+    val tau = p1.withColumn("rb", row_number().over(wInB))
+      .filter(col("rb") <= k)
+      .withColumn("r", row_number().over(wAll)).filter(col("r") === k)
+      .agg(coalesce(max(col("score_e6")), lit(-1L)).as("tau"))
+    val p2 = perDoc.join(broadcast(
+      marked.filter(!col("phase1"))
+        .crossJoin(broadcast(tau)).filter(col("ub") >= col("tau"))
+        .select("block")), "block")
+    val cand = p1.withColumn("phase", lit(1L))
+      .unionByName(p2.withColumn("phase", lit(2L)))
+    val scanStats = cand.groupBy().agg(
+      countDistinct(col("block")).as("scanned_blocks"))
+      .crossJoin(broadcast(
+        marked.groupBy().agg(count(lit(1)).as("total_blocks"))))
+    cand.withColumn("rb", row_number().over(wInB)).filter(col("rb") <= k)
+      .withColumn("r", row_number().over(wAll)).filter(col("r") <= k)
+      .crossJoin(broadcast(scanStats))
+      .select(col(idCol), col("n_hits"), col("score_e6"), col("phase"),
+        col("scanned_blocks"), col("total_blocks"))
   }
 
   /** Block-sharded inverted index build — the retrieval-side artifact a

@@ -883,6 +883,88 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("blockMaxTopK equals the full-scan top-k on the corpus") {
+    val terms = Seq("spark", "merge", "window")
+    val full = TextAnalysis.bm25Rank(docs, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pruned = TextAnalysis.bm25BlockMaxTopK(docs, terms, k = 10,
+        blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pruned === full,
+      "block-max pruning changed the exact top-k")
+  }
+
+  test("blockMaxTopK actually skips blocks when the bounds separate") {
+    import spark.implicits._
+    // block 0 (ids % 4 == 0) holds the short high-tf docs; every other
+    // block's best possible score is the long tf=1 doc — its bound
+    // lands below tau after phase 1, so phases never touch blocks 1-3
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = (0L until 20L).map { id =>
+      if (id % 4 == 0) (id, "needle needle needle")
+      else (id, s"needle $filler")
+    }
+    val got = TextAnalysis.bm25BlockMaxTopK(
+      corpus.toDF("doc_id", "text"), Seq("needle"), k = 2, blocks = 4)
+    val rows = got.collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(0L, 4L))
+    assert(rows.forall(_.getAs[Long]("phase") === 1L))
+    assert(rows.forall(r => r.getAs[Long]("scanned_blocks") === 1L &&
+      r.getAs[Long]("total_blocks") === 4L),
+      "bounds should have pruned blocks 1-3")
+    // and the pruned result still equals the full scan
+    val full = TextAnalysis.bm25Rank(
+        corpus.toDF("doc_id", "text"), Seq("needle"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq.sorted ===
+      full.sorted)
+  }
+
+  test("blockMaxTopK scans everything when phase 1 holds < k docs") {
+    import spark.implicits._
+    val corpus = Seq((1L, "needle a"), (2L, "needle b c"),
+      (3L, "needle d e f"), (10L, "plain text"))
+    val got = TextAnalysis.bm25BlockMaxTopK(
+      corpus.toDF("doc_id", "text"), Seq("needle"), k = 10, blocks = 4)
+    val rows = got.collect()
+    // tau = -1 -> every block with candidates is scanned; all 3 hits out
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 3L))
+    assert(rows.forall(r => r.getAs[Long]("scanned_blocks") ===
+      r.getAs[Long]("total_blocks")))
+  }
+
+  test("charDiversity: exact collision index, runs flagged, unicode chars") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aabb"),        // ss=8,  n=4  -> 500000, drop
+      (2L, "abcdefghij"),  // ss=10, n=10 -> 100000, keep
+      (3L, "héé")) // chars h,é,é: ss=5, n=3 -> 555555, drop
+    val got = TextAnalysis.charDiversity(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars_counted"), r.getAs[Long]("distinct_chars"),
+          r.getAs[Long]("collision_e6"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) === ((4L, 2L, 500000L, false)))
+    assert(got(2L) === ((10L, 10L, 100000L, true)))
+    // unicode: é counts as ONE char (code point), not two utf-8 bytes
+    assert(got(3L) === ((3L, 2L, 555555L, false)))
+  }
+
+  test("charDiversity separates the natural corpus from planted runs") {
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 23 === 0,
+        concat(col("text"), lit(" " + "z" * 400)))
+        .otherwise(col("text")))
+    val byKeep = TextAnalysis.charDiversity(planted)
+      .withColumn("is_planted", col("doc_id") % 23 === 0)
+      .groupBy("is_planted", "keep").count()
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2))
+      .toMap
+    // every planted doc drops, every natural doc keeps
+    assert(!byKeep.contains((true, true)) && !byKeep.contains((false, false)),
+      s"threshold failed to separate: $byKeep")
+  }
+
   test("tfIdfTopTerms: k rows per doc, ranked by score then term") {
     val top = TextAnalysis.tfIdfTopTerms(docs.limit(20), k = 3).cache()
     val counts = top.groupBy("doc_id").count().collect()
