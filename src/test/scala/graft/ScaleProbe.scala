@@ -79,9 +79,13 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SHUFFLE: per-task-memory knob for the deep decades —
+    // a 100x corpus on the SAME 32 cores needs smaller tasks to avoid
+    // spill, the local analogue of a cluster's proportional parallelism
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -91,6 +95,12 @@ object ScaleProbe {
     val probeDir = "/tmp/graft-sfprobe"
     synthesize(spark, "/root/testdata/sf0.1", probeDir, copies = 10)
     val hotMode = args.contains("hotdomain")
+    // "deep" adds a FOURTH decade: 100x-sf0.1 (500k docs / 200k vecs) —
+    // the heavy family must hold its exponent across two synthetic
+    // decades, not just one, before "sublinear" is a believable claim
+    val deepMode = args.contains("deep")
+    val deepDir = "/tmp/graft-sfprobe100"
+    if (deepMode) synthesize(spark, "/root/testdata/sf0.1", deepDir, copies = 100)
     val dirs = if (hotMode) {
       val hotRoot = "/tmp/graft-hotprobe"
       hotify(spark, "/root/testdata/sf0.01", s"$hotRoot/sf0.01")
@@ -99,14 +109,20 @@ object ScaleProbe {
       Seq("sf0.01" -> s"$hotRoot/sf0.01", "sf0.1" -> s"$hotRoot/sf0.1",
         "sf1x" -> s"$hotRoot/sf1x")
     } else Seq("sf0.01" -> "/root/testdata/sf0.01",
-      "sf0.1" -> "/root/testdata/sf0.1", "sf1x" -> probeDir)
+      "sf0.1" -> "/root/testdata/sf0.1", "sf1x" -> probeDir) ++
+      (if (deepMode) Seq("sf10x" -> deepDir) else Nil)
     // default: the five heaviest; "all" sweeps every query that can run
     // on the documents/embeddings-only probe corpus (the rest need
     // TPC-H tables the probe does not synthesize and are skipped)
+    val deepQueries = Seq("q_quality_ensemble", "q_pagerank",
+      "q_dedup_ngram", "q_keep_canonical", "q_phash_pairs", "q_domain_cap")
+    val explicit = args.filterNot(Set("deep", "hotdomain", "all")).toSeq
     val wanted =
       if (hotMode) Seq("q_domain_cap")
+      else if (deepMode && explicit.nonEmpty) explicit
+      else if (deepMode) deepQueries
       else if (args.contains("all")) SparkEntry.queries.keys.toSeq.sorted
-      else if (args.nonEmpty) args.toSeq
+      else if (explicit.nonEmpty) explicit
       else Queries
     def run(q: String, dir: String): Option[Double] =
       try {
@@ -128,9 +144,13 @@ object ScaleProbe {
         // exponent per decade of data: log10(t_next / t_prev)
         val e1 = math.log10(m("sf0.1") / m("sf0.01"))
         val e2 = math.log10(m("sf1x") / m("sf0.1"))
+        val deep = m.get("sf10x").map(t => math.log10(t / m("sf1x")))
+        val deepStr = deep.map(e3 =>
+          f" sf10x=${m("sf10x")}%8.2fs exp(1x->10x)=$e3%5.2f").getOrElse("")
         println(f"PROBE $q%-22s sf0.01=${m("sf0.01")}%6.2fs sf0.1=${m("sf0.1")}%6.2fs " +
-          f"sf1x=${m("sf1x")}%7.2fs exp(0.01->0.1)=$e1%5.2f exp(0.1->1x)=$e2%5.2f")
-        Some(q -> e2)
+          f"sf1x=${m("sf1x")}%7.2fs exp(0.01->0.1)=$e1%5.2f exp(0.1->1x)=$e2%5.2f" +
+          deepStr)
+        Some(q -> deep.getOrElse(e2))
       }
     }
     if (exps.size > 1) {
