@@ -1010,6 +1010,37 @@ object TrainingQueries {
     graft.ops.Multimodal.decodeWavStats(media)
   }
 
+  /** Real resize: 7x4 BMPs (q_bmp_decode's synthesis) downscaled to 3x2
+    * by the nearest-neighbor kernel, then re-decoded — the oracle
+    * replays every surviving byte via the floor pixel mapping.
+    */
+  def qBmpResize(s: SparkSession, dir: String): DataFrame = {
+    val w = 7; val h = 4
+    val pixels = expr(
+      "cast(substring(repeat(text, 84 div length(text) + 1), 1, 84) as binary)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.MediaCodecExpressions.bmpEncode(pixels, w, h)
+          .as("payload"))
+    graft.ops.Multimodal.decodeBmpStats(
+      graft.ops.Multimodal.resizeBmp(media, 3, 2))
+  }
+
+  /** Real resample: q_wav_decode's 48-sample 16 kHz clips decimated 4x
+    * to 12 samples at 4 kHz, then re-decoded.
+    */
+  def qWavDownsample(s: SparkSession, dir: String): DataFrame = {
+    val samples = expr(
+      "transform(sequence(0, 47), i -> " +
+        "ascii(substring(text, i % length(text) + 1, 1)) * 129 + i * 7 - 8192)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.MediaCodecExpressions.wavEncode(samples, 16000)
+          .as("payload"))
+    graft.ops.Multimodal.decodeWavStats(
+      graft.ops.Multimodal.downsampleWav(media, 4))
+  }
+
   /** Binary-signature ANN: top-10 by Hamming distance over sign-packed
     * 64-dim embeddings (2×32-bit words per vector).
     */
@@ -1073,7 +1104,9 @@ object TrainingQueries {
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bmp_decode" -> (qBmpDecode _),
+    "q_bmp_resize" -> (qBmpResize _),
     "q_wav_decode" -> (qWavDecode _),
+    "q_wav_downsample" -> (qWavDownsample _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_c4_filter" -> (qC4Filter _),
     "q_gopher_filter" -> (qGopherFilter _),
@@ -3510,6 +3543,54 @@ object TrainingQueries {
         |  GROUP BY media_id)
         |SELECT media_id, CAST(1 AS BIGINT) AS ok,
         |  CAST(16000 AS BIGINT) AS sample_rate, CAST(48 AS BIGINT) AS n_samples,
+        |  sum_amp, sum_sq, CAST(3 AS BIGINT) AS duration_ms
+        |FROM s""".stripMargin,
+
+    // the nearest-neighbor resize replayed byte by byte: display pixel
+    // (x, y) of the 3x2 output draws source pixel (x*7//3, y*4//2) of
+    // the 7x4 input, whose channel bytes sit at j = sy*21 + sx*3 + ch
+    // in the display-order pixel array = text char (j mod len)
+    "q_bmp_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(sum(c) AS BIGINT) AS pixel_sum,
+        |    CAST(sum(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT)
+        |      AS row0_sum
+        |  FROM (
+        |    SELECT d.media_id, y.y,
+        |      ascii(substr(d.text,
+        |        CAST(((y.y * 4 // 2) * 21 + (x.x * 7 // 3) * 3 + ch.ch)
+        |          % length(d.text) AS INT) + 1, 1)) AS c
+        |    FROM d CROSS JOIN range(2) y(y) CROSS JOIN range(3) x(x)
+        |    CROSS JOIN range(3) ch(ch))
+        |  GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(3 AS BIGINT) AS width,
+        |  CAST(2 AS BIGINT) AS height, CAST(6 AS BIGINT) AS n_pixels,
+        |  pixel_sum, row0_sum
+        |FROM px""".stripMargin,
+
+    // the 4x decimation replayed from first principles: kept sample j
+    // is source sample 4j = c_(4j mod len)*129 + 4j*7 - 8192; 24 data
+    // bytes over the new 8000 B/s byte rate -> 3 ms
+    "q_wav_downsample" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |s AS (
+        |  SELECT media_id,
+        |    CAST(sum(v) AS BIGINT) AS sum_amp,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |  FROM (
+        |    SELECT d.media_id,
+        |      ascii(substr(d.text, CAST((4 * j) % length(d.text) AS INT) + 1,
+        |          1)) * 129 + 4 * j * 7 - 8192 AS v
+        |    FROM d CROSS JOIN range(12) t(j))
+        |  GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(4000 AS BIGINT) AS sample_rate, CAST(12 AS BIGINT) AS n_samples,
         |  sum_amp, sum_sq, CAST(3 AS BIGINT) AS duration_ms
         |FROM s""".stripMargin,
 

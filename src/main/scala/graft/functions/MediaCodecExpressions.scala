@@ -111,6 +111,49 @@ object MediaCodecKernels {
     Array(1L, w.toLong, h.toLong, w.toLong * h, pixelSum, row0Sum)
   }
 
+  /** Nearest-neighbor resize of a 24-bit uncompressed BMP to
+    * dstW × dstH, re-encoded via [[bmpEncode]] — the real "resize" leg
+    * of the multimodal decode/feature/resize/frame-sample contract for
+    * the codec-free format. Source pixel for display (x, y) is
+    * (x·srcW DIV dstW, y·srcH DIV dstH) — the standard floor mapping,
+    * chosen because an oracle can replay every byte choice exactly.
+    * Handles bottom-up AND top-down sources (output is always the
+    * canonical bottom-up layout [[bmpEncode]] writes). Hostile or
+    * non-24-bit input → null, never a throw.
+    */
+  def bmpResizeNn(p: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') return null
+    val off = rdLe32(p, 10)
+    val hdrSize = rdLe32(p, 14)
+    val w = rdLe32(p, 18)
+    val hRaw = rdLe32(p, 22)
+    val bpp = rdLe16(p, 28)
+    val compression = rdLe32(p, 30)
+    if (hdrSize < 40 || bpp != 24 || compression != 0 || w <= 0 ||
+        hRaw == 0 || w > (1 << 20)) return null
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride.toLong * h > p.length) return null
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * h / dstH).toInt
+      val stored = if (bottomUp) h - 1 - sy else sy
+      val base = off + stored * stride
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * w / dstW).toInt
+        val si = base + sx * 3
+        val di = (y * dstW + x) * 3
+        out(di) = p(si); out(di + 1) = p(si + 1); out(di + 2) = p(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    bmpEncode(out, dstW, dstH)
+  }
+
   /** Build a mono PCM16 RIFF/WAVE container from `samples` (each
     * clamped-assumed int16 range; caller guarantees range).
     */
@@ -149,8 +192,12 @@ object MediaCodecKernels {
     * input discipline as [[bmpDecodeStats]]: non-PCM16, truncated, or
     * non-advancing chunks → ok=0, never a throw.
     */
-  def wavDecodeStats(p: Array[Byte]): Array[Long] = {
-    val bad = new Array[Long](6)
+  /** RIFF chunk walk shared by the WAV kernels:
+    * `[ok, sampleRate, byteRate, dataStart, dataLen]`, ok=0 on hostile
+    * input (non-PCM16, truncated, non-advancing chunks).
+    */
+  private def wavLayout(p: Array[Byte]): Array[Long] = {
+    val bad = new Array[Long](5)
     if (p == null || p.length < 44 ||
         p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
         p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return bad
@@ -184,6 +231,17 @@ object MediaCodecKernels {
       else i += advance.toInt
     }
     if (!fmtOk || dataStart < 0 || dataLen < 0) return bad
+    Array(1L, sampleRate, byteRate, dataStart.toLong, dataLen.toLong)
+  }
+
+  def wavDecodeStats(p: Array[Byte]): Array[Long] = {
+    val bad = new Array[Long](6)
+    val lay = wavLayout(p)
+    if (lay(0) == 0L) return bad
+    val sampleRate = lay(1)
+    val byteRate = lay(2)
+    val dataStart = lay(3).toInt
+    val dataLen = lay(4).toInt
     val nSamples = dataLen / 2
     var sumAmp = 0L
     var sumSq = 0L
@@ -197,6 +255,31 @@ object MediaCodecKernels {
     val durationMs = if (byteRate > 0) dataLen.toLong * 1000L / byteRate
                      else -1L
     Array(1L, sampleRate, nSamples.toLong, sumAmp, sumSq, durationMs)
+  }
+
+  /** Integer-factor PCM16 decimation: keep every `factor`-th sample
+    * starting at sample 0, re-encoded at srcRate/factor via
+    * [[wavEncode]] — the real "resample" leg for the codec-free audio
+    * format. Deliberately the NAIVE decimator (no anti-alias filter):
+    * the byte choices are exactly oracle-replayable, and the filtered
+    * variant is a windowed integer convolution over the same walk.
+    * Hostile input or a rate not divisible by `factor` → null.
+    */
+  def wavDownsample(p: Array[Byte], factor: Int): Array[Byte] = {
+    val lay = wavLayout(p)
+    if (lay(0) == 0L) return null
+    val sampleRate = lay(1)
+    val dataStart = lay(3).toInt
+    val nSamples = lay(4).toInt / 2
+    if (sampleRate % factor != 0) return null
+    val outN = (nSamples + factor - 1) / factor
+    val samples = new Array[Int](outN)
+    var j = 0
+    while (j < outN) {
+      samples(j) = rdLe16(p, dataStart + j * factor * 2).toShort.toInt
+      j += 1
+    }
+    wavEncode(samples, (sampleRate / factor).toInt)
   }
 }
 
@@ -239,6 +322,54 @@ case class BmpDecodeStats(child: Expression) extends UnaryExpression {
         s"graft.functions.MediaCodecKernels.bmpDecodeStats($v))")
   override protected def withNewChildInternal(
       newChild: Expression): BmpDecodeStats = copy(child = newChild)
+}
+
+/** `bmp_resize_nn(payload)`: 24-bit BMP → dstW×dstH nearest-neighbor
+  * resized BMP; null on hostile input (nullSafeEval may return null —
+  * corrupt blobs flow through as missing, never as task failures).
+  */
+case class BmpResizeNn(child: Expression, dstW: Int, dstH: Int)
+    extends UnaryExpression {
+  require(dstW > 0 && dstH > 0 && dstW <= (1 << 14) && dstH <= (1 << 14),
+    s"bad target dims: ${dstW}x$dstH")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_resize_nn"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bmp_resize_nn requires binary, got ${t.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecKernels.bmpResizeNn(v.asInstanceOf[Array[Byte]], dstW, dstH)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.MediaCodecKernels.bmpResizeNn($v, $dstW, $dstH)")
+  override protected def withNewChildInternal(
+      newChild: Expression): BmpResizeNn = copy(child = newChild)
+}
+
+/** `wav_downsample(payload)`: PCM16 WAV → every-factor-th-sample WAV at
+  * srcRate/factor; null on hostile input or non-divisible rate.
+  */
+case class WavDownsample(child: Expression, factor: Int)
+    extends UnaryExpression {
+  require(factor > 0, s"bad decimation factor: $factor")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_downsample"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wav_downsample requires binary, got ${t.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecKernels.wavDownsample(v.asInstanceOf[Array[Byte]], factor)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.MediaCodecKernels.wavDownsample($v, $factor)")
+  override protected def withNewChildInternal(
+      newChild: Expression): WavDownsample = copy(child = newChild)
 }
 
 /** `wav_encode(samples)`: array<int> int16-range samples → PCM16 WAV. */
@@ -291,9 +422,15 @@ object MediaCodecExpressions {
       BmpEncode(ColumnBridge.expression(pixels), width, height))
   def bmpDecodeStats(payload: Column): Column =
     ColumnBridge.column(BmpDecodeStats(ColumnBridge.expression(payload)))
+  def bmpResizeNn(payload: Column, dstW: Int, dstH: Int): Column =
+    ColumnBridge.column(
+      BmpResizeNn(ColumnBridge.expression(payload), dstW, dstH))
   def wavEncode(samples: Column, sampleRate: Int): Column =
     ColumnBridge.column(
       WavEncode(ColumnBridge.expression(samples), sampleRate))
   def wavDecodeStats(payload: Column): Column =
     ColumnBridge.column(WavDecodeStats(ColumnBridge.expression(payload)))
+  def wavDownsample(payload: Column, factor: Int): Column =
+    ColumnBridge.column(
+      WavDownsample(ColumnBridge.expression(payload), factor))
 }

@@ -226,6 +226,25 @@ object Multimodal {
         element_at(col("__st"), 5).as("sum_sq"),
         element_at(col("__st"), 6).as("duration_ms"))
 
+  /** REAL nearest-neighbor resize for 24-bit BMP payloads — replaces
+    * the truncation stand-in for the codec-free format ([[Codec]]
+    * remains the stub only for entropy-coded formats). Narrow map,
+    * payload-pruned; corrupt blobs come back as NULL payloads, never
+    * task failures.
+    */
+  def resizeBmp(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("payload",
+      graft.functions.MediaCodecExpressions.bmpResizeNn(
+        col("payload"), w, h))
+
+  /** REAL integer-factor decimation for PCM16 WAV payloads (naive,
+    * filter-free — the oracle-replayable baseline; see the kernel doc).
+    */
+  def downsampleWav(media: DataFrame, factor: Int): DataFrame =
+    media.withColumn("payload",
+      graft.functions.MediaCodecExpressions.wavDownsample(
+        col("payload"), factor))
+
   /** Build a media table from any binary-bearing DataFrame (the ingest
     * adapter: schema contract enforced here).
     */

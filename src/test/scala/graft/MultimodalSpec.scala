@@ -360,4 +360,72 @@ class MultimodalSpec extends SparkSpec {
     assert(gw(1L) === ((1L, 5L * 5 + 5 * 5 + 7 * 7)))
     assert(gw(3L)._1 === 0L)
   }
+
+  test("bmpResizeNn: exact byte trace, up/down, top-down source, hostile") {
+    import graft.functions.MediaCodecKernels._
+    // 4x2 display bytes 1..24: row0 pixels (1,2,3)(4,5,6)(7,8,9)(10,11,12)
+    val src = bmpEncode((1 to 24).map(_.toByte).toArray, 4, 2)
+    // downscale to 2x1: sy=0, sx = x*4/2 = 0,2 -> pixels (0,0) and (2,0)
+    val down = bmpResizeNn(src, 2, 1)
+    assert(down.toSeq === bmpEncode(Array[Byte](1, 2, 3, 7, 8, 9), 2, 1).toSeq)
+    // upscale the 2x1 back to 4x1: sx = x*2/4 = 0,0,1,1 -> pixels repeat
+    assert(bmpResizeNn(down, 4, 1).toSeq === bmpEncode(
+      Array[Byte](1, 2, 3, 1, 2, 3, 7, 8, 9, 7, 8, 9), 4, 1).toSeq)
+    // identity resize preserves every display pixel (stats equal)
+    assert(bmpDecodeStats(bmpResizeNn(src, 4, 2)).toSeq ===
+      bmpDecodeStats(src).toSeq)
+    // a TOP-DOWN source (negative height): display row 0 is STORED row
+    // 0, which in the bottom-up encode holds bytes 13..24 — the resize
+    // must honor the flipped row order
+    val topDown = src.clone()
+    val negH = -2
+    topDown(22) = (negH & 0xff).toByte
+    topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = ((negH >> 16) & 0xff).toByte
+    topDown(25) = ((negH >> 24) & 0xff).toByte
+    assert(bmpResizeNn(topDown, 2, 1).toSeq ===
+      bmpEncode(Array[Byte](13, 14, 15, 19, 20, 21), 2, 1).toSeq)
+    // hostile: garbage, 32-bpp, truncated -> null, never a throw
+    assert(bmpResizeNn(Array[Byte](1, 2, 3), 2, 1) === null)
+    val b32 = src.clone(); b32(28) = 32
+    assert(bmpResizeNn(b32, 2, 1) === null)
+    assert(bmpResizeNn(src.take(53), 2, 1) === null)
+  }
+
+  test("wavDownsample: exact decimation, identity, divisibility guard") {
+    import graft.functions.MediaCodecKernels._
+    val samples = Array(10, -20, 30, -40, 50, -60, 70, -80, 90)
+    val wav = wavEncode(samples, 9000)
+    // factor 3 keeps samples 0, 3, 6 at 3000 Hz
+    val down = wavDownsample(wav, 3)
+    assert(down.toSeq === wavEncode(Array(10, -40, 70), 3000).toSeq)
+    val st = wavDecodeStats(down)
+    assert(st.toSeq === Seq(1L, 3000L, 3L, (10 - 40 + 70).toLong,
+      (100 + 1600 + 4900).toLong, 6L * 1000 / 6000))
+    // factor 1 is the identity
+    assert(wavDownsample(wav, 1).toSeq === wav.toSeq)
+    // rate not divisible by the factor -> null (a fractional output
+    // rate would lie in the header)
+    assert(wavDownsample(wav, 7) === null)
+    // hostile input -> null
+    assert(wavDownsample(Array[Byte](1, 2, 3, 4), 2) === null)
+  }
+
+  test("resizeBmp/downsampleWav: columnar path is null-safe") {
+    import graft.functions.MediaCodecKernels._
+    val bmp = bmpEncode((1 to 12).map(_.toByte).toArray, 2, 2)
+    val m = Seq((1L, bmp), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array[Byte](7, 7, 7)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeBmpStats(Multimodal.resizeBmp(m, 1, 1))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // (1,1) resize of the 2x2 keeps display pixel (0,0) = bytes 1,2,3
+    assert(got(1L) === Some(1L))
+    assert(got(2L) === None) // NULL payload stays NULL
+    assert(got(3L) === None) // corrupt blob -> NULL payload, no crash
+    val one = Multimodal.decodeBmpStats(Multimodal.resizeBmp(m, 1, 1))
+      .filter(col("media_id") === 1).head()
+    assert(one.getLong(5) === 1L + 2 + 3) // pixel_sum of the kept pixel
+  }
 }
