@@ -257,7 +257,10 @@ object TpchQueries {
     val n = Tables.load(s, dir, "nation").filter(col("n_name") === "NATION_2")
     Tables.load(s, dir, "supplier")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // shipped is supplier-bounded (one row per qualifying supplier) —
+      // broadcast the semi-filter instead of sort-merging the dimension
+      .join(broadcast(shipped), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
       .select(col("s_suppkey"), col("s_name"))
   }
 

@@ -1026,6 +1026,36 @@ object TrainingQueries {
       graft.ops.Multimodal.resizeBmp(media, 3, 2))
   }
 
+  /** Area-average (box-filter) downscale of the same 7x4 BMPs to 3x2:
+    * each output pixel is the truncating integer mean of its
+    * floor-partitioned source block — the anti-aliased reduce.
+    */
+  def qBmpResizeArea(s: SparkSession, dir: String): DataFrame = {
+    val pixels = expr(
+      "cast(substring(repeat(text, 84 div length(text) + 1), 1, 84) as binary)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.MediaCodecExpressions.bmpEncode(pixels, 7, 4)
+          .as("payload"))
+    graft.ops.Multimodal.decodeBmpStats(
+      graft.ops.Multimodal.resizeBmpArea(media, 3, 2))
+  }
+
+  /** Mean-decimating 4x downsample of q_wav_decode's clips: each kept
+    * sample is the integer mean of its 4-sample window.
+    */
+  def qWavDownsampleMean(s: SparkSession, dir: String): DataFrame = {
+    val samples = expr(
+      "transform(sequence(0, 47), i -> " +
+        "ascii(substring(text, i % length(text) + 1, 1)) * 129 + i * 7 - 8192)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.MediaCodecExpressions.wavEncode(samples, 16000)
+          .as("payload"))
+    graft.ops.Multimodal.decodeWavStats(
+      graft.ops.Multimodal.downsampleWavMean(media, 4))
+  }
+
   /** Real resample: q_wav_decode's 48-sample 16 kHz clips decimated 4x
     * to 12 samples at 4 kHz, then re-decoded.
     */
@@ -1105,8 +1135,10 @@ object TrainingQueries {
     "q_frame_sample" -> (qFrameSample _),
     "q_bmp_decode" -> (qBmpDecode _),
     "q_bmp_resize" -> (qBmpResize _),
+    "q_bmp_resize_area" -> (qBmpResizeArea _),
     "q_wav_decode" -> (qWavDecode _),
     "q_wav_downsample" -> (qWavDownsample _),
+    "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_c4_filter" -> (qC4Filter _),
     "q_gopher_filter" -> (qGopherFilter _),
@@ -3571,6 +3603,65 @@ object TrainingQueries {
         |  CAST(2 AS BIGINT) AS height, CAST(6 AS BIGINT) AS n_pixels,
         |  pixel_sum, row0_sum
         |FROM px""".stripMargin,
+
+    // the box-filter downscale replayed: dst pixel (x, y, ch) is the
+    // truncating integer mean over its floor-partitioned source block
+    // [x*7//3,(x+1)*7//3) x [y*4//2,(y+1)*4//2) of the same j-indexed
+    // display bytes (DuckDB // and the kernel's Scala / agree)
+    "q_bmp_resize_area" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |cells AS (
+        |  SELECT media_id, y, x, ch,
+        |    CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS v
+        |  FROM (
+        |    SELECT d.media_id, y.y AS y, x.x AS x, ch.ch AS ch,
+        |      ascii(substr(d.text,
+        |        CAST((ys.ys * 21 + xs.xs * 3 + ch.ch)
+        |          % length(d.text) AS INT) + 1, 1)) AS c
+        |    FROM d
+        |    CROSS JOIN range(2) y(y) CROSS JOIN range(3) x(x)
+        |    CROSS JOIN range(3) ch(ch)
+        |    CROSS JOIN range(4) ys(ys) CROSS JOIN range(7) xs(xs)
+        |    WHERE ys.ys >= y.y * 4 // 2 AND ys.ys < (y.y + 1) * 4 // 2
+        |      AND xs.xs >= x.x * 7 // 3 AND xs.xs < (x.x + 1) * 7 // 3)
+        |  GROUP BY 1, 2, 3, 4),
+        |px AS (
+        |  SELECT media_id, CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |    CAST(sum(CASE WHEN y = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      AS row0_sum
+        |  FROM cells GROUP BY 1)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(3 AS BIGINT) AS width,
+        |  CAST(2 AS BIGINT) AS height, CAST(6 AS BIGINT) AS n_pixels,
+        |  pixel_sum, row0_sum
+        |FROM px""".stripMargin,
+
+    // the mean decimation replayed: output sample j is the truncating
+    // integer mean of source window 4j..4j+3 (negative sums: DuckDB //
+    // truncates toward zero exactly like the kernel's Scala /)
+    "q_wav_downsample_mean" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |m AS (
+        |  SELECT media_id,
+        |    CAST(sum(v) AS BIGINT) // 4 AS mv
+        |  FROM (
+        |    SELECT d.media_id, i // 4 AS j,
+        |      ascii(substr(d.text, CAST(i % length(d.text) AS INT) + 1,
+        |          1)) * 129 + i * 7 - 8192 AS v
+        |    FROM d CROSS JOIN range(48) t(i))
+        |  GROUP BY media_id, j),
+        |s AS (
+        |  SELECT media_id,
+        |    CAST(sum(mv) AS BIGINT) AS sum_amp,
+        |    CAST(sum(mv * mv) AS BIGINT) AS sum_sq
+        |  FROM m GROUP BY 1)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(4000 AS BIGINT) AS sample_rate, CAST(12 AS BIGINT) AS n_samples,
+        |  sum_amp, sum_sq, CAST(3 AS BIGINT) AS duration_ms
+        |FROM s""".stripMargin,
 
     // the 4x decimation replayed from first principles: kept sample j
     // is source sample 4j = c_(4j mod len)*129 + 4j*7 - 8192; 24 data

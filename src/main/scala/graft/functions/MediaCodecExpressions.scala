@@ -154,6 +154,65 @@ object MediaCodecKernels {
     bmpEncode(out, dstW, dstH)
   }
 
+  /** AREA-AVERAGE downscale of a 24-bit BMP (the "box" reduce real
+    * image pipelines use below 1:1 — each destination pixel is the
+    * per-channel mean of its floor-partitioned source block
+    * [x·w DIV dw, (x+1)·w DIV dw) × [y·h DIV dh, (y+1)·h DIV dh), so
+    * every source pixel lands in exactly one block and the oracle can
+    * replay the integer mean). Division truncates toward zero — the
+    * same semantics as DuckDB's `//` on the non-negative byte sums.
+    * Downscale only (an upscale would make empty blocks): larger
+    * target dims → null, like hostile input.
+    */
+  def bmpResizeArea(p: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') return null
+    val off = rdLe32(p, 10)
+    val hdrSize = rdLe32(p, 14)
+    val w = rdLe32(p, 18)
+    val hRaw = rdLe32(p, 22)
+    val bpp = rdLe16(p, 28)
+    val compression = rdLe32(p, 30)
+    if (hdrSize < 40 || bpp != 24 || compression != 0 || w <= 0 ||
+        hRaw == 0 || w > (1 << 20)) return null
+    val h = math.abs(hRaw)
+    if (dstW > w || dstH > h) return null
+    val bottomUp = hRaw > 0
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride.toLong * h > p.length) return null
+    val out = new Array[Byte](dstW * dstH * 3)
+    var y = 0
+    while (y < dstH) {
+      val ys0 = (y.toLong * h / dstH).toInt
+      val ys1 = ((y + 1).toLong * h / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val xs0 = (x.toLong * w / dstW).toInt
+        val xs1 = ((x + 1).toLong * w / dstW).toInt
+        val n = (ys1 - ys0).toLong * (xs1 - xs0)
+        var ch = 0
+        while (ch < 3) {
+          var s = 0L
+          var sy = ys0
+          while (sy < ys1) {
+            val stored = if (bottomUp) h - 1 - sy else sy
+            val base = off + stored * stride
+            var sx = xs0
+            while (sx < xs1) {
+              s += (p(base + sx * 3 + ch) & 0xff)
+              sx += 1
+            }
+            sy += 1
+          }
+          out((y * dstW + x) * 3 + ch) = (s / n).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    bmpEncode(out, dstW, dstH)
+  }
+
   /** Build a mono PCM16 RIFF/WAVE container from `samples` (each
     * clamped-assumed int16 range; caller guarantees range).
     */
@@ -281,6 +340,38 @@ object MediaCodecKernels {
     }
     wavEncode(samples, (sampleRate / factor).toInt)
   }
+
+  /** Mean-decimating PCM16 downsample — the box anti-alias filter over
+    * the same walk as [[wavDownsample]]: output sample j is the
+    * truncating-toward-zero integer mean of source window
+    * [j·factor, min((j+1)·factor, n)) (Scala `/` and DuckDB `//` agree
+    * on negatives, so the oracle replays the mean bit for bit; the
+    * tail window may be partial). Same rate-divisibility guard.
+    */
+  def wavDownsampleMean(p: Array[Byte], factor: Int): Array[Byte] = {
+    val lay = wavLayout(p)
+    if (lay(0) == 0L) return null
+    val sampleRate = lay(1)
+    val dataStart = lay(3).toInt
+    val nSamples = lay(4).toInt / 2
+    if (sampleRate % factor != 0) return null
+    val outN = (nSamples + factor - 1) / factor
+    val samples = new Array[Int](outN)
+    var j = 0
+    while (j < outN) {
+      val from = j * factor
+      val until = math.min(from + factor, nSamples)
+      var s = 0L
+      var i = from
+      while (i < until) {
+        s += rdLe16(p, dataStart + i * 2).toShort.toLong
+        i += 1
+      }
+      samples(j) = (s / (until - from)).toInt
+      j += 1
+    }
+    wavEncode(samples, (sampleRate / factor).toInt)
+  }
 }
 
 /** `bmp_encode(pixels)`: display-order w*h*3 pixel bytes → 24-bit BMP. */
@@ -347,6 +438,53 @@ case class BmpResizeNn(child: Expression, dstW: Int, dstH: Int)
       s"graft.functions.MediaCodecKernels.bmpResizeNn($v, $dstW, $dstH)")
   override protected def withNewChildInternal(
       newChild: Expression): BmpResizeNn = copy(child = newChild)
+}
+
+/** `bmp_resize_area(payload)`: 24-bit BMP → dstW×dstH box-filtered
+  * downscale; null on hostile input or an upscale request.
+  */
+case class BmpResizeArea(child: Expression, dstW: Int, dstH: Int)
+    extends UnaryExpression {
+  require(dstW > 0 && dstH > 0 && dstW <= (1 << 14) && dstH <= (1 << 14),
+    s"bad target dims: ${dstW}x$dstH")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_resize_area"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bmp_resize_area requires binary, got ${t.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecKernels.bmpResizeArea(v.asInstanceOf[Array[Byte]], dstW, dstH)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.MediaCodecKernels.bmpResizeArea($v, $dstW, $dstH)")
+  override protected def withNewChildInternal(
+      newChild: Expression): BmpResizeArea = copy(child = newChild)
+}
+
+/** `wav_downsample_mean(payload)`: PCM16 WAV → per-window integer-mean
+  * WAV at srcRate/factor; null on hostile input or non-divisible rate.
+  */
+case class WavDownsampleMean(child: Expression, factor: Int)
+    extends UnaryExpression {
+  require(factor > 0, s"bad decimation factor: $factor")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_downsample_mean"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wav_downsample_mean requires binary, got ${t.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecKernels.wavDownsampleMean(v.asInstanceOf[Array[Byte]], factor)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.MediaCodecKernels.wavDownsampleMean($v, $factor)")
+  override protected def withNewChildInternal(
+      newChild: Expression): WavDownsampleMean = copy(child = newChild)
 }
 
 /** `wav_downsample(payload)`: PCM16 WAV → every-factor-th-sample WAV at
@@ -433,4 +571,10 @@ object MediaCodecExpressions {
   def wavDownsample(payload: Column, factor: Int): Column =
     ColumnBridge.column(
       WavDownsample(ColumnBridge.expression(payload), factor))
+  def bmpResizeArea(payload: Column, dstW: Int, dstH: Int): Column =
+    ColumnBridge.column(
+      BmpResizeArea(ColumnBridge.expression(payload), dstW, dstH))
+  def wavDownsampleMean(payload: Column, factor: Int): Column =
+    ColumnBridge.column(
+      WavDownsampleMean(ColumnBridge.expression(payload), factor))
 }

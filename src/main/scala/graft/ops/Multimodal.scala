@@ -245,6 +245,20 @@ object Multimodal {
       graft.functions.MediaCodecExpressions.wavDownsample(
         col("payload"), factor))
 
+  /** Box-filtered (area-average) BMP downscale — the anti-aliased
+    * reduce real image pipelines use below 1:1; downscale only.
+    */
+  def resizeBmpArea(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("payload",
+      graft.functions.MediaCodecExpressions.bmpResizeArea(
+        col("payload"), w, h))
+
+  /** Mean-decimating (box anti-alias) WAV downsample. */
+  def downsampleWavMean(media: DataFrame, factor: Int): DataFrame =
+    media.withColumn("payload",
+      graft.functions.MediaCodecExpressions.wavDownsampleMean(
+        col("payload"), factor))
+
   /** Build a media table from any binary-bearing DataFrame (the ingest
     * adapter: schema contract enforced here).
     */

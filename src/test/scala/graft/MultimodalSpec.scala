@@ -411,6 +411,41 @@ class MultimodalSpec extends SparkSpec {
     assert(wavDownsample(Array[Byte](1, 2, 3, 4), 2) === null)
   }
 
+  test("bmpResizeArea: exact block means, identity, upscale refused") {
+    import graft.functions.MediaCodecKernels._
+    val src = bmpEncode((1 to 24).map(_.toByte).toArray, 4, 2)
+    // 2x1: dst(0,0) averages pixels (0..1, 0..1) -> ch means 8,9,10;
+    // dst(1,0) averages (2..3, 0..1) -> 14,15,16
+    assert(bmpResizeArea(src, 2, 1).toSeq ===
+      bmpEncode(Array[Byte](8, 9, 10, 14, 15, 16), 2, 1).toSeq)
+    // 1x1 collapses everything: ch0 mean of 1,4,7,10,13,16,19,22 = 11
+    assert(bmpResizeArea(src, 1, 1).toSeq ===
+      bmpEncode(Array[Byte](11, 12, 13), 1, 1).toSeq)
+    // identity dims = all-1x1 blocks = the source pixels
+    assert(bmpDecodeStats(bmpResizeArea(src, 4, 2)).toSeq ===
+      bmpDecodeStats(src).toSeq)
+    // area is a DOWNSCALE: an upscale request returns null
+    assert(bmpResizeArea(src, 8, 2) === null)
+    assert(bmpResizeArea(Array[Byte](1, 2), 1, 1) === null)
+  }
+
+  test("wavDownsampleMean: window means truncate toward zero, tail partial") {
+    import graft.functions.MediaCodecKernels._
+    val samples = Array(10, -20, 30, -40, 50, -60, 70, -80, 90)
+    val wav = wavEncode(samples, 9000)
+    // windows (10,-20,30) (-40,50,-60) (70,-80,90): means 6, -16, 26
+    // (-50/3 truncates toward zero, matching DuckDB's //)
+    assert(wavDownsampleMean(wav, 3).toSeq ===
+      wavEncode(Array(6, -16, 26), 3000).toSeq)
+    // partial tail window: 8 samples, factor 3 -> windows of 3, 3, 2
+    val wav8 = wavEncode(samples.take(8), 9000)
+    assert(wavDownsampleMean(wav8, 3).toSeq ===
+      wavEncode(Array(6, -16, -5), 3000).toSeq)
+    // factor 1 is the identity; divisibility guard still binds
+    assert(wavDownsampleMean(wav, 1).toSeq === wav.toSeq)
+    assert(wavDownsampleMean(wav, 7) === null)
+  }
+
   test("resizeBmp/downsampleWav: columnar path is null-safe") {
     import graft.functions.MediaCodecKernels._
     val bmp = bmpEncode((1 to 12).map(_.toByte).toArray, 2, 2)
