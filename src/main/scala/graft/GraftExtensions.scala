@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import graft.functions.{BlockMeanHash, Crc32C, DeflateLen, DotQLongs,
-  NfcNormalize, PhraseCount, RandProjLongs, WordPieceEncodeWords}
+import graft.functions.{BlockMeanHash, BmpDecodeStats, BmpEncode,
+  BmpResizeArea, BmpResizeNn, Crc32C, DeflateLen, DotQLongs,
+  NfcNormalize, PhraseCount, RandProjLongs, WavDecodeStats,
+  WavDownsample, WavDownsampleMean, WavEncode, WordPieceEncodeWords}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * functions so they're usable from SQL text as well as the Column API.
@@ -103,6 +105,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "nfc takes exactly one argument")
         NfcNormalize(children.head)
+      }))
+    // the codec-free media kernels: decode stats, encode (for minting
+    // byte-exact test containers from SQL), NN + area resize, naive +
+    // mean decimation — dims/factors are literal ints (they size loops)
+    ext.injectFunction((
+      new FunctionIdentifier("bmp_decode_stats"),
+      new ExpressionInfo(classOf[BmpDecodeStats].getName, "bmp_decode_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bmp_decode_stats(payload)")
+        BmpDecodeStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wav_decode_stats"),
+      new ExpressionInfo(classOf[WavDecodeStats].getName, "wav_decode_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "wav_decode_stats(payload)")
+        WavDecodeStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bmp_encode"),
+      new ExpressionInfo(classOf[BmpEncode].getName, "bmp_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bmp_encode(pixels, w, h)")
+        BmpEncode(children.head, literalInt(children(1), "bmp_encode"),
+          literalInt(children(2), "bmp_encode"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wav_encode"),
+      new ExpressionInfo(classOf[WavEncode].getName, "wav_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "wav_encode(samples, rate)")
+        WavEncode(children.head, literalInt(children(1), "wav_encode"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bmp_resize_nn"),
+      new ExpressionInfo(classOf[BmpResizeNn].getName, "bmp_resize_nn"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bmp_resize_nn(payload, w, h)")
+        BmpResizeNn(children.head, literalInt(children(1), "bmp_resize_nn"),
+          literalInt(children(2), "bmp_resize_nn"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bmp_resize_area"),
+      new ExpressionInfo(classOf[BmpResizeArea].getName, "bmp_resize_area"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bmp_resize_area(payload, w, h)")
+        BmpResizeArea(children.head,
+          literalInt(children(1), "bmp_resize_area"),
+          literalInt(children(2), "bmp_resize_area"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wav_downsample"),
+      new ExpressionInfo(classOf[WavDownsample].getName, "wav_downsample"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "wav_downsample(payload, factor)")
+        WavDownsample(children.head,
+          literalInt(children(1), "wav_downsample"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wav_downsample_mean"),
+      new ExpressionInfo(classOf[WavDownsampleMean].getName,
+        "wav_downsample_mean"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "wav_downsample_mean(payload, factor)")
+        WavDownsampleMean(children.head,
+          literalInt(children(1), "wav_downsample_mean"))
       }))
   }
 

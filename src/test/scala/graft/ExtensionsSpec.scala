@@ -77,5 +77,31 @@ class ExtensionsSpec extends SparkSpec {
       === "caf\u00e9")
     assert(spark.sql("SELECT nfc('\ufb01le')").head().getString(0)
       === "\ufb01le")
+    // the media kernels ride the same registry: mint a 2x1 BMP from
+    // SQL, resize it to 1x1 (keeps display pixel (0,0) = bytes 1,2,3),
+    // decode its stats \u2014 the full encode\u2192transform\u2192decode chain in SQL
+    val bmpStats = spark.sql(
+      "SELECT bmp_decode_stats(bmp_resize_nn(" +
+        "bmp_encode(cast(x'010203040506' as binary), 2, 1), 1, 1))")
+      .head().getSeq[Long](0)
+    assert(bmpStats === Seq(1L, 1L, 1L, 1L, 1L + 2 + 3, 1L + 2 + 3))
+    val areaStats = spark.sql(
+      "SELECT bmp_decode_stats(bmp_resize_area(" +
+        "bmp_encode(cast(x'010203070809' as binary), 2, 1), 1, 1))")
+      .head().getSeq[Long](0)
+    // area mean of pixels (1,2,3) and (7,8,9): channels 4,5,6
+    assert(areaStats === Seq(1L, 1L, 1L, 1L, 4L + 5 + 6, 4L + 5 + 6))
+    val wavStats = spark.sql(
+      "SELECT wav_decode_stats(wav_downsample_mean(" +
+        "wav_encode(array(10, -20, 30, -40), 8000), 2))")
+      .head().getSeq[Long](0)
+    // windows (10,-20) (30,-40): means -5, -5 at 4000 Hz
+    assert(wavStats === Seq(1L, 4000L, 2L, -10L, 50L, 0L))
+    // non-literal dims are rejected at analysis time
+    val badDim = intercept[Exception] {
+      spark.sql("SELECT bmp_resize_nn(cast('x' as binary), n, 1) FROM " +
+        "(SELECT 1 AS n)").collect()
+    }
+    assert(badDim.getMessage.contains("literal"), badDim.getMessage)
   }
 }
