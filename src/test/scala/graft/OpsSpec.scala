@@ -934,6 +934,38 @@ class OpsSpec extends SparkSpec with PropSupport {
       r.getAs[Long]("total_blocks")))
   }
 
+  test("blockMaxTopK property: equals the full scan under heavy ties") {
+    import spark.implicits._
+    // small vocab + duplicated doc bodies force EQUAL scores across
+    // blocks — the risky tau edge: a pruned block with bound == tau can
+    // hold a doc that wins the doc-id tie-break, so phase 2 must use
+    // >= tau, and both rankers must share the (score desc, id) order
+    val vocab = Array("needle", "pin", "thread", "a", "b")
+    for (seed <- 1 to 5) {
+      var s = seed.toLong
+      def nxt(n: Int): Int = {
+        s = (s * 6364136223846793005L + 1442695040888963407L)
+        (((s >>> 33) % n + n) % n).toInt
+      }
+      val corpus = (0L until 40L).map { id =>
+        val len = 3 + nxt(6)
+        (id, (0 until len).map(_ => vocab(nxt(vocab.length)))
+          .mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val terms = Seq("needle", "pin")
+      for (blocks <- Seq(3, 5)) {
+        val full = TextAnalysis.bm25Rank(df, terms, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+        val pruned = TextAnalysis.bm25BlockMaxTopK(df, terms, k = 5,
+            blocks = blocks)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+        assert(pruned === full,
+          s"seed=$seed blocks=$blocks: pruned top-k diverged")
+      }
+    }
+  }
+
   test("charDiversity: exact collision index, runs flagged, unicode chars") {
     import spark.implicits._
     val corpus = Seq(
