@@ -66,9 +66,12 @@ object Multimodal {
       (acc.toDouble / payload.length / 255.0, h, true)
     }
 
-    /** Stand-in resize: at scale this re-encodes the payload; the stub
-      * truncates deterministically, preserving the plumbing contract
-      * (binary in, binary out, metadata updated).
+    /** Stand-in resize for ENTROPY-CODED formats only (JPEG/PNG/MP4
+      * need codec libraries this build does not ship): truncates
+      * deterministically, preserving the plumbing contract (binary in,
+      * binary out). For the codec-free formats the transform is REAL —
+      * [[resizeBmp]]/[[resizeBmpArea]] and
+      * [[downsampleWav]]/[[downsampleWavMean]].
       */
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       if (payload == null) null
