@@ -2606,7 +2606,7 @@ object TrainingQueries {
         |      THEN text || ' ' || repeat('z', 400) ELSE text END AS text
         |  FROM documents),
         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
-        |  FROM planted),
+        |  FROM planted WHERE len(text) > 0),
         |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
         |    count(*) AS distinct_chars, CAST(sum(c * c) AS BIGINT) AS ss

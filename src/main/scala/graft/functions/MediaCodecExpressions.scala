@@ -92,6 +92,9 @@ object MediaCodecKernels {
     if (hdrSize < 40 || bpp != 24 || compression != 0 || w <= 0 ||
         hRaw == 0 || w > (1 << 20)) return bad
     val h = math.abs(hRaw)
+    // math.abs(Int.MinValue) stays negative: bound h exactly like w so a
+    // hostile height can never feed a negative stride*h into the bounds check.
+    if (h <= 0 || h > (1 << 20)) return bad
     val bottomUp = hRaw > 0
     val stride = ((w * 3 + 3) / 4) * 4
     if (off < 54 || off.toLong + stride.toLong * h > p.length) return bad
@@ -132,6 +135,10 @@ object MediaCodecKernels {
     if (hdrSize < 40 || bpp != 24 || compression != 0 || w <= 0 ||
         hRaw == 0 || w > (1 << 20)) return null
     val h = math.abs(hRaw)
+    // math.abs(Int.MinValue) stays negative: a negative stride*h product
+    // would pass the length check below and the pixel loop would index out
+    // of range — bound h exactly like w (hostile input → null, not a throw).
+    if (h <= 0 || h > (1 << 20)) return null
     val bottomUp = hRaw > 0
     val stride = ((w * 3 + 3) / 4) * 4
     if (off < 54 || off.toLong + stride.toLong * h > p.length) return null
@@ -175,6 +182,9 @@ object MediaCodecKernels {
     if (hdrSize < 40 || bpp != 24 || compression != 0 || w <= 0 ||
         hRaw == 0 || w > (1 << 20)) return null
     val h = math.abs(hRaw)
+    // Same Int.MinValue abs hazard as bmpResizeNn (the dstH > h guard
+    // already rejects negative h, but keep the bound uniform across kernels).
+    if (h <= 0 || h > (1 << 20)) return null
     if (dstW > w || dstH > h) return null
     val bottomUp = hRaw > 0
     val stride = ((w * 3 + 3) / 4) * 4
@@ -330,6 +340,10 @@ object MediaCodecKernels {
     val sampleRate = lay(1)
     val dataStart = lay(3).toInt
     val nSamples = lay(4).toInt / 2
+    // wavLayout reads the rate as UNSIGNED 32-bit: a hostile fmt header with
+    // rate >= 2^31 would wrap (rate/factor).toInt negative and wavEncode's
+    // require would throw — hostile input must return null, never a throw.
+    if (factor <= 0 || sampleRate <= 0 || sampleRate > Int.MaxValue) return null
     if (sampleRate % factor != 0) return null
     val outN = (nSamples + factor - 1) / factor
     val samples = new Array[Int](outN)
@@ -354,6 +368,8 @@ object MediaCodecKernels {
     val sampleRate = lay(1)
     val dataStart = lay(3).toInt
     val nSamples = lay(4).toInt / 2
+    // Same unsigned-rate wrap hazard as wavDownsample: guard before dividing.
+    if (factor <= 0 || sampleRate <= 0 || sampleRate > Int.MaxValue) return null
     if (sampleRate % factor != 0) return null
     val outN = (nSamples + factor - 1) / factor
     val samples = new Array[Int](outN)
@@ -430,12 +446,18 @@ case class BmpResizeNn(child: Expression, dstW: Int, dstH: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"bmp_resize_nn requires binary, got ${t.catalogString}")
   }
+  // the kernel returns null on HOSTILE input, not only on null input —
+  // defineCodeGen would leave isNull=false and smuggle a Java null into
+  // downstream generated code (the interpreted path was already correct)
+  override def nullable: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     MediaCodecKernels.bmpResizeNn(v.asInstanceOf[Array[Byte]], dstW, dstH)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.MediaCodecKernels.bmpResizeNn($v, $dstW, $dstH)")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} =
+         |  graft.functions.MediaCodecKernels.bmpResizeNn($v, $dstW, $dstH);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(
       newChild: Expression): BmpResizeNn = copy(child = newChild)
 }
@@ -454,12 +476,16 @@ case class BmpResizeArea(child: Expression, dstW: Int, dstH: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"bmp_resize_area requires binary, got ${t.catalogString}")
   }
+  // null on hostile/upscale from NON-null input: see BmpResizeNn's note
+  override def nullable: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     MediaCodecKernels.bmpResizeArea(v.asInstanceOf[Array[Byte]], dstW, dstH)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.MediaCodecKernels.bmpResizeArea($v, $dstW, $dstH)")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} =
+         |  graft.functions.MediaCodecKernels.bmpResizeArea($v, $dstW, $dstH);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(
       newChild: Expression): BmpResizeArea = copy(child = newChild)
 }
@@ -477,12 +503,16 @@ case class WavDownsampleMean(child: Expression, factor: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"wav_downsample_mean requires binary, got ${t.catalogString}")
   }
+  // null on hostile/non-divisible from NON-null input: see BmpResizeNn
+  override def nullable: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     MediaCodecKernels.wavDownsampleMean(v.asInstanceOf[Array[Byte]], factor)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.MediaCodecKernels.wavDownsampleMean($v, $factor)")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} =
+         |  graft.functions.MediaCodecKernels.wavDownsampleMean($v, $factor);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(
       newChild: Expression): WavDownsampleMean = copy(child = newChild)
 }
@@ -500,12 +530,16 @@ case class WavDownsample(child: Expression, factor: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"wav_downsample requires binary, got ${t.catalogString}")
   }
+  // null on hostile/non-divisible from NON-null input: see BmpResizeNn
+  override def nullable: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     MediaCodecKernels.wavDownsample(v.asInstanceOf[Array[Byte]], factor)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.MediaCodecKernels.wavDownsample($v, $factor)")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} =
+         |  graft.functions.MediaCodecKernels.wavDownsample($v, $factor);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(
       newChild: Expression): WavDownsample = copy(child = newChild)
 }

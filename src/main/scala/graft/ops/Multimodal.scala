@@ -236,12 +236,14 @@ object Multimodal {
     * task failures.
     */
   def resizeBmp(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("payload",
+    syncImageMeta(media.withColumn("payload",
       graft.functions.MediaCodecExpressions.bmpResizeNn(
-        col("payload"), w, h))
+        col("payload"), w, h)), w, h)
 
   /** REAL integer-factor decimation for PCM16 WAV payloads (naive,
     * filter-free — the oracle-replayable baseline; see the kernel doc).
+    * meta.duration_ms stays valid: decimation preserves wall-clock
+    * length (see [[syncImageMeta]]'s note).
     */
   def downsampleWav(media: DataFrame, factor: Int): DataFrame =
     media.withColumn("payload",
@@ -252,9 +254,25 @@ object Multimodal {
     * reduce real image pipelines use below 1:1; downscale only.
     */
   def resizeBmpArea(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("payload",
+    syncImageMeta(media.withColumn("payload",
       graft.functions.MediaCodecExpressions.bmpResizeArea(
-        col("payload"), w, h))
+        col("payload"), w, h)), w, h)
+
+  /** After a real resize the carried metadata must not go stale: on full
+    * [[mediaSchema]] tables rewrite meta.width/height to the new dims
+    * (NULL when the kernel rejected the blob — the payload is NULL too,
+    * so meta mirrors it). Tables without a meta struct pass through.
+    * WAV decimation needs no analog: keep-every-k at rate/k preserves
+    * wall-clock duration, so meta.duration_ms stays correct.
+    */
+  private def syncImageMeta(df: DataFrame, w: Int, h: Int): DataFrame =
+    if (!df.columns.contains("meta")) df
+    else df.withColumn("meta",
+      col("meta")
+        .withField("width",
+          when(col("payload").isNotNull, lit(w)).cast("int"))
+        .withField("height",
+          when(col("payload").isNotNull, lit(h)).cast("int")))
 
   /** Mean-decimating (box anti-alias) WAV downsample. */
   def downsampleWavMean(media: DataFrame, factor: Int): DataFrame =

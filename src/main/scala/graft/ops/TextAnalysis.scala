@@ -89,6 +89,11 @@ object TextAnalysis {
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame =
     docs
+      // CONTRACT: empty/NULL-text docs are excluded from the output (a
+      // collision index over zero characters is undefined). The filter is
+      // explicit — engines disagree on splitting "" (DuckDB string_split
+      // can emit ['']), so both sides of the oracle pre-filter identically.
+      .filter(length(col(textCol)) > 0)
       // empty-string guard: Java's split("", -1) emits a trailing ""
       // element that DuckDB's string_split does not
       .select(col(idCol), explode(split(col(textCol), "")).as("ch"))

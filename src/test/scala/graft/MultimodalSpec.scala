@@ -446,6 +446,56 @@ class MultimodalSpec extends SparkSpec {
     assert(wavDownsampleMean(wav, 7) === null)
   }
 
+  test("media kernels: Int.MinValue height and unsigned-rate wrap stay null") {
+    import graft.functions.MediaCodecKernels._
+    // hostile BMP height 0x80000000: math.abs stays negative; the
+    // negative stride*h product must not bypass the bounds check
+    val src = bmpEncode((1 to 24).map(_.toByte).toArray, 4, 2)
+    val minH = src.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(bmpResizeNn(minH, 2, 1) === null)
+    assert(bmpResizeArea(minH, 2, 1) === null)
+    assert(bmpDecodeStats(minH)(0) === 0L)
+    // hostile WAV sample rate 0x80000000 (unsigned 2^31): divisible by
+    // 2, and (rate/factor).toInt would wrap negative into wavEncode's
+    // require — the contract is null, never a throw
+    val wav = wavEncode(Array(10, -20, 30, -40), 16000)
+    val hotRate = wav.clone()
+    hotRate(24) = 0; hotRate(25) = 0; hotRate(26) = 0
+    hotRate(27) = 0x80.toByte
+    assert(wavDownsample(hotRate, 2) === null)
+    assert(wavDownsampleMean(hotRate, 2) === null)
+    // degenerate factor: 0 would throw in the % guard; negative is absurd
+    assert(wavDownsample(wav, 0) === null)
+    assert(wavDownsampleMean(wav, -3) === null)
+  }
+
+  test("resizeBmp syncs meta.width/height; rejected blobs null both") {
+    import graft.functions.MediaCodecKernels._
+    val bmp = bmpEncode((1 to 12).map(_.toByte).toArray, 2, 2)
+    val m = Multimodal.asMediaTable(
+      Seq((1L, bmp), (3L, Array[Byte](7, 7, 7)))
+        .toDF("media_id", "payload"),
+      "media_id", "payload", "image", "bmp")
+      // plant stale dims to prove the resize rewrites them
+      .withColumn("meta", col("meta")
+        .withField("width", lit(2)).withField("height", lit(2)))
+    val got = Multimodal.resizeBmp(m, 1, 1)
+      .select(col("media_id"), col("meta.width"), col("meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(got(1L) === Some((1, 1)))   // resized: meta follows the payload
+    assert(got(3L) === None)           // rejected: payload NULL, meta dims NULL
+    // area variant takes the same path
+    val area = Multimodal.resizeBmpArea(m, 1, 1)
+      .filter(col("media_id") === 1).select(col("meta.width")).head()
+    assert(area.getInt(0) === 1)
+    // a bare (media_id, payload) frame without meta passes through untouched
+    val bare = Seq((1L, bmp)).toDF("media_id", "payload")
+    assert(Multimodal.resizeBmp(bare, 1, 1).columns.toSeq ===
+      Seq("media_id", "payload"))
+  }
+
   test("resizeBmp/downsampleWav: columnar path is null-safe") {
     import graft.functions.MediaCodecKernels._
     val bmp = bmpEncode((1 to 12).map(_.toByte).toArray, 2, 2)
