@@ -345,6 +345,31 @@ object TrainingQueries {
     TextAnalysis.bm25BlockMaxTopK(docs(s, dir),
       terms = Seq("spark", "merge", "window"), k = 10, blocks = 8)
 
+  /** At-rest block-max retrieval: build the impact-ordered index
+    * (postings partitioned by block + per-(term, block) maxima) in a
+    * scratch dir, then answer the top-k WITHOUT touching the corpus —
+    * the faithful design where the pruning metadata is index structure,
+    * not per-query derivation. Row-identical to q_blockmax_topk, so
+    * the oracle replays the same SQL.
+    */
+  def qBlockmaxIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bmx")
+    try {
+      TextAnalysis.bm25IndexWrite(docs(s, dir), root.toString, blocks = 8)
+      // the result is a local k-row table (TakeOrdered contract), so
+      // deleting the scratch index afterwards is safe
+      TextAnalysis.bm25TopKOverIndex(s, root.toString,
+        terms = Seq("spark", "merge", "window"), k = 10)
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** Simpson collision-index repetition filter, with char-run padding
     * planted on doc_id % 23 so the keep flag actually bites (natural
     * corpus collision tops out ~0.10; the threshold is 0.12).
@@ -1163,6 +1188,7 @@ object TrainingQueries {
     "q_tfidf_top_terms" -> (qTfIdf _),
     "q_bm25" -> (qBm25 _),
     "q_blockmax_topk" -> (qBlockmaxTopk _),
+    "q_blockmax_index" -> (qBlockmaxIndex _),
     "q_char_diversity" -> (qCharDiversity _),
     "q_postings" -> (qPostings _),
     "q_pagerank" -> (qPagerank _),
@@ -2362,6 +2388,77 @@ object TrainingQueries {
       |  CAST(least(16, n - chunk_idx*12) AS BIGINT) AS n_chunk_tokens
       |FROM e""".stripMargin
 
+  private val blockmaxOracleSql: String =
+    """WITH tk AS (
+    |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    |  FROM documents),
+    |dlt AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+    |st AS (SELECT count(*) AS n_docs,
+    |    CAST(sum(dl) AS BIGINT) AS total_dl FROM dlt),
+    |q(w) AS (VALUES ('spark'), ('merge'), ('window')),
+    |tft AS (SELECT tk.doc_id, tk.w, count(*) AS tf
+    |  FROM tk JOIN q USING (w) GROUP BY 1, 2),
+    |dft AS (SELECT w, count(*) AS dft FROM tft GROUP BY 1),
+    |base AS (
+    |  SELECT t.doc_id, t.w, t.tf, d.dl, f.dft, st.n_docs,
+    |    (st.total_dl // st.n_docs) * 1000000 +
+    |      ((st.total_dl % st.n_docs) * 1000000) // st.n_docs AS avgdl_e6
+    |  FROM tft t JOIN dlt d USING (doc_id) JOIN dft f USING (w)
+    |  CROSS JOIN st),
+    |c1 AS (SELECT *,
+    |    ((dl * 1000000) // avgdl_e6) * 1000000 +
+    |      (((dl * 1000000) % avgdl_e6) * 1000000) // avgdl_e6 AS ratio_e6
+    |  FROM base),
+    |c2 AS (SELECT *,
+    |    1000000 - 750000 + 750000 * (ratio_e6 // 1000000) +
+    |      (750000 * (ratio_e6 % 1000000)) // 1000000 AS norm_e6
+    |  FROM c1),
+    |c3 AS (SELECT *,
+    |    tf * 1000000 + 1200000 * (norm_e6 // 1000000) +
+    |      (1200000 * (norm_e6 % 1000000)) // 1000000 AS den
+    |  FROM c2),
+    |calcw AS (
+    |  SELECT doc_id, w, doc_id % 8 AS block,
+    |    ((2 * (n_docs - dft) + 1) // (2 * dft + 1)) * 1000000 +
+    |      (((2 * (n_docs - dft) + 1) % (2 * dft + 1)) * 1000000)
+    |        // (2 * dft + 1) AS idf_e6,
+    |    ((tf * (1200000 + 1000000)) // den) * 1000000 +
+    |      (((tf * (1200000 + 1000000)) % den) * 1000000) // den
+    |      AS tfpart_e6
+    |  FROM c3),
+    |ts AS (SELECT doc_id, w, block,
+    |    (idf_e6 // 1000000) * tfpart_e6 +
+    |      ((idf_e6 % 1000000) * tfpart_e6) // 1000000 AS term_score_e6
+    |  FROM calcw),
+    |pd AS (SELECT block, doc_id, count(*) AS n_hits,
+    |    CAST(sum(term_score_e6) AS BIGINT) AS score_e6
+    |  FROM ts GROUP BY 1, 2),
+    |ubt AS (SELECT block, w, max(term_score_e6) AS mx
+    |  FROM ts GROUP BY 1, 2),
+    |ub AS (SELECT block, CAST(sum(mx) AS BIGINT) AS ub
+    |  FROM ubt GROUP BY 1),
+    |nd AS (SELECT block, count(*) AS nd FROM pd GROUP BY 1),
+    |mk AS (SELECT b.block, b.ub, n.nd,
+    |    sum(n.nd) OVER (ORDER BY b.ub DESC, b.block) AS cum
+    |  FROM ub b JOIN nd n USING (block)),
+    |mk2 AS (SELECT *, (cum - nd < 10) AS phase1 FROM mk),
+    |p1 AS (SELECT pd.* FROM pd JOIN mk2 USING (block)
+    |  WHERE mk2.phase1),
+    |tau AS (SELECT coalesce((SELECT score_e6 FROM p1
+    |    ORDER BY score_e6 DESC, doc_id LIMIT 1 OFFSET 9), -1) AS tau),
+    |p2b AS (SELECT mk2.block FROM mk2, tau
+    |  WHERE NOT mk2.phase1 AND mk2.ub >= tau.tau),
+    |cand AS (
+    |  SELECT p1.*, CAST(1 AS BIGINT) AS phase FROM p1
+    |  UNION ALL
+    |  SELECT pd.*, CAST(2 AS BIGINT) FROM pd JOIN p2b USING (block)),
+    |scan AS (SELECT
+    |    (SELECT count(DISTINCT block) FROM cand) AS scanned_blocks,
+    |    (SELECT count(*) FROM mk2) AS total_blocks)
+    |SELECT doc_id, n_hits, score_e6, phase, scanned_blocks,
+    |  total_blocks
+    |FROM cand, scan ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_chunk_overlap" -> chunkOverlapOracle,
     "q_pack_sequences" -> packSequencesOracle,
@@ -2525,77 +2622,12 @@ object TrainingQueries {
 
     // the full two-pass block-max replay: per-(term, block) max scores,
     // bound-ordered phase-1 prefix holding >= k docs, tau = k-th best
-    // exact phase-1 score, phase 2 = remaining blocks with bound >= tau
-    "q_blockmax_topk" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |  FROM documents),
-        |dlt AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
-        |st AS (SELECT count(*) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS total_dl FROM dlt),
-        |q(w) AS (VALUES ('spark'), ('merge'), ('window')),
-        |tft AS (SELECT tk.doc_id, tk.w, count(*) AS tf
-        |  FROM tk JOIN q USING (w) GROUP BY 1, 2),
-        |dft AS (SELECT w, count(*) AS dft FROM tft GROUP BY 1),
-        |base AS (
-        |  SELECT t.doc_id, t.w, t.tf, d.dl, f.dft, st.n_docs,
-        |    (st.total_dl // st.n_docs) * 1000000 +
-        |      ((st.total_dl % st.n_docs) * 1000000) // st.n_docs AS avgdl_e6
-        |  FROM tft t JOIN dlt d USING (doc_id) JOIN dft f USING (w)
-        |  CROSS JOIN st),
-        |c1 AS (SELECT *,
-        |    ((dl * 1000000) // avgdl_e6) * 1000000 +
-        |      (((dl * 1000000) % avgdl_e6) * 1000000) // avgdl_e6 AS ratio_e6
-        |  FROM base),
-        |c2 AS (SELECT *,
-        |    1000000 - 750000 + 750000 * (ratio_e6 // 1000000) +
-        |      (750000 * (ratio_e6 % 1000000)) // 1000000 AS norm_e6
-        |  FROM c1),
-        |c3 AS (SELECT *,
-        |    tf * 1000000 + 1200000 * (norm_e6 // 1000000) +
-        |      (1200000 * (norm_e6 % 1000000)) // 1000000 AS den
-        |  FROM c2),
-        |calcw AS (
-        |  SELECT doc_id, w, doc_id % 8 AS block,
-        |    ((2 * (n_docs - dft) + 1) // (2 * dft + 1)) * 1000000 +
-        |      (((2 * (n_docs - dft) + 1) % (2 * dft + 1)) * 1000000)
-        |        // (2 * dft + 1) AS idf_e6,
-        |    ((tf * (1200000 + 1000000)) // den) * 1000000 +
-        |      (((tf * (1200000 + 1000000)) % den) * 1000000) // den
-        |      AS tfpart_e6
-        |  FROM c3),
-        |ts AS (SELECT doc_id, w, block,
-        |    (idf_e6 // 1000000) * tfpart_e6 +
-        |      ((idf_e6 % 1000000) * tfpart_e6) // 1000000 AS term_score_e6
-        |  FROM calcw),
-        |pd AS (SELECT block, doc_id, count(*) AS n_hits,
-        |    CAST(sum(term_score_e6) AS BIGINT) AS score_e6
-        |  FROM ts GROUP BY 1, 2),
-        |ubt AS (SELECT block, w, max(term_score_e6) AS mx
-        |  FROM ts GROUP BY 1, 2),
-        |ub AS (SELECT block, CAST(sum(mx) AS BIGINT) AS ub
-        |  FROM ubt GROUP BY 1),
-        |nd AS (SELECT block, count(*) AS nd FROM pd GROUP BY 1),
-        |mk AS (SELECT b.block, b.ub, n.nd,
-        |    sum(n.nd) OVER (ORDER BY b.ub DESC, b.block) AS cum
-        |  FROM ub b JOIN nd n USING (block)),
-        |mk2 AS (SELECT *, (cum - nd < 10) AS phase1 FROM mk),
-        |p1 AS (SELECT pd.* FROM pd JOIN mk2 USING (block)
-        |  WHERE mk2.phase1),
-        |tau AS (SELECT coalesce((SELECT score_e6 FROM p1
-        |    ORDER BY score_e6 DESC, doc_id LIMIT 1 OFFSET 9), -1) AS tau),
-        |p2b AS (SELECT mk2.block FROM mk2, tau
-        |  WHERE NOT mk2.phase1 AND mk2.ub >= tau.tau),
-        |cand AS (
-        |  SELECT p1.*, CAST(1 AS BIGINT) AS phase FROM p1
-        |  UNION ALL
-        |  SELECT pd.*, CAST(2 AS BIGINT) FROM pd JOIN p2b USING (block)),
-        |scan AS (SELECT
-        |    (SELECT count(DISTINCT block) FROM cand) AS scanned_blocks,
-        |    (SELECT count(*) FROM mk2) AS total_blocks)
-        |SELECT doc_id, n_hits, score_e6, phase, scanned_blocks,
-        |  total_blocks
-        |FROM cand, scan ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+    // exact phase-1 score, phase 2 = remaining blocks with bound >= tau.
+    // q_blockmax_index round-trips the SAME scores through an at-rest
+    // parquet index (exact integers survive the round trip), so both
+    // queries replay one SQL.
+    "q_blockmax_topk" -> blockmaxOracleSql,
+    "q_blockmax_index" -> blockmaxOracleSql,
 
     // per-char counts -> exact quotient-remainder collision index; the
     // planted char runs must flip keep to false

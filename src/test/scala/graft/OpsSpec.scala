@@ -966,6 +966,107 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("bm25BlockMaxTopK reads its corpus at most twice (tf chain + stats)") {
+    // round-12 regression guard: the lazy merge re-ran the corpus scan
+    // behind every consumer (~5x the plain bm25Rank cost); the merge is
+    // now ONE action whose branches share the tf and repartition
+    // exchanges via ReusedExchange. A fresh parquet corpus (not the
+    // suite's cached docs — cache substitution would hide the reads)
+    // plus a task-metrics listener pins the file-read volume.
+    val root = java.nio.file.Files.createTempDirectory("graft-bmx-scan")
+    try {
+      import spark.implicits._
+      (0L until 400L)
+        .map(i => (i, s"spark merge window filler$i pad$i more$i"))
+        .toDF("doc_id", "text")
+        .repartition(2).write.parquet(root.toString + "/docs")
+      val corpus = spark.read.parquet(root.toString + "/docs")
+      val fileBytes = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(
+          java.nio.file.Files.walk(root.resolve("docs"))) { st =>
+          st.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(p => java.nio.file.Files.size(p)).sum
+        }
+      }
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val got = TextAnalysis.bm25BlockMaxTopK(
+          corpus, Seq("spark", "merge"), k = 5, blocks = 4).collect()
+        assert(got.length === 5, "operator lost rows under the probe")
+        // listener events are async: settle until the counter is stable
+        var last = -1L; var settled = 0; var waited = 0
+        while (settled < 3 && waited < 50) {
+          val v = bytes.get
+          if (v == last) settled += 1 else { settled = 0; last = v }
+          Thread.sleep(100); waited += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(bytes.get > 0L, "listener saw no input — probe is broken")
+      assert(bytes.get <= 3L * fileBytes,
+        s"corpus read ${bytes.get} bytes vs $fileBytes on disk — " +
+          "more than the two expected passes; a merge branch lost " +
+          "exchange reuse and re-scans the corpus")
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("at-rest block-max index answers row-identically and never scans the corpus") {
+    val terms = Seq("spark", "merge", "window")
+    val root = java.nio.file.Files.createTempDirectory("graft-bmx-spec")
+    try {
+      TextAnalysis.bm25IndexWrite(docs, root.toString, blocks = 8)
+      val got = TextAnalysis.bm25TopKOverIndex(spark, root.toString,
+        terms, k = 10)
+      val gotRows = got.collect().map(_.toSeq).toSeq
+      val inline = TextAnalysis.bm25BlockMaxTopK(docs, terms, k = 10,
+          blocks = 8)
+        .collect().map(_.toSeq).toSeq
+      assert(gotRows === inline,
+        "index-backed top-k diverged from the inline operator")
+      // query-time IO contract, pinned on the index reads themselves
+      // (the returned table is local — a k-row TakeOrdered result):
+      // the partitionBy("block") layout prunes parquet DIRECTORIES, and
+      // the term predicate pushes into the postings row groups
+      val prunedPlan = spark.read.parquet(root.toString + "/postings")
+        .filter(org.apache.spark.sql.functions.col("block") === 3)
+        .queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*block".r.findFirstIn(prunedPlan)
+          .isDefined,
+        "block filter did not prune postings partitions: " +
+          prunedPlan.take(600))
+      val termPlan = spark.read.parquet(root.toString + "/postings")
+        .filter(org.apache.spark.sql.functions.col("w").isin(terms: _*))
+        .queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]*[Ii]n\\(w".r.findFirstIn(termPlan)
+          .isDefined,
+        "term predicate did not push into the postings scan: " +
+          termPlan.take(600))
+    } finally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("charDiversity: exact collision index, runs flagged, unicode chars") {
     import spark.implicits._
     val corpus = Seq(

@@ -606,7 +606,6 @@ class PlanSpec extends SparkSpec {
     "q_pagerank" -> "1-row dangling-mass broadcast cross-joins onto the rank table per round (Graph.scala:67)",
     "q_semdedup" -> "1-row threshold broadcast over the bounded per-cluster pair set",
     "q_bm25" -> "1-row (n_docs, total_dl) stats broadcast onto the postings (TextAnalysis.scala:280)",
-    "q_blockmax_topk" -> "1-row stats/tau/scan-diagnostic broadcasts onto |blocks|-bounded tables (TextAnalysis.bm25BlockMaxTopK)",
     "q_pmi" -> "1-row bigram-total broadcast onto the |vocab|-sized pair table (TextAnalysis.scala:802)",
     "q_lm_interp" -> "1-row corpus-total broadcast onto the bigram table (TextAnalysis.scala:978)",
     "q_lm_kn" -> "1-row continuation-type-total broadcast (TextAnalysis.scala:1033)",
@@ -622,10 +621,7 @@ class PlanSpec extends SparkSpec {
     "q_mix_weights" -> "windows the per-source mixture table: |sources| rows",
     "q_temperature_mix" -> "windows the per-source mixture table: |sources| rows",
     "q_epoch_schedule" -> "windows the per-source epoch table: |sources| rows",
-    "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows",
-    "q_blockmax_topk" -> ("global windows only over the |blocks|-row " +
-      "bound table and the <= |blocks|*k per-block-top-k survivors; " +
-      "the per-doc ranking window is PARTITIONED by block")
+    "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows"
   )
 
   test("board lint: no cartesian, no stray BNLJ, no global corpus window") {
