@@ -124,7 +124,7 @@ object RelationalQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(graft.ops.Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
@@ -228,8 +228,8 @@ object RelationalQueries {
     val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
       (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
       .filter(pair)
@@ -255,13 +255,13 @@ object RelationalQueries {
     // result is a filtered-part-sized table, broadcast back. Exact
     // decimal sum / count, THEN one double division (deterministic and
     // oracle-mirrorable, unlike a decimal avg's precision ladder).
-    val lp = l.join(broadcast(p.select(col("p_partkey"))),
+    val lp = l.join(graft.ops.Hints.broadcastIfSmall(p.select(col("p_partkey"))),
       l("l_partkey") === col("p_partkey"), "left_semi")
     val thresholds = lp.groupBy(col("l_partkey").as("t_partkey"))
       .agg((sum(SparkEntry.dec("l_quantity")).cast("double") /
         count(col("l_quantity")) * lit(0.2)).as("qty_threshold"))
-    lp.join(broadcast(p), lp("l_partkey") === p("p_partkey"))
-      .join(broadcast(thresholds), lp("l_partkey") === col("t_partkey"))
+    lp.join(graft.ops.Hints.broadcastIfSmall(p), lp("l_partkey") === p("p_partkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(thresholds), lp("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity").cast("double") < col("qty_threshold"))
       .groupBy(col("p_brand"))
       .agg((sum(SparkEntry.dec("l_extendedprice")).cast("double") / lit(7.0))
@@ -297,7 +297,7 @@ object RelationalQueries {
     val rev = (SparkEntry.dec("l_extendedprice") *
       (lit(1).cast("decimal(18,2)") - SparkEntry.dec("l_discount")))
       .cast("decimal(28,4)")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(graft.ops.Hints.broadcastIfSmall(p), l("l_partkey") === p("p_partkey"))
       .agg((lit(100.0) *
         sum(when(col("p_type") === "PROMO", rev)
           .otherwise(lit(0).cast("decimal(28,4)"))).cast("double") /
@@ -319,9 +319,9 @@ object RelationalQueries {
       .agg(sum(SparkEntry.dec("l_quantity")).cast("double").as("total_qty"))
       .filter(col("total_qty") > 250.0)
       .select(col("b_orderkey"))
-    l.join(broadcast(big), l("l_orderkey") === col("b_orderkey"))
+    l.join(graft.ops.Hints.broadcastIfSmall(big), l("l_orderkey") === col("b_orderkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_totalprice"))
       .agg(sum(SparkEntry.dec("l_quantity")).cast("double").as("sum_qty"))
@@ -339,7 +339,7 @@ object RelationalQueries {
     val c = Tables.load(s, dir, "customer")
     val n = Tables.load(s, dir, "nation")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("n_name"))

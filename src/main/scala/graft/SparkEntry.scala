@@ -100,7 +100,7 @@ object SparkEntry {
     val o = Tables.load(s, dir, "orders")
     val l = Tables.load(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"))
       .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .cast("decimal(28,4)")).cast("double").as("revenue"))
@@ -117,8 +117,8 @@ object SparkEntry {
     val l = Tables.load(s, dir, "lineitem")
     val sup = Tables.load(s, dir, "supplier")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(cst), o("o_custkey") === cst("c_custkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+      .join(graft.ops.Hints.broadcastIfSmall(cst), o("o_custkey") === cst("c_custkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(sup), l("l_suppkey") === sup("s_suppkey") &&
         cst("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

@@ -58,13 +58,13 @@ object TpchQueries {
     // cost table: region-thinned suppliers x filtered parts only — both
     // thin sides broadcast; the fact scan is the single heavy pass
     val cost = Tables.load(s, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"))
       .agg(min(dec("l_extendedprice")).as("cost"))
     val minCost = cost.groupBy(col("p_partkey").as("m_partkey"))
       .agg(min(col("cost")).as("min_cost"))
-    cost.join(broadcast(minCost), col("p_partkey") === col("m_partkey") &&
+    cost.join(graft.ops.Hints.broadcastIfSmall(minCost), col("p_partkey") === col("m_partkey") &&
         col("cost") === col("min_cost"))
       .select(col("p_partkey"), col("s_name"), col("n_name"),
         col("cost").cast("double").as("supply_cost"))
@@ -100,12 +100,12 @@ object TpchQueries {
     val n2 = Tables.load(s, dir, "nation")
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val r = Tables.load(s, dir, "region").filter(col("r_name") === "AMERICA")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(graft.ops.Hints.broadcastIfSmall(p), l("l_partkey") === p("p_partkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n1), c("c_nationkey") === col("c_nk"))
       .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg((sum(when(col("supp_nation") === "NATION_4", rev)
@@ -126,8 +126,8 @@ object TpchQueries {
     val p = Tables.load(s, dir, "part").filter(col("p_name").like("red%"))
     val n = Tables.load(s, dir, "nation")
     val cost = (dec("p_retailprice") * dec("l_quantity")).cast("decimal(28,4)")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+    l.join(graft.ops.Hints.broadcastIfSmall(p), l("l_partkey") === p("p_partkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -198,7 +198,7 @@ object TpchQueries {
     val sup = Tables.load(s, dir, "supplier")
     withScalar(perSupp, mx)
       .filter(col("total_revenue") === col("max_rev"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
@@ -215,8 +215,8 @@ object TpchQueries {
     val excl = Tables.load(s, dir, "supplier")
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.load(s, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(graft.ops.Hints.broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -236,7 +236,7 @@ object TpchQueries {
         col("l_quantity").between(10, 25)) ||
       (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
         col("l_quantity").between(20, 35))
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(graft.ops.Hints.broadcastIfSmall(p), l("l_partkey") === p("p_partkey"))
       .filter(bands)
       .agg(sum(rev).cast("double").as("revenue"))
   }
@@ -250,7 +250,7 @@ object TpchQueries {
     val p = Tables.load(s, dir, "part").filter(col("p_name").like("red%"))
       .select(col("p_partkey"))
     val shipped = Tables.load(s, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(dec("l_quantity")).cast("double").as("red_qty"))
       .filter(col("red_qty") > 500.0)
@@ -259,7 +259,7 @@ object TpchQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       // shipped is supplier-bounded (one row per qualifying supplier) —
       // broadcast the semi-filter instead of sort-merging the dimension
-      .join(broadcast(shipped), col("s_suppkey") === col("l_suppkey"),
+      .join(graft.ops.Hints.broadcastIfSmall(shipped), col("s_suppkey") === col("l_suppkey"),
         "left_semi")
       .select(col("s_suppkey"), col("s_name"))
   }
@@ -288,7 +288,7 @@ object TpchQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
     l.filter(col("l_returnflag") === "R")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.ops.Hints.broadcastIfSmall(sup), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(orderStats, col("l_orderkey") === col("st_orderkey"), "left_semi")
       .groupBy(col("s_name"))
