@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import graft.functions.{BlockMeanHash, BmpDecodeStats, BmpEncode,
   BmpResizeArea, BmpResizeNn, Crc32C, DeflateLen, DotQLongs,
-  NfcNormalize, PhraseCount, RandProjLongs, WavDecodeStats,
-  WavDownsample, WavDownsampleMean, WavEncode, WordPieceEncodeWords}
+  NfcNormalize, PhraseCount, PngDecodeStats, PngEncode, PngResizeNn,
+  RandProjLongs, WavDecodeStats, WavDownsample, WavDownsampleMean,
+  WavEncode, WordPieceEncodeWords}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * functions so they're usable from SQL text as well as the Column API.
@@ -154,6 +155,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BmpResizeArea(children.head,
           literalInt(children(1), "bmp_resize_area"),
           literalInt(children(2), "bmp_resize_area"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("png_decode_stats"),
+      new ExpressionInfo(classOf[PngDecodeStats].getName, "png_decode_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "png_decode_stats(payload)")
+        PngDecodeStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("png_encode"),
+      new ExpressionInfo(classOf[PngEncode].getName, "png_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "png_encode(pixels, w, h, channels, filter_mode)")
+        PngEncode(children.head, literalInt(children(1), "png_encode"),
+          literalInt(children(2), "png_encode"),
+          literalInt(children(3), "png_encode"),
+          literalInt(children(4), "png_encode"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("png_resize_nn"),
+      new ExpressionInfo(classOf[PngResizeNn].getName, "png_resize_nn"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "png_resize_nn(payload, w, h)")
+        PngResizeNn(children.head, literalInt(children(1), "png_resize_nn"),
+          literalInt(children(2), "png_resize_nn"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("wav_downsample"),

@@ -1051,6 +1051,38 @@ object TrainingQueries {
       graft.ops.Multimodal.resizeBmp(media, 3, 2))
   }
 
+  /** Real PNG decode: the same 7x4 display-order fixtures as
+    * q_bmp_decode, but ENTROPY-CODED — minted with filterMode 1 so the
+    * scanlines cycle all five PNG filters (None/Sub/Up/Average/Paeth);
+    * the decode must inflate the IDAT (JDK zlib), verify chunk CRCs,
+    * and unfilter every row to reproduce the first-principles sums.
+    */
+  def qPngDecode(s: SparkSession, dir: String): DataFrame = {
+    val w = 7; val h = 4
+    val pixels = expr(
+      "cast(substring(repeat(text, 84 div length(text) + 1), 1, 84) as binary)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.PngCodecExpressions.pngEncode(pixels, w, h,
+          channels = 3, filterMode = 1).as("payload"))
+    graft.ops.Multimodal.decodePngStats(media)
+  }
+
+  /** Real PNG resize: the filter-cycled 7x4 PNGs downscaled to 3x2 by
+    * decode → nearest-neighbor → re-encode, then re-decoded — the same
+    * floor pixel mapping the BMP oracle replays.
+    */
+  def qPngResize(s: SparkSession, dir: String): DataFrame = {
+    val pixels = expr(
+      "cast(substring(repeat(text, 84 div length(text) + 1), 1, 84) as binary)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.PngCodecExpressions.pngEncode(pixels, 7, 4,
+          channels = 3, filterMode = 1).as("payload"))
+    graft.ops.Multimodal.decodePngStats(
+      graft.ops.Multimodal.resizePng(media, 3, 2))
+  }
+
   /** Area-average (box-filter) downscale of the same 7x4 BMPs to 3x2:
     * each output pixel is the truncating integer mean of its
     * floor-partitioned source block — the anti-aliased reduce.
@@ -1159,6 +1191,8 @@ object TrainingQueries {
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bmp_decode" -> (qBmpDecode _),
+    "q_png_decode" -> (qPngDecode _),
+    "q_png_resize" -> (qPngResize _),
     "q_bmp_resize" -> (qBmpResize _),
     "q_bmp_resize_area" -> (qBmpResizeArea _),
     "q_wav_decode" -> (qWavDecode _),
@@ -3586,6 +3620,55 @@ object TrainingQueries {
         |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(7 AS BIGINT) AS width,
         |  CAST(4 AS BIGINT) AS height, CAST(28 AS BIGINT) AS n_pixels,
         |  pixel_sum, row0_sum
+        |FROM px""".stripMargin,
+
+    // the PNG decode replayed from first principles: the fixtures carry
+    // the SAME display-order pixel bytes as q_bmp_decode (char (j mod
+    // len)+1), so the sums replay identically — the Spark side must
+    // inflate the IDAT, pass the chunk CRCs, and undo the five cycled
+    // scanline filters to reproduce them. Row 0 is TOP-down (PNG order).
+    "q_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(sum(c) AS BIGINT) AS pixel_sum,
+        |    CAST(sum(CASE WHEN j < 21 THEN c ELSE 0 END) AS BIGINT)
+        |      AS row0_sum
+        |  FROM (
+        |    SELECT d.media_id, t.j,
+        |      ascii(substr(d.text, CAST(j % length(d.text) AS INT) + 1, 1))
+        |        AS c
+        |    FROM d CROSS JOIN range(84) t(j))
+        |  GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(7 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(28 AS BIGINT) AS n_pixels, pixel_sum, row0_sum
+        |FROM px""".stripMargin,
+
+    // the PNG NN resize replayed byte by byte — identical floor mapping
+    // to q_bmp_resize, with the round trip re-entropy-coded on the way
+    "q_png_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(sum(c) AS BIGINT) AS pixel_sum,
+        |    CAST(sum(CASE WHEN y = 0 THEN c ELSE 0 END) AS BIGINT)
+        |      AS row0_sum
+        |  FROM (
+        |    SELECT d.media_id, y.y,
+        |      ascii(substr(d.text,
+        |        CAST(((y.y * 4 // 2) * 21 + (x.x * 7 // 3) * 3 + ch.ch)
+        |          % length(d.text) AS INT) + 1, 1)) AS c
+        |    FROM d CROSS JOIN range(2) y(y) CROSS JOIN range(3) x(x)
+        |    CROSS JOIN range(3) ch(ch))
+        |  GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(3 AS BIGINT) AS width,
+        |  CAST(2 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(6 AS BIGINT) AS n_pixels, pixel_sum, row0_sum
         |FROM px""".stripMargin,
 
     // the WAV decode replayed from first principles: sample j is

@@ -8,12 +8,13 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
 
-/** Real pixel/sample codecs for the two media containers that need no
+/** Real pixel/sample codecs for the media containers that need no
   * codec library — BMP (uncompressed 24-bit) and WAV (PCM16) are pure
-  * byte layouts, so "decode" is a walk, not a stub. This closes the gap
-  * the multimodal column had ([[graft.ops.Multimodal.Codec]] remains the
-  * stub ONLY for compressed formats: JPEG/PNG/MP4 entropy coding needs
-  * libraries this build does not ship).
+  * byte layouts, so "decode" is a walk, not a stub; PNG (zlib DEFLATE
+  * ships with the JDK) lives in [[PngCodecExpressions]]. This closes
+  * the gap the multimodal column had ([[graft.ops.Multimodal.Codec]]
+  * remains the stub ONLY for JPEG/MP4, whose DCT/inter-frame coding
+  * needs libraries this build does not ship).
   *
   * Encode exists so tests and oracle queries can mint byte-exact
   * containers from deterministic payloads; decode is the operator under

@@ -66,11 +66,12 @@ object Multimodal {
       (acc.toDouble / payload.length / 255.0, h, true)
     }
 
-    /** Stand-in resize for ENTROPY-CODED formats only (JPEG/PNG/MP4
-      * need codec libraries this build does not ship): truncates
+    /** Stand-in resize for JPEG/MP4 ONLY (DCT/inter-frame coding needs
+      * codec libraries this build does not ship): truncates
       * deterministically, preserving the plumbing contract (binary in,
-      * binary out). For the codec-free formats the transform is REAL —
-      * [[resizeBmp]]/[[resizeBmpArea]] and
+      * binary out). Everything else is REAL — [[resizeBmp]]/
+      * [[resizeBmpArea]], [[resizePng]] (zlib DEFLATE ships with the
+      * JDK — [[graft.functions.PngCodecKernels]]), and
       * [[downsampleWav]]/[[downsampleWavMean]].
       */
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -211,6 +212,33 @@ object Multimodal {
         element_at(col("__st"), 4).as("n_pixels"),
         element_at(col("__st"), 5).as("pixel_sum"),
         element_at(col("__st"), 6).as("row0_sum"))
+
+  /** REAL pixel decode for 8-bit RGB/RGBA PNG payloads: chunk walk +
+    * JDK-zlib inflate + the five scanline unfilters
+    * ([[graft.functions.PngCodecKernels]]). Same shape and hostile-
+    * input contract as [[decodeBmpStats]], plus the channel count.
+    */
+  def decodePngStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.PngCodecExpressions.pngDecodeStats(col("payload"))
+        .as("__st"))
+      .select(col("media_id"),
+        element_at(col("__st"), 1).as("ok"),
+        element_at(col("__st"), 2).as("width"),
+        element_at(col("__st"), 3).as("height"),
+        element_at(col("__st"), 4).as("channels"),
+        element_at(col("__st"), 5).as("n_pixels"),
+        element_at(col("__st"), 6).as("pixel_sum"),
+        element_at(col("__st"), 7).as("row0_sum"))
+
+  /** REAL nearest-neighbor resize for 8-bit RGB/RGBA PNG payloads —
+    * decode (inflate + unfilter), NN-sample, re-encode. Same hostile-
+    * input and meta-sync contract as [[resizeBmp]].
+    */
+  def resizePng(media: DataFrame, w: Int, h: Int): DataFrame =
+    syncImageMeta(media.withColumn("payload",
+      graft.functions.PngCodecExpressions.pngResizeNn(
+        col("payload"), w, h)), w, h)
 
   /** REAL sample decode for PCM16 WAV payloads: chunk walk + sign-
     * extended 16-bit reads; emits the integer amplitude sum and the
