@@ -359,6 +359,40 @@ object Streaming {
       }
       .start()
 
+  /** Event-time windows, exactly-once into the lake — the composition
+    * SURVEY §2.7 defers to "our streaming extensions": the watermarked
+    * tumbling aggregate ([[windowedCounts]]) in APPEND mode, landed
+    * through [[txLogSink]]'s (appId, batchId) dedup.
+    *
+    *  - A window emits its single FINAL row only when the watermark
+    *    passes its end: late events inside the horizon merge into the
+    *    window's state first; beyond-horizon events drop.
+    *  - State is bounded by the horizon — closed windows leave the
+    *    store, so state size tracks (horizon / windowDur) · |keys|,
+    *    never the stream's history.
+    *  - Restart-deterministic: the watermark and open-window state ride
+    *    the checkpoint, and a batch replayed after a crash between the
+    *    TxLog commit and the checkpoint advance is recognized by its
+    *    (appId, batchId) marker and dropped — each window lands in the
+    *    table exactly once. The spec drives this across three restarts.
+    *
+    * Session windows compose identically: swap [[windowedCounts]] for
+    * [[sessionWindowAgg]] upstream of the same sink.
+    */
+  def eventTimeAggSink(events: DataFrame, tsCol: String, keyCol: String,
+                       windowDur: String, watermarkDelay: String,
+                       table: String, appId: String, checkpoint: String,
+                       metricCol: String = "metric",
+                       trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    txLogSink(
+      windowedCounts(events, tsCol, keyCol, windowDur, watermarkDelay,
+        metricCol)
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col(keyCol), col("n"), col("sum_metric")),
+      table, appId, checkpoint, Nil, trigger)
+
   /** Exactly-once INCREMENTAL MATERIALIZED VIEW: maintains
     * `view` = SELECT keyCols, count(*) AS n, sum(c) AS c (per sumCol)
     *          FROM source GROUP BY keyCols

@@ -126,6 +126,63 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:20:00", 1L, 2.0)))
   }
 
+  test("eventTimeAggSink: late-in-horizon merges, beyond-horizon drops, " +
+      "exactly-once into TxLog across restarts") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-evt-table").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-evt-ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // each run is a fresh query over the SAME checkpoint — the restart
+    // path: watermark + open-window state must come back from the
+    // checkpoint, and no already-landed window may land twice
+    def runOnce(): Unit = {
+      val q = Streaming.eventTimeAggSink(
+        input.toDF().toDF("ts", "key", "metric"),
+        "ts", "key", windowDur = "5 minutes", watermarkDelay = "10 minutes",
+        table = table, appId = "evt-app", checkpoint = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    input.addData((ts("2024-01-01 10:00:30"), "a", 1.0),
+      (ts("2024-01-01 10:03:00"), "a", 2.0),
+      (ts("2024-01-01 10:22:00"), "a", 3.0)) // watermark -> 10:12
+    runOnce()
+    // RESTART 1: a late event INSIDE the horizon (10:21 >= 10:12) must
+    // merge into the still-open 10:20 window; one BEYOND it (10:02 <
+    // 10:12) must drop — and the restored watermark is what decides
+    input.addData((ts("2024-01-01 10:21:00"), "a", 5.0),
+      (ts("2024-01-01 10:02:00"), "a", 100.0), // beyond horizon: dropped
+      (ts("2024-01-01 10:40:00"), "a", 7.0)) // watermark -> 10:30
+    runOnce()
+    // RESTART 2: close the 10:20 window (watermark 10:30 passed its end)
+    input.addData((ts("2024-01-01 10:55:00"), "a", 9.0)) // watermark -> 10:45
+    runOnce()
+    // RESTART 3: close the 10:40 window
+    input.addData((ts("2024-01-01 11:20:00"), "a", 1.0))
+    runOnce()
+    val rows = graft.lake.TxLog.read(spark, table)
+      .select(col("window_start").cast("string"), col("key"), col("n"),
+        col("sum_metric"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // exactly the four finalized windows, each landed ONCE across the
+    // four runs; the dropped 10:02 event never bumped the 10:00 window.
+    // (AvailableNow drains a final state-eviction batch, so the 10:55
+    // window — closed by 11:20's watermark — lands in run 4 too; only
+    // 11:20's own window is still open.)
+    assert(rows.toSet === Set(
+      ("2024-01-01 10:00:00", "a", 2L, 3.0),
+      ("2024-01-01 10:20:00", "a", 2L, 8.0), // 10:22 + late-merged 10:21
+      ("2024-01-01 10:40:00", "a", 1L, 7.0),
+      ("2024-01-01 10:55:00", "a", 1L, 9.0)),
+      s"unexpected landed windows: ${rows.toSeq.sorted}")
+    assert(rows.length === 4,
+      "a window landed more than once across restarts")
+  }
+
   test("sessionWindowAgg merges within the gap, splits across it, finalizes on watermark") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val agg = Streaming.sessionWindowAgg(
