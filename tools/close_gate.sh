@@ -43,4 +43,16 @@ if [ "$fail" -eq 0 ]; then
 else
   echo "CLOSE-GATE FAIL — see /tmp/graft-gate-*.log"
 fi
+
+# Artifact hygiene (VERDICT r12 item 5): the recorded gate must match
+# HEAD. A dirty round artifact after the run means the committed gate
+# and the tree disagree — fail until the artifacts are committed.
+if [ "$fail" -eq 0 ]; then
+  dirty=$(git status --porcelain -- bench_out.json LEAKCHECK.json BASELINE.md)
+  if [ -n "$dirty" ]; then
+    echo "CLOSE-GATE DIRTY: round artifacts differ from HEAD — commit them:"
+    echo "$dirty"
+    fail=1
+  fi
+fi
 exit $fail
