@@ -529,6 +529,72 @@ object Similarity {
     cents
   }
 
+  /** Train SEVERAL Lloyd codebooks in lockstep — one tagged-union job
+    * per iteration instead of one full loop per book. The m
+    * per-subspace PQ codebooks all scan the SAME corpus, and at fixed
+    * data size the cost of m independent loops is JOB COUNT
+    * (m·(1+iters) sequential jobs, each re-deriving its input), not
+    * data volume: round 13 measured q_ivfpq_adc at ~2.5 s with ~17
+    * driver-coordinated jobs, dominated by exactly this loop. Each
+    * book's trajectory stays BIT-IDENTICAL to [[lloydCentroids]] over
+    * its own slice — same smallest-id seeds (ids are shared across
+    * books, so one per-book window yields all seed rows in one job),
+    * same integer floor means — so every PQ oracle replay is
+    * unaffected. The tagged input is cached for the (eager) training
+    * loop and released before return.
+    */
+  private def lloydCentroidsMulti(subs: IndexedSeq[DataFrame], k: Int,
+                                  iters: Int, dims: Int, idCol: String)
+      : IndexedSeq[Seq[(Long, IndexedSeq[Long])]] = {
+    val tagged = subs.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("__bk"), col(idCol).as("__id"), col("qe"))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__bk")).orderBy(col("__id"))
+      var cents: IndexedSeq[Seq[(Long, IndexedSeq[Long])]] = {
+        val seedRows = tagged.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= k)
+          .select(col("__bk"), col("__id"), col("qe")).collect()
+        subs.indices.map { b =>
+          seedRows.filter(_.getInt(0) == b).sortBy(_.getLong(1))
+            .zipWithIndex.map { case (r, i) =>
+              i.toLong -> r.getSeq[Long](2).toIndexedSeq
+            }.toSeq
+        }
+      }
+      for (_ <- 0 until iters) {
+        // one broadcast per book per iteration, destroyed once the
+        // (m·k)-row aggregate is on the driver — no leaked blocks
+        val bcs = cents.map(
+          graft.functions.VectorExpressions.broadcastCentroids)
+        val nc = bcs.zipWithIndex.tail.foldLeft(
+          graft.functions.VectorExpressions
+            .nearestCentroidBc(col("qe"), bcs.head)) {
+          case (acc, (bc, i)) =>
+            when(col("__bk") === i, graft.functions.VectorExpressions
+              .nearestCentroidBc(col("qe"), bc)).otherwise(acc)
+        }
+        val sums = tagged.withColumn("__nc", nc)
+          .groupBy(col("__bk"), col("__nc.cid").as("cid"))
+          .agg(count(lit(1)).as("cnt"),
+            (0 until dims).map(i =>
+              sum(element_at(col("qe"), i + 1)).as(s"s$i")): _*)
+          .collect()
+        bcs.foreach(_.destroy())
+        cents = subs.indices.map { b =>
+          sums.filter(_.getInt(0) == b).map { r =>
+            val cnt = r.getLong(2)
+            r.getLong(1) -> (0 until dims)
+              .map(i => math.floor(r.getLong(i + 3).toDouble / cnt).toLong)
+          }.sortBy(_._1).toSeq
+        }
+      }
+      cents
+    } finally { tagged.unpersist(blocking = false); () }
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the embedding space is
     * split into `m` equal subspaces of dims/m dimensions and an
@@ -555,10 +621,9 @@ object Similarity {
     require(ksub > 0 && iters >= 0, s"bad pq params: ksub=$ksub iters=$iters")
     val sub = dims / m
     val v = quantizedOrFail(embeddings, idCol, embCol)
-    (0 until m).map { i =>
-      val vi = v.select(col(idCol), slice(col("qe"), i * sub + 1, sub).as("qe"))
-      lloydCentroids(vi, ksub, iters, sub, idCol)
-    }.toIndexedSeq
+    lloydCentroidsMulti((0 until m).map { i =>
+      v.select(col(idCol), slice(col("qe"), i * sub + 1, sub).as("qe"))
+    }.toIndexedSeq, ksub, iters, sub, idCol)
   }
 
   /** Encode each vector as its m per-subspace nearest-codebook codes —
@@ -716,12 +781,13 @@ object Similarity {
           .getField("cid"))
       .withColumn("resid", residualOf(col("qe"), col("cell")))
 
-    // PQ books trained on the residual space
-    val books = (0 until m).map { i =>
-      lloydCentroids(
-        assigned.select(col(idCol), slice(col("resid"), i * sub + 1, sub)
-          .as("qe")), ksub, iters, sub, idCol)
-    }.toIndexedSeq
+    // PQ books trained on the residual space — all m in lockstep (the
+    // tagged cache also means the coarse-assign + residual chain runs
+    // once, not once per book job)
+    val books = lloydCentroidsMulti((0 until m).map { i =>
+      assigned.select(col(idCol), slice(col("resid"), i * sub + 1, sub)
+        .as("qe"))
+    }.toIndexedSeq, ksub, iters, sub, idCol)
 
     val q = v.filter(col(idCol) === queryId).select(col("qe"))
       .head().getSeq[Long](0)
