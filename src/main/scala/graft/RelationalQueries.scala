@@ -227,8 +227,12 @@ object RelationalQueries {
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
       (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(graft.ops.Hints.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
+    // orders thin through the customer join FIRST (the q3/q5 join-order
+    // rule): past the broadcast gate the fact shuffles once on orderkey
+    // instead of orderkey-then-custkey
+    val oc = o.join(graft.ops.Hints.broadcastIfSmall(c),
+      o("o_custkey") === c("c_custkey"))
+    l.join(oc, l("l_orderkey") === o("o_orderkey"))
       .join(graft.ops.Hints.broadcastIfSmall(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), c("c_nationkey") === col("c_nk"))

