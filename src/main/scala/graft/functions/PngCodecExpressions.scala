@@ -179,7 +179,12 @@ object PngCodecKernels {
       var got = 0
       while (got < expect && !inf.finished()) {
         val n = inf.inflate(raw, got, expect - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // n == 0 while unfinished means truncated input OR a preset-
+        // dictionary stream (FDICT) — either way hostile here, and
+        // without the needsDictionary check the loop would never
+        // terminate (inflate keeps returning 0)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return null
         got += n
       }
       if (got != expect) return null

@@ -104,6 +104,34 @@ class PngSpec extends SparkSpec {
     assert(pngResizeNn(null, 2, 2) === null)
   }
 
+  test("PNG preset-dictionary (FDICT) stream rejects instead of hanging") {
+    // a zlib stream with the FDICT flag makes Inflater.inflate return 0
+    // with needsDictionary — without the explicit check the decode loop
+    // never terminates. CMF=0x78, FLG=0x3F (FDICT bit set, FCHECK
+    // valid: (0x78*256 + 0x3F) % 31 == 0), then a 4-byte DICTID.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Int): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+        ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+        (v & 0xff).toByte)
+      out.write(be(data.length))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+      out.toByteArray
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = 1; ihdr(7) = 1 // 1x1
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit RGB
+    val idat = Array[Byte](0x78, 0x3f, 1, 2, 3, 4, 0, 0, 0, 0)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val hostile = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    // must return the zero row promptly, not spin on inflate
+    assert(pngDecodeStats(hostile)(0) === 0L)
+  }
+
   test("decodePngStats/resizePng: columnar path is null-safe, meta syncs") {
     import spark.implicits._
     val pngBytes = pngEncode(rgb, w, h, 3, 1)
