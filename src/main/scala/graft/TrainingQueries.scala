@@ -851,6 +851,27 @@ object TrainingQueries {
       .withColumn("n_chars_clean", length(col("clean")).cast("long"))
   }
 
+  /** Boilerplate removal: each doc wrapped in a 4-line page — a
+    * link-heavy nav line (6 words but 94% anchor text: the LINK axis
+    * must reject it, not the word count), the prose body, a link-heavy
+    * footer, and a 2-word stub (the WORD axis rejects it). Only the
+    * body survives — and only for docs with >= 5 words, so the keep
+    * decision varies across the corpus.
+    */
+  def qExtractContent(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<div class=\"nav\"><a href=\"/\">Home page</a> " +
+        "<a href=\"/a\">About our site</a> " +
+        "<a href=\"/c\">Contact</a></div>\n<p>"),
+      col("text"),
+      lit("</p>\n<footer><a href=\"/p\">Privacy policy</a> " +
+        "(c) example site</footer>\n<p>Too short.</p>"))
+    TextAnalysis.extractContent(
+      docs(s, dir).withColumn("html", html), minWords = 5)
+      .select(col("doc_id"), col("n_lines"), col("n_content"),
+        col("boiler_permille"), col("content"))
+  }
+
   /** Deterministic weighted priority sample: 100 docs, n_chars weight. */
   def qPrioritySample(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.prioritySample(docs(s, dir), col("n_chars"), k = 100)
@@ -1184,6 +1205,7 @@ object TrainingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wordpiece" -> (qWordpiece _),
     "q_strip_html" -> (qStripHtml _),
+    "q_extract_content" -> (qExtractContent _),
     "q_priority_sample" -> (qPrioritySample _),
     "q_hamming_topk" -> (qHammingTopk _),
     "q_rrf_fusion" -> (qRrfFusion _),
@@ -3988,6 +4010,57 @@ object TrainingQueries {
     // the exact regex/replace chain of TextAnalysis.stripHtml — RE2
     // and Java read these patterns identically (non-greedy + (?s), no
     // lookaround); entity decode order matters (&amp; LAST)
+    // the per-line boilerplate classifier replayed with DuckDB list
+    // lambdas: visible text via the same strip chain as q_strip_html,
+    // anchor length from the <a> captures, keep = word axis AND link
+    // axis, content = the kept lines' visible text in order
+    "q_extract_content" -> {
+      def vis(v: String): String =
+        s"""trim(regexp_replace(
+           |      replace(replace(replace(replace(replace(replace(
+           |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |          $v,
+           |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           |          '(?s)<!--.*?-->', ' ', 'g'),
+           |          '<[^>]*>', ' ', 'g'),
+           |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           |        '&nbsp;', ' '), '&amp;', '&'),
+           |      '[ \\t\\r\\n\\f]+', ' ', 'g'))""".stripMargin
+      val alen =
+        """coalesce(list_sum(list_transform(
+          |      regexp_extract_all(l, '(?s)<a[^>]*>(.*?)</a>', 1),
+          |      x -> length(trim(regexp_replace(
+          |        regexp_replace(x, '<[^>]*>', ' ', 'g'),
+          |        '[ \\t\\r\\n\\f]+', ' ', 'g'))))), 0)""".stripMargin
+      val keep =
+        s"""(CASE WHEN length(${vis("l")}) = 0 THEN 0
+           |      ELSE len(string_split(${vis("l")}, ' ')) END) >= 5
+           |  AND $alen * 1000 <= 330 * length(${vis("l")})""".stripMargin
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    '<div class="nav"><a href="/">Home page</a> ' ||
+         |    '<a href="/a">About our site</a> ' ||
+         |    '<a href="/c">Contact</a></div>' || chr(10) ||
+         |    '<p>' || text || '</p>' || chr(10) ||
+         |    '<footer><a href="/p">Privacy policy</a> ' ||
+         |    '(c) example site</footer>' || chr(10) ||
+         |    '<p>Too short.</p>' AS html
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id,
+         |    len(string_split(html, chr(10))) AS n_lines,
+         |    list_filter(string_split(html, chr(10)), l -> $keep) AS kept
+         |  FROM src)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_content,
+         |  CAST((1000 * (n_lines - len(kept))) // n_lines AS BIGINT)
+         |    AS boiler_permille,
+         |  array_to_string(list_transform(kept, l -> ${vis("l")}), chr(10))
+         |    AS content
+         |FROM k""".stripMargin
+    },
+
     "q_strip_html" -> {
       val html =
         "'<html><head><style>p{color:red}</style></head><body><h1>' || " +

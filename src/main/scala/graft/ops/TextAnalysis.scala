@@ -781,6 +781,60 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " "))
   }
 
+  /** Main-content extraction from raw HTML — the boilerplate-removal
+    * step that precedes line filters like [[c4Filter]] in a web-corpus
+    * pipeline (jusText / Kohlschütter-style block classification recast
+    * as per-line heuristics). Navigation, footers and chrome are short
+    * and LINK-HEAVY; body prose is long and link-light — the two axes
+    * the whole family keys on:
+    *
+    *   - visible(l): the line with tags stripped and entities decoded
+    *     (the [[stripHtml]] pipeline applied per line)
+    *   - link density: anchor-text chars / visible chars, from the
+    *     `<a ...>inner</a>` captures of the line
+    *   - a line is CONTENT iff it holds >= minWords visible words AND
+    *     its link density is <= maxLinkPermille/1000
+    *
+    * Appends n_lines, n_content, `content` (the kept lines' visible
+    * text, newline-joined, "" when nothing survives) and
+    * boiler_permille (integer permille of lines dropped). Shuffle-free
+    * narrow map — HOFs over the line array, builtins only, so the pass
+    * runs inside whole-stage codegen at scan speed over 100 TB; every
+    * step is engine-deterministic and the oracle replays it line by
+    * line. Anchors spanning a line break count as plain text on both
+    * engines (per-line contract).
+    */
+  def extractContent(docs: DataFrame, minWords: Int = 5,
+                     maxLinkPermille: Int = 330,
+                     htmlCol: String = "html",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(minWords >= 1 && maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+      s"bad params: minWords=$minWords maxLinkPermille=$maxLinkPermille")
+    def vis(l: Column): Column = stripHtml(l)
+    def anchorLen(l: Column): Column = aggregate(
+      regexp_extract_all(l, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0L), (acc, x) => acc +
+        length(trim(regexp_replace(
+          regexp_replace(x, "<[^>]*>", " "), "[ \\t\\r\\n\\f]+", " "))))
+    def isContent(l: Column): Column = {
+      val v = vis(l)
+      val words = when(length(v) === 0, lit(0))
+        .otherwise(size(split(v, " ")))
+      words >= minWords &&
+        anchorLen(l) * lit(1000L) <= lit(maxLinkPermille.toLong) * length(v)
+    }
+    docs
+      .withColumn("__lines", split(col(htmlCol), "\r?\n"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("__kept", filter(col("__lines"), isContent(_)))
+      .withColumn("n_content", size(col("__kept")).cast("long"))
+      .withColumn("content",
+        array_join(transform(col("__kept"), vis(_)), "\n"))
+      .withColumn("boiler_permille",
+        expr("(1000 * (n_lines - n_content)) DIV n_lines"))
+      .drop("__lines", "__kept")
+  }
+
   /** Content-phrase blocklist scan: per-phrase occurrence counts over
     * each document in ONE text pass via a broadcast Aho–Corasick
     * automaton ([[graft.functions.PhraseExpressions]] — see there for

@@ -1067,6 +1067,29 @@ class OpsSpec extends SparkSpec with PropSupport {
     }
   }
 
+  test("extractContent: word axis, link axis incl. exact boundary, nested anchors") {
+    import spark.implicits._
+    val page = Seq(
+      "<a>abcde</a> fghi", // alen 5 / vlen 10 = exactly the 500 bound -> kept
+      "<a>abcdef</a> fgh", // alen 6 / vlen 10 = 600 permille -> dropped
+      "one two three", // prose, no links -> kept
+      "x", // 1 word < minWords -> dropped
+      "", // empty visible -> dropped (and must not divide by zero)
+      "<a href=q><b>bold link</b></a> plus trailing prose words here"
+    ).mkString("\n")
+    val got = TextAnalysis.extractContent(
+      Seq((1L, page)).toDF("doc_id", "html"),
+      minWords = 2, maxLinkPermille = 500).head()
+    assert(got.getAs[Long]("n_lines") === 6)
+    assert(got.getAs[Long]("n_content") === 3)
+    // nested tags inside the anchor strip to its visible text ("bold
+    // link", 9 chars) for the density test, and the kept lines come
+    // back in order as their VISIBLE text
+    assert(got.getAs[String]("content") ===
+      "abcde fghi\none two three\nbold link plus trailing prose words here")
+    assert(got.getAs[Long]("boiler_permille") === 500L)
+  }
+
   test("charDiversity: exact collision index, runs flagged, unicode chars") {
     import spark.implicits._
     val corpus = Seq(
