@@ -8,7 +8,7 @@ import graft.functions.{BlockMeanHash, BmpDecodeStats, BmpEncode,
   BmpResizeArea, BmpResizeNn, Crc32C, DeflateLen, DotQLongs,
   NfcNormalize, PhraseCount, PngDecodeStats, PngEncode, PngResizeNn,
   RandProjLongs, WavDecodeStats, WavDownsample, WavDownsampleMean,
-  WavEncode, WordPieceEncodeWords}
+  WavEncode, WavSamples, WordPieceEncodeWords}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * functions so they're usable from SQL text as well as the Column API.
@@ -155,6 +155,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BmpResizeArea(children.head,
           literalInt(children(1), "bmp_resize_area"),
           literalInt(children(2), "bmp_resize_area"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wav_samples"),
+      new ExpressionInfo(classOf[WavSamples].getName, "wav_samples"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "wav_samples(payload)")
+        WavSamples(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("png_decode_stats"),

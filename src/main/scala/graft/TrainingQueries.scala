@@ -1056,6 +1056,25 @@ object TrainingQueries {
     graft.ops.Multimodal.decodeWavStats(media)
   }
 
+  /** Frame-level audio features over q_wav_decode's clips: 16-sample
+    * frames over the 48-sample fixture (tail-exact 3 frames) — energy,
+    * amplitude sum, zero crossings (sign flips: the word/space
+    * alternation in the source chars flips v's sign), and clipping at
+    * |v| >= 7800, which only the corpus's highest-valued chars reach
+    * late in the clip (i·7 ramp) — both axes data-dependent.
+    */
+  def qWavFrames(s: SparkSession, dir: String): DataFrame = {
+    val samples = expr(
+      "transform(sequence(0, 47), i -> " +
+        "ascii(substring(text, i % length(text) + 1, 1)) * 129 + i * 7 - 8192)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.MediaCodecExpressions.wavEncode(samples, 16000)
+          .as("payload"))
+    graft.ops.Multimodal.wavFrameFeatures(media, frameLen = 16,
+      clipAbs = 7800)
+  }
+
   /** Real resize: 7x4 BMPs (q_bmp_decode's synthesis) downscaled to 3x2
     * by the nearest-neighbor kernel, then re-decoded — the oracle
     * replays every surviving byte via the floor pixel mapping.
@@ -1218,6 +1237,7 @@ object TrainingQueries {
     "q_bmp_resize" -> (qBmpResize _),
     "q_bmp_resize_area" -> (qBmpResizeArea _),
     "q_wav_decode" -> (qWavDecode _),
+    "q_wav_frames" -> (qWavFrames _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -3714,6 +3734,34 @@ object TrainingQueries {
         |  CAST(16000 AS BIGINT) AS sample_rate, CAST(48 AS BIGINT) AS n_samples,
         |  sum_amp, sum_sq, CAST(3 AS BIGINT) AS duration_ms
         |FROM s""".stripMargin,
+
+    // the frame features replayed sample by sample: v_j from the
+    // generative formula, zero-cross = sign flip vs v_{j-1} (counted in
+    // the SECOND sample's frame; j=0 contributes none), frames of 16
+    "q_wav_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |s AS (
+        |  SELECT d.media_id, t.j,
+        |    ascii(substr(d.text, CAST(j % length(d.text) AS INT) + 1, 1))
+        |      * 129 + j * 7 - 8192 AS v,
+        |    CASE WHEN j = 0 THEN 0 ELSE
+        |      CASE WHEN (ascii(substr(d.text,
+        |          CAST((j - 1) % length(d.text) AS INT) + 1, 1))
+        |          * 129 + (j - 1) * 7 - 8192) *
+        |        (ascii(substr(d.text, CAST(j % length(d.text) AS INT) + 1, 1))
+        |          * 129 + j * 7 - 8192) < 0 THEN 1 ELSE 0 END
+        |    END AS zc
+        |  FROM d CROSS JOIN range(48) t(j))
+        |SELECT media_id, CAST(j // 16 AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(zc) AS BIGINT) AS n_zero_cross,
+        |  CAST(sum(CASE WHEN abs(v) >= 7800 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // the nearest-neighbor resize replayed byte by byte: display pixel
     // (x, y) of the 3x2 output draws source pixel (x*7//3, y*4//2) of

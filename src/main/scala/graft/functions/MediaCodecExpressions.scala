@@ -327,6 +327,29 @@ object MediaCodecKernels {
     Array(1L, sampleRate, nSamples.toLong, sumAmp, sumSq, durationMs)
   }
 
+  /** Decode a PCM16 WAV's samples as a plain int array (sign-extended)
+    * — the compose-built-ins bridge for audio feature extraction: one
+    * kernel call turns the payload into data the DataFrame layer can
+    * explode/window/aggregate (frame energy, zero crossings, clipping),
+    * keeping the FEATURE math declarative and oracle-replayable instead
+    * of buried in another kernel. The array is 2x the payload's data
+    * bytes — proportional, never a decompression bomb. Hostile input →
+    * null, never a throw.
+    */
+  def wavSamples(p: Array[Byte]): Array[Int] = {
+    val lay = wavLayout(p)
+    if (lay(0) == 0L) return null
+    val dataStart = lay(3).toInt
+    val nSamples = lay(4).toInt / 2
+    val out = new Array[Int](nSamples)
+    var j = 0
+    while (j < nSamples) {
+      out(j) = rdLe16(p, dataStart + j * 2).toShort.toInt // sign-extend
+      j += 1
+    }
+    out
+  }
+
   /** Integer-factor PCM16 decimation: keep every `factor`-th sample
     * starting at sample 0, re-encoded at srcRate/factor via
     * [[wavEncode]] — the real "resample" leg for the codec-free audio
@@ -589,7 +612,42 @@ case class WavDecodeStats(child: Expression) extends UnaryExpression {
       newChild: Expression): WavDecodeStats = copy(child = newChild)
 }
 
+/** `wav_samples(payload)` → array<int> of sign-extended PCM16 samples;
+  * null on hostile input (the kernel returns null for non-null bad
+  * bytes, so codegen carries an explicit null check — the BmpResizeNn
+  * contract).
+  */
+case class WavSamples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "wav_samples"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wav_samples requires binary, got ${t.catalogString}")
+  }
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = MediaCodecKernels.wavSamples(v.asInstanceOf[Array[Byte]])
+    if (s == null) null else new GenericArrayData(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { v =>
+      val s = ctx.freshName("wavSamples")
+      s"""int[] $s = graft.functions.MediaCodecKernels.wavSamples($v);
+         |${ev.isNull} = $s == null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($s);
+         |}""".stripMargin
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): WavSamples = copy(child = newChild)
+}
+
 object MediaCodecExpressions {
+  def wavSamples(payload: Column): Column =
+    ColumnBridge.column(WavSamples(ColumnBridge.expression(payload)))
   def bmpEncode(pixels: Column, width: Int, height: Int): Column =
     ColumnBridge.column(
       BmpEncode(ColumnBridge.expression(pixels), width, height))

@@ -261,6 +261,47 @@ object Multimodal {
         element_at(col("__st"), 5).as("sum_sq"),
         element_at(col("__st"), 6).as("duration_ms"))
 
+  /** Frame-level PCM16 audio features — the speech-curation filters
+    * (silence/VAD gating, clipping detection) computed EXACTLY, per
+    * `frameLen`-sample frame:
+    *
+    *   n_samples, sum_amp, sum_sq (the RMS numerator — energy),
+    *   n_zero_cross (sign flips; a crossing counts in the SECOND
+    *   sample's frame), n_clipped (|s| >= clipAbs).
+    *
+    * One kernel call decodes the payload to samples
+    * ([[graft.functions.MediaCodecExpressions.wavSamples]]); the
+    * feature math stays DECLARATIVE — a per-sample transform (the
+    * zero-cross flag reads the previous element, no window), posexplode,
+    * and ONE (media, frame) micro-group aggregate with map-side
+    * partials: the dedup_ngram scale family, everything integer-exact
+    * and oracle-replayable. The tail partial frame is kept. Corrupt
+    * payloads drop out (null sample arrays), never fail a task.
+    */
+  def wavFrameFeatures(media: DataFrame, frameLen: Int = 160,
+                       clipAbs: Int = 32440): DataFrame = {
+    require(frameLen > 0 && clipAbs > 0 && clipAbs <= 32768,
+      s"bad params: frameLen=$frameLen clipAbs=$clipAbs")
+    media
+      .select(col("media_id"),
+        graft.functions.MediaCodecExpressions.wavSamples(col("payload"))
+          .as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("media_id"),
+        posexplode(transform(col("__s"), (x, i) => struct(
+          x.as("s"),
+          when(i === 0, lit(0))
+            .otherwise((element_at(col("__s"), i) * x < 0).cast("int"))
+            .as("zc")))).as(Seq("i", "f")))
+      .groupBy(col("media_id"),
+        expr("i DIV " + frameLen).cast("long").as("frame_idx"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("f.s").cast("long")).as("sum_amp"),
+        sum(col("f.s").cast("long") * col("f.s")).as("sum_sq"),
+        sum(col("f.zc").cast("long")).as("n_zero_cross"),
+        sum((abs(col("f.s")) >= clipAbs).cast("long")).as("n_clipped"))
+  }
+
   /** REAL nearest-neighbor resize for 24-bit BMP payloads — replaces
     * the truncation stand-in for the codec-free format ([[Codec]]
     * remains the stub only for entropy-coded formats). Narrow map,

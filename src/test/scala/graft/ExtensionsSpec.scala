@@ -97,6 +97,12 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     // windows (10,-20) (30,-40): means -5, -5 at 4000 Hz
     assert(wavStats === Seq(1L, 4000L, 2L, -10L, 50L, 0L))
+    // sample extraction rides the same registry (sign extension binds)
+    assert(spark.sql(
+      "SELECT wav_samples(wav_encode(array(1, -2, 32767), 8000))")
+      .head().getSeq[Int](0) === Seq(1, -2, 32767))
+    assert(spark.sql("SELECT wav_samples(cast('nope' as binary))")
+      .head().isNullAt(0), "hostile payload must be NULL from SQL too")
     // non-literal dims are rejected at analysis time
     val badDim = intercept[Exception] {
       spark.sql("SELECT bmp_resize_nn(cast('x' as binary), n, 1) FROM " +

@@ -470,6 +470,30 @@ class MultimodalSpec extends SparkSpec {
     assert(wavDownsampleMean(wav, -3) === null)
   }
 
+  test("wavFrameFeatures: exact energy/zero-cross/clip math, tail frame, hostile drop") {
+    import spark.implicits._
+    import graft.functions.MediaCodecKernels.wavEncode
+    val samples = Array(0, 5, -3, 3, 32767, -32768, 0, 1)
+    val rows = Seq(
+      (1L, wavEncode(samples, 8000)),
+      (2L, "junk not a riff".getBytes("UTF-8")))
+    val media = Multimodal.asMediaTable(
+      rows.toDF("id", "blob"), "id", "blob", "audio", "wav")
+    val got = Multimodal.wavFrameFeatures(media, frameLen = 3)
+      .orderBy(col("media_id"), col("frame_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // frame 0 [0,5,-3]: one sign flip (5 -> -3; the 0*5 product is not
+    // negative). frame 1 [3,32767,-32768]: flips at -3->3 (counted HERE,
+    // second sample's frame) and 32767->-32768; both extremes clip.
+    // frame 2 is the 2-sample tail. The hostile row drops entirely.
+    assert(got.toSeq === Seq(
+      (1L, 0L, 3L, 2L, 34L, 1L, 0L),
+      (1L, 1L, 3L, 2L, 9L + 32767L * 32767L + 32768L * 32768L, 2L, 2L),
+      (1L, 2L, 2L, 1L, 1L, 0L, 0L)))
+  }
+
   test("resizeBmp syncs meta.width/height; rejected blobs null both") {
     import graft.functions.MediaCodecKernels._
     val bmp = bmpEncode((1 to 12).map(_.toByte).toArray, 2, 2)
