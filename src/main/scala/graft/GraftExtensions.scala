@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import graft.functions.{BlockMeanHash, BmpDecodeStats, BmpEncode,
   BmpResizeArea, BmpResizeNn, Crc32C, DeflateLen, DotQLongs,
-  NfcNormalize, PhraseCount, PngDecodeStats, PngEncode, PngResizeNn,
-  RandProjLongs, WavDecodeStats, WavDownsample, WavDownsampleMean,
-  WavEncode, WavSamples, WordPieceEncodeWords}
+  ImageDecodeStats, ImageEncode, ImageResizeNn, NfcNormalize,
+  PhraseCount, PngDecodeStats, PngEncode, PngResizeNn, RandProjLongs,
+  WavDecodeStats, WavDownsample, WavDownsampleMean, WavEncode,
+  WavSamples, WordPieceEncodeWords}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * functions so they're usable from SQL text as well as the Column API.
@@ -157,6 +158,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           literalInt(children(2), "bmp_resize_area"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("image_decode_stats"),
+      new ExpressionInfo(classOf[ImageDecodeStats].getName,
+        "image_decode_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "image_decode_stats(payload)")
+        ImageDecodeStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_encode"),
+      new ExpressionInfo(classOf[ImageEncode].getName, "image_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "image_encode(pixels, w, h, format)")
+        ImageEncode(children.head, literalInt(children(1), "image_encode"),
+          literalInt(children(2), "image_encode"),
+          literalString(children(3), "image_encode"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_resize_nn"),
+      new ExpressionInfo(classOf[ImageResizeNn].getName, "image_resize_nn"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "image_resize_nn(payload, w, h, format)")
+        ImageResizeNn(children.head,
+          literalInt(children(1), "image_resize_nn"),
+          literalInt(children(2), "image_resize_nn"),
+          literalString(children(3), "image_resize_nn"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("wav_samples"),
       new ExpressionInfo(classOf[WavSamples].getName, "wav_samples"),
       (children: Seq[Expression]) => {
@@ -217,6 +247,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$fn: the size argument must be an int, got $other")
     }
+  }
+
+  private def literalString(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn: the format argument must be a literal string")
+    val v = e.eval()
+    require(v != null, s"$fn: the format argument must not be NULL")
+    v.toString
   }
 
   /** Evaluate a foldable array<string> argument with clean analysis-time

@@ -1056,6 +1056,39 @@ object TrainingQueries {
     graft.ops.Multimodal.decodeWavStats(media)
   }
 
+  /** REAL GIF decode via the JDK's ImageIO: the 7x4 fixtures (same
+    * display-order pixel bytes as q_bmp_decode) survive the palette
+    * round trip LOSSLESSLY (<= 28 distinct colors per image, far under
+    * the 256-entry table), so the LZW-decoded pixel sums replay exactly
+    * from first principles — the same oracle as the BMP walk.
+    */
+  def qGifDecode(s: SparkSession, dir: String): DataFrame = {
+    val pixels = expr(
+      "cast(substring(repeat(text, 84 div length(text) + 1), 1, 84) as binary)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.ImageIoExpressions.imageEncode(pixels, 7, 4, "gif")
+          .as("payload"))
+    graft.ops.Multimodal.decodeImageIoStats(media)
+  }
+
+  /** REAL JPEG decode via the JDK's ImageIO. JPEG is LOSSY, so the
+    * oracle checks the exactly-reproducible fields — dimensions and
+    * pixel count — while the decoded sums' tolerance and determinism
+    * are spec-pinned (MultimodalSpec).
+    */
+  def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    val pixels = expr(
+      "cast(substring(repeat(text, 84 div length(text) + 1), 1, 84) as binary)")
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.ImageIoExpressions.imageEncode(pixels, 7, 4, "jpg")
+          .as("payload"))
+    graft.ops.Multimodal.decodeImageIoStats(media)
+      .select(col("media_id"), col("ok"), col("width"), col("height"),
+        col("n_pixels"))
+  }
+
   /** Frame-level audio features over q_wav_decode's clips: 16-sample
     * frames over the 48-sample fixture (tail-exact 3 frames) — energy,
     * amplitude sum, zero crossings (sign flips: the word/space
@@ -1238,6 +1271,8 @@ object TrainingQueries {
     "q_bmp_resize_area" -> (qBmpResizeArea _),
     "q_wav_decode" -> (qWavDecode _),
     "q_wav_frames" -> (qWavFrames _),
+    "q_gif_decode" -> (qGifDecode _),
+    "q_jpeg_decode" -> (qJpegDecode _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -2535,6 +2570,31 @@ object TrainingQueries {
     |  total_blocks
     |FROM cand, scan ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** The first-principles 7x4 pixel-sum replay shared by the BMP
+    * byte-walk and the (lossless-for-these-fixtures) ImageIO GIF
+    * decode: pixel byte j of the display-order image is text char
+    * (j mod len)+1; display row 0 is chars 1..21.
+    */
+  private val pixelSumsOracleSql: String =
+    """WITH d AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE length(text) > 0),
+        |px AS (
+        |  SELECT media_id,
+        |    CAST(sum(c) AS BIGINT) AS pixel_sum,
+        |    CAST(sum(CASE WHEN j < 21 THEN c ELSE 0 END) AS BIGINT)
+        |      AS row0_sum
+        |  FROM (
+        |    SELECT d.media_id, t.j,
+        |      ascii(substr(d.text, CAST(j % length(d.text) AS INT) + 1, 1))
+        |        AS c
+        |    FROM d CROSS JOIN range(84) t(j))
+        |  GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(7 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height, CAST(28 AS BIGINT) AS n_pixels,
+        |  pixel_sum, row0_sum
+        |FROM px""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_chunk_overlap" -> chunkOverlapOracle,
     "q_pack_sequences" -> packSequencesOracle,
@@ -3644,25 +3704,21 @@ object TrainingQueries {
     // byte == char code); display row 0 is chars 1..21 (w=7 -> 21 row
     // bytes). The Spark side must survive bottom-up storage and stride
     // padding to reproduce these sums.
-    "q_bmp_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id, text FROM documents
-        |  WHERE length(text) > 0),
-        |px AS (
-        |  SELECT media_id,
-        |    CAST(sum(c) AS BIGINT) AS pixel_sum,
-        |    CAST(sum(CASE WHEN j < 21 THEN c ELSE 0 END) AS BIGINT)
-        |      AS row0_sum
-        |  FROM (
-        |    SELECT d.media_id, t.j,
-        |      ascii(substr(d.text, CAST(j % length(d.text) AS INT) + 1, 1))
-        |        AS c
-        |    FROM d CROSS JOIN range(84) t(j))
-        |  GROUP BY media_id)
-        |SELECT media_id, CAST(1 AS BIGINT) AS ok, CAST(7 AS BIGINT) AS width,
-        |  CAST(4 AS BIGINT) AS height, CAST(28 AS BIGINT) AS n_pixels,
-        |  pixel_sum, row0_sum
-        |FROM px""".stripMargin,
+    "q_bmp_decode" -> pixelSumsOracleSql,
+
+    // GIF's LZW+palette round trip is LOSSLESS for the <= 28-color
+    // fixtures, so the ImageIO decode replays the SAME first-principles
+    // pixel sums as the BMP byte walk
+    "q_gif_decode" -> pixelSumsOracleSql,
+
+    // JPEG is lossy: the oracle checks the exactly-reproducible fields
+    // (dims + pixel count); sums are spec-pinned with tolerance
+    "q_jpeg_decode" ->
+      """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(7 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(28 AS BIGINT) AS n_pixels
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+
 
     // the PNG decode replayed from first principles: the fixtures carry
     // the SAME display-order pixel bytes as q_bmp_decode (char (j mod

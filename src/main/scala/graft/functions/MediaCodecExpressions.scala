@@ -12,9 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType,
   * codec library — BMP (uncompressed 24-bit) and WAV (PCM16) are pure
   * byte layouts, so "decode" is a walk, not a stub; PNG (zlib DEFLATE
   * ships with the JDK) lives in [[PngCodecExpressions]]. This closes
-  * the gap the multimodal column had ([[graft.ops.Multimodal.Codec]]
-  * remains the stub ONLY for JPEG/MP4, whose DCT/inter-frame coding
-  * needs libraries this build does not ship).
+  * the gap the multimodal column had; JPEG/GIF decode ride the JDK's
+  * own ImageIO ([[ImageIoKernels]]), leaving only MP4/video (no
+  * inter-frame codec in the JDK) on a stand-in.
   *
   * Encode exists so tests and oracle queries can mint byte-exact
   * containers from deterministic payloads; decode is the operator under

@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * Deflater}` ship with the JDK (the gzip wire codec already uses
   * them), so 8-bit RGB/RGBA PNG decode is a chunk walk + inflate +
   * the five scanline unfilters (None/Sub/Up/Average/Paeth), no new
-  * dependency. The stand-in image resize is now confined to JPEG/MP4.
+  * dependency. (JPEG/GIF decode later landed on the JDK's own ImageIO
+  * — [[ImageIoKernels]] — leaving only MP4/video stand-ins.)
   *
   * Scope: bit depth 8, color types 2 (RGB) and 6 (RGBA), no interlace —
   * the layouts a training-data pipeline mints and the fixtures encode;

@@ -14,16 +14,16 @@ import org.apache.spark.sql.types._
   * Container-header metadata extraction ([[Probe]]/[[probeMedia]]) is
   * REAL — format detection, dimensions and durations parse straight from
   * the leading bytes of PNG/JPEG/GIF/BMP/WAV containers, no codec
-  * library needed. Pixel/sample DECODE is real for every format whose
-  * coding ships with the JDK: BMP + WAV (pure byte layouts,
-  * [[graft.functions.MediaCodecKernels]]) and PNG (zlib DEFLATE +
-  * scanline unfilters, [[graft.functions.PngCodecKernels]]). Only
-  * JPEG/MP4 (DCT/inter-frame coding, no library in this build) keep the
-  * stub: [[Codec.decodeImage]] is a deterministic fake deriving pixel
-  * statistics from the payload bytes. Everything else — the schema
-  * contract, partition-local execution, batch iteration, null handling
-  * and the feature schema — is real and tested; swapping in a real
-  * JPEG codec changes only that function body.
+  * library needed. Pixel/sample DECODE is real for every STILL format
+  * and for audio: BMP + WAV on hand-written byte walks
+  * ([[graft.functions.MediaCodecKernels]]), PNG on JDK zlib + scanline
+  * unfilters ([[graft.functions.PngCodecKernels]]), and JPEG + GIF via
+  * the JDK's own ImageIO codecs
+  * ([[graft.functions.ImageIoKernels]] — java.desktop ships with the
+  * JDK and runs headless). Only MP4/VIDEO keeps a stub (no inter-frame
+  * codec anywhere in the JDK): frame sampling slices payload ranges,
+  * and [[Codec.decodeImage]] falls back to a deterministic fake for
+  * undecodable bytes so corrupt blobs stay data, not task failures.
   *
   * Scale: media tables are partitioned by (modality, date); payloads
   * dominate bytes, so feature extraction SELECTs only (payload, meta) and
@@ -53,30 +53,45 @@ object Multimodal {
     StructField("phash", LongType),
     StructField("decode_ok", BooleanType)))
 
-  /** STUB codec. Deterministic over payload bytes so tests are stable. */
+  /** Image feature codec: REAL decode first, deterministic fallback
+    * for undecodable bytes so feature rows never fail a task.
+    */
   object Codec {
-    /** Stand-in for a real JPEG/PNG decode + stats pass: derives a fake
-      * luminance mean and a 64-bit perceptual-hash-like signature from
-      * the bytes. Replace with an actual decoder off-container.
+    /** Image features: luminance mean and a 64-bit perceptual hash.
+      * REAL for every ImageIO-readable payload (JPEG/GIF/PNG/BMP — the
+      * JDK's own codecs, [[graft.functions.ImageIoKernels]]): luma is
+      * the decoded rasters' mean channel byte and the phash is the
+      * block-mean hash over decoded PER-PIXEL luma — stable under
+      * re-encoding, which payload-byte hashing is not for
+      * entropy-coded formats. decode_ok now means DECODED; undecodable
+      * bytes take the deterministic FNV-ish fallback with
+      * decode_ok=false (corrupt blobs are data at corpus scale).
       */
     def decodeImage(payload: Array[Byte]): (Double, Long, Boolean) = {
       if (payload == null || payload.isEmpty) return (0.0, 0L, false)
+      val luma = graft.functions.ImageIoKernels.imageLumaBytes(payload)
+      if (luma != null && luma.length > 0) {
+        var acc = 0L
+        luma.foreach(b => acc += (b & 0xff))
+        return (acc.toDouble / luma.length / 255.0,
+          graft.functions.MediaKernels.blockMeanHash(luma, 60), true)
+      }
       var acc = 0L
-      var h = 1125899906842597L // FNV-ish rolling hash
+      var h = 1125899906842597L // FNV-ish rolling fallback
       payload.foreach { b =>
         acc += (b & 0xff)
         h = h * 31 + (b & 0xff)
       }
-      (acc.toDouble / payload.length / 255.0, h, true)
+      (acc.toDouble / payload.length / 255.0, h, false)
     }
 
-    /** Stand-in resize for JPEG/MP4 ONLY (DCT/inter-frame coding needs
-      * codec libraries this build does not ship): truncates
-      * deterministically, preserving the plumbing contract (binary in,
-      * binary out). Everything else is REAL — [[resizeBmp]]/
-      * [[resizeBmpArea]], [[resizePng]] (zlib DEFLATE ships with the
-      * JDK — [[graft.functions.PngCodecKernels]]), and
-      * [[downsampleWav]]/[[downsampleWavMean]].
+    /** Stand-in resize for MP4/VIDEO ONLY (no inter-frame codec
+      * anywhere in the JDK): truncates deterministically, preserving
+      * the plumbing contract (binary in, binary out). Every STILL
+      * format is REAL — [[resizeBmp]]/[[resizeBmpArea]], [[resizePng]]
+      * (zlib ships with the JDK), and [[resizeImageIo]] for JPEG/GIF
+      * (ImageIO ships with the JDK) — plus
+      * [[downsampleWav]]/[[downsampleWavMean]] for audio.
       */
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       if (payload == null) null
@@ -260,6 +275,36 @@ object Multimodal {
         element_at(col("__st"), 4).as("sum_amp"),
         element_at(col("__st"), 5).as("sum_sq"),
         element_at(col("__st"), 6).as("duration_ms"))
+
+  /** REAL decode stats for any ImageIO-readable payload — JPEG and GIF
+    * included (the JDK's own codecs, no new dependency;
+    * [[graft.functions.ImageIoKernels]]). Same shape and hostile-input
+    * contract as [[decodeBmpStats]]; the native byte-walk kernels stay
+    * the hot path for BMP/PNG, this is the coverage path for the
+    * formats whose entropy coding the JDK only exposes through
+    * BufferedImage.
+    */
+  def decodeImageIoStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.ImageIoExpressions.imageDecodeStats(col("payload"))
+        .as("__st"))
+      .select(col("media_id"),
+        element_at(col("__st"), 1).as("ok"),
+        element_at(col("__st"), 2).as("width"),
+        element_at(col("__st"), 3).as("height"),
+        element_at(col("__st"), 4).as("n_pixels"),
+        element_at(col("__st"), 5).as("pixel_sum"),
+        element_at(col("__st"), 6).as("row0_sum"))
+
+  /** REAL nearest-neighbor resize for any ImageIO-readable payload —
+    * decode, floor-mapped NN sample, re-encode in `format`. Same
+    * hostile-input and meta-sync contract as [[resizeBmp]].
+    */
+  def resizeImageIo(media: DataFrame, w: Int, h: Int,
+                    format: String): DataFrame =
+    syncImageMeta(media.withColumn("payload",
+      graft.functions.ImageIoExpressions.imageResizeNn(
+        col("payload"), w, h, format)), w, h)
 
   /** Frame-level PCM16 audio features — the speech-curation filters
     * (silence/VAD gating, clipping detection) computed EXACTLY, per

@@ -97,6 +97,15 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     // windows (10,-20) (30,-40): means -5, -5 at 4000 Hz
     assert(wavStats === Seq(1L, 4000L, 2L, -10L, 50L, 0L))
+    // the ImageIO kernels ride the same registry: mint a 2x1 GIF from
+    // SQL, resize 1x1 (keeps display pixel (0,0)), decode — lossless
+    // for the 2-color palette
+    val gifStats = spark.sql(
+      "SELECT image_decode_stats(image_resize_nn(" +
+        "image_encode(cast(x'0102030a0b0c' as binary), 2, 1, 'gif')," +
+        " 1, 1, 'gif'))")
+      .head().getSeq[Long](0)
+    assert(gifStats === Seq(1L, 1L, 1L, 1L, 1L + 2 + 3, 1L + 2 + 3))
     // sample extraction rides the same registry (sign extension binds)
     assert(spark.sql(
       "SELECT wav_samples(wav_encode(array(1, -2, 32767), 8000))")

@@ -23,7 +23,9 @@ class MultimodalSpec extends SparkSpec {
     val f1 = Multimodal.extractImageFeatures(media)
     assert(f1.schema === Multimodal.imageFeatureSchema)
     assert(f1.count() === 500)
-    assert(f1.filter(!col("decode_ok")).count() === 0)
+    // the text-byte payloads are NOT decodable images: decode_ok now
+    // means DECODED, so every row takes the deterministic fallback
+    assert(f1.filter(col("decode_ok")).count() === 0)
     assert(f1.filter(col("mean_luma") < 0 || col("mean_luma") > 1).count() === 0)
     // deterministic across runs (xor-fold avoids ANSI sum overflow)
     val h1 = f1.agg(expr("bit_xor(phash)")).head().getLong(0)
