@@ -324,10 +324,7 @@ object SchemaQueries {
       import scala.jdk.CollectionConverters._
       // Files.walk holds an open directory handle until closed — Using
       // closes it even when a delete throws (FD leak across bench runs)
-      scala.util.Using.resource(Files.walk(root)) { st =>
-        st.iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      Fs.deleteRecursively(root)
     }
   }
 
@@ -367,12 +364,7 @@ object SchemaQueries {
           org.apache.spark.sql.types.StructField("n",
             org.apache.spark.sql.types.LongType, nullable = false))))
     } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.walk(root)) { st =>
-        st.iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      Fs.deleteRecursively(root)
     }
   }
 

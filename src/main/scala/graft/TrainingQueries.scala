@@ -361,12 +361,7 @@ object TrainingQueries {
       TextAnalysis.bm25TopKOverIndex(s, root.toString,
         terms = Seq("spark", "merge", "window"), k = 10)
     } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.walk(root)) { st =>
-        st.iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      Fs.deleteRecursively(root)
     }
   }
 
@@ -4133,7 +4128,7 @@ object TrainingQueries {
            |      '[ \\t\\r\\n\\f]+', ' ', 'g'))""".stripMargin
       val alen =
         """coalesce(list_sum(list_transform(
-          |      regexp_extract_all(l, '(?s)<a[^>]*>(.*?)</a>', 1),
+          |      regexp_extract_all(l, '(?is)<a[^>]*>(.*?)</a>', 1),
           |      x -> length(trim(regexp_replace(
           |        regexp_replace(x, '<[^>]*>', ' ', 'g'),
           |        '[ \\t\\r\\n\\f]+', ' ', 'g'))))), 0)""".stripMargin

@@ -41,11 +41,40 @@ object ImageIoKernels {
   System.setProperty("java.awt.headless", "true")
   javax.imageio.ImageIO.setUseCache(false)
 
-  private def readImage(p: Array[Byte]): java.awt.image.BufferedImage =
-    if (p == null || p.length == 0) null
-    else
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-      catch { case scala.util.control.NonFatal(_) => null }
+  /** Raster cap: a hostile header claiming huge dims must be rejected
+    * from the HEADER, before the library allocates the raster — a
+    * post-decode check guards nothing (the decompression-bomb rule the
+    * PNG kernel already follows). 16M pixels = a 64 MB int raster.
+    */
+  private val MaxPixels = 1L << 24
+
+  private def readImage(p: Array[Byte]): java.awt.image.BufferedImage = {
+    if (p == null || p.length == 0) return null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          // header-only dims — the raster is not decoded yet
+          val w = r.getWidth(0); val h = r.getHeight(0)
+          if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+            w.toLong * h > MaxPixels) return null
+          r.read(0)
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** One bulk getRGB per image: the per-pixel form pays a virtual call
+    * + color-model conversion per pixel — 10-50x the cost on the
+    * feature-extraction path.
+    */
+  private def rgbRows(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
 
   /** `[ok, width, height, n_pixels, pixel_sum, row0_sum]` over the
     * decoded R,G,B bytes; zero row on hostile/undecodable input.
@@ -55,20 +84,14 @@ object ImageIoKernels {
     val img = readImage(p)
     if (img == null) return bad
     val w = img.getWidth; val h = img.getHeight
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return bad
+    val px = rgbRows(img)
     var pixelSum = 0L; var row0Sum = 0L
-    var y = 0
-    while (y < h) {
-      var rowSum = 0L
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        rowSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-        x += 1
-      }
-      pixelSum += rowSum
-      if (y == 0) row0Sum = rowSum
-      y += 1
+    var k = 0
+    while (k < px.length) {
+      val rgb = px(k)
+      pixelSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      if (k == w - 1) row0Sum = pixelSum
+      k += 1
     }
     Array(1L, w.toLong, h.toLong, w.toLong * h, pixelSum, row0Sum)
   }
@@ -82,19 +105,16 @@ object ImageIoKernels {
   def imageLumaBytes(p: Array[Byte]): Array[Byte] = {
     val img = readImage(p)
     if (img == null) return null
-    val w = img.getWidth; val h = img.getHeight
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
-    val out = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        out(y * w + x) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-          (rgb & 0xff)) / 3).toByte
-        x += 1
-      }
-      y += 1
+    // w*h <= MaxPixels by readImage's header gate, so the product and
+    // the allocation are safe
+    val px = rgbRows(img)
+    val out = new Array[Byte](px.length)
+    var k = 0
+    while (k < px.length) {
+      val rgb = px(k)
+      out(k) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+        (rgb & 0xff)) / 3).toByte
+      k += 1
     }
     out
   }
@@ -181,22 +201,24 @@ object ImageIoKernels {
     */
   def imageResizeNn(p: Array[Byte], dstW: Int, dstH: Int,
                     format: String): Array[Byte] = {
-    val img = readImage(p)
+    val img = readImage(p) // dims header-gated inside
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
-    val out = new java.awt.image.BufferedImage(dstW, dstH,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val src = rgbRows(img)
+    val dst = new Array[Int](dstW * dstH)
     var y = 0
     while (y < dstH) {
       val sy = (y.toLong * h / dstH).toInt
       var x = 0
       while (x < dstW) {
-        out.setRGB(x, y, img.getRGB((x.toLong * w / dstW).toInt, sy))
+        dst(y * dstW + x) = src(sy * w + (x.toLong * w / dstW).toInt)
         x += 1
       }
       y += 1
     }
+    val out = new java.awt.image.BufferedImage(dstW, dstH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, dstW, dstH, dst, 0, dstW)
     try writeImage(out, format)
     catch { case scala.util.control.NonFatal(_) => null }
   }

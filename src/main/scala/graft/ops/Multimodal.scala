@@ -69,6 +69,10 @@ object Multimodal {
       */
     def decodeImage(payload: Array[Byte]): (Double, Long, Boolean) = {
       if (payload == null || payload.isEmpty) return (0.0, 0L, false)
+      // luma is raster-cap-bounded (ImageIoKernels.MaxPixels = 2^24
+      // pixels, header-gated before decode), safely under
+      // blockMeanHash's 2^27 input bound — oversized claims come back
+      // null and take the fallback, never a throw
       val luma = graft.functions.ImageIoKernels.imageLumaBytes(payload)
       if (luma != null && luma.length > 0) {
         var acc = 0L

@@ -811,28 +811,38 @@ object TextAnalysis {
     require(minWords >= 1 && maxLinkPermille >= 0 && maxLinkPermille <= 1000,
       s"bad params: minWords=$minWords maxLinkPermille=$maxLinkPermille")
     def vis(l: Column): Column = stripHtml(l)
+    // (?is): the generic tag strip is case-blind by construction, so the
+    // anchor capture must be too — legacy <A HREF=...> chrome would
+    // otherwise read as link-free prose and leak through the link axis
     def anchorLen(l: Column): Column = aggregate(
-      regexp_extract_all(l, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+      regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
       lit(0L), (acc, x) => acc +
         length(trim(regexp_replace(
           regexp_replace(x, "<[^>]*>", " "), "[ \\t\\r\\n\\f]+", " "))))
-    def isContent(l: Column): Column = {
-      val v = vis(l)
+    def isContent(f: Column): Column = {
+      val v = f.getField("v")
       val words = when(length(v) === 0, lit(0))
         .otherwise(size(split(v, " ")))
       words >= minWords &&
-        anchorLen(l) * lit(1000L) <= lit(maxLinkPermille.toLong) * length(v)
+        f.getField("alen") * lit(1000L) <=
+          lit(maxLinkPermille.toLong) * length(v)
     }
     docs
       .withColumn("__lines", split(col(htmlCol), "\r?\n"))
+      // visible text + anchor length computed ONCE per line into a
+      // struct — the filter/content/count consumers read the struct
+      // fields instead of re-running the strip chain per consumer
+      // (HOF lambdas get no CSE)
+      .withColumn("__feat", transform(col("__lines"),
+        l => struct(vis(l).as("v"), anchorLen(l).as("alen"))))
       .withColumn("n_lines", size(col("__lines")).cast("long"))
-      .withColumn("__kept", filter(col("__lines"), isContent(_)))
+      .withColumn("__kept", filter(col("__feat"), isContent(_)))
       .withColumn("n_content", size(col("__kept")).cast("long"))
       .withColumn("content",
-        array_join(transform(col("__kept"), vis(_)), "\n"))
+        array_join(transform(col("__kept"), _.getField("v")), "\n"))
       .withColumn("boiler_permille",
         expr("(1000 * (n_lines - n_content)) DIV n_lines"))
-      .drop("__lines", "__kept")
+      .drop("__lines", "__feat", "__kept")
   }
 
   /** Content-phrase blocklist scan: per-phrase occurrence counts over

@@ -1016,12 +1016,7 @@ class OpsSpec extends SparkSpec with PropSupport {
           "more than the two expected passes; a merge branch lost " +
           "exchange reuse and re-scans the corpus")
     } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.walk(root)) { st =>
-        st.iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      graft.Fs.deleteRecursively(root)
     }
   }
 
@@ -1058,12 +1053,7 @@ class OpsSpec extends SparkSpec with PropSupport {
         "term predicate did not push into the postings scan: " +
           termPlan.take(600))
     } finally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.walk(root)) { st =>
-        st.iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      graft.Fs.deleteRecursively(root)
     }
   }
 
@@ -1075,19 +1065,22 @@ class OpsSpec extends SparkSpec with PropSupport {
       "one two three", // prose, no links -> kept
       "x", // 1 word < minWords -> dropped
       "", // empty visible -> dropped (and must not divide by zero)
-      "<a href=q><b>bold link</b></a> plus trailing prose words here"
+      "<a href=q><b>bold link</b></a> plus trailing prose words here",
+      "<A HREF=q>UPPER CASE anchor text link</A> ok" // case-blind axis
     ).mkString("\n")
     val got = TextAnalysis.extractContent(
       Seq((1L, page)).toDF("doc_id", "html"),
       minWords = 2, maxLinkPermille = 500).head()
-    assert(got.getAs[Long]("n_lines") === 6)
+    assert(got.getAs[Long]("n_lines") === 7)
     assert(got.getAs[Long]("n_content") === 3)
     // nested tags inside the anchor strip to its visible text ("bold
-    // link", 9 chars) for the density test, and the kept lines come
-    // back in order as their VISIBLE text
+    // link", 9 chars) for the density test; the UPPERCASE anchor must
+    // count as link text too (a case-sensitive capture would leak the
+    // chrome line as prose); kept lines come back in order as their
+    // VISIBLE text
     assert(got.getAs[String]("content") ===
       "abcde fghi\none two three\nbold link plus trailing prose words here")
-    assert(got.getAs[Long]("boiler_permille") === 500L)
+    assert(got.getAs[Long]("boiler_permille") === (1000L * 4) / 7)
   }
 
   test("charDiversity: exact collision index, runs flagged, unicode chars") {
