@@ -45,14 +45,21 @@ else
 fi
 
 # Artifact hygiene (VERDICT r12 item 5): the recorded gate must match
-# HEAD. A dirty round artifact after the run means the committed gate
-# and the tree disagree — fail until the artifacts are committed.
+# HEAD. bench_out.json was just (re)written by THIS run and is expected
+# to be committed immediately after — remind, don't fail, on it. Any
+# OTHER dirty round artifact (a LEAKCHECK bump, a BASELINE edit left
+# over from before the run) means the committed gate and the tree
+# disagree — fail until they are committed and the gate is re-run.
 if [ "$fail" -eq 0 ]; then
-  dirty=$(git status --porcelain -- bench_out.json LEAKCHECK.json BASELINE.md)
+  dirty=$(git status --porcelain -- LEAKCHECK.json BASELINE.md)
   if [ -n "$dirty" ]; then
-    echo "CLOSE-GATE DIRTY: round artifacts differ from HEAD — commit them:"
+    echo "CLOSE-GATE DIRTY: stale round artifacts differ from HEAD — commit"
+    echo "them and re-run the gate:"
     echo "$dirty"
     fail=1
+  elif [ -n "$(git status --porcelain -- bench_out.json)" ]; then
+    echo "CLOSE-GATE NOTE: commit the fresh bench_out.json now (the gate"
+    echo "line in BASELINE.md should cite it)"
   fi
 fi
 exit $fail
