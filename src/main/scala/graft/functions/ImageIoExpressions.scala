@@ -131,11 +131,19 @@ object ImageIoKernels {
       ((pixels(k * 3) & 0xff) << 16) | ((pixels(k * 3 + 1) & 0xff) << 8) |
         (pixels(k * 3 + 2) & 0xff)
     }
-    // GIF is palette-coded: the JDK writer QUANTIZES a direct-color
-    // raster even when it holds few colors, which would break the
-    // lossless-round-trip contract the oracle fixtures rely on. Hand it
-    // an explicitly indexed image instead whenever the palette fits —
-    // then the written indices are exact.
+    writeImage(toImage(rgbs, width, height, format), format)
+  }
+
+  /** Raster → BufferedImage for `format`. GIF is palette-coded and the
+    * JDK writer QUANTIZES a direct-color raster even when it holds few
+    * colors, which would break the lossless-round-trip contract the
+    * oracle fixtures rely on — hand it an explicitly indexed image
+    * whenever the palette fits, so the written indices are exact.
+    * Shared by encode AND resize (a gif→gif resize of a <=256-color
+    * image must stay lossless too).
+    */
+  private def toImage(rgbs: Array[Int], width: Int, height: Int,
+                      format: String): java.awt.image.BufferedImage = {
     val distinct = rgbs.distinct
     val img =
       if (format == "gif" && distinct.length <= 256) {
@@ -147,16 +155,8 @@ object ImageIoKernels {
           java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
       } else new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y, rgbs(y * width + x))
-        x += 1
-      }
-      y += 1
-    }
-    writeImage(img, format)
+    img.setRGB(0, 0, width, height, rgbs, 0, width)
+    img
   }
 
   /** ImageIO write with GIF forced NON-interlaced: the JDK GIF writer
@@ -216,10 +216,7 @@ object ImageIoKernels {
       }
       y += 1
     }
-    val out = new java.awt.image.BufferedImage(dstW, dstH,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    out.setRGB(0, 0, dstW, dstH, dst, 0, dstW)
-    try writeImage(out, format)
+    try writeImage(toImage(dst, dstW, dstH, format), format)
     catch { case scala.util.control.NonFatal(_) => null }
   }
 }

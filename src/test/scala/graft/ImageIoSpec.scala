@@ -75,6 +75,13 @@ class ImageIoSpec extends SparkSpec {
     assert(ImageIoKernels.imageDecodeStats(down).toSeq ===
       Seq(1L, 3L, 2L, 6L, sum(expect),
         expect.take(9).map(b => (b & 0xff).toLong).sum))
+    // identity gif->gif resize of a ~54-color image must stay lossless
+    // (the re-encode goes through the same indexed-palette path as the
+    // encoder — a direct-color write would let the JDK writer quantize)
+    val same = ImageIoKernels.imageResizeNn(gif, w, h, "gif")
+    assert(ImageIoKernels.imageDecodeStats(same).toSeq ===
+      Seq(1L, w.toLong, h.toLong, (w * h).toLong, sum(rgb), row0(rgb)),
+      "gif->gif resize quantized a <=256-color raster")
     val jr = ImageIoKernels.imageResizeNn(
       ImageIoKernels.imageEncode(rgb, w, h, "jpg"), 4, 3, "jpg")
     val jst = ImageIoKernels.imageDecodeStats(jr)
