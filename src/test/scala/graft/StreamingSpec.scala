@@ -183,6 +183,50 @@ class StreamingSpec extends SparkSpec {
       "a window landed more than once across restarts")
   }
 
+  test("session windows land exactly-once in TxLog across a restart (the composed form)") {
+    // the doc claims sessionWindowAgg composes with txLogSink exactly
+    // like the tumbling form — drive it: a session extends across a
+    // restart (state restored from the checkpoint), finalizes once the
+    // watermark passes its end+gap, and lands in the table exactly once
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-sess-table").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sess-ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def runOnce(): Unit = {
+      val q = Streaming.txLogSink(
+        Streaming.sessionWindowAgg(
+          input.toDF().toDF("ts", "key", "metric"),
+          "ts", "key", gap = "5 minutes", watermarkDelay = "0 seconds")
+          .select(col("session_window.start").as("s_start"), col("key"),
+            col("n_events"), col("sum_metric")),
+        table, "sess-app", ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    input.addData((ts("2024-01-01 10:00:00"), "a", 1.0),
+      (ts("2024-01-01 10:03:00"), "a", 2.0)) // one session, still open
+    runOnce()
+    // RESTART: extend the SAME session from restored state, then close
+    // it by advancing the watermark past end+gap
+    input.addData((ts("2024-01-01 10:07:00"), "a", 4.0))
+    runOnce()
+    input.addData((ts("2024-01-01 11:00:00"), "a", 8.0))
+    runOnce()
+    runOnce() // idle restart: nothing new may land twice
+    val rows = graft.lake.TxLog.read(spark, table)
+      .select(col("s_start").cast("string"), col("key"), col("n_events"),
+        col("sum_metric"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // ONE merged session (10:00 + 10:03 + the post-restart 10:07),
+    // landed once; the 11:00 session is still open
+    assert(rows.toSeq === Seq(("2024-01-01 10:00:00", "a", 3L, 7.0)),
+      s"unexpected landed sessions: ${rows.toSeq.sorted}")
+  }
+
   test("sessionWindowAgg merges within the gap, splits across it, finalizes on watermark") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val agg = Streaming.sessionWindowAgg(
