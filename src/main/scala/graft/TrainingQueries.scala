@@ -867,6 +867,25 @@ object TrainingQueries {
         col("boiler_permille"), col("content"))
   }
 
+  /** Invisible-character hygiene: ZWSP planted after char 1 plus a
+    * trailing RLM + soft hyphen on doc_id % 7 == 0 — visually identical
+    * text that hashes apart until stripped. The strip must restore the
+    * pristine text exactly (clean_text replayed byte-for-byte by the
+    * oracle) and the counts flag exactly the planted docs.
+    */
+  def qCleanText(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(substring(col("text"), 1, 1), lit("\u200b"),
+          expr("substring(text, 2)"), lit("\u200f\u00ad")))
+        .otherwise(col("text")))
+    TextAnalysis.cleanInvisible(planted)
+      .select(col("doc_id"),
+        col("n_invisible").cast("long").as("n_invisible"),
+        col("clean_text"),
+        length(col("clean_text")).cast("long").as("n_chars_clean"))
+  }
+
   /** Deterministic weighted priority sample: 100 docs, n_chars weight. */
   def qPrioritySample(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.prioritySample(docs(s, dir), col("n_chars"), k = 100)
@@ -1253,6 +1272,7 @@ object TrainingQueries {
     "q_wordpiece" -> (qWordpiece _),
     "q_strip_html" -> (qStripHtml _),
     "q_extract_content" -> (qExtractContent _),
+    "q_clean_text" -> (qCleanText _),
     "q_priority_sample" -> (qPrioritySample _),
     "q_hamming_topk" -> (qHammingTopk _),
     "q_rrf_fusion" -> (qRrfFusion _),
@@ -4109,6 +4129,28 @@ object TrainingQueries {
     // the exact regex/replace chain of TextAnalysis.stripHtml — RE2
     // and Java read these patterns identically (non-greedy + (?s), no
     // lookaround); entity decode order matters (&amp; LAST)
+    // the invisible-char strip replayed with the SAME \x{...} class
+    // (RE2 == Java regex here); clean_text compared byte-for-byte
+    "q_clean_text" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      substr(text, 1, 1) || chr(8203) || substr(text, 2)
+        |        || chr(8207) || chr(173)
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}\x{FEFF}\x{00AD}]'))
+        |    AS BIGINT) AS n_invisible,
+        |  regexp_replace(t,
+        |    '[\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}\x{FEFF}\x{00AD}]',
+        |    '', 'g') AS clean_text,
+        |  CAST(length(regexp_replace(t,
+        |    '[\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}\x{FEFF}\x{00AD}]',
+        |    '', 'g')) AS BIGINT) AS n_chars_clean
+        |FROM d""".stripMargin,
+
     // the per-line boilerplate classifier replayed with DuckDB list
     // lambdas: visible text via the same strip chain as q_strip_html,
     // anchor length from the <a> captures, keep = word axis AND link

@@ -709,6 +709,29 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** Invisible characters that poison tokenizers and dedup: zero-width
+    * spaces/joiners, BiDi controls, word joiner, BOM/ZWNBSP, soft
+    * hyphen. Two visually identical documents differing only in these
+    * hash apart (dedup misses), and BiDi controls are a known
+    * text-spoofing vector. \x{...} escapes keep the class VISIBLE in
+    * source and parse identically in Java regex and RE2 (the oracle
+    * uses the same string).
+    */
+  val InvisibleRe: String =
+    "[\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}\\x{2060}\\x{FEFF}\\x{00AD}]"
+
+  /** Invisible-character hygiene: count and strip [[InvisibleRe]].
+    * High counts are themselves an adversarial-content signal worth
+    * filtering on. Narrow codegen'd pass (regexp builtins), no shuffle
+    * — scan speed at 100 TB like [[redactPii]].
+    */
+  def cleanInvisible(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_invisible",
+        regexp_count(col(textCol), lit(InvisibleRe)))
+      .withColumn("clean_text",
+        regexp_replace(col(textCol), InvisibleRe, ""))
+
   /** PII redaction for training corpora: emails and IPv4 addresses
     * replaced with typed placeholder tokens, with per-doc match counts.
     * regexp_count/regexp_replace are codegen'd builtins — the whole

@@ -1083,6 +1083,22 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(got.getAs[Long]("boiler_permille") === (1000L * 4) / 7)
   }
 
+  test("cleanInvisible strips zero-width/BiDi/soft-hyphen and counts them") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain ascii text"),
+      (2L, "a\u200bb\u200fc\u00add\u202ae\u2060f\ufeffg"),
+      (3L, "\u200b\u200f\u00ad")) // only invisibles -> empty
+    val got = TextAnalysis.cleanInvisible(rows.toDF("doc_id", "text"))
+      .orderBy(col("doc_id"))
+      .select(col("n_invisible").cast("int"), col("clean_text")).collect()
+    assert(got(0).getInt(0) === 0 &&
+      got(0).getString(1) === "plain ascii text")
+    assert(got(1).getInt(0) === 6 && got(1).getString(1) === "abcdefg",
+      "every invisible class member must strip")
+    assert(got(2).getInt(0) === 3 && got(2).getString(1) === "")
+  }
+
   test("charDiversity: exact collision index, runs flagged, unicode chars") {
     import spark.implicits._
     val corpus = Seq(
