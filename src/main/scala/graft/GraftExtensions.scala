@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import graft.functions.{BlockMeanHash, BmpDecodeStats, BmpEncode,
   BmpResizeArea, BmpResizeNn, Crc32C, DeflateLen, DotQLongs,
-  ImageDecodeStats, ImageEncode, ImageResizeNn, NfcNormalize,
+  ImageDecodeStats, ImageEncode, ImageResizeNn, Mp4DemuxStats,
+  Mp4Encode, Mp4SyncIndices, Mp4SyncSamples, NfcNormalize,
   PhraseCount, PngDecodeStats, PngEncode, PngResizeNn, RandProjLongs,
   WavDecodeStats, WavDownsample, WavDownsampleMean, WavEncode,
   WavSamples, WordPieceEncodeWords}
@@ -156,6 +157,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BmpResizeArea(children.head,
           literalInt(children(1), "bmp_resize_area"),
           literalInt(children(2), "bmp_resize_area"))
+      }))
+    // ISO-BMFF (MP4) container demux: sample-table stats, keyframe
+    // indices/bytes, and the fixture muxer (timescale/delta/keyEvery
+    // are literal ints — they size the written tables)
+    ext.injectFunction((
+      new FunctionIdentifier("mp4_demux_stats"),
+      new ExpressionInfo(classOf[Mp4DemuxStats].getName, "mp4_demux_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "mp4_demux_stats(payload)")
+        Mp4DemuxStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mp4_sync_indices"),
+      new ExpressionInfo(classOf[Mp4SyncIndices].getName, "mp4_sync_indices"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "mp4_sync_indices(payload)")
+        Mp4SyncIndices(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mp4_sync_samples"),
+      new ExpressionInfo(classOf[Mp4SyncSamples].getName, "mp4_sync_samples"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "mp4_sync_samples(payload)")
+        Mp4SyncSamples(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mp4_encode"),
+      new ExpressionInfo(classOf[Mp4Encode].getName, "mp4_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "mp4_encode(samples, timescale, delta, keyEvery)")
+        Mp4Encode(children.head, literalInt(children(1), "mp4_encode"),
+          literalInt(children(2), "mp4_encode"),
+          literalInt(children(3), "mp4_encode"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("image_decode_stats"),

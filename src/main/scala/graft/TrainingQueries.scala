@@ -1103,6 +1103,56 @@ object TrainingQueries {
         col("n_pixels"))
   }
 
+  /** MP4 fixture sample plan — single definition, the oracle's VALUES
+    * lists render from THESE Seqs (the HrwShards discipline). 9 samples,
+    * lens 4+(i%5) over cumulative starts, laid out in cycle-2,3 chunks
+    * by the muxer so the stsc/stco indirection binds; timescale 12800,
+    * delta 512 (duration 9·512/12800 s = 360 ms), keyframes every 3rd
+    * sample (0, 3, 6).
+    */
+  private val Mp4Lens: Seq[Int] = (0 until 9).map(i => 4 + i % 5)
+  private val Mp4Starts: Seq[Int] = Mp4Lens.scanLeft(0)(_ + _).init
+  private val Mp4Total: Int = Mp4Lens.sum // 52
+
+  private def mp4FixturePayload = {
+    val parts = (0 until 9).map { i =>
+      s"cast(substring(repeat(text, $Mp4Total div length(text) + 1), " +
+        s"${Mp4Starts(i) + 1}, ${Mp4Lens(i)}) as binary)"
+    }
+    graft.functions.Mp4CodecExpressions.mp4Encode(
+      expr(s"array(${parts.mkString(", ")})"),
+      timescale = 12800, delta = 512, keyEvery = 3)
+  }
+
+  /** REAL ISO-BMFF demux, oracle-verified end to end: each doc's text
+    * bytes become 9 access units muxed into a byte-exact MP4 (ftyp +
+    * multi-sample-chunk mdat + full moov sample tables), and the
+    * demuxer walks stts/stsz/stsc/stco/stss back out — the checksum
+    * XORs the h60 of every sample's bytes EXTRACTED from mdat through
+    * the chunk indirection, so a header-only reader (or one that
+    * assumes one-sample-per-chunk) cannot reproduce it. DuckDB replays
+    * the samples straight from the text (ASCII corpus: byte == char).
+    */
+  def qMp4Demux(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"), mp4FixturePayload.as("payload"))
+    graft.ops.Multimodal.demuxMp4Stats(media)
+  }
+
+  /** REAL keyframe extraction over the same fixtures: stss marks
+    * samples 0/3/6 sync; the sampler slices their actual access-unit
+    * bytes out of mdat. Replaces byte-range guessing with
+    * container-true frames — the blobs a downstream decoder is handed.
+    */
+  def qMp4Keyframes(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"), mp4FixturePayload.as("payload"))
+    graft.ops.Multimodal.sampleSyncFrames(media).select(
+      col("media_id"), col("frame_idx"),
+      octet_length(col("frame_payload")).cast("long").as("frame_bytes"),
+      Dedup.h60(col("frame_payload")).as("frame_h"))
+  }
+
   /** Frame-level audio features over q_wav_decode's clips: 16-sample
     * frames over the 48-sample fixture (tail-exact 3 frames) — energy,
     * amplitude sum, zero crossings (sign flips: the word/space
@@ -1288,6 +1338,8 @@ object TrainingQueries {
     "q_wav_frames" -> (qWavFrames _),
     "q_gif_decode" -> (qGifDecode _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_mp4_demux" -> (qMp4Demux _),
+    "q_mp4_keyframes" -> (qMp4Keyframes _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -3734,6 +3786,40 @@ object TrainingQueries {
         |  CAST(28 AS BIGINT) AS n_pixels
         |FROM documents WHERE length(text) > 0""".stripMargin,
 
+
+    // the MP4 demux replayed from first principles: sample i is text
+    // chars [start_i+1, start_i+len_i] of the repeated corpus text (the
+    // VALUES render from the Mp4Starts/Mp4Lens Seqs the muxer consumed),
+    // so the checksum over mdat-extracted bytes replays as an xor of
+    // substring hashes; counts/duration are the muxed constants
+    "q_mp4_demux" -> {
+      val vals = (0 until 9)
+        .map(i => s"(${Mp4Starts(i)}, ${Mp4Lens(i)})").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    repeat(text, $Mp4Total // length(text) + 1) AS r
+         |  FROM documents WHERE length(text) > 0),
+         |s AS (SELECT doc_id, substr(r, st + 1, ln) AS smp
+         |  FROM d CROSS JOIN (VALUES $vals) t(st, ln))
+         |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS ok,
+         |  CAST(9 AS BIGINT) AS n_samples, CAST(3 AS BIGINT) AS n_keyframes,
+         |  CAST(360 AS BIGINT) AS duration_ms,
+         |  CAST($Mp4Total AS BIGINT) AS total_sample_bytes,
+         |  CAST(bit_xor(${dh("smp")}) AS BIGINT) AS samples_checksum
+         |FROM s GROUP BY 1""".stripMargin
+    },
+
+    // the stss keyframes (samples 0/3/6) replayed as the same slices
+    "q_mp4_keyframes" -> {
+      val vals = (0 until 9 by 3)
+        .map(i => s"($i, ${Mp4Starts(i)}, ${Mp4Lens(i)})").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    repeat(text, $Mp4Total // length(text) + 1) AS r
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+         |  CAST(ln AS BIGINT) AS frame_bytes,
+         |  ${dh("substr(r, st + 1, ln)")} AS frame_h
+         |FROM d CROSS JOIN (VALUES $vals) t(i, st, ln)""".stripMargin
+    },
 
     // the PNG decode replayed from first principles: the fixtures carry
     // the SAME display-order pixel bytes as q_bmp_decode (char (j mod

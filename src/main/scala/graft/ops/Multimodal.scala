@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   * unfilters ([[graft.functions.PngCodecKernels]]), and JPEG + GIF via
   * the JDK's own ImageIO codecs
   * ([[graft.functions.ImageIoKernels]] — java.desktop ships with the
-  * JDK and runs headless). Only MP4/VIDEO keeps a stub (no inter-frame
-  * codec anywhere in the JDK): frame sampling slices payload ranges,
-  * and [[Codec.decodeImage]] falls back to a deterministic fake for
+  * JDK and runs headless). MP4 container DEMUX is real too
+  * ([[demuxMp4Stats]]/[[sampleSyncFrames]]: sample tables joined,
+  * keyframe access units extracted from mdat). Only MP4's inter-frame
+  * PIXEL decode keeps a stub (no such codec anywhere in the JDK):
+  * [[Codec.decodeImage]] falls back to a deterministic fake for
   * undecodable bytes so corrupt blobs stay data, not task failures.
   *
   * Scale: media tables are partitioned by (modality, date); payloads
@@ -120,9 +122,50 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(imageFeatureSchema))
 
+  /** REAL ISO-BMFF demux stats: walk moov→trak→mdia→minf→stbl, join the
+    * sample tables (stts/stsz/stsc/stco|co64/stss) and checksum the
+    * ACTUAL sample bytes extracted from mdat — what a video pipeline
+    * does before any decoder runs ([[graft.functions.Mp4CodecKernels]]).
+    * Narrow map at scan speed, payload-pruned; corrupt blobs come back
+    * ok=0, never a task failure.
+    */
+  def demuxMp4Stats(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.Mp4CodecExpressions.mp4DemuxStats(col("payload"))
+        .as("__st"))
+      .select(col("media_id"),
+        element_at(col("__st"), 1).as("ok"),
+        element_at(col("__st"), 2).as("n_samples"),
+        element_at(col("__st"), 3).as("n_keyframes"),
+        element_at(col("__st"), 4).as("duration_ms"),
+        element_at(col("__st"), 5).as("total_sample_bytes"),
+        element_at(col("__st"), 6).as("samples_checksum"))
+
+  /** REAL keyframe sampling for MP4 rows: the demuxer resolves each
+    * sync sample's (offset, size) through the stsc/stco indirection and
+    * slices the actual access-unit bytes out of mdat — the blobs a
+    * downstream decoder would be handed. Explode shape like
+    * [[sampleFrames]], but the frames are container-true, not
+    * byte-range guesses. Hostile payloads vanish (null array → no
+    * rows), matching the corpus-scale corrupt-blob contract.
+    */
+  def sampleSyncFrames(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.Mp4CodecExpressions.mp4SyncIndices(col("payload"))
+          .as("__fi"),
+        graft.functions.Mp4CodecExpressions.mp4SyncSamples(col("payload"))
+          .as("__fp"))
+      .select(col("media_id"),
+        explode(arrays_zip(col("__fi"), col("__fp"))).as("__f"))
+      .select(col("media_id"),
+        col("__f.__fi").cast("long").as("frame_idx"),
+        col("__f.__fp").as("frame_payload"))
+
   /** Frame sampling for video rows: emits `n` pseudo-frames per video as
     * separate rows (payload slices in the stub; frame decodes for real),
-    * the flatMap/explode shape a real sampler uses.
+    * the flatMap/explode shape a real sampler uses. For container-true
+    * MP4 keyframe extraction use [[sampleSyncFrames]].
     */
   def sampleFrames(media: DataFrame, n: Int): DataFrame =
     media.filter(col("meta.modality") === "video")
