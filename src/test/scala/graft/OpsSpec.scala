@@ -3124,6 +3124,41 @@ class OpsSpec extends SparkSpec with PropSupport {
       .head().getAs[Long]("n_kept") === 4L)
   }
 
+  test("bitextMine: margins clear the threshold and the bucketed scale " +
+      "path agrees with exact cosines") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding"))
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding"))
+    val exact = Similarity.bitextMine(src, tgt, k = 4, minMarginE6 = 1000000L)
+      .cache()
+    assert(exact.count() > 0)
+    assert(exact.filter(col("margin_e6") < 1000000L ||
+      col("cos_e6") <= 0).count() === 0)
+    // every mined pair is its source's FORWARD BEST: re-deriving the
+    // best tgt per src from raw cosines must agree pair for pair
+    val brute = Similarity.knnJoin(
+        src.select(col("src_id").as("q_id"), col("embedding")),
+        tgt.select(col("tgt_id").as("vec_id"), col("embedding")), k = 1)
+      .select(col("q_id").as("src_id"), col("vec_id").as("bt"))
+    assert(exact.join(brute, "src_id")
+      .filter(col("tgt_id") =!= col("bt")).count() === 0)
+    // bucketed scale path: pairs it does emit carry the same exact
+    // cosine the unbucketed path computed for that pair
+    val bucketed = Similarity
+      .bitextMine(src, tgt, k = 4, minMarginE6 = 1000000L, bits = 2)
+      .select(col("src_id"), col("tgt_id"), col("cos_e6").as("cos_b"))
+    val allCos = Similarity.knnJoin(
+        src.select(col("src_id").as("q_id"), col("embedding")),
+        tgt.select(col("tgt_id").as("vec_id"), col("embedding")),
+        k = Int.MaxValue)
+      .select(col("q_id").as("src_id"), col("vec_id").as("tgt_id"),
+        round(col("cosine_r") * 1e6).cast("long").as("cos_x"))
+    assert(bucketed.join(allCos, Seq("src_id", "tgt_id"))
+      .filter(col("cos_b") =!= col("cos_x")).count() === 0)
+  }
+
   test("urlParts canonicalization is idempotent") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
