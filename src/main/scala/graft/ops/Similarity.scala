@@ -165,26 +165,48 @@ object Similarity {
                  bits: Int = 0, srcIdCol: String = "src_id",
                  tgtIdCol: String = "tgt_id",
                  embCol: String = "embedding"): DataFrame = {
-    def knn(q: DataFrame, c: DataFrame) =
-      knnJoinBucketed(q, c, k, bits)
-        .withColumn("cos_e6", round(col("cosine_r") * 1e6).cast("long"))
-    val fwd = knn(
-      src.select(col(srcIdCol).as("q_id"), col(embCol)),
-      tgt.select(col(tgtIdCol).as("vec_id"), col(embCol)))
-    val bwd = knn(
-      tgt.select(col(tgtIdCol).as("q_id"), col(embCol)),
-      src.select(col(srcIdCol).as("vec_id"), col(embCol)))
+    // the pair-cosine set is computed ONCE and ranked in BOTH directions
+    // by stacked windows over the same stream — the naive form (one kNN
+    // join per direction) evaluates the expensive dot-product join
+    // twice for the same pairs. The two aggregate consumers share the
+    // window stack's exchanges (ReusedExchange; PlanSpec pins it), so
+    // the join runs once per query, not once per consumer. Note ids are
+    // NOT cross-excluded: src and tgt are different corpora, so equal
+    // ids are distinct documents (a kNN-join reuse would silently drop
+    // the src5–tgt5 pair).
+    val q = src.select(col(srcIdCol), quantize(col(embCol)).as("__se"),
+      signBucket(col(embCol), bits).as("__cell"))
+    val c = tgt.select(col(tgtIdCol), quantize(col(embCol)).as("__te"),
+      signBucket(col(embCol), bits).as("__cell"))
+    val cands = c.join(broadcast(q), Seq("__cell"))
+      .select(col(srcIdCol), col(tgtIdCol),
+        round(round(cosineQ(col("__te"), col("__se")), 6) * 1e6)
+          .cast("long").as("cos_e6"))
+    val wF = Window.partitionBy(col(srcIdCol))
+      .orderBy(col("cos_e6").desc, col(tgtIdCol))
+    val wB = Window.partitionBy(col(tgtIdCol))
+      .orderBy(col("cos_e6").desc, col(srcIdCol))
+    val ranked = cands
+      .withColumn("rn_f", row_number().over(wF))
+      .withColumn("rn_b", row_number().over(wB))
     // effective neighborhood size rides along: a corpus smaller than k
     // (or a sparse cell at bits > 0) must scale the margin by the
-    // neighbors it actually found, not the k it asked for
-    val fwdAgg = fwd.groupBy(col("q_id").as(srcIdCol))
-      .agg(sum(col("cos_e6")).as("__fs"), count(lit(1)).as("__fk"))
-    val bwdAgg = bwd.groupBy(col("q_id").as(tgtIdCol))
+    // neighbors it actually found, not the k it asked for. The best
+    // pair folds into the SAME forward aggregate (the rn_f = 1 row is
+    // its group's single non-null struct), so the forward side is one
+    // consumer, not two.
+    val fwdAgg = ranked.filter(col("rn_f") <= k)
+      .groupBy(col(srcIdCol))
+      .agg(sum(col("cos_e6")).as("__fs"), count(lit(1)).as("__fk"),
+        max(when(col("rn_f") === 1,
+          struct(col(tgtIdCol), col("cos_e6")))).as("__best"))
+      .select(col(srcIdCol), col("__fs"), col("__fk"),
+        col(s"__best.$tgtIdCol").as(tgtIdCol),
+        col("__best.cos_e6").as("cos_e6"))
+    val bwdAgg = ranked.filter(col("rn_b") <= k)
+      .groupBy(col(tgtIdCol))
       .agg(sum(col("cos_e6")).as("__bs"), count(lit(1)).as("__bk"))
-    fwd.filter(col("rn") === 1)
-      .select(col("q_id").as(srcIdCol), col("vec_id").as(tgtIdCol),
-        col("cos_e6"))
-      .join(fwdAgg, srcIdCol)
+    fwdAgg
       .join(bwdAgg, tgtIdCol)
       .filter(col("cos_e6") > 0 && col("__fs") + col("__bs") > 0)
       .withColumn("margin_e6", expr(

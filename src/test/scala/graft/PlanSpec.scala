@@ -595,6 +595,7 @@ class PlanSpec extends SparkSpec {
   private val bnljAllowed: Map[String, String] = Map(
     "q_knn_brute" -> "1-row query vector broadcast x corpus scan is brute-force kNN's definition (Similarity.scala:73)",
     "q_knn_join" -> "bounded query set broadcast; fan-out rides the broadcast by design",
+    "q_bitext_mine" -> "bits=0 exact path: Catalyst folds the constant cell key to a trivially-true BNLJ over the broadcast source half; bits>0 keeps a real equi-join at scale (Similarity.bitextMine)",
     "q_knn_ivf_trained" -> "1-row quantized query broadcast over the probed cells (Similarity.scala:322)",
     "q_ivfpq_rerank" -> "1-row query broadcast over the ADC-shortlisted candidates (Similarity.scala:350)",
     "q_hamming_topk" -> "1-row packed query signature broadcast (Similarity.scala:238)",
@@ -623,6 +624,16 @@ class PlanSpec extends SparkSpec {
     "q_epoch_schedule" -> "windows the per-source epoch table: |sources| rows",
     "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows"
   )
+
+  test("bitextMine evaluates the pair-cosine join once (ReusedExchange)") {
+    val df = TrainingQueries.queries("q_bitext_mine")(spark, dir)
+    df.collect() // AQE finalizes reuse only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "the backward aggregate must reuse the forward window stack's " +
+        "exchange — without it the expensive dot-product join runs twice:\n" +
+        plan.take(4000))
+  }
 
   test("board lint: no cartesian, no stray BNLJ, no global corpus window") {
     val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
