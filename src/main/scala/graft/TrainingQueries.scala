@@ -1120,6 +1120,104 @@ object TrainingQueries {
         col("n_pixels"))
   }
 
+  /** robots.txt fixture + its parsed rules — BOTH single-defined here:
+    * the text is what Spark parses; the rules Seq renders the oracle's
+    * VALUES (and OpsSpec pins parse(text) == rules, so the two cannot
+    * drift). Covers comment stripping, stacked User-agent lines, and
+    * the empty-Disallow allow-everything edge (parsed, skipped at
+    * decision time).
+    */
+  val RobotsFixtureText: String = Seq(
+    "# crawl policy",
+    "User-agent: graftbot",
+    "User-agent: fastbot",
+    "Disallow: /",
+    "Allow: /public/",
+    "",
+    "User-agent: *",
+    "Disallow: /private/",
+    "Allow: /private/ok/",
+    "Disallow: /tmp/",
+    "Disallow:").mkString("\n")
+
+  /** (agent, allow, prefix) — decision-relevant rules (the empty-prefix
+    * row is parsed but matches nothing, so the oracle omits it).
+    */
+  val RobotRules: Seq[(String, Int, String)] = Seq(
+    ("graftbot", 0, "/"), ("graftbot", 1, "/public/"),
+    ("fastbot", 0, "/"), ("fastbot", 1, "/public/"),
+    ("*", 0, "/private/"), ("*", 1, "/private/ok/"), ("*", 0, "/tmp/"))
+
+  /** Robots-exclusion evaluation over a synthetic URL batch: %2 docs
+    * crawl as `graftbot` (own group: deny-all except /public/), the
+    * rest as an unlisted agent that falls back to `*`; paths cycle
+    * through the rule space (%4). Longest prefix wins, Allow beats
+    * Disallow on ties, no match = allowed — replayed rule for rule by
+    * the oracle from the same rules table.
+    */
+  def qRobots(s: SparkSession, dir: String): DataFrame = {
+    val robots = s.range(1).select(lit("example.com").as("domain"),
+      lit(RobotsFixtureText).as("content"))
+    val w1 = element_at(split(col("text"), " "), 1)
+    val urls = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, "graftbot").otherwise("otherbot")
+        .as("agent"),
+      when(col("doc_id") % 4 === 0, concat(lit("/private/"), w1))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/ok/"), w1))
+        .when(col("doc_id") % 4 === 2, lit("/tmp/x"))
+        .otherwise(concat(lit("/"), w1)).as("path"))
+    Curation.robotsDecide(Curation.parseRobots(robots), urls)
+  }
+
+  /** Chat-transcript fixture shared by q_chat_turns and q_chat_render:
+    * docs with ≥ 8 words become 4-turn dialogues (quarter-of-the-words
+    * chunks, user/assistant alternating), with planted malformations —
+    * %5 docs embed a continuation line in turn 0 (tests the
+    * line-grouping window), %7 docs break role alternation, %11 docs
+    * carry an empty assistant turn, %13 docs drop the last turn (end on
+    * user). The oracle reconstructs every turn directly from the words,
+    * so the Spark side must PARSE the flat transcript to agree.
+    */
+  private def chatFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .filter(size(split(col("text"), " ")) >= 8)
+      .withColumn("__ws", split(col("text"), " "))
+      .withColumn("__q", (size(col("__ws")) / 4).cast("int"))
+    def chunk(i: Int) = array_join(
+      slice(col("__ws"), col("__q") * i + 1, col("__q")), " ")
+    val c0 = when(col("doc_id") % 5 === 0,
+      concat(chunk(0), lit("\nsee details below."))).otherwise(chunk(0))
+    val c1 = when(col("doc_id") % 11 === 0, lit("")).otherwise(chunk(1))
+    val role2 = when(col("doc_id") % 7 === 0, lit("assistant: "))
+      .otherwise(lit("user: "))
+    val tail = when(col("doc_id") % 13 === 0, lit(""))
+      .otherwise(concat(lit("\nassistant: "), chunk(3)))
+    d.select(col("doc_id"),
+      concat(lit("user: "), c0, lit("\nassistant: "), c1, lit("\n"),
+        role2, chunk(2), tail).as("text"))
+  }
+
+  /** Dialogue parse + structure validation: turns recovered from the
+    * flat transcript (continuation lines re-grouped by the per-doc
+    * window), then the alternation/empty/ends-on-assistant checks with
+    * deterministic reject precedence ([[graft.ops.ChatData]]).
+    */
+  def qChatTurns(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ChatData.validateDialogue(
+      graft.ops.ChatData.parseTurns(chatFixture(s, dir)))
+      .select(col("doc_id"), col("n_turns"), col("role_violations"),
+        col("empty_turns"), col("ends_assistant"), col("reject_reason"),
+        col("keep"))
+
+  /** Chat-template rendering of the kept dialogues with the
+    * loss-bearing-token accounting (assistant tokens vs total).
+    */
+  def qChatRender(s: SparkSession, dir: String): DataFrame = {
+    val turns = graft.ops.ChatData.parseTurns(chatFixture(s, dir))
+    graft.ops.ChatData.renderTemplate(turns,
+      graft.ops.ChatData.validateDialogue(turns))
+  }
+
   /** WARC (ISO 28500) ingest, oracle-verified end to end: each doc
     * mints a 3-record WARC file (warcinfo + request + response, the
     * crawl-archive shape) built DECLARATIVELY from its text, and the
@@ -1413,6 +1511,9 @@ object TrainingQueries {
     "q_mp4_demux" -> (qMp4Demux _),
     "q_mp4_keyframes" -> (qMp4Keyframes _),
     "q_warc_parse" -> (qWarcParse _),
+    "q_chat_turns" -> (qChatTurns _),
+    "q_chat_render" -> (qChatRender _),
+    "q_robots" -> (qRobots _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -3932,6 +4033,98 @@ object TrainingQueries {
          |  CAST(ln AS BIGINT) AS frame_bytes,
          |  ${dh("substr(r, st + 1, ln)")} AS frame_h
          |FROM d CROSS JOIN (VALUES $vals) t(i, st, ln)""".stripMargin
+    },
+
+    // the robots decision replayed from the SAME rules table the Spark
+    // side must recover by parsing the fixture text (OpsSpec pins the
+    // parse == the Seq, so the decision comparison covers both halves)
+    "q_robots" -> {
+      val vals = RobotRules
+        .map { case (a, al, p) => s"('$a', $al, '$p')" }.mkString(", ")
+      s"""WITH rules(agent, allow, prefix) AS (VALUES $vals),
+         |u AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'graftbot'
+         |      ELSE 'otherbot' END AS agent,
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 0 THEN '/private/' || w1
+         |      WHEN 1 THEN '/private/ok/' || w1
+         |      WHEN 2 THEN '/tmp/x'
+         |      ELSE '/' || w1 END AS path
+         |  FROM (SELECT doc_id, string_split(text, ' ')[1] AS w1
+         |        FROM documents)),
+         |e AS (SELECT u.*, CASE WHEN u.agent IN (SELECT agent FROM rules)
+         |    THEN u.agent ELSE '*' END AS agent_eff FROM u),
+         |m AS (SELECT e.doc_id, r.allow, strlen(r.prefix) AS plen
+         |  FROM e JOIN rules r ON r.agent = e.agent_eff
+         |    AND substr(e.path, 1, strlen(r.prefix)) = r.prefix),
+         |w AS (SELECT doc_id, allow, plen, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY plen DESC, allow DESC) AS rn
+         |  FROM m)
+         |SELECT e.doc_id, e.agent, e.path,
+         |  CAST(coalesce(w.allow, 1) AS BIGINT) AS allowed,
+         |  CAST(coalesce(w.plen, 0) AS BIGINT) AS winner_len
+         |FROM e LEFT JOIN (SELECT doc_id, allow, plen FROM w WHERE rn = 1) w
+         |  USING (doc_id)""".stripMargin
+    },
+
+    // the chat fixture's planted malformations make every validation
+    // verdict a pure function of doc_id — the Spark side must PARSE the
+    // flat transcript (incl. regrouping the %5 continuation lines) to
+    // reproduce them
+    "q_chat_turns" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 3 ELSE 4 END AS BIGINT)
+        |    AS n_turns,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS role_violations,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS empty_turns,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN
+        |      CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+        |    ELSE 1 END AS BIGINT) AS ends_assistant,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'role_order'
+        |    WHEN doc_id % 11 = 0 THEN 'empty_turn'
+        |    WHEN doc_id % 13 = 0 THEN 'ends_user'
+        |    ELSE 'kept' END AS reject_reason,
+        |  CAST(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+        |    OR doc_id % 13 = 0 THEN 0 ELSE 1 END AS BIGINT) AS keep
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 8""".stripMargin,
+
+    // the kept dialogues' rendered strings reconstructed turn by turn
+    "q_chat_render" -> {
+      s"""WITH f AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' ')) // 4 AS q
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8
+         |    AND doc_id % 7 != 0 AND doc_id % 11 != 0 AND doc_id % 13 != 0),
+         |c AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(ws, 1, q), ' ') ||
+         |      CASE WHEN doc_id % 5 = 0
+         |        THEN chr(10) || 'see details below.' ELSE '' END AS c0,
+         |    array_to_string(list_slice(ws, q + 1, 2 * q), ' ') AS c1,
+         |    array_to_string(list_slice(ws, 2 * q + 1, 3 * q), ' ') AS c2,
+         |    array_to_string(list_slice(ws, 3 * q + 1, 4 * q), ' ') AS c3
+         |  FROM f),
+         |r AS (
+         |  SELECT doc_id, c0, c1, c2, c3,
+         |    '<|user|>' || chr(10) || c0 || '<|end|>' || chr(10) ||
+         |    '<|assistant|>' || chr(10) || c1 || '<|end|>' || chr(10) ||
+         |    '<|user|>' || chr(10) || c2 || '<|end|>' || chr(10) ||
+         |    '<|assistant|>' || chr(10) || c3 || '<|end|>' || chr(10)
+         |      AS render
+         |  FROM c)
+         |SELECT doc_id, ${dh("render")} AS rendered_h,
+         |  CAST(strlen(render) AS BIGINT) AS rendered_chars,
+         |  CAST(len(string_split(c1, ' ')) + len(string_split(c3, ' '))
+         |    AS BIGINT) AS assistant_tokens,
+         |  CAST(len(string_split(c0, ' ')) + len(string_split(c1, ' ')) +
+         |    len(string_split(c2, ' ')) + len(string_split(c3, ' '))
+         |    AS BIGINT) AS total_tokens
+         |FROM r""".stripMargin
     },
 
     // the WARC parse replayed from first principles: every field of the

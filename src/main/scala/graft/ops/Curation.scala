@@ -345,6 +345,87 @@ object Curation {
     * both pinned so the anti-join can never silently diverge from a
     * `NOT IN` reading (whose NULL propagation drops every row).
     */
+  /** Parse robots.txt contents (RFC 9309 / original REP subset: prefix
+    * rules, no `*`/`$` wildcards) into flat rules: comment-stripped
+    * lines, stacked `User-agent:` lines forming a group that every
+    * following `Allow:`/`Disallow:` rule applies to, until the next
+    * group starts. One window per file (the chat-turn grouping shape):
+    * a User-agent line whose predecessor is NOT a User-agent line opens
+    * a new group. Returns (idCol, agent, allow, prefix) — an empty
+    * prefix survives parsing (an empty Disallow is a legal
+    * allow-everything line) and is skipped at DECISION time, where
+    * "matches nothing" is its defined meaning.
+    */
+  def parseRobots(robots: DataFrame, contentCol: String = "content",
+                  idCol: String = "domain"): DataFrame = {
+    val byLine = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val typed = robots
+      .select(col(idCol),
+        posexplode(split(col(contentCol), "\n")).as(Seq("__i", "__l")))
+      .withColumn("__l",
+        regexp_replace(regexp_replace(col("__l"), "#.*$", ""), "\\s+$", ""))
+      .withColumn("__is_ua",
+        col("__l").rlike("(?i)^user-agent:").cast("long"))
+      .withColumn("__ua",
+        regexp_extract(col("__l"), "(?i)^user-agent:\\s*(\\S+)", 1))
+      .withColumn("__is_rule",
+        col("__l").rlike("(?i)^(allow|disallow):").cast("long"))
+      .withColumn("__allow", when(
+        col("__l").rlike("(?i)^allow:"), 1L).otherwise(0L))
+      .withColumn("__prefix",
+        regexp_extract(col("__l"), "(?i)^(?:allow|disallow):\\s*(\\S*)", 1))
+    val grouped = typed
+      .withColumn("__new_group",
+        (col("__is_ua") === 1 &&
+          coalesce(lag(col("__is_ua"), 1).over(byLine), lit(0L)) === 0)
+          .cast("long"))
+      .withColumn("__gid", sum(col("__new_group")).over(byLine))
+      .filter(col("__gid") >= 1)
+    val agents = grouped.filter(col("__is_ua") === 1)
+      .select(col(idCol), col("__gid"), col("__ua").as("agent")).distinct()
+    val rules = grouped.filter(col("__is_rule") === 1)
+      .select(col(idCol), col("__gid"), col("__allow").as("allow"),
+        col("__prefix").as("prefix"))
+    agents.join(rules, Seq(idCol, "__gid")).drop("__gid")
+  }
+
+  /** Robots-exclusion decision for a URL batch: the url's OWN agent
+    * group applies when one exists, else the `*` group; the
+    * longest-prefix-matching rule wins, Allow beating Disallow on equal
+    * length (RFC 9309 "least restrictive"); no matching rule = allowed.
+    * Scale shape: rules (site policies — small by nature) broadcast
+    * onto the corpus-scale URL batch; the winner resolves in a window
+    * partitioned per URL over its few matching rules.
+    * Returns (urlIdCol, agentCol, pathCol, allowed, winner_len).
+    */
+  def robotsDecide(rules: DataFrame, urls: DataFrame,
+                   urlIdCol: String = "doc_id", agentCol: String = "agent",
+                   pathCol: String = "path"): DataFrame = {
+    val present = rules.select(col("agent").as("__pa")).distinct()
+      .withColumn("__has", lit(1L))
+    val eff = urls
+      .join(broadcast(present), col(agentCol) === col("__pa"), "left")
+      .withColumn("__agent_eff",
+        when(col("__has").isNotNull, col(agentCol)).otherwise(lit("*")))
+      .select(col(urlIdCol), col(agentCol), col(pathCol), col("__agent_eff"))
+    val r = rules.filter(length(col("prefix")) > 0)
+      .select(col("agent").as("__ra"), col("allow").as("__rallow"),
+        col("prefix").as("__rprefix"))
+    val w = Window.partitionBy(col(urlIdCol))
+      .orderBy(length(col("__rprefix")).desc, col("__rallow").desc)
+    val winners = eff
+      .join(broadcast(r), col("__agent_eff") === col("__ra") &&
+        expr(s"substring($pathCol, 1, length(__rprefix)) = __rprefix"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(urlIdCol), col("__rallow"),
+        length(col("__rprefix")).cast("long").as("__rlen"))
+    eff.join(winners, Seq(urlIdCol), "left")
+      .select(col(urlIdCol), col(agentCol), col(pathCol),
+        coalesce(col("__rallow"), lit(1L)).as("allowed"),
+        coalesce(col("__rlen"), lit(0L)).as("winner_len"))
+  }
+
   def blocklistFilter(docs: DataFrame, blocked: DataFrame,
                       domainCol: String = "source"): DataFrame = {
     val listCol = blocked.columns.head

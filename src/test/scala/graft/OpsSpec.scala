@@ -3159,6 +3159,35 @@ class OpsSpec extends SparkSpec with PropSupport {
       .filter(col("cos_b") =!= col("cos_x")).count() === 0)
   }
 
+  test("parseRobots recovers the fixture rules exactly (multi-UA " +
+      "stacking, comments, empty Disallow)") {
+    val robots = spark.range(1).select(lit("example.com").as("domain"),
+      lit(TrainingQueries.RobotsFixtureText).as("content"))
+    val parsed = graft.ops.Curation.parseRobots(robots)
+      .select(col("agent"), col("allow"), col("prefix"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // the oracle's decision table plus the parsed-but-inert empty rule
+    val expected = TrainingQueries.RobotRules
+      .map { case (a, al, p) => (a, al.toLong, p) }.toSet + (("*", 0L, ""))
+    assert(parsed === expected)
+    // decision edges: longest wins, Allow beats Disallow on ties, no
+    // match = allowed, unlisted agent falls back to *
+    val urls = Seq(
+      (1L, "graftbot", "/public/x"), // Allow /public/ (8) beats Disallow / (1)
+      (2L, "graftbot", "/anything"), // Disallow / wins
+      (3L, "otherbot", "/private/ok/x"), // * group: Allow (12) > Disallow (9)
+      (4L, "otherbot", "/private/x"), // Disallow /private/
+      (5L, "otherbot", "/free")) // no rule matches -> allowed
+      .toDF("doc_id", "agent", "path")
+    val got = graft.ops.Curation
+      .robotsDecide(graft.ops.Curation.parseRobots(robots), urls)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === Map(1L -> (1L, 8L), 2L -> (0L, 1L), 3L -> (1L, 12L),
+      4L -> (0L, 9L), 5L -> (1L, 0L)))
+  }
+
   test("urlParts canonicalization is idempotent") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
