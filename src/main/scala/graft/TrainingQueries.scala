@@ -1120,6 +1120,20 @@ object TrainingQueries {
         col("n_pixels"))
   }
 
+  /** DPO preference-pair assembly: docs quartets (doc_id DIV 4) stand
+    * in for four scored responses to one prompt; score = text length
+    * mod 97 (deterministic, with real ties — all-equal prompts must
+    * drop). Output carries the margin and the length-bias audit flag.
+    */
+  def qPrefPairs(s: SparkSession, dir: String): DataFrame = {
+    val responses = docs(s, dir).select(
+      (col("doc_id") / 4).cast("long").as("prompt_id"),
+      (col("doc_id") % 4).as("resp_id"),
+      (length(col("text")) % 97).cast("long").as("score"),
+      length(col("text")).cast("long").as("len"))
+    Curation.preferencePairs(responses)
+  }
+
   /** robots.txt fixture + its parsed rules — BOTH single-defined here:
     * the text is what Spark parses; the rules Seq renders the oracle's
     * VALUES (and OpsSpec pins parse(text) == rules, so the two cannot
@@ -1514,6 +1528,7 @@ object TrainingQueries {
     "q_chat_turns" -> (qChatTurns _),
     "q_chat_render" -> (qChatRender _),
     "q_robots" -> (qRobots _),
+    "q_pref_pairs" -> (qPrefPairs _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -4034,6 +4049,33 @@ object TrainingQueries {
          |  ${dh("substr(r, st + 1, ln)")} AS frame_h
          |FROM d CROSS JOIN (VALUES $vals) t(i, st, ln)""".stripMargin
     },
+
+    // preference extremes replayed as two rank windows over the same
+    // deterministic scores; the tie-to-lower-id contract on both sides
+    // makes all-equal prompts self-identical -> margin 0 -> dropped
+    "q_pref_pairs" ->
+      """WITH resp AS (
+        |  SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id,
+        |    strlen(text) % 97 AS score, strlen(text) AS len
+        |  FROM documents),
+        |c AS (
+        |  SELECT prompt_id, resp_id, score, len,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, resp_id) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score ASC, resp_id) AS rr,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n
+        |  FROM resp)
+        |SELECT ch.prompt_id, ch.resp_id AS chosen_id,
+        |  rj.resp_id AS rejected_id,
+        |  CAST(ch.score - rj.score AS BIGINT) AS margin,
+        |  CAST(ch.len AS BIGINT) AS len_chosen,
+        |  CAST(rj.len AS BIGINT) AS len_rejected,
+        |  CAST(CASE WHEN ch.len > rj.len THEN 1 ELSE 0 END AS BIGINT)
+        |    AS len_bias
+        |FROM (SELECT * FROM c WHERE rc = 1) ch
+        |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (prompt_id)
+        |WHERE ch.n >= 2 AND ch.score > rj.score""".stripMargin,
 
     // the robots decision replayed from the SAME rules table the Spark
     // side must recover by parsing the fixture text (OpsSpec pins the

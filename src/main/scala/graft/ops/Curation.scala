@@ -426,6 +426,42 @@ object Curation {
         coalesce(col("__rlen"), lit(0L)).as("winner_len"))
   }
 
+  /** Preference-pair assembly for DPO/RLHF data: per prompt, the
+    * highest-scored response becomes `chosen` and the lowest `rejected`
+    * (ties break to the lower response id on BOTH sides, so an
+    * all-equal prompt collapses to chosen == rejected and the
+    * margin > 0 filter drops it — uninformative pairs never ship).
+    * Emits the score margin plus the LENGTH-BIAS flag (chosen longer
+    * than rejected), the standard reward-hacking audit a preference set
+    * is screened for before training.
+    *
+    * Scale shape: ONE per-prompt aggregate — both extremes fold into
+    * the same groupBy via struct max/min (no window, no second pass).
+    */
+  def preferencePairs(responses: DataFrame, promptIdCol: String = "prompt_id",
+                      respIdCol: String = "resp_id",
+                      scoreCol: String = "score",
+                      lenCol: String = "len"): DataFrame =
+    responses
+      .groupBy(col(promptIdCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        // max of (score, -id) = highest score, LOWEST id on ties
+        max(struct(col(scoreCol), (col(respIdCol) * -1).as("__neg"),
+          col(respIdCol), col(lenCol))).as("__c"),
+        min(struct(col(scoreCol), col(respIdCol), col(lenCol))).as("__r"))
+      .filter(col("__n") >= 2 &&
+        col(s"__c.$scoreCol") > col(s"__r.$scoreCol"))
+      .select(col(promptIdCol),
+        col(s"__c.$respIdCol").as("chosen_id"),
+        col(s"__r.$respIdCol").as("rejected_id"),
+        (col(s"__c.$scoreCol") - col(s"__r.$scoreCol")).cast("long")
+          .as("margin"),
+        col(s"__c.$lenCol").cast("long").as("len_chosen"),
+        col(s"__r.$lenCol").cast("long").as("len_rejected"),
+        (col(s"__c.$lenCol") > col(s"__r.$lenCol")).cast("long")
+          .as("len_bias"))
+
   def blocklistFilter(docs: DataFrame, blocked: DataFrame,
                       domainCol: String = "source"): DataFrame = {
     val listCol = blocked.columns.head
