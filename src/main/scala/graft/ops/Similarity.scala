@@ -215,6 +215,22 @@ object Similarity {
       .select(col(srcIdCol), col(tgtIdCol), col("cos_e6"), col("margin_e6"))
   }
 
+  /** [[bitextMine]] with the blocking factor derived from the larger
+    * side's size (one count job per side) — the form to use at scale:
+    * within-cell pair cost is quadratic in cell cardinality, so a fixed
+    * `bits` (or the bits=0 exact path) grows the pair set quadratically
+    * with the corpus while [[blockBitsFor]] holds cells ~constant.
+    */
+  def bitextMineAuto(src: DataFrame, tgt: DataFrame, k: Int,
+                     minMarginE6: Long, targetCellSize: Long = 1024L,
+                     srcIdCol: String = "src_id",
+                     tgtIdCol: String = "tgt_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val bits = blockBitsFor(math.max(src.count(), tgt.count()),
+      targetCellSize)
+    bitextMine(src, tgt, k, minMarginE6, bits, srcIdCol, tgtIdCol, embCol)
+  }
+
   /** Coarse cell id for IVF-style bucketing: sign bits of the first
     * `bits` dimensions (a deterministic stand-in for trained centroids —
     * the plumbing, partition pruning and join shape are identical).
