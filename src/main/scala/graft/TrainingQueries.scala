@@ -1123,6 +1123,13 @@ object TrainingQueries {
         col("n_pixels"))
   }
 
+  /** Heaps-law vocabulary growth over 16 corpus-prefix slices — the
+    * V ≈ K·nᵝ sublinearity diagnostic for template-heavy or
+    * id-token-exploded corpora ([[TextAnalysis.vocabGrowth]]).
+    */
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(docs(s, dir), nBuckets = 16)
+
   /** DPO preference-pair assembly: docs quartets (doc_id DIV 4) stand
     * in for four scored responses to one prompt; score = text length
     * mod 97 (deterministic, with real ties — all-equal prompts must
@@ -1532,6 +1539,7 @@ object TrainingQueries {
     "q_chat_render" -> (qChatRender _),
     "q_robots" -> (qRobots _),
     "q_pref_pairs" -> (qPrefPairs _),
+    "q_vocab_growth" -> (qVocabGrowth _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -4072,6 +4080,29 @@ object TrainingQueries {
          |  ${dh("substr(r, st + 1, ln)")} AS frame_h
          |FROM d CROSS JOIN (VALUES $vals) t(i, st, ln)""".stripMargin
     },
+
+    // the growth curve replayed slice by slice: same integer prefix
+    // buckets, same first-sighting-bucket vocabulary attribution
+    "q_vocab_growth" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+        |b AS (SELECT doc_id, text,
+        |    CAST(doc_id * 16 // nn AS BIGINT) AS bucket
+        |  FROM documents, n),
+        |pt AS (SELECT bucket,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM b GROUP BY 1),
+        |fs AS (SELECT w, min(bucket) AS fb FROM (
+        |    SELECT bucket, unnest(string_split(text, ' ')) AS w FROM b)
+        |  GROUP BY 1),
+        |nv AS (SELECT fb, count(*) AS newv FROM fs GROUP BY 1)
+        |SELECT pt.bucket,
+        |  CAST(sum(pt.toks) OVER (ORDER BY pt.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(coalesce(nv.newv, 0)) OVER (ORDER BY pt.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM pt LEFT JOIN nv ON pt.bucket = nv.fb""".stripMargin,
 
     // preference extremes replayed as two rank windows over the same
     // deterministic scores; the tie-to-lower-id contract on both sides

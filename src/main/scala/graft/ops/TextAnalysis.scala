@@ -1974,6 +1974,42 @@ object TextAnalysis {
   /** Distinct-word frequency table — the ONE corpus-wide pass of
     * unigram training.
     */
+  /** Heaps-law vocabulary-growth curve: the corpus in `nBuckets`
+    * doc-id-prefix slices, each carrying the CUMULATIVE token count and
+    * distinct-vocabulary size up to that slice — the sublinear-growth
+    * diagnostic (V ≈ K·nᵝ) that flags template/boilerplate corpora
+    * (vocab flattens early) or id-like token explosions (near-linear).
+    *
+    * Scale shape: the corpus max id rides a 1-row broadcast (the
+    * withScalar pattern); first-sighting per token is ONE vocab-bounded
+    * aggregate (min bucket — buckets are monotone in doc id, so min
+    * bucket IS first sight); the cumulative sums window over nBuckets
+    * rows, never the corpus.
+    */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = 16,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets: $nBuckets")
+    val n1 = docs.agg((max(col(idCol)) + 1).as("__n"))
+    val bucketed = docs.crossJoin(broadcast(n1))
+      .select(col(idCol), col(textCol),
+        (col(idCol) * nBuckets / col("__n")).cast("long").as("__b"))
+    val perBucketTokens = bucketed
+      .groupBy(col("__b"))
+      .agg(sum(size(toks(col(textCol)))).cast("long").as("__toks"))
+    val firstSeen = bucketed
+      .select(col("__b"), explode(toks(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb")).agg(count(lit(1)).as("__new_vocab"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucketTokens
+      .join(firstSeen, col("__b") === col("__fb"), "left")
+      .select(col("__b").as("bucket"),
+        sum(col("__toks")).over(w).as("cum_tokens"),
+        sum(coalesce(col("__new_vocab"), lit(0L))).over(w).as("cum_vocab"))
+  }
+
   private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(toks(col(textCol))).as("w"))
       .filter(col("w") =!= "")

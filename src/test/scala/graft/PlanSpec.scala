@@ -611,7 +611,8 @@ class PlanSpec extends SparkSpec {
     "q_lm_interp" -> "1-row corpus-total broadcast onto the bigram table (TextAnalysis.scala:978)",
     "q_lm_kn" -> "1-row continuation-type-total broadcast (TextAnalysis.scala:1033)",
     "q_oov_rate" -> "1-row vocab-total broadcast onto the per-doc table (TextAnalysis.scala:1103)",
-    "q_vocab_coverage" -> "1-row token-total broadcast onto the 3-row coverage table (TextAnalysis.scala:1210)"
+    "q_vocab_coverage" -> "1-row token-total broadcast onto the 3-row coverage table (TextAnalysis.scala:1210)",
+    "q_vocab_growth" -> "1-row max-id broadcast onto the corpus (the withScalar pattern)"
   )
 
   /** Queries where an UNPARTITIONED window is safe: the windowed
@@ -622,7 +623,8 @@ class PlanSpec extends SparkSpec {
     "q_mix_weights" -> "windows the per-source mixture table: |sources| rows",
     "q_temperature_mix" -> "windows the per-source mixture table: |sources| rows",
     "q_epoch_schedule" -> "windows the per-source epoch table: |sources| rows",
-    "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows"
+    "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows",
+    "q_vocab_growth" -> "cumulative sums window over the nBuckets=16 slice table"
   )
 
   test("bitextMine evaluates the pair-cosine join once (ReusedExchange)") {
