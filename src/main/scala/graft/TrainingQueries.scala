@@ -1123,6 +1123,23 @@ object TrainingQueries {
         col("n_pixels"))
   }
 
+  /** Matryoshka-truncation retention: top-10 overlap of width-8/16/32
+    * truncated rankings vs the full 64-dim ranking for probe vector 0
+    * ([[Similarity.matryoshkaRetention]]) — the serving-width audit.
+    */
+  def qMrlRetention(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaRetention(embs(s, dir), queryId = 0L, k = 10,
+      dims = Seq(8, 16, 32))
+
+  /** N-gram novelty audit between the %10==9 heldout slice and the
+    * rest: the memorization screen run before trusting a perplexity
+    * eval on that heldout ([[Curation.ngramNovelty]]).
+    */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    Curation.ngramNovelty(
+      docs(s, dir).filter(col("doc_id") % 10 =!= 9),
+      docs(s, dir).filter(col("doc_id") % 10 === 9), maxN = 4)
+
   /** Heaps-law vocabulary growth over 16 corpus-prefix slices — the
     * V ≈ K·nᵝ sublinearity diagnostic for template-heavy or
     * id-token-exploded corpora ([[TextAnalysis.vocabGrowth]]).
@@ -1540,6 +1557,8 @@ object TrainingQueries {
     "q_robots" -> (qRobots _),
     "q_pref_pairs" -> (qPrefPairs _),
     "q_vocab_growth" -> (qVocabGrowth _),
+    "q_mrl_retention" -> (qMrlRetention _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -4079,6 +4098,53 @@ object TrainingQueries {
          |  CAST(ln AS BIGINT) AS frame_bytes,
          |  ${dh("substr(r, st + 1, ln)")} AS frame_h
          |FROM d CROSS JOIN (VALUES $vals) t(i, st, ln)""".stripMargin
+    },
+
+    // the truncated rankings replayed per width: the dot AND both norms
+    // run over the first `dims` components (range(dims) is the slice)
+    "q_mrl_retention" -> {
+      def dotD(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(d.dims), i -> $a[i+1] * $b[i+1])) AS BIGINT)"
+      val cos = s"round(CAST(${dotD("e.qe", "q.qq")} AS DOUBLE) / " +
+        s"sqrt(CAST(${dotD("e.qe", "e.qe")} AS DOUBLE) * " +
+        s"CAST(${dotD("q.qq", "q.qq")} AS DOUBLE)), 6)"
+      s"""${quantCte.trim},
+         |q AS (SELECT qe AS qq FROM e WHERE vec_id = 0),
+         |d(dims) AS (VALUES (8), (16), (32), (64)),
+         |s AS (
+         |  SELECT d.dims, e.vec_id, $cos AS c
+         |  FROM e CROSS JOIN q CROSS JOIN d WHERE e.vec_id != 0),
+         |r AS (SELECT dims, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY dims ORDER BY c DESC, vec_id) AS rn FROM s),
+         |t AS (SELECT dims, vec_id FROM r WHERE rn <= 10),
+         |f AS (SELECT vec_id FROM t WHERE dims = 64)
+         |SELECT CAST(t.dims AS BIGINT) AS dims,
+         |  CAST(count(*) AS BIGINT) AS overlap
+         |FROM t JOIN f USING (vec_id) GROUP BY 1""".stripMargin
+    },
+
+    // heldout n-grams replayed width by width against the train set
+    "q_ngram_novelty" -> {
+      def side(cond: String) =
+        s"""SELECT DISTINCT n, ${dh("g")} AS h FROM (
+           |  SELECT n.n AS n, unnest(list_transform(
+           |    range(len(ws) - n.n + 1),
+           |    i -> array_to_string(list_slice(ws, i + 1, i + n.n), ' ')))
+           |    AS g
+           |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+           |        WHERE $cond)
+           |  CROSS JOIN (VALUES (1), (2), (3), (4)) n(n))""".stripMargin
+      s"""WITH hg AS (${side("doc_id % 10 = 9")}),
+         |tg AS (${side("doc_id % 10 != 9")}),
+         |ov AS (SELECT hg.n, count(*) AS overlap_ngrams
+         |  FROM hg SEMI JOIN tg ON hg.n = tg.n AND hg.h = tg.h GROUP BY 1),
+         |hh AS (SELECT n, count(*) AS heldout_ngrams FROM hg GROUP BY 1)
+         |SELECT CAST(hh.n AS BIGINT) AS n,
+         |  CAST(hh.heldout_ngrams AS BIGINT) AS heldout_ngrams,
+         |  CAST(coalesce(ov.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+         |  CAST((hh.heldout_ngrams - coalesce(ov.overlap_ngrams, 0)) *
+         |    1000000 // hh.heldout_ngrams AS BIGINT) AS novelty_e6
+         |FROM hh LEFT JOIN ov ON hh.n = ov.n""".stripMargin
     },
 
     // the growth curve replayed slice by slice: same integer prefix

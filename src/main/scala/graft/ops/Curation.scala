@@ -426,6 +426,41 @@ object Curation {
         coalesce(col("__rlen"), lit(0L)).as("winner_len"))
   }
 
+  /** N-gram novelty (memorization-risk) audit between a train split and
+    * a heldout split: for each n in [1, maxN], the fraction of the
+    * heldout's DISTINCT word n-grams never seen in train —
+    * `novelty_e6 = (heldout − overlap) · 1e6 DIV heldout`. A heldout
+    * whose long n-grams mostly exist in train will be "predicted" by
+    * memorization, not generalization, so its eval numbers are inflated
+    * — this is the screen run before trusting a perplexity eval.
+    *
+    * Scale shape: each side makes ONE pass emitting all n-gram widths
+    * tagged (n, gram-hash) from a single explode, distincts are
+    * (n, h60)-keyed aggregates, and the overlap is a LEFT SEMI join of
+    * two distinct sets — never a pair product.
+    */
+  def ngramNovelty(train: DataFrame, heldout: DataFrame, maxN: Int = 4,
+                   textCol: String = "text"): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bad maxN: $maxN")
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(explode(flatten(array((1 to maxN).map(n =>
+        transform(Dedup.shingles(col(textCol), n),
+          g => struct(lit(n.toLong).as("n"), Dedup.h60(g).as("h")))): _*)))
+        .as("__g"))
+      .select(col("__g.n").as("n"), col("__g.h").as("h"))
+      .distinct()
+    val h = grams(heldout)
+    val t = grams(train)
+    val overlap = h.join(t, Seq("n", "h"), "left_semi")
+      .groupBy(col("n")).agg(count(lit(1)).as("overlap_ngrams"))
+    h.groupBy(col("n")).agg(count(lit(1)).as("heldout_ngrams"))
+      .join(overlap, Seq("n"), "left")
+      .select(col("n"), col("heldout_ngrams"),
+        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"))
+      .withColumn("novelty_e6", expr(
+        "(heldout_ngrams - overlap_ngrams) * 1000000L DIV heldout_ngrams"))
+  }
+
   /** Preference-pair assembly for DPO/RLHF data: per prompt, the
     * highest-scored response becomes `chosen` and the lowest `rejected`
     * (ties break to the lower response id on BOTH sides, so an

@@ -215,6 +215,53 @@ object Similarity {
       .select(col(srcIdCol), col(tgtIdCol), col("cos_e6"), col("margin_e6"))
   }
 
+  /** Matryoshka-truncation retention audit (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): how much of the full-width
+    * top-k survives when the embedding is truncated to its first `d`
+    * components — the measurement behind choosing a cheaper serving
+    * width. One corpus pass scores EVERY width (the per-width cosines
+    * explode from one row), one window partitioned by width ranks them,
+    * and the truncated lists join the full-width list for the overlap
+    * count. Returns (dims, overlap) with overlap ∈ [0, k]; the full
+    * width rides along as the =k sanity row.
+    *
+    * Scale note: an audit runs on a probe sample by design; the window
+    * sorts |dims| cells of the scored sample, never the raw corpus.
+    */
+  def matryoshkaRetention(embeddings: DataFrame, queryId: Long, k: Int,
+                          dims: Seq[Int], fullDims: Int = 64,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= fullDims),
+      s"bad widths: $dims (full $fullDims)")
+    val widths = (dims :+ fullDims).distinct
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(quantize(col(embCol)).as("__q"))
+    def cosAt(d: Int) = {
+      val a = slice(col("__e"), 1, d)
+      val b = slice(col("__q"), 1, d)
+      round(dotQ(a, b).cast("double") /
+        sqrt(dotQ(a, a).cast("double") * dotQ(b, b).cast("double")), 6)
+    }
+    val scored = embeddings.filter(col(idCol) =!= queryId)
+      .select(col(idCol), quantize(col(embCol)).as("__e"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), explode(array(widths.map(d =>
+        struct(lit(d).cast("long").as("dims"), cosAt(d).as("__cos"))): _*))
+        .as("__dc"))
+      .select(col(idCol), col("__dc.dims").as("dims"),
+        col("__dc.__cos").as("__cos"))
+    val w = Window.partitionBy(col("dims"))
+      .orderBy(col("__cos").desc, col(idCol))
+    val tops = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("dims"), col(idCol))
+    val full = tops.filter(col("dims") === fullDims)
+      .select(col(idCol).as("__full_id"))
+    tops.join(broadcast(full), col(idCol) === col("__full_id"), "left_semi")
+      .groupBy(col("dims")).agg(count(lit(1)).as("overlap"))
+  }
+
   /** [[bitextMine]] with the blocking factor derived from the larger
     * side's size (one count job per side) — the form to use at scale:
     * within-cell pair cost is quadratic in cell cardinality, so a fixed

@@ -612,7 +612,8 @@ class PlanSpec extends SparkSpec {
     "q_lm_kn" -> "1-row continuation-type-total broadcast (TextAnalysis.scala:1033)",
     "q_oov_rate" -> "1-row vocab-total broadcast onto the per-doc table (TextAnalysis.scala:1103)",
     "q_vocab_coverage" -> "1-row token-total broadcast onto the 3-row coverage table (TextAnalysis.scala:1210)",
-    "q_vocab_growth" -> "1-row max-id broadcast onto the corpus (the withScalar pattern)"
+    "q_vocab_growth" -> "1-row max-id broadcast onto the corpus (the withScalar pattern)",
+    "q_mrl_retention" -> "1-row probe-vector broadcast scores every width in one corpus pass (Similarity.matryoshkaRetention)"
   )
 
   /** Queries where an UNPARTITIONED window is safe: the windowed
