@@ -442,14 +442,26 @@ object Curation {
   def ngramNovelty(train: DataFrame, heldout: DataFrame, maxN: Int = 4,
                    textCol: String = "text"): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"bad maxN: $maxN")
+    // the hash runs AFTER the explode, on a flat column: inside the
+    // array lambda it would evaluate interpreted per element — the
+    // post-explode form is whole-stage-codegen'd md5. The input text
+    // repartitions BEFORE the ~4·|words| fan-out: the shuffle moves
+    // only raw text (a small fraction of the gram-stream bytes it
+    // parallelizes), which matters when the source has fewer splits
+    // than cores — a single-row-group file would otherwise run the
+    // whole explode+hash stage on one task.
     def grams(docs: DataFrame): DataFrame = docs
+      .select(col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(array((1 to maxN).map(n =>
         transform(Dedup.shingles(col(textCol), n),
-          g => struct(lit(n.toLong).as("n"), Dedup.h60(g).as("h")))): _*)))
+          g => struct(lit(n.toLong).as("n"), g.as("g")))): _*)))
         .as("__g"))
-      .select(col("__g.n").as("n"), col("__g.h").as("h"))
-      .distinct()
-    val h = grams(heldout)
+      .select(col("__g.n").as("n"), Dedup.h60(col("__g.g")).as("h"))
+    // heldout is distinct-counted; the train side feeds a SEMI join,
+    // whose build side dedupes internally — a pre-distinct there would
+    // add a full shuffle-aggregate of the LARGER side for nothing
+    val h = grams(heldout).distinct()
     val t = grams(train)
     val overlap = h.join(t, Seq("n", "h"), "left_semi")
       .groupBy(col("n")).agg(count(lit(1)).as("overlap_ngrams"))

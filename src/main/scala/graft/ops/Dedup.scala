@@ -580,7 +580,15 @@ object Dedup {
     // op. Collisions (~n_grams^2 / 2^61) merge two grams corpus-wide on
     // both sides of any comparison — the DuckDB oracle hashes
     // identically, so results stay engine-exact.
-    val allGrams = explodedShingles(docs, n, textCol, idCol)
+    // The input repartitions BEFORE the |words|-per-doc fan-out: the
+    // exchange moves only (id, text) — cheap next to the gram stream it
+    // parallelizes — and, being an identical subtree under every one of
+    // the op's consumers, it is built once and REUSED (ReusedExchange),
+    // so the scan+explode no longer reruns per consumer on however few
+    // splits the source file has (a single-row-group file = one task).
+    val spread = docs.select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val allGrams = explodedShingles(spread, n, textCol, idCol)
       .select(col(idCol), h60(col("sh")).as("g"))
       .distinct()
     // NOTE the pruned posting list feeds four consumers (df filter, both
