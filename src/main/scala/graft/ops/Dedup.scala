@@ -456,8 +456,13 @@ object Dedup {
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val W = windowTokens
-    val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val win = posExplodedShingles(docs, W, textCol, idCol)
+    // same single-split-source guard as ngramJaccardPairs: the explode
+    // and the per-token HOF rebuild both fan out ~|words| per doc, and
+    // the (id, text) exchange below them is built once and reused
+    val spread = docs.select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val toksDf = spread.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val win = posExplodedShingles(spread, W, textCol, idCol)
       .select(col(idCol), col("pos"), h60(col("sh")).as("wh"))
     // a window is shared when it occurs in MORE THAN ONE document —
     // same contract as substringDupStats, counted per window hash
