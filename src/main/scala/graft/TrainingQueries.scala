@@ -341,6 +341,15 @@ object TrainingQueries {
           .as("split"))
   }
 
+  /** Asymmetric containment pairs: the quote/near-subset detector —
+    * pairs where ≥ 50% of one side's distinct trigrams live inside the
+    * other, both directions carried on one row ([[Dedup.containmentPairs]];
+    * same df-pruned gram space as q_dedup_ngram).
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), n = 3, minContainE6 = 500000L,
+      maxDocFreqFraction = 0.02)
+
   /** Pairs -> clusters: connected components over the MinHash candidate
     * pairs, canonical doc = min cluster member.
     */
@@ -1599,6 +1608,7 @@ object TrainingQueries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_containment" -> (qContainment _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
     "q_bitext_mine" -> (qBitextMine _),
@@ -1980,6 +1990,23 @@ object TrainingQueries {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE (n_common * 10000) // (sa.n_grams + sb.n_grams - n_common) >= 3000""".stripMargin
+
+  /** The ngram pair chain with the containment epilogue — CTEs shared
+    * textually with [[ngramOracle]] so the gram space cannot drift.
+    */
+  private val containmentOracle: String = {
+    val front = ngramOracle.split("\\nSELECT doc_a")(0)
+    s"""$front
+       |SELECT doc_a, doc_b, n_common, sa.n_grams AS size_a,
+       |  sb.n_grams AS size_b,
+       |  (n_common * 1000000) // sa.n_grams AS contain_a_e6,
+       |  (n_common * 1000000) // sb.n_grams AS contain_b_e6
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE greatest((n_common * 1000000) // sa.n_grams,
+       |  (n_common * 1000000) // sb.n_grams) >= 500000""".stripMargin
+  }
 
   /** Quantized-vector CTE for the knn oracles. */
   private val quantCte =
@@ -3344,6 +3371,7 @@ object TrainingQueries {
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram" -> ngramOracle,
+    "q_containment" -> containmentOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
     "q_bitext_mine" -> bitextMineOracle,

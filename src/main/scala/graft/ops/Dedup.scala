@@ -580,6 +580,59 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         maxDocFreqFraction: Double = 0.25,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (inter, sizes) = prunedGramIntersections(
+      docs, n, maxDocFreqFraction, textCol, idCol)
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a")
+        .withColumnRenamed("n_grams", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b")
+        .withColumnRenamed("n_grams", "size_b"), "doc_b")
+      .withColumn("jaccard1e4",
+        // long DIV long: exact integer arithmetic, identical in DuckDB (//)
+        expr("(n_common * 10000) DIV (size_a + size_b - n_common)"))
+      .filter(col("jaccard1e4") >= (minJaccard * 10000).toLong)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard1e4")
+  }
+
+  /** Asymmetric CONTAINMENT near-dup pairs (Broder 1997's second
+    * resemblance measure): `contain(A→B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)|` — the quote/near-subset detector symmetric Jaccard
+    * misses (a short doc fully embedded in a long one has tiny Jaccard
+    * but containment ≈ 1). One unordered pair row carries BOTH
+    * directions (`contain_a_e6` = how much of A is inside B, and vice
+    * versa), filtered on the larger of the two. Sizes are over the
+    * SAME df-pruned gram space as the join (the
+    * [[ngramJaccardPairs]] convention — a boilerplate gram in every doc
+    * neither joins nor inflates the denominator).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, minContainE6: Long,
+                       maxDocFreqFraction: Double = 0.25,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val (inter, sizes) = prunedGramIntersections(
+      docs, n, maxDocFreqFraction, textCol, idCol)
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a")
+        .withColumnRenamed("n_grams", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b")
+        .withColumnRenamed("n_grams", "size_b"), "doc_b")
+      .withColumn("contain_a_e6", expr("(n_common * 1000000) DIV size_a"))
+      .withColumn("contain_b_e6", expr("(n_common * 1000000) DIV size_b"))
+      .filter(greatest(col("contain_a_e6"), col("contain_b_e6"))
+        >= minContainE6)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
+        "contain_a_e6", "contain_b_e6")
+  }
+
+  /** Shared front half of the gram-set pair family: df-pruned distinct
+    * gram hashes per doc, intersected per unordered pair through the
+    * inverted-index equi-join, plus the per-doc pruned-gram sizes.
+    * Returns (inter(doc_a, doc_b, n_common), sizes(idCol, n_grams)).
+    */
+  private def prunedGramIntersections(docs: DataFrame, n: Int,
+                                      maxDocFreqFraction: Double,
+                                      textCol: String, idCol: String)
+      : (DataFrame, DataFrame) = {
     // grams join on their 60-bit hash, not the string: an 8-byte shuffle
     // key instead of a ~3-word string for the highest-volume join in the
     // op. Collisions (~n_grams^2 / 2^61) merge two grams corpus-wide on
@@ -619,15 +672,6 @@ object Dedup {
     val b = grams.select(col(idCol).as("doc_b"), col("g"))
     val inter = a.join(b, "g").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_grams", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_grams", "size_b"), "doc_b")
-      .withColumn("jaccard1e4",
-        // long DIV long: exact integer arithmetic, identical in DuckDB (//)
-        expr("(n_common * 10000) DIV (size_a + size_b - n_common)"))
-      .filter(col("jaccard1e4") >= (minJaccard * 10000).toLong)
-      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard1e4")
+    (inter, sizes)
   }
 }
