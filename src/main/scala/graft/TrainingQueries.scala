@@ -1149,6 +1149,16 @@ object TrainingQueries {
       docs(s, dir).filter(col("doc_id") % 10 =!= 9),
       docs(s, dir).filter(col("doc_id") % 10 === 9), maxN = 4)
 
+  /** Stupid-backoff trigram LM over the novelty audit's train/heldout
+    * split — the web-scale LM scoring recipe (Brants et al. 2007); the
+    * per-level hit counts say how much of each heldout doc scores at
+    * full trigram depth ([[TextAnalysis.lmBackoff]]).
+    */
+  def qLmBackoff(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmBackoff(
+      docs(s, dir).filter(col("doc_id") % 10 =!= 9),
+      docs(s, dir).filter(col("doc_id") % 10 === 9))
+
   /** Heaps-law vocabulary growth over 16 corpus-prefix slices — the
     * V ≈ K·nᵝ sublinearity diagnostic for template-heavy or
     * id-token-exploded corpora ([[TextAnalysis.vocabGrowth]]).
@@ -1568,6 +1578,7 @@ object TrainingQueries {
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_mrl_retention" -> (qMrlRetention _),
     "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_lm_backoff" -> (qLmBackoff _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -1990,6 +2001,70 @@ object TrainingQueries {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE (n_common * 10000) // (sa.n_grams + sb.n_grams - n_common) >= 3000""".stripMargin
+
+  /** The stupid-backoff replay: train counts from the %10!=9 split at
+    * INSTANCE granularity, heldout (doc, trigram) multiplicities, the
+    * same deepest-seen-level CASE, HUGEINT ↔ DECIMAL(38,0) twins.
+    */
+  private val lmBackoffOracle: String = {
+    def grams(k: Int, names: Seq[String]) = names.zipWithIndex.map {
+      case (nm, j) =>
+        s"unnest(list_transform(range(greatest(len(w) - ${k - 1}, 0)), " +
+          s"i -> ${dh(s"w[i+${j + 1}]")})) AS $nm"
+    }.mkString(",\n    ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |tri AS (SELECT doc_id,
+       |    ${grams(3, Seq("w1", "w2", "w3"))}
+       |  FROM tok),
+       |bi AS (SELECT doc_id,
+       |    ${grams(2, Seq("b1", "b2"))}
+       |  FROM tok),
+       |uni AS (SELECT doc_id,
+       |    unnest(list_transform(range(len(w)), i -> ${dh("w[i+1]")})) AS u
+       |  FROM tok),
+       |c3t AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri
+       |  WHERE doc_id % 10 != 9 GROUP BY 1, 2, 3),
+       |c2t AS (SELECT b1, b2, count(*) AS c2 FROM bi
+       |  WHERE doc_id % 10 != 9 GROUP BY 1, 2),
+       |c1t AS (SELECT u, count(*) AS c1 FROM uni
+       |  WHERE doc_id % 10 != 9 GROUP BY 1),
+       |tt AS (SELECT sum(c1) AS n_tokens FROM c1t),
+       |byd AS (SELECT doc_id, w1, w2, w3, count(*) AS m FROM tri
+       |  WHERE doc_id % 10 = 9 GROUP BY 1, 2, 3, 4),
+       |j AS (SELECT byd.doc_id, byd.m, c3t.c3, x2.c2 AS ctx2,
+       |    n2.c2 AS num2, k1.c1 AS ctx1, k3.c1 AS num1, tt.n_tokens,
+       |    CASE WHEN c3t.c3 IS NOT NULL THEN 3
+       |      WHEN n2.c2 IS NOT NULL THEN 2
+       |      WHEN k3.c1 IS NOT NULL THEN 1 ELSE 0 END AS level
+       |  FROM byd
+       |  LEFT JOIN c3t USING (w1, w2, w3)
+       |  LEFT JOIN c2t x2 ON x2.b1 = byd.w1 AND x2.b2 = byd.w2
+       |  LEFT JOIN c2t n2 ON n2.b1 = byd.w2 AND n2.b2 = byd.w3
+       |  LEFT JOIN c1t k1 ON k1.u = byd.w2
+       |  LEFT JOIN c1t k3 ON k3.u = byd.w3
+       |  CROSS JOIN tt),
+       |s AS (SELECT doc_id, m, level,
+       |    CASE level
+       |      WHEN 3 THEN CAST(c3 AS HUGEINT) * 1000000 // ctx2
+       |      WHEN 2 THEN
+       |        (4 * (CAST(num2 AS HUGEINT) * 1000000 // ctx1)) // 10
+       |      WHEN 1 THEN
+       |        (16 * (CAST(num1 AS HUGEINT) * 1000000 // n_tokens)) // 100
+       |      ELSE 0 END AS s_e6
+       |  FROM j)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(CASE WHEN level = 3 THEN m ELSE 0 END) AS BIGINT)
+       |    AS hits3,
+       |  CAST(sum(CASE WHEN level = 2 THEN m ELSE 0 END) AS BIGINT)
+       |    AS hits2,
+       |  CAST(sum(CASE WHEN level = 1 THEN m ELSE 0 END) AS BIGINT)
+       |    AS hits1,
+       |  CAST(sum(CASE WHEN level = 0 THEN m ELSE 0 END) AS BIGINT) AS oov,
+       |  CAST(sum(CAST(m AS HUGEINT) * s_e6) // sum(m) AS BIGINT)
+       |    AS lm_backoff_e6
+       |FROM s GROUP BY 1""".stripMargin
+  }
 
   /** The ngram pair chain with the containment epilogue — CTEs shared
     * textually with [[ngramOracle]] so the gram space cannot drift.
@@ -3372,6 +3447,7 @@ object TrainingQueries {
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram" -> ngramOracle,
     "q_containment" -> containmentOracle,
+    "q_lm_backoff" -> lmBackoffOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
     "q_bitext_mine" -> bitextMineOracle,

@@ -1270,6 +1270,90 @@ object TextAnalysis {
       .select(col(idCol), col("pr.pw").as("pw"), col("pr.sw").as("sw"))
   }
 
+  /** Stupid-backoff trigram LM (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the backoff designed FOR
+    * MapReduce-scale corpora: no normalization pass, pure count ratios
+    * with a fixed α = 0.4 penalty per level). Counts train on `train`;
+    * each `score` doc's trigrams resolve at the deepest level the train
+    * corpus has seen:
+    * {{{ S = c(w1w2w3)/c(w1w2)            seen trigram
+    *       | 0.4 · c(w2w3)/c(w2)          backoff to the bigram
+    *       | 0.16 · c(w3)/N               backoff to the unigram
+    *       | 0                            OOV word }}}
+    * — e6 fixed point, DECIMAL(38,0) ↔ HUGEINT engine twins. Per-doc
+    * level-hit counts ride along (how much of a doc scores at full
+    * depth is itself a fluency/memorization diagnostic). Returns
+    * (idCol, n_trigrams, hits3, hits2, hits1, oov, lm_backoff_e6).
+    *
+    * Scale shape: three train count tables (trigram/bigram/unigram —
+    * vocab-bounded aggregates), the scored docs' (doc, trigram)
+    * multiplicities, five hash-keyed equi-joins, one 1-row total
+    * broadcast. Exactly the shape the paper sharded over MapReduce.
+    */
+  def lmBackoff(train: DataFrame, score: DataFrame,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    def hashes(docs: DataFrame) = docs.select(col(idCol),
+      transform(toks(col(textCol)), w => Dedup.h60(w)).as("hs"))
+    def triInst(docs: DataFrame) = {
+      val n = size(col("hs"))
+      hashes(docs).select(col(idCol), explode(
+        when(n < 3, array().cast("array<struct<w1:bigint,w2:bigint,w3:bigint>>"))
+          .otherwise(transform(sequence(lit(1), n - 2), i => struct(
+            element_at(col("hs"), i).as("w1"),
+            element_at(col("hs"), i + 1).as("w2"),
+            element_at(col("hs"), i + 2).as("w3"))))).as("t"))
+        .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+          col("t.w3").as("w3"))
+    }
+    val c3t = triInst(train).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2t = bigramHashInst(train, textCol, idCol)
+      .groupBy(col("pw"), col("sw")).agg(count(lit(1)).as("c2"))
+    val c1t = hashes(train).select(explode(col("hs")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("c1"))
+    val totals = c1t.agg(sum(col("c1")).as("n_tokens"))
+
+    val byDoc = triInst(score).groupBy(col(idCol), col("w1"), col("w2"),
+      col("w3")).agg(count(lit(1)).as("m"))
+    val joined = byDoc
+      .join(c3t, Seq("w1", "w2", "w3"), "left")
+      .join(c2t.select(col("pw").as("w1"), col("sw").as("w2"),
+        col("c2").as("ctx2")), Seq("w1", "w2"), "left")
+      .join(c2t.select(col("pw").as("w2"), col("sw").as("w3"),
+        col("c2").as("num2")), Seq("w2", "w3"), "left")
+      .join(c1t.select(col("u").as("w2"), col("c1").as("ctx1")),
+        Seq("w2"), "left")
+      .join(c1t.select(col("u").as("w3"), col("c1").as("num1")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      // a seen trigram implies its prefix bigram is seen (ctx2 >= c3),
+      // and a seen (w2,w3) bigram implies c(w2) >= 1 — the denominators
+      // of the chosen level can never be NULL
+      .withColumn("level",
+        when(col("c3").isNotNull, 3L)
+          .when(col("num2").isNotNull, 2L)
+          .when(col("num1").isNotNull, 1L)
+          .otherwise(0L))
+      .withColumn("s_e6", expr(
+        """CASE level
+          |  WHEN 3L THEN cast(c3 as decimal(38,0)) * 1000000 DIV ctx2
+          |  WHEN 2L THEN
+          |    (4 * (cast(num2 as decimal(38,0)) * 1000000 DIV ctx1)) DIV 10
+          |  WHEN 1L THEN
+          |    (16 * (cast(num1 as decimal(38,0)) * 1000000 DIV n_tokens))
+          |      DIV 100
+          |  ELSE 0 END""".stripMargin))
+    joined.groupBy(col(idCol))
+      .agg(
+        sum(col("m")).as("n_trigrams"),
+        sum(when(col("level") === 3, col("m")).otherwise(0L)).as("hits3"),
+        sum(when(col("level") === 2, col("m")).otherwise(0L)).as("hits2"),
+        sum(when(col("level") === 1, col("m")).otherwise(0L)).as("hits1"),
+        sum(when(col("level") === 0, col("m")).otherwise(0L)).as("oov"),
+        expr("sum(m * s_e6) DIV sum(m)").cast("long").as("lm_backoff_e6"))
+  }
+
   def lmScore(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
     val inst = bigramHashInst(docs, textCol, idCol)

@@ -610,6 +610,7 @@ class PlanSpec extends SparkSpec {
     "q_pmi" -> "1-row bigram-total broadcast onto the |vocab|-sized pair table (TextAnalysis.scala:802)",
     "q_lm_interp" -> "1-row corpus-total broadcast onto the bigram table (TextAnalysis.scala:978)",
     "q_lm_kn" -> "1-row continuation-type-total broadcast (TextAnalysis.scala:1033)",
+    "q_lm_backoff" -> "1-row train-token-total broadcast onto the scored trigrams (TextAnalysis.lmBackoff)",
     "q_oov_rate" -> "1-row vocab-total broadcast onto the per-doc table (TextAnalysis.scala:1103)",
     "q_vocab_coverage" -> "1-row token-total broadcast onto the 3-row coverage table (TextAnalysis.scala:1210)",
     "q_vocab_growth" -> "1-row max-id broadcast onto the corpus (the withScalar pattern)",
