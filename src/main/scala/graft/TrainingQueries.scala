@@ -1149,6 +1149,14 @@ object TrainingQueries {
       docs(s, dir).filter(col("doc_id") % 10 =!= 9),
       docs(s, dir).filter(col("doc_id") % 10 === 9), maxN = 4)
 
+  /** TextTiling topic boundaries: per-gap block cosines + valley
+    * depths over every doc — the semantic-chunking complement to the
+    * fixed-size q_chunk_overlap ([[TextAnalysis.textTiles]]).
+    */
+  def qTextTiles(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textTiles(docs(s, dir), blockK = 10, step = 5,
+      depthMinE6 = 150000L)
+
   /** Stupid-backoff trigram LM over the novelty audit's train/heldout
     * split — the web-scale LM scoring recipe (Brants et al. 2007); the
     * per-level hit counts say how much of each heldout doc scores at
@@ -1579,6 +1587,7 @@ object TrainingQueries {
     "q_mrl_retention" -> (qMrlRetention _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lm_backoff" -> (qLmBackoff _),
+    "q_text_tiles" -> (qTextTiles _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -2001,6 +2010,59 @@ object TrainingQueries {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE (n_common * 10000) // (sa.n_grams + sb.n_grams - n_common) >= 3000""".stripMargin
+
+  /** The TextTiling replay: same gap grid, same block slices (Spark's
+    * slice(start, LENGTH) vs DuckDB's list_slice(begin, END) rendered
+    * to the same token ranges), same two-step cosine rounding, same
+    * 2-gap neighborhood-peak windows.
+    */
+  private val textTilesOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE len(string_split(text, ' ')) > 5),
+       |g AS (SELECT doc_id, t, n,
+       |    unnest(range(5, ((n - 1) // 5) * 5 + 1, 5)) AS g
+       |  FROM d),
+       |sides AS (
+       |  SELECT doc_id, g, 0 AS side, ${dh("w")} AS wh FROM (
+       |    SELECT doc_id, g,
+       |      unnest(list_slice(t, greatest(1, g - 9), g)) AS w FROM g)
+       |  UNION ALL
+       |  SELECT doc_id, g, 1 AS side, ${dh("w")} AS wh FROM (
+       |    SELECT doc_id, g,
+       |      unnest(list_slice(t, g + 1, least(n, g + 10))) AS w FROM g)),
+       |counts AS (SELECT doc_id, g, side, wh, count(*) AS c
+       |  FROM sides GROUP BY 1, 2, 3, 4),
+       |dt AS (SELECT a.doc_id, a.g, sum(a.c * b.c) AS dot
+       |  FROM counts a JOIN counts b
+       |    ON a.doc_id = b.doc_id AND a.g = b.g AND a.wh = b.wh
+       |    AND a.side = 0 AND b.side = 1
+       |  GROUP BY 1, 2),
+       |na AS (SELECT doc_id, g, sum(c * c) AS na FROM counts
+       |  WHERE side = 0 GROUP BY 1, 2),
+       |nb AS (SELECT doc_id, g, sum(c * c) AS nb FROM counts
+       |  WHERE side = 1 GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT na.doc_id, na.g,
+       |    CAST(round(round(CAST(coalesce(dt.dot, 0) AS DOUBLE) /
+       |      sqrt(CAST(na.na AS DOUBLE) * CAST(nb.nb AS DOUBLE)), 6)
+       |      * 1000000) AS BIGINT) AS cos_e6
+       |  FROM na JOIN nb ON na.doc_id = nb.doc_id AND na.g = nb.g
+       |  LEFT JOIN dt ON dt.doc_id = na.doc_id AND dt.g = na.g),
+       |dep AS (
+       |  SELECT doc_id, g, cos_e6,
+       |    (coalesce(max(cos_e6) OVER (PARTITION BY doc_id ORDER BY g
+       |       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING), cos_e6) - cos_e6)
+       |    + (coalesce(max(cos_e6) OVER (PARTITION BY doc_id ORDER BY g
+       |       ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), cos_e6) - cos_e6)
+       |      AS depth_e6
+       |  FROM sc)
+       |SELECT doc_id, CAST(g AS BIGINT) AS gap_pos, cos_e6,
+       |  CAST(depth_e6 AS BIGINT) AS depth_e6,
+       |  CAST(CASE WHEN depth_e6 >= 150000 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS boundary
+       |FROM dep""".stripMargin
 
   /** The stupid-backoff replay: train counts from the %10!=9 split at
     * INSTANCE granularity, heldout (doc, trigram) multiplicities, the
@@ -3448,6 +3510,7 @@ object TrainingQueries {
     "q_dedup_ngram" -> ngramOracle,
     "q_containment" -> containmentOracle,
     "q_lm_backoff" -> lmBackoffOracle,
+    "q_text_tiles" -> textTilesOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
     "q_bitext_mine" -> bitextMineOracle,

@@ -1270,6 +1270,78 @@ object TextAnalysis {
       .select(col(idCol), col("pr.pw").as("pw"), col("pr.sw").as("sw"))
   }
 
+  /** TextTiling topic segmentation (Hearst 1997, "TextTiling:
+    * Segmenting Text into Multi-paragraph Subtopic Passages") — the
+    * SEMANTIC chunking step for RAG corpora, where fixed-size windows
+    * ([[Curation.chunkOverlap]]-style) cut mid-topic: at every `step`
+    * tokens, the cosine between the `blockK`-token bags on either side
+    * of the gap; a gap whose cohesion sits in a valley (depth = how far
+    * the score drops below its neighborhood peaks on BOTH sides) past
+    * `depthMinE6` is a topic boundary.
+    *
+    * Everything is integer-exact until the one cosine (bag counts are
+    * longs; the cosine takes the knn family's two-step 6-decimal
+    * rounding so both engines agree bit for bit). Returns one row per
+    * gap: (idCol, gap_pos, cos_e6, depth_e6, boundary).
+    *
+    * Scale shape: one gap explode (~|tokens|/step rows per doc), one
+    * (doc, gap, side, word) micro-group count, the left×right word
+    * join + two norm aggregates keyed by (doc, gap), and ONE window
+    * per doc over its gap sequence — never a corpus-wide sort.
+    */
+  def textTiles(docs: DataFrame, blockK: Int = 10, step: Int = 5,
+                depthMinE6: Long = 150000L, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(blockK >= 1 && step >= 1, s"bad params: k=$blockK step=$step")
+    val base = docs
+      .select(col(idCol), toks(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > step) // at least one gap with a non-empty right
+    val gaps = base.select(col(idCol), col("__t"), col("__n"),
+      explode(sequence(lit(step),
+        (((col("__n") - 1) / step).cast("int") * step), lit(step))).as("g"))
+    val sides = gaps.select(col(idCol), col("g"), explode(concat(
+      transform(
+        slice(col("__t"), greatest(lit(1), col("g") - (blockK - 1)),
+          least(lit(blockK), col("g"))),
+        w => struct(lit(0).as("side"), w.as("w"))),
+      transform(
+        slice(col("__t"), col("g") + 1,
+          least(lit(blockK), col("__n") - col("g"))),
+        w => struct(lit(1).as("side"), w.as("w"))))).as("x"))
+      .select(col(idCol), col("g"), col("x.side").as("side"),
+        Dedup.h60(col("x.w")).as("wh"))
+    val counts = sides.groupBy(col(idCol), col("g"), col("side"), col("wh"))
+      .agg(count(lit(1)).as("c"))
+    val lc = counts.filter(col("side") === 0)
+      .select(col(idCol), col("g"), col("wh"), col("c").as("cl"))
+    val rc = counts.filter(col("side") === 1)
+      .select(col(idCol), col("g"), col("wh"), col("c").as("cr"))
+    val dot = lc.join(rc, Seq(idCol, "g", "wh"))
+      .groupBy(col(idCol), col("g"))
+      .agg(sum(col("cl") * col("cr")).as("__dot"))
+    val na = lc.groupBy(col(idCol), col("g"))
+      .agg(sum(col("cl") * col("cl")).as("__na"))
+    val nb = rc.groupBy(col(idCol), col("g"))
+      .agg(sum(col("cr") * col("cr")).as("__nb"))
+    val scored = na.join(nb, Seq(idCol, "g"))
+      .join(dot, Seq(idCol, "g"), "left") // disjoint bags: dot = 0
+      .withColumn("cos_e6", round(round(
+        coalesce(col("__dot"), lit(0L)).cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double")), 6)
+        * 1e6).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("g"))
+    val prevMax = max(col("cos_e6")).over(w.rowsBetween(-2, -1))
+    val nextMax = max(col("cos_e6")).over(w.rowsBetween(1, 2))
+    scored
+      .withColumn("depth_e6",
+        (coalesce(prevMax, col("cos_e6")) - col("cos_e6")) +
+          (coalesce(nextMax, col("cos_e6")) - col("cos_e6")))
+      .select(col(idCol), col("g").cast("long").as("gap_pos"),
+        col("cos_e6"), col("depth_e6"),
+        (col("depth_e6") >= depthMinE6).cast("long").as("boundary"))
+  }
+
   /** Stupid-backoff trigram LM (Brants et al. 2007, "Large Language
     * Models in Machine Translation" — the backoff designed FOR
     * MapReduce-scale corpora: no normalization pass, pure count ratios
