@@ -3188,6 +3188,26 @@ class OpsSpec extends SparkSpec with PropSupport {
       4L -> (0L, 9L), 5L -> (1L, 0L)))
   }
 
+  test("textTiles flags the seam between two disjoint-topic halves") {
+    import spark.implicits._
+    // 80 tokens of topic A then 80 of topic B — the ONLY cohesion
+    // valley is the seam at token 80
+    val a = Seq.fill(20)("alpha beta gamma delta").mkString(" ")
+    val b = Seq.fill(20)("omega psi chi phi").mkString(" ")
+    val rows = graft.ops.TextAnalysis
+      .textTiles(Seq((1L, s"$a $b")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the seam gap: fully disjoint bags -> cosine 0, flagged boundary
+    val (seamCos, seamDepth, seamBound) = rows(80L)
+    assert(seamCos === 0L && seamBound === 1L)
+    // and it is the strict depth maximum over all gaps
+    assert(rows.forall { case (g, (_, d, _)) => g == 80L || d < seamDepth })
+    // deep inside either half the cycling text is self-similar: no gap
+    // there may outrank the seam as a boundary
+    assert(rows(40L)._3 === 0L && rows(120L)._3 === 0L)
+  }
+
   test("urlParts canonicalization is idempotent") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
