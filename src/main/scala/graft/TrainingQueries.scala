@@ -1149,6 +1149,22 @@ object TrainingQueries {
       docs(s, dir).filter(col("doc_id") % 10 =!= 9),
       docs(s, dir).filter(col("doc_id") % 10 === 9), maxN = 4)
 
+  /** Sentence segmentation stats: the `[.!?]`-space boundary rule with
+    * per-doc counts, lengths, and a position-salted sentence checksum
+    * ([[TextAnalysis.sentenceStats]]).
+    */
+  def qSentences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentenceStats(docs(s, dir))
+
+  /** Edit-distance verification of the MinHash-LSH candidates: true
+    * Levenshtein similarity on JUST the banded pairs
+    * ([[Dedup.editVerifiedPairs]]) — the exact-but-quadratic metric
+    * confined to the set the LSH already shrank.
+    */
+  def qEditVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.editVerifiedPairs(docs(s, dir), qDedupMinhash(s, dir),
+      minSimE6 = 800000L)
+
   /** TextTiling topic boundaries: per-gap block cosines + valley
     * depths over every doc — the semantic-chunking complement to the
     * fixed-size q_chunk_overlap ([[TextAnalysis.textTiles]]).
@@ -1588,6 +1604,8 @@ object TrainingQueries {
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lm_backoff" -> (qLmBackoff _),
     "q_text_tiles" -> (qTextTiles _),
+    "q_sentences" -> (qSentences _),
+    "q_edit_verified" -> (qEditVerified _),
     "q_wav_downsample" -> (qWavDownsample _),
     "q_wav_downsample_mean" -> (qWavDownsampleMean _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -2010,6 +2028,47 @@ object TrainingQueries {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE (n_common * 10000) // (sa.n_grams + sb.n_grams - n_common) >= 3000""".stripMargin
+
+  /** The sentence split replayed with the same sentinel trick (RE2 has
+    * no lookbehind, so both engines mark the boundary space and split).
+    */
+  private val sentencesOracle: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, string_split(
+       |    regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'),
+       |    chr(1)) AS ss
+       |  FROM documents),
+       |x AS (SELECT doc_id, unnest(range(len(ss))) AS p,
+       |    unnest(ss) AS s FROM sp)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+       |  CAST(sum(strlen(s)) AS BIGINT) AS n_chars,
+       |  CAST(max(strlen(s)) AS BIGINT) AS max_len,
+       |  CAST(sum(strlen(s) * 100) // count(*) AS BIGINT) AS mean_len_e2,
+       |  CAST(bit_xor(${dh("CAST(p AS VARCHAR) || '|' || s")}) AS BIGINT)
+       |    AS checksum
+       |FROM x GROUP BY 1""".stripMargin
+
+  /** Levenshtein verification replayed over the SAME banded candidate
+    * set (the minhash oracle rides along as a CTE, the clustersOracle
+    * pattern) — both engines' builtin levenshtein is the classic DP.
+    */
+  private lazy val editVerifiedOracle: String =
+    s"""WITH pairs AS (
+       |$minhashOracle
+       |),
+       |t AS (SELECT doc_id, text FROM documents)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       |  CAST(((greatest(strlen(a.text), strlen(b.text))
+       |      - levenshtein(a.text, b.text)) * 1000000)
+       |    // greatest(strlen(a.text), strlen(b.text)) AS BIGINT) AS sim_e6
+       |FROM pairs p
+       |JOIN t a ON a.doc_id = p.doc_a
+       |JOIN t b ON b.doc_id = p.doc_b
+       |WHERE greatest(strlen(a.text), strlen(b.text)) > 0
+       |  AND ((greatest(strlen(a.text), strlen(b.text))
+       |      - levenshtein(a.text, b.text)) * 1000000)
+       |    // greatest(strlen(a.text), strlen(b.text)) >= 800000""".stripMargin
 
   /** The TextTiling replay: same gap grid, same block slices (Spark's
     * slice(start, LENGTH) vs DuckDB's list_slice(begin, END) rendered
@@ -3511,6 +3570,8 @@ object TrainingQueries {
     "q_containment" -> containmentOracle,
     "q_lm_backoff" -> lmBackoffOracle,
     "q_text_tiles" -> textTilesOracle,
+    "q_sentences" -> sentencesOracle,
+    "q_edit_verified" -> editVerifiedOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
     "q_bitext_mine" -> bitextMineOracle,

@@ -624,6 +624,49 @@ object Dedup {
         "contain_a_e6", "contain_b_e6")
   }
 
+  /** Edit-distance verification of LSH candidate pairs — the
+    * second-stage filter after MinHash banding: true Levenshtein
+    * similarity `sim_e6 = 1e6 · (maxlen − lev) DIV maxlen` computed
+    * ONLY on the candidate pairs (never all-pairs — the candidates are
+    * band-bucket-bounded, so the O(len²) DP runs on a set the LSH
+    * already shrank). Spark's and DuckDB's builtin `levenshtein` are
+    * the same classic DP metric, so the verdicts are engine-exact.
+    * Returns (doc_a, doc_b, lev, sim_e6) for pairs at or past
+    * `minSimE6`.
+    */
+  def editVerifiedPairs(docs: DataFrame, candidates: DataFrame,
+                        minSimE6: Long, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(minSimE6 >= 0 && minSimE6 <= 1000000, s"bad minSimE6: $minSimE6")
+    val t = docs.select(col(idCol), col(textCol))
+    candidates
+      .join(t.select(col(idCol).as("doc_a"), col(textCol).as("__ta")),
+        "doc_a")
+      .join(t.select(col(idCol).as("doc_b"), col(textCol).as("__tb")),
+        "doc_b")
+      .withColumn("__maxlen",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .filter(col("__maxlen") > 0)
+      // PROVABLE pre-gate before any DP runs: lev >= |len_a - len_b|,
+      // so a pair whose length gap alone breaks the threshold is out —
+      // most dissimilar candidates never pay the quadratic distance
+      .filter(expr("((__maxlen - abs(length(__ta) - length(__tb)))" +
+        s" * 1000000) DIV __maxlen >= $minSimE6"))
+      // banded DP: any pair that can still pass needs
+      // lev <= (1 - minSim) * maxlen, so the threshold variant's -1
+      // (= "further than the band") only ever hits pairs the sim filter
+      // would drop anyway — lossless, and cost falls from len^2 to
+      // band * len
+      .withColumn("lev", expr(
+        s"levenshtein(__ta, __tb, cast(__maxlen * ${1000000 - minSimE6}" +
+          " DIV 1000000 + 2 as int))").cast("long"))
+      .filter(col("lev") >= 0)
+      .withColumn("sim_e6",
+        expr("((__maxlen - lev) * 1000000) DIV __maxlen"))
+      .filter(col("sim_e6") >= minSimE6)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("sim_e6"))
+  }
+
   /** Shared front half of the gram-set pair family: df-pruned distinct
     * gram hashes per doc, intersected per unordered pair through the
     * inverted-index equi-join, plus the per-doc pruned-gram sizes.

@@ -1270,6 +1270,33 @@ object TextAnalysis {
       .select(col(idCol), col("pr.pw").as("pw"), col("pr.sw").as("sw"))
   }
 
+  /** Rule-based sentence segmentation — the primitive sentence-level
+    * ops (TextTiling at sentence gaps, per-sentence dedup, SFT target
+    * splitting) assume: a sentence ends at `[.!?]` followed by a
+    * space. Implemented as one boundary-marking regexp_replace (the
+    * matched space becomes a U+0001 sentinel — RE2 engines have no
+    * lookbehind, so the sentinel form is what both engines can run
+    * identically) + one split. Returns per-doc sentence stats and a
+    * position-salted xor checksum over the sentences themselves.
+    */
+  def sentenceStats(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val sents = split(
+      regexp_replace(col(textCol), "([.!?]) ", "$1\u0001"), "\u0001")
+    docs
+      .select(col(idCol), posexplode(sents).as(Seq("__p", "__s")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(length(col("__s"))).cast("long").as("n_chars"),
+        max(length(col("__s"))).cast("long").as("max_len"),
+        expr("sum(cast(length(__s) as bigint) * 100) DIV count(1)")
+          .as("mean_len_e2"),
+        expr("bit_xor(cast(" +
+          "conv(substring(md5(cast(concat(__p, '|', __s) as binary)), 1, 15)" +
+          ", 16, 10) as bigint))").as("checksum"))
+  }
+
   /** TextTiling topic segmentation (Hearst 1997, "TextTiling:
     * Segmenting Text into Multi-paragraph Subtopic Passages") — the
     * SEMANTIC chunking step for RAG corpora, where fixed-size windows
