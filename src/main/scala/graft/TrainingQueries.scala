@@ -4345,10 +4345,12 @@ object TrainingQueries {
          |r AS (SELECT dims, vec_id, ROW_NUMBER() OVER (
          |    PARTITION BY dims ORDER BY c DESC, vec_id) AS rn FROM s),
          |t AS (SELECT dims, vec_id FROM r WHERE rn <= 10),
-         |f AS (SELECT vec_id FROM t WHERE dims = 64)
-         |SELECT CAST(t.dims AS BIGINT) AS dims,
-         |  CAST(count(*) AS BIGINT) AS overlap
-         |FROM t JOIN f USING (vec_id) GROUP BY 1""".stripMargin
+         |f AS (SELECT vec_id FROM t WHERE dims = 64),
+         |o AS (SELECT t.dims, count(*) AS ov
+         |  FROM t JOIN f USING (vec_id) GROUP BY 1)
+         |SELECT CAST(d.dims AS BIGINT) AS dims,
+         |  CAST(coalesce(o.ov, 0) AS BIGINT) AS overlap
+         |FROM d LEFT JOIN o ON d.dims = o.dims""".stripMargin
     },
 
     // heldout n-grams replayed width by width against the train set

@@ -190,7 +190,12 @@ object Mp4CodecKernels {
       var off = chunkOff(ci)
       var j = 0
       while (j < runSpc(run) && s < n) {
-        if (off < 0 || off + sizes(s) > p.length) return null
+        // overflow-safe bound: a hostile co64 offset near Long.MaxValue
+        // would wrap `off + sizes(s)` negative and slip past a
+        // `> p.length` check — compare against the subtracted bound
+        // instead (a size larger than the payload makes the RHS
+        // negative, which any off >= 0 correctly fails)
+        if (off < 0 || off > p.length.toLong - sizes(s)) return null
         offsets(s) = off
         off += sizes(s)
         s += 1; j += 1
@@ -199,22 +204,11 @@ object Mp4CodecKernels {
     }
     if (s != n) return null // tables disagree on the sample count
 
-    // ---- stts fallback duration when mdhd is absent/zero ----
-    if (durationMs < 0) {
-      val stts = findChild(stbl._1, stbl._2, "stts")
-      if (stts != null && stts._1 + 8 <= stts._2) {
-        val k = be32(p, stts._1 + 4)
-        if (k >= 0 && k <= MaxSamples && stts._1 + 8 + 8L * k <= stts._2) {
-          var total = 0L
-          var i = 0
-          while (i < k) {
-            total += be32u(p, stts._1 + 8 + 8 * i) * be32u(p, stts._1 + 8 + 8 * i + 4)
-            i += 1
-          }
-          durationMs = total // no timescale known: raw units
-        }
-      }
-    }
+    // NO stts fallback when mdhd is absent/zero: stts durations are in
+    // timescale units, and without a timescale there is no conversion
+    // to milliseconds — surfacing raw units in a field named
+    // duration_ms would silently change the column's unit with the
+    // container's shape. durationMs stays -1 (= unknown).
 
     // ---- stss: sync samples (1-based); absent = every sample syncs ----
     val stss = findChild(stbl._1, stbl._2, "stss")

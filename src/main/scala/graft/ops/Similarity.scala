@@ -178,7 +178,15 @@ object Similarity {
       signBucket(col(embCol), bits).as("__cell"))
     val c = tgt.select(col(tgtIdCol), quantize(col(embCol)).as("__te"),
       signBucket(col(embCol), bits).as("__cell"))
-    val cands = c.join(broadcast(q), Seq("__cell"))
+    // broadcast ONLY on the bits = 0 exact path: there __cell is a
+    // constant, so a shuffle join would funnel everything into one
+    // partition — and a caller choosing exact all-pairs search has
+    // already asserted the source side is small. On the bucketed scale
+    // path (bits > 0) a shuffle join on __cell keeps each executor's
+    // working set to its own cells instead of shipping the full source
+    // corpus to every executor.
+    val cands = (if (bits == 0) c.join(broadcast(q), Seq("__cell"))
+                 else c.join(q, Seq("__cell")))
       .select(col(srcIdCol), col(tgtIdCol),
         round(round(cosineQ(col("__te"), col("__se")), 6) * 1e6)
           .cast("long").as("cos_e6"))
@@ -258,8 +266,18 @@ object Similarity {
       .select(col("dims"), col(idCol))
     val full = tops.filter(col("dims") === fullDims)
       .select(col(idCol).as("__full_id"))
-    tops.join(broadcast(full), col(idCol) === col("__full_id"), "left_semi")
-      .groupBy(col("dims")).agg(count(lit(1)).as("overlap"))
+    val counts = tops
+      .join(broadcast(full), col(idCol) === col("__full_id"), "left_semi")
+      .groupBy(col("dims")).agg(count(lit(1)).as("__ov"))
+    // a width whose truncated top-k shares NOTHING with the full-width
+    // list emits no group above — left-join from the width list and
+    // coalesce to 0 so the documented `overlap ∈ [0, k]` contract holds
+    // for every requested width (a missing row would read as an absent
+    // width, not a zero-retention one)
+    embeddings.sparkSession
+      .createDataFrame(widths.map(d => Tuple1(d.toLong))).toDF("dims")
+      .join(counts, Seq("dims"), "left")
+      .select(col("dims"), coalesce(col("__ov"), lit(0L)).as("overlap"))
   }
 
   /** [[bitextMine]] with the blocking factor derived from the larger

@@ -2174,9 +2174,13 @@ object TextAnalysis {
                   idCol: String = "doc_id"): DataFrame = {
     require(nBuckets >= 2, s"need >= 2 buckets: $nBuckets")
     val n1 = docs.agg((max(col(idCol)) + 1).as("__n"))
+    // integral `div`, not double `/`-then-cast: the oracle buckets with
+    // integer `//`, and double division loses exactness for ids above
+    // ~2^53/nBuckets (hash-derived Long ids), silently diverging
     val bucketed = docs.crossJoin(broadcast(n1))
-      .select(col(idCol), col(textCol),
-        (col(idCol) * nBuckets / col("__n")).cast("long").as("__b"))
+      .withColumn("__bn", col(idCol).cast("long") * nBuckets)
+      .withColumn("__b", expr("__bn div __n"))
+      .select(col(idCol), col(textCol), col("__b"))
     val perBucketTokens = bucketed
       .groupBy(col("__b"))
       .agg(sum(size(toks(col(textCol)))).cast("long").as("__toks"))

@@ -114,6 +114,38 @@ class Mp4CodecSpec extends SparkSpec {
     assert(Mp4CodecKernels.layout(toEof) != null)
   }
 
+  test("hostile co64 offset near Long.MaxValue must not wrap the bound") {
+    // `off + size` on a near-MaxValue co64 entry wraps negative, which
+    // a naive `> p.length` check would PASS — the parser must reject
+    // it via the overflow-safe subtracted bound, never reach the
+    // arraycopy/digest with a wild offset
+    val wide = Mp4CodecKernels.mp4EncodeOpt(mkSamples(7), 1000, 100, 2,
+      useCo64 = true, mdhdV1 = true)
+    for (huge <- Seq(Long.MaxValue, Long.MaxValue - 2, Long.MinValue)) {
+      val c = wide.clone()
+      val co = tagAt(c, "co64")
+      assert(co > 0)
+      java.nio.ByteBuffer.wrap(c, co + 16, 8).putLong(huge)
+      assert(Mp4CodecKernels.layout(c) == null)
+      assert(Mp4CodecKernels.mp4DemuxStats(c)(0) === 0L)
+      assert(Mp4CodecKernels.mp4SyncSamples(c) == null)
+    }
+  }
+
+  test("mdhd zero timescale: duration stays -1, never raw stts units") {
+    // without a timescale there is no ms conversion — the parser must
+    // surface "unknown" (-1), not stts duration units in a _ms field
+    val p = Mp4CodecKernels.mp4Encode(mkSamples(5), 1000, 100, 2).clone()
+    val mdhd = tagAt(p, "mdhd")
+    assert(mdhd > 0)
+    java.nio.ByteBuffer.wrap(p, mdhd + 8 + 12, 4).putInt(0) // v0 timescale
+    val l = Mp4CodecKernels.layout(p)
+    assert(l != null && l.nSamples === 5)
+    assert(l.durationMs === -1L)
+    assert(Mp4CodecKernels.mp4DemuxStats(p)(0) === 1L)
+    assert(Mp4CodecKernels.mp4DemuxStats(p)(3) === -1L)
+  }
+
   test("hostile inputs never throw: truncation, bad tables, junk") {
     val good = Mp4CodecKernels.mp4Encode(mkSamples(9), 12800, 512, 3)
     // every truncation point of a valid file
