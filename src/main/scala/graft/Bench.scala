@@ -26,6 +26,19 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Size shuffles to the DATA, not the core count: the gram-explode
+      // family funnels a ~4·|words| stream through distinct/aggregate,
+      // and at a fixed 32 partitions each reduce task holds 1/32 of the
+      // gram stream in its hash map — under box memory pressure that
+      // spills and the family degrades 3-7× (driver's BENCH_r13 vs the
+      // committed artifact). With a high AQE initial partition count
+      // the big shuffles get data-proportional task counts (smaller
+      // per-task working sets, graceful under pressure) while AQE
+      // coalesces every small shuffle back down, so the rest of the
+      // board pays nothing. This is the in-session analogue of the
+      // SPARK_GRAFT_SHUFFLE=256 fix from the r12 deep probe.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MAX", "256"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -12,6 +12,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // data-sized shuffles (see Bench.scala): AQE starts wide and
+      // coalesces, so the gram-explode aggregates stay spill-free at
+      // sf0.1 even when the box is loaded
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MAX", "256"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

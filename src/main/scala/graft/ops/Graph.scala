@@ -36,6 +36,29 @@ object Graph {
                damp: Int = 85): DataFrame = {
     require(damp >= 0 && damp <= 100, s"damp must be a percentage: $damp")
     val sc = edges.sparkSession.sparkContext
+    // Pin the loop's shuffles to the core count: the per-round tables
+    // are |V| rows, and under a wide-start AQE regime (a high
+    // coalescePartitions.initialPartitionNum, the gram-family
+    // robustness setting) every round's joins, aggregates and the
+    // localCheckpoint would otherwise carry hundreds of near-empty
+    // buckets × iters × stages — measured 2× on the whole query. The
+    // loop materializes eagerly (next.count per round), so the pin
+    // covers exactly the rounds and is restored before the caller
+    // evaluates the returned plan.
+    val conf = edges.sparkSession.conf
+    val ipnKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevIpn = conf.getOption(ipnKey)
+    conf.set(ipnKey, sc.defaultParallelism.toString)
+    try pageRankLoop(edges, iters, damp)
+    finally prevIpn match {
+      case Some(v) => conf.set(ipnKey, v)
+      case None => conf.unset(ipnKey)
+    }
+  }
+
+  private def pageRankLoop(edges: DataFrame, iters: Int,
+                           damp: Int): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v"))).distinct().cache()
     val n = nodes.count()

@@ -1262,7 +1262,12 @@ object TextAnalysis {
   private def bigramHashInst(docs: DataFrame, textCol: String,
                              idCol: String): DataFrame = {
     val hs = transform(toks(col(textCol)), w => Dedup.h60(w))
-    docs.select(col(idCol), hs.as("hs"))
+    // single-split fan-out guard: the bigram explode emits ~|tokens|
+    // rows per doc — spread the raw (id, text) rows before the fan-out
+    // so a single-row-group source doesn't serialize it on one task
+    docs.select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), hs.as("hs"))
       .select(col(idCol), explode(zip_with(
         slice(col("hs"), lit(1), greatest(size(col("hs")) - 1, lit(0))),
         slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
@@ -1284,6 +1289,11 @@ object TextAnalysis {
     val sents = split(
       regexp_replace(col(textCol), "([.!?]) ", "$1\u0001"), "\u0001")
     docs
+      // single-split fan-out guard: the posexplode emits |sentences|
+      // rows per doc off the source scan -- spread the raw docs first so
+      // a single-row-group file doesn't serialize the whole fan-out
+      .select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), posexplode(sents).as(Seq("__p", "__s")))
       .groupBy(col(idCol))
       .agg(
@@ -1320,7 +1330,14 @@ object TextAnalysis {
                 depthMinE6: Long = 150000L, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     require(blockK >= 1 && step >= 1, s"bad params: k=$blockK step=$step")
+    // single-split fan-out guard (the ngramJaccardPairs convention): the
+    // gap explode emits ~(|tokens|/step)·2k rows per doc straight off
+    // the source scan, so a single-row-group file would run the whole
+    // fan-out on one task — shuffle the (id, text) rows, which are a
+    // small fraction of the gap-stream bytes they parallelize, first
     val base = docs
+      .select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), toks(col(textCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > step) // at least one gap with a non-empty right
@@ -1392,8 +1409,16 @@ object TextAnalysis {
   def lmBackoff(train: DataFrame, score: DataFrame,
                 textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    def hashes(docs: DataFrame) = docs.select(col(idCol),
-      transform(toks(col(textCol)), w => Dedup.h60(w)).as("hs"))
+    // single-split fan-out guard: the trigram explode emits ~|tokens|
+    // rows per doc (each carrying 3 hashes) straight off the source
+    // scan — spread the raw (id, text) rows first, and the identical
+    // repartition subtree under every consumer (c3t/c2t/c1t/byDoc) is
+    // built once and REUSED (the prunedGramIntersections convention)
+    def hashes(docs: DataFrame) = docs
+      .select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        transform(toks(col(textCol)), w => Dedup.h60(w)).as("hs"))
     def triInst(docs: DataFrame) = {
       val n = size(col("hs"))
       hashes(docs).select(col(idCol), explode(

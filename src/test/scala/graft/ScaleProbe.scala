@@ -87,6 +87,11 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
+      // data-sized shuffles (see Bench.scala): the deep decades probe
+      // under the SAME adaptive wide-start/coalesce regime the bench
+      // runs, so probe exponents measure the shipped configuration
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MAX", "256"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
