@@ -97,7 +97,23 @@ object RecordBatchCodec {
     val batchEnd = start + 12 + batchLength
     val payload = new Array[Byte](batchEnd - buf.position())
     buf.get(payload)
-    val recordsBytes = decompress(attributes & 0x07, payload)
+    // hostile compressed payloads (reference fuzz_deflated_batch class):
+    // a CRC-valid frame can still carry (a) garbage the codec stream
+    // rejects with codec-specific throwables — snappy-java's failure
+    // type is even a java.lang.Error — or (b) a decompression bomb
+    // whose tiny payload inflates without bound. Normalize every codec
+    // failure to the typed frame error and cap the inflated size, so
+    // decode's contract is "IllegalArgumentException or a Batch",
+    // never an engine-specific throwable or an OOM.
+    val recordsBytes =
+      try decompressBounded(attributes & 0x07, payload, MaxInflatedBytes)
+      catch {
+        case e: IllegalArgumentException => throw e
+        case e: UnsupportedOperationException => throw e
+        case e: Throwable if !e.isInstanceOf[VirtualMachineError] =>
+          throw new IllegalArgumentException(
+            s"corrupt compressed payload: ${e.getClass.getSimpleName}")
+      }
     val rbuf = ByteBuffer.wrap(recordsBytes).order(ByteOrder.BIG_ENDIAN)
     val records = (0 until recordCount).map(_ => readRecord(rbuf))
     // <= not ==: compaction removes records from a batch but preserves
@@ -227,7 +243,19 @@ object RecordBatchCodec {
       bos.toByteArray
   }
 
-  def decompress(codec: Int, a: Array[Byte]): Array[Byte] = codec match {
+  def decompress(codec: Int, a: Array[Byte]): Array[Byte] =
+    decompressBounded(codec, a, Int.MaxValue)
+
+  /** Decompression-bomb guard for the batch decode path: Kafka bounds
+    * every batch by message.max.bytes BEFORE compression, so a legit
+    * frame can never inflate past the broker's frame ceiling by much —
+    * a payload that exceeds `maxOut` is hostile by construction and
+    * fails BEFORE the next read would allocate past the cap.
+    */
+  val MaxInflatedBytes: Int = 512 * 1024 * 1024
+
+  private def decompressBounded(codec: Int, a: Array[Byte],
+                                maxOut: Int): Array[Byte] = codec match {
     case CodecNone => a
     case _ =>
       val bis = new java.io.ByteArrayInputStream(a)
@@ -238,6 +266,18 @@ object RecordBatchCodec {
         case CodecZstd => new com.github.luben.zstd.ZstdInputStream(bis)
         case c => throw new UnsupportedOperationException(s"codec $c unknown")
       }
-      try in.readAllBytes() finally in.close()
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size().toLong + n > maxOut)
+            throw new IllegalArgumentException(
+              s"decompressed payload exceeds $maxOut bytes")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
   }
 }
