@@ -257,6 +257,59 @@ object TrainingQueries {
     Similarity.annIvfPqRerank(embs(s, dir), queryId = 0L, k = 10,
       shortlist = 40, nCells = 4, nProbe = 2, m = 4, ksub = 8, iters = 2)
 
+  /** IVF-PQ top-10 served from the AT-REST index
+    * ([[graft.ops.Similarity.ivfPqIndexWrite]] →
+    * [[graft.ops.Similarity.ivfPqTopKOverIndex]]): the corpus is
+    * touched only to build the index (once per testdata fingerprint —
+    * reused across runs) and to fetch the query's own vector; the
+    * search itself reads the stats-pruned coded table + the
+    * codebooks. Same params as q_ivfpq_adc, and row-identical to it by
+    * construction — the oracle replays the same trajectory.
+    */
+  def qIvfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    val index = ivfPqIndexFor(s, dir)
+    val q = embs(s, dir).filter(col("vec_id") === 0L)
+      .select(Similarity.quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0)
+    Similarity.ivfPqTopKOverIndex(s, index, q, k = 10, nProbe = 2,
+      excludeId = 0L)
+  }
+
+  /** Build-or-reuse the at-rest IVF-PQ index for `dir`'s embeddings,
+    * keyed by a fingerprint of the source parquet files (name, size,
+    * mtime) so a regenerated testdata set can never serve a stale
+    * index. The build runs at most once per fingerprint per JVM (and
+    * the TxLog snapshot check skips it across JVMs).
+    */
+  private val ivfPqBuildLock = new Object
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val fp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // the table may be one parquet file or a directory of parts
+      val parts =
+        if (java.nio.file.Files.isDirectory(src))
+          scala.util.Using.resource(java.nio.file.Files.list(src))(
+            _.iterator().asScala.toSeq.sortBy(_.toString))
+        else Seq(src)
+      parts.foreach { p =>
+        md.update((p.toString + ":" +
+          java.nio.file.Files.size(p) + ":" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis + "\n")
+          .getBytes("UTF-8"))
+      }
+      md.digest().take(6).map(b => f"$b%02x").mkString
+    }
+    val root = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-v1-$fp"
+    ivfPqBuildLock.synchronized {
+      if (graft.lake.TxLog.currentSnapshot(s"$root/coded").isEmpty)
+        Similarity.ivfPqIndexWrite(embs(s, dir), root,
+          nCells = 4, m = 4, ksub = 8, iters = 2)
+    }
+    root
+  }
+
   /** Per-document statistics. */
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(docs(s, dir))
@@ -1690,6 +1743,7 @@ object TrainingQueries {
     "q_kmeans_assign" -> (qKmeansAssign _),
     "q_pq_adc" -> (qPqAdc _),
     "q_ivfpq_adc" -> (qIvfPqAdc _),
+    "q_ivfpq_index" -> (qIvfPqIndex _),
     "q_ivfpq_rerank" -> (qIvfPqRerank _),
     "q_semdedup" -> (qSemDedup _),
     "q_cluster_balance" -> (qClusterBalance _),
@@ -3884,6 +3938,14 @@ object TrainingQueries {
     },
 
     "q_ivfpq_adc" ->
+      s"""${ivfPqCtes()}
+         |SELECT vec_id, cell, adc FROM adc
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+
+    // the at-rest-index serve returns exactly the train-and-search
+    // rows (the index persists the same trajectory's artifacts), so
+    // the oracle replays the same CTE chain
+    "q_ivfpq_index" ->
       s"""${ivfPqCtes()}
          |SELECT vec_id, cell, adc FROM adc
          |ORDER BY adc, vec_id LIMIT 10""".stripMargin,

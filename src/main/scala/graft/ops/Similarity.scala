@@ -912,29 +912,43 @@ object Similarity {
                nCells: Int = 4, nProbe: Int = 2, m: Int = 4, ksub: Int = 8,
                iters: Int = 2, dims: Int = 64, idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
+    val model = ivfPqTrain(embeddings, nCells, m, ksub, iters, dims,
+      idCol, embCol)
+    val q = quantizedOrFail(embeddings, idCol, embCol)
+      .filter(col(idCol) === queryId).select(col("qe"))
+      .head().getSeq[Long](0)
+    ivfPqSearchEncoded(ivfPqEncode(embeddings, model, idCol, embCol),
+      model, q, k, nProbe, excludeId = queryId, idCol = idCol)
+  }
+
+  /** A trained IVF-PQ model: the coarse quantizer's centroids plus the
+    * m residual codebooks — everything a serving path needs to encode
+    * new vectors or search, small enough to live on the driver
+    * (nCells + m·ksub rows of `dims`/`sub` longs).
+    */
+  final case class IvfPqModel(coarse: Seq[(Long, IndexedSeq[Long])],
+                              books: IndexedSeq[Seq[(Long, IndexedSeq[Long])]],
+                              dims: Int) {
+    require(books.nonEmpty && dims % books.length == 0,
+      s"dims=$dims must split into m=${books.length} equal subspaces")
+    def m: Int = books.length
+    def sub: Int = dims / books.length
+  }
+
+  /** Train the IVF-PQ structures (the front half of [[annIvfPq]],
+    * trajectory-identical): deterministic-Lloyd coarse cells, then the
+    * m residual codebooks in lockstep.
+    */
+  def ivfPqTrain(embeddings: DataFrame, nCells: Int, m: Int, ksub: Int,
+                 iters: Int, dims: Int = 64, idCol: String = "vec_id",
+                 embCol: String = "embedding"): IvfPqModel = {
     require(m > 0 && dims % m == 0,
       s"dims=$dims must split into m=$m equal subspaces")
-    require(nCells > 0 && nProbe > 0, s"bad ivf params: $nCells/$nProbe")
+    require(nCells > 0, s"bad ivf params: nCells=$nCells")
     val sub = dims / m
     val v = quantizedOrFail(embeddings, idCol, embCol)
     val coarse = lloydCentroids(v, nCells, iters, dims, idCol)
-    val centMap = coarse.toMap
-
-    // residual = qe − centroid(cid), branch-selected per row; this is
-    // the train/encode pass (once per corpus), so the interpreted
-    // zip_with is off the per-candidate hot path by construction
-    def residualOf(qe: Column, cid: Column): Column =
-      coarse.tail.foldLeft(
-        zip_with(qe, lit(coarse.head._2.toArray), (a, b) => a - b)) {
-        case (acc, (c, cen)) =>
-          when(cid === c, zip_with(qe, lit(cen.toArray), (a, b) => a - b))
-            .otherwise(acc)
-      }
-    val assigned = v.withColumn("cell",
-        graft.functions.VectorExpressions.nearestCentroid(col("qe"), coarse)
-          .getField("cid"))
-      .withColumn("resid", residualOf(col("qe"), col("cell")))
-
+    val assigned = ivfPqAssigned(v, coarse)
     // PQ books trained on the residual space — all m in lockstep (the
     // tagged cache also means the coarse-assign + residual chain runs
     // once, not once per book job)
@@ -942,40 +956,180 @@ object Similarity {
       assigned.select(col(idCol), slice(col("resid"), i * sub + 1, sub)
         .as("qe"))
     }.toIndexedSeq, ksub, iters, sub, idCol)
+    IvfPqModel(coarse, books, dims)
+  }
 
-    val q = v.filter(col(idCol) === queryId).select(col("qe"))
-      .head().getSeq[Long](0)
-    require(q.length == dims, s"query vector has ${q.length} dims, want $dims")
+  /** (idCol, qe, cell, resid): coarse assignment plus the residual —
+    * residual = qe − centroid(cell), branch-selected per row; this is
+    * the train/encode pass (once per corpus), so the interpreted
+    * zip_with is off the per-candidate hot path by construction.
+    */
+  private def ivfPqAssigned(v: DataFrame,
+                            coarse: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
+    def residualOf(qe: Column, cid: Column): Column =
+      coarse.tail.foldLeft(
+        zip_with(qe, lit(coarse.head._2.toArray), (a, b) => a - b)) {
+        case (acc, (c, cen)) =>
+          when(cid === c, zip_with(qe, lit(cen.toArray), (a, b) => a - b))
+            .otherwise(acc)
+      }
+    v.withColumn("cell",
+        graft.functions.VectorExpressions.nearestCentroid(col("qe"), coarse)
+          .getField("cid"))
+      .withColumn("resid", residualOf(col("qe"), col("cell")))
+  }
+
+  /** Encode each vector as (idCol, cell, code) under a FROZEN model —
+    * a shuffle-free narrow map (centroids and books ride inside the
+    * argmin kernels), the pass both the at-rest index build and its
+    * incremental maintenance run.
+    */
+  def ivfPqEncode(embeddings: DataFrame, model: IvfPqModel,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val assigned = ivfPqAssigned(
+      quantizedOrFail(embeddings, idCol, embCol), model.coarse)
+    assigned.select(col(idCol), col("cell"),
+      codesColumn(col("resid"), model.books, model.sub).as("code"))
+  }
+
+  /** Top-k ADC search over already-encoded (idCol, cell, code) rows —
+    * the shared back half of [[annIvfPq]] and [[ivfPqTopKOverIndex]],
+    * so the tie-break and table-indexing rules cannot drift between
+    * the train-and-search and the at-rest-index paths.
+    */
+  private def ivfPqSearchEncoded(encoded: DataFrame, model: IvfPqModel,
+                                 q: Seq[Long], k: Int, nProbe: Int,
+                                 excludeId: Long,
+                                 idCol: String): DataFrame = {
+    require(nProbe > 0, s"bad ivf params: nProbe=$nProbe")
+    require(q.length == model.dims,
+      s"query vector has ${q.length} dims, want ${model.dims}")
+    val centMap = model.coarse.toMap
     // probe the nProbe nearest cells by exact centroid distance
-    val probed = coarse.map { case (c, cen) =>
+    val probed = model.coarse.map { case (c, cen) =>
       var d = 0L
       var j = 0
-      while (j < dims) {
+      while (j < model.dims) {
         val diff = q(j) - cen(j); d = Math.addExact(d,
           Math.multiplyExact(diff, diff)); j += 1
       }
       (d, c)
     }.sortBy(identity).take(nProbe).map(_._2)
-
     // one ADC table set per probed cell, from the QUERY's residual in
     // it — the same shared table/lookup/encode helpers as PQ-flat, so
     // the tie-break and indexing rules cannot drift between the paths
     def adcFor(cell: Long): Column = {
       val cen = centMap(cell)
-      adcColumn(adcTables(books,
-        IndexedSeq.tabulate(dims)(j => q(j) - cen(j)), sub))
+      adcColumn(adcTables(model.books,
+        IndexedSeq.tabulate(model.dims)(j => q(j) - cen(j)), model.sub))
     }
-    val encoded = assigned.select(col(idCol), col("cell"),
-      codesColumn(col("resid"), books, sub).as("code"))
     val adc = probed.tail.foldLeft(adcFor(probed.head)) { (acc, c) =>
       when(col("cell") === c, adcFor(c)).otherwise(acc)
     }
     encoded
-      .filter(col(idCol) =!= queryId && col("cell").isin(probed: _*))
+      .filter(col(idCol) =!= excludeId && col("cell").isin(probed: _*))
       .withColumn("adc", adc)
       .select(col(idCol), col("cell"), col("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(k)
+  }
+
+  /** Persist a trained IVF-PQ index at rest as TxLog tables (the
+    * bm25IndexWrite pattern, lifted to the ACID log so the CDC
+    * maintainer can update it):
+    *
+    *   `index/codebooks`: (kind, book, cid, vec) — the model, a
+    *     (nCells + m·ksub)-row table read back in one bounded collect.
+    *   `index/coded`: (idCol, cell, code) — the corpus's m-byte-scale
+    *     codes, range-clustered by cell at write so the manifest's
+    *     per-file min/max on `cell` prunes a probe's scan to the few
+    *     files whose range overlaps its cells ([[graft.lake.TxLog]]
+    *     footer-stats skipping — at 100 TB the probe opens nProbe
+    *     cells' files, never the corpus).
+    *
+    * Serving then touches codes only — ZERO corpus re-encoding per
+    * query — and new/changed/deleted vectors ride the CDC feed through
+    * [[graft.streaming.Streaming.incrementalIvfPqIndex]] with the
+    * codebooks FROZEN (the standard ANN-serving split: lists update
+    * online, codebooks retrain offline).
+    */
+  def ivfPqIndexWrite(embeddings: DataFrame, index: String,
+                      nCells: Int = 4, m: Int = 4, ksub: Int = 8,
+                      iters: Int = 2, dims: Int = 64,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val model = ivfPqTrain(embeddings, nCells, m, ksub, iters, dims,
+      idCol, embCol)
+    val rows =
+      model.coarse.map { case (cid, cen) => ("coarse", -1L, cid, cen.toArray) } ++
+        model.books.zipWithIndex.flatMap { case (book, b) =>
+          book.map { case (cid, cen) => ("book", b.toLong, cid, cen.toArray) }
+        }
+    graft.lake.TxLog.append(
+      rows.toDF("kind", "book", "cid", "vec").coalesce(1),
+      s"$index/codebooks")
+    graft.lake.TxLog.append(
+      ivfPqEncode(embeddings, model, idCol, embCol)
+        .repartitionByRange(col("cell"), col(idCol)),
+      s"$index/coded")
+  }
+
+  /** Read the model back from `index/codebooks` — one bounded collect
+    * (nCells + m·ksub rows); dims/m/sub are recovered from the stored
+    * vector widths, so a reader needs no out-of-band parameters.
+    */
+  def ivfPqModelRead(spark: org.apache.spark.sql.SparkSession,
+                     index: String): IvfPqModel = {
+    val rows = graft.lake.TxLog.read(spark, s"$index/codebooks").collect()
+    val coarse = rows.filter(_.getString(0) == "coarse")
+      .map(r => r.getLong(2) -> r.getSeq[Long](3).toIndexedSeq)
+      .sortBy(_._1).toSeq
+    require(coarse.nonEmpty, s"$index/codebooks has no coarse centroids")
+    val books = rows.filter(_.getString(0) == "book")
+      .groupBy(_.getLong(1)).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.map(r => r.getLong(2) -> r.getSeq[Long](3).toIndexedSeq)
+          .sortBy(_._1).toSeq
+      }
+    IvfPqModel(coarse, books, coarse.head._2.length)
+  }
+
+  /** Top-k ADC search served ENTIRELY from the at-rest index: model
+    * from `index/codebooks` (bounded collect), candidates from
+    * `index/coded` read through the stats-pruned range scan — one
+    * [[graft.lake.TxLog.readRange]] per probed cell, so only files
+    * whose cell range overlaps a probe are opened. The corpus table is
+    * never touched and nothing re-encodes. Row-identical to
+    * [[annIvfPq]] over the same corpus/params when `q` is the stored
+    * vector of `excludeId` (the spec pins that equality).
+    */
+  def ivfPqTopKOverIndex(spark: org.apache.spark.sql.SparkSession,
+                         index: String, q: Seq[Long], k: Int,
+                         nProbe: Int = 2, excludeId: Long = Long.MinValue,
+                         idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && nProbe > 0, s"bad params: k=$k nProbe=$nProbe")
+    val model = ivfPqModelRead(spark, index)
+    // the probe set is decided driver-side from the model alone; each
+    // probed cell becomes one stats-pruned range read of the coded table
+    val probedCells = {
+      val dists = model.coarse.map { case (c, cen) =>
+        var d = 0L
+        var j = 0
+        while (j < model.dims) {
+          val diff = q(j) - cen(j); d = Math.addExact(d,
+            Math.multiplyExact(diff, diff)); j += 1
+        }
+        (d, c)
+      }
+      dists.sortBy(identity).take(nProbe).map(_._2)
+    }
+    val coded = probedCells.map(c =>
+        graft.lake.TxLog.readRange(spark, s"$index/coded", "cell", c, c))
+      .reduce(_ unionByName _)
+    ivfPqSearchEncoded(coded, model, q, k, nProbe, excludeId, idCol)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -53,11 +53,33 @@ import graft.lake.TxLog
 object TxLogCdc {
   val Format = "txlog-cdc"
 
+  /** Deep nullability widening: the declared stream schema must accept
+    * every version's batch, and commits legitimately disagree on
+    * NULLABILITY inside nested types (an encoder-written append has
+    * `array<float> containsNull=false`, a DML rewrite read back through
+    * parquet has `true`). A projection cast to the NARROW variant is
+    * unresolvable (cannot cast away containsNull), so the declared
+    * schema takes the wide form — every variant widens into it.
+    */
+  private def widenNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = widenNullability(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(
+        widenNullability(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(m.keyType,
+        widenNullability(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private[streaming] def changeSchema(table: String): StructType = {
     val snap = TxLog.currentSnapshot(table).getOrElse(
       throw new IllegalArgumentException(
         s"$table has no _graft_log — the CDC source reads TxLog tables"))
-    val base = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val base = widenNullability(DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]).asInstanceOf[StructType]
     require(!base.fieldNames.contains("_change_type") &&
       !base.fieldNames.contains("_commit_version"),
       s"$table schema collides with the CDC columns _change_type/_commit_version")

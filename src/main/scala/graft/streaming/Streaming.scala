@@ -707,6 +707,72 @@ object Streaming {
     } finally { r.unpersist(); () }
   }
 
+  /** Exactly-once INCREMENTAL IVF-PQ CODED INDEX over an embedding
+    * table's CDC feed — the ANN-serving twin of [[incrementalLshIndex]]:
+    * the codebooks written by [[graft.ops.Similarity.ivfPqIndexWrite]]
+    * stay FROZEN (read once at stream start — the standard serving
+    * split: lists update online, codebooks retrain offline), and each
+    * batch re-encodes ONLY its touched vectors under them, merging
+    * (idCol, cell, code) rows into `index/coded` with last-event-wins
+    * and the (appId, batchId) fence. `index/coded` thus always equals
+    * the frozen-model encode of the live source table (the spec pins
+    * that equality across insert/update/delete), and
+    * [[graft.ops.Similarity.ivfPqTopKOverIndex]] keeps serving with
+    * zero corpus re-encoding while the corpus churns. Cost per batch ∝
+    * vectors the batch touched. SINGLE MAINTAINER, like every
+    * incremental view here.
+    */
+  def incrementalIvfPqIndex(spark: SparkSession, source: String,
+                            index: String, appId: String, checkpoint: String,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding",
+                            maxVersionsPerBatch: Int = 64,
+                            trigger: Trigger =
+                              Trigger.ProcessingTime("1 second"))
+      : StreamingQuery = {
+    val model = graft.ops.Similarity.ivfPqModelRead(spark, index)
+    spark.readStream.format("txlog-cdc")
+      .option("table", source)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        applyIvfPqDelta(batch, index, model, idCol, embCol, appId, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[incrementalIvfPqIndex]]. */
+  private[graft] def applyIvfPqDelta(feed: Dataset[org.apache.spark.sql.Row],
+                                     index: String,
+                                     model: graft.ops.Similarity.IvfPqModel,
+                                     idCol: String, embCol: String,
+                                     appId: String, batchId: Long): Unit = {
+    // the coded table holds ONE row per vec id, so last-event-wins
+    // resolves per id directly (no surrogate needed — unlike the band
+    // indexes, an update cannot strand rows under a different key);
+    // the winning event's embedding rides inside the max struct
+    val last = feed.select(col(idCol),
+        struct(col("_commit_version"),
+          (col("_change_type") === "insert").cast("int").as("__ins"),
+          col(embCol).as("__e")).as("__s"))
+      .groupBy(col(idCol)).agg(max(col("__s")).as("last"))
+      .select(col(idCol), col("last.__e").as(embCol),
+        (col("last.__ins") === 0).as("__del"))
+    val coded = graft.ops.Similarity.ivfPqEncode(
+        last.filter(!col("__del")), model, idCol, embCol)
+      .withColumn("__del", lit(false))
+    val dels = last.filter(col("__del"))
+      .select(col(idCol), lit(null).cast("long").as("cell"),
+        lit(null).cast("array<bigint>").as("code"), lit(true).as("__del"))
+    commitIndexDelta(coded.unionByName(dels), index + "/coded",
+      Seq(idCol), appId, batchId)
+  }
+
   /** Exactly-once INCREMENTAL PERCEPTUAL-HASH INDEX over a media
     * table's CDC feed — the media twin of [[incrementalLshIndex]]: new
     * blobs hash and band per batch, the index table keeps

@@ -419,4 +419,57 @@ class CdcSourceSpec extends SparkSpec {
     assert(got === before,
       s"restart must deliver ONLY the new commit (no snapshot replay): $got")
   }
+
+  test("incremental IVF-PQ coded index equals the frozen-model encode " +
+    "across insert/update/delete") {
+    import graft.ops.Similarity
+    val source = newTable()
+    val index = newTable()
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(4)(i => ((seed * 31 + i * 7) % 11) / 10.0f)
+    TxLog.append(Seq((0L, vec(1)), (1L, vec(2)), (2L, vec(3)))
+      .toDF("vec_id", "embedding").coalesce(1), source) // v0
+    Similarity.ivfPqIndexWrite(TxLog.read(spark, source), index,
+      nCells = 2, m = 2, ksub = 2, iters = 1, dims = 4)
+    val model = Similarity.ivfPqModelRead(spark, index)
+    def scratch(): Set[(Long, Long, Seq[Long])] =
+      Similarity.ivfPqEncode(TxLog.read(spark, source), model)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toSeq)).toSet
+    def got(): Set[(Long, Long, Seq[Long])] =
+      TxLog.read(spark, s"$index/coded")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toSeq)).toSet
+    assert(got() === scratch(), "static build must equal the encode")
+
+    val q = graft.streaming.Streaming.incrementalIvfPqIndex(
+      spark, source, index, "ivfpq-spec", tmp())
+    try {
+      q.processAllAvailable() // replays the v0 snapshot as a no-op merge
+      assert(got() === scratch(), "after initial snapshot")
+
+      TxLog.append(Seq((3L, vec(4)), (4L, vec(7)))
+        .toDF("vec_id", "embedding").coalesce(1), source) // v1
+      q.processAllAvailable()
+      assert(got() === scratch(), "after incremental insert")
+      assert(got().exists(_._1 == 3L), "new vector must be coded")
+
+      TxLog.update(spark, source, col("vec_id") === 1L,
+        Map("embedding" -> typedLit(vec(9)))) // v2
+      TxLog.delete(spark, source, col("vec_id") === 2L) // v3
+      q.processAllAvailable()
+      assert(got() === scratch(), "after update + delete")
+      assert(!got().exists(_._1 == 2L), "deleted vector must leave the index")
+
+      // the index still SERVES correctly after churn: top-k over the
+      // maintained coded table equals a fresh encode-and-search
+      val qe = Similarity.quantize(typedLit(vec(1)))
+      val probe = TxLog.read(spark, source).filter(col("vec_id") === 0L)
+        .select(qe.as("qe")).head().getSeq[Long](0)
+      val served = Similarity.ivfPqTopKOverIndex(spark, index, probe,
+        k = 3, nProbe = 2, excludeId = 0L)
+        .collect().map(_.getLong(0)).toSeq
+      assert(served.nonEmpty && !served.contains(0L))
+    } finally q.stop()
+  }
 }

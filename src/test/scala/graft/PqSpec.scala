@@ -141,4 +141,32 @@ class PqSpec extends SparkSpec {
       Similarity.pqCodebooks(embs, m = 5, ksub = 8, iters = 1)
     }
   }
+
+  test("at-rest index: model round-trips; index serve is row-identical " +
+    "to the train-and-search path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+      .toString
+    Similarity.ivfPqIndexWrite(embs, dir, nCells = 4, m = 4, ksub = 8,
+      iters = 2)
+    val model = Similarity.ivfPqModelRead(spark, dir)
+    assert(model.dims === Dims && model.m === 4 && model.sub === Dims / 4)
+    assert(model.coarse.nonEmpty && model.coarse.size <= 4)
+    assert(model.books.forall(b => b.nonEmpty && b.size <= 8))
+    // the stored model IS the trained model, bit for bit
+    val trained = Similarity.ivfPqTrain(embs, nCells = 4, m = 4, ksub = 8,
+      iters = 2)
+    assert(model.coarse === trained.coarse)
+    assert(model.books === trained.books)
+
+    val direct = Similarity.annIvfPq(embs, queryId = 0L, k = 10,
+      nCells = 4, nProbe = 2, m = 4, ksub = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val q = embs.filter(col("vec_id") === 0L)
+      .select(Similarity.quantize(col("embedding"))).as[Seq[Long]].head()
+    val served = Similarity.ivfPqTopKOverIndex(spark, dir, q, k = 10,
+      nProbe = 2, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === direct,
+      "at-rest serve must reproduce the direct search row for row")
+  }
 }
