@@ -1321,12 +1321,42 @@ object TextAnalysis {
     * rounding so both engines agree bit for bit). Returns one row per
     * gap: (idCol, gap_pos, cos_e6, depth_e6, boundary).
     *
-    * Scale shape: one gap explode (~|tokens|/step rows per doc), one
-    * (doc, gap, side, word) micro-group count, the left×right word
-    * join + two norm aggregates keyed by (doc, gap), and ONE window
-    * per doc over its gap sequence — never a corpus-wide sort.
+    * Scale shape: a SHUFFLE-FREE narrow map — every gap's cosine and
+    * its valley depth read only the doc's own token array, so the
+    * whole computation runs inside one per-doc native kernel
+    * ([[graft.functions.TextTileKernels]]) followed by one explode of
+    * ~(|tokens|/step) 4-long structs. The earlier relational form
+    * (kept below as [[textTilesRelational]], the spec's bit-equality
+    * twin and the oracle's shape) carried four exchanges of
+    * ~(|tokens|/step)·2k (doc, gap, side, hash) rows — measured 105 s
+    * at the 100x decade entirely on those exchanges; the kernel form
+    * ships the tokens nowhere.
     */
   def textTiles(docs: DataFrame, blockK: Int = 10, step: Int = 5,
+                depthMinE6: Long = 150000L, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(blockK >= 1 && step >= 1, s"bad params: k=$blockK step=$step")
+    val gaps = graft.functions.TextTileExpressions.textTileGaps(
+      toks(col(textCol)), blockK, step, depthMinE6)
+    docs
+      // parallelism guard: with zero shuffles in the op, the kernel
+      // inherits the source's split count — spread the raw docs first
+      // so a single-row-group file doesn't serialize the whole pass
+      .select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(gaps).as("__g"))
+      .select(col(idCol), col("__g.gap_pos").as("gap_pos"),
+        col("__g.cos_e6").as("cos_e6"), col("__g.depth_e6").as("depth_e6"),
+        col("__g.boundary").as("boundary"))
+  }
+
+  /** The relational TextTiling form — retained as the bit-equality
+    * REFERENCE TWIN for [[textTiles]]' kernel (the spec pins kernel ==
+    * relational on real and edge-case docs; the DuckDB oracle replays
+    * this shape).
+    */
+  private[graft] def textTilesRelational(docs: DataFrame, blockK: Int = 10,
+                step: Int = 5,
                 depthMinE6: Long = 150000L, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     require(blockK >= 1 && step >= 1, s"bad params: k=$blockK step=$step")

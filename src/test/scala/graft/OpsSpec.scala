@@ -3208,6 +3208,33 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(rows(40L)._3 === 0L && rows(120L)._3 === 0L)
   }
 
+  test("textTiles kernel is row-identical to the relational twin") {
+    import spark.implicits._
+    // real corpus + the edge shapes: exactly step+1 tokens (one gap),
+    // repeated single word (cosine 1 everywhere), colliding multiset
+    // counts, short doc (dropped), empty text (dropped), double spaces
+    // (empty tokens from split)
+    val edge = Seq(
+      (9001L, "a b c d e f"),
+      (9002L, Seq.fill(40)("same").mkString(" ")),
+      (9003L, "x x y y z x y " + Seq.fill(30)("w q").mkString(" ")),
+      (9004L, "tiny doc"),
+      (9005L, ""),
+      (9006L, "a  b  c  d  e  f  g  h  i  j  k  l"))
+      .toDF("doc_id", "text")
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").unionByName(edge)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val kernel = graft.ops.TextAnalysis.textTiles(docs)
+      .collect().map(key).toSet
+    val relational = graft.ops.TextAnalysis.textTilesRelational(docs)
+      .collect().map(key).toSet
+    assert(kernel === relational)
+    assert(kernel.nonEmpty && !kernel.exists(_._1 == 9004L) &&
+      !kernel.exists(_._1 == 9005L))
+  }
+
   test("urlParts canonicalization is idempotent") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

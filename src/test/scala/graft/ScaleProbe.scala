@@ -22,8 +22,8 @@ object ScaleProbe {
   private val Queries = Seq("q_quality_ensemble", "q_ivfpq_adc",
     "q_dedup_clusters", "q_keep_canonical", "q_dedup_ngram")
 
-  private def synthesize(spark: SparkSession, src: String, dst: String,
-                         copies: Int): Unit = {
+  private[graft] def synthesize(spark: SparkSession, src: String,
+                                dst: String, copies: Int): Unit = {
     val root = java.nio.file.Paths.get(dst)
     if (java.nio.file.Files.exists(root.resolve("documents.parquet")) &&
         java.nio.file.Files.exists(root.resolve("embeddings.parquet"))) return
