@@ -303,9 +303,23 @@ object TrainingQueries {
     }
     val root = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-v1-$fp"
     ivfPqBuildLock.synchronized {
-      if (graft.lake.TxLog.currentSnapshot(s"$root/coded").isEmpty)
-        Similarity.ivfPqIndexWrite(embs(s, dir), root,
+      // crash-safe build: a killed run must never leave a half-index at
+      // `root` (rebuilding over a partial table would duplicate rows) —
+      // build into a scratch dir, then one atomic rename publishes it
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root))) {
+        val tmp = java.nio.file.Paths.get(
+          s"$root.build.${java.util.UUID.randomUUID().toString.take(8)}")
+        Similarity.ivfPqIndexWrite(embs(s, dir), tmp.toString,
           nCells = 4, m = 4, ksub = 8, iters = 2)
+        try java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent JVM published first — its index is identical
+          // (same fingerprint); keep it and drop ours
+          case _: java.nio.file.FileAlreadyExistsException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
+      }
     }
     root
   }

@@ -151,7 +151,31 @@ class FuzzSpec extends AnyFunSuite with PropSupport {
     "readApiVersionsV3" -> (b => W.readApiVersionsV3(b)),
     "readCompactBytes" -> (b => W.readCompactBytes(b)),
     "readCompactString" -> (b => W.readCompactString(b)),
-    "skipTaggedFields" -> (b => W.skipTaggedFields(b)))
+    "skipTaggedFields" -> (b => W.skipTaggedFields(b)),
+    // versioned / flexible variants: the compact-codec paths have their
+    // own length and tagged-field handling, so they fuzz separately
+    "readFetch_v12" -> (b => W.readFetch(b, 12)),
+    "readJoinGroup_v6" -> (b => W.readJoinGroup(b, 6)),
+    "readSyncGroup_v5" -> (b => W.readSyncGroup(b, 5)),
+    "readOffsetCommit_v8" -> (b => W.readOffsetCommit(b, 8)),
+    "readOffsetFetchV8" -> (b => W.readOffsetFetchV8(b)),
+    "readCreateTopics_v5" -> (b => W.readCreateTopics(b, 5)),
+    "readDeleteTopics_v6" -> (b => W.readDeleteTopics(b, 6)),
+    "readAddPartitionsToTxn_v3" -> (b => W.readAddPartitionsToTxn(b, 3)),
+    "readAddPartitionsToTxnV4" -> (b => W.readAddPartitionsToTxnV4(b)),
+    "readTxnOffsetCommit_v3" -> (b => W.readTxnOffsetCommit(b, 3)),
+    "readDeleteRecords_v2" -> (b => W.readDeleteRecords(b, 2)),
+    "readDescribeConfigs_v4" -> (b => W.readDescribeConfigs(b, 4)),
+    "readMetadataV9Full" -> (b => W.readMetadataV9Full(b)),
+    "readSaslAuthenticate_v2" -> (b => W.readSaslAuthenticate(b, 2)),
+    "readListOffsets_v6" -> (b => W.readListOffsets(b, 6)),
+    "readHeartbeat_v4" -> (b => W.readHeartbeat(b, 4)),
+    "readLeaveGroup_v4" -> (b => W.readLeaveGroup(b, 4)),
+    "readFindCoordinator_v4" -> (b => W.readFindCoordinator(b, 4)),
+    "readDescribeGroups_v5" -> (b => W.readDescribeGroups(b, 5)),
+    "readDeleteGroups_v2" -> (b => W.readDeleteGroups(b, 2)),
+    "readInitProducerId_v4" -> (b => W.readInitProducerId(b, 4)),
+    "readEndTxn_v3" -> (b => W.readEndTxn(b, 3)))
 
   test("fuzz_request_decode: random bodies through every reader — typed only") {
     forAllGen(randomBytes, cases = 10000) { bs =>

@@ -659,4 +659,23 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty,
       "plan lint failures:\n" + failures.mkString("\n"))
   }
+
+  test("q_text_tiles is a narrow kernel map: one guard exchange, no join, no window") {
+    val plan = executedPlan("q_text_tiles")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      "textTiles must not join - the kernel computes per doc")
+    assert(!plan.contains("Window"),
+      "textTiles must not window - depths come from the kernel")
+    // exactly the single parallelism-guard repartition
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      "textTiles grew extra exchanges beyond the fan-out guard")
+  }
+
+  test("q_ivfpq_index serves from the at-rest index: no embeddings scan") {
+    val plan = executedPlan("q_ivfpq_index")
+    assert(!plan.contains("embeddings.parquet"),
+      "index serve must not rescan the corpus - codes + codebooks only")
+    assert(plan.contains("graft-ivfpq"),
+      "expected the at-rest index paths in the scan")
+  }
 }
