@@ -275,16 +275,19 @@ object TrainingQueries {
       excludeId = 0L)
   }
 
-  /** Build-or-reuse the at-rest IVF-PQ index for `dir`'s embeddings,
-    * keyed by a fingerprint of the source parquet files (name, size,
-    * mtime) so a regenerated testdata set can never serve a stale
-    * index. The build runs at most once per fingerprint per JVM (and
-    * the TxLog snapshot check skips it across JVMs).
+  /** Build-or-reuse an at-rest index for `dir`'s `srcTable`, keyed by a
+    * fingerprint of the source parquet files (name, size, mtime) so a
+    * regenerated testdata set can never serve a stale index. Crash-safe
+    * publish: a killed run must never leave a half-index at the cached
+    * path (rebuilding over a partial table would duplicate rows) — the
+    * build lands in a scratch dir and ONE atomic rename publishes it;
+    * a concurrent publisher's identical index wins the race harmlessly.
     */
-  private val ivfPqBuildLock = new Object
-  private def ivfPqIndexFor(s: SparkSession, dir: String): String = {
+  private val idxBuildLock = new Object
+  private def cachedIndexFor(dir: String, srcTable: String, tag: String)
+                            (build: String => Unit): String = {
     import scala.jdk.CollectionConverters._
-    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val src = java.nio.file.Paths.get(dir, srcTable)
     val fp = {
       val md = java.security.MessageDigest.getInstance("MD5")
       // the table may be one parquet file or a directory of parts
@@ -301,21 +304,15 @@ object TrainingQueries {
       }
       md.digest().take(6).map(b => f"$b%02x").mkString
     }
-    val root = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-v1-$fp"
-    ivfPqBuildLock.synchronized {
-      // crash-safe build: a killed run must never leave a half-index at
-      // `root` (rebuilding over a partial table would duplicate rows) —
-      // build into a scratch dir, then one atomic rename publishes it
+    val root = s"${sys.props("java.io.tmpdir")}/graft-$tag-$fp"
+    idxBuildLock.synchronized {
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root))) {
         val tmp = java.nio.file.Paths.get(
           s"$root.build.${java.util.UUID.randomUUID().toString.take(8)}")
-        Similarity.ivfPqIndexWrite(embs(s, dir), tmp.toString,
-          nCells = 4, m = 4, ksub = 8, iters = 2)
+        build(tmp.toString)
         try java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          // a concurrent JVM published first — its index is identical
-          // (same fingerprint); keep it and drop ours
           case _: java.nio.file.FileAlreadyExistsException =>
             org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         }
@@ -323,6 +320,12 @@ object TrainingQueries {
     }
     root
   }
+
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String =
+    cachedIndexFor(dir, "embeddings.parquet", "ivfpq-v1") { tmp =>
+      Similarity.ivfPqIndexWrite(embs(s, dir), tmp,
+        nCells = 4, m = 4, ksub = 8, iters = 2)
+    }
 
   /** Per-document statistics. */
   def qTextStats(s: SparkSession, dir: String): DataFrame =
@@ -431,6 +434,22 @@ object TrainingQueries {
   def qBm25(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25Rank(docs(s, dir),
       terms = Seq("spark", "merge", "window"), k = 10)
+
+  /** BM25 top-10 served from the SEGMENTED at-rest index (the Lucene
+    * model — [[graft.ops.TextAnalysis.bm25SegmentsWrite]] →
+    * [[graft.ops.TextAnalysis.bm25TopKOverSegments]]): raw-count
+    * postings + per-segment stats + the live table, corpus never
+    * touched at query time. A single-segment all-live index scores
+    * bit-identically to the from-scratch [[qBm25]], so the oracle is
+    * the same replay.
+    */
+  def qBm25Segmented(s: SparkSession, dir: String): DataFrame = {
+    val index = cachedIndexFor(dir, "documents.parquet", "bm25seg-v1") {
+      tmp => TextAnalysis.bm25SegmentsWrite(docs(s, dir), tmp)
+    }
+    TextAnalysis.bm25TopKOverSegments(s, index,
+      terms = Seq("spark", "merge", "window"), k = 10)
+  }
 
   /** Block-max pruned BM25 top-10 over 8 doc-hash blocks: the two-pass
     * batch WAND whose output the oracle replays block by block —
@@ -1698,6 +1717,7 @@ object TrainingQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_tfidf_top_terms" -> (qTfIdf _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_segmented" -> (qBm25Segmented _),
     "q_blockmax_topk" -> (qBlockmaxTopk _),
     "q_blockmax_index" -> (qBlockmaxIndex _),
     "q_char_diversity" -> (qCharDiversity _),
@@ -3388,6 +3408,14 @@ object TrainingQueries {
     "q_dedup_clusters" -> clustersOracle,
 
     "q_bm25" ->
+      s"""WITH $bm25ScoredCtes
+         |SELECT doc_id, n_hits, score_e6 FROM bmscore
+         |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the segmented index's single-segment all-live build serves the
+    // exact from-scratch scores (per-segment stats sum to the global
+    // stats), so the oracle replays the same chain
+    "q_bm25_segmented" ->
       s"""WITH $bm25ScoredCtes
          |SELECT doc_id, n_hits, score_e6 FROM bmscore
          |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,

@@ -587,6 +587,101 @@ object TextAnalysis {
     blockMaxMerge(perDoc, ub, k, idCol)
   }
 
+  /** Rows of ONE BM25 segment (the Lucene commit model, relational):
+    * `postings` (seg, doc_id, w, tf, dl) over EVERY term, `termstats`
+    * (seg, w, dft), `segstats` (seg, n_docs, total_dl). A doc lives in
+    * exactly one segment; per-segment stats SUM to the global stats, so
+    * a query over any segment set scores with exact from-scratch
+    * numbers as long as every indexed doc is live.
+    */
+  private[graft] def bm25SegmentRows(docs: DataFrame, seg: Long,
+                                     textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toksDf = docs
+      .select(col(idCol), toks(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        size(col("__ts")).cast("long").as("dl"))
+    val tf = toksDf.select(col(idCol), col("dl"),
+        explode(col("__ts")).as("w"))
+      .groupBy(col(idCol), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .select(lit(seg).as("seg"), col(idCol), col("w"), col("tf"), col("dl"))
+    val termstats = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("dft"))
+      .select(lit(seg).as("seg"), col("w"), col("dft"))
+    val segstats = toksDf
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .select(lit(seg).as("seg"), col("n_docs"), col("total_dl"))
+    (tf, termstats, segstats)
+  }
+
+  /** SEGMENTED at-rest BM25 index — the incremental counterpart of the
+    * impact-ordered [[bm25IndexWrite]] and the relational form of
+    * Lucene's segment model: postings carry RAW (tf, dl) so new docs
+    * append as new segments without touching old ones, global stats
+    * assemble at query time from the per-segment stats rows (k-row
+    * aggregates), and a `live` table (doc_id → its segment) is the
+    * live-docs bitmap — updates/deletes flip live rows, hiding stale
+    * postings via one equi semi-join. Postings range-cluster by term at
+    * write so a query's term set prunes the scan through the manifest's
+    * per-file min/max ([[graft.lake.TxLog.readRange]]).
+    *
+    * Freshness contract (exactly Lucene's): results always reflect the
+    * LIVE doc set; the df/length STATS include dead docs until a
+    * rebuild (stats staleness bounded by churn since the last rebuild —
+    * rebuilding restores from-scratch-exact scores, spec-pinned). With
+    * no deletes/updates the serve is bit-identical to [[bm25Rank]].
+    */
+  def bm25SegmentsWrite(docs: DataFrame, index: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    import graft.lake.TxLog
+    val (posts, tstats, sstats) = bm25SegmentRows(docs, 0L, textCol, idCol)
+    TxLog.append(posts.repartitionByRange(col("w"), col(idCol)),
+      s"$index/postings")
+    TxLog.append(tstats.repartitionByRange(col("w")), s"$index/termstats")
+    TxLog.append(sstats.coalesce(1), s"$index/segstats")
+    TxLog.append(docs.select(col(idCol), lit(0L).as("seg"))
+      .repartitionByRange(col(idCol)), s"$index/live")
+  }
+
+  /** Top-k BM25 over the segmented index: one stats-pruned range read
+    * per query term (postings + termstats), the live semi-join, two
+    * broadcast stats sides, then the same exact-integer
+    * [[withBm25TermScore]] chain and TakeOrdered as [[bm25Rank]] — the
+    * corpus is never touched and nothing re-tokenizes.
+    */
+  def bm25TopKOverSegments(spark: org.apache.spark.sql.SparkSession,
+                           index: String, terms: Seq[String], k: Int,
+                           k1E3: Long = 1200L, bE3: Long = 750L,
+                           idCol: String = "doc_id"): DataFrame = {
+    import graft.lake.TxLog
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), "empty query")
+    require(k > 0 && k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000, "bad bm25 params")
+    val ts = terms.distinct
+    val posts = ts.map(t =>
+        TxLog.readRange(spark, s"$index/postings", "w", t, t))
+      .reduce(_ unionByName _)
+    val live = TxLog.read(spark, s"$index/live")
+    val dftG = ts.map(t =>
+        TxLog.readRange(spark, s"$index/termstats", "w", t, t))
+      .reduce(_ unionByName _)
+      .groupBy(col("w")).agg(sum(col("dft")).as("dft"))
+    val statsG = TxLog.read(spark, s"$index/segstats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+    withBm25TermScore(
+      posts.join(live, Seq(idCol, "seg"), "left_semi")
+        .join(broadcast(dftG), "w")
+        .crossJoin(broadcast(statsG)),
+      k1E3 * 1000L, bE3 * 1000L)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("term_score_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Block-sharded inverted index build — the retrieval-side artifact a
     * training-data pipeline exports next to the corpus (BM25/TF-IDF
     * score AGAINST it; search infra consumes it). Per (term, block):

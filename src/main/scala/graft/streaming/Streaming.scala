@@ -773,6 +773,85 @@ object Streaming {
       Seq(idCol), appId, batchId)
   }
 
+  /** Exactly-once INCREMENTAL SEGMENTED BM25 INDEX over a document
+    * table's CDC feed — the retrieval twin of [[incrementalIvfPqIndex]]
+    * built on the Lucene segment model
+    * ([[graft.ops.TextAnalysis.bm25SegmentsWrite]]): each micro-batch's
+    * touched docs tokenize ONCE and append as segment `batchId`
+    * (postings + per-segment stats, exactly-once per table via the
+    * (appId, batchId) fence), and the `live` table merge flips each
+    * doc to its newest segment (or out, on delete) — stale postings are
+    * hidden by the serve-side live semi-join, never rewritten. The
+    * INITIAL SNAPSHOT batch builds segment 0 from the whole table, so
+    * the index starts EMPTY and the stream owns it end to end (do not
+    * combine with a pre-built static index — the snapshot would
+    * double-count it; static and streamed indexes are separate
+    * lifecycles, the Lucene writer-owns-the-index rule).
+    *
+    * Freshness: results always reflect the live docs; df/length stats
+    * include dead segments until a rebuild (Lucene's exact contract —
+    * the spec pins insert-only bit-equality to bm25Rank, doc-set
+    * correctness under update/delete, and rebuild-restores-exactness).
+    * SINGLE MAINTAINER, like every incremental view here.
+    */
+  def incrementalBm25Segments(spark: SparkSession, source: String,
+                              index: String, appId: String,
+                              checkpoint: String,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              maxVersionsPerBatch: Int = 64,
+                              trigger: Trigger =
+                                Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    spark.readStream.format("txlog-cdc")
+      .option("table", source)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        applyBm25Delta(batch, index, textCol, idCol, appId, batchId)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[incrementalBm25Segments]]. */
+  private[graft] def applyBm25Delta(feed: Dataset[org.apache.spark.sql.Row],
+                                    index: String, textCol: String,
+                                    idCol: String, appId: String,
+                                    batchId: Long): Unit = {
+    import graft.lake.TxLog
+    import graft.ops.TextAnalysis
+    val last = feed.select(col(idCol),
+        struct(col("_commit_version"),
+          (col("_change_type") === "insert").cast("int").as("__ins"),
+          col(textCol).as("__t")).as("__s"))
+      .groupBy(col(idCol)).agg(max(col("__s")).as("last"))
+      .select(col(idCol), col("last.__t").as(textCol),
+        (col("last.__ins") === 0).as("__del"))
+      .persist()
+    try {
+      val ins = last.filter(!col("__del")).select(col(idCol), col(textCol))
+      if (!ins.isEmpty) {
+        val (posts, tstats, sstats) =
+          TextAnalysis.bm25SegmentRows(ins, batchId, textCol, idCol)
+        // exactly-once PER TABLE: a crash between the three appends
+        // replays the batch, the fenced tables skip, the missing ones
+        // land — the index converges to the complete segment
+        TxLog.appendStream(posts.repartitionByRange(col("w"), col(idCol)),
+          s"$index/postings", appId, batchId)
+        TxLog.appendStream(tstats, s"$index/termstats", appId, batchId)
+        TxLog.appendStream(sstats.coalesce(1), s"$index/segstats",
+          appId, batchId)
+      }
+      val liveDelta = last.select(col(idCol), lit(batchId).as("seg"),
+        col("__del"))
+      commitIndexDelta(liveDelta, s"$index/live", Seq(idCol), appId, batchId)
+    } finally { last.unpersist(); () }
+  }
+
   /** Exactly-once INCREMENTAL PERCEPTUAL-HASH INDEX over a media
     * table's CDC feed — the media twin of [[incrementalLshIndex]]: new
     * blobs hash and band per batch, the index table keeps

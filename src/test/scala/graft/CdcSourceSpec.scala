@@ -472,4 +472,62 @@ class CdcSourceSpec extends SparkSpec {
       assert(served.nonEmpty && !served.contains(0L))
     } finally q.stop()
   }
+
+  test("incremental segmented BM25: insert-only serve is bit-identical " +
+    "to bm25Rank; update/delete flip the live set; rebuild restores " +
+    "exactness") {
+    import graft.ops.TextAnalysis
+    val source = newTable()
+    val index = newTable()
+    val terms = Seq("spark", "merge", "fox")
+    def fromScratch(): Seq[(Long, Long, Long)] =
+      TextAnalysis.bm25Rank(TxLog.read(spark, source), terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def served(): Seq[(Long, Long, Long)] =
+      TextAnalysis.bm25TopKOverSegments(spark, index, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    TxLog.append(Seq(
+      (1L, "spark streams merge windows over spark logs"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "merge sort beats bubble sort on big inputs"),
+      (4L, "plain filler text with no query words at all"))
+      .toDF("doc_id", "text").coalesce(1), source) // v0
+    // the stream OWNS the index end to end: segment 0 is the initial
+    // snapshot batch (no pre-built static index to double-count)
+    val q = graft.streaming.Streaming.incrementalBm25Segments(
+      spark, source, index, "bm25-spec", tmp())
+    try {
+      q.processAllAvailable()
+      assert(served() === fromScratch(), "insert-only snapshot must be exact")
+
+      TxLog.append(Seq(
+        (5L, "spark merge spark merge spark"),
+        (6L, "another fox in another window"))
+        .toDF("doc_id", "text").coalesce(1), source) // v1
+      q.processAllAvailable()
+      assert(served() === fromScratch(),
+        "insert-only increments must stay exact (segment stats sum)")
+
+      TxLog.update(spark, source, col("doc_id") === 1L,
+        Map("text" -> lit("completely unrelated replacement now"))) // v2
+      TxLog.delete(spark, source, col("doc_id") === 5L) // v3
+      q.processAllAvailable()
+      val hits = served().map(_._1)
+      // live-set correctness under churn (scores may carry stale df
+      // until a rebuild — the Lucene contract): the deleted doc and the
+      // updated-away doc must vanish, the untouched hits must remain
+      assert(!hits.contains(5L), "deleted doc served")
+      assert(!hits.contains(1L), "updated doc served under its OLD terms")
+      assert(hits.contains(3L) && hits.contains(2L) && hits.contains(6L),
+        s"untouched matches lost: $hits")
+
+      // rebuild (the optimize/merge analogue): a fresh single-segment
+      // index over the live table restores from-scratch-exact scores
+      val rebuilt = newTable()
+      TextAnalysis.bm25SegmentsWrite(TxLog.read(spark, source), rebuilt)
+      val rb = TextAnalysis.bm25TopKOverSegments(spark, rebuilt, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rb === fromScratch(), "rebuild must restore exact stats")
+    } finally q.stop()
+  }
 }
