@@ -271,6 +271,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WavDownsampleMean(children.head,
           literalInt(children(1), "wav_downsample_mean"))
       }))
+    // per-doc TextTiling gap scores straight from SQL:
+    // text_tile_gaps(tokens, blockK, step, depth_min_e6)
+    ext.injectFunction((
+      new FunctionIdentifier("text_tile_gaps"),
+      new ExpressionInfo(
+        classOf[graft.functions.TextTileGaps].getName, "text_tile_gaps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "text_tile_gaps(tokens, blockK, step, depth_min_e6)")
+        graft.functions.TextTileGaps(children.head,
+          literalInt(children(1), "text_tile_gaps"),
+          literalInt(children(2), "text_tile_gaps"),
+          literalInt(children(3), "text_tile_gaps").toLong)
+      }))
   }
 
   /** Evaluate a foldable int argument at analysis time. */

@@ -59,6 +59,23 @@ object TrainingQueries {
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlapMatrix(docs(s, dir), windowTokens = 8)
 
+  /** KMV-sketch vocabulary overlap between sources: per-source
+    * 128-minimum-hash sketches of the distinct token sets, pairwise
+    * union/intersection/Jaccard ESTIMATES from the k-row sketches alone
+    * — the constant-space form of the exact q_source_overlap scan
+    * (sketch once at ingest, answer pairwise questions forever).
+    * Deterministic given h60, so the oracle replays the sketches and
+    * the estimates bit for bit.
+    */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val toks = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    Sketches.kmvPairOverlap(
+      Sketches.kmvSketch(toks, "source", "w", k = 128), "source", k = 128)
+  }
+
   /** Shared-span removal: rebuild each doc without its cross-document
     * 8-token windows (the corpus-editing half of Lee et al. 2022).
     */
@@ -1750,6 +1767,7 @@ object TrainingQueries {
     "q_substring_dup" -> (qSubstringDup _),
     "q_cross_dedup" -> (qCrossDedup _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_kmv_overlap" -> (qKmvOverlap _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_winnow" -> (qWinnow _),
     "q_label_centroids" -> (qLabelCentroids _),
@@ -3684,6 +3702,52 @@ object TrainingQueries {
     "q_substring_dup" -> substringDupOracle,
     "q_cross_dedup" -> crossDedupOracle,
     "q_source_overlap" -> sourceOverlapOracle,
+
+    // KMV sketches are deterministic order statistics of h60, so the
+    // whole estimate chain replays: per-source k-min, pair-tagged union
+    // k-min, (k-1)·2^60 // kth in HUGEINT, ratio estimates
+    "q_kmv_overlap" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT source,
+         |    ${dh("w")} AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE w <> ''),
+         |sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+         |    FROM tok) WHERE r <= 128),
+         |g AS (SELECT DISTINCT source FROM sk),
+         |gp AS (SELECT a.source AS grp_a, b.source AS grp_b
+         |       FROM g a, g b WHERE a.source < b.source),
+         |tagged AS (
+         |  SELECT grp_a, grp_b, h, max(ina) AS ina, max(inb) AS inb FROM (
+         |    SELECT gp.grp_a, gp.grp_b, sk.h, 1 AS ina, 0 AS inb
+         |    FROM gp JOIN sk ON sk.source = gp.grp_a
+         |    UNION ALL
+         |    SELECT gp.grp_a, gp.grp_b, sk.h, 0 AS ina, 1 AS inb
+         |    FROM gp JOIN sk ON sk.source = gp.grp_b)
+         |  GROUP BY 1, 2, 3),
+         |kmin AS (
+         |  SELECT grp_a, grp_b, h, ina, inb FROM (
+         |    SELECT grp_a, grp_b, h, ina, inb,
+         |      row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS r
+         |    FROM tagged) WHERE r <= 128),
+         |agg AS (
+         |  SELECT grp_a, grp_b, count(*) AS n, max(h) AS kth,
+         |    CAST(sum(ina * inb) AS BIGINT) AS nboth
+         |  FROM kmin GROUP BY 1, 2),
+         |est AS (
+         |  SELECT grp_a, grp_b, n, nboth,
+         |    CASE WHEN n < 128 THEN CAST(n AS BIGINT)
+         |      ELSE CAST((CAST(1152921504606846976 AS HUGEINT) * 127)
+         |        // kth AS BIGINT) END AS union_est
+         |  FROM agg)
+         |SELECT grp_a, grp_b, union_est,
+         |  CAST((nboth * union_est) // n AS BIGINT) AS inter_est,
+         |  CAST((nboth * 1000000) // n AS BIGINT) AS jaccard_e6
+         |FROM est""".stripMargin,
     "q_leakage_split" -> leakageSplitOracle,
     "q_winnow" -> winnowOracle,
     "q_label_centroids" -> labelCentroidsOracle,

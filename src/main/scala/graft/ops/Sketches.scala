@@ -320,4 +320,97 @@ object Sketches {
         .as("maybe_present"))
       .select(col(idCol), col("maybe_present"))
   }
+
+  /** h60's domain size — KMV order statistics scale against it. */
+  private val KmvDomain = 1L << 60
+
+  /** K-minimum-values distinct sketch per group (Bar-Yossef et al. 2002;
+    * Beyer et al. 2007 for the set operations): the k SMALLEST h60
+    * hashes of the group's distinct values. Unlike HLL it supports
+    * INTERSECTION estimation ([[kmvPairOverlap]]), and unlike both it is
+    * fully DETERMINISTIC given the hash — the oracle replays the sketch
+    * bit for bit, so the estimates themselves are engine-exact.
+    *
+    * Scale shape: one distinct aggregate on (group, hash), then a
+    * TWO-PHASE k-min — a per-(group, salt-shard) window first (each
+    * sorts only its shard's hashes), then the final per-group window
+    * over the surviving 64·k rows — so no task ever sorts a group's
+    * whole distinct set. The sketch is k rows per group at rest;
+    * corpus-wide questions merge sketches, never rescan.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(col(groupCol),
+        graft.ops.Dedup.h60(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val local = Window.partitionBy(col(groupCol), pmod(col("h"), lit(64L)))
+      .orderBy(col("h"))
+    val global = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    h.withColumn("__rl", row_number().over(local))
+      .filter(col("__rl") <= k)
+      .withColumn("__rg", row_number().over(global))
+      .filter(col("__rg") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** Distinct-count estimate from a KMV sketch: groups holding fewer
+    * than k hashes are EXACT (the sketch is the whole distinct set);
+    * full sketches estimate (k-1)·2^60 DIV h_(k) — exact integer
+    * arithmetic in the DECIMAL(38,0)/HUGEINT twin domain.
+    */
+  def kmvDistinct(sketch: DataFrame, groupCol: String,
+                  k: Int = 256): DataFrame =
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__kth"))
+      .select(col(groupCol),
+        when(col("__n") < k, col("__n")).otherwise(expr(
+          s"cast((cast(${KmvDomain}L as decimal(38,0)) * ${k - 1}) " +
+            "DIV __kth as bigint)")).as("est_distinct"))
+
+  /** Pairwise union / intersection / Jaccard estimates across every
+    * group pair from one sketch table (Beyer et al. 2007): per pair,
+    * the k smallest hashes of the SKETCH UNION form a KMV sketch of the
+    * set union (k-min of k-mins is the union's k-min); the fraction of
+    * them present in BOTH sides estimates Jaccard, and intersection =
+    * jaccard · union. Emits (grp_a, grp_b, union_est, inter_est,
+    * jaccard_e6) for grp_a < grp_b — all from k-row sketches, the
+    * corpus untouched.
+    */
+  def kmvPairOverlap(sketch: DataFrame, groupCol: String,
+                     k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val groups = sketch.select(col(groupCol)).distinct()
+    val gpairs = groups.select(col(groupCol).as("grp_a"))
+      .crossJoin(broadcast(groups.select(col(groupCol).as("grp_b"))))
+      .filter(col("grp_a") < col("grp_b"))
+    // both sides' sketch rows per pair, membership-tagged, h-deduped
+    val tagged = gpairs
+      .join(sketch.select(col(groupCol).as("grp_a"), col("h"),
+        lit(1).as("__a")), Seq("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("h"), col("__a"),
+        lit(0).as("__b"))
+      .unionByName(gpairs
+        .join(sketch.select(col(groupCol).as("grp_b"), col("h"),
+          lit(1).as("__b")), Seq("grp_b"))
+        .select(col("grp_a"), col("grp_b"), col("h"), lit(0).as("__a"),
+          col("__b")))
+      .groupBy(col("grp_a"), col("grp_b"), col("h"))
+      .agg(max(col("__a")).as("__ina"), max(col("__b")).as("__inb"))
+    val w = Window.partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h"))
+    val kmin = tagged.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    kmin.groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__kth"),
+        sum((col("__ina") * col("__inb")).cast("long")).as("__both"))
+      .withColumn("union_est",
+        when(col("__n") < k, col("__n")).otherwise(expr(
+          s"cast((cast(${KmvDomain}L as decimal(38,0)) * ${k - 1}) " +
+            "DIV __kth as bigint)")))
+      .select(col("grp_a"), col("grp_b"), col("union_est"),
+        expr("(__both * union_est) DIV __n").as("inter_est"),
+        expr("(__both * 1000000L) DIV __n").as("jaccard_e6"))
+  }
 }

@@ -118,5 +118,14 @@ class ExtensionsSpec extends SparkSpec {
         "(SELECT 1 AS n)").collect()
     }
     assert(badDim.getMessage.contains("literal"), badDim.getMessage)
+    // the TextTiling kernel rides the same registry: a doc of two
+    // disjoint 10-token halves has its one zero-cosine gap at token 10
+    val tiles = spark.sql(
+      "SELECT text_tile_gaps(split(" +
+        "'a b c d e f g h i j k l m n o p q r s t', ' '), 10, 5, 150000)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tiles.map(_.getLong(0)) === Seq(5L, 10L, 15L))
+    assert(tiles.forall(_.getLong(1) === 0L),
+      "all-distinct tokens never share a bag entry")
   }
 }

@@ -195,4 +195,58 @@ class SketchesSpec extends SparkSpec with PropSupport {
     bloom.unpersist(); d.unpersist()
     ()
   }
+
+  test("KMV: exact below k, bounded relative error above, sketches merge") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    // group "small" has 100 distinct values (< k=256): sketch IS the
+    // set, estimate exact; "big" has 20000: estimate within the KMV
+    // error envelope (~1/sqrt(k-2) ~= 6.3%; assert a loose 20%)
+    val vals = (1 to 100).map(i => ("small", s"s$i")) ++
+      (1 to 20000).map(i => ("big", s"b$i"))
+    val df = vals.toDF("g", "v")
+    val sk = Sketches.kmvSketch(df, "g", "v", k = 256).persist()
+    val est = Sketches.kmvDistinct(sk, "g", k = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("small") === 100L, "below-k groups must be EXACT")
+    assert(math.abs(est("big") - 20000L) < 4000L,
+      s"k=256 estimate out of envelope: ${est("big")}")
+    // mergeability: the k-min of the two sketches' union equals the
+    // sketch of the union group — the property that lets shard
+    // sketches answer corpus questions
+    val unionSketch = Sketches.kmvSketch(
+      df.withColumn("g", lit("all")), "g", "v", k = 256)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val mergedKmin = sk.collect().map(_.getLong(1))
+      .distinct.sorted.take(256).toSeq
+    assert(unionSketch === mergedKmin, "k-min of k-mins != union k-min")
+    sk.unpersist()
+    ()
+  }
+
+  test("KMV pair overlap: estimates track true jaccard for planted sets") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    // A = 1..8000, B = 4001..12000 -> |A∩B| = 4000, |A∪B| = 12000,
+    // jaccard = 1/3
+    val vals = (1 to 8000).map(i => ("A", s"x$i")) ++
+      (4001 to 12000).map(i => ("B", s"x$i"))
+    val sk = Sketches.kmvSketch(vals.toDF("g", "v"), "g", "v", k = 256)
+    val r = Sketches.kmvPairOverlap(sk, "g", k = 256).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "A" && row.getString(1) === "B")
+    val (u, i, j) = (row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(math.abs(u - 12000L) < 2400L, s"union estimate off: $u")
+    assert(math.abs(i - 4000L) < 1600L, s"intersection estimate off: $i")
+    assert(math.abs(j - 333333L) < 120000L, s"jaccard estimate off: $j")
+    // disjoint pair: intersection and jaccard must be exactly 0
+    val d = (1 to 500).map(i => ("C", s"c$i")) ++
+      (1 to 500).map(i => ("D", s"d$i"))
+    val r2 = Sketches.kmvPairOverlap(
+      Sketches.kmvSketch(d.toDF("g", "v"), "g", "v", k = 256), "g", 256)
+      .collect().head
+    assert(r2.getLong(3) === 0L && r2.getLong(4) === 0L)
+    ()
+  }
 }
