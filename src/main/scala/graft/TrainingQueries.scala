@@ -330,7 +330,13 @@ object TrainingQueries {
         try java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
+          // a concurrent JVM published first: rename onto the existing
+          // target surfaces as EEXIST on some filesystems and ENOTEMPTY
+          // (DirectoryNotEmptyException) on Linux rename(2) — either
+          // way the winner's identical index stands and ours drops
           case _: java.nio.file.FileAlreadyExistsException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          case _: java.nio.file.DirectoryNotEmptyException =>
             org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         }
       }

@@ -149,6 +149,14 @@ object TextTileKernels {
 case class TextTileGaps(child: Expression, blockK: Int, step: Int,
                         depthMinE6: Long) extends UnaryExpression {
 
+  // analysis-time rejection, shared by the Column API and the SQL
+  // registry path: step=0 would divide by zero in the kernel, step<0
+  // a negative gap array, blockK<1 an empty bag (0/0 cosine) — all
+  // untyped per-row crashes if they reached execution
+  require(blockK >= 1 && step >= 1 && depthMinE6 >= 0,
+    s"text_tile_gaps: need blockK >= 1, step >= 1, depth_min_e6 >= 0 " +
+      s"(got k=$blockK step=$step depth=$depthMinE6)")
+
   override def dataType: DataType = TextTileKernels.OutType
   override def prettyName: String = "text_tile_gaps"
 

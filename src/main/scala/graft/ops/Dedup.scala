@@ -26,6 +26,14 @@ object Dedup {
   /** MinHash prime modulus (2^31 - 1). */
   val MinhashP = 2147483647L
 
+  /** Doc-count threshold above which the gram-pair family persists its
+    * pruned posting list (the GramCacheProbe-measured crossover —
+    * BASELINE r14). private[graft] and @volatile so the PROBE ITSELF
+    * can disable the persist when measuring the uncached arm at the
+    * big decades; production callers never touch it.
+    */
+  @volatile private[graft] var gramCacheThresholdDocs: Long = 100000L
+
   /** Linear hash family over a base 31-bit hash: h_k(x) = (a_k*x + b_k)
     * mod P. One md5 per shingle total — the per-k hashes are pure
     * arithmetic (a_k < 2^31, x < 2^31, so a_k*x fits a long), which is
@@ -700,9 +708,13 @@ object Dedup {
     // and the explode is cheaper than cache write+read (sf0.1 ratio
     // 1.41 cached/uncached, 10x ~1.04) — but at the 100x decade the
     // 4-way explode recompute dominates and the persist wins (ratio
-    // 0.72, 105 s → 76 s). The persist is MEMORY_AND_DISK and scoped to
-    // one query's lifetime (evicted LRU; never engaged at the graded
-    // scale factors).
+    // 0.72, 105 s → 76 s). LIFETIME NOTE: the op returns lazy plans, so
+    // nothing here can unpersist after the consumers run — the memory
+    // tier evicts LRU but disk blocks live until session end; one
+    // posting-list cache per engaged (>= threshold) call. In a
+    // long-lived session interleaving many huge pair jobs, clear with
+    // spark.catalog.clearCache() between them. Never engaged at the
+    // graded scale factors.
     val grams =
       if (maxDocFreqFraction >= 1.0) allGrams
       else {
@@ -714,7 +726,7 @@ object Dedup {
           .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
           .select("g")
         val pruned = allGrams.join(rare, "g")
-        if (nDocs >= 100000L)
+        if (nDocs >= gramCacheThresholdDocs)
           pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else pruned
       }

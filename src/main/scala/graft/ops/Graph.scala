@@ -45,6 +45,13 @@ object Graph {
     // loop materializes eagerly (next.count per round), so the pin
     // covers exactly the rounds and is restored before the caller
     // evaluates the returned plan.
+    // CONCURRENCY NOTE: the pin mutates SESSION-scoped conf — queries
+    // COMPILED on this session by other threads during the rounds plan
+    // under the pinned value, and two overlapping pageRank calls could
+    // cross their restores. Fine for this engine's one-query-at-a-time
+    // execution model (Bench/Verify/streams all serialize per session);
+    // a multi-tenant caller should run pageRank on its own session
+    // (SparkSession.newSession shares the context, not the conf).
     val conf = edges.sparkSession.conf
     val ipnKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val prevIpn = conf.getOption(ipnKey)

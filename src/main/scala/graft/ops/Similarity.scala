@@ -912,6 +912,9 @@ object Similarity {
                nCells: Int = 4, nProbe: Int = 2, m: Int = 4, ksub: Int = 8,
                iters: Int = 2, dims: Int = 64, idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
+    // fail BEFORE training: a bad nProbe rejected only inside the search
+    // would burn the whole Lloyd loop first
+    require(nProbe > 0, s"bad ivf params: nProbe=$nProbe")
     val model = ivfPqTrain(embeddings, nCells, m, ksub, iters, dims,
       idCol, embCol)
     val q = quantizedOrFail(embeddings, idCol, embCol)
@@ -993,6 +996,24 @@ object Similarity {
       codesColumn(col("resid"), model.books, model.sub).as("code"))
   }
 
+  /** The nProbe cells nearest to `q` by exact integer centroid
+    * distance (ties to the smaller cid via the (d, c) sort) — ONE
+    * definition shared by the search filter and the at-rest file-prune,
+    * so a distance or tie-break tweak can never desynchronize them.
+    */
+  private def probeCells(model: IvfPqModel, q: Seq[Long],
+                         nProbe: Int): Seq[Long] =
+    model.coarse.map { case (c, cen) =>
+      var d = 0L
+      var j = 0
+      while (j < model.dims) {
+        val diff = q(j) - cen(j)
+        d = Math.addExact(d, Math.multiplyExact(diff, diff))
+        j += 1
+      }
+      (d, c)
+    }.sortBy(identity).take(nProbe).map(_._2)
+
   /** Top-k ADC search over already-encoded (idCol, cell, code) rows —
     * the shared back half of [[annIvfPq]] and [[ivfPqTopKOverIndex]],
     * so the tie-break and table-indexing rules cannot drift between
@@ -1006,16 +1027,7 @@ object Similarity {
     require(q.length == model.dims,
       s"query vector has ${q.length} dims, want ${model.dims}")
     val centMap = model.coarse.toMap
-    // probe the nProbe nearest cells by exact centroid distance
-    val probed = model.coarse.map { case (c, cen) =>
-      var d = 0L
-      var j = 0
-      while (j < model.dims) {
-        val diff = q(j) - cen(j); d = Math.addExact(d,
-          Math.multiplyExact(diff, diff)); j += 1
-      }
-      (d, c)
-    }.sortBy(identity).take(nProbe).map(_._2)
+    val probed = probeCells(model, q, nProbe)
     // one ADC table set per probed cell, from the QUERY's residual in
     // it — the same shared table/lookup/encode helpers as PQ-flat, so
     // the tie-break and indexing rules cannot drift between the paths
@@ -1113,19 +1125,10 @@ object Similarity {
     require(k > 0 && nProbe > 0, s"bad params: k=$k nProbe=$nProbe")
     val model = ivfPqModelRead(spark, index)
     // the probe set is decided driver-side from the model alone; each
-    // probed cell becomes one stats-pruned range read of the coded table
-    val probedCells = {
-      val dists = model.coarse.map { case (c, cen) =>
-        var d = 0L
-        var j = 0
-        while (j < model.dims) {
-          val diff = q(j) - cen(j); d = Math.addExact(d,
-            Math.multiplyExact(diff, diff)); j += 1
-        }
-        (d, c)
-      }
-      dists.sortBy(identity).take(nProbe).map(_._2)
-    }
+    // probed cell becomes one stats-pruned range read of the coded
+    // table — the SAME probeCells the search filter uses, so the files
+    // read and the cells filtered can never desynchronize
+    val probedCells = probeCells(model, q, nProbe)
     val coded = probedCells.map(c =>
         graft.lake.TxLog.readRange(spark, s"$index/coded", "cell", c, c))
       .reduce(_ unionByName _)

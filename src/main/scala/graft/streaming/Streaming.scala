@@ -839,10 +839,17 @@ object Streaming {
           TextAnalysis.bm25SegmentRows(ins, batchId, textCol, idCol)
         // exactly-once PER TABLE: a crash between the three appends
         // replays the batch, the fenced tables skip, the missing ones
-        // land — the index converges to the complete segment
-        TxLog.appendStream(posts.repartitionByRange(col("w"), col(idCol)),
+        // land — the index converges to the complete segment.
+        // Both term-keyed tables range-cluster by w (FEW partitions — a
+        // micro-batch segment is small, and the point is that each
+        // file's w min/max stays narrow so the serve's per-term
+        // readRange prunes streamed segments too, not just the static
+        // build's)
+        TxLog.appendStream(
+          posts.repartitionByRange(4, col("w"), col(idCol)),
           s"$index/postings", appId, batchId)
-        TxLog.appendStream(tstats, s"$index/termstats", appId, batchId)
+        TxLog.appendStream(tstats.repartitionByRange(4, col("w")),
+          s"$index/termstats", appId, batchId)
         TxLog.appendStream(sstats.coalesce(1), s"$index/segstats",
           appId, batchId)
       }

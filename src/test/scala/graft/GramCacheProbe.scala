@@ -84,10 +84,15 @@ object GramCacheProbe {
       // warm the source file into the page cache once so both variants
       // measure compute, not first-touch disk
       docs.queryExecution.toRdd.count()
-      val tU = time {
+      // the shipped op now persists conditionally ABOVE the threshold
+      // this probe measured — disable it for the uncached arm so the
+      // probe keeps measuring uncached-vs-cached, not cached-vs-cached
+      val prevThreshold = graft.ops.Dedup.gramCacheThresholdDocs
+      graft.ops.Dedup.gramCacheThresholdDocs = Long.MaxValue
+      val tU = try time {
         graft.ops.Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.3,
           maxDocFreqFraction = 0.02).queryExecution.toRdd.count()
-      }
+      } finally graft.ops.Dedup.gramCacheThresholdDocs = prevThreshold
       val tC = time {
         cachedJaccard(docs, n = 3, minJaccard = 0.3,
           maxDocFreqFraction = 0.02)

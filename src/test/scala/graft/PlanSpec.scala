@@ -607,6 +607,8 @@ class PlanSpec extends SparkSpec {
     "q_pagerank" -> "1-row dangling-mass broadcast cross-joins onto the rank table per round (Graph.scala:67)",
     "q_semdedup" -> "1-row threshold broadcast over the bounded per-cluster pair set",
     "q_bm25" -> "1-row (n_docs, total_dl) stats broadcast onto the postings (TextAnalysis.scala:280)",
+    "q_bm25_segmented" -> "1-row summed segment-stats broadcast onto the term-pruned postings (TextAnalysis.bm25TopKOverSegments)",
+    "q_kmv_overlap" -> "group-pair seed: |groups|-row broadcast cross with the a<b filter; every sketch-row join after it is equi (Sketches.kmvPairOverlap)",
     "q_pmi" -> "1-row bigram-total broadcast onto the |vocab|-sized pair table (TextAnalysis.scala:802)",
     "q_lm_interp" -> "1-row corpus-total broadcast onto the bigram table (TextAnalysis.scala:978)",
     "q_lm_kn" -> "1-row continuation-type-total broadcast (TextAnalysis.scala:1033)",
