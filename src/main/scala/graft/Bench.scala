@@ -10,17 +10,20 @@ import org.apache.spark.sql.SparkSession
   * JVM/codegen/session startup is not charged to the first measured
   * query; measured numbers are cold-cache per query but warm-process.
   *
-  * SPARK_GRAFT_RUNS (default 3): each query is timed that many times
+  * SPARK_GRAFT_RUNS (default 5): each query is timed that many times
   * and the MEDIAN reported — the box is load-noisy (the same code has
-  * benched 33-44 s across rounds), so the artifact carries its own
-  * noise correction instead of leaving it to cross-round comparison.
+  * benched 33-44 s across rounds, and r13's graded run diverged 7x on
+  * two queries whose whole 3-run window was slow), so the artifact
+  * carries its own noise correction instead of leaving it to
+  * cross-round comparison; 5 runs halve the odds a transient slow
+  * window owns a query's median.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
