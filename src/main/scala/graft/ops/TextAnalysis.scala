@@ -645,6 +645,47 @@ object TextAnalysis {
       .repartitionByRange(col(idCol)), s"$index/live")
   }
 
+  /** Rebuild a COMPACTED single-segment index at `target` from
+    * `index` ITSELF — Lucene's merge/optimize as a blue/green swap: the
+    * live-filtered postings already carry every (tf, dl) fact, so the
+    * fresh per-term df and corpus stats recompute from one pass over
+    * the INDEX (the corpus is never touched, never re-tokenized), dead
+    * segments vanish, and stats staleness resets to zero —
+    * [[bm25TopKOverSegments]] over the rebuilt index is bit-identical
+    * to from-scratch [[bm25Rank]] over the live docs (spec-pinned).
+    * The caller swaps readers to `target` atomically (the
+    * directory-rename publish pattern); the old index stays readable
+    * throughout — the crash-safe shape an in-place multi-table rewrite
+    * cannot give.
+    */
+  def bm25SegmentsRebuild(spark: org.apache.spark.sql.SparkSession,
+                          index: String, target: String,
+                          idCol: String = "doc_id"): Unit = {
+    import graft.lake.TxLog
+    val live = TxLog.read(spark, s"$index/live")
+    val posts = TxLog.read(spark, s"$index/postings")
+      .join(live, Seq(idCol, "seg"), "left_semi")
+      .select(lit(0L).as("seg"), col(idCol), col("w"), col("tf"), col("dl"))
+      .persist()
+    try {
+      TxLog.append(posts.repartitionByRange(col("w"), col(idCol)),
+        s"$target/postings")
+      TxLog.append(posts.groupBy(col("w")).agg(count(lit(1)).as("dft"))
+        .select(lit(0L).as("seg"), col("w"), col("dft"))
+        .repartitionByRange(col("w")), s"$target/termstats")
+      // every doc owns >= 1 posting row (an empty text still tokenizes
+      // to one empty-string token), so the distinct (doc, dl) set IS
+      // the live doc set — n_docs/total_dl recompute exactly
+      TxLog.append(posts.select(col(idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .select(lit(0L).as("seg"), col("n_docs"), col("total_dl"))
+        .coalesce(1), s"$target/segstats")
+      TxLog.append(posts.select(col(idCol)).distinct()
+        .select(col(idCol), lit(0L).as("seg"))
+        .repartitionByRange(col(idCol)), s"$target/live")
+    } finally { posts.unpersist(); () }
+  }
+
   /** Top-k BM25 over the segmented index: one stats-pruned range read
     * per query term (postings + termstats), the live semi-join, two
     * broadcast stats sides, then the same exact-integer

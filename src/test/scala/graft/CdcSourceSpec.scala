@@ -521,10 +521,11 @@ class CdcSourceSpec extends SparkSpec {
       assert(hits.contains(3L) && hits.contains(2L) && hits.contains(6L),
         s"untouched matches lost: $hits")
 
-      // rebuild (the optimize/merge analogue): a fresh single-segment
-      // index over the live table restores from-scratch-exact scores
+      // rebuild (the optimize/merge analogue): compacted from the INDEX
+      // ITSELF — no corpus access, no re-tokenizing — and restores
+      // from-scratch-exact scores (stats staleness resets to zero)
       val rebuilt = newTable()
-      TextAnalysis.bm25SegmentsWrite(TxLog.read(spark, source), rebuilt)
+      TextAnalysis.bm25SegmentsRebuild(spark, index, rebuilt)
       val rb = TextAnalysis.bm25TopKOverSegments(spark, rebuilt, terms, 10)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(rb === fromScratch(), "rebuild must restore exact stats")
