@@ -335,6 +335,36 @@ class FuzzSpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  // ----------------------------------------------------- SCRAM messages
+
+  test("fuzz_scram: hostile client messages always answer Left, never throw") {
+    import graft.facade.Scram
+    val cred = Scram.credential("pw", Array[Byte](1, 2, 3, 4), 4096,
+      Scram.Sha256)
+    def session() = new Scram.ServerSession(
+      u => if (u == "alice") Some(cred) else None, mech = Scram.Sha256)
+    val hostileString: Gen[String] = Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      2 -> randomBytes.map(new String(_, "ISO-8859-1")),
+      2 -> Gen.asciiPrintableStr.map("n,," + _),
+      1 -> Gen.asciiPrintableStr.map(s => s"n,,n=alice,r=$s"),
+      1 -> Gen.asciiPrintableStr.map(s => s"c=biws,r=$s,p=$s"))
+    forAllGen(hostileString, cases = 10000) { msg =>
+      val s1 = session()
+      s1.handleClientFirst(msg) // Either by contract — never a throw
+      ()
+    }
+    forAllGen(hostileString, cases = 10000) { msg =>
+      val s2 = session()
+      s2.handleClientFirst("n,,n=alice,r=cnonce00")
+      assert(s2.handleClientFinal(msg).isLeft,
+        "a random client-final must never authenticate")
+      ()
+    }
+    // out-of-order final before first: typed Left, state intact
+    assert(session().handleClientFinal("c=biws,r=x,p=x").isLeft)
+  }
+
   // ------------------------------------------------- server robustness
 
   test("server survives a random-frame barrage and still serves") {
