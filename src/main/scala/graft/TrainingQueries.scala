@@ -138,6 +138,26 @@ object TrainingQueries {
       e, k = 5)
   }
 
+  /** DPR-style hard negatives (Karpukhin et al. 2020): each query
+    * (vec_id < 8) retrieves its cosine top-20 shortlist, same-label
+    * candidates drop as positives, and the top-5 survivors re-rank as
+    * the training negatives.
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.hardNegatives(
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label"), col("embedding")),
+      e, shortlist = 20, k = 5)
+  }
+
+  /** MMR diversified rerank (Carbonell & Goldstein 1998): greedy λ=0.7
+    * relevance-vs-redundancy selection of 5 from vec 0's top-12
+    * shortlist, in exact e6 integers.
+    */
+  def qMmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(embs(s, dir), queryId = 0L, shortlist = 12, k = 5)
+
   /** Margin-based bitext mining over an even/odd split of the embedding
     * table standing in for two languages' sentence embeddings: each
     * even vector's best odd neighbor, scored by the Artetxe–Schwenk
@@ -203,6 +223,22 @@ object TrainingQueries {
   /** Interpolated Kneser–Ney LM score, d = 0.75. */
   def qLmKneserNey(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScoreKneserNey(docs(s, dir))
+
+  /** At-rest LM count index: train on the %10!=9 split, persist the
+    * four delta-count tables as TxLog tables, score the heldout tenth
+    * AGAINST THE INDEX — zero corpus re-tokenization at serve, with the
+    * unseen-bigram/unseen-word contract the self-trained scorer never
+    * exercises ([[TextAnalysis.lmIndexWrite]]/[[TextAnalysis
+    * .lmScoreOverIndex]]).
+    */
+  def qLmIndex(s: SparkSession, dir: String): DataFrame = {
+    val index = cachedIndexFor(dir, "documents.parquet", "lmidx-v1") {
+      tmp => TextAnalysis.lmIndexWrite(
+        docs(s, dir).filter(col("doc_id") % 10 =!= 9), tmp)
+    }
+    TextAnalysis.lmScoreOverIndex(s, index,
+      docs(s, dir).filter(col("doc_id") % 10 === 9))
+  }
 
   /** Per-source dataset card: counts, mean quality, language spread,
     * exact-duplicate ratio.
@@ -606,6 +642,13 @@ object TrainingQueries {
     Graph.pageRank(edges, iters = 5)
       .select(col("v").as("node"), col("r").as("rank_e12"))
   }
+
+  /** TextRank keywords: 5 integer-exact PageRank rounds over the
+    * adjacent-token co-occurrence graph, top-20 by centrality
+    * ([[TextAnalysis.textRankKeywords]]).
+    */
+  def qTextrank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRankKeywords(docs(s, dir), iters = 5, k = 20)
 
   /** Deterministic hash-threshold stratified sample by language. */
   def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
@@ -1299,6 +1342,13 @@ object TrainingQueries {
   def qVocabGrowth(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabGrowth(docs(s, dir), nBuckets = 16)
 
+  /** Zipf rank-frequency audit at power-of-two ranks up to 256 — the
+    * freq·rank constancy check ([[TextAnalysis.zipfCheck]]), Heaps'
+    * distribution-shape complement.
+    */
+  def qZipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfCheck(docs(s, dir), maxRank = 256)
+
   /** DPO preference-pair assembly: docs quartets (doc_id DIV 4) stand
     * in for four scored responses to one prompt; score = text length
     * mod 97 (deterministic, with real ties — all-equal prompts must
@@ -1709,6 +1759,7 @@ object TrainingQueries {
     "q_robots" -> (qRobots _),
     "q_pref_pairs" -> (qPrefPairs _),
     "q_vocab_growth" -> (qVocabGrowth _),
+    "q_zipf" -> (qZipf _),
     "q_mrl_retention" -> (qMrlRetention _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lm_backoff" -> (qLmBackoff _),
@@ -1746,6 +1797,7 @@ object TrainingQueries {
     "q_char_diversity" -> (qCharDiversity _),
     "q_postings" -> (qPostings _),
     "q_pagerank" -> (qPagerank _),
+    "q_textrank" -> (qTextrank _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_fim" -> (qFim _),
@@ -1759,6 +1811,8 @@ object TrainingQueries {
     "q_containment" -> (qContainment _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_mmr" -> (qMmr _),
     "q_bitext_mine" -> (qBitextMine _),
     "q_bloom_dedup" -> (qBloomDedup _),
     "q_corpus_diff" -> (qCorpusDiff _),
@@ -1766,6 +1820,7 @@ object TrainingQueries {
     "q_unigram_seed" -> (qUnigramSeed _),
     "q_lm_interp" -> (qLmInterp _),
     "q_lm_kn" -> (qLmKneserNey _),
+    "q_lm_index" -> (qLmIndex _),
     "q_source_report" -> (qSourceReport _),
     "q_reservoir" -> (qReservoir _),
     "q_knn_ivf" -> (qKnnIvf _),
@@ -1829,8 +1884,15 @@ object TrainingQueries {
     * round k−1 with the SAME integer truncation order as
     * [[graft.ops.Graph.pageRank]].
     */
-  private def pagerankCtes(iters: Int, damp: Int): String = {
-    val rounds = (1 to iters).map { k =>
+  /** The integer-exact PageRank round template, one CTE pair per round
+    * — shared by every oracle that replays a [[graft.ops.Graph
+    * .pageRank]] trajectory (q_pagerank's synthetic link graph,
+    * q_textrank's co-occurrence graph). Expects CTEs `nodes(v)`,
+    * `params(n, base)`, `outdeg(src, d)`, `dedges(src, dst, d)` and
+    * `r0(v, r)` in scope.
+    */
+  private def pagerankRounds(iters: Int, damp: Int): String =
+    (1 to iters).map { k =>
       s"""r$k AS (
          |  SELECT n.v AS v,
          |    (p.base * ${100 - damp}) // 100 +
@@ -1845,7 +1907,9 @@ object TrainingQueries {
          |    SELECT (SELECT coalesce(sum(r.r), 0) FROM r${k - 1} r
          |      ANTI JOIN outdeg o ON r.v = o.src) // p2.n AS share
          |    FROM params p2) dg)""".stripMargin
-    }
+    }.mkString(",\n")
+
+  private def pagerankCtes(iters: Int, damp: Int): String =
     s"""params AS (
        |  SELECT count(*) AS n, 1000000000000 // count(*) AS base
        |  FROM documents),
@@ -1860,8 +1924,34 @@ object TrainingQueries {
        |  SELECT e.src, e.dst, o.d FROM edges e
        |  JOIN outdeg o ON o.src = e.src),
        |r0 AS (SELECT v, p.base AS r FROM nodes, params p),
-       |${rounds.mkString(",\n")}""".stripMargin
-  }
+       |${pagerankRounds(iters, damp)}""".stripMargin
+
+  /** q_textrank's CTE chain: the co-occurrence edge table (adjacent
+    * non-empty tokens, both directions, duplicates kept as weights),
+    * then the SAME round template as q_pagerank — params derive from
+    * the NODES table here (the graph's vocabulary), not the document
+    * count.
+    */
+  private def textrankCtes(iters: Int, damp: Int): String =
+    s"""tkw AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |adjw AS (SELECT unnest(range(greatest(len(w) - 1, 0))) AS i, w
+       |  FROM tkw),
+       |e1 AS (SELECT w[i+1] AS src, w[i+2] AS dst FROM adjw
+       |  WHERE w[i+1] != '' AND w[i+2] != ''),
+       |edges AS (SELECT src, dst FROM e1
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e1),
+       |nodes AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+       |params AS (
+       |  SELECT count(*) AS n, 1000000000000 // count(*) AS base
+       |  FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       |dedges AS (
+       |  SELECT e.src, e.dst, o.d FROM edges e
+       |  JOIN outdeg o ON o.src = e.src),
+       |r0 AS (SELECT v, p.base AS r FROM nodes, params p),
+       |${pagerankRounds(iters, damp)}""".stripMargin
 
   /** The seeded per-doc hash (mirrors Dedup.h60(seed + "|" + doc_id)) —
     * ONE definition for every curation oracle, so a salt's SQL can't
@@ -2622,6 +2712,73 @@ object TrainingQueries {
        |  FROM d) WHERE rn <= 5""".stripMargin
   }
 
+  /** knnJoinOracle's chain with the DPR twist: a 20-deep shortlist
+    * window, the label!=q_label positive drop, then a second window
+    * re-ranking the survivors 1..5.
+    */
+  private val hardNegativesOracle: String = {
+    val cos = "round(CAST(" + dotSql("e.qe", "q.q_emb") +
+      " AS DOUBLE) / sqrt(CAST(" + dotSql("e.qe", "e.qe") +
+      " AS DOUBLE) * CAST(" + dotSql("q.q_emb", "q.q_emb") +
+      " AS DOUBLE)), 6)"
+    s"""${quantCte.trim},
+       |q AS (SELECT vec_id AS q_id, label AS q_label, qe AS q_emb
+       |  FROM e WHERE vec_id < 8),
+       |d AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id, e.label, $cos AS cosine_r
+       |  FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+       |sl AS (SELECT * FROM (
+       |  SELECT d.*, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine_r DESC, vec_id) AS srn FROM d) WHERE srn <= 20)
+       |SELECT q_id, q_label, neg_id, neg_label, cosine_r, rn FROM (
+       |  SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label,
+       |    cosine_r,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine_r DESC, vec_id) AS rn
+       |  FROM sl WHERE label != q_label) WHERE rn <= 5""".stripMargin
+  }
+
+  /** Replays every greedy MMR step as its own CTE pair: c_t scores the
+    * remaining shortlist against the selected set s_1..s_{t-1} (max
+    * pair sim from the SAME e6 pair table the Spark side computes),
+    * s_t takes the argmax with the id tie-break. All-integer after the
+    * 6-decimal cosine rounding, so the trajectory is engine-exact.
+    */
+  private val mmrOracle: String = {
+    def cos(a: String, b: String) =
+      s"round(CAST(${dotSql(a, b)} AS DOUBLE) / sqrt(CAST(${dotSql(a, a)}" +
+        s" AS DOUBLE) * CAST(${dotSql(b, b)} AS DOUBLE)), 6)"
+    val steps = (2 to 5).map { t =>
+      val selPrev = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""c$t AS (
+         |  SELECT sl.vec_id, sl.rel_e6, max(ps.sim_e6) AS ms
+         |  FROM sl JOIN ps ON ps.a = sl.vec_id
+         |    AND ps.b IN ($selPrev)
+         |  WHERE sl.vec_id NOT IN ($selPrev)
+         |  GROUP BY 1, 2),
+         |s$t AS (SELECT CAST($t AS BIGINT) AS step, vec_id, rel_e6,
+         |  ms AS maxsim_e6, 7 * rel_e6 - 3 * ms AS score_e6
+         |  FROM c$t ORDER BY score_e6 DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 5).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""${quantCte.trim},
+       |q AS (SELECT qe AS q_emb FROM e WHERE vec_id = 0),
+       |dd AS (SELECT vec_id, qe,
+       |  CAST(round(${cos("qe", "q_emb")} * 1000000) AS BIGINT) AS rel_e6
+       |  FROM e CROSS JOIN q WHERE vec_id != 0),
+       |sl AS (SELECT * FROM dd ORDER BY rel_e6 DESC, vec_id LIMIT 12),
+       |ps AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |  CAST(round(${cos("x.qe", "y.qe")} * 1000000) AS BIGINT) AS sim_e6
+       |  FROM sl x JOIN sl y ON x.vec_id != y.vec_id),
+       |s1 AS (SELECT CAST(1 AS BIGINT) AS step, vec_id, rel_e6,
+       |  CAST(0 AS BIGINT) AS maxsim_e6, 7 * rel_e6 AS score_e6
+       |  FROM sl ORDER BY rel_e6 DESC, vec_id LIMIT 1),
+       |$steps
+       |$union""".stripMargin
+  }
+
   /** Replays the ratio-margin mining all-integer: the same 6-decimal
     * cosine rounding as knnJoinOracle feeds e6 fixed-point sums, and
     * the margin divides positive integers on both engines (floor ==
@@ -2778,6 +2935,37 @@ object TrainingQueries {
        |  GROUP BY 1, 2, 3),
        |c2t AS (SELECT pw, sw, sum(m) AS c2 FROM byd GROUP BY 1, 2),
        |c1t AS (SELECT pw, sum(m) AS c1 FROM byd GROUP BY 1)""".stripMargin
+
+  /** The at-rest-index serve replayed with the train/heldout split: the
+    * count tables derive from the train instances only, the heldout
+    * tenth LEFT-joins them (the unseen contract: unseen bigram → prior
+    * only, unseen word → 0 from that term), same e6 mix and truncating
+    * divisions as lmInterpOracle.
+    */
+  private val lmIndexOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(w, x -> ${dh("x")}) AS hs FROM t),
+       |inst AS (
+       |  SELECT doc_id, unnest(hs[1:len(hs)-1]) AS pw,
+       |    unnest(hs[2:len(hs)]) AS sw FROM th),
+       |tr AS (SELECT pw, sw FROM inst WHERE doc_id % 10 != 9),
+       |c2t AS (SELECT pw, sw, count(*) AS c2 FROM tr GROUP BY 1, 2),
+       |c1t AS (SELECT pw, count(*) AS c1 FROM tr GROUP BY 1),
+       |cwt AS (SELECT sw, count(*) AS cw FROM tr GROUP BY 1),
+       |tt AS (SELECT count(*) AS tot FROM tr),
+       |byd AS (
+       |  SELECT doc_id, pw, sw, count(*) AS m FROM inst
+       |  WHERE doc_id % 10 = 9 GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(m * ((700000 * (CASE WHEN coalesce(c1, 0) > 0
+       |      THEN coalesce(c2, 0) * 1000000 // c1 ELSE 0 END)
+       |    + 300000 * (coalesce(cw, 0) * 1000000 // tot)) // 1000000))
+       |    // sum(m) AS BIGINT) AS lm_i_score_e6
+       |FROM byd LEFT JOIN c2t USING (pw, sw) LEFT JOIN c1t USING (pw)
+       |  LEFT JOIN cwt USING (sw) CROSS JOIN tt
+       |GROUP BY doc_id""".stripMargin
 
   private val lmInterpOracle: String =
     s"""WITH $bigramCtes,
@@ -3623,6 +3811,13 @@ object TrainingQueries {
       s"""WITH ${pagerankCtes(iters = 5, damp = 85)}
          |SELECT v AS node, CAST(r AS BIGINT) AS rank_e12 FROM r5""".stripMargin,
 
+    // the same round template over the co-occurrence graph; the top-20
+    // cut is total-ordered by (rank DESC, word) on both engines
+    "q_textrank" ->
+      s"""WITH ${textrankCtes(iters = 5, damp = 85)}
+         |SELECT v AS word, CAST(r AS BIGINT) AS rank_e12 FROM r5
+         |ORDER BY r DESC, v LIMIT 20""".stripMargin,
+
     // the 4-block postings rebuild: same (term, block) lists, same
     // delta gaps, same unsigned-varint widths, same position-tagged xor
     "q_postings" ->
@@ -3694,6 +3889,8 @@ object TrainingQueries {
     "q_edit_verified" -> editVerifiedOracle,
     "q_knn_brute" -> knnBruteOracle,
     "q_knn_join" -> knnJoinOracle,
+    "q_hard_negatives" -> hardNegativesOracle,
+    "q_mmr" -> mmrOracle,
     "q_bitext_mine" -> bitextMineOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_corpus_diff" -> corpusDiffOracle,
@@ -3701,6 +3898,7 @@ object TrainingQueries {
     "q_unigram_seed" -> unigramSeedOracle,
     "q_lm_interp" -> lmInterpOracle,
     "q_lm_kn" -> lmKneserNeyOracle,
+    "q_lm_index" -> lmIndexOracle,
     "q_source_report" -> sourceReportOracle,
     "q_reservoir" -> reservoirOracle,
     "q_knn_ivf" -> knnIvfOracle,
@@ -4573,6 +4771,19 @@ object TrainingQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_vocab
         |FROM pt LEFT JOIN nv ON pt.bucket = nv.fb""".stripMargin,
+
+    // rank-frequency replay: same vocab counts, same (n DESC, w) total
+    // order, the power-of-two mask as the identical bitwise test
+    "q_zipf" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS n FROM tk WHERE w != '' GROUP BY 1),
+        |top AS (SELECT w, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+        |  FROM wc ORDER BY n DESC, w LIMIT 256)
+        |SELECT CAST(rank AS BIGINT) AS rank, w AS word,
+        |  CAST(n AS BIGINT) AS freq, CAST(n * rank AS BIGINT) AS freq_rank
+        |FROM top WHERE (rank & (rank - 1)) = 0""".stripMargin,
 
     // preference extremes replayed as two rank windows over the same
     // deterministic scores; the tie-to-lower-id contract on both sides

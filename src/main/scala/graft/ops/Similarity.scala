@@ -1394,4 +1394,125 @@ object Similarity {
     embeddings.withColumn("proj",
       graft.functions.VectorExpressions.randproj(
         quantize(col(embCol)), outDims))
+
+  /** Hard-negative mining for retrieval training data (Karpukhin et al.
+    * 2020, DPR §4.2: the strongest training negatives are the passages
+    * a retriever RANKS HIGHEST among the non-positives — random
+    * negatives are too easy and the contrastive gradient vanishes).
+    * Each query retrieves a `shortlist`-deep cosine top list; candidates
+    * sharing the query's label are positives (the relevance proxy here)
+    * and drop; the top `k` survivors re-rank 1..k as that query's hard
+    * negatives. Returns (q_id, q_label, neg_id, neg_label, cosine_r, rn).
+    *
+    * Scale shape: ONE corpus pass with the [[knnJoin]] broadcast
+    * fan-out; both windows partition BY QUERY (parallel across queries,
+    * never a global sort), and the second window re-ranks only the
+    * ≤ `shortlist` survivors of the first — no new exchange, the
+    * partitioning carries. For query sets past the broadcast ceiling
+    * the candidate stage swaps to [[knnJoinBucketed]]'s cell equi-join;
+    * the label filter and re-rank are unchanged.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    shortlist: Int, k: Int,
+                    queryIdCol: String = "q_id", idCol: String = "vec_id",
+                    labelCol: String = "label",
+                    embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(labelCol).as("q_label"),
+      quantize(col(embCol)).as("__q_emb"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine_r").desc, col(idCol))
+    corpus
+      .select(col(idCol), col(labelCol).as("neg_label"),
+        quantize(col(embCol)).as("__c_emb"))
+      .join(broadcast(q), col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine_r",
+        round(cosineQ(col("__c_emb"), col("__q_emb")), 6))
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= shortlist && col("neg_label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col("q_label"), col(idCol).as("neg_id"),
+        col("neg_label"), col("cosine_r"), col("rn"))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    * greedy diversified top-k over a relevance shortlist —
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the standard
+    * redundancy killer for RAG context assembly, where the plain top-k
+    * hands the model k near-copies of the same passage. λ = 0.7 in
+    * ×10-scaled exact integers: `score_e6 = 7·rel_e6 − 3·maxsim_e6`
+    * over 6-decimal-rounded cosines (the [[bitextMine]] e6 idiom), so
+    * any engine replays every greedy step bit for bit. Ties break on
+    * the id. The first pick has no selected set: maxsim_e6 = 0, i.e.
+    * pure relevance, per the paper.
+    *
+    * Scale shape: the corpus is touched ONCE — a broadcast-query scan
+    * into a TakeOrdered top-`shortlist` (k-bounded, never a global
+    * sort). Everything after operates on the shortlist: the pairwise
+    * sims are `shortlist²` rows and the greedy walk runs over those
+    * collected integers — ≤ ~10⁴ values for any sane rerank window,
+    * the serving shape (rerankers run on shortlists by definition; at
+    * 100 TB the shortlist is still 12 rows). Returns one row per greedy
+    * step: (step, vec_id, rel_e6, maxsim_e6, score_e6).
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, shortlist: Int,
+                k: Int, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= 1,
+      s"need shortlist >= 1 and k >= 1, got shortlist=$shortlist k=$k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(quantize(col(embCol)).as("__q_emb"))
+    val sl = embeddings.filter(col(idCol) =!= queryId)
+      .select(col(idCol), quantize(col(embCol)).as("__e"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel_e6",
+        round(round(cosineQ(col("__e"), col("__q_emb")), 6) * 1e6)
+          .cast("long"))
+      .select(col(idCol), col("__e"), col("rel_e6"))
+      .orderBy(col("rel_e6").desc, col(idCol))
+      .limit(shortlist)
+      .cache() // three consumers (rels + both pair sides) — cached so
+               // the corpus scan + TakeOrdered run once, not per branch;
+               // unpersisted before return (shortlist rows, trivial)
+    val a = sl.select(col(idCol).as("a"), col("__e").as("__ea"))
+    val b = sl.select(col(idCol).as("b"), col("__e").as("__eb"))
+    val pairSims = a.join(broadcast(b), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(round(cosineQ(col("__ea"), col("__eb")), 6) * 1e6)
+          .cast("long").as("sim_e6"))
+    // bounded collects: |shortlist| rels + |shortlist|² sims — the
+    // greedy walk is inherently sequential (step t needs the argmax of
+    // step t-1), so it runs over these collected integers, like the
+    // Lloyd k-row centroid collects
+    val rels: Seq[(Long, Long)] = sl
+      .select(col(idCol).cast("long"), col("rel_e6")).as[(Long, Long)]
+      .collect().toSeq.sortBy { case (id, rel) => (-rel, id) }
+    val sims: Map[(Long, Long), Long] = pairSims
+      .select(col("a").cast("long"), col("b").cast("long"), col("sim_e6"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, s) => (x, y) -> s }.toMap
+    sl.unpersist(false)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    var step = 1L
+    while (step <= k && remaining.nonEmpty) {
+      val scored = remaining.iterator.map { case (id, rel) =>
+        val ms =
+          if (selected.isEmpty) 0L
+          else selected.iterator.map(s => sims((id, s))).max
+        (id, rel, ms, 7L * rel - 3L * ms)
+      }.toSeq
+      val (id, rel, ms, sc) = scored
+        .minBy { case (i, _, _, s) => (-s, i) }
+      out += ((step, id, rel, ms, sc))
+      selected += id
+      remaining.remove(id)
+      step += 1
+    }
+    out.toSeq.toDF("step", "vec_id", "rel_e6", "maxsim_e6", "score_e6")
+  }
 }

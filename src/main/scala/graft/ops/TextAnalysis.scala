@@ -723,6 +723,104 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Signed delta-count rows for the at-rest LM index — the KenLM-shaped
+    * serving artifact's write unit. Four ADDITIVE tables (bigram,
+    * prefix, second-word, total counts over h60 word hashes): counts
+    * form a commutative group, so a batch of documents contributes
+    * `sign = +1` rows and a retraction the same rows at `-1`, and any
+    * interleaving of appends sums to the exact corpus counts — the
+    * property that makes the incremental index EXACT under churn (no
+    * staleness contract needed, unlike the segmented BM25 index's df).
+    */
+  private[graft] def lmDeltaRows(docs: DataFrame, sign: Long,
+                                 textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bi0 = bigramHashInst(docs, textCol, idCol)
+      .groupBy(col("pw"), col("sw")).agg(count(lit(1)).as("n"))
+    val bi = bi0.select(col("pw"), col("sw"), (col("n") * sign).as("c"))
+    val pre = bi0.groupBy(col("pw"))
+      .agg((sum(col("n")) * sign).as("c"))
+    val wrd = bi0.groupBy(col("sw"))
+      .agg((sum(col("n")) * sign).as("c"))
+    val tot = bi0.agg((coalesce(sum(col("n")), lit(0L)) * sign).as("c"))
+    (bi, pre, wrd, tot)
+  }
+
+  /** AT-REST bigram LM index: the four [[lmDeltaRows]] count tables
+    * persisted as TxLog tables, hash-range-clustered on their key so a
+    * scoring batch's term set prunes the reads through manifest
+    * min/max stats. [[lmScoreOverIndex]] serves against it with ZERO
+    * corpus re-tokenization — the n-gram-LM twin of the segmented BM25
+    * index, and the relational shape of a KenLM count file.
+    */
+  def lmIndexWrite(train: DataFrame, index: String,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): Unit = {
+    import graft.lake.TxLog
+    val (bi, pre, wrd, tot) = lmDeltaRows(train, 1L, textCol, idCol)
+    TxLog.append(bi.repartitionByRange(col("pw"), col("sw")),
+      s"$index/bigrams")
+    TxLog.append(pre.repartitionByRange(col("pw")), s"$index/prefixes")
+    TxLog.append(wrd.repartitionByRange(col("sw")), s"$index/words")
+    TxLog.append(tot.coalesce(1), s"$index/stats")
+  }
+
+  /** Jelinek–Mercer interpolated bigram score of `heldout` against the
+    * at-rest index — [[lmScoreInterpolated]]'s exact e6 mix, with the
+    * count tables READ (and delta-summed) instead of trained, plus the
+    * out-of-vocabulary contract self-training never needs: an unseen
+    * bigram scores only its unigram prior, an unseen second word
+    * scores 0 from that term (λ-weighted pieces coalesce to 0
+    * independently). A heldout doc with no bigrams emits no row, like
+    * the trainer.
+    *
+    * Scale shape: one narrow heldout tokenize/explode, per-key sums of
+    * the delta tables (hash-keyed, map-side combinable), three hash
+    * joins on 8-byte keys, one broadcast 1-row total. After churn the
+    * sums ARE the current corpus counts (see [[lmDeltaRows]]) — serve
+    * results equal a from-scratch rebuild bit for bit, spec-pinned.
+    */
+  def lmScoreOverIndex(spark: org.apache.spark.sql.SparkSession,
+                       index: String, heldout: DataFrame,
+                       lambdaE6: Long = 700000L,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import graft.lake.TxLog
+    require(lambdaE6 >= 0 && lambdaE6 <= 1000000L,
+      s"lambdaE6 out of [0, 1e6]: $lambdaE6")
+    val byDoc = bigramHashInst(heldout, textCol, idCol)
+      .groupBy(col(idCol), col("pw"), col("sw"))
+      .agg(count(lit(1)).as("m"))
+    def summed(table: String, keys: Seq[String], as: String): DataFrame =
+      TxLog.read(spark, s"$index/$table")
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("c")).as(as))
+        .filter(col(as) > 0)
+    val bi = summed("bigrams", Seq("pw", "sw"), "c2")
+    val pre = summed("prefixes", Seq("pw"), "c1")
+    val wrd = summed("words", Seq("sw"), "cw")
+    val tot = TxLog.read(spark, s"$index/stats")
+      .agg(sum(col("c")).as("tot"))
+    val mixE6 =
+      s"(($lambdaE6 * (CASE WHEN c1 > 0" +
+        " THEN cast(c2 as decimal(38,0)) * 1000000 DIV c1 ELSE 0 END)" +
+        s" + ${1000000L - lambdaE6} *" +
+        " (cast(cw as decimal(38,0)) * 1000000 DIV tot)) DIV 1000000)"
+    byDoc
+      .join(bi, Seq("pw", "sw"), "left")
+      .join(pre, Seq("pw"), "left")
+      .join(wrd, Seq("sw"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("m"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("cw"), lit(0L)).as("cw"), col("tot"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        expr(s"sum(m * $mixE6) DIV sum(m)").as("lm_i_score_e6"))
+  }
+
   /** Block-sharded inverted index build — the retrieval-side artifact a
     * training-data pipeline exports next to the corpus (BM25/TF-IDF
     * score AGAINST it; search infra consumes it). Per (term, block):
@@ -2386,6 +2484,73 @@ object TextAnalysis {
       .select(col("__b").as("bucket"),
         sum(col("__toks")).over(w).as("cum_tokens"),
         sum(coalesce(col("__new_vocab"), lit(0L))).over(w).as("cum_vocab"))
+  }
+
+  /** Zipf rank-frequency audit: the top-`maxRank` vocabulary by corpus
+    * frequency, sampled at power-of-two ranks with the exact integer
+    * product `freq·rank` — Zipf's law (freq ∝ 1/rank) predicts a flat
+    * product column, so a corpus-health dashboard reads the bow
+    * directly: boilerplate/template floods bulge it at mid ranks,
+    * id-like token floods sink the tail. The shape complement of
+    * [[vocabGrowth]] (Heaps' law watches vocabulary GROWTH, this its
+    * frequency DISTRIBUTION), and all-integer so any engine replays it.
+    *
+    * Scale shape: one vocab-bounded aggregate (map-side partials
+    * compress each partition to its distinct words), then a TakeOrdered
+    * top-`maxRank` — never a global sort; the rank window orders the
+    * surviving `maxRank` rows, a constant-size single partition by
+    * construction.
+    */
+  def zipfCheck(docs: DataFrame, maxRank: Int = 256,
+                textCol: String = "text"): DataFrame = {
+    require(maxRank >= 1, s"need maxRank >= 1: $maxRank")
+    val top = wordCounts(docs, textCol)
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxRank)
+    val w = Window.orderBy(col("n").desc, col("w"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(expr("(rank & (rank - 1)) = 0"))
+      .select(col("rank"), col("w").as("word"), col("n").as("freq"),
+        (col("n") * col("rank")).as("freq_rank"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Texts" §3.1): PageRank over the word
+    * co-occurrence graph — adjacent-token pairs, undirected (each
+    * adjacency emits both directions) — surfaces the corpus's central
+    * vocabulary by GRAPH CENTRALITY instead of raw frequency (a word
+    * co-occurring with many distinct well-connected words outranks an
+    * equally frequent word stuck in one template). Duplicate edges act
+    * as weights: [[Graph.pageRank]]'s per-instance `r DIV outdeg`
+    * contribution makes a pair seen m times carry m shares of its
+    * source's rank — exactly the paper's weighted variant in the
+    * integer-exact e12 domain, so the oracle replays the trajectory.
+    * Returns the top `k` (word, rank_e12) with the id tie-break.
+    *
+    * Scale shape: edge building is one shuffle-free narrow pass (pair
+    * array per doc, exploded); the rounds ride pageRank's Pregel shape
+    * — the edge list materializes once and each round shuffles only
+    * |vocab| rank rows; the final top-k is a TakeOrdered.
+    */
+  def textRankKeywords(docs: DataFrame, iters: Int = 5, k: Int = 20,
+                       textCol: String = "text"): DataFrame = {
+    val adjacent = docs
+      .select(toks(col(textCol)).as("__w"))
+      .select(explode(
+        when(size(col("__w")) < 2,
+          array().cast("array<struct<src:string,dst:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("__w")) - 2),
+            i => struct(element_at(col("__w"), i + 1).as("src"),
+              element_at(col("__w"), i + 2).as("dst"))))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "")
+    val edges = adjacent.union(
+      adjacent.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, iters)
+      .orderBy(col("r").desc, col("v"))
+      .limit(k)
+      .select(col("v").as("word"), col("r").as("rank_e12"))
   }
 
   private def wordCounts(docs: DataFrame, textCol: String): DataFrame =

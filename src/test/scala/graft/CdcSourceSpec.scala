@@ -531,4 +531,58 @@ class CdcSourceSpec extends SparkSpec {
       assert(rb === fromScratch(), "rebuild must restore exact stats")
     } finally q.stop()
   }
+
+  test("incremental LM index: serve is EXACT under insert/update/delete " +
+    "(counts are a commutative group — no staleness, no rebuild)") {
+    import graft.ops.TextAnalysis
+    val source = newTable()
+    val index = newTable()
+    // the heldout batch exercises every OOV branch: seen bigrams, seen
+    // words in unseen bigrams, and fully novel words
+    val heldout = Seq(
+      (100L, "spark streams merge quick fox unseen"),
+      (101L, "totally novel words zzz yyy xxx"))
+      .toDF("doc_id", "text")
+    def score(idx: String): Seq[(Long, Long, String)] =
+      TextAnalysis.lmScoreOverIndex(spark, idx, heldout)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString))
+        .toSeq.sortBy(_._1)
+    var scratchN = 0
+    def fromScratch(): Seq[(Long, Long, String)] = {
+      scratchN += 1
+      val idx2 = s"${newTable()}-scratch$scratchN"
+      TextAnalysis.lmIndexWrite(TxLog.read(spark, source), idx2)
+      score(idx2)
+    }
+    TxLog.append(Seq(
+      (1L, "spark streams merge windows over spark logs"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "merge sort beats bubble sort on big inputs"),
+      (4L, "plain filler text with no query words at all"))
+      .toDF("doc_id", "text").coalesce(1), source) // v0
+    val q = graft.streaming.Streaming.incrementalLmIndex(
+      spark, source, index, "lmidx-spec", tmp())
+    try {
+      q.processAllAvailable()
+      assert(score(index) === fromScratch(), "snapshot batch must be exact")
+
+      TxLog.append(Seq(
+        (5L, "spark merge spark merge spark"),
+        (6L, "another fox in another window"))
+        .toDF("doc_id", "text").coalesce(1), source) // v1
+      q.processAllAvailable()
+      assert(score(index) === fromScratch(), "insert increments must be exact")
+
+      TxLog.update(spark, source, col("doc_id") === 1L,
+        Map("text" -> lit("completely unrelated replacement now"))) // v2
+      TxLog.delete(spark, source, col("doc_id") === 5L) // v3
+      q.processAllAvailable()
+      // THE contract this index exists for: churn stays exact — the
+      // update's delete+insert pair and the delete's retraction
+      // telescope in the count sums (vs the BM25 index's stale df)
+      assert(score(index) === fromScratch(),
+        "update/delete must leave the served counts exactly current")
+    } finally q.stop()
+  }
 }

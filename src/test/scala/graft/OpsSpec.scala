@@ -3257,4 +3257,79 @@ class OpsSpec extends SparkSpec with PropSupport {
       .as[String].collect().toSeq
     assert(twice === once, "canon(canon(u)) must equal canon(u)")
   }
+
+  test("zipfCheck: power-of-two ranks only, exact products, frequency order") {
+    val d = Seq((1L, "a a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfCheck(d, maxRank = 8).orderBy("rank").collect()
+    // counts: a=5, b=3, c=2, d=1 -> ranks 1..4, powers of two kept: 1,2,4
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 4L))
+    assert(out.map(_.getAs[String]("word")).toSeq === Seq("a", "b", "d"))
+    assert(out.map(_.getAs[Long]("freq")).toSeq === Seq(5L, 3L, 1L))
+    assert(out.forall(r =>
+      r.getAs[Long]("freq_rank") ==
+        r.getAs[Long]("freq") * r.getAs[Long]("rank")))
+  }
+
+  test("textRankKeywords: the hub word wins; pair-less docs contribute no nodes") {
+    val d = Seq((1L, "a b a"), (2L, "x a"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(d, iters = 3, k = 10).collect()
+    // graph: a-b (twice), a-x -> nodes {a, b, x}; "solo" never pairs
+    assert(out.length === 3)
+    assert(out.head.getAs[String]("word") === "a",
+      "the hub (touches b AND x) must rank first")
+    assert(!out.map(_.getAs[String]("word")).contains("solo"))
+    // undirected doubling: total rank mass stays ~1e12 (bounded trunc loss)
+    val total = out.map(_.getAs[Long]("rank_e12")).sum
+    assert(total > 990000000000L && total <= 1000000000000L)
+  }
+
+  test("hardNegatives: positives drop, survivors re-rank, shortlist bites first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.01f), "A"),  // near-perfect positive
+      (2L, Array(0.9f, 0.1f, 0.0f), "B"),   // best wrong-label
+      (3L, Array(0.5f, 0.5f, 0.0f), "B"),
+      (4L, Array(0.8f, 0.2f, 0.0f), "A"),   // positive
+      (5L, Array(0.0f, 1.0f, 0.0f), "C")
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f), "A"))
+      .toDF("q_id", "embedding", "label")
+    val wide = Similarity.hardNegatives(queries, corpus, shortlist = 10, k = 2)
+      .orderBy("rn").collect()
+    assert(wide.map(_.getAs[Long]("neg_id")).toSeq === Seq(2L, 3L))
+    assert(wide.map(_.getAs[Int]("rn")).toSeq === Seq(1, 2))
+    assert(wide.forall(r =>
+      r.getAs[String]("neg_label") != r.getAs[String]("q_label")))
+    // DPR semantics: the label filter runs on the RETRIEVED shortlist,
+    // not before retrieval — a shortlist of 2 holds {1 (positive), 2},
+    // so only id 2 survives even though k = 2
+    val tight = Similarity.hardNegatives(queries, corpus, shortlist = 2, k = 2)
+      .collect()
+    assert(tight.map(_.getAs[Long]("neg_id")).toSeq === Seq(2L))
+  }
+
+  test("mmrRerank: diversification beats the plain top-k, score identity holds") {
+    // query bisects ids 1 and 3's directions; id 2 duplicates id 1, so
+    // relevance alone picks {1, 2} but MMR's redundancy term must pick
+    // {1, 3} (sim(1,2) ~ 1e6 vs sim(1,3) ~ 0 at near-equal rel)
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f)),     // the query vector
+      (1L, Array(1.0f, 0.01f, 0.0f)),    // top relevance
+      (2L, Array(1.0f, 0.0f, 0.0f)),     // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f))      // diverse, same rel as 2
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(e, queryId = 0L, shortlist = 3, k = 3)
+      .orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 3L, 2L))
+    assert(out.head.getAs[Long]("maxsim_e6") === 0L, "first pick is pure rel")
+    assert(out.forall(r => r.getAs[Long]("score_e6") ==
+      7L * r.getAs[Long]("rel_e6") - 3L * r.getAs[Long]("maxsim_e6")))
+    // the redundancy penalty monotonically tightens: later picks carry a
+    // selected set that only grows, so maxsim never decreases here
+    val ms = out.map(_.getAs[Long]("maxsim_e6")).toSeq
+    assert(ms === ms.sorted)
+    // k beyond the candidate pool stops at the pool, never loops
+    val short = Similarity.mmrRerank(e, queryId = 0L, shortlist = 3, k = 5)
+    assert(short.count() === 3)
+  }
 }

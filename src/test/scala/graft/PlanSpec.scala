@@ -64,6 +64,44 @@ class PlanSpec extends SparkSpec {
       s"the top-k window must partition by the query id, never globally")
   }
 
+  test("q_hard_negatives: query set broadcasts; both rank windows partition per query") {
+    val plan = executedPlan("q_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the query side must broadcast — a shuffled |q|x|corpus| join " +
+        "explodes at scale")
+    assert(!plan.contains("CartesianProduct"),
+      "fan-out must ride the broadcast, never a shuffled cartesian")
+    assert("Window \\[[^\\]]*\\], \\[q_id".r.findFirstIn(plan).isDefined,
+      "the shortlist/re-rank windows must partition by the query id")
+    // the re-rank window reuses the shortlist window's q_id partitioning
+    // — exactly one q_id exchange in the FINAL plan (AQE's toString
+    // appends an "== Initial Plan ==" section that would double-count)
+    val exchanges = "Exchange hashpartitioning\\(q_id".r
+      .findAllIn(plan.split("== Initial Plan ==").head).size
+    assert(exchanges <= 1,
+      s"re-rank must reuse the shortlist partitioning, saw $exchanges q_id exchanges")
+  }
+
+  test("q_zipf is a combining aggregate + TakeOrdered (no corpus sort)") {
+    val plan = executedPlan("q_zipf")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-vocab cut must TakeOrdered, never sort the vocabulary globally")
+    assert(!plan.contains("Join"), "rank-frequency needs no join")
+  }
+
+  test("q_lm_index serve joins the at-rest count tables on hashes " +
+    "(no cartesian; the only NL join is the 1-row total broadcast)") {
+    val plan = executedPlan("q_lm_index")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      "index serve must stay equi-join + aggregate work")
+    // count in the FINAL plan only (AQE toString doubles nodes in its
+    // "== Initial Plan ==" section)
+    val nl = "BroadcastNestedLoopJoin".r
+      .findAllIn(plan.split("== Initial Plan ==").head).size
+    assert(nl <= 1, s"only the 1-row total may NL-join, saw $nl")
+  }
+
   test("trained lang-id: profile join broadcasts; windows stay keyed") {
     val plan = executedPlan("q_langid_trained")
     assert(!plan.contains("CartesianProduct"))
@@ -595,6 +633,8 @@ class PlanSpec extends SparkSpec {
   private val bnljAllowed: Map[String, String] = Map(
     "q_knn_brute" -> "1-row query vector broadcast x corpus scan is brute-force kNN's definition (Similarity.scala:73)",
     "q_knn_join" -> "bounded query set broadcast; fan-out rides the broadcast by design",
+    "q_hard_negatives" -> "bounded query set broadcast (the knnJoin fan-out); the label filter and re-rank run after it (Similarity.hardNegatives)",
+    "q_lm_index" -> "1-row summed count-total broadcast onto the heldout bigram table (TextAnalysis.lmScoreOverIndex)",
     "q_bitext_mine" -> "bits=0 exact path: Catalyst folds the constant cell key to a trivially-true BNLJ over the broadcast source half; bits>0 keeps a real equi-join at scale (Similarity.bitextMine)",
     "q_knn_ivf_trained" -> "1-row quantized query broadcast over the probed cells (Similarity.scala:322)",
     "q_ivfpq_rerank" -> "1-row query broadcast over the ADC-shortlisted candidates (Similarity.scala:350)",
@@ -628,7 +668,8 @@ class PlanSpec extends SparkSpec {
     "q_temperature_mix" -> "windows the per-source mixture table: |sources| rows",
     "q_epoch_schedule" -> "windows the per-source epoch table: |sources| rows",
     "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows",
-    "q_vocab_growth" -> "cumulative sums window over the nBuckets=16 slice table"
+    "q_vocab_growth" -> "cumulative sums window over the nBuckets=16 slice table",
+    "q_zipf" -> "rank window over the TakeOrdered top-256 vocabulary rows"
   )
 
   test("bitextMine evaluates the pair-cosine join once (ReusedExchange)") {
