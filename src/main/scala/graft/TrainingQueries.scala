@@ -944,6 +944,26 @@ object TrainingQueries {
           lit(0L), (acc, x) => acc + x).as("total_len"))
   }
 
+  /** At-rest tokenizer artifact: the 4 trained merges persisted as a
+    * TxLog table, the corpus encoded AGAINST THE TABLE
+    * ([[TextAnalysis.bpeMergesWrite]]/[[TextAnalysis
+    * .bpeEncodeOverIndex]]) — row-identical to q_bpe_encode's in-query
+    * training, which is exactly what the shared oracle pins.
+    */
+  def qBpeIndex(s: SparkSession, dir: String): DataFrame = {
+    val index = cachedIndexFor(dir, "documents.parquet", "bpetok-v1") {
+      tmp => TextAnalysis.bpeMergesWrite(
+        TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4), tmp)
+    }
+    TextAnalysis.bpeEncodeOverIndex(s, index, docs(s, dir))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(filter(col("tokens"), t => t.contains(" "))).cast("long")
+          .as("n_merged"),
+        aggregate(transform(col("tokens"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_len"))
+  }
+
   /** Sequence-length curriculum order: short docs first, shuffled
     * within each 100-char length stage (capped at stage 5).
     */
@@ -1867,6 +1887,7 @@ object TrainingQueries {
     "q_bbpe_encode" -> (qBbpeEncode _),
     "q_wp_merges" -> (qWpMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_index" -> (qBpeIndex _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
     "q_embed_pipeline" -> (qEmbedPipeline _),
@@ -2580,6 +2601,24 @@ object TrainingQueries {
     * of every dictionary word.
     */
   private def bpeCtes(nMerges: Int): String = bpeCtes(nMerges, wpScore = false)
+
+  /** Train+encode replay shared by q_bpe_encode (in-query training) and
+    * q_bpe_index (the same merges frozen as an at-rest artifact): the
+    * round-4 dictionary stream IS the encoded corpus either way.
+    */
+  private lazy val bpeEncodeOracle: String =
+    s"""WITH ${bpeCtes(4)},
+       |wenc AS (
+       |  SELECT word, count(*) AS n_syms,
+       |    sum(CASE WHEN s LIKE '% %' THEN 1 ELSE 0 END) AS w_merged,
+       |    sum(length(s)) AS w_len
+       |  FROM s4 GROUP BY 1),
+       |inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(sum(w_merged) AS BIGINT) AS n_merged,
+       |  CAST(sum(w_len) AS BIGINT) AS total_len
+       |FROM inst JOIN wenc USING (word) GROUP BY 1""".stripMargin
 
   /** The accent tail every byte-BPE query appends to each doc: real
     * multi-byte words plus a 40-char é run whose (Ã,©)/(©,Ã) byte
@@ -4403,19 +4442,11 @@ object TrainingQueries {
          |  CAST(sum(w_len) AS BIGINT) AS total_len
          |FROM inst JOIN wenc USING (word) GROUP BY 1""".stripMargin,
 
-    "q_bpe_encode" ->
-      s"""WITH ${bpeCtes(4)},
-         |wenc AS (
-         |  SELECT word, count(*) AS n_syms,
-         |    sum(CASE WHEN s LIKE '% %' THEN 1 ELSE 0 END) AS w_merged,
-         |    sum(length(s)) AS w_len
-         |  FROM s4 GROUP BY 1),
-         |inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |  FROM documents)
-         |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
-         |  CAST(sum(w_merged) AS BIGINT) AS n_merged,
-         |  CAST(sum(w_len) AS BIGINT) AS total_len
-         |FROM inst JOIN wenc USING (word) GROUP BY 1""".stripMargin,
+    "q_bpe_encode" -> bpeEncodeOracle,
+
+    // the index serve is row-identical to the direct encode (frozen
+    // merges, same kernel), so the SAME replay pins it
+    "q_bpe_index" -> bpeEncodeOracle,
 
     "q_epoch_schedule" ->
       """WITH s AS (

@@ -2365,6 +2365,35 @@ object TextAnalysis {
         graft.functions.BpeExpressions.bpeEncode(toks(col(textCol)), merges))
         .as("tokens"))
 
+  /** Persist a trained merge table ([[bpeTrainMerges]] /
+    * [[wordpieceTrainMerges]] output) as a TxLog table — the
+    * tokenizer.json of this engine: the artifact is versioned (TxLog
+    * time travel reproduces any past tokenization exactly), tiny
+    * (|merges| rows), and every downstream encode reads it instead of
+    * retraining. Completes the at-rest artifact family next to the
+    * BM25 segments, the IVF-PQ model, and the LM count index.
+    */
+  def bpeMergesWrite(merges: DataFrame, index: String): Unit =
+    graft.lake.TxLog.append(merges.coalesce(1), index)
+
+  /** Encode a corpus against the at-rest merge table: the merges
+    * collect (|vocab|-bounded, rank-ordered) and ship inside the same
+    * native kernel as [[bpeEncode]] — a shuffle-free narrow corpus
+    * map, zero training work at encode time. Row-identical to encoding
+    * with the in-memory merges the table was written from.
+    */
+  def bpeEncodeOverIndex(spark: org.apache.spark.sql.SparkSession,
+                         index: String, docs: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id",
+                         byteLevel: Boolean = false): DataFrame = {
+    val ms = graft.lake.TxLog.read(spark, index)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("token_a"), r.getAs[String]("token_b")))
+      .toSeq
+    bpeEncode(docs, ms, textCol, idCol, byteLevel)
+  }
+
   /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the other
     * real-world tokenizer family next to BPE (Kudo 2018), via hard-EM
     * (Viterbi-EM, SentencePiece's own alternation with the soft E-step
@@ -2545,9 +2574,15 @@ object TextAnalysis {
               element_at(col("__w"), i + 2).as("dst"))))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .filter(col("src") =!= "" && col("dst") =!= "")
+    // collapse instance multiplicity into WEIGHTED edge types before
+    // the rounds: the co-occurrence graph has ~|tokens| edge instances
+    // but only ~|bigram types| distinct pairs, and m·(r DIV d) is
+    // integer-identical to summing m instances — the rounds join a
+    // table that grows with the vocabulary, not the corpus
     val edges = adjacent.union(
-      adjacent.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRank(edges, iters)
+        adjacent.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("m"))
+    Graph.pageRankWeighted(edges, iters)
       .orderBy(col("r").desc, col("v"))
       .limit(k)
       .select(col("v").as("word"), col("r").as("rank_e12"))

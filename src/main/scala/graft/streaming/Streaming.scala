@@ -393,6 +393,53 @@ object Streaming {
           col(keyCol), col("n"), col("sum_metric")),
       table, appId, checkpoint, Nil, trigger)
 
+  /** Streaming TRENDING TERMS (windowed heavy hitters): tokenize the
+    * document stream, count per (tumbling window, term) under a
+    * watermark, and land each CLOSED window's term counts exactly-once
+    * in the lake — the streaming face of the corpus vocabulary audits
+    * (q_zipf watches the standing distribution; this watches what is
+    * surging NOW, the crawl-ops view that catches a spam campaign or an
+    * event spike while it happens).
+    *
+    * Scale/state: the explode is narrow (no pre-shuffle); the windowed
+    * aggregate's state is (horizon / windowDur) · |in-flight vocab|
+    * rows — closed windows leave the store, and the append-mode output
+    * emits each (window, term) row exactly once when the watermark
+    * passes the window end, so the sink table is insert-only (no
+    * last-write merge needed). Serving is [[trendingTopK]]'s one
+    * window-keyed rank over the at-rest table.
+    */
+  def trendingTermsSink(docs: DataFrame, tsCol: String, textCol: String,
+                        windowDur: String, watermarkDelay: String,
+                        table: String, appId: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    txLogSink(
+      docs
+        .withWatermark(tsCol, watermarkDelay)
+        .select(col(tsCol), explode(split(col(textCol), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(window(col(tsCol), windowDur), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"), col("term"), col("n")),
+      table, appId, checkpoint, Nil, trigger)
+
+  /** Per-window top-k over [[trendingTermsSink]]'s at-rest table: one
+    * rank window PARTITIONED BY WINDOW START (parallel across windows,
+    * never a global sort), ties to the term. A serving dashboard reads
+    * this; the stream never re-ranks.
+    */
+  def trendingTopK(spark: SparkSession, table: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("term"))
+    graft.lake.TxLog.read(spark, table)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Exactly-once INCREMENTAL MATERIALIZED VIEW: maintains
     * `view` = SELECT keyCols, count(*) AS n, sum(c) AS c (per sumCol)
     *          FROM source GROUP BY keyCols

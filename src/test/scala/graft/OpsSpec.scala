@@ -3284,6 +3284,35 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(total > 990000000000L && total <= 1000000000000L)
   }
 
+  test("bpeEncodeOverIndex equals the direct encode (frozen-artifact round trip)") {
+    val d = docs.limit(50)
+    val merges = TextAnalysis.bpeTrainMerges(d, nMerges = 3)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-tok").toString + "/m"
+    TextAnalysis.bpeMergesWrite(merges, idx)
+    val ms = merges.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(rows(TextAnalysis.bpeEncodeOverIndex(spark, idx, d)) ===
+      rows(TextAnalysis.bpeEncode(d, ms)),
+      "the at-rest merge table must reproduce the in-memory encode")
+  }
+
+  test("pageRankWeighted equals instance-duplicated pageRank bit for bit") {
+    import graft.ops.Graph
+    val inst = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L),
+      (3L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val weighted = inst.groupBy("src", "dst")
+      .agg(count(lit(1)).as("m"))
+    def ranks(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("r"))).toSet
+    assert(ranks(Graph.pageRankWeighted(weighted, iters = 4)) ===
+      ranks(Graph.pageRank(inst, iters = 4)),
+      "m·(r DIV d) must equal summing m duplicate instances exactly")
+  }
+
   test("hardNegatives: positives drop, survivors re-rank, shortlist bites first") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.01f), "A"),  // near-perfect positive

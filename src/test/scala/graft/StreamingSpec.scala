@@ -126,6 +126,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:20:00", 1L, 2.0)))
   }
 
+  test("trendingTermsSink: only closed windows land; late-in-horizon text " +
+    "merges; trendingTopK ranks per window") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-tt-table").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tt-ckpt").toString
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def runOnce(): Unit = {
+      val q = Streaming.trendingTermsSink(
+        input.toDF().toDF("ts", "text"),
+        "ts", "text", windowDur = "10 minutes", watermarkDelay = "5 minutes",
+        table = table, appId = "tt-app", checkpoint = ckpt,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    input.addData(
+      (ts("2024-01-01 10:01:00"), "buy pills now buy pills"),
+      (ts("2024-01-01 10:03:00"), "buy now"),
+      (ts("2024-01-01 10:16:00"), "calm normal text")) // watermark -> 10:11
+    runOnce()
+    val landed1 = graft.lake.TxLog.read(spark, table)
+    assert(landed1.filter(col("window_start") >= ts("2024-01-01 10:10:00"))
+      .count() === 0, "an OPEN window landed")
+    // per-window rank: buy=3 tops; the n=2 tie (now, pills) breaks on
+    // the term, so "now" takes rn=2
+    val top = Streaming.trendingTopK(spark, table, k = 2)
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("n"))).toSeq
+    assert(top === Seq(("buy", 3L), ("now", 2L)))
+    // a late doc INSIDE the horizon (10:12 >= watermark 10:11) merges
+    // into the open 10:10 window before it closes
+    input.addData((ts("2024-01-01 10:12:00"), "calm calm"),
+      (ts("2024-01-01 10:31:00"), "tick")) // watermark -> 10:26
+    runOnce()
+    val w2 = graft.lake.TxLog.read(spark, table)
+      .filter(col("window_start") === ts("2024-01-01 10:10:00"))
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("n")))
+      .toMap
+    assert(w2 === Map("calm" -> 3L, "normal" -> 1L, "text" -> 1L))
+    assert(graft.lake.TxLog.read(spark, table)
+      .filter(col("window_start") >= ts("2024-01-01 10:30:00"))
+      .count() === 0, "the tick's own window is still open")
+  }
+
   test("eventTimeAggSink: late-in-horizon merges, beyond-horizon drops, " +
       "exactly-once into TxLog across restarts") {
     val table = java.nio.file.Files
