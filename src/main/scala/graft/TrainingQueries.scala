@@ -964,6 +964,17 @@ object TrainingQueries {
           lit(0L), (acc, x) => acc + x).as("total_len"))
   }
 
+  /** Deterministic bootstrap 95% CI over a fixed 200-doc eval slice
+    * (metric = text length): 200 hash-resampled replicates, percentile
+    * bounds — every draw replayed by the oracle
+    * ([[Curation.bootstrapCI]]).
+    */
+  def qBootstrapCI(s: SparkSession, dir: String): DataFrame =
+    Curation.bootstrapCI(
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), length(col("text")).as("score")),
+      "score", nBoot = 200)
+
   /** Sequence-length curriculum order: short docs first, shuffled
     * within each 100-char length stage (capped at stage 5).
     */
@@ -1888,6 +1899,7 @@ object TrainingQueries {
     "q_wp_merges" -> (qWpMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_index" -> (qBpeIndex _),
+    "q_bootstrap_ci" -> (qBootstrapCI _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
     "q_embed_pipeline" -> (qEmbedPipeline _),
@@ -4447,6 +4459,34 @@ object TrainingQueries {
     // the index serve is row-identical to the direct encode (frozen
     // merges, same kernel), so the SAME replay pins it
     "q_bpe_index" -> bpeEncodeOracle,
+
+    // every hash-derived resample replayed: same draws, same replicate
+    // means, same percentile ranks (loR = 25*200/1000 = 5, hiR = 196)
+    "q_bootstrap_ci" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS s,
+         |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+         |  FROM documents WHERE doc_id < 200),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+         |draws AS (
+         |  SELECT b, unnest(range(n)) AS j, n
+         |  FROM range(200) t(b), nn),
+         |dt AS (SELECT b,
+         |  ${dh("'bs|' || b || '|' || j")} % n AS t FROM draws),
+         |means AS (
+         |  SELECT b, sum(s) * 1000000 // count(*) AS mean_e6
+         |  FROM dt JOIN ev ON ev.i = dt.t GROUP BY b),
+         |ranked AS (SELECT *,
+         |  ROW_NUMBER() OVER (ORDER BY mean_e6, b) AS r FROM means),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(s) * 1000000 // count(*) AS BIGINT) AS point_e6
+         |  FROM ev)
+         |SELECT pt.n_eval, CAST(200 AS BIGINT) AS n_boot, pt.point_e6,
+         |  CAST(lo.mean_e6 AS BIGINT) AS lo_e6,
+         |  CAST(hi.mean_e6 AS BIGINT) AS hi_e6
+         |FROM pt,
+         |  (SELECT mean_e6 FROM ranked WHERE r = 5) lo,
+         |  (SELECT mean_e6 FROM ranked WHERE r = 196) hi""".stripMargin,
 
     "q_epoch_schedule" ->
       """WITH s AS (

@@ -1064,4 +1064,62 @@ object Curation {
       .agg(sum(col("m")).as("n_tokens"),
         expr("sum(m * ratio_e6) div sum(m)").as("weight_e6"))
   }
+
+  /** DETERMINISTIC bootstrap confidence interval for an eval metric
+    * (Efron 1979, percentile form) — the error bar every benchmark
+    * comparison needs before "model A beats model B" means anything.
+    * Classic bootstrap needs an RNG; here replicate `b`'s i-th draw is
+    * `h60("bs|" + b + "|" + i) mod n` — the salted-hash uniform that
+    * [[graft.ops.Dedup]]'s sampling family already uses — so every
+    * resample, every replicate mean, and the CI bounds replay bit for
+    * bit in any engine (and rerun-stable across partitionings).
+    * Returns ONE row: (n_eval, n_boot, point_e6, lo_e6, hi_e6) with
+    * means in e6 fixed point and the percentile bounds at
+    * `alphaPerMille`/1000 each side (25 = the standard 95% CI).
+    *
+    * Scale shape: eval sets are FIXED-SIZE benchmark slices by
+    * construction (hundreds to thousands of rows — never
+    * corpus-proportional), so the rank window over the eval rows, the
+    * nBoot·n draw explode, the index equi-join, and the nBoot-row
+    * percentile window are all bounded regardless of corpus size.
+    */
+  def bootstrapCI(eval: DataFrame, scoreCol: String, nBoot: Int = 200,
+                  alphaPerMille: Int = 25,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(nBoot >= 2, s"need >= 2 replicates: $nBoot")
+    require(alphaPerMille >= 1 && alphaPerMille < 500,
+      s"alphaPerMille out of (0, 500): $alphaPerMille")
+    val wi = Window.orderBy(col(idCol))
+    val idx = eval
+      .select(col(idCol), col(scoreCol).cast("long").as("__s"))
+      .withColumn("__i", row_number().over(wi).cast("long") - 1)
+    val n1 = idx.agg(count(lit(1)).cast("long").as("__n"))
+    val draws = n1
+      .select(explode(sequence(lit(0L), lit(nBoot.toLong - 1))).as("__b"),
+        col("__n"))
+      .select(col("__b"), col("__n"),
+        explode(expr("sequence(0, __n - 1)")).as("__j"))
+      .withColumn("__t", pmod(Dedup.h60(
+        concat(lit("bs|"), col("__b").cast("string"), lit("|"),
+          col("__j").cast("string"))), col("__n")))
+    val means = draws.join(idx, col("__t") === col("__i"))
+      .groupBy(col("__b"))
+      .agg(expr("sum(__s) * 1000000L DIV count(1)").as("mean_e6"))
+    val wb = Window.orderBy(col("mean_e6"), col("__b"))
+    val ranked = means.withColumn("__r", row_number().over(wb))
+    val loR = math.max(1, alphaPerMille * nBoot / 1000)
+    val hiR = math.min(nBoot, nBoot - loR + 1)
+    val lo = ranked.filter(col("__r") === loR)
+      .select(col("mean_e6").as("lo_e6"))
+    val hi = ranked.filter(col("__r") === hiR)
+      .select(col("mean_e6").as("hi_e6"))
+    idx
+      .agg(count(lit(1)).as("n_eval"),
+        expr("sum(__s) * 1000000L DIV count(1)").as("point_e6"))
+      .withColumn("n_boot", lit(nBoot.toLong))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n_eval"), col("n_boot"), col("point_e6"),
+        col("lo_e6"), col("hi_e6"))
+  }
 }

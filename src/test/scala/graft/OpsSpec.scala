@@ -3284,6 +3284,25 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(total > 990000000000L && total <= 1000000000000L)
   }
 
+  test("bootstrapCI: deterministic, ordered bounds, exact point estimate") {
+    val ev = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("doc_id", "score")
+    val r1 = Curation.bootstrapCI(ev, "score", nBoot = 40).head()
+    assert(r1.getAs[Long]("n_eval") === 4L)
+    assert(r1.getAs[Long]("point_e6") === 25000000L) // mean 25 exactly
+    val (lo, hi) = (r1.getAs[Long]("lo_e6"), r1.getAs[Long]("hi_e6"))
+    // percentile bounds bracket the resample space and sit in order;
+    // a replicate mean can never leave [min score, max score]
+    assert(lo <= hi && lo >= 10000000L && hi <= 40000000L)
+    // rerun-stable: the draws are salted hashes, not RNG state
+    val r2 = Curation.bootstrapCI(ev, "score", nBoot = 40).head()
+    assert(r1.toSeq === r2.toSeq)
+    // more replicates only refine the percentile, never escape the range
+    val r3 = Curation.bootstrapCI(ev, "score", nBoot = 200).head()
+    assert(r3.getAs[Long]("lo_e6") >= 10000000L &&
+      r3.getAs[Long]("hi_e6") <= 40000000L)
+  }
+
   test("bpeEncodeOverIndex equals the direct encode (frozen-artifact round trip)") {
     val d = docs.limit(50)
     val merges = TextAnalysis.bpeTrainMerges(d, nMerges = 3)

@@ -635,6 +635,7 @@ class PlanSpec extends SparkSpec {
     "q_knn_join" -> "bounded query set broadcast; fan-out rides the broadcast by design",
     "q_hard_negatives" -> "bounded query set broadcast (the knnJoin fan-out); the label filter and re-rank run after it (Similarity.hardNegatives)",
     "q_lm_index" -> "1-row summed count-total broadcast onto the heldout bigram table (TextAnalysis.lmScoreOverIndex)",
+    "q_bootstrap_ci" -> "1-row percentile-bound broadcasts (lo/hi replicate means) cross onto the 1-row point estimate (Curation.bootstrapCI)",
     "q_bitext_mine" -> "bits=0 exact path: Catalyst folds the constant cell key to a trivially-true BNLJ over the broadcast source half; bits>0 keeps a real equi-join at scale (Similarity.bitextMine)",
     "q_knn_ivf_trained" -> "1-row quantized query broadcast over the probed cells (Similarity.scala:322)",
     "q_ivfpq_rerank" -> "1-row query broadcast over the ADC-shortlisted candidates (Similarity.scala:350)",
@@ -669,7 +670,8 @@ class PlanSpec extends SparkSpec {
     "q_epoch_schedule" -> "windows the per-source epoch table: |sources| rows",
     "q_curriculum" -> "global window only over the (stage,bucket) offset table: k rows",
     "q_vocab_growth" -> "cumulative sums window over the nBuckets=16 slice table",
-    "q_zipf" -> "rank window over the TakeOrdered top-256 vocabulary rows"
+    "q_zipf" -> "rank window over the TakeOrdered top-256 vocabulary rows",
+    "q_bootstrap_ci" -> "index window over the FIXED-SIZE eval slice (doc_id < 200 — benchmark slices are bounded by construction) and the percentile window over the nBoot replicate means"
   )
 
   test("bitextMine evaluates the pair-cosine join once (ReusedExchange)") {
