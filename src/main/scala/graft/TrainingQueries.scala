@@ -934,15 +934,22 @@ object TrainingQueries {
     val merges = TextAnalysis.bpeTrainMerges(d, nMerges = 4)
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    TextAnalysis.bpeEncode(d, merges)
-      .select(col("doc_id"), col("tokens"))
+    bpeEncodeStats(TextAnalysis.bpeEncode(d, merges))
+  }
+
+  /** The per-doc stream stats both BPE-encode queries emit — ONE
+    * definition so the documented row-identity between q_bpe_encode and
+    * q_bpe_index cannot drift (the Spark twin of the shared
+    * bpeEncodeOracle).
+    */
+  private def bpeEncodeStats(encoded: DataFrame): DataFrame =
+    encoded
       .select(col("doc_id"),
         size(col("tokens")).cast("long").as("n_tokens"),
         size(filter(col("tokens"), t => t.contains(" "))).cast("long")
           .as("n_merged"),
         aggregate(transform(col("tokens"), t => length(t).cast("long")),
           lit(0L), (acc, x) => acc + x).as("total_len"))
-  }
 
   /** At-rest tokenizer artifact: the 4 trained merges persisted as a
     * TxLog table, the corpus encoded AGAINST THE TABLE
@@ -955,13 +962,7 @@ object TrainingQueries {
       tmp => TextAnalysis.bpeMergesWrite(
         TextAnalysis.bpeTrainMerges(docs(s, dir), nMerges = 4), tmp)
     }
-    TextAnalysis.bpeEncodeOverIndex(s, index, docs(s, dir))
-      .select(col("doc_id"),
-        size(col("tokens")).cast("long").as("n_tokens"),
-        size(filter(col("tokens"), t => t.contains(" "))).cast("long")
-          .as("n_merged"),
-        aggregate(transform(col("tokens"), t => length(t).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("total_len"))
+    bpeEncodeStats(TextAnalysis.bpeEncodeOverIndex(s, index, docs(s, dir)))
   }
 
   /** Deterministic bootstrap 95% CI over a fixed 200-doc eval slice

@@ -1089,37 +1089,48 @@ object Curation {
     require(nBoot >= 2, s"need >= 2 replicates: $nBoot")
     require(alphaPerMille >= 1 && alphaPerMille < 500,
       s"alphaPerMille out of (0, 500): $alphaPerMille")
+    val spark = eval.sparkSession
+    import spark.implicits._
     val wi = Window.orderBy(col(idCol))
+    // cached: the index table feeds the replicate join AND the point
+    // estimate, and carrying its window through every branch would
+    // rescan the eval source per consumer (the mmrRerank discipline)
     val idx = eval
       .select(col(idCol), col(scoreCol).cast("long").as("__s"))
       .withColumn("__i", row_number().over(wi).cast("long") - 1)
-    val n1 = idx.agg(count(lit(1)).cast("long").as("__n"))
-    val draws = n1
-      .select(explode(sequence(lit(0L), lit(nBoot.toLong - 1))).as("__b"),
-        col("__n"))
-      .select(col("__b"), col("__n"),
-        explode(expr("sequence(0, __n - 1)")).as("__j"))
-      .withColumn("__t", pmod(Dedup.h60(
-        concat(lit("bs|"), col("__b").cast("string"), lit("|"),
-          col("__j").cast("string"))), col("__n")))
-    val means = draws.join(idx, col("__t") === col("__i"))
-      .groupBy(col("__b"))
-      .agg(expr("sum(__s) * 1000000L DIV count(1)").as("mean_e6"))
-    val wb = Window.orderBy(col("mean_e6"), col("__b"))
-    val ranked = means.withColumn("__r", row_number().over(wb))
-    val loR = math.max(1, alphaPerMille * nBoot / 1000)
-    val hiR = math.min(nBoot, nBoot - loR + 1)
-    val lo = ranked.filter(col("__r") === loR)
-      .select(col("mean_e6").as("lo_e6"))
-    val hi = ranked.filter(col("__r") === hiR)
-      .select(col("mean_e6").as("hi_e6"))
-    idx
-      .agg(count(lit(1)).as("n_eval"),
-        expr("sum(__s) * 1000000L DIV count(1)").as("point_e6"))
-      .withColumn("n_boot", lit(nBoot.toLong))
-      .crossJoin(broadcast(lo))
-      .crossJoin(broadcast(hi))
-      .select(col("n_eval"), col("n_boot"), col("point_e6"),
-        col("lo_e6"), col("hi_e6"))
+      .cache()
+    try {
+      val n1 = idx.agg(count(lit(1)).cast("long").as("__n"))
+      val draws = n1
+        .select(explode(sequence(lit(0L), lit(nBoot.toLong - 1))).as("__b"),
+          col("__n"))
+        .select(col("__b"), col("__n"),
+          explode(expr("sequence(0, __n - 1)")).as("__j"))
+        .withColumn("__t", pmod(Dedup.h60(
+          concat(lit("bs|"), col("__b").cast("string"), lit("|"),
+            col("__j").cast("string"))), col("__n")))
+      val means = draws.join(idx, col("__t") === col("__i"))
+        .groupBy(col("__b"))
+        .agg(expr("sum(__s) * 1000000L DIV count(1)").as("mean_e6"))
+      val wb = Window.orderBy(col("mean_e6"), col("__b"))
+      val loR = math.max(1, alphaPerMille * nBoot / 1000)
+      val hiR = math.min(nBoot, nBoot - loR + 1)
+      // BOTH percentile bounds from ONE pass over the replicate means
+      // (two filter branches would run the nBoot·n resample twice),
+      // materialized eagerly — the result is one bounded row, so the
+      // caches can drop before returning
+      val bounds = means.withColumn("__r", row_number().over(wb))
+        .filter(col("__r") === loR || col("__r") === hiR)
+        .agg(max(when(col("__r") === loR, col("mean_e6"))).as("lo"),
+          max(when(col("__r") === hiR, col("mean_e6"))).as("hi"))
+        .head()
+      val pt = idx
+        .agg(count(lit(1)).as("n"),
+          expr("sum(__s) * 1000000L DIV count(1)").as("p"))
+        .head()
+      Seq((pt.getLong(0), nBoot.toLong, pt.getLong(1),
+        bounds.getLong(0), bounds.getLong(1)))
+        .toDF("n_eval", "n_boot", "point_e6", "lo_e6", "hi_e6")
+    } finally { idx.unpersist(); () }
   }
 }

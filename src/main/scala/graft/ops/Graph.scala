@@ -88,8 +88,12 @@ object Graph {
     // sides), outdeg and dedges once each — an uncached caller
     // expression (an explode chain for a co-occurrence graph, a
     // generator join for a link graph) would re-evaluate 4x before the
-    // first round even starts (measured 2.5x on q_textrank)
-    val e = edges.cache()
+    // first round even starts (measured 2.5x on q_textrank). A caller
+    // that already cached its edges keeps OWNERSHIP of that cache: we
+    // must neither re-cache nor unpersist it out from under them.
+    val preCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e = if (preCached) edges else edges.cache()
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().cache()
     val n = nodes.count()
@@ -104,7 +108,7 @@ object Graph {
       .cache()
     val dedges = e.join(outdeg, "src").cache()
     dedges.count() // materializes the outdeg cache through the join too
-    e.unpersist()  // every derivation is materialized; drop the source
+    if (!preCached) e.unpersist() // derivations materialized; drop OUR cache
     val contrib = if (weighted) "m * (r DIV d)" else "r DIV d"
     var ranks = nodes.withColumn("r", lit(base))
     var prevIds: scala.collection.Set[Int] = Set.empty
