@@ -6,24 +6,100 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"runs":R,"sf":...}.
   *
-  * A warm-up pass (tiny sf0.001 run of each query) is executed first so
-  * JVM/codegen/session startup is not charged to the first measured
-  * query; measured numbers are cold-cache per query but warm-process.
+  * TIME-BUDGET-AWARE (r15): the r14 graded bench was killed at the
+  * driver's timeout with nothing emitted (rc=124) — 201 queries x 5
+  * runs x a degraded box exceeded the window. The bench now degrades
+  * gracefully instead of dying silently:
+  *
+  *   - SPARK_GRAFT_TIME_BUDGET (default 720 s) bounds main() wall time.
+  *     Median polish is the first thing sacrificed: per-query run count
+  *     follows elapsed/budget — under 50% of budget every query gets
+  *     the full SPARK_GRAFT_RUNS (default 5) runs, under 75% it drops
+  *     to 3, after that 1. One run per query is the floor — every query
+  *     always produces a number.
+  *   - The sf0.001 warm-up pass (classloading + codegen) warms one
+  *     representative per query FAMILY first (q_knn_*, q_bm25_*, ...
+  *     share generated-code shapes), then keeps warming the rest only
+  *     while warm-up elapsed < 12% of budget. With runs >= 3 the median
+  *     discounts a cold first run anyway, so a skipped warm-up costs
+  *     nothing; with runs == 1 the board is already in
+  *     budget-emergency mode where correctness of the artifact's
+  *     EXISTENCE outranks per-query polish.
+  *   - Partial results stream: after EVERY query the full JSON line
+  *     (with "partial":true and a "measured" count) is rewritten to
+  *     SPARK_GRAFT_BENCH_OUT, and a one-line breadcrumb goes to stdout
+  *     — a run killed mid-board still leaves a parseable artifact and a
+  *     recoverable tail.
+  *
+  * HOST HEALTH (r15): two rounds were spent adjudicating "degraded
+  * window" claims from cross-round comparison alone. The JSON line now
+  * carries the evidence in-band: 1-minute loadavg, MemAvailable, and a
+  * fixed-work single-thread calibration loop (xorshift64, constant
+  * iteration count) timed at start and end. On a healthy box the
+  * calibration runs ~0.25-0.4 s; a 2x calibration time means the box
+  * (not the code) is slow. BASELINE.md documents the interpretation.
   *
   * SPARK_GRAFT_RUNS (default 5): each query is timed that many times
-  * and the MEDIAN reported — the box is load-noisy (the same code has
-  * benched 33-44 s across rounds, and r13's graded run diverged 7x on
-  * two queries whose whole 3-run window was slow), so the artifact
-  * carries its own noise correction instead of leaving it to
-  * cross-round comparison; 5 runs halve the odds a transient slow
-  * window owns a query's median.
+  * (subject to the budget schedule above) and the MEDIAN reported —
+  * the box is load-noisy (the same code has benched 33-44 s across
+  * rounds), so the artifact carries its own noise correction.
   */
 object Bench {
+  /** Fixed-work single-thread calibration: ~0.3 s on a healthy core.
+    * Work is constant (no Date/seed variance), so the TIME measures the
+    * box. Returns seconds.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 150000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    // fold x into the timing guard so the loop cannot be eliminated
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // never true; defeats DCE
+    dt
+  }
+
+  private def readLoadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def readMemAvailGb(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toDouble / 1024 / 1024
+      }.getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Family key for warm-up dedup: first two underscore tokens, so
+    * q_knn_ivf_trained and q_knn_brute share "q_knn" (and one codegen
+    * warm covers the family's generated-code shapes).
+    */
+  private def family(name: String): String =
+    name.split("_").take(2).mkString("_")
+
   def main(args: Array[String]): Unit = {
+    val tMain0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - tMain0) / 1e9
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = math.max(1,
+    val baseRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt)
+    val budget = math.max(60.0,
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "720").toDouble)
+
+    val load0 = readLoadAvg()
+    val mem0 = readMemAvailGb()
+    val calib0 = calibrate()
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -55,16 +131,61 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    // warm-up at the smallest scale: triggers classloading + codegen
+    // Warm-up at the smallest scale: one representative per family
+    // first (covers shared codegen shapes), then the rest while under
+    // the warm-up budget slice. Same toRdd path as the measured loop,
+    // so the generated code the warm-up compiles is the code the
+    // measurement runs.
     val warmDir = "/root/testdata/sf0.001"
-    names.foreach { n =>
-      // same toRdd path as the measured loop, so the generated code the
-      // warm-up compiles is the code the measurement runs
-      try SparkEntry.queries(n)(spark, warmDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => }
+    val warmBudget = 0.12 * budget
+    val (reps, rest) = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      names.partition(n => seen.add(family(n)))
+    }
+    var warmed = 0
+    (reps ++ rest).foreach { n =>
+      if (elapsed() < warmBudget) {
+        try {
+          SparkEntry.queries(n)(spark, warmDir).queryExecution.toRdd.count()
+          warmed += 1
+        } catch { case _: Throwable => }
+      }
+    }
+    System.err.println(
+      f"[bench] warm-up: $warmed/${names.size} queries in ${elapsed()}%.1f s" +
+        f" (budget slice ${warmBudget}%.0f s)")
+
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
+    def jsonLine(results: Seq[(String, Double, Int)], partial: Boolean,
+                 calibEnd: Double): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val rs = results.map { case (k, _, r) => "\"" + k + s"""\":$r""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val host =
+        f"""{"load1":$load0%.2f,"mem_avail_gb":$mem0%.1f,"calib_start_sec":$calib0%.3f,"calib_end_sec":$calibEnd%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs_per_query":$rs,"runs":$baseRuns,"budget_sec":$budget%.0f,"elapsed_sec":${elapsed()}%.1f,"measured":${results.size},"of":${names.size},"partial":$partial,"host":$host,"sf":"$sfDir"}"""
     }
 
-    val results = names.map { name =>
+    def writeOut(line: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int)]
+    names.foreach { name =>
+      // Budget schedule: full medians while comfortably inside the
+      // budget, degrade to 3 then 1 runs as the window closes. The
+      // floor is 1 run — every query emits a number even over budget.
+      val frac = elapsed() / budget
+      val runs =
+        if (frac < 0.50) baseRuns
+        else if (frac < 0.75) math.min(baseRuns, 3)
+        else 1
       // evaluate through toRdd.count(), NOT Dataset.count(): an
       // Aggregate(count(1)) consumer lets Catalyst column-prune every
       // projection out of map-only queries, so the bench would time a
@@ -90,23 +211,21 @@ object Bench {
           if (runs % 2 == 1) s(runs / 2)
           else (s(runs / 2 - 1) + s(runs / 2)) / 2.0
         }
-      name -> t
+      results += ((name, t, runs))
+      // Stream partials: breadcrumb to stdout (recoverable from a
+      // killed run's tail; never matches the {"metric" line shape) and
+      // a full partial artifact to disk.
+      println(f"[bench] $name $t%.3f s (runs=$runs, ${results.size}/${names.size}, elapsed ${elapsed()}%.0f s)")
+      writeOut(jsonLine(results.toSeq, partial = true, calibEnd = -1.0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+
+    val calib1 = calibrate()
+    val line = jsonLine(results.toSeq, partial = false, calibEnd = calib1)
     println(line)
     // ALSO write the line to a file: the driver captures stdout through a
     // pipe that has truncated the tail of long lines (BENCH_r09.json came
     // back unparseable) — a file write cannot be cut mid-line.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    writeOut(line)
     spark.stop()
   }
 }
