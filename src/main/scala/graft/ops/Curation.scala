@@ -1091,7 +1091,11 @@ object Curation {
       s"alphaPerMille out of (0, 500): $alphaPerMille")
     val spark = eval.sparkSession
     import spark.implicits._
-    val wi = Window.orderBy(col(idCol))
+    // __s as a secondary sort key keeps the row-index assignment (and
+    // so the bit-replayable-determinism contract) total even when ids
+    // collide: equal (id, score) rows are interchangeable in every
+    // resample, and unequal ones now order deterministically
+    val wi = Window.orderBy(col(idCol), col("__s"))
     // cached: the index table feeds the replicate join AND the point
     // estimate, and carrying its window through every branch would
     // rescan the eval source per consumer (the mmrRerank discipline)
@@ -1100,15 +1104,18 @@ object Curation {
       .withColumn("__i", row_number().over(wi).cast("long") - 1)
       .cache()
     try {
-      val n1 = idx.agg(count(lit(1)).cast("long").as("__n"))
-      val draws = n1
-        .select(explode(sequence(lit(0L), lit(nBoot.toLong - 1))).as("__b"),
-          col("__n"))
-        .select(col("__b"), col("__n"),
-          explode(expr("sequence(0, __n - 1)")).as("__j"))
+      // n materialized EAGERLY: with n = 0, sequence(0, __n - 1) counts
+      // DOWN in Spark (yields [0, -1] — the Dedup.h60 doc pitfall),
+      // pmod(·, 0) nulls out, and the bounds/point getLong calls below
+      // would NPE on null aggregates — fail loudly instead
+      val n = idx.count()
+      require(n > 0, "bootstrapCI needs a non-empty eval set")
+      val draws = spark.range(nBoot.toLong).toDF("__b")
+        .select(col("__b"),
+          explode(expr(s"sequence(0, ${n - 1}L)")).as("__j"))
         .withColumn("__t", pmod(Dedup.h60(
           concat(lit("bs|"), col("__b").cast("string"), lit("|"),
-            col("__j").cast("string"))), col("__n")))
+            col("__j").cast("string"))), lit(n)))
       val means = draws.join(idx, col("__t") === col("__i"))
         .groupBy(col("__b"))
         .agg(expr("sum(__s) * 1000000L DIV count(1)").as("mean_e6"))

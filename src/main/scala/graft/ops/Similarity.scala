@@ -1416,7 +1416,14 @@ object Similarity {
                     shortlist: Int, k: Int,
                     queryIdCol: String = "q_id", idCol: String = "vec_id",
                     labelCol: String = "label",
-                    embCol: String = "embedding"): DataFrame = {
+                    embCol: String = "embedding",
+                    excludeSelf: Boolean = true): DataFrame = {
+    // `excludeSelf` assumes queryIdCol SHARES the corpus id space
+    // (queries ARE corpus rows — the usual DPR setup): the id
+    // inequality then drops exactly the query's own row. With a
+    // SEPARATE query-id space a numeric collision would silently drop
+    // one unrelated candidate per query — pass excludeSelf = false
+    // there (the label filter still removes positives).
     val q = queries.select(col(queryIdCol), col(labelCol).as("q_label"),
       quantize(col(embCol)).as("__q_emb"))
     val w = Window.partitionBy(col(queryIdCol))
@@ -1424,7 +1431,8 @@ object Similarity {
     corpus
       .select(col(idCol), col(labelCol).as("neg_label"),
         quantize(col(embCol)).as("__c_emb"))
-      .join(broadcast(q), col(idCol) =!= col(queryIdCol))
+      .join(broadcast(q),
+        if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
       .withColumn("cosine_r",
         round(cosineQ(col("__c_emb"), col("__q_emb")), 6))
       .withColumn("srn", row_number().over(w))

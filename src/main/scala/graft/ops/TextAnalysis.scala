@@ -799,8 +799,14 @@ object TextAnalysis {
     val bi = summed("bigrams", Seq("pw", "sw"), "c2")
     val pre = summed("prefixes", Seq("pw"), "c1")
     val wrd = summed("words", Seq("sw"), "cw")
-    val tot = TxLog.read(spark, s"$index/stats")
-      .agg(sum(col("c")).as("tot"))
+    // tot materialized EAGERLY: an empty or fully-retracted index sums
+    // to NULL (sum over zero rows) or 0, and `cw * 1000000 DIV tot`
+    // would then silently NULL every lm_i_score_e6 — fail loudly
+    val totRow = TxLog.read(spark, s"$index/stats")
+      .agg(sum(col("c")).as("tot")).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      s"lmScoreOverIndex: empty or fully-retracted LM index at $index")
+    val tot = spark.range(1).select(lit(totRow.getLong(0)).as("tot"))
     val mixE6 =
       s"(($lambdaE6 * (CASE WHEN c1 > 0" +
         " THEN cast(c2 as decimal(38,0)) * 1000000 DIV c1 ELSE 0 END)" +

@@ -3303,6 +3303,59 @@ class OpsSpec extends SparkSpec with PropSupport {
       r3.getAs[Long]("hi_e6") <= 40000000L)
   }
 
+  test("bootstrapCI: empty eval fails loudly; duplicate ids stay deterministic") {
+    // n = 0 used to reach sequence(0, -1) (counts DOWN in Spark) and
+    // NPE on null aggregates — now a typed require
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Curation.bootstrapCI(empty, "score", nBoot = 10)
+    }
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
+    // colliding ids: the (id, score) secondary sort keeps the row-index
+    // assignment total, so the CI replays bit for bit across
+    // partitionings
+    val dup = Seq((1L, 10L), (1L, 30L), (2L, 20L), (2L, 40L))
+      .toDF("doc_id", "score")
+    val a = Curation.bootstrapCI(dup.repartition(1), "score", nBoot = 40)
+      .head()
+    val b = Curation.bootstrapCI(dup.repartition(7, col("score")), "score",
+      nBoot = 40).head()
+    assert(a.toSeq === b.toSeq,
+      "duplicate ids broke the deterministic-replay contract")
+  }
+
+  test("lmScoreOverIndex: empty index fails loudly, not silent NULL scores") {
+    import graft.ops.TextAnalysis
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-lm-empty").toString + "/ix"
+    TextAnalysis.lmIndexWrite(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    val heldout = Seq((1L, "spark streams merge")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScoreOverIndex(spark, idx, heldout)
+    }
+    assert(e.getMessage.contains("empty or fully-retracted"), e.getMessage)
+  }
+
+  test("hardNegatives: excludeSelf=false keeps id-colliding candidates " +
+    "from a separate query-id space") {
+    // query id 1 collides with corpus vec_id 1, but the query is NOT
+    // that corpus row — with excludeSelf the candidate silently drops
+    val queries = Seq((1L, "qlab", Array(1.0f, 0.0f)))
+      .toDF("q_id", "label", "embedding")
+    val corpus = Seq(
+      (1L, "neg", Array(0.9f, 0.1f)), (2L, "neg", Array(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    def negIds(excl: Boolean): Set[Long] =
+      Similarity.hardNegatives(queries, corpus, shortlist = 5, k = 5,
+        excludeSelf = excl)
+        .collect().map(_.getAs[Long]("neg_id")).toSet
+    assert(negIds(excl = true) === Set(2L),
+      "shared-id-space default must still self-exclude")
+    assert(negIds(excl = false) === Set(1L, 2L),
+      "separate-id-space mode must keep the colliding candidate")
+  }
+
   test("bpeEncodeOverIndex equals the direct encode (frozen-artifact round trip)") {
     val d = docs.limit(50)
     val merges = TextAnalysis.bpeTrainMerges(d, nMerges = 3)
