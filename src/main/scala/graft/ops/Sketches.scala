@@ -331,28 +331,27 @@ object Sketches {
     * fully DETERMINISTIC given the hash — the oracle replays the sketch
     * bit for bit, so the estimates themselves are engine-exact.
     *
-    * Scale shape: one distinct aggregate on (group, hash), then a
-    * TWO-PHASE k-min — a per-(group, salt-shard) window first (each
-    * sorts only its shard's hashes), then the final per-group window
-    * over the surviving 64·k rows — so no task ever sorts a group's
-    * whole distinct set. The sketch is k rows per group at rest;
-    * corpus-wide questions merge sketches, never rescan.
+    * Scale shape: ONE partial-aggregable pass — the bounded
+    * [[graft.functions.KmvMinK]] buffer holds at most k longs per
+    * group per map task, so the build shuffle moves O(groups·k·tasks)
+    * serialized longs, never the corpus's distinct value set (the
+    * earlier distinct + salted-window formulation shuffled and sorted
+    * the full distinct set twice and owned the top probe decade's
+    * exponent). The sketch is k rows per group at rest; corpus-wide
+    * questions merge sketches, never rescan.
     */
   def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int = 256): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2: $k")
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val h = df.select(col(groupCol),
         graft.ops.Dedup.h60(col(valueCol)).as("h"))
-      .filter(col("h").isNotNull).distinct()
-    val local = Window.partitionBy(col(groupCol), pmod(col("h"), lit(64L)))
-      .orderBy(col("h"))
-    val global = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    h.withColumn("__rl", row_number().over(local))
-      .filter(col("__rl") <= k)
-      .withColumn("__rg", row_number().over(global))
-      .filter(col("__rg") <= k)
-      .select(col(groupCol), col("h"))
+      .filter(col("h").isNotNull)
+    h.groupBy(col(groupCol))
+      .agg(ColumnBridge.column(
+        graft.functions.KmvMinK(ColumnBridge.expression(col("h")), k)
+          .toAggregateExpression()).as("__hs"))
+      .select(col(groupCol), explode(col("__hs")).as("h"))
   }
 
   /** Distinct-count estimate from a KMV sketch: groups holding fewer
