@@ -19,6 +19,29 @@ import scala.jdk.CollectionConverters._
   */
 object AvroDecoder {
 
+  /** avro-java allocates a DECLARED bytes/string length before checking
+    * it against the remaining input, and its SystemLimitException caps
+    * default to ~2 GiB — so a 6-byte hostile payload declaring a 2 GiB
+    * bytes field costs a 2 GiB allocation attempt per row (a memory
+    * bomb; an OutOfMemoryError would also escape the per-row Exception
+    * catch). Cap the limits at 64 MiB / 1 M items before any avro class
+    * initializes in this JVM — far above any real record payload (the
+    * broker's frame cap is orders of magnitude smaller) and small
+    * enough that a hostile declaration fails typed instead of
+    * allocating. Best-effort: the properties are read in avro's static
+    * init, so this only binds if AvroDecoder loads before other avro
+    * use (true for every graft decode path, driver and executor — the
+    * closure references this object). An operator can pre-set the
+    * properties to override.
+    */
+  private def capLimit(prop: String, cap: Long): Unit =
+    if (System.getProperty(prop) == null) {
+      System.setProperty(prop, cap.toString); ()
+    }
+  capLimit("org.apache.avro.limits.bytes.maxLength", 64L << 20)
+  capLimit("org.apache.avro.limits.string.maxLength", 64L << 20)
+  capLimit("org.apache.avro.limits.collectionItems.maxLength", 1L << 20)
+
   /** Decode a binary Avro column into a typed struct column appended as
     * `<outputCol>`; undecodable payloads yield null (the INVALID_RECORD
     * signal for the produce path to count).

@@ -182,8 +182,20 @@ object ProtoSchema {
     case e => parsed.enums.contains(e)
   }
 
+  /** Nested-decode depth cap: a RECURSIVE message type (Node { Node
+    * next = 1; }) lets a hostile payload nest one level per ~2 wire
+    * bytes, and unbounded recursion there is a StackOverflowError — an
+    * Error, which escapes decodeColumn's per-row Exception catch and
+    * kills the whole produce task instead of yielding INVALID_RECORD.
+    * 64 matches protobuf-java's default recursion limit.
+    */
+  private val MaxNestingDepth = 64
+
   private def decodeBuf(parsed: Parsed, msg: Message,
-                        buf: ByteBuffer): Map[String, Any] = {
+                        buf: ByteBuffer, depth: Int = 0): Map[String, Any] = {
+    if (depth > MaxNestingDepth)
+      throw new IllegalArgumentException(
+        s"message nesting exceeds $MaxNestingDepth levels")
     val byNumber = msg.fields.map(f => f.number -> f).toMap
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     def put(f: Field, v: Any): Unit =
@@ -233,7 +245,7 @@ object ProtoSchema {
               case "string" => put(f, new String(a, "UTF-8"))
               case "bytes" => put(f, a)
               case MapKV(k, v) =>
-                val entry = decodeBuf(parsed, mapEntryMessage(k, v), wrap(a))
+                val entry = decodeBuf(parsed, mapEntryMessage(k, v), wrap(a), depth + 1)
                 val m = out.getOrElse(f.name, Map.empty)
                   .asInstanceOf[Map[Any, Any]]
                 out(f.name) = m +
@@ -243,14 +255,14 @@ object ProtoSchema {
                 val fields = decodeBuf(parsed, Message("$ts", Seq(
                   Field("seconds", 1, "int64", repeated = false, Map.empty),
                   Field("nanos", 2, "int32", repeated = false, Map.empty))),
-                  wrap(a))
+                  wrap(a), depth + 1)
                 val secs = fields.getOrElse("seconds", 0L).asInstanceOf[Long]
                 val nanos = fields.getOrElse("nanos", 0).asInstanceOf[Int]
                 val ts = new java.sql.Timestamp(secs * 1000L)
                 ts.setNanos(nanos)
                 put(f, ts)
               case t if parsed.messages.contains(t) =>
-                put(f, decodeBuf(parsed, parsed.messages(t), wrap(a)))
+                put(f, decodeBuf(parsed, parsed.messages(t), wrap(a), depth + 1))
               case t if f.repeated => // packed numeric repeated
                 val b2 = wrap(a)
                 while (b2.hasRemaining) put(f, t match {
