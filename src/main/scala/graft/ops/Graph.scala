@@ -110,29 +110,55 @@ object Graph {
     dedges.count() // materializes the outdeg cache through the join too
     if (!preCached) e.unpersist() // derivations materialized; drop OUR cache
     val contrib = if (weighted) "m * (r DIV d)" else "r DIV d"
-    var ranks = nodes.withColumn("r", lit(base))
+    // The dangling flag is STATIC per node, so it rides INSIDE the
+    // checkpointed rank table: the per-round dangling total is then a
+    // 1-row aggregate over the (cached) ranks instead of a |V|-vs-|V|
+    // anti-join, and the zero-contribution nodes are restored by a
+    // self-union into the contribution aggregate instead of a nodes
+    // re-join — two |V| joins fewer per round, same integer trajectory
+    // bit for bit (s was NULL-coalesced to 0 before; the self-union's
+    // 0-row makes the sum 0 directly).
     var prevIds: scala.collection.Set[Int] = Set.empty
+    // ONE action per round: materializing the round's checkpoint and
+    // summing the NEXT round's dangling mass ride the same aggregate,
+    // so neither a broadcast-subquery job nor a second pass exists.
+    // The 1-row result is driver-side by construction (k-bounded
+    // collect discipline); the dangling sum is <= the 1e12 total rank
+    // mass, so the Long holds it and `dt / n` (both non-negative)
+    // equals the SQL DIV the oracle replays.
+    def materializeWithDangling(df: DataFrame): Long =
+      df.agg(coalesce(sum(when(col("__dang"), col("r"))), lit(0L)))
+        .head().getLong(0)
+    val beforeInit = sc.getPersistentRDDs.keySet
+    val init = nodes.join(outdeg, nodes("v") === outdeg("src"), "left")
+      .select(nodes("v"), lit(base).as("r"), col("src").isNull.as("__dang"))
+      .localCheckpoint(false)
+    var dt = materializeWithDangling(init)
+    prevIds = sc.getPersistentRDDs.keySet -- beforeInit
+    var ranks = init
     for (_ <- 1 to iters) {
+      val share = dt / n
       val contribs = dedges
         .join(ranks, col("src") === col("v"))
-        .groupBy(col("dst")).agg(sum(expr(contrib)).as("s"))
-      val dangling = ranks
-        .join(outdeg, ranks("v") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("__dt"))
-        .select(expr(s"__dt DIV ${n}L").as("share"))
+        .select(col("dst").as("v"), expr(contrib).as("x"),
+          lit(null).cast("boolean").as("__dang"))
       // the checkpoint RDD registers as persistent at the
       // localCheckpoint CALL (not at materialization), so the id diff
       // must open BEFORE the definition or every round leaks its table
       val beforeIds = sc.getPersistentRDDs.keySet
-      val next = nodes
-        .join(contribs, col("v") === col("dst"), "left")
-        .crossJoin(broadcast(dangling))
+      val next = contribs
+        .unionByName(ranks.select(col("v"), lit(0L).as("x"), col("__dang")))
+        .groupBy(col("v"))
+        // max ignores the contrib rows' nulls; the self-row (exactly
+        // one per node) always carries the real flag
+        .agg(sum(col("x")).as("s"), max(col("__dang")).as("__dang"))
         .select(col("v"),
           (lit(base * (100 - damp) / 100) +
-            expr(s"((coalesce(s, 0L) + share) * $damp) DIV 100"))
-            .as("r"))
+            expr(s"((s + ${share}L) * $damp) DIV 100"))
+            .as("r"),
+          col("__dang"))
         .localCheckpoint(false)
-      next.count()
+      dt = materializeWithDangling(next)
       val thisIds = sc.getPersistentRDDs.keySet -- beforeIds
       prevIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
@@ -142,6 +168,6 @@ object Graph {
     nodes.unpersist()
     outdeg.unpersist()
     dedges.unpersist()
-    ranks
+    ranks.drop("__dang")
   }
 }
