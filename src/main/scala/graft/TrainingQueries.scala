@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, Graph, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Curation, Dedup, EvalMetrics, Graph, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis)
   * with DuckDB oracle SQL. Hashing is the shared 60-bit truncated md5 so
@@ -976,6 +976,70 @@ object TrainingQueries {
         .select(col("doc_id"), length(col("text")).as("score")),
       "score", nBoot = 200)
 
+  /** The eval-pair fixture shared by the ROUGE/BLEU queries: even docs
+    * are references, the following odd doc the candidate — real text on
+    * both sides with partial vocabulary overlap, deterministic pairing.
+    */
+  private def evalPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ref = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") / 2).cast("long").as("pair_id"),
+        col("text").as("ref"))
+    val cand = d.filter(col("doc_id") % 2 === 1)
+      .select(((col("doc_id") - 1) / 2).cast("long").as("pair_id"),
+        col("text").as("cand"))
+    ref.join(cand, "pair_id")
+  }
+
+  /** ROUGE-2 per eval pair: clipped bigram matches and e6 P/R/F1 from
+    * the per-pair overlap kernel ([[graft.ops.EvalMetrics.rougeN]]) —
+    * the whole metric sweep is one shuffle-free map over the pairs.
+    */
+  def qRougeBigram(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.rougeN(evalPairs(s, dir), n = 2)
+
+  /** Integer-exact BLEU components per eval pair: clipped 1..4-gram
+    * matches, totals, brevity deficit, and the e6 precision product
+    * ([[graft.ops.EvalMetrics.bleuCounts]]).
+    */
+  def qBleu(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.bleuCounts(evalPairs(s, dir))
+
+  /** pass@4 per 8-sample problem (doc octets; "correct" = the same
+    * deterministic score the preference fixtures use crossing its
+    * midpoint) — the unbiased estimator, exact in e6
+    * ([[graft.ops.EvalMetrics.passAtK]]).
+    */
+  def qPassAtK(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.passAtK(
+      docs(s, dir).select(
+        (col("doc_id") / 8).cast("long").as("problem_id"),
+        (length(col("text")) % 97 > 48).as("correct")),
+      k = 4)
+
+  /** Bradley-Terry strengths of the four response slots from every
+    * prompt quartet's pairwise score comparisons, 3 fixed-point MM
+    * rounds ([[graft.ops.EvalMetrics.bradleyTerry]]) — the wins
+    * aggregation is the corpus-scale pass; the fit runs on the
+    * 4-player matrix.
+    */
+  def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val resp = docs(s, dir).select(
+      (col("doc_id") / 4).cast("long").as("prompt_id"),
+      (col("doc_id") % 4).as("resp_id"),
+      (length(col("text")) % 97).cast("long").as("score"))
+    val a = resp.select(col("prompt_id"), col("resp_id").as("i"),
+      col("score").as("si"))
+    val b = resp.select(col("prompt_id"), col("resp_id").as("j"),
+      col("score").as("sj"))
+    val games = a.join(b, Seq("prompt_id"))
+      .filter(col("i") < col("j") && col("si") =!= col("sj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("si") > col("sj"), 1L).otherwise(0L)).as("wi"))
+    EvalMetrics.bradleyTerry(games, iters = 3)
+  }
+
   /** Sequence-length curriculum order: short docs first, shuffled
     * within each 100-char length stage (capped at stage 5).
     */
@@ -1901,6 +1965,10 @@ object TrainingQueries {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_index" -> (qBpeIndex _),
     "q_bootstrap_ci" -> (qBootstrapCI _),
+    "q_rouge_bigram" -> (qRougeBigram _),
+    "q_bleu" -> (qBleu _),
+    "q_pass_at_k" -> (qPassAtK _),
+    "q_bradley_terry" -> (qBradleyTerry _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
     "q_embed_pipeline" -> (qEmbedPipeline _),
@@ -1993,6 +2061,60 @@ object TrainingQueries {
     */
   private def dhSalted(salt: String) =
     dh(s"'$salt|' || CAST(doc_id AS VARCHAR)")
+
+  /** Shared eval-pair fixture CTE — pr(pair_id, cw, rw): candidate and
+    * reference token lists (even doc = reference, the next odd doc the
+    * candidate; mirrors [[evalPairs]]).
+    */
+  private val evalPairCtes: String =
+    """pr AS (
+      |  SELECT a.doc_id // 2 AS pair_id,
+      |    list_filter(string_split(b.text, ' '), x -> x != '') AS cw,
+      |    list_filter(string_split(a.text, ' '), x -> x != '') AS rw
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0)""".stripMargin
+
+  /** One clipped-match CTE triple per BLEU order n — ends in
+    * mmN(pair_id, m). Emitted WITHOUT margin chars: the fragment embeds
+    * in oracles that stripMargin afterwards.
+    */
+  private def bleuClipCte(n: Int): String = {
+    def gram(c: String) =
+      (1 to n).map(j => s"$c[i+$j]").mkString(" || ' ' || ")
+    def side(c: String, nm: String) =
+      s"""$nm$n AS (
+  SELECT pair_id, ${dh("g")} AS h, count(*) AS c FROM (
+    SELECT pair_id, unnest(list_transform(
+      range(greatest(len($c) - ${n - 1}, 0)),
+      i -> ${gram(c)})) AS g FROM pr)
+  GROUP BY 1, 2)"""
+    s"""${side("cw", "bc")},
+${side("rw", "br")},
+mm$n AS (
+  SELECT bc$n.pair_id, CAST(sum(least(bc$n.c, br$n.c)) AS BIGINT) AS m
+  FROM bc$n JOIN br$n ON bc$n.pair_id = br$n.pair_id AND bc$n.h = br$n.h
+  GROUP BY 1)"""
+  }
+
+  /** One Bradley-Terry MM round as CTEs d/r/n/p{k} from p{k-1} —
+    * the same e6 fixed-point DIV chain as
+    * [[graft.ops.EvalMetrics.bradleyTerry]]. No margin chars (see
+    * [[bleuClipCte]]).
+    */
+  private def btIterCtes(k: Int): String =
+    s"""d$k AS (
+  SELECT d.player, sum(d.n * 1000000000000 // (pi.p + pj.p)) AS den
+  FROM dir d
+  JOIN p${k - 1} pi ON pi.player = d.player
+  JOIN p${k - 1} pj ON pj.player = d.other
+  GROUP BY 1),
+r$k AS (
+  SELECT w.player, w.wins * 1000000000000 // d$k.den AS praw
+  FROM w JOIN d$k ON d$k.player = w.player),
+n$k AS (
+  SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(praw) AS BIGINT) AS sp
+  FROM r$k),
+p$k AS (SELECT player, praw * (np * 1000000) // sp AS p FROM r$k, n$k)"""
 
   /** Shared CTE block for the span-trim family: rebuilds every doc
     * without its cross-document 8-token windows, ending in `trimout
@@ -4488,6 +4610,124 @@ object TrainingQueries {
          |FROM pt,
          |  (SELECT mean_e6 FROM ranked WHERE r = 5) lo,
          |  (SELECT mean_e6 FROM ranked WHERE r = 196) hi""".stripMargin,
+
+    // clipped bigram overlap replayed on the same 60-bit gram hashes;
+    // totals are pure arithmetic on token counts (len - n + 1)
+    "q_rouge_bigram" ->
+      s"""WITH $evalPairCtes,
+         |cg AS (
+         |  SELECT pair_id, ${dh("g")} AS h, count(*) AS c FROM (
+         |    SELECT pair_id, unnest(list_transform(
+         |      range(greatest(len(cw) - 1, 0)),
+         |      i -> cw[i+1] || ' ' || cw[i+2])) AS g FROM pr)
+         |  GROUP BY 1, 2),
+         |rg AS (
+         |  SELECT pair_id, ${dh("g")} AS h, count(*) AS c FROM (
+         |    SELECT pair_id, unnest(list_transform(
+         |      range(greatest(len(rw) - 1, 0)),
+         |      i -> rw[i+1] || ' ' || rw[i+2])) AS g FROM pr)
+         |  GROUP BY 1, 2),
+         |mm AS (
+         |  SELECT cg.pair_id, CAST(sum(least(cg.c, rg.c)) AS BIGINT) AS m
+         |  FROM cg JOIN rg ON cg.pair_id = rg.pair_id AND cg.h = rg.h
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT pr.pair_id, coalesce(mm.m, 0) AS m,
+         |    greatest(len(cw) - 1, 0) AS t_cand,
+         |    greatest(len(rw) - 1, 0) AS t_ref
+         |  FROM pr LEFT JOIN mm ON mm.pair_id = pr.pair_id),
+         |sc AS (
+         |  SELECT pair_id, m, t_cand, t_ref,
+         |    CASE WHEN t_cand > 0 THEN m * 1000000 // t_cand ELSE 0 END
+         |      AS p_e6,
+         |    CASE WHEN t_ref > 0 THEN m * 1000000 // t_ref ELSE 0 END
+         |      AS r_e6
+         |  FROM base)
+         |SELECT pair_id, m, CAST(t_cand AS BIGINT) AS t_cand,
+         |  CAST(t_ref AS BIGINT) AS t_ref,
+         |  CAST(p_e6 AS BIGINT) AS p_e6, CAST(r_e6 AS BIGINT) AS r_e6,
+         |  CAST(CASE WHEN p_e6 + r_e6 > 0
+         |    THEN 2 * p_e6 * r_e6 // (p_e6 + r_e6) ELSE 0 END AS BIGINT)
+         |    AS f1_e6
+         |FROM sc""".stripMargin,
+
+    // one clipped-count block per n; the precision product runs in
+    // HUGEINT (t^4 * 1e6 passes 2^63) and lands back in BIGINT
+    "q_bleu" ->
+      s"""WITH $evalPairCtes,
+         |${(1 to 4).map(bleuClipCte).mkString(",\n")},
+         |base AS (
+         |  SELECT pr.pair_id,
+         |    ${(1 to 4).map(n =>
+              s"coalesce(mm$n.m, 0) AS m$n, " +
+                s"greatest(len(cw) - ${n - 1}, 0) AS t$n").mkString(",\n    ")},
+         |    CAST(len(cw) AS BIGINT) AS cand_len,
+         |    CAST(len(rw) AS BIGINT) AS ref_len
+         |  FROM pr ${(1 to 4).map(n =>
+              s"LEFT JOIN mm$n ON mm$n.pair_id = pr.pair_id")
+              .mkString(" ")})
+         |SELECT pair_id, m1, CAST(t1 AS BIGINT) AS t1, m2,
+         |  CAST(t2 AS BIGINT) AS t2, m3, CAST(t3 AS BIGINT) AS t3, m4,
+         |  CAST(t4 AS BIGINT) AS t4, cand_len, ref_len,
+         |  greatest(ref_len - cand_len, 0) AS bp_deficit,
+         |  CAST(CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0
+         |    THEN CAST(m1 AS HUGEINT) * m2 * m3 * m4 * 1000000 //
+         |      (CAST(t1 AS HUGEINT) * t2 * t3 * t4)
+         |    ELSE 0 END AS BIGINT) AS bleu_prod_e6
+         |FROM base""".stripMargin,
+
+    // the falling-factorial quotient is exact (k! cancels); any factor
+    // <= 0 zeroes the product, which is C(a, 4)'s own boundary
+    "q_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT doc_id // 8 AS problem_id,
+        |    CASE WHEN strlen(text) % 97 > 48 THEN 1 ELSE 0 END AS ok
+        |  FROM documents),
+        |g AS (
+        |  SELECT problem_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ok) AS BIGINT) AS c
+        |  FROM s GROUP BY 1),
+        |f AS (
+        |  SELECT problem_id, n, c,
+        |    greatest(n-c, 0) * greatest(n-c-1, 0) * greatest(n-c-2, 0) *
+        |      greatest(n-c-3, 0) AS ffnc,
+        |    greatest(n, 0) * greatest(n-1, 0) * greatest(n-2, 0) *
+        |      greatest(n-3, 0) AS ffn
+        |  FROM g WHERE n >= 4)
+        |SELECT problem_id, n, c,
+        |  CAST(1000000 - (1000000 * ffnc) // ffn AS BIGINT)
+        |    AS pass_at_k_e6
+        |FROM f""".stripMargin,
+
+    // 3 MM rounds replayed in e6 fixed point — every DIV truncation
+    // identical, so the strengths match bit for bit
+    "q_bradley_terry" ->
+      s"""WITH resp AS (
+         |  SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS resp_id,
+         |    strlen(text) % 97 AS score
+         |  FROM documents),
+         |pm AS (
+         |  SELECT a.resp_id AS i, b.resp_id AS j,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a.score > b.score THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wi
+         |  FROM resp a JOIN resp b ON a.prompt_id = b.prompt_id
+         |    AND a.resp_id < b.resp_id
+         |  WHERE a.score != b.score GROUP BY 1, 2),
+         |dir AS (
+         |  SELECT i AS player, j AS other, n FROM pm
+         |  UNION ALL SELECT j, i, n FROM pm),
+         |w AS (
+         |  SELECT player, CAST(sum(wins) AS BIGINT) AS wins,
+         |    CAST(sum(games) AS BIGINT) AS games
+         |  FROM (SELECT i AS player, wi AS wins, n AS games FROM pm
+         |        UNION ALL SELECT j, n - wi, n FROM pm)
+         |  GROUP BY 1),
+         |p0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p FROM w),
+         |${(1 to 3).map(btIterCtes).mkString(",\n")}
+         |SELECT w.player, w.wins, w.games, CAST(p3.p AS BIGINT)
+         |  AS strength_e6
+         |FROM w JOIN p3 ON p3.player = w.player""".stripMargin,
 
     "q_epoch_schedule" ->
       """WITH s AS (

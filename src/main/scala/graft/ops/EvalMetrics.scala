@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.NgramOverlapExpressions.ngramOverlap
+
+/** Integer-exact evaluation metrics over generation / sampling output —
+  * the scoring half of an eval harness, distributed and rerun-stable.
+  *
+  * Every score is an e6-scaled integer built from exact counts with SQL
+  * DIV truncation, so Spark and the DuckDB oracle agree bit for bit and
+  * reruns at any partitioning replay the same numbers (no float
+  * reduction order anywhere).
+  *
+  * Reference spec: the reference engine ships eval aggregation over its
+  * log tables (tansu's SQL surface); the metric definitions are the
+  * published ones — ROUGE-N (Lin 2004), BLEU modified precision
+  * (Papineni et al. 2002), pass@k's unbiased estimator (Chen et al.
+  * 2021, eq. 1), Bradley-Terry strengths via the MM algorithm
+  * (Hunter 2004).
+  */
+object EvalMetrics {
+
+  private def tokensOf(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  /** ROUGE-N per (candidate, reference) pair: clipped n-gram matches,
+    * both gram totals, and e6-scaled precision / recall / F1.
+    *
+    * Scale shape: ONE narrow map — the clipped counting runs inside the
+    * per-pair [[graft.functions.NgramOverlapCounts]] kernel, so the
+    * pairs table is never exploded into gram rows and nothing shuffles.
+    *
+    * `pairs` needs (pairIdCol, candCol, refCol) text columns.
+    */
+  def rougeN(pairs: DataFrame, n: Int, pairIdCol: String = "pair_id",
+             candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    val o = ngramOverlap(tokensOf(col(candCol)), tokensOf(col(refCol)), n)
+    val m = col("__o")(s"m$n")
+    val tc = col("__o")(s"tc$n")
+    val tr = col("__o")(s"tr$n")
+    val p = when(tc > 0, expr(s"__o.m$n * 1000000L DIV __o.tc$n"))
+      .otherwise(0L)
+    val r = when(tr > 0, expr(s"__o.m$n * 1000000L DIV __o.tr$n"))
+      .otherwise(0L)
+    pairs.withColumn("__o", o)
+      .select(col(pairIdCol), m.as("m"), tc.as("t_cand"), tr.as("t_ref"),
+        p.as("p_e6"), r.as("r_e6"))
+      .withColumn("f1_e6",
+        when(col("p_e6") + col("r_e6") > 0,
+          expr("2L * p_e6 * r_e6 DIV (p_e6 + r_e6)")).otherwise(0L))
+  }
+
+  /** BLEU components per pair, integer-exact: clipped matches `m1..m4`
+    * and candidate gram totals `t1..t4`, token lengths, the brevity
+    * deficit max(0, ref_len - cand_len) (zero exactly when BP = 1), and
+    * `bleu_prod_e6` = e6·(p1·p2·p3·p4) — the 4th power of BLEU's
+    * geometric mean sans root, monotone in BLEU wherever BP = 1. The
+    * root and exp(1 - r/c) are transcendental, so the score a trainer
+    * thresholds on ships as these exact integers instead of a
+    * libm-dependent double (products run in DECIMAL(38): t^4·1e6 can
+    * pass 2^63).
+    */
+  def bleuCounts(pairs: DataFrame, pairIdCol: String = "pair_id",
+                 candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    val o = ngramOverlap(tokensOf(col(candCol)), tokensOf(col(refCol)), 4)
+    val withO = pairs.withColumn("__o", o)
+    val cols = Seq(col(pairIdCol)) ++
+      (1 to 4).flatMap(n => Seq(
+        col("__o")(s"m$n").as(s"m$n"), col("__o")(s"tc$n").as(s"t$n"))) ++
+      Seq(col("__o")("cand_len").as("cand_len"),
+        col("__o")("ref_len").as("ref_len"),
+        greatest(col("__o")("ref_len") - col("__o")("cand_len"), lit(0L))
+          .as("bp_deficit"))
+    withO.select(cols: _*)
+      .withColumn("bleu_prod_e6",
+        when(col("t1") > 0 && col("t2") > 0 && col("t3") > 0 && col("t4") > 0,
+          expr("""CAST(
+            CAST(m1 AS DECIMAL(38,0)) * m2 * m3 * m4 * 1000000 DIV
+            (CAST(t1 AS DECIMAL(38,0)) * t2 * t3 * t4) AS BIGINT)"""))
+          .otherwise(0L))
+  }
+
+  /** pass@k per problem from per-sample correctness — the unbiased
+    * estimator 1 - C(n-c, k)/C(n, k) (Chen et al. 2021), EXACT as an
+    * e6 integer: the k! cancels, so the ratio is the falling-factorial
+    * quotient ff_k(n-c)/ff_k(n), computed with longs (any factor <= 0
+    * zeroes ff, which is C's own boundary behavior).
+    *
+    * Problems with n < k carry no estimate and are dropped (the
+    * estimator is undefined there); `samples` needs (problemIdCol,
+    * correctCol boolean).
+    *
+    * Scale shape: one hash aggregate over samples, then arithmetic on
+    * the per-problem row — nothing else.
+    */
+  def passAtK(samples: DataFrame, k: Int,
+              problemIdCol: String = "problem_id",
+              correctCol: String = "correct"): DataFrame = {
+    require(k >= 1, s"passAtK: k must be positive (got $k)")
+    def ff(a: Column): Column =
+      aggregate(sequence(lit(0), lit(k - 1)), lit(1L),
+        (acc, i) => acc * greatest(a - i, lit(0L)))
+    samples
+      .groupBy(col(problemIdCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col(correctCol).cast("long")), lit(0L)).as("c"))
+      .filter(col("n") >= k)
+      .withColumn("__ffnc", ff(col("n") - col("c")))
+      .withColumn("__ffn", ff(col("n")))
+      .select(col(problemIdCol), col("n"), col("c"),
+        (lit(1000000L) - expr("1000000L * __ffnc DIV __ffn"))
+          .as("pass_at_k_e6"))
+  }
+
+  /** Bradley-Terry strengths from pairwise game outcomes via `iters`
+    * MM rounds (Hunter 2004: p_i <- W_i / sum_j n_ij/(p_i+p_j)),
+    * e6 fixed-point with DIV truncation at every step — deterministic
+    * under any partitioning, bit-replayable by the oracle's CTE chain.
+    *
+    * `games` needs one row per unordered player pair (iCol < jCol by
+    * convention) with total games `nCol` and i's wins `wiCol`. Players
+    * appearing only in zero-game rows are excluded (their MM update is
+    * 0/0). Strengths normalize to sum = |players|·1e6 each round.
+    *
+    * Scale shape: the corpus-scale work is the caller's WINS
+    * aggregation; the MM loop runs on the |players|^2-bounded matrix —
+    * league tables are small by nature, so `iters` tiny-table rounds
+    * cost milliseconds and no checkpointing is needed.
+    */
+  def bradleyTerry(games: DataFrame, iters: Int = 3,
+                   iCol: String = "i", jCol: String = "j",
+                   nCol: String = "n", wiCol: String = "wi"): DataFrame = {
+    require(iters >= 1, s"bradleyTerry: iters must be positive (got $iters)")
+    val pm = games.filter(col(nCol) > 0)
+      .select(col(iCol).as("i"), col(jCol).as("j"),
+        col(nCol).cast("long").as("n"), col(wiCol).cast("long").as("wi"))
+    // both directions once: (player, other, games-between)
+    val dir = pm.select(col("i").as("player"), col("j").as("other"), col("n"))
+      .unionByName(pm.select(col("j").as("player"), col("i").as("other"),
+        col("n")))
+    val w = pm.select(col("i").as("player"), col("wi").as("wins"),
+        col("n").as("games"))
+      .unionByName(pm.select(col("j").as("player"),
+        (col("n") - col("wi")).as("wins"), col("n").as("games")))
+      .groupBy("player")
+      .agg(sum("wins").as("wins"), sum("games").as("games"))
+    var p = w.select(col("player"), lit(1000000L).as("p"))
+    for (_ <- 1 to iters) {
+      val denom = dir
+        .join(p.select(col("player"), col("p").as("__pi")), "player")
+        .join(p.select(col("player").as("other"), col("p").as("__pj")),
+          "other")
+        .groupBy("player")
+        .agg(sum(expr("n * 1000000000000L DIV (__pi + __pj)")).as("__den"))
+      val raw = w.join(denom, "player")
+        .select(col("player"),
+          expr("wins * 1000000000000L DIV __den").as("__praw"))
+      // normalization constants ride a 1-row broadcast aggregate
+      val norm = raw.agg(count(lit(1)).as("__np"),
+        sum("__praw").as("__sp"))
+      p = raw.crossJoin(broadcast(norm))
+        .select(col("player"),
+          expr("__praw * (__np * 1000000L) DIV __sp").as("p"))
+    }
+    w.join(p, "player")
+      .select(col("player"), col("wins"), col("games"),
+        col("p").as("strength_e6"))
+  }
+}

@@ -3433,4 +3433,86 @@ class OpsSpec extends SparkSpec with PropSupport {
     val short = Similarity.mmrRerank(e, queryId = 0L, shortlist = 3, k = 5)
     assert(short.count() === 3)
   }
+
+  test("rougeN: clipped counts by hand; empty and short sides score zero") {
+    val pairs = Seq(
+      // cand bigrams: [a b, b a, a b] ref: [a b, b a]; clipped m = 2
+      (1L, "a b a b", "a b a"),
+      (2L, "x y", "p q r"),       // no overlap: m = 0, p/r/f 0
+      (3L, "", "a b"),            // empty cand: t_cand = 0
+      (4L, "a", "a")              // both below bigram length: t = 0
+    ).toDF("pair_id", "cand", "ref")
+    val out = graft.ops.EvalMetrics.rougeN(pairs, n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("m") === 2L)
+    assert(out(1L).getAs[Long]("t_cand") === 3L)
+    assert(out(1L).getAs[Long]("t_ref") === 2L)
+    assert(out(1L).getAs[Long]("p_e6") === 666666L)   // 2e6 DIV 3
+    assert(out(1L).getAs[Long]("r_e6") === 1000000L)
+    // f1 = 2pr/(p+r) with the same truncation
+    assert(out(1L).getAs[Long]("f1_e6") ===
+      2L * 666666L * 1000000L / (666666L + 1000000L))
+    assert(out(2L).getAs[Long]("m") === 0L)
+    assert(out(2L).getAs[Long]("f1_e6") === 0L)
+    assert(out(3L).getAs[Long]("t_cand") === 0L)
+    assert(out(3L).getAs[Long]("p_e6") === 0L)
+    assert(out(4L).getAs[Long]("t_cand") === 0L)
+  }
+
+  test("bleuCounts: per-order components and the precision product") {
+    // cand == ref: every precision 1 -> product e6 = 1e6, deficit 0
+    val pairs = Seq(
+      (1L, "a b c d e", "a b c d e"),
+      (2L, "a b c d", "a b c d e"),  // shorter cand: bp_deficit 1
+      (3L, "a b c", "a b c")         // no 4-grams: t4 = 0 -> product 0
+    ).toDF("pair_id", "cand", "ref")
+    val out = graft.ops.EvalMetrics.bleuCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("bleu_prod_e6") === 1000000L)
+    assert(out(1L).getAs[Long]("bp_deficit") === 0L)
+    assert((1 to 4).forall(n =>
+      out(1L).getAs[Long](s"m$n") === out(1L).getAs[Long](s"t$n")))
+    assert(out(2L).getAs[Long]("bp_deficit") === 1L)
+    assert(out(2L).getAs[Long]("m1") === 4L)
+    assert(out(2L).getAs[Long]("t4") === 1L)
+    assert(out(3L).getAs[Long]("bleu_prod_e6") === 0L)
+  }
+
+  test("passAtK: exact estimator against the combinatorial definition") {
+    // n=8, c=2: pass@4 = 1 - C(6,4)/C(8,4) = 1 - 15/70
+    val s = (0 until 8).map(i => (1L, i < 2)) ++
+      (0 until 8).map(i => (2L, false)) ++     // c=0: 1 - C(8,4)/C(8,4)=0
+      (0 until 8).map(i => (3L, i < 5)) ++     // n-c=3 < k: pass = 1e6
+      (0 until 3).map(i => (4L, true))         // n=3 < k: dropped
+    val out = graft.ops.EvalMetrics.passAtK(
+      s.toDF("problem_id", "correct"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pass_at_k_e6"))
+      .toMap
+    assert(out(1L) === 1000000L - 1000000L * (6L*5*4*3) / (8L*7*6*5))
+    assert(out(2L) === 0L)
+    assert(out(3L) === 1000000L)
+    assert(!out.contains(4L))
+  }
+
+  test("bradleyTerry: dominant player ranks first; strengths normalize") {
+    // player 0 beats everyone; 1 beats 2 and 3; 2 beats 3
+    val games = Seq(
+      (0L, 1L, 10L, 9L), (0L, 2L, 10L, 8L), (0L, 3L, 10L, 10L),
+      (1L, 2L, 10L, 7L), (1L, 3L, 10L, 8L), (2L, 3L, 10L, 6L))
+      .toDF("i", "j", "n", "wi")
+    val out = graft.ops.EvalMetrics.bradleyTerry(games, iters = 3)
+      .orderBy(desc("strength_e6")).collect()
+    assert(out.map(_.getAs[Long]("player")).toSeq === Seq(0L, 1L, 2L, 3L))
+    // each round renormalizes to sum = players * 1e6 (up to DIV
+    // truncation: at most |players| below)
+    val tot = out.map(_.getAs[Long]("strength_e6")).sum
+    assert(tot > 4000000L - 4 && tot <= 4000000L)
+    assert(out.map(_.getAs[Long]("games")).forall(_ === 30L))
+    // determinism across partitionings (integer DIV chain everywhere)
+    val b = graft.ops.EvalMetrics.bradleyTerry(
+      games.repartition(7, col("j")), iters = 3)
+      .orderBy("player").collect().map(_.getAs[Long]("strength_e6")).toSeq
+    assert(b === out.sortBy(_.getAs[Long]("player"))
+      .map(_.getAs[Long]("strength_e6")).toSeq)
+  }
 }
