@@ -479,6 +479,14 @@ object TrainingQueries {
     Dedup.containmentPairs(docs(s, dir), n = 3, minContainE6 = 500000L,
       maxDocFreqFraction = 0.02)
 
+  /** EXACT complete trigram-Jaccard >= 0.35 pairs via the lossless
+    * prefix filter ([[Dedup.prefixFilteredJaccard]]) — the oracle
+    * replays the brute-force definition, so a green row proves no pair
+    * was lost to the filter.
+    */
+  def qPpjoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilteredJaccard(docs(s, dir), n = 3, tauE6 = 350000L)
+
   /** Pairs -> clusters: connected components over the MinHash candidate
     * pairs, canonical doc = min cluster member.
     */
@@ -1905,6 +1913,7 @@ object TrainingQueries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_containment" -> (qContainment _),
+    "q_ppjoin" -> (qPpjoin _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_join" -> (qKnnJoin _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -2386,6 +2395,34 @@ p$k AS (SELECT player, praw * (np * 1000000) // sp AS p FROM r$k, n$k)"""
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE (n_common * 10000) // (sa.n_grams + sb.n_grams - n_common) >= 3000""".stripMargin
+
+  /** q_ppjoin's oracle is the BRUTE-FORCE thresholded Jaccard join —
+    * no df pruning, no prefix anything — so the green row certifies
+    * the Spark side's prefix filter lossless, not merely consistent.
+    */
+  private val ppjoinOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, ${dh("sh")} AS g FROM shs),
+       |sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       |  (n_common * 1000000) // (sa.sz + sb.sz - n_common) AS j_e6
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common)
+       |  >= 350000""".stripMargin
 
   /** The sentence split replayed with the same sentinel trick (RE2 has
     * no lookbehind, so both engines mark the boundary space and split).
@@ -4057,6 +4094,7 @@ p$k AS (SELECT player, praw * (np * 1000000) // sp AS p FROM r$k, n$k)"""
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_ngram" -> ngramOracle,
     "q_containment" -> containmentOracle,
+    "q_ppjoin" -> ppjoinOracle,
     "q_lm_backoff" -> lmBackoffOracle,
     "q_text_tiles" -> textTilesOracle,
     "q_sentences" -> sentencesOracle,

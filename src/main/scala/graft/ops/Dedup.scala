@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators: exact, MinHash+LSH,
@@ -630,6 +631,74 @@ object Dedup {
         >= minContainE6)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
         "contain_a_e6", "contain_b_e6")
+  }
+
+  /** EXACT thresholded Jaccard self-join via prefix filtering (the
+    * SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
+    * every pair with n-gram Jaccard >= tau, COMPLETE — no LSH
+    * probability of a miss and no df cap changing the gram space —
+    * at far below all-pairs cost.
+    *
+    * The lossless filter: order grams globally by (df, g) ascending
+    * (rarest first; the hash breaks ties totally). If J(x,y) >= t the
+    * overlap is >= ceil(t·|x|), so x must use one of its first
+    * |x| - ceil(t·|x|) + 1 grams in that order against ANY qualifying
+    * partner — docs are indexed by PREFIX grams only, and the candidate
+    * join touches the rarest slice of each posting list instead of all
+    * of it. A symmetric length gate (t·max <= min) prunes before the
+    * exact intersection verifies survivors.
+    *
+    * 100-TB shape: df ordering is one gram-level aggregate; the prefix
+    * pick is a per-doc top-k over its own grams (docs are
+    * token-bounded); the candidate join carries prefix x prefix rows —
+    * the frequent-gram quadratic blowup that forces the df cap in
+    * [[ngramJaccardPairs]] cannot happen here because frequent grams
+    * sort LAST and fall out of every prefix. Verification is
+    * candidate-bounded. The oracle replays the BRUTE-FORCE definition,
+    * so a green row proves the filter lossless, not just fast.
+    *
+    * Returns (doc_a, doc_b, n_common, size_a, size_b, j_e6 >= tauE6).
+    */
+  def prefixFilteredJaccard(docs: DataFrame, n: Int, tauE6: Long,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(tauE6 > 0 && tauE6 <= 1000000, s"bad tauE6: $tauE6")
+    val spread = docs.select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val grams = explodedShingles(spread, n, textCol, idCol)
+      .select(col(idCol), h60(col("sh")).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    // prefix length |x| - ceil(tau * |x|) + 1, integer ceil
+    val wPrefix = Window.partitionBy(col(idCol))
+      .orderBy(col("__df"), col("g"))
+    val prefix = grams.join(df, "g")
+      .join(sizes, idCol)
+      .withColumn("__rk", row_number().over(wPrefix))
+      .filter(col("__rk") <=
+        col("sz") - expr(s"($tauE6 * sz + 999999) DIV 1000000") + 1)
+      .select(col(idCol), col("g"), col("sz"))
+    val cand = prefix.select(col(idCol).as("doc_a"), col("g"),
+        col("sz").as("size_a"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("g"),
+        col("sz").as("size_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      // J >= t forces t·max(|x|,|y|) <= |x ∩ y| <= min(|x|,|y|)
+      .filter(least(col("size_a"), col("size_b")) * 1000000L >=
+        greatest(col("size_a"), col("size_b")) * tauE6)
+      .select("doc_a", "doc_b", "size_a", "size_b")
+      .distinct()
+    cand
+      .join(grams.select(col(idCol).as("doc_a"), col("g")), "doc_a")
+      .join(grams.select(col(idCol).as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("j_e6",
+        expr("(n_common * 1000000) DIV (size_a + size_b - n_common)"))
+      .filter(col("j_e6") >= tauE6)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "j_e6")
   }
 
   /** Edit-distance verification of LSH candidate pairs — the

@@ -3434,6 +3434,36 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(short.count() === 3)
   }
 
+  test("prefixFilteredJaccard: lossless vs the brute-force join; prefix " +
+      "prunes the planted boilerplate gram") {
+    // plant heavy boilerplate: one shared sentence prefix across many
+    // docs (a frequent gram that PPJoin's ordering must sort last) plus
+    // one true near-dup pair
+    val base = docs.limit(60)
+      .withColumn("text", concat(lit("the quick brown fox says "),
+        col("text")))
+    val nd = base.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(100000L))
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val d = base.union(nd)
+    val pp = Dedup.prefixFilteredJaccard(d, n = 3, tauE6 = 350000L)
+      .select("doc_a", "doc_b", "n_common", "j_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // brute force = the no-pruning arm of the existing jaccard join
+    val brute = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.35,
+        maxDocFreqFraction = 1.0)
+      .select("doc_a", "doc_b", "n_common", "jaccard1e4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pp.map(t => (t._1, t._2, t._3)) === brute,
+      "prefix filter must be lossless")
+    assert(pp.exists(t => t._1 === 0L && t._2 === 100000L),
+      "the planted near-dup pair must survive")
+    // threshold semantics: every reported pair really clears tau
+    assert(pp.forall(_._4 >= 350000L))
+  }
+
   test("rougeN: clipped counts by hand; empty and short sides score zero") {
     val pairs = Seq(
       // cand bigrams: [a b, b a, a b] ref: [a b, b a]; clipped m = 2
