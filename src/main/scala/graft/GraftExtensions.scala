@@ -285,6 +285,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           literalInt(children(2), "text_tile_gaps"),
           literalInt(children(3), "text_tile_gaps").toLong)
       }))
+    // clipped n-gram overlap (ROUGE/BLEU core) straight from SQL:
+    // ngram_overlap(cand_tokens, ref_tokens, max_n)
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_overlap"),
+      new ExpressionInfo(
+        classOf[graft.functions.NgramOverlapCounts].getName, "ngram_overlap"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "ngram_overlap(cand_tokens, ref_tokens, max_n)")
+        graft.functions.NgramOverlapCounts(children.head, children(1),
+          literalInt(children(2), "ngram_overlap"))
+      }))
   }
 
   /** Evaluate a foldable int argument at analysis time. */

@@ -127,5 +127,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(tiles.map(_.getLong(0)) === Seq(5L, 10L, 15L))
     assert(tiles.forall(_.getLong(1) === 0L),
       "all-distinct tokens never share a bag entry")
+    // the clipped-overlap kernel rides the same registry: "a b a" vs
+    // "a b" shares clipped 2 unigrams and 1 bigram
+    val ov = spark.sql(
+      "SELECT ngram_overlap(split('a b a', ' '), split('a b', ' '), 2)")
+      .head().getStruct(0)
+    assert(ov.getAs[Long]("cand_len") === 3L)
+    assert(ov.getAs[Long]("ref_len") === 2L)
+    assert(ov.getAs[Long]("m1") === 2L)
+    assert(ov.getAs[Long]("m2") === 1L)
+    assert(ov.getAs[Long]("tc2") === 2L)
+    val badN = intercept[Exception] {
+      spark.sql("SELECT ngram_overlap(split('a', ' '), split('a', ' '), n)" +
+        " FROM (SELECT 2 AS n)").collect()
+    }
+    assert(badN.getMessage.contains("literal"), badN.getMessage)
   }
 }
