@@ -1048,6 +1048,24 @@ object TrainingQueries {
     EvalMetrics.bradleyTerry(games, iters = 3)
   }
 
+  /** Exact tie-aware AUC of a deterministic score/label pair over the
+    * corpus ([[graft.ops.EvalMetrics.aucExact]]) — the corpus collapses
+    * to <= 97 per-score rows in one aggregate.
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.aucExact(docs(s, dir).select(
+      (col("n_chars") % 97).cast("long").as("score"),
+      (col("n_chars") % 89 > 44).as("label")))
+
+  /** Reliability bins + exact ECE for a deterministic e6 confidence
+    * and its >= 0.5 decision ([[graft.ops.EvalMetrics.calibrationBins]]).
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.calibrationBins(docs(s, dir).select(
+      expr("(n_chars % 101) * 1000000L DIV 100").as("conf_e6"),
+      ((col("n_chars") % 101 >= 50) === (col("n_chars") % 89 > 44))
+        .as("correct")))
+
   /** Sequence-length curriculum order: short docs first, shuffled
     * within each 100-char length stage (capped at stage 5).
     */
@@ -1978,6 +1996,8 @@ object TrainingQueries {
     "q_bleu" -> (qBleu _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_bradley_terry" -> (qBradleyTerry _),
+    "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
     "q_embed_pipeline" -> (qEmbedPipeline _),
@@ -4736,6 +4756,59 @@ p$k AS (SELECT player, praw * (np * 1000000) // sp AS p FROM r$k, n$k)"""
         |  CAST(1000000 - (1000000 * ffnc) // ffn AS BIGINT)
         |    AS pass_at_k_e6
         |FROM f""".stripMargin,
+
+    // the Mann-Whitney halves trick keeps the tie term integral:
+    // (2·gt + eq)·1e6 // (2·np·nq)
+    "q_auc" ->
+      """WITH s AS (
+        |  SELECT n_chars % 97 AS score,
+        |    CASE WHEN n_chars % 89 > 44 THEN 1 ELSE 0 END AS lab
+        |  FROM documents),
+        |g AS (
+        |  SELECT score, CAST(sum(lab) AS BIGINT) AS p,
+        |    CAST(count(*) - sum(lab) AS BIGINT) AS q
+        |  FROM s GROUP BY 1),
+        |w AS (
+        |  SELECT score, p, q,
+        |    CAST(coalesce(sum(q) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cq
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(p * cq) AS BIGINT) AS gt,
+        |    CAST(sum(p * q) AS BIGINT) AS eq,
+        |    CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nq
+        |  FROM w)
+        |SELECT np AS n_pos, nq AS n_neg,
+        |  CAST(CASE WHEN np > 0 AND nq > 0
+        |    THEN (2 * gt + eq) * 1000000 // (2 * np * nq)
+        |    ELSE NULL END AS BIGINT) AS auc_e6
+        |FROM t""".stripMargin,
+
+    // gap mass stays an un-divided sum until the single final DIV, so
+    // no per-bin rounding leaks into the global ECE
+    "q_calibration" ->
+      """WITH s AS (
+        |  SELECT (n_chars % 101) * 1000000 // 100 AS conf,
+        |    CASE WHEN (CASE WHEN n_chars % 101 >= 50 THEN 1 ELSE 0 END) =
+        |      (CASE WHEN n_chars % 89 > 44 THEN 1 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM documents),
+        |b AS (
+        |  SELECT least((conf * 10) // 1000000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ok) AS BIGINT) AS n_correct,
+        |    CAST(sum(conf) AS BIGINT) AS sum_conf
+        |  FROM s GROUP BY 1),
+        |g AS (SELECT *, abs(n_correct * 1000000 - sum_conf) AS gm FROM b),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(gm) AS BIGINT) AS tgm FROM g)
+        |SELECT bin, n, n_correct,
+        |  n_correct * 1000000 // n AS acc_e6,
+        |  sum_conf // n AS avg_conf_e6,
+        |  CAST(gm // n AS BIGINT) AS gap_e6,
+        |  CAST(tgm // nn AS BIGINT) AS ece_e6
+        |FROM g, t""".stripMargin,
 
     // 3 MM rounds replayed in e6 fixed point — every DIV truncation
     // identical, so the strengths match bit for bit

@@ -115,6 +115,71 @@ object EvalMetrics {
           .as("pass_at_k_e6"))
   }
 
+  /** Tie-aware AUC, EXACT: the Mann-Whitney pair formulation
+    * AUC = (#(pos > neg) + ½·#(pos = neg)) / (n_pos·n_neg), computed in
+    * halves so the ½ never leaves the integers —
+    * auc_e6 = (2·gt + eq)·1e6 DIV (2·n_pos·n_neg).
+    *
+    * Scale shape: the corpus collapses to one row PER DISTINCT SCORE in
+    * a single hash aggregate (a trained quality scorer emits bounded
+    * integer scores); the rank-style cumulative runs over that tiny
+    * table, never over documents. Returns one row:
+    * (n_pos, n_neg, auc_e6).
+    */
+  def aucExact(scored: DataFrame, scoreCol: String = "score",
+               labelCol: String = "label"): DataFrame = {
+    val perScore = scored
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol).cast("long")).as("__p"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__q"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__cq", coalesce(sum(col("__q")).over(w), lit(0L)))
+      .agg(sum(expr("__p * __cq")).as("__gt"),
+        sum(expr("__p * __q")).as("__eq"),
+        sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(2L * __gt + __eq) * 1000000L DIV (2L * n_pos * n_neg)"))
+          .otherwise(lit(null).cast("long")).as("auc_e6"))
+  }
+
+  /** Reliability diagram + ECE, EXACT: per confidence bin the count,
+    * correct count, e6 accuracy and mean confidence (DIV truncation),
+    * and the bin's |Σcorrect·1e6 − Σconf_e6| gap mass; the global
+    * `ece_e6` = Σ_b gap_mass_b DIV N rides every row (the n_b-weighted
+    * |acc − conf| definition, kept in un-divided sums so nothing is
+    * rounded before the final DIV).
+    *
+    * `scored` needs an e6 confidence column and a boolean/0-1
+    * correctness column. bin = min(conf·B DIV 1e6, B−1). One hash
+    * aggregate to B rows, then arithmetic.
+    */
+  def calibrationBins(scored: DataFrame, bins: Int = 10,
+                      confCol: String = "conf_e6",
+                      correctCol: String = "correct"): DataFrame = {
+    require(bins >= 1, s"calibrationBins: bins must be positive ($bins)")
+    val binned = scored.select(
+      least(expr(s"($confCol * ${bins}L) DIV 1000000"), lit(bins - 1L))
+        .as("bin"),
+      col(confCol).cast("long").as("__conf"),
+      col(correctCol).cast("long").as("__ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__ok").as("n_correct"),
+        sum("__conf").as("sum_conf_e6"))
+      .withColumn("gap_mass",
+        abs(col("n_correct") * 1000000L - col("sum_conf_e6")))
+    val tot = binned.agg(sum("n").as("__nn"),
+      sum("gap_mass").as("__gm"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_correct"),
+        expr("n_correct * 1000000L DIV n").as("acc_e6"),
+        expr("sum_conf_e6 DIV n").as("avg_conf_e6"),
+        expr("gap_mass DIV n").as("gap_e6"),
+        expr("__gm DIV __nn").as("ece_e6"))
+  }
+
   /** Bradley-Terry strengths from pairwise game outcomes via `iters`
     * MM rounds (Hunter 2004: p_i <- W_i / sum_j n_ij/(p_i+p_j)),
     * e6 fixed-point with DIV truncation at every step — deterministic

@@ -3524,6 +3524,44 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(!out.contains(4L))
   }
 
+  test("aucExact: hand cases — perfect, inverted, all-ties, degenerate") {
+    def auc(rows: Seq[(Long, Boolean)]): Option[Long] =
+      Option(graft.ops.EvalMetrics.aucExact(rows.toDF("score", "label"))
+        .head().getAs[java.lang.Long]("auc_e6")).map(_.longValue())
+    // perfect separation
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true)))
+      === Some(1000000L))
+    // perfectly inverted
+    assert(auc(Seq((4L, false), (3L, false), (1L, true), (2L, true)))
+      === Some(0L))
+    // every score tied: AUC = 1/2
+    assert(auc(Seq((7L, true), (7L, false), (7L, true), (7L, false)))
+      === Some(500000L))
+    // one discordant pair among 1 pos x 3 neg with a tie:
+    // gt = 2, eq = 1 -> (2*2+1)e6 / (2*3) = 833333
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (3L, false)))
+      === Some(833333L))
+    // single-class input: NULL, not a crash
+    assert(auc(Seq((1L, true), (2L, true))) === None)
+  }
+
+  test("calibrationBins: exact gap mass and global ECE") {
+    // two bins: [0.0-0.1) holds 2 rows conf 0, one correct ->
+    // gap = |1e6 - 0| = 1e6; [0.9-1.0] holds 2 rows conf 1e6, both
+    // correct -> gap 0; ece = 1e6 / 4
+    val rows = Seq((0L, true), (0L, false), (1000000L, true),
+      (1000000L, true)).toDF("conf_e6", "correct")
+    val out = graft.ops.EvalMetrics.calibrationBins(rows)
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq === Seq(0L, 9L))
+    assert(out(0).getAs[Long]("gap_e6") === 500000L)  // 1e6 mass / 2 rows
+    assert(out(0).getAs[Long]("acc_e6") === 500000L)
+    assert(out(1).getAs[Long]("gap_e6") === 0L)
+    assert(out.forall(_.getAs[Long]("ece_e6") === 250000L))
+    // conf exactly 1e6 must clamp into the last bin, never bin B
+    assert(out(1).getAs[Long]("n") === 2L)
+  }
+
   test("bradleyTerry: dominant player ranks first; strengths normalize") {
     // player 0 beats everyone; 1 beats 2 and 3; 2 beats 3
     val games = Seq(
