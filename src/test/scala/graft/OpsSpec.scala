@@ -3524,6 +3524,50 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(!out.contains(4L))
   }
 
+  test("ngram_overlap: property — kernel equals the naive multiset " +
+      "reference on random token arrays") {
+    import org.scalacheck.Gen
+    import graft.functions.NgramOverlapExpressions.ngramOverlap
+    val tok = Gen.oneOf("a", "b", "c", "ab", "", "x y", "é")
+    val arr = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tok))
+    // naive reference: string-typed multiset intersection of n-grams
+    // over the same nonempty-token contract
+    def naive(c: List[String], r: List[String], n: Int): (Long, Long, Long) = {
+      def grams(t: List[String]) =
+        t.filter(_.nonEmpty).sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toList
+      val (cg, rg) = (grams(c), grams(r))
+      val rc = scala.collection.mutable.Map.empty[String, Int]
+      rg.foreach(g => rc(g) = rc.getOrElse(g, 0) + 1)
+      var m = 0L
+      cg.foreach { g =>
+        if (rc.getOrElse(g, 0) > 0) { rc(g) -= 1; m += 1 }
+      }
+      (m, cg.length.toLong, rg.length.toLong)
+    }
+    forAllGen(Gen.zip(arr, arr), cases = 60) { case (c, r) =>
+      val row = Seq((c.mkString(" "), r.mkString(" ")))
+        .toDF("cand", "ref")
+        .select(ngramOverlap(
+          filter(split(col("cand"), " "), t => t =!= lit("")),
+          filter(split(col("ref"), " "), t => t =!= lit("")), 3).as("o"))
+        .head().getStruct(0)
+      // NOTE: tokens containing a space ("x y") re-split at the split()
+      // layer — the kernel sees the POST-SPLIT arrays, so the reference
+      // must too
+      val cToks = c.mkString(" ").split(" ").filter(_.nonEmpty).toList
+      val rToks = r.mkString(" ").split(" ").filter(_.nonEmpty).toList
+      (1 to 3).foreach { n =>
+        val (m, tc, tr) = naive(cToks, rToks, n)
+        assert(row.getAs[Long](s"m$n") === m, s"m$n for $c vs $r")
+        assert(row.getAs[Long](s"tc$n") === tc, s"tc$n for $c vs $r")
+        assert(row.getAs[Long](s"tr$n") === tr, s"tr$n for $c vs $r")
+      }
+      assert(row.getAs[Long]("cand_len") === cToks.length.toLong)
+      assert(row.getAs[Long]("ref_len") === rToks.length.toLong)
+    }
+  }
+
   test("aucExact: hand cases — perfect, inverted, all-ties, degenerate") {
     def auc(rows: Seq[(Long, Boolean)]): Option[Long] =
       Option(graft.ops.EvalMetrics.aucExact(rows.toDF("score", "label"))
