@@ -1066,6 +1066,25 @@ object TrainingQueries {
       ((col("n_chars") % 101 >= 50) === (col("n_chars") % 89 > 44))
         .as("correct")))
 
+  /** Kendall tau-a between the quality score and a second deterministic
+    * signal ([[graft.ops.EvalMetrics.kendallTauA]]) — the two-scorer
+    * agreement audit; the corpus collapses to <= 5×61 cells.
+    */
+  def qRankCorr(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.kendallTauA(
+      TextAnalysis.qualityScore(docs(s, dir)).select(
+        col("quality").cast("long").as("x"),
+        (col("n_chars_m") % 61).cast("long").as("y")))
+
+  /** Cohen's kappa between two deterministic pseudo-raters
+    * ([[graft.ops.EvalMetrics.cohenKappa]]) — annotation-agreement
+    * screening, exact in e6.
+    */
+  def qCohenKappa(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.cohenKappa(docs(s, dir).select(
+      (col("n_chars") % 89 > 44).as("a"),
+      (col("n_chars") % 97 > 48).as("b")))
+
   /** Sequence-length curriculum order: short docs first, shuffled
     * within each 100-char length stage (capped at stage 5).
     */
@@ -1998,6 +2017,8 @@ object TrainingQueries {
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
+    "q_rank_corr" -> (qRankCorr _),
+    "q_cohen_kappa" -> (qCohenKappa _),
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_source_divergence" -> (qSourceDivergence _),
     "q_embed_pipeline" -> (qEmbedPipeline _),
@@ -4784,6 +4805,59 @@ p$k AS (SELECT player, praw * (np * 1000000) // sp AS p FROM r$k, n$k)"""
         |    THEN (2 * gt + eq) * 1000000 // (2 * np * nq)
         |    ELSE NULL END AS BIGINT) AS auc_e6
         |FROM t""".stripMargin,
+
+    // concordant/discordant pair counting over the bounded cell table;
+    // both engines truncate the signed numerator toward zero
+    "q_rank_corr" ->
+      s"""WITH $qualityCtes,
+         |s AS (
+         |  SELECT qout.quality AS x, qs.n_chars_m % 61 AS y
+         |  FROM qout JOIN qs USING (doc_id)),
+         |cells AS (
+         |  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+         |p AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN b.y > a.y THEN a.c * b.c
+         |      ELSE 0 END), 0) AS BIGINT) AS con,
+         |    CAST(coalesce(sum(CASE WHEN b.y < a.y THEN a.c * b.c
+         |      ELSE 0 END), 0) AS BIGINT) AS dis
+         |  FROM cells a JOIN cells b ON b.x > a.x),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+         |SELECT n, con AS concordant, dis AS discordant,
+         |  CAST(CASE WHEN n >= 2
+         |    THEN (con - dis) * 1000000 // ((n * (n - 1)) // 2)
+         |    ELSE NULL END AS BIGINT) AS tau_a_e6
+         |FROM t, p""".stripMargin,
+
+    // po and pe ride un-divided integer sums (pe over n^2); kappa's one
+    // signed DIV truncates identically in both engines
+    "q_cohen_kappa" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN n_chars % 89 > 44 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN n_chars % 97 > 48 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |conf AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM conf GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS nb FROM conf GROUP BY 1),
+        |pe AS (
+        |  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+        |  FROM ma JOIN mb ON ma.a = mb.b),
+        |t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT)
+        |      AS n_agree
+        |  FROM conf),
+        |r AS (
+        |  SELECT n, n_agree,
+        |    n_agree * 1000000 // n AS po_e6,
+        |    pe_num * 1000000 // (n * n) AS pe_e6
+        |  FROM t, pe)
+        |SELECT n, n_agree, po_e6, pe_e6,
+        |  CAST(CASE WHEN pe_e6 < 1000000
+        |    THEN (po_e6 - pe_e6) * 1000000 // (1000000 - pe_e6)
+        |    ELSE NULL END AS BIGINT) AS kappa_e6
+        |FROM r""".stripMargin,
 
     // gap mass stays an un-divided sum until the single final DIV, so
     // no per-bin rounding leaks into the global ECE

@@ -665,17 +665,28 @@ object Dedup {
     require(tauE6 > 0 && tauE6 <= 1000000, s"bad tauE6: $tauE6")
     val spread = docs.select(col(idCol), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // the distinct gram table feeds THREE aggregates (df, the prefix
+    // window, the per-doc gram arrays) — persisted so the
+    // scan→explode→md5 subtree runs once, not once per consumer (the
+    // first cut recomputed it 5x and the CONSTANT, not the exponent,
+    // made the op 9x the df-capped join's cost at sf0.1). LIFETIME: the
+    // op returns lazy plans, so the cache lives until session end
+    // (memory tier evicts LRU, disk blocks persist) — the
+    // prunedGramIntersections caveat applies verbatim.
     val grams = explodedShingles(spread, n, textCol, idCol)
       .select(col(idCol), h60(col("sh")).as("g"))
       .distinct()
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    // prefix length |x| - ceil(tau * |x|) + 1, integer ceil
+    // ONE doc-keyed window shuffle carries both the (df, g) prefix rank
+    // and the doc's gram count — no separate sizes aggregate/join
     val wPrefix = Window.partitionBy(col(idCol))
       .orderBy(col("__df"), col("g"))
+    val wDoc = Window.partitionBy(col(idCol))
+    // prefix length |x| - ceil(tau * |x|) + 1, integer ceil
     val prefix = grams.join(df, "g")
-      .join(sizes, idCol)
       .withColumn("__rk", row_number().over(wPrefix))
+      .withColumn("sz", count(lit(1)).over(wDoc))
       .filter(col("__rk") <=
         col("sz") - expr(s"($tauE6 * sz + 999999) DIV 1000000") + 1)
       .select(col(idCol), col("g"), col("sz"))
@@ -689,12 +700,19 @@ object Dedup {
         greatest(col("size_a"), col("size_b")) * tauE6)
       .select("doc_a", "doc_b", "size_a", "size_b")
       .distinct()
+    // verify on per-doc sorted gram ARRAYS (docs are token-bounded, so
+    // each array is small): two id-keyed joins + a per-row set
+    // intersection, instead of re-exploding both sides' grams through a
+    // (pair, gram) join + corpus-scale re-aggregate
+    val arrs = grams.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("g"))).as("__gs"))
     cand
-      .join(grams.select(col(idCol).as("doc_a"), col("g")), "doc_a")
-      .join(grams.select(col(idCol).as("doc_b"), col("g")),
-        Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b", "size_a", "size_b")
-      .agg(count(lit(1)).as("n_common"))
+      .join(arrs.select(col(idCol).as("doc_a"), col("__gs").as("__ga")),
+        "doc_a")
+      .join(arrs.select(col(idCol).as("doc_b"), col("__gs").as("__gb")),
+        "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("j_e6",
         expr("(n_common * 1000000) DIV (size_a + size_b - n_common)"))
       .filter(col("j_e6") >= tauE6)

@@ -180,6 +180,72 @@ object EvalMetrics {
         expr("__gm DIV __nn").as("ece_e6"))
   }
 
+  /** Kendall tau-a rank correlation between two integer score columns,
+    * EXACT: concordant/discordant pair counts and
+    * tau_a_e6 = (C − D)·1e6 DIV (n(n−1)/2) — the two-scorer agreement
+    * audit (negative numerators are safe: Spark DIV and the oracle's
+    * // both truncate toward zero).
+    *
+    * Scale shape: the corpus collapses to one CELL per distinct
+    * (x, y) score pair in a single aggregate (bounded-domain scores —
+    * quality models emit e2/e6 integers); pair counting is a cell×cell
+    * self-join over that bounded table, never over rows. Returns one
+    * row: (n, concordant, discordant, tau_a_e6).
+    */
+  def kendallTauA(scored: DataFrame, xCol: String = "x",
+                  yCol: String = "y"): DataFrame = {
+    val cells = scored.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__x").as("xa"), col("__y").as("ya"),
+      col("__c").as("ca"))
+    val b = cells.select(col("__x").as("xb"), col("__y").as("yb"),
+      col("__c").as("cb"))
+    val pairs = a.join(broadcast(b), col("xb") > col("xa"))
+      .select(
+        when(col("yb") > col("ya"), expr("ca * cb")).otherwise(0L)
+          .as("__con"),
+        when(col("yb") < col("ya"), expr("ca * cb")).otherwise(0L)
+          .as("__dis"))
+      .agg(coalesce(sum("__con"), lit(0L)).as("concordant"),
+        coalesce(sum("__dis"), lit(0L)).as("discordant"))
+    val n = cells.agg(sum("__c").as("n"))
+    n.crossJoin(pairs)
+      .select(col("n"), col("concordant"), col("discordant"),
+        when(col("n") >= 2,
+          expr("(concordant - discordant) * 1000000L DIV " +
+            "((n * (n - 1L)) DIV 2L)"))
+          .otherwise(lit(null).cast("long")).as("tau_a_e6"))
+  }
+
+  /** Cohen's kappa between two raters over a shared label column pair,
+    * EXACT in e6: po and pe stay integer (pe over n²), and
+    * kappa_e6 = (po_e6 − pe_e6)·1e6 DIV (1e6 − pe_e6). One aggregate
+    * to the k×k confusion matrix (labels are categories — bounded),
+    * arithmetic after. Returns one row:
+    * (n, n_agree, po_e6, pe_e6, kappa_e6); NULL kappa when pe = 1
+    * (both raters constant — undefined).
+    */
+  def cohenKappa(rated: DataFrame, aCol: String = "a",
+                 bCol: String = "b"): DataFrame = {
+    val conf = rated.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val ma = conf.groupBy("__a").agg(sum("__c").as("__na"))
+    val mb = conf.groupBy("__b").agg(sum("__c").as("__nb"))
+    val pe = ma.join(mb, col("__a") === col("__b"))
+      .agg(coalesce(sum(expr("__na * __nb")), lit(0L)).as("__pe_num"))
+    val agg = conf.agg(sum("__c").as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
+        .as("n_agree"))
+    agg.crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"),
+        expr("n_agree * 1000000L DIV n").as("po_e6"),
+        expr("__pe_num * 1000000L DIV (n * n)").as("pe_e6"))
+      .withColumn("kappa_e6",
+        when(col("pe_e6") < 1000000L,
+          expr("(po_e6 - pe_e6) * 1000000L DIV (1000000L - pe_e6)"))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Bradley-Terry strengths from pairwise game outcomes via `iters`
     * MM rounds (Hunter 2004: p_i <- W_i / sum_j n_ij/(p_i+p_j)),
     * e6 fixed-point with DIV truncation at every step — deterministic

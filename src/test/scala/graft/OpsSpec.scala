@@ -3606,6 +3606,45 @@ class OpsSpec extends SparkSpec with PropSupport {
     assert(out(1).getAs[Long]("n") === 2L)
   }
 
+  test("kendallTauA: hand cases — perfect, inverted, ties, degenerate") {
+    def tau(rows: Seq[(Long, Long)]): Option[Long] =
+      Option(graft.ops.EvalMetrics.kendallTauA(rows.toDF("x", "y"))
+        .head().getAs[java.lang.Long]("tau_a_e6")).map(_.longValue())
+    assert(tau(Seq((1L, 10L), (2L, 20L), (3L, 30L))) === Some(1000000L))
+    assert(tau(Seq((1L, 30L), (2L, 20L), (3L, 10L))) === Some(-1000000L))
+    // one concordant, one discordant, one x-tie among 4 points:
+    // pairs (1,2):con (1,3):con (1,4):dis (2,3):x-tie->0 (2,4):dis
+    // (3,4):dis => C=2 D=3 n0=6 -> (2-3)e6 DIV 6 = 0 - ... = -166666
+    assert(tau(Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 0L)))
+      === Some((2L - 3L) * 1000000L / 6L))
+    // n < 2: NULL
+    assert(tau(Seq((5L, 5L))) === None)
+    // determinism under repartitioning (cell-join is exact)
+    val big = (0 until 500).map(i => ((i % 7).toLong, (i % 11).toLong))
+    assert(tau(big) ===
+      Option(graft.ops.EvalMetrics.kendallTauA(
+        big.toDF("x", "y").repartition(13, col("y")))
+        .head().getAs[java.lang.Long]("tau_a_e6")).map(_.longValue()))
+  }
+
+  test("cohenKappa: hand confusion matrix; constant raters degenerate") {
+    // 10 items: a=b on 8 (4 true, 4 false), disagree on 2
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(4)((false, false)) ++
+      Seq((true, false), (false, true))
+    val out = graft.ops.EvalMetrics.cohenKappa(rows.toDF("a", "b")).head()
+    assert(out.getAs[Long]("n") === 10L)
+    assert(out.getAs[Long]("n_agree") === 8L)
+    assert(out.getAs[Long]("po_e6") === 800000L)
+    // marginals: a has 5 true/5 false, b has 5/5 -> pe = 50/100
+    assert(out.getAs[Long]("pe_e6") === 500000L)
+    assert(out.getAs[Long]("kappa_e6") ===
+      (800000L - 500000L) * 1000000L / (1000000L - 500000L))
+    // both raters constant -> pe = 1 -> kappa undefined (NULL)
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(graft.ops.EvalMetrics.cohenKappa(const).head()
+      .isNullAt(4))
+  }
+
   test("bradleyTerry: dominant player ranks first; strengths normalize") {
     // player 0 beats everyone; 1 beats 2 and 3; 2 beats 3
     val games = Seq(
