@@ -657,7 +657,11 @@ class PlanSpec extends SparkSpec {
     "q_oov_rate" -> "1-row vocab-total broadcast onto the per-doc table (TextAnalysis.scala:1103)",
     "q_vocab_coverage" -> "1-row token-total broadcast onto the 3-row coverage table (TextAnalysis.scala:1210)",
     "q_vocab_growth" -> "1-row max-id broadcast onto the corpus (the withScalar pattern)",
-    "q_mrl_retention" -> "1-row probe-vector broadcast scores every width in one corpus pass (Similarity.matryoshkaRetention)"
+    "q_mrl_retention" -> "1-row probe-vector broadcast scores every width in one corpus pass (Similarity.matryoshkaRetention)",
+    "q_calibration" -> "1-row (N, gap-mass) totals broadcast cross onto the B-row bin table (EvalMetrics.calibrationBins)",
+    "q_cohen_kappa" -> "1-row pe-numerator broadcast cross onto the 1-row po aggregate (EvalMetrics.cohenKappa)",
+    "q_rank_corr" -> "cell x cell inequality join over the bounded distinct-(x,y)-score table (never rows) + the 1-row n cross (EvalMetrics.kendallTauA)",
+    "q_bradley_terry" -> "1-row normalization-constant broadcast per MM round over the |players|-bounded strength table (EvalMetrics.bradleyTerry)"
   )
 
   /** Queries where an UNPARTITIONED window is safe: the windowed
