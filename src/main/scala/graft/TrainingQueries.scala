@@ -1036,15 +1036,23 @@ object TrainingQueries {
       (col("doc_id") / 4).cast("long").as("prompt_id"),
       (col("doc_id") % 4).as("resp_id"),
       (length(col("text")) % 97).cast("long").as("score"))
-    val a = resp.select(col("prompt_id"), col("resp_id").as("i"),
-      col("score").as("si"))
-    val b = resp.select(col("prompt_id"), col("resp_id").as("j"),
-      col("score").as("sj"))
-    val games = a.join(b, Seq("prompt_id"))
-      .filter(col("i") < col("j") && col("si") =!= col("sj"))
-      .groupBy(col("i"), col("j"))
+    // per-prompt pair generation IN-ROW: one aggregate collects the
+    // (at most 4) responses of a prompt and the ordered pairs explode
+    // from the row — the corpus is shuffled ONCE on prompt_id instead
+    // of twice through a self-join (same (i,j,n,wi) matrix, pair for
+    // pair: the quartet is bounded so the in-row fan-out is 16 structs)
+    val pairs = resp.groupBy(col("prompt_id"))
+      .agg(collect_list(struct(col("resp_id").as("r"),
+        col("score").as("s"))).as("rs"))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(rs, x -> transform(rs, y ->
+          |    struct(x.r AS i, y.r AS j, x.s AS si, y.s AS sj)))),
+          |  p -> p.i < p.j AND p.si != p.sj)""".stripMargin)).as("p"))
+    val games = pairs
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("si") > col("sj"), 1L).otherwise(0L)).as("wi"))
+        sum(when(col("p.si") > col("p.sj"), 1L).otherwise(0L)).as("wi"))
     EvalMetrics.bradleyTerry(games, iters = 3)
   }
 

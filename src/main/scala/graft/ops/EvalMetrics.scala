@@ -257,9 +257,17 @@ object EvalMetrics {
     * 0/0). Strengths normalize to sum = |players|·1e6 each round.
     *
     * Scale shape: the corpus-scale work is the caller's WINS
-    * aggregation; the MM loop runs on the |players|^2-bounded matrix —
-    * league tables are small by nature, so `iters` tiny-table rounds
-    * cost milliseconds and no checkpointing is needed.
+    * aggregation; the matrix itself is |players|²-bounded (league
+    * tables are small by nature), so it collapses to ONE row and the
+    * MM rounds run IN-ROW over arrays with higher-order functions —
+    * zero joins, zero broadcasts, zero per-round jobs. The first cut
+    * ran the rounds as distributed tiny-table joins: each round
+    * embedded the previous round's plan twice (a 38k-line physical
+    * plan, 2.7k exchanges) and even cached+broadcast+checkpointed the
+    * loop paid ~2 s/round in near-empty-task scheduling — 8.1 s at
+    * sf0.1 for a FOUR-player matrix vs ~1 s for this shape. Long
+    * addition is commutative/associative exactly, so folding the sums
+    * with `aggregate` replays the distributed sums bit for bit.
     */
   def bradleyTerry(games: DataFrame, iters: Int = 3,
                    iCol: String = "i", jCol: String = "j",
@@ -268,36 +276,52 @@ object EvalMetrics {
     val pm = games.filter(col(nCol) > 0)
       .select(col(iCol).as("i"), col(jCol).as("j"),
         col(nCol).cast("long").as("n"), col(wiCol).cast("long").as("wi"))
-    // both directions once: (player, other, games-between)
-    val dir = pm.select(col("i").as("player"), col("j").as("other"), col("n"))
-      .unionByName(pm.select(col("j").as("player"), col("i").as("other"),
-        col("n")))
-    val w = pm.select(col("i").as("player"), col("wi").as("wins"),
-        col("n").as("games"))
-      .unionByName(pm.select(col("j").as("player"),
-        (col("n") - col("wi")).as("wins"), col("n").as("games")))
-      .groupBy("player")
-      .agg(sum("wins").as("wins"), sum("games").as("games"))
-    var p = w.select(col("player"), lit(1000000L).as("p"))
+    // ONE row carries the whole matrix (the k-bounded collect
+    // discipline: |players|² structs, never corpus rows)
+    val m = pm.agg(collect_list(struct(col("i"), col("j"), col("n"),
+      col("wi"))).as("ms"))
+    // players sorted (a deterministic array order so every transform
+    // below is order-pinned), per-player wins/games folded from the
+    // matrix — identical terms to the union-groupBy formulation
+    val prep = m.select(
+      col("ms"),
+      array_sort(array_distinct(flatten(transform(col("ms"),
+        x => array(x("i"), x("j")))))).as("ps"))
+      .withColumn("ws", expr(
+        """transform(ps, pl -> aggregate(ms, 0L, (acc, x) ->
+          |  acc + CASE WHEN x.i = pl THEN x.wi
+          |             WHEN x.j = pl THEN x.n - x.wi
+          |             ELSE 0L END))""".stripMargin))
+      .withColumn("gs", expr(
+        """transform(ps, pl -> aggregate(ms, 0L, (acc, x) ->
+          |  acc + IF(x.i = pl OR x.j = pl, x.n, 0L)))""".stripMargin))
+    // MM rounds as column-to-column array arithmetic; each round is a
+    // separate projection so the lineage stays linear in `iters`
+    var cur = prep.withColumn("p", expr("transform(ps, pl -> 1000000L)"))
     for (_ <- 1 to iters) {
-      val denom = dir
-        .join(p.select(col("player"), col("p").as("__pi")), "player")
-        .join(p.select(col("player").as("other"), col("p").as("__pj")),
-          "other")
-        .groupBy("player")
-        .agg(sum(expr("n * 1000000000000L DIV (__pi + __pj)")).as("__den"))
-      val raw = w.join(denom, "player")
-        .select(col("player"),
-          expr("wins * 1000000000000L DIV __den").as("__praw"))
-      // normalization constants ride a 1-row broadcast aggregate
-      val norm = raw.agg(count(lit(1)).as("__np"),
-        sum("__praw").as("__sp"))
-      p = raw.crossJoin(broadcast(norm))
-        .select(col("player"),
-          expr("__praw * (__np * 1000000L) DIV __sp").as("p"))
+      cur = cur
+        .withColumn("__pm", map_from_arrays(col("ps"), col("p")))
+        .withColumn("__den", expr(
+          """transform(ps, pl -> aggregate(ms, 0L, (acc, x) ->
+            |  acc + CASE
+            |    WHEN x.i = pl THEN
+            |      x.n * 1000000000000L DIV (element_at(__pm, pl) +
+            |        element_at(__pm, x.j))
+            |    WHEN x.j = pl THEN
+            |      x.n * 1000000000000L DIV (element_at(__pm, pl) +
+            |        element_at(__pm, x.i))
+            |    ELSE 0L END))""".stripMargin))
+        .withColumn("__praw", expr(
+          "zip_with(ws, __den, (w, d) -> w * 1000000000000L DIV d)"))
+        .withColumn("__sp", expr(
+          "aggregate(__praw, 0L, (acc, v) -> acc + v)"))
+        .withColumn("p", expr(
+          "transform(__praw, v -> v * (size(ps) * 1000000L) DIV __sp)"))
+        .drop("__pm", "__den", "__praw", "__sp")
     }
-    w.join(p, "player")
-      .select(col("player"), col("wins"), col("games"),
-        col("p").as("strength_e6"))
+    cur.select(explode(arrays_zip(col("ps"), col("ws"), col("gs"),
+        col("p"))).as("z"))
+      .select(col("z.ps").as("player"), col("z.ws").as("wins"),
+        col("z.gs").as("games"), col("z.p").as("strength_e6"))
   }
 }
