@@ -683,36 +683,94 @@ object Dedup {
     val wPrefix = Window.partitionBy(col(idCol))
       .orderBy(col("__df"), col("g"))
     val wDoc = Window.partitionBy(col(idCol))
-    // prefix length |x| - ceil(tau * |x|) + 1, integer ceil
+    // prefix length |x| - ceil(tau * |x|) + 1, integer ceil; __rk (the
+    // gram's rank in the doc's full (df, g) order) rides along for the
+    // positional filter below
+    // persisted: both sides of the candidate self-join read it, and the
+    // exchange-reuse that covers the join inputs does NOT cover the
+    // window pass above it — uncached, the join+sort+rank ran twice.
+    // The prefix table is the corpus's rarest-gram slice (~tau-fraction
+    // of the distinct grams), far smaller than the posting list.
     val prefix = grams.join(df, "g")
       .withColumn("__rk", row_number().over(wPrefix))
       .withColumn("sz", count(lit(1)).over(wDoc))
       .filter(col("__rk") <=
         col("sz") - expr(s"($tauE6 * sz + 999999) DIV 1000000") + 1)
-      .select(col(idCol), col("g"), col("sz"))
+      .select(col(idCol), col("g"), col("sz"), col("__rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate pairs, POSITION-FILTERED (the ppjoin bound, Xiao et al.
+    // 2008 §3.2): per pair, c = shared-prefix-gram count and
+    // (pamax, pbmax) = the last shared prefix gram's ranks. Every
+    // common gram NOT in both prefixes is globally greater than that
+    // last shared gram (if it misses x's prefix its x-rank exceeds the
+    // prefix bound >= pamax, so it sorts after it — and rank order is
+    // the one global (df, g) order in every doc), hence it sits past
+    // pamax in x AND past pbmax in y:
+    //   overlap <= c + min(size_a - pamax, size_b - pbmax)  [= __ub]
+    // and the final filter (o*1e6 DIV (S-o) >= tau) implies
+    // o*(1e6+tau) >= tau*S, so a pair whose __ub fails that inequality
+    // can be dropped before any verification — lossless (the oracle
+    // replays brute force; the green row is the proof). The aggregate
+    // also replaces the old distinct() — same shuffle, one pass.
     val cand = prefix.select(col(idCol).as("doc_a"), col("g"),
-        col("sz").as("size_a"))
+        col("sz").as("size_a"), col("__rk").as("__ra"))
       .join(prefix.select(col(idCol).as("doc_b"), col("g"),
-        col("sz").as("size_b")), "g")
+        col("sz").as("size_b"), col("__rk").as("__rb")), "g")
       .filter(col("doc_a") < col("doc_b"))
       // J >= t forces t·max(|x|,|y|) <= |x ∩ y| <= min(|x|,|y|)
       .filter(least(col("size_a"), col("size_b")) * 1000000L >=
         greatest(col("size_a"), col("size_b")) * tauE6)
-      .select("doc_a", "doc_b", "size_a", "size_b")
-      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__ra")).as("__pa"), max(col("__rb")).as("__pb"))
+      .filter((col("__c") +
+          least(col("size_a") - col("__pa"), col("size_b") - col("__pb")))
+        * lit(1000000L + tauE6) >=
+        (col("size_a") + col("size_b")) * tauE6)
     // verify on per-doc sorted gram ARRAYS (docs are token-bounded, so
     // each array is small): two id-keyed joins + a per-row set
     // intersection, instead of re-exploding both sides' grams through a
-    // (pair, gram) join + corpus-scale re-aggregate
-    val arrs = grams.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("g"))).as("__gs"))
+    // (pair, gram) join + corpus-scale re-aggregate. The intersection
+    // runs on the SUFFIX SLICES only: n_common = __c + |{common grams
+    // beyond the last shared prefix gram}| (exact, by the same
+    // order-consistency argument as the bound above), so the per-pair
+    // compute touches ~tau-fraction tails instead of whole arrays.
+    // arrays ordered by the SAME global (df, g) order the ranks use —
+    // slicing at a rank must land on the rank's gram, and array_sort on
+    // the (df, g) struct is that order (array_intersect itself is
+    // order-blind; only the slice positions need the alignment)
+    // persisted: BOTH pair sides read it (two broadcast builds — the
+    // rename makes the subplans distinct, so exchange reuse cannot kick
+    // in), and uncached each build re-ran the join+sort-aggregate
+    // (~2.3 s of the verify stage's 5.7). Same lifetime caveat as the
+    // grams persist above.
+    val arrs = grams.join(df, "g").groupBy(col(idCol))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(__df, g))), x -> x.g)")
+        .as("__gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each pair row duplicates both docs' arrays: when the corpus is
+    // small enough that the per-doc array table fits a broadcast
+    // (gramCacheThresholdDocs — the same crossover the gram cache
+    // uses), ship the ARRAYS ONCE via broadcast hash joins instead of
+    // exchanging them once per candidate pair (measured: the array
+    // exchange was the op's dominant stage). Above the threshold the
+    // equi-joins shuffle as before — the 100-TB path is unchanged.
+    val aA = arrs.select(col(idCol).as("doc_a"), col("__gs").as("__ga"))
+    val aB = arrs.select(col(idCol).as("doc_b"), col("__gs").as("__gb"))
+    val (ja, jb) =
+      if (docs.count() < gramCacheThresholdDocs) (broadcast(aA), broadcast(aB))
+      else (aA, aB)
     cand
-      .join(arrs.select(col(idCol).as("doc_a"), col("__gs").as("__ga")),
-        "doc_a")
-      .join(arrs.select(col(idCol).as("doc_b"), col("__gs").as("__gb")),
-        "doc_b")
+      .join(ja, "doc_a")
+      .join(jb, "doc_b")
       .withColumn("n_common",
-        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+        (col("__c") + size(array_intersect(
+          slice(col("__ga"), col("__pa") + 1,
+            greatest(col("size_a") - col("__pa"), lit(0L)).cast("int")),
+          slice(col("__gb"), col("__pb") + 1,
+            greatest(col("size_b") - col("__pb"), lit(0L)).cast("int")))))
+          .cast("long"))
       .withColumn("j_e6",
         expr("(n_common * 1000000) DIV (size_a + size_b - n_common)"))
       .filter(col("j_e6") >= tauE6)

@@ -44,40 +44,58 @@ object PpProfile {
       .withColumn("sz", count(lit(1)).over(wDoc))
       .filter(col("__rk") <=
         col("sz") - expr(s"($tauE6 * sz + 999999) DIV 1000000") + 1)
-      .select(col("doc_id"), col("g"), col("sz"))
+      .select(col("doc_id"), col("g"), col("sz"), col("__rk"))
     val pc = prefix.persist()
     time("prefix window")(println("  prefix rows " + pc.count()))
     val cand = pc.select(col("doc_id").as("doc_a"), col("g"),
-        col("sz").as("size_a"))
+        col("sz").as("size_a"), col("__rk").as("__ra"))
       .join(pc.select(col("doc_id").as("doc_b"), col("g"),
-        col("sz").as("size_b")), "g")
+        col("sz").as("size_b"), col("__rk").as("__rb")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("size_a"), col("size_b")) * 1000000L >=
         greatest(col("size_a"), col("size_b")) * tauE6)
-      .select("doc_a", "doc_b", "size_a", "size_b")
-    time("cand join raw")(println("  raw cand rows " + cand.count()))
-    val candD = cand.distinct().persist()
-    time("cand distinct")(println("  cand rows " + candD.count()))
-    val arrs = grams.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("g"))).as("__gs"))
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__ra")).as("__pa"), max(col("__rb")).as("__pb"))
+    val candAll = cand.persist()
+    time("cand agg (pre-pos)")(println("  cand rows " + candAll.count()))
+    val candP = candAll
+      .filter((col("__c") +
+          least(col("size_a") - col("__pa"), col("size_b") - col("__pb")))
+        * lit(1000000L + tauE6) >=
+        (col("size_a") + col("size_b")) * tauE6)
+      .persist()
+    time("positional filter")(println("  pos-kept rows " + candP.count()))
+    val arrs = grams.join(df, "g").groupBy(col("doc_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(__df, g))), x -> x.g)")
+        .as("__gs"))
     time("arrs agg")(arrs.queryExecution.toRdd.count())
-    val out = candD
-      .join(arrs.select(col("doc_id").as("doc_a"), col("__gs").as("__ga")),
-        "doc_a")
-      .join(arrs.select(col("doc_id").as("doc_b"), col("__gs").as("__gb")),
-        "doc_b")
+    val out = candP
+      .join(broadcast(arrs.select(col("doc_id").as("doc_a"),
+        col("__gs").as("__ga"))), "doc_a")
+      .join(broadcast(arrs.select(col("doc_id").as("doc_b"),
+        col("__gs").as("__gb"))), "doc_b")
       .withColumn("n_common",
-        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+        (col("__c") + size(array_intersect(
+          slice(col("__ga"), col("__pa") + 1,
+            greatest(col("size_a") - col("__pa"), lit(0L)).cast("int")),
+          slice(col("__gb"), col("__pb") + 1,
+            greatest(col("size_b") - col("__pb"), lit(0L)).cast("int")))))
+          .cast("long"))
       .withColumn("j_e6",
         expr("(n_common * 1000000) DIV (size_a + size_b - n_common)"))
       .filter(col("j_e6") >= tauE6)
     time("verify")(println("  out rows " + out.count()))
-    time("whole op, fresh")(
-      Dedup.prefixFilteredJaccard(docs, 3, 350000L)
-        .queryExecution.toRdd.count())
-    time("whole op, again")(
-      Dedup.prefixFilteredJaccard(docs, 3, 350000L)
-        .queryExecution.toRdd.count())
+    for (r <- 1 to 5) {
+      time(s"whole op, run $r")(
+        Dedup.prefixFilteredJaccard(docs, 3, 350000L)
+          .queryExecution.toRdd.count())
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val mem = spark.sparkContext.getExecutorMemoryStatus.values.head
+      println(s"  persisted RDDs: ${rdds.size}, block mem free " +
+        s"${mem._2 / 1024 / 1024} / ${mem._1 / 1024 / 1024} MB")
+    }
     spark.stop()
   }
 }
