@@ -458,17 +458,25 @@ object Curation {
           g => struct(lit(n.toLong).as("n"), g.as("g")))): _*)))
         .as("__g"))
       .select(col("__g.n").as("n"), Dedup.h60(col("__g.g")).as("h"))
-    // heldout is distinct-counted; the train side feeds a SEMI join,
-    // whose build side dedupes internally — a pre-distinct there would
-    // add a full shuffle-aggregate of the LARGER side for nothing
-    val h = grams(heldout).distinct()
-    val t = grams(train)
-    val overlap = h.join(t, Seq("n", "h"), "left_semi")
-      .groupBy(col("n")).agg(count(lit(1)).as("overlap_ngrams"))
-    h.groupBy(col("n")).agg(count(lit(1)).as("heldout_ngrams"))
-      .join(overlap, Seq("n"), "left")
-      .select(col("n"), col("heldout_ngrams"),
-        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"))
+    // NO JOIN: both gram streams union with a side tag and ONE (n, h)
+    // aggregate computes per distinct gram whether the heldout and the
+    // train side saw it (max/min of the tag). The previous shape
+    // semi-joined the FULL train gram stream against the heldout
+    // distinct — two sorted corpus-scale shuffle sides — whereas the
+    // union's aggregate gets map-side partial aggregation, so repeated
+    // grams collapse before the exchange and nothing is sorted. Counts
+    // are identical: heldout_ngrams = distinct heldout grams,
+    // overlap = distinct grams seen on both sides.
+    val tagged = grams(heldout).select(col("n"), col("h"),
+        lit(true).as("__h"))
+      .unionByName(grams(train).select(col("n"), col("h"),
+        lit(false).as("__h")))
+    tagged.groupBy(col("n"), col("h"))
+      .agg(max(col("__h")).as("__has_h"), min(col("__h")).as("__all_h"))
+      .filter(col("__has_h"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("heldout_ngrams"),
+        count_if(!col("__all_h")).as("overlap_ngrams"))
       .withColumn("novelty_e6", expr(
         "(heldout_ngrams - overlap_ngrams) * 1000000L DIV heldout_ngrams"))
   }
