@@ -72,12 +72,35 @@ object Graph {
     // (SparkSession.newSession shares the context, not the conf).
     val conf = edges.sparkSession.conf
     val ipnKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val prevIpn = conf.getOption(ipnKey)
+    val prevAqe = conf.getOption(aqeKey)
+    val prevSp = conf.getOption(spKey)
     conf.set(ipnKey, sc.defaultParallelism.toString)
+    // AQE off for the rounds: with it on, every exchange of every round
+    // materializes as its own query-stage job (~7 jobs/round — measured
+    // 36 jobs for 5 rounds, ~0.1 s apiece of pure scheduling on the
+    // |V|-row tables), and it buys nothing here: the loop's shuffles
+    // are already pinned to the core count, the rank table is
+    // uniform-hash partitioned (no coalescing or skew work to do), and
+    // per-round stats never change a join strategy mid-loop. Restored
+    // before the caller's plan evaluates.
+    conf.set(aqeKey, "false")
     try pageRankLoop(edges, iters, damp, weighted)
-    finally prevIpn match {
-      case Some(v) => conf.set(ipnKey, v)
-      case None => conf.unset(ipnKey)
+    finally {
+      prevIpn match {
+        case Some(v) => conf.set(ipnKey, v)
+        case None => conf.unset(ipnKey)
+      }
+      prevAqe match {
+        case Some(v) => conf.set(aqeKey, v)
+        case None => conf.unset(aqeKey)
+      }
+      prevSp match {
+        case Some(v) => conf.set(spKey, v)
+        case None => conf.unset(spKey)
+      }
     }
   }
 
@@ -99,6 +122,16 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     val base = 1000000000000L / n
+    // scale-adaptive round width (the ccPartitionsFor rule): the rounds
+    // shuffle |V|-row tables, and a fixed core-count width charges every
+    // stage of every round 32 near-empty tasks whose fixed overhead
+    // dominates small graphs (measured ~0.1 s/task on a 5k-node graph —
+    // 650 tasks/run of pure launch cost); a big graph still gets up to
+    // 4x the cluster's parallelism. Set BEFORE the caches below so
+    // outdeg/dedges materialize at the loop's width; AQE is off inside
+    // the loop, so spark.sql.shuffle.partitions is what binds.
+    edges.sparkSession.conf.set("spark.sql.shuffle.partitions",
+      graft.ops.Dedup.ccPartitionsFor(n, sc.defaultParallelism).toString)
     // outdeg caches too: the per-round dangling anti-join reads it, and
     // uncached it would re-scan + re-aggregate the edge list every
     // round (the exact cost the dedges cache exists to avoid)
