@@ -33,11 +33,15 @@ import org.apache.spark.sql.SparkSession
   *
   * HOST HEALTH (r15): two rounds were spent adjudicating "degraded
   * window" claims from cross-round comparison alone. The JSON line now
-  * carries the evidence in-band: 1-minute loadavg, MemAvailable, and a
+  * carries the evidence in-band: 1-minute loadavg, MemAvailable, a
   * fixed-work single-thread calibration loop (xorshift64, constant
-  * iteration count) timed at start and end. On a healthy box the
-  * calibration runs ~0.25-0.4 s; a 2x calibration time means the box
-  * (not the code) is slow. BASELINE.md documents the interpretation.
+  * iteration count) timed at start and end, and a PARALLEL calibration
+  * (every core runs a quarter of the loop concurrently) that catches
+  * the co-tenant core-starvation mode the single-thread loop misses —
+  * one core is always free, so calib stays ~0.3 s while 32-wide stages
+  * run 1.5-2x slow. Healthy box: calib ~0.25-0.4 s, calib_par ~0.1 s;
+  * calib_par at 3x+ its healthy value marks a degraded window even
+  * when calib is green. BASELINE.md documents the interpretation.
   *
   * SPARK_GRAFT_RUNS (default 5): each query is timed that many times
   * (subject to the budget schedule above) and the MEDIAN reported —
@@ -61,6 +65,32 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     if (x == 42L) System.err.println("") // never true; defeats DCE
     dt
+  }
+
+  /** Fixed-work PARALLEL calibration: every core runs a quarter of the
+    * single-thread loop concurrently. On a healthy box this takes about
+    * a quarter of the single-thread time (all cores genuinely
+    * available); when a co-tenant is stealing cores it degrades in
+    * proportion to the starvation — the failure mode the single-thread
+    * calibration provably misses (r15: a window ran the board 1.6x slow
+    * with calib_start at a healthy 0.29 s, because one core was always
+    * free while 32-wide stages starved). Returns wall seconds.
+    */
+  private def calibratePar(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 37500000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) System.err.println("")
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def readLoadAvg(): Double =
@@ -99,6 +129,7 @@ object Bench {
     val load0 = readLoadAvg()
     val mem0 = readMemAvailGb()
     val calib0 = calibrate()
+    val calibP0 = calibratePar(cpus.toInt)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -158,14 +189,14 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
 
     def jsonLine(results: Seq[(String, Double, Int)], partial: Boolean,
-                 calibEnd: Double): String = {
+                 calibEnd: Double, calibParEnd: Double = -1.0): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
       val rs = results.map { case (k, _, r) => "\"" + k + s"""\":$r""" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val host =
-        f"""{"load1":$load0%.2f,"mem_avail_gb":$mem0%.1f,"calib_start_sec":$calib0%.3f,"calib_end_sec":$calibEnd%.3f}"""
+        f"""{"load1":$load0%.2f,"mem_avail_gb":$mem0%.1f,"calib_start_sec":$calib0%.3f,"calib_end_sec":$calibEnd%.3f,"calib_par_start_sec":$calibP0%.3f,"calib_par_end_sec":$calibParEnd%.3f}"""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs_per_query":$rs,"runs":$baseRuns,"budget_sec":$budget%.0f,"elapsed_sec":${elapsed()}%.1f,"measured":${results.size},"of":${names.size},"partial":$partial,"host":$host,"sf":"$sfDir"}"""
     }
 
@@ -220,7 +251,9 @@ object Bench {
     }
 
     val calib1 = calibrate()
-    val line = jsonLine(results.toSeq, partial = false, calibEnd = calib1)
+    val calibP1 = calibratePar(cpus.toInt)
+    val line = jsonLine(results.toSeq, partial = false, calibEnd = calib1,
+      calibParEnd = calibP1)
     println(line)
     // ALSO write the line to a file: the driver captures stdout through a
     // pipe that has truncated the tail of long lines (BENCH_r09.json came

@@ -2584,10 +2584,18 @@ object TextAnalysis {
     // the rounds: the co-occurrence graph has ~|tokens| edge instances
     // but only ~|bigram types| distinct pairs, and m·(r DIV d) is
     // integer-identical to summing m instances — the rounds join a
-    // table that grows with the vocabulary, not the corpus
-    val edges = adjacent.union(
-        adjacent.select(col("dst").as("src"), col("src").as("dst")))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("m"))
+    // table that grows with the vocabulary, not the corpus.
+    // Count the DIRECTED types first, then symmetrize: the old
+    // instance-level union evaluated the corpus explode once per
+    // branch, and its aggregate shuffled ~2·|tokens| rows — this shape
+    // explodes once, aggregates with map-side partials, and the
+    // symmetrizing union runs over the vocabulary-sized type table.
+    // m(src,dst) = fwd(src,dst) + fwd(dst,src) either way.
+    val cnt = adjacent.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("m0"))
+    val edges = cnt.union(
+        cnt.select(col("dst").as("src"), col("src").as("dst"), col("m0")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("m0")).as("m"))
     Graph.pageRankWeighted(edges, iters)
       .orderBy(col("r").desc, col("v"))
       .limit(k)
