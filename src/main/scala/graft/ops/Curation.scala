@@ -213,8 +213,24 @@ object Curation {
     */
   def dupNgramCoverage(docs: DataFrame, n: Int = 3,
                        textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val grams = Dedup.posExplodedShingles(docs, n, textCol, idCol)
+                       idCol: String = "doc_id"): DataFrame =
+    dupNgramCoverageOfTokens(
+      docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__w")),
+      n, idCol, "__w")
+
+  /** [[dupNgramCoverage]] over a PRE-MATERIALIZED token-array column —
+    * the fused ensemble pass tokenizes once for all four signals; the
+    * n_tokens projection and the gram explode read the same array, so
+    * the second corpus tokenization of the standalone shape is gone.
+    * Identical counts and arithmetic.
+    */
+  private[ops] def dupNgramCoverageOfTokens(tok: DataFrame, n: Int,
+                                            idCol: String,
+                                            tokCol: String): DataFrame = {
+    val grams = tok
+      .select(col(idCol),
+        posexplode(Dedup.shinglesOfTokens(col(tokCol), n))
+          .as(Seq("pos", "sh")))
       .select(col(idCol), col("pos"), Dedup.h60(col("sh")).as("h"))
     val counts = grams.groupBy(col(idCol), col("h"))
       .agg(count(lit(1)).as("c"))
@@ -228,8 +244,8 @@ object Curation {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
       .distinct()
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_positions"))
-    docs
-      .select(col(idCol), size(Dedup.tokens(col(textCol))).as("n_tokens"))
+    tok
+      .select(col(idCol), size(col(tokCol)).as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -308,13 +324,33 @@ object Curation {
                       maxDupCovE4: Long = 500L,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val q = TextAnalysis.qualityScore(docs, textCol)
+    // FUSED per-doc pass (guide §2.3/§2.4): the four signals all start
+    // from the same tokenization, and lm + oov hash every token
+    // instance identically — so the corpus is scanned, split and
+    // token-hashed ONCE and the shared (id, text, tokens, hashes) table
+    // persists for the four consumers. The standalone shape paid five
+    // corpus scans + five splits + two token-md5 passes (measured
+    // 2.85 s cold at sf0.1; the fused pass targets the split/hash
+    // duplication, not the per-signal aggregates, which are untouched
+    // and oracle-identical). Repartition BEFORE the fan-outs — the
+    // bigramHashInst discipline — so a single-row-group source does not
+    // serialize the explodes on one task. LIFETIME: lazy plans, so the
+    // persist lives until session end (the prunedGramIntersections
+    // caveat); each bench/verify run rebuilds it cold.
+    val base = docs.select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__w", Dedup.tokens(col(textCol)))
+      .withColumn("__hs", transform(col("__w"), w => Dedup.h60(w)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = TextAnalysis.qualityScoreOfTokens(base, textCol, "__w")
       .select(col(idCol), col("quality"))
-    val lm = TextAnalysis.lmScore(docs, textCol, idCol)
+    val lm = TextAnalysis.lmScoreOfInst(
+      TextAnalysis.bigramInstOfHashes(base, idCol, "__hs"), idCol)
       .select(col(idCol), col("lm_score_e6"))
-    val ov = TextAnalysis.oovRate(docs, 100L, textCol, idCol)
+    val ov = TextAnalysis.oovRateOfInst(
+      base.select(col(idCol), explode(col("__hs")).as("tw")), 100L, idCol)
       .select(col(idCol), col("rare_rate_e6"))
-    val rep = dupNgramCoverage(docs, 3, textCol, idCol)
+    val rep = dupNgramCoverageOfTokens(base, 3, idCol, "__w")
       .select(col(idCol), col("dup_cov_e4"))
     q.join(lm, Seq(idCol), "left")
       .join(ov, Seq(idCol))

@@ -665,39 +665,48 @@ object Dedup {
     require(tauE6 > 0 && tauE6 <= 1000000, s"bad tauE6: $tauE6")
     val spread = docs.select(col(idCol), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    // the distinct gram table feeds THREE aggregates (df, the prefix
-    // window, the per-doc gram arrays) — persisted so the
-    // scan→explode→md5 subtree runs once, not once per consumer (the
-    // first cut recomputed it 5x and the CONSTANT, not the exponent,
-    // made the op 9x the df-capped join's cost at sf0.1). LIFETIME: the
-    // op returns lazy plans, so the cache lives until session end
-    // (memory tier evicts LRU, disk blocks persist) — the
+    // per-doc gram dedup runs MAP-SIDE in the array domain: duplicate
+    // (id, g) rows can only come from repeats WITHIN one document, so
+    // array_distinct over the doc's own hash array replaces the
+    // explode→distinct() corpus-wide shuffle the r15 shape paid purely
+    // to dedupe inside docs (guide §2.4 — a distinct on data that is
+    // already unique across the shuffle key). The table feeds two
+    // consumers (the df aggregate and the ranked join) — persisted so
+    // the scan→explode→md5 subtree runs once, not once per consumer
+    // (the first cut recomputed it 5x and the CONSTANT, not the
+    // exponent, made the op 9x the df-capped join's cost at sf0.1).
+    // LIFETIME: the op returns lazy plans, so the cache lives until
+    // session end (memory tier evicts LRU, disk blocks persist) — the
     // prunedGramIntersections caveat applies verbatim.
-    val grams = explodedShingles(spread, n, textCol, idCol)
-      .select(col(idCol), h60(col("sh")).as("g"))
-      .distinct()
+    val grams = spread
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(array_distinct(
+        transform(shinglesOfTokens(col("__toks"), n), sh => h60(sh))))
+        .as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    // ONE doc-keyed window shuffle carries both the (df, g) prefix rank
-    // and the doc's gram count — no separate sizes aggregate/join
+    // ONE doc-keyed window shuffle carries the (df, g) prefix rank AND
+    // the doc's gram count AND feeds the per-doc array build below —
+    // the r15 shape paid the grams⋈df join twice (once windowed for the
+    // prefix slice, once sort-aggregated for the verify arrays).
     val wPrefix = Window.partitionBy(col(idCol))
       .orderBy(col("__df"), col("g"))
     val wDoc = Window.partitionBy(col(idCol))
-    // prefix length |x| - ceil(tau * |x|) + 1, integer ceil; __rk (the
-    // gram's rank in the doc's full (df, g) order) rides along for the
-    // positional filter below
-    // persisted: both sides of the candidate self-join read it, and the
-    // exchange-reuse that covers the join inputs does NOT cover the
-    // window pass above it — uncached, the join+sort+rank ran twice.
-    // The prefix table is the corpus's rarest-gram slice (~tau-fraction
-    // of the distinct grams), far smaller than the posting list.
-    val prefix = grams.join(df, "g")
-      .withColumn("__rk", row_number().over(wPrefix))
-      .withColumn("sz", count(lit(1)).over(wDoc))
+    // __rk = the gram's rank in the doc's full (df, g) order; rides
+    // along for the positional filter below. Persisted: the prefix
+    // slice (both candidate-join sides) and the array aggregate all
+    // read it, and exchange reuse does not cover the window pass.
+    val ranked = grams.join(df, "g")
+      .select(col(idCol), col("g"),
+        row_number().over(wPrefix).as("__rk"),
+        count(lit(1)).over(wDoc).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length |x| - ceil(tau * |x|) + 1, integer ceil — a cheap
+    // filter over the persisted ranked table (~tau-fraction slice)
+    val prefix = ranked
       .filter(col("__rk") <=
         col("sz") - expr(s"($tauE6 * sz + 999999) DIV 1000000") + 1)
       .select(col(idCol), col("g"), col("sz"), col("__rk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate pairs, POSITION-FILTERED (the ppjoin bound, Xiao et al.
     // 2008 §3.2): per pair, c = shared-prefix-gram count and
     // (pamax, pbmax) = the last shared prefix gram's ranks. Every
@@ -736,34 +745,30 @@ object Dedup {
     // order-consistency argument as the bound above), so the per-pair
     // compute touches ~tau-fraction tails instead of whole arrays.
     // arrays ordered by the SAME global (df, g) order the ranks use —
-    // slicing at a rank must land on the rank's gram, and array_sort on
-    // the (df, g) struct is that order (array_intersect itself is
-    // order-blind; only the slice positions need the alignment)
-    // persisted: BOTH pair sides read it (two broadcast builds — the
-    // rename makes the subplans distinct, so exchange reuse cannot kick
-    // in), and uncached each build re-ran the join+sort-aggregate
-    // (~2.3 s of the verify stage's 5.7). Same lifetime caveat as the
-    // grams persist above.
-    val arrs = grams.join(df, "g").groupBy(col(idCol))
+    // slicing at a rank must land on the rank's gram, and since __rk IS
+    // each gram's rank in that order, sorting the (rk, g) structs
+    // replays it exactly (array_intersect itself is order-blind; only
+    // the slice positions need the alignment). Built from the persisted
+    // ranked table — already hash-partitioned by the doc id, so the
+    // aggregate needs no exchange, and the second corpus-scale grams⋈df
+    // pass of the r15 shape (its cold profile's dominant stage) is
+    // gone.
+    val arrs = ranked.groupBy(col(idCol))
       .agg(expr(
-        "transform(array_sort(collect_list(struct(__df, g))), x -> x.g)")
+        "transform(array_sort(collect_list(struct(__rk, g))), x -> x.g)")
         .as("__gs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each pair row duplicates both docs' arrays: when the corpus is
-    // small enough that the per-doc array table fits a broadcast
-    // (gramCacheThresholdDocs — the same crossover the gram cache
-    // uses), ship the ARRAYS ONCE via broadcast hash joins instead of
-    // exchanging them once per candidate pair (measured: the array
-    // exchange was the op's dominant stage). Above the threshold the
-    // equi-joins shuffle as before — the 100-TB path is unchanged.
+    // each pair row duplicates both docs' arrays: broadcast-vs-shuffle
+    // for the array attach is left to AQE's runtime size decision — the
+    // r15 shape gated an explicit broadcast on an eager docs.count()
+    // (a driver-side corpus action at plan-construction time). Small
+    // corpora get AQE's runtime broadcast conversion off the measured
+    // shuffle size; at 100 TB the equi-joins shuffle — the same scale
+    // behavior as the explicit gate, minus the count job.
     val aA = arrs.select(col(idCol).as("doc_a"), col("__gs").as("__ga"))
     val aB = arrs.select(col(idCol).as("doc_b"), col("__gs").as("__gb"))
-    val (ja, jb) =
-      if (docs.count() < gramCacheThresholdDocs) (broadcast(aA), broadcast(aB))
-      else (aA, aB)
     cand
-      .join(ja, "doc_a")
-      .join(jb, "doc_b")
+      .join(aA, "doc_a")
+      .join(aB, "doc_b")
       .withColumn("n_common",
         (col("__c") + size(array_intersect(
           slice(col("__ga"), col("__pa") + 1,

@@ -277,9 +277,23 @@ object EvalMetrics {
       .select(col(iCol).as("i"), col(jCol).as("j"),
         col(nCol).cast("long").as("n"), col(wiCol).cast("long").as("wi"))
     // ONE row carries the whole matrix (the k-bounded collect
-    // discipline: |players|² structs, never corpus rows)
+    // discipline: |players|² structs, never corpus rows). The bound is
+    // ENFORCED, not just documented: a caller passing an unbounded
+    // player set would funnel the whole matrix into a single task row
+    // (executor OOM) — the guard makes that misuse fail loudly with a
+    // named limit instead. 250k pair rows ≈ a 700-player full league
+    // (~10 MB of structs in the one row), far above any real
+    // league-table use and far below task-memory trouble.
+    val maxPairRows = 250000
     val m = pm.agg(collect_list(struct(col("i"), col("j"), col("n"),
       col("wi"))).as("ms"))
+      // assert_true returns NULL on success, so the filter keeps the
+      // row; a column-riding guard would be pruned as unused
+      .filter(coalesce(expr(
+        s"assert_true(size(ms) <= $maxPairRows, 'bradleyTerry: more " +
+          s"than $maxPairRows pair rows — the in-row MM shape assumes " +
+          "a bounded player set; use a distributed formulation for " +
+          "leagues this large')"), lit(true)))
     // players sorted (a deterministic array order so every transform
     // below is order-pinned), per-player wins/games folded from the
     // matrix — identical terms to the union-groupBy formulation

@@ -53,85 +53,126 @@ object Graph {
   private def pageRankPinned(edges: DataFrame, iters: Int, damp: Int,
                              weighted: Boolean): DataFrame = {
     require(damp >= 0 && damp <= 100, s"damp must be a percentage: $damp")
-    val sc = edges.sparkSession.sparkContext
-    // Pin the loop's shuffles to the core count: the per-round tables
-    // are |V| rows, and under a wide-start AQE regime (a high
-    // coalescePartitions.initialPartitionNum, the gram-family
-    // robustness setting) every round's joins, aggregates and the
-    // localCheckpoint would otherwise carry hundreds of near-empty
-    // buckets × iters × stages — measured 2× on the whole query. The
-    // loop materializes eagerly (next.count per round), so the pin
-    // covers exactly the rounds and is restored before the caller
-    // evaluates the returned plan.
-    // CONCURRENCY NOTE: the pin mutates SESSION-scoped conf — queries
-    // COMPILED on this session by other threads during the rounds plan
-    // under the pinned value, and two overlapping pageRank calls could
-    // cross their restores. Fine for this engine's one-query-at-a-time
-    // execution model (Bench/Verify/streams all serialize per session);
-    // a multi-tenant caller should run pageRank on its own session
-    // (SparkSession.newSession shares the context, not the conf).
-    val conf = edges.sparkSession.conf
-    val ipnKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevIpn = conf.getOption(ipnKey)
-    val prevAqe = conf.getOption(aqeKey)
-    val prevSp = conf.getOption(spKey)
-    conf.set(ipnKey, sc.defaultParallelism.toString)
-    // AQE off for the rounds: with it on, every exchange of every round
-    // materializes as its own query-stage job (~7 jobs/round — measured
-    // 36 jobs for 5 rounds, ~0.1 s apiece of pure scheduling on the
-    // |V|-row tables), and it buys nothing here: the loop's shuffles
-    // are already pinned to the core count, the rank table is
-    // uniform-hash partitioned (no coalescing or skew work to do), and
-    // per-round stats never change a join strategy mid-loop. Restored
-    // before the caller's plan evaluates.
-    conf.set(aqeKey, "false")
-    try pageRankLoop(edges, iters, damp, weighted)
-    finally {
-      prevIpn match {
-        case Some(v) => conf.set(ipnKey, v)
-        case None => conf.unset(ipnKey)
-      }
-      prevAqe match {
-        case Some(v) => conf.set(aqeKey, v)
-        case None => conf.unset(aqeKey)
-      }
-      prevSp match {
-        case Some(v) => conf.set(spKey, v)
-        case None => conf.unset(spKey)
-      }
-    }
-  }
-
-  private def pageRankLoop(edges: DataFrame, iters: Int,
-                           damp: Int, weighted: Boolean): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
+    val caller = edges.sparkSession
+    val sc = caller.sparkContext
+    // ALL of the op's work runs on a PRIVATE child session, so no
+    // session-global conf mutation exists (the r15 shape pinned the
+    // SHARED session conf for the op's duration — safe only under a
+    // one-query-at-a-time execution model; a concurrent caller compiled
+    // other queries under the pin). The child starts as a conf copy of
+    // the caller and is pinned in two steps.
+    //
+    // Phase 1 — AQE stays ON (the corpus-scale edge expression — an
+    // explode chain for a co-occurrence graph, a generator join for a
+    // link graph — keeps adaptive join strategies and skew handling)
+    // but initialPartitionNum/shuffle.partitions drop to the core
+    // count: CACHED plans get AQE "without partition-changing rules"
+    // (canChangeCachedPlanOutputPartitioning=false, the default), so
+    // under the session's wide-start robustness regime (ipn=256) the
+    // nodes/e caches materialized as 256-partition relations and every
+    // loop-side scan of them paid 256 near-empty tasks — measured
+    // 1312 tasks/run (q_pagerank 1.60 s → 3.02 s) before this pin, 159
+    // after.
+    val loopSess = org.apache.spark.sql.graftshim.SessionBridge
+      .childSessionLike(caller)
+    val dp = math.max(sc.defaultParallelism, 1)
+    loopSess.conf.set("spark.sql.shuffle.partitions", dp.toString)
+    loopSess.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      dp.toString)
     // cache the EDGE EXPRESSION first: nodes reads it twice (both union
-    // sides), outdeg and dedges once each — an uncached caller
-    // expression (an explode chain for a co-occurrence graph, a
-    // generator join for a link graph) would re-evaluate 4x before the
-    // first round even starts (measured 2.5x on q_textrank). A caller
-    // that already cached its edges keeps OWNERSHIP of that cache: we
-    // must neither re-cache nor unpersist it out from under them.
+    // sides), outdeg and dedges once each — uncached it would
+    // re-evaluate 4x before the first round even starts (measured 2.5x
+    // on q_textrank). A caller that already cached its edges keeps
+    // OWNERSHIP of that cache: we must neither re-cache nor unpersist
+    // it out from under them.
     val preCached =
       edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val e = if (preCached) edges else edges.cache()
+    val e0 = org.apache.spark.sql.graftshim.SessionBridge
+      .transplant(edges, loopSess)
+    val e = if (preCached) e0 else e0.cache()
+    val nE = e.count() // materializes the edge cache (phase-1 conf)
+    // the nodes distinct shuffles 2|E| rows — size ITS build from the
+    // edge count (the ccPartitionsFor rule), now known, instead of
+    // paying dp near-empty buckets on a small graph or starving a
+    // billion-edge distinct at the core count
+    val buildW = graft.ops.Dedup.ccPartitionsFor(2L * nE,
+      sc.defaultParallelism)
+    loopSess.conf.set("spark.sql.shuffle.partitions", buildW.toString)
+    loopSess.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      buildW.toString)
+    // AQE's usefulness ends with the edge-expression materialization
+    // above (adaptive join strategy / skew handling for the corpus
+    // stage); everything from here on shuffles uniform-hash graph
+    // tables at explicitly sized widths, where AQE only adds one
+    // query-stage scheduling job per exchange (~0.1 s apiece on |V|-row
+    // tables — measured +0.5 s on q_pagerank when the distinct and the
+    // loop ran with it on).
+    loopSess.conf.set("spark.sql.adaptive.enabled", "false")
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().cache()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
+    // Phase 2 — pin the loop. Scale-adaptive round width (the
+    // ccPartitionsFor rule): the rounds shuffle |V|-row tables, and a
+    // fixed core-count width charges every stage of every round 32
+    // near-empty tasks whose fixed overhead dominates small graphs
+    // (measured ~0.1 s/task on a 5k-node graph — 650 tasks/run of pure
+    // launch cost); a big graph still gets up to 4x the cluster's
+    // parallelism.
+    //
+    // Edge rows get a separate, much larger per-partition budget than
+    // the ccPartitionsFor shuffle rule: the contribution join STREAMS
+    // dedges from a co-partitioned cache (a few longs per row, no
+    // exchange), so an edge row costs far less than a shuffled corpus
+    // row. Sizing the width by max(|V|, |E|) under the 50k-row shuffle
+    // rule re-widened the loop at sf0.1 (width 31 on a 1.5M
+    // bigram-type graph — q_textrank 2.67 s → 5.47 s measured); |E|/2M
+    // keeps small graphs at width 1-2 while a dense 100-TB
+    // co-occurrence graph (|V|=5k vocab, |E|~1e9 types) still fans its
+    // per-round edge work out to the 4x-parallelism cap instead of
+    // packing it into a |V|-derived handful of partitions.
+    //
+    // AQE off for the loop: with it on, every exchange of every round
+    // materializes as its own query-stage job (~7 jobs/round — measured
+    // 36 jobs for 5 rounds, ~0.1 s apiece of pure scheduling on the
+    // |V|-row tables), and it buys nothing here — the loop's shuffles
+    // are width-pinned, the rank table is uniform-hash partitioned (no
+    // coalescing or skew work to do), and per-round stats never change
+    // a join strategy mid-loop.
+    val width = math.min(4 * dp,
+      math.max(graft.ops.Dedup.ccPartitionsFor(n, sc.defaultParallelism),
+        (nE / 2000000L + 1L).toInt))
+    loopSess.conf.set("spark.sql.shuffle.partitions", width.toString)
+    loopSess.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      width.toString)
+    loopSess.conf.set("spark.sql.adaptive.enabled", "false")
+    if (sys.env.contains("GRAFT_PR_DEBUG"))
+      println(s"[prdbg] n=$n nE=$nE width=$width " +
+        s"childSp=${loopSess.conf.get("spark.sql.shuffle.partitions")} " +
+        s"childAqe=${loopSess.conf.get("spark.sql.adaptive.enabled")}")
+    val ranks = pageRankLoop(e, nodes,
+      n, iters, damp, weighted, dropECache = !preCached)
+    // hand the result back on the CALLER's session: downstream operators
+    // (top-k sorts, joins with caller tables) must plan under the
+    // caller's conf, not the loop pins
+    org.apache.spark.sql.graftshim.SessionBridge.transplant(ranks, caller)
+  }
+
+  private def pageRankLoop(e: DataFrame, nodes: DataFrame, n: Long,
+                           iters: Int, damp: Int, weighted: Boolean,
+                           dropECache: Boolean): DataFrame = {
+    val sc = e.sparkSession.sparkContext
     val base = 1000000000000L / n
-    // scale-adaptive round width (the ccPartitionsFor rule): the rounds
-    // shuffle |V|-row tables, and a fixed core-count width charges every
-    // stage of every round 32 near-empty tasks whose fixed overhead
-    // dominates small graphs (measured ~0.1 s/task on a 5k-node graph —
-    // 650 tasks/run of pure launch cost); a big graph still gets up to
-    // 4x the cluster's parallelism. Set BEFORE the caches below so
-    // outdeg/dedges materialize at the loop's width; AQE is off inside
-    // the loop, so spark.sql.shuffle.partitions is what binds.
-    edges.sparkSession.conf.set("spark.sql.shuffle.partitions",
-      graft.ops.Dedup.ccPartitionsFor(n, sc.defaultParallelism).toString)
+    // outdeg/dedges build ON THE LOOP SESSION: the e ⋈ outdeg exchange
+    // lands directly at the loop width keyed on src, so the per-round
+    // contribution join reads the cache co-partitioned with the round's
+    // rank exchange — no per-round re-shuffle of the edge table. The
+    // input e is already materialized (cache shared via SharedState),
+    // so only the |E|→|V| aggregate and one |E| join run at the pinned
+    // width.
     // outdeg caches too: the per-round dangling anti-join reads it, and
     // uncached it would re-scan + re-aggregate the edge list every
     // round (the exact cost the dedges cache exists to avoid)
@@ -141,7 +182,7 @@ object Graph {
       .cache()
     val dedges = e.join(outdeg, "src").cache()
     dedges.count() // materializes the outdeg cache through the join too
-    if (!preCached) e.unpersist() // derivations materialized; drop OUR cache
+    if (dropECache) e.unpersist() // derivations materialized; drop OUR cache
     val contrib = if (weighted) "m * (r DIV d)" else "r DIV d"
     // The dangling flag is STATIC per node, so it rides INSIDE the
     // checkpointed rank table: the per-round dangling total is then a

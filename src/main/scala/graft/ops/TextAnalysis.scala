@@ -37,21 +37,28 @@ object TextAnalysis {
   /** Per-document statistics: char/token counts, punctuation count,
     * stopword count, average token length (scaled integer).
     */
-  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // one split per row, shared by three consumers (no HOF-lambda CSE)
+    statsOfTokens(docs.withColumn("__w", toks(col(textCol))),
+      textCol, "__w").drop("__w")
+
+  /** [[stats]] over a PRE-MATERIALIZED token-array column — the fused
+    * ensemble pass tokenizes the corpus once and shares the array
+    * across all four signals; identical arithmetic.
+    */
+  private[ops] def statsOfTokens(d: DataFrame, textCol: String,
+                                 tokCol: String): DataFrame = {
     val t = col(textCol)
-    docs
-      // one split per row, shared by three consumers (no HOF-lambda CSE)
-      .withColumn("__w", toks(t))
+    d
       .withColumn("n_chars_m", length(t))
-      .withColumn("n_tokens", size(col("__w")))
+      .withColumn("n_tokens", size(col(tokCol)))
       .withColumn("n_punct",
         length(t) - length(regexp_replace(t, "[.,;:!?]", "")))
-      .withColumn("n_stopwords", markerHits(col("__w"), langMarkers.head._2))
+      .withColumn("n_stopwords", markerHits(col(tokCol), langMarkers.head._2))
       .withColumn("avg_token_len_e2",
         // bigint: at INT, a ~21 MB document's length * 100 would overflow
-        expr(s"(cast(length($textCol) as bigint) - size(__w) + 1) * 100" +
-          " DIV size(__w)"))
-      .drop("__w")
+        expr(s"(cast(length($textCol) as bigint) - size($tokCol) + 1) * 100" +
+          s" DIV size($tokCol)"))
   }
 
   /** Quality score 0..4: one point each for length in range, token count
@@ -59,7 +66,17 @@ object TextAnalysis {
     * reproducible and cheap; mirrors ratio-based quality filters).
     */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
-    stats(docs, textCol)
+    qualityRules(stats(docs, textCol))
+
+  /** [[qualityScore]] over a pre-materialized token array (the fused
+    * ensemble pass; identical rules).
+    */
+  private[ops] def qualityScoreOfTokens(d: DataFrame, textCol: String,
+                                        tokCol: String): DataFrame =
+    qualityRules(statsOfTokens(d, textCol, tokCol))
+
+  private def qualityRules(statted: DataFrame): DataFrame =
+    statted
       .withColumn("quality",
         when(col("n_chars_m").between(100, 2000), 1).otherwise(0) +
         when(col("n_tokens").between(20, 500), 1).otherwise(0) +
@@ -1505,15 +1522,22 @@ object TextAnalysis {
     // single-split fan-out guard: the bigram explode emits ~|tokens|
     // rows per doc — spread the raw (id, text) rows before the fan-out
     // so a single-row-group source doesn't serialize it on one task
-    docs.select(col(idCol), col(textCol))
+    bigramInstOfHashes(docs.select(col(idCol), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), hs.as("hs"))
-      .select(col(idCol), explode(zip_with(
-        slice(col("hs"), lit(1), greatest(size(col("hs")) - 1, lit(0))),
-        slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
+      .select(col(idCol), hs.as("hs")), idCol, "hs")
+  }
+
+  /** (id, pw, sw) bigram instances from a PRE-MATERIALIZED per-doc
+    * token-hash array — the pairing half of [[bigramHashInst]], so the
+    * fused ensemble pass can reuse one shared hash array.
+    */
+  private[ops] def bigramInstOfHashes(d: DataFrame, idCol: String,
+                                      hsCol: String): DataFrame =
+    d.select(col(idCol), explode(zip_with(
+        slice(col(hsCol), lit(1), greatest(size(col(hsCol)) - 1, lit(0))),
+        slice(col(hsCol), lit(2), greatest(size(col(hsCol)) - 1, lit(0))),
         (a, b) => struct(a.as("pw"), b.as("sw")))).as("pr"))
       .select(col(idCol), col("pr.pw").as("pw"), col("pr.sw").as("sw"))
-  }
 
   /** Rule-based sentence segmentation — the primitive sentence-level
     * ops (TextTiling at sentence gaps, per-sentence dedup, SFT target
@@ -1749,8 +1773,16 @@ object TextAnalysis {
   }
 
   def lmScore(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame = {
-    val inst = bigramHashInst(docs, textCol, idCol)
+              idCol: String = "doc_id"): DataFrame =
+    lmScoreOfInst(bigramHashInst(docs, textCol, idCol), idCol)
+
+  /** [[lmScore]] over a PRE-BUILT (id, pw, sw) bigram-hash instance
+    * table — the fused ensemble pass derives the instances from a
+    * shared per-doc token-hash array instead of re-tokenizing and
+    * re-hashing the corpus; identical counts and arithmetic.
+    */
+  private[ops] def lmScoreOfInst(inst: DataFrame,
+                                 idCol: String): DataFrame = {
     // multiplicity per (doc, bigram) FIRST: the count-table joins then
     // run over distinct-per-doc rows, not every token instance
     val byDoc = inst.groupBy(col(idCol), col("pw"), col("sw"))
@@ -1958,10 +1990,17 @@ object TextAnalysis {
     */
   def oovRate(docs: DataFrame, rareShareDenom: Long = 100L,
               textCol: String = "text",
-              idCol: String = "doc_id"): DataFrame = {
-    val inst = docs
+              idCol: String = "doc_id"): DataFrame =
+    oovRateOfInst(docs
       .select(col(idCol), explode(toks(col(textCol))).as("w"))
-      .select(col(idCol), Dedup.h60(col("w")).as("tw"))
+      .select(col(idCol), Dedup.h60(col("w")).as("tw")),
+      rareShareDenom, idCol)
+
+  /** [[oovRate]] over a PRE-BUILT (id, tw) token-hash instance table
+    * (the fused ensemble pass; identical counts).
+    */
+  private[ops] def oovRateOfInst(inst: DataFrame, rareShareDenom: Long,
+                                 idCol: String): DataFrame = {
     val byDoc = inst.groupBy(col(idCol), col("tw"))
       .agg(count(lit(1)).as("m"))
     val vocab = byDoc.groupBy(col("tw")).agg(sum(col("m")).as("cnt"))

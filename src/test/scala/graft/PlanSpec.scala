@@ -661,7 +661,7 @@ class PlanSpec extends SparkSpec {
     "q_calibration" -> "1-row (N, gap-mass) totals broadcast cross onto the B-row bin table (EvalMetrics.calibrationBins)",
     "q_cohen_kappa" -> "1-row pe-numerator broadcast cross onto the 1-row po aggregate (EvalMetrics.cohenKappa)",
     "q_rank_corr" -> "cell x cell inequality join over the bounded distinct-(x,y)-score table (never rows) + the 1-row n cross (EvalMetrics.kendallTauA)",
-    "q_bradley_terry" -> "1-row normalization-constant broadcast per MM round over the |players|-bounded strength table (EvalMetrics.bradleyTerry)"
+    "q_bradley_terry" -> "1-row games-matrix aggregate (the MM rounds run IN-ROW since 8a77979); any BNLJ is a 1-row bounded-side cross in the wins build, never corpus-scale (EvalMetrics.bradleyTerry)"
   )
 
   /** Queries where an UNPARTITIONED window is safe: the windowed
